@@ -1,13 +1,348 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.agg.{TopK, Windows}
+import graft.ingest.Tables
+import graft.serve.Serve
+
+/**
+ * Driver contract — one `queries` entry per implemented operator from
+ * SURVEY.md §2 (IDs in the names), each paired with equivalent DuckDB SQL
+ * in `oracleSql` over the same parquet tables.
+ *
+ * Determinism rules used throughout (SURVEY.md §7.3): every query ends in
+ * a total ORDER BY in both engines; float sums go through DECIMAL(18,6)
+ * (exact, order-independent) and back to double; all top-k has a total
+ * tie-break.
+ *
+ * The `events` table stands in for the tweet stream (TESTDATA.md):
+ * entity = user_id (mentions analog) / event_type (hashtags analog),
+ * weight = value (follower-count analog), props = raw-JSON column.
+ */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  // ---- shared SQL fragments (DuckDB side) --------------------------------
+  // Epoch seconds from the ns timestamp; integer floor division matches
+  // Spark's cast(timestamp as long).
+  private val EsSql = "epoch_ns(ts) // 1000000000"
+  // 10-minute tumbling window end (epoch s).
+  private val TumblingEndSql = s"(($EsSql) // 600) * 600 + 600"
+  // Hopping 10-min/1-min windows: each row belongs to the 10 windows ending
+  // at minuteFloor+60 .. minuteFloor+600 (join with range(10)).
+  private def hoppingSql(cols: String) =
+    s"""WITH hop AS (
+       |  SELECT $cols, ((($EsSql) // 60) - k) * 60 + 600 AS window_end
+       |  FROM events, range(10) t(k))""".stripMargin
+
+  private val entityAggSql =
+    s"""${hoppingSql("user_id AS entity, value")},
+       |agg AS (
+       |  SELECT window_end, entity, count(*) AS tweet_count,
+       |         CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS follower_sum
+       |  FROM hop GROUP BY 1, 2)""".stripMargin
+
+  private val typeAggSql =
+    s"""${hoppingSql("event_type AS entity, value")},
+       |agg AS (
+       |  SELECT window_end, entity, count(*) AS tweet_count,
+       |         CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS follower_sum
+       |  FROM hop GROUP BY 1, 2)""".stripMargin
+
+  // ---- Spark-side shared builders ---------------------------------------
+
+  private def events(s: SparkSession, dir: String) = Tables.events(s, dir)
+
+  private def userAgg(s: SparkSession, dir: String): DataFrame =
+    Windows.entityWindowAgg(events(s, dir), col("user_id"), col("value"))
+
+  private def typeAgg(s: SparkSession, dir: String): DataFrame =
+    Windows.entityWindowAgg(events(s, dir), col("event_type"), col("value"))
+
+  /** Fixed [start, end) range for the serving-query examples — inside the
+    * events table's 2024-01 span at every scale factor. */
+  private val RangeStart = 1704153600L // 2024-01-02 00:00:00 UTC
+  private val RangeEnd = 1704412800L   // 2024-01-05 00:00:00 UTC
+
+  /** Flagship (M2): the full tweet-pipeline shape on `events` — parse,
+    * project, hopping windows, multi-agg, top-10 rank (OP-04..28). */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("op28_window_rank")(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // OP-04/09: JSON parse of the props payload + conditional sentinel
+    // projection (OP-06's `retweeted_status != null ? id : -1` shape).
+    "op04_json_parse" -> ((s, dir) =>
+      events(s, dir)
+        .select(
+          col("event_id"),
+          from_json(col("props"), StructType(Seq(StructField("k", LongType))))
+            .getField("k").as("k"))
+        .select(
+          col("event_id"), col("k"),
+          when(col("k") > 50, col("k")).otherwise(lit(-1L)).as("k_or_sentinel"))
+        .orderBy("event_id")),
+
+    // OP-07/08: event-time extraction to epoch + D19 key format/parse
+    // round-trip (RocksDBStore.cs:207-210 key codec).
+    "op08_key_codec" -> ((s, dir) =>
+      events(s, dir)
+        .select(
+          col("event_id"),
+          format_string("%019d", col("ts").cast("long")).as("window_key"),
+          col("event_type"))
+        .select(
+          col("event_id"),
+          concat(col("window_key"), col("event_type")).as("store_key"),
+          substring(col("window_key"), 1, 19).cast("long").as("parsed_epoch"))
+        .orderBy("event_id")),
+
+    // OP-10..14: validity/emptiness predicate stack before aggregation.
+    "op10_filters" -> ((s, dir) =>
+      events(s, dir)
+        .filter(col("ts").isNotNull && col("value") > 0 &&
+          col("event_type").isNotNull && length(col("event_type")) > 0)
+        .groupBy(col("event_type"))
+        .agg(count("*").as("cnt"))
+        .orderBy("event_type")),
+
+    // OP-15/16: explode (SelectMany analog) — token explode over documents.
+    "op15_explode_tokens" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(explode(split(col("text"), " ")).as("token"))
+        .filter(length(col("token")) > 0)
+        .groupBy(col("token"))
+        .agg(count("*").as("cnt"))
+        .orderBy("token")),
+
+    // OP-20/29: tumbling 10-min counts.
+    "op20_tumbling_counts" -> ((s, dir) =>
+      Windows.tumblingCounts(events(s, dir)).orderBy("window_end")),
+
+    // OP-21/22: hopping 10-min/1-min counts (the persisted `counts` CF).
+    "op22_hopping_counts" -> ((s, dir) =>
+      Windows.hoppingCounts(events(s, dir)).orderBy("window_end")),
+
+    // OP-23: per-user (mentions analog) multi-agg per hopping window.
+    "op23_user_window_agg" -> ((s, dir) =>
+      userAgg(s, dir)
+        .select("window_end", "entity", "tweet_count", "follower_sum")
+        .orderBy("window_end", "entity")),
+
+    // OP-24/25: per-event_type (hashtags analog) multi-agg, incl. the
+    // retweet aggregate's Max(Text) representative (Query.cs:127).
+    "op24_type_window_agg" -> ((s, dir) =>
+      Windows.entityWindowAgg(events(s, dir), col("event_type"), col("value"),
+          extra = Seq(max(col("props")).as("max_props")))
+        .select("window_end", "entity", "tweet_count", "follower_sum",
+          "max_props")
+        .orderBy("window_end", "entity")),
+
+    // OP-26/28: second-level top-k — top-10 entities per hopping window by
+    // follower_sum (GetTopItems, Query.cs:152-168).
+    "op28_window_rank" -> ((s, dir) =>
+      Windows.rankTopEntities(typeAgg(s, dir))
+        .select(col("window_end"), col("entity"), col("tweet_count"),
+          col("follower_sum"), col("rank").cast("long").as("rank"))
+        .orderBy("window_end", "rank")),
+
+    // OP-27: example dedupe — keep max-weight row per (window, entity,
+    // dedupe key), then top-3 examples per group (Query.cs:82-84).
+    "op27_example_dedupe" -> ((s, dir) => {
+      val base = events(s, dir)
+        .withColumn("window_end",
+          (floor(col("ts").cast("long") / 60) * 60 + 600).cast("long"))
+        .withColumn("entity", col("event_type"))
+      val deduped = Windows.dedupeExamples(
+        base, col("user_id"), struct(col("value"), -col("event_id")))
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("window_end"), col("entity"))
+        .orderBy(col("value").desc, col("event_id").asc)
+      deduped.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("window_end"), col("entity"), col("event_id"),
+          col("value"), col("rn").cast("long").as("rn"))
+        .orderBy("window_end", "entity", "rn")
+    }),
+
+    // OP-31: running total over the tumbling count stream.
+    "op31_running_total" -> ((s, dir) =>
+      Windows.runningTotal(Windows.tumblingCounts(events(s, dir)))
+        .select(col("window_end"), col("cnt"),
+          col("running_total").cast("long").as("running_total"))
+        .orderBy("window_end")),
+
+    // OP-36: getsummary fold (sums hopping counts, reference quirk kept).
+    "op36_summary" -> ((s, dir) =>
+      Serve.summary(Windows.hoppingCounts(events(s, dir)))),
+
+    // OP-37: getcounts start end — [start, end) range scan.
+    "op37_range_counts" -> ((s, dir) =>
+      Serve.rangeScan(
+        Windows.hoppingCounts(events(s, dir)), RangeStart, RangeEnd)),
+
+    // OP-38/39: entity-restricted range scan (documented-intent semantics —
+    // the reference's seek-only restriction is a bug we fix; SURVEY §2.8).
+    "op38_range_entity" -> ((s, dir) =>
+      Serve.rangeScanEntity(
+        typeAgg(s, dir), RangeStart, RangeEnd, Some("purchase"))
+        .select("window_end", "entity", "tweet_count", "follower_sum")),
+
+    // OP-40/41: recent-N reverse scan (SeekToLast+Prev analog).
+    "op41_recent" -> ((s, dir) =>
+      Serve.recent(Windows.hoppingCounts(events(s, dir)), 20)),
+
+    // OP-26 as a custom bounded-heap Aggregator: top-5 event ids per
+    // entity per tumbling window, weight DESC / id ASC.
+    "op26_topk_aggregator" -> ((s, dir) => {
+      val topk = TopK.topKIds(5)
+      events(s, dir)
+        .groupBy(window(col("ts"), Windows.WindowSize), col("event_type"))
+        .agg(topk(col("value"), col("event_id")).as("top_ids"))
+        .select(col("window.end").cast("long").as("window_end"),
+          col("event_type").as("entity"),
+          concat_ws(",", transform(col("top_ids"), _.cast("string")))
+            .as("top_ids"))
+        .orderBy("window_end", "entity")
+    })
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "op04_json_parse" ->
+      """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+        |       CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT) > 50
+        |            THEN CAST(json_extract_string(props, '$.k') AS BIGINT)
+        |            ELSE -1 END AS k_or_sentinel
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "op08_key_codec" ->
+      s"""SELECT event_id,
+         |       lpad(CAST($EsSql AS VARCHAR), 19, '0') || event_type AS store_key,
+         |       CAST(substr(lpad(CAST($EsSql AS VARCHAR), 19, '0'), 1, 19) AS BIGINT)
+         |         AS parsed_epoch
+         |FROM events ORDER BY event_id""".stripMargin,
+
+    "op10_filters" ->
+      """SELECT event_type, count(*) AS cnt FROM events
+        |WHERE ts IS NOT NULL AND value > 0 AND event_type IS NOT NULL
+        |  AND len(event_type) > 0
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "op15_explode_tokens" ->
+      """SELECT token, count(*) AS cnt
+        |FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+        |WHERE len(token) > 0 GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "op20_tumbling_counts" ->
+      s"""SELECT $TumblingEndSql AS window_end, count(*) AS cnt
+         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "op22_hopping_counts" ->
+      s"""${hoppingSql("event_id")}
+         |SELECT window_end, count(*) AS cnt FROM hop
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "op23_user_window_agg" ->
+      s"""$entityAggSql
+         |SELECT window_end, entity, tweet_count, follower_sum FROM agg
+         |ORDER BY window_end, entity""".stripMargin,
+
+    "op24_type_window_agg" ->
+      s"""${hoppingSql("event_type AS entity, value, props")},
+         |agg AS (
+         |  SELECT window_end, entity, count(*) AS tweet_count,
+         |         CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS follower_sum,
+         |         max(props) AS max_props
+         |  FROM hop GROUP BY 1, 2)
+         |SELECT window_end, entity, tweet_count, follower_sum, max_props
+         |FROM agg ORDER BY window_end, entity""".stripMargin,
+
+    "op28_window_rank" ->
+      s"""$typeAggSql,
+         |r AS (SELECT *, row_number() OVER (
+         |        ORDER BY window_end, follower_sum DESC, entity) AS g_rn,
+         |      row_number() OVER (PARTITION BY window_end
+         |        ORDER BY follower_sum DESC, entity) AS rank
+         |      FROM agg)
+         |SELECT window_end, entity, tweet_count, follower_sum,
+         |       CAST(rank AS BIGINT) AS rank
+         |FROM r WHERE rank <= 10 ORDER BY window_end, rank""".stripMargin,
+
+    "op27_example_dedupe" ->
+      s"""WITH base AS (
+         |  SELECT *, (($EsSql) // 60) * 60 + 600 AS window_end,
+         |         event_type AS entity
+         |  FROM events),
+         |dd AS (
+         |  SELECT *, row_number() OVER (
+         |      PARTITION BY window_end, entity, user_id
+         |      ORDER BY value DESC, event_id ASC) AS dedupe_rn
+         |  FROM base),
+         |ranked AS (
+         |  SELECT *, row_number() OVER (
+         |      PARTITION BY window_end, entity
+         |      ORDER BY value DESC, event_id ASC) AS rn
+         |  FROM dd WHERE dedupe_rn = 1)
+         |SELECT window_end, entity, event_id, value, CAST(rn AS BIGINT) AS rn
+         |FROM ranked WHERE rn <= 3
+         |ORDER BY window_end, entity, rn""".stripMargin,
+
+    "op31_running_total" ->
+      s"""WITH c AS (
+         |  SELECT $TumblingEndSql AS window_end, count(*) AS cnt
+         |  FROM events GROUP BY 1)
+         |SELECT window_end, cnt,
+         |       CAST(SUM(cnt) OVER (ORDER BY window_end
+         |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |         AS running_total
+         |FROM c ORDER BY window_end""".stripMargin,
+
+    "op36_summary" ->
+      s"""${hoppingSql("event_id")},
+         |c AS (SELECT window_end, count(*) AS cnt FROM hop GROUP BY 1)
+         |SELECT min(window_end) AS min_window_end,
+         |       max(window_end) AS max_window_end,
+         |       max(window_end) - min(window_end) AS duration_seconds,
+         |       count(*) AS window_count,
+         |       CAST(sum(cnt) AS BIGINT) AS total_tweets
+         |FROM c""".stripMargin,
+
+    "op37_range_counts" ->
+      s"""${hoppingSql("event_id")},
+         |c AS (SELECT window_end, count(*) AS cnt FROM hop GROUP BY 1)
+         |SELECT window_end, cnt FROM c
+         |WHERE window_end >= $RangeStart AND window_end < $RangeEnd
+         |ORDER BY window_end""".stripMargin,
+
+    "op38_range_entity" ->
+      s"""$typeAggSql
+         |SELECT window_end, entity, tweet_count, follower_sum FROM agg
+         |WHERE window_end >= $RangeStart AND window_end < $RangeEnd
+         |  AND entity = 'purchase'
+         |ORDER BY window_end, entity""".stripMargin,
+
+    "op41_recent" ->
+      s"""${hoppingSql("event_id")},
+         |c AS (SELECT window_end, count(*) AS cnt FROM hop GROUP BY 1)
+         |SELECT * FROM
+         |  (SELECT window_end, cnt FROM c ORDER BY window_end DESC LIMIT 20)
+         |ORDER BY window_end DESC""".stripMargin,
+
+    "op26_topk_aggregator" ->
+      s"""WITH base AS (
+         |  SELECT $TumblingEndSql AS window_end, event_type AS entity,
+         |         value, event_id
+         |  FROM events),
+         |r AS (SELECT *, row_number() OVER (
+         |        PARTITION BY window_end, entity
+         |        ORDER BY value DESC, event_id ASC) AS rn
+         |      FROM base)
+         |SELECT window_end, entity,
+         |       string_agg(CAST(event_id AS VARCHAR), ','
+         |                  ORDER BY value DESC, event_id ASC) AS top_ids
+         |FROM r WHERE rn <= 5
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  )
 }

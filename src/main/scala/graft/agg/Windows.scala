@@ -1,0 +1,104 @@
+package graft.agg
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Windowed aggregation core (SURVEY.md §2.6) — the heart of the reference
+ * (TweetGateCore/Query.cs:21-168), re-expressed on Catalyst.
+ *
+ * Reference window constants (Query.cs:12-17): 10-min window, 1-min hop,
+ * top-10 entities per window, 10 example tweets per entity. All functions
+ * are plain declarative DataFrame transforms: Catalyst fuses the
+ * multi-aggregate (count+sum+collect) into one HashAggregate pass — the
+ * same fusion Trill's GroupAggregate does by hand (Query.cs:61-66) — and
+ * partial (map-side) aggregation keeps the shuffle at |window × entity|
+ * rows, not |events|, which is what makes the shape survive 100 TB.
+ */
+object Windows {
+  val WindowSize = "10 minutes"
+  val HopSize = "1 minute"
+  val TopN = 10
+  val ExamplesPerEntity = 10
+
+  /** Window end as epoch seconds (BIGINT) — the cross-engine-stable key
+    * the serving layer sorts/prunes on (the reference's D19 tick key,
+    * RocksDBStore.cs:207-210, plays the same role). */
+  private def windowEnd: Column = col("window.end").cast("long")
+
+  /** OP-20/29: tumbling count per 10-min window (Query.cs:45-50). */
+  def tumblingCounts(events: DataFrame, ts: String = "ts"): DataFrame =
+    events.groupBy(window(col(ts), WindowSize))
+      .agg(count("*").as("cnt"))
+      .select(windowEnd.as("window_end"), col("cnt"))
+
+  /** OP-21/22: count per 10-min/1-min hopping window (Query.cs:142-146).
+    * Spark assigns each row to its 10 overlapping windows — the same
+    * multi-assignment cost model Trill uses for hopping lifetimes. */
+  def hoppingCounts(events: DataFrame, ts: String = "ts"): DataFrame =
+    events.groupBy(window(col(ts), WindowSize, HopSize))
+      .agg(count("*").as("cnt"))
+      .select(windowEnd.as("window_end"), col("cnt"))
+
+  /**
+   * OP-23/24/25: per-entity multi-aggregate over hopping windows
+   * (Query.cs:61-66,94-99,125-131): Count + Sum(weight) in one pass.
+   * `weight` is summed as DECIMAL(18,6) and returned as double: decimal
+   * addition is exact and order-independent, so Spark and any other
+   * engine (the DuckDB oracle, a different cluster layout) agree
+   * bit-for-bit — float sums would drift with partitioning.
+   */
+  def entityWindowAgg(
+      events: DataFrame,
+      entity: Column,
+      weight: Column,
+      ts: String = "ts",
+      extra: Seq[Column] = Nil): DataFrame =
+    events.groupBy(window(col(ts), WindowSize, HopSize), entity.as("entity"))
+      .agg(
+        count("*").as("tweet_count"),
+        (sum(weight.cast("decimal(18,6)")).cast("double")
+          .as("follower_sum") +: extra): _*)
+      .withColumn("window_end", windowEnd)
+      .drop("window")
+
+  /**
+   * OP-28 (`GetTopItems`, Query.cs:152-168): every hop, the top-N entities
+   * of the trailing window ranked by follower_sum. Rank with a window
+   * function over the (already tiny) per-entity aggregate — the expensive
+   * |events| shuffle happened in entityWindowAgg; this one moves only
+   * |windows × entities| rows. Total tie-break (metric DESC, entity ASC)
+   * keeps top-k deterministic across engines (SURVEY.md §7.3).
+   */
+  def rankTopEntities(agg: DataFrame, n: Int = TopN): DataFrame = {
+    val w = Window.partitionBy(col("window_end"))
+      .orderBy(col("follower_sum").desc, col("entity").asc)
+    agg.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= n)
+  }
+
+  /**
+   * OP-27 (Query.cs:82-84,115-117): dedupe example tweets within a group —
+   * keep the max-weight row per original-tweet key — done relationally
+   * *before* collecting, as a row_number over (window, entity, dedupe key)
+   * rather than array surgery after.
+   */
+  def dedupeExamples(
+      rows: DataFrame, dedupeKey: Column, weight: Column): DataFrame = {
+    val w = Window
+      .partitionBy(col("window_end"), col("entity"), dedupeKey)
+      .orderBy(weight.desc)
+    rows.withColumn("dedupe_rn", row_number().over(w))
+      .filter(col("dedupe_rn") === 1).drop("dedupe_rn")
+  }
+
+  /** OP-31 (RocksDBStore.cs:90-92): running total over the time-ordered
+    * count stream. Batch form: an unbounded-preceding running sum. */
+  def runningTotal(counts: DataFrame): DataFrame =
+    counts.withColumn(
+      "running_total",
+      sum(col("cnt")).over(
+        Window.orderBy(col("window_end"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+}

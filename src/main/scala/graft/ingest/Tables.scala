@@ -1,0 +1,99 @@
+package graft.ingest
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.model.TweetSchema
+
+/**
+ * Source layer (SURVEY.md §2.1, OP-01..04).
+ *
+ * The reference ingests either a live HTTP stream or a line-delimited JSON
+ * replay file (reference: TweetGateCore/TwitterStream.cs:41-140,207-262;
+ * TweetGate/Program.SaveAggregates.cs:31-50). In the rebuild, framing /
+ * backpressure / reconnects (OP-01..03) are the Spark source's job; this
+ * layer only declares schemas and normalizes types, so Catalyst can push
+ * filters and prune columns into the scan.
+ */
+object Tables {
+
+  /** Test tables carry parquet TIMESTAMP(NANOS), which Spark 4 refuses by
+    * default. Read them as long nanos and convert to µs timestamps — the
+    * conversion must be integer division (ns epoch values exceed 2^53, a
+    * double round-trip would corrupt them). DuckDB truncates the same way
+    * when it reads ns into its µs TIMESTAMP, so both engines see identical
+    * values. */
+  private def reader(spark: SparkSession) = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read
+  }
+
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    reader(spark).parquet(s"$sfDir/$name.parquet")
+
+  /** `events` is the tweet-stream stand-in for batch-verifiable windowed
+    * queries (TESTDATA.md): entity = event_type/user_id, weight = value,
+    * `props` is a raw-JSON column à la the tweet wire format. */
+  def events(spark: SparkSession, sfDir: String): DataFrame =
+    table(spark, sfDir, "events")
+      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+
+  def documents(spark: SparkSession, sfDir: String): DataFrame =
+    table(spark, sfDir, "documents")
+
+  def embeddings(spark: SparkSession, sfDir: String): DataFrame =
+    table(spark, sfDir, "embeddings")
+
+  def lineitem(spark: SparkSession, sfDir: String): DataFrame =
+    table(spark, sfDir, "lineitem")
+
+  def orders(spark: SparkSession, sfDir: String): DataFrame =
+    table(spark, sfDir, "orders")
+
+  /**
+   * OP-02/04: line-delimited tweet JSON → typed, time-stamped DataFrame.
+   * Mirrors reference TweetGate/Program.SaveAggregates.cs:72-76: JSON
+   * deserialize, drop invalid rows (null parse / missing timestamp —
+   * RawTweet.cs:23-37 maps those to time 0, SaveAggregates.cs:74 drops
+   * them), assign event time from `timestamp_ms`.
+   */
+  def tweetsFromJsonLines(lines: DataFrame): DataFrame = {
+    val col0 = lines.columns.head
+    lines
+      .select(from_json(col(col0), TweetSchema.raw).as("t"))
+      .filter(col("t").isNotNull && col("t.id").isNotNull)
+      .filter(col("t.timestamp_ms").isNotNull && col("t.timestamp_ms") =!= "")
+      .select(
+        col("t.*"),
+        timestamp_millis(col("t.timestamp_ms").cast("long")).as("ts"))
+      .filter(col("ts").isNotNull)
+  }
+
+  /** Batch read of a replay file (OP-02). */
+  def tweetsFromFile(spark: SparkSession, path: String): DataFrame =
+    tweetsFromJsonLines(spark.read.text(path))
+
+  /**
+   * OP-05/06: the flattening projection of reference Query.cs:32-41 —
+   * nested RawTweet → 8 flat columns. Text coalesce (OP-05, Query.cs:171-184):
+   * extended_tweet.full_text ?? retweeted_status.extended_tweet.full_text
+   * ?? text. Array-of-struct → array-of-string is a nested-field access
+   * (`entities.hashtags.text`), which Catalyst turns into a columnar
+   * projection — no UDF. `originalTweetId` keeps the reference's -1
+   * not-a-retweet sentinel (Query.cs:37).
+   */
+  def projectTweets(tweets: DataFrame): DataFrame =
+    tweets.select(
+      col("id"),
+      coalesce(
+        col("extended_tweet.full_text"),
+        col("retweeted_status.extended_tweet.full_text"),
+        col("text")).as("text"),
+      col("user.screen_name").as("screenName"),
+      coalesce(col("entities.hashtags.text"), array()).as("hashtags"),
+      coalesce(col("entities.user_mentions.screen_name"), array())
+        .as("mentions"),
+      when(col("retweeted_status").isNotNull, col("retweeted_status.id"))
+        .otherwise(lit(-1L)).as("originalTweetId"),
+      coalesce(col("user.followers_count"), lit(0L)).as("followerCount"),
+      col("ts"))
+}

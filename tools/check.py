@@ -1,0 +1,68 @@
+#!/usr/bin/env python3
+"""Local mimic of the driver's correctness gate: run graft.Verify at a
+scale factor, then replay every oracle SQL in DuckDB over the same parquet
+tables and compare (columns sorted by name, rows fully sorted).
+
+Usage: python3 tools/check.py [sfdir] [outdir] [--skip-verify]
+"""
+import json, math, subprocess, sys
+
+SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+OUT = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+if "--skip-verify" not in sys.argv:
+    r = subprocess.run(
+        ["sbt", f'runMain graft.Verify {SF} {OUT}'], cwd="/root/repo",
+        capture_output=True, text=True, timeout=1800)
+    for line in (r.stdout + r.stderr).splitlines():
+        if "[verify]" in line or "error" in line.lower():
+            print(line)
+
+import duckdb
+con = duckdb.connect()
+for t in TABLES:
+    con.execute(
+        f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+
+oracle = json.load(open(f"{OUT}/oracle_sql.json"))
+
+def norm(v):
+    if isinstance(v, float):
+        return ("f", round(v, 9)) if not math.isnan(v) else ("f", "nan")
+    if isinstance(v, list):
+        return tuple(norm(x) for x in v)
+    return v
+
+fails = []
+for name, sql in sorted(oracle.items()):
+    try:
+        want = con.execute(sql).fetchall()
+        wcols = [d[0] for d in con.description]
+        got_rel = con.execute(
+            f"SELECT * FROM '{OUT}/{name}/*.parquet'")
+        got = got_rel.fetchall()
+        gcols = [d[0] for d in con.description]
+        if sorted(wcols) != sorted(gcols):
+            print(f"FAIL {name}: columns {sorted(gcols)} vs oracle {sorted(wcols)}")
+            fails.append(name); continue
+        widx = sorted(range(len(wcols)), key=lambda i: wcols[i])
+        gidx = sorted(range(len(gcols)), key=lambda i: gcols[i])
+        wrows = sorted(tuple(norm(r[i]) for i in widx) for r in want)
+        grows = sorted(tuple(norm(r[i]) for i in gidx) for r in got)
+        if wrows == grows:
+            print(f"PASS {name} ({len(grows)} rows)")
+        else:
+            print(f"FAIL {name}: {len(grows)} spark rows vs {len(wrows)} oracle rows")
+            onlyg = [r for r in grows if r not in set(wrows)][:3]
+            onlyw = [r for r in wrows if r not in set(grows)][:3]
+            print(f"  spark-only: {onlyg}\n  oracle-only: {onlyw}")
+            fails.append(name)
+    except Exception as e:
+        print(f"ERROR {name}: {e}")
+        fails.append(name)
+
+print(f"\n{len(oracle) - len(fails)}/{len(oracle)} pass" +
+      (f"; FAILURES: {fails}" if fails else ""))
+sys.exit(1 if fails else 0)
