@@ -1,0 +1,299 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ingest.Tables
+import graft.ops.{Dedup, Hashing, Multimodal, Similarity, TextOps}
+
+/**
+ * Training-data-pipeline extension queries (SURVEY.md §7.1 M6): dedup,
+ * similarity search, text analysis, multimodal plumbing — each with a
+ * DuckDB oracle twin where the math is portable (all hashing goes through
+ * the md5-based scheme of [[graft.ops.Hashing]]; all float math is either
+ * exact integer/decimal or a fixed-order IEEE expression).
+ */
+object ExtEntry {
+
+  private def docs(s: SparkSession, dir: String) = Tables.documents(s, dir)
+  private def embs(s: SparkSession, dir: String) = Tables.embeddings(s, dir)
+
+  /** Query-vector subset for similarity search examples. */
+  private val NumQueryVecs = 20
+
+  // ---- shared DuckDB fragments ------------------------------------------
+
+  private val P = Hashing.Mersenne31
+
+  private def hashSql(e: String) = Hashing.portableHash32Sql(e)
+
+  /** Distinct capped shingle hashes — twin of Dedup.shingleHashes. */
+  private val ShingleSql =
+    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+       |sh0 AS (
+       |  SELECT DISTINCT doc_id,
+       |         ${hashSql("tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]")} AS h
+       |  FROM toks JOIN range(1, 4001) g(i) ON i <= len(tk) - 2),
+       |hot AS (SELECT h FROM sh0 GROUP BY h HAVING count(*) > 50),
+       |sh AS (SELECT * FROM sh0 ANTI JOIN hot USING (h))""".stripMargin
+
+  private val minhashMinsSql = (0 until Dedup.NumHashes).map { j =>
+    s"min((h * ${Hashing.seedA(j)} + ${Hashing.seedB(j)}) % $P) AS mh$j"
+  }.mkString(",\n         ")
+
+  private val bandSigSql = (0 until Dedup.NumHashes / Dedup.BandRows).map {
+    b =>
+      val parts = (0 until Dedup.BandRows)
+        .map(r => s"CAST(mh${b * Dedup.BandRows + r} AS VARCHAR)")
+        .mkString(" || '-' || ")
+      s"WHEN ${b} THEN $parts"
+  }.mkString(" ")
+
+  private val eqCountSql = (0 until Dedup.NumHashes)
+    .map(j => s"CASE WHEN sa.mh$j = sb.mh$j THEN 1 ELSE 0 END")
+    .mkString(" + ")
+
+  /** Quantized embeddings flattened to (vec_id, i, qi) — twin of
+    * Similarity.quantize. */
+  private val QuantFlatSql =
+    s"""WITH q AS (
+       |  SELECT vec_id, label,
+       |         list_transform(embedding,
+       |           v -> CAST(floor(CAST(v AS DOUBLE) * 1000000.0) AS BIGINT)) AS qv
+       |  FROM embeddings),
+       |flat AS (
+       |  SELECT vec_id, label, unnest(qv) AS qi,
+       |         unnest(range(1, len(qv) + 1)) AS i
+       |  FROM q),
+       |n2 AS (SELECT vec_id, CAST(SUM(qi * qi) AS BIGINT) AS n2
+       |       FROM flat GROUP BY 1)""".stripMargin
+
+  private def cosTopKSql(bucketJoin: String, k: Int) =
+    s"""$QuantFlatSql,
+       |dots AS (
+       |  SELECT a.vec_id AS q_id, b.vec_id AS t_id,
+       |         CAST(SUM(a.qi * b.qi) AS BIGINT) AS dot
+       |  FROM flat a JOIN flat b ON a.i = b.i $bucketJoin
+       |  WHERE a.vec_id < $NumQueryVecs AND a.vec_id <> b.vec_id
+       |  GROUP BY 1, 2),
+       |scored AS (
+       |  SELECT q_id, t_id,
+       |         CAST(dot AS DOUBLE) /
+       |           sqrt(CAST(na.n2 AS DOUBLE) * CAST(nb.n2 AS DOUBLE)) AS cos
+       |  FROM dots JOIN n2 na ON na.vec_id = q_id
+       |            JOIN n2 nb ON nb.vec_id = t_id),
+       |r AS (SELECT *, row_number() OVER (
+       |        PARTITION BY q_id ORDER BY cos DESC, t_id ASC) AS rank
+       |      FROM scored)
+       |SELECT q_id, t_id, CAST(rank AS BIGINT) AS rank, cos
+       |FROM r WHERE rank <= $k ORDER BY q_id, rank""".stripMargin
+
+  private val stopList = TextOps.Stopwords.map(s => s"'$s'").mkString(", ")
+  private def markerList(lang: String) =
+    TextOps.LangMarkers(lang).map(s => s"'$s'").mkString(", ")
+
+  // ---- queries -----------------------------------------------------------
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ext01_dedup_exact" -> ((s, dir) =>
+      Dedup.exact(docs(s, dir)).orderBy("content_hash")),
+
+    "ext02_dedup_ngram_jaccard" -> ((s, dir) =>
+      Dedup.ngramJaccard(docs(s, dir)).orderBy("id_a", "id_b")),
+
+    "ext03_dedup_minhash_lsh" -> ((s, dir) =>
+      Dedup.minhashLsh(docs(s, dir)).orderBy("id_a", "id_b")),
+
+    "ext04_dedup_simhash" -> ((s, dir) =>
+      Dedup.simhashPairs(docs(s, dir)).orderBy("id_a", "id_b")),
+
+    "ext05_sim_brute_topk" -> ((s, dir) => {
+      val e = embs(s, dir)
+      Similarity.bruteTopK(e, e.filter(col("vec_id") < NumQueryVecs), 5)
+        .orderBy("q_id", "rank")
+    }),
+
+    "ext06_sim_ivf_topk" -> ((s, dir) => {
+      val e = embs(s, dir)
+      Similarity.ivfTopK(e, e.filter(col("vec_id") < NumQueryVecs), 3)
+        .orderBy("q_id", "rank")
+    }),
+
+    // LSH-bucketed ANN — scale path; no oracle (rows-only check).
+    "ext07_sim_lsh_ann" -> ((s, dir) => {
+      val e = embs(s, dir)
+      Similarity.lshTopK(e, e.filter(col("vec_id") < NumQueryVecs), 5)
+        .orderBy("q_id", "rank")
+    }),
+
+    "ext08_text_langid" -> ((s, dir) =>
+      TextOps.langScores(docs(s, dir))
+        .select("doc_id", "score_en", "score_es", "score_zh", "predicted")
+        .orderBy("doc_id")),
+
+    "ext09_text_quality" -> ((s, dir) =>
+      TextOps.quality(docs(s, dir))
+        .select("doc_id", "n_words", "n_chars_nospace", "n_stop",
+          "stop_ratio", "avg_word_len", "quality_score")
+        .orderBy("doc_id")),
+
+    "ext10_text_tokens" -> ((s, dir) =>
+      TextOps.tokenCounts(docs(s, dir))
+        .select("doc_id", "n_ws_tokens", "n_bpe_est")
+        .orderBy("doc_id")),
+
+    "ext11_text_fingerprint" -> ((s, dir) =>
+      TextOps.fingerprints(docs(s, dir))
+        .select("doc_id", "content_fp", "rolling_fp")
+        .orderBy("doc_id")),
+
+    "ext12_multimodal_meta" -> ((s, dir) =>
+      Multimodal.withBinaryMeta(Multimodal.assetsFromDocuments(docs(s, dir)))
+        .select("asset_id", "kind", "n_bytes", "digest", "head_hex")
+        .orderBy("asset_id")),
+
+    // Frame-sampling plumbing over binary columns — no oracle.
+    "ext13_multimodal_frames" -> ((s, dir) =>
+      Multimodal.sampleFrames(
+        Multimodal.assetsFromDocuments(docs(s, dir)).filter(
+          col("asset_id") < 50))
+        .orderBy("asset_id", "frame_no"))
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "ext01_dedup_exact" ->
+      """SELECT md5(text) AS content_hash, min(doc_id) AS keeper_id,
+        |       count(*) AS dup_count
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "ext02_dedup_ngram_jaccard" ->
+      s"""$ShingleSql,
+         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+         |inter AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+         |  FROM sh a JOIN sh b USING (h)
+         |  WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+         |SELECT id_a, id_b, n_inter,
+         |       CAST(n_inter AS DOUBLE) /
+         |         CAST(na.n + nb.n - n_inter AS DOUBLE) AS jaccard
+         |FROM inter JOIN sizes na ON na.doc_id = id_a
+         |           JOIN sizes nb ON nb.doc_id = id_b
+         |WHERE CAST(n_inter AS DOUBLE) /
+         |        CAST(na.n + nb.n - n_inter AS DOUBLE) >= 0.1
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    "ext03_dedup_minhash_lsh" ->
+      s"""$ShingleSql,
+         |sig AS (
+         |  SELECT doc_id,
+         |         $minhashMinsSql
+         |  FROM sh GROUP BY 1),
+         |bands AS (
+         |  SELECT doc_id, b.band_id,
+         |         CASE b.band_id $bandSigSql END AS band_sig
+         |  FROM sig, (VALUES (0), (1), (2), (3)) b(band_id)),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b
+         |  FROM bands a JOIN bands b2 USING (band_id, band_sig)
+         |  WHERE a.doc_id < b2.doc_id)
+         |SELECT id_a, id_b,
+         |       CAST($eqCountSql AS DOUBLE) / ${Dedup.NumHashes} AS est_jaccard
+         |FROM cand JOIN sig sa ON sa.doc_id = id_a
+         |          JOIN sig sb ON sb.doc_id = id_b
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    "ext04_dedup_simhash" ->
+      s"""WITH th AS (
+         |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+         |  FROM documents),
+         |h AS (SELECT doc_id, ${hashSql("tok")} AS h FROM th),
+         |votes AS (
+         |  SELECT doc_id, i,
+         |         SUM(CAST(2 * ((h >> CAST(i AS INTEGER)) & 1) - 1 AS BIGINT))
+         |           AS vote
+         |  FROM h, range(32) r(i) GROUP BY 1, 2),
+         |sh2 AS (
+         |  SELECT doc_id,
+         |         CAST(SUM(CASE WHEN vote > 0
+         |           THEN (CAST(1 AS BIGINT) << CAST(i AS INTEGER))
+         |           ELSE 0 END) AS BIGINT) AS simhash
+         |  FROM votes GROUP BY 1),
+         |chunks AS (
+         |  SELECT doc_id, simhash, c.chunk_id,
+         |         (simhash >> CAST(c.chunk_id * 8 AS INTEGER)) & 255 AS chunk
+         |  FROM sh2, range(4) c(chunk_id)),
+         |p AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         |         a.simhash AS sa, b.simhash AS sb
+         |  FROM chunks a JOIN chunks b USING (chunk_id, chunk)
+         |  WHERE a.doc_id < b.doc_id)
+         |SELECT id_a, id_b,
+         |       CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
+         |FROM p WHERE bit_count(xor(sa, sb)) <= 3
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    "ext05_sim_brute_topk" -> cosTopKSql("", 5),
+
+    "ext06_sim_ivf_topk" -> cosTopKSql("AND a.label = b.label", 3),
+
+    "ext08_text_langid" ->
+      s"""SELECT doc_id,
+         |  CAST(len(list_filter(string_split(text, ' '),
+         |    t -> t IN (${markerList("en")}))) AS BIGINT) AS score_en,
+         |  CAST(len(list_filter(string_split(text, ' '),
+         |    t -> t IN (${markerList("es")}))) AS BIGINT) AS score_es,
+         |  CAST(len(list_filter(string_split(text, ' '),
+         |    t -> t IN (${markerList("zh")}))) AS BIGINT) AS score_zh,
+         |  CASE WHEN score_en >= score_es AND score_en >= score_zh THEN 'en'
+         |       WHEN score_es >= score_zh THEN 'es'
+         |       ELSE 'zh' END AS predicted
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "ext09_text_quality" ->
+      s"""SELECT doc_id,
+         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+         |  CAST(len(replace(text, ' ', '')) AS BIGINT) AS n_chars_nospace,
+         |  CAST(len(list_filter(string_split(text, ' '),
+         |    t -> t IN ($stopList))) AS BIGINT) AS n_stop,
+         |  CAST(n_stop AS DOUBLE) / CAST(n_words AS DOUBLE) AS stop_ratio,
+         |  CAST(n_chars_nospace AS DOUBLE) / CAST(n_words AS DOUBLE)
+         |    AS avg_word_len,
+         |  least(CAST(n_words AS DOUBLE) / 100.0, 1.0) * 0.5 +
+         |    (CAST(n_stop AS DOUBLE) / CAST(n_words AS DOUBLE)) * 0.5
+         |    AS quality_score
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "ext10_text_tokens" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
+        |  CAST(list_sum(list_transform(string_split(text, ' '),
+        |    t -> (len(t) + 3) // 4)) AS BIGINT) AS n_bpe_est
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "ext11_text_fingerprint" ->
+      s"""WITH tp AS (
+         |  SELECT doc_id,
+         |         unnest(string_split(text, ' ')) AS tok,
+         |         unnest(range(1, len(string_split(text, ' ')) + 1)) AS pos
+         |  FROM documents),
+         |rf AS (
+         |  SELECT doc_id,
+         |         CAST(SUM(${hashSql("tok")} * pos) % $P AS BIGINT)
+         |           AS rolling_fp
+         |  FROM tp GROUP BY 1)
+         |SELECT d.doc_id, substr(md5(lower(d.text)), 1, 16) AS content_fp,
+         |       rf.rolling_fp
+         |FROM documents d JOIN rf ON rf.doc_id = d.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
+
+    "ext12_multimodal_meta" ->
+      """SELECT doc_id AS asset_id,
+        |  CASE WHEN doc_id % 3 = 0 THEN 'image'
+        |       WHEN doc_id % 3 = 1 THEN 'audio'
+        |       ELSE 'video' END AS kind,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  sha256(text) AS digest,
+        |  lower(hex(substr(text, 1, 8))) AS head_hex
+        |FROM documents ORDER BY doc_id""".stripMargin
+  )
+}

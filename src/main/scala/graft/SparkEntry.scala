@@ -71,7 +71,11 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     queries("op28_window_rank")(spark, "/root/testdata/sf0.001")
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  def queries: Map[String, (SparkSession, String) => DataFrame] = coreQueries ++ ExtEntry.queries
+
+  def oracleSql: Map[String, String] = coreOracleSql ++ ExtEntry.oracleSql
+
+  private def coreQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // OP-04/09: JSON parse of the props payload + conditional sentinel
     // projection (OP-06's `retweeted_status != null ? id : -1` shape).
     "op04_json_parse" -> ((s, dir) =>
@@ -209,7 +213,7 @@ object SparkEntry {
     })
   )
 
-  def oracleSql: Map[String, String] = Map(
+  private def coreOracleSql: Map[String, String] = Map(
     "op04_json_parse" ->
       """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
         |       CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT) > 50

@@ -1,0 +1,154 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Deduplication operators for a training-data pipeline (SURVEY.md §7.1 M6):
+ * exact, MinHash+LSH, SimHash, and n-gram Jaccard.
+ *
+ * Scale design: every variant avoids the O(n²) all-pairs join — candidates
+ * come from equi-joins on buckets (band signature / simhash chunk / shared
+ * shingle), so the shuffle is keyed and skew-guarded (stop-shingle cap).
+ * Hashes are the portable md5-based scheme of [[Hashing]] so the DuckDB
+ * oracle reproduces them bit-for-bit.
+ */
+object Dedup {
+
+  /** Exact dedup: hash-groupBy on content. Returns one row per distinct
+    * content with the keeper (min id) and duplicate count — the standard
+    * 100 TB exact-dedup shape (shuffle keyed by content hash, not text). */
+  def exact(doc: DataFrame, id: String = "doc_id",
+      text: String = "text"): DataFrame =
+    doc.groupBy(md5(col(text)).as("content_hash"))
+      .agg(min(col(id)).as("keeper_id"), count("*").as("dup_count"))
+
+  /** Distinct (doc, shingle-hash) pairs with a stop-shingle frequency cap:
+    * shingles present in more than `maxDocFreq` docs are dropped — the
+    * skew guard that keeps the candidate join from going quadratic on a
+    * hot shingle. */
+  def shingleHashes(doc: DataFrame, id: String, text: String,
+      n: Int = 3, maxDocFreq: Long = 50): DataFrame = {
+    val sh = doc
+      .select(col(id),
+        explode(TextOps.shingles(TextOps.tokens(col(text)), n)).as("sh"))
+      .select(col(id), Hashing.portableHash32(col("sh")).as("h"))
+      .distinct()
+    val hot = sh.groupBy("h").agg(count("*").as("df"))
+      .filter(col("df") > maxDocFreq).select("h")
+    sh.join(hot, Seq("h"), "left_anti")
+  }
+
+  /**
+   * N-gram Jaccard near-dup: candidate pairs share ≥1 (capped) shingle;
+   * jaccard = |∩| / (|A| + |B| - |∩|). Exact over the capped shingle
+   * sets; the division is a single IEEE op so engines agree.
+   */
+  def ngramJaccard(doc: DataFrame, id: String = "doc_id",
+      text: String = "text", threshold: Double = 0.1): DataFrame = {
+    val sh = shingleHashes(doc, id, text)
+    val sizes = sh.groupBy(col(id)).agg(count("*").as("n_sh"))
+    val a = sh.select(col(id).as("id_a"), col("h"))
+    val b = sh.select(col(id).as("id_b"), col("h"))
+    val inter = a.join(b, "h")
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count("*").as("n_inter"))
+    inter
+      .join(sizes.select(col(id).as("id_a"), col("n_sh").as("n_a")), "id_a")
+      .join(sizes.select(col(id).as("id_b"), col("n_sh").as("n_b")), "id_b")
+      .withColumn("jaccard",
+        col("n_inter").cast("double") /
+          (col("n_a") + col("n_b") - col("n_inter")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("n_inter"), col("jaccard"))
+  }
+
+  val NumHashes = 16
+  val BandRows = 4 // 4 bands × 4 rows
+
+  /** MinHash signature: one hash-aggregate pass computing all NumHashes
+    * mins (min((a_j*h + b_j) mod p) per doc) — the multi-aggregate fusion
+    * pattern, shuffle stays at |docs| rows. */
+  def minhashSignatures(doc: DataFrame, id: String = "doc_id",
+      text: String = "text"): DataFrame = {
+    val sh = shingleHashes(doc, id, text)
+    val mins = (0 until NumHashes).map { j =>
+      min((col("h") * Hashing.seedA(j) + Hashing.seedB(j))
+        % Hashing.Mersenne31).as(s"mh$j")
+    }
+    sh.groupBy(col(id)).agg(mins.head, mins.tail: _*)
+  }
+
+  /**
+   * MinHash + LSH banding: docs agreeing on any band (4 consecutive
+   * signature slots) become candidates; est_jaccard = fraction of equal
+   * signature slots. The candidate join is an equi-join on
+   * (band_id, band_signature) — the LSH bucket — never an all-pairs scan.
+   */
+  def minhashLsh(doc: DataFrame, id: String = "doc_id",
+      text: String = "text"): DataFrame = {
+    val sig = minhashSignatures(doc, id, text)
+    val bands = explode(array((0 until NumHashes / BandRows).map { b =>
+      struct(lit(b).as("band_id"),
+        concat_ws("-", (0 until BandRows).map(r =>
+          col(s"mh${b * BandRows + r}").cast("string")): _*).as("band_sig"))
+    }: _*)).as("band")
+    val banded = sig.select(col(id), bands)
+      .select(col(id), col("band.band_id"), col("band.band_sig"))
+    val cand = banded.toDF("id_a", "band_id", "band_sig")
+      .join(banded.toDF("id_b", "band_id", "band_sig"),
+        Seq("band_id", "band_sig"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    val eq = (0 until NumHashes)
+      .map(j => when(col(s"a.mh$j") === col(s"b.mh$j"), 1).otherwise(0))
+      .reduce(_ + _)
+    cand
+      .join(sig.as("a"), col("id_a") === col(s"a.$id"))
+      .join(sig.as("b"), col("id_b") === col(s"b.$id"))
+      .select(col("id_a"), col("id_b"),
+        (eq.cast("double") / NumHashes).as("est_jaccard"))
+  }
+
+  /**
+   * SimHash near-dup: 32-bit simhash from token hashes (per-bit ±1 vote,
+   * bit set when the vote sum is positive), candidates from 8-bit chunk
+   * equality (pigeonhole: hamming ≤ 3 ⇒ ≥1 of 4 chunks equal), verified
+   * with bit_count(xor) ≤ maxHamming.
+   */
+  def simhash(doc: DataFrame, id: String = "doc_id",
+      text: String = "text"): DataFrame = {
+    val th = doc
+      .select(col(id), explode(TextOps.tokens(col(text))).as("tok"))
+      .select(col(id), Hashing.portableHash32(col("tok")).as("h"))
+    val votes = th
+      .select(col(id), col("h"), explode(sequence(lit(0), lit(31))).as("i"))
+      .groupBy(col(id), col("i"))
+      .agg(sum(expr(
+        "CAST(2 * (shiftright(h, CAST(i AS INT)) & 1) - 1 AS BIGINT)"))
+        .as("vote"))
+    votes.groupBy(col(id))
+      .agg(sum(when(col("vote") > 0,
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(i AS INT))")).otherwise(0L))
+        .as("simhash"))
+  }
+
+  def simhashPairs(doc: DataFrame, id: String = "doc_id",
+      text: String = "text", maxHamming: Int = 3): DataFrame = {
+    val sh = simhash(doc, id, text)
+    val chunks = sh.select(col(id), col("simhash"),
+        explode(sequence(lit(0), lit(3))).as("chunk_id"))
+      .withColumn("chunk",
+        expr("shiftright(simhash, CAST(chunk_id * 8 AS INT)) & 255"))
+    chunks.select(col(id).as("id_a"), col("simhash").as("sh_a"),
+        col("chunk_id"), col("chunk"))
+      .join(chunks.select(col(id).as("id_b"), col("simhash").as("sh_b"),
+        col("chunk_id"), col("chunk")), Seq("chunk_id", "chunk"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("long")
+          .as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+}

@@ -1,0 +1,127 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Similarity search over an embedding column (SURVEY.md §7.1 M6):
+ * brute-force cosine top-k as the exact baseline, and an IVF-style
+ * bucket-restricted variant as the scale path.
+ *
+ * Determinism across engines: embeddings are floor-quantized to int64
+ * (floor(double(v) * 1e6)) and dot products / norms are exact integer
+ * sums — order-independent, so any partitioning and any other engine
+ * (the DuckDB oracle) produce identical cosines; the final
+ * dot/sqrt(na*nb) is a fixed sequence of IEEE double ops. Float sums
+ * would tie-break top-k differently run to run; integers cannot.
+ */
+object Similarity {
+
+  val QuantScale = 1000000.0d
+
+  /** Quantize a float-array embedding to int64: floor(double(v)*1e6). */
+  def quantize(emb: Column): Column =
+    transform(emb, v => floor(v.cast("double") * lit(QuantScale)).cast("long"))
+
+  /** Exact integer dot product of two quantized vectors — zip_with +
+    * aggregate, fully codegen'd, no explode and no shuffle per pair. */
+  def qdot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+
+  def qnorm2(a: Column): Column = qdot(a, a)
+
+  /** cosine = dot / sqrt(na*nb), computed double-exactly from the integer
+    * sums (na*nb would overflow int64, so the product is in doubles). */
+  def cosine(dot: Column, na: Column, nb: Column): Column =
+    dot.cast("double") / sqrt(na.cast("double") * nb.cast("double"))
+
+  private def prepared(emb: DataFrame, id: String, vec: String): DataFrame =
+    emb.select(col(id), quantize(col(vec)).as("q"))
+      .withColumn("n2", qnorm2(col("q")))
+
+  /**
+   * Brute-force cosine top-k: the exact baseline. The (small) query set is
+   * broadcast against the full corpus — one pass over the corpus, no
+   * shuffle of the corpus itself; per-query ranking shuffles only
+   * |queries × corpus| scalar rows pre-pruned by nothing (exact search).
+   */
+  def bruteTopK(emb: DataFrame, queries: DataFrame, k: Int,
+      id: String = "vec_id", vec: String = "embedding"): DataFrame = {
+    val corpus = prepared(emb, id, vec).toDF("t_id", "t_q", "t_n2")
+    val qs = prepared(queries, id, vec).toDF("q_id", "q_q", "q_n2")
+    val scored = corpus.crossJoin(broadcast(qs))
+      .filter(col("q_id") =!= col("t_id"))
+      .withColumn("cos",
+        cosine(qdot(col("q_q"), col("t_q")), col("q_n2"), col("t_n2")))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("t_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("t_id"), col("rank").cast("long").as("rank"),
+        col("cos"))
+  }
+
+  /**
+   * IVF-style ANN: restrict the search to the query's coarse bucket
+   * (here the `label` column plays the cluster-id role a k-means
+   * assignment would at 100 TB). The join becomes an equi-join on the
+   * bucket key — each query probes |corpus|/|buckets| candidates instead
+   * of the full corpus.
+   */
+  def ivfTopK(emb: DataFrame, queries: DataFrame, k: Int,
+      bucket: String = "label", id: String = "vec_id",
+      vec: String = "embedding"): DataFrame = {
+    val corpus = emb.select(col(id).as("t_id"), col(bucket).as("bucket"),
+      quantize(col(vec)).as("t_q")).withColumn("t_n2", qnorm2(col("t_q")))
+    val qs = queries.select(col(id).as("q_id"), col(bucket).as("bucket"),
+      quantize(col(vec)).as("q_q")).withColumn("q_n2", qnorm2(col("q_q")))
+    val scored = corpus.join(broadcast(qs), "bucket")
+      .filter(col("q_id") =!= col("t_id"))
+      .withColumn("cos",
+        cosine(qdot(col("q_q"), col("t_q")), col("q_n2"), col("t_n2")))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("t_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("t_id"), col("rank").cast("long").as("rank"),
+        col("cos"))
+  }
+
+  /**
+   * Random-hyperplane LSH bucketing (scale path, non-oracle): sign-bit
+   * signature from `nBits` pseudo-random hyperplanes derived from the
+   * portable hash (hyperplane j, dim i weight = ±1 from bit parity), so
+   * the whole signature is a deterministic column expression. Candidates
+   * share a signature bucket; exact cosine re-ranks within the bucket.
+   */
+  def lshTopK(emb: DataFrame, queries: DataFrame, k: Int, nBits: Int = 8,
+      id: String = "vec_id", vec: String = "embedding"): DataFrame = {
+    def signature(q: Column): Column = {
+      val bits = (0 until nBits).map { j =>
+        // ±1 weights per (hyperplane, dim) from bit j of a per-dim hash
+        val proj = aggregate(
+          zip_with(q, sequence(lit(0), size(q) - 1), (v, i) =>
+            when((shiftright(Hashing.portableHash32(concat(lit(s"hp$j:"),
+              i.cast("string"))), j % 31) % 2) === 0, v).otherwise(-v)),
+          lit(0L), (acc, v) => acc + v)
+        when(proj > 0, lit(1L) * (1L << j)).otherwise(lit(0L))
+      }
+      bits.reduce(_ + _)
+    }
+    val corpus = prepared(emb, id, vec).toDF("t_id", "t_q", "t_n2")
+      .withColumn("sig", signature(col("t_q")))
+    val qs = prepared(queries, id, vec).toDF("q_id", "q_q", "q_n2")
+      .withColumn("sig", signature(col("q_q")))
+    val scored = corpus.join(broadcast(qs), "sig")
+      .filter(col("q_id") =!= col("t_id"))
+      .withColumn("cos",
+        cosine(qdot(col("q_q"), col("t_q")), col("q_n2"), col("t_n2")))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("t_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("t_id"), col("rank").cast("long").as("rank"),
+        col("cos"))
+  }
+}

@@ -1,0 +1,122 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Text-analysis operators for a training-data pipeline (SURVEY.md §7.1 M6):
+ * tokenization, shingling, language-ID scoring, quality scoring, token
+ * counting, document fingerprinting.
+ *
+ * Everything here is a pure column expression over `functions._` — fully
+ * codegen'd, no UDFs — so a 100 TB documents scan stays inside one
+ * WholeStageCodegen span with the parquet reader.
+ *
+ * Cross-engine determinism: token positions and hashes use the portable
+ * md5-hex → int scheme of [[Hashing]]; ratios are single IEEE double
+ * operations in a fixed expression order.
+ */
+object TextOps {
+
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** Word n-gram shingles (default trigrams) as an array column. */
+  def shingles(toks: Column, n: Int = 3): Column =
+    transform(
+      sequence(lit(1), greatest(size(toks) - lit(n - 1), lit(0))),
+      i => concat_ws(" ", slice(toks, i, lit(n))))
+
+  /** Whitespace token count + a BPE-ish subword estimate:
+    * ceil(len/4) per token via integer math ((len+3) div 4). */
+  def tokenCounts(doc: DataFrame, text: String = "text"): DataFrame =
+    doc
+      .withColumn("toks", tokens(col(text)))
+      .withColumn("n_ws_tokens", size(col("toks")).cast("long"))
+      .withColumn("n_bpe_est",
+        expr("aggregate(transform(toks, t -> CAST((length(t)+3) div 4 AS BIGINT)), 0L, (a, x) -> a + x)"))
+
+  /** Language-ID by marker-token scoring (n-gram-heuristic shape): counts
+    * of per-language marker words; predicted = argmax with a fixed
+    * tie-break order. */
+  val LangMarkers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "value", "row"),
+    "es" -> Seq("data", "part", "batch"),
+    "zh" -> Seq("window", "merge", "join"))
+
+  def langScores(doc: DataFrame, text: String = "text"): DataFrame = {
+    val withScores = LangMarkers.toSeq.sortBy(_._1).foldLeft(
+      doc.withColumn("toks", tokens(col(text)))) { case (d, (lang, ms)) =>
+      d.withColumn(s"score_$lang",
+        size(filter(col("toks"), t => t.isInCollection(ms))).cast("long"))
+    }
+    withScores.withColumn("predicted",
+      when(col("score_en") >= col("score_es") &&
+           col("score_en") >= col("score_zh"), lit("en"))
+        .when(col("score_es") >= col("score_zh"), lit("es"))
+        .otherwise(lit("zh")))
+  }
+
+  /** Quality scoring: length, word count, stopword ratio, non-alpha ratio,
+    * combined into a fixed-order double formula. */
+  val Stopwords: Seq[String] = Seq("the", "a", "of", "and")
+
+  def quality(doc: DataFrame, text: String = "text"): DataFrame =
+    doc
+      .withColumn("toks", tokens(col(text)))
+      .withColumn("n_words", size(col("toks")).cast("long"))
+      .withColumn("n_chars_nospace",
+        length(regexp_replace(col(text), " ", "")).cast("long"))
+      .withColumn("n_stop",
+        size(filter(col("toks"), t => t.isInCollection(Stopwords)))
+          .cast("long"))
+      .withColumn("stop_ratio",
+        col("n_stop").cast("double") / col("n_words").cast("double"))
+      .withColumn("avg_word_len",
+        col("n_chars_nospace").cast("double") / col("n_words").cast("double"))
+      .withColumn("quality_score",
+        least(col("n_words").cast("double") / lit(100.0), lit(1.0)) *
+          lit(0.5) + col("stop_ratio") * lit(0.5))
+
+  /**
+   * Document fingerprints: (a) content fingerprint = first 16 hex of
+   * md5(lower(text)); (b) an order-sensitive positional rolling hash —
+   * sum over positions of tokenHash * position, mod 2^31-1 — exact int64
+   * arithmetic, so it is partition-order independent and portable.
+   */
+  def fingerprints(doc: DataFrame, id: String = "doc_id",
+      text: String = "text"): DataFrame = {
+    val tokenRows = doc
+      .select(col(id), posexplode(tokens(col(text))).as(Seq("pos", "tok")))
+      .select(col(id), (col("pos") + 1).cast("long").as("pos"),
+        Hashing.portableHash32(col("tok")).as("h"))
+    val rolling = tokenRows
+      .groupBy(col(id))
+      .agg((sum(col("h") * col("pos")) % Hashing.Mersenne31)
+        .as("rolling_fp"))
+    doc.select(col(id),
+        substring(md5(lower(col(text))), 1, 16).as("content_fp"))
+      .join(rolling, Seq(id))
+  }
+}
+
+/**
+ * Portable hashing — identical values computable in Spark and in any
+ * engine with md5 + integer arithmetic (the DuckDB oracle, a validation
+ * notebook...). 32-bit value from the first 8 hex chars of md5, reduced
+ * mod 2^31-1 so universal-hash products a*h stay inside int64.
+ */
+object Hashing {
+  val Mersenne31: Long = 2147483647L // 2^31 - 1, prime
+
+  def portableHash32(c: Column): Column =
+    conv(substring(md5(c), 1, 8), 16, 10).cast("long") % Mersenne31
+
+  /** DuckDB twin of [[portableHash32]] for oracle SQL. */
+  def portableHash32Sql(e: String): String =
+    s"(CAST('0x' || substr(md5($e), 1, 8) AS BIGINT) % 2147483647)"
+
+  /** j-th universal hash over a base hash h (h < 2^31): (a_j*h + b_j) mod p.
+    * Constants are fixed and inlined into both engines' expressions. */
+  def seedA(j: Int): Long = ((j + 1) * 2654435761L) % (Mersenne31 - 1) + 1
+  def seedB(j: Int): Long = ((j + 7) * 40503L * 65537L) % Mersenne31
+}

@@ -1,0 +1,101 @@
+package graft.stream
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery, Trigger}
+
+import graft.agg.Windows
+import graft.ingest.Tables
+
+/**
+ * Structured Streaming pipeline (SURVEY.md §2.6/§2.7, M5) — the live path
+ * of the reference (TweetGate/Program.SaveAggregates.cs:61-107): tweet
+ * JSON lines → parse/project → event-time windows → per-entity aggregates
+ * → ranked top-N per window → partitioned store.
+ *
+ * Mapping of the reference's Trill policies (Query.cs:27-31):
+ *  - DisorderPolicy.Adjust(5 s)  → withWatermark(ts, 5 s). Semantic delta
+ *    (SURVEY.md §7.3): Trill *adjusts* late timestamps into bounds, Spark
+ *    *drops* rows later than the watermark — documented, not hidden.
+ *  - FlushOnPunctuation / 1 s    → micro-batch trigger.
+ *  - Egress CoalesceEndEdges     → append mode emits one row per window
+ *    at watermark expiry; window.end is the WindowTime.
+ *
+ * Two-level stateful shape (OP-23 then OP-28): ranking after a windowed
+ * aggregation is not allowed inside one streaming query, so the top-N
+ * ranking runs inside foreachBatch — architecturally identical to the
+ * reference, which also ranks before the sink boundary
+ * (Query.cs:152-168 feeding RocksDBStore.PersistObservableAsync).
+ */
+object StreamingPipeline {
+
+  val Watermark = "5 seconds"
+
+  /** File-replay streaming source of tweet JSON lines (OP-02). */
+  def tweetStream(spark: SparkSession, dir: String): DataFrame =
+    Tables.projectTweets(
+      Tables.tweetsFromJsonLines(spark.readStream.text(dir)))
+
+  /** Per-hashtag hopping-window aggregate stream (OP-21/23/24). */
+  def hashtagAggStream(tweets: DataFrame): DataFrame =
+    tweets
+      .withWatermark("ts", Watermark)
+      .filter(size(col("hashtags")) > 0)           // OP-11
+      .select(col("ts"), explode(col("hashtags")).as("entity"), // OP-16
+        col("followerCount"))
+      .groupBy(window(col("ts"), Windows.WindowSize, Windows.HopSize),
+        col("entity"))
+      .agg(count("*").as("tweet_count"),
+        sum(col("followerCount")).as("follower_sum"))
+      .select(col("window.end").cast("long").as("window_end"),
+        col("entity"), col("tweet_count"), col("follower_sum"))
+
+  /** Hopping tweet-count stream (OP-22, the `counts` CF). */
+  def countStream(tweets: DataFrame): DataFrame =
+    tweets
+      .withWatermark("ts", Watermark)
+      .groupBy(window(col("ts"), Windows.WindowSize, Windows.HopSize))
+      .agg(count("*").as("cnt"))
+      .select(col("window.end").cast("long").as("window_end"), col("cnt"))
+
+  /**
+   * Sink (OP-32): rank top-N inside each micro-batch, then append to a
+   * parquet store partitioned by window_end date — the analog of the
+   * reference's per-window RocksDB keys: serving range scans prune
+   * partitions instead of seeking an LSM iterator.
+   */
+  def rankedSink(agg: DataFrame, storePath: String,
+      n: Int = Windows.TopN): DataStreamWriter[org.apache.spark.sql.Row] =
+    agg.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        AggregateStore.writeRanked(batch, storePath, n)
+      }
+
+  /** End-to-end assembly: source dir → ranked parquet store. */
+  def run(spark: SparkSession, inputDir: String, storePath: String,
+      checkpoint: String): StreamingQuery =
+    rankedSink(hashtagAggStream(tweetStream(spark, inputDir)), storePath)
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.ProcessingTime("1 second"))
+      .start()
+}
+
+/**
+ * The stored relation (reference §1.6: RocksDB CFs keyed by D19 ticks).
+ * Parquet partitioned by `window_date` — lexicographic partition order ==
+ * time order, so OP-37/41 range and recent scans become partition pruning,
+ * and min/max row-group stats prune within a day.
+ */
+object AggregateStore {
+
+  def writeRanked(batch: DataFrame, path: String, n: Int): Unit = {
+    val ranked = Windows.rankTopEntities(batch, n)
+      .withColumn("window_date",
+        to_date(timestamp_seconds(col("window_end"))))
+    ranked.write.mode("append").partitionBy("window_date").parquet(path)
+  }
+
+  def read(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+}

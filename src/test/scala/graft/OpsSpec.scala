@@ -1,0 +1,111 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ingest.Tables
+import graft.ops.{Dedup, MediaAsset, Multimodal, Similarity}
+import graft.serve.Serve
+
+/** Unit coverage for serving, dedup, similarity and multimodal plumbing. */
+class OpsSpec extends TestBase {
+
+  private lazy val counts =
+    graft.agg.Windows.tumblingCounts(Tables.events(spark, sf("sf0.001")))
+
+  test("serve: range scan bounds are [start, end) (OP-37)") {
+    import spark.implicits._
+    val all = counts.select("window_end").as[Long].collect().sorted
+    val (s, e) = (all(1), all(all.length - 2))
+    val got = Serve.rangeScan(counts, s, e)
+      .select("window_end").as[Long].collect()
+    assert(got.head == s && got.last < e && got.sameElements(got.sorted))
+  }
+
+  test("serve: recent-N returns newest N (OP-41)") {
+    import spark.implicits._
+    val all = counts.select("window_end").as[Long].collect().sorted
+    val got = Serve.recent(counts, 5).select("window_end").as[Long].collect()
+    assert(got.toSeq == all.takeRight(5).reverse.toSeq)
+  }
+
+  test("serve: summary totals match direct aggregation (OP-36)") {
+    import spark.implicits._
+    val row = Serve.summary(counts).collect()(0)
+    val n = counts.count()
+    val total = counts.agg(sum("cnt")).as[Long].collect()(0)
+    assert(row.getAs[Long]("window_count") == n)
+    assert(row.getAs[Long]("total_tweets") == total)
+    assert(row.getAs[Long]("duration_seconds") ==
+      row.getAs[Long]("max_window_end") - row.getAs[Long]("min_window_end"))
+  }
+
+  test("dedup: exact finds planted duplicates") {
+    import spark.implicits._
+    val docs = Seq((1L, "same text"), (2L, "same text"), (3L, "other"))
+      .toDF("doc_id", "text")
+    val got = Dedup.exact(docs).orderBy("keeper_id")
+      .select("keeper_id", "dup_count").as[(Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 2L), (3L, 1L)))
+  }
+
+  test("dedup: minhash est_jaccard high for near-identical docs") {
+    import spark.implicits._
+    val base = (1 to 40).map(i => s"w$i").mkString(" ")
+    val nearDup = (1 to 40).map(i => if (i == 20) "X" else s"w$i")
+      .mkString(" ")
+    val docs = Seq((1L, base), (2L, nearDup), (3L, "totally different words here now"))
+      .toDF("doc_id", "text")
+    val got = Dedup.minhashLsh(docs)
+      .select("id_a", "id_b", "est_jaccard")
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(got.exists { case (a, b, j) => a == 1L && b == 2L && j > 0.5 })
+    assert(!got.exists { case (a, b, _) => b == 3L || a == 3L })
+  }
+
+  test("dedup: simhash hamming 0 for identical docs") {
+    import spark.implicits._
+    val docs = Seq((1L, "alpha beta gamma delta"),
+      (2L, "alpha beta gamma delta"),
+      (3L, "unrelated content entirely different")).toDF("doc_id", "text")
+    val got = Dedup.simhashPairs(docs)
+      .select("id_a", "id_b", "hamming").as[(Long, Long, Long)]
+      .collect().toSeq
+    assert(got.contains((1L, 2L, 0L)))
+  }
+
+  test("similarity: self-similarity rank-1 when query kept in corpus") {
+    import spark.implicits._
+    val vecs = Seq(
+      (1L, Array(1f, 0f, 0f)), (2L, Array(0.99f, 0.1f, 0f)),
+      (3L, Array(0f, 1f, 0f)), (4L, Array(0f, 0f, 1f)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.bruteTopK(vecs, vecs.filter($"vec_id" === 1), 2)
+      .select("t_id", "rank").as[(Long, Long)].collect().toSeq
+    assert(got == Seq((2L, 1L), (3L, 2L)) || got.head == (2L, 1L))
+  }
+
+  test("multimodal: stub decode is deterministic and batched") {
+    import spark.implicits._
+    implicit val s = spark
+    val assets = Multimodal.assetsFromDocuments(
+      Tables.documents(spark, sf("sf0.001")).limit(10)).as[MediaAsset]
+    val a = Multimodal.decodeImages(assets).collect().sortBy(_.asset_id)
+    val b = Multimodal.decodeImages(assets).collect().sortBy(_.asset_id)
+    assert(a.length == 10)
+    assert(a.zip(b).forall { case (x, y) =>
+      x.width == y.width && x.feature.sameElements(y.feature) })
+  }
+
+  test("multimodal: frame sampling emits ceil(n/stride) frames per asset") {
+    import spark.implicits._
+    val assets = Multimodal.assetsFromDocuments(
+      Tables.documents(spark, sf("sf0.001")).limit(5))
+    val got = Multimodal.sampleFrames(assets, 16, 8)
+      .groupBy("asset_id").agg(count("*").as("frames"))
+    val want = assets
+      .select(col("asset_id"),
+        (expr("(length(bytes) - 1) div 16") + 1).as("want"))
+    assert(got.join(want, "asset_id")
+      .filter(col("frames") =!= col("want")).count() == 0)
+  }
+}

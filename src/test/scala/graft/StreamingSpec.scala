@@ -1,0 +1,98 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.ingest.Tables
+import graft.stream.{AggregateStore, StreamingPipeline}
+
+/**
+ * M5: streaming ↔ batch equivalence on a deterministic tweet-line replay
+ * fixture (FIXTURES.md §A) — the Spark analog of the reference's
+ * replay-file E2E method (Readme.Md:23-30).
+ */
+class StreamingSpec extends TestBase {
+
+  /** Synthetic replay: 3 users × hashtags over ~30 min of event time,
+    * in-order within the 5 s disorder bound, plus rows the validity
+    * filter must drop (no timestamp / not JSON). */
+  private def fixtureLines: Seq[String] = {
+    val base = 1704067200000L // 2024-01-01 00:00:00 UTC
+    val tags = Seq("spark", "scala", "data")
+    val rows = (0 until 300).map { i =>
+      val t = base + i * 6000L // every 6 s
+      val tag = tags(i % 3)
+      val user = s"user${i % 5}"
+      val fc = 10 + (i * 37) % 1000
+      s"""{"id":${2000 + i},"text":"tweet $i #$tag","timestamp_ms":"$t","lang":"en","extended_tweet":null,"entities":{"hashtags":[{"text":"$tag"}],"user_mentions":[{"screen_name":"m${i % 4}"}]},"user":{"followers_count":$fc,"screen_name":"$user"},"retweeted_status":${
+        if (i % 10 == 0) s"""{"id":${1000 + i},"extended_tweet":{"full_text":"original $i"}}"""
+        else "null"
+      }}"""
+    }
+    rows ++ Seq(
+      """{"id":9999,"text":"dropped: no timestamp","entities":{"hashtags":[],"user_mentions":[]},"user":{"followers_count":1,"screen_name":"x"}}""",
+      "not json at all")
+  }
+
+  test("streaming hashtag aggregate == batch equivalent on replay fixture") {
+    val dir = Files.createTempDirectory("graft-replay").toFile
+    val store = Files.createTempDirectory("graft-store").toString
+    val ckpt = Files.createTempDirectory("graft-ckpt").toString
+    Files.write(new java.io.File(dir, "part-0.jsonl").toPath,
+      fixtureLines.mkString("\n").getBytes)
+
+    val q = StreamingPipeline.run(spark, dir.toString, store, ckpt)
+    q.processAllAvailable()
+    q.stop()
+
+    val streamed = AggregateStore.read(spark, store)
+      .select("window_end", "entity", "tweet_count", "follower_sum", "rank")
+
+    val batchTweets = graft.ingest.Tables.projectTweets(
+      Tables.tweetsFromFile(spark, dir.toString + "/part-0.jsonl"))
+    val batchAgg = batchTweets
+      .filter(size(col("hashtags")) > 0)
+      .select(col("ts"), explode(col("hashtags")).as("entity"),
+        col("followerCount"))
+      .groupBy(window(col("ts"), "10 minutes", "1 minute"), col("entity"))
+      .agg(count("*").as("tweet_count"),
+        sum("followerCount").as("follower_sum"))
+      .select(col("window.end").cast("long").as("window_end"),
+        col("entity"), col("tweet_count"), col("follower_sum"))
+    val batchRanked = graft.agg.Windows.rankTopEntities(batchAgg)
+      .select("window_end", "entity", "tweet_count", "follower_sum", "rank")
+
+    // Streaming append-mode only emits windows whose watermark has
+    // expired; compare on the windows the stream emitted.
+    val emitted = streamed.select("window_end").distinct()
+    val batchOnEmitted = batchRanked.join(emitted, "window_end")
+    assert(streamed.count() > 0, "stream emitted nothing")
+    assert(streamed.exceptAll(batchOnEmitted).count() == 0 &&
+      batchOnEmitted.exceptAll(streamed).count() == 0,
+      "streaming and batch results differ on emitted windows")
+  }
+
+  test("validity filter drops bad lines (OP-04/14)") {
+    val dir = Files.createTempDirectory("graft-replay2").toFile
+    Files.write(new java.io.File(dir, "part-0.jsonl").toPath,
+      fixtureLines.mkString("\n").getBytes)
+    val parsed = Tables.tweetsFromFile(spark, dir.toString + "/part-0.jsonl")
+    assert(parsed.count() == 300) // 302 lines, 2 dropped
+  }
+
+  test("text coalesce prefers extended and retweeted text (OP-05)") {
+    val lines = Seq(
+      """{"id":1,"text":"short","timestamp_ms":"1704067200000","extended_tweet":{"full_text":"long form"},"entities":{"hashtags":[],"user_mentions":[]},"user":{"followers_count":1,"screen_name":"a"},"retweeted_status":null}""",
+      """{"id":2,"text":"rt short","timestamp_ms":"1704067201000","extended_tweet":null,"entities":{"hashtags":[],"user_mentions":[]},"user":{"followers_count":1,"screen_name":"b"},"retweeted_status":{"id":1,"extended_tweet":{"full_text":"rt long"}}}""",
+      """{"id":3,"text":"plain","timestamp_ms":"1704067202000","extended_tweet":null,"entities":{"hashtags":[],"user_mentions":[]},"user":{"followers_count":1,"screen_name":"c"},"retweeted_status":null}""")
+    import spark.implicits._
+    val df = Tables.projectTweets(
+      Tables.tweetsFromJsonLines(lines.toDF("value")))
+    val texts = df.orderBy("id").select("text").as[String].collect().toSeq
+    assert(texts == Seq("long form", "rt long", "plain"))
+    val orig = df.orderBy("id").select("originalTweetId")
+      .as[Long].collect().toSeq
+    assert(orig == Seq(-1L, 1L, -1L))
+  }
+}

@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+
+import graft.agg.{TopK, TopKIds, TopKItem}
+import graft.ingest.Tables
+
+/** OP-26 laws (SURVEY.md §5d): merge associativity/commutativity, bound,
+  * ordering — plus parity with the built-in composite on real data. */
+class TopKSpec extends TestBase {
+
+  private def checkProp(p: Prop): Unit = {
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(300), p)
+    assert(res.passed, res.status.toString)
+  }
+
+  private val itemGen = for {
+    w <- Gen.chooseNum(-100.0, 100.0)
+    id <- Gen.chooseNum(0L, 50L)
+  } yield TopKItem(w, id)
+  private val itemsGen = Gen.listOf(itemGen)
+
+  private def ref(k: Int, xs: Seq[TopKItem]): Seq[Long] =
+    xs.sortBy(t => (-t.weight, t.id)).take(k).map(_.id)
+
+  test("reduce-only result equals reference sort-take") {
+    val agg = new TopKIds(5)
+    checkProp(Prop.forAll(itemsGen) { xs =>
+      xs.foldLeft(agg.zero)(agg.reduce) ==
+        xs.sortBy(t => (-t.weight, t.id)).take(5)
+    })
+  }
+
+  test("merge of split parts equals whole; associative & commutative") {
+    val agg = new TopKIds(4)
+    checkProp(Prop.forAll(itemsGen, Gen.chooseNum(0, 100)) { (xs, cut) =>
+      val (l, r) = xs.splitAt(cut % (xs.size + 1))
+      val whole = xs.foldLeft(agg.zero)(agg.reduce)
+      val lb = l.foldLeft(agg.zero)(agg.reduce)
+      val rb = r.foldLeft(agg.zero)(agg.reduce)
+      agg.merge(lb, rb) == whole && agg.merge(rb, lb) == whole
+    })
+  }
+
+  test("buffer never exceeds k") {
+    val agg = new TopKIds(3)
+    checkProp(Prop.forAll(itemsGen) { xs =>
+      xs.foldLeft(agg.zero)(agg.reduce).size <= 3
+    })
+  }
+
+  test("finish preserves weight-desc id-asc order") {
+    val agg = new TopKIds(6)
+    checkProp(Prop.forAll(itemsGen) { xs =>
+      agg.finish(xs.foldLeft(agg.zero)(agg.reduce)) == ref(6, xs)
+    })
+  }
+
+  test("udaf parity with built-in sort_array composite on events") {
+    val ev = Tables.events(spark, sf("sf0.001"))
+    val topk = TopK.topKIds(5)
+    val viaAgg = ev.groupBy("event_type")
+      .agg(topk(col("value"), col("event_id")).as("ids"))
+    val viaBuiltin = ev.groupBy("event_type")
+      .agg(slice(sort_array(collect_list(
+        struct(col("value"), (-col("event_id")).as("nid"))), asc = false),
+        1, 5).as("s"))
+      .select(col("event_type"),
+        transform(col("s"), x => -x.getField("nid")).as("ids"))
+    val diff = viaAgg.join(viaBuiltin, "event_type")
+      .filter(viaAgg("ids") =!= viaBuiltin("ids"))
+    assert(diff.count() == 0)
+  }
+}
