@@ -89,6 +89,38 @@ object SparkEntry {
           when(col("k") > 50, col("k")).otherwise(lit(-1L)).as("k_or_sentinel"))
         .orderBy("event_id")),
 
+    // OP-05: text coalesce (GetText, Query.cs:171-184) — three-way
+    // coalesce over nullable alternatives via nullif.
+    "op05_text_coalesce" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          coalesce(nullif(col("source"), lit("src0")),
+            nullif(col("lang"), lit("en")), lit("fallback")).as("chosen"))
+        .orderBy("doc_id")),
+
+    // OP-09: JSON serialize (sink format) + parse back (REPL read path).
+    "op09_json_roundtrip" -> ((s, dir) =>
+      events(s, dir)
+        .select(col("event_id"),
+          to_json(struct(col("event_id"), col("event_type"))).as("payload"))
+        .withColumn("event_type_rt",
+          from_json(col("payload"),
+            StructType(Seq(StructField("event_id", LongType),
+              StructField("event_type", StringType))))
+            .getField("event_type"))
+        .orderBy("event_id")),
+
+    // OP-30: byte-rate monitor analog — 5-min tumbling Sum of a volume
+    // column (TwitterStream.cs:50-64 logs KB per 5-min window).
+    "op30_byte_rate" -> ((s, dir) =>
+      events(s, dir)
+        .groupBy(window(col("ts"), "5 minutes"))
+        .agg(sum(col("value").cast("decimal(18,6)")).cast("double")
+          .as("bytes"))
+        .select(col("window.end").cast("long").as("window_end"),
+          col("bytes"))
+        .orderBy("window_end")),
+
     // OP-07/08: event-time extraction to epoch + D19 key format/parse
     // round-trip (RocksDBStore.cs:207-210 key codec).
     "op08_key_codec" -> ((s, dir) =>
@@ -220,6 +252,24 @@ object SparkEntry {
         |            THEN CAST(json_extract_string(props, '$.k') AS BIGINT)
         |            ELSE -1 END AS k_or_sentinel
         |FROM events ORDER BY event_id""".stripMargin,
+
+    "op05_text_coalesce" ->
+      """SELECT doc_id,
+        |       coalesce(nullif(source, 'src0'), nullif(lang, 'en'),
+        |                'fallback') AS chosen
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "op09_json_roundtrip" ->
+      """SELECT event_id,
+        |  to_json(struct_pack(event_id := event_id,
+        |                      event_type := event_type)) AS payload,
+        |  event_type AS event_type_rt
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "op30_byte_rate" ->
+      s"""SELECT (($EsSql) // 300) * 300 + 300 AS window_end,
+         |       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS bytes
+         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "op08_key_codec" ->
       s"""SELECT event_id,

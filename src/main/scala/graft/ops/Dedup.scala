@@ -46,7 +46,10 @@ object Dedup {
    */
   def ngramJaccard(doc: DataFrame, id: String = "doc_id",
       text: String = "text", threshold: Double = 0.1): DataFrame = {
-    val sh = shingleHashes(doc, id, text)
+    // The shingle relation feeds three consumers (sizes + both join sides):
+    // persist instead of recomputing — the reference's Multicast sharing
+    // (Query.cs:42,55) expressed as explicit reuse.
+    val sh = shingleHashes(doc, id, text).persist()
     val sizes = sh.groupBy(col(id)).agg(count("*").as("n_sh"))
     val a = sh.select(col(id).as("id_a"), col("h"))
     val b = sh.select(col(id).as("id_b"), col("h"))
@@ -87,7 +90,9 @@ object Dedup {
    */
   def minhashLsh(doc: DataFrame, id: String = "doc_id",
       text: String = "text"): DataFrame = {
-    val sig = minhashSignatures(doc, id, text)
+    // One signature row per doc, consumed three times (band explode + both
+    // sides of the verify join) — persist the small relation.
+    val sig = minhashSignatures(doc, id, text).persist()
     val bands = explode(array((0 until NumHashes / BandRows).map { b =>
       struct(lit(b).as("band_id"),
         concat_ws("-", (0 until BandRows).map(r =>
@@ -121,21 +126,23 @@ object Dedup {
     val th = doc
       .select(col(id), explode(TextOps.tokens(col(text))).as("tok"))
       .select(col(id), Hashing.portableHash32(col("tok")).as("h"))
-    val votes = th
-      .select(col(id), col("h"), explode(sequence(lit(0), lit(31))).as("i"))
-      .groupBy(col(id), col("i"))
-      .agg(sum(expr(
-        "CAST(2 * (shiftright(h, CAST(i AS INT)) & 1) - 1 AS BIGINT)"))
-        .as("vote"))
-    votes.groupBy(col(id))
-      .agg(sum(when(col("vote") > 0,
-        expr("shiftleft(CAST(1 AS BIGINT), CAST(i AS INT))")).otherwise(0L))
-        .as("simhash"))
+    // All 32 per-bit ±1 vote sums as columns of ONE hash-aggregate pass
+    // (multi-aggregate fusion) — no ×32 row explode, no second shuffle;
+    // partial aggregation ships one 32-column row per doc per partition.
+    val votes = (0 until 32).map(i =>
+      sum(expr(s"CAST(2 * (shiftright(h, $i) & 1) - 1 AS BIGINT)"))
+        .as(s"v$i"))
+    val bits = (0 until 32).map(i =>
+      when(col(s"v$i") > 0, lit(1L << i)).otherwise(lit(0L)))
+    th.groupBy(col(id))
+      .agg(votes.head, votes.tail: _*)
+      .select(col(id), bits.reduce(_ + _).as("simhash"))
   }
 
   def simhashPairs(doc: DataFrame, id: String = "doc_id",
       text: String = "text", maxHamming: Int = 3): DataFrame = {
-    val sh = simhash(doc, id, text)
+    // One row per doc, consumed by both sides of the chunk self-join.
+    val sh = simhash(doc, id, text).persist()
     val chunks = sh.select(col(id), col("simhash"),
         explode(sequence(lit(0), lit(3))).as("chunk_id"))
       .withColumn("chunk",
