@@ -1,0 +1,90 @@
+package graft
+
+import java.time.{Instant, LocalDateTime, ZoneOffset}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.serve.Serve
+import graft.stream.AggregateStore
+
+/**
+ * Query REPL (entry point #2 of the reference,
+ * TweetGate/Program.Repl.cs:15-125): the 8 read commands over the
+ * aggregate store written by [[graft.stream.StreamingPipeline.runUnified]].
+ *
+ * Usage: runMain graft.Repl <storeRoot>
+ * Commands (same surface as the reference; times are
+ * `yyyy-MM-ddTHH:mm:ss` or epoch seconds):
+ *   getsummary
+ *   getcounts <start> <end>
+ *   gettopmentionsstring <start> <end> [screenName]
+ *   gettophashtagsstring <start> <end> [hashTag]
+ *   gettopretweetsstring <start> <end>
+ *   getrecenttopmentionsstring <N> | getrecenttophashtagsstring <N> |
+ *   getrecenttopretweetsstring <N> | getrecentcounts <N>
+ *   exit
+ *
+ * OP-38/39 note: entity restriction really filters (the documented intent;
+ * the reference's implementation forgot to — SURVEY.md §2.8 quirk #1).
+ */
+object Repl {
+
+  private def parseTime(s: String): Long =
+    if (s.forall(_.isDigit)) s.toLong
+    else LocalDateTime.parse(s).toInstant(ZoneOffset.UTC).getEpochSecond
+
+  def dispatch(spark: SparkSession, storeRoot: String,
+      line: String): Option[DataFrame] = {
+    def store(kind: String) = AggregateStore.read(spark, s"$storeRoot/$kind")
+    val parts = line.trim.split("\\s+").toList
+    parts match {
+      case "getsummary" :: Nil =>
+        Some(Serve.summary(store("counts")))
+      case "getcounts" :: s :: e :: Nil =>
+        Some(Serve.rangeScan(store("counts"), parseTime(s), parseTime(e)))
+      case "gettopmentionsstring" :: s :: e :: rest if rest.size <= 1 =>
+        Some(Serve.rangeScanEntity(store("mentions"), parseTime(s),
+          parseTime(e), rest.headOption))
+      case "gettophashtagsstring" :: s :: e :: rest if rest.size <= 1 =>
+        Some(Serve.rangeScanEntity(store("hashtags"), parseTime(s),
+          parseTime(e), rest.headOption))
+      case "gettopretweetsstring" :: s :: e :: Nil =>
+        Some(Serve.rangeScan(store("retweets"), parseTime(s), parseTime(e)))
+      case "getrecenttopmentionsstring" :: n :: Nil =>
+        Some(Serve.recent(store("mentions"), n.toInt))
+      case "getrecenttophashtagsstring" :: n :: Nil =>
+        Some(Serve.recent(store("hashtags"), n.toInt))
+      case "getrecenttopretweetsstring" :: n :: Nil =>
+        Some(Serve.recent(store("retweets"), n.toInt))
+      case "getrecentcounts" :: n :: Nil =>
+        Some(Serve.recent(store("counts"), n.toInt))
+      case _ => None
+    }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val storeRoot = args.headOption.getOrElse(
+      sys.error("usage: Repl <storeRoot>"))
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[8]"))
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    println("graft repl — commands: getsummary | getcounts s e | " +
+      "gettop{mentions,hashtags,retweets}string s e [entity] | " +
+      "getrecent<kind> N | exit")
+    Iterator.continually(scala.io.StdIn.readLine("> "))
+      .takeWhile(l => l != null && l.trim != "exit")
+      .foreach { line =>
+        if (line.trim.nonEmpty) dispatch(spark, storeRoot, line) match {
+          case Some(df) =>
+            try df.show(100, truncate = false)
+            catch { case e: Exception => println(s"error: ${e.getMessage}") }
+          case None => println(s"unknown command: $line")
+        }
+      }
+    spark.stop()
+  }
+}

@@ -34,12 +34,25 @@ object Windows {
       .select(windowEnd.as("window_end"), col("cnt"))
 
   /** OP-21/22: count per 10-min/1-min hopping window (Query.cs:142-146).
-    * Spark assigns each row to its 10 overlapping windows — the same
-    * multi-assignment cost model Trill uses for hopping lifetimes. */
-  def hoppingCounts(events: DataFrame, ts: String = "ts"): DataFrame =
-    events.groupBy(window(col(ts), WindowSize, HopSize))
-      .agg(count("*").as("cnt"))
-      .select(windowEnd.as("window_end"), col("cnt"))
+    *
+    * Implemented as slice rollup, not naive ×10 multi-assignment: events
+    * pre-aggregate into 1-min tumbling slices (shuffle sees each event
+    * once), then each slice row fans out to the 10 hop windows it feeds
+    * and a second, tiny aggregation sums slices per window. At 100 TB the
+    * naive form (`window(ts, 10 min, 1 min)` directly) makes map-side
+    * aggregation state and pre-combine rows 10× larger; slice rollup
+    * moves the ×10 fan-out to |slices| rows instead of |events|. */
+  def hoppingCounts(events: DataFrame, ts: String = "ts"): DataFrame = {
+    val slices = events.groupBy(window(col(ts), HopSize))
+      .agg(count("*").as("c"))
+      .select(col("window.start").cast("long").as("slice_start"), col("c"))
+    slices
+      .select(col("slice_start"), col("c"),
+        explode(sequence(lit(1), lit(10))).as("k"))
+      .select(col("c"), (col("slice_start") + col("k") * 60).as("window_end"))
+      .groupBy("window_end")
+      .agg(sum(col("c")).as("cnt"))
+  }
 
   /**
    * OP-23/24/25: per-entity multi-aggregate over hopping windows
@@ -55,13 +68,41 @@ object Windows {
       weight: Column,
       ts: String = "ts",
       extra: Seq[Column] = Nil): DataFrame =
-    events.groupBy(window(col(ts), WindowSize, HopSize), entity.as("entity"))
-      .agg(
-        count("*").as("tweet_count"),
-        (sum(weight.cast("decimal(18,6)")).cast("double")
-          .as("follower_sum") +: extra): _*)
-      .withColumn("window_end", windowEnd)
-      .drop("window")
+    if (extra.isEmpty) entityWindowAggSliced(events, entity, weight, ts)
+    else
+      events.groupBy(window(col(ts), WindowSize, HopSize), entity.as("entity"))
+        .agg(
+          count("*").as("tweet_count"),
+          (sum(weight.cast("decimal(18,6)")).cast("double")
+            .as("follower_sum") +: extra): _*)
+        .withColumn("window_end", windowEnd)
+        .drop("window")
+
+  /** Slice-rollup form of the per-entity hopping aggregate (see
+    * [[hoppingCounts]]): 1-min tumbling pre-aggregate per entity, then the
+    * ×10 hop fan-out runs over |slices × entities| pre-combined rows
+    * instead of |events|. Count/sum compose across slices exactly
+    * (decimal partials), so results are identical to the direct form. */
+  def entityWindowAggSliced(
+      events: DataFrame,
+      entity: Column,
+      weight: Column,
+      ts: String = "ts"): DataFrame = {
+    val slices = events
+      .groupBy(window(col(ts), HopSize), entity.as("entity"))
+      .agg(count("*").as("c"),
+        sum(weight.cast("decimal(18,6)")).as("s"))
+      .select(col("window.start").cast("long").as("slice_start"),
+        col("entity"), col("c"), col("s"))
+    slices
+      .select(col("slice_start"), col("entity"), col("c"), col("s"),
+        explode(sequence(lit(1), lit(10))).as("k"))
+      .select(col("entity"), col("c"), col("s"),
+        (col("slice_start") + col("k") * 60).as("window_end"))
+      .groupBy("window_end", "entity")
+      .agg(sum(col("c")).as("tweet_count"),
+        sum(col("s")).cast("double").as("follower_sum"))
+  }
 
   /**
    * OP-28 (`GetTopItems`, Query.cs:152-168): every hop, the top-N entities

@@ -50,6 +50,75 @@ object StreamingPipeline {
       .select(col("window.end").cast("long").as("window_end"),
         col("entity"), col("tweet_count"), col("follower_sum"))
 
+  /**
+   * The full pipeline of the reference in ONE stateful aggregation
+   * (OP-17/18's Multicast + the 4 subscriptions of
+   * RocksDBStore.PersistObservableAsync, RocksDBStore.cs:70-135): the
+   * projected tweet stream fans out to kind-tagged rows — per-hashtag,
+   * per-mention, per-retweet, global count — unioned before ONE
+   * groupBy(window, kind, entity). One state store and one shuffle carry
+   * all four aggregate families; foreachBatch splits by kind into the four
+   * store paths (the 4 column families). `max(text)` is the retweet
+   * aggregate's representative text (Query.cs:127); it rides along as null
+   * for the other kinds.
+   */
+  def unifiedAggStream(tweets: DataFrame): DataFrame = {
+    val t = tweets.withWatermark("ts", Watermark)
+    val hashtags = t.filter(size(col("hashtags")) > 0)
+      .select(col("ts"), lit("hashtags").as("kind"),
+        explode(col("hashtags")).as("entity"), col("followerCount"),
+        col("text"))
+    val mentions = t.filter(size(col("mentions")) > 0)
+      .select(col("ts"), lit("mentions").as("kind"),
+        explode(col("mentions")).as("entity"), col("followerCount"),
+        col("text"))
+    val retweets = t.filter(col("originalTweetId") =!= -1L)
+      .select(col("ts"), lit("retweets").as("kind"),
+        col("originalTweetId").cast("string").as("entity"),
+        col("followerCount"), col("text"))
+    val counts = t.select(col("ts"), lit("counts").as("kind"),
+      lit("_all").as("entity"), col("followerCount"), col("text"))
+    hashtags.unionByName(mentions).unionByName(retweets).unionByName(counts)
+      .groupBy(window(col("ts"), Windows.WindowSize, Windows.HopSize),
+        col("kind"), col("entity"))
+      .agg(count("*").as("tweet_count"),
+        sum(col("followerCount")).as("follower_sum"),
+        max(col("text")).as("max_text"))
+      .select(col("window.end").cast("long").as("window_end"), col("kind"),
+        col("entity"), col("tweet_count"), col("follower_sum"),
+        col("max_text"))
+  }
+
+  /** Sink for [[unifiedAggStream]]: per micro-batch, rank each entity kind
+    * within its windows and append to `storeRoot/<kind>/`. */
+  def unifiedSink(agg: DataFrame, storeRoot: String,
+      n: Int = Windows.TopN): DataStreamWriter[org.apache.spark.sql.Row] =
+    agg.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val b = batch.persist()
+        try {
+          Seq("hashtags", "mentions", "retweets").foreach { kind =>
+            AggregateStore.writeRanked(
+              b.filter(col("kind") === kind).drop("kind"),
+              s"$storeRoot/$kind", n)
+          }
+          b.filter(col("kind") === "counts")
+            .select(col("window_end"), col("tweet_count").as("cnt"))
+            .withColumn("window_date",
+              to_date(timestamp_seconds(col("window_end"))))
+            .write.mode("append").partitionBy("window_date")
+            .parquet(s"$storeRoot/counts")
+        } finally b.unpersist()
+      }
+
+  def runUnified(spark: SparkSession, inputDir: String, storeRoot: String,
+      checkpoint: String): StreamingQuery =
+    unifiedSink(unifiedAggStream(tweetStream(spark, inputDir)), storeRoot)
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.ProcessingTime("1 second"))
+      .start()
+
   /** Hopping tweet-count stream (OP-22, the `counts` CF). */
   def countStream(tweets: DataFrame): DataFrame =
     tweets

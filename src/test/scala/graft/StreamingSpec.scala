@@ -73,6 +73,48 @@ class StreamingSpec extends TestBase {
       "streaming and batch results differ on emitted windows")
   }
 
+  test("unified 4-family pipeline + repl serving (OP-17/23/24/25/32/36-41)") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-replay3").toFile
+    val store = Files.createTempDirectory("graft-ustore").toString
+    val ckpt = Files.createTempDirectory("graft-uckpt").toString
+    Files.write(new java.io.File(dir, "part-0.jsonl").toPath,
+      fixtureLines.mkString("\n").getBytes)
+
+    val q = StreamingPipeline.runUnified(spark, dir.toString, store, ckpt)
+    q.processAllAvailable()
+    q.stop()
+
+    // all four families materialized
+    for (kind <- Seq("hashtags", "mentions", "retweets", "counts"))
+      assert(AggregateStore.read(spark, s"$store/$kind").count() > 0, kind)
+
+    // counts family matches the batch hopping count on emitted windows
+    val counts = AggregateStore.read(spark, s"$store/counts")
+    val batch = graft.agg.Windows.hoppingCounts(
+      graft.ingest.Tables.projectTweets(
+        Tables.tweetsFromFile(spark, dir.toString + "/part-0.jsonl")))
+    val joined = counts.select("window_end", "cnt")
+      .join(batch.withColumnRenamed("cnt", "batch_cnt"), "window_end")
+    assert(joined.filter(col("cnt") =!= col("batch_cnt")).count() == 0)
+
+    // repl dispatch over the store
+    val summary = Repl.dispatch(spark, store, "getsummary").get.collect()(0)
+    assert(summary.getAs[Long]("window_count") > 0)
+    val recent = Repl.dispatch(spark, store,
+      "getrecenttophashtagsstring 5").get
+    assert(recent.count() > 0 && recent.count() <= 5)
+    val we = counts.select("window_end").as[Long].collect().sorted
+    val ranged = Repl.dispatch(spark, store,
+      s"getcounts ${we.head} ${we.last + 1}").get
+    assert(ranged.count() == counts.count())
+    val restricted = Repl.dispatch(spark, store,
+      s"gettophashtagsstring ${we.head} ${we.last + 1} spark").get
+    assert(restricted.select("entity").distinct().as[String]
+      .collect().toSeq == Seq("spark"))
+    assert(Repl.dispatch(spark, store, "bogus 1 2").isEmpty)
+  }
+
   test("validity filter drops bad lines (OP-04/14)") {
     val dir = Files.createTempDirectory("graft-replay2").toFile
     Files.write(new java.io.File(dir, "part-0.jsonl").toPath,
