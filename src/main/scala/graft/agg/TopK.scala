@@ -60,10 +60,66 @@ class TopKIds(k: Int)
     ExpressionEncoder[Seq[Long]]()
 }
 
+/** A ranked entity carried through the second-level top-k (OP-28):
+  * the per-window output payload of `GetTopItems`
+  * (reference TweetGateCore/Query.cs:152-168). */
+case class TopKEntity(weight: Double, entity: String, tweetCount: Long)
+
+/**
+ * OP-26/28 second level: bounded top-k over whole entity rows — same
+ * bounded-buffer/merge strategy as [[TopKIds]], ranked by weight DESC with
+ * entity ASC tie-break. Being an `Aggregator`, it is legal as the second
+ * stateful operator of a chained streaming query, which lets the full
+ * two-level pipeline (per-entity agg → per-window top-k) run incrementally
+ * in ONE streaming query (Spark ≥3.4 multiple-stateful-operator support)
+ * instead of ranking in foreachBatch.
+ */
+class TopKEntities(k: Int)
+    extends Aggregator[TopKEntity, Seq[TopKEntity], Seq[TopKEntity]] {
+  require(k > 0)
+
+  private val ord: Ordering[TopKEntity] =
+    Ordering.by((t: TopKEntity) => (-t.weight, t.entity))
+
+  override def zero: Seq[TopKEntity] = Vector.empty
+
+  override def reduce(b: Seq[TopKEntity], a: TopKEntity): Seq[TopKEntity] =
+    if (b.size < k) insertSorted(b, a)
+    else if (ord.lt(a, b.last)) insertSorted(b.init, a)
+    else b
+
+  private def insertSorted(b: Seq[TopKEntity],
+      a: TopKEntity): Seq[TopKEntity] = {
+    val i = b.indexWhere(x => ord.gt(x, a)) match {
+      case -1 => b.size
+      case n  => n
+    }
+    (b.take(i) :+ a) ++ b.drop(i)
+  }
+
+  override def merge(b1: Seq[TopKEntity],
+      b2: Seq[TopKEntity]): Seq[TopKEntity] =
+    (b1 ++ b2).sorted(ord).take(k)
+
+  override def finish(r: Seq[TopKEntity]): Seq[TopKEntity] = r
+
+  override def bufferEncoder: Encoder[Seq[TopKEntity]] =
+    ExpressionEncoder[Seq[TopKEntity]]()
+  override def outputEncoder: Encoder[Seq[TopKEntity]] =
+    ExpressionEncoder[Seq[TopKEntity]]()
+}
+
 object TopK {
   /** Untyped (DataFrame) form: `topKIds(10)(col("value"), col("id"))`. */
   def topKIds(k: Int): (Column, Column) => Column = {
     val fn = udaf(new TopKIds(k), ExpressionEncoder[TopKItem]())
     (weight, id) => fn(weight, id)
+  }
+
+  /** Untyped form of [[TopKEntities]]:
+    * `topKEntities(10)(col("weight"), col("entity"), col("cnt"))`. */
+  def topKEntities(k: Int): (Column, Column, Column) => Column = {
+    val fn = udaf(new TopKEntities(k), ExpressionEncoder[TopKEntity]())
+    (weight, entity, cnt) => fn(weight, entity, cnt)
   }
 }

@@ -31,10 +31,33 @@ object StreamingPipeline {
 
   val Watermark = "5 seconds"
 
-  /** File-replay streaming source of tweet JSON lines (OP-02). */
+  /** File-replay streaming source of tweet JSON lines (OP-02), with
+    * OP-30's byte-rate telemetry as `observe()` metrics: the reference
+    * logs KB read per 5-min window (TwitterStream.cs:50-64); here every
+    * micro-batch reports rows/chars ingested via
+    * `StreamingQueryProgress.observedMetrics("ingest")`. */
   def tweetStream(spark: SparkSession, dir: String): DataFrame =
     Tables.projectTweets(
       Tables.tweetsFromJsonLines(spark.readStream.text(dir)))
+      .observe("ingest", count(lit(1)).as("rows"),
+        sum(length(col("text"))).as("chars"))
+
+  /**
+   * OP-34 (`sendToEventhub`, Program.SendToEventHub.cs:21-151): forward
+   * the raw stream to a log broker. The reference hand-rolls size/time
+   * buffering, gzip, round-robin partitioning and retries; on Spark those
+   * are Kafka-sink/producer configuration (batch.size, linger.ms,
+   * compression.type, retries). Not executable offline (no broker /
+   * kafka-sql jar in this container) — provided as the configured writer.
+   */
+  def kafkaForwardSink(lines: DataFrame, bootstrapServers: String,
+      topic: String): DataStreamWriter[org.apache.spark.sql.Row] =
+    lines.selectExpr("CAST(null AS STRING) AS key", "value")
+      .writeStream.format("kafka")
+      .option("kafka.bootstrap.servers", bootstrapServers)
+      .option("topic", topic)
+      .option("kafka.compression.type", "gzip")
+      .option("kafka.retries", "10")
 
   /** Per-hashtag hopping-window aggregate stream (OP-21/23/24). */
   def hashtagAggStream(tweets: DataFrame): DataFrame =
@@ -118,6 +141,36 @@ object StreamingPipeline {
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.ProcessingTime("1 second"))
       .start()
+
+  /**
+   * OP-28 as a CHAINED streaming query (Spark ≥3.4 multiple stateful
+   * operators): per-entity hopping aggregate → 1-min tumbling top-k over
+   * entities — the exact two-level shape of the reference's
+   * `GetTopItems` (Query.cs:152-168: re-window the aggregate stream,
+   * TopK(FollowerCountSum, 10)). The second level uses the bounded
+   * [[graft.agg.TopKEntities]] aggregate, so both levels run
+   * incrementally in one query — no foreachBatch ranking, state bounded
+   * at k entities per window. `window_time(window)` keeps event-time
+   * lineage so the watermark propagates through both stateful operators.
+   */
+  def topEntitiesStreamChained(tweets: DataFrame,
+      n: Int = Windows.TopN): DataFrame = {
+    val topk = graft.agg.TopK.topKEntities(n)
+    tweets
+      .withWatermark("ts", Watermark)
+      .filter(size(col("hashtags")) > 0)
+      .select(col("ts"), explode(col("hashtags")).as("entity"),
+        col("followerCount"))
+      .groupBy(window(col("ts"), Windows.WindowSize, Windows.HopSize),
+        col("entity"))
+      .agg(count("*").as("tweet_count"),
+        sum(col("followerCount")).cast("double").as("follower_sum"))
+      .groupBy(window(window_time(col("window")), Windows.HopSize))
+      .agg(topk(col("follower_sum"), col("entity"), col("tweet_count"))
+        .as("top_entities"))
+      .select(col("window.end").cast("long").as("rank_window_end"),
+        col("top_entities"))
+  }
 
   /** Hopping tweet-count stream (OP-22, the `counts` CF). */
   def countStream(tweets: DataFrame): DataFrame =

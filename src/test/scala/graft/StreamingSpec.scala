@@ -83,6 +83,11 @@ class StreamingSpec extends TestBase {
 
     val q = StreamingPipeline.runUnified(spark, dir.toString, store, ckpt)
     q.processAllAvailable()
+    // OP-30: ingest telemetry observed per micro-batch
+    val observed = q.recentProgress.flatMap(p =>
+      Option(p.observedMetrics.get("ingest")))
+    assert(observed.exists(r => r.getAs[Long]("rows") > 0),
+      "no ingest metrics observed")
     q.stop()
 
     // all four families materialized
@@ -113,6 +118,48 @@ class StreamingSpec extends TestBase {
     assert(restricted.select("entity").distinct().as[String]
       .collect().toSeq == Seq("spark"))
     assert(Repl.dispatch(spark, store, "bogus 1 2").isEmpty)
+  }
+
+  test("chained two-level stateful top-k == batch rank (OP-28, Spark>=3.4)") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-replay4").toFile
+    Files.write(new java.io.File(dir, "part-0.jsonl").toPath,
+      fixtureLines.mkString("\n").getBytes)
+
+    val out = StreamingPipeline.topEntitiesStreamChained(
+      StreamingPipeline.tweetStream(spark, dir.toString), 2)
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("chained").start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("chained")
+      .select(col("rank_window_end"),
+        transform(col("top_entities"), e => e.getField("entity"))
+          .as("entities"))
+    assert(streamed.count() > 0, "chained query emitted nothing")
+
+    val batchTweets = graft.ingest.Tables.projectTweets(
+      Tables.tweetsFromFile(spark, dir.toString + "/part-0.jsonl"))
+    val batchAgg = batchTweets
+      .filter(size(col("hashtags")) > 0)
+      .select(col("ts"), explode(col("hashtags")).as("entity"),
+        col("followerCount"))
+      .groupBy(window(col("ts"), "10 minutes", "1 minute"), col("entity"))
+      .agg(sum("followerCount").cast("double").as("follower_sum"))
+      .select(col("window.end").cast("long").as("rank_window_end"),
+        col("entity"), col("follower_sum"))
+    val batchTop = graft.agg.Windows.rankTopEntities(
+        batchAgg.withColumnRenamed("rank_window_end", "window_end"), 2)
+      .groupBy(col("window_end").as("rank_window_end"))
+      .agg(collect_list(struct(col("rank"), col("entity"))).as("re"))
+      .select(col("rank_window_end"),
+        transform(array_sort(col("re")), x => x.getField("entity"))
+          .as("entities"))
+
+    val joined = streamed.join(batchTop, "rank_window_end")
+    assert(joined.count() == streamed.count())
+    assert(joined.filter(streamed("entities") =!= batchTop("entities"))
+      .count() == 0, "chained streaming top-k differs from batch rank")
   }
 
   test("validity filter drops bad lines (OP-04/14)") {
