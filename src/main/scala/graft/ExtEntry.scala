@@ -107,6 +107,15 @@ object ExtEntry {
     "ext04_dedup_simhash" -> ((s, dir) =>
       Dedup.simhashPairs(docs(s, dir)).orderBy("id_a", "id_b")),
 
+    // End-to-end dedup pipeline: detector pairs -> kept corpus
+    // (min-id representative survives each near-dup pair).
+    "ext14_dedup_pipeline" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Dedup.keepRepresentatives(d, Dedup.minhashLsh(d))
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")
+    }),
+
     "ext05_sim_brute_topk" -> ((s, dir) => {
       val e = embs(s, dir)
       Similarity.bruteTopK(e, e.filter(col("vec_id") < NumQueryVecs), 5)
@@ -231,6 +240,24 @@ object ExtEntry {
          |       CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
          |FROM p WHERE bit_count(xor(sa, sb)) <= 3
          |ORDER BY id_a, id_b""".stripMargin,
+
+    "ext14_dedup_pipeline" ->
+      s"""$ShingleSql,
+         |sig AS (
+         |  SELECT doc_id,
+         |         $minhashMinsSql
+         |  FROM sh GROUP BY 1),
+         |bands AS (
+         |  SELECT doc_id, b.band_id,
+         |         CASE b.band_id $bandSigSql END AS band_sig
+         |  FROM sig, (VALUES (0), (1), (2), (3)) b(band_id)),
+         |dropped AS (
+         |  SELECT DISTINCT b2.doc_id AS doc_id
+         |  FROM bands a JOIN bands b2 USING (band_id, band_sig)
+         |  WHERE a.doc_id < b2.doc_id)
+         |SELECT d.doc_id, d.lang, d.source
+         |FROM documents d ANTI JOIN dropped USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin,
 
     "ext05_sim_brute_topk" -> cosTopKSql("", 5),
 

@@ -3,6 +3,7 @@ package graft
 import java.time.{Instant, LocalDateTime, ZoneOffset}
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
 
 import graft.serve.Serve
 import graft.stream.AggregateStore
@@ -36,20 +37,24 @@ object Repl {
   def dispatch(spark: SparkSession, storeRoot: String,
       line: String): Option[DataFrame] = {
     def store(kind: String) = AggregateStore.read(spark, s"$storeRoot/$kind")
+    // range commands read through the partition-pruned path
+    def ranged(kind: String, s: String, e: String) =
+      AggregateStore.readRange(spark, s"$storeRoot/$kind", parseTime(s),
+        parseTime(e))
     val parts = line.trim.split("\\s+").toList
     parts match {
       case "getsummary" :: Nil =>
         Some(Serve.summary(store("counts")))
       case "getcounts" :: s :: e :: Nil =>
-        Some(Serve.rangeScan(store("counts"), parseTime(s), parseTime(e)))
+        Some(ranged("counts", s, e).orderBy(col("window_end")))
       case "gettopmentionsstring" :: s :: e :: rest if rest.size <= 1 =>
-        Some(Serve.rangeScanEntity(store("mentions"), parseTime(s),
-          parseTime(e), rest.headOption))
+        Some(Serve.entityFilter(ranged("mentions", s, e), rest.headOption)
+          .orderBy(col("window_end"), col("entity")))
       case "gettophashtagsstring" :: s :: e :: rest if rest.size <= 1 =>
-        Some(Serve.rangeScanEntity(store("hashtags"), parseTime(s),
-          parseTime(e), rest.headOption))
+        Some(Serve.entityFilter(ranged("hashtags", s, e), rest.headOption)
+          .orderBy(col("window_end"), col("entity")))
       case "gettopretweetsstring" :: s :: e :: Nil =>
-        Some(Serve.rangeScan(store("retweets"), parseTime(s), parseTime(e)))
+        Some(ranged("retweets", s, e).orderBy(col("window_end")))
       case "getrecenttopmentionsstring" :: n :: Nil =>
         Some(Serve.recent(store("mentions"), n.toInt))
       case "getrecenttophashtagsstring" :: n :: Nil =>

@@ -81,6 +81,13 @@ object Tables {
    * projection — no UDF. `originalTweetId` keeps the reference's -1
    * not-a-retweet sentinel (Query.cs:37).
    */
+  /** Typed view of the projected stream — compile-time field checks for
+    * user code (`Dataset[TweetEvent]` per SURVEY §1.3). */
+  def tweetEvents(tweets: DataFrame): org.apache.spark.sql.Dataset[graft.model.TweetEvent] = {
+    import tweets.sparkSession.implicits._
+    projectTweets(tweets).as[graft.model.TweetEvent]
+  }
+
   def projectTweets(tweets: DataFrame): DataFrame =
     tweets.select(
       col("id"),

@@ -66,6 +66,20 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("n_inter"), col("jaccard"))
   }
 
+  /**
+   * Turn near-dup PAIRS into a kept corpus: for every pair (a < b), drop
+   * b — the standard single-pass policy of large-scale dedup pipelines
+   * (exact transitive closure needs iterative connected components; the
+   * min-id-survives approximation is one anti-join and keeps at least one
+   * representative of every duplicate cluster). `pairs` must carry
+   * `id_a < id_b` as produced by the detectors above.
+   */
+  def keepRepresentatives(doc: DataFrame, pairs: DataFrame,
+      id: String = "doc_id"): DataFrame =
+    doc.join(
+      pairs.select(col("id_b").as(id)).distinct(),
+      Seq(id), "left_anti")
+
   val NumHashes = 16
   val BandRows = 4 // 4 bands × 4 rows
 

@@ -54,6 +54,11 @@ object Serve {
       .orderBy(col("window_end"), col("entity"))
   }
 
+  /** Optional entity restriction applied to an already-ranged frame
+    * (used by the REPL's partition-pruned read path). */
+  def entityFilter(ranged: DataFrame, entity: Option[String]): DataFrame =
+    entity.fold(ranged)(e => ranged.filter(col("entity") === e))
+
   /** OP-41 `getrecent*string N` (RocksDBStore.cs:174-196, SeekToLast+Prev):
     * newest N windows. Spark plans this as TakeOrderedAndProject — a
     * per-partition top-N + driver merge, no global sort. */

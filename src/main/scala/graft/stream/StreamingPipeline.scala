@@ -220,4 +220,34 @@ object AggregateStore {
 
   def read(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
+
+  /** Range read with PARTITION PRUNING: derive `window_date` bounds from
+    * the epoch range so the scan touches only the covered date
+    * partitions (the reference's D19-key seek, RocksDBStore.cs:241-245,
+    * as layout pruning). Filtering `window_end` alone would scan every
+    * partition's files. */
+  def readRange(spark: SparkSession, path: String, startEpoch: Long,
+      endEpoch: Long): DataFrame =
+    read(spark, path)
+      .filter(col("window_date") >=
+        to_date(timestamp_seconds(lit(startEpoch))) &&
+        col("window_date") <= to_date(timestamp_seconds(lit(endEpoch))))
+      .filter(col("window_end") >= startEpoch && col("window_end") < endEpoch)
+
+  /** Compact a store path: streaming appends produce one small file per
+    * micro-batch per partition; periodic compaction rewrites each date
+    * partition into few large files so serving scans stay
+    * footer-bound, not file-count-bound (the LSM compaction analog). */
+  def compact(spark: SparkSession, path: String,
+      filesPerPartition: Int = 1): Unit = {
+    val tmp = path.stripSuffix("/") + "_compacting"
+    val df = read(spark, path)
+    df.repartition(filesPerPartition, col("window_date"))
+      .write.mode("overwrite").partitionBy("window_date").parquet(tmp)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val dst = new org.apache.hadoop.fs.Path(path)
+    fs.delete(dst, true)
+    fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
+  }
 }

@@ -62,6 +62,26 @@ class OpsSpec extends TestBase {
     assert(!got.exists { case (a, b, _) => b == 3L || a == 3L })
   }
 
+  test("dedup: keepRepresentatives drops the larger id of each pair") {
+    import spark.implicits._
+    val docs = Seq((1L, "x"), (2L, "x"), (3L, "y"), (4L, "z"))
+      .toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (2L, 4L)).toDF("id_a", "id_b")
+    val kept = Dedup.keepRepresentatives(docs, pairs)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(kept == Seq(1L, 3L))
+  }
+
+  test("ingest: typed Dataset[TweetEvent] surface compiles and reads") {
+    import spark.implicits._
+    val lines = Seq(
+      """{"id":7,"text":"hi #a","timestamp_ms":"1704067200000","entities":{"hashtags":[{"text":"a"}],"user_mentions":[]},"user":{"followers_count":3,"screen_name":"u"},"retweeted_status":null}""")
+    val ds = Tables.tweetEvents(
+      Tables.tweetsFromJsonLines(lines.toDF("value")))
+    val ev = ds.collect().head
+    assert(ev.id == 7 && ev.hashtags == Seq("a") && ev.followerCount == 3)
+  }
+
   test("dedup: simhash hamming 0 for identical docs") {
     import spark.implicits._
     val docs = Seq((1L, "alpha beta gamma delta"),

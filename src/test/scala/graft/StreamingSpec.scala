@@ -118,6 +118,29 @@ class StreamingSpec extends TestBase {
     assert(restricted.select("entity").distinct().as[String]
       .collect().toSeq == Seq("spark"))
     assert(Repl.dispatch(spark, store, "bogus 1 2").isEmpty)
+
+    // partition-pruned range read: correct rows + window_date reaches the
+    // scan as a partition filter
+    val pruned = AggregateStore.readRange(spark, s"$store/counts",
+      we.head, we.last + 1)
+    assert(pruned.count() == counts.count())
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [") &&
+      plan.contains("window_date"), s"no partition pruning in:\n$plan")
+
+    // compaction: same data, fewer files
+    def nFiles(p: String) = new java.io.File(p).listFiles().toSeq
+      .filter(_.isDirectory)
+      .flatMap(_.listFiles()).count(_.getName.endsWith(".parquet"))
+    val before = nFiles(s"$store/counts")
+    val rowsBefore = AggregateStore.read(spark, s"$store/counts")
+      .orderBy("window_end").collect().toSeq
+    AggregateStore.compact(spark, s"$store/counts")
+    val after = nFiles(s"$store/counts")
+    val rowsAfter = AggregateStore.read(spark, s"$store/counts")
+      .orderBy("window_end").collect().toSeq
+    assert(rowsBefore == rowsAfter, "compaction changed data")
+    assert(after <= before, s"compaction grew file count $before -> $after")
   }
 
   test("chained two-level stateful top-k == batch rank (OP-28, Spark>=3.4)") {
