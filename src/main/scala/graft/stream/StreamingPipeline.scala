@@ -90,26 +90,32 @@ object StreamingPipeline {
     val hashtags = t.filter(size(col("hashtags")) > 0)
       .select(col("ts"), lit("hashtags").as("kind"),
         explode(col("hashtags")).as("entity"), col("followerCount"),
-        col("text"))
+        col("text"), col("id"))
     val mentions = t.filter(size(col("mentions")) > 0)
       .select(col("ts"), lit("mentions").as("kind"),
         explode(col("mentions")).as("entity"), col("followerCount"),
-        col("text"))
+        col("text"), col("id"))
     val retweets = t.filter(col("originalTweetId") =!= -1L)
       .select(col("ts"), lit("retweets").as("kind"),
         col("originalTweetId").cast("string").as("entity"),
-        col("followerCount"), col("text"))
+        col("followerCount"), col("text"), col("id"))
     val counts = t.select(col("ts"), lit("counts").as("kind"),
-      lit("_all").as("entity"), col("followerCount"), col("text"))
+      lit("_all").as("entity"), col("followerCount"), col("text"), col("id"))
+    val topk = graft.agg.TopK.topKIds(Windows.ExamplesPerEntity)
     hashtags.unionByName(mentions).unionByName(retweets).unionByName(counts)
       .groupBy(window(col("ts"), Windows.WindowSize, Windows.HopSize),
         col("kind"), col("entity"))
       .agg(count("*").as("tweet_count"),
         sum(col("followerCount")).as("follower_sum"),
-        max(col("text")).as("max_text"))
+        max(col("text")).as("max_text"),
+        // OP-26/27: per-entity example tweets as the reference's TopTweets
+        // (AggregatePayloads.cs:29-42), stored as compact id references —
+        // bounded state (k per entity), ranked follower-count DESC id ASC.
+        topk(col("followerCount").cast("double"), col("id"))
+          .as("top_tweet_ids"))
       .select(col("window.end").cast("long").as("window_end"), col("kind"),
         col("entity"), col("tweet_count"), col("follower_sum"),
-        col("max_text"))
+        col("max_text"), col("top_tweet_ids"))
   }
 
   /** Sink for [[unifiedAggStream]]: per micro-batch, rank each entity kind

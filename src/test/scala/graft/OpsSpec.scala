@@ -82,6 +82,23 @@ class OpsSpec extends TestBase {
     assert(ev.id == 7 && ev.hashtags == Seq("a") && ev.followerCount == 3)
   }
 
+  test("skew: salted two-phase aggregate equals plain groupBy") {
+    import spark.implicits._
+    // 90% of rows on one hot key
+    val rows = (0 until 2000).map(i =>
+      (if (i % 10 == 0) s"k${i % 7}" else "hot", i.toLong, i * 0.5))
+    val df = rows.toDF("key", "rid", "w")
+    val salted = graft.ops.Skew
+      .saltedCountSum(df, col("key"), col("w"), col("rid"))
+      .orderBy("key")
+      .as[(String, Long, Double)].collect().toSeq
+    val plain = df.groupBy("key")
+      .agg(count("*").as("cnt"),
+        sum(col("w").cast("decimal(18,6)")).cast("double").as("ws"))
+      .orderBy("key").as[(String, Long, Double)].collect().toSeq
+    assert(salted == plain)
+  }
+
   test("dedup: simhash hamming 0 for identical docs") {
     import spark.implicits._
     val docs = Seq((1L, "alpha beta gamma delta"),
