@@ -46,10 +46,13 @@ object Dedup {
    */
   def ngramJaccard(doc: DataFrame, id: String = "doc_id",
       text: String = "text", threshold: Double = 0.1): DataFrame = {
-    // The shingle relation feeds three consumers (sizes + both join sides):
-    // persist instead of recomputing — the reference's Multicast sharing
-    // (Query.cs:42,55) expressed as explicit reuse.
-    val sh = shingleHashes(doc, id, text).persist()
+    // The shingle relation feeds three consumers (sizes + both join
+    // sides). Recomputing it per consumer benchmarks FASTER and far more
+    // stably than persist(): concurrent broadcast exchanges racing to
+    // materialize one cache serialize on it, while the recompute is a
+    // cheap codegen'd scan. At 100 TB the shared input would instead be
+    // checkpointed to parquet once (see AggregateStore), not driver-cached.
+    val sh = shingleHashes(doc, id, text)
     val sizes = sh.groupBy(col(id)).agg(count("*").as("n_sh"))
     val a = sh.select(col(id).as("id_a"), col("h"))
     val b = sh.select(col(id).as("id_b"), col("h"))
@@ -104,9 +107,10 @@ object Dedup {
    */
   def minhashLsh(doc: DataFrame, id: String = "doc_id",
       text: String = "text"): DataFrame = {
-    // One signature row per doc, consumed three times (band explode + both
-    // sides of the verify join) — persist the small relation.
-    val sig = minhashSignatures(doc, id, text).persist()
+    // One signature row per doc, consumed three times (band explode +
+    // both sides of the verify join); recomputed per consumer — see the
+    // persist() note in ngramJaccard.
+    val sig = minhashSignatures(doc, id, text)
     val bands = explode(array((0 until NumHashes / BandRows).map { b =>
       struct(lit(b).as("band_id"),
         concat_ws("-", (0 until BandRows).map(r =>
@@ -155,8 +159,9 @@ object Dedup {
 
   def simhashPairs(doc: DataFrame, id: String = "doc_id",
       text: String = "text", maxHamming: Int = 3): DataFrame = {
-    // One row per doc, consumed by both sides of the chunk self-join.
-    val sh = simhash(doc, id, text).persist()
+    // One row per doc, consumed by both sides of the chunk self-join;
+    // recomputed per side — see the persist() note in ngramJaccard.
+    val sh = simhash(doc, id, text)
     val chunks = sh.select(col(id), col("simhash"),
         explode(sequence(lit(0), lit(3))).as("chunk_id"))
       .withColumn("chunk",
