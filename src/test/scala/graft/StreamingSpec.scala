@@ -185,6 +185,43 @@ class StreamingSpec extends TestBase {
       .count() == 0, "chained streaming top-k differs from batch rank")
   }
 
+  test("OP-19 delta: rows later than the watermark drop in streaming, stay in batch") {
+    import spark.implicits._
+    val base = 1704067200000L
+    def line(id: Long, tsMs: Long) =
+      s"""{"id":$id,"text":"x #t","timestamp_ms":"$tsMs","entities":{"hashtags":[{"text":"t"}],"user_mentions":[]},"user":{"followers_count":1,"screen_name":"u"},"retweeted_status":null}"""
+    // batch 1 advances event time far ahead; batch 2 arrives 30 min late
+    // (well past the 5 s disorder bound of Query.cs:14)
+    val dir = Files.createTempDirectory("graft-late").toFile
+    val store = Files.createTempDirectory("graft-lstore").toString
+    val ckpt = Files.createTempDirectory("graft-lckpt").toString
+    Files.write(new java.io.File(dir, "b1.jsonl").toPath,
+      (0 until 50).map(i => line(i, base + i * 60000L))
+        .mkString("\n").getBytes)
+    val q = StreamingPipeline.run(spark, dir.toString, store, ckpt)
+    q.processAllAvailable()
+    Files.write(new java.io.File(dir, "b2.jsonl").toPath,
+      Seq(line(999, base + 1000L)).mkString("\n").getBytes) // 30+ min late
+    q.processAllAvailable()
+    q.stop()
+
+    // Trill would ADJUST the late row into bounds; Spark DROPS it
+    // (SURVEY.md §7.3 documented delta). The late tweet (id 999, weight 1
+    // in window ending base+600s) must not appear in streamed output.
+    val streamed = graft.stream.AggregateStore.read(spark, store)
+    val firstWindowEnd = base / 1000 + 600
+    val streamedFirst = streamed
+      .filter(col("window_end") === firstWindowEnd)
+      .agg(sum("tweet_count")).as[Long].collect().headOption.getOrElse(0L)
+    val batch = graft.ingest.Tables.projectTweets(
+      Tables.tweetsFromFile(spark, dir.toString))
+      .filter(size(col("hashtags")) > 0)
+    val batchFirst = batch
+      .filter(col("ts").cast("long") < firstWindowEnd).count()
+    assert(batchFirst == streamedFirst + 1,
+      s"expected batch=$batchFirst to exceed streamed=$streamedFirst by the 1 late row")
+  }
+
   test("validity filter drops bad lines (OP-04/14)") {
     val dir = Files.createTempDirectory("graft-replay2").toFile
     Files.write(new java.io.File(dir, "part-0.jsonl").toPath,
