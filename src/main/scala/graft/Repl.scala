@@ -54,7 +54,8 @@ object Repl {
         Some(Serve.entityFilter(ranged("hashtags", s, e), rest.headOption)
           .orderBy(col("window_end"), col("entity")))
       case "gettopretweetsstring" :: s :: e :: Nil =>
-        Some(ranged("retweets", s, e).orderBy(col("window_end")))
+        Some(ranged("retweets", s, e)
+          .orderBy(col("window_end"), col("entity")))
       case "getrecenttopmentionsstring" :: n :: Nil =>
         Some(Serve.recent(store("mentions"), n.toInt))
       case "getrecenttophashtagsstring" :: n :: Nil =>

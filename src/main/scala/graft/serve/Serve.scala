@@ -60,8 +60,16 @@ object Serve {
     entity.fold(ranged)(e => ranged.filter(col("entity") === e))
 
   /** OP-41 `getrecent*string N` (RocksDBStore.cs:174-196, SeekToLast+Prev):
-    * newest N windows. Spark plans this as TakeOrderedAndProject — a
-    * per-partition top-N + driver merge, no global sort. */
-  def recent(store: DataFrame, n: Int): DataFrame =
-    store.orderBy(col("window_end").desc).limit(n)
+    * newest N records. Spark plans this as TakeOrderedAndProject — a
+    * per-partition top-N + driver merge, no global sort. The reference's
+    * reverse key iteration is total (D19 ticks + entity bytes), so when
+    * the store carries an entity column it joins the sort — `limit(n)`
+    * over a non-total order would pick arbitrary same-window rows. */
+  def recent(store: DataFrame, n: Int): DataFrame = {
+    val order =
+      if (store.columns.contains("entity"))
+        Seq(col("window_end").desc, col("entity").desc)
+      else Seq(col("window_end").desc)
+    store.orderBy(order: _*).limit(n)
+  }
 }
