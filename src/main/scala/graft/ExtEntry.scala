@@ -263,6 +263,58 @@ object ExtEntry {
 
     "ext06_sim_ivf_topk" -> cosTopKSql("AND a.label = b.label", 3),
 
+    // Random-hyperplane LSH: hyperplane sign (j,i) = bit (j%31) of the
+    // portable hash of "hp<j>:<i>" — reproducible in SQL, so even the
+    // ANN bucketing itself is oracle-checked.
+    "ext07_sim_lsh_ann" ->
+      s"""$QuantFlatSql,
+         |hp AS (
+         |  SELECT a.j, b.i,
+         |         CASE WHEN ((${hashSql("'hp' || CAST(a.j AS VARCHAR) || ':' || CAST(b.i - 1 AS VARCHAR)")})
+         |                    >> CAST(a.j % 31 AS INTEGER)) % 2 = 0
+         |              THEN 1 ELSE -1 END AS sgn
+         |  FROM range(8) a(j), range(1, 65) b(i)),
+         |projs AS (
+         |  SELECT f.vec_id, h.j, CAST(SUM(h.sgn * f.qi) AS BIGINT) AS proj
+         |  FROM flat f JOIN hp h ON h.i = f.i GROUP BY 1, 2),
+         |sigs AS (
+         |  SELECT vec_id,
+         |         CAST(SUM(CASE WHEN proj > 0
+         |           THEN (CAST(1 AS BIGINT) << CAST(j AS INTEGER))
+         |           ELSE 0 END) AS BIGINT) AS sig
+         |  FROM projs GROUP BY 1),
+         |cand AS (
+         |  SELECT qs.vec_id AS q_id, cs.vec_id AS t_id
+         |  FROM sigs qs JOIN sigs cs ON qs.sig = cs.sig
+         |  WHERE qs.vec_id < $NumQueryVecs AND qs.vec_id <> cs.vec_id),
+         |dots AS (
+         |  SELECT c.q_id, c.t_id, CAST(SUM(a.qi * b.qi) AS BIGINT) AS dot
+         |  FROM cand c JOIN flat a ON a.vec_id = c.q_id
+         |              JOIN flat b ON b.vec_id = c.t_id AND b.i = a.i
+         |  GROUP BY 1, 2),
+         |scored AS (
+         |  SELECT q_id, t_id,
+         |         CAST(dot AS DOUBLE) /
+         |           sqrt(CAST(na.n2 AS DOUBLE) * CAST(nb.n2 AS DOUBLE)) AS cos
+         |  FROM dots JOIN n2 na ON na.vec_id = q_id
+         |            JOIN n2 nb ON nb.vec_id = t_id),
+         |r AS (SELECT *, row_number() OVER (
+         |        PARTITION BY q_id ORDER BY cos DESC, t_id ASC) AS rank
+         |      FROM scored)
+         |SELECT q_id, t_id, CAST(rank AS BIGINT) AS rank, cos
+         |FROM r WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
+
+    // Frame sampling over binary columns: the docs are ASCII, so byte
+    // slicing equals char slicing and hex() agrees across engines.
+    "ext13_multimodal_frames" ->
+      """SELECT doc_id AS asset_id, CAST(i AS BIGINT) AS frame_no,
+        |       lower(hex(substr(text, CAST(i * 16 + 1 AS BIGINT), 8)))
+        |         AS frame_hex
+        |FROM documents JOIN range(0, 100000) g(i)
+        |  ON i <= (len(text) - 1) // 16
+        |WHERE doc_id < 50
+        |ORDER BY asset_id, frame_no""".stripMargin,
+
     "ext08_text_langid" ->
       s"""SELECT doc_id,
          |  CAST(len(list_filter(string_split(text, ' '),

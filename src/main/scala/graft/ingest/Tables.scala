@@ -61,7 +61,9 @@ object Tables {
     lines
       .select(from_json(col(col0), TweetSchema.raw).as("t"))
       .filter(col("t").isNotNull && col("t.id").isNotNull)
-      .filter(col("t.timestamp_ms").isNotNull && col("t.timestamp_ms") =!= "")
+      // GetTimestamp() > 0 (SaveAggregates.cs:74): null/empty/zero/
+      // unparseable timestamps are all dropped, like the reference.
+      .filter(col("t.timestamp_ms").cast("long") > 0)
       .select(
         col("t.*"),
         timestamp_millis(col("t.timestamp_ms").cast("long")).as("ts"))
