@@ -32,7 +32,13 @@ object Repl {
 
   private def parseTime(s: String): Long =
     if (s.forall(_.isDigit)) s.toLong
-    else LocalDateTime.parse(s).toInstant(ZoneOffset.UTC).getEpochSecond
+    else
+      try LocalDateTime.parse(s).toInstant(ZoneOffset.UTC).getEpochSecond
+      catch {
+        case _: java.time.format.DateTimeParseException =>
+          throw new IllegalArgumentException(
+            s"bad time '$s' — use epoch seconds or yyyy-MM-ddTHH:mm:ss")
+      }
 
   def dispatch(spark: SparkSession, storeRoot: String,
       line: String): Option[DataFrame] = {
@@ -84,12 +90,13 @@ object Repl {
     Iterator.continually(scala.io.StdIn.readLine("> "))
       .takeWhile(l => l != null && l.trim != "exit")
       .foreach { line =>
-        if (line.trim.nonEmpty) dispatch(spark, storeRoot, line) match {
-          case Some(df) =>
-            try df.show(100, truncate = false)
-            catch { case e: Exception => println(s"error: ${e.getMessage}") }
-          case None => println(s"unknown command: $line")
-        }
+        if (line.trim.nonEmpty)
+          try dispatch(spark, storeRoot, line) match {
+            case Some(df) => df.show(100, truncate = false)
+            case None     => println(s"unknown command: $line")
+          } catch {
+            case e: Exception => println(s"error: ${e.getMessage}")
+          }
       }
     spark.stop()
   }
