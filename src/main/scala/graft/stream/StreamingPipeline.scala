@@ -124,20 +124,20 @@ object StreamingPipeline {
       n: Int = Windows.TopN): DataStreamWriter[org.apache.spark.sql.Row] =
     agg.writeStream
       .outputMode("append")
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val b = batch.persist()
         try {
           Seq("hashtags", "mentions", "retweets").foreach { kind =>
             AggregateStore.writeRanked(
               b.filter(col("kind") === kind).drop("kind"),
-              s"$storeRoot/$kind", n)
+              s"$storeRoot/$kind", n, batchId)
           }
           b.filter(col("kind") === "counts")
             .select(col("window_end"), col("tweet_count").as("cnt"))
             .withColumn("window_date",
               to_date(timestamp_seconds(col("window_end"))))
-            .write.mode("append").partitionBy("window_date")
-            .parquet(s"$storeRoot/counts")
+            .write.mode("overwrite").partitionBy("window_date")
+            .parquet(s"$storeRoot/counts/batch=$batchId")
         } finally b.unpersist()
       }
 
@@ -196,8 +196,8 @@ object StreamingPipeline {
       n: Int = Windows.TopN): DataStreamWriter[org.apache.spark.sql.Row] =
     agg.writeStream
       .outputMode("append")
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        AggregateStore.writeRanked(batch, storePath, n)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        AggregateStore.writeRanked(batch, storePath, n, batchId)
       }
 
   /** End-to-end assembly: source dir → ranked parquet store. */
@@ -217,11 +217,24 @@ object StreamingPipeline {
  */
 object AggregateStore {
 
-  def writeRanked(batch: DataFrame, path: String, n: Int): Unit = {
+  /**
+   * Idempotent micro-batch write: each batch lands in its own
+   * `batch=<id>` directory with OVERWRITE semantics, so a batch replayed
+   * after a failure/restart overwrites its own previous output instead of
+   * appending duplicates — the parquet analog of the reference's
+   * idempotent RocksDB `Put` per key (RocksDBStore.cs:82-87). In append
+   * mode each window emits in exactly one batch, so batch dirs never
+   * overlap logically. `batch` becomes a partition column on read (and
+   * prunes like any other); `window_date` nests beneath it for range
+   * pruning.
+   */
+  def writeRanked(batch: DataFrame, path: String, n: Int,
+      batchId: Long = 0L): Unit = {
     val ranked = Windows.rankTopEntities(batch, n)
       .withColumn("window_date",
         to_date(timestamp_seconds(col("window_end"))))
-    ranked.write.mode("append").partitionBy("window_date").parquet(path)
+    ranked.write.mode("overwrite").partitionBy("window_date")
+      .parquet(s"$path/batch=$batchId")
   }
 
   def read(spark: SparkSession, path: String): DataFrame =
@@ -240,14 +253,15 @@ object AggregateStore {
         col("window_date") <= to_date(timestamp_seconds(lit(endEpoch))))
       .filter(col("window_end") >= startEpoch && col("window_end") < endEpoch)
 
-  /** Compact a store path: streaming appends produce one small file per
-    * micro-batch per partition; periodic compaction rewrites each date
-    * partition into few large files so serving scans stay
-    * footer-bound, not file-count-bound (the LSM compaction analog). */
+  /** Compact a store path: streaming writes produce one `batch=<id>` dir
+    * with small files per micro-batch; OFFLINE compaction (stream stopped)
+    * folds the batch level away and rewrites each date partition into few
+    * large files so serving scans stay footer-bound, not
+    * file-count-bound (the LSM compaction analog). */
   def compact(spark: SparkSession, path: String,
       filesPerPartition: Int = 1): Unit = {
     val tmp = path.stripSuffix("/") + "_compacting"
-    val df = read(spark, path)
+    val df = read(spark, path).drop("batch")
     df.repartition(filesPerPartition, col("window_date"))
       .write.mode("overwrite").partitionBy("window_date").parquet(tmp)
     val fs = org.apache.hadoop.fs.FileSystem.get(

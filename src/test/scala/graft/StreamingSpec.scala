@@ -128,17 +128,33 @@ class StreamingSpec extends TestBase {
     assert(plan.contains("PartitionFilters: [") &&
       plan.contains("window_date"), s"no partition pruning in:\n$plan")
 
+    // idempotent replay: re-writing the same batchId must not duplicate
+    val preReplay = AggregateStore.read(spark, s"$store/hashtags").count()
+    val lastBatch = AggregateStore.read(spark, s"$store/hashtags")
+      .agg(max("batch")).collect()(0).getInt(0)
+    // simulate the failure-replay of the last micro-batch: same id, no rows
+    // lost, no rows duplicated after overwrite of its own directory
+    val replayRows = AggregateStore.read(spark, s"$store/hashtags")
+      .filter(col("batch") === lastBatch)
+      .drop("batch", "rank", "window_date")
+    graft.stream.AggregateStore.writeRanked(
+      replayRows, s"$store/hashtags", 10, lastBatch.toLong)
+    assert(AggregateStore.read(spark, s"$store/hashtags").count()
+      == preReplay, "batch replay duplicated rows")
+
     // compaction: same data, fewer files
-    def nFiles(p: String) = new java.io.File(p).listFiles().toSeq
-      .filter(_.isDirectory)
-      .flatMap(_.listFiles()).count(_.getName.endsWith(".parquet"))
+    def nFiles(p: String): Int = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(p)).count(_.getName.endsWith(".parquet"))
+    }
     val before = nFiles(s"$store/counts")
     val rowsBefore = AggregateStore.read(spark, s"$store/counts")
-      .orderBy("window_end").collect().toSeq
+      .select("window_end", "cnt").orderBy("window_end").collect().toSeq
     AggregateStore.compact(spark, s"$store/counts")
     val after = nFiles(s"$store/counts")
     val rowsAfter = AggregateStore.read(spark, s"$store/counts")
-      .orderBy("window_end").collect().toSeq
+      .select("window_end", "cnt").orderBy("window_end").collect().toSeq
     assert(rowsBefore == rowsAfter, "compaction changed data")
     assert(after <= before, s"compaction grew file count $before -> $after")
   }
