@@ -1,6 +1,6 @@
 package graft.stream
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery, Trigger}
 
@@ -87,22 +87,24 @@ object StreamingPipeline {
    */
   def unifiedAggStream(tweets: DataFrame): DataFrame = {
     val t = tweets.withWatermark("ts", Watermark)
-    val hashtags = t.filter(size(col("hashtags")) > 0)
-      .select(col("ts"), lit("hashtags").as("kind"),
-        explode(col("hashtags")).as("entity"), col("followerCount"),
-        col("text"), col("id"))
-    val mentions = t.filter(size(col("mentions")) > 0)
-      .select(col("ts"), lit("mentions").as("kind"),
-        explode(col("mentions")).as("entity"), col("followerCount"),
-        col("text"), col("id"))
-    val retweets = t.filter(col("originalTweetId") =!= -1L)
-      .select(col("ts"), lit("retweets").as("kind"),
-        col("originalTweetId").cast("string").as("entity"),
-        col("followerCount"), col("text"), col("id"))
-    val counts = t.select(col("ts"), lit("counts").as("kind"),
-      lit("_all").as("entity"), col("followerCount"), col("text"), col("id"))
+    // Single scan (the reference parses once and Multicasts): each tweet
+    // expands to its kind-tagged (kind, entity) rows in ONE explode —
+    // a union of per-kind branches would rescan the micro-batch 4×.
+    def tag(kind: String, entity: Column) =
+      struct(lit(kind).as("kind"), entity.as("entity"))
+    val kindEntities = concat(
+      transform(col("hashtags"), h => tag("hashtags", h)),
+      transform(col("mentions"), m => tag("mentions", m)),
+      when(col("originalTweetId") =!= -1L,
+        array(tag("retweets", col("originalTweetId").cast("string"))))
+        .otherwise(array().cast("array<struct<kind:string,entity:string>>")),
+      array(tag("counts", lit("_all"))))
     val topk = graft.agg.TopK.topKIds(Windows.ExamplesPerEntity)
-    hashtags.unionByName(mentions).unionByName(retweets).unionByName(counts)
+    t.select(col("ts"), col("followerCount"), col("text"), col("id"),
+        explode(kindEntities).as("ke"))
+      .select(col("ts"), col("ke.kind").as("kind"),
+        col("ke.entity").as("entity"), col("followerCount"), col("text"),
+        col("id"))
       .groupBy(window(col("ts"), Windows.WindowSize, Windows.HopSize),
         col("kind"), col("entity"))
       .agg(count("*").as("tweet_count"),
@@ -119,7 +121,7 @@ object StreamingPipeline {
   }
 
   /** Sink for [[unifiedAggStream]]: per micro-batch, rank each entity kind
-    * within its windows and append to `storeRoot/<kind>/`. */
+    * within its windows and write idempotently to `storeRoot/<kind>/`. */
   def unifiedSink(agg: DataFrame, storeRoot: String,
       n: Int = Windows.TopN): DataStreamWriter[org.apache.spark.sql.Row] =
     agg.writeStream
