@@ -27,15 +27,18 @@ object ExtEntry {
 
   private def hashSql(e: String) = Hashing.portableHash32Sql(e)
 
-  /** Distinct capped shingle hashes — twin of Dedup.shingleHashes. */
-  private val ShingleSql =
-    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+  /** Distinct capped shingle hashes — twin of Dedup.shingleHashes,
+    * parameterized over the source relation (CTE body, no WITH). */
+  private def shingleCtes(src: String) =
+    s"""toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM $src),
        |sh0 AS (
        |  SELECT DISTINCT doc_id,
        |         ${hashSql("tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]")} AS h
        |  FROM toks JOIN range(1, 4001) g(i) ON i <= len(tk) - 2),
        |hot AS (SELECT h FROM sh0 GROUP BY h HAVING count(*) > 50),
        |sh AS (SELECT * FROM sh0 ANTI JOIN hot USING (h))""".stripMargin
+
+  private val ShingleSql = "WITH " + shingleCtes("documents")
 
   private val minhashMinsSql = (0 until Dedup.NumHashes).map { j =>
     s"min((h * ${Hashing.seedA(j)} + ${Hashing.seedB(j)}) % $P) AS mh$j"
@@ -133,6 +136,24 @@ object ExtEntry {
       val e = embs(s, dir)
       Similarity.lshTopK(e, e.filter(col("vec_id") < NumQueryVecs), 5)
         .orderBy("q_id", "rank")
+    }),
+
+    // The end-to-end corpus-curation composition: language filter →
+    // quality floor → near-dup removal → kept corpus summary. This is the
+    // pipeline a 100 TB pretraining-data run strings together from the
+    // pieces above.
+    "ext15_corpus_pipeline" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val scored = TextOps.quality(TextOps.langScores(d))
+      val filtered = scored
+        .filter(col("predicted") === "en" && col("quality_score") >= 0.4)
+        .select("doc_id", "text", "lang", "source")
+      val kept = Dedup.keepRepresentatives(
+        filtered, Dedup.minhashLsh(filtered))
+      kept.groupBy("lang", "source")
+        .agg(count("*").as("kept_docs"),
+          min("doc_id").as("min_doc_id"), max("doc_id").as("max_doc_id"))
+        .orderBy("lang", "source")
     }),
 
     "ext08_text_langid" -> ((s, dir) =>
@@ -314,6 +335,46 @@ object ExtEntry {
         |  ON i <= (len(text) - 1) // 16
         |WHERE doc_id < 50
         |ORDER BY asset_id, frame_no""".stripMargin,
+
+    "ext15_corpus_pipeline" ->
+      s"""WITH scored AS (
+         |  SELECT doc_id, text, lang, source,
+         |    CAST(len(list_filter(string_split(text, ' '),
+         |      t -> t IN (${markerList("en")}))) AS BIGINT) AS score_en,
+         |    CAST(len(list_filter(string_split(text, ' '),
+         |      t -> t IN (${markerList("es")}))) AS BIGINT) AS score_es,
+         |    CAST(len(list_filter(string_split(text, ' '),
+         |      t -> t IN (${markerList("zh")}))) AS BIGINT) AS score_zh,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+         |    CAST(len(list_filter(string_split(text, ' '),
+         |      t -> t IN ($stopList))) AS BIGINT) AS n_stop,
+         |    least(CAST(n_words AS DOUBLE) / 100.0, 1.0) * 0.5 +
+         |      (CAST(n_stop AS DOUBLE) / CAST(n_words AS DOUBLE)) * 0.5
+         |      AS quality_score,
+         |    CASE WHEN score_en >= score_es AND score_en >= score_zh THEN 'en'
+         |         WHEN score_es >= score_zh THEN 'es'
+         |         ELSE 'zh' END AS predicted
+         |  FROM documents),
+         |filtered AS (
+         |  SELECT doc_id, text, lang, source FROM scored
+         |  WHERE predicted = 'en' AND quality_score >= 0.4),
+         |${shingleCtes("filtered")},
+         |sig AS (
+         |  SELECT doc_id,
+         |         $minhashMinsSql
+         |  FROM sh GROUP BY 1),
+         |bands AS (
+         |  SELECT doc_id, b.band_id,
+         |         CASE b.band_id $bandSigSql END AS band_sig
+         |  FROM sig, (VALUES (0), (1), (2), (3)) b(band_id)),
+         |dropped AS (
+         |  SELECT DISTINCT b2.doc_id AS doc_id
+         |  FROM bands a JOIN bands b2 USING (band_id, band_sig)
+         |  WHERE a.doc_id < b2.doc_id)
+         |SELECT lang, source, count(*) AS kept_docs,
+         |       min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id
+         |FROM filtered ANTI JOIN dropped USING (doc_id)
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "ext08_text_langid" ->
       s"""SELECT doc_id,
