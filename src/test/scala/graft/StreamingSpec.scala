@@ -201,6 +201,40 @@ class StreamingSpec extends TestBase {
       .count() == 0, "chained streaming top-k differs from batch rank")
   }
 
+  test("restart from checkpoint resumes without loss or duplication") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-resume").toFile
+    val store = Files.createTempDirectory("graft-rstore").toString
+    val ckpt = Files.createTempDirectory("graft-rckpt").toString
+    val (first, second) = fixtureLines.splitAt(150)
+    Files.write(new java.io.File(dir, "b1.jsonl").toPath,
+      first.mkString("\n").getBytes)
+
+    val q1 = StreamingPipeline.run(spark, dir.toString, store, ckpt)
+    q1.processAllAvailable()
+    q1.stop() // simulate shutdown
+
+    Files.write(new java.io.File(dir, "b2.jsonl").toPath,
+      second.mkString("\n").getBytes)
+    val q2 = StreamingPipeline.run(spark, dir.toString, store, ckpt)
+    q2.processAllAvailable()
+    q2.stop()
+
+    val streamed = AggregateStore.read(spark, store)
+      .select("window_end", "entity", "tweet_count", "follower_sum", "rank")
+    // hashtagAggStream works on a batch frame too (watermark is a no-op)
+    val batchAgg = graft.agg.Windows.rankTopEntities(
+      StreamingPipeline.hashtagAggStream(graft.ingest.Tables.projectTweets(
+        Tables.tweetsFromFile(spark, dir.toString))))
+      .select("window_end", "entity", "tweet_count", "follower_sum", "rank")
+    val emitted = streamed.select("window_end").distinct()
+    val expect = batchAgg.join(emitted, "window_end")
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(expect).count() == 0 &&
+      expect.exceptAll(streamed).count() == 0,
+      "resumed stream diverges from batch on emitted windows")
+  }
+
   test("OP-19 delta: rows later than the watermark drop in streaming, stay in batch") {
     import spark.implicits._
     val base = 1704067200000L

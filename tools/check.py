@@ -29,8 +29,11 @@ for t in TABLES:
 oracle = json.load(open(f"{OUT}/oracle_sql.json"))
 
 def norm(v):
+    # floats compare BIT-EXACTLY — the determinism contract (decimal sums,
+    # integer dot products, fixed-order IEEE expressions) promises identical
+    # doubles, and the driver may hash them raw.
     if isinstance(v, float):
-        return ("f", round(v, 9)) if not math.isnan(v) else ("f", "nan")
+        return ("f", "nan") if math.isnan(v) else ("f", v)
     if isinstance(v, list):
         return tuple(norm(x) for x in v)
     return v
