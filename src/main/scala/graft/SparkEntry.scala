@@ -315,9 +315,7 @@ object SparkEntry {
 
     "op28_window_rank" ->
       s"""$typeAggSql,
-         |r AS (SELECT *, row_number() OVER (
-         |        ORDER BY window_end, follower_sum DESC, entity) AS g_rn,
-         |      row_number() OVER (PARTITION BY window_end
+         |r AS (SELECT *, row_number() OVER (PARTITION BY window_end
          |        ORDER BY follower_sum DESC, entity) AS rank
          |      FROM agg)
          |SELECT window_end, entity, tweet_count, follower_sum,
