@@ -1,0 +1,68 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+
+/**
+ * Streaming-throughput benchmark: generate a synthetic tweet-line replay
+ * of `N` tweets (default 200k), run the full unified live pipeline
+ * (parse → project → watermark → 4-family windowed aggregation with
+ * per-entity examples → ranked idempotent store writes), and report
+ * end-to-end tweets/second.
+ *
+ * Context (BASELINE.md): the reference publishes no numbers; its input —
+ * the Twitter filter stream — delivers on the order of tens of tweets/s,
+ * which any result here exceeds by orders of magnitude.
+ *
+ * Usage: runMain graft.StreamBench [numTweets]
+ */
+object StreamBench {
+  def main(args: Array[String]): Unit = {
+    val n = args.headOption.map(_.toInt).getOrElse(200000)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val dir = Files.createTempDirectory("graft-sbench").toFile
+    val store = Files.createTempDirectory("graft-sbench-store").toString
+    val ckpt = Files.createTempDirectory("graft-sbench-ckpt").toString
+    val base = 1704067200000L
+    val w = new java.io.PrintWriter(new java.io.File(dir, "replay.jsonl"))
+    var i = 0
+    while (i < n) {
+      val t = base + (i.toLong * 500) // 2 tweets per second of event time
+      val tag = s"tag${i % 1000}"
+      val rt =
+        if (i % 5 == 0) s"""{"id":${i / 5},"extended_tweet":null}"""
+        else "null"
+      w.println(
+        s"""{"id":${1000000 + i},"text":"tweet $i #$tag","timestamp_ms":"$t","lang":"en","extended_tweet":null,"entities":{"hashtags":[{"text":"$tag"}],"user_mentions":[{"screen_name":"m${i % 500}"}]},"user":{"followers_count":${(i * 37) % 10000},"screen_name":"u${i % 2000}"},"retweeted_status":$rt}""")
+      i += 1
+    }
+    w.close()
+
+    val includeExamples =
+      sys.env.getOrElse("SPARK_GRAFT_EXAMPLES", "true").toBoolean
+    val t0 = System.nanoTime()
+    val q = graft.stream.StreamingPipeline.unifiedSink(
+        graft.stream.StreamingPipeline.unifiedAggStream(
+          graft.stream.StreamingPipeline.tweetStream(spark, dir.toString),
+          includeExamples),
+        store)
+      .option("checkpointLocation", ckpt)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val sec = (System.nanoTime() - t0) / 1e9
+    val stored = graft.stream.AggregateStore.read(spark, s"$store/counts")
+      .count()
+    println(f"""{"metric":"stream_tweets_per_sec","value":${n / sec}%.0f,"tweets":$n,"seconds":$sec%.1f,"count_windows":$stored,"examples":$includeExamples}""")
+    spark.stop()
+  }
+}

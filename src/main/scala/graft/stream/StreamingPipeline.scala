@@ -85,7 +85,8 @@ object StreamingPipeline {
    * aggregate's representative text (Query.cs:127); it rides along as null
    * for the other kinds.
    */
-  def unifiedAggStream(tweets: DataFrame): DataFrame = {
+  def unifiedAggStream(tweets: DataFrame,
+      includeExamples: Boolean = true): DataFrame = {
     val t = tweets.withWatermark("ts", Watermark)
     // Single scan (the reference parses once and Multicasts): each tweet
     // expands to its kind-tagged (kind, entity) rows in ONE explode —
@@ -108,16 +109,23 @@ object StreamingPipeline {
       .groupBy(window(col("ts"), Windows.WindowSize, Windows.HopSize),
         col("kind"), col("entity"))
       .agg(count("*").as("tweet_count"),
-        sum(col("followerCount")).as("follower_sum"),
-        max(col("text")).as("max_text"),
-        // OP-26/27: per-entity example tweets as the reference's TopTweets
-        // (AggregatePayloads.cs:29-42), stored as compact id references —
-        // bounded state (k per entity), ranked follower-count DESC id ASC.
-        topk(col("followerCount").cast("double"), col("id"))
-          .as("top_tweet_ids"))
-      .select(col("window.end").cast("long").as("window_end"), col("kind"),
-        col("entity"), col("tweet_count"), col("follower_sum"),
-        col("max_text"), col("top_tweet_ids"))
+        (Seq(
+          sum(col("followerCount")).as("follower_sum"),
+          max(col("text")).as("max_text")) ++
+          // OP-26/27: per-entity example tweets as the reference's
+          // TopTweets (AggregatePayloads.cs:29-42), stored as compact id
+          // references — bounded state (k per entity), ranked
+          // follower-count DESC id ASC. Optional: the typed buffer
+          // ser/des per state update is the priciest part of the
+          // pipeline; pipelines that don't need examples skip it.
+          (if (includeExamples)
+             Seq(topk(col("followerCount").cast("double"), col("id"))
+               .as("top_tweet_ids"))
+           else Nil)): _*)
+      .select(Seq(col("window.end").cast("long").as("window_end"),
+        col("kind"), col("entity"), col("tweet_count"),
+        col("follower_sum"), col("max_text")) ++
+        (if (includeExamples) Seq(col("top_tweet_ids")) else Nil): _*)
   }
 
   /** Sink for [[unifiedAggStream]]: per micro-batch, rank each entity kind
