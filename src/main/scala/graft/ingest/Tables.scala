@@ -63,10 +63,14 @@ object Tables {
       .filter(col("t").isNotNull && col("t.id").isNotNull)
       // GetTimestamp() > 0 (SaveAggregates.cs:74): null/empty/zero/
       // unparseable timestamps are all dropped, like the reference.
-      .filter(col("t.timestamp_ms").cast("long") > 0)
+      // try_cast EVERYWHERE, not cast: under ANSI mode (Spark 4 default)
+      // a plain cast THROWS on '' — and Catalyst may push a downstream
+      // predicate containing the projection's cast below this filter, so
+      // the projection must be throw-free too.
+      .filter(expr("try_cast(t.timestamp_ms AS LONG) > 0"))
       .select(
         col("t.*"),
-        timestamp_millis(col("t.timestamp_ms").cast("long")).as("ts"))
+        expr("timestamp_millis(try_cast(t.timestamp_ms AS LONG))").as("ts"))
       .filter(col("ts").isNotNull)
   }
 

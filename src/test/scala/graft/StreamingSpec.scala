@@ -32,6 +32,8 @@ class StreamingSpec extends TestBase {
     }
     rows ++ Seq(
       """{"id":9999,"text":"dropped: no timestamp","entities":{"hashtags":[],"user_mentions":[]},"user":{"followers_count":1,"screen_name":"x"}}""",
+      """{"id":9998,"text":"dropped: empty ts","timestamp_ms":"","entities":{"hashtags":[],"user_mentions":[]},"user":{"followers_count":1,"screen_name":"x"}}""",
+      """{"id":9997,"text":"dropped: zero ts","timestamp_ms":"0","entities":{"hashtags":[],"user_mentions":[]},"user":{"followers_count":1,"screen_name":"x"}}""",
       "not json at all")
   }
 
@@ -277,7 +279,7 @@ class StreamingSpec extends TestBase {
     Files.write(new java.io.File(dir, "part-0.jsonl").toPath,
       fixtureLines.mkString("\n").getBytes)
     val parsed = Tables.tweetsFromFile(spark, dir.toString + "/part-0.jsonl")
-    assert(parsed.count() == 300) // 302 lines, 2 dropped
+    assert(parsed.count() == 300) // 304 lines, 4 dropped (missing/empty/zero ts, non-JSON)
   }
 
   test("text coalesce prefers extended and retweeted text (OP-05)") {
