@@ -21,12 +21,19 @@ object StreamBench {
   def main(args: Array[String]): Unit = {
     val n = args.headOption.map(_.toInt).getOrElse(200000)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // SPARK_GRAFT_ROCKSDB=true: keep streaming state off-heap in RocksDB
+    // (the cluster-scale default — bounds executor memory; also the
+    // reference's own store). Default HDFS-backed in-memory provider
+    // otherwise.
+    if (sys.env.get("SPARK_GRAFT_ROCKSDB").contains("true"))
+      builder.config("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
     val dir = Files.createTempDirectory("graft-sbench").toFile
