@@ -120,6 +120,17 @@ class StreamingSpec extends TestBase {
     assert(restricted.select("entity").distinct().as[String]
       .collect().toSeq == Seq("spark"))
     assert(Repl.dispatch(spark, store, "bogus 1 2").isEmpty)
+    assert(Repl.dispatch(spark, store, "getrecentcounts 3").get.count() == 3)
+    assert(Repl.dispatch(spark, store,
+      "getrecenttopretweetsstring 4").get.count() <= 4)
+    assert(Repl.dispatch(spark, store,
+      "getrecenttopmentionsstring 4").get.count() <= 4)
+    val mentionsRanged = Repl.dispatch(spark, store,
+      s"gettopmentionsstring ${we.head} ${we.last + 1}").get
+    assert(mentionsRanged.count() > 0)
+    val retweetsRanged = Repl.dispatch(spark, store,
+      s"gettopretweetsstring 2024-01-01T00:00:00 2024-01-02T00:00:00").get
+    assert(retweetsRanged.count() > 0) // ISO time parsing path
 
     // partition-pruned range read: correct rows + window_date reaches the
     // scan as a partition filter
