@@ -108,7 +108,14 @@ object TextOps {
 object Hashing {
   val Mersenne31: Long = 2147483647L // 2^31 - 1, prime
 
+  /** Native fused form (graft.functions.PortableHash32) — used on all
+    * hot paths; no intermediate hex-string allocation per row. */
   def portableHash32(c: Column): Column =
+    graft.functions.PortableHash32(c)
+
+  /** Built-in-composed equivalent, kept as the readable specification
+    * and for parity testing (PortableHash32Spec). */
+  def portableHash32Composed(c: Column): Column =
     conv(substring(md5(c), 1, 8), 16, 10).cast("long") % Mersenne31
 
   /** DuckDB twin of [[portableHash32]] for oracle SQL. */
