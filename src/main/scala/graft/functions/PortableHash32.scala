@@ -16,9 +16,18 @@ import org.apache.spark.unsafe.types.UTF8String
 object PortableHash32Impl {
   val P: Long = 2147483647L
 
+  // One digest instance per task thread, reset per row —
+  // MessageDigest.getInstance contends on the JDK security-provider
+  // lookup under concurrent tasks (measured 10×+ slowdowns at local[4]).
+  private val md = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
   def hash(s: UTF8String): Long = {
-    val md = java.security.MessageDigest.getInstance("MD5")
-    val d = md.digest(s.getBytes)
+    val m = md.get()
+    m.reset()
+    val d = m.digest(s.getBytes)
     val v = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
       ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
     v % P
