@@ -59,6 +59,32 @@ object StreamingPipeline {
       .option("kafka.compression.type", "gzip")
       .option("kafka.retries", "10")
 
+  /**
+   * Streaming source over parquet event files (the `events` table schema,
+   * TESTDATA.md) — the batch-verified tables replayed as a stream: drop a
+   * parquet file in the directory and its rows flow through the same
+   * windowed aggregations the DuckDB oracle checked in batch. Applies the
+   * same ns→µs normalization as `Tables.events`.
+   */
+  def eventStream(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("event_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("ts",
+        org.apache.spark.sql.types.LongType), // nanos (nanosAsLong)
+      org.apache.spark.sql.types.StructField("user_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("event_type",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("value",
+        org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("props",
+        org.apache.spark.sql.types.StringType)))
+    spark.readStream.schema(schema).parquet(dir)
+      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+  }
+
   /** Per-hashtag hopping-window aggregate stream (OP-21/23/24). */
   def hashtagAggStream(tweets: DataFrame): DataFrame =
     tweets

@@ -285,6 +285,32 @@ class StreamingSpec extends TestBase {
       s"expected batch=$batchFirst to exceed streamed=$streamedFirst by the 1 late row")
   }
 
+  test("events parquet replayed as a stream matches the batch hopping counts") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-evstream").toFile
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet"),
+      new java.io.File(dir, "events.parquet").toPath)
+    val agg = StreamingPipeline.eventStream(spark, dir.toString)
+      .withWatermark("ts", "5 seconds")
+      .groupBy(window(col("ts"), "10 minutes", "1 minute"))
+      .agg(count("*").as("cnt"))
+      .select(col("window.end").cast("long").as("window_end"), col("cnt"))
+    val q = agg.writeStream.outputMode("append")
+      .format("memory").queryName("evstream").start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("evstream")
+    assert(streamed.count() > 0)
+    val batch = graft.agg.Windows.hoppingCounts(
+      Tables.events(spark, sf("sf0.001")))
+    val joined = streamed
+      .join(batch.withColumnRenamed("cnt", "batch_cnt"), "window_end")
+    assert(joined.count() == streamed.count())
+    assert(joined.filter(col("cnt") =!= col("batch_cnt")).count() == 0,
+      "streamed hopping counts differ from the oracle-verified batch form")
+  }
+
   test("validity filter drops bad lines (OP-04/14)") {
     val dir = Files.createTempDirectory("graft-replay2").toFile
     Files.write(new java.io.File(dir, "part-0.jsonl").toPath,
