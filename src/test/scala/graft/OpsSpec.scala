@@ -117,8 +117,11 @@ class OpsSpec extends TestBase {
       (3L, Array(0f, 1f, 0f)), (4L, Array(0f, 0f, 1f)))
       .toDF("vec_id", "embedding")
     val got = Similarity.bruteTopK(vecs, vecs.filter($"vec_id" === 1), 2)
-      .select("t_id", "rank").as[(Long, Long)].collect().toSeq
-    assert(got == Seq((2L, 1L), (3L, 2L)) || got.head == (2L, 1L))
+      .orderBy("rank").select("t_id", "rank").as[(Long, Long)]
+      .collect().toSeq
+    // nearest to (1,0,0) is (0.99,0.1,0); orthogonal vectors tie at
+    // cos 0 and the id tie-break picks 3
+    assert(got == Seq((2L, 1L), (3L, 2L)))
   }
 
   test("multimodal: stub decode is deterministic and batched") {
