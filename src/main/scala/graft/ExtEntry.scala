@@ -418,7 +418,7 @@ object ExtEntry {
          |  FROM documents),
          |rf AS (
          |  SELECT doc_id,
-         |         CAST(SUM(${hashSql("tok")} * pos) % $P AS BIGINT)
+         |         CAST(SUM((${hashSql("tok")} * pos) % $P) % $P AS BIGINT)
          |           AS rolling_fp
          |  FROM tp GROUP BY 1)
          |SELECT d.doc_id, substr(md5(lower(d.text)), 1, 16) AS content_fp,

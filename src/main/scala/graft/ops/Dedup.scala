@@ -23,6 +23,12 @@ object Dedup {
     doc.groupBy(md5(col(text)).as("content_hash"))
       .agg(min(col(id)).as("keeper_id"), count("*").as("dup_count"))
 
+  /** Per-document shingle cap: only the first MaxShinglesPerDoc shingles
+    * participate in dedup — bounds the per-doc explode (a pathological
+    * 10M-token doc would otherwise dominate its partition) and matches the
+    * oracle's `range(1, 4001)` bound so both engines see identical sets. */
+  val MaxShinglesPerDoc = 4000
+
   /** Distinct (doc, shingle-hash) pairs with a stop-shingle frequency cap:
     * shingles present in more than `maxDocFreq` docs are dropped — the
     * skew guard that keeps the candidate join from going quadratic on a
@@ -31,7 +37,8 @@ object Dedup {
       n: Int = 3, maxDocFreq: Long = 50): DataFrame = {
     val sh = doc
       .select(col(id),
-        explode(TextOps.shingles(TextOps.tokens(col(text)), n)).as("sh"))
+        explode(slice(TextOps.shingles(TextOps.tokens(col(text)), n),
+          1, MaxShinglesPerDoc)).as("sh"))
       .select(col(id), Hashing.portableHash32(col("sh")).as("h"))
       .distinct()
     val hot = sh.groupBy("h").agg(count("*").as("df"))

@@ -20,11 +20,16 @@ object TextOps {
 
   def tokens(text: Column): Column = split(text, " ")
 
-  /** Word n-gram shingles (default trigrams) as an array column. */
+  /** Word n-gram shingles (default trigrams) as an array column. Docs with
+    * fewer than `n` tokens yield an EMPTY array — the guard matters because
+    * `sequence(1, 0)` in Spark is the descending array [1, 0], whose 0
+    * index would throw under ANSI slice, not an empty sequence. */
   def shingles(toks: Column, n: Int = 3): Column =
-    transform(
-      sequence(lit(1), greatest(size(toks) - lit(n - 1), lit(0))),
-      i => concat_ws(" ", slice(toks, i, lit(n))))
+    when(size(toks) >= n,
+      transform(
+        sequence(lit(1), size(toks) - lit(n - 1)),
+        i => concat_ws(" ", slice(toks, i, lit(n)))))
+      .otherwise(array().cast("array<string>"))
 
   /** Whitespace token count + a BPE-ish subword estimate:
     * ceil(len/4) per token via integer math ((len+3) div 4). */
@@ -89,10 +94,13 @@ object TextOps {
       .select(col(id), posexplode(tokens(col(text))).as(Seq("pos", "tok")))
       .select(col(id), (col("pos") + 1).cast("long").as("pos"),
         Hashing.portableHash32(col("tok")).as("h"))
+    // Per-term mod keeps every partial sum < n * 2^31: sum(h*pos) raw
+    // would overflow int64 (ANSI throw) near ~90k-token docs; reducing
+    // each term mod P first is the same value mod P with bounded partials.
     val rolling = tokenRows
       .groupBy(col(id))
-      .agg((sum(col("h") * col("pos")) % Hashing.Mersenne31)
-        .as("rolling_fp"))
+      .agg((sum((col("h") * col("pos")) % Hashing.Mersenne31)
+        % Hashing.Mersenne31).as("rolling_fp"))
     doc.select(col(id),
         substring(md5(lower(col(text))), 1, 16).as("content_fp"))
       .join(rolling, Seq(id))

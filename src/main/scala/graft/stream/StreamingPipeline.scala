@@ -289,21 +289,48 @@ object AggregateStore {
         col("window_date") <= to_date(timestamp_seconds(lit(endEpoch))))
       .filter(col("window_end") >= startEpoch && col("window_end") < endEpoch)
 
+  /** Partition value the compacted data lands under: keeping the
+    * `batch=` level (with a sentinel id no micro-batch uses) means a
+    * stream resumed against a compacted store writes `batch=<id>/
+    * window_date=...` dirs of the SAME depth — partition discovery stays
+    * consistent instead of rejecting a mixed layout. */
+  val CompactedBatchId: Long = -1L
+
   /** Compact a store path: streaming writes produce one `batch=<id>` dir
     * with small files per micro-batch; OFFLINE compaction (stream stopped)
-    * folds the batch level away and rewrites each date partition into few
-    * large files so serving scans stay footer-bound, not
-    * file-count-bound (the LSM compaction analog). */
+    * folds all batches into a single `batch=-1` partition and rewrites
+    * each date partition into few large files so serving scans stay
+    * footer-bound, not file-count-bound (the LSM compaction analog).
+    *
+    * Promotion is crash-safe: the live store is renamed ASIDE first and
+    * deleted only after the compacted dir has taken its place, so no
+    * in-between state loses data (a crash leaves either the original
+    * store, or `<path>_precompact` to recover from).
+    *
+    * Call only with the stream STOPPED on a committed checkpoint: a
+    * micro-batch replayed after compaction would rewrite its `batch=<id>`
+    * dir whose rows are already folded into `batch=-1` (duplicates).
+    * Resuming from a committed offset is safe — new batches land in fresh
+    * `batch=<id>` dirs beside the compacted one. */
   def compact(spark: SparkSession, path: String,
       filesPerPartition: Int = 1): Unit = {
-    val tmp = path.stripSuffix("/") + "_compacting"
+    val base = path.stripSuffix("/")
+    val tmp = base + "_compacting"
     val df = read(spark, path).drop("batch")
     df.repartition(filesPerPartition, col("window_date"))
-      .write.mode("overwrite").partitionBy("window_date").parquet(tmp)
+      .write.mode("overwrite").partitionBy("window_date")
+      .parquet(s"$tmp/batch=$CompactedBatchId")
     val fs = org.apache.hadoop.fs.FileSystem.get(
       spark.sparkContext.hadoopConfiguration)
-    val dst = new org.apache.hadoop.fs.Path(path)
-    fs.delete(dst, true)
-    fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
+    val dst = new org.apache.hadoop.fs.Path(base)
+    val old = new org.apache.hadoop.fs.Path(base + "_precompact")
+    fs.delete(old, true)
+    if (!fs.rename(dst, old))
+      throw new java.io.IOException(s"compact: cannot move $dst aside")
+    if (!fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)) {
+      fs.rename(old, dst) // restore the original store
+      throw new java.io.IOException(s"compact: cannot promote $tmp")
+    }
+    fs.delete(old, true)
   }
 }

@@ -62,6 +62,31 @@ class OpsSpec extends TestBase {
     assert(!got.exists { case (a, b, _) => b == 3L || a == 3L })
   }
 
+  test("dedup: short docs (<n tokens) yield zero shingles, not a crash") {
+    import spark.implicits._
+    // 0/1/2-token docs under trigram shingling: sequence(1, size-2) would
+    // be the DESCENDING [1,0] without the guard and throw under ANSI slice.
+    val docs = Seq((1L, ""), (2L, "one"), (3L, "two tokens"),
+      (4L, "now three tokens"), (5L, "a b c d"))
+      .toDF("doc_id", "text")
+    val sh = Dedup.shingleHashes(docs, "doc_id", "text")
+      .groupBy("doc_id").count().as[(Long, Long)].collect().toMap
+    assert(!sh.contains(1L) && !sh.contains(2L) && !sh.contains(3L))
+    assert(sh(4L) == 1L && sh(5L) == 2L)
+    // the whole jaccard pipeline survives short docs
+    assert(Dedup.ngramJaccard(docs).count() == 0)
+  }
+
+  test("dedup: shingles per doc are capped at MaxShinglesPerDoc") {
+    import spark.implicits._
+    val long = (1 to Dedup.MaxShinglesPerDoc + 100)
+      .map(i => s"t$i").mkString(" ")
+    val docs = Seq((1L, long)).toDF("doc_id", "text")
+    val n = Dedup.shingleHashes(docs, "doc_id", "text").count()
+    assert(n == Dedup.MaxShinglesPerDoc,
+      s"expected cap ${Dedup.MaxShinglesPerDoc}, got $n")
+  }
+
   test("dedup: keepRepresentatives drops the larger id of each pair") {
     import spark.implicits._
     val docs = Seq((1L, "x"), (2L, "x"), (3L, "y"), (4L, "z"))

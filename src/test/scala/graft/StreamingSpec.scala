@@ -170,6 +170,21 @@ class StreamingSpec extends TestBase {
       .select("window_end", "cnt").orderBy("window_end").collect().toSeq
     assert(rowsBefore == rowsAfter, "compaction changed data")
     assert(after <= before, s"compaction grew file count $before -> $after")
+    // no leftover _compacting / _precompact dirs after a clean promote
+    assert(!new java.io.File(s"$store/counts_compacting").exists())
+    assert(!new java.io.File(s"$store/counts_precompact").exists())
+
+    // a stream RESUMED after compaction writes fresh batch=<id> dirs
+    // beside batch=-1 — partition discovery must accept the mixed store
+    val hashtagRows = AggregateStore.read(spark, s"$store/hashtags").count()
+    AggregateStore.compact(spark, s"$store/hashtags")
+    val resumed = AggregateStore.read(spark, s"$store/hashtags")
+      .drop("batch", "rank", "window_date")
+    AggregateStore.writeRanked(resumed, s"$store/hashtags", 10, 99L)
+    val mixed = AggregateStore.read(spark, s"$store/hashtags")
+    assert(mixed.filter(col("batch") === AggregateStore.CompactedBatchId)
+      .count() == hashtagRows)
+    assert(mixed.filter(col("batch") === 99).count() > 0)
   }
 
   test("chained two-level stateful top-k == batch rank (OP-28, Spark>=3.4)") {
