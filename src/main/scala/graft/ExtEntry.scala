@@ -138,6 +138,13 @@ object ExtEntry {
         .orderBy("q_id", "rank")
     }),
 
+    // Embedding-cosine near-dup: banded random-hyperplane LSH candidates,
+    // exact quantized cosine verify — the embedding-space member of the
+    // dedup family (text-space: ext02/03/04).
+    "ext16_dedup_embed_cosine" -> ((s, dir) =>
+      Similarity.cosineNearDupPairs(embs(s, dir))
+        .orderBy("id_a", "id_b")),
+
     // The end-to-end corpus-curation composition: language filter →
     // quality floor → near-dup removal → kept corpus summary. This is the
     // pipeline a 100 TB pretraining-data run strings together from the
@@ -324,6 +331,49 @@ object ExtEntry {
          |      FROM scored)
          |SELECT q_id, t_id, CAST(rank AS BIGINT) AS rank, cos
          |FROM r WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
+
+    // Banded-LSH near-dup: the oracle recomputes the 16-hyperplane
+    // signature, the 4-bit banding, the candidate self-join AND the exact
+    // quantized cosine — the full approximate pipeline is oracle-checked,
+    // not just the verify step.
+    "ext16_dedup_embed_cosine" ->
+      s"""$QuantFlatSql,
+         |hp AS (
+         |  SELECT a.j, b.i,
+         |         CASE WHEN ((${hashSql("'hp' || CAST(a.j AS VARCHAR) || ':' || CAST(b.i - 1 AS VARCHAR)")})
+         |                    >> CAST(a.j % 31 AS INTEGER)) % 2 = 0
+         |              THEN 1 ELSE -1 END AS sgn
+         |  FROM range(16) a(j), range(1, 65) b(i)),
+         |projs AS (
+         |  SELECT f.vec_id, h.j, CAST(SUM(h.sgn * f.qi) AS BIGINT) AS proj
+         |  FROM flat f JOIN hp h ON h.i = f.i GROUP BY 1, 2),
+         |sigs AS (
+         |  SELECT vec_id,
+         |         CAST(SUM(CASE WHEN proj > 0
+         |           THEN (CAST(1 AS BIGINT) << CAST(j AS INTEGER))
+         |           ELSE 0 END) AS BIGINT) AS sig
+         |  FROM projs GROUP BY 1),
+         |bands AS (
+         |  SELECT vec_id, b.band_id,
+         |         (sig >> CAST(b.band_id * 4 AS INTEGER)) & 15 AS band
+         |  FROM sigs, range(4) b(band_id)),
+         |cand AS (
+         |  SELECT DISTINCT a.vec_id AS id_a, b2.vec_id AS id_b
+         |  FROM bands a JOIN bands b2 USING (band_id, band)
+         |  WHERE a.vec_id < b2.vec_id),
+         |dots AS (
+         |  SELECT c.id_a, c.id_b, CAST(SUM(a.qi * b.qi) AS BIGINT) AS dot
+         |  FROM cand c JOIN flat a ON a.vec_id = c.id_a
+         |              JOIN flat b ON b.vec_id = c.id_b AND b.i = a.i
+         |  GROUP BY 1, 2),
+         |scored AS (
+         |  SELECT id_a, id_b,
+         |         CAST(dot AS DOUBLE) /
+         |           sqrt(CAST(na.n2 AS DOUBLE) * CAST(nb.n2 AS DOUBLE)) AS cos
+         |  FROM dots JOIN n2 na ON na.vec_id = id_a
+         |            JOIN n2 nb ON nb.vec_id = id_b)
+         |SELECT id_a, id_b, cos FROM scored WHERE cos >= 0.42
+         |ORDER BY id_a, id_b""".stripMargin,
 
     // Frame sampling over binary columns: the docs are ASCII, so byte
     // slicing equals char slicing and hex() agrees across engines.

@@ -88,31 +88,34 @@ object Similarity {
         col("cos"))
   }
 
+  /** Sign-bit signature from `nBits` pseudo-random hyperplanes derived
+    * from the portable hash (hyperplane j, dim i weight = ±1 from bit
+    * parity) — a deterministic column expression, reproducible in any
+    * engine with md5 (the DuckDB oracle recomputes it bit-for-bit). */
+  def hyperplaneSignature(q: Column, nBits: Int): Column = {
+    val bits = (0 until nBits).map { j =>
+      // ±1 weights per (hyperplane, dim) from bit j of a per-dim hash
+      val proj = aggregate(
+        zip_with(q, sequence(lit(0), size(q) - 1), (v, i) =>
+          when((shiftright(Hashing.portableHash32(concat(lit(s"hp$j:"),
+            i.cast("string"))), j % 31) % 2) === 0, v).otherwise(-v)),
+        lit(0L), (acc, v) => acc + v)
+      when(proj > 0, lit(1L) * (1L << j)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+
   /**
-   * Random-hyperplane LSH bucketing (scale path, non-oracle): sign-bit
-   * signature from `nBits` pseudo-random hyperplanes derived from the
-   * portable hash (hyperplane j, dim i weight = ±1 from bit parity), so
-   * the whole signature is a deterministic column expression. Candidates
-   * share a signature bucket; exact cosine re-ranks within the bucket.
+   * Random-hyperplane LSH bucketing (scale path, non-oracle): candidates
+   * share the full [[hyperplaneSignature]] bucket; exact cosine re-ranks
+   * within the bucket.
    */
   def lshTopK(emb: DataFrame, queries: DataFrame, k: Int, nBits: Int = 8,
       id: String = "vec_id", vec: String = "embedding"): DataFrame = {
-    def signature(q: Column): Column = {
-      val bits = (0 until nBits).map { j =>
-        // ±1 weights per (hyperplane, dim) from bit j of a per-dim hash
-        val proj = aggregate(
-          zip_with(q, sequence(lit(0), size(q) - 1), (v, i) =>
-            when((shiftright(Hashing.portableHash32(concat(lit(s"hp$j:"),
-              i.cast("string"))), j % 31) % 2) === 0, v).otherwise(-v)),
-          lit(0L), (acc, v) => acc + v)
-        when(proj > 0, lit(1L) * (1L << j)).otherwise(lit(0L))
-      }
-      bits.reduce(_ + _)
-    }
     val corpus = prepared(emb, id, vec).toDF("t_id", "t_q", "t_n2")
-      .withColumn("sig", signature(col("t_q")))
+      .withColumn("sig", hyperplaneSignature(col("t_q"), nBits))
     val qs = prepared(queries, id, vec).toDF("q_id", "q_q", "q_n2")
-      .withColumn("sig", signature(col("q_q")))
+      .withColumn("sig", hyperplaneSignature(col("q_q"), nBits))
     val scored = corpus.join(broadcast(qs), "sig")
       .filter(col("q_id") =!= col("t_id"))
       .withColumn("cos",
@@ -123,5 +126,47 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("q_id"), col("t_id"), col("rank").cast("long").as("rank"),
         col("cos"))
+  }
+
+  /**
+   * Embedding-cosine near-dup pairs — the dedup counterpart of [[lshTopK]]:
+   * BANDED random-hyperplane LSH (MinHash-banding shape: agree on ANY band
+   * of `bandBits` consecutive signature bits ⇒ candidate), then exact
+   * quantized cosine verifies `cos >= threshold`. Banding trades candidate
+   * volume for recall the way a full-signature match cannot: at 100 TB the
+   * knobs are (nBits, bandBits) — more bands = higher recall, wider bands
+   * = fewer candidates — while the self-join stays an equi-join on
+   * (band_id, band), never all-pairs.
+   */
+  def cosineNearDupPairs(emb: DataFrame, threshold: Double = 0.42,
+      nBits: Int = 16, bandBits: Int = 4,
+      id: String = "vec_id", vec: String = "embedding"): DataFrame = {
+    require(nBits % bandBits == 0, "nBits must be a multiple of bandBits")
+    val nBands = nBits / bandBits
+    val mask = (1L << bandBits) - 1
+    // One row per vector, consumed by both band sides and both verify
+    // sides; recomputed per consumer — see the persist() note in
+    // Dedup.ngramJaccard.
+    val sigd = prepared(emb, id, vec).toDF("vid", "q", "n2")
+      .withColumn("sig", hyperplaneSignature(col("q"), nBits))
+    val banded = sigd
+      .select(col("vid"),
+        explode(sequence(lit(0), lit(nBands - 1))).as("band_id"), col("sig"))
+      .withColumn("band",
+        expr(s"shiftright(sig, CAST(band_id * $bandBits AS INT)) & $mask"))
+      .select("vid", "band_id", "band")
+    val cand = banded.toDF("id_a", "band_id", "band")
+      .join(banded.toDF("id_b", "band_id", "band"), Seq("band_id", "band"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    cand
+      .join(sigd.select(col("vid").as("id_a"), col("q").as("q_a"),
+        col("n2").as("n2_a")), "id_a")
+      .join(sigd.select(col("vid").as("id_b"), col("q").as("q_b"),
+        col("n2").as("n2_b")), "id_b")
+      .withColumn("cos",
+        cosine(qdot(col("q_a"), col("q_b")), col("n2_a"), col("n2_b")))
+      .filter(col("cos") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cos"))
   }
 }

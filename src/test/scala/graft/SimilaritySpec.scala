@@ -46,6 +46,35 @@ class SimilaritySpec extends TestBase {
     assert(lsh.forall { case (q, t, c) => brute((q, t)) == c })
   }
 
+  test("cosine near-dup: planted duplicate pair found, orthogonal pair not") {
+    import spark.implicits._
+    // 1 and 2 are near-identical (cos ~ 1, identical LSH signature ⇒
+    // always candidates); 3 is axis-orthogonal to both.
+    val dim = 8
+    val v = (1 to dim).map(_.toFloat).toArray
+    val vNear = v.updated(0, 1.001f)
+    // orthogonal to v: 1*2 + 2*(-1) + 0... = 0
+    val vOrth = Array.tabulate(dim)(i =>
+      if (i == 0) 2f else if (i == 1) -1f else 0f)
+    val df = Seq((1L, v), (2L, vNear), (3L, vOrth))
+      .toDF("vec_id", "embedding")
+    val pairs = Similarity.cosineNearDupPairs(df, threshold = 0.9)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists { case (a, b) => a == 3L || b == 3L })
+  }
+
+  test("cosine near-dup pairs carry the exact brute-force cosine") {
+    import spark.implicits._
+    val pairs = Similarity.cosineNearDupPairs(emb, threshold = 0.3)
+      .select("id_a", "id_b", "cos").as[(Long, Long, Double)].collect()
+    val brute = Similarity.bruteTopK(emb, emb, Int.MaxValue)
+      .select("q_id", "t_id", "cos").as[(Long, Long, Double)]
+      .collect().map { case (q, t, c) => (q, t) -> c }.toMap
+    assert(pairs.nonEmpty)
+    assert(pairs.forall { case (a, b, c) => brute((a, b)) == c && a < b })
+  }
+
   test("brute top-1 recall@10 of IVF is sane on clustered embeddings") {
     import spark.implicits._
     val brute1 = Similarity.bruteTopK(emb, queries, 1)
