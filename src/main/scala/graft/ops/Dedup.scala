@@ -35,12 +35,15 @@ object Dedup {
     * hot shingle. */
   def shingleHashes(doc: DataFrame, id: String, text: String,
       n: Int = 3, maxDocFreq: Long = 50): DataFrame = {
-    val sh = doc
+    // The distinct pair set feeds two consumers here (the hot-shingle
+    // aggregate and the anti-join probe side) and up to three more in the
+    // callers — materialize it eagerly once (see Reuse).
+    val sh = Reuse.shared(doc
       .select(col(id),
         explode(slice(TextOps.shingles(TextOps.tokens(col(text)), n),
           1, MaxShinglesPerDoc)).as("sh"))
       .select(col(id), Hashing.portableHash32(col("sh")).as("h"))
-      .distinct()
+      .distinct())
     val hot = sh.groupBy("h").agg(count("*").as("df"))
       .filter(col("df") > maxDocFreq).select("h")
     sh.join(hot, Seq("h"), "left_anti")
@@ -54,12 +57,11 @@ object Dedup {
   def ngramJaccard(doc: DataFrame, id: String = "doc_id",
       text: String = "text", threshold: Double = 0.1): DataFrame = {
     // The shingle relation feeds three consumers (sizes + both join
-    // sides). Recomputing it per consumer benchmarks FASTER and far more
-    // stably than persist(): concurrent broadcast exchanges racing to
-    // materialize one cache serialize on it, while the recompute is a
-    // cheap codegen'd scan. At 100 TB the shared input would instead be
-    // checkpointed to parquet once (see AggregateStore), not driver-cached.
-    val sh = shingleHashes(doc, id, text)
+    // sides) — one more eager materialization on top of the inner one in
+    // shingleHashes, so each consumer is a cached scan and the hot-shingle
+    // aggregate runs once, not three times (see Reuse for why eager, and
+    // why lazy persist() was a regression).
+    val sh = Reuse.shared(shingleHashes(doc, id, text))
     val sizes = sh.groupBy(col(id)).agg(count("*").as("n_sh"))
     val a = sh.select(col(id).as("id_a"), col("h"))
     val b = sh.select(col(id).as("id_b"), col("h"))
@@ -115,9 +117,8 @@ object Dedup {
   def minhashLsh(doc: DataFrame, id: String = "doc_id",
       text: String = "text"): DataFrame = {
     // One signature row per doc, consumed three times (band explode +
-    // both sides of the verify join); recomputed per consumer — see the
-    // persist() note in ngramJaccard.
-    val sig = minhashSignatures(doc, id, text)
+    // both sides of the verify join) — eagerly materialized (see Reuse).
+    val sig = Reuse.shared(minhashSignatures(doc, id, text))
     val bands = explode(array((0 until NumHashes / BandRows).map { b =>
       struct(lit(b).as("band_id"),
         concat_ws("-", (0 until BandRows).map(r =>
@@ -166,9 +167,9 @@ object Dedup {
 
   def simhashPairs(doc: DataFrame, id: String = "doc_id",
       text: String = "text", maxHamming: Int = 3): DataFrame = {
-    // One row per doc, consumed by both sides of the chunk self-join;
-    // recomputed per side — see the persist() note in ngramJaccard.
-    val sh = simhash(doc, id, text)
+    // One row per doc, consumed by both sides of the chunk self-join —
+    // eagerly materialized (see Reuse).
+    val sh = Reuse.shared(simhash(doc, id, text))
     val chunks = sh.select(col(id), col("simhash"),
         explode(sequence(lit(0), lit(3))).as("chunk_id"))
       .withColumn("chunk",

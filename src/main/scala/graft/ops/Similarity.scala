@@ -145,10 +145,9 @@ object Similarity {
     val nBands = nBits / bandBits
     val mask = (1L << bandBits) - 1
     // One row per vector, consumed by both band sides and both verify
-    // sides; recomputed per consumer — see the persist() note in
-    // Dedup.ngramJaccard.
-    val sigd = prepared(emb, id, vec).toDF("vid", "q", "n2")
-      .withColumn("sig", hyperplaneSignature(col("q"), nBits))
+    // sides — eagerly materialized (see [[graft.ops.Reuse]]).
+    val sigd = Reuse.shared(prepared(emb, id, vec).toDF("vid", "q", "n2")
+      .withColumn("sig", hyperplaneSignature(col("q"), nBits)))
     val banded = sigd
       .select(col("vid"),
         explode(sequence(lit(0), lit(nBands - 1))).as("band_id"), col("sig"))
