@@ -10,13 +10,25 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // Untimed warmup: pay session/scan/codegen JVM startup once so the
-    // first timed query measures the query, not the JVM.
+    // Untimed warmup: run every query shape once against the SMALLEST
+    // scale factor so the timed loop measures the engine's steady state,
+    // not one-time JVM/codegen compilation (~50% of first-run time on the
+    // heavy queries). Falls back to the target SF's scans if sf0.001 is
+    // absent. Warmup caches are dropped before timing.
     try {
+      val warmDir = {
+        val w = sfDir.replaceAll("sf[0-9.]+/*$", "sf0.001")
+        if (new java.io.File(w).isDirectory) w else sfDir
+      }
+      if (warmDir != sfDir)
+        SparkEntry.queries.values.foreach { fn =>
+          try { fn(spark, warmDir).count() } catch { case _: Throwable => () }
+        }
       graft.ingest.Tables.events(spark, sfDir)
         .groupBy("event_type").count().count()
       spark.read.parquet(s"$sfDir/documents.parquet").count()
       spark.read.parquet(s"$sfDir/embeddings.parquet").count()
+      spark.catalog.clearCache()
     } catch { case _: Throwable => () }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map {
       case (name, fn) =>

@@ -30,18 +30,38 @@ object Tables {
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
     reader(spark).parquet(s"$sfDir/$name.parquet")
 
+  /**
+   * Scale-safe scan fan-out. Parquet scans parallelize by file/row-group;
+   * a table stored as few small single-row-group files scans as 1 task,
+   * serializing all per-row CPU work above it (shingling, hashing,
+   * signature computation). When — and only when — the scan yields fewer
+   * partitions than the session's parallelism, shuffle it out once. At
+   * production scale (thousands of files) the guard is never taken and
+   * this is a no-op: no shuffle is added to a 100 TB scan that is already
+   * wide.
+   */
+  private def fanOut(df: DataFrame): DataFrame = {
+    val want = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < want) df.repartition(want) else df
+  }
+
   /** `events` is the tweet-stream stand-in for batch-verifiable windowed
     * queries (TESTDATA.md): entity = event_type/user_id, weight = value,
     * `props` is a raw-JSON column à la the tweet wire format. */
+  /** events is NOT fanned out: its operators are shuffle-agg-bound, not
+    * per-row-CPU-bound, and the extra repartition measured as a net loss. */
   def events(spark: SparkSession, sfDir: String): DataFrame =
     table(spark, sfDir, "events")
       .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
 
+  /** documents/embeddings feed CPU-dense operators (per-token hashing,
+    * per-dimension signatures) — fan the scan out so that work spreads
+    * across the session's cores even when the table is one small file. */
   def documents(spark: SparkSession, sfDir: String): DataFrame =
-    table(spark, sfDir, "documents")
+    fanOut(table(spark, sfDir, "documents"))
 
   def embeddings(spark: SparkSession, sfDir: String): DataFrame =
-    table(spark, sfDir, "embeddings")
+    fanOut(table(spark, sfDir, "embeddings"))
 
   def lineitem(spark: SparkSession, sfDir: String): DataFrame =
     table(spark, sfDir, "lineitem")

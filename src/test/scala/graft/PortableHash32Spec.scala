@@ -39,7 +39,10 @@ class PortableHash32Spec extends TestBase {
   }
 
   test("stays inside WholeStageCodegen (no eval fallback)") {
-    val d = Tables.documents(spark, sf("sf0.001"))
+    // Raw scan, not Tables.documents: the fan-out repartition there adds
+    // an Exchange whose pre-AQE explain hides the codegen marker; this
+    // test is about the EXPRESSION supporting codegen.
+    val d = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
     val plan = d.select(Hashing.portableHash32(col("text")).as("h"))
       .queryExecution.executedPlan.toString
     // the `*(n)` prefix marks operators inside a WholeStageCodegen stage
