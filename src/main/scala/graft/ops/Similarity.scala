@@ -88,17 +88,25 @@ object Similarity {
         col("cos"))
   }
 
-  /** Sign-bit signature from `nBits` pseudo-random hyperplanes derived
-    * from the portable hash (hyperplane j, dim i weight = ±1 from bit
-    * parity) — a deterministic column expression, reproducible in any
-    * engine with md5 (the DuckDB oracle recomputes it bit-for-bit). */
+  /** Hyperplane signatures support embeddings up to this many dims; the
+    * per-hyperplane weight literal is sliced to the row's actual size. */
+  val MaxSigDims = 1024
+
+  /** Sign-bit signature from `nBits` pseudo-random hyperplanes: weight of
+    * (hyperplane j, dim i) = ±1 from bit (j mod 31) of the portable hash
+    * of "hp<j>:<i>". The weights are DETERMINISTIC, so they are computed
+    * once at plan-build time ([[Hashing.portableHash32Local]]) and inlined
+    * as ±1 literal arrays — the runtime does one multiply-add per dim, no
+    * per-row hashing (previously rows × dims × nBits md5 calls). The
+    * DuckDB oracle recomputes the same weights from md5 bit-for-bit. */
   def hyperplaneSignature(q: Column, nBits: Int): Column = {
     val bits = (0 until nBits).map { j =>
-      // ±1 weights per (hyperplane, dim) from bit j of a per-dim hash
+      val weights = (0 until MaxSigDims).map { i =>
+        if (((Hashing.portableHash32Local(s"hp$j:$i") >> (j % 31)) & 1L) == 0L)
+          1L else -1L
+      }
       val proj = aggregate(
-        zip_with(q, sequence(lit(0), size(q) - 1), (v, i) =>
-          when((shiftright(Hashing.portableHash32(concat(lit(s"hp$j:"),
-            i.cast("string"))), j % 31) % 2) === 0, v).otherwise(-v)),
+        zip_with(q, slice(typedLit(weights), lit(1), size(q)), (v, w) => v * w),
         lit(0L), (acc, v) => acc + v)
       when(proj > 0, lit(1L) * (1L << j)).otherwise(lit(0L))
     }

@@ -134,4 +134,16 @@ object Hashing {
     * Constants are fixed and inlined into both engines' expressions. */
   def seedA(j: Int): Long = ((j + 1) * 2654435761L) % (Mersenne31 - 1) + 1
   def seedB(j: Int): Long = ((j + 7) * 40503L * 65537L) % Mersenne31
+
+  /** Driver-side twin of [[portableHash32]] — same value, computed in
+    * Scala. Used to fold DETERMINISTIC hash-derived constants (e.g. LSH
+    * hyperplane weights) into plan-time literals instead of re-hashing
+    * per row at runtime. Parity-tested against the Spark expression in
+    * PortableHash32Spec. */
+  def portableHash32Local(s: String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s.getBytes("UTF-8")).take(4)
+      .map(b => f"$b%02x").mkString
+    java.lang.Long.parseLong(hex, 16) % Mersenne31
+  }
 }

@@ -30,6 +30,24 @@ class PortableHash32Spec extends TestBase {
     assert(res.passed, res.status.toString)
   }
 
+  test("driver-side twin == native expression (property)") {
+    import spark.implicits._
+    val strGen = Gen.oneOf(
+      Gen.asciiPrintableStr,
+      Gen.listOf(Gen.oneOf("hp0:", "hp15:63", "über", "🙂", ""))
+        .map(_.mkString(":")))
+    val prop = Prop.forAll(Gen.listOfN(30, strGen)) { xs =>
+      val want = xs.map(Hashing.portableHash32Local)
+      val got = xs.toDF("s")
+        .select(Hashing.portableHash32(col("s")).as("h"))
+        .collect().map(_.getLong(0)).toList
+      got == want
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(10), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("native == composed over the documents corpus") {
     val d = Tables.documents(spark, sf("sf0.01"))
     assert(d.select(
