@@ -3,8 +3,9 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.agg.Windows
 import graft.ingest.Tables
-import graft.ops.{Dedup, Hashing, Multimodal, Similarity, TextOps}
+import graft.ops.{AsOf, Dedup, Hashing, Multimodal, Similarity, Skew, TextOps}
 
 /**
  * Training-data-pipeline extension queries (SURVEY.md §7.1 M6): dedup,
@@ -194,7 +195,42 @@ object ExtEntry {
       Multimodal.sampleFrames(
         Multimodal.assetsFromDocuments(docs(s, dir)).filter(
           col("asset_id") < 50))
-        .orderBy("asset_id", "frame_no"))
+        .orderBy("asset_id", "frame_no")),
+
+    // Skew-resilient two-phase salted aggregation — result identical to a
+    // plain GROUP BY (the oracle IS the plain GROUP BY), but the hot key
+    // spreads over 16 reducers in phase 1.
+    "ext17_skew_salted" -> ((s, dir) =>
+      Skew.saltedCountSum(Tables.events(s, dir), col("event_type"),
+          col("value"), col("event_id"))
+        .select(col("key").as("entity"), col("cnt"), col("weight_sum"))
+        .orderBy("entity")),
+
+    // As-of join: each purchase picks up the user's most recent click at
+    // or before the purchase time (point-in-time feature lookup).
+    "ext18_asof_join" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("value"))
+      AsOf.joinAsOf(purchases, clicks, "user_id", "ts",
+          Seq("value"), prefix = "click_")
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("ts_us"), col("value"),
+          // no-prior-click rows keep the reference's -1 sentinel idiom
+          // (null-free output also keeps the row-sorting comparator happy)
+          coalesce(unix_micros(col("click_ts")), lit(-1L))
+            .as("click_ts_us"),
+          coalesce(col("click_value"), lit(-1.0d)).as("click_value"))
+        .orderBy("event_id")
+    }),
+
+    // Session windows per user (6h inactivity gap) — the data-driven
+    // window kind; same operator streams via session_window + watermark.
+    "ext19_session_agg" -> ((s, dir) =>
+      Windows.sessionAgg(Tables.events(s, dir), col("user_id"), col("value"))
+        .orderBy("entity", "session_start_us"))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -475,6 +511,46 @@ object ExtEntry {
          |       rf.rolling_fp
          |FROM documents d JOIN rf ON rf.doc_id = d.doc_id
          |ORDER BY d.doc_id""".stripMargin,
+
+    "ext17_skew_salted" ->
+      """SELECT event_type AS entity, count(*) AS cnt,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS weight_sum
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // DuckDB has a native ASOF JOIN; `>=` matches the rebuild's
+    // equal-timestamp-visible semantics.
+    "ext18_asof_join" ->
+      """WITH p AS (SELECT user_id, ts, event_id, value FROM events
+        |           WHERE event_type = 'purchase'),
+        |     c AS (SELECT user_id, ts, value FROM events
+        |           WHERE event_type = 'click')
+        |SELECT p.event_id, p.user_id, epoch_us(p.ts) AS ts_us, p.value,
+        |       coalesce(epoch_us(c.ts), -1) AS click_ts_us,
+        |       coalesce(c.value, -1.0) AS click_value
+        |FROM p ASOF LEFT JOIN c
+        |  ON p.user_id = c.user_id AND p.ts >= c.ts
+        |ORDER BY p.event_id""".stripMargin,
+
+    // Gaps-and-islands twin of session_window: a 6h-or-more silence
+    // starts a new session; session end = last event + gap.
+    "ext19_session_agg" ->
+      """WITH d AS (
+        |  SELECT user_id, ts, value,
+        |         CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER
+        |                (PARTITION BY user_id ORDER BY ts) < 21600000000
+        |              THEN 0 ELSE 1 END AS new_s
+        |  FROM events),
+        |s AS (
+        |  SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        |    ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM d)
+        |SELECT user_id AS entity,
+        |       min(epoch_us(ts)) AS session_start_us,
+        |       max(epoch_us(ts)) + 21600000000 AS session_end_us,
+        |       count(*) AS n_events,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS weight_sum
+        |FROM s GROUP BY user_id, sid
+        |ORDER BY entity, session_start_us""".stripMargin,
 
     "ext12_multimodal_meta" ->
       """SELECT doc_id AS asset_id,

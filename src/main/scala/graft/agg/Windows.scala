@@ -142,4 +142,28 @@ object Windows {
       sum(col("cnt")).over(
         Window.orderBy(col("window_end"))
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+
+  /**
+   * Session windows — the data-driven member of the window family
+   * (tumbling/hopping above have fixed boundaries). Two events of one
+   * entity merge into a session when they are less than `gap` apart;
+   * the session ends `gap` after its last event. Spark's `session_window`
+   * runs this as one hash-partition-by-entity pass in batch AND under
+   * Structured Streaming (merging session state across micro-batches);
+   * boundaries are µs-exact, so the gaps-and-islands SQL twin reproduces
+   * them bit-for-bit.
+   *
+   * Output times are epoch-µs BIGINTs (portable; see the cross-engine
+   * contract in COVERAGE.md). Weight sums ride DECIMAL(18,6).
+   */
+  def sessionAgg(events: DataFrame, entity: Column, weight: Column,
+      gap: String = "6 hours", ts: String = "ts"): DataFrame =
+    events
+      .groupBy(entity.as("entity"), session_window(col(ts), gap))
+      .agg(count("*").as("n_events"),
+        sum(weight.cast("decimal(18,6)")).cast("double").as("weight_sum"))
+      .select(col("entity"),
+        unix_micros(col("session_window.start")).as("session_start_us"),
+        unix_micros(col("session_window.end")).as("session_end_us"),
+        col("n_events"), col("weight_sum"))
 }
