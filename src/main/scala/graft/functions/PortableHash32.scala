@@ -89,12 +89,18 @@ object PortableHash32 {
 /** Session extension wiring (`SparkSessionExtensions` path): build the
   * session with `.withExtensions(new GraftExtensions)` — or configure
   * `spark.sql.extensions=graft.functions.GraftExtensions` — and
-  * `portable_hash32` resolves in plain SQL. */
+  * `portable_hash32` / `qdot` resolve in plain SQL. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     e.injectFunction((
       org.apache.spark.sql.catalyst.FunctionIdentifier("portable_hash32"),
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[PortableHash32].getName, "portable_hash32"),
       (exprs: Seq[Expression]) => PortableHash32(exprs.head)))
+    e.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("qdot"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[QDotProduct].getName, "qdot"),
+      (exprs: Seq[Expression]) => QDotProduct(exprs.head, exprs(1))))
+  }
 }

@@ -24,9 +24,17 @@ object Similarity {
   def quantize(emb: Column): Column =
     transform(emb, v => floor(v.cast("double") * lit(QuantScale)).cast("long"))
 
-  /** Exact integer dot product of two quantized vectors — zip_with +
-    * aggregate, fully codegen'd, no explode and no shuffle per pair. */
+  /** Exact integer dot product of two quantized vectors — the native
+    * fused expression (one primitive loop, no intermediate array, inside
+    * whole-stage codegen). The composed-builtin specification it was
+    * parity-tested against: `aggregate(zip_with(a, b, _*_), 0L, _+_)`
+    * (kept below for readability and spec tests). */
   def qdot(a: Column, b: Column): Column =
+    graft.functions.QDotProduct(a, b)
+
+  /** Built-in-composed equivalent of [[qdot]] — readable specification,
+    * used in parity tests (QDotProductSpec). */
+  def qdotComposed(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
 
   def qnorm2(a: Column): Column = qdot(a, a)
@@ -105,9 +113,7 @@ object Similarity {
         if (((Hashing.portableHash32Local(s"hp$j:$i") >> (j % 31)) & 1L) == 0L)
           1L else -1L
       }
-      val proj = aggregate(
-        zip_with(q, slice(typedLit(weights), lit(1), size(q)), (v, w) => v * w),
-        lit(0L), (acc, v) => acc + v)
+      val proj = qdot(q, slice(typedLit(weights), lit(1), size(q)))
       when(proj > 0, lit(1L) * (1L << j)).otherwise(lit(0L))
     }
     bits.reduce(_ + _)

@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+
+import graft.functions.QDotProduct
+import graft.ops.Similarity
+
+/** The native fused dot product must agree with the composed built-in
+  * specification on every input and run inside whole-stage codegen. */
+class QDotProductSpec extends TestBase {
+
+  test("native == composed on arbitrary long vectors (property)") {
+    import spark.implicits._
+    val vecGen = Gen.listOfN(16, Gen.chooseNum(-1000000L, 1000000L))
+    val prop = Prop.forAll(Gen.listOfN(20, Gen.zip(vecGen, vecGen))) { xs =>
+      val df = xs.toDF("a", "b")
+      df.select(
+          Similarity.qdot(col("a"), col("b")).as("x"),
+          Similarity.qdotComposed(col("a"), col("b")).as("y"))
+        .filter(col("x") =!= col("y")).count() == 0
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(10), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("native == composed over the embeddings corpus") {
+    val e = graft.ingest.Tables.embeddings(spark, sf("sf0.01"))
+      .select(Similarity.quantize(col("embedding")).as("q"))
+    assert(e.select(
+        Similarity.qdot(col("q"), col("q")).as("x"),
+        Similarity.qdotComposed(col("q"), col("q")).as("y"))
+      .filter(col("x") =!= col("y")).count() == 0)
+  }
+
+  test("null array yields null; SQL registration resolves") {
+    import spark.implicits._
+    QDotProduct.register(spark)
+    val got = Seq((Some(Seq(1L, 2L)), Some(Seq(3L, 4L))),
+        (None, Some(Seq(3L, 4L))))
+      .toDF("a", "b")
+      .selectExpr("qdot(a, b) AS d")
+      .collect().map(r => if (r.isNullAt(0)) Long.MinValue else r.getLong(0))
+    assert(got.toSeq === Seq(11L, Long.MinValue))
+  }
+
+  test("stays inside WholeStageCodegen (no eval fallback)") {
+    val d = spark.read.parquet(sf("sf0.001") + "/embeddings.parquet")
+      .select(Similarity.quantize(col("embedding")).as("q"))
+    val plan = d.select(Similarity.qdot(col("q"), col("q")).as("d"))
+      .queryExecution.executedPlan.toString
+    // The quantize transform() lambda is never codegen'd (its Project has
+    // no *(n) prefix); the qdot projection itself must be — assert the
+    // line carrying qdot( sits inside a WholeStageCodegen span.
+    val qdotLine = plan.linesIterator.find(_.contains("qdot(")).getOrElse("")
+    assert(qdotLine.matches(""".*\*\(\d+\) Project.*"""), plan)
+  }
+}
