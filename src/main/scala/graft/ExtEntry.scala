@@ -5,7 +5,8 @@ import org.apache.spark.sql.functions._
 
 import graft.agg.Windows
 import graft.ingest.Tables
-import graft.ops.{AsOf, Dedup, Hashing, Multimodal, Similarity, Skew, TextOps}
+import graft.ops.{AsOf, Dedup, Hashing, IntervalJoin, Multimodal, Similarity,
+  Sketches, Skew, Splits, TextOps}
 
 /**
  * Training-data-pipeline extension queries (SURVEY.md §7.1 M6): dedup,
@@ -230,7 +231,38 @@ object ExtEntry {
     // window kind; same operator streams via session_window + watermark.
     "ext19_session_agg" -> ((s, dir) =>
       Windows.sessionAgg(Tables.events(s, dir), col("user_id"), col("value"))
-        .orderBy("entity", "session_start_us"))
+        .orderBy("entity", "session_start_us")),
+
+    // Deterministic hash-based train/val/test split — reproducible across
+    // engines/reruns/appends, pure projection (no shuffle, no RNG).
+    "ext20_split_assign" -> ((s, dir) =>
+      Splits.assign(docs(s, dir), col("doc_id"))
+        .select("doc_id", "bucket", "split")
+        .orderBy("doc_id")),
+
+    // KMV distinct sketch per event_type — deterministic portable-hash
+    // sketch, so even the ESTIMATE is oracle-checked (impossible with
+    // engine-private HLL). exact_distinct rides along for error checks.
+    "ext21_kmv_distinct" -> ((s, dir) =>
+      Sketches.kmvDistinct(Tables.events(s, dir), col("event_type"),
+          col("user_id"))
+        .orderBy("entity")),
+
+    // Binned interval join: clicks in the hour before each purchase,
+    // per user — bounded-fan-out range join (hash join on (key, bin) +
+    // residual range filter), never a per-key cross product.
+    "ext22_interval_join" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select("user_id", "ts")
+      IntervalJoin.countRecent(purchases, clicks, "user_id", "ts",
+          3600000000L, "n_clicks_1h")
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("ts_us"), col("n_clicks_1h"))
+        .orderBy("event_id")
+    })
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -560,6 +592,51 @@ object ExtEntry {
         |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         |  sha256(text) AS digest,
         |  lower(hex(substr(text, 1, 8))) AS head_hex
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "ext20_split_assign" ->
+      s"""SELECT doc_id,
+         |  ${hashSql("'split:' || CAST(doc_id AS VARCHAR)")} % 100 AS bucket,
+         |  CASE WHEN bucket < 90 THEN 'train'
+         |       WHEN bucket < 95 THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // The oracle recomputes the KMV estimate itself — (k-1)·P is inlined
+    // as the identical double literal so the division is bit-for-bit.
+    "ext21_kmv_distinct" ->
+      s"""WITH pairs AS (
+         |  SELECT DISTINCT event_type AS entity,
+         |         ${hashSql("'kmv:' || CAST(user_id AS VARCHAR)")} AS h
+         |  FROM events),
+         |r AS (SELECT entity, h, row_number() OVER (
+         |        PARTITION BY entity ORDER BY h) AS rn FROM pairs),
+         |mins AS (SELECT entity, count(*) AS n_mins, max(h) AS kth_min
+         |         FROM r WHERE rn <= ${Sketches.DefaultK} GROUP BY 1),
+         |exact AS (SELECT event_type AS entity,
+         |                 count(DISTINCT user_id) AS exact_distinct
+         |          FROM events GROUP BY 1)
+         |SELECT m.entity, m.n_mins, m.kth_min,
+         |       CASE WHEN m.n_mins < ${Sketches.DefaultK}
+         |            THEN CAST(m.n_mins AS DOUBLE)
+         |            ELSE ${(Sketches.DefaultK - 1).toDouble * P.toDouble}
+         |                 / CAST(m.kth_min AS DOUBLE) END AS est_distinct,
+         |       e.exact_distinct
+         |FROM mins m JOIN exact e USING (entity)
+         |ORDER BY entity""".stripMargin,
+
+    // The oracle uses the naive unbinned range join — the binning is an
+    // execution strategy, not a semantic; results must be identical.
+    "ext22_interval_join" ->
+      """WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS us
+        |           FROM events WHERE event_type = 'purchase'),
+        |     c AS (SELECT user_id, epoch_us(ts) AS us
+        |           FROM events WHERE event_type = 'click')
+        |SELECT p.event_id, p.user_id, p.us AS ts_us,
+        |       count(c.us) AS n_clicks_1h
+        |FROM p LEFT JOIN c ON c.user_id = p.user_id
+        |  AND c.us >= p.us - 3600000000 AND c.us < p.us
+        |GROUP BY 1, 2, 3
+        |ORDER BY p.event_id""".stripMargin
   )
 }

@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.{IntervalJoin, Sketches, Splits}
+
+/** Unit coverage for the split / sketch / interval-join pipeline ops. */
+class PipelineOpsSpec extends TestBase {
+
+  test("splits: deterministic, stable under repartition, cutoffs honored") {
+    import spark.implicits._
+    val ids = spark.range(0, 2000).toDF("id")
+    val a = Splits.assign(ids, col("id")).select("id", "bucket", "split")
+    val b = Splits.assign(ids.repartition(7), col("id"))
+      .select("id", "bucket", "split")
+    assert(a.except(b).isEmpty && b.except(a).isEmpty)
+    val rows = a.as[(Long, Long, String)].collect()
+    assert(rows.forall { case (_, bk, sp) =>
+      bk >= 0 && bk < 100 &&
+        sp == (if (bk < 90) "train" else if (bk < 95) "val" else "test")
+    })
+    // Hash-uniformity sanity: each split is near its nominal share.
+    val frac = rows.count(_._3 == "train").toDouble / rows.length
+    assert(frac > 0.85 && frac < 0.95)
+  }
+
+  test("splits: salt namespaces independent assignments") {
+    import spark.implicits._
+    val ids = spark.range(0, 500).toDF("id")
+    val s1 = Splits.assign(ids, col("id"), salt = "exp1")
+      .select($"id", $"bucket".as("b1"))
+    val s2 = Splits.assign(ids, col("id"), salt = "exp2")
+      .select($"id", $"bucket".as("b2"))
+    val differing = s1.join(s2, "id").filter($"b1" =!= $"b2").count()
+    assert(differing > 400) // ~99% differ for independent hashes
+  }
+
+  test("kmv: exact below k, close estimate above k") {
+    import spark.implicits._
+    // Group "small": 10 distinct values (< k=64) → est must equal exact.
+    // Group "big": 5000 distinct values → |est/exact - 1| small for k=64.
+    val small = (1 to 10).flatMap(v => Seq(("small", v), ("small", v)))
+    val big = (1 to 5000).map(v => ("big", v))
+    val df = (small ++ big).toDF("g", "v")
+    val got = Sketches.kmvDistinct(df, col("g"), col("v"))
+      .select("entity", "est_distinct", "exact_distinct")
+      .as[(String, Double, Long)].collect().map(r => r._1 -> r).toMap
+    assert(got("small")._2 == 10.0 && got("small")._3 == 10L)
+    val (est, exact) = (got("big")._2, got("big")._3.toDouble)
+    assert(exact == 5000.0 && math.abs(est / exact - 1.0) < 0.35)
+  }
+
+  test("interval join: [t-i, t) bounds, cross-bin matches, empty left") {
+    import spark.implicits._
+    val i = 100L // µs interval → bins of 100
+    def ts(us: Long) = expr(s"timestamp_micros($us)")
+    val left = Seq((1L, "u1", 250L), (2L, "u1", 300L), (3L, "u2", 250L))
+      .toDF("id", "k", "us")
+      .select($"id", $"k", expr("timestamp_micros(us)").as("t"))
+    // Left 250 sees [150, 250): 150 (t-i inclusive) and 249 — not 149,
+    // not 250 (t exclusive). Left 300 sees [200, 300): 249 and 250 —
+    // 250 crosses a bin boundary relative to 300's bin. u2: no rights → 0.
+    val right = Seq(("u1", 149L), ("u1", 150L), ("u1", 249L),
+        ("u1", 250L), ("u1", 305L))
+      .toDF("k", "us").select($"k", expr("timestamp_micros(us)").as("t"))
+    val got = IntervalJoin.countRecent(left, right, "k", "t", i, "n")
+      .select("id", "n").as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 2L, 2L -> 2L, 3L -> 0L))
+  }
+}
