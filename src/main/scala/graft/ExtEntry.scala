@@ -5,8 +5,8 @@ import org.apache.spark.sql.functions._
 
 import graft.agg.Windows
 import graft.ingest.Tables
-import graft.ops.{AsOf, Dedup, Hashing, IntervalJoin, Multimodal, Similarity,
-  Sketches, Skew, Splits, TextOps}
+import graft.ops.{AsOf, Dedup, Hashing, IntervalJoin, Multimodal, Packing,
+  Similarity, Sketches, Skew, Splits, TextOps}
 
 /**
  * Training-data-pipeline extension queries (SURVEY.md §7.1 M6): dedup,
@@ -262,7 +262,16 @@ object ExtEntry {
         .select(col("event_id"), col("user_id"),
           unix_micros(col("ts")).as("ts_us"), col("n_clicks_1h"))
         .orderBy("event_id")
-    })
+    }),
+
+    // Sequence packing: global token prefix-sum in doc_id order via the
+    // two-phase distributed scan (the oracle's single-partition window
+    // states the semantics; the operator's plan is the scalable one).
+    "ext23_pack_chunks" -> ((s, dir) =>
+      Packing.concatChunks(docs(s, dir).select("doc_id", "text"),
+          col("doc_id"), size(split(col("text"), " ")), 1024L)
+        .select("doc_id", "n_toks", "first_tok", "chunk_id")
+        .orderBy("doc_id"))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -637,6 +646,19 @@ object ExtEntry {
         |FROM p LEFT JOIN c ON c.user_id = p.user_id
         |  AND c.us >= p.us - 3600000000 AND c.us < p.us
         |GROUP BY 1, 2, 3
-        |ORDER BY p.event_id""".stripMargin
+        |ORDER BY p.event_id""".stripMargin,
+
+    "ext23_pack_chunks" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, n_toks,
+        |         CAST(SUM(n_toks) OVER (ORDER BY doc_id
+        |           ROWS UNBOUNDED PRECEDING) AS BIGINT) - n_toks AS first_tok
+        |  FROM t)
+        |SELECT doc_id, n_toks, first_tok, first_tok // 1024 AS chunk_id
+        |FROM c ORDER BY doc_id""".stripMargin
   )
 }

@@ -1,0 +1,81 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/**
+ * Sequence packing — the "concatenate the corpus and cut every `budget`
+ * tokens" step that turns variable-length documents into fixed-size
+ * training chunks (GPT-style packing). Each document is assigned the
+ * chunk that contains its first token; `first_tok` is its global token
+ * offset in the concatenated stream.
+ *
+ * The semantics are a global prefix sum over documents in `ord` order —
+ * but the obvious encoding, `SUM(...) OVER (ORDER BY ord)` with no
+ * PARTITION BY, collapses the whole table into ONE window partition: a
+ * single task scans 100 TB (the DuckDB oracle uses exactly that form —
+ * correct semantics, non-scalable plan). This implementation is the
+ * classic two-phase distributed scan instead:
+ *
+ *  1. range-repartition by `ord` (partition i holds strictly smaller
+ *     keys than partition i+1) and sort within partitions — the only
+ *     full shuffle, and the same one any global ordering needs — then
+ *     `localCheckpoint` to freeze the partitioning, so the two passes
+ *     below read the SAME materialized partitions (no nondeterministic
+ *     re-sampling of range bounds, no recomputed shuffle);
+ *  2. per-partition token totals — one row per partition — collected
+ *     and scanned into exclusive partition offsets on the driver.
+ *     Driver traffic is O(partitions), never O(rows);
+ *  3. a per-partition running sum seeded with the partition's offset —
+ *     `mapPartitionsWithIndex` over the frozen partitions, each task a
+ *     sequential fold over its own sorted slice, all tasks parallel.
+ *     (A `Window.partitionBy(pid)` would express the same fold but
+ *     re-shuffle every row a second time to co-locate what is already
+ *     co-located; the imperative scan is the honest plan here.)
+ */
+object Packing {
+
+  /**
+   * Output: input columns + `n_toks`, `first_tok` (exclusive global
+   * prefix sum of `tokens` in `ord` order) and `chunk_id`
+   * (= first_tok / budget). `ord` must be globally unique (it defines
+   * the packing order).
+   */
+  def concatChunks(df: DataFrame, ord: Column, tokens: Column,
+      budget: Long): DataFrame = {
+    require(budget > 0, "chunk budget must be positive")
+    val spark = df.sparkSession
+    val parts = math.max(spark.sparkContext.defaultParallelism, 1)
+    val sorted = df
+      .withColumn("_toks", tokens.cast("long"))
+      .repartitionByRange(parts, ord)
+      .sortWithinPartitions(ord)
+      .localCheckpoint()
+
+    // Phase 2: one row per partition → exclusive offsets on the driver.
+    val partSums = sorted.groupBy(spark_partition_id().as("_pid"))
+      .agg(sum(col("_toks")).as("_psum"))
+      .collect()
+      .map(r => r.getInt(0) -> r.getLong(1))
+      .toMap
+    val offsets = (0 until parts).scanLeft(0L) {
+      (acc, pid) => acc + partSums.getOrElse(pid, 0L)
+    }.toArray
+
+    // Phase 3: seeded per-partition scan over the frozen partitions.
+    val tIdx = sorted.schema.fieldIndex("_toks")
+    val scanned = sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
+      var run = offsets(pid)
+      it.map { r =>
+        val first = run
+        run += r.getLong(tIdx)
+        Row.fromSeq(r.toSeq :+ first)
+      }
+    }
+    spark.createDataFrame(scanned,
+        sorted.schema.add("first_tok", LongType, nullable = false))
+      .withColumnRenamed("_toks", "n_toks")
+      .withColumn("chunk_id", floor(col("first_tok") / budget))
+  }
+}

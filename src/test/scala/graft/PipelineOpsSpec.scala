@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.ops.{IntervalJoin, Sketches, Splits}
+import graft.ops.{IntervalJoin, Packing, Sketches, Splits}
 
 /** Unit coverage for the split / sketch / interval-join pipeline ops. */
 class PipelineOpsSpec extends TestBase {
@@ -66,5 +66,26 @@ class PipelineOpsSpec extends TestBase {
     val got = IntervalJoin.countRecent(left, right, "k", "t", i, "n")
       .select("id", "n").as[(Long, Long)].collect().toMap
     assert(got == Map(1L -> 2L, 2L -> 2L, 3L -> 0L))
+  }
+
+  test("packing: two-phase prefix sum equals sequential fold") {
+    import spark.implicits._
+    // Unsorted, unevenly-partitioned input: the op must produce the
+    // global doc_id-ordered prefix sum regardless of input layout.
+    val sizes = (1L to 300L).map(i => i -> (i % 17 + 1))
+    val df = spark.createDataFrame(scala.util.Random.shuffle(sizes))
+      .toDF("doc_id", "n").repartition(5)
+    val got = Packing
+      .concatChunks(df, col("doc_id"), col("n"), budget = 10L)
+      .select("doc_id", "n_toks", "first_tok", "chunk_id")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    var run = 0L
+    sizes.zip(got).foreach { case ((id, n), (gid, gn, first, chunk)) =>
+      assert(gid == id && gn == n && first == run && chunk == run / 10)
+      run += n
+    }
+    // A doc straddling a budget boundary belongs to its FIRST token's
+    // chunk — consecutive docs may share a chunk_id, never skip back.
+    assert(got.map(_._4).toSeq == got.map(_._4).toSeq.sorted)
   }
 }
