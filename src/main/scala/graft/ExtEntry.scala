@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.agg.Windows
 import graft.ingest.Tables
 import graft.ops.{AsOf, Dedup, Hashing, IntervalJoin, Multimodal, Packing,
-  Similarity, Sketches, Skew, Splits, TextOps}
+  Sampling, Similarity, Sketches, Skew, Splits, TextOps}
 
 /**
  * Training-data-pipeline extension queries (SURVEY.md §7.1 M6): dedup,
@@ -242,9 +242,11 @@ object ExtEntry {
 
     // KMV distinct sketch per event_type — deterministic portable-hash
     // sketch, so even the ESTIMATE is oracle-checked (impossible with
-    // engine-private HLL). exact_distinct rides along for error checks.
+    // engine-private HLL). Aggregator form: ≤k int64s of state per group
+    // per map task, map-side combined. exact_distinct rides along for
+    // error checks.
     "ext21_kmv_distinct" -> ((s, dir) =>
-      Sketches.kmvDistinct(Tables.events(s, dir), col("event_type"),
+      Sketches.kmvDistinctAgg(Tables.events(s, dir), col("event_type"),
           col("user_id"))
         .orderBy("entity")),
 
@@ -271,7 +273,29 @@ object ExtEntry {
       Packing.concatChunks(docs(s, dir).select("doc_id", "text"),
           col("doc_id"), size(split(col("text"), " ")), 1024L)
         .select("doc_id", "n_toks", "first_tok", "chunk_id")
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    // Per-stratum quality quantiles — the "pick the filter threshold"
+    // step of corpus curation. Exact `percentile` (sort-based) — at
+    // 100 TB swap for approx_percentile; the exact form is what the
+    // oracle can replay.
+    "ext24_quality_quantiles" -> ((s, dir) =>
+      TextOps.quality(docs(s, dir))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          expr("percentile(quality_score, array(0.25D, 0.5D, 0.9D))")
+            .as("qs"))
+        .select(col("lang"), col("n_docs"), col("qs")(0).as("p25"),
+          col("qs")(1).as("p50"), col("qs")(2).as("p90"))
+        .orderBy("lang")),
+
+    // Deterministic stratified sample: exactly min(20, |stratum|) docs
+    // per (lang, source), chosen by portable hash — WindowGroupLimit
+    // keeps per-task top-k before the shuffle.
+    "ext25_stratified_sample" -> ((s, dir) =>
+      Sampling.stratifiedTopK(docs(s, dir).select("doc_id", "lang",
+          "source"), Seq("lang", "source"), col("doc_id"), 20)
+        .orderBy("lang", "source", "rank"))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -659,6 +683,33 @@ object ExtEntry {
         |           ROWS UNBOUNDED PRECEDING) AS BIGINT) - n_toks AS first_tok
         |  FROM t)
         |SELECT doc_id, n_toks, first_tok, first_tok // 1024 AS chunk_id
-        |FROM c ORDER BY doc_id""".stripMargin
+        |FROM c ORDER BY doc_id""".stripMargin,
+
+    "ext24_quality_quantiles" ->
+      s"""WITH q AS (
+         |  SELECT lang,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+         |    CAST(len(list_filter(string_split(text, ' '),
+         |      t -> t IN ($stopList))) AS BIGINT) AS n_stop,
+         |    least(CAST(n_words AS DOUBLE) / 100.0, 1.0) * 0.5 +
+         |      (CAST(n_stop AS DOUBLE) / CAST(n_words AS DOUBLE)) * 0.5
+         |      AS quality_score
+         |  FROM documents)
+         |SELECT lang, count(*) AS n_docs,
+         |       quantile_cont(quality_score, 0.25) AS p25,
+         |       quantile_cont(quality_score, 0.5) AS p50,
+         |       quantile_cont(quality_score, 0.9) AS p90
+         |FROM q GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "ext25_stratified_sample" ->
+      s"""WITH h AS (
+         |  SELECT doc_id, lang, source,
+         |         ${hashSql("'samp:' || CAST(doc_id AS VARCHAR)")} AS h
+         |  FROM documents),
+         |r AS (SELECT doc_id, lang, source, row_number() OVER (
+         |        PARTITION BY lang, source ORDER BY h, doc_id) AS rank
+         |      FROM h)
+         |SELECT doc_id, lang, source, CAST(rank AS BIGINT) AS rank
+         |FROM r WHERE rank <= 20 ORDER BY lang, source, rank""".stripMargin
   )
 }

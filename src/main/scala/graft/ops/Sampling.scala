@@ -1,0 +1,48 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Deterministic sampling for corpus construction.
+ *
+ * Like [[Splits]], selection is by portable hash, not RNG: the sample is
+ * reproducible across engines and reruns, stable under repartitioning,
+ * and append-stable in the sense that a document's hash rank never
+ * changes (new docs can displace old ones only at the stratum boundary).
+ *
+ * Scale shape: `row_number` over (stratum ORDER BY hash) + `rank <= k`
+ * filter is recognized by Catalyst's WindowGroupLimit rule — each map
+ * task keeps only its local top-k per stratum BEFORE the shuffle, so the
+ * exchange carries O(strata × k × tasks) rows, not the corpus. A
+ * hash-threshold Bernoulli sample (`hash % N < M`, no shuffle at all) is
+ * the alternative when the size need only be approximate; the fixed-k
+ * variant is exact.
+ */
+object Sampling {
+
+  /** Exactly min(k, |stratum|) docs per stratum, smallest portable hash
+    * first; `rank` (1-based) is the selection order within the stratum. */
+  def stratifiedTopK(df: DataFrame, strata: Seq[String], id: Column,
+      k: Int, salt: String = "samp"): DataFrame = {
+    val h = Hashing.portableHash32(
+      concat(lit(salt + ":"), id.cast("string")))
+    val w = Window.partitionBy(strata.map(col): _*)
+      .orderBy(col("_h"), id)
+    df.withColumn("_h", h)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .drop("_h")
+  }
+
+  /** Approximate-rate Bernoulli sample: keep iff hash(id) mod den < num.
+    * Pure projection — no shuffle, no state; composes with [[Splits]]. */
+  def bernoulli(df: DataFrame, id: Column, num: Int, den: Int = 1000,
+      salt: String = "samp"): DataFrame = {
+    require(num >= 0 && num <= den, "rate must be within [0, den]")
+    val h = Hashing.portableHash32(
+      concat(lit(salt + ":"), id.cast("string")))
+    df.filter(h % den < num)
+  }
+}

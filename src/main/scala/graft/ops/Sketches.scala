@@ -1,7 +1,8 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.{Aggregator, Window}
 import org.apache.spark.sql.functions._
 
 /**
@@ -46,14 +47,83 @@ object Sketches {
       .agg(count(lit(1)).as("n_mins"), max(col("h")).as("kth_min"))
     val exact = df.groupBy(group.as("entity"))
       .agg(countDistinct(value).as("exact_distinct"))
-    // (k-1)*P as one plan-time double literal; the estimate is then a
-    // single IEEE division — bit-identical across engines.
-    val numer = (k - 1).toDouble * Hashing.Mersenne31.toDouble
     mins.join(exact, Seq("entity"))
       .select(col("entity"), col("n_mins"), col("kth_min"),
-        when(col("n_mins") < k, col("n_mins").cast("double"))
-          .otherwise(lit(numer) / col("kth_min").cast("double"))
-          .as("est_distinct"),
-        col("exact_distinct"))
+        estCol(k), col("exact_distinct"))
   }
+
+  /**
+   * Same sketch as [[kmvDistinct]], computed as a typed bounded
+   * [[KmvAgg]] `Aggregator` — the scale path. The window form first
+   * materializes and SHUFFLES every distinct (group, hash) pair; this
+   * form keeps a ≤k-element sorted buffer per group per map task, so
+   * the exchange carries at most k int64s per (group × partition)
+   * regardless of cardinality — the partial-aggregation shape that
+   * makes a distinct sketch affordable over 100 TB. The two forms are
+   * parity-tested (the sketch is a pure function of the hash SET, so
+   * merge order cannot change it).
+   */
+  def kmvDistinctAgg(df: DataFrame, group: Column, value: Column,
+      k: Int = DefaultK): DataFrame = {
+    val h = Hashing.portableHash32(
+      concat(lit("kmv:"), value.cast("string")))
+    val fn = udaf(new KmvAgg(k), Encoders.scalaLong)
+    df.groupBy(group.as("entity"))
+      .agg(fn(h).as("s"), countDistinct(value).as("exact_distinct"))
+      .select(col("entity"), col("s.nMins").as("n_mins"),
+        col("s.kthMin").as("kth_min"), estCol(k), col("exact_distinct"))
+  }
+
+  /** D̂ from (n_mins, kth_min): exact below k, (k-1)·P/h_k at k. The
+    * numerator folds to one double literal so the estimate is a single
+    * IEEE division — bit-identical across engines. */
+  private def estCol(k: Int): Column = {
+    val numer = (k - 1).toDouble * Hashing.Mersenne31.toDouble
+    when(col("n_mins") < k, col("n_mins").cast("double"))
+      .otherwise(lit(numer) / col("kth_min").cast("double"))
+      .as("est_distinct")
+  }
+}
+
+/** Sketch summary: how many mins are held (< k ⇒ the set is exact) and
+  * the k-th smallest distinct hash. */
+case class KmvSummary(nMins: Long, kthMin: Long)
+
+/**
+ * Bounded KMV buffer: the ≤k smallest DISTINCT hash values, kept sorted
+ * ascending. `merge` = union → distinct → k smallest, which is
+ * associative, commutative and idempotent-per-value — the result is a
+ * pure function of the input hash set, independent of partitioning and
+ * merge order. State is at most k int64s, so map-side partial
+ * aggregation bounds both memory and shuffle bytes.
+ */
+class KmvAgg(k: Int) extends Aggregator[Long, Seq[Long], KmvSummary] {
+  require(k > 1)
+
+  override def zero: Seq[Long] = Vector.empty
+
+  override def reduce(b: Seq[Long], h: Long): Seq[Long] =
+    if (b.contains(h)) b
+    else if (b.size < k) insert(b, h)
+    else if (h < b.last) insert(b.init, h)
+    else b
+
+  private def insert(b: Seq[Long], h: Long): Seq[Long] = {
+    val i = b.indexWhere(_ > h) match {
+      case -1 => b.size
+      case n  => n
+    }
+    (b.take(i) :+ h) ++ b.drop(i)
+  }
+
+  override def merge(b1: Seq[Long], b2: Seq[Long]): Seq[Long] =
+    (b1 ++ b2).distinct.sorted.take(k)
+
+  override def finish(r: Seq[Long]): KmvSummary =
+    KmvSummary(r.size.toLong, if (r.isEmpty) 0L else r.last)
+
+  override def bufferEncoder: Encoder[Seq[Long]] =
+    ExpressionEncoder[Seq[Long]]()
+  override def outputEncoder: Encoder[KmvSummary] =
+    ExpressionEncoder[KmvSummary]()
 }

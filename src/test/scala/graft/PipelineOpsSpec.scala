@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.ops.{IntervalJoin, Packing, Sketches, Splits}
+import graft.ops.{IntervalJoin, Packing, Sampling, Sketches, Splits}
 
 /** Unit coverage for the split / sketch / interval-join pipeline ops. */
 class PipelineOpsSpec extends TestBase {
@@ -50,6 +50,13 @@ class PipelineOpsSpec extends TestBase {
     assert(exact == 5000.0 && math.abs(est / exact - 1.0) < 0.35)
   }
 
+  test("kmv: aggregator form matches window form on real data") {
+    val ev = graft.ingest.Tables.events(spark, sf("sf0.001"))
+    val a = Sketches.kmvDistinct(ev, col("event_type"), col("user_id"))
+    val b = Sketches.kmvDistinctAgg(ev, col("event_type"), col("user_id"))
+    assert(a.except(b).isEmpty && b.except(a).isEmpty && b.count() > 0)
+  }
+
   test("interval join: [t-i, t) bounds, cross-bin matches, empty left") {
     import spark.implicits._
     val i = 100L // µs interval → bins of 100
@@ -87,5 +94,29 @@ class PipelineOpsSpec extends TestBase {
     // A doc straddling a budget boundary belongs to its FIRST token's
     // chunk — consecutive docs may share a chunk_id, never skip back.
     assert(got.map(_._4).toSeq == got.map(_._4).toSeq.sorted)
+  }
+
+  test("sampling: stratified takes exactly min(k, stratum) per stratum") {
+    import spark.implicits._
+    val df = ((1 to 50).map(i => (i.toLong, "a")) ++
+        (51 to 60).map(i => (i.toLong, "b"))).toDF("id", "st")
+    val got = Sampling.stratifiedTopK(df, Seq("st"), col("id"), 20)
+    val bySt = got.groupBy("st").count().as[(String, Long)].collect().toMap
+    assert(bySt == Map("a" -> 20L, "b" -> 10L))
+    val again = Sampling.stratifiedTopK(df.repartition(7), Seq("st"),
+      col("id"), 20)
+    assert(got.select("id", "st", "rank")
+      .except(again.select("id", "st", "rank")).isEmpty)
+  }
+
+  test("sampling: bernoulli near-nominal rate, monotone in the rate") {
+    import spark.implicits._
+    val ids = spark.range(0, 3000).toDF("id")
+    val s100 = Sampling.bernoulli(ids, col("id"), 100)
+      .as[Long].collect().toSet
+    val s300 = Sampling.bernoulli(ids, col("id"), 300)
+      .as[Long].collect().toSet
+    assert(math.abs(s100.size / 3000.0 - 0.10) < 0.03)
+    assert(s100.subsetOf(s300)) // raising the rate only adds rows
   }
 }
