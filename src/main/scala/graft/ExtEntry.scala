@@ -295,7 +295,27 @@ object ExtEntry {
     "ext25_stratified_sample" -> ((s, dir) =>
       Sampling.stratifiedTopK(docs(s, dir).select("doc_id", "lang",
           "source"), Seq("lang", "source"), col("doc_id"), 20)
-        .orderBy("lang", "source", "rank"))
+        .orderBy("lang", "source", "rank")),
+
+    // Bucketed-layout join: both sides written bucketBy(orderkey) once,
+    // then joined + aggregated with ZERO exchanges (BucketedJoinSpec
+    // asserts the plan) — the pay-once data-layout answer to a join
+    // that would otherwise shuffle 100 TB per run.
+    "ext26_bucketed_join" -> ((s, dir) => {
+      val base = "/tmp/graft_bucketed/" + dir.replaceAll("[^a-zA-Z0-9]", "_")
+      graft.sources.BucketedTables.writeBucketed(Tables.lineitem(s, dir),
+        "graft_li_b", s"$base/li", "l_orderkey", 8)
+      graft.sources.BucketedTables.writeBucketed(Tables.orders(s, dir),
+        "graft_ord_b", s"$base/ord", "o_orderkey", 8)
+      graft.sources.BucketedTables
+        .bucketedJoin(s, "graft_ord_b", "graft_li_b", "o_orderkey",
+          "l_orderkey")
+        .groupBy("o_orderkey")
+        .agg(count(lit(1)).as("n_items"),
+          sum(col("l_extendedprice").cast("decimal(18,6)"))
+            .cast("double").as("sum_price"))
+        .orderBy("o_orderkey")
+    })
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -710,6 +730,15 @@ object ExtEntry {
          |        PARTITION BY lang, source ORDER BY h, doc_id) AS rank
          |      FROM h)
          |SELECT doc_id, lang, source, CAST(rank AS BIGINT) AS rank
-         |FROM r WHERE rank <= 20 ORDER BY lang, source, rank""".stripMargin
+         |FROM r WHERE rank <= 20 ORDER BY lang, source, rank""".stripMargin,
+
+    // Bucketing is a layout strategy, not a semantic: the oracle is the
+    // plain join over the original parquet.
+    "ext26_bucketed_join" ->
+      """SELECT o_orderkey, count(*) AS n_items,
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)
+        |         AS sum_price
+        |FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

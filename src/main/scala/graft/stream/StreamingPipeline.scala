@@ -85,6 +85,21 @@ object StreamingPipeline {
       .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
   }
 
+  /**
+   * Streaming per-id dedup — the streaming twin of batch `Dedup.exact`
+   * (ext01). At-least-once sources (file replay after restart, Kafka with
+   * producer retries) re-deliver tweets; `dropDuplicatesWithinWatermark`
+   * keys state by id and EXPIRES each key once the watermark passes its
+   * event time, so dedup state is bounded by the disorder window — a
+   * plain streaming `dropDuplicates` keeps every id forever and OOMs a
+   * 100 TB replay. Trade-off (documented, matches the reference's
+   * at-least-once EventHub forwarding): a duplicate arriving later than
+   * the watermark is not caught.
+   */
+  def dedupedTweetStream(tweets: DataFrame): DataFrame =
+    tweets.withWatermark("ts", Watermark)
+      .dropDuplicatesWithinWatermark("id")
+
   /** Per-hashtag hopping-window aggregate stream (OP-21/23/24). */
   def hashtagAggStream(tweets: DataFrame): DataFrame =
     tweets

@@ -334,6 +334,32 @@ class StreamingSpec extends TestBase {
     assert(parsed.count() == 300) // 304 lines, 4 dropped (missing/empty/zero ts, non-JSON)
   }
 
+  test("streaming dedup drops re-delivered ids, passes uniques (ext01 twin)") {
+    val dir = Files.createTempDirectory("graft-dedup").toFile
+    val ckpt = Files.createTempDirectory("graft-dedup-ckpt").toString
+    def line(id: Long, tsMs: Long) =
+      s"""{"id":$id,"text":"t$id","timestamp_ms":"$tsMs","entities":{"hashtags":[],"user_mentions":[]},"user":{"followers_count":1,"screen_name":"u"},"retweeted_status":null}"""
+    val base = 1704067200000L
+    // File A: ids 0..99. File B re-delivers 50..99 (same ts — the
+    // at-least-once case) and adds 100..149.
+    Files.write(new java.io.File(dir, "a.jsonl").toPath,
+      (0L to 99L).map(i => line(i, base + i * 1000))
+        .mkString("\n").getBytes)
+    Files.write(new java.io.File(dir, "b.jsonl").toPath,
+      ((50L to 99L) ++ (100L to 149L)).map(i => line(i, base + i * 1000))
+        .mkString("\n").getBytes)
+
+    val out = StreamingPipeline.dedupedTweetStream(
+      StreamingPipeline.tweetStream(spark, dir.toString))
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName("dedup_out").option("checkpointLocation", ckpt).start()
+    q.processAllAvailable()
+    q.stop()
+
+    val got = spark.table("dedup_out")
+    assert(got.count() == 150 && got.select("id").distinct().count() == 150)
+  }
+
   test("text coalesce prefers extended and retweeted text (OP-05)") {
     val lines = Seq(
       """{"id":1,"text":"short","timestamp_ms":"1704067200000","extended_tweet":{"full_text":"long form"},"entities":{"hashtags":[],"user_mentions":[]},"user":{"followers_count":1,"screen_name":"a"},"retweeted_status":null}""",
