@@ -64,14 +64,20 @@ object Sketches {
    * merge order cannot change it).
    */
   def kmvDistinctAgg(df: DataFrame, group: Column, value: Column,
-      k: Int = DefaultK): DataFrame = {
-    val h = Hashing.portableHash32(
-      concat(lit("kmv:"), value.cast("string")))
-    val fn = udaf(new KmvAgg(k), Encoders.scalaLong)
+      k: Int = DefaultK): DataFrame =
     df.groupBy(group.as("entity"))
-      .agg(fn(h).as("s"), countDistinct(value).as("exact_distinct"))
+      .agg(kmvSummary(value, k).as("s"),
+        countDistinct(value).as("exact_distinct"))
       .select(col("entity"), col("s.nMins").as("n_mins"),
         col("s.kthMin").as("kth_min"), estCol(k), col("exact_distinct"))
+
+  /** The sketch as a plain aggregate Column — usable in any `agg()`,
+    * including a STREAMING groupBy (the bounded buffer is legal
+    * incremental state; parity with batch is StreamingSpec-tested). */
+  def kmvSummary(value: Column, k: Int = DefaultK): Column = {
+    val h = Hashing.portableHash32(
+      concat(lit("kmv:"), value.cast("string")))
+    udaf(new KmvAgg(k), Encoders.scalaLong)(h)
   }
 
   /** D̂ from (n_mins, kth_min): exact below k, (k-1)·P/h_k at k. The

@@ -100,6 +100,29 @@ object StreamingPipeline {
     tweets.withWatermark("ts", Watermark)
       .dropDuplicatesWithinWatermark("id")
 
+  /**
+   * Streaming twin of `IntervalJoin` (ext22): stream-stream inner join of
+   * purchases to the clicks of the same user in `[p_ts - interval, p_ts)`.
+   * The time bound is expressed as an interval condition on the two event-
+   * time columns so Spark derives state-eviction watermarks from it (a
+   * condition on `unix_micros(...)` would be correct but unevictable —
+   * state would grow forever). Each side keeps only `interval` + watermark
+   * worth of rows.
+   */
+  def recentClickJoinStream(events: DataFrame,
+      interval: String = "1 hour"): DataFrame = {
+    val p = events.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id").as("p_user"),
+        col("ts").as("p_ts"))
+      .withWatermark("p_ts", Watermark)
+    val c = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+      .withWatermark("c_ts", Watermark)
+    p.join(c, expr(
+      s"""p_user = c_user AND
+         |c_ts >= p_ts - INTERVAL $interval AND c_ts < p_ts""".stripMargin))
+  }
+
   /** Per-hashtag hopping-window aggregate stream (OP-21/23/24). */
   def hashtagAggStream(tweets: DataFrame): DataFrame =
     tweets

@@ -360,6 +360,47 @@ class StreamingSpec extends TestBase {
     assert(got.count() == 150 && got.select("id").distinct().count() == 150)
   }
 
+  test("streaming KMV sketch == batch sketch (incremental merge safety)") {
+    val src = StreamingPipeline.eventStream(spark,
+      sf("sf0.001") + "/events.parquet")
+      .groupBy(col("event_type").as("entity"))
+      .agg(graft.ops.Sketches.kmvSummary(col("user_id")).as("s"))
+      .select(col("entity"), col("s.nMins").as("n_mins"),
+        col("s.kthMin").as("kth_min"))
+    val q = src.writeStream.outputMode("complete").format("memory")
+      .queryName("kmv_stream").start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("kmv_stream")
+    val batch = graft.ops.Sketches
+      .kmvDistinctAgg(Tables.events(spark, sf("sf0.001")),
+        col("event_type"), col("user_id"))
+      .select("entity", "n_mins", "kth_min")
+    assert(streamed.count() > 0 &&
+      streamed.except(batch).isEmpty && batch.except(streamed).isEmpty)
+  }
+
+  test("streaming interval join == batch interval join pairs (ext22 twin)") {
+    val streamed = StreamingPipeline.recentClickJoinStream(
+      StreamingPipeline.eventStream(spark, sf("sf0.001") + "/events.parquet"))
+      .select("event_id", "c_ts")
+    val ckpt = Files.createTempDirectory("graft-ssj-ckpt").toString
+    val q = streamed.writeStream.outputMode("append").format("memory")
+      .queryName("ssj_out").option("checkpointLocation", ckpt).start()
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("ssj_out")
+
+    val ev = Tables.events(spark, sf("sf0.001"))
+    val batchPairs = graft.ops.IntervalJoin.countRecent(
+      ev.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts"),
+      ev.filter(col("event_type") === "click").select("user_id", "ts"),
+      "user_id", "ts", 3600000000L, "n")
+      .agg(sum("n")).collect()(0).getLong(0)
+    assert(got.count() == batchPairs && batchPairs > 0)
+  }
+
   test("text coalesce prefers extended and retweeted text (OP-05)") {
     val lines = Seq(
       """{"id":1,"text":"short","timestamp_ms":"1704067200000","extended_tweet":{"full_text":"long form"},"entities":{"hashtags":[],"user_mentions":[]},"user":{"followers_count":1,"screen_name":"a"},"retweeted_status":null}""",
