@@ -23,6 +23,7 @@ object Bench {
       if (warmDir != sfDir)
         SparkEntry.queries.values.foreach { fn =>
           try { fn(spark, warmDir).count() } catch { case _: Throwable => () }
+          graft.ops.Reuse.freeAll(spark)
         }
       graft.ingest.Tables.events(spark, sfDir)
         .groupBy("event_type").count().count()
@@ -35,9 +36,12 @@ object Bench {
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         val dt = (System.nanoTime() - t0) / 1e9
-        // Queries may persist() shared sub-relations internally; drop them
-        // so one query's cache never degrades the next.
+        // Queries may materialize shared sub-relations internally; drop
+        // BOTH the SQL cache and Reuse's tracked checkpoint/persist blocks
+        // (clearCache alone does not free localCheckpoint RDD blocks) so
+        // one query's storage never degrades the next.
         spark.catalog.clearCache()
+        graft.ops.Reuse.freeAll(spark)
         name -> dt
     }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

@@ -4,39 +4,52 @@ import org.apache.spark.sql.SparkSession
 
 /**
  * Dev harness: times a subset of SparkEntry.queries under a chosen
- * [[graft.ops.Reuse]] strategy. Not part of the graded surface.
+ * [[graft.ops.Reuse]] strategy and arbitrary session confs / JVM props.
+ * Not part of the graded surface.
  *
  *   SPARK_GRAFT_REUSE=eager_persist|checkpoint|recompute \
+ *   SPARK_GRAFT_CONFS="graft.fanout=off;graft.qdot=composed" \
  *   SPARK_GRAFT_ONLY=ext02,ext03 sbt "runMain graft.PerfLab"
+ *
+ * Keys starting with `graft.` that name JVM-prop knobs (graft.qdot) are
+ * set as system properties; everything is also set as a session conf.
  */
 object PerfLab {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val strategy = sys.env.getOrElse("SPARK_GRAFT_REUSE", "eager_persist")
+    val confs = sys.env.getOrElse("SPARK_GRAFT_CONFS", "").split(";")
+      .filter(_.contains("=")).map { kv =>
+        val Array(k, v) = kv.split("=", 2); (k, v)
+      }.toSeq
     val only = sys.env.getOrElse("SPARK_GRAFT_ONLY",
       "ext02,ext03,ext04,ext14,ext15,ext16").split(",").toSeq
-    val spark = SparkSession.builder()
+    confs.foreach { case (k, v) => sys.props(k) = v }
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       .config(graft.ops.Reuse.ConfKey, strategy)
-      .getOrCreate()
+    confs.foreach { case (k, v) => builder.config(k, v) }
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark.read.parquet(s"$sfDir/documents.parquet").count()
     spark.read.parquet(s"$sfDir/embeddings.parquet").count()
     val picked = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.exists(n.startsWith) }
-    // Two timed rounds: round 0 pays codegen, round 1 is the steady state.
-    (0 to 1).foreach { round =>
+    // Three timed rounds: round 0 pays codegen, rounds 1-2 are the steady
+    // state AND a variance check (the round-2 failure mode was instability).
+    (0 to 2).foreach { round =>
       val times = picked.map { case (name, fn) =>
         val t0 = System.nanoTime()
         fn(spark, sfDir).count()
         val dt = (System.nanoTime() - t0) / 1e9
         spark.catalog.clearCache()
+        graft.ops.Reuse.freeAll(spark)
         f"$name%s=$dt%.2f"
       }
-      println(s"PERFLAB strategy=$strategy round=$round " + times.mkString(" ") )
+      println(s"PERFLAB strategy=$strategy confs=${confs.mkString(",")} round=$round " + times.mkString(" "))
     }
     spark.stop()
   }

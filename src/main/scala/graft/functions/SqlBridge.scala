@@ -11,4 +11,15 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object SqlBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Unpersist the RDD behind a `localCheckpoint`ed DataFrame. The
+    * checkpoint blocks live on the `LogicalRDD`'s RDD, which neither
+    * `Dataset.unpersist` nor `catalog.clearCache` reaches — without this a
+    * long-lived session leaks executor-local blocks per checkpoint. */
+  def freeCheckpoint(df: org.apache.spark.sql.DataFrame): Unit =
+    df.queryExecution.logical match {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        l.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
 }

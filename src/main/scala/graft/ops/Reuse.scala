@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /**
  * Materialization strategy for a small-ish shared sub-relation consumed by
@@ -12,22 +12,27 @@ import org.apache.spark.sql.DataFrame
  * lookups recomputes the scan→explode→hash→distinct chain up to 6×. A
  * plain lazy `persist()` is WORSE here: concurrent broadcast exchanges
  * race to materialize the same cache and serialize on its build lock
- * (observed 5 s → 250 s swings). The fix is to materialize EAGERLY —
- * finish the build before any consumer starts — which keeps every
- * consumer a cheap cached scan.
+ * (observed 5 s → 250 s swings in round 1).
+ *
+ * Round-2/3 measurements (PerfLab, sf0.1, local[32], steady-state round):
+ * `localCheckpoint(eager)` looked fastest in isolation but regressed the
+ * full bench ~3× with violent run-to-run variance — checkpoint RDD blocks
+ * are NOT freed by `spark.catalog.clearCache()`, so a long session
+ * accumulates executor-local blocks until the ContextCleaner happens to
+ * run, and later queries pay the memory pressure. The fix is a lifecycle:
+ * every materialized frame is registered here and the harness frees it
+ * after the query ([[freeAll]]).
  *
  * Strategy is a session conf (`graft.reuse`):
- *  - `checkpoint` (default): `localCheckpoint(eager = true)` — cuts
- *    lineage, so every consumer plans against a materialized leaf instead
- *    of re-optimizing (and AQE re-planning) the whole subtree. Benchmarks
- *    ~45% faster than recompute and ~30% faster than eager persist on the
- *    dedup family. Storage is executor-local and NOT fault-tolerant to
- *    executor loss — acceptable for sub-relations that are cheap to
- *    rebuild by re-running the query.
- *  - `eager_persist`: `persist(MEMORY_AND_DISK)` + a blocking `count()`.
- *    Keeps lineage (survives executor loss by recompute); slightly slower
- *    because each consumer still re-plans the full subtree below the
- *    InMemoryRelation.
+ *  - `eager_persist` (default): `persist(MEMORY_AND_DISK)` + a blocking
+ *    `count()` — finish the build before any consumer starts, so every
+ *    consumer is a cheap cached scan and no two exchanges race. Keeps
+ *    lineage (survives executor loss by recompute). Freed by [[freeAll]]
+ *    or `spark.catalog.clearCache()`.
+ *  - `checkpoint`: `localCheckpoint(eager = true)` — additionally cuts
+ *    lineage so consumers plan against a materialized leaf. Storage is
+ *    executor-local and NOT fault-tolerant to executor loss; blocks are
+ *    freed only via [[freeAll]] (clearCache does not see them).
  *  - `recompute`: build the plan tree as-is. At 100 TB with a shared
  *    input too big to cache, write it to parquet once and re-read instead
  *    (see stream.AggregateStore for the pattern).
@@ -35,13 +40,42 @@ import org.apache.spark.sql.DataFrame
 object Reuse {
   val ConfKey = "graft.reuse"
 
+  /** Frames materialized by [[shared]] and not yet freed — per session. */
+  private val live =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession,
+      java.util.concurrent.ConcurrentLinkedQueue[DataFrame]]()
+
+  private def track(df: DataFrame): DataFrame = {
+    live.computeIfAbsent(df.sparkSession,
+      _ => new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]())
+      .add(df)
+    df
+  }
+
   def shared(df: DataFrame): DataFrame =
-    df.sparkSession.conf.get(ConfKey, "checkpoint") match {
+    df.sparkSession.conf.get(ConfKey, "eager_persist") match {
       case "recompute" => df
-      case "eager_persist" =>
+      case "checkpoint" => track(df.localCheckpoint(true))
+      case _ =>
         val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         p.count()
-        p
-      case _ => df.localCheckpoint(true)
+        track(p)
     }
+
+  /**
+   * Free every materialization [[shared]] produced on this session since
+   * the last call: unpersists cached frames AND removes localCheckpoint
+   * RDD blocks (which `spark.catalog.clearCache()` does not touch).
+   * Harnesses (Bench/Verify/PerfLab/REPL) call this after each query so
+   * one query's blocks never degrade the next.
+   */
+  def freeAll(spark: SparkSession): Unit = {
+    val q = live.remove(spark)
+    if (q != null) q.forEach { df =>
+      try {
+        df.unpersist(blocking = false)
+        org.apache.spark.sql.graftbridge.SqlBridge.freeCheckpoint(df)
+      } catch { case _: Throwable => () }
+    }
+  }
 }

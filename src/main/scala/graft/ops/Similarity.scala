@@ -30,7 +30,8 @@ object Similarity {
     * parity-tested against: `aggregate(zip_with(a, b, _*_), 0L, _+_)`
     * (kept below for readability and spec tests). */
   def qdot(a: Column, b: Column): Column =
-    graft.functions.QDotProduct(a, b)
+    if (sys.props.get("graft.qdot").contains("composed")) qdotComposed(a, b)
+    else graft.functions.QDotProduct(a, b)
 
   /** Built-in-composed equivalent of [[qdot]] — readable specification,
     * used in parity tests (QDotProductSpec). */

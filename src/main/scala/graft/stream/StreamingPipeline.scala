@@ -65,6 +65,11 @@ object StreamingPipeline {
    * parquet file in the directory and its rows flow through the same
    * windowed aggregations the DuckDB oracle checked in batch. Applies the
    * same ns→µs normalization as `Tables.events`.
+   *
+   * Accepts either a directory (the usual drop-files-here layout) or a
+   * single parquet file: FileStreamSource requires `basePath` to be a
+   * directory, so a file path is normalized to its parent plus a
+   * `pathGlobFilter` on the file name.
    */
   def eventStream(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -81,8 +86,13 @@ object StreamingPipeline {
         org.apache.spark.sql.types.DoubleType),
       org.apache.spark.sql.types.StructField("props",
         org.apache.spark.sql.types.StringType)))
-    spark.readStream.schema(schema).parquet(dir)
-      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+    val f = new java.io.File(dir)
+    val reader = spark.readStream.schema(schema)
+    val src =
+      if (f.isFile)
+        reader.option("pathGlobFilter", f.getName).parquet(f.getParent)
+      else reader.parquet(dir)
+    src.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
   }
 
   /**
