@@ -74,9 +74,27 @@ object Repl {
     }
   }
 
+  /**
+   * OP-35 file output (reference TweetGate/Program.Repl.cs:110-123): every
+   * command's result is also written to `<command>.<ticks>.json` in
+   * `outDir` as line-delimited JSON. `ticks` follows the reference's
+   * .NET convention (100 ns units since 0001-01-01) so file names sort
+   * the same way. The collect is bounded: these are serving results
+   * (ranged windows / top-k), small by construction.
+   */
+  def writeResult(df: DataFrame, command: String,
+      outDir: String): java.nio.file.Path = {
+    val ticks = System.currentTimeMillis() * 10000L + 621355968000000000L
+    val p = java.nio.file.Paths.get(outDir, s"$command.$ticks.json")
+    java.nio.file.Files.write(p,
+      (df.toJSON.collect().mkString("\n") + "\n").getBytes("UTF-8"))
+    p
+  }
+
   def main(args: Array[String]): Unit = {
     val storeRoot = args.headOption.getOrElse(
-      sys.error("usage: Repl <storeRoot>"))
+      sys.error("usage: Repl <storeRoot> [outDir]"))
+    val outDir = args.lift(1).getOrElse(".")
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_MASTER", "local[8]"))
       .config("spark.sql.shuffle.partitions", "8")
@@ -92,7 +110,10 @@ object Repl {
       .foreach { line =>
         if (line.trim.nonEmpty)
           try dispatch(spark, storeRoot, line) match {
-            case Some(df) => df.show(100, truncate = false)
+            case Some(df) =>
+              df.show(100, truncate = false)
+              val f = writeResult(df, line.trim.split("\\s+").head, outDir)
+              println(s"wrote $f")
             case None     => println(s"unknown command: $line")
           } catch {
             case e: Exception => println(s"error: ${e.getMessage}")

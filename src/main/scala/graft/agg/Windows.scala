@@ -68,7 +68,9 @@ object Windows {
       weight: Column,
       ts: String = "ts",
       extra: Seq[Column] = Nil): DataFrame =
-    if (extra.isEmpty) entityWindowAggSliced(events, entity, weight, ts)
+    if (extra.isEmpty &&
+        events.sparkSession.conf.get("graft.hopagg", "sliced") == "sliced")
+      entityWindowAggSliced(events, entity, weight, ts)
     else
       events.groupBy(window(col(ts), WindowSize, HopSize), entity.as("entity"))
         .agg(

@@ -40,18 +40,20 @@ object Packing {
    * Output: input columns + `n_toks`, `first_tok` (exclusive global
    * prefix sum of `tokens` in `ord` order) and `chunk_id`
    * (= first_tok / budget). `ord` must be globally unique (it defines
-   * the packing order).
+   * the packing order). A null/uncastable `tokens` value counts as 0
+   * (the row occupies no budget but keeps its place in the order) —
+   * without the coalesce a single null would NPE the executor-side scan.
    */
   def concatChunks(df: DataFrame, ord: Column, tokens: Column,
       budget: Long): DataFrame = {
     require(budget > 0, "chunk budget must be positive")
     val spark = df.sparkSession
     val parts = math.max(spark.sparkContext.defaultParallelism, 1)
-    val sorted = df
-      .withColumn("_toks", tokens.cast("long"))
+    val sorted = Reuse.pin(df
+      .withColumn("_toks", coalesce(tokens.cast("long"), lit(0L)))
       .repartitionByRange(parts, ord)
       .sortWithinPartitions(ord)
-      .localCheckpoint()
+      .localCheckpoint())
 
     // Phase 2: one row per partition → exclusive offsets on the driver.
     val partSums = sorted.groupBy(spark_partition_id().as("_pid"))

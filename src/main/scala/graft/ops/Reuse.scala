@@ -24,15 +24,19 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
  * after the query ([[freeAll]]).
  *
  * Strategy is a session conf (`graft.reuse`):
- *  - `eager_persist` (default): `persist(MEMORY_AND_DISK)` + a blocking
- *    `count()` — finish the build before any consumer starts, so every
- *    consumer is a cheap cached scan and no two exchanges race. Keeps
- *    lineage (survives executor loss by recompute). Freed by [[freeAll]]
- *    or `spark.catalog.clearCache()`.
- *  - `checkpoint`: `localCheckpoint(eager = true)` — additionally cuts
- *    lineage so consumers plan against a materialized leaf. Storage is
- *    executor-local and NOT fault-tolerant to executor loss; blocks are
- *    freed only via [[freeAll]] (clearCache does not see them).
+ *  - `checkpoint` (default): `localCheckpoint(eager = true)` — cuts
+ *    lineage so consumers plan against a materialized leaf. With the
+ *    [[freeAll]] lifecycle this is both the fastest AND stable across
+ *    rounds (PerfLab r3: ext02 2.4-2.9 s, ext03 1.5-2.1 s vs recompute's
+ *    3.9-4.5/2.5-2.7 s). Storage is executor-local and NOT fault-tolerant
+ *    to executor loss (acceptable: cheap to rebuild by re-running the
+ *    query); blocks are freed only via [[freeAll]] (clearCache does not
+ *    see them).
+ *  - `eager_persist`: `persist(MEMORY_AND_DISK)` + a blocking `count()` —
+ *    same race-free eager build, keeps lineage (survives executor loss by
+ *    recompute), ~20-50% slower because each consumer re-plans the full
+ *    subtree below the InMemoryRelation. Freed by [[freeAll]] or
+ *    `spark.catalog.clearCache()`.
  *  - `recompute`: build the plan tree as-is. At 100 TB with a shared
  *    input too big to cache, write it to parquet once and re-read instead
  *    (see stream.AggregateStore for the pattern).
@@ -52,14 +56,19 @@ object Reuse {
     df
   }
 
+  /** Track an externally-materialized frame (e.g. a semantically-required
+    * localCheckpoint like Packing's frozen partitioning) so [[freeAll]]
+    * releases its blocks with everything else. */
+  def pin(df: DataFrame): DataFrame = track(df)
+
   def shared(df: DataFrame): DataFrame =
-    df.sparkSession.conf.get(ConfKey, "eager_persist") match {
+    df.sparkSession.conf.get(ConfKey, "checkpoint") match {
       case "recompute" => df
-      case "checkpoint" => track(df.localCheckpoint(true))
-      case _ =>
+      case "eager_persist" =>
         val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         p.count()
         track(p)
+      case _ => track(df.localCheckpoint(true))
     }
 
   /**

@@ -117,7 +117,12 @@ object Similarity {
       val proj = qdot(q, slice(typedLit(weights), lit(1), size(q)))
       when(proj > 0, lit(1L) * (1L << j)).otherwise(lit(0L))
     }
-    bits.reduce(_ + _)
+    // A vector wider than the weight table would silently project onto a
+    // truncated prefix (wrong buckets downstream) — fail loudly instead.
+    when(size(q) <= MaxSigDims, bits.reduce(_ + _))
+      .otherwise(raise_error(concat(
+        lit(s"hyperplaneSignature supports at most $MaxSigDims dims, got "),
+        size(q).cast("string"))))
   }
 
   /**

