@@ -114,6 +114,43 @@ object StreamingPipeline {
   }
 
   /**
+   * Generic parquet replay source: stream any of the batch-verified
+   * tables (documents, embeddings, …) with the schema taken from a batch
+   * read of the same path. Accepts a directory or a single file (same
+   * basePath normalization as [[eventStream]]).
+   */
+  def parquetStream(spark: SparkSession, path: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val f = new java.io.File(path)
+    val schema = spark.read.parquet(path).schema
+    val reader = spark.readStream.schema(schema)
+    if (f.isFile)
+      reader.option("pathGlobFilter", f.getName).parquet(f.getParent)
+    else reader.parquet(path)
+  }
+
+  /**
+   * Streaming twin of batch `Sampling.stratifiedTopK` (ext25): the
+   * per-stratum deterministic sample as a bounded [[graft.agg.TopKIds]]
+   * aggregation — state is ≤k (hash, id) pairs per stratum, map-side
+   * combined, merged across micro-batches, so the sample converges to
+   * EXACTLY the batch selection (min-k portable hashes) no matter how
+   * the rows arrive. Complete output mode: strata are few by
+   * construction (it's a GROUP BY on categorical keys).
+   *
+   * Ranking weight is the NEGATED hash — TopKIds keeps weight-DESC /
+   * id-ASC, so -h DESC ≡ h ASC, the batch selection order.
+   */
+  def stratifiedSampleStream(docs: DataFrame, strata: Seq[String],
+      id: Column, k: Int, salt: String = "samp"): DataFrame = {
+    val h = graft.ops.Hashing.portableHash32(
+      concat(lit(salt + ":"), id.cast("string")))
+    docs.groupBy(strata.map(col): _*)
+      .agg(graft.agg.TopK.topKIds(k)(-h.cast("double"), id)
+        .as("sample_ids"))
+  }
+
+  /**
    * Streaming per-id dedup — the streaming twin of batch `Dedup.exact`
    * (ext01). At-least-once sources (file replay after restart, Kafka with
    * producer retries) re-deliver tweets; `dropDuplicatesWithinWatermark`

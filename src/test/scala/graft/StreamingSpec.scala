@@ -401,6 +401,66 @@ class StreamingSpec extends TestBase {
     assert(got.count() == batchPairs && batchPairs > 0)
   }
 
+  test("streaming session windows == batch sessions closed by the final " +
+      "watermark (ext19 twin)") {
+    val src = StreamingPipeline.eventStream(spark,
+      sf("sf0.001") + "/events.parquet")
+      .withWatermark("ts", "5 seconds")
+    val agg = graft.agg.Windows.sessionAgg(src, col("user_id"), col("value"))
+    val q = agg.writeStream.outputMode("append").format("memory")
+      .queryName("sess_stream").start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("sess_stream")
+    val batch = graft.agg.Windows.sessionAgg(
+      Tables.events(spark, sf("sf0.001")), col("user_id"), col("value"))
+    // Append mode emits exactly the sessions the final watermark closed;
+    // every emitted session must match the batch result bit-for-bit
+    // (subset), and the tail the watermark left open is the only gap.
+    assert(streamed.count() > 0)
+    assert(streamed.except(batch).isEmpty,
+      "streamed session disagrees with the oracle-verified batch form")
+    // Spark truncates the watermark to ms, so leave a 1 s margin on the
+    // boundary — the bit-exact subset assertion above is the strong check.
+    // The closed-count is evaluated DRIVER-SIDE on purpose: a
+    // `.filter(session_end_us < wm)` on the DataFrame gets pushed below
+    // the session merge (session_window is a grouping column), which
+    // SPLITS sessions whose later events fall past the cutoff — the
+    // filtered aggregate is a different aggregation, not a subset.
+    val wmUs = Tables.events(spark, sf("sf0.001"))
+      .agg(max(unix_micros(col("ts")))).collect()(0).getLong(0) - 6000000L
+    val closed = batch.collect()
+      .count(_.getAs[Long]("session_end_us") < wmUs)
+    assert(streamed.count() >= closed,
+      s"watermark-closed sessions missing: emitted ${streamed.count()} < $closed")
+  }
+
+  test("streaming stratified sample == batch stratified sample (ext25 twin)") {
+    val src = StreamingPipeline.parquetStream(spark,
+      sf("sf0.001") + "/documents.parquet")
+    val agg = StreamingPipeline.stratifiedSampleStream(
+      src, Seq("lang", "source"), col("doc_id"), 20)
+    val q = agg.writeStream.outputMode("complete").format("memory")
+      .queryName("strat_stream").start()
+    q.processAllAvailable()
+    q.stop()
+    // rank = position in the bounded buffer (selection order), 1-based —
+    // the exact shape of the batch operator's output.
+    val streamed = spark.table("strat_stream")
+      .select(col("lang"), col("source"),
+        posexplode(col("sample_ids")).as(Seq("pos", "doc_id")))
+      .select(col("doc_id"), col("lang"), col("source"),
+        (col("pos") + 1).cast("long").as("rank"))
+    val batch = graft.ops.Sampling.stratifiedTopK(
+      graft.ingest.Tables.documents(spark, sf("sf0.001"))
+        .select("doc_id", "lang", "source"),
+      Seq("lang", "source"), col("doc_id"), 20)
+      .select("doc_id", "lang", "source", "rank")
+    assert(streamed.count() > 0)
+    assert(streamed.except(batch).isEmpty && batch.except(streamed).isEmpty,
+      "streaming stratified sample differs from the batch selection")
+  }
+
   test("text coalesce prefers extended and retweeted text (OP-05)") {
     val lines = Seq(
       """{"id":1,"text":"short","timestamp_ms":"1704067200000","extended_tweet":{"full_text":"long form"},"entities":{"hashtags":[],"user_mentions":[]},"user":{"followers_count":1,"screen_name":"a"},"retweeted_status":null}""",
