@@ -17,8 +17,10 @@ import graft.stream.{AggregateStore, StreamingPipeline}
  *   saveAggregates <inputDir> <storeRoot> <checkpointDir>
  *       run the live pipeline: tweet-JSON lines → unified windowed
  *       aggregates → 4-family partitioned store (Program.SaveAggregates.cs)
- *   saveTweets <inputDir> <outDir>
- *       raw capture of valid tweet lines (Program.SaveTweets.cs)
+ *   saveTweets <inputDir> <outDir> [minutes]
+ *       raw capture of valid tweet lines (Program.SaveTweets.cs); with
+ *       `minutes`, a duration-bounded STREAMING capture under the OP-01
+ *       restart policy ([[graft.stream.StreamSupervisor]])
  *   printDB <storeRoot> [N]
  *       dump the N most recent windows of each family (Program.PrintDB.cs)
  *   repl <storeRoot>
@@ -53,6 +55,19 @@ object Main {
         .write.mode("overwrite").text(out)
       spark.stop()
 
+    // duration-bounded capture (Program.SaveTweets.cs:14-51: the
+    // reference captures the live stream for N minutes, then stops) —
+    // streaming form with the reference's OP-01 restart policy around it.
+    case "saveTweets" :: in :: out :: minutes :: Nil =>
+      val spark = session()
+      val deadline =
+        System.currentTimeMillis() + (minutes.toDouble * 60000).toLong
+      graft.stream.StreamSupervisor.superviseUntil(
+        () => StreamingPipeline.saveTweetsStream(
+          spark, in, out, s"$out-ckpt"),
+        deadline)
+      spark.stop()
+
     case "printDB" :: store :: rest if rest.size <= 1 =>
       val spark = session()
       val n = rest.headOption.map(_.toInt).getOrElse(10)
@@ -69,7 +84,8 @@ object Main {
     case other =>
       System.err.println(
         s"""unknown command: ${other.mkString(" ")}
-           |usage: saveAggregates <in> <store> <ckpt> | saveTweets <in> <out>
+           |usage: saveAggregates <in> <store> <ckpt>
+           |     | saveTweets <in> <out> [minutes]
            |     | printDB <store> [N] | repl <store>""".stripMargin)
       sys.exit(2)
   }

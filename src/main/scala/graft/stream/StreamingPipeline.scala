@@ -114,6 +114,21 @@ object StreamingPipeline {
   }
 
   /**
+   * OP-33 with the reference's duration cutoff
+   * (Program.SaveTweets.cs:14-51): capture the validity-filtered tweet
+   * stream as JSON-line text files. The caller bounds the run
+   * (`awaitTermination(timeoutMs)` then `stop()`) — see `Main.saveTweets`.
+   */
+  def saveTweetsStream(spark: SparkSession, inDir: String, outDir: String,
+      checkpointDir: String): StreamingQuery =
+    Tables.tweetsFromJsonLines(spark.readStream.text(inDir))
+      .select(to_json(struct(col("*"))).as("value"))
+      .writeStream.format("text")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .start()
+
+  /**
    * Generic parquet replay source: stream any of the batch-verified
    * tables (documents, embeddings, …) with the schema taken from a batch
    * read of the same path. Accepts a directory or a single file (same

@@ -51,6 +51,24 @@ class SinksAndReplSpec extends TestBase {
     assert(lines.get(1).contains("\"entity\":\"y\""))
   }
 
+  test("duration-bounded saveTweets captures valid lines then stops " +
+      "(OP-33 + cutoff)") {
+    val in = Files.createTempDirectory("graft-st-in").toFile
+    val out = Files.createTempDirectory("graft-st-out").toString + "/cap"
+    def line(id: Long) =
+      s"""{"id":$id,"text":"t$id","timestamp_ms":"${1704067200000L + id}","entities":{"hashtags":[],"user_mentions":[]},"user":{"followers_count":1,"screen_name":"u"},"retweeted_status":null}"""
+    Files.write(new java.io.File(in, "a.jsonl").toPath,
+      ((0L to 9L).map(line) :+ "not json").mkString("\n").getBytes)
+    val outcome = graft.stream.StreamSupervisor.superviseUntil(
+      () => StreamingPipeline.saveTweetsStream(spark, in.toString, out,
+        out + "-ckpt"),
+      deadlineMs = System.currentTimeMillis() + 8000L)
+    assert(!outcome.gaveUp)
+    val captured = spark.read.text(out)
+    assert(captured.count() == 10) // invalid line dropped by OP-04 filter
+    assert(captured.filter(col("value").contains("\"id\":3")).count() == 1)
+  }
+
   test("ensureBucketed seeds once and skips when present") {
     val (li, ord) = ExtEntry.ensureBucketed(spark, sf("sf0.001"))
     assert(spark.catalog.tableExists(li) && spark.catalog.tableExists(ord))
