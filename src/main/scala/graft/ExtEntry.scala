@@ -5,8 +5,9 @@ import org.apache.spark.sql.functions._
 
 import graft.agg.Windows
 import graft.ingest.Tables
-import graft.ops.{AsOf, Dedup, Hashing, IntervalJoin, Multimodal, Packing,
-  Sampling, Similarity, Sketches, Skew, Splits, TextOps}
+import graft.ops.{AsOf, Components, Dedup, Hashing, IntervalJoin,
+  Multimodal, Packing, Sampling, Similarity, Sketches, Skew, Splits,
+  TextOps}
 
 /**
  * Training-data-pipeline extension queries (SURVEY.md §7.1 M6): dedup,
@@ -322,6 +323,17 @@ object ExtEntry {
       Sampling.stratifiedTopK(docs(s, dir).select("doc_id", "lang",
           "source"), Seq("lang", "source"), col("doc_id"), 20)
         .orderBy("lang", "source", "rank")),
+
+    // Exact duplicate CLUSTERS: distributed connected components over
+    // the MinHash-LSH pair graph — the transitive closure that
+    // keepRepresentatives (ext14) approximates in one pass. Every doc in
+    // a duplicate chain maps to the min doc_id of its component.
+    "ext27_dedup_clusters" -> ((s, dir) => {
+      val pairs = Dedup.minhashLsh(docs(s, dir)).select("id_a", "id_b")
+      Components.connectedComponents(pairs)
+        .select(col("id").as("doc_id"), col("cluster_id"))
+        .orderBy("doc_id")
+    }),
 
     // Bucketed-layout join: both sides written bucketBy(orderkey) ONCE
     // (ensureBucketed seeds the layout idempotently — pay-once, like any
@@ -754,6 +766,35 @@ object ExtEntry {
          |      FROM h)
          |SELECT doc_id, lang, source, CAST(rank AS BIGINT) AS rank
          |FROM r WHERE rank <= 20 ORDER BY lang, source, rank""".stripMargin,
+
+    // The oracle computes the same transitive closure with a recursive
+    // CTE (min label reachable over the undirected pair graph) — exact
+    // but driver-style; the Spark operator is the per-round-shuffle
+    // iterative form that scales.
+    "ext27_dedup_clusters" ->
+      s"""WITH RECURSIVE ${shingleCtes("documents")},
+         |sig AS (
+         |  SELECT doc_id,
+         |         $minhashMinsSql
+         |  FROM sh GROUP BY 1),
+         |bands AS (
+         |  SELECT doc_id, b.band_id,
+         |         CASE b.band_id $bandSigSql END AS band_sig
+         |  FROM sig, (VALUES (0), (1), (2), (3)) b(band_id)),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b
+         |  FROM bands a JOIN bands b2 USING (band_id, band_sig)
+         |  WHERE a.doc_id < b2.doc_id),
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM cand
+         |          UNION ALL SELECT id_b, id_a FROM cand),
+         |nodes AS (SELECT DISTINCT src AS id FROM edges),
+         |reach AS (
+         |  SELECT id, id AS label FROM nodes
+         |  UNION
+         |  SELECT e.dst AS id, r.label
+         |  FROM reach r JOIN edges e ON e.src = r.id)
+         |SELECT id AS doc_id, min(label) AS cluster_id
+         |FROM reach GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // Bucketing is a layout strategy, not a semantic: the oracle is the
     // plain join over the original parquet.

@@ -1,0 +1,71 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Distributed connected components over a near-dup pair graph — the exact
+ * counterpart of [[Dedup.keepRepresentatives]]'s single-pass min-id
+ * approximation (that pass keeps ≥1 representative per cluster but can
+ * keep several when a cluster's pairs don't all touch the minimum).
+ * Clustering duplicates exactly — "every doc in a transitive duplicate
+ * chain maps to one canonical id" — is the standard last step of a
+ * large-scale dedup pipeline.
+ *
+ * Algorithm: iterative min-label propagation. `label(v)` starts as `v`;
+ * each round every vertex takes the min of its own and its neighbors'
+ * labels; converged when a round changes nothing. Each round is ONE
+ * keyed shuffle (join edges⋈labels + min-aggregate) — no all-pairs
+ * anything; rounds needed = cluster diameter, and near-dup clusters are
+ * short-diameter by construction (pairs come from shared buckets). At
+ * extreme diameters the alternating large-star/small-star scheme
+ * (Kiveris et al., "Connected Components in MapReduce and Beyond")
+ * drops rounds to ~log n with the same per-round join shape — the
+ * upgrade path if a 100 TB corpus ever produces chain-shaped clusters.
+ *
+ * Spark-specific load-bearing detail: each round's result is
+ * `localCheckpoint`ed (and registered for [[Reuse.freeAll]]). Without
+ * cutting lineage the plan DOUBLES per round (labels appears twice in
+ * the next round's tree) and Catalyst re-optimization goes exponential —
+ * the classic iterative-DataFrame trap.
+ */
+object Components {
+
+  /**
+   * Vertex → component label (the min vertex id reachable via `pairs`).
+   * `pairs` is an undirected edge list as (id_a, id_b) columns; only
+   * vertices appearing in `pairs` are returned (isolated docs are their
+   * own singleton cluster by definition — joining them in would just
+   * echo the id).
+   */
+  def connectedComponents(pairs: DataFrame, idA: String = "id_a",
+      idB: String = "id_b", maxRounds: Int = 25): DataFrame = {
+    val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
+      .union(pairs.select(col(idB).as("src"), col(idA).as("dst")))
+    var labels = Reuse.pin(edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint(true))
+    var round = 0
+    var converged = false
+    while (!converged && round < maxRounds) {
+      val neighborLabels = edges
+        .join(labels.select(col("id").as("src"), col("label")), "src")
+        .select(col("dst").as("id"), col("label"))
+      val next = Reuse.pin(neighborLabels.union(labels)
+        .groupBy("id").agg(min("label").as("label"))
+        .localCheckpoint(true))
+      val changed = next.as("n")
+        .join(labels.as("p"), col("n.id") === col("p.id"))
+        .filter(col("n.label") =!= col("p.label"))
+        .limit(1).count()
+      converged = changed == 0
+      labels = next
+      round += 1
+    }
+    require(converged,
+      s"connectedComponents did not converge in $maxRounds rounds — " +
+        "cluster diameter exceeds the bound; raise maxRounds or switch " +
+        "to large-star/small-star")
+    labels.select(col("id"), col("label").as("cluster_id"))
+  }
+}

@@ -173,4 +173,32 @@ class OpsSpec extends TestBase {
     assert(got.join(want, "asset_id")
       .filter(col("frames") =!= col("want")).count() == 0)
   }
+
+  test("connected components: chains close transitively, clusters stay " +
+      "separate (ext27)") {
+    import spark.implicits._
+    // 1-2-3-4 is one chain (diameter 3: forces >1 propagation round),
+    // 10-11 a second cluster, 20-21/21-22 a triangle-free vee.
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L),
+      (20L, 21L), (21L, 22L)).toDF("id_a", "id_b")
+    val got = graft.ops.Components.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
+  }
+
+  test("connected components refine keepRepresentatives: one keeper per " +
+      "cluster survives") {
+    import spark.implicits._
+    val docs = (1L to 30L).map(i => (i, s"d$i")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val clusters = graft.ops.Components.connectedComponents(pairs)
+    // cluster-exact kept corpus: every doc not in a pair graph, plus the
+    // min-id representative of each cluster
+    val dropExact = clusters.filter(col("id") =!= col("cluster_id"))
+      .select(col("id").as("doc_id"))
+    val keptExact = docs.join(dropExact, Seq("doc_id"), "left_anti")
+      .select("doc_id").as[Long].collect().toSet
+    assert(keptExact == ((1L to 30L).toSet -- Set(2L, 3L, 11L)))
+  }
 }
