@@ -42,8 +42,15 @@ object Components {
       idB: String = "id_b", maxRounds: Int = 25): DataFrame = {
     val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
       .union(pairs.select(col(idB).as("src"), col(idA).as("dst")))
-    var labels = Reuse.pin(edges.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id"))
+    // Init fused with the first propagation round: label₀(v) =
+    // min(v, min neighbor) is one aggregate over the edge list — it
+    // replaces the vertex-distinct AND the first join round (LSH pair
+    // graphs are near-star-shaped around the min id, so most vertices
+    // are already final after this).
+    var labels = Reuse.pin(edges
+      .groupBy(col("src").as("id"))
+      .agg(min(col("dst")).as("mn"))
+      .select(col("id"), least(col("id"), col("mn")).as("label"))
       .localCheckpoint(true))
     var round = 0
     var converged = false
