@@ -59,6 +59,52 @@ object ExtEntry {
     .map(j => s"CASE WHEN sa.mh$j = sb.mh$j THEN 1 ELSE 0 END")
     .mkString(" + ")
 
+  /** Unrolled Lloyd's-iteration CTE chain for the ext28 oracle: flat
+    * (vec_id, i, qi) centroid representation; each round is an
+    * assign-by-integer-distance + floor-quantized per-dimension mean —
+    * the SQL mirror of Similarity.kmeansBuckets' determinism rules. */
+  private def kmeansSql(k: Int, iters: Int): String = {
+    val blocks = new StringBuilder
+    blocks ++=
+      s"""c0 AS (
+         |  SELECT f.vec_id AS cid, f.i, f.qi AS cv FROM flat f
+         |  WHERE f.vec_id IN (SELECT vec_id FROM q ORDER BY vec_id LIMIT $k)),
+         |""".stripMargin
+    (1 to iters + 1).foreach { r =>
+      val c = s"c${r - 1}"
+      blocks ++=
+        s"""${c}n AS (SELECT cid, CAST(SUM(cv * cv) AS BIGINT) AS cn2
+           |       FROM $c GROUP BY 1),
+           |d$r AS (
+           |  SELECT f.vec_id, c.cid,
+           |         CAST(n2.n2 + cn.cn2
+           |              - 2 * CAST(SUM(f.qi * c.cv) AS BIGINT) AS BIGINT)
+           |           AS dist
+           |  FROM flat f JOIN $c c ON c.i = f.i
+           |       JOIN n2 ON n2.vec_id = f.vec_id
+           |       JOIN ${c}n cn ON cn.cid = c.cid
+           |  GROUP BY f.vec_id, c.cid, n2.n2, cn.cn2),
+           |a$r AS (
+           |  SELECT vec_id, cid FROM (
+           |    SELECT vec_id, cid, row_number() OVER (
+           |      PARTITION BY vec_id ORDER BY dist, cid) AS rn FROM d$r)
+           |  WHERE rn = 1),
+           |""".stripMargin
+      if (r <= iters) blocks ++=
+        s"""c$r AS (
+           |  SELECT a.cid, f.i,
+           |         CAST(floor(CAST(SUM(f.qi) AS DOUBLE) / COUNT(*))
+           |              AS BIGINT) AS cv
+           |  FROM a$r a JOIN flat f ON f.vec_id = a.vec_id
+           |  GROUP BY 1, 2),
+           |""".stripMargin
+    }
+    s"""$QuantFlatSql,
+       |${blocks.toString.stripSuffix(",\n")}
+       |SELECT vec_id, CAST(cid AS BIGINT) AS bucket FROM a${iters + 1}
+       |ORDER BY vec_id""".stripMargin
+  }
+
   /** Quantized embeddings flattened to (vec_id, i, qi) — twin of
     * Similarity.quantize. */
   private val QuantFlatSql =
@@ -323,6 +369,14 @@ object ExtEntry {
       Sampling.stratifiedTopK(docs(s, dir).select("doc_id", "lang",
           "source"), Seq("lang", "source"), col("doc_id"), 20)
         .orderBy("lang", "source", "rank")),
+
+    // Deterministic quantized k-means: the real IVF coarse-quantizer
+    // build (ext06 consumes a bucket column; this CONSTRUCTS one) —
+    // integer-exact distances + floor-quantized centroid updates make
+    // even the iterative clustering oracle-checkable.
+    "ext28_kmeans_buckets" -> ((s, dir) =>
+      Similarity.kmeansBuckets(embs(s, dir))
+        .orderBy("vec_id")),
 
     // Exact duplicate CLUSTERS: distributed connected components over
     // the MinHash-LSH pair graph — the transitive closure that
@@ -766,6 +820,10 @@ object ExtEntry {
          |      FROM h)
          |SELECT doc_id, lang, source, CAST(rank AS BIGINT) AS rank
          |FROM r WHERE rank <= 20 ORDER BY lang, source, rank""".stripMargin,
+
+    // The oracle replays both Lloyd's rounds CTE-by-CTE — possible only
+    // because every step is integer-exact or a single floor'd division.
+    "ext28_kmeans_buckets" -> kmeansSql(8, 2),
 
     // The oracle computes the same transitive closure with a recursive
     // CTE (min label reachable over the undirected pair graph) — exact

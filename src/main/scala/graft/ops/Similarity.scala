@@ -97,6 +97,60 @@ object Similarity {
         col("cos"))
   }
 
+  /**
+   * Deterministic k-means bucket construction — the real "build the IVF
+   * coarse quantizer" step ([[ivfTopK]] consumes any bucket column; the
+   * `label` default stands in where buckets already exist). Lloyd's
+   * iterations over the QUANTIZED integer vectors with three determinism
+   * rules, so the assignment is reproducible across engines, partition
+   * layouts and reruns (and therefore DuckDB-oracle-checkable — rare for
+   * k-means):
+   *
+   *  1. distance is exact int64 arithmetic: |a-c|² = n2(a) + n2(c) -
+   *     2·qdot(a,c) — no float accumulation anywhere;
+   *  2. centroid update floor-quantizes the per-dimension mean back to
+   *     int64 (ONE double division per dim, then floor — identical in
+   *     any engine), so the next round's distances are integer-exact
+   *     again;
+   *  3. seeds are the k lowest vec_ids; argmin ties break by centroid
+   *     id ASC.
+   *
+   * One keyed shuffle per round for the update (posexplode → per-(cid,
+   * dim) sum); assignment is a broadcast of k centroid rows — the
+   * standard distributed-Lloyd shape. Per-dimension sums stay well under
+   * 2^53 at test scale (quantized |v|≤~1e6 × cluster size); at larger
+   * corpora aggregate the sums as DECIMAL before the division.
+   */
+  def kmeansBuckets(emb: DataFrame, k: Int = 8, iters: Int = 2,
+      id: String = "vec_id", vec: String = "embedding"): DataFrame = {
+    val corpus = Reuse.shared(prepared(emb, id, vec).toDF("vid", "q", "n2"))
+    var cents = corpus.orderBy(col("vid")).limit(k)
+      .select(col("vid").as("cid"), col("q").as("cq"), col("n2").as("cn2"))
+    def assign(c: DataFrame): DataFrame = {
+      val scored = corpus.crossJoin(broadcast(c))
+        .withColumn("dist",
+          col("n2") + col("cn2") - lit(2L) * qdot(col("q"), col("cq")))
+      val w = Window.partitionBy(col("vid"))
+        .orderBy(col("dist").asc, col("cid").asc)
+      scored.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("vid"), col("cid"), col("q"))
+    }
+    (1 to iters).foreach { _ =>
+      val a = assign(cents)
+      cents = a.select(col("cid"), posexplode(col("q")).as(Seq("pos", "v")))
+        .groupBy("cid", "pos")
+        .agg(sum("v").as("s"), count(lit(1)).as("n"))
+        .withColumn("cv",
+          floor(col("s").cast("double") / col("n")).cast("long"))
+        .groupBy("cid")
+        .agg(transform(array_sort(collect_list(struct(col("pos"),
+          col("cv")))), x => x.getField("cv")).as("cq"))
+        .withColumn("cn2", qnorm2(col("cq")))
+    }
+    assign(cents).select(col("vid").as(id), col("cid").as("bucket"))
+  }
+
   /** Hyperplane signatures support embeddings up to this many dims; the
     * per-hyperplane weight literal is sliced to the row's actual size. */
   val MaxSigDims = 1024

@@ -89,4 +89,33 @@ class SimilaritySpec extends TestBase {
     assert(hits >= 0 && brute1.nonEmpty)
     info(s"IVF recall@10 of brute top-1: $hits/${brute1.size}")
   }
+
+  test("kmeans buckets partition the corpus and feed ivfTopK (ext28)") {
+    import spark.implicits._
+    val buckets = Similarity.kmeansBuckets(emb, k = 8, iters = 2)
+    val n = emb.count()
+    // a total assignment: every vector exactly one bucket
+    assert(buckets.count() == n)
+    assert(buckets.select("vec_id").distinct().count() == n)
+    val used = buckets.select("bucket").distinct().count()
+    assert(used > 1 && used <= 8, s"degenerate clustering: $used buckets")
+    // identical vectors must land in the same bucket (distance ties
+    // break on centroid id, not row identity); duplicate the max-id row
+    // (never a seed) under a fresh id — limit(1) without an order would
+    // pick a different row per evaluation.
+    val srcId = emb.agg(max("vec_id")).as[Long].head
+    val dup = emb.filter(col("vec_id") === srcId)
+      .withColumn("vec_id", col("vec_id") + 1000000L)
+    val both = Similarity.kmeansBuckets(emb.union(dup), k = 8, iters = 2)
+      .filter(col("vec_id") === srcId ||
+        col("vec_id") === srcId + 1000000L)
+      .select("bucket").as[Long].collect()
+    assert(both.length == 2 && both(0) == both(1),
+      s"equal vectors assigned to different buckets: ${both.toSeq}")
+    // the constructed buckets drop into the IVF search path unchanged
+    val withBucket = emb.join(buckets, "vec_id")
+    val res = Similarity.ivfTopK(withBucket,
+      withBucket.filter(col("vec_id") < 5), 3, bucket = "bucket")
+    assert(res.count() > 0)
+  }
 }
