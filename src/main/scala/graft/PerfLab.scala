@@ -18,7 +18,7 @@ object PerfLab {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val strategy = sys.env.getOrElse("SPARK_GRAFT_REUSE", "eager_persist")
+    val strategy = sys.env.getOrElse("SPARK_GRAFT_REUSE", "checkpoint")
     val confs = sys.env.getOrElse("SPARK_GRAFT_CONFS", "").split(";")
       .filter(_.contains("=")).map { kv =>
         val Array(k, v) = kv.split("=", 2); (k, v)
