@@ -259,6 +259,15 @@ object ExtEntry {
         .select("doc_id", "content_fp", "rolling_fp")
         .orderBy("doc_id")),
 
+    // Gopher-style repetition quality rules: duplicate-2-gram ratio and
+    // dominant-token ratio — the "is this boilerplate/spam" filter of a
+    // pretraining pipeline, exact integer counts + one double division.
+    "ext29_text_repetition" -> ((s, dir) =>
+      TextOps.repetition(docs(s, dir))
+        .select("doc_id", "n_2grams", "n_distinct_2grams",
+          "dup_2gram_ratio", "top_tok_ratio")
+        .orderBy("doc_id")),
+
     "ext12_multimodal_meta" -> ((s, dir) =>
       Multimodal.withBinaryMeta(Multimodal.assetsFromDocuments(docs(s, dir)))
         .select("asset_id", "kind", "n_bytes", "digest", "head_hex")
@@ -725,6 +734,34 @@ object ExtEntry {
         |       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS weight_sum
         |FROM s GROUP BY user_id, sid
         |ORDER BY entity, session_start_us""".stripMargin,
+
+    "ext29_text_repetition" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |g AS (
+        |  SELECT doc_id, tk[i] || ' ' || tk[i+1] AS g
+        |  FROM toks JOIN range(1, 100000) r(i) ON i <= len(tk) - 1),
+        |ga AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_2grams,
+        |         CAST(count(DISTINCT g) AS BIGINT) AS n_distinct_2grams
+        |  FROM g GROUP BY 1),
+        |t AS (SELECT doc_id, unnest(tk) AS t FROM toks),
+        |tc AS (SELECT doc_id, t, count(*) AS c FROM t GROUP BY 1, 2),
+        |ta AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_toks,
+        |              CAST(MAX(c) AS BIGINT) AS top_tok
+        |       FROM tc GROUP BY 1)
+        |SELECT d.doc_id,
+        |       coalesce(ga.n_2grams, 0) AS n_2grams,
+        |       coalesce(ga.n_distinct_2grams, 0) AS n_distinct_2grams,
+        |       CASE WHEN coalesce(ga.n_2grams, 0) = 0 THEN 0.0
+        |            ELSE 1.0 - CAST(ga.n_distinct_2grams AS DOUBLE)
+        |                       / CAST(ga.n_2grams AS DOUBLE)
+        |       END AS dup_2gram_ratio,
+        |       CAST(ta.top_tok AS DOUBLE) / CAST(ta.n_toks AS DOUBLE)
+        |         AS top_tok_ratio
+        |FROM documents d LEFT JOIN ga ON ga.doc_id = d.doc_id
+        |     JOIN ta ON ta.doc_id = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
 
     "ext12_multimodal_meta" ->
       """SELECT doc_id AS asset_id,

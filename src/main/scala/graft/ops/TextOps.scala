@@ -83,6 +83,48 @@ object TextOps {
           lit(0.5) + col("stop_ratio") * lit(0.5))
 
   /**
+   * Intra-document repetition metrics — the Gopher-style "repetitious
+   * text" quality rules: a document whose 2-grams are mostly the same
+   * few strings, or where a single token dominates, is boilerplate/spam
+   * with high probability and a pretraining pipeline filters it.
+   *
+   *  - `dup_2gram_ratio`  = 1 - distinct(2-grams)/total(2-grams)
+   *    (0 when the doc has fewer than 2 tokens);
+   *  - `top_tok_ratio`    = occurrences of the most frequent token /
+   *    total tokens (ties irrelevant: only the max count matters).
+   *
+   * Both are one hash-aggregate per metric keyed by doc (the 2-gram
+   * distinct rides the same shuffle as the count via a two-level
+   * aggregate), and exact-arithmetic portable: counts are integers, each
+   * ratio is a single double division.
+   */
+  def repetition(doc: DataFrame, id: String = "doc_id",
+      text: String = "text"): DataFrame = {
+    val grams = doc.select(col(id),
+      explode(shingles(tokens(col(text)), 2)).as("g"))
+    val gramAgg = grams.groupBy(col(id), col("g"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col(id))
+      .agg(sum("c").as("n_2grams"), count(lit(1)).as("n_distinct_2grams"))
+    val tokAgg = doc.select(col(id), explode(tokens(col(text))).as("t"))
+      .groupBy(col(id), col("t")).agg(count(lit(1)).as("c"))
+      .groupBy(col(id))
+      .agg(sum("c").as("n_toks"), max("c").as("top_tok"))
+    doc.select(col(id))
+      .join(gramAgg, Seq(id), "left")
+      .join(tokAgg, Seq(id), "left")
+      .select(col(id),
+        coalesce(col("n_2grams"), lit(0L)).as("n_2grams"),
+        coalesce(col("n_distinct_2grams"), lit(0L))
+          .as("n_distinct_2grams"),
+        when(coalesce(col("n_2grams"), lit(0L)) === 0L, lit(0.0d))
+          .otherwise(lit(1.0d) - col("n_distinct_2grams").cast("double") /
+            col("n_2grams").cast("double")).as("dup_2gram_ratio"),
+        (col("top_tok").cast("double") / col("n_toks").cast("double"))
+          .as("top_tok_ratio"))
+  }
+
+  /**
    * Document fingerprints: (a) content fingerprint = first 16 hex of
    * md5(lower(text)); (b) an order-sensitive positional rolling hash —
    * sum over positions of tokenHash * position, mod 2^31-1 — exact int64

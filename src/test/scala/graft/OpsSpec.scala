@@ -174,6 +174,20 @@ class OpsSpec extends TestBase {
       .filter(col("frames") =!= col("want")).count() == 0)
   }
 
+  test("repetition metrics flag repeated text, pass diverse text (ext29)") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "spam spam spam spam spam"),   // one 2-gram repeated 4x
+      (2L, "a b c d e"),                  // all distinct
+      (3L, "x")                           // too short for 2-grams
+    ).toDF("doc_id", "text")
+    val got = graft.ops.TextOps.repetition(docs).orderBy("doc_id")
+      .as[(Long, Long, Long, Double, Double)].collect()
+    assert(got(0) == ((1L, 4L, 1L, 0.75, 1.0)))  // 4 grams, 1 distinct
+    assert(got(1) == ((2L, 4L, 4L, 0.0, 0.2)))   // no repetition
+    assert(got(2) == ((3L, 0L, 0L, 0.0, 1.0)))   // defined on short docs
+  }
+
   test("connected components: chains close transitively, clusters stay " +
       "separate (ext27)") {
     import spark.implicits._
