@@ -357,6 +357,17 @@ object ExtEntry {
         .select("doc_id", "n_toks", "first_tok", "chunk_id")
         .orderBy("doc_id")),
 
+    // Per-chunk segments: the exact [seg_start, seg_end) token span each
+    // doc contributes to each training chunk — docs straddling a chunk
+    // boundary emit one row per touched chunk (bounded explode, no extra
+    // shuffle on top of the packing prefix sum).
+    "ext30_pack_segments" -> ((s, dir) =>
+      Packing.packSegments(
+        Packing.concatChunks(docs(s, dir).select("doc_id", "text"),
+          col("doc_id"), size(split(col("text"), " ")), 1024L), 1024L)
+        .select("doc_id", "chunk_id", "seg_start", "seg_end")
+        .orderBy("doc_id", "chunk_id")),
+
     // Per-stratum quality quantiles — the "pick the filter threshold"
     // step of corpus curation. Exact `percentile` (sort-based) — at
     // 100 TB swap for approx_percentile; the exact form is what the
@@ -830,6 +841,27 @@ object ExtEntry {
         |  FROM t)
         |SELECT doc_id, n_toks, first_tok, first_tok // 1024 AS chunk_id
         |FROM c ORDER BY doc_id""".stripMargin,
+
+    "ext30_pack_segments" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, n_toks,
+        |         CAST(SUM(n_toks) OVER (ORDER BY doc_id
+        |           ROWS UNBOUNDED PRECEDING) AS BIGINT) - n_toks AS first_tok
+        |  FROM t),
+        |s AS (
+        |  SELECT doc_id, n_toks, first_tok, k.i AS chunk_id
+        |  FROM c JOIN range(0, 100000) k(i)
+        |    ON k.i >= first_tok // 1024
+        |   AND k.i <= (first_tok + n_toks - 1) // 1024
+        |  WHERE n_toks > 0)
+        |SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+        |       greatest(first_tok, chunk_id * 1024) AS seg_start,
+        |       least(first_tok + n_toks, (chunk_id + 1) * 1024) AS seg_end
+        |FROM s ORDER BY doc_id, chunk_id""".stripMargin,
 
     "ext24_quality_quantiles" ->
       s"""WITH q AS (

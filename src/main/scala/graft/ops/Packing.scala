@@ -80,4 +80,28 @@ object Packing {
       .withColumnRenamed("_toks", "n_toks")
       .withColumn("chunk_id", floor(col("first_tok") / budget))
   }
+
+  /**
+   * Per-chunk SEGMENTS — the step [[concatChunks]] stops short of: a
+   * document longer than the budget (or straddling a boundary) spans
+   * several chunks; training-data assembly needs the exact
+   * `[seg_start, seg_end)` token span to cut from each doc for each
+   * chunk. Pure projection + bounded explode over the packed output
+   * (fan-out = chunks touched = ⌈n_toks/budget⌉+1, no extra shuffle);
+   * zero-width docs emit no segments. All integer arithmetic — the
+   * oracle replays it exactly.
+   */
+  def packSegments(packed: DataFrame, budget: Long): DataFrame = {
+    require(budget > 0, "chunk budget must be positive")
+    packed
+      .filter(col("n_toks") > 0)
+      .withColumn("chunk_id", explode(sequence(
+        expr(s"first_tok div $budget"),
+        expr(s"(first_tok + n_toks - 1) div $budget"))))
+      .withColumn("seg_start",
+        greatest(col("first_tok"), col("chunk_id") * budget))
+      .withColumn("seg_end",
+        least(col("first_tok") + col("n_toks"),
+          (col("chunk_id") + 1) * budget))
+  }
 }

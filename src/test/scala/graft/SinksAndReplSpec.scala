@@ -101,6 +101,28 @@ class SinksAndReplSpec extends TestBase {
     assert(out.toSeq == Seq((1L, 5L, 0L), (2L, 0L, 5L), (3L, 7L, 5L)))
   }
 
+  test("pack segments split straddling docs at exact chunk boundaries") {
+    import spark.implicits._
+    // budget 10; token counts 7, 6, 0, 20 → offsets 0, 7, 13, 13
+    val df = Seq((1L, 7L), (2L, 6L), (3L, 0L), (4L, 20L))
+      .toDF("doc_id", "toks")
+    val packed = graft.ops.Packing.concatChunks(
+      df, col("doc_id"), col("toks"), 10L)
+    val segs = graft.ops.Packing.packSegments(packed, 10L)
+      .select("doc_id", "chunk_id", "seg_start", "seg_end")
+      .orderBy("doc_id", "chunk_id")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(segs == Seq(
+      (1L, 0L, 0L, 7L),                     // fits chunk 0
+      (2L, 0L, 7L, 10L), (2L, 1L, 10L, 13L), // straddles 0→1
+      // doc 3: zero-width, no segments
+      (4L, 1L, 13L, 20L), (4L, 2L, 20L, 30L), (4L, 3L, 30L, 33L)))
+    // segments of each doc cover exactly its token span
+    val cover = segs.groupBy(_._1).view
+      .mapValues(_.map(s => s._4 - s._3).sum).toMap
+    assert(cover == Map(1L -> 7L, 2L -> 6L, 4L -> 20L))
+  }
+
   test("hyperplane signature rejects vectors wider than MaxSigDims") {
     import spark.implicits._
     val wide = Seq((1L, Array.fill(graft.ops.Similarity.MaxSigDims + 1)(0.5f)))
