@@ -158,14 +158,24 @@ object ExtEntry {
       val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
       val (li, ord) = (s"graft_li_b_$tag", s"graft_ord_b_$tag")
       val base = s"/tmp/graft_bucketed/$tag"
+      // Freshness stamp: the source files' mtimes at write time. A layout
+      // built from since-regenerated source parquet is stale, not
+      // "present" — without this a long-lived session would keep serving
+      // the old copy after the data under `dir` changed.
+      val stamp = Seq(s"$dir/lineitem.parquet", s"$dir/orders.parquet")
+        .map(f => new java.io.File(f).lastModified()).mkString(",")
+      val stampFile = java.nio.file.Paths.get(s"$base/.source_stamp")
       val present = s.catalog.tableExists(li) && s.catalog.tableExists(ord) &&
         new java.io.File(s"$base/li/_SUCCESS").exists() &&
-        new java.io.File(s"$base/ord/_SUCCESS").exists()
+        new java.io.File(s"$base/ord/_SUCCESS").exists() &&
+        java.nio.file.Files.exists(stampFile) &&
+        java.nio.file.Files.readString(stampFile) == stamp
       if (!present) {
         graft.sources.BucketedTables.writeBucketed(Tables.lineitem(s, dir),
           li, s"$base/li", "l_orderkey", 8)
         graft.sources.BucketedTables.writeBucketed(Tables.orders(s, dir),
           ord, s"$base/ord", "o_orderkey", 8)
+        java.nio.file.Files.writeString(stampFile, stamp)
       }
       (li, ord)
     }
@@ -750,8 +760,12 @@ object ExtEntry {
       """WITH toks AS (
         |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
         |g AS (
-        |  SELECT doc_id, tk[i] || ' ' || tk[i+1] AS g
-        |  FROM toks JOIN range(1, 100000) r(i) ON i <= len(tk) - 1),
+        |  -- list-function range follows len(tk) exactly (no fixed cap,
+        |  -- so no silent divergence from the uncapped Spark operator)
+        |  SELECT doc_id,
+        |         unnest(list_transform(range(1, len(tk)),
+        |                i -> tk[i] || ' ' || tk[i+1])) AS g
+        |  FROM toks),
         |ga AS (
         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_2grams,
         |         CAST(count(DISTINCT g) AS BIGINT) AS n_distinct_2grams
@@ -853,11 +867,12 @@ object ExtEntry {
         |           ROWS UNBOUNDED PRECEDING) AS BIGINT) - n_toks AS first_tok
         |  FROM t),
         |s AS (
-        |  SELECT doc_id, n_toks, first_tok, k.i AS chunk_id
-        |  FROM c JOIN range(0, 100000) k(i)
-        |    ON k.i >= first_tok // 1024
-        |   AND k.i <= (first_tok + n_toks - 1) // 1024
-        |  WHERE n_toks > 0)
+        |  -- chunk ids from a per-row list range: follows the data, no
+        |  -- fixed cap to diverge from the uncapped Spark operator
+        |  SELECT doc_id, n_toks, first_tok,
+        |         unnest(range(first_tok // 1024,
+        |                (first_tok + n_toks - 1) // 1024 + 1)) AS chunk_id
+        |  FROM c WHERE n_toks > 0)
         |SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
         |       greatest(first_tok, chunk_id * 1024) AS seg_start,
         |       least(first_tok + n_toks, (chunk_id + 1) * 1024) AS seg_end

@@ -58,7 +58,8 @@ object Main {
     // duration-bounded capture (Program.SaveTweets.cs:14-51: the
     // reference captures the live stream for N minutes, then stops) —
     // streaming form with the reference's OP-01 restart policy around it.
-    case "saveTweets" :: in :: out :: minutes :: Nil =>
+    case "saveTweets" :: in :: out :: minutes :: Nil
+        if minutes.toDoubleOption.exists(m => m > 0) =>
       val spark = session()
       val deadline =
         System.currentTimeMillis() + (minutes.toDouble * 60000).toLong

@@ -82,9 +82,16 @@ object Repl {
    * the same way. The collect is bounded: these are serving results
    * (ranged windows / top-k), small by construction.
    */
+  /** Sub-ms disambiguator: our clock is ms-resolution dressed as 100 ns
+    * .NET ticks, so two commands inside one millisecond would collide
+    * and silently overwrite — spread them across the 10000 sub-ms tick
+    * slots the way the reference's real 100 ns clock does. */
+  private val tickSeq = new java.util.concurrent.atomic.AtomicLong(0L)
+
   def writeResult(df: DataFrame, command: String,
       outDir: String): java.nio.file.Path = {
-    val ticks = System.currentTimeMillis() * 10000L + 621355968000000000L
+    val ticks = System.currentTimeMillis() * 10000L +
+      621355968000000000L + (tickSeq.getAndIncrement() % 10000L)
     val p = java.nio.file.Paths.get(outDir, s"$command.$ticks.json")
     java.nio.file.Files.write(p,
       (df.toJSON.collect().mkString("\n") + "\n").getBytes("UTF-8"))

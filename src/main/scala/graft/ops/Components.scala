@@ -40,8 +40,14 @@ object Components {
    */
   def connectedComponents(pairs: DataFrame, idA: String = "id_a",
       idB: String = "id_b", maxRounds: Int = 25): DataFrame = {
-    val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
+    // Materialize the edge list ONCE: it is consumed by the init
+    // aggregate plus every propagation round, and `pairs` is typically
+    // an expensive candidate-generation plan (band explode + self-join)
+    // that must not re-execute per round.
+    val edges = Reuse.pin(pairs
+      .select(col(idA).as("src"), col(idB).as("dst"))
       .union(pairs.select(col(idB).as("src"), col(idA).as("dst")))
+      .localCheckpoint(true))
     // Init fused with the first propagation round: label₀(v) =
     // min(v, min neighbor) is one aggregate over the edge list — it
     // replaces the vertex-distinct AND the first join round (LSH pair

@@ -44,15 +44,23 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object Reuse {
   val ConfKey = "graft.reuse"
 
-  /** Frames materialized by [[shared]] and not yet freed — per session. */
+  /** Frames materialized by [[shared]]/[[pin]] and not yet freed — per
+    * session, held WEAKLY: a caller that never invokes [[freeAll]] (a
+    * library user, a test JVM) does not leak — once its query results
+    * are unreachable the frames get GC'd and Spark's ContextCleaner
+    * reclaims the blocks, exactly as if this registry did not exist.
+    * [[freeAll]] only accelerates that for harnesses that know the
+    * query is over. */
   private val live =
     new java.util.concurrent.ConcurrentHashMap[SparkSession,
-      java.util.concurrent.ConcurrentLinkedQueue[DataFrame]]()
+      java.util.concurrent.ConcurrentLinkedQueue[
+        java.lang.ref.WeakReference[DataFrame]]]()
 
   private def track(df: DataFrame): DataFrame = {
     live.computeIfAbsent(df.sparkSession,
-      _ => new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]())
-      .add(df)
+      _ => new java.util.concurrent.ConcurrentLinkedQueue[
+        java.lang.ref.WeakReference[DataFrame]]())
+      .add(new java.lang.ref.WeakReference(df))
     df
   }
 
@@ -72,16 +80,25 @@ object Reuse {
     }
 
   /**
-   * Free every materialization [[shared]] produced on this session since
-   * the last call: unpersists cached frames AND removes localCheckpoint
-   * RDD blocks (which `spark.catalog.clearCache()` does not touch).
-   * Harnesses (Bench/Verify/PerfLab/REPL) call this after each query so
-   * one query's blocks never degrade the next.
+   * Free every materialization [[shared]]/[[pin]] produced on this
+   * session since the last call: unpersists cached frames AND removes
+   * localCheckpoint RDD blocks (which `spark.catalog.clearCache()` does
+   * not touch). Harnesses (Bench/Verify/PerfLab) call this after each
+   * query so one query's blocks never degrade the next.
+   *
+   * CONTRACT: call only BETWEEN queries. Checkpointed frames have no
+   * lineage, so results produced since the last freeAll become
+   * unrecomputable ("checkpoint block not found") if acted on again
+   * after freeing — freeing is for when the query's outputs are done,
+   * not a cache hint. Callers that keep results alive should simply not
+   * call this; the weak registry then defers to normal GC +
+   * ContextCleaner cleanup.
    */
   def freeAll(spark: SparkSession): Unit = {
     val q = live.remove(spark)
-    if (q != null) q.forEach { df =>
-      try {
+    if (q != null) q.forEach { ref =>
+      val df = ref.get()
+      if (df != null) try {
         df.unpersist(blocking = false)
         org.apache.spark.sql.graftbridge.SqlBridge.freeCheckpoint(df)
       } catch { case _: Throwable => () }

@@ -173,7 +173,10 @@ object Similarity {
     }
     // A vector wider than the weight table would silently project onto a
     // truncated prefix (wrong buckets downstream) — fail loudly instead.
-    when(size(q) <= MaxSigDims, bits.reduce(_ + _))
+    // NULL embeddings keep their pre-guard behavior (signature 0 via
+    // null-propagating projections), hence the coalesce: a raw
+    // `size(q) <= max` is NULL for them and would take the error branch.
+    when(coalesce(size(q), lit(0)) <= MaxSigDims, bits.reduce(_ + _))
       .otherwise(raise_error(concat(
         lit(s"hyperplaneSignature supports at most $MaxSigDims dims, got "),
         size(q).cast("string"))))
