@@ -158,6 +158,21 @@ object ExtEntry {
       val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
       val (li, ord) = (s"graft_li_b_$tag", s"graft_ord_b_$tag")
       val base = s"/tmp/graft_bucketed/$tag"
+      // Cross-process exclusion: the object-level synchronized only
+      // covers this JVM; a Bench and a test JVM seeding the same tag
+      // concurrently would interleave the table rewrite and the stamp.
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(base))
+      val lockCh = java.nio.channels.FileChannel.open(
+        java.nio.file.Paths.get(s"$base/.lock"),
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.WRITE)
+      val lock = lockCh.lock()
+      try ensureBucketedLocked(s, dir, li, ord, base)
+      finally { lock.release(); lockCh.close() }
+    }
+
+  private def ensureBucketedLocked(s: SparkSession, dir: String,
+      li: String, ord: String, base: String): (String, String) = {
       // Freshness stamp: the source files' mtimes at write time. A layout
       // built from since-regenerated source parquet is stale, not
       // "present" — without this a long-lived session would keep serving
@@ -785,7 +800,7 @@ object ExtEntry {
         |       CAST(ta.top_tok AS DOUBLE) / CAST(ta.n_toks AS DOUBLE)
         |         AS top_tok_ratio
         |FROM documents d LEFT JOIN ga ON ga.doc_id = d.doc_id
-        |     JOIN ta ON ta.doc_id = d.doc_id
+        |     LEFT JOIN ta ON ta.doc_id = d.doc_id
         |ORDER BY d.doc_id""".stripMargin,
 
     "ext12_multimodal_meta" ->

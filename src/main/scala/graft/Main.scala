@@ -80,7 +80,8 @@ object Main {
       }
       spark.stop()
 
-    case "repl" :: store :: Nil => Repl.main(Array(store))
+    case "repl" :: store :: rest if rest.size <= 1 =>
+      Repl.main((store :: rest).toArray)
 
     case other =>
       System.err.println(

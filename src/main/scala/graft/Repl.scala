@@ -90,6 +90,7 @@ object Repl {
 
   def writeResult(df: DataFrame, command: String,
       outDir: String): java.nio.file.Path = {
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
     val ticks = System.currentTimeMillis() * 10000L +
       621355968000000000L + (tickSeq.getAndIncrement() % 10000L)
     val p = java.nio.file.Paths.get(outDir, s"$command.$ticks.json")

@@ -22,4 +22,14 @@ object SqlBridge {
         l.rdd.unpersist(blocking = false)
       case _ => ()
     }
+
+  /** The id of the checkpointed RDD under a `localCheckpoint`ed
+    * DataFrame — extracted EAGERLY so lifecycle registries can hold the
+    * plain int (freeing by id survives the wrapper Dataset being GC'd;
+    * a WeakReference would not). */
+  def checkpointRddId(df: org.apache.spark.sql.DataFrame): Option[Int] =
+    df.queryExecution.logical match {
+      case l: org.apache.spark.sql.execution.LogicalRDD => Some(l.rdd.id)
+      case _ => None
+    }
 }

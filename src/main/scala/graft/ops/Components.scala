@@ -72,6 +72,10 @@ object Components {
         .filter(col("n.label") =!= col("p.label"))
         .limit(1).count()
       converged = changed == 0
+      // The superseded round's checkpoint blocks are dead the moment the
+      // convergence probe has run — free them now rather than letting
+      // O(rounds × |V|) blocks pile up inside one query.
+      org.apache.spark.sql.graftbridge.SqlBridge.freeCheckpoint(labels)
       labels = next
       round += 1
     }

@@ -20,7 +20,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
  * are NOT freed by `spark.catalog.clearCache()`, so a long session
  * accumulates executor-local blocks until the ContextCleaner happens to
  * run, and later queries pay the memory pressure. The fix is a lifecycle:
- * every materialized frame is registered here and the harness frees it
+ * every materialization is registered here and the harness frees it
  * after the query ([[freeAll]]).
  *
  * Strategy is a session conf (`graft.reuse`):
@@ -44,30 +44,49 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object Reuse {
   val ConfKey = "graft.reuse"
 
-  /** Frames materialized by [[shared]]/[[pin]] and not yet freed — per
-    * session, held WEAKLY: a caller that never invokes [[freeAll]] (a
-    * library user, a test JVM) does not leak — once its query results
-    * are unreachable the frames get GC'd and Spark's ContextCleaner
-    * reclaims the blocks, exactly as if this registry did not exist.
-    * [[freeAll]] only accelerates that for harnesses that know the
-    * query is over. */
+  /**
+   * What [[freeAll]] needs, registered per session. Checkpoint blocks
+   * are tracked by RDD ID — a plain int extracted eagerly — because the
+   * wrapper Dataset is typically unreachable the moment the consuming
+   * query plan is built, so any object-reference scheme (weak OR strong)
+   * either breaks under GC (weak refs cleared before freeAll runs →
+   * blocks silently survive) or defeats ContextCleaner for callers that
+   * never free (strong refs → permanent leak). The ID ties up nothing:
+   * non-harness callers that skip freeAll keep the normal GC +
+   * ContextCleaner path, harness callers free deterministically by id.
+   * Persisted (cache) frames are additionally registered in Spark's own
+   * CacheManager, which holds them until clearCache — the weak Dataset
+   * ref here is just the accelerated unpersist for freeAll.
+   */
+  private final case class Tracked(
+      cached: java.lang.ref.WeakReference[DataFrame],
+      checkpointRddId: Int)
+
   private val live =
     new java.util.concurrent.ConcurrentHashMap[SparkSession,
-      java.util.concurrent.ConcurrentLinkedQueue[
-        java.lang.ref.WeakReference[DataFrame]]]()
+      java.util.concurrent.ConcurrentLinkedQueue[Tracked]]()
 
-  private def track(df: DataFrame): DataFrame = {
-    live.computeIfAbsent(df.sparkSession,
-      _ => new java.util.concurrent.ConcurrentLinkedQueue[
-        java.lang.ref.WeakReference[DataFrame]]())
-      .add(new java.lang.ref.WeakReference(df))
+  private def register(spark: SparkSession, t: Tracked): Unit =
+    live.computeIfAbsent(spark,
+      _ => new java.util.concurrent.ConcurrentLinkedQueue[Tracked]()).add(t)
+
+  private def trackCheckpoint(df: DataFrame): DataFrame = {
+    val id = org.apache.spark.sql.graftbridge.SqlBridge
+      .checkpointRddId(df).getOrElse(-1)
+    register(df.sparkSession, Tracked(null, id))
     df
   }
 
-  /** Track an externally-materialized frame (e.g. a semantically-required
-    * localCheckpoint like Packing's frozen partitioning) so [[freeAll]]
-    * releases its blocks with everything else. */
-  def pin(df: DataFrame): DataFrame = track(df)
+  private def trackCache(df: DataFrame): DataFrame = {
+    register(df.sparkSession,
+      Tracked(new java.lang.ref.WeakReference(df), -1))
+    df
+  }
+
+  /** Track an externally-created `localCheckpoint` (e.g. Packing's frozen
+    * partitioning, Components' edge list) so [[freeAll]] releases its
+    * blocks with everything else. */
+  def pin(df: DataFrame): DataFrame = trackCheckpoint(df)
 
   def shared(df: DataFrame): DataFrame =
     df.sparkSession.conf.get(ConfKey, "checkpoint") match {
@@ -75,8 +94,8 @@ object Reuse {
       case "eager_persist" =>
         val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         p.count()
-        track(p)
-      case _ => track(df.localCheckpoint(true))
+        trackCache(p)
+      case _ => trackCheckpoint(df.localCheckpoint(true))
     }
 
   /**
@@ -91,16 +110,20 @@ object Reuse {
    * unrecomputable ("checkpoint block not found") if acted on again
    * after freeing — freeing is for when the query's outputs are done,
    * not a cache hint. Callers that keep results alive should simply not
-   * call this; the weak registry then defers to normal GC +
-   * ContextCleaner cleanup.
+   * call this; unreferenced materializations then fall back to normal
+   * GC + ContextCleaner cleanup.
    */
   def freeAll(spark: SparkSession): Unit = {
     val q = live.remove(spark)
-    if (q != null) q.forEach { ref =>
-      val df = ref.get()
-      if (df != null) try {
-        df.unpersist(blocking = false)
-        org.apache.spark.sql.graftbridge.SqlBridge.freeCheckpoint(df)
+    if (q != null) q.forEach { t =>
+      try {
+        if (t.checkpointRddId >= 0)
+          org.apache.spark.graftbridge.SparkBridge
+            .unpersistRdd(spark.sparkContext, t.checkpointRddId)
+        else {
+          val df = if (t.cached == null) null else t.cached.get()
+          if (df != null) df.unpersist(blocking = false)
+        }
       } catch { case _: Throwable => () }
     }
   }

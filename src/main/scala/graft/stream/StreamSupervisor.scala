@@ -38,8 +38,13 @@ object StreamSupervisor {
     var consecutiveShort = 0
     while (true) {
       val t0 = now()
-      val q = start()
-      val failure = run(q)
+      // start() failures count as zero-uptime incarnations: a source
+      // that cannot even be (re)created is the flapping case the policy
+      // exists for — letting the exception escape would bypass backoff
+      // and the give-up bound entirely.
+      val failure =
+        try run(start())
+        catch { case e: Throwable => Some(e) }
       val uptime = now() - t0
       failure match {
         case None =>

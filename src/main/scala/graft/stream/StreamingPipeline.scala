@@ -104,12 +104,7 @@ object StreamingPipeline {
         org.apache.spark.sql.types.DoubleType),
       org.apache.spark.sql.types.StructField("props",
         org.apache.spark.sql.types.StringType)))
-    val f = new java.io.File(dir)
-    val reader = spark.readStream.schema(schema)
-    val src =
-      if (f.isFile)
-        reader.option("pathGlobFilter", f.getName).parquet(f.getParent)
-      else reader.parquet(dir)
+    val src = fileStreamSource(spark.readStream.schema(schema), dir)
     src.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
   }
 
@@ -136,9 +131,18 @@ object StreamingPipeline {
    */
   def parquetStream(spark: SparkSession, path: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val f = new java.io.File(path)
     val schema = spark.read.parquet(path).schema
-    val reader = spark.readStream.schema(schema)
+    fileStreamSource(spark.readStream.schema(schema), path)
+  }
+
+  /** FileStreamSource needs a directory `basePath`; normalize a
+    * single-file path to its parent + a glob on the file name. The
+    * parent is taken from the ABSOLUTE file (a bare relative filename
+    * has a null `getParent`). */
+  private def fileStreamSource(
+      reader: org.apache.spark.sql.streaming.DataStreamReader,
+      path: String): DataFrame = {
+    val f = new java.io.File(path).getAbsoluteFile
     if (f.isFile)
       reader.option("pathGlobFilter", f.getName).parquet(f.getParent)
     else reader.parquet(path)
