@@ -40,14 +40,17 @@ object Components {
    */
   def connectedComponents(pairs: DataFrame, idA: String = "id_a",
       idB: String = "id_b", maxRounds: Int = 25): DataFrame = {
-    // Materialize the edge list ONCE: it is consumed by the init
-    // aggregate plus every propagation round, and `pairs` is typically
-    // an expensive candidate-generation plan (band explode + self-join)
-    // that must not re-execute per round.
-    val edges = Reuse.pin(pairs
+    // Materialize the pair list ONCE — `pairs` is typically an expensive
+    // candidate-generation plan (band explode + self-join) that must not
+    // re-execute per round, and checkpointing BEFORE the symmetric union
+    // runs that plan exactly once (a union of two selects over the raw
+    // plan would execute it twice inside the one checkpoint job). The
+    // union itself is a narrow scan of the checkpointed blocks, cheap to
+    // recompute per round.
+    val p = Reuse.pin(pairs
       .select(col(idA).as("src"), col(idB).as("dst"))
-      .union(pairs.select(col(idB).as("src"), col(idA).as("dst")))
       .localCheckpoint(true))
+    val edges = p.union(p.select(col("dst").as("src"), col("src").as("dst")))
     // Init fused with the first propagation round: label₀(v) =
     // min(v, min neighbor) is one aggregate over the edge list — it
     // replaces the vertex-distinct AND the first join round (LSH pair

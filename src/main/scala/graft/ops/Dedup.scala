@@ -29,45 +29,68 @@ object Dedup {
     * oracle's `range(1, 4001)` bound so both engines see identical sets. */
   val MaxShinglesPerDoc = 4000
 
-  /** Distinct (doc, shingle-hash) pairs with a stop-shingle frequency cap:
-    * shingles present in more than `maxDocFreq` docs are dropped — the
-    * skew guard that keeps the candidate join from going quadratic on a
-    * hot shingle. */
-  def shingleHashes(doc: DataFrame, id: String, text: String,
-      n: Int = 3, maxDocFreq: Long = 50): DataFrame = {
-    // The distinct pair set feeds two consumers here (the hot-shingle
-    // aggregate and the anti-join probe side) and up to three more in the
-    // callers — materialize it eagerly once (see Reuse).
-    val sh = Reuse.shared(doc
-      .select(col(id),
-        explode(slice(TextOps.shingles(TextOps.tokens(col(text)), n),
-          1, MaxShinglesPerDoc)).as("sh"))
-      .select(col(id), Hashing.portableHash32(col("sh")).as("h"))
-      .distinct())
-    val hot = sh.groupBy("h").agg(count("*").as("df"))
-      .filter(col("df") > maxDocFreq).select("h")
-    sh.join(hot, Seq("h"), "left_anti")
+  /**
+   * Per-shingle doc-id lists (ascending) after the stop-shingle cap, as
+   * ONE keyed shuffle: explode per-doc distinct shingle hashes, group by
+   * hash collecting ids through a BOUNDED [[graft.agg.TopKIds]] buffer of
+   * `maxDocFreq + 1` slots. A shingle hitting the bound has
+   * `df > maxDocFreq` and is dropped — byte-identical semantics to the
+   * classic distinct → df-count → anti-join pipeline, but the hot-shingle
+   * guard costs no extra aggregate or join, and aggregator state stays
+   * ≤ maxDocFreq+1 ids even for a shingle present in a billion docs (the
+   * skew case the cap exists for). `array_distinct` runs per-doc BEFORE
+   * the explode, and doc ids are unique per row, so the grouped lists
+   * need no further dedup. Weight is `-id` as double — exact while
+   * ids < 2^53.
+   *
+   * Returned relation: `(h, ids array<long> ascending)`, eagerly
+   * materialized (see [[Reuse]]) — every consumer (pair generation, set
+   * sizes, MinHash mins) is a cheap scan of |distinct shingles| rows.
+   */
+  def shingleGroups(doc: DataFrame, id: String, text: String,
+      n: Int = 3, maxDocFreq: Int = 50): DataFrame = {
+    val bounded = graft.agg.TopK.topKIds(maxDocFreq + 1)
+    Reuse.shared(doc
+      .select(col(id).as("_sid"),
+        explode(array_distinct(transform(
+          slice(TextOps.shingles(TextOps.tokens(col(text)), n),
+            1, MaxShinglesPerDoc),
+          s => Hashing.portableHash32(s)))).as("h"))
+      .groupBy("h")
+      .agg(bounded(negate(col("_sid").cast("double")), col("_sid"))
+        .as("ids"))
+      .filter(size(col("ids")) <= maxDocFreq))
   }
+
+  /** Distinct (doc, shingle-hash) pairs with the stop-shingle frequency
+    * cap — the exploded view of [[shingleGroups]]. */
+  def shingleHashes(doc: DataFrame, id: String, text: String,
+      n: Int = 3, maxDocFreq: Int = 50): DataFrame =
+    shingleGroups(doc, id, text, n, maxDocFreq)
+      .select(explode(col("ids")).as(id), col("h"))
 
   /**
    * N-gram Jaccard near-dup: candidate pairs share ≥1 (capped) shingle;
    * jaccard = |∩| / (|A| + |B| - |∩|). Exact over the capped shingle
    * sets; the division is a single IEEE op so engines agree.
+   *
+   * Pair generation explodes the in-list combinations of each shingle's
+   * (ascending, ≤ maxDocFreq) doc list — fan-out bounded at
+   * maxDocFreq²/2 per shingle — instead of self-joining the exploded
+   * relation on `h`, which saves two shuffles and the join while
+   * producing the identical multiset of (id_a < id_b) candidates.
    */
   def ngramJaccard(doc: DataFrame, id: String = "doc_id",
       text: String = "text", threshold: Double = 0.1): DataFrame = {
-    // The shingle relation feeds three consumers (sizes + both join
-    // sides) — one more eager materialization on top of the inner one in
-    // shingleHashes, so each consumer is a cached scan and the hot-shingle
-    // aggregate runs once, not three times (see Reuse for why eager, and
-    // why lazy persist() was a regression).
-    val sh = Reuse.shared(shingleHashes(doc, id, text))
-    val sizes = sh.groupBy(col(id)).agg(count("*").as("n_sh"))
-    val a = sh.select(col(id).as("id_a"), col("h"))
-    val b = sh.select(col(id).as("id_b"), col("h"))
-    val inter = a.join(b, "h")
-      .filter(col("id_a") < col("id_b"))
-      .groupBy("id_a", "id_b").agg(count("*").as("n_inter"))
+    val g = shingleGroups(doc, id, text)
+    val combos = flatten(transform(col("ids"), (a, i) =>
+      transform(slice(col("ids"), i + lit(2), size(col("ids"))),
+        b => struct(a.as("id_a"), b.as("id_b")))))
+    val inter = g.select(explode(combos).as("p"))
+      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_inter"))
+    val sizes = g.select(explode(col("ids")).as(id))
+      .groupBy(col(id)).agg(count(lit(1)).as("n_sh"))
     inter
       .join(sizes.select(col(id).as("id_a"), col("n_sh").as("n_a")), "id_a")
       .join(sizes.select(col(id).as("id_b"), col("n_sh").as("n_b")), "id_b")

@@ -62,17 +62,35 @@ object Reuse {
       cached: java.lang.ref.WeakReference[DataFrame],
       checkpointRddId: Int)
 
-  private val live =
-    new java.util.concurrent.ConcurrentHashMap[SparkSession,
-      java.util.concurrent.ConcurrentLinkedQueue[Tracked]]()
+  // Weak session keys: a caller that uses shared()/pin() but never calls
+  // freeAll (REPL, library embedding) must not have its stopped session
+  // retained forever by this registry — once nothing else references the
+  // session, the entry (plain ints + cleared weak refs) drops with it and
+  // block cleanup falls back to GC + ContextCleaner as documented below.
+  private val live = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession,
+      java.util.concurrent.ConcurrentLinkedQueue[Tracked]]())
 
   private def register(spark: SparkSession, t: Tracked): Unit =
-    live.computeIfAbsent(spark,
-      _ => new java.util.concurrent.ConcurrentLinkedQueue[Tracked]()).add(t)
+    live.synchronized {
+      live.computeIfAbsent(spark,
+        _ => new java.util.concurrent.ConcurrentLinkedQueue[Tracked]())
+    }.add(t)
 
   private def trackCheckpoint(df: DataFrame): DataFrame = {
     val id = org.apache.spark.sql.graftbridge.SqlBridge
-      .checkpointRddId(df).getOrElse(-1)
+      .checkpointRddId(df).getOrElse {
+        // A localCheckpoint'ed frame whose plan is not the LogicalRDD we
+        // expect means freeAll silently stops freeing — exactly the
+        // round-2 block-leak regression. Shout so a Spark upgrade that
+        // changes the plan shape is caught immediately (ReuseSpec also
+        // asserts the id resolves).
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          "Reuse.trackCheckpoint: could not resolve checkpoint RDD id " +
+            "for a localCheckpoint'ed frame; its blocks will NOT be " +
+            "freed by freeAll (plan shape changed?)")
+        -1
+      }
     register(df.sparkSession, Tracked(null, id))
     df
   }

@@ -41,10 +41,17 @@ object StreamSupervisor {
       // start() failures count as zero-uptime incarnations: a source
       // that cannot even be (re)created is the flapping case the policy
       // exists for — letting the exception escape would bypass backoff
-      // and the give-up bound entirely.
+      // and the give-up bound entirely. Only NonFatal failures are
+      // policy material: fatal VM errors propagate (restarting after an
+      // OutOfMemoryError is indefinite-restart territory), and an
+      // interrupt means "stop supervising" — restore the flag and exit.
       val failure =
         try run(start())
-        catch { case e: Throwable => Some(e) }
+        catch {
+          case e: InterruptedException =>
+            Thread.currentThread().interrupt(); throw e
+          case scala.util.control.NonFatal(e) => Some(e)
+        }
       val uptime = now() - t0
       failure match {
         case None =>

@@ -1,0 +1,34 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.Reuse
+
+/** Lifecycle guards for the shared-relation registry (Reuse). */
+class ReuseSpec extends TestBase {
+
+  test("checkpointRddId resolves for a localCheckpoint'ed frame " +
+      "(freeAll depends on it — silent None re-opens the r2 block leak)") {
+    import spark.implicits._
+    val df = Seq(1L, 2L, 3L).toDF("v").localCheckpoint(true)
+    val id = org.apache.spark.sql.graftbridge.SqlBridge.checkpointRddId(df)
+    assert(id.nonEmpty,
+      "localCheckpoint plan no longer resolves to a LogicalRDD id — " +
+        "Spark plan shape changed; fix SqlBridge.checkpointRddId")
+    assert(id.get >= 0)
+  }
+
+  test("freeAll releases the blocks of a shared() checkpoint") {
+    import spark.implicits._
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    val shared = Reuse.shared(Seq(1L, 2L).toDF("v"))
+    assert(shared.count() == 2)
+    val added = sc.getPersistentRDDs.keySet -- before
+    assert(added.nonEmpty, "shared() did not materialize a tracked RDD")
+    Reuse.freeAll(spark)
+    val after = sc.getPersistentRDDs.keySet
+    assert(added.forall(!after.contains(_)),
+      s"freeAll left checkpoint RDDs ${added.filter(after.contains)} alive")
+  }
+}
