@@ -63,7 +63,17 @@ object ExtEntry {
     * (vec_id, i, qi) centroid representation; each round is an
     * assign-by-integer-distance + floor-quantized per-dimension mean —
     * the SQL mirror of Similarity.kmeansBuckets' determinism rules. */
-  private def kmeansSql(k: Int, iters: Int): String = {
+  private def kmeansSql(k: Int, iters: Int): String =
+    s"""$QuantFlatSql,
+       |${kmeansCtes(k, iters)}
+       |SELECT vec_id, CAST(cid AS BIGINT) AS bucket FROM a${iters + 1}
+       |ORDER BY vec_id""".stripMargin
+
+  /** The Lloyd's-iteration CTE blocks alone (assumes QuantFlatSql's
+    * `q`/`flat`/`n2` are in scope); final assignment CTE is
+    * `a{iters+1}`. Shared by the ext28 oracle and the ext31 kmeans-IVF
+    * oracle. */
+  private def kmeansCtes(k: Int, iters: Int): String = {
     val blocks = new StringBuilder
     blocks ++=
       s"""c0 AS (
@@ -99,10 +109,7 @@ object ExtEntry {
            |  GROUP BY 1, 2),
            |""".stripMargin
     }
-    s"""$QuantFlatSql,
-       |${blocks.toString.stripSuffix(",\n")}
-       |SELECT vec_id, CAST(cid AS BIGINT) AS bucket FROM a${iters + 1}
-       |ORDER BY vec_id""".stripMargin
+    blocks.toString.stripSuffix(",\n")
   }
 
   /** Quantized embeddings flattened to (vec_id, i, qi) — twin of
@@ -120,9 +127,10 @@ object ExtEntry {
        |n2 AS (SELECT vec_id, CAST(SUM(qi * qi) AS BIGINT) AS n2
        |       FROM flat GROUP BY 1)""".stripMargin
 
-  private def cosTopKSql(bucketJoin: String, k: Int) =
+  private def cosTopKSql(bucketJoin: String, k: Int,
+      extraCtes: String = "") =
     s"""$QuantFlatSql,
-       |dots AS (
+       |${if (extraCtes.isEmpty) "" else extraCtes + ",\n"}dots AS (
        |  SELECT a.vec_id AS q_id, b.vec_id AS t_id,
        |         CAST(SUM(a.qi * b.qi) AS BIGINT) AS dot
        |  FROM flat a JOIN flat b ON a.i = b.i $bucketJoin
@@ -422,6 +430,34 @@ object ExtEntry {
     "ext28_kmeans_buckets" -> ((s, dir) =>
       Similarity.kmeansBuckets(embs(s, dir))
         .orderBy("vec_id")),
+
+    // The COMPLETE IVF-ANN path: build the coarse quantizer with
+    // deterministic k-means (ext28's construction), assign every vector
+    // (and so every query) to its centroid bucket, then search only the
+    // query's bucket — ext06's equi-join restriction with a LEARNED
+    // partitioning instead of a pre-existing label column. At 100 TB the
+    // assignment join is co-partitioned on vec_id and the per-bucket
+    // search is the same broadcast-queries scan as ext06.
+    "ext31_kmeans_ivf" -> ((s, dir) => {
+      val e = embs(s, dir)
+      val withBucket = e.join(Similarity.kmeansBuckets(e), "vec_id")
+      Similarity.ivfTopK(withBucket,
+          withBucket.filter(col("vec_id") < NumQueryVecs), 3,
+          bucket = "bucket")
+        .orderBy("q_id", "rank")
+    }),
+
+    // Benchmark decontamination: flag corpus docs whose n-gram shingle
+    // sets overlap a held-out benchmark set (here: doc_id < 20 plays the
+    // eval suite) — the train/test-leak audit every pretraining corpus
+    // needs. Benchmark shingles broadcast; corpus never shuffles for the
+    // membership probe.
+    "ext32_decontaminate" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Dedup.benchmarkOverlap(
+          d.filter(col("doc_id") >= 20), d.filter(col("doc_id") < 20))
+        .orderBy("doc_id")
+    }),
 
     // Exact duplicate CLUSTERS: distributed connected components over
     // the MinHash-LSH pair graph — the transitive closure that
@@ -923,6 +959,41 @@ object ExtEntry {
     // The oracle replays both Lloyd's rounds CTE-by-CTE — possible only
     // because every step is integer-exact or a single floor'd division.
     "ext28_kmeans_buckets" -> kmeansSql(8, 2),
+
+    // kmeans-IVF: the same Lloyd's CTEs feed the bucket restriction of
+    // the cosine top-k (a3 = assignment after 2 rounds).
+    "ext31_kmeans_ivf" -> cosTopKSql(
+      """JOIN a3 ba ON ba.vec_id = a.vec_id
+        |       JOIN a3 bb ON bb.vec_id = b.vec_id AND bb.cid = ba.cid""".stripMargin,
+      3, kmeansCtes(8, 2)),
+
+    "ext32_decontaminate" ->
+      s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk
+         |             FROM documents),
+         |sh_all AS (
+         |  SELECT DISTINCT doc_id,
+         |         ${hashSql("tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]")} AS h
+         |  FROM toks JOIN range(1, 4001) g(i) ON i <= len(tk) - 2),
+         |bench AS (SELECT DISTINCT h FROM sh_all WHERE doc_id < 20),
+         |corp AS (SELECT * FROM sh_all WHERE doc_id >= 20),
+         |counts AS (SELECT doc_id, count(*) AS n_sh FROM corp GROUP BY 1),
+         |shared AS (SELECT doc_id, count(*) AS n_shared
+         |           FROM corp JOIN bench USING (h) GROUP BY 1)
+         |SELECT d.doc_id,
+         |       COALESCE(c.n_sh, 0) AS n_sh,
+         |       COALESCE(s.n_shared, 0) AS n_shared,
+         |       CASE WHEN COALESCE(c.n_sh, 0) = 0 THEN 0.0
+         |            ELSE CAST(COALESCE(s.n_shared, 0) AS DOUBLE)
+         |                 / CAST(c.n_sh AS DOUBLE) END AS overlap_frac,
+         |       CAST(CASE WHEN COALESCE(c.n_sh, 0) = 0 THEN 0.0
+         |            ELSE CAST(COALESCE(s.n_shared, 0) AS DOUBLE)
+         |                 / CAST(c.n_sh AS DOUBLE) END >= 0.8 AS BIGINT)
+         |         AS contaminated
+         |FROM documents d
+         |LEFT JOIN counts c ON c.doc_id = d.doc_id
+         |LEFT JOIN shared s ON s.doc_id = d.doc_id
+         |WHERE d.doc_id >= 20
+         |ORDER BY d.doc_id""".stripMargin,
 
     // The oracle computes the same transitive closure with a recursive
     // CTE (min label reachable over the undirected pair graph) — exact

@@ -102,6 +102,50 @@ object Dedup {
   }
 
   /**
+   * Benchmark decontamination: score every corpus doc by its n-gram
+   * overlap with a (small) benchmark/eval set — the standard "did the
+   * test set leak into the training corpus" check of a pretraining
+   * pipeline. Overlap is on per-doc DISTINCT capped shingle hashes (no
+   * stop-shingle df cap here: a benchmark n-gram is evidence however
+   * common it is); `overlap_frac` = |doc ∩ benchmark| / |doc|, and a doc
+   * at/above `threshold` is flagged contaminated.
+   *
+   * Scale shape: the benchmark shingle set is the distinct union over the
+   * (by definition small) eval suite — broadcast to every executor, so
+   * the corpus scan never shuffles for the membership probe; the only
+   * keyed shuffles are the two per-doc counts. Every doc of `corpus`
+   * appears in the output (zero-overlap docs carry 0/0.0).
+   */
+  def benchmarkOverlap(corpus: DataFrame, bench: DataFrame,
+      id: String = "doc_id", text: String = "text", n: Int = 3,
+      threshold: Double = 0.8): DataFrame = {
+    def hset(df: DataFrame) = df.select(col(id),
+      explode(array_distinct(transform(
+        slice(TextOps.shingles(TextOps.tokens(col(text)), n),
+          1, MaxShinglesPerDoc),
+        s => Hashing.portableHash32(s)))).as("h"))
+    val benchH = hset(bench).select("h").distinct()
+    val ch = hset(corpus)
+    val counts = ch.groupBy(col(id)).agg(count(lit(1)).as("n_sh"))
+    // (id, h) is distinct per doc and benchH is distinct, so the inner
+    // join counts each shared shingle exactly once.
+    val shared = ch.join(broadcast(benchH), "h")
+      .groupBy(col(id)).agg(count(lit(1)).as("n_shared"))
+    corpus.select(col(id))
+      .join(counts, Seq(id), "left")
+      .join(shared, Seq(id), "left")
+      .select(col(id),
+        coalesce(col("n_sh"), lit(0L)).as("n_sh"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"))
+      .withColumn("overlap_frac",
+        when(col("n_sh") === 0L, lit(0.0d))
+          .otherwise(col("n_shared").cast("double") /
+            col("n_sh").cast("double")))
+      .withColumn("contaminated",
+        (col("overlap_frac") >= threshold).cast("long"))
+  }
+
+  /**
    * Turn near-dup PAIRS into a kept corpus: for every pair (a < b), drop
    * b — the standard single-pass policy of large-scale dedup pipelines
    * (exact transitive closure needs iterative connected components; the

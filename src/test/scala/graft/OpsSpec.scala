@@ -87,6 +87,53 @@ class OpsSpec extends TestBase {
       s"expected cap ${Dedup.MaxShinglesPerDoc}, got $n")
   }
 
+  test("dedup: benchmarkOverlap flags a benchmark copy, not fresh text") {
+    import spark.implicits._
+    val benchText = (1 to 30).map(i => s"b$i").mkString(" ")
+    val bench = Seq((1L, benchText)).toDF("doc_id", "text")
+    val corpus = Seq(
+      (10L, benchText),                                   // exact leak
+      (11L, (1 to 30).map(i => s"c$i").mkString(" ")),    // clean
+      (12L, "too short"),                                 // 0 shingles
+      // half its trigrams come from the benchmark text
+      (13L, ((1 to 16).map(i => s"b$i") ++
+        (1 to 14).map(i => s"d$i")).mkString(" ")))
+      .toDF("doc_id", "text")
+    val got = Dedup.benchmarkOverlap(corpus, bench)
+      .select("doc_id", "n_sh", "n_shared", "contaminated")
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got(10L) == ((10L, 28L, 28L, 1L))) // full overlap → flagged
+    assert(got(11L)._3 == 0L && got(11L)._4 == 0L)
+    assert(got(12L) == ((12L, 0L, 0L, 0L)))   // no shingles, frac 0
+    // doc 13: 28 shingles, b-prefix contributes 14 shared → 0.5 < 0.8
+    assert(got(13L)._3 == 14L && got(13L)._4 == 0L)
+  }
+
+  test("similarity: kmeans-IVF results stay inside the query's bucket") {
+    import spark.implicits._
+    // Two well-separated clusters of 4 vectors each, INTERLEAVED by id
+    // (seeds are the k lowest vec_ids — ids 0 and 1 must span the
+    // clusters or Lloyd's cannot separate them); k=2, so k-means must
+    // recover them and IVF search must never cross clusters.
+    def v(base: Float, j: Int) = Array(base + j * 0.01f, base - j * 0.01f)
+    val emb = ((0 until 4).map(j => (2L * j, v(1.0f, j))) ++
+      (0 until 4).map(j => (2L * j + 1, v(-1.0f, j))))
+      .toDF("vec_id", "embedding")
+    val withBucket = emb.join(Similarity.kmeansBuckets(emb, k = 2, iters = 2),
+      "vec_id")
+    val buckets = withBucket.select("vec_id", "bucket")
+      .as[(Long, Long)].collect().toMap
+    assert(buckets.filterKeys(_ % 2 == 0).values.toSet.size == 1)
+    assert(buckets.filterKeys(_ % 2 == 1).values.toSet.size == 1)
+    assert(buckets(0L) != buckets(1L), "clusters collapsed into one bucket")
+    val res = Similarity.ivfTopK(withBucket, withBucket, 2, bucket = "bucket")
+      .select("q_id", "t_id").as[(Long, Long)].collect()
+    assert(res.nonEmpty)
+    assert(res.forall { case (q, t) => buckets(q) == buckets(t) },
+      "IVF returned a candidate outside the query's bucket")
+  }
+
   test("dedup: keepRepresentatives drops the larger id of each pair") {
     import spark.implicits._
     val docs = Seq((1L, "x"), (2L, "x"), (3L, "y"), (4L, "z"))
