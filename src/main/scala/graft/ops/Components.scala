@@ -85,7 +85,72 @@ object Components {
     require(converged,
       s"connectedComponents did not converge in $maxRounds rounds — " +
         "cluster diameter exceeds the bound; raise maxRounds or switch " +
-        "to large-star/small-star")
+        "to connectedComponentsAlternating")
     labels.select(col("id"), col("label").as("cluster_id"))
+  }
+
+  /**
+   * Alternating large-star/small-star connected components (Kiveris et
+   * al., "Connected Components in MapReduce and Beyond") — the
+   * extreme-diameter path: rounds grow ~logarithmically in component
+   * size where min-label propagation needs diameter-many rounds, so a
+   * chain-shaped duplicate cluster (pathological but real: pairwise
+   * near-dup chains across crawl snapshots) converges in a handful of
+   * rounds. Per round: two keyed shuffles (one aggregate + one join per
+   * star operation), same as one propagation round.
+   *
+   * Edges are kept directed high→low (`u > v`); each operation
+   * re-points nodes at the minimum of a local neighborhood:
+   *  - large-star: every neighbor LARGER than u re-points to
+   *    min(N(u) ∪ u);
+   *  - small-star: every neighbor of u (all smaller, plus u itself)
+   *    re-points to min(N(u)).
+   * Fixpoint = every component is a star centered at its min id.
+   * Output contract matches [[connectedComponents]]: (id, cluster_id),
+   * vertices appearing in `pairs` only.
+   */
+  def connectedComponentsAlternating(pairs: DataFrame,
+      idA: String = "id_a", idB: String = "id_b",
+      maxRounds: Int = 50): DataFrame = {
+    def ckpt(df: DataFrame): DataFrame =
+      Reuse.pin(df.localCheckpoint(true))
+    def free(df: DataFrame): Unit =
+      org.apache.spark.sql.graftbridge.SqlBridge.freeCheckpoint(df)
+    var edges = ckpt(pairs
+      .select(greatest(col(idA), col(idB)).as("u"),
+        least(col(idA), col(idB)).as("v"))
+      .filter(col("u") =!= col("v")).distinct())
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.union(e.select(col("v"), col("u")).toDF("u", "v"))
+      val mins = sym.groupBy("u").agg(min("v").as("mn"))
+        .select(col("u"), least(col("u"), col("mn")).as("m"))
+      sym.join(mins, "u").filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v")).distinct()
+    }
+    def smallStar(e: DataFrame): DataFrame = {
+      val mins = e.groupBy("u").agg(min("v").as("m"))
+      e.join(mins, "u").select(col("v").as("x"), col("m"))
+        .union(mins.select(col("u").as("x"), col("m")))
+        .filter(col("x") =!= col("m"))
+        .select(col("x").as("u"), col("m").as("v")).distinct()
+    }
+    var round = 0
+    var converged = false
+    while (!converged && round < maxRounds) {
+      val ls = ckpt(largeStar(edges))
+      val ss = ckpt(smallStar(ls))
+      // Set equality of two distinct relations: same size + no novel row.
+      converged = ss.count() == edges.count() &&
+        ss.except(edges).limit(1).count() == 0
+      free(ls)
+      free(edges)
+      edges = ss
+      round += 1
+    }
+    require(converged,
+      s"alternating components did not converge in $maxRounds rounds")
+    edges.select(col("u").as("id"), col("v").as("cluster_id"))
+      .union(edges.select(col("v"), col("v")).distinct()
+        .toDF("id", "cluster_id"))
   }
 }

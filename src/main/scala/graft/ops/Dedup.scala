@@ -48,9 +48,10 @@ object Dedup {
    * sizes, MinHash mins) is a cheap scan of |distinct shingles| rows.
    */
   def shingleGroups(doc: DataFrame, id: String, text: String,
-      n: Int = 3, maxDocFreq: Int = 50): DataFrame = {
+      n: Int = 3, maxDocFreq: Int = 50,
+      materialize: Boolean = true): DataFrame = {
     val bounded = graft.agg.TopK.topKIds(maxDocFreq + 1)
-    Reuse.shared(doc
+    val g = doc
       .select(col(id).as("_sid"),
         explode(array_distinct(transform(
           slice(TextOps.shingles(TextOps.tokens(col(text)), n),
@@ -59,15 +60,29 @@ object Dedup {
       .groupBy("h")
       .agg(bounded(negate(col("_sid").cast("double")), col("_sid"))
         .as("ids"))
-      .filter(size(col("ids")) <= maxDocFreq))
+      .filter(size(col("ids")) <= maxDocFreq)
+    // `materialize = false` for single-consumer pipelines (the MinHash
+    // signature pass): a checkpoint there pays a blocking job + block
+    // write for zero reuse.
+    if (materialize) Reuse.shared(g) else g
   }
 
   /** Distinct (doc, shingle-hash) pairs with the stop-shingle frequency
     * cap — the exploded view of [[shingleGroups]]. */
   def shingleHashes(doc: DataFrame, id: String, text: String,
-      n: Int = 3, maxDocFreq: Int = 50): DataFrame =
-    shingleGroups(doc, id, text, n, maxDocFreq)
+      n: Int = 3, maxDocFreq: Int = 50,
+      materialize: Boolean = true): DataFrame =
+    shingleGroups(doc, id, text, n, maxDocFreq, materialize)
       .select(explode(col("ids")).as(id), col("h"))
+
+  /** All (id_a < id_b) pairs from an ASCENDING-sorted id list, as a
+    * nested-transform array expression — the bucketed candidate
+    * generator shared by the Jaccard and LSH paths (explode in-list
+    * combinations; never a self-join). */
+  private def pairCombos(ids: Column): Column =
+    flatten(transform(ids, (a, i) =>
+      transform(slice(ids, i + lit(2), size(ids)),
+        b => struct(a.as("id_a"), b.as("id_b")))))
 
   /**
    * N-gram Jaccard near-dup: candidate pairs share ≥1 (capped) shingle;
@@ -83,10 +98,7 @@ object Dedup {
   def ngramJaccard(doc: DataFrame, id: String = "doc_id",
       text: String = "text", threshold: Double = 0.1): DataFrame = {
     val g = shingleGroups(doc, id, text)
-    val combos = flatten(transform(col("ids"), (a, i) =>
-      transform(slice(col("ids"), i + lit(2), size(col("ids"))),
-        b => struct(a.as("id_a"), b.as("id_b")))))
-    val inter = g.select(explode(combos).as("p"))
+    val inter = g.select(explode(pairCombos(col("ids"))).as("p"))
       .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_inter"))
     val sizes = g.select(explode(col("ids")).as(id))
@@ -167,7 +179,10 @@ object Dedup {
     * pattern, shuffle stays at |docs| rows. */
   def minhashSignatures(doc: DataFrame, id: String = "doc_id",
       text: String = "text"): DataFrame = {
-    val sh = shingleHashes(doc, id, text)
+    // The shingle relation has exactly one consumer here (the min
+    // aggregate) — no materialization; the caller checkpoints the much
+    // smaller signature table instead.
+    val sh = shingleHashes(doc, id, text, materialize = false)
     val mins = (0 until NumHashes).map { j =>
       min((col("h") * Hashing.seedA(j) + Hashing.seedB(j))
         % Hashing.Mersenne31).as(s"mh$j")
@@ -193,11 +208,20 @@ object Dedup {
     }: _*)).as("band")
     val banded = sig.select(col(id), bands)
       .select(col(id), col("band.band_id"), col("band.band_sig"))
-    val cand = banded.toDF("id_a", "band_id", "band_sig")
-      .join(banded.toDF("id_b", "band_id", "band_sig"),
-        Seq("band_id", "band_sig"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
+    // Candidates by exploding in-bucket combinations of each LSH
+    // bucket's sorted member list — one keyed shuffle instead of the
+    // bucket self-join (same pairs; the distinct still dedupes pairs
+    // agreeing on several bands). A bucket with a pathological member
+    // count is mass-duplicate content; the MinHash signature already
+    // collapses exact duplicates to identical rows, so bucket sizes
+    // track distinct near-dup family sizes, not raw row counts.
+    val cand = banded
+      .groupBy("band_id", "band_sig")
+      .agg(array_sort(collect_list(col(id))).as("ids"))
+      .filter(size(col("ids")) >= 2)
+      .select(explode(pairCombos(col("ids"))).as("p"))
+      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
+      .distinct()
     val eq = (0 until NumHashes)
       .map(j => when(col(s"a.mh$j") === col(s"b.mh$j"), 1).otherwise(0))
       .reduce(_ + _)

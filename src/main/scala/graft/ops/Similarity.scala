@@ -130,11 +130,14 @@ object Similarity {
       val scored = corpus.crossJoin(broadcast(c))
         .withColumn("dist",
           col("n2") + col("cn2") - lit(2L) * qdot(col("q"), col("cq")))
-      val w = Window.partitionBy(col("vid"))
-        .orderBy(col("dist").asc, col("cid").asc)
-      scored.withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select(col("vid"), col("cid"), col("q"))
+      // argmin as min(struct(dist, cid)) — a map-side-combinable hash
+      // aggregate with the same (dist ASC, cid ASC) tie-break the
+      // row_number window would give, minus the window's sort exchange;
+      // `q` is constant per vid, so first() is deterministic here.
+      scored.groupBy(col("vid"))
+        .agg(min(struct(col("dist"), col("cid"))).as("m"),
+          first(col("q")).as("q"))
+        .select(col("vid"), col("m.cid").as("cid"), col("q"))
     }
     (1 to iters).foreach { _ =>
       val a = assign(cents)

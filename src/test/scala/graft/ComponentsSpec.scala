@@ -40,4 +40,33 @@ class ComponentsSpec extends TestBase {
       SCTest.Parameters.default.withMinSuccessfulTests(10), p)
     assert(res.passed, res.status.toString)
   }
+
+  test("alternating large/small-star == union-find on random graphs") {
+    import spark.implicits._
+    val p = Prop.forAll(pairGen) { pairs =>
+      val df = pairs.toDF("id_a", "id_b")
+      val got = graft.ops.Components.connectedComponentsAlternating(df)
+        .as[(Long, Long)].collect().toMap
+      got == unionFind(pairs)
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(10), p)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("alternating stars close a 40-chain in far fewer rounds than " +
+      "its diameter (the chain-shaped-cluster upgrade path)") {
+    import spark.implicits._
+    // Worst case for min-label propagation: a pure chain 0-1-2-...-40
+    // needs diameter-many propagation rounds; the alternating scheme
+    // must finish within maxRounds = 10 ≪ 40 and still label every
+    // vertex with the chain minimum.
+    val chain = (0L until 40L).map(i => (i, i + 1))
+    val got = graft.ops.Components
+      .connectedComponentsAlternating(chain.toDF("id_a", "id_b"),
+        maxRounds = 10)
+      .as[(Long, Long)].collect().toMap
+    assert(got.size == 41)
+    assert(got.values.forall(_ == 0L))
+  }
 }
