@@ -423,6 +423,37 @@ object ExtEntry {
           "source"), Seq("lang", "source"), col("doc_id"), 20)
         .orderBy("lang", "source", "rank")),
 
+    // The at-scale quantile path ext24's in-source note promises: exact
+    // percentile over a DETERMINISTIC hash-rank sample (KMV shape —
+    // min(k, |stratum|) docs with the smallest portable hashes). The
+    // sample is reproducible across engines/partitionings, so even the
+    // approximate quantiles hash-match the oracle; per-stratum work is
+    // bounded by k regardless of corpus size (WindowGroupLimit prunes
+    // pre-shuffle), where ext24's exact form sorts whole strata.
+    "ext33_sampled_quantiles" -> ((s, dir) =>
+      Sampling.stratifiedTopK(
+          TextOps.quality(docs(s, dir))
+            .select("doc_id", "lang", "quality_score"),
+          Seq("lang"), col("doc_id"), 100, salt = "qs")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_sampled"),
+          expr("percentile(quality_score, array(0.25D, 0.5D, 0.9D))")
+            .as("qs"))
+        .select(col("lang"), col("n_sampled"), col("qs")(0).as("p25"),
+          col("qs")(1).as("p50"), col("qs")(2).as("p90"))
+        .orderBy("lang")),
+
+    // Corpus-wide vocabulary: global term top-k by frequency — the seed
+    // step of tokenizer/vocab construction. Partial-combined hash
+    // aggregate, then TakeOrderedAndProject (per-partition top-k +
+    // driver merge, no global sort); ties broken by term ASC.
+    "ext34_vocab_topk" -> ((s, dir) =>
+      docs(s, dir)
+        .select(explode(TextOps.tokens(col("text"))).as("term"))
+        .groupBy("term").agg(count(lit(1)).as("tf"))
+        .orderBy(col("tf").desc, col("term").asc)
+        .limit(500)),
+
     // Deterministic quantized k-means: the real IVF coarse-quantizer
     // build (ext06 consumes a bucket column; this CONSTRUCTS one) —
     // integer-exact distances + floor-quantized centroid updates make
@@ -944,6 +975,35 @@ object ExtEntry {
          |       quantile_cont(quality_score, 0.5) AS p50,
          |       quantile_cont(quality_score, 0.9) AS p90
          |FROM q GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Same quality formula as ext24, but quantiles over the hash-rank
+    // sample — quantile_cont matches Spark's percentile interpolation.
+    "ext33_sampled_quantiles" ->
+      s"""WITH q AS (
+         |  SELECT doc_id, lang,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+         |    CAST(len(list_filter(string_split(text, ' '),
+         |      t -> t IN ($stopList))) AS BIGINT) AS n_stop,
+         |    least(CAST(n_words AS DOUBLE) / 100.0, 1.0) * 0.5 +
+         |      (CAST(n_stop AS DOUBLE) / CAST(n_words AS DOUBLE)) * 0.5
+         |      AS quality_score
+         |  FROM documents),
+         |h AS (SELECT doc_id, lang, quality_score,
+         |        ${hashSql("'qs:' || CAST(doc_id AS VARCHAR)")} AS h
+         |      FROM q),
+         |r AS (SELECT *, row_number() OVER (
+         |        PARTITION BY lang ORDER BY h, doc_id) AS rank FROM h)
+         |SELECT lang, count(*) AS n_sampled,
+         |       quantile_cont(quality_score, 0.25) AS p25,
+         |       quantile_cont(quality_score, 0.5) AS p50,
+         |       quantile_cont(quality_score, 0.9) AS p90
+         |FROM r WHERE rank <= 100 GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "ext34_vocab_topk" ->
+      """SELECT term, count(*) AS tf
+        |FROM (SELECT unnest(string_split(text, ' ')) AS term
+        |      FROM documents)
+        |GROUP BY 1 ORDER BY tf DESC, term ASC LIMIT 500""".stripMargin,
 
     "ext25_stratified_sample" ->
       s"""WITH h AS (
