@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+
+import graft.ops.{Dedup, Hashing, TextOps}
+
+/**
+ * Property checks for the round-4 shingle restructure: the bounded
+ * grouped pipeline (TopKIds-collected per-shingle doc lists + in-list
+ * pair combinations) must be extensionally equal to the classic
+ * specification it replaced (distinct pairs → df-count stop filter →
+ * self-join on the shingle hash).
+ */
+class DedupSpec extends TestBase {
+
+  /** Random docs over a tiny vocabulary so shingles collide across docs. */
+  private val docsGen: Gen[List[(Long, String)]] = {
+    val word = Gen.oneOf("a", "b", "c", "d", "e", "f")
+    val text = Gen.choose(0, 12).flatMap(n =>
+      Gen.listOfN(n, word).map(_.mkString(" ")))
+    Gen.choose(2, 8).flatMap(k =>
+      Gen.listOfN(k, text).map(_.zipWithIndex.map {
+        case (t, i) => (i.toLong, t)
+      }))
+  }
+
+  /** The classic capped-shingle relation, written the pre-round-4 way. */
+  private def specShingles(docs: DataFrame, maxDocFreq: Long): DataFrame = {
+    val sh = docs
+      .select(col("doc_id"),
+        explode(TextOps.shingles(TextOps.tokens(col("text")), 3)).as("sh"))
+      .select(col("doc_id"), Hashing.portableHash32(col("sh")).as("h"))
+      .distinct()
+    val hot = sh.groupBy("h").agg(count("*").as("df"))
+      .filter(col("df") > maxDocFreq).select("h")
+    sh.join(hot, Seq("h"), "left_anti")
+  }
+
+  test("shingleGroups (bounded TopKIds collector) == distinct/df-cap/" +
+      "anti-join spec, including when the cap binds") {
+    import spark.implicits._
+    val p = Prop.forAll(docsGen) { rows =>
+      val docs = rows.toDF("doc_id", "text")
+      // maxDocFreq = 2 so the bound actually bites on shared shingles
+      val got = Dedup.shingleHashes(docs, "doc_id", "text",
+          maxDocFreq = 2, materialize = false)
+        .as[(Long, Long)].collect().toSet
+      val want = specShingles(docs, 2L)
+        .select(col("doc_id"), col("h"))
+        .as[(Long, Long)].collect().toSet
+      got == want
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(8), p)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("ngramJaccard (in-list pair combos) == self-join specification") {
+    import spark.implicits._
+    val p = Prop.forAll(docsGen) { rows =>
+      val docs = rows.toDF("doc_id", "text")
+      val got = Dedup.ngramJaccard(docs, threshold = 0.0)
+        .select("id_a", "id_b", "n_inter")
+        .as[(Long, Long, Long)].collect().toSet
+      val sh = specShingles(docs, 50L)
+      val want = sh.select(col("doc_id").as("id_a"), col("h"))
+        .join(sh.select(col("doc_id").as("id_b"), col("h")), "h")
+        .filter(col("id_a") < col("id_b"))
+        .groupBy("id_a", "id_b").agg(count("*").as("n_inter"))
+        .as[(Long, Long, Long)].collect().toSet
+      graft.ops.Reuse.freeAll(spark)
+      got == want
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(8), p)
+    assert(res.passed, res.status.toString)
+  }
+}
