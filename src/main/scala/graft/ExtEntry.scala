@@ -471,7 +471,11 @@ object ExtEntry {
     // search is the same broadcast-queries scan as ext06.
     "ext31_kmeans_ivf" -> ((s, dir) => {
       val e = embs(s, dir)
-      val withBucket = e.join(Similarity.kmeansBuckets(e), "vec_id")
+      // Materialize the assignment once: it feeds BOTH ivfTopK sides
+      // (corpus + broadcast queries) — without this the whole Lloyd's
+      // iteration plan executes twice.
+      val buckets = graft.ops.Reuse.shared(Similarity.kmeansBuckets(e))
+      val withBucket = e.join(buckets, "vec_id")
       Similarity.ivfTopK(withBucket,
           withBucket.filter(col("vec_id") < NumQueryVecs), 3,
           bucket = "bucket")

@@ -116,10 +116,15 @@ object Components {
       Reuse.pin(df.localCheckpoint(true))
     def free(df: DataFrame): Unit =
       org.apache.spark.sql.graftbridge.SqlBridge.freeCheckpoint(df)
-    var edges = ckpt(pairs
+    // Checkpoint BEFORE dropping self-pairs: a vertex appearing only as
+    // (x, x) must still come out labeled (x → x), matching
+    // connectedComponents, so the self-loop vertices are retained for
+    // the final union below.
+    val p = ckpt(pairs
       .select(greatest(col(idA), col(idB)).as("u"),
         least(col(idA), col(idB)).as("v"))
-      .filter(col("u") =!= col("v")).distinct())
+      .distinct())
+    var edges = ckpt(p.filter(col("u") =!= col("v")))
     def largeStar(e: DataFrame): DataFrame = {
       val sym = e.union(e.select(col("v"), col("u")).toDF("u", "v"))
       val mins = sym.groupBy("u").agg(min("v").as("mn"))
@@ -149,8 +154,14 @@ object Components {
     }
     require(converged,
       s"alternating components did not converge in $maxRounds rounds")
+    // Star members + star centers + self-loop-only vertices; a vertex
+    // can appear in several of the three (e.g. a self-loop on a chain
+    // member), so take the min label — the star label is always ≤ the
+    // self label, matching connectedComponents exactly.
     edges.select(col("u").as("id"), col("v").as("cluster_id"))
-      .union(edges.select(col("v"), col("v")).distinct()
-        .toDF("id", "cluster_id"))
+      .union(edges.select(col("v"), col("v")).toDF("id", "cluster_id"))
+      .union(p.filter(col("u") === col("v"))
+        .select(col("u").as("id"), col("u").as("cluster_id")))
+      .groupBy("id").agg(min("cluster_id").as("cluster_id"))
   }
 }

@@ -47,16 +47,25 @@ object Dedup {
    * materialized (see [[Reuse]]) — every consumer (pair generation, set
    * sizes, MinHash mins) is a cheap scan of |distinct shingles| rows.
    */
+  /** One row per (doc, distinct capped shingle hash) — per-doc
+    * `array_distinct` before the explode, so with unique doc ids the
+    * pairs are globally distinct. Shared by the grouped dedup pipeline
+    * and [[benchmarkOverlap]] (cap and hashing must never diverge
+    * between them: both are oracle-parity-sensitive). */
+  private def docShingleHashes(doc: DataFrame, id: String, text: String,
+      n: Int): DataFrame =
+    doc.select(col(id),
+      explode(array_distinct(transform(
+        slice(TextOps.shingles(TextOps.tokens(col(text)), n),
+          1, MaxShinglesPerDoc),
+        s => Hashing.portableHash32(s)))).as("h"))
+
   def shingleGroups(doc: DataFrame, id: String, text: String,
       n: Int = 3, maxDocFreq: Int = 50,
       materialize: Boolean = true): DataFrame = {
     val bounded = graft.agg.TopK.topKIds(maxDocFreq + 1)
-    val g = doc
-      .select(col(id).as("_sid"),
-        explode(array_distinct(transform(
-          slice(TextOps.shingles(TextOps.tokens(col(text)), n),
-            1, MaxShinglesPerDoc),
-          s => Hashing.portableHash32(s)))).as("h"))
+    val g = docShingleHashes(doc, id, text, n)
+      .withColumnRenamed(id, "_sid")
       .groupBy("h")
       .agg(bounded(negate(col("_sid").cast("double")), col("_sid"))
         .as("ids"))
@@ -100,6 +109,11 @@ object Dedup {
     val g = shingleGroups(doc, id, text)
     val inter = g.select(explode(pairCombos(col("ids"))).as("p"))
       .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
+      // pairCombos pairs strictly-later list positions, so id_a < id_b
+      // for unique doc ids; the guard keeps dirty input (a duplicated
+      // doc_id row slipping two equal ids into one list) from surfacing
+      // as a doc being a near-duplicate of itself.
+      .filter(col("id_a") =!= col("id_b"))
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_inter"))
     val sizes = g.select(explode(col("ids")).as(id))
       .groupBy(col(id)).agg(count(lit(1)).as("n_sh"))
@@ -131,13 +145,8 @@ object Dedup {
   def benchmarkOverlap(corpus: DataFrame, bench: DataFrame,
       id: String = "doc_id", text: String = "text", n: Int = 3,
       threshold: Double = 0.8): DataFrame = {
-    def hset(df: DataFrame) = df.select(col(id),
-      explode(array_distinct(transform(
-        slice(TextOps.shingles(TextOps.tokens(col(text)), n),
-          1, MaxShinglesPerDoc),
-        s => Hashing.portableHash32(s)))).as("h"))
-    val benchH = hset(bench).select("h").distinct()
-    val ch = hset(corpus)
+    val benchH = docShingleHashes(bench, id, text, n).select("h").distinct()
+    val ch = docShingleHashes(corpus, id, text, n)
     val counts = ch.groupBy(col(id)).agg(count(lit(1)).as("n_sh"))
     // (id, h) is distinct per doc and benchH is distinct, so the inner
     // join counts each shared shingle exactly once.
@@ -208,20 +217,19 @@ object Dedup {
     }: _*)).as("band")
     val banded = sig.select(col(id), bands)
       .select(col(id), col("band.band_id"), col("band.band_sig"))
-    // Candidates by exploding in-bucket combinations of each LSH
-    // bucket's sorted member list — one keyed shuffle instead of the
-    // bucket self-join (same pairs; the distinct still dedupes pairs
-    // agreeing on several bands). A bucket with a pathological member
-    // count is mass-duplicate content; the MinHash signature already
-    // collapses exact duplicates to identical rows, so bucket sizes
-    // track distinct near-dup family sizes, not raw row counts.
-    val cand = banded
-      .groupBy("band_id", "band_sig")
-      .agg(array_sort(collect_list(col(id))).as("ids"))
-      .filter(size(col("ids")) >= 2)
-      .select(explode(pairCombos(col("ids"))).as("p"))
-      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
-      .distinct()
+    // Candidates via the banded SELF-JOIN, not the in-list combination
+    // explode used by ngramJaccard: LSH band buckets have NO size bound
+    // (a mass-duplicate family — 100k copies of one boilerplate page —
+    // shares every band), so collecting a bucket's members into one
+    // array row would materialize m²/2 pairs in a single value and hit
+    // the 2 GB array limit, where the join streams the same quadratic
+    // output across tasks. The combos trick is only safe behind a
+    // bounded collector (shingleGroups' TopKIds cap).
+    val cand = banded.toDF("id_a", "band_id", "band_sig")
+      .join(banded.toDF("id_b", "band_id", "band_sig"),
+        Seq("band_id", "band_sig"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
     val eq = (0 until NumHashes)
       .map(j => when(col(s"a.mh$j") === col(s"b.mh$j"), 1).otherwise(0))
       .reduce(_ + _)

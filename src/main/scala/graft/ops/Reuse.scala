@@ -72,10 +72,14 @@ object Reuse {
       java.util.concurrent.ConcurrentLinkedQueue[Tracked]]())
 
   private def register(spark: SparkSession, t: Tracked): Unit =
+    // The add must happen inside the same critical section as the map
+    // lookup: adding to a queue a concurrent freeAll already detached
+    // would orphan the entry (its blocks then never freed explicitly).
     live.synchronized {
       live.computeIfAbsent(spark,
         _ => new java.util.concurrent.ConcurrentLinkedQueue[Tracked]())
-    }.add(t)
+        .add(t)
+    }
 
   private def trackCheckpoint(df: DataFrame): DataFrame = {
     val id = org.apache.spark.sql.graftbridge.SqlBridge

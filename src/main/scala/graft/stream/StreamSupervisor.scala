@@ -79,7 +79,14 @@ object StreamSupervisor {
       start,
       q =>
         try { q.awaitTermination(); None }
-        catch { case e: Throwable => Some(e) },
+        catch {
+          // Same policy as the loop's own start() guard: the lambda is
+          // where the loop spends its time, so a Throwable catch here
+          // would launder interrupts/VM errors into restarts.
+          case e: InterruptedException =>
+            Thread.currentThread().interrupt(); throw e
+          case scala.util.control.NonFatal(e) => Some(e)
+        },
       minUptimeMs, backoffMs, maxShortLived)
 
   /** Spark binding with the reference's duration cutoff
@@ -96,6 +103,10 @@ object StreamSupervisor {
           val remaining = deadlineMs - System.currentTimeMillis()
           if (remaining > 0 && q.awaitTermination(remaining)) None
           else { q.stop(); None } // deadline reached: graceful cutoff
-        } catch { case e: Throwable => Some(e) },
+        } catch {
+          case e: InterruptedException =>
+            Thread.currentThread().interrupt(); throw e
+          case scala.util.control.NonFatal(e) => Some(e)
+        },
       minUptimeMs, backoffMs, maxShortLived)
 }

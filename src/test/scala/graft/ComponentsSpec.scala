@@ -22,10 +22,14 @@ class ComponentsSpec extends TestBase {
     parent.keys.toList.map(v => v -> find(v)).toMap
   }
 
+  // Self-pairs (a, a) included deliberately: a vertex appearing only in
+  // a self-pair must still come out labeled with itself (both
+  // implementations guarantee it; the alternating form needs a
+  // dedicated carry-through for them).
   private val pairGen = Gen.nonEmptyListOf(
     for {
       a <- Gen.choose(0L, 19L)
-      b <- Gen.choose(0L, 19L) if a != b
+      b <- Gen.choose(0L, 19L)
     } yield (math.min(a, b), math.max(a, b)))
 
   test("connectedComponents == union-find on random graphs") {
@@ -52,6 +56,18 @@ class ComponentsSpec extends TestBase {
     val res = SCTest.check(
       SCTest.Parameters.default.withMinSuccessfulTests(10), p)
     assert(res.passed, res.status.toString)
+  }
+
+  test("self-pair-only vertices keep their own label in both algorithms") {
+    import spark.implicits._
+    val pairs = Seq((7L, 7L), (1L, 2L), (2L, 2L)).toDF("id_a", "id_b")
+    val prop = graft.ops.Components.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    val alt = graft.ops.Components.connectedComponentsAlternating(pairs)
+      .as[(Long, Long)].collect().toMap
+    val want = Map(7L -> 7L, 1L -> 1L, 2L -> 1L)
+    assert(prop == want, s"propagation: $prop")
+    assert(alt == want, s"alternating: $alt")
   }
 
   test("alternating stars close a 40-chain in far fewer rounds than " +
