@@ -37,7 +37,12 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map {
       case (name, fn) =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        // A failed query must not abort the bench, but must be visible
+        // in the log — a silent -1 reads as a fast success.
+        try { fn(spark, sfDir).count() } catch {
+          case t: Throwable =>
+            System.err.println(s"[bench] $name FAILED: $t"); -1L
+        }
         val dt = (System.nanoTime() - t0) / 1e9
         // Queries may materialize shared sub-relations internally; drop
         // BOTH the SQL cache and Reuse's tracked checkpoint/persist blocks
