@@ -31,15 +31,18 @@ object ExtEntry {
   private def hashSql(e: String) = Hashing.portableHash32Sql(e)
 
   /** Distinct capped shingle hashes — twin of Dedup.shingleHashes,
-    * parameterized over the source relation (CTE body, no WITH). */
-  private def shingleCtes(src: String) =
-    s"""toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM $src),
-       |sh0 AS (
+    * parameterized over the source relation (CTE body, no WITH) and a
+    * CTE-name suffix so two corpora can coexist in one query (the
+    * stop-shingle cap is computed per corpus, matching the Spark side's
+    * per-call semantics). */
+  private def shingleCtes(src: String, sfx: String = "") =
+    s"""toks$sfx AS (SELECT doc_id, string_split(text, ' ') AS tk FROM $src),
+       |sh0$sfx AS (
        |  SELECT DISTINCT doc_id,
        |         ${hashSql("tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]")} AS h
-       |  FROM toks JOIN range(1, 4001) g(i) ON i <= len(tk) - 2),
-       |hot AS (SELECT h FROM sh0 GROUP BY h HAVING count(*) > 50),
-       |sh AS (SELECT * FROM sh0 ANTI JOIN hot USING (h))""".stripMargin
+       |  FROM toks$sfx JOIN range(1, 4001) g(i) ON i <= len(tk) - 2),
+       |hot$sfx AS (SELECT h FROM sh0$sfx GROUP BY h HAVING count(*) > 50),
+       |sh$sfx AS (SELECT * FROM sh0$sfx ANTI JOIN hot$sfx USING (h))""".stripMargin
 
   private val ShingleSql = "WITH " + shingleCtes("documents")
 
@@ -494,6 +497,22 @@ object ExtEntry {
         .orderBy("doc_id")
     }),
 
+    // Incremental corpus dedup: the crawl increment (doc_id % 10 < 2)
+    // deduped against the established corpus through its band table —
+    // only the increment is shingled; the corpus side is the stored
+    // signature relation a production pipeline keeps between
+    // generations.
+    "ext36_incremental_dedup" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val corpus = d.filter(col("doc_id") % 10 >= 2)
+      val inc = d.filter(col("doc_id") % 10 < 2)
+      val corpusBands =
+        Dedup.bandedSignatures(Dedup.minhashSignatures(corpus))
+      Dedup.dedupeIncrement(corpusBands, inc)
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")
+    }),
+
     // Exact duplicate CLUSTERS: distributed connected components over
     // the MinHash-LSH pair graph — the transitive closure that
     // keepRepresentatives (ext14) approximates in one pass. Every doc in
@@ -611,6 +630,39 @@ object ExtEntry {
          |  WHERE a.doc_id < b2.doc_id)
          |SELECT d.doc_id, d.lang, d.source
          |FROM documents d ANTI JOIN dropped USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin,
+
+    // Two independent shingle chains (per-corpus stop-cap, like the
+    // Spark side's per-call signatures); a new doc is dropped on any
+    // shared band with the corpus or a lower-id increment doc.
+    "ext36_incremental_dedup" ->
+      s"""WITH corp AS (SELECT * FROM documents WHERE doc_id % 10 >= 2),
+         |inc AS (SELECT * FROM documents WHERE doc_id % 10 < 2),
+         |${shingleCtes("corp", "_c")},
+         |${shingleCtes("inc", "_n")},
+         |sig_c AS (SELECT doc_id, $minhashMinsSql FROM sh_c GROUP BY 1),
+         |sig_n AS (SELECT doc_id, $minhashMinsSql FROM sh_n GROUP BY 1),
+         |bands_c AS (
+         |  SELECT doc_id, b.band_id,
+         |         CASE b.band_id $bandSigSql END AS band_sig
+         |  FROM sig_c, (VALUES (0), (1), (2), (3)) b(band_id)),
+         |bands_n AS (
+         |  SELECT doc_id, b.band_id,
+         |         CASE b.band_id $bandSigSql END AS band_sig
+         |  FROM sig_n, (VALUES (0), (1), (2), (3)) b(band_id)),
+         |partners AS (
+         |  SELECT doc_id AS pid, band_id, band_sig, TRUE AS is_corp
+         |  FROM bands_c
+         |  UNION ALL
+         |  SELECT doc_id AS pid, band_id, band_sig, FALSE AS is_corp
+         |  FROM bands_n),
+         |dropped AS (
+         |  SELECT DISTINCT n.doc_id
+         |  FROM bands_n n JOIN partners p
+         |    ON p.band_id = n.band_id AND p.band_sig = n.band_sig
+         |  WHERE p.is_corp OR p.pid < n.doc_id)
+         |SELECT d.doc_id, d.lang, d.source
+         |FROM inc d ANTI JOIN dropped USING (doc_id)
          |ORDER BY d.doc_id""".stripMargin,
 
     "ext05_sim_brute_topk" -> cosTopKSql("", 5),

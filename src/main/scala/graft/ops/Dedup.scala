@@ -199,6 +199,19 @@ object Dedup {
     sh.groupBy(col(id)).agg(mins.head, mins.tail: _*)
   }
 
+  /** LSH band rows (id, band_id, band_sig) from a MinHash signature
+    * table — NumHashes/BandRows bands of BandRows consecutive slots. */
+  def bandedSignatures(sig: DataFrame,
+      id: String = "doc_id"): DataFrame = {
+    val bands = explode(array((0 until NumHashes / BandRows).map { b =>
+      struct(lit(b).as("band_id"),
+        concat_ws("-", (0 until BandRows).map(r =>
+          col(s"mh${b * BandRows + r}").cast("string")): _*).as("band_sig"))
+    }: _*)).as("band")
+    sig.select(col(id), bands)
+      .select(col(id), col("band.band_id"), col("band.band_sig"))
+  }
+
   /**
    * MinHash + LSH banding: docs agreeing on any band (4 consecutive
    * signature slots) become candidates; est_jaccard = fraction of equal
@@ -210,13 +223,7 @@ object Dedup {
     // One signature row per doc, consumed three times (band explode +
     // both sides of the verify join) — eagerly materialized (see Reuse).
     val sig = Reuse.shared(minhashSignatures(doc, id, text))
-    val bands = explode(array((0 until NumHashes / BandRows).map { b =>
-      struct(lit(b).as("band_id"),
-        concat_ws("-", (0 until BandRows).map(r =>
-          col(s"mh${b * BandRows + r}").cast("string")): _*).as("band_sig"))
-    }: _*)).as("band")
-    val banded = sig.select(col(id), bands)
-      .select(col(id), col("band.band_id"), col("band.band_sig"))
+    val banded = bandedSignatures(sig, id)
     // Candidates via the banded SELF-JOIN, not the in-list combination
     // explode used by ngramJaccard: LSH band buckets have NO size bound
     // (a mass-duplicate family — 100k copies of one boilerplate page —
@@ -238,6 +245,38 @@ object Dedup {
       .join(sig.as("b"), col("id_b") === col(s"b.$id"))
       .select(col("id_a"), col("id_b"),
         (eq.cast("double") / NumHashes).as("est_jaccard"))
+  }
+
+  /**
+   * Incremental corpus dedup — the production shape of a growing
+   * corpus: each crawl increment is deduped against the EXISTING corpus
+   * via its stored band table (signatures are computed once per corpus
+   * generation and persisted; the corpus text is never re-shingled) and
+   * against lower-id docs of the increment itself. A new doc sharing
+   * any LSH band with either partner set is dropped; survivors are the
+   * docs to append (their bands then extend the stored table).
+   *
+   * `corpusBands` is the stored relation as produced by
+   * [[bandedSignatures]]; ids must be disjoint from the increment's.
+   * Scale shape: the increment (small) is the only side shingled; the
+   * drop decision is one equi-join on the band key against
+   * corpus ∪ increment bands, then an anti-join.
+   */
+  def dedupeIncrement(corpusBands: DataFrame, newDocs: DataFrame,
+      id: String = "doc_id", text: String = "text"): DataFrame = {
+    // The increment's band rows probe AND serve as partners — two
+    // consumers of the signature pass, materialized once (see Reuse).
+    val nb = Reuse.shared(
+      bandedSignatures(minhashSignatures(newDocs, id, text), id))
+    val partners = corpusBands
+      .select(col(id).as("_pid"), col("band_id"), col("band_sig"),
+        lit(true).as("_corpus"))
+      .union(nb.select(col(id).as("_pid"), col("band_id"),
+        col("band_sig"), lit(false).as("_corpus")))
+    val dropped = nb.join(partners, Seq("band_id", "band_sig"))
+      .filter(col("_corpus") || col("_pid") < col(id))
+      .select(col(id)).distinct()
+    newDocs.join(dropped, Seq(id), "left_anti")
   }
 
   /**

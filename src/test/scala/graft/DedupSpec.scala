@@ -57,6 +57,26 @@ class DedupSpec extends TestBase {
     assert(res.passed, res.status.toString)
   }
 
+  test("dedupeIncrement drops corpus matches and lower-id increment " +
+      "dups, keeps novel docs") {
+    import spark.implicits._
+    val base = (1 to 40).map(i => s"w$i").mkString(" ")
+    val other = (1 to 40).map(i => s"x$i").mkString(" ")
+    val corpus = Seq((1L, base)).toDF("doc_id", "text")
+    val inc = Seq(
+      (10L, base),                                // dup of corpus -> drop
+      (11L, other),                               // novel, first -> keep
+      (12L, other),                               // dup of 11 -> drop
+      (13L, (1 to 40).map(i => s"y$i").mkString(" "))) // novel -> keep
+      .toDF("doc_id", "text")
+    val corpusBands =
+      Dedup.bandedSignatures(Dedup.minhashSignatures(corpus))
+    val kept = Dedup.dedupeIncrement(corpusBands, inc)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    graft.ops.Reuse.freeAll(spark)
+    assert(kept == Seq(11L, 13L))
+  }
+
   test("ngramJaccard (in-list pair combos) == self-join specification") {
     import spark.implicits._
     val p = Prop.forAll(docsGen) { rows =>
