@@ -70,6 +70,15 @@ object Repl {
         Some(Serve.recent(store("retweets"), n.toInt))
       case "getrecentcounts" :: n :: Nil =>
         Some(Serve.recent(store("counts"), n.toInt))
+      // Beyond the reference's 8 commands: run any named engine query
+      // (the whole SparkEntry surface — dedup, similarity, text ops...)
+      // against a testdata-layout dir, so a REPL user reaches every
+      // operator the library ships, not just the aggregate store.
+      case "run" :: name :: dir :: Nil =>
+        SparkEntry.queries.get(name).map(fn => fn(spark, dir))
+      case "list" :: Nil =>
+        import spark.implicits._
+        Some(SparkEntry.queries.keys.toSeq.sorted.toDF("query"))
       case _ => None
     }
   }
@@ -112,7 +121,7 @@ object Repl {
     spark.sparkContext.setLogLevel("WARN")
     println("graft repl — commands: getsummary | getcounts s e | " +
       "gettop{mentions,hashtags,retweets}string s e [entity] | " +
-      "getrecent<kind> N | exit")
+      "getrecent<kind> N | list | run <query> <sfDir> | exit")
     Iterator.continually(scala.io.StdIn.readLine("> "))
       .takeWhile(l => l != null && l.trim != "exit")
       .foreach { line =>

@@ -51,6 +51,20 @@ class SinksAndReplSpec extends TestBase {
     assert(lines.get(1).contains("\"entity\":\"y\""))
   }
 
+  test("repl run/list expose the full engine query surface") {
+    val listed = Repl.dispatch(spark, "/nonexistent", "list")
+    assert(listed.isDefined)
+    val names = listed.get.collect().map(_.getString(0)).toSet
+    assert(names.contains("ext01_dedup_exact") &&
+      names.contains("op36_summary"))
+    val ran = Repl.dispatch(spark, "/nonexistent",
+      s"run ext01_dedup_exact ${sf("sf0.001")}")
+    assert(ran.isDefined && ran.get.count() > 0)
+    assert(Repl.dispatch(spark, "/nonexistent",
+      s"run no_such_query ${sf("sf0.001")}").isEmpty)
+    graft.ops.Reuse.freeAll(spark)
+  }
+
   test("duration-bounded saveTweets captures valid lines then stops " +
       "(OP-33 + cutoff)") {
     val in = Files.createTempDirectory("graft-st-in").toFile
