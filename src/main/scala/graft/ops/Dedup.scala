@@ -303,6 +303,14 @@ object Dedup {
       .select(col(id), bits.reduce(_ + _).as("simhash"))
   }
 
+  /** Scale note: 4×8-bit chunks give only 4×256 candidate buckets —
+    * ample at test scale, a fan-out ceiling on a billion-doc corpus
+    * (every bucket holds ~n/1024 docs). The production knob is the
+    * simhash width: 64-bit hashes with 4×16-bit chunks (hamming ≤ 3 by
+    * the same pigeonhole) give 4×65536 buckets; the plan shape —
+    * chunk equi-self-join + bit_count verify — is unchanged, only the
+    * vote pass widens to 64 columns. Kept 32/8 here because the oracle
+    * replays the exact constants. */
   def simhashPairs(doc: DataFrame, id: String = "doc_id",
       text: String = "text", maxHamming: Int = 3): DataFrame = {
     // One row per doc, consumed by both sides of the chunk self-join —
