@@ -221,6 +221,12 @@ object ExtEntry {
     "ext04_dedup_simhash" -> ((s, dir) =>
       Dedup.simhashPairs(docs(s, dir)).orderBy("id_a", "id_b")),
 
+    // Production-width simhash: 60-bit signature, 4x15-bit chunk
+    // buckets (32768 per chunk vs ext04's 256) — the corpus-scale form
+    // whose candidate volume ScaleSmoke contrasts against ext04.
+    "ext37_dedup_simhash_wide" -> ((s, dir) =>
+      Dedup.simhashPairsWide(docs(s, dir)).orderBy("id_a", "id_b")),
+
     // End-to-end dedup pipeline: detector pairs -> kept corpus
     // (min-id representative survives each near-dup pair).
     "ext14_dedup_pipeline" -> ((s, dir) => {
@@ -603,6 +609,44 @@ object ExtEntry {
          |chunks AS (
          |  SELECT doc_id, simhash, c.chunk_id,
          |         (simhash >> CAST(c.chunk_id * 8 AS INTEGER)) & 255 AS chunk
+         |  FROM sh2, range(4) c(chunk_id)),
+         |p AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         |         a.simhash AS sa, b.simhash AS sb
+         |  FROM chunks a JOIN chunks b USING (chunk_id, chunk)
+         |  WHERE a.doc_id < b.doc_id)
+         |SELECT id_a, id_b,
+         |       CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
+         |FROM p WHERE bit_count(xor(sa, sb)) <= 3
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    // 60-bit twin of ext04: two salted token hashes feed bits 0-29 /
+    // 30-59; chunk width 15.
+    "ext37_dedup_simhash_wide" ->
+      s"""WITH th AS (
+         |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+         |  FROM documents),
+         |h AS (SELECT doc_id,
+         |        ${hashSql("'w0:' || tok")} AS ha,
+         |        ${hashSql("'w1:' || tok")} AS hb
+         |      FROM th),
+         |votes AS (
+         |  SELECT doc_id, i,
+         |         SUM(CAST(2 * ((CASE WHEN i < 30
+         |               THEN ha >> CAST(i AS INTEGER)
+         |               ELSE hb >> CAST(i - 30 AS INTEGER) END) & 1) - 1
+         |             AS BIGINT)) AS vote
+         |  FROM h, range(60) r(i) GROUP BY 1, 2),
+         |sh2 AS (
+         |  SELECT doc_id,
+         |         CAST(SUM(CASE WHEN vote > 0
+         |           THEN (CAST(1 AS BIGINT) << CAST(i AS INTEGER))
+         |           ELSE 0 END) AS BIGINT) AS simhash
+         |  FROM votes GROUP BY 1),
+         |chunks AS (
+         |  SELECT doc_id, simhash, c.chunk_id,
+         |         (simhash >> CAST(c.chunk_id * 15 AS INTEGER)) & 32767
+         |           AS chunk
          |  FROM sh2, range(4) c(chunk_id)),
          |p AS (
          |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,

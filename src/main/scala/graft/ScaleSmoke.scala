@@ -38,6 +38,7 @@ object ScaleSmoke {
     time("ngram_jaccard_pairs") { graft.ops.Dedup.ngramJaccard(big) }
     time("minhash_lsh_pairs") { graft.ops.Dedup.minhashLsh(big) }
     time("simhash_pairs") { graft.ops.Dedup.simhashPairs(big) }
+    time("simhash_pairs_wide") { graft.ops.Dedup.simhashPairsWide(big) }
     time("dedup_clusters") {
       graft.ops.Components.connectedComponents(
         graft.ops.Dedup.minhashLsh(big).select("id_a", "id_b"))

@@ -305,21 +305,26 @@ object Dedup {
 
   /** Scale note: 4×8-bit chunks give only 4×256 candidate buckets —
     * ample at test scale, a fan-out ceiling on a billion-doc corpus
-    * (every bucket holds ~n/1024 docs). The production knob is the
-    * simhash width: 64-bit hashes with 4×16-bit chunks (hamming ≤ 3 by
-    * the same pigeonhole) give 4×65536 buckets; the plan shape —
-    * chunk equi-self-join + bit_count verify — is unchanged, only the
-    * vote pass widens to 64 columns. Kept 32/8 here because the oracle
-    * replays the exact constants. */
+    * (every bucket holds ~n/1024 docs). [[simhashPairsWide]] is the
+    * production form (60-bit hash, 4×15-bit chunks → 4×32768 buckets,
+    * same plan shape); this 32/8 variant is kept as the compact
+    * reference point (ext04) — ScaleSmoke measures both. */
   def simhashPairs(doc: DataFrame, id: String = "doc_id",
-      text: String = "text", maxHamming: Int = 3): DataFrame = {
-    // One row per doc, consumed by both sides of the chunk self-join —
-    // eagerly materialized (see Reuse).
-    val sh = Reuse.shared(simhash(doc, id, text))
+      text: String = "text", maxHamming: Int = 3): DataFrame =
+    chunkedHammingPairs(Reuse.shared(simhash(doc, id, text)), id,
+      nChunks = 4, chunkBits = 8, maxHamming = maxHamming)
+
+  /** Chunk-bucketed hamming candidate join over a (id, simhash)
+    * relation: pigeonhole guarantees hamming ≤ (nChunks - 1) pairs share
+    * at least one equal chunk; exact bit_count(xor) verifies. */
+  private def chunkedHammingPairs(sh: DataFrame, id: String,
+      nChunks: Int, chunkBits: Int, maxHamming: Int): DataFrame = {
+    val mask = (1L << chunkBits) - 1
     val chunks = sh.select(col(id), col("simhash"),
-        explode(sequence(lit(0), lit(3))).as("chunk_id"))
+        explode(sequence(lit(0), lit(nChunks - 1))).as("chunk_id"))
       .withColumn("chunk",
-        expr("shiftright(simhash, CAST(chunk_id * 8 AS INT)) & 255"))
+        expr(s"shiftright(simhash, CAST(chunk_id * $chunkBits AS INT)) " +
+          s"& $mask"))
     chunks.select(col(id).as("id_a"), col("simhash").as("sh_a"),
         col("chunk_id"), col("chunk"))
       .join(chunks.select(col(id).as("id_b"), col("simhash").as("sh_b"),
@@ -331,4 +336,36 @@ object Dedup {
       .distinct()
       .filter(col("hamming") <= maxHamming)
   }
+
+  /** 60-bit simhash from TWO salted token hashes (bits 0-29 from
+    * 'w0:'+token, 30-59 from 'w1:'+token — portableHash32 gives 31
+    * usable bits, 30 keeps the split even). Same one-pass vote
+    * aggregate as [[simhash]], 60 sum columns. */
+  def simhashWide(doc: DataFrame, id: String = "doc_id",
+      text: String = "text"): DataFrame = {
+    val th = doc
+      .select(col(id), explode(TextOps.tokens(col(text))).as("tok"))
+      .select(col(id),
+        Hashing.portableHash32(concat(lit("w0:"), col("tok"))).as("ha"),
+        Hashing.portableHash32(concat(lit("w1:"), col("tok"))).as("hb"))
+    val votes = (0 until 60).map { i =>
+      val src = if (i < 30) "ha" else "hb"
+      sum(expr(s"CAST(2 * (shiftright($src, ${i % 30}) & 1) - 1 " +
+        "AS BIGINT)")).as(s"v$i")
+    }
+    val bits = (0 until 60).map(i =>
+      when(col(s"v$i") > 0, lit(1L << i)).otherwise(lit(0L)))
+    th.groupBy(col(id))
+      .agg(votes.head, votes.tail: _*)
+      .select(col(id), bits.reduce(_ + _).as("simhash"))
+  }
+
+  /** Production-scale simhash near-dup: 60-bit signature, 4×15-bit
+    * chunks → 4×32768 candidate buckets (vs [[simhashPairs]]' 4×256 —
+    * the fan-out ceiling ScaleSmoke measures). Same pigeonhole bound
+    * (hamming ≤ 3 ⇒ ≥1 equal chunk), same plan shape. */
+  def simhashPairsWide(doc: DataFrame, id: String = "doc_id",
+      text: String = "text", maxHamming: Int = 3): DataFrame =
+    chunkedHammingPairs(Reuse.shared(simhashWide(doc, id, text)), id,
+      nChunks = 4, chunkBits = 15, maxHamming = maxHamming)
 }

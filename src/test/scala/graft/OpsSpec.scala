@@ -62,6 +62,21 @@ class OpsSpec extends TestBase {
     assert(!got.exists { case (a, b, _) => b == 3L || a == 3L })
   }
 
+  test("dedup: wide simhash finds a planted near-dup, skips unrelated") {
+    import spark.implicits._
+    val base = (1 to 60).map(i => s"w$i").mkString(" ")
+    val nearDup = (1 to 60).map(i => if (i == 30) "X" else s"w$i")
+      .mkString(" ")
+    val docs = Seq((1L, base), (2L, nearDup),
+      (3L, (1 to 60).map(i => s"z$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val got = Dedup.simhashPairsWide(docs, maxHamming = 6)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    graft.ops.Reuse.freeAll(spark)
+    assert(got.contains((1L, 2L)))
+    assert(!got.exists { case (a, b) => a == 3L || b == 3L })
+  }
+
   test("dedup: short docs (<n tokens) yield zero shingles, not a crash") {
     import spark.implicits._
     // 0/1/2-token docs under trigram shingling: sequence(1, size-2) would
