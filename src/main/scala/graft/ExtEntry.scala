@@ -452,6 +452,34 @@ object ExtEntry {
           col("qs")(1).as("p50"), col("qs")(2).as("p90"))
         .orderBy("lang")),
 
+    // TF-IDF top terms per document — division-form idf (portable where
+    // ln is not; order-equivalent for ranking), exact int64 scores,
+    // WindowGroupLimit-bounded per-doc top-k.
+    "ext38_tfidf_topk" -> ((s, dir) =>
+      TextOps.tfidfTopK(docs(s, dir), 5)
+        .orderBy("doc_id", "rank")),
+
+    // Weighted deterministic sample: priority hash/weight per lang
+    // stratum — longer documents (n_chars) are proportionally likelier,
+    // selection reproducible across engines and reruns.
+    "ext39_weighted_sample" -> ((s, dir) =>
+      Sampling.weightedTopK(docs(s, dir), Seq("lang"), col("doc_id"),
+          col("n_chars"), 50)
+        .select("doc_id", "lang", "source", "rank")
+        .orderBy("lang", "rank")),
+
+    // Inverted index: term -> exact df + bounded ascending posting list
+    // in ONE keyed shuffle (doc-local array_distinct, TopKIds-bounded
+    // postings).
+    "ext40_inverted_index" -> ((s, dir) =>
+      TextOps.invertedIndex(docs(s, dir), 20)
+        .orderBy("term")),
+
+    // Bigram LM statistics: adjacent-pair counts + quantized conditional
+    // probability, global top-200 via TakeOrderedAndProject.
+    "ext41_bigram_stats" -> ((s, dir) =>
+      TextOps.bigramStats(docs(s, dir), 200)),
+
     // Corpus-wide vocabulary: global term top-k by frequency — the seed
     // step of tokenizer/vocab construction. Partial-combined hash
     // aggregate, then TakeOrderedAndProject (per-partition top-k +
@@ -1098,6 +1126,59 @@ object ExtEntry {
          |       quantile_cont(quality_score, 0.5) AS p50,
          |       quantile_cont(quality_score, 0.9) AS p90
          |FROM r WHERE rank <= 100 GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "ext38_tfidf_topk" ->
+      """WITH tfc AS (
+        |  SELECT doc_id, term, count(*) AS tf
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |        FROM documents)
+        |  GROUP BY 1, 2),
+        |dfc AS (SELECT term, count(*) AS df FROM tfc GROUP BY 1),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |sc AS (
+        |  SELECT t.doc_id, t.term, t.tf,
+        |         t.tf * CAST(floor(1000000.0 * (CAST(n.n_docs AS DOUBLE)
+        |                / CAST(d.df AS DOUBLE))) AS BIGINT) AS score
+        |  FROM tfc t JOIN dfc d USING (term) CROSS JOIN n),
+        |r AS (SELECT *, row_number() OVER (
+        |        PARTITION BY doc_id ORDER BY score DESC, term ASC)
+        |        AS rank FROM sc)
+        |SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, score,
+        |       CAST(rank AS BIGINT) AS rank
+        |FROM r WHERE rank <= 5 ORDER BY doc_id, rank""".stripMargin,
+
+    "ext39_weighted_sample" ->
+      s"""WITH h AS (
+         |  SELECT doc_id, lang, source,
+         |         CAST(${hashSql("'wsamp:' || CAST(doc_id AS VARCHAR)")}
+         |              AS DOUBLE) / CAST(n_chars AS DOUBLE) AS pri
+         |  FROM documents),
+         |r AS (SELECT doc_id, lang, source, row_number() OVER (
+         |        PARTITION BY lang ORDER BY pri, doc_id) AS rank FROM h)
+         |SELECT doc_id, lang, source, CAST(rank AS BIGINT) AS rank
+         |FROM r WHERE rank <= 50 ORDER BY lang, rank""".stripMargin,
+
+    "ext40_inverted_index" ->
+      """WITH pr0 AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |  FROM documents),
+        |pairs AS (SELECT DISTINCT doc_id, term FROM pr0)
+        |SELECT term, count(*) AS df,
+        |       array_to_string(list_sort(list(doc_id))[1:20], ',')
+        |         AS postings
+        |FROM pairs GROUP BY 1 ORDER BY term""".stripMargin,
+
+    "ext41_bigram_stats" ->
+      """WITH bg0 AS (
+        |  SELECT unnest(tk[1:len(tk)-1]) AS t1, unnest(tk[2:len(tk)]) AS t2
+        |  FROM (SELECT string_split(text, ' ') AS tk FROM documents)),
+        |c AS (SELECT t1, t2, count(*) AS c FROM bg0 GROUP BY 1, 2),
+        |p AS (SELECT t1, CAST(SUM(c) AS BIGINT) AS ct FROM c GROUP BY 1)
+        |SELECT c.t1, c.t2, c.c,
+        |       CAST(floor(1000000.0 * (CAST(c.c AS DOUBLE)
+        |            / CAST(p.ct AS DOUBLE))) AS BIGINT) AS p_q
+        |FROM c JOIN p USING (t1)
+        |ORDER BY c.c DESC, c.t1, c.t2 LIMIT 200""".stripMargin,
 
     "ext34_vocab_topk" ->
       """SELECT term, count(*) AS tf

@@ -36,6 +36,28 @@ object Sampling {
       .drop("_h")
   }
 
+  /** Deterministic WEIGHTED priority sample: selection priority is
+    * `hash(id) / weight` ascending, so a document's selection pressure
+    * grows with its weight while the draw stays reproducible (the
+    * portable hash plays the uniform variate; the priority is ONE
+    * exactly-rounded IEEE division, so any engine ranks identically).
+    * The classical A-ES exponential form (-ln u / w) would need `ln`,
+    * which is not bit-portable across engines; h/w keeps the same
+    * monotone-in-weight ordering with portable arithmetic. Same
+    * WindowGroupLimit pre-shuffle bound and append-stability as
+    * [[stratifiedTopK]]. */
+  def weightedTopK(df: DataFrame, strata: Seq[String], id: Column,
+      weight: Column, k: Int, salt: String = "wsamp"): DataFrame = {
+    val h = Hashing.portableHash32(
+      concat(lit(salt + ":"), id.cast("string")))
+    val w = Window.partitionBy(strata.map(col): _*)
+      .orderBy(col("_pri"), id)
+    df.withColumn("_pri", h.cast("double") / weight.cast("double"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .drop("_pri")
+  }
+
   /** Approximate-rate Bernoulli sample: keep iff hash(id) mod den < num.
     * Pure projection — no shuffle, no state; composes with [[Splits]]. */
   def bernoulli(df: DataFrame, id: Column, num: Int, den: Int = 1000,

@@ -125,6 +125,112 @@ object TextOps {
   }
 
   /**
+   * TF-IDF top-k terms per document — the term-salience step of corpus
+   * analytics / keyword extraction. The idf is the DIVISION form
+   * `idf_q = floor(1e6 * N/df)` rather than the classical `ln(N/df)`:
+   * IEEE division, multiplication and floor are exactly-rounded and so
+   * bit-portable across engines, `ln` is not (libm implementations
+   * differ in the last ulp) — and for per-document RANKING the two are
+   * order-equivalent (both strictly decreasing in df). The score
+   * `tf * idf_q` stays exact int64.
+   *
+   * Scale shape: tf is ONE map-side-combined keyed shuffle on
+   * (doc, term); df is a second aggregate over the already-distinct
+   * (vocab-bounded) tf relation, not a second corpus pass; N joins as a
+   * broadcast 1-row relation; the per-doc top-k is row_number-over-window
+   * → Catalyst's WindowGroupLimit keeps k rows per doc per map task
+   * BEFORE the rank shuffle.
+   */
+  def tfidfTopK(doc: DataFrame, k: Int = 5, id: String = "doc_id",
+      text: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // tf feeds both the df aggregate and the score join — materialized
+    // once (see [[Reuse]]) so the corpus explode+agg runs a single time.
+    val tf = Reuse.shared(
+      doc.select(col(id), explode(tokens(col(text))).as("term"))
+        .groupBy(col(id), col("term")).agg(count(lit(1)).as("tf")))
+    val dfTerm = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val nDocs = doc.agg(count(lit(1)).as("n_docs"))
+    val idf = dfTerm.crossJoin(broadcast(nDocs))
+      .select(col("term"),
+        floor(lit(1000000.0d) *
+          (col("n_docs").cast("double") / col("df").cast("double")))
+          .cast("long").as("idf_q"))
+    val w = Window.partitionBy(col(id))
+      .orderBy(col("score").desc, col("term").asc)
+    tf.join(idf, "term")
+      .withColumn("score", col("tf") * col("idf_q"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col(id), col("term"), col("tf"), col("score"), col("rank"))
+  }
+
+  /**
+   * Inverted index: term → exact document frequency + the first `k`
+   * posting doc_ids ascending, serialized as a comma-joined string (the
+   * cross-engine-stable array encoding). ONE keyed shuffle end-to-end:
+   * the (doc, term) dedup is doc-LOCAL (`array_distinct` before the
+   * explode — no distinct shuffle), and the posting list is the bounded
+   * [[graft.agg.TopKIds]] aggregator (weight = -doc_id ⇒ smallest ids
+   * kept, ascending), so map-side partials carry at most k ids per term
+   * into the exchange where `collect_list` would buffer entire postings
+   * — at 100 TB a stopword's posting list IS the corpus.
+   */
+  def invertedIndex(doc: DataFrame, k: Int = 20, id: String = "doc_id",
+      text: String = "text"): DataFrame = {
+    val pairs = doc.select(col(id).as("did"),
+      explode(array_distinct(tokens(col(text)))).as("term"))
+    pairs.groupBy(col("term"))
+      .agg(count(lit(1)).as("df"),
+        graft.agg.TopK.topKIds(k)(
+          -col("did").cast("double"), col("did")).as("ids"))
+      .select(col("term"), col("df"),
+        array_join(transform(col("ids"), x => x.cast("string")), ",")
+          .as("postings"))
+  }
+
+  /** Adjacent-token (t1, t2) pairs as a struct array; empty below 2
+    * tokens (same ANSI-slice guard as [[shingles]]). */
+  def bigramPairs(toks: Column): Column =
+    when(size(toks) >= 2,
+      zip_with(
+        slice(toks, lit(1), size(toks) - 1),
+        slice(toks, lit(2), size(toks) - 1),
+        (a, b) => struct(a.as("t1"), b.as("t2"))))
+      .otherwise(array().cast("array<struct<t1:string,t2:string>>"))
+
+  /**
+   * Corpus bigram language-model statistics: count of every adjacent
+   * token pair plus the quantized conditional probability
+   * `p_q = floor(1e6 * c(t1,t2) / c(t1,·))` — division-portable like
+   * [[tfidfTopK]]'s idf. Returns the top `k` bigrams by
+   * (count DESC, t1 ASC, t2 ASC) — a total order, so the cut is exact.
+   *
+   * Scale shape: pair counting is one map-side-combined shuffle (the
+   * pairs are built doc-locally by zipping the token array with its own
+   * tail — no self-join, no window); the prefix totals aggregate the
+   * vocab²-bounded pair relation, not the corpus; the global top-k plans
+   * as TakeOrderedAndProject (per-partition heap + driver merge of k
+   * rows, no global sort).
+   */
+  def bigramStats(doc: DataFrame, k: Int = 200,
+      text: String = "text"): DataFrame = {
+    // Pair counts feed both the prefix totals and the probability join.
+    val pairs = Reuse.shared(
+      doc.select(explode(bigramPairs(tokens(col(text)))).as("bg"))
+        .select(col("bg.t1").as("t1"), col("bg.t2").as("t2"))
+        .groupBy("t1", "t2").agg(count(lit(1)).as("c")))
+    val prefix = pairs.groupBy("t1").agg(sum("c").as("ct"))
+    pairs.join(prefix, "t1")
+      .select(col("t1"), col("t2"), col("c"),
+        floor(lit(1000000.0d) *
+          (col("c").cast("double") / col("ct").cast("double")))
+          .cast("long").as("p_q"))
+      .orderBy(col("c").desc, col("t1").asc, col("t2").asc)
+      .limit(k)
+  }
+
+  /**
    * Document fingerprints: (a) content fingerprint = first 16 hex of
    * md5(lower(text)); (b) an order-sensitive positional rolling hash —
    * sum over positions of tokenHash * position, mod 2^31-1 — exact int64

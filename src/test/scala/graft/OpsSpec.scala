@@ -277,4 +277,57 @@ class OpsSpec extends TestBase {
       .select("doc_id").as[Long].collect().toSet
     assert(keptExact == ((1L to 30L).toSet -- Set(2L, 3L, 11L)))
   }
+
+  test("tfidf: rare terms outrank common ones; scores exact (ext38)") {
+    import spark.implicits._
+    val docs = Seq((1L, "apple banana banana"), (2L, "apple cherry"),
+      (3L, "apple date")).toDF("doc_id", "text")
+    val got = graft.ops.TextOps.tfidfTopK(docs, 2)
+      .select("doc_id", "term", "tf", "score", "rank")
+      .as[(Long, String, Long, Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._5).toSeq).toMap
+    // N=3; df(apple)=3 -> idf_q 1_000_000; df(banana)=1 -> 3_000_000.
+    assert(got(1L) == Seq((1L, "banana", 2L, 6000000L, 1L),
+      (1L, "apple", 1L, 1000000L, 2L)))
+    assert(got(2L).head._2 == "cherry") // rarer term first in doc 2
+    graft.ops.Reuse.freeAll(spark)
+  }
+
+  test("weighted sample ranks by hash/weight within stratum (ext39)") {
+    import spark.implicits._
+    val docs = (1L to 20L)
+      .map(i => (i, "g", 1L + (i % 7) * 100L)).toDF("doc_id", "g", "w")
+    val got = graft.ops.Sampling
+      .weightedTopK(docs, Seq("g"), col("doc_id"), col("w"), 5)
+      .select("doc_id").as[Long].collect().toSeq
+    val want = (1L to 20L)
+      .sortBy(i => (graft.ops.Hashing.portableHash32Local(s"wsamp:$i")
+        .toDouble / (1L + (i % 7) * 100L), i))
+      .take(5)
+    assert(got == want) // rank order == driver-recomputed priority order
+  }
+
+  test("inverted index: exact df with bounded ascending postings (ext40)") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b a"), (2L, "b c"), (3L, "b"))
+      .toDF("doc_id", "text")
+    val got = graft.ops.TextOps.invertedIndex(docs, 2).orderBy("term")
+      .as[(String, Long, String)].collect().toSeq
+    // df counts ALL docs (b=3) while postings cap at k=2, ascending.
+    assert(got == Seq(("a", 1L, "1"), ("b", 3L, "1,2"), ("c", 1L, "2")))
+  }
+
+  test("bigram stats: pair counts and quantized conditionals (ext41)") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b a b"), (2L, "a c"), (3L, "z"))
+      .toDF("doc_id", "text")
+    val got = graft.ops.TextOps.bigramStats(docs, 10)
+      .as[(String, String, Long, Long)].collect().toSeq
+    // prefix totals: a->3 (ab,ab,ac), b->1 (ba); "z" yields no bigram.
+    assert(got == Seq(
+      ("a", "b", 2L, 666666L),   // floor(1e6 * 2/3)
+      ("a", "c", 1L, 333333L),
+      ("b", "a", 1L, 1000000L)))
+    graft.ops.Reuse.freeAll(spark)
+  }
 }
