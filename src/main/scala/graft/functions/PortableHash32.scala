@@ -102,5 +102,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[QDotProduct].getName, "qdot"),
       (exprs: Seq[Expression]) => QDotProduct(exprs.head, exprs(1))))
+    // Composed aggregate(zip_with(·,·,*),0L,+) → native qdot kernel.
+    e.injectOptimizerRule(_ => QDotFusionRule)
   }
 }

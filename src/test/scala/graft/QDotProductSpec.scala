@@ -56,4 +56,34 @@ class QDotProductSpec extends TestBase {
     val qdotLine = plan.linesIterator.find(_.contains("qdot(")).getOrElse("")
     assert(qdotLine.matches(""".*\*\(\d+\) Project.*"""), plan)
   }
+
+  test("QDotFusionRule rewrites the composed form to the native kernel") {
+    import spark.implicits._
+    val s = spark.newSession()
+    s.experimental.extraOptimizations =
+      Seq(graft.functions.QDotFusionRule)
+    // Build over range() (literal rows fold to a LocalRelation before the
+    // assertion could see the rewritten expression); row id 1 has a
+    // length mismatch → NULL.
+    def arrays(df: org.apache.spark.sql.DataFrame) = df.select(
+      when(col("id") === 0, typedLit(Seq(1L, 2L, 3L)))
+        .otherwise(typedLit(Seq(7L, 8L))).as("a"),
+      when(col("id") === 0, typedLit(Seq(4L, 5L, 6L)))
+        .otherwise(typedLit(Seq(9L, 10L, 11L))).as("b"))
+    val d2 = arrays(s.range(2).toDF())
+    val fused = d2.select(
+      Similarity.qdotComposed(col("a"), col("b")).as("d"))
+    val optimized = fused.queryExecution.optimizedPlan
+    assert(optimized.expressions.exists(_.exists(
+      _.isInstanceOf[graft.functions.QDotProduct])), optimized.toString)
+    val got = fused.orderBy(col("d").asc_nulls_last).collect()
+      .map(r => if (r.isNullAt(0)) None else Some(r.getLong(0)))
+    assert(got.toSeq == Seq(Some(32L), None)) // 1*4+2*5+3*6; mismatch→NULL
+    // Control: without the rule the composed form stays composed.
+    val plain = arrays(spark.range(2).toDF())
+      .select(Similarity.qdotComposed(col("a"), col("b")).as("d"))
+      .queryExecution.optimizedPlan
+    assert(!plain.expressions.exists(_.exists(
+      _.isInstanceOf[graft.functions.QDotProduct])))
+  }
 }
