@@ -26,7 +26,7 @@ case class TopKItem(weight: Double, id: Long)
  * equivalent (parity-tested); this aggregator is the scale path — it bounds
  * state where collect_list would buffer entire groups.
  */
-class TopKIds(k: Int)
+class TopKIds(k: Int, distinct: Boolean = false)
     extends Aggregator[TopKItem, Seq[TopKItem], Seq[Long]] {
   require(k > 0)
 
@@ -36,8 +36,16 @@ class TopKIds(k: Int)
 
   override def zero: Seq[TopKItem] = Vector.empty
 
+  /** With `distinct = true` a (weight, id) value already in the buffer is
+    * a no-op, so "buffer size" counts DISTINCT inputs — the property the
+    * stop-shingle df cap needs when the input stream may repeat a
+    * (doc, shingle) pair (ord equality ⟺ value equality here, since the
+    * ordering is the injective map t → (-t.weight, t.id)). The duplicate
+    * check must run BEFORE the evict-last path: evicting `last` to
+    * re-insert an already-present value would silently drop an item. */
   override def reduce(b: Seq[TopKItem], a: TopKItem): Seq[TopKItem] =
-    if (b.size < k) insertSorted(b, a)
+    if (distinct && b.exists(x => ord.equiv(x, a))) b
+    else if (b.size < k) insertSorted(b, a)
     else if (ord.lt(a, b.last)) insertSorted(b.init, a)
     else b
 
@@ -49,8 +57,14 @@ class TopKIds(k: Int)
     (b.take(i) :+ a) ++ b.drop(i)
   }
 
-  override def merge(b1: Seq[TopKItem], b2: Seq[TopKItem]): Seq[TopKItem] =
-    (b1 ++ b2).sorted(ord).take(k)
+  override def merge(b1: Seq[TopKItem], b2: Seq[TopKItem]): Seq[TopKItem] = {
+    val s = (b1 ++ b2).sorted(ord)
+    val d = if (!distinct || s.isEmpty) s
+      else s.head +: s.sliding(2).collect {
+        case Seq(p, c) if !ord.equiv(p, c) => c
+      }.toVector
+    d.take(k)
+  }
 
   override def finish(r: Seq[TopKItem]): Seq[Long] = r.map(_.id)
 
@@ -113,6 +127,14 @@ object TopK {
   /** Untyped (DataFrame) form: `topKIds(10)(col("value"), col("id"))`. */
   def topKIds(k: Int): (Column, Column) => Column = {
     val fn = udaf(new TopKIds(k), ExpressionEncoder[TopKItem]())
+    (weight, id) => fn(weight, id)
+  }
+
+  /** Distinct-input form: duplicate (weight, id) pairs collapse, so the
+    * buffer bound counts distinct inputs (see [[TopKIds.reduce]]). */
+  def topKDistinctIds(k: Int): (Column, Column) => Column = {
+    val fn = udaf(new TopKIds(k, distinct = true),
+      ExpressionEncoder[TopKItem]())
     (weight, id) => fn(weight, id)
   }
 

@@ -31,39 +31,57 @@ object Dedup {
 
   /**
    * Per-shingle doc-id lists (ascending) after the stop-shingle cap, as
-   * ONE keyed shuffle: explode per-doc distinct shingle hashes, group by
-   * hash collecting ids through a BOUNDED [[graft.agg.TopKIds]] buffer of
-   * `maxDocFreq + 1` slots. A shingle hitting the bound has
-   * `df > maxDocFreq` and is dropped — byte-identical semantics to the
-   * classic distinct → df-count → anti-join pipeline, but the hot-shingle
-   * guard costs no extra aggregate or join, and aggregator state stays
-   * ≤ maxDocFreq+1 ids even for a shingle present in a billion docs (the
-   * skew case the cap exists for). `array_distinct` runs per-doc BEFORE
-   * the explode, and doc ids are unique per row, so the grouped lists
-   * need no further dedup. Weight is `-id` as double — exact while
-   * ids < 2^53.
+   * ONE keyed shuffle: explode per-doc shingle positions, hash each
+   * shingle in codegen, group by hash collecting ids through a BOUNDED
+   * distinct-insert [[graft.agg.TopKIds]] buffer of `maxDocFreq + 1`
+   * slots. A shingle hitting the bound has `df > maxDocFreq` and is
+   * dropped — byte-identical semantics to the classic distinct →
+   * df-count → anti-join pipeline, but the hot-shingle guard costs no
+   * extra aggregate or join, and aggregator state stays ≤ maxDocFreq+1
+   * ids even for a shingle present in a billion docs (the skew case the
+   * cap exists for). Per-doc repeats of a shingle collapse inside the
+   * aggregator's distinct insert (duplicate (weight, id) is a no-op), so
+   * the grouped lists are distinct docs. Weight is `-id` as double —
+   * exact while ids < 2^53.
    *
    * Returned relation: `(h, ids array<long> ascending)`, eagerly
    * materialized (see [[Reuse]]) — every consumer (pair generation, set
    * sizes, MinHash mins) is a cheap scan of |distinct shingles| rows.
    */
-  /** One row per (doc, distinct capped shingle hash) — per-doc
-    * `array_distinct` before the explode, so with unique doc ids the
-    * pairs are globally distinct. Shared by the grouped dedup pipeline
-    * and [[benchmarkOverlap]] (cap and hashing must never diverge
-    * between them: both are oracle-parity-sensitive). */
+  /** One row per (doc, capped shingle position): explode the position
+    * range FIRST, then build + hash the shingle as a flat per-row
+    * projection — `slice`/`concat_ws`/[[Hashing.portableHash32]] are all
+    * codegen'd, so the whole scan→explode→hash chain stays inside one
+    * WholeStageCodegen span. The earlier per-doc
+    * `array_distinct(transform(..., portableHash32))` form computed the
+    * same hashes through interpreted higher-order-function lambdas
+    * (`transform` is CodegenFallback) — measured 0.5 s ↔ 14.7 s on the
+    * SAME sf0.1 input depending on JIT state, the round-3 ext02 bench
+    * spike. Rows here may REPEAT an (id, h) pair (a shingle occurring
+    * twice in one doc); consumers that need per-doc distinctness get it
+    * from the bounded distinct aggregator ([[shingleGroups]]) or
+    * `countDistinct` ([[benchmarkOverlap]]) — never from a per-doc array
+    * lambda. Shared by the grouped dedup pipeline and
+    * [[benchmarkOverlap]] (cap and hashing must never diverge between
+    * them: both are oracle-parity-sensitive). */
   private def docShingleHashes(doc: DataFrame, id: String, text: String,
       n: Int): DataFrame =
-    doc.select(col(id),
-      explode(array_distinct(transform(
-        slice(TextOps.shingles(TextOps.tokens(col(text)), n),
-          1, MaxShinglesPerDoc),
-        s => Hashing.portableHash32(s)))).as("h"))
+    doc.select(col(id), TextOps.tokens(col(text)).as("_toks"))
+      .select(col(id), col("_toks"),
+        explode(when(size(col("_toks")) >= n,
+          sequence(lit(1),
+            least(size(col("_toks")) - lit(n - 1), lit(MaxShinglesPerDoc))))
+          .otherwise(array().cast("array<int>"))).as("_i"))
+      .select(col(id),
+        Hashing.portableHash32(
+          concat_ws(" ", slice(col("_toks"), col("_i"), lit(n)))).as("h"))
 
   def shingleGroups(doc: DataFrame, id: String, text: String,
       n: Int = 3, maxDocFreq: Int = 50,
       materialize: Boolean = true): DataFrame = {
-    val bounded = graft.agg.TopK.topKIds(maxDocFreq + 1)
+    // Distinct insert: docShingleHashes repeats (doc, h) when a shingle
+    // occurs twice in a doc; the cap must count distinct docs.
+    val bounded = graft.agg.TopK.topKDistinctIds(maxDocFreq + 1)
     val g = docShingleHashes(doc, id, text, n)
       .withColumnRenamed(id, "_sid")
       .groupBy("h")
@@ -147,11 +165,13 @@ object Dedup {
       threshold: Double = 0.8): DataFrame = {
     val benchH = docShingleHashes(bench, id, text, n).select("h").distinct()
     val ch = docShingleHashes(corpus, id, text, n)
-    val counts = ch.groupBy(col(id)).agg(count(lit(1)).as("n_sh"))
-    // (id, h) is distinct per doc and benchH is distinct, so the inner
-    // join counts each shared shingle exactly once.
+    // docShingleHashes may repeat (id, h) within a doc — count DISTINCT
+    // shingles per doc (two-phase hash aggregate, map-side combined).
+    val counts = ch.groupBy(col(id)).agg(countDistinct(col("h")).as("n_sh"))
+    // benchH is distinct, so after the per-doc distinct each shared
+    // shingle counts exactly once.
     val shared = ch.join(broadcast(benchH), "h")
-      .groupBy(col(id)).agg(count(lit(1)).as("n_shared"))
+      .groupBy(col(id)).agg(countDistinct(col("h")).as("n_shared"))
     corpus.select(col(id))
       .join(counts, Seq(id), "left")
       .join(shared, Seq(id), "left")

@@ -58,6 +58,34 @@ class TopKSpec extends TestBase {
     })
   }
 
+  test("distinct variant: duplicates collapse, laws hold") {
+    val agg = new TopKIds(4, distinct = true)
+    // Reference: de-duplicate (weight, id) values first, then sort-take.
+    def refD(xs: Seq[TopKItem]): Seq[TopKItem] =
+      xs.distinct.sortBy(t => (-t.weight, t.id)).take(4)
+    // Duplicate-heavy generator: small value domain forces collisions.
+    val dupItems = Gen.listOf(for {
+      w <- Gen.chooseNum(0L, 6L); id <- Gen.chooseNum(0L, 6L)
+    } yield TopKItem(-w.toDouble, id))
+    checkProp(Prop.forAll(dupItems, Gen.chooseNum(0, 100)) { (xs, cut) =>
+      val whole = xs.foldLeft(agg.zero)(agg.reduce)
+      val (l, r) = xs.splitAt(cut % (xs.size + 1))
+      val lb = l.foldLeft(agg.zero)(agg.reduce)
+      val rb = r.foldLeft(agg.zero)(agg.reduce)
+      whole == refD(xs) &&
+        agg.merge(lb, rb) == whole && agg.merge(rb, lb) == whole
+    })
+  }
+
+  test("distinct variant: full buffer keeps existing item on dup insert") {
+    val agg = new TopKIds(2, distinct = true)
+    val xs = Seq(TopKItem(3.0, 1L), TopKItem(2.0, 2L), TopKItem(3.0, 1L))
+    // Third insert duplicates the best item while the buffer is full —
+    // it must be a no-op, not an evict-last-and-reinsert.
+    assert(xs.foldLeft(agg.zero)(agg.reduce) ==
+      Seq(TopKItem(3.0, 1L), TopKItem(2.0, 2L)))
+  }
+
   test("udaf parity with built-in sort_array composite on events") {
     val ev = Tables.events(spark, sf("sf0.001"))
     val topk = TopK.topKIds(5)
