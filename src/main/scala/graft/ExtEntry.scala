@@ -480,6 +480,20 @@ object ExtEntry {
     "ext41_bigram_stats" -> ((s, dir) =>
       TextOps.bigramStats(docs(s, dir), 200)),
 
+    // LM-based quality filter: per-doc floor-mean quantized bigram
+    // conditional probability against the self-built corpus LM
+    // (CCNet-shape fluency scoring, exact int64 — no libm log).
+    "ext42_lm_quality" -> ((s, dir) =>
+      TextOps.lmQuality(docs(s, dir))
+        .orderBy("doc_id")),
+
+    // Deterministic random projection 64 -> 16 dims: plan-time ±1
+    // hyperplane literals, one fused qdot multiply-add pass per output
+    // dim — the compressed representation an ANN index stores at scale.
+    "ext43_random_projection" -> ((s, dir) =>
+      Similarity.randomProject(embs(s, dir), 16)
+        .orderBy("vec_id")),
+
     // Corpus-wide vocabulary: global term top-k by frequency — the seed
     // step of tokenizer/vocab construction. Partial-combined hash
     // aggregate, then TakeOrderedAndProject (per-partition top-k +
@@ -1179,6 +1193,45 @@ object ExtEntry {
         |            / CAST(p.ct AS DOUBLE))) AS BIGINT) AS p_q
         |FROM c JOIN p USING (t1)
         |ORDER BY c.c DESC, c.t1, c.t2 LIMIT 200""".stripMargin,
+
+    "ext42_lm_quality" ->
+      """WITH bg AS (
+        |  SELECT doc_id, unnest(tk[1:len(tk)-1]) AS t1,
+        |         unnest(tk[2:len(tk)]) AS t2
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS tk
+        |        FROM documents)),
+        |c AS (SELECT t1, t2, count(*) AS c FROM bg GROUP BY 1, 2),
+        |p AS (SELECT t1, CAST(SUM(c) AS BIGINT) AS ct FROM c GROUP BY 1),
+        |lm AS (
+        |  SELECT c.t1, c.t2,
+        |         CAST(floor(1000000.0 * (CAST(c.c AS DOUBLE)
+        |              / CAST(p.ct AS DOUBLE))) AS BIGINT) AS p_q
+        |  FROM c JOIN p USING (t1)),
+        |s AS (
+        |  SELECT bg.doc_id, count(*) AS n_bigrams,
+        |         CAST(SUM(lm.p_q) AS BIGINT) AS sum_pq
+        |  FROM bg JOIN lm USING (t1, t2) GROUP BY 1)
+        |SELECT d.doc_id,
+        |       COALESCE(s.n_bigrams, 0) AS n_bigrams,
+        |       COALESCE(s.sum_pq // s.n_bigrams, 0) AS lm_q,
+        |       CAST(CASE WHEN COALESCE(s.sum_pq // s.n_bigrams, 0) >= 34500
+        |            THEN 1 ELSE 0 END AS BIGINT) AS fluent
+        |FROM documents d LEFT JOIN s USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+
+    "ext43_random_projection" ->
+      s"""$QuantFlatSql,
+         |hp AS (
+         |  SELECT a.j, b.i,
+         |         CASE WHEN ((${hashSql("'rp' || CAST(a.j AS VARCHAR) || ':' || CAST(b.i - 1 AS VARCHAR)")})
+         |                    >> CAST(a.j % 31 AS INTEGER)) % 2 = 0
+         |              THEN 1 ELSE -1 END AS sgn
+         |  FROM range(16) a(j), range(1, 65) b(i)),
+         |projs AS (
+         |  SELECT f.vec_id, h.j, CAST(SUM(h.sgn * f.qi) AS BIGINT) AS pj
+         |  FROM flat f JOIN hp h ON h.i = f.i GROUP BY 1, 2)
+         |SELECT vec_id, list(pj ORDER BY j) AS proj
+         |FROM projs GROUP BY vec_id ORDER BY vec_id""".stripMargin,
 
     "ext34_vocab_topk" ->
       """SELECT term, count(*) AS tf

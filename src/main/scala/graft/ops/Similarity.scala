@@ -158,20 +158,23 @@ object Similarity {
     * per-hyperplane weight literal is sliced to the row's actual size. */
   val MaxSigDims = 1024
 
-  /** Sign-bit signature from `nBits` pseudo-random hyperplanes: weight of
-    * (hyperplane j, dim i) = ±1 from bit (j mod 31) of the portable hash
-    * of "hp<j>:<i>". The weights are DETERMINISTIC, so they are computed
-    * once at plan-build time ([[Hashing.portableHash32Local]]) and inlined
-    * as ±1 literal arrays — the runtime does one multiply-add per dim, no
-    * per-row hashing (previously rows × dims × nBits md5 calls). The
+  /** ±1 weight vector of pseudo-random hyperplane `j` in family `seed`:
+    * weight of dim i = ±1 from bit (j mod 31) of the portable hash of
+    * "<seed><j>:<i>". DETERMINISTIC, so computed once at plan-build time
+    * ([[Hashing.portableHash32Local]]) and inlined as a literal array —
+    * the runtime does one multiply-add per dim, no per-row hashing; the
     * DuckDB oracle recomputes the same weights from md5 bit-for-bit. */
+  private def planeWeights(seed: String, j: Int): Seq[Long] =
+    (0 until MaxSigDims).map { i =>
+      if (((Hashing.portableHash32Local(s"$seed$j:$i") >> (j % 31)) & 1L) == 0L)
+        1L else -1L
+    }
+
+  /** Sign-bit signature from `nBits` pseudo-random hyperplanes
+    * ([[planeWeights]] family "hp"). */
   def hyperplaneSignature(q: Column, nBits: Int): Column = {
     val bits = (0 until nBits).map { j =>
-      val weights = (0 until MaxSigDims).map { i =>
-        if (((Hashing.portableHash32Local(s"hp$j:$i") >> (j % 31)) & 1L) == 0L)
-          1L else -1L
-      }
-      val proj = qdot(q, slice(typedLit(weights), lit(1), size(q)))
+      val proj = qdot(q, slice(typedLit(planeWeights("hp", j)), lit(1), size(q)))
       when(proj > 0, lit(1L) * (1L << j)).otherwise(lit(0L))
     }
     // A vector wider than the weight table would silently project onto a
@@ -183,6 +186,32 @@ object Similarity {
       .otherwise(raise_error(concat(
         lit(s"hyperplaneSignature supports at most $MaxSigDims dims, got "),
         size(q).cast("string"))))
+  }
+
+  /**
+   * Deterministic random-projection compression: `outDims` signed-sum
+   * projections of the quantized vector using the plan-time ±1 weights
+   * of [[planeWeights]] (family "rp", independent of the "hp" signature
+   * family). Johnson-Lindenstrauss-style: inner products are preserved
+   * in expectation, so the 4×-smaller int64 vectors are what an ANN
+   * index stores and scans at 100 TB (each projection is one fused
+   * [[qdot]] multiply-add pass; the whole row stays in one
+   * WholeStageCodegen projection — no shuffle, no per-row hashing).
+   * Exact integer arithmetic end to end ⇒ oracle-checkable.
+   */
+  def randomProject(emb: DataFrame, outDims: Int = 16,
+      id: String = "vec_id", vec: String = "embedding"): DataFrame = {
+    val projs = (0 until outDims).map { j =>
+      qdot(col("q"), slice(typedLit(planeWeights("rp", j)), lit(1),
+        size(col("q"))))
+    }
+    emb.select(col(id), quantize(col(vec)).as("q"))
+      .select(col(id),
+        when(coalesce(size(col("q")), lit(0)) <= MaxSigDims,
+          array(projs: _*))
+          .otherwise(raise_error(concat(
+            lit(s"randomProject supports at most $MaxSigDims dims, got "),
+            size(col("q")).cast("string")))).as("proj"))
   }
 
   /**

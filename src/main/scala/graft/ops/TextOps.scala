@@ -199,6 +199,22 @@ object TextOps {
         (a, b) => struct(a.as("t1"), b.as("t2"))))
       .otherwise(array().cast("array<struct<t1:string,t2:string>>"))
 
+  /** One row per adjacent token pair (t1, t2), keeping every non-text
+    * column: explode the pair positions, then read both tokens with
+    * `element_at` — a flat codegen projection, no array lambda
+    * ([[bigramPairs]]' `zip_with` is CodegenFallback; see the dedup
+    * shingle note in [[Dedup]] for why interpreted per-element lambdas
+    * are banned from corpus-scan hot paths). */
+  def bigramRows(doc: DataFrame, text: String = "text"): DataFrame =
+    doc.withColumn("_tk", tokens(col(text)))
+      .withColumn("_i",
+        explode(when(size(col("_tk")) >= 2,
+          sequence(lit(1), size(col("_tk")) - 1))
+          .otherwise(array().cast("array<int>"))))
+      .withColumn("t1", element_at(col("_tk"), col("_i")))
+      .withColumn("t2", element_at(col("_tk"), col("_i") + 1))
+      .drop("_tk", "_i", text)
+
   /**
    * Corpus bigram language-model statistics: count of every adjacent
    * token pair plus the quantized conditional probability
@@ -207,8 +223,8 @@ object TextOps {
    * (count DESC, t1 ASC, t2 ASC) — a total order, so the cut is exact.
    *
    * Scale shape: pair counting is one map-side-combined shuffle (the
-   * pairs are built doc-locally by zipping the token array with its own
-   * tail — no self-join, no window); the prefix totals aggregate the
+   * pairs are built doc-locally by [[bigramRows]]' position explode —
+   * no self-join, no window); the prefix totals aggregate the
    * vocab²-bounded pair relation, not the corpus; the global top-k plans
    * as TakeOrderedAndProject (per-partition heap + driver merge of k
    * rows, no global sort).
@@ -217,8 +233,8 @@ object TextOps {
       text: String = "text"): DataFrame = {
     // Pair counts feed both the prefix totals and the probability join.
     val pairs = Reuse.shared(
-      doc.select(explode(bigramPairs(tokens(col(text)))).as("bg"))
-        .select(col("bg.t1").as("t1"), col("bg.t2").as("t2"))
+      bigramRows(doc.select(col(text)), text)
+        .select("t1", "t2")
         .groupBy("t1", "t2").agg(count(lit(1)).as("c")))
     val prefix = pairs.groupBy("t1").agg(sum("c").as("ct"))
     pairs.join(prefix, "t1")
@@ -228,6 +244,50 @@ object TextOps {
           .cast("long").as("p_q"))
       .orderBy(col("c").desc, col("t1").asc, col("t2").asc)
       .limit(k)
+  }
+
+  /**
+   * Bigram-LM fluency scoring — the LM-based quality filter of a
+   * pretraining pipeline (CCNet-shape), integerized for cross-engine
+   * determinism: build the corpus bigram LM (`p_q = floor(1e6 *
+   * c(t1,t2) / c(t1,·))`, as [[bigramStats]]), then score each doc by
+   * the floor-mean quantized conditional probability of its adjacent
+   * token pairs (`lm_q = sum(p_q) DIV n_bigrams`, exact int64). A true
+   * perplexity exponentiates log-probs; `log` is a libm call whose last
+   * ulp differs across engines, while the mean quantized probability is
+   * the same monotone fluency signal with none of that risk. Docs with
+   * < 2 tokens carry `n_bigrams = 0, lm_q = 0`. `fluent` flags docs at
+   * or above `threshold` (quantized prob units, 1e6 = certainty).
+   *
+   * Scale shape: the LM build is one keyed shuffle on (t1, t2) + one on
+   * t1 over the vocab²-bounded pair relation; doc scoring re-joins the
+   * doc bigrams (built doc-locally, no self-join) against the LM on
+   * (t1, t2) — co-keyed equi-join; truncate the LM to a top-M vocab at
+   * 100 TB and it broadcasts — then one groupBy(doc) mean.
+   */
+  def lmQuality(doc: DataFrame, id: String = "doc_id",
+      text: String = "text", threshold: Long = 34500L): DataFrame = {
+    // Doc bigrams feed the LM build AND the scoring join.
+    val bg = Reuse.shared(bigramRows(doc.select(col(id), col(text)), text))
+    val lm = bg.groupBy("t1", "t2").agg(count(lit(1)).as("c"))
+    val prefix = lm.groupBy("t1").agg(sum("c").as("ct"))
+    val lmq = lm.join(prefix, "t1")
+      .select(col("t1"), col("t2"),
+        floor(lit(1000000.0d) *
+          (col("c").cast("double") / col("ct").cast("double")))
+          .cast("long").as("p_q"))
+    // Every doc bigram is in the self-built LM, so the inner join keeps
+    // exactly n_bigrams rows per doc (an external LM would left-join
+    // with a smoothing floor instead).
+    val scored = bg.join(lmq, Seq("t1", "t2"))
+      .groupBy(col(id))
+      .agg(count(lit(1)).as("n_bigrams"), sum("p_q").as("sum_pq"))
+    doc.select(col(id))
+      .join(scored, Seq(id), "left")
+      .select(col(id),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(expr("sum_pq DIV n_bigrams"), lit(0L)).as("lm_q"))
+      .withColumn("fluent", (col("lm_q") >= threshold).cast("long"))
   }
 
   /**

@@ -330,4 +330,52 @@ class OpsSpec extends TestBase {
       ("b", "a", 1L, 1000000L)))
     graft.ops.Reuse.freeAll(spark)
   }
+
+  test("lm quality: bigram counts, zero-bigram docs, flags (ext42)") {
+    import spark.implicits._
+    // LM from all docs: every prefix here has a single continuation, so
+    // all seen pairs score 1e6; doc 4 has no bigram at all.
+    val docs = Seq((1L, "a b a b"), (2L, "a b"), (3L, "x y z"), (4L, "q"))
+      .toDF("doc_id", "text")
+    val got = graft.ops.TextOps.lmQuality(docs, threshold = 500000L)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (1L, 3L, 1000000L, 1L),   // ab, ba, ab
+      (2L, 1L, 1000000L, 1L),
+      (3L, 2L, 1000000L, 1L),   // xy, yz
+      (4L, 0L, 0L, 0L)))        // single token: no bigram, not fluent
+    graft.ops.Reuse.freeAll(spark)
+  }
+
+  test("lm quality: mixed continuations quantize exactly (ext42)") {
+    import spark.implicits._
+    // a continues to b twice and to c once: p(b|a)=2/3, p(c|a)=1/3.
+    val docs = Seq((1L, "a b"), (2L, "a b"), (3L, "a c")).toDF("doc_id", "text")
+    val got = graft.ops.TextOps.lmQuality(docs, threshold = 500000L)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (1L, 1L, 666666L, 1L), (2L, 1L, 666666L, 1L), (3L, 1L, 333333L, 0L)))
+    graft.ops.Reuse.freeAll(spark)
+  }
+
+  test("random projection: deterministic, dims, sign structure (ext43)") {
+    import spark.implicits._
+    val embs = Seq(
+      (1L, Seq(1.0f, 0.0f, 2.0f)),
+      (2L, Seq(1.0f, 0.0f, 2.0f)),     // identical vector
+      (3L, Seq(-1.0f, 0.0f, -2.0f)))   // negated vector
+      .toDF("vec_id", "embedding")
+    val got = graft.ops.Similarity.randomProject(embs, 4)
+      .orderBy("vec_id").as[(Long, Seq[Long])].collect().toSeq
+    assert(got.forall(_._2.size == 4))
+    assert(got(0)._2 == got(1)._2)                  // same input, same proj
+    assert(got(2)._2 == got(0)._2.map(-_))          // linear: negation flips
+    // Repartitioned input produces the identical projection (plan-time
+    // literals, no per-row state).
+    val again = graft.ops.Similarity.randomProject(embs.repartition(7), 4)
+      .orderBy("vec_id").as[(Long, Seq[Long])].collect().toSeq
+    assert(again == got)
+  }
 }
