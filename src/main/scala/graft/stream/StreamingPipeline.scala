@@ -129,10 +129,16 @@ object StreamingPipeline {
    * read of the same path. Accepts a directory or a single file (same
    * basePath normalization as [[eventStream]]).
    */
-  def parquetStream(spark: SparkSession, path: String): DataFrame = {
+  def parquetStream(spark: SparkSession, path: String,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(path).schema
-    fileStreamSource(spark.readStream.schema(schema), path)
+    val reader = spark.readStream.schema(schema)
+    // One file per micro-batch models an increment-at-a-time replay
+    // (each crawl drop arrives as its own file).
+    maxFilesPerTrigger.foreach(n =>
+      reader.option("maxFilesPerTrigger", n))
+    fileStreamSource(reader, path)
   }
 
   /** FileStreamSource needs a directory `basePath`; normalize a
@@ -168,6 +174,56 @@ object StreamingPipeline {
       .agg(graft.agg.TopK.topKIds(k)(-h.cast("double"), id)
         .as("sample_ids"))
   }
+
+  /**
+   * Streaming incremental corpus dedup — the continuous-crawl form of
+   * [[graft.ops.Dedup.dedupeIncrement]] (ext36): each micro-batch of
+   * newly crawled documents is deduped against the PERSISTED corpus band
+   * table plus lower-id docs of the batch itself; survivors append to
+   * the kept corpus and their band rows extend the stored table. The
+   * stream's only state IS the production artifact (a parquet band
+   * table) — a restarted stream resumes against exactly what it
+   * persisted, and corpus text is never re-shingled (signatures are
+   * computed once per surviving doc, then served from the store).
+   *
+   * foreachBatch because the partner set is a growing external table —
+   * the same sink-boundary pattern as OP-28's ranking. Idempotent via
+   * the `batch=<id>` overwrite layout ([[AggregateStore.writeRanked]]):
+   * a micro-batch replayed after a crash rewrites its own directories,
+   * and the partner read EXCLUDES the replayed batch's own previous
+   * output so the replay dedups against its first-run partner set.
+   *
+   * Materialization note: survivors are written FIRST and their band
+   * rows computed from the written files, so the signature pass reads a
+   * stable store, not a recomputation of the dedup plan. Shared-relation
+   * checkpoint blocks created inside the batch are freed by GC +
+   * ContextCleaner (no freeAll here: other queries on the session may
+   * have live materializations).
+   */
+  def incrementalDedupSink(docs: DataFrame, bandsPath: String,
+      keptPath: String): DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.outputMode("append").foreachBatch {
+      (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val fs = new org.apache.hadoop.fs.Path(bandsPath)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val corpusBands =
+          if (fs.exists(new org.apache.hadoop.fs.Path(bandsPath)))
+            spark.read.parquet(bandsPath)
+              .filter(col("batch") =!= batchId)
+              .select("doc_id", "band_id", "band_sig")
+          else
+            // Plan-only empty relation with bandedSignatures' exact
+            // schema (no data flows through the limit-0 aggregates).
+            graft.ops.Dedup.bandedSignatures(
+              graft.ops.Dedup.minhashSignatures(batch.limit(0)))
+        graft.ops.Dedup.dedupeIncrement(corpusBands, batch)
+          .write.mode("overwrite").parquet(s"$keptPath/batch=$batchId")
+        val kept = spark.read.parquet(s"$keptPath/batch=$batchId")
+        graft.ops.Dedup.bandedSignatures(
+          graft.ops.Dedup.minhashSignatures(kept))
+          .write.mode("overwrite").parquet(s"$bandsPath/batch=$batchId")
+    }
 
   /**
    * Streaming per-id dedup — the streaming twin of batch `Dedup.exact`

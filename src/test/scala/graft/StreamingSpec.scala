@@ -334,6 +334,71 @@ class StreamingSpec extends TestBase {
     assert(parsed.count() == 300) // 304 lines, 4 dropped (missing/empty/zero ts, non-JSON)
   }
 
+  test("streaming incremental dedup == sequential dedupeIncrement (ext36 twin)") {
+    import spark.implicits._
+    val srcDir = Files.createTempDirectory("graft-incdedup-src").toFile
+    val ckpt = Files.createTempDirectory("graft-incdedup-ckpt").toString
+    val store = Files.createTempDirectory("graft-incdedup-store").toString
+    val (bandsPath, keptPath) = (s"$store/bands", s"$store/kept")
+
+    // Distinct long texts so only PLANTED duplicates share bands; each
+    // increment is one parquet file (one micro-batch via
+    // maxFilesPerTrigger=1, ordered by mtime).
+    def text(seed: Int): String =
+      (0 until 12).map(i => s"w${seed}x${(seed * 31 + i * 7) % 97}n$i")
+        .mkString(" ")
+    val incs = Seq(
+      Seq(1L -> text(1), 2L -> text(2), 3L -> text(3)),
+      // 11 duplicates inc-1's doc 1; 14/15 duplicate each other in-batch.
+      Seq(11L -> text(1), 12L -> text(6), 14L -> text(7), 15L -> text(7)),
+      // 21 duplicates inc-2's KEPT doc 12; 22 duplicates inc-1's doc 2.
+      Seq(21L -> text(6), 22L -> text(2), 23L -> text(10)))
+    incs.zipWithIndex.foreach { case (rows, i) =>
+      val tmp = s"$srcDir/_stage$i"
+      rows.toDF("doc_id", "text").coalesce(1).write.parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dst = new java.io.File(srcDir, f"inc$i%02d.parquet")
+      Files.move(part.toPath, dst.toPath)
+      dst.setLastModified(1704067200000L + i * 60000L)
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+    }
+
+    val q = StreamingPipeline.incrementalDedupSink(
+      StreamingPipeline.parquetStream(spark, srcDir.toString,
+        maxFilesPerTrigger = Some(1)),
+      bandsPath, keptPath)
+      .option("checkpointLocation", ckpt).start()
+    q.processAllAvailable()
+    q.stop()
+
+    val streamedKept = spark.read.parquet(keptPath)
+      .select("doc_id").as[Long].collect().toSet
+
+    // Sequential batch reference: fold dedupeIncrement over the same
+    // increments in the same order, growing the band table as the sink
+    // does.
+    var corpusBands = graft.ops.Dedup.bandedSignatures(
+      graft.ops.Dedup.minhashSignatures(
+        incs.head.toDF("doc_id", "text").limit(0)))
+    val expected = scala.collection.mutable.Set[Long]()
+    incs.foreach { rows =>
+      val kept = graft.ops.Dedup.dedupeIncrement(
+        corpusBands, rows.toDF("doc_id", "text"))
+      expected ++= kept.select("doc_id").as[Long].collect()
+      corpusBands = corpusBands.union(graft.ops.Dedup.bandedSignatures(
+        graft.ops.Dedup.minhashSignatures(kept)))
+        .localCheckpoint(true)
+    }
+    graft.ops.Reuse.freeAll(spark)
+
+    assert(streamedKept == expected.toSet)
+    // The planted duplicates (and only they) are dropped.
+    assert(streamedKept == Set(1L, 2L, 3L, 12L, 14L, 23L))
+    // The stored band table covers every kept doc: 4 bands each.
+    assert(spark.read.parquet(bandsPath).count() == expected.size * 4L)
+  }
+
   test("streaming dedup drops re-delivered ids, passes uniques (ext01 twin)") {
     val dir = Files.createTempDirectory("graft-dedup").toFile
     val ckpt = Files.createTempDirectory("graft-dedup-ckpt").toString
