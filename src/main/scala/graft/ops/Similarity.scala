@@ -20,8 +20,19 @@ object Similarity {
 
   val QuantScale = 1000000.0d
 
-  /** Quantize a float-array embedding to int64: floor(double(v)*1e6). */
+  /** Quantize a float-array embedding to int64: floor(double(v)*1e6) —
+    * the native fused expression (one primitive loop in whole-stage
+    * codegen; the composed `transform` below is a CodegenFallback HOF
+    * whose interpreted per-element path is banned from scan hot paths,
+    * see [[graft.functions.QuantizeVector]]). */
   def quantize(emb: Column): Column =
+    if (sys.props.get("graft.quantize").contains("composed"))
+      quantizeComposed(emb)
+    else graft.functions.QuantizeVector(emb, QuantScale)
+
+  /** Built-in-composed equivalent of [[quantize]] — readable
+    * specification, used in parity tests (QDotProductSpec). */
+  def quantizeComposed(emb: Column): Column =
     transform(emb, v => floor(v.cast("double") * lit(QuantScale)).cast("long"))
 
   /** Exact integer dot product of two quantized vectors — the native

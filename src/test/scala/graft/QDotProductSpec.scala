@@ -50,11 +50,37 @@ class QDotProductSpec extends TestBase {
       .select(Similarity.quantize(col("embedding")).as("q"))
     val plan = d.select(Similarity.qdot(col("q"), col("q")).as("d"))
       .queryExecution.executedPlan.toString
-    // The quantize transform() lambda is never codegen'd (its Project has
-    // no *(n) prefix); the qdot projection itself must be — assert the
-    // line carrying qdot( sits inside a WholeStageCodegen span.
+    // Both the native quantize scan and the qdot projection must carry
+    // the *(n) codegen prefix (the composed transform() lambda never
+    // does — that is exactly why the native forms exist).
     val qdotLine = plan.linesIterator.find(_.contains("qdot(")).getOrElse("")
     assert(qdotLine.matches(""".*\*\(\d+\) Project.*"""), plan)
+    val quantLine = plan.linesIterator
+      .find(_.contains("quantize_vector(")).getOrElse("")
+    assert(quantLine.matches(""".*\*\(\d+\) (Project|ColumnarToRow).*""") ||
+      plan.linesIterator.exists(l => l.contains("quantize_vector(") &&
+        l.contains("*(")), plan)
+  }
+
+  test("native quantize == composed transform on floats (parity)") {
+    import spark.implicits._
+    val vecGen = Gen.listOfN(8,
+      Gen.chooseNum(-4.0f, 4.0f).map(f => f * 0.37f))
+    val prop = Prop.forAll(Gen.listOfN(20, vecGen)) { xs =>
+      val df = xs.toDF("e")
+      df.select(
+          Similarity.quantize(col("e")).as("x"),
+          Similarity.quantizeComposed(col("e")).as("y"))
+        .filter(col("x") =!= col("y")).count() == 0
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(10), prop)
+    assert(res.passed, res.status.toString)
+    // Null array propagates; negative values floor downward.
+    val got = Seq(Some(Seq(-1.5f, 0.0f, 2.25f)), None).toDF("e")
+      .select(Similarity.quantize(col("e")).as("q")).collect()
+    assert(got(0).getSeq[Long](0) == Seq(-1500000L, 0L, 2250000L))
+    assert(got(1).isNullAt(0))
   }
 
   test("QDotFusionRule rewrites the composed form to the native kernel") {
