@@ -43,6 +43,48 @@ object ScaleSmoke {
       graft.ops.Components.connectedComponents(
         graft.ops.Dedup.minhashLsh(big).select("id_a", "id_b"))
     }
+    time("lm_quality") { graft.ops.TextOps.lmQuality(big) }
+    // Embeddings family at Nx: shifted copies are exact duplicate
+    // vectors, so each id-family is a planted all-pairs near-dup
+    // cluster (the mass-duplicate stress case for banded LSH).
+    val baseEmb = graft.ingest.Tables.embeddings(spark, sfDir)
+      .select("vec_id", "embedding")
+    val bigEmb = (0 until mult).map { i =>
+      baseEmb.withColumn("vec_id", col("vec_id") + lit(i.toLong * 1000000L))
+    }.reduce(_ union _)
+    println(s"[scale-smoke] embeddings: ${bigEmb.count()} vectors")
+    time("random_projection") {
+      graft.ops.Similarity.randomProject(bigEmb)
+    }
+    // ext16's compact default (16 bits / 4-bit bands = 16 buckets per
+    // band) saturates at this density — ~1250 vectors per bucket makes
+    // the banded self-join near-quadratic. The production setting
+    // widens the bands exactly like simhashPairsWide: 32 bits / 8-bit
+    // bands = 256 buckets per band, same plan shape, same recall
+    // structure (4 bands).
+    time("embed_neardup_pairs") {
+      graft.ops.Similarity.cosineNearDupPairs(bigEmb)
+    }
+    time("embed_neardup_wide") {
+      graft.ops.Similarity.cosineNearDupPairs(bigEmb,
+        nBits = 32, bandBits = 8)
+    }
+    // The production composition: EXACT dedup first (identical vectors
+    // collapse to one keeper — one keyed shuffle on a vector hash), LSH
+    // near-dup only on the survivors. A mass-duplicate family shares
+    // every band at ANY band width (the bucket IS the family), so
+    // banded candidate generation alone is quadratic in family size;
+    // removing exact copies first is how a real pipeline keeps the LSH
+    // stage linear. (xxhash64 here is engine-local — fine for a smoke;
+    // the oracle-checked exact dedup hashes text via md5, ext01.)
+    time("embed_exact_then_lsh") {
+      val q = bigEmb.select(col("vec_id"),
+        graft.ops.Similarity.quantize(col("embedding")).as("q"))
+      val keepers = q.groupBy(xxhash64(col("q")).as("qh"))
+        .agg(min("vec_id").as("vec_id"))
+      val kept = bigEmb.join(keepers.select("vec_id"), "vec_id")
+      graft.ops.Similarity.cosineNearDupPairs(kept)
+    }
     spark.stop()
   }
 }
