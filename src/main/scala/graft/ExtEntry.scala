@@ -487,6 +487,20 @@ object ExtEntry {
       TextOps.lmQuality(docs(s, dir))
         .orderBy("doc_id")),
 
+    // Data mixing: per-language temperature weights (α = 0.5 — the one
+    // exponent whose weights are bit-portable, sqrt is IEEE-exact) and
+    // the deterministic hash-threshold resample toward a 250-doc target
+    // (broadcast rates + filter; the corpus never shuffles).
+    "ext44_mixture_weights" -> ((s, dir) =>
+      Sampling.mixtureWeights(docs(s, dir), Seq("lang"))
+        .orderBy("lang")),
+
+    "ext45_temperature_resample" -> ((s, dir) =>
+      Sampling.temperatureResample(docs(s, dir), col("doc_id"), 250L,
+          Seq("lang"))
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")),
+
     // Deterministic random projection 64 -> 16 dims: plan-time ±1
     // hyperplane literals, one fused qdot multiply-add pass per output
     // dim — the compressed representation an ANN index stores at scale.
@@ -1218,6 +1232,40 @@ object ExtEntry {
         |            THEN 1 ELSE 0 END AS BIGINT) AS fluent
         |FROM documents d LEFT JOIN s USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
+
+    "ext44_mixture_weights" ->
+      """WITH c AS (SELECT lang, count(*) AS n_docs FROM documents
+        |           GROUP BY 1),
+        |q AS (SELECT lang, n_docs,
+        |             CAST(floor(1000000.0 * sqrt(CAST(n_docs AS DOUBLE)))
+        |               AS BIGINT) AS q_s
+        |      FROM c),
+        |t AS (SELECT CAST(SUM(q_s) AS BIGINT) AS q_tot FROM q)
+        |SELECT lang, n_docs, q_s,
+        |       CAST(floor(1000000.0 * (CAST(q_s AS DOUBLE)
+        |            / CAST(q_tot AS DOUBLE))) AS BIGINT) AS weight_q
+        |FROM q, t ORDER BY lang""".stripMargin,
+
+    "ext45_temperature_resample" ->
+      s"""WITH c AS (SELECT lang, count(*) AS n_docs FROM documents
+         |           GROUP BY 1),
+         |q AS (SELECT lang, n_docs,
+         |             CAST(floor(1000000.0 * sqrt(CAST(n_docs AS DOUBLE)))
+         |               AS BIGINT) AS q_s
+         |      FROM c),
+         |t AS (SELECT CAST(SUM(q_s) AS BIGINT) AS q_tot FROM q),
+         |w AS (SELECT lang, n_docs,
+         |             CAST(floor(1000000.0 * (CAST(q_s AS DOUBLE)
+         |                  / CAST(q_tot AS DOUBLE))) AS BIGINT) AS weight_q
+         |      FROM q, t),
+         |r AS (SELECT lang, least(1000000, (250 * weight_q) // n_docs)
+         |               AS rate_q
+         |      FROM w)
+         |SELECT d.doc_id, d.lang, d.source
+         |FROM documents d JOIN r USING (lang)
+         |WHERE ${hashSql("'mix:' || CAST(doc_id AS VARCHAR)")} % 1000000
+         |        < r.rate_q
+         |ORDER BY d.doc_id""".stripMargin,
 
     "ext43_random_projection" ->
       s"""$QuantFlatSql,

@@ -67,4 +67,57 @@ object Sampling {
       concat(lit(salt + ":"), id.cast("string")))
     df.filter(h % den < num)
   }
+
+  /**
+   * Temperature-based mixture weights per stratum — the data-mixing
+   * step of a pretraining pipeline (sample sources ∝ n^α instead of ∝ n
+   * so small high-quality sources aren't drowned). α is fixed at 0.5
+   * because `sqrt` is an IEEE-754 correctly-rounded operation — the ONE
+   * exponent whose weights are bit-portable across engines (`pow`'s
+   * libm last-ulp is not): `q_s = floor(1e6·sqrt(n_s))`, then
+   * `weight_q = floor(1e6·q_s/Σq)` with an exact integer Σ.
+   *
+   * Scale shape: one keyed count per stratum + a broadcast 1-row total.
+   */
+  def mixtureWeights(df: DataFrame,
+      strata: Seq[String] = Seq("source")): DataFrame = {
+    val counts = df.groupBy(strata.map(col): _*)
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("q_s",
+        floor(lit(1000000.0d) * sqrt(col("n_docs").cast("double")))
+          .cast("long"))
+    val tot = counts.agg(sum(col("q_s")).as("q_tot"))
+    counts.crossJoin(broadcast(tot))
+      .withColumn("weight_q",
+        floor(lit(1000000.0d) *
+          (col("q_s").cast("double") / col("q_tot").cast("double")))
+          .cast("long"))
+      .drop("q_tot")
+  }
+
+  /**
+   * Temperature resampling to a target corpus size: each stratum's
+   * acceptance rate is its [[mixtureWeights]] share of `targetDocs`
+   * spread over its own population —
+   * `rate_q(s) = min(1e6, targetDocs·weight_q(s) DIV n_s)` (pure int64,
+   * portable) — and a doc is kept iff
+   * `hash(id) mod 1e6 < rate_q(stratum)`. Expected kept per stratum ≈
+   * its temperature share of the target; the draw is the same
+   * deterministic hash-threshold as [[bernoulli]] (reproducible,
+   * repartition- and append-stable), so the whole resample is a
+   * broadcast join + filter — NO shuffle of the corpus.
+   */
+  def temperatureResample(df: DataFrame, id: Column, targetDocs: Long,
+      strata: Seq[String] = Seq("source"),
+      salt: String = "mix"): DataFrame = {
+    val rates = mixtureWeights(df, strata)
+      .withColumn("rate_q",
+        least(lit(1000000L),
+          expr(s"($targetDocs * weight_q) DIV n_docs")))
+      .select(strata.map(col) :+ col("rate_q"): _*)
+    val h = Hashing.portableHash32(
+      concat(lit(salt + ":"), id.cast("string")))
+    df.join(broadcast(rates), strata)
+      .filter(h % 1000000L < col("rate_q"))
+  }
 }

@@ -100,8 +100,10 @@ object TextOps {
    */
   def repetition(doc: DataFrame, id: String = "doc_id",
       text: String = "text"): DataFrame = {
-    val grams = doc.select(col(id),
-      explode(shingles(tokens(col(text)), 2)).as("g"))
+    // 2-grams via the flat codegen bigram helper (not the shingles()
+    // array lambda — HOFs are CodegenFallback, see [[bigramRows]]).
+    val grams = bigramRows(doc.select(col(id), col(text)), text)
+      .select(col(id), concat_ws(" ", col("t1"), col("t2")).as("g"))
     val gramAgg = grams.groupBy(col(id), col("g"))
       .agg(count(lit(1)).as("c"))
       .groupBy(col(id))

@@ -119,4 +119,38 @@ class PipelineOpsSpec extends TestBase {
     assert(math.abs(s100.size / 3000.0 - 0.10) < 0.03)
     assert(s100.subsetOf(s300)) // raising the rate only adds rows
   }
+
+  test("mixing: sqrt-temperature weights exact on known counts (ext44)") {
+    import spark.implicits._
+    // 400 a-docs, 100 b-docs: q_a = floor(1e6*20) = 20e6, q_b = 10e6,
+    // total 30e6 -> weight_a = 666666, weight_b = 333333.
+    val df = (0 until 400).map(i => (i.toLong, "a")) ++
+      (0 until 100).map(i => (1000L + i, "b"))
+    val got = Sampling.mixtureWeights(df.toDF("doc_id", "src"), Seq("src"))
+      .orderBy("src").as[(String, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      ("a", 400L, 20000000L, 666666L), ("b", 100L, 10000000L, 333333L)))
+  }
+
+  test("mixing: temperature resample favors the small stratum (ext45)") {
+    import spark.implicits._
+    val df = ((0 until 400).map(i => (i.toLong, "a")) ++
+      (0 until 100).map(i => (1000L + i, "b"))).toDF("doc_id", "src")
+    val kept = Sampling.temperatureResample(df, col("doc_id"), 250L,
+      Seq("src"))
+    val bySrc = kept.groupBy("src").count()
+      .as[(String, Long)].collect().toMap
+    // rates: a = 250*666666/400 div = 416666 (~42%), b = 250*333333/100
+    // = 833332 (~83%) — the small stratum keeps a ~2x higher fraction,
+    // and the hash draw lands near the expected sizes.
+    assert(math.abs(bySrc("a") - 400 * 0.4166) < 40,
+      s"a kept ${bySrc("a")}")
+    assert(math.abs(bySrc("b") - 100 * 0.8333) < 20,
+      s"b kept ${bySrc("b")}")
+    // Deterministic under repartitioning.
+    val again = Sampling.temperatureResample(df.repartition(7),
+      col("doc_id"), 250L, Seq("src"))
+    assert(kept.select("doc_id").except(again.select("doc_id")).isEmpty &&
+      again.select("doc_id").except(kept.select("doc_id")).isEmpty)
+  }
 }
