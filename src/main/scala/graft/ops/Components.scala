@@ -61,6 +61,17 @@ object Components {
       .agg(min(col("dst")).as("mn"))
       .select(col("id"), least(col("id"), col("mn")).as("label"))
       .localCheckpoint(true))
+    // Convergence probe: per-round labels are monotonically
+    // non-increasing per vertex (each round takes a min including the
+    // old label) over a FIXED vertex set, so the exact label sum
+    // strictly decreases iff any label changed. One partial-aggregate
+    // scan of the fresh checkpoint per round — no join against the
+    // previous round (the former probe was an extra join job per
+    // round). DECIMAL(38,0) keeps the sum exact for any int64 ids.
+    def checksum(l: DataFrame): java.math.BigDecimal =
+      l.agg(sum(col("label").cast("decimal(38,0)"))).first()
+        .getDecimal(0)
+    var sumPrev = checksum(labels)
     var round = 0
     var converged = false
     while (!converged && round < maxRounds) {
@@ -70,11 +81,9 @@ object Components {
       val next = Reuse.pin(neighborLabels.union(labels)
         .groupBy("id").agg(min("label").as("label"))
         .localCheckpoint(true))
-      val changed = next.as("n")
-        .join(labels.as("p"), col("n.id") === col("p.id"))
-        .filter(col("n.label") =!= col("p.label"))
-        .limit(1).count()
-      converged = changed == 0
+      val sumNext = checksum(next)
+      converged = sumNext.compareTo(sumPrev) == 0
+      sumPrev = sumNext
       // The superseded round's checkpoint blocks are dead the moment the
       // convergence probe has run — free them now rather than letting
       // O(rounds × |V|) blocks pile up inside one query.
