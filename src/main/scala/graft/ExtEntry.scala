@@ -487,6 +487,14 @@ object ExtEntry {
       TextOps.lmQuality(docs(s, dir))
         .orderBy("doc_id")),
 
+    // T5-style span corruption: deterministic masked-span training
+    // pairs (sentinel input + span targets) — the hash draw makes the
+    // corruption reproducible across engines, so even the generated
+    // training text is oracle-checked.
+    "ext46_span_corruption" -> ((s, dir) =>
+      TextOps.spanCorruption(docs(s, dir))
+        .orderBy("doc_id")),
+
     // Data mixing: per-language temperature weights (α = 0.5 — the one
     // exponent whose weights are bit-portable, sqrt is IEEE-exact) and
     // the deterministic hash-threshold resample toward a 250-doc target
@@ -1232,6 +1240,59 @@ object ExtEntry {
         |            THEN 1 ELSE 0 END AS BIGINT) AS fluent
         |FROM documents d LEFT JOIN s USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
+
+    "ext46_span_corruption" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest(tk) AS tok, unnest(range(len(tk))) AS pos
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS tk
+         |        FROM documents)),
+         |f AS (
+         |  SELECT doc_id, pos, tok,
+         |         (${hashSql("'mask:' || CAST(doc_id AS VARCHAR) || ':' || CAST(pos AS VARCHAR)")} % 1000) < 150 AS m
+         |  FROM toks),
+         |mk AS (
+         |  SELECT doc_id, pos, tok,
+         |         pos - row_number() OVER (PARTITION BY doc_id
+         |                                  ORDER BY pos) AS grp
+         |  FROM f WHERE m),
+         |sp AS (
+         |  SELECT doc_id, pos, tok, grp,
+         |         dense_rank() OVER (PARTITION BY doc_id ORDER BY grp) - 1
+         |           AS span,
+         |         row_number() OVER (PARTITION BY doc_id, grp
+         |                            ORDER BY pos) = 1 AS first
+         |  FROM mk),
+         |inrows AS (
+         |  SELECT doc_id, pos, 0 AS sub, tok AS out FROM f WHERE NOT m
+         |  UNION ALL
+         |  SELECT doc_id, pos, 0, '<X' || CAST(span AS VARCHAR) || '>'
+         |  FROM sp WHERE first),
+         |trows AS (
+         |  SELECT doc_id, pos, 0 AS sub,
+         |         '<X' || CAST(span AS VARCHAR) || '>' AS out
+         |  FROM sp WHERE first
+         |  UNION ALL
+         |  SELECT doc_id, pos, 1, tok FROM sp),
+         |inp AS (SELECT doc_id, string_agg(out, ' ' ORDER BY pos, sub)
+         |          AS input_text FROM inrows GROUP BY 1),
+         |tgt AS (SELECT doc_id, string_agg(out, ' ' ORDER BY pos, sub)
+         |          AS target_text FROM trows GROUP BY 1),
+         |st AS (SELECT doc_id, count(*) AS n_tokens,
+         |              CAST(SUM(CASE WHEN m THEN 1 ELSE 0 END) AS BIGINT)
+         |                AS n_masked
+         |       FROM f GROUP BY 1),
+         |ns AS (SELECT doc_id, count(*) AS n_spans FROM sp
+         |       WHERE first GROUP BY 1)
+         |SELECT d.doc_id,
+         |       COALESCE(inp.input_text, '') AS input_text,
+         |       COALESCE(tgt.target_text, '') AS target_text,
+         |       COALESCE(st.n_tokens, 0) AS n_tokens,
+         |       COALESCE(st.n_masked, 0) AS n_masked,
+         |       COALESCE(ns.n_spans, 0) AS n_spans
+         |FROM documents d
+         |LEFT JOIN inp USING (doc_id) LEFT JOIN tgt USING (doc_id)
+         |LEFT JOIN st USING (doc_id) LEFT JOIN ns USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin,
 
     "ext44_mixture_weights" ->
       """WITH c AS (SELECT lang, count(*) AS n_docs FROM documents

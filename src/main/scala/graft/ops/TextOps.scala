@@ -293,6 +293,74 @@ object TextOps {
   }
 
   /**
+   * T5-style span corruption — deterministic masked-span training-pair
+   * generation, expressed relationally: tokens are masked by the
+   * portable hash draw `hash("<salt>:<doc>:<pos>") mod den < rate`
+   * (reproducible across engines/reruns — the property that lets a
+   * recomputed pipeline regenerate byte-identical training pairs);
+   * ADJACENT masked positions merge into spans (gaps-and-islands:
+   * `grp = pos - row_number()` over the masked rows); span `s` is
+   * replaced by the sentinel `<Xs>` in `input_text`, and `target_text`
+   * is the concatenation of `<Xs> tokens...` per span — the exact T5
+   * corruption contract.
+   *
+   * Scale shape: one posexplode → flat codegen hash per token, two
+   * windows keyed by doc (pos-ordered — the standard per-doc sort), and
+   * one groupBy(doc) re-assembly; no self-joins, no cross-doc shuffle
+   * beyond the doc-keyed exchanges. The per-doc reassembly transform
+   * runs post-aggregation on k-token arrays, not on the corpus scan.
+   */
+  def spanCorruption(doc: DataFrame, id: String = "doc_id",
+      text: String = "text", rate: Int = 150, den: Int = 1000,
+      salt: String = "mask"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = doc
+      .select(col(id), posexplode(tokens(col(text))).as(Seq("pos", "tok")))
+      .withColumn("m",
+        Hashing.portableHash32(concat(lit(salt + ":"), col(id).cast("string"),
+          lit(":"), col("pos").cast("string"))) % den < rate)
+    // Masked rows feed the span windows AND both reassembly unions.
+    val masked = Reuse.shared(toks.filter(col("m"))
+      .withColumn("grp", col("pos") -
+        row_number().over(Window.partitionBy(col(id)).orderBy(col("pos"))))
+      .withColumn("span",
+        dense_rank().over(Window.partitionBy(col(id)).orderBy(col("grp")))
+          - 1)
+      .withColumn("first", row_number().over(
+        Window.partitionBy(col(id), col("grp")).orderBy(col("pos"))) === 1))
+    val sentinel = concat(lit("<X"), col("span").cast("string"), lit(">"))
+    def assemble(rows: DataFrame, outName: String): DataFrame =
+      rows.groupBy(col(id)).agg(
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("pos"), col("sub"), col("out")))),
+          x => x.getField("out"))).as(outName))
+    val inputRows = toks.filter(!col("m"))
+      .select(col(id), col("pos"), lit(0).as("sub"), col("tok").as("out"))
+      .union(masked.filter(col("first"))
+        .select(col(id), col("pos"), lit(0).as("sub"), sentinel.as("out")))
+    val targetRows = masked.filter(col("first"))
+      .select(col(id), col("pos"), lit(0).as("sub"), sentinel.as("out"))
+      .union(masked
+        .select(col(id), col("pos"), lit(1).as("sub"), col("tok").as("out")))
+    val stats = toks.groupBy(col(id)).agg(
+      count(lit(1)).as("n_tokens"),
+      sum(col("m").cast("long")).as("n_masked"))
+    val nSpans = masked.filter(col("first"))
+      .groupBy(col(id)).agg(count(lit(1)).as("n_spans"))
+    doc.select(col(id))
+      .join(assemble(inputRows, "input_text"), Seq(id), "left")
+      .join(assemble(targetRows, "target_text"), Seq(id), "left")
+      .join(stats, Seq(id), "left")
+      .join(nSpans, Seq(id), "left")
+      .select(col(id),
+        coalesce(col("input_text"), lit("")).as("input_text"),
+        coalesce(col("target_text"), lit("")).as("target_text"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_masked"), lit(0L)).as("n_masked"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"))
+  }
+
+  /**
    * Document fingerprints: (a) content fingerprint = first 16 hex of
    * md5(lower(text)); (b) an order-sensitive positional rolling hash —
    * sum over positions of tokenHash * position, mod 2^31-1 — exact int64

@@ -360,6 +360,46 @@ class OpsSpec extends TestBase {
     graft.ops.Reuse.freeAll(spark)
   }
 
+  test("span corruption: sentinels, span merging, invariants (ext46)") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b c d e f g h"), (2L, "x"), (3L, "p q r"))
+      .toDF("doc_id", "text")
+    // Force a deterministic-but-known masking by using den large enough
+    // to study invariants rather than a fixed pattern: rate 500/1000.
+    val got = graft.ops.TextOps.spanCorruption(docs, rate = 500)
+      .orderBy("doc_id")
+      .as[(Long, String, String, Long, Long, Long)].collect().toSeq
+    got.foreach { case (_, input, target, nTok, nMask, nSpans) =>
+      val inToks = input.split(" ").filter(_.nonEmpty)
+      val sentinelsIn = inToks.filter(_.startsWith("<X"))
+      // One sentinel per span, numbered 0..n-1 in order, same set in
+      // input and target; token conservation: unmasked + masked = all.
+      assert(sentinelsIn.toSeq ==
+        (0 until nSpans.toInt).map(s => s"<X$s>"))
+      val tToks = target.split(" ").filter(_.nonEmpty)
+      assert(tToks.count(_.startsWith("<X")) == nSpans)
+      assert(tToks.length == nSpans + nMask)
+      assert(inToks.length == nTok - nMask + nSpans)
+      assert(nSpans <= nMask && (nMask == 0L) == (nSpans == 0L))
+    }
+    // Reconstruction: replacing each sentinel in input by its span
+    // tokens from target yields the original text.
+    val byId = docs.as[(Long, String)].collect().toMap
+    got.foreach { case (id, input, target, _, _, nSpans) =>
+      var text = input
+      val spans = ("<X(\\d+)>".r.findAllMatchIn(target).toSeq
+        .map(_.start) :+ target.length)
+      (0 until nSpans.toInt).foreach { s =>
+        val seg = target.substring(spans(s), spans(s + 1)).trim
+        val toks = seg.split(" ").drop(1).mkString(" ")
+        text = text.replace(s"<X$s>", toks)
+      }
+      assert(text.replaceAll(" +", " ").trim ==
+        byId(id).replaceAll(" +", " ").trim, s"doc $id")
+    }
+    graft.ops.Reuse.freeAll(spark)
+  }
+
   test("random projection: deterministic, dims, sign structure (ext43)") {
     import spark.implicits._
     val embs = Seq(
