@@ -62,6 +62,33 @@ object ExtEntry {
     .map(j => s"CASE WHEN sa.mh$j = sb.mh$j THEN 1 ELSE 0 END")
     .mkString(" + ")
 
+  /** Shared recursive-CTE chain: shingles → MinHash signatures → LSH
+    * bands → candidate pairs → transitive closure (`reach`). Used by
+    * the ext27 clusters oracle and the ext47 keeper oracle (must stay
+    * identical between them — both mirror Components over minhashLsh). */
+  private lazy val clusterCtes =
+    s"""${shingleCtes("documents")},
+       |sig AS (
+       |  SELECT doc_id,
+       |         $minhashMinsSql
+       |  FROM sh GROUP BY 1),
+       |bands AS (
+       |  SELECT doc_id, b.band_id,
+       |         CASE b.band_id $bandSigSql END AS band_sig
+       |  FROM sig, (VALUES (0), (1), (2), (3)) b(band_id)),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b
+       |  FROM bands a JOIN bands b2 USING (band_id, band_sig)
+       |  WHERE a.doc_id < b2.doc_id),
+       |edges AS (SELECT id_a AS src, id_b AS dst FROM cand
+       |          UNION ALL SELECT id_b, id_a FROM cand),
+       |nodes AS (SELECT DISTINCT src AS id FROM edges),
+       |reach AS (
+       |  SELECT id, id AS label FROM nodes
+       |  UNION
+       |  SELECT e.dst AS id, r.label
+       |  FROM reach r JOIN edges e ON e.src = r.id)""".stripMargin
+
   /** Unrolled Lloyd's-iteration CTE chain for the ext28 oracle: flat
     * (vec_id, i, qi) centroid representation; each round is an
     * assign-by-integer-distance + floor-quantized per-dimension mean —
@@ -593,6 +620,44 @@ object ExtEntry {
         .select(col("id").as("doc_id"), col("cluster_id"))
         .orderBy("doc_id")
     }),
+
+    // Quality-aware keeper selection: per duplicate cluster keep the
+    // HIGHEST-quality member (tie → min id), not the min id — the
+    // production policy ("keep the best copy") composed from the
+    // components and quality operators. argmax is one
+    // map-side-combinable max(struct(quality, -id)) per cluster — no
+    // window sort over the membership.
+    "ext47_quality_keeper" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val clusters = Components.connectedComponents(
+        Dedup.minhashLsh(d).select("id_a", "id_b"))
+      val scored = TextOps.quality(d)
+        .select(col("doc_id"), col("quality_score"))
+      clusters.join(scored, clusters("id") === scored("doc_id"))
+        .groupBy(col("cluster_id"))
+        .agg(count(lit(1)).as("n_members"),
+          max(struct(col("quality_score").as("q"),
+            negate(col("doc_id")).as("nid"))).as("m"))
+        .select(col("cluster_id"), negate(col("m.nid")).as("keeper_id"),
+          col("n_members"), col("m.q").as("keeper_quality"))
+        .orderBy("cluster_id")
+    }),
+
+    // Corpus stats cube: docs + token totals over GROUPING SETS of
+    // (lang, source) — the one relational operator class (cube/rollup)
+    // absent from the reference, exercised over the documents table.
+    // No NULL langs/sources exist, so '(all)' unambiguously marks the
+    // rolled-up levels in both engines.
+    "ext48_corpus_cube" -> ((s, dir) =>
+      docs(s, dir)
+        .cube(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(TextOps.tokens(col("text"))).cast("long"))
+            .as("n_tokens"))
+        .select(coalesce(col("lang"), lit("(all)")).as("lang"),
+          coalesce(col("source"), lit("(all)")).as("source"),
+          col("n_docs"), col("n_tokens"))
+        .orderBy("lang", "source")),
 
     // Bucketed-layout join: both sides written bucketBy(orderkey) ONCE
     // (ensureBucketed seeds the layout idempotently — pay-once, like any
@@ -1294,6 +1359,16 @@ object ExtEntry {
          |LEFT JOIN st USING (doc_id) LEFT JOIN ns USING (doc_id)
          |ORDER BY d.doc_id""".stripMargin,
 
+    "ext48_corpus_cube" ->
+      """SELECT COALESCE(lang, '(all)') AS lang,
+        |       COALESCE(source, '(all)') AS source,
+        |       count(*) AS n_docs,
+        |       CAST(SUM(len(string_split(text, ' '))) AS BIGINT)
+        |         AS n_tokens
+        |FROM documents
+        |GROUP BY CUBE (lang, source)
+        |ORDER BY 1, 2""".stripMargin,
+
     "ext44_mixture_weights" ->
       """WITH c AS (SELECT lang, count(*) AS n_docs FROM documents
         |           GROUP BY 1),
@@ -1403,29 +1478,33 @@ object ExtEntry {
     // but driver-style; the Spark operator is the per-round-shuffle
     // iterative form that scales.
     "ext27_dedup_clusters" ->
-      s"""WITH RECURSIVE ${shingleCtes("documents")},
-         |sig AS (
-         |  SELECT doc_id,
-         |         $minhashMinsSql
-         |  FROM sh GROUP BY 1),
-         |bands AS (
-         |  SELECT doc_id, b.band_id,
-         |         CASE b.band_id $bandSigSql END AS band_sig
-         |  FROM sig, (VALUES (0), (1), (2), (3)) b(band_id)),
-         |cand AS (
-         |  SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b
-         |  FROM bands a JOIN bands b2 USING (band_id, band_sig)
-         |  WHERE a.doc_id < b2.doc_id),
-         |edges AS (SELECT id_a AS src, id_b AS dst FROM cand
-         |          UNION ALL SELECT id_b, id_a FROM cand),
-         |nodes AS (SELECT DISTINCT src AS id FROM edges),
-         |reach AS (
-         |  SELECT id, id AS label FROM nodes
-         |  UNION
-         |  SELECT e.dst AS id, r.label
-         |  FROM reach r JOIN edges e ON e.src = r.id)
+      s"""WITH RECURSIVE $clusterCtes
          |SELECT id AS doc_id, min(label) AS cluster_id
          |FROM reach GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "ext47_quality_keeper" ->
+      s"""WITH RECURSIVE $clusterCtes,
+         |cl AS (SELECT id AS doc_id, min(label) AS cluster_id
+         |       FROM reach GROUP BY 1),
+         |ql AS (
+         |  SELECT doc_id,
+         |         least(CAST(len(string_split(text, ' ')) AS DOUBLE)
+         |               / 100.0, 1.0) * 0.5 +
+         |         (CAST(len(list_filter(string_split(text, ' '),
+         |            t -> t IN ($stopList))) AS DOUBLE)
+         |          / CAST(len(string_split(text, ' ')) AS DOUBLE)) * 0.5
+         |           AS quality_score
+         |  FROM documents),
+         |m AS (
+         |  SELECT cl.cluster_id, cl.doc_id, ql.quality_score,
+         |         row_number() OVER (PARTITION BY cl.cluster_id
+         |           ORDER BY ql.quality_score DESC, cl.doc_id ASC) AS rn,
+         |         count(*) OVER (PARTITION BY cl.cluster_id) AS n_members
+         |  FROM cl JOIN ql USING (doc_id))
+         |SELECT cluster_id, doc_id AS keeper_id,
+         |       CAST(n_members AS BIGINT) AS n_members,
+         |       quality_score AS keeper_quality
+         |FROM m WHERE rn = 1 ORDER BY cluster_id""".stripMargin,
 
     // Bucketing is a layout strategy, not a semantic: the oracle is the
     // plain join over the original parquet.

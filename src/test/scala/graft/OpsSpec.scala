@@ -360,6 +360,32 @@ class OpsSpec extends TestBase {
     graft.ops.Reuse.freeAll(spark)
   }
 
+  test("quality keeper: best member survives, not min id (ext47 shape)") {
+    import spark.implicits._
+    // One 3-member cluster (1-2, 2-3) plus a pair (10-11). Quality rises
+    // with n_words, so the longest doc wins regardless of id order.
+    val docs = Seq(
+      (1L, "the a"), (2L, "the a of and the a of and"), (3L, "the a of"),
+      (10L, "the the the the"), (11L, "the"))
+      .toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val clusters = graft.ops.Components.connectedComponents(pairs)
+    val scored = graft.ops.TextOps.quality(docs)
+      .select(col("doc_id"), col("quality_score"))
+    val got = clusters.join(scored, clusters("id") === scored("doc_id"))
+      .groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("n"),
+        max(struct(col("quality_score").as("q"),
+          negate(col("doc_id")).as("nid"))).as("m"))
+      .select(col("cluster_id"), negate(col("m.nid")).as("keeper_id"),
+        col("n"))
+      .as[(Long, Long, Long)].collect().toSet
+    // Cluster 1: doc 2 has most words -> highest quality. Cluster 10:
+    // doc 10 (4 stopwords) beats doc 11.
+    assert(got == Set((1L, 2L, 3L), (10L, 10L, 2L)))
+    graft.ops.Reuse.freeAll(spark)
+  }
+
   test("span corruption: sentinels, span merging, invariants (ext46)") {
     import spark.implicits._
     val docs = Seq((1L, "a b c d e f g h"), (2L, "x"), (3L, "p q r"))
