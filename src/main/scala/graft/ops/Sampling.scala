@@ -107,17 +107,32 @@ object Sampling {
    * repartition- and append-stable), so the whole resample is a
    * broadcast join + filter — NO shuffle of the corpus.
    */
-  def temperatureResample(df: DataFrame, id: Column, targetDocs: Long,
-      strata: Seq[String] = Seq("source"),
-      salt: String = "mix"): DataFrame = {
-    val rates = mixtureWeights(df, strata)
+  /** The per-stratum acceptance-rate table of [[temperatureResample]] —
+    * computed OFFLINE per corpus snapshot in production (recomputing
+    * weights inside a stream would drift the rates with arrival order);
+    * `stream.StreamingPipeline.temperatureResampleStream` applies it to
+    * a live stream unchanged. */
+  def temperatureRates(df: DataFrame, targetDocs: Long,
+      strata: Seq[String] = Seq("source")): DataFrame =
+    mixtureWeights(df, strata)
       .withColumn("rate_q",
         least(lit(1000000L),
           expr(s"($targetDocs * weight_q) DIV n_docs")))
       .select(strata.map(col) :+ col("rate_q"): _*)
+
+  /** Keep iff `hash(id) mod 1e6 < rate_q` — the shared draw of the batch
+    * and streaming resamplers. */
+  def acceptByRate(df: DataFrame, id: Column,
+      salt: String = "mix"): DataFrame = {
     val h = Hashing.portableHash32(
       concat(lit(salt + ":"), id.cast("string")))
-    df.join(broadcast(rates), strata)
-      .filter(h % 1000000L < col("rate_q"))
+    df.filter(h % 1000000L < col("rate_q"))
   }
+
+  def temperatureResample(df: DataFrame, id: Column, targetDocs: Long,
+      strata: Seq[String] = Seq("source"),
+      salt: String = "mix"): DataFrame =
+    acceptByRate(
+      df.join(broadcast(temperatureRates(df, targetDocs, strata)), strata),
+      id, salt)
 }

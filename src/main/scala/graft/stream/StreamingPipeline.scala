@@ -226,6 +226,22 @@ object StreamingPipeline {
     }
 
   /**
+   * Streaming twin of `Sampling.temperatureResample` (ext45): mixture
+   * rates are computed OFFLINE per corpus snapshot
+   * (`Sampling.temperatureRates` over the batch table — recomputing
+   * weights inside the stream would drift acceptance with arrival
+   * order), broadcast against the live stream, and the portable-hash
+   * draw admits exactly the docs the batch operator would — stateless,
+   * append-mode, no shuffle, so the streamed corpus mix converges to
+   * the batch selection no matter how rows arrive.
+   */
+  def temperatureResampleStream(docs: DataFrame, rates: DataFrame,
+      id: Column, strata: Seq[String],
+      salt: String = "mix"): DataFrame =
+    graft.ops.Sampling.acceptByRate(
+      docs.join(broadcast(rates), strata), id, salt)
+
+  /**
    * Streaming per-id dedup — the streaming twin of batch `Dedup.exact`
    * (ext01). At-least-once sources (file replay after restart, Kafka with
    * producer retries) re-deliver tweets; `dropDuplicatesWithinWatermark`

@@ -334,6 +334,30 @@ class StreamingSpec extends TestBase {
     assert(parsed.count() == 300) // 304 lines, 4 dropped (missing/empty/zero ts, non-JSON)
   }
 
+  test("streaming temperature resample == batch resample (ext45 twin)") {
+    val batchDocs = graft.ingest.Tables.documents(spark, sf("sf0.001"))
+      .select("doc_id", "lang", "source")
+    // Rates computed offline from the batch snapshot (the production
+    // split: weights per corpus generation, filter on the live stream).
+    val rates = graft.ops.Sampling
+      .temperatureRates(batchDocs, 250L, Seq("lang"))
+    val src = StreamingPipeline.parquetStream(spark,
+      sf("sf0.001") + "/documents.parquet")
+    val q = StreamingPipeline.temperatureResampleStream(
+      src.select("doc_id", "lang", "source"), rates,
+      col("doc_id"), Seq("lang"))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("mix_stream").start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("mix_stream").select("doc_id")
+    val batch = graft.ops.Sampling.temperatureResample(
+      batchDocs, col("doc_id"), 250L, Seq("lang")).select("doc_id")
+    assert(streamed.count() > 0)
+    assert(streamed.except(batch).isEmpty && batch.except(streamed).isEmpty,
+      "streamed resample differs from the batch selection")
+  }
+
   test("streaming incremental dedup == sequential dedupeIncrement (ext36 twin)") {
     import spark.implicits._
     val srcDir = Files.createTempDirectory("graft-incdedup-src").toFile
