@@ -89,7 +89,8 @@ object PortableHash32 {
 /** Session extension wiring (`SparkSessionExtensions` path): build the
   * session with `.withExtensions(new GraftExtensions)` — or configure
   * `spark.sql.extensions=graft.functions.GraftExtensions` — and
-  * `portable_hash32` / `qdot` resolve in plain SQL. */
+  * `portable_hash32` / `qdot` / `quantize_vector` resolve in plain
+  * SQL. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectFunction((
@@ -102,6 +103,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[QDotProduct].getName, "qdot"),
       (exprs: Seq[Expression]) => QDotProduct(exprs.head, exprs(1))))
+    // quantize_vector(emb [, scale]) — scale defaults to the engine's
+    // 1e6 quantization contract (Similarity.QuantScale).
+    e.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("quantize_vector"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[QuantizeVector].getName, "quantize_vector"),
+      (exprs: Seq[Expression]) => QuantizeVector(exprs.head,
+        exprs.lift(1).map(_.eval(null).toString.toDouble)
+          .getOrElse(graft.ops.Similarity.QuantScale))))
     // Composed aggregate(zip_with(·,·,*),0L,+) → native qdot kernel.
     e.injectOptimizerRule(_ => QDotFusionRule)
   }

@@ -86,4 +86,15 @@ object QuantizeVector {
   /** Column-level form, usable anywhere a built-in is. */
   def apply(emb: Column, scale: Double): Column =
     SqlBridge.column(QuantizeVector(SqlBridge.expression(emb), scale))
+
+  /** Register `quantize_vector(emb [, scale])` for SQL use on an
+    * existing session (the extensions path in [[GraftExtensions]]
+    * covers sessions built with `withExtensions`). */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "quantize_vector",
+      exprs => QuantizeVector(exprs.head,
+        exprs.lift(1).map(_.eval(null).toString.toDouble)
+          .getOrElse(graft.ops.Similarity.QuantScale)),
+      "scala_udf")
 }

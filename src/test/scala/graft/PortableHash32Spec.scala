@@ -89,4 +89,16 @@ class PortableHash32Spec extends TestBase {
       .getLong(0) == s2.range(1)
       .select(Hashing.portableHash32(lit("abc"))).collect()(0).getLong(0))
   }
+
+  test("quantize_vector resolves in SQL with default and explicit scale") {
+    graft.functions.QuantizeVector.register(spark)
+    val got = spark.sql(
+      "SELECT quantize_vector(array(CAST(1.5 AS FLOAT), CAST(-1.5 AS FLOAT))) AS q")
+      .collect()(0).getSeq[Long](0)
+    assert(got == Seq(1500000L, -1500000L))
+    val scaled = spark.sql(
+      "SELECT quantize_vector(array(CAST(1.5 AS FLOAT)), 10.0) AS q")
+      .collect()(0).getSeq[Long](0)
+    assert(scaled == Seq(15L))
+  }
 }
