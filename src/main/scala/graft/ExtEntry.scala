@@ -158,7 +158,7 @@ object ExtEntry {
        |       FROM flat GROUP BY 1)""".stripMargin
 
   private def cosTopKSql(bucketJoin: String, k: Int,
-      extraCtes: String = "") =
+      extraCtes: String = "", scoreWhere: String = "") =
     s"""$QuantFlatSql,
        |${if (extraCtes.isEmpty) "" else extraCtes + ",\n"}dots AS (
        |  SELECT a.vec_id AS q_id, b.vec_id AS t_id,
@@ -174,7 +174,7 @@ object ExtEntry {
        |            JOIN n2 nb ON nb.vec_id = t_id),
        |r AS (SELECT *, row_number() OVER (
        |        PARTITION BY q_id ORDER BY cos DESC, t_id ASC) AS rank
-       |      FROM scored)
+       |      FROM scored $scoreWhere)
        |SELECT q_id, t_id, CAST(rank AS BIGINT) AS rank, cos
        |FROM r WHERE rank <= $k ORDER BY q_id, rank""".stripMargin
 
@@ -266,6 +266,16 @@ object ExtEntry {
     "ext05_sim_brute_topk" -> ((s, dir) => {
       val e = embs(s, dir)
       Similarity.bruteTopK(e, e.filter(col("vec_id") < NumQueryVecs), 5)
+        .orderBy("q_id", "rank")
+    }),
+
+    // Hard-negative mining: per query the top-5 most-similar vectors
+    // BELOW the near-dup threshold — dedup-aware negative sampling for
+    // contrastive training (negatives above the threshold are latent
+    // positives and would poison the loss).
+    "ext49_hard_negatives" -> ((s, dir) => {
+      val e = embs(s, dir)
+      Similarity.hardNegatives(e, e.filter(col("vec_id") < NumQueryVecs), 5)
         .orderBy("q_id", "rank")
     }),
 
@@ -839,6 +849,9 @@ object ExtEntry {
          |ORDER BY d.doc_id""".stripMargin,
 
     "ext05_sim_brute_topk" -> cosTopKSql("", 5),
+
+    "ext49_hard_negatives" -> cosTopKSql("", 5,
+      scoreWhere = "WHERE cos < 0.42"),
 
     "ext06_sim_ivf_topk" -> cosTopKSql("AND a.label = b.label", 3),
 

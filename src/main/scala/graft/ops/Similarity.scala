@@ -83,6 +83,37 @@ object Similarity {
   }
 
   /**
+   * Hard-negative mining for contrastive/retrieval training: per query,
+   * the top-k most-similar corpus items BELOW the near-duplicate
+   * threshold — similar enough to be informative negatives, dissimilar
+   * enough not to be latent positives (dedup-aware negative sampling;
+   * mining negatives without the threshold poisons training with
+   * unlabeled duplicates). Same broadcast-queries scan shape as
+   * [[bruteTopK]]; the threshold filter runs BEFORE the rank, so
+   * WindowGroupLimit still bounds the shuffle at k rows per query per
+   * map task. At 100 TB, swap the exact scan for [[ivfTopK]]'s
+   * bucket-restricted probe with an over-fetch — the filter+rank tail
+   * is identical.
+   */
+  def hardNegatives(emb: DataFrame, queries: DataFrame, k: Int,
+      dupThreshold: Double = 0.42, id: String = "vec_id",
+      vec: String = "embedding"): DataFrame = {
+    val corpus = prepared(emb, id, vec).toDF("t_id", "t_q", "t_n2")
+    val qs = prepared(queries, id, vec).toDF("q_id", "q_q", "q_n2")
+    val scored = corpus.crossJoin(broadcast(qs))
+      .filter(col("q_id") =!= col("t_id"))
+      .withColumn("cos",
+        cosine(qdot(col("q_q"), col("t_q")), col("q_n2"), col("t_n2")))
+      .filter(col("cos") < dupThreshold)
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("t_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("t_id"), col("rank").cast("long").as("rank"),
+        col("cos"))
+  }
+
+  /**
    * IVF-style ANN: restrict the search to the query's coarse bucket
    * (here the `label` column plays the cluster-id role a k-means
    * assignment would at 100 TB). The join becomes an equi-join on the

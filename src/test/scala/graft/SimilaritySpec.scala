@@ -34,6 +34,25 @@ class SimilaritySpec extends TestBase {
     assert(ivf == expected)
   }
 
+  test("hard negatives: below-threshold prefix of brute ranking (ext49)") {
+    import spark.implicits._
+    val neg = Similarity.hardNegatives(emb, queries, 5)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    // Every mined negative is strictly below the near-dup threshold…
+    assert(neg.nonEmpty && neg.forall(_._4 < 0.42))
+    // …and per query they are EXACTLY the brute-force ranking with the
+    // at/above-threshold (latent-positive) prefix removed.
+    val expected = Similarity.bruteTopK(emb, queries, Int.MaxValue)
+      .filter(col("cos") < 0.42)
+      .withColumn("r", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("q_id")
+          .orderBy(col("cos").desc, col("t_id").asc)))
+      .filter(col("r") <= 5)
+      .select(col("q_id"), col("t_id"), col("r").cast("long"), col("cos"))
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(neg.toSet == expected)
+  }
+
   test("lsh candidates rank identically to brute within shared buckets") {
     import spark.implicits._
     val lsh = Similarity.lshTopK(emb, queries, 5)
