@@ -204,26 +204,36 @@ object StreamingPipeline {
       keptPath: String): DataStreamWriter[org.apache.spark.sql.Row] =
     docs.writeStream.outputMode("append").foreachBatch {
       (batch: DataFrame, batchId: Long) =>
-        val spark = batch.sparkSession
-        val fs = new org.apache.hadoop.fs.Path(bandsPath)
-          .getFileSystem(spark.sparkContext.hadoopConfiguration)
-        val corpusBands =
-          if (fs.exists(new org.apache.hadoop.fs.Path(bandsPath)))
-            spark.read.parquet(bandsPath)
-              .filter(col("batch") =!= batchId)
-              .select("doc_id", "band_id", "band_sig")
-          else
-            // Plan-only empty relation with bandedSignatures' exact
-            // schema (no data flows through the limit-0 aggregates).
-            graft.ops.Dedup.bandedSignatures(
-              graft.ops.Dedup.minhashSignatures(batch.limit(0)))
-        graft.ops.Dedup.dedupeIncrement(corpusBands, batch)
-          .write.mode("overwrite").parquet(s"$keptPath/batch=$batchId")
-        val kept = spark.read.parquet(s"$keptPath/batch=$batchId")
-        graft.ops.Dedup.bandedSignatures(
-          graft.ops.Dedup.minhashSignatures(kept))
-          .write.mode("overwrite").parquet(s"$bandsPath/batch=$batchId")
+        processIncrement(batch, batchId, bandsPath, keptPath)
     }
+
+  /** One micro-batch of [[incrementalDedupSink]] — exposed so the
+    * replay-idempotency contract is directly testable: calling it again
+    * with the SAME batchId (the crash-replay case) must reproduce the
+    * same kept set and band rows, because the partner read excludes the
+    * batch's own previous output. */
+  def processIncrement(batch: DataFrame, batchId: Long,
+      bandsPath: String, keptPath: String): Unit = {
+    val spark = batch.sparkSession
+    val fs = new org.apache.hadoop.fs.Path(bandsPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val corpusBands =
+      if (fs.exists(new org.apache.hadoop.fs.Path(bandsPath)))
+        spark.read.parquet(bandsPath)
+          .filter(col("batch") =!= batchId)
+          .select("doc_id", "band_id", "band_sig")
+      else
+        // Plan-only empty relation with bandedSignatures' exact
+        // schema (no data flows through the limit-0 aggregates).
+        graft.ops.Dedup.bandedSignatures(
+          graft.ops.Dedup.minhashSignatures(batch.limit(0)))
+    graft.ops.Dedup.dedupeIncrement(corpusBands, batch)
+      .write.mode("overwrite").parquet(s"$keptPath/batch=$batchId")
+    val kept = spark.read.parquet(s"$keptPath/batch=$batchId")
+    graft.ops.Dedup.bandedSignatures(
+      graft.ops.Dedup.minhashSignatures(kept))
+      .write.mode("overwrite").parquet(s"$bandsPath/batch=$batchId")
+  }
 
   /**
    * Streaming twin of `Sampling.temperatureResample` (ext45): mixture

@@ -423,6 +423,32 @@ class StreamingSpec extends TestBase {
     assert(spark.read.parquet(bandsPath).count() == expected.size * 4L)
   }
 
+  test("incremental dedup replay: same batchId reproduces identical state") {
+    import spark.implicits._
+    val store = Files.createTempDirectory("graft-incdedup-replay").toString
+    val (bandsPath, keptPath) = (s"$store/bands", s"$store/kept")
+    def snap(): (Set[Long], Long) = (
+      spark.read.parquet(keptPath).select("doc_id").as[Long].collect().toSet,
+      spark.read.parquet(bandsPath).count())
+    val t1 = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val t2 = "one two three four five six seven eight nine ten eleven"
+    val t3 = "red green blue cyan magenta yellow black white gray pink"
+    val inc0 = Seq(1L -> t1, 2L -> t2).toDF("doc_id", "text")
+    // 11 duplicates corpus doc 1; 12 is novel.
+    val inc1 = Seq(11L -> t1, 12L -> t3).toDF("doc_id", "text")
+    StreamingPipeline.processIncrement(inc0, 0L, bandsPath, keptPath)
+    StreamingPipeline.processIncrement(inc1, 1L, bandsPath, keptPath)
+    val before = snap()
+    assert(before._1 == Set(1L, 2L, 12L))
+    // Crash-replay of batch 1: the partner read must EXCLUDE batch 1's
+    // own previous output (doc 12's bands would otherwise mark doc 12 a
+    // duplicate of itself and drop it on the second pass).
+    StreamingPipeline.processIncrement(inc1, 1L, bandsPath, keptPath)
+    assert(snap() == before,
+      "replaying a batch with the same id changed the store")
+    graft.ops.Reuse.freeAll(spark)
+  }
+
   test("streaming dedup drops re-delivered ids, passes uniques (ext01 twin)") {
     val dir = Files.createTempDirectory("graft-dedup").toFile
     val ckpt = Files.createTempDirectory("graft-dedup-ckpt").toString
