@@ -360,6 +360,14 @@ class OpsSpec extends TestBase {
     graft.ops.Reuse.freeAll(spark)
   }
 
+  test("driver contract: entry returns rows; every query has oracle SQL " +
+    "or a declared rows-only check") {
+    assert(SparkEntry.entry(spark).limit(1).count() == 1L)
+    // Column-name contract: oracle keys must be declared queries.
+    val undeclared = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(undeclared.isEmpty, s"oracle SQL without a query: $undeclared")
+  }
+
   test("quality keeper: best member survives, not min id (ext47 shape)") {
     import spark.implicits._
     // One 3-member cluster (1-2, 2-3) plus a pair (10-11). Quality rises
