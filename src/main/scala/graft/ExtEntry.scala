@@ -604,6 +604,16 @@ object ExtEntry {
         .orderBy("doc_id")
     }),
 
+    // Span-level decontamination: WHERE the benchmark n-grams leak
+    // (1-based shingle positions per doc) — the masking input that lets
+    // a pipeline excise spans instead of dropping documents.
+    "ext50_leak_spans" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Dedup.benchmarkLeakSpans(
+          d.filter(col("doc_id") >= 20), d.filter(col("doc_id") < 20))
+        .orderBy("doc_id")
+    }),
+
     // Incremental corpus dedup: the crawl increment (doc_id % 10 < 2)
     // deduped against the established corpus through its band table —
     // only the increment is shingled; the corpus side is the stored
@@ -1457,6 +1467,27 @@ object ExtEntry {
       """JOIN a3 ba ON ba.vec_id = a.vec_id
         |       JOIN a3 bb ON bb.vec_id = b.vec_id AND bb.cid = ba.cid""".stripMargin,
       3, kmeansCtes(8, 2)),
+
+    "ext50_leak_spans" ->
+      s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk
+         |             FROM documents),
+         |pos_sh AS (
+         |  SELECT doc_id, i AS pos,
+         |         ${hashSql("tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]")} AS h
+         |  FROM toks JOIN range(1, 4001) g(i) ON i <= len(tk) - 2),
+         |bench AS (SELECT DISTINCT h FROM pos_sh WHERE doc_id < 20),
+         |corp AS (SELECT * FROM pos_sh WHERE doc_id >= 20),
+         |leaks AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_leaked,
+         |         list(pos ORDER BY pos) AS leak_positions
+         |  FROM corp JOIN bench USING (h) GROUP BY 1)
+         |SELECT d.doc_id,
+         |       COALESCE(l.n_leaked, 0) AS n_leaked,
+         |       COALESCE(l.leak_positions, CAST([] AS BIGINT[]))
+         |         AS leak_positions
+         |FROM (SELECT doc_id FROM documents WHERE doc_id >= 20) d
+         |LEFT JOIN leaks l USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin,
 
     "ext32_decontaminate" ->
       s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk

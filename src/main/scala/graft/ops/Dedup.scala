@@ -187,6 +187,43 @@ object Dedup {
   }
 
   /**
+   * Span-level decontamination — the masking/redaction input:
+   * [[benchmarkOverlap]] says WHICH docs leak benchmark n-grams, this
+   * says WHERE — every (doc, shingle position) whose n-gram is in the
+   * benchmark set, so a pipeline can mask/excise the leaked spans
+   * instead of dropping whole documents. Positions are 1-based shingle
+   * starts under the same cap and hashing as [[docShingleHashes]]
+   * (parity-sensitive: the two probes must never diverge). Scale shape:
+   * broadcast benchmark membership probe on the corpus scan (no
+   * shuffle), then one keyed collect per doc; `leak_positions` is
+   * bounded by the shingle cap.
+   */
+  def benchmarkLeakSpans(corpus: DataFrame, bench: DataFrame,
+      id: String = "doc_id", text: String = "text",
+      n: Int = 3): DataFrame = {
+    val benchH = docShingleHashes(bench, id, text, n).select("h").distinct()
+    val posSh = corpus.select(col(id), TextOps.tokens(col(text)).as("_toks"))
+      .select(col(id), col("_toks"),
+        explode(when(size(col("_toks")) >= n,
+          sequence(lit(1),
+            least(size(col("_toks")) - lit(n - 1), lit(MaxShinglesPerDoc))))
+          .otherwise(array().cast("array<int>"))).as("_i"))
+      .select(col(id), col("_i").cast("long").as("pos"),
+        Hashing.portableHash32(
+          concat_ws(" ", slice(col("_toks"), col("_i"), lit(n)))).as("h"))
+    val leaks = posSh.join(broadcast(benchH), "h")
+      .groupBy(col(id))
+      .agg(count(lit(1)).as("n_leaked"),
+        sort_array(collect_list(col("pos"))).as("leak_positions"))
+    corpus.select(col(id))
+      .join(leaks, Seq(id), "left")
+      .select(col(id),
+        coalesce(col("n_leaked"), lit(0L)).as("n_leaked"),
+        coalesce(col("leak_positions"),
+          array().cast("array<bigint>")).as("leak_positions"))
+  }
+
+  /**
    * Turn near-dup PAIRS into a kept corpus: for every pair (a < b), drop
    * b — the standard single-pass policy of large-scale dedup pipelines
    * (exact transitive closure needs iterative connected components; the

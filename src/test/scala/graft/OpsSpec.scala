@@ -368,6 +368,24 @@ class OpsSpec extends TestBase {
     assert(undeclared.isEmpty, s"oracle SQL without a query: $undeclared")
   }
 
+  test("leak spans: exact positions of benchmark n-grams (ext50)") {
+    import spark.implicits._
+    val bench = Seq((1L, "secret eval question here")).toDF("doc_id", "text")
+    // Doc 10 embeds the benchmark trigrams "secret eval question" (pos 3)
+    // and "eval question here" (pos 4); doc 11 is clean.
+    val corpus = Seq(
+      (10L, "aa bb secret eval question here cc"),
+      (11L, "clean doc with no leaks at all"))
+      .toDF("doc_id", "text")
+    val got = graft.ops.Dedup.benchmarkLeakSpans(corpus, bench)
+      .orderBy("doc_id")
+      .as[(Long, Long, Seq[Long])].collect().toSeq
+    assert(got == Seq(
+      (10L, 2L, Seq(3L, 4L)),
+      (11L, 0L, Seq())))
+    graft.ops.Reuse.freeAll(spark)
+  }
+
   test("quality keeper: best member survives, not min id (ext47 shape)") {
     import spark.implicits._
     // One 3-member cluster (1-2, 2-3) plus a pair (10-11). Quality rises
