@@ -549,8 +549,13 @@ object ExtEntry {
     // Deterministic random projection 64 -> 16 dims: plan-time ±1
     // hyperplane literals, one fused qdot multiply-add pass per output
     // dim — the compressed representation an ANN index stores at scale.
+    // Driver contract: comparator-safe scalars only, so the array of
+    // projections is joined to one string (the library API,
+    // Similarity.randomProject, keeps the real array column).
     "ext43_random_projection" -> ((s, dir) =>
       Similarity.randomProject(embs(s, dir), 16)
+        .select(col("vec_id"),
+          array_join(col("proj").cast("array<string>"), ",").as("proj"))
         .orderBy("vec_id")),
 
     // Corpus-wide vocabulary: global term top-k by frequency — the seed
@@ -609,10 +614,34 @@ object ExtEntry {
     // a pipeline excise spans instead of dropping documents.
     "ext50_leak_spans" -> ((s, dir) => {
       val d = docs(s, dir)
+      // Driver contract: leak_positions joined to one string (empty
+      // array -> ""); Dedup.benchmarkLeakSpans keeps the array API.
       Dedup.benchmarkLeakSpans(
           d.filter(col("doc_id") >= 20), d.filter(col("doc_id") < 20))
+        .select(col("doc_id"), col("n_leaked"),
+          array_join(col("leak_positions").cast("array<string>"), ",")
+            .as("leak_positions"))
         .orderBy("doc_id")
     }),
+
+    // Leakage-safe split: near-dup cluster members share the cluster's
+    // canonical min id as split key, so no near-dup pair ever straddles
+    // train/val/test; unclustered docs assign exactly as ext20.
+    "ext51_leakage_safe_split" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val pairs = Dedup.minhashLsh(d).select("id_a", "id_b")
+      Splits.assignLeakageSafe(d, pairs)
+        .select("doc_id", "split_key", "bucket", "split")
+        .orderBy("doc_id")
+    }),
+
+    // Deterministic training-shard writer shape: hash-mod shard that a
+    // doc keeps forever + reproducible within-shard hash-shuffle order
+    // (one keyed shuffle + per-shard sort; no global ordering).
+    "ext52_shard_assign" -> ((s, dir) =>
+      Splits.shardAssign(docs(s, dir), col("doc_id"), 8)
+        .select("doc_id", "shard", "seq")
+        .orderBy("doc_id")),
 
     // Incremental corpus dedup: the crawl increment (doc_id % 10 < 2)
     // deduped against the established corpus through its band table —
@@ -861,7 +890,7 @@ object ExtEntry {
     "ext05_sim_brute_topk" -> cosTopKSql("", 5),
 
     "ext49_hard_negatives" -> cosTopKSql("", 5,
-      scoreWhere = "WHERE cos < 0.42"),
+      scoreWhere = s"WHERE cos < ${Similarity.NearDupThreshold}"),
 
     "ext06_sim_ivf_topk" -> cosTopKSql("AND a.label = b.label", 3),
 
@@ -946,7 +975,8 @@ object ExtEntry {
          |           sqrt(CAST(na.n2 AS DOUBLE) * CAST(nb.n2 AS DOUBLE)) AS cos
          |  FROM dots JOIN n2 na ON na.vec_id = id_a
          |            JOIN n2 nb ON nb.vec_id = id_b)
-         |SELECT id_a, id_b, cos FROM scored WHERE cos >= 0.42
+         |SELECT id_a, id_b, cos
+         |FROM scored WHERE cos >= ${Similarity.NearDupThreshold}
          |ORDER BY id_a, id_b""".stripMargin,
 
     // Frame sampling over binary columns: the docs are ASCII, so byte
@@ -1437,7 +1467,7 @@ object ExtEntry {
          |projs AS (
          |  SELECT f.vec_id, h.j, CAST(SUM(h.sgn * f.qi) AS BIGINT) AS pj
          |  FROM flat f JOIN hp h ON h.i = f.i GROUP BY 1, 2)
-         |SELECT vec_id, list(pj ORDER BY j) AS proj
+         |SELECT vec_id, array_to_string(list(pj ORDER BY j), ',') AS proj
          |FROM projs GROUP BY vec_id ORDER BY vec_id""".stripMargin,
 
     "ext34_vocab_topk" ->
@@ -1479,15 +1509,42 @@ object ExtEntry {
          |corp AS (SELECT * FROM pos_sh WHERE doc_id >= 20),
          |leaks AS (
          |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_leaked,
-         |         list(pos ORDER BY pos) AS leak_positions
+         |         array_to_string(list(pos ORDER BY pos), ',')
+         |           AS leak_positions
          |  FROM corp JOIN bench USING (h) GROUP BY 1)
          |SELECT d.doc_id,
          |       COALESCE(l.n_leaked, 0) AS n_leaked,
-         |       COALESCE(l.leak_positions, CAST([] AS BIGINT[]))
-         |         AS leak_positions
+         |       COALESCE(l.leak_positions, '') AS leak_positions
          |FROM (SELECT doc_id FROM documents WHERE doc_id >= 20) d
          |LEFT JOIN leaks l USING (doc_id)
          |ORDER BY d.doc_id""".stripMargin,
+
+    // Same transitive closure as the ext27 oracle; unclustered docs fall
+    // back to their own id, reproducing the ext20 assignment bit-exactly.
+    "ext51_leakage_safe_split" ->
+      s"""WITH RECURSIVE $clusterCtes,
+         |cl AS (SELECT id AS doc_id, min(label) AS cluster_id
+         |       FROM reach GROUP BY 1),
+         |k AS (SELECT d.doc_id,
+         |             COALESCE(cl.cluster_id, d.doc_id) AS split_key
+         |      FROM documents d LEFT JOIN cl USING (doc_id))
+         |SELECT doc_id, split_key,
+         |  ${hashSql("'split:' || CAST(split_key AS VARCHAR)")} % 100
+         |    AS bucket,
+         |  CASE WHEN bucket < 90 THEN 'train'
+         |       WHEN bucket < 95 THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM k ORDER BY doc_id""".stripMargin,
+
+    "ext52_shard_assign" ->
+      s"""WITH h AS (
+         |  SELECT doc_id,
+         |         ${hashSql("'shard:' || CAST(doc_id AS VARCHAR)")} AS draw
+         |  FROM documents)
+         |SELECT doc_id, draw % 8 AS shard,
+         |       CAST(row_number() OVER (PARTITION BY draw % 8
+         |         ORDER BY draw, doc_id) AS BIGINT) AS seq
+         |FROM h ORDER BY doc_id""".stripMargin,
 
     "ext32_decontaminate" ->
       s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk

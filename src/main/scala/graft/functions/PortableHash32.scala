@@ -110,8 +110,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[QuantizeVector].getName, "quantize_vector"),
       (exprs: Seq[Expression]) => QuantizeVector(exprs.head,
-        exprs.lift(1).map(_.eval(null).toString.toDouble)
-          .getOrElse(graft.ops.Similarity.QuantScale))))
+        QuantizeVector.scaleOf(exprs))))
     // Composed aggregate(zip_with(·,·,*),0L,+) → native qdot kernel.
     e.injectOptimizerRule(_ => QDotFusionRule)
   }

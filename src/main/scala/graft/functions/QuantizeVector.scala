@@ -87,14 +87,26 @@ object QuantizeVector {
   def apply(emb: Column, scale: Double): Column =
     SqlBridge.column(QuantizeVector(SqlBridge.expression(emb), scale))
 
+  /** The optional literal `scale` argument of the SQL form. A
+    * non-foldable (or null) second argument fails analysis with the
+    * standard NON_FOLDABLE_ARGUMENT error instead of an opaque NPE at
+    * plan time. */
+  private[functions] def scaleOf(exprs: Seq[Expression]): Double =
+    exprs.lift(1).map { e =>
+      val v = if (e.foldable) e.eval(null) else null
+      if (v == null) throw new org.apache.spark.sql.AnalysisException(
+        "NON_FOLDABLE_ARGUMENT",
+        Map("funcName" -> "`quantize_vector`", "paramName" -> "`scale`",
+          "paramType" -> "\"DOUBLE\""))
+      v.toString.toDouble
+    }.getOrElse(graft.ops.Similarity.QuantScale)
+
   /** Register `quantize_vector(emb [, scale])` for SQL use on an
     * existing session (the extensions path in [[GraftExtensions]]
     * covers sessions built with `withExtensions`). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "quantize_vector",
-      exprs => QuantizeVector(exprs.head,
-        exprs.lift(1).map(_.eval(null).toString.toDouble)
-          .getOrElse(graft.ops.Similarity.QuantScale)),
+      exprs => QuantizeVector(exprs.head, scaleOf(exprs)),
       "scala_udf")
 }

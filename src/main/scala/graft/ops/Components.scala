@@ -68,9 +68,13 @@ object Components {
     // scan of the fresh checkpoint per round — no join against the
     // previous round (the former probe was an extra join job per
     // round). DECIMAL(38,0) keeps the sum exact for any int64 ids.
-    def checksum(l: DataFrame): java.math.BigDecimal =
-      l.agg(sum(col("label").cast("decimal(38,0)"))).first()
+    // sum() over zero rows is SQL-null — an empty pair graph (duplicate-
+    // free corpus) must read as checksum 0, not NPE in compareTo.
+    def checksum(l: DataFrame): java.math.BigDecimal = {
+      val d = l.agg(sum(col("label").cast("decimal(38,0)"))).first()
         .getDecimal(0)
+      if (d == null) java.math.BigDecimal.ZERO else d
+    }
     var sumPrev = checksum(labels)
     var round = 0
     var converged = false

@@ -162,8 +162,25 @@ object Dedup {
    */
   def benchmarkOverlap(corpus: DataFrame, bench: DataFrame,
       id: String = "doc_id", text: String = "text", n: Int = 3,
+      threshold: Double = 0.8): DataFrame =
+    benchmarkOverlapAgainst(corpus,
+      benchmarkShingles(bench, id, text, n), id, text, n, threshold)
+
+  /** The benchmark/eval suite's distinct shingle-hash membership set —
+    * the small broadcast side of every decontamination probe. Computed
+    * ONCE per eval-suite snapshot (offline in the streaming twin,
+    * [[graft.stream.StreamingPipeline.decontaminationSink]]) under the
+    * same cap and hashing as [[docShingleHashes]]. */
+  def benchmarkShingles(bench: DataFrame, id: String = "doc_id",
+      text: String = "text", n: Int = 3): DataFrame =
+    docShingleHashes(bench, id, text, n).select("h").distinct()
+
+  /** [[benchmarkOverlap]] against a precomputed [[benchmarkShingles]]
+    * set — the reusable probe: the corpus scan never shuffles for the
+    * membership check (broadcast), only the two per-doc counts do. */
+  def benchmarkOverlapAgainst(corpus: DataFrame, benchH: DataFrame,
+      id: String = "doc_id", text: String = "text", n: Int = 3,
       threshold: Double = 0.8): DataFrame = {
-    val benchH = docShingleHashes(bench, id, text, n).select("h").distinct()
     val ch = docShingleHashes(corpus, id, text, n)
     // docShingleHashes may repeat (id, h) within a doc — count DISTINCT
     // shingles per doc (two-phase hash aggregate, map-side combined).
@@ -343,17 +360,33 @@ object Dedup {
    * with bit_count(xor) ≤ maxHamming.
    */
   def simhash(doc: DataFrame, id: String = "doc_id",
-      text: String = "text"): DataFrame = {
+      text: String = "text"): DataFrame =
+    voteSimhash(doc, id, text, salts = Seq(""), bitsPerHash = 32)
+
+  /**
+   * Shared one-pass vote-aggregate builder behind [[simhash]] (32-bit)
+   * and [[simhashWide]] (60-bit): each salt prefix contributes
+   * `bitsPerHash` signature bits from one portableHash32 of the salted
+   * token; bit i votes with ±1 per token and is set when the sum is
+   * positive. All salts.length × bitsPerHash vote sums are columns of
+   * ONE hash-aggregate pass (multi-aggregate fusion) — no ×bits row
+   * explode, no second shuffle; partial aggregation ships one
+   * wide row per doc per partition.
+   */
+  private def voteSimhash(doc: DataFrame, id: String, text: String,
+      salts: Seq[String], bitsPerHash: Int): DataFrame = {
+    val hashCols = salts.zipWithIndex.map { case (salt, j) =>
+      val tok = if (salt.isEmpty) col("tok") else concat(lit(salt), col("tok"))
+      Hashing.portableHash32(tok).as(s"h$j")
+    }
     val th = doc
       .select(col(id), explode(TextOps.tokens(col(text))).as("tok"))
-      .select(col(id), Hashing.portableHash32(col("tok")).as("h"))
-    // All 32 per-bit ±1 vote sums as columns of ONE hash-aggregate pass
-    // (multi-aggregate fusion) — no ×32 row explode, no second shuffle;
-    // partial aggregation ships one 32-column row per doc per partition.
-    val votes = (0 until 32).map(i =>
-      sum(expr(s"CAST(2 * (shiftright(h, $i) & 1) - 1 AS BIGINT)"))
-        .as(s"v$i"))
-    val bits = (0 until 32).map(i =>
+      .select(col(id) +: hashCols: _*)
+    val nBits = salts.length * bitsPerHash
+    val votes = (0 until nBits).map(i =>
+      sum(expr(s"CAST(2 * (shiftright(h${i / bitsPerHash}, " +
+        s"${i % bitsPerHash}) & 1) - 1 AS BIGINT)")).as(s"v$i"))
+    val bits = (0 until nBits).map(i =>
       when(col(s"v$i") > 0, lit(1L << i)).otherwise(lit(0L)))
     th.groupBy(col(id))
       .agg(votes.head, votes.tail: _*)
@@ -396,26 +429,11 @@ object Dedup {
 
   /** 60-bit simhash from TWO salted token hashes (bits 0-29 from
     * 'w0:'+token, 30-59 from 'w1:'+token — portableHash32 gives 31
-    * usable bits, 30 keeps the split even). Same one-pass vote
+    * usable bits, 30 keeps the split even). Same [[voteSimhash]]
     * aggregate as [[simhash]], 60 sum columns. */
   def simhashWide(doc: DataFrame, id: String = "doc_id",
-      text: String = "text"): DataFrame = {
-    val th = doc
-      .select(col(id), explode(TextOps.tokens(col(text))).as("tok"))
-      .select(col(id),
-        Hashing.portableHash32(concat(lit("w0:"), col("tok"))).as("ha"),
-        Hashing.portableHash32(concat(lit("w1:"), col("tok"))).as("hb"))
-    val votes = (0 until 60).map { i =>
-      val src = if (i < 30) "ha" else "hb"
-      sum(expr(s"CAST(2 * (shiftright($src, ${i % 30}) & 1) - 1 " +
-        "AS BIGINT)")).as(s"v$i")
-    }
-    val bits = (0 until 60).map(i =>
-      when(col(s"v$i") > 0, lit(1L << i)).otherwise(lit(0L)))
-    th.groupBy(col(id))
-      .agg(votes.head, votes.tail: _*)
-      .select(col(id), bits.reduce(_ + _).as("simhash"))
-  }
+      text: String = "text"): DataFrame =
+    voteSimhash(doc, id, text, salts = Seq("w0:", "w1:"), bitsPerHash = 30)
 
   /** Production-scale simhash near-dup: 60-bit signature, 4×15-bit
     * chunks → 4×32768 candidate buckets (vs [[simhashPairs]]' 4×256 —

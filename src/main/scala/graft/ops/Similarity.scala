@@ -20,6 +20,11 @@ object Similarity {
 
   val QuantScale = 1000000.0d
 
+  /** Cosine at/above which two embeddings count as near-duplicates —
+    * shared by [[cosineNearDupPairs]], [[hardNegatives]] and the ext49
+    * oracle SQL (single source of truth; r4 ADVICE). */
+  val NearDupThreshold = 0.42d
+
   /** Quantize a float-array embedding to int64: floor(double(v)*1e6) —
     * the native fused expression (one primitive loop in whole-stage
     * codegen; the composed `transform` below is a CodegenFallback HOF
@@ -96,7 +101,7 @@ object Similarity {
    * is identical.
    */
   def hardNegatives(emb: DataFrame, queries: DataFrame, k: Int,
-      dupThreshold: Double = 0.42, id: String = "vec_id",
+      dupThreshold: Double = NearDupThreshold, id: String = "vec_id",
       vec: String = "embedding"): DataFrame = {
     val corpus = prepared(emb, id, vec).toDF("t_id", "t_q", "t_n2")
     val qs = prepared(queries, id, vec).toDF("q_id", "q_q", "q_n2")
@@ -289,7 +294,7 @@ object Similarity {
    * = fewer candidates — while the self-join stays an equi-join on
    * (band_id, band), never all-pairs.
    */
-  def cosineNearDupPairs(emb: DataFrame, threshold: Double = 0.42,
+  def cosineNearDupPairs(emb: DataFrame, threshold: Double = NearDupThreshold,
       nBits: Int = 16, bandBits: Int = 4,
       id: String = "vec_id", vec: String = "embedding"): DataFrame = {
     require(nBits % bandBits == 0, "nBits must be a multiple of bandBits")

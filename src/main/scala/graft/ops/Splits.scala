@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /**
@@ -35,5 +36,58 @@ object Splits {
         when(col("bucket") < trainPct, lit("train"))
           .when(col("bucket") < trainPct + valPct, lit("val"))
           .otherwise(lit("test")))
+  }
+
+  /**
+   * Leakage-safe split: every member of a near-dup cluster hashes the
+   * CLUSTER's canonical id (its min member, from
+   * [[Components.connectedComponents]] over the detector's pair graph),
+   * so no near-duplicate pair can ever straddle train/val/test — the
+   * contamination [[assign]] alone cannot prevent (two near-dup docs
+   * hash independently and land in different splits ~10% of the time at
+   * 90/5/5). Docs outside any pair keep their own id as the key, so
+   * their assignment is IDENTICAL to plain [[assign]] — adopting the
+   * leakage-safe form re-splits only the clustered minority.
+   *
+   * Scale shape: the cluster map is |clustered docs| rows — a tiny
+   * fraction of the corpus (broadcast-able left join; Catalyst/AQE picks
+   * broadcast when it fits); the assignment itself stays a pure
+   * projection. The pair graph is whatever near-dup detector the
+   * pipeline already ran (MinHash-LSH, SimHash, embedding-cosine).
+   */
+  def assignLeakageSafe(doc: DataFrame, pairs: DataFrame,
+      id: String = "doc_id", salt: String = "split",
+      trainPct: Int = 90, valPct: Int = 5): DataFrame = {
+    val clusters = Components.connectedComponents(pairs)
+      .withColumnRenamed("id", id)
+    val keyed = doc.join(clusters, Seq(id), "left")
+      .withColumn("split_key", coalesce(col("cluster_id"), col(id)))
+      .drop("cluster_id")
+    assign(keyed, col("split_key"), salt, trainPct, valPct)
+  }
+
+  /**
+   * Deterministic shard assignment + within-shard sequence — the
+   * training-shard writer shape: `shard` is the portable hash of the id
+   * mod `nShards` (stable across reruns, engines and appends — a doc
+   * never migrates shards), `seq` ranks the shard's members by
+   * (hash draw, id), so each shard's internal order is a reproducible
+   * hash-shuffle rather than corpus order (consecutive crawl docs are
+   * correlated; training wants them dispersed).
+   *
+   * Scale shape: ONE keyed shuffle on `shard` + a per-shard sort —
+   * exactly `repartition(nShards, shard).sortWithinPartitions(draw, id)`
+   * on the write path; nShards bounds the parallelism of the final
+   * write, not any intermediate state. No global ordering anywhere.
+   */
+  def shardAssign(df: DataFrame, id: Column, nShards: Int,
+      salt: String = "shard"): DataFrame = {
+    require(nShards > 0, "nShards must be positive")
+    val draw =
+      Hashing.portableHash32(concat(lit(salt + ":"), id.cast("string")))
+    val w = Window.partitionBy(col("shard")).orderBy(col("draw"), id)
+    df.withColumn("draw", draw)
+      .withColumn("shard", col("draw") % nShards)
+      .withColumn("seq", row_number().over(w).cast("long"))
   }
 }

@@ -58,6 +58,18 @@ class ComponentsSpec extends TestBase {
     assert(res.passed, res.status.toString)
   }
 
+  test("empty pair graph (duplicate-free corpus) yields an empty result " +
+      "in both algorithms, not an NPE") {
+    import spark.implicits._
+    // Gen.nonEmptyListOf never covers this; minhashLsh on a duplicate-
+    // free corpus returns zero pairs and the checksum probe must read
+    // the null sum as zero (r4 ADVICE).
+    val empty = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    assert(graft.ops.Components.connectedComponents(empty).count() == 0L)
+    assert(graft.ops.Components.connectedComponentsAlternating(empty)
+      .count() == 0L)
+  }
+
   test("self-pair-only vertices keep their own label in both algorithms") {
     import spark.implicits._
     val pairs = Seq((7L, 7L), (1L, 2L), (2L, 2L)).toDF("id_a", "id_b")

@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
 
 import graft.ingest.Tables
 import graft.ops.{Dedup, MediaAsset, Multimodal, Similarity}
@@ -366,6 +367,25 @@ class OpsSpec extends TestBase {
     // Column-name contract: oracle keys must be declared queries.
     val undeclared = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(undeclared.isEmpty, s"oracle SQL without a query: $undeclared")
+  }
+
+  test("driver contract: no oracle-checked query returns a top-level " +
+    "complex column (the comparator can only sort/hash scalars)") {
+    // The driver's pandas comparator crashes on array cells (r4: ext43,
+    // ext50) — array/map/struct outputs must be joined to strings or
+    // exploded to scalar rows before registration.
+    val dir = sf("sf0.001")
+    val offenders = SparkEntry.oracleSql.keys.toSeq.sorted.flatMap { name =>
+      SparkEntry.queries(name)(spark, dir).schema.fields.collect {
+        case f if f.dataType.isInstanceOf[ArrayType] ||
+            f.dataType.isInstanceOf[MapType] ||
+            f.dataType.isInstanceOf[StructType] =>
+          s"$name.${f.name}: ${f.dataType.simpleString}"
+      }
+    }
+    assert(offenders.isEmpty,
+      s"comparator-unsafe output columns: ${offenders.mkString(", ")}")
+    graft.ops.Reuse.freeAll(spark)
   }
 
   test("leak spans: exact positions of benchmark n-grams (ext50)") {

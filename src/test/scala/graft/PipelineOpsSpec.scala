@@ -35,6 +35,55 @@ class PipelineOpsSpec extends TestBase {
     assert(differing > 400) // ~99% differ for independent hashes
   }
 
+  test("leakage-safe split: cluster members share a split, singletons " +
+      "match plain assign (ext51)") {
+    import spark.implicits._
+    val docs = spark.range(0, 300).toDF("doc_id")
+    // Two clusters — a chain {5,6,7} and a pair {100, 250} — plus 295
+    // unclustered docs.
+    val pairs = Seq((5L, 6L), (6L, 7L), (100L, 250L)).toDF("id_a", "id_b")
+    val got = Splits.assignLeakageSafe(docs, pairs)
+      .select("doc_id", "split_key", "bucket", "split")
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> r).toMap
+    // Every cluster member keys on the cluster minimum → same split.
+    assert(Seq(5L, 6L, 7L).map(got(_)._2).distinct == Seq(5L))
+    assert(Seq(5L, 6L, 7L).map(got(_)._4).distinct.size == 1)
+    assert(got(250L)._2 == 100L && got(250L)._4 == got(100L)._4)
+    // Unclustered docs reproduce the plain assignment bit-exactly.
+    val plain = Splits.assign(docs, col("doc_id"))
+      .select("doc_id", "bucket", "split")
+      .as[(Long, Long, String)].collect().map(r => r._1 -> r).toMap
+    val clustered = Set(5L, 6L, 7L, 100L, 250L)
+    assert((0L until 300L).filterNot(clustered).forall { d =>
+      got(d)._2 == d && got(d)._3 == plain(d)._2 && got(d)._4 == plain(d)._3
+    })
+    graft.ops.Reuse.freeAll(spark)
+  }
+
+  test("shard assign: stable shard, dense reproducible within-shard " +
+      "sequence (ext52)") {
+    import spark.implicits._
+    val docs = spark.range(0, 1000).toDF("doc_id")
+    val a = Splits.shardAssign(docs, col("doc_id"), 8)
+      .select("doc_id", "shard", "seq")
+    // Deterministic and partitioning-independent.
+    val b = Splits.shardAssign(docs.repartition(7), col("doc_id"), 8)
+      .select("doc_id", "shard", "seq")
+    assert(a.except(b).isEmpty && b.except(a).isEmpty)
+    val rows = a.as[(Long, Long, Long)].collect()
+    assert(rows.map(_._2).forall(s => s >= 0 && s < 8))
+    // seq is dense 1..n within each shard.
+    rows.groupBy(_._2).values.foreach { g =>
+      assert(g.map(_._3).sorted.toSeq == (1L to g.size).toSeq)
+    }
+    // A doc keeps its shard when the corpus grows (append stability).
+    val grown = Splits.shardAssign(
+      spark.range(0, 2000).toDF("doc_id"), col("doc_id"), 8)
+      .filter(col("doc_id") < 1000).select("doc_id", "shard")
+    assert(grown.except(a.select("doc_id", "shard")).isEmpty)
+  }
+
   test("kmv: exact below k, close estimate above k") {
     import spark.implicits._
     // Group "small": 10 distinct values (< k=64) → est must equal exact.

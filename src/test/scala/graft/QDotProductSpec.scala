@@ -45,6 +45,20 @@ class QDotProductSpec extends TestBase {
     assert(got.toSeq === Seq(11L, Long.MinValue))
   }
 
+  test("quantize_vector SQL form: non-foldable scale is a clean " +
+      "analysis error, not an NPE") {
+    import spark.implicits._
+    graft.functions.QuantizeVector.register(spark)
+    val df = Seq((Seq(1.0f, 2.0f), 2.0d)).toDF("e", "s")
+    // Literal scale still works through the SQL path.
+    assert(df.selectExpr("quantize_vector(e, 1000000.0) AS q")
+      .collect()(0).getSeq[Long](0) == Seq(1000000L, 2000000L))
+    val err = intercept[org.apache.spark.sql.AnalysisException] {
+      df.selectExpr("quantize_vector(e, s)").collect()
+    }
+    assert(err.getCondition == "NON_FOLDABLE_ARGUMENT", err.toString)
+  }
+
   test("stays inside WholeStageCodegen (no eval fallback)") {
     val d = spark.read.parquet(sf("sf0.001") + "/embeddings.parquet")
       .select(Similarity.quantize(col("embedding")).as("q"))

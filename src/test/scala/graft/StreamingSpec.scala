@@ -358,6 +358,33 @@ class StreamingSpec extends TestBase {
       "streamed resample differs from the batch selection")
   }
 
+  test("streaming decontamination == batch benchmarkOverlap (ext32 twin)") {
+    val docs = graft.ingest.Tables.documents(spark, sf("sf0.001"))
+    val bench = docs.filter(col("doc_id") < 20)
+    val corpus = docs.filter(col("doc_id") >= 20)
+    // Eval-suite membership computed once offline, as in production.
+    val benchH = graft.ops.Dedup.benchmarkShingles(bench)
+    val corpusDir =
+      Files.createTempDirectory("graft-decon-src").toString + "/docs"
+    corpus.select("doc_id", "text").write.parquet(corpusDir)
+    val out = Files.createTempDirectory("graft-decon-out").toString
+    val ckpt = Files.createTempDirectory("graft-decon-ckpt").toString
+    val q = StreamingPipeline.decontaminationSink(
+      StreamingPipeline.parquetStream(spark, corpusDir,
+        maxFilesPerTrigger = Some(1)), benchH, out)
+      .option("checkpointLocation", ckpt).start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.read.parquet(out)
+      .select("doc_id", "n_sh", "n_shared", "overlap_frac", "contaminated")
+    val batch = graft.ops.Dedup.benchmarkOverlap(
+      corpus.select("doc_id", "text"), bench.select("doc_id", "text"))
+    assert(streamed.count() == batch.count() && batch.count() > 0)
+    assert(streamed.except(batch).isEmpty && batch.except(streamed).isEmpty,
+      "streamed decontamination scores differ from the batch operator")
+    graft.ops.Reuse.freeAll(spark)
+  }
+
   test("streaming incremental dedup == sequential dedupeIncrement (ext36 twin)") {
     import spark.implicits._
     val srcDir = Files.createTempDirectory("graft-incdedup-src").toFile

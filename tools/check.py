@@ -34,8 +34,12 @@ def norm(v):
     # doubles, and the driver may hash them raw.
     if isinstance(v, float):
         return ("f", "nan") if math.isnan(v) else ("f", v)
-    if isinstance(v, list):
-        return tuple(norm(x) for x in v)
+    if isinstance(v, (list, dict)):
+        # The DRIVER's pandas comparator crashes on complex cells
+        # ("unhashable type: numpy.ndarray", r4 ext43/ext50) — fail here
+        # too instead of quietly normalizing to tuples.
+        raise TypeError(
+            f"complex cell — driver comparator cannot sort/hash it: {v!r}")
     return v
 
 fails = []
