@@ -643,6 +643,23 @@ object ExtEntry {
         .select("doc_id", "shard", "seq")
         .orderBy("doc_id")),
 
+    // Sliding-window chunking with overlap (32-token chunks, 8 shared):
+    // the context-window splitter for RAG indexing / fixed-window
+    // pretraining; explode-first, all-codegen like the shingle pipeline.
+    "ext53_chunk_overlap" -> ((s, dir) =>
+      TextOps.chunkWithOverlap(docs(s, dir), 32, 8)
+        .orderBy("doc_id", "chunk_id")),
+
+    // Detector-quality audit: recall of the MinHash-LSH candidate
+    // generator vs exact n-gram-Jaccard truth at 0.5 — the measured
+    // number that justifies the approximate path's band/row knobs.
+    "ext54_lsh_recall" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Dedup.pairRecall(
+        Dedup.ngramJaccard(d, threshold = 0.5),
+        Dedup.minhashLsh(d))
+    }),
+
     // Incremental corpus dedup: the crawl increment (doc_id % 10 < 2)
     // deduped against the established corpus through its band table —
     // only the increment is shingled; the corpus side is the stored
@@ -1545,6 +1562,60 @@ object ExtEntry {
          |       CAST(row_number() OVER (PARTITION BY draw % 8
          |         ORDER BY draw, doc_id) AS BIGINT) AS seq
          |FROM h ORDER BY doc_id""".stripMargin,
+
+    // Truth = the ext02 jaccard chain at 0.5; candidates = the ext03
+    // band chain; recall quantized to int64 so the compare is exact.
+    "ext54_lsh_recall" ->
+      s"""$ShingleSql,
+         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+         |inter AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+         |  FROM sh a JOIN sh b USING (h)
+         |  WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+         |truth AS (
+         |  SELECT id_a, id_b
+         |  FROM inter JOIN sizes na ON na.doc_id = id_a
+         |             JOIN sizes nb ON nb.doc_id = id_b
+         |  WHERE CAST(n_inter AS DOUBLE) /
+         |          CAST(na.n + nb.n - n_inter AS DOUBLE) >= 0.5),
+         |sig AS (
+         |  SELECT doc_id,
+         |         $minhashMinsSql
+         |  FROM sh GROUP BY 1),
+         |bands AS (
+         |  SELECT doc_id, b.band_id,
+         |         CASE b.band_id $bandSigSql END AS band_sig
+         |  FROM sig, (VALUES (0), (1), (2), (3)) b(band_id)),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b
+         |  FROM bands a JOIN bands b2 USING (band_id, band_sig)
+         |  WHERE a.doc_id < b2.doc_id),
+         |m AS (
+         |  SELECT CASE WHEN c.id_a IS NULL THEN NULL ELSE 1 END AS hit
+         |  FROM truth t LEFT JOIN cand c
+         |    ON t.id_a = c.id_a AND t.id_b = c.id_b)
+         |SELECT CAST(count(*) AS BIGINT) AS n_true,
+         |       CAST(COALESCE(SUM(hit), 0) AS BIGINT) AS n_detected,
+         |       CAST(COALESCE(floor(1000000.0 * (CAST(SUM(hit) AS DOUBLE)
+         |            / CAST(count(*) AS DOUBLE))), 0) AS BIGINT)
+         |         AS recall_q
+         |FROM m""".stripMargin,
+
+    // chunk k covers [k*24 + 1, k*24 + 32] (stride 24 = 32 - 8 overlap);
+    // both engines' slices are 1-based and clamp at the array end.
+    "ext53_chunk_overlap" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk
+        |             FROM documents)
+        |SELECT doc_id, CAST(k AS BIGINT) AS chunk_id,
+        |       CAST(k * 24 + 1 AS BIGINT) AS tok_start,
+        |       CAST(least(k * 24 + 32, len(tk)) AS BIGINT) AS tok_end,
+        |       array_to_string(tk[k * 24 + 1 : k * 24 + 32], ' ')
+        |         AS chunk_text
+        |FROM toks JOIN range(0, 64) g(k)
+        |  ON len(tk) > 0
+        | AND k <= CAST(ceil(CAST(greatest(len(tk) - 32, 0) AS DOUBLE)
+        |                    / 24) AS BIGINT)
+        |ORDER BY doc_id, chunk_id""".stripMargin,
 
     "ext32_decontaminate" ->
       s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk

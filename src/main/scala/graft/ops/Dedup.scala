@@ -241,6 +241,27 @@ object Dedup {
   }
 
   /**
+   * Detector-quality audit: recall of an approximate candidate-pair
+   * generator (LSH bands, simhash chunks, hyperplane buckets) against an
+   * exact truth pair set — the number that justifies the approximate
+   * path's knobs before a 100 TB run commits to them. Both inputs carry
+   * (id_a < id_b); output is ONE row: n_true, n_detected, and
+   * recall_q = floor(1e6 · detected/true) (quantized so the oracle
+   * compares an exact int64, not a float). Scale shape: one left join on
+   * the pair key + a global aggregate of three scalars.
+   */
+  def pairRecall(truth: DataFrame, candidates: DataFrame): DataFrame =
+    truth.select("id_a", "id_b")
+      .join(candidates.select("id_a", "id_b").withColumn("hit", lit(1L)),
+        Seq("id_a", "id_b"), "left")
+      .agg(count(lit(1)).as("n_true"),
+        coalesce(sum(col("hit")), lit(0L)).as("n_detected"),
+        coalesce(floor(lit(1000000.0d) *
+            (sum(col("hit")).cast("double") /
+              count(lit(1)).cast("double"))).cast("long"),
+          lit(0L)).as("recall_q"))
+
+  /**
    * Turn near-dup PAIRS into a kept corpus: for every pair (a < b), drop
    * b — the standard single-pass policy of large-scale dedup pipelines
    * (exact transitive closure needs iterative connected components; the

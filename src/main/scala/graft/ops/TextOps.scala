@@ -31,6 +31,44 @@ object TextOps {
         i => concat_ws(" ", slice(toks, i, lit(n)))))
       .otherwise(array().cast("array<string>"))
 
+  /**
+   * Sliding-window document chunking with overlap — the context-window
+   * splitter feeding RAG indexing and fixed-window pretraining: chunk k
+   * covers tokens [k·stride + 1, k·stride + chunkTokens] (1-based,
+   * stride = chunkTokens − overlap), so consecutive chunks share exactly
+   * `overlap` tokens and every token lands in ≥1 chunk; the last chunk
+   * may run short (it clamps at the doc's end). Docs with zero tokens
+   * yield no chunks.
+   *
+   * Scale shape: explode-first like the shingle pipeline — the chunk
+   * index range explodes per row, then start/end/text are flat per-row
+   * projections (`slice`/`concat_ws`, all codegen'd; no per-doc array
+   * lambda). Fan-out is n/stride rows per doc — inherent to the op, no
+   * shuffle until whatever consumes the chunks.
+   */
+  def chunkWithOverlap(doc: DataFrame, chunkTokens: Int = 32,
+      overlap: Int = 8, id: String = "doc_id",
+      text: String = "text"): DataFrame = {
+    require(overlap >= 0 && overlap < chunkTokens,
+      "overlap must be in [0, chunkTokens)")
+    val stride = chunkTokens - overlap
+    doc.select(col(id), tokens(col(text)).as("_toks"))
+      .select(col(id), col("_toks"),
+        explode(when(size(col("_toks")) > 0,
+          sequence(lit(0),
+            ceil(greatest(size(col("_toks")) - lit(chunkTokens), lit(0))
+              .cast("double") / lit(stride)).cast("int")))
+          .otherwise(array().cast("array<int>"))).as("_k"))
+      .select(col(id),
+        col("_k").cast("long").as("chunk_id"),
+        (col("_k") * stride + 1).cast("long").as("tok_start"),
+        least(col("_k") * stride + chunkTokens, size(col("_toks")))
+          .cast("long").as("tok_end"),
+        concat_ws(" ",
+          slice(col("_toks"), col("_k") * stride + 1, lit(chunkTokens)))
+          .as("chunk_text"))
+  }
+
   /** Whitespace token count + a BPE-ish subword estimate:
     * ceil(len/4) per token via integer math ((len+3) div 4). */
   def tokenCounts(doc: DataFrame, text: String = "text"): DataFrame =

@@ -1,11 +1,20 @@
 package graft.stream
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery, Trigger}
+import org.apache.spark.sql.streaming.{DataStreamWriter, GroupState,
+  GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
 
 import graft.agg.Windows
 import graft.ingest.Tables
+
+/** Input row of [[StreamingPipeline.shardSequencerStream]]: a doc with
+  * its hash draw and shard already projected (the stateless half of
+  * `Splits.shardAssign`). */
+case class ShardedDoc(doc_id: Long, draw: Long, shard: Long)
+
+/** Output row: the doc's permanent shard plus its append position. */
+case class ShardSeq(doc_id: Long, shard: Long, seq: Long)
 
 /**
  * Structured Streaming pipeline (SURVEY.md §2.6/§2.7, M5) — the live path
@@ -279,6 +288,48 @@ object StreamingPipeline {
         graft.ops.Dedup.benchmarkOverlapAgainst(batch, benchH)
           .write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
     }
+  }
+
+  /**
+   * Streaming twin of `Splits.shardAssign` (ext52): a continuous
+   * training-shard writer. The stateless half (portable-hash draw,
+   * `shard = draw % nShards`) is identical to the batch operator — a doc
+   * gets the same shard no matter which path computed it; the sequence
+   * number is the genuinely stateful half, assigned by
+   * `flatMapGroupsWithState` keyed on shard with ONE Long of state per
+   * shard (the append cursor) — the minimal-custom-state shape
+   * `KeyValueGroupedDataset` exists for. Within a micro-batch each
+   * shard's arrivals are ordered by (draw, id) — so a single-batch
+   * replay reproduces the batch operator's seq EXACTLY — while across
+   * batches seq is append-ordered (an append-only shard writer cannot
+   * re-sort history; positions stay dense and never repeat, which is
+   * the contract shard readers need).
+   *
+   * State size: nShards longs TOTAL, regardless of corpus size — no
+   * watermark needed, nothing to expire.
+   */
+  def shardSequencerStream(docs: DataFrame, id: Column, nShards: Int,
+      salt: String = "shard"): Dataset[ShardSeq] = {
+    import docs.sparkSession.implicits._
+    require(nShards > 0, "nShards must be positive")
+    val draw = graft.ops.Hashing.portableHash32(
+      concat(lit(salt + ":"), id.cast("string")))
+    docs.select(id.cast("long").as("doc_id"), draw.as("draw"),
+        (draw % nShards).as("shard")).as[ShardedDoc]
+      .groupByKey(_.shard)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout) {
+        (shard: Long, rows: Iterator[ShardedDoc],
+            state: GroupState[Long]) =>
+          val from = state.getOption.getOrElse(0L)
+          // Deterministic in-batch order; bounded by the micro-batch's
+          // share of one shard, not by history.
+          val batch = rows.toArray.sortBy(d => (d.draw, d.doc_id))
+          state.update(from + batch.length)
+          batch.iterator.zipWithIndex.map { case (d, i) =>
+            ShardSeq(d.doc_id, shard, from + i + 1)
+          }
+      }
   }
 
   /**

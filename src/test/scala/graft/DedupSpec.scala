@@ -97,4 +97,21 @@ class DedupSpec extends TestBase {
       SCTest.Parameters.default.withMinSuccessfulTests(8), p)
     assert(res.passed, res.status.toString)
   }
+
+  test("pairRecall: exact quantized fraction; misses counted; empty " +
+      "truth and zero-hit edges are 0, not null (ext54)") {
+    import spark.implicits._
+    val truth = Seq((1L, 2L), (3L, 4L), (5L, 6L), (7L, 8L))
+      .toDF("id_a", "id_b")
+    val cand = Seq((1L, 2L), (3L, 4L), (5L, 6L), (9L, 10L))
+      .toDF("id_a", "id_b")
+    val got = Dedup.pairRecall(truth, cand)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq((4L, 3L, 750000L))) // 3/4 found; extra cand ignored
+    val empty = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    assert(Dedup.pairRecall(empty, cand)
+      .as[(Long, Long, Long)].collect().toSeq == Seq((0L, 0L, 0L)))
+    assert(Dedup.pairRecall(truth, empty)
+      .as[(Long, Long, Long)].collect().toSeq == Seq((4L, 0L, 0L)))
+  }
 }

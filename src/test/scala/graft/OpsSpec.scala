@@ -388,6 +388,41 @@ class OpsSpec extends TestBase {
     graft.ops.Reuse.freeAll(spark)
   }
 
+  test("chunking: spans, overlap, short tail, boundary cases (ext53)") {
+    import spark.implicits._
+    def doc(id: Long, n: Int) = (id, (1 to n).map(i => s"t$i").mkString(" "))
+    // 100 tokens -> 4 chunks; 33 -> 2 (one past boundary); 32 -> 1
+    // (exact boundary); 5 -> 1 (short doc).
+    val docs = Seq(doc(1, 100), doc(2, 33), doc(3, 32), doc(4, 5))
+      .toDF("doc_id", "text")
+    val got = graft.ops.TextOps.chunkWithOverlap(docs, 32, 8)
+      .orderBy("doc_id", "chunk_id")
+      .as[(Long, Long, Long, Long, String)].collect().toSeq
+    val spans = got.map(r => (r._1, r._2, r._3, r._4))
+    assert(spans == Seq(
+      (1L, 0L, 1L, 32L), (1L, 1L, 25L, 56L), (1L, 2L, 49L, 80L),
+      (1L, 3L, 73L, 100L),
+      (2L, 0L, 1L, 32L), (2L, 1L, 25L, 33L),
+      (3L, 0L, 1L, 32L),
+      (4L, 0L, 1L, 5L)))
+    // Consecutive chunks share exactly `overlap` tokens; every token of
+    // every doc is covered.
+    spans.groupBy(_._1).values.foreach { g =>
+      g.sortBy(_._2).sliding(2).foreach {
+        case Seq((_, _, _, e1), (_, _, s2, _)) => assert(e1 - s2 + 1 >= 8)
+        case _ => ()
+      }
+      assert(g.map(_._3).min == 1L)
+    }
+    assert(spans.filter(_._1 == 1L).flatMap(s => s._3 to s._4).toSet ==
+      (1L to 100L).toSet)
+    // chunk_text is exactly the token slice.
+    assert(got.find(r => r._1 == 1L && r._2 == 3L).get._5 ==
+      (73 to 100).map(i => s"t$i").mkString(" "))
+    assert(got.find(r => r._1 == 4L).get._5 ==
+      (1 to 5).map(i => s"t$i").mkString(" "))
+  }
+
   test("leak spans: exact positions of benchmark n-grams (ext50)") {
     import spark.implicits._
     val bench = Seq((1L, "secret eval question here")).toDF("doc_id", "text")

@@ -385,6 +385,45 @@ class StreamingSpec extends TestBase {
     graft.ops.Reuse.freeAll(spark)
   }
 
+  test("streaming shard sequencer: single batch == batch shardAssign; " +
+      "multi-batch keeps shards and dense seq (ext52 twin)") {
+    import spark.implicits._
+    val batchDocs = graft.ingest.Tables.documents(spark, sf("sf0.001"))
+      .select("doc_id", "text")
+    val batch = graft.ops.Splits.shardAssign(batchDocs, col("doc_id"), 8)
+      .select("doc_id", "shard", "seq")
+    val srcDir = Files.createTempDirectory("graft-shard-src").toString + "/d"
+    batchDocs.write.parquet(srcDir)
+    def run(maxFiles: Option[Int], name: String) = {
+      val q = StreamingPipeline.shardSequencerStream(
+        StreamingPipeline.parquetStream(spark, srcDir,
+          maxFilesPerTrigger = maxFiles), col("doc_id"), 8)
+        .writeStream.outputMode("append").format("memory")
+        .queryName(name).start()
+      q.processAllAvailable()
+      q.stop()
+      spark.table(name)
+    }
+    // One trigger sees the whole corpus -> in-batch (draw, id) ordering
+    // reproduces the batch operator exactly, seq included.
+    val single = run(None, "shard_single")
+    assert(single.count() == batch.count())
+    assert(single.except(batch).isEmpty && batch.except(single).isEmpty,
+      "single-batch streamed shard/seq differs from batch shardAssign")
+    // File-at-a-time replay: shard assignment still identical (stateless
+    // half), seq still dense 1..n per shard (the cursor state), though
+    // append-ordered rather than corpus-ordered.
+    val multi = run(Some(1), "shard_multi")
+    assert(multi.count() == batch.count())
+    assert(multi.select("doc_id", "shard")
+      .except(batch.select("doc_id", "shard")).isEmpty)
+    val byShard = multi.select("shard", "seq").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq)
+    byShard.foreach { case (_, seqs) =>
+      assert(seqs == (1L to seqs.size).toSeq)
+    }
+  }
+
   test("streaming incremental dedup == sequential dedupeIncrement (ext36 twin)") {
     import spark.implicits._
     val srcDir = Files.createTempDirectory("graft-incdedup-src").toFile
