@@ -652,13 +652,24 @@ object ExtEntry {
 
     // Detector-quality audit: recall of the MinHash-LSH candidate
     // generator vs exact n-gram-Jaccard truth at 0.5 — the measured
-    // number that justifies the approximate path's band/row knobs.
+    // number that justifies the approximate path's band/row knobs. Both
+    // detectors consume ONE materialized shingle pass (the from-groups
+    // composition entry points), not two.
     "ext54_lsh_recall" -> ((s, dir) => {
       val d = docs(s, dir)
+      val g = Dedup.shingleGroups(d, "doc_id", "text")
+      val sig = graft.ops.Reuse.shared(Dedup.minhashSignaturesFromGroups(g))
       Dedup.pairRecall(
-        Dedup.ngramJaccard(d, threshold = 0.5),
-        Dedup.minhashLsh(d))
+        Dedup.ngramJaccardFromGroups(g, threshold = 0.5),
+        Dedup.minhashLshFromSig(sig))
     }),
+
+    // Winnowing fingerprints (MOSS): min k-gram hash per sliding window
+    // of w=4 — any shared >= k+w-1-token substring shares a fingerprint
+    // while only ~2/(w+1) of position hashes are stored.
+    "ext55_winnowing" -> ((s, dir) =>
+      TextOps.winnowingFingerprints(docs(s, dir))
+        .orderBy("doc_id", "fp")),
 
     // Incremental corpus dedup: the crawl increment (doc_id % 10 < 2)
     // deduped against the established corpus through its band table —
@@ -1562,6 +1573,25 @@ object ExtEntry {
          |       CAST(row_number() OVER (PARTITION BY draw % 8
          |         ORDER BY draw, doc_id) AS BIGINT) AS seq
          |FROM h ORDER BY doc_id""".stripMargin,
+
+    // Same position hashes and 4000-position cap as the ext50 oracle;
+    // tail windows dropped via the per-doc position count.
+    "ext55_winnowing" ->
+      s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk
+         |             FROM documents),
+         |ph AS (
+         |  SELECT doc_id, i AS p,
+         |         ${hashSql("tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]")} AS h
+         |  FROM toks JOIN range(1, 4001) g(i) ON i <= len(tk) - 2),
+         |wmin AS (
+         |  SELECT doc_id, p,
+         |         min(h) OVER (PARTITION BY doc_id ORDER BY p
+         |           ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp,
+         |         count(*) OVER (PARTITION BY doc_id) AS m
+         |  FROM ph)
+         |SELECT DISTINCT doc_id, fp
+         |FROM wmin WHERE p <= greatest(1, m - 3)
+         |ORDER BY doc_id, fp""".stripMargin,
 
     // Truth = the ext02 jaccard chain at 0.5; candidates = the ext03
     // band chain; recall quantized to int64 so the compare is exact.

@@ -123,8 +123,14 @@ object Dedup {
    * producing the identical multiset of (id_a < id_b) candidates.
    */
   def ngramJaccard(doc: DataFrame, id: String = "doc_id",
-      text: String = "text", threshold: Double = 0.1): DataFrame = {
-    val g = shingleGroups(doc, id, text)
+      text: String = "text", threshold: Double = 0.1): DataFrame =
+    ngramJaccardFromGroups(shingleGroups(doc, id, text), id, threshold)
+
+  /** [[ngramJaccard]] over a pre-built (materialized) [[shingleGroups]]
+    * relation — the composition entry point when several detectors share
+    * one shingle pass (e.g. the ext54 recall audit). */
+  def ngramJaccardFromGroups(g: DataFrame, id: String = "doc_id",
+      threshold: Double = 0.1): DataFrame = {
     val inter = g.select(explode(pairCombos(col("ids"))).as("p"))
       .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
       // pairCombos pairs strictly-later list positions, so id_a < id_b
@@ -282,11 +288,20 @@ object Dedup {
     * mins (min((a_j*h + b_j) mod p) per doc) — the multi-aggregate fusion
     * pattern, shuffle stays at |docs| rows. */
   def minhashSignatures(doc: DataFrame, id: String = "doc_id",
-      text: String = "text"): DataFrame = {
+      text: String = "text"): DataFrame =
     // The shingle relation has exactly one consumer here (the min
     // aggregate) — no materialization; the caller checkpoints the much
     // smaller signature table instead.
-    val sh = shingleHashes(doc, id, text, materialize = false)
+    signaturesFromHashes(shingleHashes(doc, id, text, materialize = false),
+      id)
+
+  /** [[minhashSignatures]] over a pre-built [[shingleGroups]] relation —
+    * for compositions that share one shingle pass across detectors. */
+  def minhashSignaturesFromGroups(g: DataFrame,
+      id: String = "doc_id"): DataFrame =
+    signaturesFromHashes(g.select(explode(col("ids")).as(id), col("h")), id)
+
+  private def signaturesFromHashes(sh: DataFrame, id: String): DataFrame = {
     val mins = (0 until NumHashes).map { j =>
       min((col("h") * Hashing.seedA(j) + Hashing.seedB(j))
         % Hashing.Mersenne31).as(s"mh$j")
@@ -314,10 +329,15 @@ object Dedup {
    * (band_id, band_signature) — the LSH bucket — never an all-pairs scan.
    */
   def minhashLsh(doc: DataFrame, id: String = "doc_id",
-      text: String = "text"): DataFrame = {
+      text: String = "text"): DataFrame =
     // One signature row per doc, consumed three times (band explode +
     // both sides of the verify join) — eagerly materialized (see Reuse).
-    val sig = Reuse.shared(minhashSignatures(doc, id, text))
+    minhashLshFromSig(Reuse.shared(minhashSignatures(doc, id, text)), id)
+
+  /** [[minhashLsh]] from an ALREADY-MATERIALIZED signature table (it is
+    * consumed three times — pass it through [[Reuse.shared]] first). */
+  def minhashLshFromSig(sig: DataFrame,
+      id: String = "doc_id"): DataFrame = {
     val banded = bandedSignatures(sig, id)
     // Candidates via the banded SELF-JOIN, not the in-list combination
     // explode used by ngramJaccard: LSH band buckets have NO size bound

@@ -421,6 +421,48 @@ object TextOps {
         substring(md5(lower(col(text))), 1, 16).as("content_fp"))
       .join(rolling, Seq(id))
   }
+
+  /**
+   * Winnowing fingerprints (Schleimer/Wilkerson/Aiken, "Winnowing: Local
+   * Algorithms for Document Fingerprinting") — the MOSS-style robust
+   * upgrade of [[fingerprints]]: hash every k-gram position, then keep
+   * the MINIMUM hash of each sliding window of `w` consecutive k-grams,
+   * distinct per doc. Guarantee: any shared substring of length ≥
+   * k + w − 1 tokens produces at least one shared fingerprint, while
+   * only ~2/(w+1) of position hashes are stored — the density/detection
+   * trade local fingerprinting is built on. Docs with fewer than w
+   * k-grams contribute one window over all of them; docs below k tokens
+   * contribute nothing.
+   *
+   * Plan shape: explode-first position hashes (the shingle-pipeline
+   * codegen pattern) under the same [[Dedup.MaxShinglesPerDoc]] cap as
+   * the dedup probes, ONE doc-keyed shuffle for the ordered window
+   * (winnowing is inherently per-doc sequential), then a local distinct.
+   * The window frame is ROWS [CURRENT, w-1 FOLLOWING] with tail windows
+   * (start > m−w+1) filtered out via a per-doc position count.
+   */
+  def winnowingFingerprints(doc: DataFrame, k: Int = 3, w: Int = 4,
+      id: String = "doc_id", text: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1 && w >= 1, "k and w must be >= 1")
+    val posH = doc.select(col(id), tokens(col(text)).as("_toks"))
+      .select(col(id), col("_toks"),
+        explode(when(size(col("_toks")) >= k,
+          sequence(lit(1), least(size(col("_toks")) - lit(k - 1),
+            lit(Dedup.MaxShinglesPerDoc))))
+          .otherwise(array().cast("array<int>"))).as("_p"))
+      .select(col(id), col("_p"),
+        Hashing.portableHash32(
+          concat_ws(" ", slice(col("_toks"), col("_p"), lit(k)))).as("h"))
+    val win = Window.partitionBy(col(id)).orderBy(col("_p"))
+      .rowsBetween(Window.currentRow, w - 1)
+    val cnt = Window.partitionBy(col(id))
+    posH
+      .withColumn("fp", min(col("h")).over(win))
+      .withColumn("_m", count(lit(1)).over(cnt))
+      .filter(col("_p") <= greatest(lit(1), col("_m") - lit(w - 1)))
+      .select(col(id), col("fp")).distinct()
+  }
 }
 
 /**

@@ -423,6 +423,40 @@ class OpsSpec extends TestBase {
       (1 to 5).map(i => s"t$i").mkString(" "))
   }
 
+  test("winnowing: shared >= k+w-1 substring shares a fingerprint; " +
+      "density < 1; short-doc edges (ext55)") {
+    import spark.implicits._
+    // Docs 1 and 2 share the 6-token run "p q r s t u" (k+w-1 = 3+4-1=6
+    // => the winnowing guarantee applies); doc 3 is disjoint; doc 4 has
+    // exactly one trigram; doc 5 has two (m=2 < w: one window over
+    // both); doc 6 is below k tokens.
+    val docs = Seq(
+      (1L, "a b c p q r s t u d e f g h i j"),
+      (2L, "x y p q r s t u z w"),
+      (3L, "m n o mm nn oo mmm nnn"),
+      (4L, "one two three"),
+      (5L, "one two three four"),
+      (6L, "hi there"))
+      .toDF("doc_id", "text")
+    val got = graft.ops.TextOps.winnowingFingerprints(docs)
+      .as[(Long, Long)].collect().toSeq
+    val byDoc = got.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert((byDoc(1L) intersect byDoc(2L)).nonEmpty,
+      "guaranteed shared fingerprint missing")
+    assert((byDoc(1L) intersect byDoc(3L)).isEmpty)
+    // Density: doc 1 has 14 trigram positions, w=4 keeps far fewer.
+    assert(byDoc(1L).size < 14 && byDoc(1L).size >= 3)
+    assert(byDoc(4L).size == 1 && byDoc(5L).size == 1)
+    assert(!byDoc.contains(6L))
+    // m=2 < w: the single window's fp is the min of both hashes.
+    val h5 = docs.filter(col("doc_id") === 5)
+      .select(explode(graft.ops.TextOps.shingles(
+        graft.ops.TextOps.tokens(col("text")))).as("s"))
+      .select(graft.ops.Hashing.portableHash32(col("s")))
+      .as[Long].collect()
+    assert(byDoc(5L) == Set(h5.min))
+  }
+
   test("leak spans: exact positions of benchmark n-grams (ext50)") {
     import spark.implicits._
     val bench = Seq((1L, "secret eval question here")).toDF("doc_id", "text")

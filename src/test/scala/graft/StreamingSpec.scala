@@ -385,6 +385,26 @@ class StreamingSpec extends TestBase {
     graft.ops.Reuse.freeAll(spark)
   }
 
+  test("chunkWithOverlap is streaming-safe: streamed chunks == batch " +
+      "chunks (ext53, stateless projection)") {
+    val batchDocs = graft.ingest.Tables.documents(spark, sf("sf0.001"))
+      .select("doc_id", "text")
+    val srcDir = Files.createTempDirectory("graft-chunk-src").toString + "/d"
+    batchDocs.write.parquet(srcDir)
+    val q = graft.ops.TextOps.chunkWithOverlap(
+      StreamingPipeline.parquetStream(spark, srcDir,
+        maxFilesPerTrigger = Some(1)), 32, 8)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("chunk_stream").start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("chunk_stream")
+    val batch = graft.ops.TextOps.chunkWithOverlap(batchDocs, 32, 8)
+    assert(streamed.count() == batch.count() && batch.count() > 0)
+    assert(streamed.except(batch).isEmpty && batch.except(streamed).isEmpty,
+      "streamed chunks differ from batch chunking")
+  }
+
   test("streaming shard sequencer: single batch == batch shardAssign; " +
       "multi-batch keeps shards and dense seq (ext52 twin)") {
     import spark.implicits._
