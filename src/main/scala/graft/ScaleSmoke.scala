@@ -44,6 +44,20 @@ object ScaleSmoke {
         graft.ops.Dedup.minhashLsh(big).select("id_a", "id_b"))
     }
     time("lm_quality") { graft.ops.TextOps.lmQuality(big) }
+    // r5 additions. Winnowing and chunking are per-doc local (expect
+    // linear); leakage-safe split rides the LSH pair graph + components
+    // (the cluster-map join must stay broadcast/linear); shard
+    // assignment's sort parallelism is nShards — smoked at 64 shards so
+    // the per-shard sort, not an 8-task bottleneck, is what's measured.
+    time("winnowing_fps") { graft.ops.TextOps.winnowingFingerprints(big) }
+    time("chunk_overlap") { graft.ops.TextOps.chunkWithOverlap(big) }
+    time("leakage_safe_split") {
+      graft.ops.Splits.assignLeakageSafe(big,
+        graft.ops.Dedup.minhashLsh(big).select("id_a", "id_b"))
+    }
+    time("shard_assign_64") {
+      graft.ops.Splits.shardAssign(big, col("doc_id"), 64)
+    }
     // Embeddings family at Nx: shifted copies are exact duplicate
     // vectors, so each id-family is a planted all-pairs near-dup
     // cluster (the mass-duplicate stress case for banded LSH).
