@@ -1,0 +1,116 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Empty-input sweep: a duplicate-free or empty corpus must flow through
+ * every operator as an empty (or well-defined) result, never an NPE or
+ * ANSI error. Round-4 ADVICE found exactly this class of bug in the
+ * components convergence probe (sum over zero rows = SQL null); this
+ * spec closes the class, not just the instance.
+ */
+class EmptyInputSpec extends TestBase {
+
+  import org.apache.spark.sql.types._
+
+  private def emptyDocs = {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("text", StringType),
+      StructField("lang", StringType),
+      StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+  }
+
+  private def emptyEmb = {
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType)),
+      StructField("label", LongType)))
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+  }
+
+  private def countOf(name: String)(df: => DataFrame): (String, Long) = {
+    val n = df.count()
+    graft.ops.Reuse.freeAll(spark)
+    name -> n
+  }
+
+  test("dedup family: empty corpus flows through as empty, no NPE") {
+    import graft.ops.Dedup
+    val d = emptyDocs
+    val results = Seq(
+      countOf("ngramJaccard")(Dedup.ngramJaccard(d)),
+      countOf("minhashLsh")(Dedup.minhashLsh(d)),
+      countOf("simhashPairs")(Dedup.simhashPairs(d)),
+      countOf("simhashPairsWide")(Dedup.simhashPairsWide(d)),
+      countOf("benchmarkOverlap")(Dedup.benchmarkOverlap(d, d)),
+      countOf("benchmarkLeakSpans")(Dedup.benchmarkLeakSpans(d, d)),
+      countOf("keepRepresentatives")(
+        Dedup.keepRepresentatives(d,
+          Dedup.minhashLsh(d).select("id_a", "id_b"))),
+      countOf("dedupeIncrement")(
+        Dedup.dedupeIncrement(
+          Dedup.bandedSignatures(Dedup.minhashSignatures(d)), d)))
+    assert(results.forall(_._2 == 0L), results.toString)
+    // pairRecall contracts to one well-defined zero row.
+    import spark.implicits._
+    val pr = Dedup.pairRecall(
+      emptyDocs.select(col("doc_id").as("id_a"), col("doc_id").as("id_b")),
+      emptyDocs.select(col("doc_id").as("id_a"), col("doc_id").as("id_b")))
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(pr == Seq((0L, 0L, 0L)))
+  }
+
+  test("text family: empty corpus flows through as empty, no NPE") {
+    import graft.ops.TextOps
+    val d = emptyDocs
+    val results = Seq(
+      countOf("langScores")(TextOps.langScores(d)),
+      countOf("quality")(TextOps.quality(d)),
+      countOf("tokenCounts")(TextOps.tokenCounts(d)),
+      countOf("repetition")(TextOps.repetition(d)),
+      countOf("fingerprints")(TextOps.fingerprints(d)),
+      countOf("winnowingFingerprints")(TextOps.winnowingFingerprints(d)),
+      countOf("chunkWithOverlap")(TextOps.chunkWithOverlap(d)),
+      countOf("lmQuality")(TextOps.lmQuality(d)),
+      countOf("tfidfTopK")(TextOps.tfidfTopK(d)),
+      countOf("invertedIndex")(TextOps.invertedIndex(d)),
+      countOf("spanCorruption")(TextOps.spanCorruption(d)))
+    assert(results.forall(_._2 == 0L), results.toString)
+  }
+
+  test("similarity family: empty corpus/queries flow through, no NPE") {
+    import graft.ops.Similarity
+    val e = emptyEmb
+    val results = Seq(
+      countOf("bruteTopK")(Similarity.bruteTopK(e, e, 5)),
+      countOf("lshTopK")(Similarity.lshTopK(e, e, 5)),
+      countOf("hardNegatives")(Similarity.hardNegatives(e, e, 5)),
+      countOf("cosineNearDupPairs")(Similarity.cosineNearDupPairs(e)),
+      countOf("randomProject")(Similarity.randomProject(e)))
+    assert(results.forall(_._2 == 0L), results.toString)
+  }
+
+  test("splits / sampling / packing: empty inputs flow through, no NPE") {
+    import graft.ops.{Packing, Sampling, Splits}
+    val d = emptyDocs
+    import spark.implicits._
+    val noPairs = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    val results = Seq(
+      countOf("assign")(Splits.assign(d, col("doc_id"))),
+      countOf("assignLeakageSafe")(Splits.assignLeakageSafe(d, noPairs)),
+      countOf("shardAssign")(Splits.shardAssign(d, col("doc_id"), 8)),
+      countOf("stratifiedTopK")(
+        Sampling.stratifiedTopK(d, Seq("lang"), col("doc_id"), 5)),
+      countOf("temperatureResample")(
+        Sampling.temperatureResample(d, col("doc_id"), 100L, Seq("lang"))),
+      countOf("concatChunks")(Packing.concatChunks(d, col("doc_id"),
+        col("n_chars"), 512L)))
+    assert(results.forall(_._2 == 0L), results.toString)
+  }
+}
