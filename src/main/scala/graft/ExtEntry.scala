@@ -671,6 +671,15 @@ object ExtEntry {
       TextOps.winnowingFingerprints(docs(s, dir))
         .orderBy("doc_id", "fp")),
 
+    // Mergeable log2-bucket histogram quantiles: <= 64 counters per
+    // stratum no matter the data (the bounded-state path beside ext24's
+    // exact sort and ext33's hash-rank sample); integer-exact buckets
+    // via length(bin(v)), estimates are guaranteed <= 2x upper bounds.
+    "ext56_hist_quantiles" -> ((s, dir) =>
+      Sketches.logHistogramQuantiles(docs(s, dir), Seq("lang"),
+          col("n_chars"))
+        .orderBy("lang")),
+
     // Incremental corpus dedup: the crawl increment (doc_id % 10 < 2)
     // deduped against the established corpus through its band table —
     // only the increment is shingled; the corpus side is the stored
@@ -1573,6 +1582,35 @@ object ExtEntry {
          |       CAST(row_number() OVER (PARTITION BY draw % 8
          |         ORDER BY draw, doc_id) AS BIGINT) AS seq
          |FROM h ORDER BY doc_id""".stripMargin,
+
+    // Integer-exact buckets (length of the binary representation), exact
+    // integer ceiling division, and a left-shift upper bound — no IEEE
+    // log anywhere, so the estimates compare bit-for-bit.
+    "ext56_hist_quantiles" ->
+      """WITH b AS (
+        |  SELECT lang,
+        |         length(bin(greatest(CAST(n_chars AS BIGINT), 1))) - 1
+        |           AS bucket
+        |  FROM documents),
+        |h AS (SELECT lang, bucket, count(*) AS cnt FROM b GROUP BY 1, 2),
+        |c AS (SELECT lang, bucket, cnt,
+        |             SUM(cnt) OVER (PARTITION BY lang ORDER BY bucket)
+        |               AS cum,
+        |             SUM(cnt) OVER (PARTITION BY lang) AS n
+        |      FROM h),
+        |p AS (SELECT lang, CAST(max(n) AS BIGINT) AS n_rows,
+        |             min(CASE WHEN cum >= (n * 50 + 99) // 100
+        |                 THEN bucket END) AS b50,
+        |             min(CASE WHEN cum >= (n * 90 + 99) // 100
+        |                 THEN bucket END) AS b90,
+        |             min(CASE WHEN cum >= (n * 99 + 99) // 100
+        |                 THEN bucket END) AS b99
+        |      FROM c GROUP BY 1)
+        |SELECT lang, n_rows,
+        |  (CAST(1 AS BIGINT) << CAST(b50 + 1 AS INTEGER)) - 1 AS p50_est,
+        |  (CAST(1 AS BIGINT) << CAST(b90 + 1 AS INTEGER)) - 1 AS p90_est,
+        |  (CAST(1 AS BIGINT) << CAST(b99 + 1 AS INTEGER)) - 1 AS p99_est
+        |FROM p ORDER BY lang""".stripMargin,
 
     // Same position hashes and 4000-position cap as the ext50 oracle;
     // tail windows dropped via the per-doc position count.

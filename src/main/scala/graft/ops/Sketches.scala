@@ -89,6 +89,51 @@ object Sketches {
       .otherwise(lit(numer) / col("kth_min").cast("double"))
       .as("est_distinct")
   }
+
+  /**
+   * Mergeable log₂-bucket histogram quantiles — the bounded-state scale
+   * path beside exact `percentile` (ext24: per-stratum full sort) and
+   * the hash-rank sample (ext33): a non-negative value lands in bucket
+   * ⌊log₂ v⌋ (0 for v ≤ 1), computed INTEGER-EXACTLY as
+   * `length(bin(v)) − 1` — no IEEE log whose rounding could differ
+   * between engines. The histogram is a plain count aggregation —
+   * map-side combined, ≤ 64 buckets per stratum no matter the data —
+   * and each quantile q is answered by the smallest bucket whose
+   * cumulative count reaches ⌈q·n⌉, reported as that bucket's inclusive
+   * upper bound 2^(b+1) − 1. The estimate is a GUARANTEED upper bound
+   * within 2× of the true quantile (the bucket spans one octave) —
+   * the spec asserts exactly that envelope.
+   *
+   * Output: one row per stratum — n_rows, and p<q>_est per requested q.
+   */
+  def logHistogramQuantiles(df: DataFrame, strata: Seq[String],
+      value: Column, qs: Seq[Int] = Seq(50, 90, 99)): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q > 0 && q < 100),
+      "quantiles are integer percents in (0, 100)")
+    val bucket = (length(bin(greatest(value.cast("long"), lit(1L))))
+      - lit(1)).cast("long")
+    val hist = df
+      .groupBy((strata.map(col) :+ bucket.as("bucket")): _*)
+      .agg(count(lit(1)).as("cnt"))
+    val byStratum = Window.partitionBy(strata.map(col): _*)
+    val cum = hist
+      .withColumn("cum",
+        sum(col("cnt")).over(byStratum.orderBy(col("bucket"))))
+      .withColumn("n", sum(col("cnt")).over(byStratum))
+    // ⌈q·n/100⌉ in exact integer arithmetic: (q·n + 99) div 100 —
+    // floor of the double division is exact while q·n < 2^53.
+    val picks = qs.map { q =>
+      val need = floor((col("n") * q + lit(99L)) / lit(100.0d))
+        .cast("long")
+      min(when(col("cum") >= need, col("bucket"))).as(s"p${q}_bucket")
+    }
+    cum.groupBy(strata.map(col): _*)
+      .agg(max(col("n")).as("n_rows"), picks: _*)
+      .select((strata.map(col) :+ col("n_rows")) ++ qs.map { q =>
+        expr(s"shiftleft(CAST(1 AS BIGINT), " +
+          s"CAST(p${q}_bucket + 1 AS INT)) - 1").as(s"p${q}_est")
+      }: _*)
+  }
 }
 
 /** Sketch summary: how many mins are held (< k ⇒ the set is exact) and

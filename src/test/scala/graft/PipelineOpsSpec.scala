@@ -84,6 +84,44 @@ class PipelineOpsSpec extends TestBase {
     assert(grown.except(a.select("doc_id", "shard")).isEmpty)
   }
 
+  test("log-histogram quantiles: estimates bracket the true order " +
+      "statistic within 2x; degenerate values clamp (ext56)") {
+    import spark.implicits._
+    // 1..1000 in one stratum: the q-th order statistic is ceil(q*10).
+    val df = (1L to 1000L).map(v => ("g", v)).toDF("lang", "v") union
+      Seq(("one", 1L), ("one", 0L), ("one", 1L)).toDF("lang", "v")
+    val got = graft.ops.Sketches
+      .logHistogramQuantiles(df, Seq("lang"), col("v"))
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    val (_, n, p50, p90, p99) = got("g")
+    assert(n == 1000L)
+    // Envelope: order statistic x_q <= est <= 2*x_q - 1.
+    for ((est, x) <- Seq((p50, 500L), (p90, 900L), (p99, 990L)))
+      assert(est >= x && est <= 2 * x - 1, s"est=$est x=$x")
+    assert(p50 == 511L) // bucket 8 of 500 -> 2^9 - 1
+    // Values <= 1 (incl. 0) clamp to bucket 0 -> upper bound 1.
+    assert(got("one") == ("one", 3L, 1L, 1L, 1L))
+    // Real-data envelope per stratum: n_chars of documents by lang.
+    val docs = graft.ingest.Tables.documents(spark, sf("sf0.001"))
+      .select(col("lang"), col("n_chars").cast("long").as("v"))
+    val est = graft.ops.Sketches
+      .logHistogramQuantiles(docs, Seq("lang"), col("v"))
+      .as[(String, Long, Long, Long, Long)].collect()
+    assert(est.nonEmpty)
+    val byLang = docs.as[(String, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    est.foreach { case (lang, nl, e50, e90, e99) =>
+      val vs = byLang(lang)
+      assert(nl == vs.length)
+      for ((e, q) <- Seq((e50, 50), (e90, 90), (e99, 99))) {
+        val x = vs(((q * vs.length + 99) / 100) - 1)
+        assert(e >= x && e <= math.max(1, 2 * x - 1),
+          s"$lang p$q: est=$e exact=$x")
+      }
+    }
+  }
+
   test("kmv: exact below k, close estimate above k") {
     import spark.implicits._
     // Group "small": 10 distinct values (< k=64) → est must equal exact.
