@@ -157,24 +157,33 @@ object ExtEntry {
        |n2 AS (SELECT vec_id, CAST(SUM(qi * qi) AS BIGINT) AS n2
        |       FROM flat GROUP BY 1)""".stripMargin
 
-  private def cosTopKSql(bucketJoin: String, k: Int,
-      extraCtes: String = "", scoreWhere: String = "") =
-    s"""$QuantFlatSql,
-       |${if (extraCtes.isEmpty) "" else extraCtes + ",\n"}dots AS (
+  /** The dots→scored→ranked CTE chain of the cosine-top-k oracle,
+    * name-suffixed so two independent rankings (brute truth vs IVF
+    * candidates in the ext57 recall audit) can coexist in one query.
+    * Assumes QuantFlatSql's `flat`/`n2` are in scope. */
+  private def cosTopKCtes(sfx: String, bucketJoin: String,
+      scoreWhere: String = ""): String =
+    s"""dots$sfx AS (
        |  SELECT a.vec_id AS q_id, b.vec_id AS t_id,
        |         CAST(SUM(a.qi * b.qi) AS BIGINT) AS dot
        |  FROM flat a JOIN flat b ON a.i = b.i $bucketJoin
        |  WHERE a.vec_id < $NumQueryVecs AND a.vec_id <> b.vec_id
        |  GROUP BY 1, 2),
-       |scored AS (
+       |scored$sfx AS (
        |  SELECT q_id, t_id,
        |         CAST(dot AS DOUBLE) /
        |           sqrt(CAST(na.n2 AS DOUBLE) * CAST(nb.n2 AS DOUBLE)) AS cos
-       |  FROM dots JOIN n2 na ON na.vec_id = q_id
+       |  FROM dots$sfx JOIN n2 na ON na.vec_id = q_id
        |            JOIN n2 nb ON nb.vec_id = t_id),
-       |r AS (SELECT *, row_number() OVER (
+       |r$sfx AS (SELECT *, row_number() OVER (
        |        PARTITION BY q_id ORDER BY cos DESC, t_id ASC) AS rank
-       |      FROM scored $scoreWhere)
+       |      FROM scored$sfx $scoreWhere)""".stripMargin
+
+  private def cosTopKSql(bucketJoin: String, k: Int,
+      extraCtes: String = "", scoreWhere: String = "") =
+    s"""$QuantFlatSql,
+       |${if (extraCtes.isEmpty) "" else extraCtes + ",\n"}${
+         cosTopKCtes("", bucketJoin, scoreWhere)}
        |SELECT q_id, t_id, CAST(rank AS BIGINT) AS rank, cos
        |FROM r WHERE rank <= $k ORDER BY q_id, rank""".stripMargin
 
@@ -679,6 +688,24 @@ object ExtEntry {
       Sketches.logHistogramQuantiles(docs(s, dir), Seq("lang"),
           col("n_chars"))
         .orderBy("lang")),
+
+    // IVF recall audit — ext54's embedding-path counterpart: what
+    // fraction of the exact top-3 neighbors does the kmeans-IVF probe
+    // (ext31's learned buckets) find. The honest cost of searching only
+    // the query's bucket, as one quantized scalar row.
+    "ext57_ivf_recall" -> ((s, dir) => {
+      val e = embs(s, dir)
+      val buckets = graft.ops.Reuse.shared(Similarity.kmeansBuckets(e))
+      val withBucket = e.join(buckets, "vec_id")
+      val truth = Similarity.bruteTopK(e,
+          e.filter(col("vec_id") < NumQueryVecs), 3)
+        .select(col("q_id").as("id_a"), col("t_id").as("id_b"))
+      val cand = Similarity.ivfTopK(withBucket,
+          withBucket.filter(col("vec_id") < NumQueryVecs), 3,
+          bucket = "bucket")
+        .select(col("q_id").as("id_a"), col("t_id").as("id_b"))
+      Dedup.pairRecall(truth, cand)
+    }),
 
     // Incremental corpus dedup: the crawl increment (doc_id % 10 < 2)
     // deduped against the established corpus through its band table —
@@ -1582,6 +1609,30 @@ object ExtEntry {
          |       CAST(row_number() OVER (PARTITION BY draw % 8
          |         ORDER BY draw, doc_id) AS BIGINT) AS seq
          |FROM h ORDER BY doc_id""".stripMargin,
+
+    // Truth = the suffixed brute-force ranking, candidates = the same
+    // chain restricted to the kmeans-IVF bucket (a3 = ext31's learned
+    // assignment); recall quantized to int64 so the compare is exact.
+    "ext57_ivf_recall" ->
+      s"""$QuantFlatSql,
+         |${kmeansCtes(8, 2)},
+         |${cosTopKCtes("_t", "")},
+         |truth AS (SELECT q_id, t_id FROM r_t WHERE rank <= 3),
+         |${cosTopKCtes("_c",
+          """JOIN a3 ba ON ba.vec_id = a.vec_id
+            |       JOIN a3 bb ON bb.vec_id = b.vec_id AND bb.cid = ba.cid"""
+            .stripMargin)},
+         |cand AS (SELECT q_id, t_id FROM r_c WHERE rank <= 3),
+         |m AS (
+         |  SELECT CASE WHEN c.t_id IS NULL THEN NULL ELSE 1 END AS hit
+         |  FROM truth t LEFT JOIN cand c
+         |    ON t.q_id = c.q_id AND t.t_id = c.t_id)
+         |SELECT CAST(count(*) AS BIGINT) AS n_true,
+         |       CAST(COALESCE(SUM(hit), 0) AS BIGINT) AS n_detected,
+         |       CAST(COALESCE(floor(1000000.0 * (CAST(SUM(hit) AS DOUBLE)
+         |            / CAST(count(*) AS DOUBLE))), 0) AS BIGINT)
+         |         AS recall_q
+         |FROM m""".stripMargin,
 
     // Integer-exact buckets (length of the binary representation), exact
     // integer ceiling division, and a left-shift upper bound — no IEEE

@@ -122,6 +122,27 @@ class PipelineOpsSpec extends TestBase {
     }
   }
 
+  test("log-histogram quantiles: the 2x envelope holds on random value " +
+      "sets (property)") {
+    import spark.implicits._
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val gen = Gen.nonEmptyListOf(Gen.chooseNum(0L, 1000000L))
+    val p = Prop.forAll(gen) { vs =>
+      val got = graft.ops.Sketches.logHistogramQuantiles(
+          vs.map(("g", _)).toDF("lang", "v"), Seq("lang"), col("v"))
+        .as[(String, Long, Long, Long, Long)].collect().head
+      val sorted = vs.map(math.max(_, 1L)).sorted
+      Seq((got._3, 50), (got._4, 90), (got._5, 99)).forall {
+        case (est, q) =>
+          val x = sorted(((q * sorted.length + 99) / 100) - 1)
+          got._2 == vs.length && est >= x && est <= math.max(1, 2 * x - 1)
+      }
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(10), p)
+    assert(res.passed, res.status.toString)
+  }
+
   test("kmv: exact below k, close estimate above k") {
     import spark.implicits._
     // Group "small": 10 distinct values (< k=64) → est must equal exact.
