@@ -187,6 +187,21 @@ object ExtEntry {
        |SELECT q_id, t_id, CAST(rank AS BIGINT) AS rank, cos
        |FROM r WHERE rank <= $k ORDER BY q_id, rank""".stripMargin
 
+  /** Shared tail of the recall-audit oracles (ext54/57/58): left-join
+    * `truth` to `cand` on the pair key, then the quantized 3-scalar
+    * summary [[graft.ops.Dedup.pairRecall]] computes. */
+  private val recallTailSql =
+    """m AS (
+      |  SELECT CASE WHEN c.t_id IS NULL THEN NULL ELSE 1 END AS hit
+      |  FROM truth t LEFT JOIN cand c
+      |    ON t.q_id = c.q_id AND t.t_id = c.t_id)
+      |SELECT CAST(count(*) AS BIGINT) AS n_true,
+      |       CAST(COALESCE(SUM(hit), 0) AS BIGINT) AS n_detected,
+      |       CAST(COALESCE(floor(1000000.0 * (CAST(SUM(hit) AS DOUBLE)
+      |            / CAST(count(*) AS DOUBLE))), 0) AS BIGINT)
+      |         AS recall_q
+      |FROM m""".stripMargin
+
   private val stopList = TextOps.Stopwords.map(s => s"'$s'").mkString(", ")
   private def markerList(lang: String) =
     TextOps.LangMarkers(lang).map(s => s"'$s'").mkString(", ")
@@ -703,6 +718,25 @@ object ExtEntry {
       val cand = Similarity.ivfTopK(withBucket,
           withBucket.filter(col("vec_id") < NumQueryVecs), 3,
           bucket = "bucket")
+        .select(col("q_id").as("id_a"), col("t_id").as("id_b"))
+      Dedup.pairRecall(truth, cand)
+    }),
+
+    // Multi-probe IVF recall: queries probe their 2 closest buckets
+    // (corpus indexed under rank 1 only) — the knob that buys back the
+    // recall ext57 prices, at 2x the per-query candidate volume.
+    "ext58_ivf_multiprobe_recall" -> ((s, dir) => {
+      val e = embs(s, dir)
+      val probes =
+        graft.ops.Reuse.shared(Similarity.kmeansProbeBuckets(e, probes = 2))
+      val corpus = e.join(probes.filter(col("probe_rank") === 1)
+        .select("vec_id", "bucket"), "vec_id")
+      val qs = e.join(probes.select("vec_id", "bucket"), "vec_id")
+        .filter(col("vec_id") < NumQueryVecs)
+      val truth = Similarity.bruteTopK(e,
+          e.filter(col("vec_id") < NumQueryVecs), 3)
+        .select(col("q_id").as("id_a"), col("t_id").as("id_b"))
+      val cand = Similarity.ivfTopK(corpus, qs, 3, bucket = "bucket")
         .select(col("q_id").as("id_a"), col("t_id").as("id_b"))
       Dedup.pairRecall(truth, cand)
     }),
@@ -1623,16 +1657,25 @@ object ExtEntry {
             |       JOIN a3 bb ON bb.vec_id = b.vec_id AND bb.cid = ba.cid"""
             .stripMargin)},
          |cand AS (SELECT q_id, t_id FROM r_c WHERE rank <= 3),
-         |m AS (
-         |  SELECT CASE WHEN c.t_id IS NULL THEN NULL ELSE 1 END AS hit
-         |  FROM truth t LEFT JOIN cand c
-         |    ON t.q_id = c.q_id AND t.t_id = c.t_id)
-         |SELECT CAST(count(*) AS BIGINT) AS n_true,
-         |       CAST(COALESCE(SUM(hit), 0) AS BIGINT) AS n_detected,
-         |       CAST(COALESCE(floor(1000000.0 * (CAST(SUM(hit) AS DOUBLE)
-         |            / CAST(count(*) AS DOUBLE))), 0) AS BIGINT)
-         |         AS recall_q
-         |FROM m""".stripMargin,
+         |$recallTailSql""".stripMargin,
+
+    // As ext57 but the query side probes its 2 closest centroids (p3 =
+    // the rank-<=2 assignment over the same final distances d3).
+    "ext58_ivf_multiprobe_recall" ->
+      s"""$QuantFlatSql,
+         |${kmeansCtes(8, 2)},
+         |p3 AS (SELECT vec_id, cid FROM (
+         |  SELECT vec_id, cid, row_number() OVER (
+         |    PARTITION BY vec_id ORDER BY dist, cid) AS rn FROM d3)
+         |  WHERE rn <= 2),
+         |${cosTopKCtes("_t", "")},
+         |truth AS (SELECT q_id, t_id FROM r_t WHERE rank <= 3),
+         |${cosTopKCtes("_c",
+          """JOIN p3 pa ON pa.vec_id = a.vec_id
+            |       JOIN a3 bb ON bb.vec_id = b.vec_id AND bb.cid = pa.cid"""
+            .stripMargin)},
+         |cand AS (SELECT q_id, t_id FROM r_c WHERE rank <= 3),
+         |$recallTailSql""".stripMargin,
 
     // Integer-exact buckets (length of the binary representation), exact
     // integer ceiling division, and a left-shift upper bound — no IEEE

@@ -171,23 +171,59 @@ object Similarity {
   def kmeansBuckets(emb: DataFrame, k: Int = 8, iters: Int = 2,
       id: String = "vec_id", vec: String = "embedding"): DataFrame = {
     val corpus = Reuse.shared(prepared(emb, id, vec).toDF("vid", "q", "n2"))
+    assignArgmin(corpus, lloydCentroids(corpus, k, iters))
+      .select(col("vid").as(id), col("cid").as("bucket"))
+  }
+
+  /**
+   * Multi-probe IVF assignment: the `probes` CLOSEST centroids per
+   * vector (probe_rank 1 = the [[kmeansBuckets]] argmin, identical
+   * tie-break), from the same deterministic Lloyd's build. The corpus
+   * is indexed under probe_rank 1 only; a QUERY probes all its ranks —
+   * the production recall knob the ext57 audit prices (single-probe
+   * finds 58% of exact top-3 at sf0.001; ext58 measures the multi-probe
+   * recovery). Search cost scales linearly in `probes`; the plan shape
+   * (broadcast queries, bucket equi-join) is unchanged.
+   */
+  def kmeansProbeBuckets(emb: DataFrame, k: Int = 8, iters: Int = 2,
+      probes: Int = 2, id: String = "vec_id",
+      vec: String = "embedding"): DataFrame = {
+    require(probes >= 1 && probes <= k, "probes must be in [1, k]")
+    val corpus = Reuse.shared(prepared(emb, id, vec).toDF("vid", "q", "n2"))
+    val cents = lloydCentroids(corpus, k, iters)
+    val w = Window.partitionBy(col("vid"))
+      .orderBy(col("dist"), col("cid"))
+    corpus.crossJoin(broadcast(cents))
+      .withColumn("dist",
+        col("n2") + col("cn2") - lit(2L) * qdot(col("q"), col("cq")))
+      .withColumn("probe_rank", row_number().over(w))
+      .filter(col("probe_rank") <= probes)
+      .select(col("vid").as(id), col("cid").as("bucket"),
+        col("probe_rank").cast("long").as("probe_rank"))
+  }
+
+  /** argmin assignment as min(struct(dist, cid)) — a map-side-combinable
+    * hash aggregate with the same (dist ASC, cid ASC) tie-break the
+    * row_number window would give, minus the window's sort exchange;
+    * `q` is constant per vid, so first() is deterministic here. */
+  private def assignArgmin(corpus: DataFrame, c: DataFrame): DataFrame =
+    corpus.crossJoin(broadcast(c))
+      .withColumn("dist",
+        col("n2") + col("cn2") - lit(2L) * qdot(col("q"), col("cq")))
+      .groupBy(col("vid"))
+      .agg(min(struct(col("dist"), col("cid"))).as("m"),
+        first(col("q")).as("q"))
+      .select(col("vid"), col("m.cid").as("cid"), col("q"))
+
+  /** The shared deterministic Lloyd's loop (see [[kmeansBuckets]]'s
+    * determinism rules): returns the final centroid relation
+    * (cid, cq, cn2). */
+  private def lloydCentroids(corpus: DataFrame, k: Int,
+      iters: Int): DataFrame = {
     var cents = corpus.orderBy(col("vid")).limit(k)
       .select(col("vid").as("cid"), col("q").as("cq"), col("n2").as("cn2"))
-    def assign(c: DataFrame): DataFrame = {
-      val scored = corpus.crossJoin(broadcast(c))
-        .withColumn("dist",
-          col("n2") + col("cn2") - lit(2L) * qdot(col("q"), col("cq")))
-      // argmin as min(struct(dist, cid)) — a map-side-combinable hash
-      // aggregate with the same (dist ASC, cid ASC) tie-break the
-      // row_number window would give, minus the window's sort exchange;
-      // `q` is constant per vid, so first() is deterministic here.
-      scored.groupBy(col("vid"))
-        .agg(min(struct(col("dist"), col("cid"))).as("m"),
-          first(col("q")).as("q"))
-        .select(col("vid"), col("m.cid").as("cid"), col("q"))
-    }
     (1 to iters).foreach { _ =>
-      val a = assign(cents)
+      val a = assignArgmin(corpus, cents)
       cents = a.select(col("cid"), posexplode(col("q")).as(Seq("pos", "v")))
         .groupBy("cid", "pos")
         .agg(sum("v").as("s"), count(lit(1)).as("n"))
@@ -198,7 +234,7 @@ object Similarity {
           col("cv")))), x => x.getField("cv")).as("cq"))
         .withColumn("cn2", qnorm2(col("cq")))
     }
-    assign(cents).select(col("vid").as(id), col("cid").as("bucket"))
+    cents
   }
 
   /** Hyperplane signatures support embeddings up to this many dims; the

@@ -137,4 +137,38 @@ class SimilaritySpec extends TestBase {
       withBucket.filter(col("vec_id") < 5), 3, bucket = "bucket")
     assert(res.count() > 0)
   }
+
+  test("multi-probe assignment: rank 1 == argmin buckets; ranks dense " +
+      "and buckets distinct per vector; recall never below single-probe") {
+    import spark.implicits._
+    val probes = Similarity.kmeansProbeBuckets(emb, probes = 3)
+      .as[(Long, Long, Long)].collect().toSeq
+    val byVec = probes.groupBy(_._1)
+    assert(byVec.values.forall { g =>
+      g.map(_._3).sorted == Seq(1L, 2L, 3L) &&
+        g.map(_._2).distinct.size == 3
+    })
+    val argmin = Similarity.kmeansBuckets(emb)
+      .as[(Long, Long)].collect().toMap
+    assert(byVec.forall { case (v, g) =>
+      g.find(_._3 == 1L).get._2 == argmin(v)
+    })
+    // Probing more buckets can only add candidates: the 2-probe top-k
+    // hit set contains the 1-probe hit set intersected with truth.
+    val queries = emb.filter(col("vec_id") < 5)
+    val truth = Similarity.bruteTopK(emb, queries, 3)
+      .select("q_id", "t_id").as[(Long, Long)].collect().toSet
+    def hits(p: Int): Set[(Long, Long)] = {
+      val pr = Similarity.kmeansProbeBuckets(emb, probes = p)
+      val corpus = emb.join(pr.filter(col("probe_rank") === 1)
+        .select("vec_id", "bucket"), "vec_id")
+      val qs = emb.join(pr.select("vec_id", "bucket"), "vec_id")
+        .filter(col("vec_id") < 5)
+      Similarity.ivfTopK(corpus, qs, 3, bucket = "bucket")
+        .select("q_id", "t_id").as[(Long, Long)].collect().toSet
+        .intersect(truth)
+    }
+    assert(hits(1).subsetOf(hits(2)))
+    graft.ops.Reuse.freeAll(spark)
+  }
 }
