@@ -695,6 +695,13 @@ object ExtEntry {
       TextOps.winnowingFingerprints(docs(s, dir))
         .orderBy("doc_id", "fp")),
 
+    // Cross-doc boilerplate span removal (C4/CCNet "repeated paragraph"
+    // stage): 16-token spans whose hash appears in >1 distinct docs are
+    // dropped; each doc's clean text is its survivors re-joined in order.
+    "ext59_boilerplate" -> ((s, dir) =>
+      TextOps.boilerplateRemoval(docs(s, dir))
+        .orderBy("doc_id")),
+
     // Mergeable log2-bucket histogram quantiles: <= 64 counters per
     // stratum no matter the data (the bounded-state path beside ext24's
     // exact sort and ext33's hash-rank sample); integer-exact buckets
@@ -1705,6 +1712,34 @@ object ExtEntry {
         |  (CAST(1 AS BIGINT) << CAST(b90 + 1 AS INTEGER)) - 1 AS p90_est,
         |  (CAST(1 AS BIGINT) << CAST(b99 + 1 AS INTEGER)) - 1 AS p99_est
         |FROM p ORDER BY lang""".stripMargin,
+
+    // string_agg skips the NULLed-out hot chunks and orders by position;
+    // a fully-boilerplate doc keeps its row with '' text.
+    "ext59_boilerplate" ->
+      s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk
+         |             FROM documents),
+         |c AS (
+         |  SELECT doc_id, k,
+         |         array_to_string(tk[k * 16 + 1 : k * 16 + 16], ' ')
+         |           AS chunk
+         |  FROM toks JOIN range(0, 64) g(k)
+         |    ON len(tk) > 0
+         |   AND k <= CAST(ceil(CAST(greatest(len(tk) - 16, 0) AS DOUBLE)
+         |                      / 16) AS BIGINT)),
+         |ch AS (SELECT doc_id, k, chunk, ${hashSql("chunk")} AS h FROM c),
+         |hot AS (SELECT h FROM (
+         |  SELECT h, count(DISTINCT doc_id) AS df FROM ch GROUP BY 1)
+         |  WHERE df > 1),
+         |m AS (
+         |  SELECT doc_id, k, chunk,
+         |         CASE WHEN h IN (SELECT h FROM hot) THEN 1 ELSE 0 END
+         |           AS hot
+         |  FROM ch)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+         |       CAST(SUM(hot) AS BIGINT) AS n_dropped,
+         |       COALESCE(string_agg(CASE WHEN hot = 0 THEN chunk END,
+         |                           ' ' ORDER BY k), '') AS clean_text
+         |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // Same position hashes and 4000-position cap as the ext50 oracle;
     // tail windows dropped via the per-doc position count.

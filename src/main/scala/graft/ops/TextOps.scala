@@ -69,6 +69,53 @@ object TextOps {
           .as("chunk_text"))
   }
 
+  /**
+   * Cross-document boilerplate span removal — the C4/CCNet "drop
+   * repeated paragraphs" curation stage: the corpus is cut into
+   * non-overlapping `chunkTokens`-token spans ([[chunkWithOverlap]]
+   * with overlap 0 — these synthetic docs have no paragraph marks; real
+   * corpora would split on them first), any span whose content hash
+   * appears in MORE than `maxDocFreq` distinct docs is boilerplate
+   * (nav bars, license headers, templated footers), and each doc's
+   * clean text is its surviving spans re-joined in order. Docs reduced
+   * to nothing stay in the output with empty text and full drop counts.
+   *
+   * Scale shape: the chunk relation is |tokens|/chunkTokens rows (the
+   * same explode-first codegen chain as the chunker); the df aggregate
+   * is one keyed shuffle, map-side combined; the hot set is SMALL by
+   * definition (boilerplate = high-df outliers) so the marking join
+   * broadcasts; reassembly is one doc-keyed aggregate whose per-doc
+   * array is bounded by doc length — never corpus-proportional.
+   */
+  def boilerplateRemoval(doc: DataFrame, chunkTokens: Int = 16,
+      maxDocFreq: Int = 1, id: String = "doc_id",
+      text: String = "text"): DataFrame = {
+    val chunks = chunkWithOverlap(doc, chunkTokens, 0, id, text)
+      .select(col(id), col("chunk_id"),
+        col("chunk_text"),
+        Hashing.portableHash32(col("chunk_text")).as("h"))
+    val hot = chunks.groupBy(col("h"))
+      .agg(countDistinct(col(id)).as("df"))
+      .filter(col("df") > maxDocFreq)
+      .select(col("h"), lit(1L).as("_hot"))
+    val marked = chunks.join(broadcast(hot), Seq("h"), "left")
+    val stats = marked.groupBy(col(id))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("_hot").isNotNull, 1L).otherwise(0L))
+          .as("n_dropped"))
+    // Post-aggregate reassembly over a ≤ tokens/chunkTokens-element
+    // array per doc — the bounded-array HOF case, not a scan hot path.
+    val texts = marked.filter(col("_hot").isNull)
+      .groupBy(col(id))
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("chunk_id"),
+          col("chunk_text")))),
+        s => s.getField("chunk_text")), " ").as("clean_text"))
+    stats.join(texts, Seq(id), "left")
+      .select(col(id), col("n_chunks"), col("n_dropped"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+
   /** Whitespace token count + a BPE-ish subword estimate:
     * ceil(len/4) per token via integer math ((len+3) div 4). */
   def tokenCounts(doc: DataFrame, text: String = "text"): DataFrame =

@@ -77,6 +77,7 @@ class EmptyInputSpec extends TestBase {
       countOf("fingerprints")(TextOps.fingerprints(d)),
       countOf("winnowingFingerprints")(TextOps.winnowingFingerprints(d)),
       countOf("chunkWithOverlap")(TextOps.chunkWithOverlap(d)),
+      countOf("boilerplateRemoval")(TextOps.boilerplateRemoval(d)),
       countOf("lmQuality")(TextOps.lmQuality(d)),
       countOf("tfidfTopK")(TextOps.tfidfTopK(d)),
       countOf("invertedIndex")(TextOps.invertedIndex(d)),

@@ -423,6 +423,30 @@ class OpsSpec extends TestBase {
       (1 to 5).map(i => s"t$i").mkString(" "))
   }
 
+  test("boilerplate removal: repeated spans dropped in every host doc, " +
+      "unique spans kept in order, all-boilerplate doc empties (ext59)") {
+    import spark.implicits._
+    // An 8-token boilerplate span planted in docs 1, 2 and 3 (as its own
+    // chunk-aligned span); docs keep their unique tails; doc 3 is ONLY
+    // boilerplate; doc 4 shares nothing.
+    val bp = (1 to 8).map(i => s"bp$i").mkString(" ")
+    def uniq(seed: Int) = (1 to 8).map(i => s"u${seed}x$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"$bp ${uniq(1)}"),
+      (2L, s"$bp ${uniq(2)}"),
+      (3L, bp),
+      (4L, s"${uniq(4)} ${uniq(40)}"))
+      .toDF("doc_id", "text")
+    val got = graft.ops.TextOps.boilerplateRemoval(docs, chunkTokens = 8)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(got == Seq(
+      (1L, 2L, 1L, uniq(1)),
+      (2L, 2L, 1L, uniq(2)),
+      (3L, 1L, 1L, ""),
+      (4L, 2L, 0L, s"${uniq(4)} ${uniq(40)}")))
+  }
+
   test("winnowing: shared >= k+w-1 substring shares a fingerprint; " +
       "density < 1; short-doc edges (ext55)") {
     import spark.implicits._
