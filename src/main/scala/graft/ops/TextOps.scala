@@ -89,16 +89,38 @@ object TextOps {
    */
   def boilerplateRemoval(doc: DataFrame, chunkTokens: Int = 16,
       maxDocFreq: Int = 1, id: String = "doc_id",
+      text: String = "text"): DataFrame =
+    boilerplateRemovalAgainst(doc,
+      boilerplateSpans(doc, chunkTokens, maxDocFreq, id, text),
+      chunkTokens, id, text)
+
+  /** The corpus's hot-span hash set (df > maxDocFreq distinct docs) —
+    * the small broadcast side of every boilerplate probe; computed ONCE
+    * per corpus snapshot (offline in the streaming twin,
+    * [[graft.stream.StreamingPipeline.boilerplateSink]]). */
+  def boilerplateSpans(doc: DataFrame, chunkTokens: Int = 16,
+      maxDocFreq: Int = 1, id: String = "doc_id",
+      text: String = "text"): DataFrame =
+    chunkWithOverlap(doc, chunkTokens, 0, id, text)
+      .select(col(id),
+        Hashing.portableHash32(col("chunk_text")).as("h"))
+      .groupBy(col("h"))
+      .agg(countDistinct(col(id)).as("df"))
+      .filter(col("df") > maxDocFreq)
+      .select(col("h"))
+
+  /** [[boilerplateRemoval]] against a precomputed [[boilerplateSpans]]
+    * set — the reusable probe (chunkTokens must match the set's). */
+  def boilerplateRemovalAgainst(doc: DataFrame, hotSpans: DataFrame,
+      chunkTokens: Int = 16, id: String = "doc_id",
       text: String = "text"): DataFrame = {
     val chunks = chunkWithOverlap(doc, chunkTokens, 0, id, text)
       .select(col(id), col("chunk_id"),
         col("chunk_text"),
         Hashing.portableHash32(col("chunk_text")).as("h"))
-    val hot = chunks.groupBy(col("h"))
-      .agg(countDistinct(col(id)).as("df"))
-      .filter(col("df") > maxDocFreq)
-      .select(col("h"), lit(1L).as("_hot"))
-    val marked = chunks.join(broadcast(hot), Seq("h"), "left")
+    val marked = chunks.join(
+      broadcast(hotSpans.select(col("h"), lit(1L).as("_hot"))),
+      Seq("h"), "left")
     val stats = marked.groupBy(col(id))
       .agg(count(lit(1)).as("n_chunks"),
         sum(when(col("_hot").isNotNull, 1L).otherwise(0L))

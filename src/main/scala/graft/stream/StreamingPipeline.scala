@@ -291,6 +291,27 @@ object StreamingPipeline {
   }
 
   /**
+   * Streaming twin of `TextOps.boilerplateRemoval` (ext59): the hot-span
+   * set is computed ONCE offline from the corpus snapshot
+   * (`TextOps.boilerplateSpans` — boilerplate is a corpus-level
+   * property; recomputing df inside the stream would drift with arrival
+   * order) and broadcast into every micro-batch's probe; each batch of
+   * docs is cleaned independently. Stateless foreachBatch, idempotent
+   * batch-keyed layout — the same offline-set/online-probe split as
+   * [[decontaminationSink]].
+   */
+  def boilerplateSink(docs: DataFrame, hotSpans: DataFrame,
+      outPath: String, chunkTokens: Int = 16)
+      : DataStreamWriter[org.apache.spark.sql.Row] = {
+    val hot = hotSpans.localCheckpoint(true)
+    docs.writeStream.outputMode("append").foreachBatch {
+      (batch: DataFrame, batchId: Long) =>
+        graft.ops.TextOps.boilerplateRemovalAgainst(batch, hot, chunkTokens)
+          .write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
+    }
+  }
+
+  /**
    * Streaming twin of `Splits.shardAssign` (ext52): a continuous
    * training-shard writer. The stateless half (portable-hash draw,
    * `shard = draw % nShards`) is identical to the batch operator — a doc

@@ -385,6 +385,30 @@ class StreamingSpec extends TestBase {
     graft.ops.Reuse.freeAll(spark)
   }
 
+  test("streaming boilerplate removal == batch operator (ext59 twin)") {
+    val docs = graft.ingest.Tables.documents(spark, sf("sf0.001"))
+      .select("doc_id", "text")
+    // Hot-span set computed once offline, as in production.
+    val hot = graft.ops.TextOps.boilerplateSpans(docs)
+    val srcDir = Files.createTempDirectory("graft-bp-src").toString + "/d"
+    docs.write.parquet(srcDir)
+    val out = Files.createTempDirectory("graft-bp-out").toString
+    val ckpt = Files.createTempDirectory("graft-bp-ckpt").toString
+    val q = StreamingPipeline.boilerplateSink(
+      StreamingPipeline.parquetStream(spark, srcDir,
+        maxFilesPerTrigger = Some(1)), hot, out)
+      .option("checkpointLocation", ckpt).start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.read.parquet(out)
+      .select("doc_id", "n_chunks", "n_dropped", "clean_text")
+    val batch = graft.ops.TextOps.boilerplateRemoval(docs)
+    assert(streamed.count() == batch.count() && batch.count() > 0)
+    assert(streamed.except(batch).isEmpty && batch.except(streamed).isEmpty,
+      "streamed boilerplate removal differs from the batch operator")
+    graft.ops.Reuse.freeAll(spark)
+  }
+
   test("chunkWithOverlap is streaming-safe: streamed chunks == batch " +
       "chunks (ext53, stateless projection)") {
     val batchDocs = graft.ingest.Tables.documents(spark, sf("sf0.001"))
