@@ -58,6 +58,13 @@ object ScaleSmoke {
     time("shard_assign_64") {
       graft.ops.Splits.shardAssign(big, col("doc_id"), 64)
     }
+    time("boilerplate_removal") {
+      graft.ops.TextOps.boilerplateRemoval(big)
+    }
+    time("hist_quantiles") {
+      graft.ops.Sketches.logHistogramQuantiles(big, Seq("lang"),
+        length(col("text")))
+    }
     // Embeddings family at Nx: shifted copies are exact duplicate
     // vectors, so each id-family is a planted all-pairs near-dup
     // cluster (the mass-duplicate stress case for banded LSH).
