@@ -67,20 +67,29 @@ object Bench {
     // at 68 queries (BENCH_r04 lost its total; r4 verdict item 3).
     def fmt(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.4f", Double.box(v))
-    val qs = results.toSeq.sortBy(_._1)
+    val sorted = results.toSeq.sortBy(_._1)
+    val qs = sorted
       .map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = fmt(if (results.nonEmpty) results.values.sum else 0.0)
     val full =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
-    // Belt and braces against tail truncation: the complete JSON goes to a
-    // file too, and the graded total is re-printed on its own short FINAL
-    // line so it survives any tail size.
+    // The complete single-record form is a FILE artifact; stdout gets the
+    // per-query map as short lines of <=10 queries (a 77-entry single
+    // line overflowed the driver's fixed-size log tail — BENCH_r05
+    // "parsed": null) and then exactly ONE line carrying
+    // "metric":"total", printed LAST so any tail capture ends with it.
+    // (One total line only: the r5 duplicate double-counted in
+    // sum-all-records consumers — r5 ADVICE.)
     try {
       val w = new java.io.PrintWriter("bench_last.json")
       try w.println(full) finally w.close()
     } catch { case _: Throwable => () }
-    println(full)
+    sorted.grouped(10).zipWithIndex.foreach { case (grp, i) =>
+      val part = grp.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+        .mkString("{", ",", "}")
+      println(s"""{"metric":"query_times","part":${i + 1},"queries":$part}""")
+    }
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":{},"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -254,11 +254,16 @@ object Dedup {
    * (id_a < id_b); output is ONE row: n_true, n_detected, and
    * recall_q = floor(1e6 · detected/true) (quantized so the oracle
    * compares an exact int64, not a float). Scale shape: one left join on
-   * the pair key + a global aggregate of three scalars.
+   * the pair key + a global aggregate of three scalars. The candidate
+   * side is deduplicated here (r5 ADVICE): a generator emitting the
+   * same (id_a, id_b) twice would otherwise fan out its truth row and
+   * push recall_q past 1e6 — the distinct is one extra exchange over
+   * the (small) candidate pair set, not the corpus.
    */
   def pairRecall(truth: DataFrame, candidates: DataFrame): DataFrame =
     truth.select("id_a", "id_b")
-      .join(candidates.select("id_a", "id_b").withColumn("hit", lit(1L)),
+      .join(candidates.select("id_a", "id_b").distinct()
+          .withColumn("hit", lit(1L)),
         Seq("id_a", "id_b"), "left")
       .agg(count(lit(1)).as("n_true"),
         coalesce(sum(col("hit")), lit(0L)).as("n_detected"),

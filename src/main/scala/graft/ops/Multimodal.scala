@@ -51,16 +51,26 @@ object Multimodal {
       .withColumn("head_hex", lower(hex(substring(col("bytes"), 1, 8))))
 
   /**
-   * STUB decode kernel — deterministic fake standing in for a real image
-   * decoder. Runs as a batched per-partition kernel over typed rows (the
-   * JVM analog of `mapInPandas`): one iterator in, one iterator out, no
-   * per-row JVM↔native round trips when a real codec is plugged in.
+   * The decoder SEAM: a real codec drops in as an implementation of this
+   * trait with NO plan change — [[decodeImages]] fixes the plan shape
+   * (one batched `mapPartitions` kernel: iterator in, iterator out, no
+   * per-row JVM↔native round trips) and the output schema; the trait
+   * only supplies the per-batch kernel body. Asserted in OpsSpec's
+   * decoder-seam test with an injected fake codec.
    */
-  def decodeImages(assets: Dataset[MediaAsset])(
-      implicit spark: SparkSession): Dataset[DecodedImage] = {
-    import spark.implicits._
-    assets.mapPartitions { it =>
-      it.map { a =>
+  trait ImageDecoder extends Serializable {
+    def decodeBatch(batch: Iterator[MediaAsset]): Iterator[DecodedImage]
+  }
+
+  /**
+   * STUB decode kernel — deterministic fake standing in for a real image
+   * decoder (this container has no codec). It derives fake
+   * dimensions/features from the byte content so the plumbing is
+   * testable end to end.
+   */
+  object StubImageDecoder extends ImageDecoder {
+    def decodeBatch(batch: Iterator[MediaAsset]): Iterator[DecodedImage] =
+      batch.map { a =>
         // ??? real decoder goes here; deterministic fake derived from bytes:
         val n = a.bytes.length
         val w = 16 + (n % 64)
@@ -71,7 +81,15 @@ object Multimodal {
         }
         DecodedImage(a.asset_id, w, h, 3, feature)
       }
-    }
+  }
+
+  /** Batched per-partition decode (the JVM analog of `mapInPandas`);
+    * decoder defaults to the honest [[StubImageDecoder]]. */
+  def decodeImages(assets: Dataset[MediaAsset],
+      decoder: ImageDecoder = StubImageDecoder)(
+      implicit spark: SparkSession): Dataset[DecodedImage] = {
+    import spark.implicits._
+    assets.mapPartitions(decoder.decodeBatch)
   }
 
   /** STUB frame sampler — every `stride`-th byte window stands in for

@@ -20,6 +20,16 @@ object TextOps {
 
   def tokens(text: Column): Column = split(text, " ")
 
+  /** Upper bound on chunks emitted per document by [[chunkWithOverlap]]
+    * (and so by the boilerplate chunker built on it). The SAME constant
+    * is interpolated into the ext53/ext59 DuckDB oracles' `range(0, N)`
+    * — the bound has to be enforced on BOTH sides or parity silently
+    * breaks for docs longer than the cap (r5 ADVICE; same discipline as
+    * [[Dedup.MaxShinglesPerDoc]], which ext55 mirrors). At 100 TB the
+    * cap is also the fan-out bound: no document explodes into more than
+    * this many chunk rows regardless of its length. */
+  val MaxChunksPerDoc = 64
+
   /** Word n-gram shingles (default trigrams) as an array column. Docs with
     * fewer than `n` tokens yield an EMPTY array — the guard matters because
     * `sequence(1, 0)` in Spark is the descending array [1, 0], whose 0
@@ -38,7 +48,8 @@ object TextOps {
    * stride = chunkTokens − overlap), so consecutive chunks share exactly
    * `overlap` tokens and every token lands in ≥1 chunk; the last chunk
    * may run short (it clamps at the doc's end). Docs with zero tokens
-   * yield no chunks.
+   * yield no chunks; docs longer than `maxChunks · stride + overlap`
+   * tokens are truncated at `maxChunks` chunks ([[MaxChunksPerDoc]]).
    *
    * Scale shape: explode-first like the shingle pipeline — the chunk
    * index range explodes per row, then start/end/text are flat per-row
@@ -48,16 +59,19 @@ object TextOps {
    */
   def chunkWithOverlap(doc: DataFrame, chunkTokens: Int = 32,
       overlap: Int = 8, id: String = "doc_id",
-      text: String = "text"): DataFrame = {
+      text: String = "text", maxChunks: Int = MaxChunksPerDoc): DataFrame = {
     require(overlap >= 0 && overlap < chunkTokens,
       "overlap must be in [0, chunkTokens)")
+    require(maxChunks >= 1, "maxChunks must be >= 1")
     val stride = chunkTokens - overlap
     doc.select(col(id), tokens(col(text)).as("_toks"))
       .select(col(id), col("_toks"),
         explode(when(size(col("_toks")) > 0,
           sequence(lit(0),
-            ceil(greatest(size(col("_toks")) - lit(chunkTokens), lit(0))
-              .cast("double") / lit(stride)).cast("int")))
+            least(
+              ceil(greatest(size(col("_toks")) - lit(chunkTokens), lit(0))
+                .cast("double") / lit(stride)).cast("int"),
+              lit(maxChunks - 1))))
           .otherwise(array().cast("array<int>"))).as("_k"))
       .select(col(id),
         col("_k").cast("long").as("chunk_id"),

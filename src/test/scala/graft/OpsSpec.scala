@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
 
 import graft.ingest.Tables
-import graft.ops.{Dedup, MediaAsset, Multimodal, Similarity}
+import graft.ops.{Dedup, DecodedImage, MediaAsset, Multimodal, Similarity}
 import graft.serve.Serve
 
 /** Unit coverage for serving, dedup, similarity and multimodal plumbing. */
@@ -224,6 +224,46 @@ class OpsSpec extends TestBase {
       x.width == y.width && x.feature.sameElements(y.feature) })
   }
 
+  test("multimodal: a real codec drops into the decoder seam without " +
+      "plan changes (injected fake; batch shape and schema survive)") {
+    import spark.implicits._
+    implicit val s = spark
+    val assets = Multimodal.assetsFromDocuments(
+      Tables.documents(spark, sf("sf0.001")).limit(20))
+      .repartition(4).as[MediaAsset]
+    // A "real" codec stand-in that also proves the kernel is BATCHED:
+    // it observes each partition's iterator exactly once and stamps
+    // every row with its batch's size (iterator-in/iterator-out — a
+    // per-row seam could not know it).
+    val fake = new Multimodal.ImageDecoder {
+      def decodeBatch(batch: Iterator[MediaAsset]) = {
+        val rows = batch.toVector
+        rows.iterator.map(a =>
+          DecodedImage(a.asset_id, 640, 480, rows.size, Array(1f)))
+      }
+    }
+    val stub = Multimodal.decodeImages(assets)
+    val real = Multimodal.decodeImages(assets, fake)
+    // schema fixed by the seam, not the decoder
+    assert(real.schema == stub.schema)
+    // plan shape identical: swap the kernel, keep the physical plan
+    def shape(d: org.apache.spark.sql.Dataset[_]) =
+      d.queryExecution.executedPlan.treeString
+        .replaceAll("#\\d+", "#n").replaceAll("@[0-9a-f]+", "@x")
+        .replaceAll("plan_id=\\d+", "plan_id=n")
+    assert(shape(real) == shape(stub))
+    val got = real.collect()
+    assert(got.length == 20 && got.forall(_.width == 640))
+    // channels carries the observed batch size: rows stamped with batch
+    // size sz must come in whole batches of sz => one iterator per
+    // partition, not per row (a per-row kernel would stamp 1 everywhere
+    // while 20 rows over 4 partitions make batches of ~5)
+    assert(got.forall(_.channels > 1))
+    got.groupBy(_.channels).foreach { case (sz, g) =>
+      assert(g.size % sz == 0, s"partial batch of size $sz: ${g.size} rows")
+    }
+  }
+
   test("multimodal: frame sampling emits ceil(n/stride) frames per asset") {
     import spark.implicits._
     val assets = Multimodal.assetsFromDocuments(
@@ -421,6 +461,29 @@ class OpsSpec extends TestBase {
       (73 to 100).map(i => s"t$i").mkString(" "))
     assert(got.find(r => r._1 == 4L).get._5 ==
       (1 to 5).map(i => s"t$i").mkString(" "))
+  }
+
+  test("chunking: per-doc cap binds at MaxChunksPerDoc on both engine " +
+      "sides (r5 ADVICE — the oracle's range() bound is this constant)") {
+    import spark.implicits._
+    val cap = graft.ops.TextOps.MaxChunksPerDoc
+    // Long enough that the UNCAPPED chunk count (ceil((n-32)/24)+1)
+    // would exceed the cap: n = 32 + 24·(cap+5) tokens.
+    val n = 32 + 24 * (cap + 5)
+    val docs = Seq((1L, (1 to n).map(i => s"t$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val got = graft.ops.TextOps.chunkWithOverlap(docs, 32, 8)
+      .orderBy("chunk_id")
+      .select("chunk_id", "tok_start", "tok_end")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got.size == cap, s"expected exactly $cap chunks, got ${got.size}")
+    assert(got.last._1 == cap - 1L)
+    // the truncated tail is dropped, not clamped into the last chunk
+    assert(got.last._3 == (cap - 1) * 24 + 32)
+    // boilerplate's 16-token chunker inherits the same bound
+    val bp = graft.ops.TextOps.boilerplateRemoval(docs, chunkTokens = 16)
+      .select("n_chunks").as[Long].collect()
+    assert(bp.toSeq == Seq(cap.toLong))
   }
 
   test("boilerplate removal: repeated spans dropped in every host doc, " +

@@ -171,4 +171,31 @@ class SimilaritySpec extends TestBase {
     assert(hits(1).subsetOf(hits(2)))
     graft.ops.Reuse.freeAll(spark)
   }
+
+  test("ext58 probe-recall curve: n_true constant, recall monotone in " +
+      "probes; build-once index cached across calls with rank1 == argmin") {
+    import spark.implicits._
+    val rows = ExtEntry.queries("ext58_ivf_multiprobe_recall")(
+        spark, sf("sf0.001"))
+      .select("probes", "n_true", "n_detected", "recall_q")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(rows.map(_._1).toSeq == Seq(1L, 2L, 4L))
+    // one truth set prices every curve row
+    assert(rows.map(_._2).distinct.length == 1)
+    // more probes can only add candidates — recall is nondecreasing
+    assert(rows.map(_._4).toSeq == rows.map(_._4).sorted.toSeq,
+      s"recall not monotone in probes: ${rows.toSeq}")
+    // the index is built once per (session, key, params): the second
+    // call returns the SAME cached checkpoint frame (eq, not equals)
+    val i1 = Similarity.kmeansProbeIndex(emb, cacheKey = "spec-cache")
+    val i2 = Similarity.kmeansProbeIndex(emb, cacheKey = "spec-cache")
+    assert(i1 eq i2)
+    // and its rank-1 slice is the kmeansBuckets assignment bit-exactly
+    val fromIndex = i1.filter(col("probe_rank") === 1)
+      .select("vec_id", "bucket").as[(Long, Long)].collect().toMap
+    val argmin2 = Similarity.kmeansBuckets(emb)
+      .as[(Long, Long)].collect().toMap
+    assert(fromIndex == argmin2)
+    graft.ops.Reuse.freeAll(spark)
+  }
 }
