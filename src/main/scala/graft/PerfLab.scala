@@ -13,8 +13,21 @@ import org.apache.spark.sql.SparkSession
  *
  * Keys starting with `graft.` that name JVM-prop knobs (graft.qdot) are
  * set as system properties; everything is also set as a session conf.
+ *
+ * FLOOR GATE (r5 verdict item 1 — catch perf drift at build time, not
+ * at judging): `SPARK_GRAFT_FLOORS=tools/perf_floors.json` compares
+ * each query's steady state (min of the post-codegen rounds) against
+ * its recorded isolated floor and exits nonzero past 1.5x — queries
+ * under 0.5 s floor get a 2.5x margin instead (sub-second times are
+ * scheduler-noise-dominated; the r5 "regressions" op05 0.15->0.29 s
+ * were exactly this). Update the floors file deliberately (after an
+ * accepted plan change), never automatically.
  */
 object PerfLab {
+  val FloorMargin = 1.5
+  val SmallFloorSec = 0.5
+  val SmallFloorMargin = 2.5
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -40,6 +53,7 @@ object PerfLab {
       .filter { case (n, _) => only.exists(n.startsWith) }
     // Three timed rounds: round 0 pays codegen, rounds 1-2 are the steady
     // state AND a variance check (the round-2 failure mode was instability).
+    val steady = collection.mutable.Map[String, Double]()
     (0 to 2).foreach { round =>
       val times = picked.map { case (name, fn) =>
         val t0 = System.nanoTime()
@@ -47,10 +61,35 @@ object PerfLab {
         val dt = (System.nanoTime() - t0) / 1e9
         spark.catalog.clearCache()
         graft.ops.Reuse.freeAll(spark)
+        if (round > 0)
+          steady(name) = math.min(steady.getOrElse(name, Double.MaxValue), dt)
         f"$name%s=$dt%.2f"
       }
       println(s"PERFLAB strategy=$strategy confs=${confs.mkString(",")} round=$round " + times.mkString(" "))
     }
+    val gateFailed = sys.env.get("SPARK_GRAFT_FLOORS").exists { path =>
+      // Flat {"query": floorSec} map; minimal parse, no JSON dependency.
+      val txt = scala.io.Source.fromFile(path)
+      val floors = try {
+        "\"([^\"]+)\"\\s*:\\s*([0-9.]+)".r.findAllMatchIn(txt.mkString)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      } finally txt.close()
+      val breaches = steady.toSeq.sortBy(_._1).flatMap { case (name, dt) =>
+        floors.get(name).flatMap { floor =>
+          val margin = if (floor < SmallFloorSec) SmallFloorMargin
+            else FloorMargin
+          if (dt > floor * margin)
+            Some(f"$name: steady $dt%.2f s > ${margin}x floor $floor%.2f s")
+          else None
+        }
+      }
+      breaches.foreach(b => println(s"PERFLAB FLOOR BREACH $b"))
+      val checked = steady.keySet.intersect(floors.keySet).size
+      println(s"PERFLAB floor gate: $checked queries checked, " +
+        s"${breaches.size} breaches")
+      breaches.nonEmpty
+    }
     spark.stop()
+    if (gateFailed) sys.exit(2)
   }
 }
