@@ -28,6 +28,10 @@ object ExtEntry {
     * maxProbes below and <= k=8). */
   private val ProbeCurve = Seq(1, 2, 4)
 
+  /** Total token budget the ext62 ledger plans against (SF-independent:
+    * the ledger's shape, not the budget, is what's under test). */
+  private val TokenBudget = 10000000L
+
   /** The build-once IVF probe index shared by ext28/31/57/58 — one
     * Lloyd's build per (session, sfdir), then every consumer reads the
     * cached (vec_id, bucket, probe_rank) checkpoint
@@ -219,6 +223,36 @@ object ExtEntry {
       |            / CAST(count(*) AS DOUBLE))), 0) AS BIGINT)
       |         AS recall_q
       |FROM m""".stripMargin
+
+  /** truth + cand CTE chain shared by the LSH recall (ext54) and
+    * precision (ext61) audits: exact bounded-Jaccard truth at 0.5 and
+    * the banded MinHash candidate set, both off ONE shingle relation —
+    * only the summary tail (which side left-joins which) differs. */
+  private lazy val lshDetectorCtes =
+    s"""$ShingleSql,
+       |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+       |inter AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+       |  FROM sh a JOIN sh b USING (h)
+       |  WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+       |truth AS (
+       |  SELECT id_a, id_b
+       |  FROM inter JOIN sizes na ON na.doc_id = id_a
+       |             JOIN sizes nb ON nb.doc_id = id_b
+       |  WHERE CAST(n_inter AS DOUBLE) /
+       |          CAST(na.n + nb.n - n_inter AS DOUBLE) >= 0.5),
+       |sig AS (
+       |  SELECT doc_id,
+       |         $minhashMinsSql
+       |  FROM sh GROUP BY 1),
+       |bands AS (
+       |  SELECT doc_id, b.band_id,
+       |         CASE b.band_id $bandSigSql END AS band_sig
+       |  FROM sig, (VALUES (0), (1), (2), (3)) b(band_id)),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b
+       |  FROM bands a JOIN bands b2 USING (band_id, band_sig)
+       |  WHERE a.doc_id < b2.doc_id)""".stripMargin
 
   /** One row of the ext58 probe-recall curve: [[recallTailSql]]'s
     * 3-scalar summary against `cand$p`, tagged with the probe count. */
@@ -788,6 +822,47 @@ object ExtEntry {
         .select("probes", "n_true", "n_detected", "recall_q")
         .orderBy("probes")
     }),
+
+    // IVF bucket-balance audit — the recall curve's cost-side partner:
+    // bucket-population extremes + a quantized imbalance factor
+    // (max_bucket·n_buckets/n_vectors; 1e6 = perfectly even). Recall
+    // (ext57/58) prices what a probe FINDS; balance prices what the
+    // worst probe COSTS — a skewed quantizer concentrates candidate
+    // volume in hot buckets at 100 TB no matter how good recall looks.
+    // Reads the shared build-once index; all-int64 tail.
+    "ext60_ivf_balance" -> ((s, dir) =>
+      ivfBuckets(s, dir)
+        .groupBy("bucket").agg(count(lit(1)).as("cnt"))
+        .agg(count(lit(1)).as("n_buckets"),
+          sum(col("cnt")).as("n_vectors"),
+          max(col("cnt")).as("max_bucket"),
+          min(col("cnt")).as("min_bucket"))
+        .select(col("n_buckets"), col("n_vectors"), col("max_bucket"),
+          col("min_bucket"),
+          expr("(max_bucket * n_buckets * 1000000L) DIV n_vectors")
+            .as("imbalance_q"))),
+
+    // LSH candidate PRECISION — the other half of ext54's audit: the
+    // fraction of emitted candidates that verify as true dups (what the
+    // verify stage wastes, vs what the detector misses). Same single
+    // materialized shingle pass feeding both detectors.
+    "ext61_lsh_precision" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val g = Dedup.shingleGroups(d, "doc_id", "text")
+      val sig = graft.ops.Reuse.shared(Dedup.minhashSignaturesFromGroups(g))
+      Dedup.pairPrecision(
+        Dedup.ngramJaccardFromGroups(g, threshold = 0.5),
+        Dedup.minhashLshFromSig(sig))
+    }),
+
+    // Mixture token ledger: per-source doc/token counts, temperature
+    // weight, planned token draw from a fixed total budget, and the
+    // effective epoch count (epochs_q > 1e6 = the source repeats) —
+    // the capacity-planning sheet a pretraining run signs off BEFORE
+    // any data moves. One fused keyed aggregate + broadcast total.
+    "ext62_token_ledger" -> ((s, dir) =>
+      Sampling.tokenLedger(docs(s, dir), TokenBudget, Seq("source"))
+        .orderBy("source")),
 
     // Incremental corpus dedup: the crawl increment (doc_id % 10 < 2)
     // deduped against the established corpus through its band table —
@@ -1731,6 +1806,47 @@ object ExtEntry {
          |${ProbeCurve.map(probeRecallRowSql).mkString("\nUNION ALL\n")})
          |ORDER BY probes""".stripMargin,
 
+    // Bucket histogram off the same final k-means assignment (a3);
+    // the imbalance tail is pure integer arithmetic on both engines.
+    "ext60_ivf_balance" ->
+      s"""$QuantFlatSql,
+         |${kmeansCtes(8, 2)},
+         |b AS (SELECT cid, count(*) AS cnt FROM a3 GROUP BY 1)
+         |SELECT CAST(count(*) AS BIGINT) AS n_buckets,
+         |       CAST(SUM(cnt) AS BIGINT) AS n_vectors,
+         |       CAST(max(cnt) AS BIGINT) AS max_bucket,
+         |       CAST(min(cnt) AS BIGINT) AS min_bucket,
+         |       (CAST(max(cnt) AS BIGINT) * CAST(count(*) AS BIGINT)
+         |         * 1000000) // CAST(SUM(cnt) AS BIGINT) AS imbalance_q
+         |FROM b""".stripMargin,
+
+    // Same weight CTEs as ext44 (shared sqrt-temperature math) plus the
+    // fused token count; the budget/epoch tail is exact int64 division
+    // on both engines.
+    "ext62_token_ledger" ->
+      s"""WITH c AS (
+         |  SELECT source, count(*) AS n_docs,
+         |         CAST(SUM(len(string_split(text, ' '))) AS BIGINT)
+         |           AS n_tokens
+         |  FROM documents GROUP BY 1),
+         |q AS (SELECT source, n_docs, n_tokens,
+         |             CAST(floor(1000000.0 * sqrt(CAST(n_docs AS DOUBLE)))
+         |               AS BIGINT) AS q_s
+         |      FROM c),
+         |t AS (SELECT CAST(SUM(q_s) AS BIGINT) AS q_tot FROM q),
+         |w AS (SELECT source, n_docs, n_tokens, q_s,
+         |             CAST(floor(1000000.0 * (CAST(q_s AS DOUBLE)
+         |                  / CAST(q_tot AS DOUBLE))) AS BIGINT) AS weight_q
+         |      FROM q, t)
+         |SELECT source, n_docs, n_tokens, q_s, weight_q,
+         |       (CAST($TokenBudget AS BIGINT) * weight_q) // 1000000
+         |         AS planned_tokens,
+         |       CASE WHEN n_tokens = 0 THEN CAST(0 AS BIGINT)
+         |            ELSE (((CAST($TokenBudget AS BIGINT) * weight_q)
+         |                   // 1000000) * 1000000) // n_tokens END
+         |         AS epochs_q
+         |FROM w ORDER BY source""".stripMargin,
+
     // Integer-exact buckets (length of the binary representation), exact
     // integer ceiling division, and a left-shift upper bound — no IEEE
     // log anywhere, so the estimates compare bit-for-bit.
@@ -1812,30 +1928,7 @@ object ExtEntry {
     // Truth = the ext02 jaccard chain at 0.5; candidates = the ext03
     // band chain; recall quantized to int64 so the compare is exact.
     "ext54_lsh_recall" ->
-      s"""$ShingleSql,
-         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
-         |inter AS (
-         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
-         |  FROM sh a JOIN sh b USING (h)
-         |  WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
-         |truth AS (
-         |  SELECT id_a, id_b
-         |  FROM inter JOIN sizes na ON na.doc_id = id_a
-         |             JOIN sizes nb ON nb.doc_id = id_b
-         |  WHERE CAST(n_inter AS DOUBLE) /
-         |          CAST(na.n + nb.n - n_inter AS DOUBLE) >= 0.5),
-         |sig AS (
-         |  SELECT doc_id,
-         |         $minhashMinsSql
-         |  FROM sh GROUP BY 1),
-         |bands AS (
-         |  SELECT doc_id, b.band_id,
-         |         CASE b.band_id $bandSigSql END AS band_sig
-         |  FROM sig, (VALUES (0), (1), (2), (3)) b(band_id)),
-         |cand AS (
-         |  SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b
-         |  FROM bands a JOIN bands b2 USING (band_id, band_sig)
-         |  WHERE a.doc_id < b2.doc_id),
+      s"""$lshDetectorCtes,
          |m AS (
          |  SELECT CASE WHEN c.id_a IS NULL THEN NULL ELSE 1 END AS hit
          |  FROM truth t LEFT JOIN cand c
@@ -1845,6 +1938,22 @@ object ExtEntry {
          |       CAST(COALESCE(floor(1000000.0 * (CAST(SUM(hit) AS DOUBLE)
          |            / CAST(count(*) AS DOUBLE))), 0) AS BIGINT)
          |         AS recall_q
+         |FROM m""".stripMargin,
+
+    // The precision half of the same audit: candidates left-joined to
+    // the exact truth — identical detector CTEs, roles swapped in the
+    // tail (Dedup.pairPrecision's SQL twin).
+    "ext61_lsh_precision" ->
+      s"""$lshDetectorCtes,
+         |m AS (
+         |  SELECT CASE WHEN t.id_a IS NULL THEN NULL ELSE 1 END AS hit
+         |  FROM cand c LEFT JOIN truth t
+         |    ON c.id_a = t.id_a AND c.id_b = t.id_b)
+         |SELECT CAST(count(*) AS BIGINT) AS n_candidates,
+         |       CAST(COALESCE(SUM(hit), 0) AS BIGINT) AS n_hits,
+         |       CAST(COALESCE(floor(1000000.0 * (CAST(SUM(hit) AS DOUBLE)
+         |            / CAST(count(*) AS DOUBLE))), 0) AS BIGINT)
+         |         AS precision_q
          |FROM m""".stripMargin,
 
     // chunk k covers [k*24 + 1, k*24 + 32] (stride 24 = 32 - 8 overlap);

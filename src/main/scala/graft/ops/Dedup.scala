@@ -273,6 +273,22 @@ object Dedup {
           lit(0L)).as("recall_q"))
 
   /**
+   * The other half of the [[pairRecall]] audit: PRECISION of the
+   * candidate generator — what fraction of emitted candidate pairs are
+   * true duplicates. Recall prices what the detector MISSES; precision
+   * prices what the verify stage WASTES (every false candidate is an
+   * exact-Jaccard/cosine verification that returns nothing), so the
+   * band/row knobs of a 100 TB run are chosen off BOTH numbers.
+   * Mechanically the same one-row summary with the join roles swapped:
+   * candidates left-joined to truth.
+   */
+  def pairPrecision(truth: DataFrame, candidates: DataFrame): DataFrame =
+    pairRecall(candidates.select("id_a", "id_b").distinct(), truth)
+      .select(col("n_true").as("n_candidates"),
+        col("n_detected").as("n_hits"),
+        col("recall_q").as("precision_q"))
+
+  /**
    * Turn near-dup PAIRS into a kept corpus: for every pair (a < b), drop
    * b — the standard single-pass policy of large-scale dedup pipelines
    * (exact transitive closure needs iterative connected components; the

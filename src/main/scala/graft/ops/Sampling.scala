@@ -80,19 +80,53 @@ object Sampling {
    * Scale shape: one keyed count per stratum + a broadcast 1-row total.
    */
   def mixtureWeights(df: DataFrame,
-      strata: Seq[String] = Seq("source")): DataFrame = {
-    val counts = df.groupBy(strata.map(col): _*)
-      .agg(count(lit(1)).as("n_docs"))
-      .withColumn("q_s",
-        floor(lit(1000000.0d) * sqrt(col("n_docs").cast("double")))
-          .cast("long"))
-    val tot = counts.agg(sum(col("q_s")).as("q_tot"))
-    counts.crossJoin(broadcast(tot))
+      strata: Seq[String] = Seq("source")): DataFrame =
+    withMixtureWeights(
+      df.groupBy(strata.map(col): _*).agg(count(lit(1)).as("n_docs")))
+
+  /** Append `q_s`/`weight_q` to any per-stratum relation carrying
+    * `n_docs` (the [[mixtureWeights]] math over precomputed counts, so
+    * [[tokenLedger]] shares ONE aggregation pass with the doc counts). */
+  private def withMixtureWeights(counts: DataFrame): DataFrame = {
+    val q = counts.withColumn("q_s",
+      floor(lit(1000000.0d) * sqrt(col("n_docs").cast("double")))
+        .cast("long"))
+    val tot = q.agg(sum(col("q_s")).as("q_tot"))
+    q.crossJoin(broadcast(tot))
       .withColumn("weight_q",
         floor(lit(1000000.0d) *
           (col("q_s").cast("double") / col("q_tot").cast("double")))
           .cast("long"))
       .drop("q_tot")
+  }
+
+  /**
+   * Capacity-planning token ledger — the table a large pretraining run
+   * plans its mixture with BEFORE any data moves: per stratum, document
+   * and token counts, the temperature mixture weight
+   * ([[mixtureWeights]]), the planned token draw out of a total token
+   * budget, and the effective epoch count over the stratum's own tokens
+   * (epochs_q > 1e6 means the stratum repeats — the repetition-rate
+   * red flag the mixture literature prices). The whole ledger is ONE
+   * map-side-combinable keyed aggregate over the corpus (doc + token
+   * counts fused) plus a broadcast 1-row total; every derived column
+   * past the shared weight math is exact int64 arithmetic, so any
+   * engine produces the identical plan sheet.
+   */
+  def tokenLedger(df: DataFrame, totalTokenBudget: Long,
+      strata: Seq[String] = Seq("source"),
+      text: String = "text"): DataFrame = {
+    require(totalTokenBudget > 0, "totalTokenBudget must be positive")
+    val counts = df.groupBy(strata.map(col): _*)
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(TextOps.tokens(col(text))).cast("long")).as("n_tokens"))
+    withMixtureWeights(counts)
+      .withColumn("planned_tokens",
+        expr(s"(${totalTokenBudget}L * weight_q) DIV 1000000"))
+      .withColumn("epochs_q",
+        when(col("n_tokens") > 0,
+          expr("(planned_tokens * 1000000) DIV n_tokens"))
+          .otherwise(lit(0L)))
   }
 
   /**

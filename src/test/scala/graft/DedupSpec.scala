@@ -113,5 +113,27 @@ class DedupSpec extends TestBase {
       .as[(Long, Long, Long)].collect().toSeq == Seq((0L, 0L, 0L)))
     assert(Dedup.pairRecall(truth, empty)
       .as[(Long, Long, Long)].collect().toSeq == Seq((4L, 0L, 0L)))
+    // Duplicate candidate rows must not fan out truth rows (r5 ADVICE:
+    // the join dedups its candidate side — recall_q can never top 1e6).
+    assert(Dedup.pairRecall(truth, cand.union(cand))
+      .as[(Long, Long, Long)].collect().toSeq == Seq((4L, 3L, 750000L)))
+  }
+
+  test("pairPrecision: candidate-side fraction, roles swapped from " +
+      "recall; duplicate candidates counted once (ext61)") {
+    import spark.implicits._
+    val truth = Seq((1L, 2L), (3L, 4L), (5L, 6L), (7L, 8L))
+      .toDF("id_a", "id_b")
+    val cand = Seq((1L, 2L), (3L, 4L), (5L, 6L), (9L, 10L))
+      .toDF("id_a", "id_b")
+    // 3 of 4 candidates verify -> precision 750000
+    assert(Dedup.pairPrecision(truth, cand)
+      .as[(Long, Long, Long)].collect().toSeq == Seq((4L, 3L, 750000L)))
+    // same pair sets => precision hits == recall hits (set intersection)
+    assert(Dedup.pairPrecision(truth, cand.union(cand))
+      .as[(Long, Long, Long)].collect().toSeq == Seq((4L, 3L, 750000L)))
+    val empty = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    assert(Dedup.pairPrecision(truth, empty)
+      .as[(Long, Long, Long)].collect().toSeq == Seq((0L, 0L, 0L)))
   }
 }

@@ -261,4 +261,28 @@ class PipelineOpsSpec extends TestBase {
     assert(kept.select("doc_id").except(again.select("doc_id")).isEmpty &&
       again.select("doc_id").except(kept.select("doc_id")).isEmpty)
   }
+
+  test("mixing: token ledger plans within budget, epochs flag repeats, " +
+      "weights match mixtureWeights (ext62)") {
+    import spark.implicits._
+    // 400 4-token a-docs (1600 tokens), 100 2-token b-docs (200 tokens);
+    // weights as in the ext44 test: a=666666, b=333333.
+    val df = ((0 until 400).map(i => (i.toLong, "a", "w x y z")) ++
+      (0 until 100).map(i => (1000L + i, "b", "w x")))
+      .toDF("doc_id", "src", "text")
+    val got = Sampling.tokenLedger(df, 10000L, Seq("src"))
+      .orderBy("src")
+      .select("src", "n_docs", "n_tokens", "weight_q", "planned_tokens",
+        "epochs_q")
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSeq
+    // planned: a = 10000*666666 div 1e6 = 6666, b = 3333.
+    // epochs: a = 6666e6 div 1600 = 4166250 (~4.2 epochs),
+    //         b = 3333e6 div 200 = 16665000 (~16.7 epochs).
+    assert(got == Seq(
+      ("a", 400L, 1600L, 666666L, 6666L, 4166250L),
+      ("b", 100L, 200L, 333333L, 3333L, 16665000L)))
+    // plan never exceeds the budget; weights sum to <= 1e6 (floor loss)
+    assert(got.map(_._5).sum <= 10000L)
+    assert(got.map(_._4).sum <= 1000000L)
+  }
 }

@@ -198,4 +198,20 @@ class SimilaritySpec extends TestBase {
     assert(fromIndex == argmin2)
     graft.ops.Reuse.freeAll(spark)
   }
+
+  test("ext60 bucket-balance audit: totals cover the corpus, imbalance " +
+      "bounded below by perfectly-even (1e6)") {
+    import spark.implicits._
+    val row = ExtEntry.queries("ext60_ivf_balance")(spark, sf("sf0.001"))
+      .select("n_buckets", "n_vectors", "max_bucket", "min_bucket",
+        "imbalance_q")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(row.length == 1)
+    val (nb, nv, mx, mn, imb) = row.head
+    assert(nv == emb.count(), "every vector assigned to exactly one bucket")
+    assert(mn >= 1 && mn <= mx && mx <= nv)
+    // max*nb >= n by pigeonhole, so the quantized factor is >= 1e6
+    assert(imb >= 1000000L, s"imbalance_q $imb below the even floor")
+    graft.ops.Reuse.freeAll(spark)
+  }
 }
