@@ -121,6 +121,34 @@ object Reuse {
     }
 
   /**
+   * Process-lifetime memo for INDEX-like artifacts: an IVF probe
+   * assignment, a stored signature/band table, an audit's truth/candidate
+   * pair sets — things production builds ONCE per corpus snapshot and
+   * then reads from MANY queries. Built on first request per (session,
+   * key) as an eager `localCheckpoint`, returned as the same materialized
+   * frame on every later request, and deliberately NOT registered for
+   * [[freeAll]]: the between-queries block free must not drop an index,
+   * exactly as a production index outlives any one query against it.
+   * Sessions are weak keys — a stopped session releases its entries and
+   * the checkpoint blocks die with its block manager.
+   *
+   * Use for SMALL artifacts (assignments, pair sets, signatures — id +
+   * a few int64s per row). The corpus itself never belongs here.
+   */
+  def index(spark: SparkSession, key: String)(
+      build: => DataFrame): DataFrame = {
+    val perSession = indexes.synchronized {
+      indexes.computeIfAbsent(spark,
+        _ => new java.util.concurrent.ConcurrentHashMap[String, DataFrame]())
+    }
+    perSession.computeIfAbsent(key, _ => build.localCheckpoint(true))
+  }
+
+  private val indexes = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession,
+      java.util.concurrent.ConcurrentHashMap[String, DataFrame]]())
+
+  /**
    * Free every materialization [[shared]]/[[pin]] produced on this
    * session since the last call: unpersists cached frames AND removes
    * localCheckpoint RDD blocks (which `spark.catalog.clearCache()` does

@@ -211,15 +211,9 @@ object Similarity {
    * pass). This memoizes the FINISHED probe assignment
    * `(id, bucket, probe_rank <= maxProbes)` — three int64 columns, never
    * the vectors, so the cached artifact is tiny at any corpus size — as
-   * an eager `localCheckpoint`, keyed by (session, cacheKey, k, iters,
-   * maxProbes).
-   *
-   * Deliberately NOT registered with [[Reuse]]: `freeAll` between
-   * queries must not drop the index, exactly as a production index
-   * outlives any one query against it. Sessions are weak keys, so a
-   * stopped session releases its entries and the checkpoint blocks die
-   * with its block manager; within a live session the index persists
-   * for the process lifetime (the point).
+   * an eager `localCheckpoint` via [[Reuse.index]] (exempt from the
+   * between-queries `freeAll`, exactly as a production index outlives
+   * any one query; see the ledger there for lifecycle details).
    *
    * `probe_rank = 1` is bit-identical to [[kmeansBuckets]] (same argmin,
    * same (dist ASC, cid ASC) tie-break), so consumers needing the plain
@@ -227,22 +221,11 @@ object Similarity {
    */
   def kmeansProbeIndex(emb: DataFrame, cacheKey: String, k: Int = 8,
       iters: Int = 2, maxProbes: Int = 4, id: String = "vec_id",
-      vec: String = "embedding"): DataFrame = {
-    val session = emb.sparkSession
-    val perSession = indexCache.synchronized {
-      indexCache.computeIfAbsent(session,
-        _ => new java.util.concurrent.ConcurrentHashMap[
-          (String, Int, Int, Int), DataFrame]())
+      vec: String = "embedding"): DataFrame =
+    Reuse.index(emb.sparkSession,
+      s"kmeans-probe:$cacheKey:$k:$iters:$maxProbes") {
+      kmeansProbeBuckets(emb, k, iters, maxProbes, id, vec)
     }
-    perSession.computeIfAbsent((cacheKey, k, iters, maxProbes),
-      _ => kmeansProbeBuckets(emb, k, iters, maxProbes, id, vec)
-        .localCheckpoint(true))
-  }
-
-  private val indexCache = java.util.Collections.synchronizedMap(
-    new java.util.WeakHashMap[org.apache.spark.sql.SparkSession,
-      java.util.concurrent.ConcurrentHashMap[(String, Int, Int, Int),
-        DataFrame]]())
 
   /** argmin assignment as min(struct(dist, cid)) — a map-side-combinable
     * hash aggregate with the same (dist ASC, cid ASC) tie-break the
