@@ -56,6 +56,18 @@ object ExtEntry {
         .select(col("q_id").as("id_a"), col("t_id").as("id_b"))
     }
 
+  /** Build-once near-dup cluster map (doc_id, cluster_id) — THE stored
+    * dedup artifact of a corpus snapshot: the LSH pair graph and the
+    * iterative connected components run ONCE per (session, sf); keeper
+    * selection (ext47), leakage-safe splitting (ext51), the cluster
+    * listing (ext27) and the dedup impact report (ext64) all read it. */
+  private def dupClusters(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Reuse.index(s, s"dup-clusters:$dir") {
+      Components.connectedComponents(
+        Dedup.minhashLsh(docs(s, dir)).select("id_a", "id_b"))
+        .select(col("id").as("doc_id"), col("cluster_id"))
+    }
+
   /** Build-once LSH audit artifact shared by the recall (ext54) and
     * precision (ext61) summaries: ONE shingle pass feeds both the exact
     * bounded-Jaccard truth and the banded MinHash candidates; the two
@@ -744,13 +756,11 @@ object ExtEntry {
     // Leakage-safe split: near-dup cluster members share the cluster's
     // canonical min id as split key, so no near-dup pair ever straddles
     // train/val/test; unclustered docs assign exactly as ext20.
-    "ext51_leakage_safe_split" -> ((s, dir) => {
-      val d = docs(s, dir)
-      val pairs = Dedup.minhashLsh(d).select("id_a", "id_b")
-      Splits.assignLeakageSafe(d, pairs)
+    "ext51_leakage_safe_split" -> ((s, dir) =>
+      Splits.assignLeakageSafeFromClusters(docs(s, dir),
+          dupClusters(s, dir))
         .select("doc_id", "split_key", "bucket", "split")
-        .orderBy("doc_id")
-    }),
+        .orderBy("doc_id")),
 
     // Deterministic training-shard writer shape: hash-mod shard that a
     // doc keeps forever + reproducible within-shard hash-shuffle order
@@ -879,6 +889,33 @@ object ExtEntry {
       Sampling.tokenLedger(docs(s, dir), TokenBudget, Seq("source"))
         .orderBy("source")),
 
+    // Per-shard content manifest under the ext52 shard draw: row count +
+    // order-independent content checksum (sum of portable doc hashes) —
+    // the integrity record a shard writer emits so reruns/replicas/
+    // other engines verify shards without re-reading them in order.
+    "ext63_shard_manifest" -> ((s, dir) =>
+      Splits.shardManifest(docs(s, dir), col("doc_id"), 8)
+        .orderBy("shard")),
+
+    // Dedup impact report off the stored cluster map: how many near-dup
+    // families, how much of the corpus sits in them, the largest family,
+    // and the mass a min-per-cluster keeper policy would remove
+    // (dup_mass_q, ppm of the corpus) — the one-row number that says
+    // whether dedup is worth a 100 TB pass BEFORE committing to it.
+    "ext64_dup_stats" -> ((s, dir) => {
+      val sizes = dupClusters(s, dir)
+        .groupBy("cluster_id").agg(count(lit(1)).as("n"))
+      val tot = docs(s, dir).agg(count(lit(1)).as("n_total"))
+      sizes.agg(count(lit(1)).as("n_clusters"),
+          coalesce(sum(col("n")), lit(0L)).as("n_clustered_docs"),
+          coalesce(max(col("n")), lit(0L)).as("max_cluster"))
+        .crossJoin(broadcast(tot))
+        .select(col("n_clusters"), col("n_clustered_docs"),
+          col("max_cluster"),
+          expr("((n_clustered_docs - n_clusters) * 1000000) DIV n_total")
+            .as("dup_mass_q"))
+    }),
+
     // Incremental corpus dedup: the crawl increment (doc_id % 10 < 2)
     // deduped against the established corpus through its band table —
     // only the increment is shingled; the corpus side is the stored
@@ -899,12 +936,9 @@ object ExtEntry {
     // the MinHash-LSH pair graph — the transitive closure that
     // keepRepresentatives (ext14) approximates in one pass. Every doc in
     // a duplicate chain maps to the min doc_id of its component.
-    "ext27_dedup_clusters" -> ((s, dir) => {
-      val pairs = Dedup.minhashLsh(docs(s, dir)).select("id_a", "id_b")
-      Components.connectedComponents(pairs)
-        .select(col("id").as("doc_id"), col("cluster_id"))
-        .orderBy("doc_id")
-    }),
+    "ext27_dedup_clusters" -> ((s, dir) =>
+      dupClusters(s, dir)
+        .orderBy("doc_id")),
 
     // Quality-aware keeper selection: per duplicate cluster keep the
     // HIGHEST-quality member (tie → min id), not the min id — the
@@ -914,11 +948,9 @@ object ExtEntry {
     // window sort over the membership.
     "ext47_quality_keeper" -> ((s, dir) => {
       val d = docs(s, dir)
-      val clusters = Components.connectedComponents(
-        Dedup.minhashLsh(d).select("id_a", "id_b"))
       val scored = TextOps.quality(d)
         .select(col("doc_id"), col("quality_score"))
-      clusters.join(scored, clusters("id") === scored("doc_id"))
+      dupClusters(s, dir).join(scored, "doc_id")
         .groupBy(col("cluster_id"))
         .agg(count(lit(1)).as("n_members"),
           max(struct(col("quality_score").as("q"),
@@ -1771,6 +1803,37 @@ object ExtEntry {
          |       WHEN bucket < 95 THEN 'val'
          |       ELSE 'test' END AS split
          |FROM k ORDER BY doc_id""".stripMargin,
+
+    // Same shard draw as ext52; checksum is a commutative integer sum of
+    // portable content hashes, so both engines aggregate it in any order.
+    "ext63_shard_manifest" ->
+      s"""WITH h AS (
+         |  SELECT doc_id, text,
+         |         ${hashSql("'shard:' || CAST(doc_id AS VARCHAR)")} % 8
+         |           AS shard
+         |  FROM documents)
+         |SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(SUM(${hashSql("text")}) AS BIGINT) AS checksum
+         |FROM h GROUP BY shard ORDER BY shard""".stripMargin,
+
+    // Same transitive closure as the ext27/ext51 oracles; the report
+    // tail aggregates cluster sizes and cross-joins the 1-row corpus
+    // total (empty-graph edges coalesce to 0 on both sides).
+    "ext64_dup_stats" ->
+      s"""WITH RECURSIVE $clusterCtes,
+         |cl AS (SELECT id AS doc_id, min(label) AS cluster_id
+         |       FROM reach GROUP BY 1),
+         |sz AS (SELECT cluster_id, count(*) AS n FROM cl GROUP BY 1),
+         |t AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM documents),
+         |agg AS (SELECT CAST(count(*) AS BIGINT) AS n_clusters,
+         |               CAST(COALESCE(SUM(n), 0) AS BIGINT)
+         |                 AS n_clustered_docs,
+         |               CAST(COALESCE(max(n), 0) AS BIGINT) AS max_cluster
+         |        FROM sz)
+         |SELECT n_clusters, n_clustered_docs, max_cluster,
+         |       ((n_clustered_docs - n_clusters) * 1000000) // n_total
+         |         AS dup_mass_q
+         |FROM agg, t""".stripMargin,
 
     "ext52_shard_assign" ->
       s"""WITH h AS (

@@ -57,9 +57,19 @@ object Splits {
    */
   def assignLeakageSafe(doc: DataFrame, pairs: DataFrame,
       id: String = "doc_id", salt: String = "split",
+      trainPct: Int = 90, valPct: Int = 5): DataFrame =
+    assignLeakageSafeFromClusters(doc,
+      Components.connectedComponents(pairs).withColumnRenamed("id", id),
+      id, salt, trainPct, valPct)
+
+  /** [[assignLeakageSafe]] against a PREBUILT cluster map
+    * `(id, cluster_id)` — the composition entry point for pipelines that
+    * keep the dedup clustering as a stored artifact (see
+    * [[Reuse.index]]) instead of re-running detector + components per
+    * consumer. */
+  def assignLeakageSafeFromClusters(doc: DataFrame, clusters: DataFrame,
+      id: String = "doc_id", salt: String = "split",
       trainPct: Int = 90, valPct: Int = 5): DataFrame = {
-    val clusters = Components.connectedComponents(pairs)
-      .withColumnRenamed("id", id)
     val keyed = doc.join(clusters, Seq(id), "left")
       .withColumn("split_key", coalesce(col("cluster_id"), col(id)))
       .drop("cluster_id")
@@ -89,5 +99,26 @@ object Splits {
     df.withColumn("draw", draw)
       .withColumn("shard", col("draw") % nShards)
       .withColumn("seq", row_number().over(w).cast("long"))
+  }
+
+  /**
+   * Per-shard content manifest: row count + an order-independent content
+   * checksum (sum of portable per-doc content hashes — commutative, so
+   * any partitioning and any engine produce the same value) under the
+   * SAME shard draw as [[shardAssign]]. This is the integrity record a
+   * shard writer emits alongside the data: a re-run, a replica, or a
+   * different engine re-derives the manifest and verifies shards
+   * byte-identical without re-reading them in order. One map-side-
+   * combinable keyed aggregate; no sort, no window.
+   */
+  def shardManifest(df: DataFrame, id: Column, nShards: Int,
+      text: String = "text", salt: String = "shard"): DataFrame = {
+    require(nShards > 0, "nShards must be positive")
+    val draw =
+      Hashing.portableHash32(concat(lit(salt + ":"), id.cast("string")))
+    df.withColumn("shard", draw % nShards)
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(Hashing.portableHash32(col(text))).as("checksum"))
   }
 }

@@ -285,4 +285,46 @@ class PipelineOpsSpec extends TestBase {
     assert(got.map(_._5).sum <= 10000L)
     assert(got.map(_._4).sum <= 1000000L)
   }
+
+  test("shard manifest: same draw as shardAssign, counts cover the " +
+      "corpus, checksum order/partitioning-independent (ext63)") {
+    import spark.implicits._
+    val df = (0 until 200)
+      .map(i => (i.toLong, s"doc body $i")).toDF("doc_id", "text")
+    val manifest = Splits.shardManifest(df, col("doc_id"), 8)
+      .as[(Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    assert(manifest.map(_._2).sum == 200L)
+    // every doc's manifest shard == its shardAssign shard
+    val byAssign = Splits.shardAssign(df, col("doc_id"), 8)
+      .groupBy("shard").count().as[(Long, Long)].collect().toMap
+    assert(manifest.map(m => m._1 -> m._2).toMap == byAssign)
+    // the checksum is a commutative sum: any partitioning, same manifest
+    val again = Splits.shardManifest(df.repartition(7).orderBy(rand()),
+        col("doc_id"), 8)
+      .as[(Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    assert(again == manifest)
+    // a content change flips exactly its shard's checksum
+    val tweaked = Splits.shardManifest(
+        df.withColumn("text", when(col("doc_id") === 0, lit("CHANGED"))
+          .otherwise(col("text"))), col("doc_id"), 8)
+      .as[(Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    assert(tweaked.count(t => !manifest.contains(t)) == 1)
+  }
+
+  test("dup stats report consistent with the cluster listing (ext64)") {
+    import spark.implicits._
+    val clusters = ExtEntry.queries("ext27_dedup_clusters")(
+        spark, sf("sf0.001"))
+      .as[(Long, Long)].collect().toSeq
+    val row = ExtEntry.queries("ext64_dup_stats")(spark, sf("sf0.001"))
+      .as[(Long, Long, Long, Long)].collect().head
+    val (nc, nd, mx, mass) = row
+    assert(nc == clusters.map(_._2).distinct.size)
+    assert(nd == clusters.size)
+    assert(mx == clusters.groupBy(_._2).values.map(_.size).max)
+    // removing all-but-one per family == (docs in families - families)
+    val total = graft.ingest.Tables.documents(spark, sf("sf0.001")).count()
+    assert(mass == (nd - nc) * 1000000L / total)
+    graft.ops.Reuse.freeAll(spark)
+  }
 }
