@@ -16,6 +16,10 @@ case class ShardedDoc(doc_id: Long, draw: Long, shard: Long)
 /** Output row: the doc's permanent shard plus its append position. */
 case class ShardSeq(doc_id: Long, shard: Long, seq: Long)
 
+/** Running per-shard integrity record of
+  * [[StreamingPipeline.shardManifestStream]]. */
+case class ShardManifestRow(shard: Long, n_docs: Long, checksum: Long)
+
 /**
  * Structured Streaming pipeline (SURVEY.md §2.6/§2.7, M5) — the live path
  * of the reference (TweetGate/Program.SaveAggregates.cs:61-107): tweet
@@ -350,6 +354,37 @@ object StreamingPipeline {
           batch.iterator.zipWithIndex.map { case (d, i) =>
             ShardSeq(d.doc_id, shard, from + i + 1)
           }
+      }
+  }
+
+  /**
+   * Streaming twin of `Splits.shardManifest` (ext63): the shard writer's
+   * integrity record maintained INCREMENTALLY. The checksum is a
+   * commutative sum of portable content hashes, so per-shard state is
+   * exactly TWO longs (count, running sum) updated per micro-batch —
+   * 2·nShards longs total, corpus-size-independent, nothing to expire —
+   * and after ANY prefix of batches the latest emitted row per shard
+   * equals the batch operator over the union of those batches
+   * (update-mode emission; readers take the last row per shard).
+   */
+  def shardManifestStream(docs: DataFrame, id: Column, nShards: Int,
+      text: String = "text",
+      salt: String = "shard"): Dataset[ShardManifestRow] = {
+    import docs.sparkSession.implicits._
+    require(nShards > 0, "nShards must be positive")
+    val draw = graft.ops.Hashing.portableHash32(
+      concat(lit(salt + ":"), id.cast("string")))
+    docs.select((draw % nShards).as("_shard"),
+        graft.ops.Hashing.portableHash32(col(text)).as("_h"))
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (shard: Long, rows: Iterator[(Long, Long)],
+            state: GroupState[(Long, Long)]) =>
+          var (n, c) = state.getOption.getOrElse((0L, 0L))
+          rows.foreach { r => n += 1; c += r._2 }
+          state.update((n, c))
+          ShardManifestRow(shard, n, c)
       }
   }
 

@@ -468,6 +468,36 @@ class StreamingSpec extends TestBase {
     }
   }
 
+  test("streaming shard manifest: latest row per shard == batch " +
+      "manifest after every replay granularity (ext63 twin)") {
+    import spark.implicits._
+    val batchDocs = graft.ingest.Tables.documents(spark, sf("sf0.001"))
+      .select("doc_id", "text")
+    val batch = graft.ops.Splits.shardManifest(batchDocs, col("doc_id"), 8)
+      .as[(Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    val srcDir = Files.createTempDirectory("graft-manifest-src")
+      .toString + "/d"
+    batchDocs.write.parquet(srcDir)
+    def run(maxFiles: Option[Int], name: String) = {
+      val q = StreamingPipeline.shardManifestStream(
+        StreamingPipeline.parquetStream(spark, srcDir,
+          maxFilesPerTrigger = maxFiles), col("doc_id"), 8)
+        .writeStream.outputMode("update").format("memory")
+        .queryName(name).start()
+      q.processAllAvailable()
+      q.stop()
+      // update mode re-emits a shard's row each batch it changes in;
+      // the manifest is the LAST row per shard (max n_docs — the count
+      // only grows)
+      spark.table(name).as[(Long, Long, Long)].collect().toSeq
+        .groupBy(_._1).map(_._2.maxBy(_._2)).toSeq.sortBy(_._1)
+    }
+    assert(run(None, "manifest_single") == batch,
+      "single-batch streamed manifest differs from batch shardManifest")
+    assert(run(Some(1), "manifest_multi") == batch,
+      "file-at-a-time streamed manifest differs from batch shardManifest")
+  }
+
   test("streaming incremental dedup == sequential dedupeIncrement (ext36 twin)") {
     import spark.implicits._
     val srcDir = Files.createTempDirectory("graft-incdedup-src").toFile
