@@ -291,6 +291,41 @@ object ExtEntry {
        |  FROM bands a JOIN bands b2 USING (band_id, band_sig)
        |  WHERE a.doc_id < b2.doc_id)""".stripMargin
 
+  /** The ext37 wide-simhash chain as bare CTE blocks (th → h → votes →
+    * sh2 → chunks → candidate pairs `p`), shared by the ext37 pair
+    * listing and the ext65 cross-family recall audit. */
+  private lazy val simhashWideCtes =
+    s"""th AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+       |  FROM documents),
+       |h2 AS (SELECT doc_id,
+       |        ${hashSql("'w0:' || tok")} AS ha,
+       |        ${hashSql("'w1:' || tok")} AS hb
+       |      FROM th),
+       |votes AS (
+       |  SELECT doc_id, i,
+       |         SUM(CAST(2 * ((CASE WHEN i < 30
+       |               THEN ha >> CAST(i AS INTEGER)
+       |               ELSE hb >> CAST(i - 30 AS INTEGER) END) & 1) - 1
+       |             AS BIGINT)) AS vote
+       |  FROM h2, range(60) r(i) GROUP BY 1, 2),
+       |sh2 AS (
+       |  SELECT doc_id,
+       |         CAST(SUM(CASE WHEN vote > 0
+       |           THEN (CAST(1 AS BIGINT) << CAST(i AS INTEGER))
+       |           ELSE 0 END) AS BIGINT) AS simhash
+       |  FROM votes GROUP BY 1),
+       |chunks AS (
+       |  SELECT doc_id, simhash, c.chunk_id,
+       |         (simhash >> CAST(c.chunk_id * 15 AS INTEGER)) & 32767
+       |           AS chunk
+       |  FROM sh2, range(4) c(chunk_id)),
+       |p AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+       |         a.simhash AS sa, b.simhash AS sb
+       |  FROM chunks a JOIN chunks b USING (chunk_id, chunk)
+       |  WHERE a.doc_id < b.doc_id)""".stripMargin
+
   /** One row of the ext58 probe-recall curve: [[recallTailSql]]'s
     * 3-scalar summary against `cand$p`, tagged with the probe count. */
   private def probeRecallRowSql(p: Int): String =
@@ -789,6 +824,17 @@ object ExtEntry {
         p.filter(col("rel") === "cand"))
     }),
 
+    // Cross-family detector recall: the wide-simhash candidate set
+    // (ext37's generator, hamming <= 3 on 60 bits) scored against the
+    // SAME exact-Jaccard truth as the MinHash audit — the number that
+    // picks the detector FAMILY (bands vs chunks) for a corpus, not
+    // just a family's internal knobs. Truth read off the stored audit
+    // artifact.
+    "ext65_simhash_recall" -> ((s, dir) =>
+      Dedup.pairRecall(
+        lshAuditPairs(s, dir).filter(col("rel") === "truth"),
+        Dedup.simhashPairsWide(docs(s, dir)).select("id_a", "id_b"))),
+
     // Winnowing fingerprints (MOSS): min k-gram hash per sliding window
     // of w=4 — any shared >= k+w-1-token substring shares a fingerprint
     // while only ~2/(w+1) of position hashes are stored.
@@ -1069,40 +1115,30 @@ object ExtEntry {
     // 60-bit twin of ext04: two salted token hashes feed bits 0-29 /
     // 30-59; chunk width 15.
     "ext37_dedup_simhash_wide" ->
-      s"""WITH th AS (
-         |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
-         |  FROM documents),
-         |h AS (SELECT doc_id,
-         |        ${hashSql("'w0:' || tok")} AS ha,
-         |        ${hashSql("'w1:' || tok")} AS hb
-         |      FROM th),
-         |votes AS (
-         |  SELECT doc_id, i,
-         |         SUM(CAST(2 * ((CASE WHEN i < 30
-         |               THEN ha >> CAST(i AS INTEGER)
-         |               ELSE hb >> CAST(i - 30 AS INTEGER) END) & 1) - 1
-         |             AS BIGINT)) AS vote
-         |  FROM h, range(60) r(i) GROUP BY 1, 2),
-         |sh2 AS (
-         |  SELECT doc_id,
-         |         CAST(SUM(CASE WHEN vote > 0
-         |           THEN (CAST(1 AS BIGINT) << CAST(i AS INTEGER))
-         |           ELSE 0 END) AS BIGINT) AS simhash
-         |  FROM votes GROUP BY 1),
-         |chunks AS (
-         |  SELECT doc_id, simhash, c.chunk_id,
-         |         (simhash >> CAST(c.chunk_id * 15 AS INTEGER)) & 32767
-         |           AS chunk
-         |  FROM sh2, range(4) c(chunk_id)),
-         |p AS (
-         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
-         |         a.simhash AS sa, b.simhash AS sb
-         |  FROM chunks a JOIN chunks b USING (chunk_id, chunk)
-         |  WHERE a.doc_id < b.doc_id)
+      s"""WITH $simhashWideCtes
          |SELECT id_a, id_b,
          |       CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
          |FROM p WHERE bit_count(xor(sa, sb)) <= 3
          |ORDER BY id_a, id_b""".stripMargin,
+
+    // Cross-family recall: the wide-simhash candidate chain (ext37's
+    // CTEs) scored against the same exact-Jaccard truth as the MinHash
+    // audit; unreferenced minhash CTEs in the shared block cost nothing.
+    "ext65_simhash_recall" ->
+      s"""$lshDetectorCtes,
+         |$simhashWideCtes,
+         |cand_s AS (SELECT id_a, id_b FROM p
+         |           WHERE bit_count(xor(sa, sb)) <= 3),
+         |m AS (
+         |  SELECT CASE WHEN c.id_a IS NULL THEN NULL ELSE 1 END AS hit
+         |  FROM truth t LEFT JOIN cand_s c
+         |    ON t.id_a = c.id_a AND t.id_b = c.id_b)
+         |SELECT CAST(count(*) AS BIGINT) AS n_true,
+         |       CAST(COALESCE(SUM(hit), 0) AS BIGINT) AS n_detected,
+         |       CAST(COALESCE(floor(1000000.0 * (CAST(SUM(hit) AS DOUBLE)
+         |            / CAST(count(*) AS DOUBLE))), 0) AS BIGINT)
+         |         AS recall_q
+         |FROM m""".stripMargin,
 
     "ext14_dedup_pipeline" ->
       s"""$ShingleSql,
