@@ -86,9 +86,15 @@ object Sampling {
 
   /** Append `q_s`/`weight_q` to any per-stratum relation carrying
     * `n_docs` (the [[mixtureWeights]] math over precomputed counts, so
-    * [[tokenLedger]] shares ONE aggregation pass with the doc counts). */
+    * [[tokenLedger]] shares ONE aggregation pass with the doc counts).
+    * The counts relation (|strata| rows) is materialized once: both the
+    * per-stratum output and the broadcast 1-row total consume it, and
+    * without the cut Spark re-plans the whole corpus scan under the
+    * total — TWO corpus scans where one suffices (the r6 ext62 plan
+    * audit caught ext44 doing exactly that). Batch-only, as documented
+    * on [[temperatureRates]] (weights are an offline corpus property). */
   private def withMixtureWeights(counts: DataFrame): DataFrame = {
-    val q = counts.withColumn("q_s",
+    val q = Reuse.shared(counts).withColumn("q_s",
       floor(lit(1000000.0d) * sqrt(col("n_docs").cast("double")))
         .cast("long"))
     val tot = q.agg(sum(col("q_s")).as("q_tot"))
