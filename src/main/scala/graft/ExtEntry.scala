@@ -962,6 +962,34 @@ object ExtEntry {
             .as("dup_mass_q"))
     }),
 
+    // Corpus data card: the one-row summary a dataset ships with —
+    // volume (docs/tokens), composition (langs/sources, largest-source
+    // share in ppm), and redundancy (dup mass off the stored cluster
+    // map). ONE corpus scan: a (lang, source)-grouped partial feeds
+    // every card field; the cluster term reads the build-once artifact.
+    "ext66_data_card" -> ((s, dir) => {
+      val g = graft.ops.Reuse.shared(
+        docs(s, dir).groupBy("lang", "source")
+          .agg(count(lit(1)).as("c"),
+            sum(size(TextOps.tokens(col("text"))).cast("long")).as("t")))
+      val base = g.agg(sum(col("c")).as("n_docs"),
+        sum(col("t")).as("n_tokens"),
+        countDistinct(col("lang")).as("n_langs"),
+        countDistinct(col("source")).as("n_sources"))
+      val topSrc = g.groupBy("source").agg(sum(col("c")).as("sc"))
+        .agg(max(col("sc")).as("max_src"))
+      val cl = dupClusters(s, dir)
+        .groupBy("cluster_id").agg(count(lit(1)).as("n"))
+        .agg(count(lit(1)).as("n_clusters"),
+          coalesce(sum(col("n")), lit(0L)).as("n_clustered"))
+      base.crossJoin(broadcast(topSrc)).crossJoin(broadcast(cl))
+        .select(col("n_docs"), col("n_tokens"), col("n_langs"),
+          col("n_sources"),
+          expr("(max_src * 1000000) DIV n_docs").as("top_source_share_q"),
+          expr("((n_clustered - n_clusters) * 1000000) DIV n_docs")
+            .as("dup_mass_q"))
+    }),
+
     // Incremental corpus dedup: the crawl increment (doc_id % 10 < 2)
     // deduped against the established corpus through its band table —
     // only the increment is shingled; the corpus side is the stored
@@ -1870,6 +1898,34 @@ object ExtEntry {
          |       ((n_clustered_docs - n_clusters) * 1000000) // n_total
          |         AS dup_mass_q
          |FROM agg, t""".stripMargin,
+
+    // The card's corpus fields all derive from one (lang, source)
+    // grouped CTE; the redundancy term replays the cluster closure.
+    "ext66_data_card" ->
+      s"""WITH RECURSIVE $clusterCtes,
+         |cl AS (SELECT id AS doc_id, min(label) AS cluster_id
+         |       FROM reach GROUP BY 1),
+         |sz AS (SELECT cluster_id, count(*) AS n FROM cl GROUP BY 1),
+         |ca AS (SELECT CAST(count(*) AS BIGINT) AS n_clusters,
+         |              CAST(COALESCE(SUM(n), 0) AS BIGINT) AS n_clustered
+         |       FROM sz),
+         |g AS (SELECT lang, source, count(*) AS c,
+         |             CAST(SUM(len(string_split(text, ' '))) AS BIGINT)
+         |               AS t
+         |      FROM documents GROUP BY 1, 2),
+         |base AS (SELECT CAST(SUM(c) AS BIGINT) AS n_docs,
+         |                CAST(SUM(t) AS BIGINT) AS n_tokens,
+         |                CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+         |                CAST(count(DISTINCT source) AS BIGINT)
+         |                  AS n_sources
+         |         FROM g),
+         |ts AS (SELECT CAST(max(sc) AS BIGINT) AS max_src FROM
+         |        (SELECT source, SUM(c) AS sc FROM g GROUP BY 1))
+         |SELECT n_docs, n_tokens, n_langs, n_sources,
+         |       (max_src * 1000000) // n_docs AS top_source_share_q,
+         |       ((n_clustered - n_clusters) * 1000000) // n_docs
+         |         AS dup_mass_q
+         |FROM base, ts, ca""".stripMargin,
 
     "ext52_shard_assign" ->
       s"""WITH h AS (

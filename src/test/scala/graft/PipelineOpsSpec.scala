@@ -311,6 +311,27 @@ class PipelineOpsSpec extends TestBase {
     assert(tweaked.count(t => !manifest.contains(t)) == 1)
   }
 
+  test("data card fields match independent computations (ext66)") {
+    import spark.implicits._
+    val d = graft.ingest.Tables.documents(spark, sf("sf0.001"))
+    val card = ExtEntry.queries("ext66_data_card")(spark, sf("sf0.001"))
+      .as[(Long, Long, Long, Long, Long, Long)].collect().head
+    val (nd, nt, nl, ns, topShare, dupMass) = card
+    assert(nd == d.count())
+    assert(nt == d.select(size(split(col("text"), " ")).cast("long"))
+      .as[Long].collect().sum)
+    assert(nl == d.select("lang").distinct().count())
+    assert(ns == d.select("source").distinct().count())
+    val maxSrc = d.groupBy("source").count()
+      .agg(max("count")).as[Long].head()
+    assert(topShare == maxSrc * 1000000L / nd)
+    // redundancy term agrees with the ext64 report (same artifact)
+    val stats = ExtEntry.queries("ext64_dup_stats")(spark, sf("sf0.001"))
+      .as[(Long, Long, Long, Long)].collect().head
+    assert(dupMass == stats._4)
+    graft.ops.Reuse.freeAll(spark)
+  }
+
   test("dup stats report consistent with the cluster listing (ext64)") {
     import spark.implicits._
     val clusters = ExtEntry.queries("ext27_dedup_clusters")(
