@@ -65,6 +65,14 @@ object ScaleSmoke {
       graft.ops.Sketches.logHistogramQuantiles(big, Seq("lang"),
         length(col("text")))
     }
+    // r6 additions: both are single keyed aggregates — expect flat-ish
+    // wall-clock and row counts bounded by strata/shards, not corpus.
+    time("token_ledger") {
+      graft.ops.Sampling.tokenLedger(big, 10000000L, Seq("source"))
+    }
+    time("shard_manifest_64") {
+      graft.ops.Splits.shardManifest(big, col("doc_id"), 64)
+    }
     // Embeddings family at Nx: shifted copies are exact duplicate
     // vectors, so each id-family is a planted all-pairs near-dup
     // cluster (the mass-duplicate stress case for banded LSH).
