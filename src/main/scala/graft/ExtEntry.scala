@@ -622,6 +622,25 @@ object ExtEntry {
           col("qs")(1).as("p50"), col("qs")(2).as("p90"))
         .orderBy("lang")),
 
+    // Quantile-threshold curation: keep each language's upper half by
+    // quality — the ADAPTIVE per-stratum cutoff (a fixed global
+    // threshold over-filters small languages and under-filters big
+    // ones). The scored relation is materialized once (production
+    // stores quality as a column; at 100 TB that's a written column,
+    // not a checkpoint); the threshold table is |langs| rows ->
+    // broadcast; the keep-pass is a scan + filter.
+    "ext67_quantile_filter" -> ((s, dir) => {
+      val q = graft.ops.Reuse.shared(
+        TextOps.quality(docs(s, dir))
+          .select(col("doc_id"), col("lang"), col("quality_score")))
+      val thr = q.groupBy("lang")
+        .agg(expr("percentile(quality_score, 0.5D)").as("p50"))
+      q.join(broadcast(thr), "lang")
+        .filter(col("quality_score") >= col("p50"))
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    }),
+
     // Deterministic stratified sample: exactly min(20, |stratum|) docs
     // per (lang, source), chosen by portable hash — WindowGroupLimit
     // keeps per-task top-k before the shuffle.
@@ -1573,6 +1592,25 @@ object ExtEntry {
         |       greatest(first_tok, chunk_id * 1024) AS seg_start,
         |       least(first_tok + n_toks, (chunk_id + 1) * 1024) AS seg_end
         |FROM s ORDER BY doc_id, chunk_id""".stripMargin,
+
+    // Same score/quantile math as ext24 (proven interpolation parity);
+    // the filter compares two identically-derived doubles.
+    "ext67_quantile_filter" ->
+      s"""WITH q AS (
+         |  SELECT doc_id, lang,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+         |    CAST(len(list_filter(string_split(text, ' '),
+         |      t -> t IN ($stopList))) AS BIGINT) AS n_stop,
+         |    least(CAST(n_words AS DOUBLE) / 100.0, 1.0) * 0.5 +
+         |      (CAST(n_stop AS DOUBLE) / CAST(n_words AS DOUBLE)) * 0.5
+         |      AS quality_score
+         |  FROM documents),
+         |t AS (SELECT lang, quantile_cont(quality_score, 0.5) AS p50
+         |      FROM q GROUP BY 1)
+         |SELECT q.doc_id, q.lang
+         |FROM q JOIN t USING (lang)
+         |WHERE q.quality_score >= t.p50
+         |ORDER BY q.doc_id""".stripMargin,
 
     "ext24_quality_quantiles" ->
       s"""WITH q AS (

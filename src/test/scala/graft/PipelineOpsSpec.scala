@@ -311,6 +311,23 @@ class PipelineOpsSpec extends TestBase {
     assert(tweaked.count(t => !manifest.contains(t)) == 1)
   }
 
+  test("quantile curation keeps each language's upper half (ext67)") {
+    import spark.implicits._
+    val d = graft.ingest.Tables.documents(spark, sf("sf0.001"))
+    val kept = ExtEntry.queries("ext67_quantile_filter")(
+        spark, sf("sf0.001"))
+      .groupBy("lang").count().as[(String, Long)].collect().toMap
+    val all = d.groupBy("lang").count().as[(String, Long)].collect().toMap
+    assert(kept.keySet == all.keySet)
+    all.foreach { case (lang, n) =>
+      val k = kept(lang)
+      // >= ceil(n/2) by the inclusive median cut; < n unless degenerate
+      assert(k >= (n + 1) / 2 && k <= n,
+        s"$lang kept $k of $n — not an upper-half cut")
+    }
+    graft.ops.Reuse.freeAll(spark)
+  }
+
   test("data card fields match independent computations (ext66)") {
     import spark.implicits._
     val d = graft.ingest.Tables.documents(spark, sf("sf0.001"))
