@@ -30,6 +30,28 @@ object TextOps {
     * this many chunk rows regardless of its length. */
   val MaxChunksPerDoc = 64
 
+  /** Membership count of tokens against a plan-time word set — the
+    * native one-loop kernel ([[graft.functions.CountInSet]]) unless
+    * `graft.textkernels=composed` picks the readable HOF specification
+    * (CodegenFallback — banned from scan hot paths since the r3 ext02
+    * spike; kept for parity tests). */
+  private[graft] def countInSet(toks: Column, words: Seq[String]): Column =
+    if (sys.props.get("graft.textkernels").contains("composed"))
+      countInSetComposed(toks, words)
+    else graft.functions.CountInSet(toks, words)
+
+  /** Composed-builtin specification of [[countInSet]]. */
+  private[graft] def countInSetComposed(toks: Column,
+      words: Seq[String]): Column =
+    size(filter(toks, t => t.isInCollection(words))).cast("long")
+
+  /** Composed-builtin specification of the BPE estimate (floor of a
+    * positive double ratio == the integer div of the native kernel). */
+  private[graft] def bpeEstimateComposed(toks: Column): Column =
+    aggregate(transform(toks,
+      t => floor((length(t) + lit(3)) / lit(4)).cast("long")),
+      lit(0L), (a, x) => a + x)
+
   /** Word n-gram shingles (default trigrams) as an array column. Docs with
     * fewer than `n` tokens yield an EMPTY array — the guard matters because
     * `sequence(1, 0)` in Spark is the descending array [1, 0], whose 0
@@ -159,7 +181,9 @@ object TextOps {
       .withColumn("toks", tokens(col(text)))
       .withColumn("n_ws_tokens", size(col("toks")).cast("long"))
       .withColumn("n_bpe_est",
-        expr("aggregate(transform(toks, t -> CAST((length(t)+3) div 4 AS BIGINT)), 0L, (a, x) -> a + x)"))
+        if (sys.props.get("graft.textkernels").contains("composed"))
+          bpeEstimateComposed(col("toks"))
+        else graft.functions.BpeEstimate(col("toks")))
 
   /** Language-ID by marker-token scoring (n-gram-heuristic shape): counts
     * of per-language marker words; predicted = argmax with a fixed
@@ -172,8 +196,7 @@ object TextOps {
   def langScores(doc: DataFrame, text: String = "text"): DataFrame = {
     val withScores = LangMarkers.toSeq.sortBy(_._1).foldLeft(
       doc.withColumn("toks", tokens(col(text)))) { case (d, (lang, ms)) =>
-      d.withColumn(s"score_$lang",
-        size(filter(col("toks"), t => t.isInCollection(ms))).cast("long"))
+      d.withColumn(s"score_$lang", countInSet(col("toks"), ms))
     }
     withScores.withColumn("predicted",
       when(col("score_en") >= col("score_es") &&
@@ -192,9 +215,7 @@ object TextOps {
       .withColumn("n_words", size(col("toks")).cast("long"))
       .withColumn("n_chars_nospace",
         length(regexp_replace(col(text), " ", "")).cast("long"))
-      .withColumn("n_stop",
-        size(filter(col("toks"), t => t.isInCollection(Stopwords)))
-          .cast("long"))
+      .withColumn("n_stop", countInSet(col("toks"), Stopwords))
       .withColumn("stop_ratio",
         col("n_stop").cast("double") / col("n_words").cast("double"))
       .withColumn("avg_word_len",

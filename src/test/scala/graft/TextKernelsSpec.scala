@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+
+import graft.functions.{BpeEstimate, CountInSet}
+import graft.ops.TextOps
+
+/** The native text-scan kernels (set-membership count, BPE estimate)
+  * must agree with their composed HOF specifications on every input —
+  * including multibyte tokens (both sides count CHARS, not bytes) and
+  * empty arrays — and the operators built on them must be unchanged. */
+class TextKernelsSpec extends TestBase {
+
+  private val words = TextOps.Stopwords
+
+  test("count_in_set: native == composed HOF on arbitrary token arrays") {
+    import spark.implicits._
+    val tok = Gen.oneOf(Gen.oneOf(words), Gen.alphaNumStr.map(_.take(6)),
+      Gen.const("日本語テキスト"), Gen.const(""))
+    val arrGen = Gen.chooseNum(0, 12).flatMap(n => Gen.listOfN(n, tok))
+    val prop = Prop.forAll(Gen.listOfN(25, arrGen)) { xs =>
+      val df = xs.toDF("toks")
+      df.select(
+          TextOps.countInSet(col("toks"), words).as("x"),
+          TextOps.countInSetComposed(col("toks"), words).as("y"))
+        .filter(col("x") =!= col("y")).count() == 0
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(10), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("bpe_estimate: native == composed HOF incl. multibyte tokens") {
+    import spark.implicits._
+    val tok = Gen.oneOf(Gen.alphaNumStr.map(_.take(9)),
+      Gen.const("ÀéîøüÑ"), Gen.const("日本語のテスト文字列"), Gen.const(""))
+    val arrGen = Gen.chooseNum(0, 10).flatMap(n => Gen.listOfN(n, tok))
+    val prop = Prop.forAll(Gen.listOfN(25, arrGen)) { xs =>
+      val df = xs.toDF("toks")
+      df.select(BpeEstimate(col("toks")).as("x"),
+          TextOps.bpeEstimateComposed(col("toks")).as("y"))
+        .filter(col("x") =!= col("y")).count() == 0
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(10), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("operators are value-identical under native vs composed kernels " +
+      "over the real corpus") {
+    val d = graft.ingest.Tables.documents(spark, sf("sf0.001"))
+    def all(): Seq[String] = {
+      val q = TextOps.quality(d).select("doc_id", "n_stop", "quality_score")
+      val l = TextOps.langScores(d)
+        .select("doc_id", "score_en", "score_es", "score_zh", "predicted")
+      val t = TextOps.tokenCounts(d).select("doc_id", "n_bpe_est")
+      (q.collect() ++ l.collect() ++ t.collect()).map(_.toString).toSeq
+    }
+    val native = all()
+    sys.props("graft.textkernels") = "composed"
+    try {
+      val composed = all()
+      assert(native == composed,
+        "native kernels changed an operator's output")
+    } finally sys.props.remove("graft.textkernels")
+  }
+
+  test("nulls propagate; the kernel runs inside whole-stage codegen") {
+    import spark.implicits._
+    val df = Seq(Some(Seq("the", "x")), None).toDF("toks")
+    val got = df.select(CountInSet(col("toks"), words).as("c"))
+      .collect().map(r => if (r.isNullAt(0)) -1L else r.getLong(0))
+    assert(got.toSeq == Seq(1L, -1L))
+    // over a file-backed scan (a LocalTableScan pre-evaluates locally)
+    // the kernel projection stays inside a WholeStageCodegen span
+    val scan = graft.ingest.Tables.documents(spark, sf("sf0.001"))
+      .select(CountInSet(split(col("text"), " "), words).as("c"))
+    scan.collect() // finalize AQE so codegen spans are visible
+    val plan = scan.queryExecution.executedPlan.toString
+    // AQE's final-plan rendering marks codegen stages with a "*(n)"
+    // prefix; the kernel's Project must sit inside one (the kernel's
+    // advantage over the HOF form — no per-row lambda dispatch or
+    // intermediate array — additionally requires it not to break the
+    // surrounding stage, which this guards)
+    assert("""\*\(\d+\) Project \[count_in_set""".r
+      .findFirstIn(plan).isDefined, plan)
+  }
+}
