@@ -270,6 +270,26 @@ object StreamingPipeline {
       docs.join(broadcast(rates), strata), id, salt)
 
   /**
+   * Streaming twin of the quantile-threshold curation (ext67): per-lang
+   * quality thresholds are computed OFFLINE per corpus snapshot (exact
+   * per-stratum quantiles are a corpus property — a running quantile
+   * would drift the cutoff with arrival order, admitting different docs
+   * on replay), broadcast against the live stream, and each arriving doc
+   * is scored with the same codegen'd quality expression and kept iff it
+   * clears its stratum's threshold. Stateless, append-mode, no shuffle —
+   * the streamed keep-set equals the batch operator's for any arrival
+   * order.
+   *
+   * `thresholds`: (strataCol, p50) as produced by the batch side
+   * (`TextOps.quality` + `percentile(quality_score, 0.5)` per stratum).
+   */
+  def qualityFilterStream(docs: DataFrame, thresholds: DataFrame,
+      strata: Seq[String] = Seq("lang")): DataFrame =
+    graft.ops.TextOps.quality(docs)
+      .join(broadcast(thresholds), strata)
+      .filter(col("quality_score") >= col("p50"))
+
+  /**
    * Streaming twin of `Dedup.benchmarkOverlap` (ext32): benchmark
    * decontamination as a broadcast-probe foreachBatch sink. The eval
    * suite is static and small, so its shingle membership set is computed

@@ -358,6 +358,32 @@ class StreamingSpec extends TestBase {
       "streamed resample differs from the batch selection")
   }
 
+  test("streaming quality filter == batch quantile curation (ext67 twin)") {
+    val batchDocs = graft.ingest.Tables.documents(spark, sf("sf0.001"))
+      .select("doc_id", "lang", "text")
+    // Thresholds computed offline from the batch snapshot (a corpus
+    // property — a running quantile would drift with arrival order).
+    val thr = graft.ops.TextOps.quality(batchDocs)
+      .groupBy("lang")
+      .agg(expr("percentile(quality_score, 0.5D)").as("p50"))
+    val src = StreamingPipeline.parquetStream(spark,
+      sf("sf0.001") + "/documents.parquet")
+    val q = StreamingPipeline.qualityFilterStream(
+        src.select("doc_id", "lang", "text"), thr)
+      .select("doc_id")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("qual_stream").start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("qual_stream")
+    val batch = ExtEntry.queries("ext67_quantile_filter")(
+      spark, sf("sf0.001")).select("doc_id")
+    assert(streamed.count() > 0)
+    assert(streamed.except(batch).isEmpty && batch.except(streamed).isEmpty,
+      "streamed quality filter differs from the batch curation")
+    graft.ops.Reuse.freeAll(spark)
+  }
+
   test("streaming decontamination == batch benchmarkOverlap (ext32 twin)") {
     val docs = graft.ingest.Tables.documents(spark, sf("sf0.001"))
     val bench = docs.filter(col("doc_id") < 20)
