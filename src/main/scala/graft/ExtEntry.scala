@@ -981,6 +981,17 @@ object ExtEntry {
             .as("dup_mass_q"))
     }),
 
+    // Cross-source overlap matrix: which sources duplicate each other
+    // (mirrors, syndication, re-crawls) — directional shingle
+    // containment in ppm per ordered source pair, the corpus-level
+    // signal doc-level dedup only finds pair by pair. Key-df cap bounds
+    // per-shingle join fan-out at maxKeyFreq² (non-discriminative
+    // boilerplate shingles carry no signal and are dropped on BOTH
+    // engine sides).
+    "ext68_source_overlap" -> ((s, dir) =>
+      Dedup.keyOverlap(docs(s, dir), "source")
+        .orderBy("source_a", "source_b")),
+
     // Corpus data card: the one-row summary a dataset ships with —
     // volume (docs/tokens), composition (langs/sources, largest-source
     // share in ppm), and redundancy (dup mass off the stored cluster
@@ -1936,6 +1947,32 @@ object ExtEntry {
          |       ((n_clustered_docs - n_clusters) * 1000000) // n_total
          |         AS dup_mass_q
          |FROM agg, t""".stripMargin,
+
+    // Distinct per-source shingles under the same per-doc position cap
+    // as ext50; the kdf cap mirrors Dedup.keyOverlap's maxKeyFreq.
+    "ext68_source_overlap" ->
+      s"""WITH toks AS (SELECT source, string_split(text, ' ') AS tk
+         |             FROM documents),
+         |shk AS (
+         |  SELECT DISTINCT source,
+         |         ${hashSql("tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]")} AS h
+         |  FROM toks JOIN range(1, 4001) g(i) ON i <= len(tk) - 2),
+         |keep AS (SELECT h FROM (
+         |  SELECT h, count(*) AS kdf FROM shk GROUP BY 1)
+         |  WHERE kdf <= 50),
+         |k AS (SELECT shk.* FROM shk JOIN keep USING (h)),
+         |sizes AS (SELECT source, count(*) AS n FROM k GROUP BY 1),
+         |p AS (
+         |  SELECT a.source AS source_a, b.source AS source_b,
+         |         count(*) AS n_shared
+         |  FROM k a JOIN k b USING (h)
+         |  WHERE a.source <> b.source GROUP BY 1, 2)
+         |SELECT source_a, source_b,
+         |       CAST(n_shared AS BIGINT) AS n_shared,
+         |       (CAST(n_shared AS BIGINT) * 1000000) // CAST(s.n AS BIGINT)
+         |         AS containment_q
+         |FROM p JOIN sizes s ON s.source = p.source_a
+         |ORDER BY source_a, source_b""".stripMargin,
 
     // The card's corpus fields all derive from one (lang, source)
     // grouped CTE; the redundancy term replays the cluster closure.

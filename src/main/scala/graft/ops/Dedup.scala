@@ -273,6 +273,42 @@ object Dedup {
           lit(0L)).as("recall_q"))
 
   /**
+   * Cross-key shingle overlap matrix — which SOURCES (or shards, or
+   * crawls) duplicate each other: for every ordered key pair (a, b)
+   * with any overlap, the count of a's distinct shingles also present
+   * in b and the directional containment |H(a)∩H(b)| / |H(a)| in ppm.
+   * This is the corpus-level curation signal (mirror sites, syndicated
+   * feeds, re-crawls) that doc-level dedup only discovers pair by pair.
+   *
+   * Scale shape: distinct (key, h) under the per-doc shingle cap, then
+   * a key-df cap (`maxKeyFreq`, same discipline as [[MaxShinglesPerDoc]]
+   * and ngramJaccard's doc-df cap): a shingle present in more than that
+   * many keys is non-discriminative boilerplate AND would fan the h-join
+   * out quadratically in |keys| — dropping it bounds per-h work at
+   * maxKeyFreq² while the output keeps its meaning. Denominators use
+   * the capped sets, so the ratio stays internally consistent. One
+   * h-keyed equi-join; output is ≤ |keys|² rows.
+   */
+  def keyOverlap(doc: DataFrame, key: String = "source",
+      text: String = "text", n: Int = 3,
+      maxKeyFreq: Int = 50): DataFrame = {
+    val sh = Reuse.shared(docShingleHashes(doc, key, text, n).distinct())
+    val keep = sh.groupBy("h").agg(count(lit(1)).as("kdf"))
+      .filter(col("kdf") <= maxKeyFreq).select("h")
+    val kept = sh.join(keep, "h")
+    val sizes = kept.groupBy(col(key)).agg(count(lit(1)).as("n"))
+      .select(col(key).as("source_a"), col("n"))
+    kept.select(col(key).as("source_a"), col("h"))
+      .join(kept.select(col(key).as("source_b"), col("h")), "h")
+      .filter(col("source_a") =!= col("source_b"))
+      .groupBy("source_a", "source_b")
+      .agg(count(lit(1)).as("n_shared"))
+      .join(sizes, "source_a")
+      .select(col("source_a"), col("source_b"), col("n_shared"),
+        expr("(n_shared * 1000000) DIV n").as("containment_q"))
+  }
+
+  /**
    * The other half of the [[pairRecall]] audit: PRECISION of the
    * candidate generator — what fraction of emitted candidate pairs are
    * true duplicates. Recall prices what the detector MISSES; precision

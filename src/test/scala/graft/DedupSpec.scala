@@ -119,6 +119,35 @@ class DedupSpec extends TestBase {
       .as[(Long, Long, Long)].collect().toSeq == Seq((4L, 3L, 750000L)))
   }
 
+  test("keyOverlap: containment detects the mirrored source, skips the " +
+      "disjoint one; boilerplate shingles above the key-df cap drop " +
+      "(ext68)") {
+    import spark.implicits._
+    def words(seed: Int, n: Int) =
+      (0 until n).map(i => s"w${seed}_$i").mkString(" ")
+    val mirrored = words(1, 20)
+    val docs = Seq(
+      (1L, "siteA", mirrored + " " + words(2, 10)), // superset of siteB
+      (2L, "siteB", mirrored),                      // fully contained in A
+      (3L, "siteC", words(3, 15))                   // disjoint
+    ).toDF("doc_id", "source", "text")
+    val got = Dedup.keyOverlap(docs, "source")
+      .as[(String, String, Long, Long)].collect().toSeq.sortBy(r => (r._1, r._2))
+    // B's 18 shingles all appear in A -> containment(B -> A) = 1e6
+    val bToA = got.find(r => r._1 == "siteB" && r._2 == "siteA").get
+    assert(bToA._4 == 1000000L, s"expected full containment, got $bToA")
+    // A -> B is partial (A has extra shingles)
+    val aToB = got.find(r => r._1 == "siteA" && r._2 == "siteB").get
+    assert(aToB._4 > 0 && aToB._4 < 1000000L)
+    // the disjoint source shares nothing -> absent from the matrix
+    assert(!got.exists(r => r._1 == "siteC" || r._2 == "siteC"))
+    // a shingle present in MORE keys than the cap is dropped entirely
+    val many = (0 until 4).map(i => (10L + i, s"s$i", "x y z " + words(9, 3)))
+      .toDF("doc_id", "source", "text")
+    assert(Dedup.keyOverlap(many, "source", maxKeyFreq = 3).count() == 0)
+    graft.ops.Reuse.freeAll(spark)
+  }
+
   test("pairPrecision: candidate-side fraction, roles swapped from " +
       "recall; duplicate candidates counted once (ext61)") {
     import spark.implicits._
