@@ -981,6 +981,14 @@ object ExtEntry {
             .as("dup_mass_q"))
     }),
 
+    // Per-doc novelty: fraction of a doc's distinct shingles unique to
+    // it corpus-wide (ppm) — the per-doc complement of pair dedup
+    // (templated text scores near 0 even when no pair crosses a
+    // threshold; high scorers carry content the corpus lacks).
+    "ext69_novelty" -> ((s, dir) =>
+      Dedup.noveltyScores(docs(s, dir))
+        .orderBy("doc_id")),
+
     // Cross-source overlap matrix: which sources duplicate each other
     // (mirrors, syndication, re-crawls) — directional shingle
     // containment in ppm per ordered source pair, the corpus-level
@@ -1947,6 +1955,32 @@ object ExtEntry {
          |       ((n_clustered_docs - n_clusters) * 1000000) // n_total
          |         AS dup_mass_q
          |FROM agg, t""".stripMargin,
+
+    // Distinct per-doc shingles under the ext50 position cap; df==1
+    // marks corpus-unique shingles; short docs keep 0 rows via the
+    // left join.
+    "ext69_novelty" ->
+      s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk
+         |             FROM documents),
+         |s AS (
+         |  SELECT DISTINCT doc_id,
+         |         ${hashSql("tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]")} AS h
+         |  FROM toks JOIN range(1, 4001) g(i) ON i <= len(tk) - 2),
+         |df AS (SELECT h, count(*) AS df FROM s GROUP BY 1),
+         |per AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+         |         CAST(SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |           AS n_unique
+         |  FROM s JOIN df USING (h) GROUP BY 1)
+         |SELECT d.doc_id,
+         |       COALESCE(p.n_shingles, 0) AS n_shingles,
+         |       COALESCE(p.n_unique, 0) AS n_unique,
+         |       CASE WHEN COALESCE(p.n_shingles, 0) = 0
+         |            THEN CAST(0 AS BIGINT)
+         |            ELSE (p.n_unique * 1000000) // p.n_shingles END
+         |         AS novelty_q
+         |FROM documents d LEFT JOIN per p USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin,
 
     // Distinct per-source shingles under the same per-doc position cap
     // as ext50; the kdf cap mirrors Dedup.keyOverlap's maxKeyFreq.

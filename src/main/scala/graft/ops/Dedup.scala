@@ -273,6 +273,37 @@ object Dedup {
           lit(0L)).as("recall_q"))
 
   /**
+   * Per-document novelty: the fraction of a doc's distinct shingles
+   * that appear in NO other document (ppm) — the curation priority
+   * signal (high-novelty docs contribute content the corpus lacks;
+   * near-zero novelty marks templated/syndicated text even when no
+   * single pair crosses a dedup threshold — the complement of the
+   * near-dup detectors, scored per doc instead of per pair).
+   *
+   * Scale shape: distinct (doc, h) under the per-doc shingle cap; exact
+   * document frequency per shingle is ONE long of aggregate state per
+   * key (no bounded collector — only the df==1 test is consumed, never
+   * a membership list); one h-keyed join back + one doc-keyed
+   * aggregate. Docs below the shingle width stay in the output with 0s.
+   */
+  def noveltyScores(doc: DataFrame, id: String = "doc_id",
+      text: String = "text", n: Int = 3): DataFrame = {
+    val s = Reuse.shared(docShingleHashes(doc, id, text, n).distinct())
+    val df = s.groupBy("h").agg(count(lit(1)).as("df"))
+    val per = s.join(df, "h").groupBy(col(id))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_unique"))
+    doc.select(col(id))
+      .join(per, Seq(id), "left")
+      .select(col(id),
+        coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
+        coalesce(col("n_unique"), lit(0L)).as("n_unique"),
+        when(coalesce(col("n_shingles"), lit(0L)) === 0, lit(0L))
+          .otherwise(expr("(n_unique * 1000000) DIV n_shingles"))
+          .as("novelty_q"))
+  }
+
+  /**
    * Cross-key shingle overlap matrix — which SOURCES (or shards, or
    * crawls) duplicate each other: for every ordered key pair (a, b)
    * with any overlap, the count of a's distinct shingles also present

@@ -119,6 +119,30 @@ class DedupSpec extends TestBase {
       .as[(Long, Long, Long)].collect().toSeq == Seq((4L, 3L, 750000L)))
   }
 
+  test("noveltyScores: exact copies score 0, unique docs 1e6, partial " +
+      "in between, short docs keep a zero row (ext69)") {
+    import spark.implicits._
+    def words(seed: Int, n: Int) =
+      (0 until n).map(i => s"w${seed}_$i").mkString(" ")
+    val shared = words(1, 10)
+    val docs = Seq(
+      (1L, shared),                       // exact copy of doc 2
+      (2L, shared),                       // exact copy of doc 1
+      (3L, words(2, 12)),                 // fully unique
+      (4L, shared + " " + words(3, 10)),  // half shared, half unique
+      (5L, "one two")                     // below shingle width
+    ).toDF("doc_id", "text")
+    val byId = Dedup.noveltyScores(docs)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    assert(byId(1L)._3 == 0L && byId(2L)._3 == 0L)
+    assert(byId(3L) == ((10L, 10L, 1000000L)))
+    // doc 4: 8 shared shingles (within `shared`) + the rest unique
+    assert(byId(4L)._3 > 0L && byId(4L)._3 < 1000000L)
+    assert(byId(5L) == ((0L, 0L, 0L)))
+    graft.ops.Reuse.freeAll(spark)
+  }
+
   test("keyOverlap: containment detects the mirrored source, skips the " +
       "disjoint one; boilerplate shingles above the key-df cap drop " +
       "(ext68)") {
