@@ -57,13 +57,18 @@ class EmptyInputSpec extends TestBase {
         Dedup.dedupeIncrement(
           Dedup.bandedSignatures(Dedup.minhashSignatures(d)), d)))
     assert(results.forall(_._2 == 0L), results.toString)
-    // pairRecall contracts to one well-defined zero row.
+    // pairRecall / pairPrecision contract to one well-defined zero row.
     import spark.implicits._
-    val pr = Dedup.pairRecall(
-      emptyDocs.select(col("doc_id").as("id_a"), col("doc_id").as("id_b")),
-      emptyDocs.select(col("doc_id").as("id_a"), col("doc_id").as("id_b")))
+    val noPairs = emptyDocs
+      .select(col("doc_id").as("id_a"), col("doc_id").as("id_b"))
+    val pr = Dedup.pairRecall(noPairs, noPairs)
       .as[(Long, Long, Long)].collect().toSeq
     assert(pr == Seq((0L, 0L, 0L)))
+    assert(Dedup.pairPrecision(noPairs, noPairs)
+      .as[(Long, Long, Long)].collect().toSeq == Seq((0L, 0L, 0L)))
+    // r6 family: overlap matrix and novelty over an empty corpus
+    assert(Dedup.keyOverlap(emptyDocs, "source").count() == 0L)
+    assert(Dedup.noveltyScores(emptyDocs).count() == 0L)
   }
 
   test("text family: empty corpus flows through as empty, no NPE") {
@@ -106,6 +111,9 @@ class EmptyInputSpec extends TestBase {
       countOf("assign")(Splits.assign(d, col("doc_id"))),
       countOf("assignLeakageSafe")(Splits.assignLeakageSafe(d, noPairs)),
       countOf("shardAssign")(Splits.shardAssign(d, col("doc_id"), 8)),
+      countOf("shardManifest")(Splits.shardManifest(d, col("doc_id"), 8)),
+      countOf("tokenLedger")(
+        Sampling.tokenLedger(d, 1000L, Seq("lang"))),
       countOf("stratifiedTopK")(
         Sampling.stratifiedTopK(d, Seq("lang"), col("doc_id"), 5)),
       countOf("temperatureResample")(
