@@ -157,21 +157,22 @@ object TextOps {
     val marked = chunks.join(
       broadcast(hotSpans.select(col("h"), lit(1L).as("_hot"))),
       Seq("h"), "left")
-    val stats = marked.groupBy(col(id))
-      .agg(count(lit(1)).as("n_chunks"),
-        sum(when(col("_hot").isNotNull, 1L).otherwise(0L))
-          .as("n_dropped"))
+    // ONE doc-keyed aggregate computes counts AND the reassembled text:
+    // `collect_list` drops null elements, so hot chunks vanish from the
+    // survivor list inside the same pass (the r6 plan-budget audit
+    // caught the previous stats⋈texts shape re-planning the whole
+    // chunk+probe subtree under each consumer — 11 shuffles where this
+    // needs 3). A fully-hot doc collects an empty list → '' text.
     // Post-aggregate reassembly over a ≤ tokens/chunkTokens-element
     // array per doc — the bounded-array HOF case, not a scan hot path.
-    val texts = marked.filter(col("_hot").isNull)
-      .groupBy(col(id))
-      .agg(array_join(transform(
-        array_sort(collect_list(struct(col("chunk_id"),
-          col("chunk_text")))),
-        s => s.getField("chunk_text")), " ").as("clean_text"))
-    stats.join(texts, Seq(id), "left")
-      .select(col(id), col("n_chunks"), col("n_dropped"),
-        coalesce(col("clean_text"), lit("")).as("clean_text"))
+    marked.groupBy(col(id))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("_hot").isNotNull, 1L).otherwise(0L))
+          .as("n_dropped"),
+        array_join(transform(
+          array_sort(collect_list(when(col("_hot").isNull,
+            struct(col("chunk_id"), col("chunk_text"))))),
+          s => s.getField("chunk_text")), " ").as("clean_text"))
   }
 
   /** Whitespace token count + a BPE-ish subword estimate:
@@ -235,28 +236,41 @@ object TextOps {
    *  - `top_tok_ratio`    = occurrences of the most frequent token /
    *    total tokens (ties irrelevant: only the max count matters).
    *
-   * Both are one hash-aggregate per metric keyed by doc (the 2-gram
-   * distinct rides the same shuffle as the count via a two-level
-   * aggregate), and exact-arithmetic portable: counts are integers, each
-   * ratio is a single double division.
+   * Both metrics ride ONE kind-tagged aggregate chain: a single
+   * position explode emits each token as a `t` row and (when a
+   * successor exists) its 2-gram as a `g` row — a Generate over a
+   * 2-element literal array, all codegen, no lambda — so the corpus is
+   * scanned once and both two-level aggregates share the same two
+   * exchanges (the r6 plan-budget audit caught the previous
+   * per-metric-chain shape at double the shuffles). Exact-arithmetic
+   * portable: counts are integers, each ratio is a single double
+   * division.
    */
   def repetition(doc: DataFrame, id: String = "doc_id",
       text: String = "text"): DataFrame = {
-    // 2-grams via the flat codegen bigram helper (not the shingles()
-    // array lambda — HOFs are CodegenFallback, see [[bigramRows]]).
-    val grams = bigramRows(doc.select(col(id), col(text)), text)
-      .select(col(id), concat_ws(" ", col("t1"), col("t2")).as("g"))
-    val gramAgg = grams.groupBy(col(id), col("g"))
+    val rows = doc.select(col(id), tokens(col(text)).as("_toks"))
+      .select(col(id), col("_toks"),
+        posexplode(col("_toks")).as(Seq("_i", "_t")))
+      .select(col(id), explode(array(
+        struct(lit("t").as("k"), col("_t").as("v")),
+        struct(lit("g").as("k"),
+          // CaseWhen evaluates lazily per row, so the out-of-bounds
+          // element_at (ANSI) is never reached on the last position.
+          when(col("_i") < size(col("_toks")) - 1,
+            concat_ws(" ", col("_t"),
+              element_at(col("_toks"), col("_i") + 2))).as("v"))))
+        .as("kv"))
+      .select(col(id), col("kv.k").as("k"), col("kv.v").as("v"))
+      .filter(col("v").isNotNull)
+    val agg = rows.groupBy(col(id), col("k"), col("v"))
       .agg(count(lit(1)).as("c"))
       .groupBy(col(id))
-      .agg(sum("c").as("n_2grams"), count(lit(1)).as("n_distinct_2grams"))
-    val tokAgg = doc.select(col(id), explode(tokens(col(text))).as("t"))
-      .groupBy(col(id), col("t")).agg(count(lit(1)).as("c"))
-      .groupBy(col(id))
-      .agg(sum("c").as("n_toks"), max("c").as("top_tok"))
+      .agg(sum(when(col("k") === "g", col("c"))).as("n_2grams"),
+        count(when(col("k") === "g", 1)).as("n_distinct_2grams"),
+        sum(when(col("k") === "t", col("c"))).as("n_toks"),
+        max(when(col("k") === "t", col("c"))).as("top_tok"))
     doc.select(col(id))
-      .join(gramAgg, Seq(id), "left")
-      .join(tokAgg, Seq(id), "left")
+      .join(agg, Seq(id), "left")
       .select(col(id),
         coalesce(col("n_2grams"), lit(0L)).as("n_2grams"),
         coalesce(col("n_distinct_2grams"), lit(0L))
