@@ -31,4 +31,23 @@ class ReuseSpec extends TestBase {
     assert(added.forall(!after.contains(_)),
       s"freeAll left checkpoint RDDs ${added.filter(after.contains)} alive")
   }
+
+  test("index() artifacts SURVIVE freeAll and stay readable — the " +
+      "build-once lifecycle the IVF/audit/cluster consumers rely on") {
+    import spark.implicits._
+    var builds = 0
+    def build() = { builds += 1; Seq(1L, 2L, 3L).toDF("v") }
+    val idx = Reuse.index(spark, "reusespec-artifact")(build())
+    assert(idx.count() == 3 && builds == 1)
+    // the between-queries block free must NOT touch the index; a freed
+    // checkpoint would throw "checkpoint block not found" on re-read
+    Reuse.freeAll(spark)
+    assert(idx.count() == 3, "freeAll dropped an index artifact's blocks")
+    // later requests get the SAME materialized frame, no rebuild
+    val again = Reuse.index(spark, "reusespec-artifact") {
+      fail("index() rebuilt an existing artifact"); build()
+    }
+    assert((again eq idx) && builds == 1)
+    assert(again.count() == 3)
+  }
 }
