@@ -33,35 +33,41 @@ object Bench {
       // ext26 measures the zero-exchange join, not the one-time write.
       ExtEntry.ensureBucketed(spark, sfDir)
       spark.catalog.clearCache()
-      // The first TIMED query absorbs whatever JIT/GC residue the warmup
-      // leaves (r4: ext01, alphabetically first, read 1.36 s vs its
-      // 0.6-0.7 s steady state — PerfLab isolated rounds 1.83/0.71/0.59).
-      // One untimed target-SF run of it starts the clock in steady state.
-      SparkEntry.queries.toSeq.sortBy(_._1).headOption.foreach {
-        case (_, fn) =>
-          try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
+    } catch { case _: Throwable => () }
+    // Each query is timed as the ELEMENTWISE MIN OF TWO full passes —
+    // the same semantics tools/perf_floors.json records. One pass proved
+    // insufficient every round it was tried: the first few alphabetical
+    // queries absorb JIT/GC residue the warmup leaves (r4: ext01 1.36 s
+    // vs 0.6-0.7 s steady; r6: ext01 6.9x, ext02 4.5x, ext14 2.1x their
+    // floors — ~10 s of measurement waste), and the r5 single-query
+    // untimed pre-run demonstrably did not absorb it. The min of two
+    // passes measures the plan, not the process state it ran in.
+    def timedPass(): Map[String, Double] =
+      SparkEntry.queries.toSeq.sortBy(_._1).map {
+        case (name, fn) =>
+          val t0 = System.nanoTime()
+          // A failed query must not abort the bench, but must be visible
+          // in the log — a silent -1 reads as a fast success.
+          try { fn(spark, sfDir).count() } catch {
+            case t: Throwable =>
+              System.err.println(s"[bench] $name FAILED: $t"); -1L
+          }
+          val dt = (System.nanoTime() - t0) / 1e9
+          // Queries may materialize shared sub-relations internally; drop
+          // BOTH the SQL cache and Reuse's tracked checkpoint/persist blocks
+          // (clearCache alone does not free localCheckpoint RDD blocks) so
+          // one query's storage never degrades the next. Reuse.index
+          // artifacts deliberately survive (build-once lifecycle), exactly
+          // as they do in the floors runs.
           spark.catalog.clearCache()
           graft.ops.Reuse.freeAll(spark)
-      }
-    } catch { case _: Throwable => () }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map {
-      case (name, fn) =>
-        val t0 = System.nanoTime()
-        // A failed query must not abort the bench, but must be visible
-        // in the log — a silent -1 reads as a fast success.
-        try { fn(spark, sfDir).count() } catch {
-          case t: Throwable =>
-            System.err.println(s"[bench] $name FAILED: $t"); -1L
-        }
-        val dt = (System.nanoTime() - t0) / 1e9
-        // Queries may materialize shared sub-relations internally; drop
-        // BOTH the SQL cache and Reuse's tracked checkpoint/persist blocks
-        // (clearCache alone does not free localCheckpoint RDD blocks) so
-        // one query's storage never degrades the next.
-        spark.catalog.clearCache()
-        graft.ops.Reuse.freeAll(spark)
-        name -> dt
-    }.toMap
+          name -> dt
+      }.toMap
+    val pass1 = timedPass()
+    val pass2 = timedPass()
+    val results = pass1.map { case (k, v) =>
+      k -> math.min(v, pass2.getOrElse(k, v))
+    }
     // 0.1 ms resolution keeps the per-query map compact — the driver
     // captures a fixed-size log tail and full double reprs overflowed it
     // at 68 queries (BENCH_r04 lost its total; r4 verdict item 3).

@@ -854,6 +854,27 @@ object ExtEntry {
         lshAuditPairs(s, dir).filter(col("rel") === "truth"),
         Dedup.simhashPairsWide(docs(s, dir)).select("id_a", "id_b"))),
 
+    // Wide-simhash hamming-RADIUS curve — prices the chunk detector's
+    // other knob the way ext58 prices IVF probes: recall vs the same
+    // exact-Jaccard truth AND verified candidate volume at radius 1/2/3,
+    // as a 3-row table so the radius is picked off a curve, not ext65's
+    // single point. ONE candidate generation (the 4-chunk pigeonhole
+    // covers every radius <= 3); each curve row re-thresholds the
+    // already-verified hamming column of the shared pair relation.
+    "ext70_simhash_radius_curve" -> ((s, dir) => {
+      val pairs = graft.ops.Reuse.shared(
+        Dedup.simhashPairsWide(docs(s, dir)))
+      val truth = lshAuditPairs(s, dir).filter(col("rel") === "truth")
+        .select("id_a", "id_b")
+      Seq(1, 2, 3).map { r =>
+        val cand = pairs.filter(col("hamming") <= r).select("id_a", "id_b")
+        Dedup.pairRecall(truth, cand)
+          .crossJoin(broadcast(cand.agg(count(lit(1)).as("n_cand"))))
+          .select(lit(r.toLong).as("radius"), col("n_true"),
+            col("n_detected"), col("recall_q"), col("n_cand"))
+      }.reduce(_ unionByName _).orderBy("radius")
+    }),
+
     // Winnowing fingerprints (MOSS): min k-gram hash per sliding window
     // of w=4 — any shared >= k+w-1-token substring shares a fingerprint
     // while only ~2/(w+1) of position hashes are stored.
@@ -1205,6 +1226,31 @@ object ExtEntry {
          |            / CAST(count(*) AS DOUBLE))), 0) AS BIGINT)
          |         AS recall_q
          |FROM m""".stripMargin,
+
+    // The radius curve: one verified hamming relation (`ham`), three
+    // re-thresholded summary rows; candidate volume via a scalar
+    // subquery per row.
+    "ext70_simhash_radius_curve" ->
+      s"""$lshDetectorCtes,
+         |$simhashWideCtes,
+         |ham AS (SELECT id_a, id_b,
+         |               CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
+         |        FROM p WHERE bit_count(xor(sa, sb)) <= 3)
+         |${Seq(1, 2, 3).map { r =>
+           s"""SELECT CAST($r AS BIGINT) AS radius,
+              |       CAST(count(*) AS BIGINT) AS n_true,
+              |       CAST(COALESCE(SUM(hit), 0) AS BIGINT) AS n_detected,
+              |       CAST(COALESCE(floor(1000000.0 * (CAST(SUM(hit) AS DOUBLE)
+              |            / CAST(count(*) AS DOUBLE))), 0) AS BIGINT)
+              |         AS recall_q,
+              |       (SELECT CAST(count(*) AS BIGINT) FROM ham
+              |        WHERE hamming <= $r) AS n_cand
+              |FROM (SELECT CASE WHEN c.id_a IS NULL THEN NULL ELSE 1 END AS hit
+              |      FROM truth t LEFT JOIN ham c
+              |        ON t.id_a = c.id_a AND t.id_b = c.id_b
+              |           AND c.hamming <= $r) m$r""".stripMargin
+         }.mkString("\nUNION ALL\n")}
+         |ORDER BY radius""".stripMargin,
 
     "ext14_dedup_pipeline" ->
       s"""$ShingleSql,

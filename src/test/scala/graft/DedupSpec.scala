@@ -143,6 +143,28 @@ class DedupSpec extends TestBase {
     graft.ops.Reuse.freeAll(spark)
   }
 
+  test("ext70 radius curve: 3 rows, recall/candidates/detections " +
+      "monotone in the radius, radius 3 == ext65's single point") {
+    import spark.implicits._
+    val dir = sf("sf0.001")
+    val curve = ExtEntry.queries("ext70_simhash_radius_curve")(spark, dir)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(curve.map(_._1) == Seq(1L, 2L, 3L))
+    // Widening the hamming radius can only ADD candidates: every column
+    // of the curve is non-decreasing, and truth size is radius-free.
+    assert(curve.map(_._2).distinct.size == 1, "n_true varies with radius")
+    Seq[((Long, Long, Long, Long, Long)) => Long](_._3, _._4, _._5)
+      .foreach { f =>
+        val xs = curve.map(f)
+        assert(xs == xs.sorted, s"curve not monotone: $xs")
+      }
+    val point = ExtEntry.queries("ext65_simhash_recall")(spark, dir)
+      .as[(Long, Long, Long)].collect().head
+    assert((curve.last._2, curve.last._3, curve.last._4) == point,
+      "radius-3 curve row diverges from the ext65 audit")
+    graft.ops.Reuse.freeAll(spark)
+  }
+
   test("keyOverlap: containment detects the mirrored source, skips the " +
       "disjoint one; boilerplate shingles above the key-df cap drop " +
       "(ext68)") {
