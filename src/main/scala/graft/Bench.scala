@@ -65,6 +65,16 @@ object Bench {
       }.toMap
     val pass1 = timedPass()
     val pass2 = timedPass()
+    // What the session has accumulated in build-once artifacts
+    // (Reuse.index) across both passes — measured from the block
+    // manager, logged so index growth is a number, not an assumption.
+    // Stderr: stdout carries only the driver's parse contract below.
+    graft.ops.Reuse.indexFootprint(spark).foreach {
+      case (key, parts, mem, disk) =>
+        System.err.println(
+          s"[bench] index footprint: $key parts=$parts " +
+            s"memMB=${mem / 1024 / 1024.0} diskMB=${disk / 1024 / 1024.0}")
+    }
     val results = pass1.map { case (k, v) =>
       k -> math.min(v, pass2.getOrElse(k, v))
     }

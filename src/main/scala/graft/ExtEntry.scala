@@ -2210,23 +2210,27 @@ object ExtEntry {
          |             FROM documents),
          |c AS (
          |  SELECT doc_id, k,
+         |         least(k * 16 + 16, len(tk)) AS tok_end, len(tk) AS n_toks,
          |         array_to_string(tk[k * 16 + 1 : k * 16 + 16], ' ')
          |           AS chunk
          |  FROM toks JOIN range(0, ${TextOps.MaxChunksPerDoc}) g(k)
          |    ON len(tk) > 0
          |   AND k <= CAST(ceil(CAST(greatest(len(tk) - 16, 0) AS DOUBLE)
          |                      / 16) AS BIGINT)),
-         |ch AS (SELECT doc_id, k, chunk, ${hashSql("chunk")} AS h FROM c),
+         |ch AS (SELECT doc_id, k, chunk, tok_end, n_toks,
+         |              ${hashSql("chunk")} AS h FROM c),
          |hot AS (SELECT h FROM (
          |  SELECT h, count(DISTINCT doc_id) AS df FROM ch GROUP BY 1)
          |  WHERE df > 1),
          |m AS (
-         |  SELECT doc_id, k, chunk,
+         |  SELECT doc_id, k, chunk, tok_end, n_toks,
          |         CASE WHEN h IN (SELECT h FROM hot) THEN 1 ELSE 0 END
          |           AS hot
          |  FROM ch)
          |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
          |       CAST(SUM(hot) AS BIGINT) AS n_dropped,
+         |       CAST(max(n_toks) - max(tok_end) AS BIGINT)
+         |         AS n_toks_dropped,
          |       COALESCE(string_agg(CASE WHEN hot = 0 THEN chunk END,
          |                           ' ' ORDER BY k), '') AS clean_text
          |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin,
@@ -2291,6 +2295,7 @@ object ExtEntry {
         |SELECT doc_id, CAST(k AS BIGINT) AS chunk_id,
         |       CAST(k * 24 + 1 AS BIGINT) AS tok_start,
         |       CAST(least(k * 24 + 32, len(tk)) AS BIGINT) AS tok_end,
+        |       CAST(len(tk) AS BIGINT) AS n_toks,
         |       array_to_string(tk[k * 24 + 1 : k * 24 + 32], ' ')
         |         AS chunk_text
         |FROM toks JOIN range(0, ${TextOps.MaxChunksPerDoc}) g(k)

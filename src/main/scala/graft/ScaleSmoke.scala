@@ -73,6 +73,17 @@ object ScaleSmoke {
     time("shard_manifest_64") {
       graft.ops.Splits.shardManifest(big, col("doc_id"), 64)
     }
+    // r7 additions (r6 verdict item 3). Novelty: the df aggregate is one
+    // long per distinct shingle and the shifted copies make every
+    // shingle's df >= mult — expect near-linear time and EVERY novelty
+    // score 0 (nothing is unique in a corpus of exact copies: the
+    // mass-duplicate degenerate case, confirmed by row count == docs).
+    // Source overlap: the shifted copies stay within their source, so
+    // distinct (source, shingle) is ~flat vs 1x while the key-df cap's
+    // input grows 10x — what's measured is the capped join holding its
+    // maxKeyFreq^2 fan-out bound (output stays <= |sources|^2 rows).
+    time("novelty_scores") { graft.ops.Dedup.noveltyScores(big) }
+    time("source_overlap") { graft.ops.Dedup.keyOverlap(big) }
     // Embeddings family at Nx: shifted copies are exact duplicate
     // vectors, so each id-family is a planted all-pairs near-dup
     // cluster (the mass-duplicate stress case for banded LSH).

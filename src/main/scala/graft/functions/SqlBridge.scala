@@ -23,6 +23,17 @@ object SqlBridge {
       case _ => ()
     }
 
+  /** Stable per-session identity for lifecycle registries: keying by
+    * UUID (not the session object) keeps registry KEYS from pinning a
+    * session — values must be dropped explicitly either way, see
+    * graft.ops.Reuse.dropIndexes. */
+  def sessionUUID(spark: org.apache.spark.sql.SparkSession): String =
+    // public on the classic concrete class only (the api-level
+    // SparkSession does not expose it); every local/cluster session is
+    // a classic one.
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionUUID
+
   /** The id of the checkpointed RDD under a `localCheckpoint`ed
     * DataFrame — extracted EAGERLY so lifecycle registries can hold the
     * plain int (freeing by id survives the wrapper Dataset being GC'd;

@@ -128,7 +128,10 @@ object BpeEstimate {
   def apply(toks: Column): Column =
     SqlBridge.column(BpeEstimate(SqlBridge.expression(toks)))
 
-  /** Register both text kernels for SQL use. */
+  /** Register `bpe_estimate` for SQL use. (`count_in_set` stays
+    * Column-API-only: its word set is a plan-time Scala constant, and a
+    * SQL surface would need per-word-list function builders nothing
+    * currently asks for.) */
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "bpe_estimate", exprs => BpeEstimate(exprs.head), "scala_udf")

@@ -292,8 +292,33 @@ object Dedup {
   def noveltyScores(doc: DataFrame, id: String = "doc_id",
       text: String = "text", n: Int = 3): DataFrame = {
     val s = Reuse.shared(docShingleHashes(doc, id, text, n).distinct())
-    val df = s.groupBy("h").agg(count(lit(1)).as("df"))
-    val per = s.join(df, "h").groupBy(col(id))
+    noveltyFrom(doc, s, s.groupBy("h").agg(count(lit(1)).as("df")), id)
+  }
+
+  /** The OFFLINE artifact of the novelty score: exact corpus-wide
+    * document frequency per distinct shingle hash — one long of state
+    * per key, stored once per corpus snapshot and read by
+    * [[noveltyScoresAgainst]] (the streaming twin's static side). */
+  def noveltyShingleDf(doc: DataFrame, id: String = "doc_id",
+      text: String = "text", n: Int = 3): DataFrame =
+    docShingleHashes(doc, id, text, n).distinct()
+      .groupBy("h").agg(count(lit(1)).as("df"))
+
+  /** [[noveltyScores]] of `doc` against a PRECOMPUTED df relation
+    * ([[noveltyShingleDf]] of the snapshot the docs belong to). The
+    * shingle pass is per-doc (position-capped, corpus-independent), so
+    * scoring any subset of the snapshot against the stored table equals
+    * the batch operator's rows for that subset — the property the
+    * streaming twin rides. */
+  def noveltyScoresAgainst(doc: DataFrame, shingleDf: DataFrame,
+      id: String = "doc_id", text: String = "text",
+      n: Int = 3): DataFrame =
+    noveltyFrom(doc,
+      docShingleHashes(doc, id, text, n).distinct(), shingleDf, id)
+
+  private def noveltyFrom(doc: DataFrame, s: DataFrame,
+      shingleDf: DataFrame, id: String): DataFrame = {
+    val per = s.join(shingleDf, "h").groupBy(col(id))
       .agg(count(lit(1)).as("n_shingles"),
         sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_unique"))
     doc.select(col(id))

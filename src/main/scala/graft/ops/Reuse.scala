@@ -129,24 +129,84 @@ object Reuse {
    * frame on every later request, and deliberately NOT registered for
    * [[freeAll]]: the between-queries block free must not drop an index,
    * exactly as a production index outlives any one query against it.
-   * Sessions are weak keys — a stopped session releases its entries and
-   * the checkpoint blocks die with its block manager.
+   *
+   * Lifecycle is EXPLICIT, not GC'd: the cached frames strongly reference
+   * their session (Dataset → SparkSession), so no weak-key scheme can
+   * collect an entry while its value lives — entries are keyed by the
+   * session's UUID and retained until [[dropIndexes]] removes them (or
+   * the process exits). A long-lived multi-session embedding must drop a
+   * session's indexes when done with it; [[indexFootprint]] reports what
+   * each session currently holds so accumulation is observable, never
+   * silent.
+   *
+   * The builder runs OUTSIDE any registry lock: `computeIfAbsent` only
+   * installs a lazy holder, and materialization happens on the holder's
+   * own monitor — a nested `index` call from within a build (different
+   * key) or a concurrent build on a map-bin-colliding key never blocks
+   * on the map for the duration of a Spark job.
    *
    * Use for SMALL artifacts (assignments, pair sets, signatures — id +
    * a few int64s per row). The corpus itself never belongs here.
    */
   def index(spark: SparkSession, key: String)(
-      build: => DataFrame): DataFrame = {
-    val perSession = indexes.synchronized {
-      indexes.computeIfAbsent(spark,
-        _ => new java.util.concurrent.ConcurrentHashMap[String, DataFrame]())
-    }
-    perSession.computeIfAbsent(key, _ => build.localCheckpoint(true))
+      build: => DataFrame): DataFrame =
+    indexes.computeIfAbsent(
+      (org.apache.spark.sql.graftbridge.SqlBridge.sessionUUID(spark), key),
+      _ => new IndexHolder(() => build.localCheckpoint(true))).df
+
+  /** Lazy index slot: materialization synchronizes on this holder (not
+    * the registry map); `built` is observable without forcing a build. */
+  private final class IndexHolder(b: () => DataFrame) {
+    @volatile private[Reuse] var built: DataFrame = _
+    lazy val df: DataFrame = { val d = b(); built = d; d }
   }
 
-  private val indexes = java.util.Collections.synchronizedMap(
-    new java.util.WeakHashMap[SparkSession,
-      java.util.concurrent.ConcurrentHashMap[String, DataFrame]]())
+  private val indexes = new java.util.concurrent.ConcurrentHashMap[
+    (String, String), IndexHolder]()
+
+  /**
+   * Drop every [[index]] artifact of this session: removes the registry
+   * entries and releases their checkpoint blocks. The end-of-session
+   * counterpart to the build-once lifecycle — after this, the session
+   * (and its block manager storage) is reclaimable and a later `index`
+   * call on the same key rebuilds.
+   */
+  def dropIndexes(spark: SparkSession): Unit = {
+    val uuid = org.apache.spark.sql.graftbridge.SqlBridge.sessionUUID(spark)
+    val it = indexes.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      if (e.getKey._1 == uuid) {
+        it.remove()
+        val df = e.getValue.built
+        if (df != null)
+          try org.apache.spark.sql.graftbridge.SqlBridge.freeCheckpoint(df)
+          catch { case _: Throwable => () }
+      }
+    }
+  }
+
+  /**
+   * Size accounting for this session's built [[index]] artifacts: one
+   * (key, cachedPartitions, memBytes, diskBytes) row per index, read
+   * from the block manager's RDD storage info. Harnesses print this so
+   * the memory a bench/session accumulates in build-once artifacts is a
+   * measured number, not an assumption.
+   */
+  def indexFootprint(spark: SparkSession): Seq[(String, Int, Long, Long)] = {
+    val uuid = org.apache.spark.sql.graftbridge.SqlBridge.sessionUUID(spark)
+    val info = spark.sparkContext.getRDDStorageInfo.map(i => i.id -> i).toMap
+    import scala.jdk.CollectionConverters._
+    indexes.asScala.toSeq.collect {
+      case ((`uuid`, key), h) if h.built != null =>
+        val stats = org.apache.spark.sql.graftbridge.SqlBridge
+          .checkpointRddId(h.built).flatMap(info.get)
+        (key,
+          stats.map(_.numCachedPartitions).getOrElse(0),
+          stats.map(_.memSize).getOrElse(0L),
+          stats.map(_.diskSize).getOrElse(0L))
+    }.sortBy(_._1)
+  }
 
   /**
    * Free every materialization [[shared]]/[[pin]] produced on this

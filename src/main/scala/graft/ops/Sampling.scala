@@ -78,6 +78,12 @@ object Sampling {
    * `weight_q = floor(1e6·q_s/Σq)` with an exact integer Σ.
    *
    * Scale shape: one keyed count per stratum + a broadcast 1-row total.
+   *
+   * EAGER (r6 ADVICE): constructing the returned frame materializes the
+   * per-stratum counts (one Spark job) via the [[Reuse.shared]] cut that
+   * keeps the corpus from being scanned twice — `explain` and other
+   * plan-only callers pay that job too. Callers that must stay lazy
+   * should aggregate counts themselves and keep the whole plan tree.
    */
   def mixtureWeights(df: DataFrame,
       strata: Seq[String] = Seq("source")): DataFrame =

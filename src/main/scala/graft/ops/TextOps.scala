@@ -72,6 +72,10 @@ object TextOps {
    * may run short (it clamps at the doc's end). Docs with zero tokens
    * yield no chunks; docs longer than `maxChunks · stride + overlap`
    * tokens are truncated at `maxChunks` chunks ([[MaxChunksPerDoc]]).
+   * Truncation is DETECTABLE, not silent (r6 ADVICE): every chunk row
+   * carries the doc's full token count `n_toks`, so a capped doc shows
+   * `max(tok_end) < n_toks` and consumers can count exactly what the
+   * cap dropped.
    *
    * Scale shape: explode-first like the shingle pipeline — the chunk
    * index range explodes per row, then start/end/text are flat per-row
@@ -100,6 +104,7 @@ object TextOps {
         (col("_k") * stride + 1).cast("long").as("tok_start"),
         least(col("_k") * stride + chunkTokens, size(col("_toks")))
           .cast("long").as("tok_end"),
+        size(col("_toks")).cast("long").as("n_toks"),
         concat_ws(" ",
           slice(col("_toks"), col("_k") * stride + 1, lit(chunkTokens)))
           .as("chunk_text"))
@@ -152,7 +157,7 @@ object TextOps {
       text: String = "text"): DataFrame = {
     val chunks = chunkWithOverlap(doc, chunkTokens, 0, id, text)
       .select(col(id), col("chunk_id"),
-        col("chunk_text"),
+        col("chunk_text"), col("tok_end"), col("n_toks"),
         Hashing.portableHash32(col("chunk_text")).as("h"))
     val marked = chunks.join(
       broadcast(hotSpans.select(col("h"), lit(1L).as("_hot"))),
@@ -169,6 +174,11 @@ object TextOps {
       .agg(count(lit(1)).as("n_chunks"),
         sum(when(col("_hot").isNotNull, 1L).otherwise(0L))
           .as("n_dropped"),
+        // The chunker's MaxChunksPerDoc cap is not silent here (r6
+        // ADVICE): with overlap 0 the chunks tile [1, max(tok_end)], so
+        // tokens past the cap are exactly n_toks - max(tok_end) — 0 for
+        // every uncapped doc.
+        (max(col("n_toks")) - max(col("tok_end"))).as("n_toks_dropped"),
         array_join(transform(
           array_sort(collect_list(when(col("_hot").isNull,
             struct(col("chunk_id"), col("chunk_text"))))),

@@ -336,6 +336,30 @@ object StreamingPipeline {
   }
 
   /**
+   * Streaming twin of `Dedup.noveltyScores` (ext69): per-doc novelty is
+   * a corpus-SNAPSHOT property, so the shingle document-frequency table
+   * is the offline artifact (`Dedup.noveltyShingleDf`, stored once per
+   * corpus generation) and each arriving micro-batch scores its docs
+   * against it — one stream-static equi-join on the shingle hash plus
+   * one doc-keyed aggregate, no cross-batch state (a doc arrives whole,
+   * so its score depends only on the static table; streamed rows equal
+   * the batch operator's for any arrival order or batching). Unlike
+   * ext67's per-stratum thresholds the df side scales with the corpus —
+   * it stays an h-keyed join (at production scale a stored parquet
+   * table), never a broadcast. Stateless foreachBatch, idempotent
+   * batch-keyed layout like [[boilerplateSink]].
+   */
+  def noveltySink(docs: DataFrame, shingleDf: DataFrame,
+      outPath: String): DataStreamWriter[org.apache.spark.sql.Row] = {
+    val df = shingleDf.localCheckpoint(true)
+    docs.writeStream.outputMode("append").foreachBatch {
+      (batch: DataFrame, batchId: Long) =>
+        graft.ops.Dedup.noveltyScoresAgainst(batch, df)
+          .write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
+    }
+  }
+
+  /**
    * Streaming twin of `Splits.shardAssign` (ext52): a continuous
    * training-shard writer. The stateless half (portable-hash draw,
    * `shard = draw % nShards`) is identical to the batch operator — a doc

@@ -437,6 +437,7 @@ class OpsSpec extends TestBase {
       .toDF("doc_id", "text")
     val got = graft.ops.TextOps.chunkWithOverlap(docs, 32, 8)
       .orderBy("doc_id", "chunk_id")
+      .select("doc_id", "chunk_id", "tok_start", "tok_end", "chunk_text")
       .as[(Long, Long, Long, Long, String)].collect().toSeq
     val spans = got.map(r => (r._1, r._2, r._3, r._4))
     assert(spans == Seq(
@@ -480,10 +481,16 @@ class OpsSpec extends TestBase {
     assert(got.last._1 == cap - 1L)
     // the truncated tail is dropped, not clamped into the last chunk
     assert(got.last._3 == (cap - 1) * 24 + 32)
-    // boilerplate's 16-token chunker inherits the same bound
+    // boilerplate's 16-token chunker inherits the same bound — and the
+    // capped tail is REPORTED, not silent (r6 ADVICE): n_toks_dropped
+    // counts exactly the tokens past cap·16.
     val bp = graft.ops.TextOps.boilerplateRemoval(docs, chunkTokens = 16)
-      .select("n_chunks").as[Long].collect()
-    assert(bp.toSeq == Seq(cap.toLong))
+      .select("n_chunks", "n_toks_dropped").as[(Long, Long)].collect()
+    assert(bp.toSeq == Seq((cap.toLong, (n - cap * 16).toLong)))
+    // an uncapped doc reports 0 dropped tokens
+    val small = Seq((1L, "a b c d")).toDF("doc_id", "text")
+    assert(graft.ops.TextOps.boilerplateRemoval(small, chunkTokens = 16)
+      .select("n_toks_dropped").as[Long].collect().toSeq == Seq(0L))
   }
 
   test("boilerplate removal: repeated spans dropped in every host doc, " +
@@ -502,12 +509,12 @@ class OpsSpec extends TestBase {
       .toDF("doc_id", "text")
     val got = graft.ops.TextOps.boilerplateRemoval(docs, chunkTokens = 8)
       .orderBy("doc_id")
-      .as[(Long, Long, Long, String)].collect().toSeq
+      .as[(Long, Long, Long, Long, String)].collect().toSeq
     assert(got == Seq(
-      (1L, 2L, 1L, uniq(1)),
-      (2L, 2L, 1L, uniq(2)),
-      (3L, 1L, 1L, ""),
-      (4L, 2L, 0L, s"${uniq(4)} ${uniq(40)}")))
+      (1L, 2L, 1L, 0L, uniq(1)),
+      (2L, 2L, 1L, 0L, uniq(2)),
+      (3L, 1L, 1L, 0L, ""),
+      (4L, 2L, 0L, 0L, s"${uniq(4)} ${uniq(40)}")))
   }
 
   test("winnowing: shared >= k+w-1 substring shares a fingerprint; " +

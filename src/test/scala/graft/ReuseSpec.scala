@@ -50,4 +50,37 @@ class ReuseSpec extends TestBase {
     assert((again eq idx) && builds == 1)
     assert(again.count() == 3)
   }
+
+  test("index() footprint is measured and dropIndexes releases the " +
+      "blocks — accumulation is observable and bounded, not forever") {
+    import spark.implicits._
+    val sc = spark.sparkContext
+    var builds = 0
+    val idx = Reuse.index(spark, "reusespec-evict") {
+      builds += 1
+      (1L to 1000L).toDF("v")
+    }
+    assert(idx.count() == 1000 && builds == 1)
+    val fp = Reuse.indexFootprint(spark)
+      .filter(_._1 == "reusespec-evict")
+    assert(fp.size == 1, s"footprint missing the built index: $fp")
+    val (_, parts, mem, disk) = fp.head
+    assert(parts > 0 && mem + disk > 0,
+      s"block manager reports no storage for a built index: $fp")
+    val rddId = org.apache.spark.sql.graftbridge.SqlBridge
+      .checkpointRddId(idx).get
+    assert(sc.getPersistentRDDs.contains(rddId))
+    Reuse.dropIndexes(spark)
+    assert(Reuse.indexFootprint(spark).forall(_._1 != "reusespec-evict"))
+    assert(!sc.getPersistentRDDs.contains(rddId),
+      "dropIndexes left the checkpoint RDD's blocks registered")
+    // a dropped key REBUILDS on the next request (fresh artifact, not a
+    // dangling reference to freed blocks)
+    val idx2 = Reuse.index(spark, "reusespec-evict") {
+      builds += 1
+      (1L to 5L).toDF("v")
+    }
+    assert(builds == 2 && idx2.count() == 5)
+    Reuse.dropIndexes(spark)
+  }
 }

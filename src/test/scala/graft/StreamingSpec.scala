@@ -427,11 +427,38 @@ class StreamingSpec extends TestBase {
     q.processAllAvailable()
     q.stop()
     val streamed = spark.read.parquet(out)
-      .select("doc_id", "n_chunks", "n_dropped", "clean_text")
+      .select("doc_id", "n_chunks", "n_dropped", "n_toks_dropped",
+        "clean_text")
     val batch = graft.ops.TextOps.boilerplateRemoval(docs)
     assert(streamed.count() == batch.count() && batch.count() > 0)
     assert(streamed.except(batch).isEmpty && batch.except(streamed).isEmpty,
       "streamed boilerplate removal differs from the batch operator")
+    graft.ops.Reuse.freeAll(spark)
+  }
+
+  test("streaming novelty scoring == batch operator (ext69 twin, " +
+      "stream-static df join)") {
+    val docs = graft.ingest.Tables.documents(spark, sf("sf0.001"))
+      .select("doc_id", "text")
+    // The corpus-snapshot df table computed once offline, as in
+    // production.
+    val df = graft.ops.Dedup.noveltyShingleDf(docs)
+    val srcDir = Files.createTempDirectory("graft-nov-src").toString + "/d"
+    docs.write.parquet(srcDir)
+    val out = Files.createTempDirectory("graft-nov-out").toString
+    val ckpt = Files.createTempDirectory("graft-nov-ckpt").toString
+    val q = StreamingPipeline.noveltySink(
+      StreamingPipeline.parquetStream(spark, srcDir,
+        maxFilesPerTrigger = Some(1)), df, out)
+      .option("checkpointLocation", ckpt).start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.read.parquet(out)
+      .select("doc_id", "n_shingles", "n_unique", "novelty_q")
+    val batch = graft.ops.Dedup.noveltyScores(docs)
+    assert(streamed.count() == batch.count() && batch.count() > 0)
+    assert(streamed.except(batch).isEmpty && batch.except(streamed).isEmpty,
+      "streamed novelty scores differ from the batch operator")
     graft.ops.Reuse.freeAll(spark)
   }
 
