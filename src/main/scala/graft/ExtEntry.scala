@@ -508,6 +508,40 @@ object ExtEntry {
           "dup_2gram_ratio", "top_tok_ratio")
         .orderBy("doc_id")),
 
+    // Gopher-style rule FLAGS (vs ext09's blended score): each quality
+    // rule is an auditable 0/1 column and keep is their conjunction —
+    // all-integer, stateless codegen projection.
+    "ext71_gopher_rules" -> ((s, dir) =>
+      TextOps.gopherRules(docs(s, dir))
+        .select("doc_id", "n_toks", "mwl_q", "stop_hits",
+          "r_len", "r_mwl", "r_stop", "keep")
+        .orderBy("doc_id")),
+
+    // Heaps'-law vocabulary growth: distinct/total tokens at doc_id-
+    // ordered 10%/50%/100% prefixes — one explode, token-first-doc
+    // aggregate, |pcts| output rows.
+    "ext72_vocab_growth" -> ((s, dir) =>
+      TextOps.vocabGrowth(docs(s, dir)).orderBy("pct")),
+
+    // Zipf head coverage: token mass (ppm) under the top-k tokens for
+    // k in {10,100,1000}; head cut via distributed TakeOrdered, rank
+    // window only on the <= max(k)-row head.
+    "ext73_zipf_head" -> ((s, dir) =>
+      TextOps.zipfHeadCoverage(docs(s, dir)).orderBy("k")),
+
+    // Label-contradiction near-dup families: clusters of the stored
+    // dedup map carrying >1 lang tag — annotation contamination keeper
+    // selection alone would hide (the family dedups to ONE keeper with
+    // ONE lang, silently voting). Reads the build-once cluster map.
+    "ext74_cross_lang_dup" -> ((s, dir) =>
+      Dedup.labelConflicts(dupClusters(s, dir), docs(s, dir))
+        .orderBy("cluster_id")),
+
+    // Per-language tokenizer fertility: model-token cost multiplier
+    // (bpe-estimate vs whitespace tokens, ppm) per lang.
+    "ext75_token_fertility" -> ((s, dir) =>
+      TextOps.tokenFertility(docs(s, dir)).orderBy("lang")),
+
     "ext12_multimodal_meta" -> ((s, dir) =>
       Multimodal.withBinaryMeta(Multimodal.assetsFromDocuments(docs(s, dir)))
         .select("asset_id", "kind", "n_bytes", "digest", "head_hex")
@@ -988,19 +1022,10 @@ object ExtEntry {
     // and the mass a min-per-cluster keeper policy would remove
     // (dup_mass_q, ppm of the corpus) — the one-row number that says
     // whether dedup is worth a 100 TB pass BEFORE committing to it.
-    "ext64_dup_stats" -> ((s, dir) => {
-      val sizes = dupClusters(s, dir)
-        .groupBy("cluster_id").agg(count(lit(1)).as("n"))
-      val tot = docs(s, dir).agg(count(lit(1)).as("n_total"))
-      sizes.agg(count(lit(1)).as("n_clusters"),
-          coalesce(sum(col("n")), lit(0L)).as("n_clustered_docs"),
-          coalesce(max(col("n")), lit(0L)).as("max_cluster"))
-        .crossJoin(broadcast(tot))
-        .select(col("n_clusters"), col("n_clustered_docs"),
-          col("max_cluster"),
-          expr("((n_clustered_docs - n_clusters) * 1000000) DIV n_total")
-            .as("dup_mass_q"))
-    }),
+    "ext64_dup_stats" -> ((s, dir) =>
+      graft.ops.Reporting.dupStats(
+        graft.ops.Reporting.clusterStats(dupClusters(s, dir)),
+        docs(s, dir).agg(count(lit(1)).as("n_total")))),
 
     // Per-doc novelty: fraction of a doc's distinct shingles unique to
     // it corpus-wide (ppm) — the per-doc complement of pair dedup
@@ -1026,28 +1051,11 @@ object ExtEntry {
     // share in ppm), and redundancy (dup mass off the stored cluster
     // map). ONE corpus scan: a (lang, source)-grouped partial feeds
     // every card field; the cluster term reads the build-once artifact.
-    "ext66_data_card" -> ((s, dir) => {
-      val g = graft.ops.Reuse.shared(
-        docs(s, dir).groupBy("lang", "source")
-          .agg(count(lit(1)).as("c"),
-            sum(size(TextOps.tokens(col("text"))).cast("long")).as("t")))
-      val base = g.agg(sum(col("c")).as("n_docs"),
-        sum(col("t")).as("n_tokens"),
-        countDistinct(col("lang")).as("n_langs"),
-        countDistinct(col("source")).as("n_sources"))
-      val topSrc = g.groupBy("source").agg(sum(col("c")).as("sc"))
-        .agg(max(col("sc")).as("max_src"))
-      val cl = dupClusters(s, dir)
-        .groupBy("cluster_id").agg(count(lit(1)).as("n"))
-        .agg(count(lit(1)).as("n_clusters"),
-          coalesce(sum(col("n")), lit(0L)).as("n_clustered"))
-      base.crossJoin(broadcast(topSrc)).crossJoin(broadcast(cl))
-        .select(col("n_docs"), col("n_tokens"), col("n_langs"),
-          col("n_sources"),
-          expr("(max_src * 1000000) DIV n_docs").as("top_source_share_q"),
-          expr("((n_clustered - n_clusters) * 1000000) DIV n_docs")
-            .as("dup_mass_q"))
-    }),
+    "ext66_data_card" -> ((s, dir) =>
+      graft.ops.Reporting.dataCard(
+        graft.ops.Reuse.shared(
+          graft.ops.Reporting.cardPartials(docs(s, dir))),
+        graft.ops.Reporting.clusterStats(dupClusters(s, dir)))),
 
     // Incremental corpus dedup: the crawl increment (doc_id % 10 < 2)
     // deduped against the established corpus through its band table —
@@ -1479,6 +1487,88 @@ object ExtEntry {
         |  CAST(list_sum(list_transform(string_split(text, ' '),
         |    t -> (len(t) + 3) // 4)) AS BIGINT) AS n_bpe_est
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "ext71_gopher_rules" ->
+      s"""WITH m AS (
+         |  SELECT doc_id,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks,
+         |    (CAST(len(replace(text, ' ', '')) AS BIGINT) * 1000)
+         |      // CAST(len(string_split(text, ' ')) AS BIGINT) AS mwl_q,
+         |    CAST(len(list_filter(string_split(text, ' '),
+         |      t -> t IN ($stopList))) AS BIGINT) AS stop_hits
+         |  FROM documents),
+         |f AS (
+         |  SELECT doc_id, n_toks, mwl_q, stop_hits,
+         |    CAST(CASE WHEN n_toks BETWEEN ${TextOps.GopherMinToks}
+         |      AND ${TextOps.GopherMaxToks} THEN 1 ELSE 0 END AS BIGINT)
+         |      AS r_len,
+         |    CAST(CASE WHEN mwl_q BETWEEN ${TextOps.GopherMinMwlQ}
+         |      AND ${TextOps.GopherMaxMwlQ} THEN 1 ELSE 0 END AS BIGINT)
+         |      AS r_mwl,
+         |    CAST(CASE WHEN stop_hits >= ${TextOps.GopherMinStop}
+         |      THEN 1 ELSE 0 END AS BIGINT) AS r_stop
+         |  FROM m)
+         |SELECT doc_id, n_toks, mwl_q, stop_hits, r_len, r_mwl, r_stop,
+         |       r_len * r_mwl * r_stop AS keep
+         |FROM f ORDER BY doc_id""".stripMargin,
+
+    "ext72_vocab_growth" ->
+      """WITH mx AS (SELECT max(doc_id) AS max_id FROM documents),
+        |p AS (SELECT unnest([10, 50, 100]) AS pct),
+        |tok AS (SELECT doc_id,
+        |               unnest(string_split(text, ' ')) AS tok
+        |        FROM documents),
+        |fd AS (SELECT tok, min(doc_id) AS first_doc FROM tok GROUP BY 1),
+        |va AS (SELECT pct, CAST(count(*) AS BIGINT) AS n_vocab
+        |       FROM fd, mx, p
+        |       WHERE first_doc * 100 <= max_id * pct GROUP BY 1),
+        |ta AS (SELECT pct,
+        |              CAST(SUM(len(string_split(text, ' '))) AS BIGINT)
+        |                AS n_tokens
+        |       FROM documents, mx, p
+        |       WHERE doc_id * 100 <= max_id * pct GROUP BY 1)
+        |SELECT CAST(pct AS BIGINT) AS pct, n_tokens, n_vocab
+        |FROM ta JOIN va USING (pct) ORDER BY pct""".stripMargin,
+
+    "ext73_zipf_head" ->
+      """WITH tc AS (
+        |  SELECT tok, count(*) AS c
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS tok
+        |        FROM documents) GROUP BY 1),
+        |tot AS (SELECT SUM(c) AS total FROM tc),
+        |rk AS (SELECT c,
+        |              row_number() OVER (ORDER BY c DESC, tok ASC) AS rank
+        |       FROM tc),
+        |ks AS (SELECT unnest([10, 100, 1000]) AS k)
+        |SELECT CAST(k AS BIGINT) AS k,
+        |       CAST(count(*) AS BIGINT) AS n_head,
+        |       CAST(SUM(c) AS BIGINT) AS covered,
+        |       (CAST(SUM(c) AS BIGINT) * 1000000)
+        |         // (SELECT CAST(total AS BIGINT) FROM tot) AS coverage_q
+        |FROM rk, ks WHERE rank <= k GROUP BY k ORDER BY k""".stripMargin,
+
+    // Same transitive closure as the ext27/ext47/ext64 oracles, then
+    // the per-cluster label-diversity aggregate over the doc join.
+    "ext74_cross_lang_dup" ->
+      s"""WITH RECURSIVE $clusterCtes,
+         |cl AS (SELECT id AS doc_id, min(label) AS cluster_id
+         |       FROM reach GROUP BY 1)
+         |SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(count(DISTINCT lang) AS BIGINT) AS n_labels,
+         |       min(doc_id) AS keeper_id
+         |FROM cl JOIN documents USING (doc_id) GROUP BY 1
+         |HAVING count(DISTINCT lang) > 1 ORDER BY 1""".stripMargin,
+
+    "ext75_token_fertility" ->
+      """WITH g AS (
+        |  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS ws_tokens,
+        |    CAST(SUM(list_sum(list_transform(string_split(text, ' '),
+        |      t -> (len(t) + 3) // 4))) AS BIGINT) AS bpe_tokens
+        |  FROM documents GROUP BY lang)
+        |SELECT lang, n_docs, ws_tokens, bpe_tokens,
+        |       (bpe_tokens * 1000000) // ws_tokens AS fertility_q
+        |FROM g ORDER BY lang""".stripMargin,
 
     "ext11_text_fingerprint" ->
       s"""WITH tp AS (

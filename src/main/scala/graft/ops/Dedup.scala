@@ -23,6 +23,30 @@ object Dedup {
     doc.groupBy(md5(col(text)).as("content_hash"))
       .agg(min(col(id)).as("keeper_id"), count("*").as("dup_count"))
 
+  /**
+   * Near-dup families whose members DISAGREE on a label (e.g. copies
+   * of the same article tagged with different `lang` values) —
+   * annotation contamination that dedup alone HIDES: keeper selection
+   * collapses the family to one row carrying one of the conflicting
+   * labels, silently voting. Surfacing the conflicts is the audit a
+   * labeled-corpus pipeline runs before trusting per-label statistics
+   * (mixing weights, per-lang thresholds) computed downstream of
+   * dedup.
+   *
+   * Reads the build-once cluster map (the same stored artifact keeper
+   * selection and the impact report read) — labels ride a doc_id
+   * equi-join, then one keyed aggregate with a distinct-label count;
+   * the filter keeps only conflicted families (output ≪ clusters).
+   */
+  def labelConflicts(clusterMap: DataFrame, doc: DataFrame,
+      label: String = "lang", id: String = "doc_id"): DataFrame =
+    clusterMap.join(doc.select(col(id), col(label)), id)
+      .groupBy("cluster_id")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col(label)).as("n_labels"),
+        min(col(id)).as("keeper_id"))
+      .filter(col("n_labels") > 1)
+
   /** Per-document shingle cap: only the first MaxShinglesPerDoc shingles
     * participate in dedup — bounds the per-doc explode (a pathological
     * 10M-token doc would otherwise dominate its partition) and matches the
@@ -350,8 +374,27 @@ object Dedup {
    */
   def keyOverlap(doc: DataFrame, key: String = "source",
       text: String = "text", n: Int = 3,
+      maxKeyFreq: Int = 50): DataFrame =
+    keyOverlapFromPairs(
+      Reuse.shared(keyShinglePairs(doc, key, text, n)), key, maxKeyFreq)
+
+  /** The incremental STATE behind [[keyOverlap]]: distinct (key, h)
+    * shingle-membership pairs. Set union is the only cross-batch merge,
+    * so a streaming twin appends each micro-batch's pairs and the
+    * matrix derives from the distinct accumulated table — the key-df
+    * cap must apply at DERIVATION time (a shingle's key count grows
+    * with the corpus), which is why the cap lives in
+    * [[keyOverlapFromPairs]], not here. */
+  def keyShinglePairs(doc: DataFrame, key: String = "source",
+      text: String = "text", n: Int = 3): DataFrame =
+    docShingleHashes(doc, key, text, n).distinct()
+
+  /** [[keyOverlap]]'s matrix from a precomputed distinct (key, h)
+    * relation ([[keyShinglePairs]], possibly accumulated across stream
+    * batches). Input is scanned twice (key-df cap + join sides) —
+    * batch callers pass it `Reuse.shared`-wrapped. */
+  def keyOverlapFromPairs(sh: DataFrame, key: String = "source",
       maxKeyFreq: Int = 50): DataFrame = {
-    val sh = Reuse.shared(docShingleHashes(doc, key, text, n).distinct())
     val keep = sh.groupBy("h").agg(count(lit(1)).as("kdf"))
       .filter(col("kdf") <= maxKeyFreq).select("h")
     val kept = sh.join(keep, "h")

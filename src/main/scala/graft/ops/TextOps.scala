@@ -235,6 +235,51 @@ object TextOps {
         least(col("n_words").cast("double") / lit(100.0), lit(1.0)) *
           lit(0.5) + col("stop_ratio") * lit(0.5))
 
+  /** Default Gopher-rule bounds (tokens, quantized mean word length
+    * ‰, stopword hits) — interpolated into the ext71 oracle, so both
+    * engines must read the same constants. */
+  val GopherMinToks = 30L
+  val GopherMaxToks = 100000L
+  val GopherMinMwlQ = 3000L
+  val GopherMaxMwlQ = 10000L
+  val GopherMinStop = 2L
+
+  /**
+   * Gopher-style per-document quality RULES (Rae et al. 2021 §A1.1
+   * shape): instead of one blended score ([[quality]]), each rule is an
+   * explicit 0/1 flag and the keep decision is their conjunction — the
+   * form a curation pipeline audits ("how many docs fail ONLY the
+   * word-length rule?") and tunes per corpus:
+   *
+   *  - `r_len`:  token count within [GopherMinToks, GopherMaxToks];
+   *  - `r_mwl`:  mean word length within [3, 10] chars (quantized ‰,
+   *    integer DIV — exact cross-engine, no float division);
+   *  - `r_stop`: at least GopherMinStop stopword occurrences (the
+   *    "natural language, not a keyword list" test).
+   *
+   * All-integer output. Scale shape: pure stateless projection over the
+   * scan — token count, char count, and the native [[countInSet]]
+   * kernel, all inside WholeStageCodegen; no shuffle, no HOF, trivially
+   * streaming-safe (same row in any batching).
+   */
+  def gopherRules(doc: DataFrame, text: String = "text"): DataFrame = {
+    val flag = (c: Column) => when(c, 1L).otherwise(0L)
+    doc
+      .withColumn("toks", tokens(col(text)))
+      .withColumn("n_toks", size(col("toks")).cast("long"))
+      .withColumn("_nc",
+        length(regexp_replace(col(text), " ", "")).cast("long"))
+      .withColumn("mwl_q", expr("(_nc * 1000) DIV n_toks"))
+      .withColumn("stop_hits", countInSet(col("toks"), Stopwords))
+      .withColumn("r_len", flag(
+        col("n_toks").between(GopherMinToks, GopherMaxToks)))
+      .withColumn("r_mwl", flag(
+        col("mwl_q").between(GopherMinMwlQ, GopherMaxMwlQ)))
+      .withColumn("r_stop", flag(col("stop_hits") >= GopherMinStop))
+      .withColumn("keep", col("r_len") * col("r_mwl") * col("r_stop"))
+      .drop("toks", "_nc")
+  }
+
   /**
    * Intra-document repetition metrics — the Gopher-style "repetitious
    * text" quality rules: a document whose 2-grams are mostly the same
@@ -356,6 +401,89 @@ object TextOps {
         array_join(transform(col("ids"), x => x.cast("string")), ",")
           .as("postings"))
   }
+
+  /**
+   * Vocabulary growth curve (Heaps'-law shape): distinct-token and
+   * total-token counts over growing doc_id-ordered prefixes of the
+   * corpus — the number that predicts tokenizer OOV/coverage for a
+   * planned crawl extension BEFORE paying for it.
+   *
+   * Scale shape: ONE token explode feeds a `groupBy(token).min(doc_id)`
+   * (a token is "new at prefix p" iff its first host doc is inside p —
+   * no per-prefix re-scan), then each token/doc row fans out only to
+   * the |pcts| prefix rows it belongs to. The prefix threshold rides a
+   * broadcast 1-row max(doc_id); output is |pcts| rows.
+   */
+  def vocabGrowth(doc: DataFrame, pcts: Seq[Int] = Seq(10, 50, 100),
+      id: String = "doc_id", text: String = "text"): DataFrame = {
+    val mx = broadcast(doc.agg(max(col(id)).as("max_id")))
+    val pctCol = explode(lit(pcts.sorted.toArray)).as("pct")
+    val firstDoc = doc
+      .select(col(id).as("did"), explode(tokens(col(text))).as("tok"))
+      .groupBy("tok").agg(min(col("did")).as("first_doc"))
+    val vocabAt = firstDoc.crossJoin(mx).select(col("first_doc"),
+        col("max_id"), pctCol)
+      .filter(col("first_doc") * 100 <= col("max_id") * col("pct"))
+      .groupBy("pct").agg(count(lit(1)).as("n_vocab"))
+    val toksAt = doc
+      .select(col(id).as("did"), size(tokens(col(text))).cast("long").as("n"))
+      .crossJoin(mx).select(col("did"), col("n"), col("max_id"), pctCol)
+      .filter(col("did") * 100 <= col("max_id") * col("pct"))
+      .groupBy("pct").agg(sum(col("n")).as("n_tokens"))
+    toksAt.join(vocabAt, Seq("pct"))
+      .select(col("pct").cast("long").as("pct"), col("n_tokens"),
+        col("n_vocab"))
+  }
+
+  /**
+   * Zipf head coverage: the fraction of total token mass (ppm) covered
+   * by the k most frequent tokens, for each k — the table that sizes a
+   * tokenizer vocab or a stopword list off measured mass, not lore.
+   *
+   * Scale shape: the corpus-wide `groupBy(token).count` is the only
+   * full shuffle; the head is then cut DISTRIBUTED via
+   * `orderBy(...).limit(maxK)` (TakeOrderedAndProject — every map task
+   * forwards at most maxK rows) and the rank window runs on that ≤maxK-
+   * row relation, never on the full vocabulary. Total mass rides a
+   * broadcast 1-row sum; ties break (count DESC, token ASC) so the head
+   * set is engine-independent.
+   */
+  def zipfHeadCoverage(doc: DataFrame, ks: Seq[Int] = Seq(10, 100, 1000),
+      text: String = "text"): DataFrame = {
+    val counts = doc.select(explode(tokens(col(text))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("c"))
+    val total = broadcast(counts.agg(sum(col("c")).as("total")))
+    val head = counts.orderBy(col("c").desc, col("tok").asc)
+      .limit(ks.max)
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("c").desc, col("tok").asc)))
+    head.select(col("c"), col("rank"),
+        explode(lit(ks.sorted.toArray)).as("k"))
+      .filter(col("rank") <= col("k"))
+      .groupBy("k").agg(count(lit(1)).as("n_head"), sum(col("c")).as("covered"))
+      .crossJoin(total)
+      .select(col("k").cast("long").as("k"), col("n_head"), col("covered"),
+        expr("(covered * 1000000) DIV total").as("coverage_q"))
+  }
+
+  /**
+   * Per-language tokenizer fertility: subword-estimate tokens per
+   * whitespace token (ppm) — the cost multiplier that prices a corpus
+   * in MODEL tokens per language (fertility differences of 2-3× between
+   * scripts dominate per-language training cost). One keyed aggregate
+   * over [[tokenCounts]]' stateless projection; integer sums, one
+   * quantized ratio.
+   */
+  def tokenFertility(doc: DataFrame, text: String = "text"): DataFrame =
+    tokenCounts(doc, text)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_ws_tokens")).as("ws_tokens"),
+        sum(col("n_bpe_est")).as("bpe_tokens"))
+      .select(col("lang"), col("n_docs"), col("ws_tokens"),
+        col("bpe_tokens"),
+        expr("(bpe_tokens * 1000000) DIV ws_tokens").as("fertility_q"))
 
   /** Adjacent-token (t1, t2) pairs as a struct array; empty below 2
     * tokens (same ANSI-slice guard as [[shingles]]). */

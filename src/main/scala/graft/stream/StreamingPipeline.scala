@@ -360,6 +360,75 @@ object StreamingPipeline {
   }
 
   /**
+   * Streaming twin of the data card / dup-stats reports (ext66/ext64):
+   * the card's corpus scan is the ALGEBRAIC per-(lang, source) partial
+   * (`Reporting.cardPartials` — commutative + associative), so the
+   * stream's only state is one tiny partial per micro-batch, written
+   * batch-keyed (idempotent on replay like [[boilerplateSink]]); corpus
+   * text is scanned exactly once, on arrival. [[dataCardFromState]] /
+   * [[dupStatsFromState]] fold the accumulated partials into the same
+   * one-row reports the batch queries produce — the redundancy term
+   * reads the build-once cluster map (a corpus-snapshot artifact,
+   * offline by construction, same boundary as ext69's df table).
+   */
+  def cardPartialsSink(docs: DataFrame,
+      partialsPath: String): DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.outputMode("append").foreachBatch {
+      (batch: DataFrame, batchId: Long) =>
+        graft.ops.Reporting.cardPartials(batch)
+          .write.mode("overwrite").parquet(s"$partialsPath/batch=$batchId")
+    }
+
+  /** ext66's one-row card off the accumulated [[cardPartialsSink]]
+    * state + the snapshot cluster summary (`Reporting.clusterStats` of
+    * the stored map). Duplicate (lang, source) keys across batches are
+    * fine — every card field is duplicate-key-insensitive. */
+  def dataCardFromState(spark: SparkSession, partialsPath: String,
+      clusterStats: DataFrame): DataFrame =
+    graft.ops.Reporting.dataCard(
+      spark.read.parquet(partialsPath), clusterStats)
+
+  /** ext64's impact report off the same state: `n_total` folds from the
+    * per-batch partial counts, the family terms from the snapshot map. */
+  def dupStatsFromState(spark: SparkSession, partialsPath: String,
+      clusterStats: DataFrame): DataFrame =
+    graft.ops.Reporting.dupStats(clusterStats,
+      spark.read.parquet(partialsPath)
+        .agg(sum(col("c")).as("n_total")))
+
+  /**
+   * Streaming twin of `Dedup.keyOverlap` (ext68): the matrix's state is
+   * the distinct (source, shingle-hash) membership relation
+   * (`Dedup.keyShinglePairs`) — set union is the only cross-batch
+   * merge, so each micro-batch appends its own pairs batch-keyed
+   * (idempotent replay) and [[sourceOverlapFromState]] derives the
+   * matrix from the distinct accumulated table. The key-df cap is
+   * applied at DERIVATION time, never per batch: a shingle's key count
+   * grows with the corpus, and capping early would freeze a
+   * boilerplate judgment made on partial evidence.
+   */
+  def sourceOverlapSink(docs: DataFrame, pairsPath: String,
+      key: String = "source"): DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.outputMode("append").foreachBatch {
+      (batch: DataFrame, batchId: Long) =>
+        graft.ops.Dedup.keyShinglePairs(batch, key)
+          .write.mode("overwrite").parquet(s"$pairsPath/batch=$batchId")
+    }
+
+  /** ext68's matrix off the accumulated [[sourceOverlapSink]] pair
+    * state — distinct first (batches may re-contribute a pair), then
+    * the capped h-join, identical to the batch operator on the union
+    * of everything that has arrived. */
+  def sourceOverlapFromState(spark: SparkSession, pairsPath: String,
+      key: String = "source"): DataFrame =
+    graft.ops.Dedup.keyOverlapFromPairs(
+      graft.ops.Reuse.shared(
+        // Project away the batch=<id> partition column BEFORE distinct,
+        // or a pair two batches both contributed would survive twice.
+        spark.read.parquet(pairsPath).select(col(key), col("h"))
+          .distinct()), key)
+
+  /**
    * Streaming twin of `Splits.shardAssign` (ext52): a continuous
    * training-shard writer. The stateless half (portable-hash draw,
    * `shard = draw % nShards`) is identical to the batch operator — a doc

@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Dedup, TextOps}
+
+/** Unit coverage for the corpus-statistics operators (ext71–ext75):
+  * Gopher rule flags, vocabulary growth, Zipf head coverage, label
+  * conflicts over the cluster map, and per-language token fertility. */
+class CorpusStatsSpec extends TestBase {
+
+  test("gopher rules: each flag binds at its own bound, keep is the " +
+      "conjunction (ext71)") {
+    import spark.implicits._
+    // 40 toks, mwl_q 3500, 20 stopword hits -> all three rules pass
+    val longOk = ("the word and text " * 10).trim
+    val tooShort = "the and of"                          // 3 toks < 30
+    val longWords = Array.fill(35)("extraordinarily").mkString(" ")
+    val noStops = Array.fill(35)("zz").mkString(" ")     // mwl ok, no stops
+    val docs = Seq((1L, longOk), (2L, tooShort), (3L, longWords),
+      (4L, noStops)).toDF("doc_id", "text")
+    val got = TextOps.gopherRules(docs)
+      .select("doc_id", "r_len", "r_mwl", "r_stop", "keep")
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(got(1L) == ((1L, 1L, 1L, 1L)))
+    assert(got(2L)._1 == 0L && got(2L)._4 == 0L)         // fails length only
+    // "extraordinarily" = 15 chars -> mwl_q 15000 > 10000
+    assert(got(3L) == ((1L, 0L, 0L, 0L)))
+    assert(got(4L) == ((1L, 0L, 0L, 0L)))                // mwl 2000 < 3000
+    // every keep is exactly the product of its flags
+    TextOps.gopherRules(docs)
+      .select($"keep" === $"r_len" * $"r_mwl" * $"r_stop")
+      .as[Boolean].collect().foreach(assert(_))
+  }
+
+  test("vocab growth: monotone in pct, pct=100 equals the corpus " +
+      "totals (ext72)") {
+    import spark.implicits._
+    val d = graft.ingest.Tables.documents(spark, sf("sf0.001"))
+    val rows = TextOps.vocabGrowth(d)
+      .orderBy("pct").as[(Long, Long, Long)].collect()
+    assert(rows.map(_._1).toSeq == Seq(10L, 50L, 100L))
+    assert(rows.map(_._2).toSeq == rows.map(_._2).sorted.toSeq) // tokens up
+    assert(rows.map(_._3).toSeq == rows.map(_._3).sorted.toSeq) // vocab up
+    val full = rows.last
+    val nTok = d.select(size(TextOps.tokens(col("text"))).cast("long"))
+      .as[Long].collect().sum
+    val nVocab = d.select(explode(TextOps.tokens(col("text"))))
+      .distinct().count()
+    assert(full._2 == nTok && full._3 == nVocab)
+  }
+
+  test("zipf head: coverage monotone in k, head bounded by vocab, " +
+      "mass never exceeds total (ext73)") {
+    import spark.implicits._
+    val d = graft.ingest.Tables.documents(spark, sf("sf0.001"))
+    val rows = TextOps.zipfHeadCoverage(d)
+      .orderBy("k").as[(Long, Long, Long, Long)].collect()
+    assert(rows.map(_._1).toSeq == Seq(10L, 100L, 1000L))
+    rows.foreach { case (k, nHead, _, covQ) =>
+      assert(nHead <= k && covQ <= 1000000L)
+    }
+    assert(rows.map(_._3).toSeq == rows.map(_._3).sorted.toSeq)
+    val vocab = d.select(explode(TextOps.tokens(col("text"))))
+      .distinct().count()
+    // if the whole vocab fits under k, the head covers ALL mass
+    rows.filter(_._1 >= vocab).foreach { case (_, nHead, _, covQ) =>
+      assert(nHead == vocab && covQ >= 999999L)
+    }
+  }
+
+  test("label conflicts: only mixed-label clusters surface, keeper is " +
+      "min id (ext74)") {
+    import spark.implicits._
+    val cm = Seq((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L), (11L, 10L))
+      .toDF("doc_id", "cluster_id")
+    val docs = Seq((1L, "en"), (2L, "de"), (3L, "en"),
+      (10L, "fr"), (11L, "fr"), (99L, "xx")).toDF("doc_id", "lang")
+    val got = Dedup.labelConflicts(cm, docs)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(got.toSeq == Seq((1L, 3L, 2L, 1L))) // cluster 10 is uniform
+  }
+
+  test("token fertility: exact quantized ratio per language (ext75)") {
+    import spark.implicits._
+    // en: 4 ws tokens, bpe = ceil(3/4)+ceil(11/4)+ceil(2/4)+ceil(8/4) = 1+3+1+2
+    val docs = Seq(
+      (1L, "en", "the unexpected of operated"),
+      (2L, "zz", "aaaaaaaa bbbbbbbb"))                   // 2 ws, bpe 2+2
+      .toDF("doc_id", "lang", "text")
+    val got = TextOps.tokenFertility(docs)
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._3, r._4, r._5))).toMap
+    assert(got("en") == ((4L, 7L, 7L * 1000000L / 4L)))
+    assert(got("zz") == ((2L, 4L, 2000000L)))
+  }
+}

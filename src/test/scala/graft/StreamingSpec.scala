@@ -462,6 +462,67 @@ class StreamingSpec extends TestBase {
     graft.ops.Reuse.freeAll(spark)
   }
 
+  test("streaming source-overlap state == batch keyOverlap (ext68 twin, " +
+      "incremental pair state, cap applied at derivation)") {
+    val docs = graft.ingest.Tables.documents(spark, sf("sf0.001"))
+      .select("doc_id", "source", "text")
+    val srcDir = Files.createTempDirectory("graft-ovl-src").toString + "/d"
+    docs.write.parquet(srcDir)
+    val pairs = Files.createTempDirectory("graft-ovl-state").toString
+    val ckpt = Files.createTempDirectory("graft-ovl-ckpt").toString
+    val q = StreamingPipeline.sourceOverlapSink(
+      StreamingPipeline.parquetStream(spark, srcDir,
+        maxFilesPerTrigger = Some(1)), pairs)
+      .option("checkpointLocation", ckpt).start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = StreamingPipeline.sourceOverlapFromState(spark, pairs)
+    val batch = graft.ops.Dedup.keyOverlap(docs)
+    assert(streamed.count() == batch.count() && batch.count() > 0)
+    assert(streamed.except(batch).isEmpty && batch.except(streamed).isEmpty,
+      "streamed overlap matrix differs from the batch operator")
+    graft.ops.Reuse.freeAll(spark)
+  }
+
+  test("streaming card partials: data card and dup stats == batch " +
+      "(ext66/ext64 twins, algebraic state + offline cluster artifact)") {
+    val docs = graft.ingest.Tables.documents(spark, sf("sf0.001"))
+      .select("doc_id", "lang", "source", "text")
+    // The corpus-snapshot cluster map, computed once offline exactly as
+    // the batch queries' build-once artifact is.
+    val clusterMap = graft.ops.Components.connectedComponents(
+      graft.ops.Dedup.minhashLsh(docs).select("id_a", "id_b"))
+      .select(col("id").as("doc_id"), col("cluster_id"))
+    val cl = graft.ops.Reporting.clusterStats(clusterMap)
+    val srcDir = Files.createTempDirectory("graft-card-src").toString + "/d"
+    docs.write.parquet(srcDir)
+    val state = Files.createTempDirectory("graft-card-state").toString
+    val ckpt = Files.createTempDirectory("graft-card-ckpt").toString
+    val q = StreamingPipeline.cardPartialsSink(
+      StreamingPipeline.parquetStream(spark, srcDir,
+        maxFilesPerTrigger = Some(1)), state)
+      .option("checkpointLocation", ckpt).start()
+    q.processAllAvailable()
+    q.stop()
+    // More than one micro-batch actually ran, or the merge property was
+    // never exercised (batch is the partition column of the state dir).
+    assert(spark.read.parquet(state).select("batch")
+      .distinct().count() > 1)
+    val card = StreamingPipeline.dataCardFromState(spark, state, cl)
+    val batchCard = graft.ops.Reporting.dataCard(
+      graft.ops.Reporting.cardPartials(docs), cl)
+    assert(card.except(batchCard).isEmpty &&
+      batchCard.except(card).isEmpty,
+      "streamed data card differs from the batch card")
+    val stats = StreamingPipeline.dupStatsFromState(spark, state, cl)
+    val batchStats = graft.ops.Reporting.dupStats(cl,
+      docs.agg(count(lit(1)).as("n_total")))
+    assert(stats.except(batchStats).isEmpty &&
+      batchStats.except(stats).isEmpty,
+      "streamed dup stats differ from the batch report")
+    graft.ops.Reuse.freeAll(spark)
+  }
+
   test("chunkWithOverlap is streaming-safe: streamed chunks == batch " +
       "chunks (ext53, stateless projection)") {
     val batchDocs = graft.ingest.Tables.documents(spark, sf("sf0.001"))
