@@ -542,6 +542,23 @@ object ExtEntry {
     "ext75_token_fertility" -> ((s, dir) =>
       TextOps.tokenFertility(docs(s, dir)).orderBy("lang")),
 
+    // kNN label-noise audit (confident-learning style): audited vectors
+    // whose k-nearest-neighborhood votes for a different label than
+    // their own — candidate mislabels for review/removal.
+    "ext76_knn_label_audit" -> ((s, dir) => {
+      val e = embs(s, dir)
+      graft.ops.LabelAudit.knnLabelAudit(
+        e, e.filter(col("vec_id") < NumQueryVecs), 5)
+        .orderBy("vec_id")
+    }),
+
+    // Per-label centroid outliers: the 3 vectors farthest (exact int64
+    // distance) from their own label's floor-quantized centroid —
+    // embedding-space data pruning / review queue per class.
+    "ext77_label_centroid_outliers" -> ((s, dir) =>
+      graft.ops.LabelAudit.labelCentroidOutliers(embs(s, dir), 3)
+        .orderBy("label", "rank")),
+
     "ext12_multimodal_meta" -> ((s, dir) =>
       Multimodal.withBinaryMeta(Multimodal.assetsFromDocuments(docs(s, dir)))
         .select("asset_id", "kind", "n_bytes", "digest", "head_hex")
@@ -1569,6 +1586,56 @@ object ExtEntry {
         |SELECT lang, n_docs, ws_tokens, bpe_tokens,
         |       (bpe_tokens * 1000000) // ws_tokens AS fertility_q
         |FROM g ORDER BY lang""".stripMargin,
+
+    // Twin of LabelAudit.knnLabelAudit: the cosTopKCtes ranking (same
+    // audited set `vec_id < NumQueryVecs`), then majority neighbor
+    // label with (votes DESC, label ASC) tie-break.
+    "ext76_knn_label_audit" ->
+      s"""$QuantFlatSql,
+         |${cosTopKCtes("", "")},
+         |votes AS (
+         |  SELECT r.q_id, nq.label AS nl, count(*) AS votes
+         |  FROM r JOIN q nq ON nq.vec_id = r.t_id
+         |  WHERE r.rank <= 5 GROUP BY 1, 2),
+         |maj AS (
+         |  SELECT q_id, nl, votes, row_number() OVER (
+         |    PARTITION BY q_id ORDER BY votes DESC, nl ASC) AS rn
+         |  FROM votes)
+         |SELECT m.q_id AS vec_id, CAST(o.label AS BIGINT) AS label,
+         |       CAST(m.nl AS BIGINT) AS knn_label,
+         |       CAST(m.votes AS BIGINT) AS votes,
+         |       CAST(CASE WHEN m.nl <> o.label THEN 1 ELSE 0 END AS BIGINT)
+         |         AS flagged
+         |FROM maj m JOIN q o ON o.vec_id = m.q_id
+         |WHERE m.rn = 1 ORDER BY vec_id""".stripMargin,
+
+    // Twin of LabelAudit.labelCentroidOutliers: per-label floor-
+    // quantized centroid (Lloyd's update rule), exact int64 distance,
+    // (dist DESC, vec_id ASC) rank within label.
+    "ext77_label_centroid_outliers" ->
+      s"""$QuantFlatSql,
+         |lc AS (
+         |  SELECT label, i,
+         |         CAST(floor(CAST(SUM(qi) AS DOUBLE) / COUNT(*)) AS BIGINT)
+         |           AS cv
+         |  FROM flat GROUP BY 1, 2),
+         |lcn AS (SELECT label, CAST(SUM(cv * cv) AS BIGINT) AS cn2
+         |        FROM lc GROUP BY 1),
+         |dt AS (
+         |  SELECT f.vec_id, f.label, CAST(SUM(f.qi * c.cv) AS BIGINT) AS dp
+         |  FROM flat f JOIN lc c ON c.label = f.label AND c.i = f.i
+         |  GROUP BY 1, 2),
+         |d AS (
+         |  SELECT dt.vec_id, dt.label,
+         |         CAST(n2.n2 + lcn.cn2 - 2 * dt.dp AS BIGINT) AS dist
+         |  FROM dt JOIN n2 ON n2.vec_id = dt.vec_id
+         |          JOIN lcn ON lcn.label = dt.label),
+         |rk AS (SELECT *, row_number() OVER (
+         |         PARTITION BY label ORDER BY dist DESC, vec_id ASC) AS rank
+         |       FROM d)
+         |SELECT CAST(label AS BIGINT) AS label, vec_id, dist,
+         |       CAST(rank AS BIGINT) AS rank
+         |FROM rk WHERE rank <= 3 ORDER BY label, rank""".stripMargin,
 
     "ext11_text_fingerprint" ->
       s"""WITH tp AS (

@@ -1,0 +1,118 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import Similarity.{qdot, qnorm2, quantize}
+
+/**
+ * Label-quality auditing over the embedding table — the two standard
+ * training-data curation passes that exploit a label column:
+ *
+ *  - [[knnLabelAudit]]: confident-learning-style kNN label-noise
+ *    detection (Northcutt et al., "Confident Learning", JAIR 2021 —
+ *    the k-nearest-neighbor agreement variant): a vector whose
+ *    neighborhood votes for a different label is a candidate mislabel.
+ *  - [[labelCentroidOutliers]]: per-label centroid distance ranking
+ *    (SemDeDup / SSL-prototype-style pruning): the vectors farthest
+ *    from their own class centroid are the noisiest examples of the
+ *    class — the ones a curation pass drops or re-routes for review.
+ *
+ * Determinism follows the [[Similarity]] contract: embeddings are
+ * floor-quantized to int64, every distance/dot is an exact integer
+ * sum, votes tie-break by (votes DESC, label ASC) and ranks by
+ * (dist DESC, vec_id ASC) — so both operators are DuckDB-oracle
+ * checkable bit for bit.
+ */
+object LabelAudit {
+
+  /**
+   * kNN label-noise audit over an audited query subset: for each
+   * audited vector, the majority label among its k nearest cosine
+   * neighbors (neighbors drawn from the FULL corpus, all labels —
+   * restricting candidates by label would hide exactly the
+   * disagreements the audit exists to find). Output one row per
+   * audited vector: its own label, the neighborhood's majority label,
+   * the vote count, and flagged=1 where they differ.
+   *
+   * Scale shape: the audited set is broadcast ([[Similarity.bruteTopK]]
+   * — one corpus scan, WindowGroupLimit bounds the rank shuffle at k
+   * rows per query per map task); the vote is a |audited × labels|-row
+   * hash aggregate. Like the ext54/57 audits this is a sampled pricing
+   * run — at 100 TB audit a sampled query set against the probe-index
+   * candidates ([[Similarity.kmeansProbeIndex]] + the [[votesFor]]
+   * tail, which accepts any (q_id, t_id) neighbor relation) instead of
+   * the exact scan.
+   */
+  def knnLabelAudit(emb: DataFrame, queries: DataFrame, k: Int = 5,
+      id: String = "vec_id", vec: String = "embedding",
+      label: String = "label"): DataFrame =
+    votesFor(Similarity.bruteTopK(emb, queries, k, id, vec),
+      emb.select(col(id), col(label)), id, label)
+
+  /** The vote/flag tail: majority neighbor label per audited vector
+    * from ANY (q_id, t_id) neighbor relation — brute at audit scale,
+    * probe-index candidates at 100 TB. */
+  def votesFor(neighbors: DataFrame, labels: DataFrame,
+      id: String = "vec_id", label: String = "label"): DataFrame = {
+    val lab = labels.select(col(id).cast("long").as("lid"),
+      col(label).cast("long").as("l"))
+    val votes = neighbors
+      .join(broadcast(lab.toDF("lid", "nl")),
+        col("t_id") === col("lid"), "inner")
+      .groupBy(col("q_id"), col("nl"))
+      .agg(count(lit(1)).as("votes"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("votes").desc, col("nl").asc)
+    votes.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .join(broadcast(lab), col("q_id") === col("lid"), "inner")
+      .select(col("q_id").as(id), col("l").as(label),
+        col("nl").as("knn_label"), col("votes"),
+        when(col("nl") =!= col("l"), 1L).otherwise(0L).as("flagged"))
+  }
+
+  /**
+   * Per-label centroid outliers: floor-quantized per-dimension mean of
+   * each label's quantized vectors (the [[Similarity.kmeansBuckets]]
+   * centroid-update rule, so the centroid is integer-exact and
+   * engine-portable), then exact integer distance
+   * |v−c|² = n2(v) + n2(c) − 2·qdot(v,c) of every vector to its OWN
+   * label's centroid, ranked (dist DESC, vec_id ASC) within the label;
+   * the top `topN` per label are the outliers.
+   *
+   * Scale shape: the centroid build is one keyed shuffle
+   * (posexplode → per-(label, dim) sum, map-side combined); the
+   * centroid relation is |labels| rows and broadcasts; the rank's
+   * window shuffle is bounded by WindowGroupLimit at topN rows per
+   * label per map task. Per-dimension sums stay under 2^53 at any
+   * per-label count below ~9e9 (quantized |v| ≤ ~1e6); beyond that
+   * aggregate as DECIMAL before the division.
+   */
+  def labelCentroidOutliers(emb: DataFrame, topN: Int = 3,
+      id: String = "vec_id", vec: String = "embedding",
+      label: String = "label"): DataFrame = {
+    val prepared = emb.select(col(id).cast("long").as("vid"),
+      col(label).cast("long").as("l"), quantize(col(vec)).as("q"))
+      .withColumn("n2", qnorm2(col("q")))
+    val cents = prepared
+      .select(col("l"), posexplode(col("q")).as(Seq("pos", "v")))
+      .groupBy("l", "pos")
+      .agg(sum("v").as("s"), count(lit(1)).as("n"))
+      .withColumn("cv", floor(col("s").cast("double") / col("n")).cast("long"))
+      .groupBy("l")
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("cv")))),
+        x => x.getField("cv")).as("cq"))
+      .withColumn("cn2", qnorm2(col("cq")))
+    val w = Window.partitionBy(col("l"))
+      .orderBy(col("dist").desc, col("vid").asc)
+    prepared.join(broadcast(cents), "l")
+      .withColumn("dist",
+        col("n2") + col("cn2") - lit(2L) * qdot(col("q"), col("cq")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topN)
+      .select(col("l").as(label), col("vid").as(id), col("dist"),
+        col("rank").cast("long").as("rank"))
+  }
+}

@@ -98,7 +98,10 @@ class EmptyInputSpec extends TestBase {
       countOf("lshTopK")(Similarity.lshTopK(e, e, 5)),
       countOf("hardNegatives")(Similarity.hardNegatives(e, e, 5)),
       countOf("cosineNearDupPairs")(Similarity.cosineNearDupPairs(e)),
-      countOf("randomProject")(Similarity.randomProject(e)))
+      countOf("randomProject")(Similarity.randomProject(e)),
+      countOf("knnLabelAudit")(graft.ops.LabelAudit.knnLabelAudit(e, e)),
+      countOf("labelCentroidOutliers")(
+        graft.ops.LabelAudit.labelCentroidOutliers(e)))
     assert(results.forall(_._2 == 0L), results.toString)
   }
 

@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ingest.Tables
+import graft.ops.{LabelAudit, Similarity}
+
+/** Label-quality audits vs independent driver-side recomputation, plus
+  * the vote tie-break law on a hand-built neighbor relation. */
+class LabelAuditSpec extends TestBase {
+
+  private lazy val emb = Tables.embeddings(spark, sf("sf0.001"))
+  private lazy val queries = emb.filter(col("vec_id") < 10)
+
+  test("knn label audit = majority vote over brute top-k (ext76)") {
+    import spark.implicits._
+    val got = LabelAudit.knnLabelAudit(emb, queries, 5)
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+
+    val labels = emb.select("vec_id", "label").as[(Long, Int)]
+      .collect().toMap
+    val expected = Similarity.bruteTopK(emb, queries, 5)
+      .select("q_id", "t_id").as[(Long, Long)].collect()
+      .groupBy(_._1).map { case (qid, nbrs) =>
+        val votes = nbrs.map(n => labels(n._2).toLong)
+          .groupBy(identity).map { case (l, g) => (l, g.size.toLong) }
+        val (nl, v) = votes.toSeq.minBy { case (l, n) => (-n, l) }
+        val own = labels(qid).toLong
+        (qid, own, nl, v, if (nl != own) 1L else 0L)
+      }.toSet
+    assert(got == expected)
+    // one row per audited vector; flagged is the disagreement bit
+    assert(got.size == queries.count())
+    assert(got.forall { case (_, l, nl, _, f) => (f == 1L) == (l != nl) })
+  }
+
+  test("vote tie-break: lower label wins at equal votes") {
+    import spark.implicits._
+    // q 1 sees neighbors with labels {7, 7, 3, 3} — tie at 2 votes each.
+    val neighbors = Seq((1L, 10L), (1L, 11L), (1L, 12L), (1L, 13L))
+      .toDF("q_id", "t_id")
+    val labels = Seq((1L, 9L), (10L, 7L), (11L, 7L), (12L, 3L), (13L, 3L))
+      .toDF("vec_id", "label")
+    val r = LabelAudit.votesFor(neighbors, labels)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(r == Seq((1L, 9L, 3L, 2L, 1L)))
+  }
+
+  test("label centroid outliers = exact integer recompute (ext77)") {
+    import spark.implicits._
+    val got = LabelAudit.labelCentroidOutliers(emb, 3)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+
+    val rows = emb.select("vec_id", "label", "embedding")
+      .as[(Long, Int, Array[Float])].collect()
+      .map { case (id, l, e) =>
+        (id, l.toLong,
+          e.map(v => math.floor(v.toDouble * Similarity.QuantScale).toLong))
+      }
+    val expected = rows.groupBy(_._2).toSeq.flatMap { case (l, g) =>
+      val dims = g.head._3.length
+      val cent = (0 until dims).map { i =>
+        math.floor(g.map(_._3(i)).sum.toDouble / g.size).toLong
+      }.toArray
+      val cn2 = cent.map(c => c * c).sum
+      g.map { case (id, _, q) =>
+        val n2 = q.map(v => v * v).sum
+        val dot = q.zip(cent).map { case (a, b) => a * b }.sum
+        (l, id, n2 + cn2 - 2 * dot)
+      }.sortBy { case (_, id, d) => (-d, id) }.take(3).zipWithIndex
+        .map { case ((lab, id, d), i) => (lab, id, d, i + 1L) }
+    }.sortBy(r => (r._1, r._4))
+    assert(got == expected)
+    // every label contributes exactly topN ranked outliers
+    assert(got.map(_._1).distinct.size == 10 && got.size == 30)
+  }
+}
