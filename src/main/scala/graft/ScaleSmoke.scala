@@ -125,6 +125,23 @@ object ScaleSmoke {
       val kept = bigEmb.join(keepers.select("vec_id"), "vec_id")
       graft.ops.Similarity.cosineNearDupPairs(kept)
     }
+    // r7 label-audit family. Shifted copies keep their label, so the
+    // per-label centroids are IDENTICAL to 1x (the mean of a duplicated
+    // set) — what must grow linearly is the centroid build's posexplode
+    // + the scoring scan; output stays |labels| * topN rows at any
+    // mult. The kNN audit is a FIXED 20-query broadcast against the
+    // grown corpus — linear scan, output 20 rows at any mult.
+    val bigEmbL = (0 until mult).map { i =>
+      graft.ingest.Tables.embeddings(spark, sfDir)
+        .withColumn("vec_id", col("vec_id") + lit(i.toLong * 1000000L))
+    }.reduce(_ union _)
+    time("label_centroid_outliers") {
+      graft.ops.LabelAudit.labelCentroidOutliers(bigEmbL)
+    }
+    time("knn_label_audit_20q") {
+      graft.ops.LabelAudit.knnLabelAudit(bigEmbL,
+        bigEmbL.filter(col("vec_id") < 20), 5)
+    }
     spark.stop()
   }
 }

@@ -93,11 +93,25 @@ object LabelAudit {
   def labelCentroidOutliers(emb: DataFrame, topN: Int = 3,
       id: String = "vec_id", vec: String = "embedding",
       label: String = "label"): DataFrame = {
-    val prepared = emb.select(col(id).cast("long").as("vid"),
-      col(label).cast("long").as("l"), quantize(col(vec)).as("q"))
-      .withColumn("n2", qnorm2(col("q")))
-    val cents = prepared
-      .select(col("l"), posexplode(col("q")).as(Seq("pos", "v")))
+    val w = Window.partitionBy(col(label))
+      .orderBy(col("dist").desc, col(id).asc)
+    centroidDistances(emb, labelCentroids(emb, vec, label), id, vec, label)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topN)
+      .select(col(label), col(id), col("dist"),
+        col("rank").cast("long").as("rank"))
+  }
+
+  /** The per-label centroid ARTIFACT (l, cq, cn2) — |labels| rows of
+    * floor-quantized per-dimension means; in production stored once per
+    * corpus snapshot and read by scoring passes (the streaming twin
+    * broadcasts it against arriving vectors). One keyed shuffle
+    * (posexplode → per-(label, dim) sum, map-side combined); the
+    * |labels|-row reassembly HOF never touches a scan. */
+  def labelCentroids(emb: DataFrame, vec: String = "embedding",
+      label: String = "label"): DataFrame =
+    emb.select(col(label).cast("long").as("l"),
+      posexplode(quantize(col(vec))).as(Seq("pos", "v")))
       .groupBy("l", "pos")
       .agg(sum("v").as("s"), count(lit(1)).as("n"))
       .withColumn("cv", floor(col("s").cast("double") / col("n")).cast("long"))
@@ -105,14 +119,19 @@ object LabelAudit {
       .agg(transform(array_sort(collect_list(struct(col("pos"), col("cv")))),
         x => x.getField("cv")).as("cq"))
       .withColumn("cn2", qnorm2(col("cq")))
-    val w = Window.partitionBy(col("l"))
-      .orderBy(col("dist").desc, col("vid").asc)
-    prepared.join(broadcast(cents), "l")
+
+  /** Exact integer distance of every vector to its OWN label's centroid
+    * from a prebuilt [[labelCentroids]] artifact — a stateless
+    * broadcast-join projection (the streaming twin applies it unchanged
+    * to arriving micro-batches). */
+  def centroidDistances(emb: DataFrame, cents: DataFrame,
+      id: String = "vec_id", vec: String = "embedding",
+      label: String = "label"): DataFrame =
+    emb.select(col(id).cast("long").as("vid"),
+      col(label).cast("long").as("l"), quantize(col(vec)).as("q"))
+      .withColumn("n2", qnorm2(col("q")))
+      .join(broadcast(cents), "l")
       .withColumn("dist",
         col("n2") + col("cn2") - lit(2L) * qdot(col("q"), col("cq")))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= topN)
-      .select(col("l").as(label), col("vid").as(id), col("dist"),
-        col("rank").cast("long").as("rank"))
-  }
+      .select(col("l").as(label), col("vid").as(id), col("dist"))
 }

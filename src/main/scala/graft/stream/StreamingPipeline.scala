@@ -290,6 +290,24 @@ object StreamingPipeline {
       .filter(col("quality_score") >= col("p50"))
 
   /**
+   * Streaming twin of the label-centroid scoring behind ext77: the
+   * per-label centroid table is the offline artifact
+   * (`LabelAudit.labelCentroids`, a corpus-snapshot property like
+   * ext67's thresholds — updating centroids inside the stream would
+   * rescore already-emitted vectors), broadcast against arriving
+   * labeled vectors; each is scored with the same exact-integer
+   * distance projection. Stateless, append-mode, no shuffle — streamed
+   * distances equal the batch operator's for any arrival order. The
+   * snapshot-level OUTLIER RANK (ext77's top-N per label) stays
+   * offline by construction: a per-label rank over the full corpus is
+   * not per-row decomposable; the stream-side consumer thresholds the
+   * emitted distance instead (e.g. against a stored per-label cutoff,
+   * the ext67 pattern).
+   */
+  def centroidScoreStream(emb: DataFrame, centroids: DataFrame): DataFrame =
+    graft.ops.LabelAudit.centroidDistances(emb, centroids)
+
+  /**
    * Streaming twin of `Dedup.benchmarkOverlap` (ext32): benchmark
    * decontamination as a broadcast-probe foreachBatch sink. The eval
    * suite is static and small, so its shingle membership set is computed

@@ -384,6 +384,31 @@ class StreamingSpec extends TestBase {
     graft.ops.Reuse.freeAll(spark)
   }
 
+  test("streaming centroid scoring == batch distances (ext77 twin)") {
+    val batchEmb = graft.ingest.Tables.embeddings(spark, sf("sf0.001"))
+    // Centroids computed offline from the corpus snapshot (updating them
+    // in-stream would rescore already-emitted vectors).
+    val cents = graft.ops.LabelAudit.labelCentroids(batchEmb)
+    val src = StreamingPipeline.parquetStream(spark,
+      sf("sf0.001") + "/embeddings.parquet")
+    val q = StreamingPipeline.centroidScoreStream(src, cents)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("cent_stream").start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("cent_stream")
+    val batch = graft.ops.LabelAudit.centroidDistances(batchEmb, cents)
+    assert(streamed.count() == batchEmb.count())
+    assert(streamed.except(batch).isEmpty && batch.except(streamed).isEmpty,
+      "streamed centroid distances differ from the batch operator")
+    // the snapshot-level top-N rank is exactly the batch distances ranked
+    val ranked = ExtEntry.queries("ext77_label_centroid_outliers")(
+      spark, sf("sf0.001")).select("label", "vec_id", "dist")
+    assert(ranked.except(batch.select("label", "vec_id", "dist")).isEmpty,
+      "ext77 outliers are not a subset of the scored distances")
+    graft.ops.Reuse.freeAll(spark)
+  }
+
   test("streaming decontamination == batch benchmarkOverlap (ext32 twin)") {
     val docs = graft.ingest.Tables.documents(spark, sf("sf0.001"))
     val bench = docs.filter(col("doc_id") < 20)
