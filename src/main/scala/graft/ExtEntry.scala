@@ -559,6 +559,45 @@ object ExtEntry {
       graft.ops.LabelAudit.labelCentroidOutliers(embs(s, dir), 3)
         .orderBy("label", "rank")),
 
+    // Packing-efficiency curve: chunk counts under concat- vs
+    // pad-to-boundary packing and the padded waste, per candidate
+    // context length — the capacity table behind the ctx choice. One
+    // corpus scan, |budgets| output rows.
+    "ext78_pack_efficiency" -> ((s, dir) =>
+      Packing.packEfficiency(docs(s, dir),
+          size(split(col("text"), " ")), Seq(128L, 512L, 1024L))
+        .select("ctx", "n_docs", "total_toks", "chunks_padded",
+          "chunks_concat", "pad_waste_ppm", "pack_gain_ppm")
+        .orderBy("ctx")),
+
+    // Duplication-aware SOFT dedup: per-doc sampling weight
+    // 1e6/|family| ppm off the build-once cluster map — near-dup
+    // variants stay in the corpus at unduplicated draw pressure
+    // (ext47's keeper is the hard-dedup alternative over the same
+    // artifact).
+    "ext79_dedup_weights" -> ((s, dir) =>
+      Dedup.dedupWeights(docs(s, dir), dupClusters(s, dir))
+        .orderBy("doc_id")),
+
+    // Per-doc rare-token (OOV-proxy) rate vs the corpus frequency
+    // tail: instances of token types under a tenth of the mean type
+    // frequency, as ppm of the doc's tokens — the "mostly unseen
+    // vocabulary" quality flag, and ext69-novelty's counterweight.
+    "ext80_oov_rate" -> ((s, dir) =>
+      TextOps.oovRate(docs(s, dir)).orderBy("doc_id")),
+
+    // Corpus snapshot diff (crawl-over-crawl audit): exact-content
+    // md5 identity across two snapshots (here the doc_id-parity
+    // halves) — the {both, only_a, only_b} distinct-text table that
+    // decides incremental ingest vs full re-dedup.
+    "ext81_snapshot_diff" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Dedup.snapshotDiff(
+        d.filter(col("doc_id") % 2 === 0),
+        d.filter(col("doc_id") % 2 === 1))
+        .orderBy("status")
+    }),
+
     "ext12_multimodal_meta" -> ((s, dir) =>
       Multimodal.withBinaryMeta(Multimodal.assetsFromDocuments(docs(s, dir)))
         .select("asset_id", "kind", "n_bytes", "digest", "head_hex")
@@ -1636,6 +1675,77 @@ object ExtEntry {
          |SELECT CAST(label AS BIGINT) AS label, vec_id, dist,
          |       CAST(rank AS BIGINT) AS rank
          |FROM rk WHERE rank <= 3 ORDER BY label, rank""".stripMargin,
+
+    "ext78_pack_efficiency" ->
+      """WITH d AS (
+        |  SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks
+        |  FROM documents),
+        |e AS (
+        |  SELECT n_toks, CAST(unnest([128, 512, 1024]) AS BIGINT) AS ctx
+        |  FROM d),
+        |g AS (
+        |  SELECT ctx, CAST(count(*) AS BIGINT) AS n_docs,
+        |         CAST(sum(n_toks) AS BIGINT) AS total_toks,
+        |         CAST(sum((n_toks + ctx - 1) // ctx) AS BIGINT)
+        |           AS chunks_padded
+        |  FROM e GROUP BY 1)
+        |SELECT ctx, n_docs, total_toks, chunks_padded,
+        |       (total_toks + ctx - 1) // ctx AS chunks_concat,
+        |       CAST(CASE WHEN chunks_padded > 0 THEN
+        |         ((chunks_padded * ctx - total_toks) * 1000000)
+        |           // (chunks_padded * ctx)
+        |         ELSE 0 END AS BIGINT) AS pad_waste_ppm,
+        |       CAST(CASE WHEN chunks_padded > 0 THEN
+        |         ((chunks_padded - ((total_toks + ctx - 1) // ctx))
+        |            * 1000000) // chunks_padded
+        |         ELSE 0 END AS BIGINT) AS pack_gain_ppm
+        |FROM g ORDER BY ctx""".stripMargin,
+
+    // Same cluster CTE chain as ext27/ext47 (the stored map's SQL
+    // mirror); singletons fall out of the LEFT JOIN at weight 1e6.
+    "ext79_dedup_weights" ->
+      s"""WITH RECURSIVE $clusterCtes,
+         |cl AS (SELECT id AS doc_id, min(label) AS cluster_id
+         |       FROM reach GROUP BY 1),
+         |sz AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_members
+         |       FROM cl GROUP BY 1),
+         |m AS (SELECT cl.doc_id, sz.n_members
+         |      FROM cl JOIN sz USING (cluster_id))
+         |SELECT d.doc_id, COALESCE(m.n_members, 1) AS n_members,
+         |       CAST(1000000 // COALESCE(m.n_members, 1) AS BIGINT)
+         |         AS weight_ppm
+         |FROM documents d LEFT JOIN m USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin,
+
+    "ext80_oov_rate" ->
+      """WITH inst AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |c AS (SELECT tok, CAST(count(*) AS BIGINT) AS cnt
+        |      FROM inst GROUP BY 1),
+        |t AS (SELECT CAST(count(*) AS BIGINT) AS n_types,
+        |             CAST(sum(cnt) AS BIGINT) AS n_instances FROM c),
+        |r AS (SELECT c.tok FROM c, t
+        |      WHERE c.cnt < n_instances // (10 * n_types))
+        |SELECT i.doc_id, CAST(count(*) AS BIGINT) AS n_toks,
+        |       CAST(sum(CASE WHEN r.tok IS NOT NULL THEN 1 ELSE 0 END)
+        |         AS BIGINT) AS n_rare,
+        |       CAST((sum(CASE WHEN r.tok IS NOT NULL THEN 1 ELSE 0 END)
+        |           * 1000000) // count(*) AS BIGINT) AS oov_ppm
+        |FROM inst i LEFT JOIN r ON i.tok = r.tok
+        |GROUP BY 1 ORDER BY doc_id""".stripMargin,
+
+    "ext81_snapshot_diff" ->
+      """WITH a AS (SELECT DISTINCT md5(text) AS h FROM documents
+        |           WHERE doc_id % 2 = 0),
+        |b AS (SELECT DISTINCT md5(text) AS h FROM documents
+        |      WHERE doc_id % 2 = 1),
+        |j AS (SELECT a.h IS NOT NULL AS ia, b.h IS NOT NULL AS ib
+        |      FROM a FULL OUTER JOIN b ON a.h = b.h)
+        |SELECT CASE WHEN ia AND ib THEN 'both'
+        |            WHEN ia THEN 'only_a' ELSE 'only_b' END AS status,
+        |       CAST(count(*) AS BIGINT) AS n_texts
+        |FROM j GROUP BY 1 ORDER BY status""".stripMargin,
 
     "ext11_text_fingerprint" ->
       s"""WITH tp AS (

@@ -51,9 +51,27 @@ object Tables {
     * `props` is a raw-JSON column à la the tweet wire format. */
   /** events is NOT fanned out: its operators are shuffle-agg-bound, not
     * per-row-CPU-bound, and the extra repartition measured as a net loss. */
+  /** `ts` normalizes to a UTC-instant TIMESTAMP whatever the parquet
+    * wrote: int64 nanoseconds (timestamp[ns] files — Spark reads the
+    * raw long) via `timestamp_micros`, or timestamp[us]
+    * (isAdjustedToUTC=false → TIMESTAMP_NTZ in Spark) by interpreting
+    * the wall time AS UTC — explicitly, so a non-UTC session timezone
+    * can never shift event times relative to the DuckDB oracle's naive
+    * `epoch_ns(ts)` reading. */
   def events(spark: SparkSession, sfDir: String): DataFrame =
-    table(spark, sfDir, "events")
-      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+    normalizeEventTs(table(spark, sfDir, "events"))
+
+  /** The `ts`-type dispatch above, shared with the streaming replay
+    * source ([[graft.stream.StreamingPipeline.eventStream]]) so batch
+    * and stream see byte-identical event times. */
+  def normalizeEventTs(raw: DataFrame): DataFrame =
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts", expr("to_utc_timestamp(ts, 'UTC')"))
+      case _ => raw
+    }
 
   /** documents/embeddings feed CPU-dense operators (per-token hashing,
     * per-dimension signatures) — fan the scan out so that work spreads

@@ -643,4 +643,63 @@ object Dedup {
       text: String = "text", maxHamming: Int = 3): DataFrame =
     chunkedHammingPairs(Reuse.shared(simhashWide(doc, id, text)), id,
       nChunks = 4, chunkBits = 15, maxHamming = maxHamming)
+
+  /**
+   * Duplication-aware sampling weights — SOFT dedup: instead of keeping
+   * one doc per near-dup family ([[graft.SparkEntry]] ext47's keeper),
+   * every doc stays but its sampling weight is 1e6 / |family| ppm, so a
+   * family's total draw mass equals one document's. The form the
+   * mixture literature prefers when near-dups carry non-identical
+   * content (hard dedup discards the variants; down-weighting keeps
+   * them at unduplicated pressure). Composes directly with
+   * [[Sampling.weightedTopK]] / [[Sampling.acceptByRate]].
+   *
+   * Reads the stored cluster map (a build-once corpus-snapshot
+   * artifact, same lifecycle as ext47/ext64). Scale shape: family
+   * sizes are one cluster-keyed count over the map; the size joins
+   * back member-keyed, then ONE id-keyed left join against the corpus
+   * — the map side is the clustered subset (usually ≪ corpus), but it
+   * scales with corpus redundancy, so it stays a shuffle join, never a
+   * broadcast. Unclustered docs weigh the full 1e6.
+   */
+  def dedupWeights(doc: DataFrame, clusters: DataFrame,
+      id: String = "doc_id"): DataFrame = {
+    val sized = clusters.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("n_members"))
+    val member = clusters.join(sized, Seq("cluster_id"))
+      .select(col(id), col("n_members"))
+    doc.select(col(id))
+      .join(member, Seq(id), "left")
+      .select(col(id),
+        coalesce(col("n_members"), lit(1L)).as("n_members"))
+      .withColumn("weight_ppm", expr("1000000 DIV n_members"))
+  }
+
+  /**
+   * Corpus snapshot diff — the crawl-over-crawl audit: how much of
+   * snapshot B's exact content already existed in snapshot A, and how
+   * much of A vanished. Texts compare by full md5 (exact content
+   * identity — a 31-bit hash would birthday-collide into phantom
+   * "both" rows at corpus scale); output is the 3-row
+   * {both, only_a, only_b} → distinct-text-count table that decides
+   * whether an incremental ingest ([[ngramJaccardIncremental]]'s
+   * lifecycle) or a full re-dedup is warranted.
+   *
+   * Scale shape: one distinct per side (hash-keyed, map-side
+   * combined), a full-outer join that reuses the distincts'
+   * hash partitioning, and a 3-group aggregate. No all-pairs, no
+   * text shuffled — only digests.
+   */
+  def snapshotDiff(a: DataFrame, b: DataFrame,
+      text: String = "text"): DataFrame = {
+    val ha = a.select(md5(col(text)).as("h")).distinct()
+      .withColumn("_a", lit(1L))
+    val hb = b.select(md5(col(text)).as("h")).distinct()
+      .withColumn("_b", lit(1L))
+    ha.join(hb, Seq("h"), "full_outer")
+      .select(when(col("_a").isNotNull && col("_b").isNotNull, "both")
+        .when(col("_a").isNotNull, "only_a")
+        .otherwise("only_b").as("status"))
+      .groupBy(col("status")).agg(count(lit(1)).as("n_texts"))
+  }
 }

@@ -104,4 +104,44 @@ object Packing {
         least(col("first_tok") + col("n_toks"),
           (col("chunk_id") + 1) * budget))
   }
+
+  /**
+   * Packing-efficiency curve — the capacity-planning table behind the
+   * context-length choice: for each candidate budget, how many training
+   * chunks the corpus costs under (a) concat packing ([[concatChunks]]
+   * — docs straddle boundaries, zero padding) vs (b) pad-to-boundary
+   * (each doc rounded up to whole chunks — the no-packing baseline),
+   * and the padded baseline's wasted-token fraction. `pack_gain_ppm`
+   * is the chunk count packing saves; pricing it per budget turns the
+   * "is sequence packing worth the attention-mask complexity at ctx=N"
+   * question into a table.
+   *
+   * Scale shape: ONE corpus scan — per-doc token counts explode by
+   * |budgets| literals and map-side combine into |budgets| groups; no
+   * join, no window. All int64 (`pad_waste_ppm`'s numerator stays
+   * under 2^63 while padded waste ≤ ~9e12 tokens — beyond any real
+   * corpus's padding at ppm precision).
+   */
+  def packEfficiency(df: DataFrame, tokens: Column,
+      budgets: Seq[Long]): DataFrame = {
+    require(budgets.nonEmpty && budgets.forall(_ > 0),
+      "budgets must be positive")
+    df.select(coalesce(tokens.cast("long"), lit(0L)).as("_toks"))
+      .select(col("_toks"),
+        explode(array(budgets.map(lit): _*)).as("ctx"))
+      .groupBy(col("ctx"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("_toks")).as("total_toks"),
+        sum(expr("(_toks + ctx - 1) DIV ctx")).as("chunks_padded"))
+      .withColumn("chunks_concat",
+        expr("(total_toks + ctx - 1) DIV ctx"))
+      .withColumn("pad_waste_ppm",
+        when(col("chunks_padded") > 0,
+          expr("((chunks_padded * ctx - total_toks) * 1000000)" +
+            " DIV (chunks_padded * ctx)")).otherwise(lit(0L)))
+      .withColumn("pack_gain_ppm",
+        when(col("chunks_padded") > 0,
+          expr("((chunks_padded - chunks_concat) * 1000000)" +
+            " DIV chunks_padded")).otherwise(lit(0L)))
+  }
 }

@@ -719,6 +719,87 @@ object TextOps {
       .filter(col("_p") <= greatest(lit(1), col("_m") - lit(w - 1)))
       .select(col(id), col("fp")).distinct()
   }
+
+  /**
+   * The OFFLINE artifact of the rare-token rate: every token type
+   * whose corpus-wide instance count falls below 1/`denom` of the MEAN
+   * type frequency — the long tail a tokenizer never learned and an LM
+   * rarely saw. Rarity is RELATIVE (cnt < ⌊Σcnt / (denom·|vocab|)⌋),
+   * not an absolute count: the same denom means the same thing at
+   * sf0.001 and at 100 TB, and the threshold arithmetic stays in
+   * int64 at any corpus size (the naive `cnt·denom·|vocab| < Σcnt`
+   * form overflows once Σcnt·|vocab| passes 2^63). One token-keyed
+   * count, map-side combined, + a broadcast 1-row total; the tail is
+   * corpus-proportional (Heaps' law: most of the vocab), so consumers
+   * join it token-keyed — it is NEVER broadcast. Stored once per
+   * corpus snapshot; the streaming twin
+   * ([[graft.stream.StreamingPipeline.oovSink]]) reads it as its
+   * static side, exactly like ext69's shingle-df table.
+   */
+  def rareTokens(doc: DataFrame, denom: Long = 10,
+      text: String = "text"): DataFrame =
+    rareFromCounts(Reuse.shared(
+      doc.select(explode(tokens(col(text))).as("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))), denom)
+
+  /** The relative-rarity cut over a (tok, cnt) relation — `counts`
+    * must be pre-materialized (it feeds both the 1-row total and the
+    * filter; without the cut Spark re-aggregates the corpus under
+    * each). */
+  private def rareFromCounts(counts: DataFrame, denom: Long): DataFrame = {
+    require(denom >= 1, "denom must be >= 1")
+    val tot = counts.agg(count(lit(1)).as("n_types"),
+      sum(col("cnt")).as("n_instances"))
+    // `when` guards the ANSI divide-by-zero on an empty vocabulary
+    // (n_types = 0 and a NULL instance sum).
+    counts.crossJoin(broadcast(tot))
+      .filter(col("cnt") <
+        when(col("n_types") > 0,
+          expr(s"n_instances DIV ($denom * n_types)")).otherwise(lit(0L)))
+      .select(col("tok"))
+  }
+
+  /**
+   * Per-document rare-token (OOV-proxy) rate against a precomputed
+   * [[rareTokens]] set: `n_rare` counts token INSTANCES whose type is
+   * rare corpus-wide, `oov_ppm = ⌊1e6·n_rare/n_toks⌋` — the
+   * quality-filter signal for "mostly unseen vocabulary" docs (OCR
+   * noise, codes/IDs, wrong-language fragments) and the curation
+   * counterweight to ext69's novelty (high novelty + low OOV = new
+   * content in known vocabulary; high both = probably garbage).
+   *
+   * Scale shape: explode → ONE token-keyed left join against the rare
+   * set → one doc-keyed aggregate. All int64. Docs whose every token
+   * is unique corpus-wide score 1e6; `tokens` never yields an empty
+   * array for non-empty text, so n_toks ≥ 1 (no zero division).
+   */
+  def oovRateAgainst(doc: DataFrame, rare: DataFrame,
+      id: String = "doc_id", text: String = "text"): DataFrame =
+    scoreRareInstances(
+      doc.select(col(id), explode(tokens(col(text))).as("tok")), rare, id)
+
+  /**
+   * Batch form: rare set and per-doc score off ONE shared explode of
+   * the corpus ([[Reuse.shared]] cut — EAGER like [[Sampling
+   * .mixtureWeights]]: constructing the frame materializes the
+   * exploded token relation so the corpus is scanned once, not twice).
+   */
+  def oovRate(doc: DataFrame, denom: Long = 10,
+      id: String = "doc_id", text: String = "text"): DataFrame = {
+    val inst = Reuse.shared(
+      doc.select(col(id), explode(tokens(col(text))).as("tok")))
+    val rare = rareFromCounts(Reuse.shared(
+      inst.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))), denom)
+    scoreRareInstances(inst, rare, id)
+  }
+
+  private def scoreRareInstances(inst: DataFrame, rare: DataFrame,
+      id: String): DataFrame =
+    inst.join(rare.withColumn("_rare", lit(1L)), Seq("tok"), "left")
+      .groupBy(col(id))
+      .agg(count(lit(1)).as("n_toks"),
+        sum(when(col("_rare").isNotNull, 1L).otherwise(0L)).as("n_rare"))
+      .withColumn("oov_ppm", expr("(n_rare * 1000000) DIV n_toks"))
 }
 
 /**

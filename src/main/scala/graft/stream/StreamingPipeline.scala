@@ -108,22 +108,14 @@ object StreamingPipeline {
    * `pathGlobFilter` on the file name.
    */
   def eventStream(spark: SparkSession, dir: String): DataFrame = {
+    // The physical ts type varies by testdata generation (int64 nanos
+    // under nanosAsLong vs timestamp[us]/NTZ) — take the schema from a
+    // batch read of the same files and reuse Tables' type dispatch so
+    // batch and stream see byte-identical event times.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = org.apache.spark.sql.types.StructType(Seq(
-      org.apache.spark.sql.types.StructField("event_id",
-        org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField("ts",
-        org.apache.spark.sql.types.LongType), // nanos (nanosAsLong)
-      org.apache.spark.sql.types.StructField("user_id",
-        org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField("event_type",
-        org.apache.spark.sql.types.StringType),
-      org.apache.spark.sql.types.StructField("value",
-        org.apache.spark.sql.types.DoubleType),
-      org.apache.spark.sql.types.StructField("props",
-        org.apache.spark.sql.types.StringType)))
+    val schema = spark.read.parquet(dir).schema
     val src = fileStreamSource(spark.readStream.schema(schema), dir)
-    src.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+    graft.ingest.Tables.normalizeEventTs(src)
   }
 
   /**
@@ -373,6 +365,28 @@ object StreamingPipeline {
     docs.writeStream.outputMode("append").foreachBatch {
       (batch: DataFrame, batchId: Long) =>
         graft.ops.Dedup.noveltyScoresAgainst(batch, df)
+          .write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
+    }
+  }
+
+  /**
+   * Streaming twin of `TextOps.oovRate` (ext80): the rare-token set is
+   * a corpus-SNAPSHOT artifact (`TextOps.rareTokens`, stored once per
+   * generation — rarity judged inside a stream would drift with
+   * arrival order: every token is rare when it first appears), and
+   * each micro-batch scores its docs against it — one stream-static
+   * token-keyed join + one doc-keyed aggregate, no cross-batch state,
+   * so streamed rows equal the batch operator's for any batching.
+   * Like ext69's df table (and unlike ext67's tiny thresholds) the
+   * rare set is corpus-proportional — it stays a keyed join, never a
+   * broadcast. Stateless foreachBatch, idempotent batch-keyed layout.
+   */
+  def oovSink(docs: DataFrame, rareTokens: DataFrame,
+      outPath: String): DataStreamWriter[org.apache.spark.sql.Row] = {
+    val rare = rareTokens.localCheckpoint(true)
+    docs.writeStream.outputMode("append").foreachBatch {
+      (batch: DataFrame, batchId: Long) =>
+        graft.ops.TextOps.oovRateAgainst(batch, rare)
           .write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
     }
   }

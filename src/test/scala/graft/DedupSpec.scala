@@ -211,4 +211,35 @@ class DedupSpec extends TestBase {
     assert(Dedup.pairPrecision(truth, empty)
       .as[(Long, Long, Long)].collect().toSeq == Seq((0L, 0L, 0L)))
   }
+
+  test("dedupWeights: 1e6/|family| for members, 1e6 for singletons; " +
+      "family mass ~ one doc (ext79)") {
+    import spark.implicits._
+    val docs = (1L to 6L).toDF("doc_id")
+    val clusters = Seq((1L, 10L), (2L, 10L), (3L, 20L), (4L, 20L),
+      (5L, 20L)).toDF("doc_id", "cluster_id")
+    val got = Dedup.dedupWeights(docs, clusters)
+      .orderBy("doc_id").as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 2L, 500000L), (2L, 2L, 500000L),
+      (3L, 3L, 333333L), (4L, 3L, 333333L), (5L, 3L, 333333L),
+      (6L, 1L, 1000000L)))
+    // every family's total draw mass is within |family| ppm-floors of 1e6
+    val mass = Dedup.dedupWeights(docs, clusters)
+      .groupBy("n_members").agg(sum($"weight_ppm").as("m"))
+      .as[(Long, Long)].collect().toMap
+    assert(mass.forall { case (n, m) => m > 1000000L - n && m <= 1000000L })
+  }
+
+  test("snapshotDiff: md5 identity over distinct texts; within-side " +
+      "dups collapse (ext81)") {
+    import spark.implicits._
+    val a = Seq("x", "y", "y").toDF("text")
+    val b = Seq("y", "z", "z", "w").toDF("text")
+    val got = Dedup.snapshotDiff(a, b).orderBy("status")
+      .as[(String, Long)].collect().toSeq
+    assert(got == Seq(("both", 1L), ("only_a", 1L), ("only_b", 2L)))
+    // identical snapshots: everything lands in `both`
+    val same = Dedup.snapshotDiff(a, a).as[(String, Long)].collect().toSeq
+    assert(same == Seq(("both", 2L)))
+  }
 }

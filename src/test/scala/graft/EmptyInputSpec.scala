@@ -125,4 +125,20 @@ class EmptyInputSpec extends TestBase {
         col("n_chars"), 512L)))
     assert(results.forall(_._2 == 0L), results.toString)
   }
+
+  test("r7 ops: empty inputs flow through, no NPE") {
+    import graft.ops.{Dedup, Packing, TextOps}
+    val d = emptyDocs
+    import spark.implicits._
+    val noClusters = Seq.empty[(Long, Long)].toDF("doc_id", "cluster_id")
+    val results = Seq(
+      countOf("packEfficiency")(
+        Packing.packEfficiency(d, col("n_chars"), Seq(128L))),
+      countOf("dedupWeights")(Dedup.dedupWeights(d, noClusters)),
+      countOf("snapshotDiff")(Dedup.snapshotDiff(d, d)),
+      countOf("rareTokens")(TextOps.rareTokens(d)),
+      countOf("oovRate")(TextOps.oovRate(d)))
+    assert(results.forall(_._2 == 0L), results.toString)
+    graft.ops.Reuse.freeAll(spark)
+  }
 }

@@ -653,4 +653,49 @@ class OpsSpec extends TestBase {
       .orderBy("vec_id").as[(Long, Seq[Long])].collect().toSeq
     assert(again == got)
   }
+
+  test("oov rate: relative threshold flags the tail type; instances " +
+      "counted, ppm floored (ext80)") {
+    import spark.implicits._
+    // types: a x30, b x30, z x1 -> total 61, thr = 61 DIV 30 = 2, so
+    // only z (cnt 1) is rare.
+    val docs = Seq(
+      (1L, Seq.fill(30)("a").mkString(" ")),
+      (2L, (Seq.fill(30)("b") :+ "z").mkString(" "))).toDF("doc_id", "text")
+    val got = graft.ops.TextOps.oovRate(docs)
+      .orderBy("doc_id").as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 30L, 0L, 0L),
+      (2L, 31L, 1L, 1000000L / 31L)))
+    graft.ops.Reuse.freeAll(spark)
+    // denom = 1 (below the mean itself): z still rare (thr = 61 DIV 3
+    // = 20), a/b at 30 stay common.
+    val loose = graft.ops.TextOps.oovRate(docs, denom = 1)
+      .orderBy("doc_id").as[(Long, Long, Long, Long)].collect().toSeq
+    assert(loose == got)
+    graft.ops.Reuse.freeAll(spark)
+    // the against-form over a stored rare set matches the batch form
+    val rare = graft.ops.TextOps.rareTokens(docs)
+    val against = graft.ops.TextOps.oovRateAgainst(docs, rare)
+      .orderBy("doc_id").as[(Long, Long, Long, Long)].collect().toSeq
+    assert(against == got)
+    graft.ops.Reuse.freeAll(spark)
+  }
+
+  test("pack efficiency: chunk counts, waste and gain per budget " +
+      "(ext78)") {
+    import spark.implicits._
+    // docs of 5, 7 and 12 tokens
+    val docs = Seq((1L, 5L), (2L, 7L), (3L, 12L)).toDF("doc_id", "n")
+    val got = graft.ops.Packing
+      .packEfficiency(docs, col("n"), Seq(4L, 8L))
+      .orderBy("ctx")
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect().toSeq
+    // ctx=4: padded = 2+2+3 = 7 chunks (28 slots, 24 toks -> waste
+    // 4/28), concat = ceil(24/4) = 6, gain = 1/7
+    // ctx=8: padded = 1+1+2 = 4 chunks (32 slots -> waste 8/32),
+    // concat = 3, gain = 1/4
+    assert(got == Seq(
+      (4L, 3L, 24L, 7L, 6L, 4L * 1000000L / 28L, 1000000L / 7L),
+      (8L, 3L, 24L, 4L, 3L, 8L * 1000000L / 32L, 1000000L / 4L)))
+  }
 }

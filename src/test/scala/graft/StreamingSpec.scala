@@ -487,6 +487,32 @@ class StreamingSpec extends TestBase {
     graft.ops.Reuse.freeAll(spark)
   }
 
+  test("streaming oov scoring == batch operator (ext80 twin, " +
+      "stream-static rare-set join)") {
+    val docs = graft.ingest.Tables.documents(spark, sf("sf0.001"))
+      .select("doc_id", "text")
+    // The corpus-snapshot rare-token set computed once offline, as in
+    // production.
+    val rare = graft.ops.TextOps.rareTokens(docs)
+    val srcDir = Files.createTempDirectory("graft-oov-src").toString + "/d"
+    docs.write.parquet(srcDir)
+    val out = Files.createTempDirectory("graft-oov-out").toString
+    val ckpt = Files.createTempDirectory("graft-oov-ckpt").toString
+    val q = StreamingPipeline.oovSink(
+      StreamingPipeline.parquetStream(spark, srcDir,
+        maxFilesPerTrigger = Some(1)), rare, out)
+      .option("checkpointLocation", ckpt).start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.read.parquet(out)
+      .select("doc_id", "n_toks", "n_rare", "oov_ppm")
+    val batch = graft.ops.TextOps.oovRate(docs)
+    assert(streamed.count() == batch.count() && batch.count() > 0)
+    assert(streamed.except(batch).isEmpty && batch.except(streamed).isEmpty,
+      "streamed oov rates differ from the batch operator")
+    graft.ops.Reuse.freeAll(spark)
+  }
+
   test("streaming source-overlap state == batch keyOverlap (ext68 twin, " +
       "incremental pair state, cap applied at derivation)") {
     val docs = graft.ingest.Tables.documents(spark, sf("sf0.001"))
