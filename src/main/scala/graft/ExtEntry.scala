@@ -598,6 +598,22 @@ object ExtEntry {
         .orderBy("status")
     }),
 
+    // Composition drift between the same two snapshots: per-lang doc
+    // share (ppm of each side's own total) and the absolute delta —
+    // the mix-moved signal raw counts hide when snapshot sizes differ.
+    "ext82_composition_drift" -> ((s, dir) =>
+      graft.ops.Reporting.compositionDriftBy(docs(s, dir),
+          col("doc_id") % 2 === 0, Seq("lang"))
+        .orderBy("lang")),
+
+    // Per-label embedding dispersion card: member count, mean/max
+    // exact distance² to the label's own centroid, centroid norm² —
+    // "which labels are collapsed or incoherent", off the same
+    // centroid artifact ext77 ranks vectors with.
+    "ext83_label_dispersion" -> ((s, dir) =>
+      graft.ops.LabelAudit.labelDispersion(embs(s, dir))
+        .orderBy("label")),
+
     "ext12_multimodal_meta" -> ((s, dir) =>
       Multimodal.withBinaryMeta(Multimodal.assetsFromDocuments(docs(s, dir)))
         .select("asset_id", "kind", "n_bytes", "digest", "head_hex")
@@ -1746,6 +1762,51 @@ object ExtEntry {
         |            WHEN ia THEN 'only_a' ELSE 'only_b' END AS status,
         |       CAST(count(*) AS BIGINT) AS n_texts
         |FROM j GROUP BY 1 ORDER BY status""".stripMargin,
+
+    "ext82_composition_drift" ->
+      """WITH c AS (
+        |  SELECT lang,
+        |    CAST(sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS docs_a,
+        |    CAST(sum(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS docs_b
+        |  FROM documents GROUP BY 1),
+        |t AS (SELECT CAST(sum(docs_a) AS BIGINT) AS ta,
+        |             CAST(sum(docs_b) AS BIGINT) AS tb FROM c)
+        |SELECT lang, docs_a, docs_b,
+        |  CAST((docs_a * 1000000) // ta AS BIGINT) AS share_a_ppm,
+        |  CAST((docs_b * 1000000) // tb AS BIGINT) AS share_b_ppm,
+        |  CAST(abs((docs_a * 1000000) // ta - (docs_b * 1000000) // tb)
+        |    AS BIGINT) AS drift_ppm
+        |FROM c, t ORDER BY lang""".stripMargin,
+
+    // Same centroid/distance CTEs as ext77 (the stored artifact's SQL
+    // mirror), folded per label instead of ranked per vector.
+    "ext83_label_dispersion" ->
+      s"""$QuantFlatSql,
+         |lc AS (
+         |  SELECT label, i,
+         |         CAST(floor(CAST(SUM(qi) AS DOUBLE) / COUNT(*)) AS BIGINT)
+         |           AS cv
+         |  FROM flat GROUP BY 1, 2),
+         |lcn AS (SELECT label, CAST(SUM(cv * cv) AS BIGINT) AS cn2
+         |        FROM lc GROUP BY 1),
+         |dt AS (
+         |  SELECT f.vec_id, f.label, CAST(SUM(f.qi * c.cv) AS BIGINT) AS dp
+         |  FROM flat f JOIN lc c ON c.label = f.label AND c.i = f.i
+         |  GROUP BY 1, 2),
+         |d AS (
+         |  SELECT dt.vec_id, dt.label,
+         |         CAST(n2.n2 + lcn.cn2 - 2 * dt.dp AS BIGINT) AS dist
+         |  FROM dt JOIN n2 ON n2.vec_id = dt.vec_id
+         |          JOIN lcn ON lcn.label = dt.label)
+         |SELECT CAST(d.label AS BIGINT) AS label,
+         |       CAST(count(*) AS BIGINT) AS n_vecs,
+         |       CAST(CAST(sum(d.dist) AS BIGINT) // count(*) AS BIGINT)
+         |         AS dist_mean_q,
+         |       max(d.dist) AS dist_max, lcn.cn2
+         |FROM d JOIN lcn ON lcn.label = d.label
+         |GROUP BY d.label, lcn.cn2 ORDER BY 1""".stripMargin,
 
     "ext11_text_fingerprint" ->
       s"""WITH tp AS (

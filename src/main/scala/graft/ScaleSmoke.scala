@@ -142,6 +142,33 @@ object ScaleSmoke {
       graft.ops.LabelAudit.knnLabelAudit(bigEmbL,
         bigEmbL.filter(col("vec_id") < 20), 5)
     }
+    // r7 ext78-81 additions. packEfficiency: one scan, |budgets| output
+    // rows at any mult. dedupWeights: the cluster map at Nx rides the
+    // (already-timed) LSH pair graph; what's added is one cluster-keyed
+    // count + one doc-keyed join — expect linear, output == docs.
+    // oovRate: instance counts grow Nx but the TYPE set is constant, so
+    // the relative threshold scales with the corpus and the rare set
+    // stays the same types — linear explode+join, output == docs.
+    // snapshotDiff: shifted copies carry identical TEXT, so both halves
+    // collapse to the same distinct-hash set — output lands all-`both`
+    // at any mult (the degenerate mass-duplicate case), and the distinct
+    // is the only corpus-sized work.
+    time("pack_efficiency") {
+      graft.ops.Packing.packEfficiency(big,
+        size(split(col("text"), " ")), Seq(128L, 512L, 1024L))
+    }
+    time("dedup_weights") {
+      graft.ops.Dedup.dedupWeights(big,
+        graft.ops.Components.connectedComponents(
+          graft.ops.Dedup.minhashLsh(big).select("id_a", "id_b"))
+          .select(col("id").as("doc_id"), col("cluster_id")))
+    }
+    time("oov_rate") { graft.ops.TextOps.oovRate(big) }
+    time("snapshot_diff") {
+      graft.ops.Dedup.snapshotDiff(
+        big.filter(col("doc_id") % 2 === 0),
+        big.filter(col("doc_id") % 2 === 1))
+    }
     spark.stop()
   }
 }

@@ -134,4 +134,37 @@ object LabelAudit {
       .withColumn("dist",
         col("n2") + col("cn2") - lit(2L) * qdot(col("q"), col("cq")))
       .select(col("l").as(label), col("vid").as(id), col("dist"))
+
+  /**
+   * Per-label dispersion card — the embedding-space health summary a
+   * labeled dataset ships with: per label, the member count, the
+   * floor-quantized mean and the max of the exact |v−c|² distance to
+   * the label's own centroid, and the centroid's norm². A collapsed
+   * label (near-zero dispersion) marks redundant/templated members;
+   * a label whose dispersion rivals its centroid norm is incoherent —
+   * the two failure modes a class-balance count can't see. The
+   * [[labelCentroidOutliers]] rank answers "which vectors"; this card
+   * answers "which labels", off the same stored centroid artifact.
+   *
+   * Scale shape: one corpus scan (the [[centroidDistances]] broadcast
+   * projection) into a |labels|-row aggregate, map-side combined; the
+   * mean is integer `DIV` (exact on any engine). Σdist per label stays
+   * under 2^63 below ~1e6 members per label at 16 dims (dist ≤
+   * ~4·dim·1e12) — past that, aggregate as DECIMAL like the ext77
+   * centroid sums.
+   */
+  def labelDispersion(emb: DataFrame, id: String = "vec_id",
+      vec: String = "embedding", label: String = "label"): DataFrame = {
+    val cents = Reuse.shared(labelCentroids(emb, vec, label))
+    centroidDistances(emb, cents, id, vec, label)
+      .groupBy(col(label))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(col("dist")).as("_sd"),
+        max(col("dist")).as("dist_max"))
+      .withColumn("dist_mean_q", expr("_sd DIV n_vecs"))
+      .join(broadcast(cents.select(col("l").as(label), col("cn2"))),
+        Seq(label))
+      .select(col(label), col("n_vecs"), col("dist_mean_q"),
+        col("dist_max"), col("cn2"))
+  }
 }

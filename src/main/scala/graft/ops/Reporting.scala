@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /**
@@ -79,5 +79,62 @@ object Reporting {
         expr("(max_src * 1000000) DIV n_docs").as("top_source_share_q"),
         expr("((n_clustered - n_clusters) * 1000000) DIV n_docs")
           .as("dup_mass_q"))
+  }
+
+  /**
+   * Per-stratum composition drift between two corpus snapshots — the
+   * "did the crawl's language/source mix move" audit run next to
+   * [[graft.ops.Dedup.snapshotDiff]]'s content diff: each stratum's
+   * doc share of its own snapshot (ppm) on both sides, and the
+   * absolute share delta. A large `drift_ppm` on a stratum is the
+   * re-mix signal (re-weight via [[Sampling.mixtureWeights]], or gate
+   * the new snapshot) that raw counts hide when the snapshots differ
+   * in size.
+   *
+   * Scale shape: ONE pass over the tagged union (a keyed count with
+   * two conditional sums, map-side combined) + a broadcast 1-row
+   * total; |strata| output rows. All int64; empty-side guards keep
+   * ANSI division safe. The counts relation is materialized once
+   * ([[Reuse.shared]] — EAGER like mixtureWeights) because the totals
+   * row and the share projection both consume it.
+   */
+  def compositionDrift(a: DataFrame, b: DataFrame,
+      strata: Seq[String] = Seq("lang")): DataFrame = {
+    val sc = strata.map(col)
+    driftFromTagged(
+      a.select(sc :+ lit(1L).as("_a") :+ lit(0L).as("_b"): _*)
+        .union(b.select(sc :+ lit(0L).as("_a") :+ lit(1L).as("_b"): _*)),
+      strata)
+  }
+
+  /** Single-scan form of [[compositionDrift]] for the common case of
+    * two snapshots living in ONE table (a generation column, a parity
+    * split...): `sideA` picks snapshot A per row, so the corpus is
+    * read once instead of once per side — at 100 TB the difference is
+    * a full extra pass. */
+  def compositionDriftBy(df: DataFrame, sideA: Column,
+      strata: Seq[String] = Seq("lang")): DataFrame =
+    driftFromTagged(
+      df.select(strata.map(col)
+        :+ when(sideA, 1L).otherwise(0L).as("_a")
+        :+ when(sideA, 0L).otherwise(1L).as("_b"): _*),
+      strata)
+
+  private def driftFromTagged(tagged: DataFrame,
+      strata: Seq[String]): DataFrame = {
+    val counts = Reuse.shared(tagged.groupBy(strata.map(col): _*)
+      .agg(sum(col("_a")).as("docs_a"), sum(col("_b")).as("docs_b")))
+    val tot = counts.agg(sum(col("docs_a")).as("tot_a"),
+      sum(col("docs_b")).as("tot_b"))
+    counts.crossJoin(broadcast(tot))
+      .withColumn("share_a_ppm",
+        when(col("tot_a") > 0, expr("(docs_a * 1000000) DIV tot_a"))
+          .otherwise(lit(0L)))
+      .withColumn("share_b_ppm",
+        when(col("tot_b") > 0, expr("(docs_b * 1000000) DIV tot_b"))
+          .otherwise(lit(0L)))
+      .withColumn("drift_ppm",
+        abs(col("share_a_ppm") - col("share_b_ppm")))
+      .drop("tot_a", "tot_b")
   }
 }

@@ -101,7 +101,9 @@ class EmptyInputSpec extends TestBase {
       countOf("randomProject")(Similarity.randomProject(e)),
       countOf("knnLabelAudit")(graft.ops.LabelAudit.knnLabelAudit(e, e)),
       countOf("labelCentroidOutliers")(
-        graft.ops.LabelAudit.labelCentroidOutliers(e)))
+        graft.ops.LabelAudit.labelCentroidOutliers(e)),
+      countOf("labelDispersion")(
+        graft.ops.LabelAudit.labelDispersion(e)))
     assert(results.forall(_._2 == 0L), results.toString)
   }
 

@@ -74,4 +74,30 @@ class LabelAuditSpec extends TestBase {
     // every label contributes exactly topN ranked outliers
     assert(got.map(_._1).distinct.size == 10 && got.size == 30)
   }
+
+  test("label dispersion = per-label fold of the exact distances " +
+      "(ext83)") {
+    import spark.implicits._
+    val got = LabelAudit.labelDispersion(emb)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+      .sortBy(_._1)
+    val dists = LabelAudit.centroidDistances(emb,
+      LabelAudit.labelCentroids(emb))
+      .as[(Long, Long, Long)].collect().toSeq
+    val cn2s = LabelAudit.labelCentroids(emb)
+      .select($"l", $"cn2").as[(Long, Long)].collect().toMap
+    val expected = dists.groupBy(_._1).toSeq.map { case (l, g) =>
+      val ds = g.map(_._3)
+      (l, g.size.toLong, ds.sum / ds.size, ds.max, cn2s(l))
+    }.sortBy(_._1)
+    assert(got == expected && got.size == 10)
+    // a single-member label disperses to exactly 0
+    val solo = Seq((1L, Array(1.0f, 2.0f), 7)).toDF(
+      "vec_id", "embedding", "label")
+    val soloGot = LabelAudit.labelDispersion(solo)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(soloGot == Seq((7L, 1L, 0L, 0L,
+      1000000L * 1000000L + 2000000L * 2000000L)))
+    graft.ops.Reuse.freeAll(spark)
+  }
 }

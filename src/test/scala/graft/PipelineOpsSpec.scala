@@ -365,4 +365,34 @@ class PipelineOpsSpec extends TestBase {
     assert(mass == (nd - nc) * 1000000L / total)
     graft.ops.Reuse.freeAll(spark)
   }
+
+  test("composition drift: own-side shares, absolute delta, empty-side " +
+      "guard (ext82)") {
+    import spark.implicits._
+    val a = Seq("x", "x", "x", "y").toDF("lang")
+    val b = Seq("x", "y", "y", "y", "y", "y").toDF("lang")
+    val got = graft.ops.Reporting.compositionDrift(a, b)
+      .orderBy("lang")
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      ("x", 3L, 1L, 750000L, 166666L, 583334L),
+      ("y", 1L, 5L, 250000L, 833333L, 583333L)))
+    graft.ops.Reuse.freeAll(spark)
+    // an empty side zeroes its shares instead of dividing by zero
+    val empty = Seq.empty[String].toDF("lang")
+    val oneSided = graft.ops.Reporting.compositionDrift(a, empty)
+      .orderBy("lang")
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(oneSided == Seq(("x", 3L, 0L, 750000L, 0L, 750000L),
+      ("y", 1L, 0L, 250000L, 0L, 250000L)))
+    graft.ops.Reuse.freeAll(spark)
+    // the single-scan By form == the two-frame form on a tagged table
+    val merged = a.withColumn("side", lit(0L))
+      .union(b.withColumn("side", lit(1L)))
+    val byForm = graft.ops.Reporting.compositionDriftBy(merged,
+      col("side") === 0L).orderBy("lang")
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(byForm == got)
+    graft.ops.Reuse.freeAll(spark)
+  }
 }
