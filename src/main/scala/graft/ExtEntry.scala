@@ -614,6 +614,50 @@ object ExtEntry {
       graft.ops.LabelAudit.labelDispersion(embs(s, dir))
         .orderBy("label")),
 
+    // Per-source Gopher-rule pass rates: which sources fail which
+    // rule, at what rate — the "is this feed garbage" triage table a
+    // crawl operator reads before pulling a source; one aggregate
+    // over ext71's flag projection.
+    "ext84_gopher_pass_rates" -> ((s, dir) =>
+      TextOps.gopherRules(docs(s, dir))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("r_len")).as("pass_len"),
+          sum(col("r_mwl")).as("pass_mwl"),
+          sum(col("r_stop")).as("pass_stop"),
+          sum(col("keep")).as("pass_all"))
+        .withColumn("keep_ppm", expr("(pass_all * 1000000) DIV n_docs"))
+        .orderBy("source")),
+
+    // Dedup token-savings forecast: what the ext47 keeper policy
+    // would DELETE, in tokens — the capacity number (storage +
+    // training-token budget) behind the "is dedup worth a pass"
+    // decision ext64 prices in doc counts. Keeper tokens ride the
+    // same max(struct) keeper draw (extra struct fields past the
+    // unique -doc_id tiebreak never affect the argmax), so no second
+    // join against the corpus.
+    "ext85_dedup_token_savings" -> ((s, dir) => {
+      // ONE corpus scan: the scored per-doc relation feeds both the
+      // family aggregate and the corpus token total.
+      val scored = graft.ops.Reuse.shared(TextOps.quality(docs(s, dir))
+        .select(col("doc_id"), col("quality_score"),
+          col("n_words").as("n_toks")))
+      val fams = dupClusters(s, dir).join(scored, "doc_id")
+        .groupBy(col("cluster_id"))
+        .agg(count(lit(1)).as("n_members"),
+          sum(col("n_toks")).as("fam_toks"),
+          max(struct(col("quality_score").as("q"),
+            negate(col("doc_id")).as("nid"),
+            col("n_toks").as("kt"))).as("m"))
+      val tot = scored.agg(sum(col("n_toks")).as("corpus_toks"))
+      fams.agg(count(lit(1)).as("n_families"),
+          sum(col("n_members") - 1).as("docs_removed"),
+          sum(col("fam_toks") - col("m.kt")).as("tokens_removed"))
+        .crossJoin(broadcast(tot))
+        .withColumn("savings_ppm",
+          expr("(tokens_removed * 1000000) DIV corpus_toks"))
+    }),
+
     "ext12_multimodal_meta" -> ((s, dir) =>
       Multimodal.withBinaryMeta(Multimodal.assetsFromDocuments(docs(s, dir)))
         .select("asset_id", "kind", "n_bytes", "digest", "head_hex")
@@ -1807,6 +1851,74 @@ object ExtEntry {
          |       max(d.dist) AS dist_max, lcn.cn2
          |FROM d JOIN lcn ON lcn.label = d.label
          |GROUP BY d.label, lcn.cn2 ORDER BY 1""".stripMargin,
+
+    // ext71's rule CTEs, folded per source.
+    "ext84_gopher_pass_rates" ->
+      s"""WITH m AS (
+         |  SELECT source,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks,
+         |    (CAST(len(replace(text, ' ', '')) AS BIGINT) * 1000)
+         |      // CAST(len(string_split(text, ' ')) AS BIGINT) AS mwl_q,
+         |    CAST(len(list_filter(string_split(text, ' '),
+         |      t -> t IN ($stopList))) AS BIGINT) AS stop_hits
+         |  FROM documents),
+         |f AS (
+         |  SELECT source,
+         |    CAST(CASE WHEN n_toks BETWEEN ${TextOps.GopherMinToks}
+         |      AND ${TextOps.GopherMaxToks} THEN 1 ELSE 0 END AS BIGINT)
+         |      AS r_len,
+         |    CAST(CASE WHEN mwl_q BETWEEN ${TextOps.GopherMinMwlQ}
+         |      AND ${TextOps.GopherMaxMwlQ} THEN 1 ELSE 0 END AS BIGINT)
+         |      AS r_mwl,
+         |    CAST(CASE WHEN stop_hits >= ${TextOps.GopherMinStop}
+         |      THEN 1 ELSE 0 END AS BIGINT) AS r_stop
+         |  FROM m)
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(r_len) AS BIGINT) AS pass_len,
+         |  CAST(sum(r_mwl) AS BIGINT) AS pass_mwl,
+         |  CAST(sum(r_stop) AS BIGINT) AS pass_stop,
+         |  CAST(sum(r_len * r_mwl * r_stop) AS BIGINT) AS pass_all,
+         |  CAST((CAST(sum(r_len * r_mwl * r_stop) AS BIGINT) * 1000000)
+         |    // CAST(count(*) AS BIGINT) AS BIGINT) AS keep_ppm
+         |FROM f GROUP BY 1 ORDER BY source""".stripMargin,
+
+    // Cluster map + the ext47 keeper draw (row_number mirrors the
+    // max(struct) argmax: quality DESC, doc_id ASC), with token
+    // counts carried through.
+    "ext85_dedup_token_savings" ->
+      s"""WITH RECURSIVE $clusterCtes,
+         |cl AS (SELECT id AS doc_id, min(label) AS cluster_id
+         |       FROM reach GROUP BY 1),
+         |ql AS (
+         |  SELECT doc_id,
+         |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks,
+         |         least(CAST(len(string_split(text, ' ')) AS DOUBLE)
+         |               / 100.0, 1.0) * 0.5 +
+         |         (CAST(len(list_filter(string_split(text, ' '),
+         |            t -> t IN ($stopList))) AS DOUBLE)
+         |          / CAST(len(string_split(text, ' ')) AS DOUBLE)) * 0.5
+         |           AS quality_score
+         |  FROM documents),
+         |m AS (
+         |  SELECT cl.cluster_id, ql.n_toks,
+         |         row_number() OVER (PARTITION BY cl.cluster_id
+         |           ORDER BY ql.quality_score DESC, cl.doc_id ASC) AS rn
+         |  FROM cl JOIN ql USING (doc_id)),
+         |fam AS (
+         |  SELECT cluster_id,
+         |         CAST(count(*) AS BIGINT) AS n_members,
+         |         CAST(sum(n_toks) AS BIGINT) AS fam_toks,
+         |         CAST(sum(CASE WHEN rn = 1 THEN n_toks ELSE 0 END)
+         |           AS BIGINT) AS kt
+         |  FROM m GROUP BY 1),
+         |t AS (SELECT CAST(sum(n_toks) AS BIGINT) AS corpus_toks FROM ql)
+         |SELECT CAST(count(*) AS BIGINT) AS n_families,
+         |       CAST(sum(n_members - 1) AS BIGINT) AS docs_removed,
+         |       CAST(sum(fam_toks - kt) AS BIGINT) AS tokens_removed,
+         |       t.corpus_toks,
+         |       CAST((CAST(sum(fam_toks - kt) AS BIGINT) * 1000000)
+         |         // t.corpus_toks AS BIGINT) AS savings_ppm
+         |FROM fam, t GROUP BY t.corpus_toks""".stripMargin,
 
     "ext11_text_fingerprint" ->
       s"""WITH tp AS (

@@ -395,4 +395,30 @@ class PipelineOpsSpec extends TestBase {
     assert(byForm == got)
     graft.ops.Reuse.freeAll(spark)
   }
+
+  test("dedup token savings: consistent with the cluster listing and " +
+      "the ext47 keeper draw (ext85)") {
+    import spark.implicits._
+    val dir = sf("sf0.001")
+    val (nf, dr, tr, ct, ppm) =
+      ExtEntry.queries("ext85_dedup_token_savings")(spark, dir)
+        .as[(Long, Long, Long, Long, Long)].collect().head
+    val clusters = ExtEntry.queries("ext27_dedup_clusters")(spark, dir)
+      .as[(Long, Long)].collect().toSeq // (doc_id, cluster_id)
+    val keepers = ExtEntry.queries("ext47_quality_keeper")(spark, dir)
+      .select("cluster_id", "keeper_id")
+      .as[(Long, Long)].collect().toMap
+    val toks = graft.ingest.Tables.documents(spark, dir)
+      .select($"doc_id",
+        size(split($"text", " ")).cast("long").as("n"))
+      .as[(Long, Long)].collect().toMap
+    assert(nf == clusters.map(_._2).distinct.size)
+    assert(dr == clusters.size - nf)
+    val expectedTr = clusters.groupBy(_._2).map { case (cid, g) =>
+      g.map(m => toks(m._1)).sum - toks(keepers(cid))
+    }.sum
+    assert(tr == expectedTr)
+    assert(ct == toks.values.sum && ppm == tr * 1000000L / ct)
+    graft.ops.Reuse.freeAll(spark)
+  }
 }
