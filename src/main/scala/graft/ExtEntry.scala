@@ -636,6 +636,46 @@ object ExtEntry {
     // same max(struct) keeper draw (extra struct fields past the
     // unique -doc_id tiebreak never affect the argmax), so no second
     // join against the corpus.
+    // Shuffled (interleaved) packing: pack in portable-hash order
+    // instead of doc_id order — the training-order randomization a
+    // pretraining run needs so a chunk doesn't replay one source's
+    // contiguous run — and report per-chunk doc/source mixing. The
+    // ord key is hash·2^32 + doc_id: unique (hash ties break by id),
+    // int64-safe, reproducible on any engine.
+    "ext86_shuffled_packing" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"), col("source"),
+        size(TextOps.tokens(col("text"))).cast("long").as("n_toks"))
+      val ord = Hashing.portableHash32(
+        concat(lit("shuf:"), col("doc_id").cast("string"))) *
+        lit(4294967296L) + col("doc_id")
+      Packing.concatChunks(d.withColumn("ord", ord),
+          col("ord"), col("n_toks"), 1024L)
+        .groupBy(col("chunk_id"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("source")).as("n_sources"))
+        .orderBy("chunk_id")
+    }),
+
+    // Contamination rate by split: ext32's benchmark-overlap flags
+    // joined onto ext20's split assignment — "did the eval suite leak
+    // into train, and how much per split", the audit run before a
+    // training job trusts its held-out numbers.
+    "ext87_contamination_by_split" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val ov = Dedup.benchmarkOverlap(
+          d.filter(col("doc_id") >= 20), d.filter(col("doc_id") < 20))
+        .select(col("doc_id"), col("contaminated"))
+      Splits.assign(d.filter(col("doc_id") >= 20), col("doc_id"))
+        .select(col("doc_id"), col("split"))
+        .join(ov, "doc_id")
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("contaminated")).as("n_contaminated"))
+        .withColumn("contam_ppm",
+          expr("(n_contaminated * 1000000) DIV n_docs"))
+        .orderBy("split")
+    }),
+
     "ext85_dedup_token_savings" -> ((s, dir) => {
       // ONE corpus scan: the scored per-doc relation feeds both the
       // family aggregate and the corpus token total.
@@ -1851,6 +1891,60 @@ object ExtEntry {
          |       max(d.dist) AS dist_max, lcn.cn2
          |FROM d JOIN lcn ON lcn.label = d.label
          |GROUP BY d.label, lcn.cn2 ORDER BY 1""".stripMargin,
+
+    // The ext23 window form of the prefix sum (oracle-only shape) in
+    // hash order; the hash·2^32 + doc_id ord mirrors the query.
+    "ext86_shuffled_packing" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, source,
+         |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks,
+         |         (${hashSql("'shuf:' || CAST(doc_id AS VARCHAR)")})
+         |           * 4294967296 + doc_id AS ord
+         |  FROM documents),
+         |c AS (
+         |  SELECT doc_id, source, n_toks,
+         |         CAST(SUM(n_toks) OVER (ORDER BY ord
+         |           ROWS UNBOUNDED PRECEDING) AS BIGINT) - n_toks
+         |           AS first_tok
+         |  FROM t)
+         |SELECT first_tok // 1024 AS chunk_id,
+         |       CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(count(DISTINCT source) AS BIGINT) AS n_sources
+         |FROM c GROUP BY 1 ORDER BY chunk_id""".stripMargin,
+
+    // ext32's overlap CTEs + ext20's split hash, folded per split.
+    "ext87_contamination_by_split" ->
+      s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk
+         |             FROM documents),
+         |sh_all AS (
+         |  SELECT DISTINCT doc_id,
+         |         ${hashSql("tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]")} AS h
+         |  FROM toks JOIN range(1, 4001) g(i) ON i <= len(tk) - 2),
+         |bench AS (SELECT DISTINCT h FROM sh_all WHERE doc_id < 20),
+         |corp AS (SELECT * FROM sh_all WHERE doc_id >= 20),
+         |counts AS (SELECT doc_id, count(*) AS n_sh FROM corp GROUP BY 1),
+         |shared AS (SELECT doc_id, count(*) AS n_shared
+         |           FROM corp JOIN bench USING (h) GROUP BY 1),
+         |flags AS (
+         |  SELECT d.doc_id,
+         |         CAST(CASE WHEN COALESCE(c.n_sh, 0) = 0 THEN 0.0
+         |              ELSE CAST(COALESCE(s.n_shared, 0) AS DOUBLE)
+         |                   / CAST(c.n_sh AS DOUBLE) END >= 0.8 AS BIGINT)
+         |           AS contaminated,
+         |         CASE WHEN ${hashSql("'split:' || CAST(d.doc_id AS VARCHAR)")}
+         |                % 100 < 90 THEN 'train'
+         |              WHEN ${hashSql("'split:' || CAST(d.doc_id AS VARCHAR)")}
+         |                % 100 < 95 THEN 'val'
+         |              ELSE 'test' END AS split
+         |  FROM documents d
+         |  LEFT JOIN counts c ON c.doc_id = d.doc_id
+         |  LEFT JOIN shared s ON s.doc_id = d.doc_id
+         |  WHERE d.doc_id >= 20)
+         |SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(sum(contaminated) AS BIGINT) AS n_contaminated,
+         |       CAST((CAST(sum(contaminated) AS BIGINT) * 1000000)
+         |         // CAST(count(*) AS BIGINT) AS BIGINT) AS contam_ppm
+         |FROM flags GROUP BY 1 ORDER BY split""".stripMargin,
 
     // ext71's rule CTEs, folded per source.
     "ext84_gopher_pass_rates" ->
