@@ -619,14 +619,8 @@ object ExtEntry {
     // crawl operator reads before pulling a source; one aggregate
     // over ext71's flag projection.
     "ext84_gopher_pass_rates" -> ((s, dir) =>
-      TextOps.gopherRules(docs(s, dir))
-        .groupBy(col("source"))
-        .agg(count(lit(1)).as("n_docs"),
-          sum(col("r_len")).as("pass_len"),
-          sum(col("r_mwl")).as("pass_mwl"),
-          sum(col("r_stop")).as("pass_stop"),
-          sum(col("keep")).as("pass_all"))
-        .withColumn("keep_ppm", expr("(pass_all * 1000000) DIV n_docs"))
+      TextOps.gopherPassRatesFromCounts(
+          TextOps.gopherPassPartials(docs(s, dir)))
         .orderBy("source")),
 
     // Dedup token-savings forecast: what the ext47 keeper policy

@@ -123,6 +123,14 @@ object Packing {
    * corpus's padding at ppm precision).
    */
   def packEfficiency(df: DataFrame, tokens: Column,
+      budgets: Seq[Long]): DataFrame =
+    packEfficiencyFromCounts(packPartials(df, tokens, budgets))
+
+  /** The per-ctx COMMUTATIVE partials of [[packEfficiency]] (doc and
+    * token counts, padded-chunk sum) — one tiny relation per
+    * micro-batch in the streaming twin
+    * ([[graft.stream.StreamingPipeline.packPartialsSink]]). */
+  def packPartials(df: DataFrame, tokens: Column,
       budgets: Seq[Long]): DataFrame = {
     require(budgets.nonEmpty && budgets.forall(_ > 0),
       "budgets must be positive")
@@ -133,6 +141,16 @@ object Packing {
       .agg(count(lit(1)).as("n_docs"),
         sum(col("_toks")).as("total_toks"),
         sum(expr("(_toks + ctx - 1) DIV ctx")).as("chunks_padded"))
+  }
+
+  /** The derived columns over (ctx, n_docs, total_toks, chunks_padded)
+    * partials; duplicate ctx keys across batches are summed first, so
+    * the fold is exact at any batching. */
+  def packEfficiencyFromCounts(raw: DataFrame): DataFrame =
+    raw.groupBy(col("ctx"))
+      .agg(sum(col("n_docs")).as("n_docs"),
+        sum(col("total_toks")).as("total_toks"),
+        sum(col("chunks_padded")).as("chunks_padded"))
       .withColumn("chunks_concat",
         expr("(total_toks + ctx - 1) DIV ctx"))
       .withColumn("pad_waste_ppm",
@@ -143,5 +161,4 @@ object Packing {
         when(col("chunks_padded") > 0,
           expr("((chunks_padded - chunks_concat) * 1000000)" +
             " DIV chunks_padded")).otherwise(lit(0L)))
-  }
 }

@@ -121,9 +121,24 @@ object Reporting {
       strata)
 
   private def driftFromTagged(tagged: DataFrame,
-      strata: Seq[String]): DataFrame = {
-    val counts = Reuse.shared(tagged.groupBy(strata.map(col): _*)
+      strata: Seq[String]): DataFrame =
+    driftFromCounts(tagged.groupBy(strata.map(col): _*)
       .agg(sum(col("_a")).as("docs_a"), sum(col("_b")).as("docs_b")))
+
+  /** The share/delta math over a (strata..., docs_a, docs_b) counts
+    * relation. The counts are COMMUTATIVE partials — the streaming
+    * twin ([[graft.stream.StreamingPipeline.driftPartialsSink]])
+    * accumulates them per micro-batch and folds here; duplicate
+    * stratum keys across batches are summed before the share math,
+    * so the fold is exact at any batching. Materialized once
+    * ([[Reuse.shared]]) because the totals row and the share
+    * projection both consume it. */
+  def driftFromCounts(rawCounts: DataFrame): DataFrame = {
+    val keys = rawCounts.columns
+      .filterNot(Set("docs_a", "docs_b")).toSeq
+    val counts = Reuse.shared(rawCounts.groupBy(keys.map(col): _*)
+      .agg(sum(col("docs_a")).as("docs_a"),
+        sum(col("docs_b")).as("docs_b")))
     val tot = counts.agg(sum(col("docs_a")).as("tot_a"),
       sum(col("docs_b")).as("tot_b"))
     counts.crossJoin(broadcast(tot))
@@ -137,4 +152,14 @@ object Reporting {
         abs(col("share_a_ppm") - col("share_b_ppm")))
       .drop("tot_a", "tot_b")
   }
+
+  /** Per-micro-batch drift partials: the tagged conditional counts of
+    * [[compositionDriftBy]], one tiny relation per batch. */
+  def driftPartials(df: DataFrame, sideA: Column,
+      strata: Seq[String] = Seq("lang")): DataFrame =
+    df.select(strata.map(col)
+      :+ when(sideA, 1L).otherwise(0L).as("_a")
+      :+ when(sideA, 0L).otherwise(1L).as("_b"): _*)
+      .groupBy(strata.map(col): _*)
+      .agg(sum(col("_a")).as("docs_a"), sum(col("_b")).as("docs_b"))
 }

@@ -280,6 +280,36 @@ object TextOps {
       .drop("toks", "_nc")
   }
 
+  /** Per-stratum COMMUTATIVE partials of the Gopher pass-rate table
+    * (ext84): doc count + per-rule pass sums — one tiny relation per
+    * micro-batch in the streaming twin
+    * ([[graft.stream.StreamingPipeline.gopherPassPartialsSink]]). */
+  def gopherPassPartials(doc: DataFrame,
+      strata: Seq[String] = Seq("source"),
+      text: String = "text"): DataFrame =
+    gopherRules(doc, text)
+      .groupBy(strata.map(col): _*)
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("r_len")).as("pass_len"),
+        sum(col("r_mwl")).as("pass_mwl"),
+        sum(col("r_stop")).as("pass_stop"),
+        sum(col("keep")).as("pass_all"))
+
+  /** The keep-rate fold over pass-rate partials; duplicate stratum
+    * keys across batches sum before the ppm math, so the fold is exact
+    * at any batching. */
+  def gopherPassRatesFromCounts(raw: DataFrame): DataFrame = {
+    val keys = raw.columns.filterNot(
+      Set("n_docs", "pass_len", "pass_mwl", "pass_stop", "pass_all")).toSeq
+    raw.groupBy(keys.map(col): _*)
+      .agg(sum(col("n_docs")).as("n_docs"),
+        sum(col("pass_len")).as("pass_len"),
+        sum(col("pass_mwl")).as("pass_mwl"),
+        sum(col("pass_stop")).as("pass_stop"),
+        sum(col("pass_all")).as("pass_all"))
+      .withColumn("keep_ppm", expr("(pass_all * 1000000) DIV n_docs"))
+  }
+
   /**
    * Intra-document repetition metrics — the Gopher-style "repetitious
    * text" quality rules: a document whose 2-grams are mostly the same

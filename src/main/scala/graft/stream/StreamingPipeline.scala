@@ -391,6 +391,59 @@ object StreamingPipeline {
     }
   }
 
+  /** Shared shape of the r7 algebraic-partials twins (ext78/82/84):
+    * each micro-batch writes its own tiny COMMUTATIVE partial relation
+    * batch-keyed (idempotent replay, the [[cardPartialsSink]]
+    * lifecycle); the matching `...FromState` fold reads the
+    * accumulated directory and reproduces the batch operator exactly
+    * at any batching, because every derived column is computed AFTER
+    * duplicate keys are summed. */
+  private def partialsSink(docs: DataFrame,
+      partials: DataFrame => DataFrame, outPath: String)
+      : DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.outputMode("append").foreachBatch {
+      (batch: DataFrame, batchId: Long) =>
+        partials(batch)
+          .write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
+    }
+
+  /** Streaming twin of the packing-efficiency curve (ext78). */
+  def packPartialsSink(docs: DataFrame, tokens: Column,
+      budgets: Seq[Long], outPath: String)
+      : DataStreamWriter[org.apache.spark.sql.Row] =
+    partialsSink(docs,
+      graft.ops.Packing.packPartials(_, tokens, budgets), outPath)
+
+  /** Reads drop the batch=N partition column — it is replay keying,
+    * not a stratum, and the FromCounts folds infer their keys from the
+    * columns present. */
+  def packEfficiencyFromState(spark: SparkSession,
+      outPath: String): DataFrame =
+    graft.ops.Packing.packEfficiencyFromCounts(
+      spark.read.parquet(outPath).drop("batch"))
+
+  /** Streaming twin of the composition-drift audit (ext82). */
+  def driftPartialsSink(docs: DataFrame, sideA: Column,
+      strata: Seq[String], outPath: String)
+      : DataStreamWriter[org.apache.spark.sql.Row] =
+    partialsSink(docs,
+      graft.ops.Reporting.driftPartials(_, sideA, strata), outPath)
+
+  def driftFromState(spark: SparkSession, outPath: String): DataFrame =
+    graft.ops.Reporting.driftFromCounts(
+      spark.read.parquet(outPath).drop("batch"))
+
+  /** Streaming twin of the per-source Gopher pass rates (ext84). */
+  def gopherPassPartialsSink(docs: DataFrame, strata: Seq[String],
+      outPath: String): DataStreamWriter[org.apache.spark.sql.Row] =
+    partialsSink(docs,
+      graft.ops.TextOps.gopherPassPartials(_, strata), outPath)
+
+  def gopherPassRatesFromState(spark: SparkSession,
+      outPath: String): DataFrame =
+    graft.ops.TextOps.gopherPassRatesFromCounts(
+      spark.read.parquet(outPath).drop("batch"))
+
   /**
    * Streaming twin of the data card / dup-stats reports (ext66/ext64):
    * the card's corpus scan is the ALGEBRAIC per-(lang, source) partial

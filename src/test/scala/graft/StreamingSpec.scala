@@ -513,6 +513,54 @@ class StreamingSpec extends TestBase {
     graft.ops.Reuse.freeAll(spark)
   }
 
+  test("streaming algebraic partials == batch operators (ext78/82/84 " +
+      "twins, per-batch partial state)") {
+    val docs = graft.ingest.Tables.documents(spark, sf("sf0.001"))
+      .select("doc_id", "text", "lang", "source")
+    val srcDir = Files.createTempDirectory("graft-part-src").toString + "/d"
+    docs.write.parquet(srcDir)
+    def runSink(mk: (org.apache.spark.sql.DataFrame, String)
+        => org.apache.spark.sql.streaming.DataStreamWriter[
+          org.apache.spark.sql.Row]): String = {
+      val out = Files.createTempDirectory("graft-part-out").toString
+      val ckpt = Files.createTempDirectory("graft-part-ckpt").toString
+      val q = mk(StreamingPipeline.parquetStream(spark, srcDir,
+        maxFilesPerTrigger = Some(1)), out)
+        .option("checkpointLocation", ckpt).start()
+      q.processAllAvailable()
+      q.stop()
+      out
+    }
+    val budgets = Seq(128L, 512L)
+    val packOut = runSink((s, o) => StreamingPipeline.packPartialsSink(
+      s, size(split(col("text"), " ")), budgets, o))
+    val packStreamed =
+      StreamingPipeline.packEfficiencyFromState(spark, packOut)
+    val packBatch = graft.ops.Packing.packEfficiency(docs,
+      size(split(col("text"), " ")), budgets)
+    assert(packStreamed.except(packBatch).isEmpty &&
+      packBatch.except(packStreamed).isEmpty && packBatch.count() == 2,
+      "streamed pack-efficiency fold differs from the batch operator")
+    val driftOut = runSink((s, o) => StreamingPipeline.driftPartialsSink(
+      s, col("doc_id") % 2 === 0, Seq("lang"), o))
+    val driftStreamed = StreamingPipeline.driftFromState(spark, driftOut)
+    val driftBatch = graft.ops.Reporting.compositionDriftBy(docs,
+      col("doc_id") % 2 === 0, Seq("lang"))
+    assert(driftStreamed.except(driftBatch).isEmpty &&
+      driftBatch.except(driftStreamed).isEmpty && driftBatch.count() > 0,
+      "streamed drift fold differs from the batch operator")
+    val gopherOut = runSink((s, o) =>
+      StreamingPipeline.gopherPassPartialsSink(s, Seq("source"), o))
+    val gopherStreamed =
+      StreamingPipeline.gopherPassRatesFromState(spark, gopherOut)
+    val gopherBatch = graft.ops.TextOps.gopherPassRatesFromCounts(
+      graft.ops.TextOps.gopherPassPartials(docs))
+    assert(gopherStreamed.except(gopherBatch).isEmpty &&
+      gopherBatch.except(gopherStreamed).isEmpty && gopherBatch.count() > 0,
+      "streamed pass-rate fold differs from the batch operator")
+    graft.ops.Reuse.freeAll(spark)
+  }
+
   test("streaming source-overlap state == batch keyOverlap (ext68 twin, " +
       "incremental pair state, cap applied at derivation)") {
     val docs = graft.ingest.Tables.documents(spark, sf("sf0.001"))
