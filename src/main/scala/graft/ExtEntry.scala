@@ -238,6 +238,33 @@ object ExtEntry {
        |        PARTITION BY q_id ORDER BY cos DESC, t_id ASC) AS rank
        |      FROM scored$sfx $scoreWhere)""".stripMargin
 
+  /** Random-hyperplane signature CTEs (`hp`/`projs`/`sigs`) shared by
+    * the ext07 ANN oracle and the ext88 recall oracle; assumes
+    * QuantFlatSql's `flat` is in scope. */
+  private lazy val lshSigCtes =
+    s"""hp AS (
+       |  SELECT a.j, b.i,
+       |         CASE WHEN ((${hashSql("'hp' || CAST(a.j AS VARCHAR) || ':' || CAST(b.i - 1 AS VARCHAR)")})
+       |                    >> CAST(a.j % 31 AS INTEGER)) % 2 = 0
+       |              THEN 1 ELSE -1 END AS sgn
+       |  FROM range(8) a(j), range(1, 65) b(i)),
+       |projs AS (
+       |  SELECT f.vec_id, h.j, CAST(SUM(h.sgn * f.qi) AS BIGINT) AS proj
+       |  FROM flat f JOIN hp h ON h.i = f.i GROUP BY 1, 2),
+       |sigs AS (
+       |  SELECT vec_id,
+       |         CAST(SUM(CASE WHEN proj > 0
+       |           THEN (CAST(1 AS BIGINT) << CAST(j AS INTEGER))
+       |           ELSE 0 END) AS BIGINT) AS sig
+       |  FROM projs GROUP BY 1)""".stripMargin
+
+  /** Signature-equality bucket join for [[cosTopKCtes]] — the SQL twin
+    * of lshTopK's candidate generation. */
+  private val lshBucketJoin =
+    """JOIN sigs sa ON sa.vec_id = a.vec_id
+      |       JOIN sigs sb ON sb.vec_id = b.vec_id AND sb.sig = sa.sig"""
+      .stripMargin
+
   private def cosTopKSql(bucketJoin: String, k: Int,
       extraCtes: String = "", scoreWhere: String = "") =
     s"""$QuantFlatSql,
@@ -451,6 +478,19 @@ object ExtEntry {
       val e = embs(s, dir)
       Similarity.lshTopK(e, e.filter(col("vec_id") < NumQueryVecs), 5)
         .orderBy("q_id", "rank")
+    }),
+
+    // LSH-ANN recall vs the stored exact truth: the last approximate
+    // path without a priced recall (IVF has ext57/58, the dedup
+    // detectors ext54/61/65/70). Reads the build-once brute-force
+    // truth artifact; candidates = the ext07 signature buckets ranked
+    // to the same k.
+    "ext88_lsh_ann_recall" -> ((s, dir) => {
+      val e = embs(s, dir)
+      val cand = Similarity.lshTopK(
+          e, e.filter(col("vec_id") < NumQueryVecs), 3)
+        .select(col("q_id").as("id_a"), col("t_id").as("id_b"))
+      Dedup.pairRecall(annTruth(s, dir), cand)
     }),
 
     // Embedding-cosine near-dup: banded random-hyperplane LSH candidates,
@@ -1473,41 +1513,21 @@ object ExtEntry {
     // ANN bucketing itself is oracle-checked.
     "ext07_sim_lsh_ann" ->
       s"""$QuantFlatSql,
-         |hp AS (
-         |  SELECT a.j, b.i,
-         |         CASE WHEN ((${hashSql("'hp' || CAST(a.j AS VARCHAR) || ':' || CAST(b.i - 1 AS VARCHAR)")})
-         |                    >> CAST(a.j % 31 AS INTEGER)) % 2 = 0
-         |              THEN 1 ELSE -1 END AS sgn
-         |  FROM range(8) a(j), range(1, 65) b(i)),
-         |projs AS (
-         |  SELECT f.vec_id, h.j, CAST(SUM(h.sgn * f.qi) AS BIGINT) AS proj
-         |  FROM flat f JOIN hp h ON h.i = f.i GROUP BY 1, 2),
-         |sigs AS (
-         |  SELECT vec_id,
-         |         CAST(SUM(CASE WHEN proj > 0
-         |           THEN (CAST(1 AS BIGINT) << CAST(j AS INTEGER))
-         |           ELSE 0 END) AS BIGINT) AS sig
-         |  FROM projs GROUP BY 1),
-         |cand AS (
-         |  SELECT qs.vec_id AS q_id, cs.vec_id AS t_id
-         |  FROM sigs qs JOIN sigs cs ON qs.sig = cs.sig
-         |  WHERE qs.vec_id < $NumQueryVecs AND qs.vec_id <> cs.vec_id),
-         |dots AS (
-         |  SELECT c.q_id, c.t_id, CAST(SUM(a.qi * b.qi) AS BIGINT) AS dot
-         |  FROM cand c JOIN flat a ON a.vec_id = c.q_id
-         |              JOIN flat b ON b.vec_id = c.t_id AND b.i = a.i
-         |  GROUP BY 1, 2),
-         |scored AS (
-         |  SELECT q_id, t_id,
-         |         CAST(dot AS DOUBLE) /
-         |           sqrt(CAST(na.n2 AS DOUBLE) * CAST(nb.n2 AS DOUBLE)) AS cos
-         |  FROM dots JOIN n2 na ON na.vec_id = q_id
-         |            JOIN n2 nb ON nb.vec_id = t_id),
-         |r AS (SELECT *, row_number() OVER (
-         |        PARTITION BY q_id ORDER BY cos DESC, t_id ASC) AS rank
-         |      FROM scored)
+         |$lshSigCtes,
+         |${cosTopKCtes("", lshBucketJoin)}
          |SELECT q_id, t_id, CAST(rank AS BIGINT) AS rank, cos
          |FROM r WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
+
+    // ext07's signature buckets ranked to the truth's k, scored by
+    // the ext57 recall tail against the exact cosine top-3.
+    "ext88_lsh_ann_recall" ->
+      s"""$QuantFlatSql,
+         |$lshSigCtes,
+         |${cosTopKCtes("_t", "")},
+         |truth AS (SELECT q_id, t_id FROM r_t WHERE rank <= 3),
+         |${cosTopKCtes("_c", lshBucketJoin)},
+         |cand AS (SELECT q_id, t_id FROM r_c WHERE rank <= 3),
+         |$recallTailSql""".stripMargin,
 
     // Banded-LSH near-dup: the oracle recomputes the 16-hyperplane
     // signature, the 4-bit banding, the candidate self-join AND the exact
