@@ -724,9 +724,13 @@ object ExtEntry {
             negate(col("doc_id")).as("nid"),
             col("n_toks").as("kt"))).as("m"))
       val tot = scored.agg(sum(col("n_toks")).as("corpus_toks"))
+      // COALESCE the sums: with zero dup clusters the global aggregate
+      // still emits one row, and it must read (0, 0, 0, toks, 0) — not
+      // NULLs — to match the oracle's identically-guarded scalar form.
       fams.agg(count(lit(1)).as("n_families"),
-          sum(col("n_members") - 1).as("docs_removed"),
-          sum(col("fam_toks") - col("m.kt")).as("tokens_removed"))
+          coalesce(sum(col("n_members") - 1), lit(0L)).as("docs_removed"),
+          coalesce(sum(col("fam_toks") - col("m.kt")), lit(0L))
+            .as("tokens_removed"))
         .crossJoin(broadcast(tot))
         .withColumn("savings_ppm",
           expr("(tokens_removed * 1000000) DIV corpus_toks"))
@@ -2021,12 +2025,15 @@ object ExtEntry {
          |  FROM m GROUP BY 1),
          |t AS (SELECT CAST(sum(n_toks) AS BIGINT) AS corpus_toks FROM ql)
          |SELECT CAST(count(*) AS BIGINT) AS n_families,
-         |       CAST(sum(n_members - 1) AS BIGINT) AS docs_removed,
-         |       CAST(sum(fam_toks - kt) AS BIGINT) AS tokens_removed,
-         |       t.corpus_toks,
-         |       CAST((CAST(sum(fam_toks - kt) AS BIGINT) * 1000000)
-         |         // t.corpus_toks AS BIGINT) AS savings_ppm
-         |FROM fam, t GROUP BY t.corpus_toks""".stripMargin,
+         |       COALESCE(CAST(sum(n_members - 1) AS BIGINT),
+         |         CAST(0 AS BIGINT)) AS docs_removed,
+         |       COALESCE(CAST(sum(fam_toks - kt) AS BIGINT),
+         |         CAST(0 AS BIGINT)) AS tokens_removed,
+         |       (SELECT corpus_toks FROM t) AS corpus_toks,
+         |       CAST((COALESCE(CAST(sum(fam_toks - kt) AS BIGINT),
+         |           CAST(0 AS BIGINT)) * 1000000)
+         |         // (SELECT corpus_toks FROM t) AS BIGINT) AS savings_ppm
+         |FROM fam""".stripMargin,
 
     "ext11_text_fingerprint" ->
       s"""WITH tp AS (

@@ -55,9 +55,18 @@ object Tables {
     * wrote: int64 nanoseconds (timestamp[ns] files — Spark reads the
     * raw long) via `timestamp_micros`, or timestamp[us]
     * (isAdjustedToUTC=false → TIMESTAMP_NTZ in Spark) by interpreting
-    * the wall time AS UTC — explicitly, so a non-UTC session timezone
-    * can never shift event times relative to the DuckDB oracle's naive
-    * `epoch_ns(ts)` reading. */
+    * the wall time AS UTC. The NTZ→instant step must be explicit and
+    * session-independent: a bare NTZ→TIMESTAMP cast reads the wall time
+    * in the SESSION timezone (and `to_utc_timestamp(ntz, 'UTC')`
+    * degenerates to exactly that — its ImplicitCastInputTypes casts the
+    * NTZ argument through the session zone first, after which the
+    * UTC→UTC shift is an identity). So we first rewrite the wall clock
+    * with `convert_timezone('UTC', current_timezone(), ts)` — the NTZ
+    * wall time, re-expressed in the session zone, of the instant whose
+    * UTC wall time is `ts` — and only then cast; the session-zone read
+    * of that rewritten wall time IS the UTC instant, whatever zone the
+    * session runs in. Matches the DuckDB oracle's naive `epoch_ns(ts)`
+    * reading. */
   def events(spark: SparkSession, sfDir: String): DataFrame =
     normalizeEventTs(table(spark, sfDir, "events"))
 
@@ -69,7 +78,9 @@ object Tables {
       case org.apache.spark.sql.types.LongType =>
         raw.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
       case org.apache.spark.sql.types.TimestampNTZType =>
-        raw.withColumn("ts", expr("to_utc_timestamp(ts, 'UTC')"))
+        raw.withColumn(
+          "ts",
+          expr("cast(convert_timezone('UTC', current_timezone(), ts) as timestamp)"))
       case _ => raw
     }
 

@@ -111,9 +111,24 @@ object StreamingPipeline {
     // The physical ts type varies by testdata generation (int64 nanos
     // under nanosAsLong vs timestamp[us]/NTZ) — take the schema from a
     // batch read of the same files and reuse Tables' type dispatch so
-    // batch and stream see byte-identical event times.
+    // batch and stream see byte-identical event times. When the source
+    // directory has no files YET — the drop-files-here layout starts the
+    // stream first — the batch read can't infer, so fall back to the
+    // static int64-nanos events schema (TESTDATA.md) instead of failing
+    // stream definition; normalizeEventTs dispatches on either type.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = spark.read.parquet(dir).schema
+    val schema =
+      try spark.read.parquet(dir).schema
+      catch { case _: org.apache.spark.sql.AnalysisException =>
+        import org.apache.spark.sql.types._
+        StructType(Seq(
+          StructField("event_id", LongType),
+          StructField("ts", LongType), // nanos (nanosAsLong)
+          StructField("user_id", LongType),
+          StructField("event_type", StringType),
+          StructField("value", DoubleType),
+          StructField("props", StringType)))
+      }
     val src = fileStreamSource(spark.readStream.schema(schema), dir)
     graft.ingest.Tables.normalizeEventTs(src)
   }

@@ -143,4 +143,36 @@ class EmptyInputSpec extends TestBase {
     assert(results.forall(_._2 == 0L), results.toString)
     graft.ops.Reuse.freeAll(spark)
   }
+
+  test("ext85 on a duplicate-free corpus: one zero-savings row, no NULLs " +
+      "(r7 ADVICE degenerate-case parity)") {
+    // With zero dup clusters the family relation is empty; the report
+    // must still be ONE well-defined row (0, 0, 0, corpus_toks, 0) —
+    // the oracle SQL is guarded the same way (scalar subquery + COALESCE
+    // instead of a cross join that would vanish with the empty side).
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-nodup")
+      .toString
+    val texts = Seq(
+      "alpha beta gamma delta epsilon zeta eta theta",
+      "one two three four five six seven eight nine ten",
+      "quick brown fox jumps over the lazy sleeping dog",
+      "pack my box with five dozen assorted liquor jugs")
+    texts.zipWithIndex
+      .map { case (t, i) =>
+        (i.toLong, t, "en", "src", t.length.toLong)
+      }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    try {
+      val rows = ExtEntry.queries("ext85_dedup_token_savings")(spark, dir)
+        .as[(Long, Long, Long, Long, Long)].collect().toSeq
+      val toks = texts.map(_.split(" ").length.toLong).sum
+      assert(rows == Seq((0L, 0L, 0L, toks, 0L)))
+    } finally {
+      graft.ops.Reuse.freeAll(spark)
+      org.apache.commons.io.FileUtils.deleteDirectory(
+        new java.io.File(dir))
+    }
+  }
 }

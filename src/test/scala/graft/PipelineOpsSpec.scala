@@ -421,4 +421,30 @@ class PipelineOpsSpec extends TestBase {
     assert(ct == toks.values.sum && ppm == tr * 1000000L / ct)
     graft.ops.Reuse.freeAll(spark)
   }
+
+  test("normalizeEventTs: NTZ wall time reads as UTC instant under any " +
+      "session timezone") {
+    // An NTZ wall time of 2024-01-01 12:00:00 that is *actually UTC* must
+    // come out as epoch 1704110400s whether the session runs in UTC or
+    // US Pacific. A bare NTZ→TIMESTAMP cast (or to_utc_timestamp, whose
+    // implicit input cast goes through the session zone first) would read
+    // it as 2024-01-01 12:00 PST = epoch 1704139200 — 8h off.
+    val utcEpochUs = 1704110400000000L
+    def run(): Long = {
+      val ntz = spark.sql(
+        "SELECT TIMESTAMP_NTZ '2024-01-01 12:00:00' AS ts, 1 AS v")
+      assert(ntz.schema("ts").dataType ==
+        org.apache.spark.sql.types.TimestampNTZType)
+      graft.ingest.Tables.normalizeEventTs(ntz)
+        .select(expr("unix_micros(ts)")).as[Long](
+          org.apache.spark.sql.Encoders.scalaLong).head()
+    }
+    assert(run() == utcEpochUs) // UTC session (TestBase default)
+    val tzKey = "spark.sql.session.timeZone"
+    val saved = spark.conf.get(tzKey)
+    try {
+      spark.conf.set(tzKey, "America/Los_Angeles")
+      assert(run() == utcEpochUs) // non-UTC session: must not shift
+    } finally spark.conf.set(tzKey, saved)
+  }
 }

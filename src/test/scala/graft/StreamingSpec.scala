@@ -326,6 +326,36 @@ class StreamingSpec extends TestBase {
       "streamed hopping counts differ from the oracle-verified batch form")
   }
 
+  test("events stream starts on an EMPTY directory and picks up files " +
+      "dropped later (r7 ADVICE: schema fallback)") {
+    import spark.implicits._
+    // Stream definition must not throw on a file-less source dir — the
+    // drop-files-here layout starts the stream before any file arrives;
+    // inference falls back to the static int64-nanos events schema.
+    val dir = Files.createTempDirectory("graft-evstream-empty").toFile
+    val agg = StreamingPipeline.eventStream(spark, dir.toString)
+      .select(col("event_id"), expr("unix_micros(ts)").as("us"))
+    val q = agg.writeStream.outputMode("append")
+      .format("memory").queryName("evstream_empty").start()
+    q.processAllAvailable()
+    assert(spark.table("evstream_empty").count() == 0)
+    // Drop a nanos-long parquet file in; rows must flow with the same
+    // ns→µs normalization the batch reader applies.
+    val us = 1704110400000000L
+    val stage = Files.createTempDirectory("graft-evstream-stage").toFile
+    Seq((1L, us * 1000L, 7L, "click", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(stage.toString)
+    val part = stage.listFiles().find(_.getName.endsWith(".parquet")).get
+    java.nio.file.Files.copy(part.toPath,
+      new java.io.File(dir, "drop.parquet").toPath)
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("evstream_empty")
+      .as[(Long, Long)].collect().toSeq
+    assert(got == Seq((1L, us)))
+  }
+
   test("validity filter drops bad lines (OP-04/14)") {
     val dir = Files.createTempDirectory("graft-replay2").toFile
     Files.write(new java.io.File(dir, "part-0.jsonl").toPath,
