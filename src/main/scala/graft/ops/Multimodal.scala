@@ -22,12 +22,14 @@ case class DecodedImage(
  * opaque `binary` columns with typed metadata, flowing through Spark as
  * ordinary columns — partitionable, spillable, prunable.
  *
- * The actual codecs (JPEG decode, audio resample, video frame extract)
- * are NOT in this container, so the decode kernel is a clearly-marked
- * deterministic STUB: it derives fake dimensions/features from the byte
- * content. Everything around it — schema, batch shape (mapPartitions =
- * the Scala analog of a batched `mapInPandas` kernel), partitioning,
- * column pruning — is real and tested (MultimodalSpec).
+ * Image decode is REAL: [[ImageIoDecoder]] reads PNG/JPEG/BMP/GIF with
+ * the JDK's `javax.imageio` (no extra dependency) and pools an 8-float
+ * feature from the actual pixels. Audio resample and video frame
+ * extraction have no in-JDK codec, so the frame sampler below remains a
+ * clearly-marked byte-window stand-in; the plumbing around both —
+ * schema, batch shape (mapPartitions = the Scala analog of a batched
+ * `mapInPandas` kernel), partitioning, column pruning — is real and
+ * tested (OpsSpec).
  */
 object Multimodal {
 
@@ -63,30 +65,74 @@ object Multimodal {
   }
 
   /**
-   * STUB decode kernel — deterministic fake standing in for a real image
-   * decoder (this container has no codec). It derives fake
-   * dimensions/features from the byte content so the plumbing is
-   * testable end to end.
+   * Real JDK image decode kernel: `javax.imageio.ImageIO` ships
+   * PNG/JPEG/BMP/GIF readers in the base JDK, so decoding actual pixels
+   * needs no new dependency. Undecodable bytes (wrong magic, truncated
+   * stream, unsupported format) are DROPPED, mirroring the ingest
+   * validity filter (OP-04): one corrupt blob must not kill a 100 TB
+   * decode pass — count drops via `observe` upstream if needed.
+   *
+   * The pooled feature is a deterministic 8-float vector from the real
+   * pixel data:
+   *   [0..2] mean R, G, B in [0,1]
+   *   [3..6] mean luminance (Rec. 601) of the 2×2 spatial quadrants
+   *   [7]    fraction of pixels brighter than 0.5 luma
+   * Pixels stream row-by-row through one reused scanline buffer, so
+   * decode memory is O(width), not O(pixels), whatever the image size.
    */
-  object StubImageDecoder extends ImageDecoder {
+  object ImageIoDecoder extends ImageDecoder {
     def decodeBatch(batch: Iterator[MediaAsset]): Iterator[DecodedImage] =
-      batch.map { a =>
-        // ??? real decoder goes here; deterministic fake derived from bytes:
-        val n = a.bytes.length
-        val w = 16 + (n % 64)
-        val h = 16 + ((n / 64) % 64)
-        val feature = Array.tabulate(8) { i =>
-          if (n == 0) 0f
-          else a.bytes(i % n).toFloat / 128f
+      batch.flatMap { a =>
+        val img =
+          try Option(javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(a.bytes)))
+          catch { case _: java.io.IOException => None }
+        img.map { im =>
+          val w = im.getWidth
+          val h = im.getHeight
+          var sr = 0.0; var sg = 0.0; var sb = 0.0
+          var bright = 0L
+          val quadSum = new Array[Double](4)
+          val quadN = new Array[Long](4)
+          val row = new Array[Int](w)
+          var y = 0
+          while (y < h) {
+            im.getRGB(0, y, w, 1, row, 0, w)
+            val qy = if (y * 2 >= h) 2 else 0
+            var x = 0
+            while (x < w) {
+              val rgb = row(x)
+              val r = ((rgb >> 16) & 0xff) / 255.0
+              val g = ((rgb >> 8) & 0xff) / 255.0
+              val b = (rgb & 0xff) / 255.0
+              sr += r; sg += g; sb += b
+              val luma = 0.299 * r + 0.587 * g + 0.114 * b
+              if (luma > 0.5) bright += 1
+              val q = qy + (if (x * 2 >= w) 1 else 0)
+              quadSum(q) += luma
+              quadN(q) += 1
+              x += 1
+            }
+            y += 1
+          }
+          val n = w.toDouble * h
+          val feature = Array(
+            (sr / n).toFloat, (sg / n).toFloat, (sb / n).toFloat,
+            (quadSum(0) / math.max(quadN(0), 1L)).toFloat,
+            (quadSum(1) / math.max(quadN(1), 1L)).toFloat,
+            (quadSum(2) / math.max(quadN(2), 1L)).toFloat,
+            (quadSum(3) / math.max(quadN(3), 1L)).toFloat,
+            (bright / n).toFloat)
+          DecodedImage(a.asset_id, w, h,
+            im.getColorModel.getNumComponents, feature)
         }
-        DecodedImage(a.asset_id, w, h, 3, feature)
       }
   }
 
   /** Batched per-partition decode (the JVM analog of `mapInPandas`);
-    * decoder defaults to the honest [[StubImageDecoder]]. */
+    * decoder defaults to the real [[ImageIoDecoder]]. */
   def decodeImages(assets: Dataset[MediaAsset],
-      decoder: ImageDecoder = StubImageDecoder)(
+      decoder: ImageDecoder = ImageIoDecoder)(
       implicit spark: SparkSession): Dataset[DecodedImage] = {
     import spark.implicits._
     assets.mapPartitions(decoder.decodeBatch)

@@ -212,15 +212,52 @@ class OpsSpec extends TestBase {
     assert(got == Seq((2L, 1L), (3L, 2L)))
   }
 
-  test("multimodal: stub decode is deterministic and batched") {
+  /** In-memory PNG fixture: a w×h image split vertically — left half
+    * one solid color, right half another — encoded with the JDK. */
+  private def pngBytes(w: Int, h: Int, left: Int, right: Int):
+      Array[Byte] = {
+    val im = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w)
+      im.setRGB(x, y, if (x * 2 >= w) right else left)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(im, "png", out)
+    out.toByteArray
+  }
+
+  test("multimodal: ImageIO decoder reads REAL PNG bytes — dimensions, " +
+      "channels, pixel-derived features; corrupt bytes drop") {
     import spark.implicits._
     implicit val s = spark
-    val assets = Multimodal.assetsFromDocuments(
-      Tables.documents(spark, sf("sf0.001")).limit(10)).as[MediaAsset]
-    val a = Multimodal.decodeImages(assets).collect().sortBy(_.asset_id)
-    val b = Multimodal.decodeImages(assets).collect().sortBy(_.asset_id)
-    assert(a.length == 10)
-    assert(a.zip(b).forall { case (x, y) =>
+    val red = 0xff0000; val blue = 0x0000ff; val white = 0xffffff
+    val assets = Seq(
+      MediaAsset(1L, "image", pngBytes(20, 10, red, blue), "image/png"),
+      MediaAsset(2L, "image", pngBytes(8, 8, white, white), "image/png"),
+      MediaAsset(3L, "image", "not an image".getBytes("UTF-8"),
+        "image/png")).toDS()
+    val got = Multimodal.decodeImages(assets).collect()
+      .sortBy(_.asset_id)
+    // corrupt asset 3 dropped, real PNGs decoded with true dimensions
+    assert(got.map(_.asset_id).toSeq == Seq(1L, 2L))
+    val a1 = got(0); val a2 = got(1)
+    assert(a1.width == 20 && a1.height == 10 && a1.channels == 3)
+    assert(a2.width == 8 && a2.height == 8)
+    def close(x: Float, want: Double) = math.abs(x - want) < 1e-3
+    // asset 1 = half pure red, half pure blue: mean R = mean B = 0.5,
+    // mean G = 0 — a pixel checksum only a real decode can produce
+    assert(close(a1.feature(0), 0.5) && close(a1.feature(1), 0.0) &&
+      close(a1.feature(2), 0.5))
+    // quadrant lumas: left quadrants pure red (0.299), right pure blue
+    // (0.114); brightness fraction 0 (both lumas < 0.5)
+    assert(close(a1.feature(3), 0.299) && close(a1.feature(4), 0.114) &&
+      close(a1.feature(5), 0.299) && close(a1.feature(6), 0.114) &&
+      close(a1.feature(7), 0.0))
+    // asset 2 all white: every mean 1.0, all pixels bright
+    assert(a2.feature.forall(f => close(f, 1.0)))
+    // deterministic across runs
+    val again = Multimodal.decodeImages(assets).collect()
+      .sortBy(_.asset_id)
+    assert(got.zip(again).forall { case (x, y) =>
       x.width == y.width && x.feature.sameElements(y.feature) })
   }
 
@@ -242,16 +279,16 @@ class OpsSpec extends TestBase {
           DecodedImage(a.asset_id, 640, 480, rows.size, Array(1f)))
       }
     }
-    val stub = Multimodal.decodeImages(assets)
+    val dflt = Multimodal.decodeImages(assets) // ImageIO default
     val real = Multimodal.decodeImages(assets, fake)
     // schema fixed by the seam, not the decoder
-    assert(real.schema == stub.schema)
+    assert(real.schema == dflt.schema)
     // plan shape identical: swap the kernel, keep the physical plan
     def shape(d: org.apache.spark.sql.Dataset[_]) =
       d.queryExecution.executedPlan.treeString
         .replaceAll("#\\d+", "#n").replaceAll("@[0-9a-f]+", "@x")
         .replaceAll("plan_id=\\d+", "plan_id=n")
-    assert(shape(real) == shape(stub))
+    assert(shape(real) == shape(dflt))
     val got = real.collect()
     assert(got.length == 20 && got.forall(_.width == 640))
     // channels carries the observed batch size: rows stamped with batch
