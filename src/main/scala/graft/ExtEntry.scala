@@ -493,6 +493,45 @@ object ExtEntry {
       Dedup.pairRecall(annTruth(s, dir), cand)
     }),
 
+    // The kNN label audit's AT-SCALE path, priced: votesFor accepts any
+    // neighbor relation, and at 100 TB the neighbors come from the IVF
+    // probe index, not the brute scan — so run both audits side by side
+    // and measure how often the cheap path reaches the brute audit's
+    // verdict (majority-label agreement over all audited vectors, and
+    // recall of the brute-flagged mislabels). The last approximate path
+    // without a measured number (ext54/57/58/61/65/70/88 price the
+    // others). One brute ranking (the stored-truth shape), one
+    // bucket-restricted ranking off the shared build-once probe index.
+    "ext89_knn_audit_probe" -> ((s, dir) => {
+      val e = embs(s, dir)
+      val labels = e.select(col("vec_id"), col("label"))
+      val brute = graft.ops.LabelAudit.knnLabelAudit(
+        e, e.filter(col("vec_id") < NumQueryVecs), 5)
+      val withBucket = e.join(ivfBuckets(s, dir), "vec_id")
+      val probeNbrs = Similarity.ivfTopK(withBucket,
+        withBucket.filter(col("vec_id") < NumQueryVecs), 5,
+        bucket = "bucket")
+      val probe = graft.ops.LabelAudit.votesFor(probeNbrs, labels)
+      brute.select(col("vec_id"), col("knn_label").as("b_nl"),
+          col("flagged").as("b_fl"))
+        .join(probe.select(col("vec_id"), col("knn_label").as("p_nl"),
+          col("flagged").as("p_fl")), Seq("vec_id"), "left")
+        .agg(count(lit(1)).as("n_audited"),
+          sum(col("b_fl")).as("n_flag_brute"),
+          coalesce(sum(col("p_fl")), lit(0L)).as("n_flag_probe"),
+          sum(when(col("p_nl") === col("b_nl"), 1L).otherwise(0L))
+            .as("n_label_agree"),
+          sum(when(col("b_fl") === 1 && col("p_fl") === 1, 1L)
+            .otherwise(0L)).as("_ff"))
+        .withColumn("label_agree_q",
+          expr("(n_label_agree * 1000000) DIV n_audited"))
+        .withColumn("flag_recall_q",
+          expr("CASE WHEN n_flag_brute = 0 THEN CAST(0 AS BIGINT) " +
+            "ELSE (_ff * 1000000) DIV n_flag_brute END"))
+        .select("n_audited", "n_flag_brute", "n_flag_probe",
+          "n_label_agree", "label_agree_q", "flag_recall_q")
+    }),
+
     // Embedding-cosine near-dup: banded random-hyperplane LSH candidates,
     // exact quantized cosine verify — the embedding-space member of the
     // dedup family (text-space: ext02/03/04).
@@ -1532,6 +1571,52 @@ object ExtEntry {
          |${cosTopKCtes("_c", lshBucketJoin)},
          |cand AS (SELECT q_id, t_id FROM r_c WHERE rank <= 3),
          |$recallTailSql""".stripMargin,
+
+    // Brute audit (the ext76 vote/majority chain) vs the same chain
+    // restricted to the kmeans-IVF bucket (a3 = the learned argmin
+    // assignment), joined per audited vector into the agreement row.
+    "ext89_knn_audit_probe" ->
+      s"""$QuantFlatSql,
+         |${kmeansCtes(8, 2)},
+         |${cosTopKCtes("_t", "")},
+         |${cosTopKCtes("_c",
+          """JOIN a3 ba ON ba.vec_id = a.vec_id
+            |       JOIN a3 bb ON bb.vec_id = b.vec_id AND bb.cid = ba.cid"""
+            .stripMargin)},
+         |${Seq("t", "c").map { sfx =>
+          s"""votes_$sfx AS (
+             |  SELECT r.q_id, nq.label AS nl, count(*) AS votes
+             |  FROM r_$sfx r JOIN q nq ON nq.vec_id = r.t_id
+             |  WHERE r.rank <= 5 GROUP BY 1, 2),
+             |maj_$sfx AS (
+             |  SELECT q_id, nl, row_number() OVER (
+             |    PARTITION BY q_id ORDER BY votes DESC, nl ASC) AS rn
+             |  FROM votes_$sfx),
+             |aud_$sfx AS (
+             |  SELECT m.q_id, m.nl,
+             |         CAST(CASE WHEN m.nl <> o.label THEN 1 ELSE 0 END
+             |           AS BIGINT) AS fl
+             |  FROM maj_$sfx m JOIN q o ON o.vec_id = m.q_id
+             |  WHERE m.rn = 1)""".stripMargin
+        }.mkString(",\n")},
+         |j AS (
+         |  SELECT t.q_id, t.nl AS b_nl, t.fl AS b_fl,
+         |         c.nl AS p_nl, c.fl AS p_fl
+         |  FROM aud_t t LEFT JOIN aud_c c ON c.q_id = t.q_id)
+         |SELECT CAST(count(*) AS BIGINT) AS n_audited,
+         |       CAST(SUM(b_fl) AS BIGINT) AS n_flag_brute,
+         |       CAST(COALESCE(SUM(p_fl), 0) AS BIGINT) AS n_flag_probe,
+         |       CAST(SUM(CASE WHEN p_nl = b_nl THEN 1 ELSE 0 END)
+         |         AS BIGINT) AS n_label_agree,
+         |       (CAST(SUM(CASE WHEN p_nl = b_nl THEN 1 ELSE 0 END)
+         |          AS BIGINT) * 1000000)
+         |         // CAST(count(*) AS BIGINT) AS label_agree_q,
+         |       CASE WHEN CAST(SUM(b_fl) AS BIGINT) = 0
+         |            THEN CAST(0 AS BIGINT)
+         |            ELSE (CAST(SUM(CASE WHEN b_fl = 1 AND p_fl = 1
+         |                   THEN 1 ELSE 0 END) AS BIGINT) * 1000000)
+         |              // CAST(SUM(b_fl) AS BIGINT) END AS flag_recall_q
+         |FROM j""".stripMargin,
 
     // Banded-LSH near-dup: the oracle recomputes the 16-hyperplane
     // signature, the 4-bit banding, the candidate self-join AND the exact
