@@ -156,15 +156,39 @@ object LabelAudit {
   def labelDispersion(emb: DataFrame, id: String = "vec_id",
       vec: String = "embedding", label: String = "label"): DataFrame = {
     val cents = Reuse.shared(labelCentroids(emb, vec, label))
+    dispersionFromCounts(dispersionPartials(emb, cents, id, vec, label),
+      cents, label)
+  }
+
+  /** Per-batch ALGEBRAIC partial of the [[labelDispersion]] card
+    * against a prebuilt [[labelCentroids]] artifact: per label
+    * (n, Σdist, max dist) — commutative and associative, so the
+    * streaming fold ([[dispersionFromCounts]], via
+    * `StreamingPipeline.dispersionPartialsSink`) reproduces the batch
+    * card at ANY batching; every derived column (the integer-DIV mean)
+    * is computed after duplicate label keys are summed. */
+  def dispersionPartials(emb: DataFrame, cents: DataFrame,
+      id: String = "vec_id", vec: String = "embedding",
+      label: String = "label"): DataFrame =
     centroidDistances(emb, cents, id, vec, label)
       .groupBy(col(label))
-      .agg(count(lit(1)).as("n_vecs"),
-        sum(col("dist")).as("_sd"),
-        max(col("dist")).as("dist_max"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("dist")).as("sd"),
+        max(col("dist")).as("dm"))
+
+  /** Fold of accumulated [[dispersionPartials]] relations into the
+    * ext83 card — the batch [[labelDispersion]] routes through this
+    * same tail (one-partial case), so batch and stream agree by
+    * construction. */
+  def dispersionFromCounts(partials: DataFrame, cents: DataFrame,
+      label: String = "label"): DataFrame =
+    partials.groupBy(col(label))
+      .agg(sum(col("n")).as("n_vecs"),
+        sum(col("sd")).as("_sd"),
+        max(col("dm")).as("dist_max"))
       .withColumn("dist_mean_q", expr("_sd DIV n_vecs"))
       .join(broadcast(cents.select(col("l").as(label), col("cn2"))),
         Seq(label))
       .select(col(label), col("n_vecs"), col("dist_mean_q"),
         col("dist_max"), col("cn2"))
-  }
 }

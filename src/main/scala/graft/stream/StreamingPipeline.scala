@@ -459,6 +459,24 @@ object StreamingPipeline {
     graft.ops.TextOps.gopherPassRatesFromCounts(
       spark.read.parquet(outPath).drop("batch"))
 
+  /** Streaming twin of the label-dispersion card (ext83): arriving
+    * vectors score against the stored per-snapshot centroid artifact
+    * (broadcast, stateless — the same boundary as the ext77 distance
+    * twin), and the card's per-label count/Σdist/max state is algebraic,
+    * so each micro-batch contributes one tiny |labels|-row partial. */
+  def dispersionPartialsSink(vecs: DataFrame, cents: DataFrame,
+      outPath: String): DataStreamWriter[org.apache.spark.sql.Row] =
+    partialsSink(vecs,
+      graft.ops.LabelAudit.dispersionPartials(_, cents), outPath)
+
+  /** ext83's card off the accumulated [[dispersionPartialsSink]] state
+    * + the same centroid artifact — identical to the batch card on
+    * everything that has arrived, at any batching. */
+  def dispersionFromState(spark: SparkSession, outPath: String,
+      cents: DataFrame): DataFrame =
+    graft.ops.LabelAudit.dispersionFromCounts(
+      spark.read.parquet(outPath).drop("batch"), cents)
+
   /**
    * Streaming twin of the data card / dup-stats reports (ext66/ext64):
    * the card's corpus scan is the ALGEBRAIC per-(lang, source) partial

@@ -543,6 +543,35 @@ class StreamingSpec extends TestBase {
     graft.ops.Reuse.freeAll(spark)
   }
 
+  test("streaming dispersion partials == batch card (ext83 twin, " +
+      "algebraic per-label count/sum/max state)") {
+    val emb = graft.ingest.Tables.embeddings(spark, sf("sf0.001"))
+      .select("vec_id", "embedding", "label")
+    // The per-snapshot centroid artifact, built once offline as in
+    // production (the ext77 boundary); the stream only scores and folds.
+    val cents = graft.ops.Reuse.shared(
+      graft.ops.LabelAudit.labelCentroids(emb))
+    val srcDir = Files.createTempDirectory("graft-disp-src").toString + "/d"
+    emb.write.parquet(srcDir)
+    val out = Files.createTempDirectory("graft-disp-out").toString
+    val ckpt = Files.createTempDirectory("graft-disp-ckpt").toString
+    val q = StreamingPipeline.dispersionPartialsSink(
+      StreamingPipeline.parquetStream(spark, srcDir,
+        maxFilesPerTrigger = Some(1)), cents, out)
+      .option("checkpointLocation", ckpt).start()
+    q.processAllAvailable()
+    q.stop()
+    // the fold must really cross micro-batches, not see one big one
+    assert(new java.io.File(out).listFiles()
+      .count(_.getName.startsWith("batch=")) > 1)
+    val streamed = StreamingPipeline.dispersionFromState(spark, out, cents)
+    val batch = graft.ops.LabelAudit.labelDispersion(emb)
+    assert(streamed.count() == batch.count() && batch.count() > 0)
+    assert(streamed.except(batch).isEmpty && batch.except(streamed).isEmpty,
+      "streamed dispersion card differs from the batch operator")
+    graft.ops.Reuse.freeAll(spark)
+  }
+
   test("streaming algebraic partials == batch operators (ext78/82/84 " +
       "twins, per-batch partial state)") {
     val docs = graft.ingest.Tables.documents(spark, sf("sf0.001"))
