@@ -631,6 +631,18 @@ object ExtEntry {
         .orderBy("vec_id")
     }),
 
+    // The same audit under the L2 neighborhood (|q−t|², exact int64
+    // end to end — not even the cosine's final double division):
+    // clustering-style geometry where vector norms matter, the second
+    // standard curation metric beside cosine. The vote/flag tail is
+    // metric-blind; only the neighbor ranking changes.
+    "ext90_knn_audit_l2" -> ((s, dir) => {
+      val e = embs(s, dir)
+      graft.ops.LabelAudit.knnLabelAudit(
+        e, e.filter(col("vec_id") < NumQueryVecs), 5, metric = "l2")
+        .orderBy("vec_id")
+    }),
+
     // Per-label centroid outliers: the 3 vectors farthest (exact int64
     // distance) from their own label's floor-quantized centroid —
     // embedding-space data pruning / review queue per class.
@@ -1835,6 +1847,40 @@ object ExtEntry {
     "ext76_knn_label_audit" ->
       s"""$QuantFlatSql,
          |${cosTopKCtes("", "")},
+         |votes AS (
+         |  SELECT r.q_id, nq.label AS nl, count(*) AS votes
+         |  FROM r JOIN q nq ON nq.vec_id = r.t_id
+         |  WHERE r.rank <= 5 GROUP BY 1, 2),
+         |maj AS (
+         |  SELECT q_id, nl, votes, row_number() OVER (
+         |    PARTITION BY q_id ORDER BY votes DESC, nl ASC) AS rn
+         |  FROM votes)
+         |SELECT m.q_id AS vec_id, CAST(o.label AS BIGINT) AS label,
+         |       CAST(m.nl AS BIGINT) AS knn_label,
+         |       CAST(m.votes AS BIGINT) AS votes,
+         |       CAST(CASE WHEN m.nl <> o.label THEN 1 ELSE 0 END AS BIGINT)
+         |         AS flagged
+         |FROM maj m JOIN q o ON o.vec_id = m.q_id
+         |WHERE m.rn = 1 ORDER BY vec_id""".stripMargin,
+
+    // ext76's vote/majority chain over the L2 neighborhood: dist =
+    // n2(q) + n2(t) − 2·dot, rank ASC — all-int64, no doubles anywhere.
+    "ext90_knn_audit_l2" ->
+      s"""$QuantFlatSql,
+         |dots AS (
+         |  SELECT a.vec_id AS q_id, b.vec_id AS t_id,
+         |         CAST(SUM(a.qi * b.qi) AS BIGINT) AS dot
+         |  FROM flat a JOIN flat b ON a.i = b.i
+         |  WHERE a.vec_id < $NumQueryVecs AND a.vec_id <> b.vec_id
+         |  GROUP BY 1, 2),
+         |d AS (
+         |  SELECT q_id, t_id,
+         |         CAST(na.n2 + nb.n2 - 2 * dot AS BIGINT) AS dist
+         |  FROM dots JOIN n2 na ON na.vec_id = q_id
+         |            JOIN n2 nb ON nb.vec_id = t_id),
+         |r AS (SELECT *, row_number() OVER (
+         |        PARTITION BY q_id ORDER BY dist ASC, t_id ASC) AS rank
+         |      FROM d),
          |votes AS (
          |  SELECT r.q_id, nq.label AS nl, count(*) AS votes
          |  FROM r JOIN q nq ON nq.vec_id = r.t_id

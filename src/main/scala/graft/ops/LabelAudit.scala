@@ -43,12 +43,18 @@ object LabelAudit {
    * run — at 100 TB audit a sampled query set against the probe-index
    * candidates ([[Similarity.kmeansProbeIndex]] + the [[votesFor]]
    * tail, which accepts any (q_id, t_id) neighbor relation) instead of
-   * the exact scan.
+   * the exact scan (ext89 prices that path: flag recall 93.75% at
+   * sf0.01).
+   *
+   * `metric` picks the neighborhood geometry (cosine | dot | l2 —
+   * [[Similarity.bruteTopKMetric]]): cosine for direction-normalized
+   * embeddings, dot where norms carry signal, l2 for clustering-style
+   * distance. The vote/flag tail is metric-blind.
    */
   def knnLabelAudit(emb: DataFrame, queries: DataFrame, k: Int = 5,
       id: String = "vec_id", vec: String = "embedding",
-      label: String = "label"): DataFrame =
-    votesFor(Similarity.bruteTopK(emb, queries, k, id, vec),
+      label: String = "label", metric: String = "cosine"): DataFrame =
+    votesFor(Similarity.bruteTopKMetric(emb, queries, k, metric, id, vec),
       emb.select(col(id), col(label)), id, label)
 
   /** The vote/flag tail: majority neighbor label per audited vector

@@ -72,19 +72,52 @@ object Similarity {
    * |queries × corpus| scalar rows pre-pruned by nothing (exact search).
    */
   def bruteTopK(emb: DataFrame, queries: DataFrame, k: Int,
-      id: String = "vec_id", vec: String = "embedding"): DataFrame = {
+      id: String = "vec_id", vec: String = "embedding"): DataFrame =
+    bruteTopKMetric(emb, queries, k, "cosine", id, vec)
+      .withColumnRenamed("score", "cos")
+
+  /**
+   * [[bruteTopK]] under a pluggable metric — the three standard
+   * embedding-curation neighborhoods:
+   *
+   *  - `cosine`: dot/sqrt(n2·n2), rank DESC (double from exact int64
+   *    sums — the [[Similarity]] determinism contract);
+   *  - `dot`: the raw inner product, rank DESC — exact int64, the
+   *    retrieval metric when norms carry signal (e.g. DPR-style
+   *    embeddings);
+   *  - `l2`: |q−t|² = n2(q) + n2(t) − 2·qdot, rank ASC — exact int64,
+   *    the clustering/outlier metric ([[LabelAudit]]'s centroid
+   *    distances use the same identity).
+   *
+   * Only the rank ORDER and the score expression differ; the plan
+   * shape (broadcast queries, one corpus scan, WindowGroupLimit
+   * bounding the rank shuffle at k rows per query per map task) is
+   * identical across metrics. Ties break by t_id ASC everywhere.
+   */
+  def bruteTopKMetric(emb: DataFrame, queries: DataFrame, k: Int,
+      metric: String = "cosine", id: String = "vec_id",
+      vec: String = "embedding"): DataFrame = {
     val corpus = prepared(emb, id, vec).toDF("t_id", "t_q", "t_n2")
     val qs = prepared(queries, id, vec).toDF("q_id", "q_q", "q_n2")
-    val scored = corpus.crossJoin(broadcast(qs))
+    val base = corpus.crossJoin(broadcast(qs))
       .filter(col("q_id") =!= col("t_id"))
-      .withColumn("cos",
-        cosine(qdot(col("q_q"), col("t_q")), col("q_n2"), col("t_n2")))
-    val w = Window.partitionBy(col("q_id"))
-      .orderBy(col("cos").desc, col("t_id").asc)
+    val dot = qdot(col("q_q"), col("t_q"))
+    val (scored, ord) = metric match {
+      case "cosine" =>
+        (base.withColumn("score", cosine(dot, col("q_n2"), col("t_n2"))),
+          col("score").desc)
+      case "dot" => (base.withColumn("score", dot), col("score").desc)
+      case "l2" =>
+        (base.withColumn("score",
+          col("q_n2") + col("t_n2") - lit(2L) * dot), col("score").asc)
+      case other => throw new IllegalArgumentException(
+        s"metric must be cosine|dot|l2, got: $other")
+    }
+    val w = Window.partitionBy(col("q_id")).orderBy(ord, col("t_id").asc)
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("q_id"), col("t_id"), col("rank").cast("long").as("rank"),
-        col("cos"))
+        col("score"))
   }
 
   /**

@@ -100,4 +100,31 @@ class LabelAuditSpec extends TestBase {
       1000000L * 1000000L + 2000000L * 2000000L)))
     graft.ops.Reuse.freeAll(spark)
   }
+
+  test("metric param changes the neighborhood: cosine follows direction, " +
+      "l2 follows distance, dot follows norm (ext90)") {
+    import spark.implicits._
+    // Query (1,0). Corpus: a LONG same-direction vector labeled 1 (cos
+    // 1.0 but l2-far, dot-huge), and a NEARBY off-direction vector
+    // labeled 2 (l2-close, cos lower, dot small). k=1: the three
+    // metrics pick three defensible — and here distinct — majorities.
+    val emb = Seq(
+      (1L, Array(1f, 0f), 9L),      // the audited vector, own label 9
+      (2L, Array(10f, 0f), 1L),     // same direction, far away
+      (3L, Array(0.8f, 0.3f), 2L))  // close by, off direction
+      .toDF("vec_id", "embedding", "label")
+    val q = emb.filter($"vec_id" === 1)
+    def verdict(metric: String): Long =
+      LabelAudit.knnLabelAudit(emb, q, 1, metric = metric)
+        .select("knn_label").as[Long].head()
+    assert(verdict("cosine") == 1L) // (10,0) has cos exactly 1
+    assert(verdict("l2") == 2L)     // |q-(0.8,0.3)|² < |q-(10,0)|²
+    assert(verdict("dot") == 1L)    // 10·1 beats 0.8
+    // all three flag: own label 9 matches no neighborhood
+    assert(LabelAudit.knnLabelAudit(emb, q, 1, metric = "l2")
+      .select("flagged").as[Long].head() == 1L)
+    intercept[IllegalArgumentException] {
+      graft.ops.Similarity.bruteTopKMetric(emb, q, 1, "manhattan")
+    }
+  }
 }
