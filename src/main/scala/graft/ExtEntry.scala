@@ -643,6 +643,34 @@ object ExtEntry {
         .orderBy("vec_id")
     }),
 
+    // Span-level dedup decision signal (Lee et al.'s exact-substring
+    // measure): per-doc token positions covered by an n-gram that also
+    // occurs in ANOTHER document — position-weighted, hot shingles
+    // count (noveltyScores' counterweight: novelty is distinct-shingle
+    // and df-capped). min/max-per-hash sharing test, no distinct-count
+    // state anywhere.
+    "ext91_dup_span_mass" -> ((s, dir) =>
+      Dedup.dupSpanMass(docs(s, dir)).orderBy("doc_id")),
+
+    // PII scrub audit card per source: per-pattern hit counts on raw
+    // text, docs flagged by any pattern, chars before/after the
+    // ordered scrub chain. The synthetic corpus carries no PII, so the
+    // hit columns legitimately read zero here — the planted-fixture
+    // spec (OpsSpec) carries the behavioral test; the oracle checks
+    // the full card (volumes + zero hits + scrub identity) honestly.
+    "ext92_pii_audit" -> ((s, dir) =>
+      TextOps.piiAudit(docs(s, dir)).orderBy("source")),
+
+    // Storage-precision pricing: full-precision cosine top-3 vs the
+    // int8 re-quantized frame's top-3, as one agreement row (rank-set
+    // overlap ppm + mean |cos8 - cos| in nano-units) — the audit that
+    // decides whether the vector store ships 1 or 4 bytes/dim.
+    "ext93_int8_fidelity" -> ((s, dir) => {
+      val e = embs(s, dir)
+      Similarity.int8FidelityAudit(
+        e, e.filter(col("vec_id") < NumQueryVecs), 3)
+    }),
+
     // Per-label centroid outliers: the 3 vectors farthest (exact int64
     // distance) from their own label's floor-quantized centroid —
     // embedding-space data pruning / review queue per class.
@@ -1896,6 +1924,120 @@ object ExtEntry {
          |         AS flagged
          |FROM maj m JOIN q o ON o.vec_id = m.q_id
          |WHERE m.rn = 1 ORDER BY vec_id""".stripMargin,
+
+    // Twin of Dedup.dupSpanMass: positional shingles (NO distinct, no
+    // hot-cap — every occurrence counts), min<>max doc per hash as the
+    // cross-document sharing test, position coverage via the 0..n-1
+    // offset cross join.
+    "ext91_dup_span_mass" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+         |pos AS (
+         |  SELECT doc_id, i,
+         |         ${hashSql("tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]")} AS h
+         |  FROM toks JOIN range(1, ${Dedup.MaxShinglesPerDoc + 1}) g(i)
+         |    ON i <= len(tk) - 2),
+         |shared AS (
+         |  SELECT h FROM pos GROUP BY h HAVING min(doc_id) <> max(doc_id)),
+         |dup AS (SELECT p.doc_id, p.i FROM pos p JOIN shared USING (h)),
+         |perdoc AS (SELECT doc_id, count(*) AS n_spans FROM pos GROUP BY 1),
+         |dupagg AS (
+         |  SELECT doc_id, count(*) AS n_dup_spans FROM dup GROUP BY 1),
+         |cov AS (SELECT doc_id, count(DISTINCT i + o) AS n_covered
+         |        FROM dup, range(0, 3) r(o) GROUP BY doc_id),
+         |base AS (
+         |  SELECT doc_id,
+         |         least(len(string_split(text, ' ')),
+         |               ${Dedup.MaxShinglesPerDoc + 2}) AS scanned
+         |  FROM documents)
+         |SELECT b.doc_id,
+         |       CAST(COALESCE(p.n_spans, 0) AS BIGINT) AS n_spans,
+         |       CAST(COALESCE(d.n_dup_spans, 0) AS BIGINT) AS n_dup_spans,
+         |       CAST(COALESCE(c.n_covered, 0) AS BIGINT) AS n_covered_toks,
+         |       CASE WHEN b.scanned = 0 OR c.n_covered IS NULL
+         |            THEN CAST(0 AS BIGINT)
+         |            ELSE (CAST(c.n_covered AS BIGINT) * 1000000)
+         |                   // CAST(b.scanned AS BIGINT) END AS dup_mass_ppm
+         |FROM base b LEFT JOIN perdoc p USING (doc_id)
+         |            LEFT JOIN dupagg d USING (doc_id)
+         |            LEFT JOIN cov c USING (doc_id)
+         |ORDER BY b.doc_id""".stripMargin,
+
+    // Twin of TextOps.piiAudit: hit counts per pattern on the raw text,
+    // the ordered regexp_replace scrub chain, per-source card. The
+    // pattern strings interpolate from TextOps.PiiPatterns — one source
+    // of truth for both engines (Java-regex ∩ RE2 subset).
+    "ext92_pii_audit" -> {
+      val hitCols = TextOps.PiiPatterns.map { case (name, pat) =>
+        s"CAST(SUM(len(regexp_extract_all(text, '$pat'))) AS BIGINT)" +
+          s" AS hits_$name"
+      }.mkString(",\n       |       ")
+      val anyHit = TextOps.PiiPatterns
+        .map { case (_, pat) => s"len(regexp_extract_all(text, '$pat')) > 0" }
+        .mkString("\n       |              OR ")
+      val scrubbed = TextOps.PiiPatterns.foldLeft("text") {
+        case (e, (name, pat)) =>
+          s"regexp_replace($e, '$pat', '<${name.toUpperCase}>', 'g')"
+      }
+      s"""SELECT source,
+         |       CAST(count(*) AS BIGINT) AS n_docs,
+         |       $hitCols,
+         |       CAST(SUM(CASE WHEN $anyHit
+         |                THEN 1 ELSE 0 END) AS BIGINT) AS docs_flagged,
+         |       CAST(SUM(length(text)) AS BIGINT) AS n_chars_raw,
+         |       CAST(SUM(length($scrubbed)) AS BIGINT) AS n_chars_scrubbed
+         |FROM documents GROUP BY source ORDER BY source""".stripMargin
+    },
+
+    // Twin of Similarity.int8FidelityAudit: per-vector max-abs int8
+    // codes (nonneg-numerator floor division — engine-identical), both
+    // rankings, the rank-set join, and the integer-quantized error sum.
+    "ext93_int8_fidelity" ->
+      s"""$QuantFlatSql,
+         |mx AS (SELECT vec_id, max(abs(qi)) AS m FROM flat GROUP BY 1),
+         |f8 AS (
+         |  SELECT f.vec_id, f.i,
+         |         CASE WHEN mx.m = 0 THEN CAST(0 AS BIGINT)
+         |              ELSE ((f.qi + mx.m) * 254) // (2 * mx.m) - 127
+         |         END AS qi8
+         |  FROM flat f JOIN mx USING (vec_id)),
+         |n28 AS (SELECT vec_id, CAST(SUM(qi8 * qi8) AS BIGINT) AS n2
+         |        FROM f8 GROUP BY 1),
+         |${cosTopKCtes("_f", "")},
+         |fullk AS (SELECT q_id, t_id, cos FROM r_f WHERE rank <= 3),
+         |dots8 AS (
+         |  SELECT a.vec_id AS q_id, b.vec_id AS t_id,
+         |         CAST(SUM(a.qi8 * b.qi8) AS BIGINT) AS dot
+         |  FROM f8 a JOIN f8 b ON a.i = b.i
+         |  WHERE a.vec_id < $NumQueryVecs AND a.vec_id <> b.vec_id
+         |  GROUP BY 1, 2),
+         |scored8 AS (
+         |  SELECT q_id, t_id,
+         |         CAST(dot AS DOUBLE) /
+         |           sqrt(CAST(na.n2 AS DOUBLE) * CAST(nb.n2 AS DOUBLE))
+         |           AS cos8
+         |  FROM dots8 JOIN n28 na ON na.vec_id = q_id
+         |             JOIN n28 nb ON nb.vec_id = t_id),
+         |r8 AS (SELECT *, row_number() OVER (
+         |         PARTITION BY q_id ORDER BY cos8 DESC, t_id ASC) AS rank
+         |       FROM scored8),
+         |i8 AS (SELECT q_id, t_id, cos8 FROM r8 WHERE rank <= 3),
+         |ov AS (
+         |  SELECT CAST(floor(abs(i.cos8 - f.cos) * 1000000000.0) AS BIGINT)
+         |           AS err
+         |  FROM fullk f JOIN i8 i USING (q_id, t_id)),
+         |tot AS (SELECT CAST(count(DISTINCT q_id) AS BIGINT) AS nq,
+         |               CAST(count(*) AS BIGINT) AS np FROM fullk),
+         |ova AS (SELECT CAST(count(*) AS BIGINT) AS novl,
+         |               CAST(COALESCE(SUM(err), 0) AS BIGINT) AS esum
+         |        FROM ov)
+         |SELECT tot.nq AS n_queries, tot.np AS n_pairs,
+         |       ova.novl AS n_overlap,
+         |       CASE WHEN tot.np = 0 THEN CAST(0 AS BIGINT)
+         |            ELSE (ova.novl * 1000000) // tot.np END AS overlap_ppm,
+         |       CASE WHEN ova.novl = 0 THEN CAST(0 AS BIGINT)
+         |            ELSE ova.esum // ova.novl END AS mae_q9
+         |FROM tot, ova""".stripMargin,
 
     // Twin of LabelAudit.labelCentroidOutliers: per-label floor-
     // quantized centroid (Lloyd's update rule), exact int64 distance,

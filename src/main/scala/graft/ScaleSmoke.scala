@@ -12,11 +12,18 @@ import org.apache.spark.sql.functions._
  * construction, so this also stresses the mass-duplicate path.
  *
  *   SPARK_GRAFT_SCALE=10 sbt "runMain graft.ScaleSmoke"
+ *
+ * `SPARK_GRAFT_SMOKE_ONLY=ngram,minhash` restricts to ops whose name
+ * starts with a listed prefix — the 100x runs (r7 verdict item 5) push
+ * one family at a time well past the 10x table without paying for the
+ * rest of the list.
  */
 object ScaleSmoke {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val mult = sys.env.getOrElse("SPARK_GRAFT_SCALE", "10").toInt
+    val only = sys.env.get("SPARK_GRAFT_SMOKE_ONLY")
+      .map(_.split(",").toSeq.filter(_.nonEmpty))
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -29,14 +36,40 @@ object ScaleSmoke {
       base.withColumn("doc_id", col("doc_id") + lit(i.toLong * 1000000L))
     }.reduce(_ union _)
     val n = big.count()
+    // Heap high-water per op: reset the per-pool peak counters before,
+    // read-and-sum after — the "does the plan fit" number the 100 TB
+    // claim needs alongside wall-clock (executor memory is the binding
+    // constraint on a real cluster, not the driver's).
+    import scala.jdk.CollectionConverters._
+    def heapPools = java.lang.management.ManagementFactory
+      .getMemoryPoolMXBeans.asScala
+      .filter(_.getType == java.lang.management.MemoryType.HEAP)
     def time(name: String)(df: => DataFrame): Unit = {
-      val t0 = System.nanoTime()
-      val rows = df.count()
-      println(f"[scale-smoke] $name%-28s ${(System.nanoTime() - t0) / 1e9}%7.1f s  $rows%10d rows  ($n docs)")
-      graft.ops.Reuse.freeAll(spark)
+      if (only.forall(_.exists(name.startsWith))) {
+        heapPools.foreach(_.resetPeakUsage())
+        val t0 = System.nanoTime()
+        val rows = df.count()
+        val peakGb = heapPools.map(_.getPeakUsage.getUsed).sum / 1e9
+        println(f"[scale-smoke] $name%-28s ${(System.nanoTime() - t0) / 1e9}%7.1f s  $rows%10d rows  ($n docs, peak heap $peakGb%.1f GB)")
+        graft.ops.Reuse.freeAll(spark)
+      }
     }
+    time("exact_dedup") { graft.ops.Dedup.exact(big) }
     time("ngram_jaccard_pairs") { graft.ops.Dedup.ngramJaccard(big) }
     time("minhash_lsh_pairs") { graft.ops.Dedup.minhashLsh(big) }
+    // The production text-dedup composition (mirror of
+    // embed_exact_then_lsh below): EXACT dedup first — identical texts
+    // collapse to one keeper via a single keyed shuffle on the content
+    // hash — then banded LSH only on the survivors. Shifted copies are
+    // byte-identical, so each mult-sized family shares every band and
+    // in-bucket candidate generation alone is quadratic in family size;
+    // removing exact copies first is what keeps the LSH stage linear at
+    // any corpus redundancy.
+    time("text_exact_then_lsh") {
+      val keepers = big.groupBy(md5(col("text")).as("h"))
+        .agg(min("doc_id").as("doc_id"))
+      graft.ops.Dedup.minhashLsh(big.join(keepers.select("doc_id"), "doc_id"))
+    }
     time("simhash_pairs") { graft.ops.Dedup.simhashPairs(big) }
     time("simhash_pairs_wide") { graft.ops.Dedup.simhashPairsWide(big) }
     time("dedup_clusters") {

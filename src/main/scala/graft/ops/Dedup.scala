@@ -356,6 +356,73 @@ object Dedup {
   }
 
   /**
+   * Duplicated-span mass — the span-level dedup decision signal (after
+   * the exact-substring measure of Lee et al., "Deduplicating Training
+   * Data Makes Language Models Better"): per document, how many of its
+   * token positions sit inside an n-gram that also occurs in at least
+   * one OTHER document. Doc-level detectors (exact/MinHash/SimHash)
+   * answer "is this document a duplicate"; this answers "how much of
+   * every document is duplicated text" — the number that decides
+   * whether span-level surgery (cutting repeated spans, ext46-style)
+   * is worth running instead of whole-document dedup. It is also
+   * [[noveltyScores]]'s positional counterweight: novelty scores
+   * DISTINCT shingles and deliberately drops hot shingles (df cap);
+   * here hot shingles ARE the duplicated mass and every occurrence
+   * counts, position-weighted.
+   *
+   * Scale shape: positional shingles (one explode, position-capped at
+   * [[MaxShinglesPerDoc]] like every shingle consumer); "shared with
+   * another doc" per shingle hash is `min(doc) != max(doc)` — two
+   * longs of map-side-combinable aggregate state per key, NO
+   * distinct-count state and no df cap needed because df never
+   * materializes; then one h-keyed join back (1:1 fan-out — `shared`
+   * is distinct) and a doc-keyed coverage count bounded by doc length.
+   * Intra-doc-only repeats do not count as duplicated (min == max):
+   * the measure is strictly cross-document.
+   *
+   * Output per doc: `n_spans` (shingle positions scanned),
+   * `n_dup_spans` (positions whose n-gram occurs in another doc),
+   * `n_covered_toks` (distinct token positions under any dup span),
+   * `dup_mass_ppm` (= covered / scanned-token positions).
+   */
+  def dupSpanMass(doc: DataFrame, id: String = "doc_id",
+      text: String = "text", n: Int = 3): DataFrame = {
+    val pos = Reuse.shared(doc
+      .select(col(id), graft.ops.TextOps.tokens(col(text)).as("_toks"))
+      .select(col(id), col("_toks"),
+        explode(when(size(col("_toks")) >= n,
+          sequence(lit(1),
+            least(size(col("_toks")) - lit(n - 1), lit(MaxShinglesPerDoc))))
+          .otherwise(array().cast("array<int>"))).as("i"))
+      .select(col(id), col("i"),
+        Hashing.portableHash32(
+          concat_ws(" ", slice(col("_toks"), col("i"), lit(n)))).as("h")))
+    val shared = pos.groupBy("h")
+      .agg(min(col(id)).as("_mn"), max(col(id)).as("_mx"))
+      .filter(col("_mn") =!= col("_mx")).select("h")
+    val dup = pos.join(shared, "h")
+    val perDoc = pos.groupBy(col(id)).agg(count(lit(1)).as("n_spans"))
+    val dupAgg = dup.groupBy(col(id)).agg(count(lit(1)).as("n_dup_spans"))
+    val covered = dup
+      .select(col(id),
+        explode(sequence(col("i"), col("i") + lit(n - 1))).as("p"))
+      .groupBy(col(id)).agg(countDistinct(col("p")).as("n_covered_toks"))
+    doc.select(col(id),
+        least(size(graft.ops.TextOps.tokens(col(text))),
+          lit(MaxShinglesPerDoc + n - 1)).cast("long").as("_scanned"))
+      .join(perDoc, Seq(id), "left")
+      .join(dupAgg, Seq(id), "left")
+      .join(covered, Seq(id), "left")
+      .select(col(id),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"),
+        coalesce(col("n_covered_toks"), lit(0L)).as("n_covered_toks"),
+        when(col("_scanned") === 0 || col("n_covered_toks").isNull, lit(0L))
+          .otherwise(expr("(n_covered_toks * 1000000) DIV _scanned"))
+          .as("dup_mass_ppm"))
+  }
+
+  /**
    * Cross-key shingle overlap matrix — which SOURCES (or shards, or
    * crawls) duplicate each other: for every ordered key pair (a, b)
    * with any overlap, the count of a's distinct shingles also present

@@ -121,6 +121,69 @@ object Similarity {
   }
 
   /**
+   * Brute top-k under the int8 storage frame: quantized vectors are
+   * re-quantized to [-127, 127] by per-vector max-abs scaling
+   * ([[graft.functions.Int8Vector]], exact integer arithmetic — the
+   * DuckDB oracle reproduces every code) and ranked by the cosine of
+   * the int8 codes. Same broadcast-queries / WindowGroupLimit plan as
+   * [[bruteTopK]]; only the vector frame differs.
+   */
+  def int8TopK(emb: DataFrame, queries: DataFrame, k: Int,
+      id: String = "vec_id", vec: String = "embedding"): DataFrame = {
+    def prep(df: DataFrame, p: String) =
+      df.select(col(id).as(s"${p}_id"),
+          graft.functions.Int8Vector(quantize(col(vec))).as(s"${p}_q8"))
+        .withColumn(s"${p}_n2", qnorm2(col(s"${p}_q8")))
+    val base = prep(emb, "t").crossJoin(broadcast(prep(queries, "q")))
+      .filter(col("q_id") =!= col("t_id"))
+      .withColumn("cos8", cosine(qdot(col("q_q8"), col("t_q8")),
+        col("q_n2"), col("t_n2")))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos8").desc, col("t_id").asc)
+    base.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("t_id"),
+        col("rank").cast("long").as("rank"), col("cos8"))
+  }
+
+  /**
+   * Storage-precision fidelity audit — what int8 vector compression
+   * costs in ranking quality, priced the ext88/ext89 way as one audit
+   * row: the full-precision top-k ([[bruteTopK]], the exact int64
+   * frame) against [[int8TopK]] over the same queries. `overlap_ppm`
+   * is rank-set agreement (|top-k ∩ top-k₈| / |top-k|); `mae_q9` the
+   * mean |cos₈ − cos| over agreeing pairs in nano-units. Per-pair
+   * error is floor-quantized to int64 BEFORE summing, so the mean is
+   * exact integer arithmetic — no cross-row float accumulation to
+   * diverge between engines. At 100 TB this audit runs on a sampled
+   * query set against the corpus scan, like every detector audit
+   * (ext54/57/61); the decision it prices is whether the vector store
+   * ships 1 byte or 4 bytes per dimension.
+   */
+  def int8FidelityAudit(emb: DataFrame, queries: DataFrame, k: Int,
+      id: String = "vec_id", vec: String = "embedding"): DataFrame = {
+    val full = bruteTopK(emb, queries, k, id, vec)
+      .select(col("q_id"), col("t_id"), col("cos"))
+    val i8 = int8TopK(emb, queries, k, id, vec)
+      .select(col("q_id"), col("t_id"), col("cos8"))
+    val totals = full.agg(
+      countDistinct(col("q_id")).as("n_queries"),
+      count(lit(1)).as("n_pairs"))
+    val overlap = full.join(i8, Seq("q_id", "t_id"))
+      .agg(count(lit(1)).as("n_overlap"),
+        coalesce(sum(floor(abs(col("cos8") - col("cos")) * lit(1e9))
+          .cast("long")), lit(0L)).as("_err_sum"))
+    totals.crossJoin(broadcast(overlap))
+      .withColumn("overlap_ppm",
+        when(col("n_pairs") === 0, lit(0L))
+          .otherwise(expr("(n_overlap * 1000000) DIV n_pairs")))
+      .withColumn("mae_q9",
+        when(col("n_overlap") === 0, lit(0L))
+          .otherwise(expr("_err_sum DIV n_overlap")))
+      .select("n_queries", "n_pairs", "n_overlap", "overlap_ppm", "mae_q9")
+  }
+
+  /**
    * Hard-negative mining for contrastive/retrieval training: per query,
    * the top-k most-similar corpus items BELOW the near-duplicate
    * threshold — similar enough to be informative negatives, dissimilar

@@ -830,6 +830,63 @@ object TextOps {
       .agg(count(lit(1)).as("n_toks"),
         sum(when(col("_rare").isNotNull, 1L).otherwise(0L)).as("n_rare"))
       .withColumn("oov_ppm", expr("(n_rare * 1000000) DIV n_toks"))
+
+  /**
+   * PII scrub patterns, applied IN ORDER — an earlier redaction can
+   * consume text a later pattern would match (an email's digit run is
+   * gone before `idnum` looks), and both engines replay the same order
+   * so the scrubbed text is engine-identical. The syntax is the
+   * Java-regex ∩ RE2 portable subset (character classes, bounded
+   * repeats; no backreferences, no lookaround) — the same expression
+   * string runs under Spark's `regexp_replace` (java.util.regex) and
+   * the DuckDB oracle's RE2.
+   *
+   * The patterns are the standard curation scrub set: emails, IPv4
+   * addresses, international phone numbers (+CC digits), and long bare
+   * digit runs (account/ID numbers). Counting for the audit is done
+   * per pattern on the RAW text, independently — the audit reports
+   * what a pattern would find, the scrub applies the ordered chain.
+   */
+  val PiiPatterns: Seq[(String, String)] = Seq(
+    "email" -> "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}",
+    "ipv4" -> "([0-9]{1,3}\\.){3}[0-9]{1,3}",
+    "phone" -> "\\+[0-9]{7,15}",
+    "idnum" -> "[0-9]{9,}")
+
+  /** The ordered scrub chain: each pattern replaced globally with its
+    * `<NAME>` placeholder. Pure nested `regexp_replace` — codegen'd,
+    * stateless, scan-local (the 100 TB scrub is a map-only pass). */
+  def scrub(text: Column,
+      patterns: Seq[(String, String)] = PiiPatterns): Column =
+    patterns.foldLeft(text) { case (c, (name, pat)) =>
+      regexp_replace(c, pat, s"<${name.toUpperCase}>")
+    }
+
+  /**
+   * PII audit card per group (default: per source): doc and char
+   * volumes, per-pattern match counts on the raw text, docs flagged by
+   * any pattern, and the char count after the ordered scrub — the
+   * before/after evidence row a scrub pass ships with. One scan, one
+   * |groups|-row aggregate; every column is algebraic (count/sum), so
+   * the card streams with the partials pattern (ext78/82/84).
+   */
+  def piiAudit(doc: DataFrame, by: Seq[String] = Seq("source"),
+      text: String = "text"): DataFrame = {
+    val t = col(text)
+    val hitCols = PiiPatterns.map { case (name, pat) =>
+      sum(size(regexp_extract_all(t, lit(pat), lit(0))))
+        .as(s"hits_$name")
+    }
+    val anyHit = PiiPatterns.map { case (_, pat) =>
+      size(regexp_extract_all(t, lit(pat), lit(0))) > 0
+    }.reduce(_ || _)
+    doc.groupBy(by.map(col): _*)
+      .agg(count(lit(1)).as("n_docs"),
+        (hitCols :+
+          sum(when(anyHit, 1L).otherwise(0L)).as("docs_flagged") :+
+          sum(length(t)).cast("long").as("n_chars_raw") :+
+          sum(length(scrub(t))).cast("long").as("n_chars_scrubbed")): _*)
+  }
 }
 
 /**

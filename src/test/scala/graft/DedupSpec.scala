@@ -242,4 +242,31 @@ class DedupSpec extends TestBase {
     val same = Dedup.snapshotDiff(a, a).as[(String, Long)].collect().toSeq
     assert(same == Seq(("both", 2L)))
   }
+
+  test("dupSpanMass: cross-doc spans counted position-weighted; " +
+      "intra-doc-only repeats and short docs score zero (ext91)") {
+    import spark.implicits._
+    def words(seed: Int, n: Int) =
+      (0 until n).map(i => s"w${seed}_$i").mkString(" ")
+    val shared = words(1, 10) // 10 tokens -> 8 shingle positions
+    val docs = Seq(
+      (1L, shared),                          // fully duplicated vs doc 2
+      (2L, shared + " " + words(2, 10)),     // first half shared
+      (3L, words(3, 12)),                    // unique
+      (4L, words(4, 6) + " " + words(4, 6)), // intra-doc repeat ONLY
+      (5L, "a b")                            // below shingle width
+    ).toDF("doc_id", "text")
+    val got = Dedup.dupSpanMass(docs).as[(Long, Long, Long, Long, Long)]
+      .collect().map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    // doc 1: all 8 spans shared with doc 2, all 10 tokens covered
+    assert(got(1L) == ((8L, 8L, 10L, 1000000L)))
+    // doc 2: 20 toks -> 18 spans; the 8 inside `shared` are dup (the
+    // boundary-straddling shingles are unique), covering tokens 1..10
+    assert(got(2L) == ((18L, 8L, 10L, 500000L)))
+    assert(got(3L) == ((10L, 0L, 0L, 0L)))
+    // doc 4's repeated 3-grams live in one doc only: min==max, not dup
+    assert(got(4L)._2 == 0L && got(4L)._4 == 0L)
+    assert(got(5L) == ((0L, 0L, 0L, 0L)))
+    graft.ops.Reuse.freeAll(spark)
+  }
 }

@@ -735,4 +735,47 @@ class OpsSpec extends TestBase {
       (4L, 3L, 24L, 7L, 6L, 4L * 1000000L / 28L, 1000000L / 7L),
       (8L, 3L, 24L, 4L, 3L, 8L * 1000000L / 32L, 1000000L / 4L)))
   }
+
+  test("pii: planted emails/ips/phones/ids counted per pattern on raw " +
+      "text; ordered scrub leaves no residual matches and keeps clean " +
+      "text byte-identical (ext92)") {
+    import spark.implicits._
+    import graft.ops.TextOps
+    val docs = Seq(
+      (1L, "contact bob.smith+x@example.co.uk or 10.0.255.7 now", "a"),
+      (2L, "call +14155550123 acct 123456789012 end", "a"),
+      (3L, "clean text with no private data", "b"),
+      (4L, "two mails x@y.io a@b.org one ip 1.2.3.4", "b")
+    ).toDF("doc_id", "text", "source")
+    val card = TextOps.piiAudit(docs, Seq("source")).orderBy("source")
+      .collect()
+    val a = card(0); val b = card(1)
+    assert(a.getAs[Long]("hits_email") == 1L)
+    assert(a.getAs[Long]("hits_ipv4") == 1L)
+    assert(a.getAs[Long]("hits_phone") == 1L)
+    // counting is per pattern on RAW text: the phone's digit tail is 11
+    // digits, so `idnum` sees it too, plus the account number
+    assert(a.getAs[Long]("hits_idnum") == 2L)
+    assert(a.getAs[Long]("docs_flagged") == 2L)
+    assert(b.getAs[Long]("hits_email") == 2L)
+    assert(b.getAs[Long]("hits_ipv4") == 1L)
+    assert(b.getAs[Long]("docs_flagged") == 1L)
+    // the ordered scrub is idempotent-by-construction: a second audit
+    // over the scrubbed corpus finds nothing (phone consumed the digit
+    // run before idnum looked)
+    val scrubbed = docs.select(col("doc_id"),
+      TextOps.scrub(col("text")).as("text"), col("source"))
+    val resid = TextOps.piiAudit(scrubbed, Seq("source")).collect()
+    TextOps.PiiPatterns.foreach { case (n, _) =>
+      assert(resid.forall(_.getAs[Long](s"hits_$n") == 0L), s"residual $n")
+    }
+    // PII-free text passes through the whole chain untouched
+    val clean = scrubbed.filter($"doc_id" === 3L)
+      .select("text").as[String].head()
+    assert(clean == "clean text with no private data")
+    // doc 2's scrub: phone placeholder precedes idnum's
+    val d2 = scrubbed.filter($"doc_id" === 2L)
+      .select("text").as[String].head()
+    assert(d2 == "call <PHONE> acct <IDNUM> end")
+  }
 }

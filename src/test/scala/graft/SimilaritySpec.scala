@@ -214,4 +214,54 @@ class SimilaritySpec extends TestBase {
     assert(imb >= 1000000L, s"imbalance_q $imb below the even floor")
     graft.ops.Reuse.freeAll(spark)
   }
+
+  test("int8 codes: max-abs maps to ±extremes, zero vector to zeros, " +
+      "all codes clamped to [-127, 127] (ext93)") {
+    import spark.implicits._
+    val v = Seq(
+      (1L, Array(0.5f, -1.0f, 0.25f, 0.0f)),
+      (2L, Array(0.0f, 0.0f, 0.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val codes = v.select(col("vec_id"),
+        graft.functions.Int8Vector(
+          Similarity.quantize(col("embedding"))).as("q8"))
+      .as[(Long, Seq[Long])].collect().toMap
+    // q = [500000, -1000000, 250000, 0], m = 1000000:
+    // ((q+m)*254) DIV (2m) - 127
+    assert(codes(1L) == Seq(63L, -127L, 31L, 0L))
+    assert(codes(2L) == Seq(0L, 0L, 0L, 0L))
+    // fuzz the clamp over the real embeddings: every code in range
+    val mx = emb.select(
+        graft.functions.Int8Vector(
+          Similarity.quantize(col("embedding"))).as("q8"))
+      .select(array_max(col("q8")).as("hi"), array_min(col("q8")).as("lo"))
+      .agg(max("hi"), min("lo")).as[(Long, Long)].head()
+    assert(mx._1 <= 127L && mx._2 >= -127L)
+  }
+
+  test("int8 fidelity card: ppm/mae arithmetic exact; perfect corpus " +
+      "scores full overlap with zero-ish error (ext93)") {
+    import spark.implicits._
+    // axis-aligned well-separated vectors: int8 cannot reorder them
+    val vs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(0.9f, 0.1f, 0.0f)),
+      (2L, Array(0.0f, 1.0f, 0.0f)),
+      (3L, Array(0.0f, 0.0f, 1.0f))
+    ).toDF("vec_id", "embedding")
+    val card = Similarity.int8FidelityAudit(
+        vs, vs.filter(col("vec_id") === 0L), 2)
+      .as[(Long, Long, Long, Long, Long)].head()
+    val (nq, np, novl, ppm, mae) = card
+    assert(nq == 1L && np == 2L)
+    assert(novl == 2L && ppm == 1000000L,
+      s"well-separated corpus must agree at k=2, got $card")
+    assert(mae >= 0L && mae < 20000000L, // |cos8-cos| < 0.02 in q9 units
+      s"int8 error implausibly large: $mae")
+    // the int8 ranking itself carries cos8 and dense ranks
+    val i8 = Similarity.int8TopK(vs, vs.filter(col("vec_id") === 0L), 3)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(i8.map(_._3) == Seq(1L, 2L, 3L))
+    assert(i8.head._2 == 1L, "nearest neighbor of e1-ish is the 0.9/0.1 mix")
+  }
 }
