@@ -17,6 +17,18 @@ import org.apache.spark.sql.functions._
  * starts with a listed prefix — the 100x runs (r7 verdict item 5) push
  * one family at a time well past the 10x table without paying for the
  * rest of the list.
+ *
+ * `SPARK_GRAFT_SMOKE_MODE=disjoint` suffixes every TOKEN of copy i
+ * with a copy tag, so copies share no shingles: per-shingle df stays
+ * at its 1x value and the corpus is genuinely N× larger — the
+ * independent-growth axis. The default (`dup`) keeps copies
+ * byte-identical — the mass-duplicate axis. The two modes bracket a
+ * real crawl: at 100x the dup axis is DEGENERATE BY DESIGN for the
+ * shingle detectors (every cross-copy shingle's df is ≥ mult > the
+ * stop-shingle cap of 50, so candidate generation finds nothing — the
+ * cap doing exactly its anti-quadratic job; `text_exact_then_lsh`
+ * shows the production answer), so 100x growth curves are measured on
+ * the disjoint axis.
  */
 object ScaleSmoke {
   def main(args: Array[String]): Unit = {
@@ -30,10 +42,16 @@ object ScaleSmoke {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val mode = sys.env.getOrElse("SPARK_GRAFT_SMOKE_MODE", "dup")
     val base = graft.ingest.Tables.documents(spark, sfDir)
       .select("doc_id", "text", "lang", "source")
     val big = (0 until mult).map { i =>
-      base.withColumn("doc_id", col("doc_id") + lit(i.toLong * 1000000L))
+      val shifted =
+        base.withColumn("doc_id", col("doc_id") + lit(i.toLong * 1000000L))
+      if (mode == "disjoint")
+        shifted.withColumn("text",
+          regexp_replace(col("text"), "([^ ]+)", "$1c" + i))
+      else shifted
     }.reduce(_ union _)
     val n = big.count()
     // Heap high-water per op: reset the per-pool peak counters before,

@@ -387,8 +387,15 @@ object Dedup {
    */
   def dupSpanMass(doc: DataFrame, id: String = "doc_id",
       text: String = "text", n: Int = 3): DataFrame = {
-    val pos = Reuse.shared(doc
-      .select(col(id), graft.ops.TextOps.tokens(col(text)).as("_toks"))
+    val pos = Reuse.shared(positionalShingles(doc, id, text, n))
+    dupSpanMassFrom(doc, pos, sharedSpanHashes(pos, id), id, text, n)
+  }
+
+  /** One row per (doc, capped shingle POSITION) — [[docShingleHashes]]
+    * keeping the position column, for span-coverage consumers. */
+  private def positionalShingles(doc: DataFrame, id: String,
+      text: String, n: Int): DataFrame =
+    doc.select(col(id), graft.ops.TextOps.tokens(col(text)).as("_toks"))
       .select(col(id), col("_toks"),
         explode(when(size(col("_toks")) >= n,
           sequence(lit(1),
@@ -396,10 +403,35 @@ object Dedup {
           .otherwise(array().cast("array<int>"))).as("i"))
       .select(col(id), col("i"),
         Hashing.portableHash32(
-          concat_ws(" ", slice(col("_toks"), col("i"), lit(n)))).as("h")))
-    val shared = pos.groupBy("h")
+          concat_ws(" ", slice(col("_toks"), col("i"), lit(n)))).as("h"))
+
+  /** The OFFLINE artifact of the span-mass score: the distinct shingle
+    * hashes occurring in MORE than one document — one `(h)` row per
+    * shared shingle, stored per corpus snapshot and read by
+    * [[dupSpanMassAgainst]] (the streaming twin's static side, like
+    * [[noveltyShingleDf]]). */
+  def dupSharedHashes(doc: DataFrame, id: String = "doc_id",
+      text: String = "text", n: Int = 3): DataFrame =
+    sharedSpanHashes(positionalShingles(doc, id, text, n), id)
+
+  private def sharedSpanHashes(pos: DataFrame, id: String): DataFrame =
+    pos.groupBy("h")
       .agg(min(col(id)).as("_mn"), max(col(id)).as("_mx"))
       .filter(col("_mn") =!= col("_mx")).select("h")
+
+  /** [[dupSpanMass]] of `doc` against a PRECOMPUTED shared-hash set
+    * ([[dupSharedHashes]] of the snapshot the docs belong to). The
+    * positional shingle pass is per-doc, so scoring any subset of the
+    * snapshot against the stored set equals the batch operator's rows
+    * for that subset — the stream-static property (ext69's pattern). */
+  def dupSpanMassAgainst(doc: DataFrame, shared: DataFrame,
+      id: String = "doc_id", text: String = "text",
+      n: Int = 3): DataFrame =
+    dupSpanMassFrom(doc, positionalShingles(doc, id, text, n),
+      shared, id, text, n)
+
+  private def dupSpanMassFrom(doc: DataFrame, pos: DataFrame,
+      shared: DataFrame, id: String, text: String, n: Int): DataFrame = {
     val dup = pos.join(shared, "h")
     val perDoc = pos.groupBy(col(id)).agg(count(lit(1)).as("n_spans"))
     val dupAgg = dup.groupBy(col(id)).agg(count(lit(1)).as("n_dup_spans"))

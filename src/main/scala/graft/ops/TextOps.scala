@@ -887,6 +887,18 @@ object TextOps {
           sum(length(t)).cast("long").as("n_chars_raw") :+
           sum(length(scrub(t))).cast("long").as("n_chars_scrubbed")): _*)
   }
+
+  /** Re-fold of [[piiAudit]] cards: every column is a count/sum, so
+    * duplicate group keys (micro-batch partials) sum exactly — the
+    * ext78/82/84 partials-fold contract. */
+  def piiAuditFromCounts(raw: DataFrame): DataFrame = {
+    val vals = Seq("n_docs") ++ PiiPatterns.map("hits_" + _._1) ++
+      Seq("docs_flagged", "n_chars_raw", "n_chars_scrubbed")
+    val keys = raw.columns.filterNot(vals.toSet).toSeq
+    raw.groupBy(keys.map(col): _*)
+      .agg(sum(col(vals.head)).as(vals.head),
+        vals.tail.map(v => sum(col(v)).as(v)): _*)
+  }
 }
 
 /**

@@ -454,6 +454,42 @@ object StreamingPipeline {
     partialsSink(docs,
       graft.ops.TextOps.gopherPassPartials(_, strata), outPath)
 
+  /** Streaming twin of the PII audit card (ext92): every column of the
+    * card is a count/sum, so the card itself is the partial — each
+    * micro-batch scrubs/counts its own docs (one stateless codegen
+    * scan, text is never stored) and writes a |strata|-row partial;
+    * [[piiAuditFromState]] folds duplicates by summing. The scrub is
+    * where PII streaming MATTERS: redaction happens on arrival, before
+    * any sink persists raw text. */
+  def piiPartialsSink(docs: DataFrame, strata: Seq[String],
+      outPath: String): DataStreamWriter[org.apache.spark.sql.Row] =
+    partialsSink(docs,
+      graft.ops.TextOps.piiAudit(_, strata), outPath)
+
+  def piiAuditFromState(spark: SparkSession,
+      outPath: String): DataFrame =
+    graft.ops.TextOps.piiAuditFromCounts(
+      spark.read.parquet(outPath).drop("batch"))
+
+  /** Streaming twin of the duplicated-span mass score (ext91): the
+    * shared-shingle-hash set is a per-SNAPSHOT artifact
+    * ([[graft.ops.Dedup.dupSharedHashes]], stored once per corpus
+    * generation — sharing judged inside a stream would drift with
+    * arrival order, ext69/ext80's rationale), and each micro-batch
+    * scores its docs against it: a stream-static h-keyed join + a
+    * doc-keyed coverage aggregate, no cross-batch state, so streamed
+    * rows equal the batch operator's for any batching. The shared set
+    * is corpus-proportional — a keyed join, never a broadcast. */
+  def dupSpanSink(docs: DataFrame, sharedHashes: DataFrame,
+      outPath: String): DataStreamWriter[org.apache.spark.sql.Row] = {
+    val shared = sharedHashes.localCheckpoint(true)
+    docs.writeStream.outputMode("append").foreachBatch {
+      (batch: DataFrame, batchId: Long) =>
+        graft.ops.Dedup.dupSpanMassAgainst(batch, shared)
+          .write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
+    }
+  }
+
   def gopherPassRatesFromState(spark: SparkSession,
       outPath: String): DataFrame =
     graft.ops.TextOps.gopherPassRatesFromCounts(

@@ -1002,4 +1002,46 @@ class StreamingSpec extends TestBase {
       .as[Long].collect().toSeq
     assert(orig == Seq(-1L, 1L, -1L))
   }
+
+  test("streaming dup-span scoring and pii partials == batch operators " +
+      "(ext91/ext92 twins)") {
+    val docs = graft.ingest.Tables.documents(spark, sf("sf0.001"))
+      .select("doc_id", "text", "source")
+    val srcDir = Files.createTempDirectory("graft-span-src").toString + "/d"
+    docs.write.parquet(srcDir)
+    def runSink(mk: (org.apache.spark.sql.DataFrame, String)
+        => org.apache.spark.sql.streaming.DataStreamWriter[
+          org.apache.spark.sql.Row]): String = {
+      val out = Files.createTempDirectory("graft-span-out").toString
+      val ckpt = Files.createTempDirectory("graft-span-ckpt").toString
+      val q = mk(StreamingPipeline.parquetStream(spark, srcDir,
+        maxFilesPerTrigger = Some(1)), out)
+        .option("checkpointLocation", ckpt).start()
+      q.processAllAvailable()
+      q.stop()
+      out
+    }
+    // ext91: the per-snapshot shared-hash artifact computed once
+    // offline, each micro-batch scored against it (ext69's boundary).
+    val shared = graft.ops.Dedup.dupSharedHashes(docs)
+    val spanOut = runSink((s, o) =>
+      StreamingPipeline.dupSpanSink(s, shared, o))
+    val spanStreamed = spark.read.parquet(spanOut)
+      .select("doc_id", "n_spans", "n_dup_spans", "n_covered_toks",
+        "dup_mass_ppm")
+    val spanBatch = graft.ops.Dedup.dupSpanMass(docs)
+    assert(spanStreamed.count() == spanBatch.count() && spanBatch.count() > 0)
+    assert(spanStreamed.except(spanBatch).isEmpty &&
+      spanBatch.except(spanStreamed).isEmpty,
+      "streamed dup-span scores differ from the batch operator")
+    // ext92: the card is its own algebraic partial; the fold sums.
+    val piiOut = runSink((s, o) =>
+      StreamingPipeline.piiPartialsSink(s, Seq("source"), o))
+    val piiStreamed = StreamingPipeline.piiAuditFromState(spark, piiOut)
+    val piiBatch = graft.ops.TextOps.piiAudit(docs, Seq("source"))
+    assert(piiStreamed.except(piiBatch).isEmpty &&
+      piiBatch.except(piiStreamed).isEmpty && piiBatch.count() > 0,
+      "streamed pii fold differs from the batch card")
+    graft.ops.Reuse.freeAll(spark)
+  }
 }
