@@ -1973,7 +1973,7 @@ object ExtEntry {
           s" AS hits_$name"
       }.mkString(",\n       |       ")
       val anyHit = TextOps.PiiPatterns
-        .map { case (_, pat) => s"len(regexp_extract_all(text, '$pat')) > 0" }
+        .map { case (_, pat) => s"regexp_matches(text, '$pat')" }
         .mkString("\n       |              OR ")
       val scrubbed = TextOps.PiiPatterns.foldLeft("text") {
         case (e, (name, pat)) =>

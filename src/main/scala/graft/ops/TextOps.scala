@@ -877,9 +877,12 @@ object TextOps {
       sum(size(regexp_extract_all(t, lit(pat), lit(0))))
         .as(s"hits_$name")
     }
-    val anyHit = PiiPatterns.map { case (_, pat) =>
-      size(regexp_extract_all(t, lit(pat), lit(0))) > 0
-    }.reduce(_ || _)
+    // First-match containment (`rlike`), not extract_all: the flag
+    // column doesn't need match materialization, and on a corpus scan
+    // the short-circuit is the difference between "find one" and
+    // "collect all" per doc per pattern.
+    val anyHit = PiiPatterns.map { case (_, pat) => t.rlike(pat) }
+      .reduce(_ || _)
     doc.groupBy(by.map(col): _*)
       .agg(count(lit(1)).as("n_docs"),
         (hitCols :+
