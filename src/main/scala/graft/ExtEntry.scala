@@ -671,6 +671,23 @@ object ExtEntry {
         e, e.filter(col("vec_id") < NumQueryVecs), 3)
     }),
 
+    // The review queue of WHAT is duplicated: top-20 cross-document
+    // n-grams as text, by exact df — ext91 prices how much is
+    // duplicated, this lists the offender strings (grouped by the
+    // string itself: a 31-bit hash would birthday-merge counts at
+    // corpus scale, and the report needs the text anyway).
+    "ext94_top_shared_ngrams" -> ((s, dir) =>
+      Dedup.topSharedNgrams(docs(s, dir), 20)),
+
+    // Pre-ANN degeneracy audit: per-label vector counts, zero-norm
+    // count (zero vectors make cosine NaN — silent ranking poison),
+    // and the exact min/max/mean of the quantized norm² — the norm
+    // spread is the cosine-vs-dot metric-choice evidence (ext90's
+    // knob). Decimal-carried sum: int64 would overflow near 1e5
+    // unit-norm vectors.
+    "ext95_embedding_norm_audit" -> ((s, dir) =>
+      Similarity.normAudit(embs(s, dir)).orderBy("label")),
+
     // Per-label centroid outliers: the 3 vectors farthest (exact int64
     // distance) from their own label's floor-quantized centroid —
     // embedding-space data pruning / review queue per class.
@@ -2038,6 +2055,39 @@ object ExtEntry {
          |       CASE WHEN ova.novl = 0 THEN CAST(0 AS BIGINT)
          |            ELSE ova.esum // ova.novl END AS mae_q9
          |FROM tot, ova""".stripMargin,
+
+    // Twin of Dedup.topSharedNgrams: distinct (doc, ngram-text) under
+    // the position cap, exact df, df>=2, (df DESC, ngram ASC) head.
+    "ext94_top_shared_ngrams" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+         |pos AS (
+         |  SELECT DISTINCT doc_id,
+         |         tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS ngram
+         |  FROM toks JOIN range(1, ${Dedup.MaxShinglesPerDoc + 1}) g(i)
+         |    ON i <= len(tk) - 2),
+         |dfq AS (
+         |  SELECT ngram, CAST(count(*) AS BIGINT) AS df
+         |  FROM pos GROUP BY 1 HAVING count(*) >= 2)
+         |SELECT ngram, df FROM dfq
+         |ORDER BY df DESC, ngram ASC LIMIT 20""".stripMargin,
+
+    // Twin of Similarity.normAudit: per-vector quantized norm² off the
+    // shared flat CTEs, per-label fold; DuckDB's HUGEINT sum matches
+    // the Spark side's DECIMAL(38,0) carry, floor-divided back.
+    "ext95_embedding_norm_audit" ->
+      s"""$QuantFlatSql,
+         |v AS (
+         |  SELECT f.label, n2.n2
+         |  FROM n2 JOIN (SELECT DISTINCT vec_id, label FROM flat) f
+         |    USING (vec_id))
+         |SELECT label,
+         |       CAST(count(*) AS BIGINT) AS n_vecs,
+         |       CAST(SUM(CASE WHEN n2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |         AS n_zero,
+         |       min(n2) AS min_n2, max(n2) AS max_n2,
+         |       CAST(SUM(n2) // count(*) AS BIGINT) AS avg_n2
+         |FROM v GROUP BY label ORDER BY label""".stripMargin,
 
     // Twin of LabelAudit.labelCentroidOutliers: per-label floor-
     // quantized centroid (Lloyd's update rule), exact int64 distance,

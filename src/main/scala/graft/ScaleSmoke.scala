@@ -135,6 +135,13 @@ object ScaleSmoke {
     // maxKeyFreq^2 fan-out bound (output stays <= |sources|^2 rows).
     time("novelty_scores") { graft.ops.Dedup.noveltyScores(big) }
     time("source_overlap") { graft.ops.Dedup.keyOverlap(big) }
+    // r8 additions. dup_span_mass: in dup mode every span is shared
+    // with the doc's 9 copies, so the degenerate check is the mirror
+    // of novelty's (all coverage 1e6, rows == docs); the min/max-per-h
+    // aggregate and the 1:1 join back are the only corpus-sized work.
+    // pii_audit: stateless codegen scan, |sources| output rows.
+    time("dup_span_mass") { graft.ops.Dedup.dupSpanMass(big) }
+    time("pii_audit") { graft.ops.TextOps.piiAudit(big) }
     // Embeddings family at Nx: shifted copies are exact duplicate
     // vectors, so each id-family is a planted all-pairs near-dup
     // cluster (the mass-duplicate stress case for banded LSH).
@@ -192,6 +199,12 @@ object ScaleSmoke {
     time("knn_label_audit_20q") {
       graft.ops.LabelAudit.knnLabelAudit(bigEmbL,
         bigEmbL.filter(col("vec_id") < 20), 5)
+    }
+    // r8: two full rankings + a rank-set join; output is one row at
+    // any corpus size, cost is the two linear broadcast-query scans.
+    time("int8_fidelity_20q") {
+      graft.ops.Similarity.int8FidelityAudit(bigEmbL,
+        bigEmbL.filter(col("vec_id") < 20), 3)
     }
     // r7 ext78-81 additions. packEfficiency: one scan, |budgets| output
     // rows at any mult. dedupWeights: the cluster map at Nx rides the

@@ -455,6 +455,41 @@ object Dedup {
   }
 
   /**
+   * The review queue of WHAT is duplicated: the top-k n-grams (as
+   * text, not hashes) occurring in more than one document, ranked by
+   * exact document frequency — the corpus-wide boilerplate strings a
+   * curator eyeballs before deciding span surgery (ext91 prices how
+   * MUCH is duplicated; this shows the offenders).
+   * [[graft.ops.TextOps.zipfHeadCoverage]]'s n-gram-level sibling,
+   * restricted to cross-document shares.
+   *
+   * Scale shape: distinct (doc, ngram) under the position cap, one
+   * ngram-keyed count, df ≥ 2 filter, then a distributed TakeOrdered
+   * head — k rows ever reach the driver. Grouping is BY THE STRING:
+   * a 31-bit hash would birthday-collide distinct n-grams into merged
+   * counts at corpus scale, and the report needs the text anyway; the
+   * shuffle rows are (ngram, doc) pairs, the same order of bytes the
+   * text scan already moved.
+   */
+  def topSharedNgrams(doc: DataFrame, k: Int = 20,
+      id: String = "doc_id", text: String = "text",
+      n: Int = 3): DataFrame =
+    doc.select(col(id), graft.ops.TextOps.tokens(col(text)).as("_toks"))
+      .select(col(id),
+        explode(when(size(col("_toks")) >= n,
+          sequence(lit(1),
+            least(size(col("_toks")) - lit(n - 1), lit(MaxShinglesPerDoc))))
+          .otherwise(array().cast("array<int>"))).as("_i"),
+        col("_toks"))
+      .select(col(id),
+        concat_ws(" ", slice(col("_toks"), col("_i"), lit(n))).as("ngram"))
+      .distinct()
+      .groupBy("ngram").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2)
+      .orderBy(col("df").desc, col("ngram").asc)
+      .limit(k)
+
+  /**
    * Cross-key shingle overlap matrix — which SOURCES (or shards, or
    * crawls) duplicate each other: for every ordered key pair (a, b)
    * with any overlap, the count of a's distinct shingles also present

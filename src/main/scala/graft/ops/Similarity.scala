@@ -184,6 +184,28 @@ object Similarity {
   }
 
   /**
+   * Embedding norm sanity card per group (default: per label) — the
+   * pre-ANN degeneracy audit: zero vectors make cosine NaN (they
+   * poison every ranking silently), and a wide norm spread is the
+   * evidence for choosing cosine vs dot as the retrieval metric
+   * (ext90's knob). One codegen scan (quantize + qnorm2), one
+   * |groups|-row aggregate; the n2 sum is carried in DECIMAL(38,0)
+   * because per-vector n2 is ~dims·(scale·|v|)² and an int64 sum
+   * overflows near ~10⁵ unit-norm vectors — the oracle's HUGEINT sum
+   * agrees, and the floor-divided mean comes back to int64.
+   */
+  def normAudit(emb: DataFrame, by: Seq[String] = Seq("label"),
+      vec: String = "embedding"): DataFrame =
+    emb.select((by.map(col) :+
+        qnorm2(quantize(col(vec))).as("n2")): _*)
+      .groupBy(by.map(col): _*)
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(when(col("n2") === 0, 1L).otherwise(0L)).as("n_zero"),
+        min("n2").as("min_n2"), max("n2").as("max_n2"),
+        floor(sum(col("n2").cast("decimal(38,0)")) / count(lit(1)))
+          .cast("long").as("avg_n2"))
+
+  /**
    * Hard-negative mining for contrastive/retrieval training: per query,
    * the top-k most-similar corpus items BELOW the near-duplicate
    * threshold — similar enough to be informative negatives, dissimilar

@@ -269,4 +269,21 @@ class DedupSpec extends TestBase {
     assert(got(5L) == ((0L, 0L, 0L, 0L)))
     graft.ops.Reuse.freeAll(spark)
   }
+
+  test("topSharedNgrams: exact df over distinct docs, text surfaces, " +
+      "df>=2 filter, (df DESC, ngram ASC) total order (ext94)") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d"),  // "a b c", "b c d"
+      (2L, "a b c x"),  // "a b c", "b c x"
+      (3L, "a b c d"),  // repeats doc 1
+      (4L, "z z z z z") // intra-doc repeats only: df stays 1
+    ).toDF("doc_id", "text")
+    val got = Dedup.topSharedNgrams(docs, 10)
+      .as[(String, Long)].collect().toSeq
+    assert(got == Seq(("a b c", 3L), ("b c d", 2L)))
+    // head bound: k = 1 keeps only the top row
+    assert(Dedup.topSharedNgrams(docs, 1)
+      .as[(String, Long)].collect().toSeq == Seq(("a b c", 3L)))
+  }
 }

@@ -264,4 +264,19 @@ class SimilaritySpec extends TestBase {
     assert(i8.map(_._3) == Seq(1L, 2L, 3L))
     assert(i8.head._2 == 1L, "nearest neighbor of e1-ish is the 0.9/0.1 mix")
   }
+
+  test("norm audit: zero vectors counted, exact min/max/mean per label " +
+      "(ext95)") {
+    import spark.implicits._
+    val vs = Seq(
+      (1L, Array(1.0f, 0.0f), 0L),
+      (2L, Array(0.0f, 0.0f), 0L), // the cosine-poison degenerate
+      (3L, Array(2.0f, 0.0f), 1L)
+    ).toDF("vec_id", "embedding", "label")
+    val got = Similarity.normAudit(vs).orderBy("label")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (0L, 2L, 1L, 0L, 1000000000000L, 500000000000L),
+      (1L, 1L, 0L, 4000000000000L, 4000000000000L, 4000000000000L)))
+  }
 }
