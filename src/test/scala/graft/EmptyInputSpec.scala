@@ -144,6 +144,27 @@ class EmptyInputSpec extends TestBase {
     graft.ops.Reuse.freeAll(spark)
   }
 
+  test("r8 ops: empty inputs flow through, no NPE; one-row cards stay " +
+      "one well-defined row") {
+    import graft.ops.{Dedup, Similarity, TextOps}
+    val d = emptyDocs
+    val e = emptyEmb
+    val results = Seq(
+      countOf("dupSpanMass")(Dedup.dupSpanMass(d)),
+      countOf("topSharedNgrams")(Dedup.topSharedNgrams(d)),
+      countOf("piiAudit")(TextOps.piiAudit(d)), // grouped: 0 groups
+      countOf("normAudit")(Similarity.normAudit(e)),
+      countOf("int8TopK")(Similarity.int8TopK(e, e, 3)))
+    assert(results.forall(_._2 == 0L), results.toString)
+    // the fidelity audit is a GLOBAL aggregate: one row even on empty
+    // input, with every quotient guarded to 0 instead of NULL/NaN
+    import spark.implicits._
+    val card = Similarity.int8FidelityAudit(e, e, 3)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(card == Seq((0L, 0L, 0L, 0L, 0L)))
+    graft.ops.Reuse.freeAll(spark)
+  }
+
   test("ext85 on a duplicate-free corpus: one zero-savings row, no NULLs " +
       "(r7 ADVICE degenerate-case parity)") {
     // With zero dup clusters the family relation is empty; the report
