@@ -679,6 +679,14 @@ object ExtEntry {
     "ext94_top_shared_ngrams" -> ((s, dir) =>
       Dedup.topSharedNgrams(docs(s, dir), 20)),
 
+    // Span-level dedup SURGERY: cut every token position covered by
+    // an n-gram that also occurs in a lower-id document and reassemble
+    // the survivors — exactly one copy of each shared n-gram survives
+    // corpus-wide (min-id keeper, the ext14/47 convention). The
+    // transformation ext91's signal decides on.
+    "ext96_dup_span_surgery" -> ((s, dir) =>
+      Dedup.dupSpanSurgery(docs(s, dir)).orderBy("doc_id")),
+
     // Pre-ANN degeneracy audit: per-label vector counts, zero-norm
     // count (zero vectors make cosine NaN — silent ranking poison),
     // and the exact min/max/mean of the quantized norm² — the norm
@@ -2071,6 +2079,40 @@ object ExtEntry {
          |  FROM pos GROUP BY 1 HAVING count(*) >= 2)
          |SELECT ngram, df FROM dfq
          |ORDER BY df DESC, ngram ASC LIMIT 20""".stripMargin,
+
+    // Twin of Dedup.dupSpanSurgery: positional shingles, per-hash
+    // (min, max) keeper stat, 0..n-1 offset coverage, NULL-skipping
+    // ordered string_agg reassembly (collect_list drops nulls on the
+    // Spark side — same contract).
+    "ext96_dup_span_surgery" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+         |pos AS (
+         |  SELECT doc_id, i,
+         |         ${hashSql("tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]")} AS h
+         |  FROM toks JOIN range(1, ${Dedup.MaxShinglesPerDoc + 1}) g(i)
+         |    ON i <= len(tk) - 2),
+         |stat AS (
+         |  SELECT h, min(doc_id) AS mn, max(doc_id) AS mx
+         |  FROM pos GROUP BY h),
+         |cut AS (
+         |  SELECT DISTINCT p.doc_id, p.i + o AS p
+         |  FROM pos p JOIN stat s USING (h), range(0, 3) r(o)
+         |  WHERE s.mn <> s.mx AND p.doc_id <> s.mn),
+         |tkr AS (
+         |  SELECT doc_id, unnest(tk) AS tok,
+         |         unnest(range(1, len(tk) + 1)) AS p
+         |  FROM toks),
+         |j AS (
+         |  SELECT t.doc_id, t.p, t.tok, c.p AS cp
+         |  FROM tkr t LEFT JOIN cut c ON c.doc_id = t.doc_id AND c.p = t.p)
+         |SELECT doc_id,
+         |       CAST(count(*) AS BIGINT) AS n_toks,
+         |       CAST(SUM(CASE WHEN cp IS NOT NULL THEN 1 ELSE 0 END)
+         |         AS BIGINT) AS n_toks_cut,
+         |       COALESCE(string_agg(CASE WHEN cp IS NULL THEN tok END,
+         |         ' ' ORDER BY p), '') AS clean_text
+         |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // Twin of Similarity.normAudit: per-vector quantized norm² off the
     // shared flat CTEs, per-label fold; DuckDB's HUGEINT sum matches

@@ -455,6 +455,82 @@ object Dedup {
   }
 
   /**
+   * Span-level dedup SURGERY — the transformation ext91's signal
+   * prices: cut from every document the token positions covered by an
+   * n-gram that also occurs in a LOWER-id document, and reassemble the
+   * survivors in order. Exactly one copy of every shared n-gram
+   * survives corpus-wide, held by its lowest doc_id (the ext14/ext47
+   * min-id keeper convention), so text mass flows deterministically to
+   * first occurrences — the Lee-et-al.-style alternative to dropping
+   * whole near-dup documents when variants carry unique content
+   * around a shared core. A document never cuts spans it is the
+   * keeper of; a full duplicate of an earlier doc empties to ''.
+   *
+   * Scale shape: the positional shingle pass + a per-hash (min, max)
+   * aggregate (two longs of state — the keeper IS the min, so the
+   * artifact costs nothing beyond ext91's sharing test); one h-keyed
+   * join, one (doc, pos) anti-style membership join, ONE doc-keyed
+   * aggregate that counts AND reassembles (`collect_list` drops the
+   * cut tokens' nulls — the ext59 boilerplate single-pass shape; the
+   * per-doc array is bounded by doc length, post-aggregate HOF, not a
+   * scan hot path). Positions past [[MaxShinglesPerDoc]] are never
+   * cut — the cap discipline every shingle consumer shares.
+   */
+  def dupSpanSurgery(doc: DataFrame, id: String = "doc_id",
+      text: String = "text", n: Int = 3): DataFrame = {
+    val pos = Reuse.shared(positionalShingles(doc, id, text, n))
+    dupSpanSurgeryFrom(doc, pos, keeperSpansFrom(pos, id), id, text, n)
+  }
+
+  /** The OFFLINE artifact of span surgery: `(h, keeper_id)` for every
+    * cross-document shingle hash — [[dupSharedHashes]] plus the min-id
+    * keeper, stored per corpus snapshot and read by
+    * [[dupSpanSurgeryAgainst]] (the streaming twin's static side). */
+  def dupKeeperSpans(doc: DataFrame, id: String = "doc_id",
+      text: String = "text", n: Int = 3): DataFrame =
+    keeperSpansFrom(positionalShingles(doc, id, text, n), id)
+
+  private def keeperSpansFrom(pos: DataFrame, id: String): DataFrame =
+    pos.groupBy("h")
+      .agg(min(col(id)).as("keeper_id"), max(col(id)).as("_mx"))
+      .filter(col("keeper_id") =!= col("_mx"))
+      .select("h", "keeper_id")
+
+  /** [[dupSpanSurgery]] against a PRECOMPUTED keeper relation
+    * ([[dupKeeperSpans]] of the snapshot the docs belong to) — the
+    * per-doc scan is corpus-independent, so operating on any subset of
+    * the snapshot equals the batch operator's rows for that subset. */
+  def dupSpanSurgeryAgainst(doc: DataFrame, keeperSpans: DataFrame,
+      id: String = "doc_id", text: String = "text",
+      n: Int = 3): DataFrame =
+    dupSpanSurgeryFrom(doc, positionalShingles(doc, id, text, n),
+      keeperSpans, id, text, n)
+
+  private def dupSpanSurgeryFrom(doc: DataFrame, pos: DataFrame,
+      keeperSpans: DataFrame, id: String, text: String,
+      n: Int): DataFrame = {
+    val toCut = pos.join(keeperSpans, "h")
+      .filter(col(id) =!= col("keeper_id"))
+      .select(col(id),
+        explode(sequence(col("i"), col("i") + lit(n - 1))).as("p"))
+      .distinct()
+      .withColumn("_cut", lit(1L))
+    doc.select(col(id),
+        posexplode(graft.ops.TextOps.tokens(col(text)))
+          .as(Seq("_p0", "tok")))
+      .select(col(id), (col("_p0") + 1).as("p"), col("tok"))
+      .join(toCut, Seq(id, "p"), "left")
+      .groupBy(col(id))
+      .agg(count(lit(1)).as("n_toks"),
+        sum(when(col("_cut").isNotNull, 1L).otherwise(0L))
+          .as("n_toks_cut"),
+        array_join(transform(
+          array_sort(collect_list(when(col("_cut").isNull,
+            struct(col("p"), col("tok"))))),
+          s => s.getField("tok")), " ").as("clean_text"))
+  }
+
+  /**
    * The review queue of WHAT is duplicated: the top-k n-grams (as
    * text, not hashes) occurring in more than one document, ranked by
    * exact document frequency — the corpus-wide boilerplate strings a

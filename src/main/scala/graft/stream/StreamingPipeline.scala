@@ -490,6 +490,23 @@ object StreamingPipeline {
     }
   }
 
+  /** Streaming twin of span-level dedup surgery (ext96): arriving docs
+    * are cut against the stored per-snapshot `(h, keeper_id)` artifact
+    * ([[graft.ops.Dedup.dupKeeperSpans]] — same snapshot boundary as
+    * [[dupSpanSink]]'s shared set; keeper judged inside a stream would
+    * depend on arrival order). Per-doc cut + reassembly is
+    * corpus-independent, so streamed rows equal the batch operator's
+    * at any batching. */
+  def dupSpanSurgerySink(docs: DataFrame, keeperSpans: DataFrame,
+      outPath: String): DataStreamWriter[org.apache.spark.sql.Row] = {
+    val keepers = keeperSpans.localCheckpoint(true)
+    docs.writeStream.outputMode("append").foreachBatch {
+      (batch: DataFrame, batchId: Long) =>
+        graft.ops.Dedup.dupSpanSurgeryAgainst(batch, keepers)
+          .write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
+    }
+  }
+
   def gopherPassRatesFromState(spark: SparkSession,
       outPath: String): DataFrame =
     graft.ops.TextOps.gopherPassRatesFromCounts(

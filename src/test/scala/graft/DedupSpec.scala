@@ -286,4 +286,27 @@ class DedupSpec extends TestBase {
     assert(Dedup.topSharedNgrams(docs, 1)
       .as[(String, Long)].collect().toSeq == Seq(("a b c", 3L)))
   }
+
+  test("dupSpanSurgery: shared spans cut everywhere except the min-id " +
+      "keeper; full duplicate empties; keeper and short docs untouched " +
+      "(ext96)") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d e"),     // keeper of everything it shares
+      (2L, "x y a b c z"),   // shares "a b c" -> cuts tokens 3..5
+      (3L, "a b c d e"),     // exact copy of doc 1 -> empties
+      (4L, "p q")            // below shingle width -> untouched
+    ).toDF("doc_id", "text")
+    val got = Dedup.dupSpanSurgery(docs)
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got(1L) == ((5L, 0L, "a b c d e")))
+    assert(got(2L) == ((6L, 3L, "x y z")))
+    assert(got(3L) == ((5L, 5L, "")))
+    assert(got(4L) == ((2L, 0L, "p q")))
+    // exactly one copy of the shared n-gram survives corpus-wide
+    val survivors = got.values.count(_._3.contains("a b c"))
+    assert(survivors == 1)
+    graft.ops.Reuse.freeAll(spark)
+  }
 }

@@ -1034,6 +1034,18 @@ class StreamingSpec extends TestBase {
     assert(spanStreamed.except(spanBatch).isEmpty &&
       spanBatch.except(spanStreamed).isEmpty,
       "streamed dup-span scores differ from the batch operator")
+    // ext96: surgery against the stored keeper artifact — per-doc cut
+    // and reassembly are corpus-independent, same boundary as ext91.
+    val keepers = graft.ops.Dedup.dupKeeperSpans(docs)
+    val surgOut = runSink((s, o) =>
+      StreamingPipeline.dupSpanSurgerySink(s, keepers, o))
+    val surgStreamed = spark.read.parquet(surgOut)
+      .select("doc_id", "n_toks", "n_toks_cut", "clean_text")
+    val surgBatch = graft.ops.Dedup.dupSpanSurgery(docs)
+    assert(surgStreamed.count() == surgBatch.count() && surgBatch.count() > 0)
+    assert(surgStreamed.except(surgBatch).isEmpty &&
+      surgBatch.except(surgStreamed).isEmpty,
+      "streamed span surgery differs from the batch operator")
     // ext92: the card is its own algebraic partial; the fold sums.
     val piiOut = runSink((s, o) =>
       StreamingPipeline.piiPartialsSink(s, Seq("source"), o))
