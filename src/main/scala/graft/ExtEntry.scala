@@ -687,6 +687,18 @@ object ExtEntry {
     "ext96_dup_span_surgery" -> ((s, dir) =>
       Dedup.dupSpanSurgery(docs(s, dir)).orderBy("doc_id")),
 
+    // Decontamination surgery: ext96's cross-corpus form — cut every
+    // training-doc span covered by a benchmark n-gram (ext32 flags the
+    // docs, ext50 locates the spans, this REMOVES them). Benchmark =
+    // doc_id < 20 (ext50's stand-in), corpus = the rest; the keeper-id
+    // -1 composition means every match cuts.
+    "ext97_decontamination_surgery" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Dedup.decontaminationSurgery(
+          d.filter(col("doc_id") >= 20), d.filter(col("doc_id") < 20))
+        .orderBy("doc_id")
+    }),
+
     // Pre-ANN degeneracy audit: per-label vector counts, zero-norm
     // count (zero vectors make cosine NaN — silent ranking poison),
     // and the exact min/max/mean of the quantized norm² — the norm
@@ -2099,6 +2111,44 @@ object ExtEntry {
          |  SELECT DISTINCT p.doc_id, p.i + o AS p
          |  FROM pos p JOIN stat s USING (h), range(0, 3) r(o)
          |  WHERE s.mn <> s.mx AND p.doc_id <> s.mn),
+         |tkr AS (
+         |  SELECT doc_id, unnest(tk) AS tok,
+         |         unnest(range(1, len(tk) + 1)) AS p
+         |  FROM toks),
+         |j AS (
+         |  SELECT t.doc_id, t.p, t.tok, c.p AS cp
+         |  FROM tkr t LEFT JOIN cut c ON c.doc_id = t.doc_id AND c.p = t.p)
+         |SELECT doc_id,
+         |       CAST(count(*) AS BIGINT) AS n_toks,
+         |       CAST(SUM(CASE WHEN cp IS NOT NULL THEN 1 ELSE 0 END)
+         |         AS BIGINT) AS n_toks_cut,
+         |       COALESCE(string_agg(CASE WHEN cp IS NULL THEN tok END,
+         |         ' ' ORDER BY p), '') AS clean_text
+         |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // Twin of Dedup.decontaminationSurgery: benchmark (doc_id < 20)
+    // distinct shingle hashes, corpus positional shingles, every match
+    // cuts (no keeper among training docs), ext96's reassembly tail.
+    "ext97_decontamination_surgery" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, string_split(text, ' ') AS tk
+         |  FROM documents WHERE doc_id >= 20),
+         |btoks AS (
+         |  SELECT doc_id, string_split(text, ' ') AS tk
+         |  FROM documents WHERE doc_id < 20),
+         |bh AS (
+         |  SELECT DISTINCT
+         |         ${hashSql("tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]")} AS h
+         |  FROM btoks JOIN range(1, ${Dedup.MaxShinglesPerDoc + 1}) g(i)
+         |    ON i <= len(tk) - 2),
+         |pos AS (
+         |  SELECT doc_id, i,
+         |         ${hashSql("tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]")} AS h
+         |  FROM toks JOIN range(1, ${Dedup.MaxShinglesPerDoc + 1}) g(i)
+         |    ON i <= len(tk) - 2),
+         |cut AS (
+         |  SELECT DISTINCT p.doc_id, p.i + o AS p
+         |  FROM pos p JOIN bh USING (h), range(0, 3) r(o)),
          |tkr AS (
          |  SELECT doc_id, unnest(tk) AS tok,
          |         unnest(range(1, len(tk) + 1)) AS p

@@ -142,6 +142,12 @@ object ScaleSmoke {
     // pii_audit: stateless codegen scan, |sources| output rows.
     time("dup_span_mass") { graft.ops.Dedup.dupSpanMass(big) }
     time("pii_audit") { graft.ops.TextOps.piiAudit(big) }
+    // Surgery reconstructs every doc: in dup mode all but the lowest
+    // copy of each family empty to '' (everything they hold is kept by
+    // an earlier doc), so output rows == docs with ~(mult-1)/mult of
+    // token mass cut — the degenerate check — and the cost is the
+    // token-level reassembly aggregate on top of dup_span_mass's scan.
+    time("dup_span_surgery") { graft.ops.Dedup.dupSpanSurgery(big) }
     // Embeddings family at Nx: shifted copies are exact duplicate
     // vectors, so each id-family is a planted all-pairs near-dup
     // cluster (the mass-duplicate stress case for banded LSH).

@@ -531,6 +531,30 @@ object Dedup {
   }
 
   /**
+   * Decontamination SURGERY — [[dupSpanSurgery]]'s cross-corpus form:
+   * cut from every training document the token positions covered by
+   * an n-gram present in the BENCHMARK set, keeping the rest (ext32
+   * flags contaminated docs, ext50 locates the spans; this removes
+   * them — the span-cutting decontamination real pipelines run when
+   * dropping whole documents wastes too much clean text). Pure
+   * composition: the benchmark's distinct shingle hashes become a
+   * keeper relation whose keeper is the impossible id −1, so
+   * [[dupSpanSurgeryAgainst]] cuts EVERY match — no training doc is
+   * ever the keeper of a benchmark n-gram. Same snapshot-artifact
+   * boundary: the benchmark hash set is built once and reused
+   * (broadcast-sized for real benchmark suites, unlike ext91's
+   * corpus-proportional shared set).
+   */
+  def decontaminationSurgery(corpus: DataFrame, benchmark: DataFrame,
+      id: String = "doc_id", text: String = "text",
+      n: Int = 3): DataFrame =
+    dupSpanSurgeryAgainst(corpus,
+      positionalShingles(benchmark, id, text, n)
+        .select(col("h")).distinct()
+        .withColumn("keeper_id", lit(-1L)),
+      id, text, n)
+
+  /**
    * The review queue of WHAT is duplicated: the top-k n-grams (as
    * text, not hashes) occurring in more than one document, ranked by
    * exact document frequency — the corpus-wide boilerplate strings a

@@ -309,4 +309,21 @@ class DedupSpec extends TestBase {
     assert(survivors == 1)
     graft.ops.Reuse.freeAll(spark)
   }
+
+  test("decontaminationSurgery: benchmark spans cut from every corpus " +
+      "doc (no keeper among training docs), clean docs untouched " +
+      "(ext97)") {
+    import spark.implicits._
+    val bench = Seq((100L, "q1 q2 q3 q4")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "x y q1 q2 q3 z"),        // one benchmark 3-gram inside
+      (2L, "clean text only here")
+    ).toDF("doc_id", "text")
+    val got = Dedup.decontaminationSurgery(corpus, bench)
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got(1L) == ((6L, 3L, "x y z")))
+    assert(got(2L) == ((4L, 0L, "clean text only here")))
+    graft.ops.Reuse.freeAll(spark)
+  }
 }
