@@ -816,8 +816,11 @@ object TextOps {
    */
   def oovRate(doc: DataFrame, denom: Long = 10,
       id: String = "doc_id", text: String = "text"): DataFrame = {
-    val inst = Reuse.shared(
-      doc.select(col(id), explode(tokens(col(text))).as("tok")))
+    // `graft.oovshare=off` (PerfLab A/B knob): recompute the explode
+    // per consumer instead of checkpointing the token relation.
+    val instRaw = doc.select(col(id), explode(tokens(col(text))).as("tok"))
+    val inst = if (sys.props.get("graft.oovshare").contains("off")) instRaw
+      else Reuse.shared(instRaw)
     val rare = rareFromCounts(Reuse.shared(
       inst.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))), denom)
     scoreRareInstances(inst, rare, id)
