@@ -699,6 +699,14 @@ object ExtEntry {
         .orderBy("doc_id")
     }),
 
+    // Count-Min heavy-hitter sketch, priced: exact top-20 tokens
+    // beside their CMS estimates off the 4-row x 1024-cell counter
+    // table, overestimate in ppm. est >= exact always (the one-sided
+    // CMS guarantee); the counter table is a broadcast-sized mergeable
+    // artifact at any corpus size.
+    "ext98_countmin_audit" -> ((s, dir) =>
+      Sketches.countMinAccuracyAudit(docs(s, dir), 20)),
+
     // Pre-ANN degeneracy audit: per-label vector counts, zero-norm
     // count (zero vectors make cosine NaN — silent ranking poison),
     // and the exact min/max/mean of the quantized norm² — the norm
@@ -2163,6 +2171,48 @@ object ExtEntry {
          |       COALESCE(string_agg(CASE WHEN cp IS NULL THEN tok END,
          |         ' ' ORDER BY p), '') AS clean_text
          |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // Twin of Sketches.countMinAccuracyAudit: per-instance depth-row
+    // union builds the counter table with the shared seedA/seedB
+    // universal hashes; the probe CASE re-derives each top token's
+    // buckets; min over rows is the estimate.
+    "ext98_countmin_audit" -> {
+      def b(j: Int, e: String) =
+        s"((($e) * ${Hashing.seedA(j)} + ${Hashing.seedB(j)}) % $P)" +
+          s" % ${Sketches.CmsWidth}"
+      val unioned = (0 until Sketches.CmsDepth).map(j =>
+        s"SELECT $j AS j, ${b(j, "h")} AS bucket FROM th")
+        .mkString("\n  |  UNION ALL\n  |  ")
+      val caseBucket = (0 until Sketches.CmsDepth).map(j =>
+        s"WHEN $j THEN ${b(j, "k.h")}").mkString(" ")
+      s"""WITH inst AS (
+         |  SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+         |th AS (SELECT tok, ${hashSql("tok")} AS h FROM inst),
+         |rows_ AS (
+         |  $unioned),
+         |counters AS (
+         |  SELECT j, bucket, CAST(count(*) AS BIGINT) AS cnt
+         |  FROM rows_ GROUP BY 1, 2),
+         |exact AS (
+         |  SELECT tok, CAST(count(*) AS BIGINT) AS exact
+         |  FROM inst GROUP BY 1),
+         |top AS (SELECT tok, exact FROM exact
+         |        ORDER BY exact DESC, tok ASC LIMIT 20),
+         |tokh AS (SELECT DISTINCT tok, h FROM th),
+         |probe AS (
+         |  SELECT t.tok, r.j, CASE r.j $caseBucket END AS bucket
+         |  FROM top t JOIN tokh k USING (tok),
+         |       range(0, ${Sketches.CmsDepth}) r(j)),
+         |est AS (
+         |  SELECT p.tok, min(c.cnt) AS est
+         |  FROM probe p JOIN counters c
+         |    ON c.j = p.j AND c.bucket = p.bucket
+         |  GROUP BY 1)
+         |SELECT t.tok, t.exact, e.est,
+         |       ((e.est - t.exact) * 1000000) // t.exact AS err_ppm
+         |FROM top t JOIN est e USING (tok)
+         |ORDER BY t.exact DESC, t.tok ASC""".stripMargin
+    },
 
     // Twin of Similarity.normAudit: per-vector quantized norm² off the
     // shared flat CTEs, per-label fold; DuckDB's HUGEINT sum matches

@@ -134,6 +134,81 @@ object Sketches {
           s"CAST(p${q}_bucket + 1 AS INT)) - 1").as(s"p${q}_est")
       }: _*)
   }
+
+  /** Count-Min sketch geometry. Width × depth = 4096 counters — the
+    * whole sketch is a broadcast-sized artifact at ANY corpus size;
+    * depth-4 rows drive the union-explode and the per-token min. The
+    * SAME constants interpolate into the ext98 oracle. */
+  val CmsWidth = 1024
+  val CmsDepth = 4
+
+  /** Row-j bucket of a [[graft.ops.Hashing.portableHash32]] value —
+    * the universal-hash family the MinHash signatures already use
+    * (seeds shared via [[Hashing.seedA]]/[[Hashing.seedB]]), reduced
+    * mod width. Engine-portable exact integer arithmetic. */
+  def cmsBucket(th: Column, j: Int): Column =
+    ((th * lit(Hashing.seedA(j)) + lit(Hashing.seedB(j)))
+      % lit(Hashing.Mersenne31)) % lit(CmsWidth.toLong)
+
+  /**
+   * Count-Min counter table over a token stream: `(j, bucket, cnt)`,
+   * ≤ depth × width rows — the classic mergeable heavy-hitter sketch
+   * (Cormode & Muthukrishnan). Counters are pure sums, so the sketch
+   * is its own algebraic partial: micro-batches' counter tables sum
+   * cell-wise ([[countMinMerge]]), shards merge the same way, and the
+   * artifact a serving layer probes is 4096 longs no matter whether
+   * the corpus was 5 thousand or 5 trillion tokens. One explode ×
+   * depth rows per token instance, map-side combined into ≤ 4096
+   * groups per task.
+   */
+  def countMinCounters(doc: DataFrame, text: String = "text"): DataFrame =
+    doc.select(explode(TextOps.tokens(col(text))).as("tok"))
+      .select(Hashing.portableHash32(col("tok")).as("th"))
+      .select(explode(array((0 until CmsDepth).map(j =>
+        struct(lit(j).as("j"), cmsBucket(col("th"), j).as("bucket"))): _*))
+        .as("jb"))
+      .select(col("jb.j").as("j"), col("jb.bucket").as("bucket"))
+      .groupBy("j", "bucket").agg(count(lit(1)).as("cnt"))
+
+  /** Cell-wise sum of counter tables — the merge that makes the sketch
+    * shardable and streamable (duplicate (j, bucket) keys add). */
+  def countMinMerge(counters: DataFrame): DataFrame =
+    counters.groupBy("j", "bucket").agg(sum(col("cnt")).as("cnt"))
+
+  /** Point estimates off a counter table for the given distinct-token
+    * relation (column `tok`): est = min over rows of the row's bucket
+    * counter — the CMS guarantee is est ≥ true count always, with
+    * overestimate bounded by the collision mass per bucket. */
+  def countMinEstimates(tokens: DataFrame,
+      counters: DataFrame): DataFrame =
+    tokens.select(col("tok"), Hashing.portableHash32(col("tok")).as("th"))
+      .select(col("tok"), explode(array((0 until CmsDepth).map(j =>
+        struct(lit(j).as("j"), cmsBucket(col("th"), j).as("bucket"))): _*))
+        .as("jb"))
+      .select(col("tok"), col("jb.j").as("j"), col("jb.bucket").as("bucket"))
+      .join(broadcast(countMinMerge(counters)), Seq("j", "bucket"))
+      .groupBy("tok").agg(min(col("cnt")).as("est"))
+
+  /**
+   * The sketch priced, ext54/88-style: the exact top-k tokens (the
+   * ground truth a heavy-hitter sketch exists to approximate) beside
+   * their CMS estimates, with the overestimate in ppm of the true
+   * count. `est >= exact` ALWAYS (the one-sided CMS guarantee — the
+   * spec asserts it); the audit's number is how much collision mass
+   * the 4096-cell budget costs at this corpus' token skew.
+   */
+  def countMinAccuracyAudit(doc: DataFrame, k: Int = 20,
+      text: String = "text"): DataFrame = {
+    val counters = countMinCounters(doc, text)
+    val top = doc.select(explode(TextOps.tokens(col(text))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("exact"))
+      .orderBy(col("exact").desc, col("tok").asc)
+      .limit(k)
+    top.join(countMinEstimates(top.select("tok"), counters), "tok")
+      .withColumn("err_ppm", expr("((est - exact) * 1000000) DIV exact"))
+      .select("tok", "exact", "est", "err_ppm")
+      .orderBy(col("exact").desc, col("tok").asc)
+  }
 }
 
 /** Sketch summary: how many mins are held (< k ⇒ the set is exact) and

@@ -471,6 +471,21 @@ object StreamingPipeline {
     graft.ops.TextOps.piiAuditFromCounts(
       spark.read.parquet(outPath).drop("batch"))
 
+  /** Streaming twin of the Count-Min sketch (ext98): counters are pure
+    * sums, so each micro-batch writes its own ≤ depth×width-row
+    * counter table and the fold is the cell-wise merge — the textbook
+    * mergeable-sketch property, same lifecycle as the ext78/82/84
+    * partials. Estimates ([[graft.ops.Sketches.countMinEstimates]])
+    * read the folded table on demand. */
+  def countMinPartialsSink(docs: DataFrame,
+      outPath: String): DataStreamWriter[org.apache.spark.sql.Row] =
+    partialsSink(docs, graft.ops.Sketches.countMinCounters(_), outPath)
+
+  def countMinFromState(spark: SparkSession,
+      outPath: String): DataFrame =
+    graft.ops.Sketches.countMinMerge(
+      spark.read.parquet(outPath).drop("batch"))
+
   /** Streaming twin of the duplicated-span mass score (ext91): the
     * shared-shingle-hash set is a per-SNAPSHOT artifact
     * ([[graft.ops.Dedup.dupSharedHashes]], stored once per corpus

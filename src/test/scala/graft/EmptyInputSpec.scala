@@ -151,6 +151,9 @@ class EmptyInputSpec extends TestBase {
     val e = emptyEmb
     val results = Seq(
       countOf("dupSpanMass")(Dedup.dupSpanMass(d)),
+      countOf("dupSpanSurgery")(Dedup.dupSpanSurgery(d)),
+      countOf("decontaminationSurgery")(
+        Dedup.decontaminationSurgery(d, d)),
       countOf("topSharedNgrams")(Dedup.topSharedNgrams(d)),
       countOf("piiAudit")(TextOps.piiAudit(d)), // grouped: 0 groups
       countOf("normAudit")(Similarity.normAudit(e)),

@@ -158,6 +158,32 @@ class PipelineOpsSpec extends TestBase {
     assert(exact == 5000.0 && math.abs(est / exact - 1.0) < 0.35)
   }
 
+  test("count-min: est >= exact always, exact on collision-free cells, " +
+      "counter merge == one-shot build (ext98)") {
+    import spark.implicits._
+    // 3 distinct tokens in a 4x1024 sketch: collisions are essentially
+    // impossible, so every estimate must be EXACT; and the one-sided
+    // guarantee est >= exact must hold on the real corpus too.
+    val tiny = Seq((1L, "aa bb aa"), (2L, "aa cc")).toDF("doc_id", "text")
+    val audit = Sketches.countMinAccuracyAudit(tiny, 10)
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(audit == Seq(("aa", 3L, 3L, 0L), ("bb", 1L, 1L, 0L),
+      ("cc", 1L, 1L, 0L)))
+    val docs = graft.ingest.Tables.documents(spark, sf("sf0.001"))
+    val real = Sketches.countMinAccuracyAudit(docs, 20)
+      .as[(String, Long, Long, Long)].collect()
+    assert(real.length == 20 &&
+      real.forall(r => r._3 >= r._2 && r._4 >= 0L))
+    // mergeability: union the two halves' counter tables, merge, and
+    // the cells equal the one-shot build's — the property the
+    // streaming twin and shard-parallel builds ride.
+    val whole = Sketches.countMinCounters(docs)
+    val halves = Sketches.countMinMerge(
+      Sketches.countMinCounters(docs.filter($"doc_id" % 2 === 0)).union(
+        Sketches.countMinCounters(docs.filter($"doc_id" % 2 === 1))))
+    assert(halves.except(whole).isEmpty && whole.except(halves).isEmpty)
+  }
+
   test("kmv: aggregator form matches window form on real data") {
     val ev = graft.ingest.Tables.events(spark, sf("sf0.001"))
     val a = Sketches.kmvDistinct(ev, col("event_type"), col("user_id"))

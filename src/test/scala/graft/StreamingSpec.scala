@@ -1054,6 +1054,14 @@ class StreamingSpec extends TestBase {
     assert(piiStreamed.except(piiBatch).isEmpty &&
       piiBatch.except(piiStreamed).isEmpty && piiBatch.count() > 0,
       "streamed pii fold differs from the batch card")
+    // ext98: the counter table is its own partial; cell-wise merge.
+    val cmsOut = runSink((s, o) =>
+      StreamingPipeline.countMinPartialsSink(s, o))
+    val cmsStreamed = StreamingPipeline.countMinFromState(spark, cmsOut)
+    val cmsBatch = graft.ops.Sketches.countMinCounters(docs)
+    assert(cmsStreamed.except(cmsBatch).isEmpty &&
+      cmsBatch.except(cmsStreamed).isEmpty && cmsBatch.count() > 0,
+      "streamed count-min fold differs from the one-shot counters")
     graft.ops.Reuse.freeAll(spark)
   }
 }
