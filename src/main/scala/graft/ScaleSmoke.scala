@@ -148,6 +148,9 @@ object ScaleSmoke {
     // token mass cut — the degenerate check — and the cost is the
     // token-level reassembly aggregate on top of dup_span_mass's scan.
     time("dup_span_surgery") { graft.ops.Dedup.dupSpanSurgery(big) }
+    // Output bounded at depth x width cells no matter the corpus —
+    // the broadcast-sized-artifact claim, measured.
+    time("countmin_counters") { graft.ops.Sketches.countMinCounters(big) }
     // Embeddings family at Nx: shifted copies are exact duplicate
     // vectors, so each id-family is a planted all-pairs near-dup
     // cluster (the mass-duplicate stress case for banded LSH).
