@@ -261,6 +261,28 @@ class OpsSpec extends TestBase {
       x.width == y.width && x.feature.sameElements(y.feature) })
   }
 
+  test("multimodal -> dedup composition: decoded image features feed " +
+      "embedding near-dup; the duplicated image is found, the distinct " +
+      "one is not") {
+    import spark.implicits._
+    implicit val s = spark
+    val red = 0xff0000; val blue = 0x0000ff; val green = 0x00ff00
+    val assets = Seq(
+      MediaAsset(1L, "image", pngBytes(20, 10, red, blue), "image/png"),
+      MediaAsset(2L, "image", pngBytes(20, 10, red, blue), "image/png"),
+      MediaAsset(3L, "image", pngBytes(20, 10, green, green), "image/png")
+    ).toDS()
+    // the cross-modal pipeline: real decode -> pooled feature as the
+    // embedding column -> the ext16 banded near-dup detector unchanged
+    val emb = Multimodal.decodeImages(assets)
+      .select(col("asset_id").as("vec_id"), col("feature").as("embedding"))
+    val pairs = Similarity.cosineNearDupPairs(emb)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)),
+      s"expected exactly the duplicated image pair, got $pairs")
+    graft.ops.Reuse.freeAll(spark)
+  }
+
   test("multimodal: a real codec drops into the decoder seam without " +
       "plan changes (injected fake; batch shape and schema survive)") {
     import spark.implicits._
