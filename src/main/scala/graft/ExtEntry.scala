@@ -707,6 +707,15 @@ object ExtEntry {
     "ext98_countmin_audit" -> ((s, dir) =>
       Sketches.countMinAccuracyAudit(docs(s, dir), 20)),
 
+    // Schema-on-read JSON profile of events.props: one row per
+    // top-level key with occurrence + value-type counts — the audit a
+    // permissive ingest (OP-04) ships before hardcoding a schema.
+    // Regex pair extraction, no JSON parser on the scan.
+    "ext99_json_key_profile" -> ((s, dir) =>
+      graft.ops.Reporting.jsonKeyProfile(
+          Tables.events(s, dir), col("props"))
+        .orderBy("key")),
+
     // Pre-ANN degeneracy audit: per-label vector counts, zero-norm
     // count (zero vectors make cosine NaN — silent ranking poison),
     // and the exact min/max/mean of the quantized norm² — the norm
@@ -2213,6 +2222,30 @@ object ExtEntry {
          |FROM top t JOIN est e USING (tok)
          |ORDER BY t.exact DESC, t.tok ASC""".stripMargin
     },
+
+    // Twin of Reporting.jsonKeyProfile: the same portable pair/numeric
+    // regexes, unnest + fold.
+    "ext99_json_key_profile" ->
+      s"""WITH pairs AS (
+         |  SELECT unnest(regexp_extract_all(props,
+         |    '${graft.ops.Reporting.JsonPairPattern}')) AS pair
+         |  FROM events),
+         |kv AS (
+         |  SELECT regexp_extract(pair, '"([A-Za-z0-9_]+)"', 1) AS key,
+         |         trim(regexp_extract(pair, ':\\s*(.+)$$', 1)) AS v
+         |  FROM pairs)
+         |SELECT key,
+         |       CAST(count(*) AS BIGINT) AS n_pairs,
+         |       CAST(SUM(CASE WHEN regexp_matches(v,
+         |         '${graft.ops.Reporting.JsonNumericPattern}')
+         |         THEN 1 ELSE 0 END) AS BIGINT) AS n_numeric,
+         |       CAST(SUM(CASE WHEN v LIKE '"%' THEN 1 ELSE 0 END)
+         |         AS BIGINT) AS n_string,
+         |       CAST(SUM(CASE WHEN v IN ('true', 'false') THEN 1 ELSE 0
+         |         END) AS BIGINT) AS n_bool,
+         |       CAST(SUM(CASE WHEN v = 'null' THEN 1 ELSE 0 END)
+         |         AS BIGINT) AS n_null
+         |FROM kv GROUP BY key ORDER BY key""".stripMargin,
 
     // Twin of Similarity.normAudit: per-vector quantized norm² off the
     // shared flat CTEs, per-label fold; DuckDB's HUGEINT sum matches

@@ -162,4 +162,47 @@ object Reporting {
       :+ when(sideA, 0L).otherwise(1L).as("_b"): _*)
       .groupBy(strata.map(col): _*)
       .agg(sum(col("_a")).as("docs_a"), sum(col("_b")).as("docs_b"))
+
+  /** Key pattern of the JSON profile — kept in the Java-regex ∩ RE2
+    * portable subset (the [[graft.ops.TextOps.PiiPatterns]]
+    * discipline) so the ext99 oracle runs the same strings. */
+  val JsonPairPattern = "\"([A-Za-z0-9_]+)\"\\s*:\\s*[^,}\\]]+"
+  val JsonNumericPattern = "^-?[0-9]+(\\.[0-9]+)?$"
+
+  /**
+   * Schema-on-read profile of a JSON string column: one row per
+   * top-level key with occurrence and value-type counts — the audit a
+   * permissive-wire-schema ingest (OP-04's `from_json` tolerates
+   * missing/extra fields) ships before anyone hardcodes a schema:
+   * which keys actually occur, how often, and as what types. Regex
+   * pair extraction (codegen'd, no JSON parser on the scan) classifies
+   * each value as numeric / string / bool / null; nested objects and
+   * arrays land in `n_other`. One scan, |keys|-row output, every
+   * column algebraic — streams with the partials pattern
+   * ([[jsonKeyProfileFromCounts]]).
+   */
+  def jsonKeyProfile(df: DataFrame, json: Column): DataFrame =
+    df.select(explode(regexp_extract_all(json,
+        lit(JsonPairPattern), lit(0))).as("pair"))
+      .select(
+        regexp_extract(col("pair"), "\"([A-Za-z0-9_]+)\"", 1).as("key"),
+        trim(regexp_extract(col("pair"), ":\\s*(.+)$", 1)).as("v"))
+      .groupBy("key")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when(col("v").rlike(JsonNumericPattern), 1L).otherwise(0L))
+          .as("n_numeric"),
+        sum(when(col("v").startsWith("\""), 1L).otherwise(0L))
+          .as("n_string"),
+        sum(when(col("v").isin("true", "false"), 1L).otherwise(0L))
+          .as("n_bool"),
+        sum(when(col("v") === "null", 1L).otherwise(0L)).as("n_null"))
+
+  /** Re-fold of [[jsonKeyProfile]] partials: all columns are sums. */
+  def jsonKeyProfileFromCounts(raw: DataFrame): DataFrame =
+    raw.groupBy("key")
+      .agg(sum(col("n_pairs")).as("n_pairs"),
+        sum(col("n_numeric")).as("n_numeric"),
+        sum(col("n_string")).as("n_string"),
+        sum(col("n_bool")).as("n_bool"),
+        sum(col("n_null")).as("n_null"))
 }

@@ -184,6 +184,31 @@ class PipelineOpsSpec extends TestBase {
     assert(halves.except(whole).isEmpty && whole.except(halves).isEmpty)
   }
 
+  test("json key profile: keys counted with value types; fold == " +
+      "one-shot (ext99)") {
+    import spark.implicits._
+    val df = Seq(
+      """{"a": 1, "b": "x", "c": true}""",
+      """{"a": 2.5, "b": "y", "d": null}""",
+      """{"a": -3}"""
+    ).toDF("props")
+    val got = graft.ops.Reporting.jsonKeyProfile(df, col("props"))
+      .orderBy("key")
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      ("a", 3L, 3L, 0L, 0L, 0L),
+      ("b", 2L, 0L, 2L, 0L, 0L),
+      ("c", 1L, 0L, 0L, 1L, 0L),
+      ("d", 1L, 0L, 0L, 0L, 1L)))
+    // the card is its own algebraic partial: halves re-folded == whole
+    val halves = graft.ops.Reporting.jsonKeyProfileFromCounts(
+      graft.ops.Reporting.jsonKeyProfile(df.limit(1), col("props")).union(
+        graft.ops.Reporting.jsonKeyProfile(
+          df.except(df.limit(1)), col("props"))))
+    val whole = graft.ops.Reporting.jsonKeyProfile(df, col("props"))
+    assert(halves.except(whole).isEmpty && whole.except(halves).isEmpty)
+  }
+
   test("kmv: aggregator form matches window form on real data") {
     val ev = graft.ingest.Tables.events(spark, sf("sf0.001"))
     val a = Sketches.kmvDistinct(ev, col("event_type"), col("user_id"))
