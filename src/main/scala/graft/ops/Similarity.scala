@@ -196,14 +196,40 @@ object Similarity {
    */
   def normAudit(emb: DataFrame, by: Seq[String] = Seq("label"),
       vec: String = "embedding"): DataFrame =
+    normAuditFromCounts(normAuditPartials(emb, by, vec))
+
+  /** The card's per-group state — count / zero-count / min / max /
+    * decimal sum, all commutative-mergeable, so each micro-batch (or
+    * shard) contributes one |groups|-row partial and
+    * [[normAuditFromCounts]] folds duplicates exactly; the batch
+    * operator routes through the identical partial+fold tail, so the
+    * streaming twin agrees by construction (the ext83 pattern). */
+  def normAuditPartials(emb: DataFrame, by: Seq[String] = Seq("label"),
+      vec: String = "embedding"): DataFrame =
     emb.select((by.map(col) :+
         qnorm2(quantize(col(vec))).as("n2")): _*)
       .groupBy(by.map(col): _*)
       .agg(count(lit(1)).as("n_vecs"),
         sum(when(col("n2") === 0, 1L).otherwise(0L)).as("n_zero"),
         min("n2").as("min_n2"), max("n2").as("max_n2"),
-        floor(sum(col("n2").cast("decimal(38,0)")) / count(lit(1)))
-          .cast("long").as("avg_n2"))
+        sum(col("n2").cast("decimal(38,0)")).as("sum_n2"))
+
+  /** Fold of [[normAuditPartials]] into the ext95 card: duplicate
+    * group keys merge (sum/sum/min/max/sum) BEFORE the mean division,
+    * so the fold is exact at any batching/sharding. */
+  def normAuditFromCounts(raw: DataFrame): DataFrame = {
+    val vals = Set("n_vecs", "n_zero", "min_n2", "max_n2", "sum_n2")
+    val keys = raw.columns.filterNot(vals).toSeq
+    raw.groupBy(keys.map(col): _*)
+      .agg(sum(col("n_vecs")).as("n_vecs"),
+        sum(col("n_zero")).as("n_zero"),
+        min(col("min_n2")).as("min_n2"),
+        max(col("max_n2")).as("max_n2"),
+        sum(col("sum_n2")).as("sum_n2"))
+      .withColumn("avg_n2",
+        floor(col("sum_n2") / col("n_vecs")).cast("long"))
+      .drop("sum_n2")
+  }
 
   /**
    * Hard-negative mining for contrastive/retrieval training: per query,

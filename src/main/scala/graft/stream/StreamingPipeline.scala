@@ -486,6 +486,23 @@ object StreamingPipeline {
     graft.ops.Sketches.countMinMerge(
       spark.read.parquet(outPath).drop("batch"))
 
+  /** Streaming twin of the embedding norm sanity card (ext95): the
+    * per-label count/zero/min/max/decimal-sum state is commutative-
+    * mergeable, so each micro-batch writes one |labels|-row partial
+    * and the fold reproduces the batch card exactly (the batch
+    * operator routes through the same partial+fold tail). Zero-norm
+    * vectors are caught ON ARRIVAL — before they reach an ANN index
+    * and poison cosine rankings silently. */
+  def normAuditPartialsSink(vecs: DataFrame,
+      outPath: String): DataStreamWriter[org.apache.spark.sql.Row] =
+    partialsSink(vecs,
+      graft.ops.Similarity.normAuditPartials(_), outPath)
+
+  def normAuditFromState(spark: SparkSession,
+      outPath: String): DataFrame =
+    graft.ops.Similarity.normAuditFromCounts(
+      spark.read.parquet(outPath).drop("batch"))
+
   /** Streaming twin of the duplicated-span mass score (ext91): the
     * shared-shingle-hash set is a per-SNAPSHOT artifact
     * ([[graft.ops.Dedup.dupSharedHashes]], stored once per corpus

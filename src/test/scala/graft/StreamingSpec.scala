@@ -1064,4 +1064,26 @@ class StreamingSpec extends TestBase {
       "streamed count-min fold differs from the one-shot counters")
     graft.ops.Reuse.freeAll(spark)
   }
+
+  test("streaming norm-audit partials == batch card (ext95 twin, " +
+      "mergeable count/zero/min/max/decimal-sum state)") {
+    val emb = graft.ingest.Tables.embeddings(spark, sf("sf0.001"))
+      .select("vec_id", "embedding", "label")
+    val srcDir = Files.createTempDirectory("graft-norm-src").toString + "/d"
+    emb.write.parquet(srcDir)
+    val out = Files.createTempDirectory("graft-norm-out").toString
+    val ckpt = Files.createTempDirectory("graft-norm-ckpt").toString
+    val q = StreamingPipeline.normAuditPartialsSink(
+      StreamingPipeline.parquetStream(spark, srcDir,
+        maxFilesPerTrigger = Some(1)), out)
+      .option("checkpointLocation", ckpt).start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = StreamingPipeline.normAuditFromState(spark, out)
+    val batch = graft.ops.Similarity.normAudit(emb)
+    assert(streamed.count() == batch.count() && batch.count() > 0)
+    assert(streamed.except(batch).isEmpty && batch.except(streamed).isEmpty,
+      "streamed norm-audit fold differs from the batch card")
+    graft.ops.Reuse.freeAll(spark)
+  }
 }
