@@ -486,6 +486,21 @@ object StreamingPipeline {
     graft.ops.Sketches.countMinMerge(
       spark.read.parquet(outPath).drop("batch"))
 
+  /** Streaming twin of the JSON key profile (ext99): the per-key
+    * type-count card is all sums, so the card is its own partial
+    * (the ext92 shape) — profile the wire schema AS IT ARRIVES, which
+    * is when a schema drift (a key appearing, a type flipping) is
+    * cheapest to catch. */
+  def jsonProfilePartialsSink(rows: DataFrame, json: Column,
+      outPath: String): DataStreamWriter[org.apache.spark.sql.Row] =
+    partialsSink(rows,
+      graft.ops.Reporting.jsonKeyProfile(_, json), outPath)
+
+  def jsonProfileFromState(spark: SparkSession,
+      outPath: String): DataFrame =
+    graft.ops.Reporting.jsonKeyProfileFromCounts(
+      spark.read.parquet(outPath).drop("batch"))
+
   /** Streaming twin of the embedding norm sanity card (ext95): the
     * per-label count/zero/min/max/decimal-sum state is commutative-
     * mergeable, so each micro-batch writes one |labels|-row partial

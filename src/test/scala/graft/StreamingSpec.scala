@@ -1065,6 +1065,27 @@ class StreamingSpec extends TestBase {
     graft.ops.Reuse.freeAll(spark)
   }
 
+  test("streaming json-profile partials == batch card (ext99 twin)") {
+    val ev = graft.ingest.Tables.events(spark, sf("sf0.001"))
+      .select("event_id", "props")
+    val srcDir = Files.createTempDirectory("graft-json-src").toString + "/d"
+    ev.write.parquet(srcDir)
+    val out = Files.createTempDirectory("graft-json-out").toString
+    val ckpt = Files.createTempDirectory("graft-json-ckpt").toString
+    val q = StreamingPipeline.jsonProfilePartialsSink(
+      StreamingPipeline.parquetStream(spark, srcDir,
+        maxFilesPerTrigger = Some(1)), col("props"), out)
+      .option("checkpointLocation", ckpt).start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = StreamingPipeline.jsonProfileFromState(spark, out)
+    val batch = graft.ops.Reporting.jsonKeyProfile(ev, col("props"))
+    assert(streamed.except(batch).isEmpty &&
+      batch.except(streamed).isEmpty && batch.count() > 0,
+      "streamed json-profile fold differs from the batch card")
+    graft.ops.Reuse.freeAll(spark)
+  }
+
   test("streaming norm-audit partials == batch card (ext95 twin, " +
       "mergeable count/zero/min/max/decimal-sum state)") {
     val emb = graft.ingest.Tables.embeddings(spark, sf("sf0.001"))
