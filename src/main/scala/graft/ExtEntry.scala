@@ -707,6 +707,13 @@ object ExtEntry {
     "ext98_countmin_audit" -> ((s, dir) =>
       Sketches.countMinAccuracyAudit(docs(s, dir), 20)),
 
+    // Cross-detector agreement: MinHash-LSH candidate pairs scored by
+    // an INDEPENDENT representation (64-bucket feature-hashed BoW
+    // cosine) — the residue (high-shingle, low-BoW pairs) is n-gram
+    // coincidence a curator inspects before trusting the pair set.
+    "ext100_lexical_agreement" -> ((s, dir) =>
+      Dedup.lexicalAgreementAudit(docs(s, dir))),
+
     // Schema-on-read JSON profile of events.props: one row per
     // top-level key with occurrence + value-type counts — the audit a
     // permissive ingest (OP-04) ships before hardcoding a schema.
@@ -2222,6 +2229,62 @@ object ExtEntry {
          |FROM top t JOIN est e USING (tok)
          |ORDER BY t.exact DESC, t.tok ASC""".stripMargin
     },
+
+    // Twin of Dedup.lexicalAgreementAudit: the ext03 candidate chain +
+    // 64-bucket feature-hash counts, per-pair sparse dot, quantized
+    // fold.
+    "ext100_lexical_agreement" ->
+      s"""$ShingleSql,
+         |sig AS (
+         |  SELECT doc_id,
+         |         $minhashMinsSql
+         |  FROM sh GROUP BY 1),
+         |bands AS (
+         |  SELECT doc_id, b.band_id,
+         |         CASE b.band_id $bandSigSql END AS band_sig
+         |  FROM sig, (VALUES (0), (1), (2), (3)) b(band_id)),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b
+         |  FROM bands a JOIN bands b2 USING (band_id, band_sig)
+         |  WHERE a.doc_id < b2.doc_id),
+         |tok AS (
+         |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+         |  FROM documents),
+         |bu AS (
+         |  SELECT doc_id, (${hashSql("tok")}) % 64 AS bucket,
+         |         CAST(count(*) AS BIGINT) AS cnt
+         |  FROM tok GROUP BY 1, 2),
+         |nn AS (SELECT doc_id, CAST(SUM(cnt * cnt) AS BIGINT) AS n2
+         |       FROM bu GROUP BY 1),
+         |dots AS (
+         |  SELECT c.id_a, c.id_b, CAST(SUM(a.cnt * b.cnt) AS BIGINT) AS dot
+         |  FROM cand c JOIN bu a ON a.doc_id = c.id_a
+         |              JOIN bu b ON b.doc_id = c.id_b
+         |                AND b.bucket = a.bucket
+         |  GROUP BY 1, 2),
+         |scored AS (
+         |  SELECT COALESCE(CAST(d.dot AS DOUBLE), 0.0) /
+         |           sqrt(CAST(na.n2 AS DOUBLE) * CAST(nb.n2 AS DOUBLE))
+         |           AS cos
+         |  FROM cand c LEFT JOIN dots d
+         |    ON d.id_a = c.id_a AND d.id_b = c.id_b
+         |  JOIN nn na ON na.doc_id = c.id_a
+         |  JOIN nn nb ON nb.doc_id = c.id_b)
+         |SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+         |       CAST(COALESCE(SUM(CASE WHEN cos >= ${
+          Dedup.LexicalAgreeThreshold}
+         |         THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_confirmed,
+         |       CASE WHEN count(*) = 0 THEN CAST(0 AS BIGINT)
+         |            ELSE (CAST(SUM(CASE WHEN cos >= ${
+          Dedup.LexicalAgreeThreshold} THEN 1 ELSE 0 END) AS BIGINT)
+         |              * 1000000) // CAST(count(*) AS BIGINT)
+         |       END AS confirm_ppm,
+         |       CASE WHEN count(*) = 0 THEN CAST(0 AS BIGINT)
+         |            ELSE CAST(COALESCE(SUM(CAST(floor(cos * 1000000.0)
+         |              AS BIGINT)), 0) AS BIGINT)
+         |              // CAST(count(*) AS BIGINT)
+         |       END AS mean_cos_q
+         |FROM scored""".stripMargin,
 
     // Twin of Reporting.jsonKeyProfile: the same portable pair/numeric
     // regexes, unnest + fold.

@@ -554,6 +554,67 @@ object Dedup {
         .withColumn("keeper_id", lit(-1L)),
       id, text, n)
 
+  /** Cosine at/above which a BoW-geometry check confirms a shingle
+    * near-dup pair — shared with the ext100 oracle. */
+  val LexicalAgreeThreshold = 0.6d
+
+  /**
+   * Cross-detector agreement audit: do the shingle detector's near-dup
+   * candidates also look similar in BAG-OF-WORDS geometry? Per
+   * MinHash-LSH candidate pair, the cosine of the two documents'
+   * feature-hashed token-count vectors (the hashing trick, Weinberger
+   * et al. — `dims` buckets of exact integer counts), folded into one
+   * audit row: pairs, confirmed-at-threshold count, and the mean
+   * cosine (per-pair floor-quantized BEFORE summing — no cross-row
+   * float accumulation). The disagreement residue is the interesting
+   * part: pairs high on shingles but low on BoW are n-gram
+   * coincidences (shared boilerplate islands in otherwise different
+   * docs) — exactly what a curator inspects before trusting the
+   * detector's pair set wholesale. Complements the recall/precision
+   * audits (ext54/61): those score the detector against its own
+   * Jaccard ground truth; this scores it against an INDEPENDENT
+   * representation.
+   *
+   * Scale shape: the pair list is bounded by the detector; the bucket
+   * equi-join fans each pair to ≤ dims rows; counts are exact int64
+   * and the division is one IEEE op. Pairs sharing no bucket score 0
+   * via the left join.
+   */
+  def lexicalAgreementAudit(doc: DataFrame, dims: Int = 64,
+      threshold: Double = LexicalAgreeThreshold, id: String = "doc_id",
+      text: String = "text"): DataFrame = {
+    val pairs = minhashLsh(doc, id, text).select("id_a", "id_b")
+    val bu = Reuse.shared(doc
+      .select(col(id),
+        explode(graft.ops.TextOps.tokens(col(text))).as("tok"))
+      .select(col(id),
+        (Hashing.portableHash32(col("tok")) % dims).as("bucket"))
+      .groupBy(col(id), col("bucket")).agg(count(lit(1)).as("cnt")))
+    val n2 = bu.groupBy(col(id)).agg(sum(col("cnt") * col("cnt")).as("n2"))
+    val dots = pairs
+      .join(bu.select(col(id).as("id_a"), col("bucket"),
+        col("cnt").as("ca")), Seq("id_a"))
+      .join(bu.select(col(id).as("id_b"), col("bucket"),
+        col("cnt").as("cb")), Seq("id_b", "bucket"))
+      .groupBy("id_a", "id_b").agg(sum(col("ca") * col("cb")).as("dot"))
+    pairs
+      .join(dots, Seq("id_a", "id_b"), "left")
+      .join(n2.select(col(id).as("id_a"), col("n2").as("na")), "id_a")
+      .join(n2.select(col(id).as("id_b"), col("n2").as("nb")), "id_b")
+      .withColumn("cos", coalesce(col("dot").cast("double"), lit(0.0d)) /
+        sqrt(col("na").cast("double") * col("nb").cast("double")))
+      .agg(count(lit(1)).as("n_pairs"),
+        coalesce(sum(when(col("cos") >= threshold, 1L).otherwise(0L)),
+          lit(0L)).as("n_confirmed"),
+        coalesce(sum(floor(col("cos") * lit(1e6)).cast("long")), lit(0L))
+          .as("_cq"))
+      .withColumn("confirm_ppm", when(col("n_pairs") === 0, lit(0L))
+        .otherwise(expr("(n_confirmed * 1000000) DIV n_pairs")))
+      .withColumn("mean_cos_q", when(col("n_pairs") === 0, lit(0L))
+        .otherwise(expr("_cq DIV n_pairs")))
+      .select("n_pairs", "n_confirmed", "confirm_ppm", "mean_cos_q")
+  }
+
   /**
    * The review queue of WHAT is duplicated: the top-k n-grams (as
    * text, not hashes) occurring in more than one document, ranked by

@@ -310,6 +310,28 @@ class DedupSpec extends TestBase {
     graft.ops.Reuse.freeAll(spark)
   }
 
+  test("lexicalAgreementAudit: exact copies confirm at cosine 1.0; " +
+      "no-pair corpus yields a guarded zero row (ext100)") {
+    import spark.implicits._
+    def words(seed: Int, n: Int) =
+      (0 until n).map(i => s"w${seed}_$i").mkString(" ")
+    val dup = words(1, 12)
+    val docs = Seq(
+      (1L, dup), (2L, dup),      // the LSH pair; identical BoW -> cos 1
+      (3L, words(9, 15))         // unrelated
+    ).toDF("doc_id", "text")
+    val got = Dedup.lexicalAgreementAudit(docs)
+      .as[(Long, Long, Long, Long)].head()
+    assert(got == ((1L, 1L, 1000000L, 1000000L)), s"got $got")
+    // pairless corpus: one well-defined zero row, no NULL/NaN
+    val alone = Seq((1L, words(1, 12)), (2L, words(2, 12)))
+      .toDF("doc_id", "text")
+    val zero = Dedup.lexicalAgreementAudit(alone)
+      .as[(Long, Long, Long, Long)].head()
+    assert(zero == ((0L, 0L, 0L, 0L)))
+    graft.ops.Reuse.freeAll(spark)
+  }
+
   test("decontaminationSurgery: benchmark spans cut from every corpus " +
       "doc (no keeper among training docs), clean docs untouched " +
       "(ext97)") {
