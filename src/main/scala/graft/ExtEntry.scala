@@ -1466,6 +1466,72 @@ object ExtEntry {
           sum(col("l_extendedprice").cast("decimal(18,6)"))
             .cast("double").as("sum_price"))
         .orderBy("o_orderkey")
+    }),
+
+    // SemDeDup (Abbas et al.): semantic dedup in embedding space —
+    // within each learned kmeans cluster (the build-once probe index),
+    // drop every vector whose exact cosine to a lower-id cluster-mate
+    // reaches the near-dup threshold. Pairwise work is O(Σ bucket²),
+    // never n² — the method's entire point at 100 TB.
+    "ext101_semdedup" -> ((s, dir) =>
+      Similarity.semDedup(embs(s, dir), ivfBuckets(s, dir))
+        .orderBy("vec_id")),
+
+    // Bloom-probed decontamination, priced: the ext32 doc-flag decision
+    // with the benchmark membership carried as m-bit/k-hash Bloom bits
+    // (the BFF/Dolma filter shape — O(m) bits at any key count,
+    // one-sided error) vs the exact hash set, one card row: doc-flag
+    // agreement + the measured shingle-level false-positive rate.
+    "ext102_bloom_decontaminate" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Sketches.bloomContaminationAudit(
+        d.filter(col("doc_id") >= 20), d.filter(col("doc_id") < 20))
+    }),
+
+    // Per-source cap card (RefinedWeb-style "no source exceeds N docs"),
+    // priced BEFORE enforcement: docs and token mass kept vs dropped at
+    // cap 15, under the same deterministic hash draw a later
+    // stratifiedTopK enforcement pass would use. Kept side rides
+    // WindowGroupLimit; totals side is a plain map-side agg.
+    "ext103_source_cap_audit" -> ((s, dir) =>
+      Sampling.capAudit(docs(s, dir), Seq("source"), col("doc_id"),
+          size(split(col("text"), " ")).cast("long"), 15)
+        .orderBy("source")),
+
+    // Normalization-sensitive duplication: distinct docs by raw md5
+    // identity vs by normalized (lower/punct/whitespace) identity, per
+    // source — the dup mass a C4-style normalized dedup reclaims over
+    // ext01's raw-identity pass. The synthetic corpus is already
+    // normalized, so the gap column reads an HONEST zero (the ext92
+    // discipline); the planted-fixture spec carries the behavior.
+    "ext104_normalization_dups" -> ((s, dir) =>
+      TextOps.normalizationDupCard(docs(s, dir)).orderBy("source")),
+
+    // Content drift between language subcorpora: pairwise total-
+    // variation overlap of unigram distributions, ppm-quantized before
+    // the min/sum (exact int64; flooring bias < 1 ppm per shared
+    // type). ext82 measures share drift; this measures what the
+    // content itself says.
+    "ext105_vocab_overlap" -> ((s, dir) =>
+      TextOps.vocabOverlap(docs(s, dir)).orderBy("g_a", "g_b")),
+
+    // The full Gopher repetition block per doc: top-{2,3,4}-gram
+    // position coverage and duplicate-{5..10}-gram distinct-position
+    // coverage, ppm of doc tokens — completes ext29's two signals to
+    // the paper's nine. Doc-local everywhere: one tokenization, one
+    // bounded 9-way explode, doc-keyed count + join-back.
+    "ext106_gopher_repetition" -> ((s, dir) =>
+      TextOps.gopherRepetitionCard(docs(s, dir)).orderBy("doc_id")),
+
+    // Product-quantization fidelity (Jégou et al.): exact cosine top-3
+    // vs the ADC ranking over 4-subspace × 16-code PQ codes — prices
+    // the 64×-compression storage decision the way ext93 prices int8.
+    // Query time touches ONLY the codes table + a broadcast LUT; the
+    // corpus vectors are read once at encode time.
+    "ext107_pq_fidelity" -> ((s, dir) => {
+      val e = embs(s, dir)
+      Similarity.pqFidelityAudit(
+        e, e.filter(col("vec_id") < NumQueryVecs), 3)
     })
   )
 
@@ -3488,6 +3554,299 @@ object ExtEntry {
         |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)
         |         AS sum_price
         |FROM orders JOIN lineitem ON l_orderkey = o_orderkey
-        |GROUP BY 1 ORDER BY 1""".stripMargin
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // SemDeDup: the same Lloyd's CTEs as ext28 give the buckets; the
+    // drop test is the paper's upper-triangular max-sim convention
+    // (exists lower-id cluster-mate with cos >= threshold).
+    "ext101_semdedup" ->
+      s"""$QuantFlatSql,
+         |${kmeansCtes(8, 2)},
+         |bk AS (SELECT vec_id, cid AS bucket FROM a3),
+         |dots AS (
+         |  SELECT fa.vec_id AS id_a, fb.vec_id AS id_b,
+         |         CAST(SUM(fa.qi * fb.qi) AS BIGINT) AS dot
+         |  FROM flat fa JOIN flat fb ON fa.i = fb.i
+         |       JOIN bk ba ON ba.vec_id = fa.vec_id
+         |       JOIN bk bb ON bb.vec_id = fb.vec_id
+         |                 AND bb.bucket = ba.bucket
+         |  WHERE fa.vec_id < fb.vec_id
+         |  GROUP BY 1, 2),
+         |drops AS (
+         |  SELECT DISTINCT d.id_b AS vec_id
+         |  FROM dots d JOIN n2 na ON na.vec_id = d.id_a
+         |       JOIN n2 nb ON nb.vec_id = d.id_b
+         |  WHERE CAST(d.dot AS DOUBLE) /
+         |        sqrt(CAST(na.n2 AS DOUBLE) * CAST(nb.n2 AS DOUBLE))
+         |        >= ${Similarity.NearDupThreshold})
+         |SELECT b.vec_id, CAST(b.bucket AS BIGINT) AS bucket,
+         |       CAST(CASE WHEN dr.vec_id IS NULL THEN 1 ELSE 0 END
+         |            AS BIGINT) AS kept
+         |FROM bk b LEFT JOIN drops dr USING (vec_id)
+         |ORDER BY b.vec_id""".stripMargin,
+
+    // Bloom decontamination card: same shingle relation as ext32; bit
+    // positions are the shared universal-hash family mod m, the probe
+    // is "all k positions set".
+    "ext102_bloom_decontaminate" -> {
+      def p(j: Int, e: String) =
+        s"((($e) * ${Hashing.seedA(j)} + ${Hashing.seedB(j)}) % $P)" +
+          s" % ${Sketches.BloomM}"
+      def posUnion(src: String, cols: String) =
+        (0 until Sketches.BloomK).map(j =>
+          s"SELECT $cols, ${p(j, "h")} AS bit FROM $src")
+          .mkString("\n  |  UNION ALL\n  |  ")
+      s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk
+         |             FROM documents),
+         |sh_all AS (
+         |  SELECT DISTINCT doc_id,
+         |         ${hashSql("tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]")} AS h
+         |  FROM toks JOIN range(1, 4001) g(i) ON i <= len(tk) - 2),
+         |bench AS (SELECT DISTINCT h FROM sh_all WHERE doc_id < 20),
+         |corp AS (SELECT doc_id, h FROM sh_all WHERE doc_id >= 20),
+         |bits AS (SELECT DISTINCT bit FROM (
+         |  ${posUnion("bench", "h AS bh")})),
+         |pos AS (
+         |  ${posUnion("corp", "doc_id, h")}),
+         |hits AS (
+         |  SELECT p.doc_id, p.h,
+         |         CASE WHEN count(b.bit) = ${Sketches.BloomK}
+         |              THEN 1 ELSE 0 END AS bloom_hit
+         |  FROM pos p LEFT JOIN bits b USING (bit) GROUP BY 1, 2),
+         |perdoc AS (
+         |  SELECT c.doc_id, count(*) AS n_sh,
+         |         SUM(CASE WHEN be.h IS NOT NULL THEN 1 ELSE 0 END)
+         |           AS n_exact,
+         |         SUM(hi.bloom_hit) AS n_bloom
+         |  FROM corp c
+         |  LEFT JOIN bench be ON be.h = c.h
+         |  JOIN hits hi ON hi.doc_id = c.doc_id AND hi.h = c.h
+         |  GROUP BY 1),
+         |card AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         |         CAST(SUM(CASE WHEN CAST(n_exact AS DOUBLE)
+         |              / CAST(n_sh AS DOUBLE) >= 0.8 THEN 1 ELSE 0 END)
+         |           AS BIGINT) AS docs_flagged_exact,
+         |         CAST(SUM(CASE WHEN CAST(n_bloom AS DOUBLE)
+         |              / CAST(n_sh AS DOUBLE) >= 0.8 THEN 1 ELSE 0 END)
+         |           AS BIGINT) AS docs_flagged_bloom,
+         |         CAST(SUM(CASE WHEN CAST(n_bloom AS DOUBLE)
+         |                / CAST(n_sh AS DOUBLE) >= 0.8
+         |              AND NOT (CAST(n_exact AS DOUBLE)
+         |                / CAST(n_sh AS DOUBLE) >= 0.8)
+         |              THEN 1 ELSE 0 END) AS BIGINT) AS docs_false_pos,
+         |         CAST(SUM(n_sh) AS BIGINT) AS shingle_probes,
+         |         CAST(SUM(n_sh - n_exact) AS BIGINT) AS nonmember_probes,
+         |         CAST(SUM(n_bloom - n_exact) AS BIGINT) AS shingle_fp
+         |  FROM perdoc)
+         |SELECT c.*,
+         |       (SELECT CAST(count(*) AS BIGINT) FROM bits) AS bits_set,
+         |       CAST(CASE WHEN nonmember_probes = 0 THEN 0
+         |            ELSE (shingle_fp * 1000000) // nonmember_probes END
+         |         AS BIGINT) AS fpr_ppm
+         |FROM card c""".stripMargin
+    },
+
+    // Cap card: the kept set is the rank <= 15 prefix of the ext25
+    // hash order, per source.
+    "ext103_source_cap_audit" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, source, len(string_split(text, ' ')) AS tok,
+         |         ${hashSql("'samp:' || CAST(doc_id AS VARCHAR)")} AS h
+         |  FROM documents),
+         |r AS (SELECT *, row_number() OVER (
+         |        PARTITION BY source ORDER BY h, doc_id) AS rank FROM t),
+         |agg AS (
+         |  SELECT source,
+         |         CAST(count(*) AS BIGINT) AS n_docs,
+         |         CAST(SUM(tok) AS BIGINT) AS tokens_total,
+         |         CAST(SUM(CASE WHEN rank <= 15 THEN 1 ELSE 0 END)
+         |           AS BIGINT) AS n_kept,
+         |         CAST(SUM(CASE WHEN rank <= 15 THEN tok ELSE 0 END)
+         |           AS BIGINT) AS tokens_kept
+         |  FROM r GROUP BY 1)
+         |SELECT source, n_docs, tokens_total, n_kept, tokens_kept,
+         |       n_docs - n_kept AS docs_dropped,
+         |       CAST(CASE WHEN tokens_total = 0 THEN 0
+         |            ELSE ((tokens_total - tokens_kept) * 1000000)
+         |                 // tokens_total END AS BIGINT)
+         |         AS tokens_dropped_ppm
+         |FROM agg ORDER BY source""".stripMargin,
+
+    // Twin of TextOps.normalizeText: lower → non-alnum to space →
+    // collapse runs → trim (DuckDB regexp_replace needs the 'g' flag
+    // for replace-all; Spark replaces all by default).
+    "ext104_normalization_dups" ->
+      """SELECT source,
+        |       CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(count(DISTINCT md5(text)) AS BIGINT) AS distinct_raw,
+        |       CAST(count(DISTINCT md5(trim(regexp_replace(
+        |           regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+        |           ' +', ' ', 'g')))) AS BIGINT) AS distinct_norm,
+        |       CAST(count(DISTINCT md5(text))
+        |            - count(DISTINCT md5(trim(regexp_replace(
+        |           regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+        |           ' +', ' ', 'g')))) AS BIGINT) AS norm_gain,
+        |       CAST(((count(DISTINCT md5(text))
+        |            - count(DISTINCT md5(trim(regexp_replace(
+        |           regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+        |           ' +', ' ', 'g'))))) * 1000000)
+        |           // count(DISTINCT md5(text)) AS BIGINT) AS gain_ppm
+        |FROM documents GROUP BY 1 ORDER BY source""".stripMargin,
+
+    "ext105_vocab_overlap" ->
+      """WITH inst AS (
+        |  SELECT lang AS g, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |cnt AS (SELECT g, tok, CAST(count(*) AS BIGINT) AS cnt
+        |        FROM inst GROUP BY 1, 2),
+        |tot AS (SELECT g, CAST(SUM(cnt) AS BIGINT) AS tot
+        |        FROM cnt GROUP BY 1),
+        |p AS (SELECT c.g, c.tok, (c.cnt * 1000000) // t.tot AS ppm
+        |      FROM cnt c JOIN tot t USING (g))
+        |SELECT a.g AS g_a, b.g AS g_b,
+        |       CAST(count(*) AS BIGINT) AS shared_types,
+        |       CAST(SUM(LEAST(a.ppm, b.ppm)) AS BIGINT) AS overlap_ppm,
+        |       CAST(1000000 - SUM(LEAST(a.ppm, b.ppm)) AS BIGINT)
+        |         AS tv_ppm
+        |FROM p a JOIN p b ON a.tok = b.tok AND a.g < b.g
+        |GROUP BY 1, 2 ORDER BY g_a, g_b""".stripMargin,
+
+    // Gopher repetition block: hash-identified n-grams for n in 2..10
+    // under the shingle cap; top coverage = max count × n, dup
+    // coverage = distinct positions under any ≥2-count n-gram.
+    "ext106_gopher_repetition" -> {
+      val wideCols = (2 to 10).map(n =>
+        s"max(CASE WHEN n = $n THEN cov END) AS c$n").mkString(",\n  |  ")
+      val outCols = ((2 to 4).map(n => n -> s"top${n}_ppm") ++
+        (5 to 10).map(n => n -> s"dup${n}_ppm")).map { case (n, name) =>
+        s"CAST((COALESCE(w.c$n, 0) * 1000000) // len(string_split(d.text, ' ')) AS BIGINT) AS $name"
+      }.mkString(",\n  |  ")
+      s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk
+         |             FROM documents),
+         |inst AS (
+         |  SELECT doc_id, n.n, g.i,
+         |         ${hashSql("array_to_string(tk[g.i:g.i+n.n-1], ' ')")} AS h
+         |  FROM toks, range(2, 11) n(n), range(1, 4001) g(i)
+         |  WHERE g.i <= len(tk) - n.n + 1),
+         |cnts AS (SELECT doc_id, n, h, count(*) AS c
+         |         FROM inst GROUP BY 1, 2, 3),
+         |top AS (SELECT doc_id, n, max(c) * n AS cov
+         |        FROM cnts WHERE n <= 4 GROUP BY 1, 2),
+         |dupp AS (
+         |  SELECT DISTINCT i.doc_id, i.n, i.i + o.o AS p
+         |  FROM inst i, cnts c, range(0, 10) o(o)
+         |  WHERE c.doc_id = i.doc_id AND c.n = i.n AND c.h = i.h
+         |    AND i.n >= 5 AND c.c >= 2 AND o.o < i.n),
+         |dupc AS (SELECT doc_id, n, count(*) AS cov
+         |         FROM dupp GROUP BY 1, 2),
+         |covs AS (SELECT * FROM top UNION ALL SELECT * FROM dupc),
+         |wide AS (
+         |  SELECT doc_id,
+         |  $wideCols
+         |  FROM covs GROUP BY 1)
+         |SELECT d.doc_id,
+         |  CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_toks,
+         |  $outCols
+         |FROM documents d LEFT JOIN wide w USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin
+    },
+
+    // PQ fidelity: the m-keyed Lloyd's chain (all 4 subspace codebooks
+    // in one pass per round, mirroring Similarity.pqCodebooks), ADC
+    // scoring off the codes + LUT, then the ext93 audit tail.
+    "ext107_pq_fidelity" -> {
+      val M = Similarity.PqSubspaces
+      val K = Similarity.PqCodes
+      val iters = Similarity.PqIters
+      val d = 64 / M
+      val blocks = new StringBuilder
+      blocks ++=
+        s"""sflat AS (
+           |  SELECT vec_id, CAST((i - 1) // $d AS BIGINT) AS m,
+           |         ((i - 1) % $d) + 1 AS si, qi FROM flat),
+           |ssn2 AS (SELECT vec_id, m, CAST(SUM(qi * qi) AS BIGINT) AS sn2
+           |        FROM sflat GROUP BY 1, 2),
+           |c0 AS (
+           |  SELECT f.m, f.vec_id AS code, f.si, f.qi AS cv FROM sflat f
+           |  WHERE f.vec_id IN (SELECT vec_id FROM q ORDER BY vec_id
+           |                     LIMIT $K)),
+           |""".stripMargin
+      (1 to iters + 1).foreach { r =>
+        val c = s"c${r - 1}"
+        blocks ++=
+          s"""${c}n AS (SELECT m, code, CAST(SUM(cv * cv) AS BIGINT) AS cn2
+             |        FROM $c GROUP BY 1, 2),
+             |d$r AS (
+             |  SELECT f.vec_id, f.m, c.code,
+             |         CAST(sn.sn2 + cn.cn2
+             |              - 2 * CAST(SUM(f.qi * c.cv) AS BIGINT) AS BIGINT)
+             |           AS dist
+             |  FROM sflat f JOIN $c c ON c.m = f.m AND c.si = f.si
+             |       JOIN ssn2 sn ON sn.vec_id = f.vec_id AND sn.m = f.m
+             |       JOIN ${c}n cn ON cn.m = c.m AND cn.code = c.code
+             |  GROUP BY f.vec_id, f.m, c.code, sn.sn2, cn.cn2),
+             |a$r AS (
+             |  SELECT vec_id, m, code FROM (
+             |    SELECT vec_id, m, code, row_number() OVER (
+             |      PARTITION BY vec_id, m ORDER BY dist, code) AS rn
+             |    FROM d$r)
+             |  WHERE rn = 1),
+             |""".stripMargin
+        if (r <= iters) blocks ++=
+          s"""c$r AS (
+             |  SELECT a.m, a.code, f.si,
+             |         CAST(floor(CAST(SUM(f.qi) AS DOUBLE) / COUNT(*))
+             |              AS BIGINT) AS cv
+             |  FROM a$r a JOIN sflat f ON f.vec_id = a.vec_id
+             |       AND f.m = a.m
+             |  GROUP BY 1, 2, 3),
+             |""".stripMargin
+      }
+      val fin = iters + 1
+      s"""$QuantFlatSql,
+         |${blocks.toString}${cosTopKCtes("_f", "")},
+         |fullk AS (SELECT q_id, t_id, cos FROM r_f WHERE rank <= 3),
+         |lut AS (
+         |  SELECT f.vec_id AS q_id, c.m, c.code,
+         |         CAST(SUM(f.qi * c.cv) AS BIGINT) AS ldot
+         |  FROM sflat f JOIN c$iters c ON c.m = f.m AND c.si = f.si
+         |  WHERE f.vec_id < $NumQueryVecs GROUP BY 1, 2, 3),
+         |qn2f AS (SELECT vec_id, CAST(SUM(sn2) AS BIGINT) AS qn2
+         |        FROM ssn2 GROUP BY 1),
+         |spq AS (
+         |  SELECT l.q_id, t.vec_id AS t_id,
+         |         CAST(SUM(l.ldot) AS BIGINT) AS adc,
+         |         CAST(SUM(cn.cn2) AS BIGINT) AS tn2
+         |  FROM a$fin t JOIN lut l ON l.m = t.m AND l.code = t.code
+         |       JOIN c${iters}n cn ON cn.m = t.m AND cn.code = t.code
+         |  WHERE t.vec_id <> l.q_id GROUP BY 1, 2),
+         |spqs AS (
+         |  SELECT s.q_id, s.t_id,
+         |         CAST(s.adc AS DOUBLE) /
+         |           sqrt(CAST(q2.qn2 AS DOUBLE) * CAST(s.tn2 AS DOUBLE))
+         |           AS cos_pq
+         |  FROM spq s JOIN qn2f q2 ON q2.vec_id = s.q_id),
+         |rpq AS (SELECT *, row_number() OVER (
+         |          PARTITION BY q_id ORDER BY cos_pq DESC, t_id ASC)
+         |          AS rank FROM spqs),
+         |pqk AS (SELECT q_id, t_id, cos_pq FROM rpq WHERE rank <= 3),
+         |ov AS (
+         |  SELECT CAST(floor(abs(p.cos_pq - f.cos) * 1000000000.0)
+         |              AS BIGINT) AS err
+         |  FROM fullk f JOIN pqk p USING (q_id, t_id)),
+         |tot AS (SELECT CAST(count(DISTINCT q_id) AS BIGINT) AS nq,
+         |               CAST(count(*) AS BIGINT) AS np FROM fullk),
+         |ova AS (SELECT CAST(count(*) AS BIGINT) AS novl,
+         |               CAST(COALESCE(SUM(err), 0) AS BIGINT) AS esum
+         |        FROM ov)
+         |SELECT tot.nq AS n_queries, tot.np AS n_pairs,
+         |       ova.novl AS n_overlap,
+         |       CASE WHEN tot.np = 0 THEN CAST(0 AS BIGINT)
+         |            ELSE (ova.novl * 1000000) // tot.np END AS overlap_ppm,
+         |       CASE WHEN ova.novl = 0 THEN CAST(0 AS BIGINT)
+         |            ELSE ova.esum // ova.novl END AS mae_q9
+         |FROM tot, ova""".stripMargin
+    }
   )
 }

@@ -205,6 +205,15 @@ object Dedup {
       text: String = "text", n: Int = 3): DataFrame =
     docShingleHashes(bench, id, text, n).select("h").distinct()
 
+  /** Distinct (id, h) shingle relation per document — the probe side of
+    * membership-style audits ([[benchmarkOverlapAgainst]] computes the
+    * same relation inline via countDistinct; the Bloom audit
+    * ([[Sketches.bloomContaminationAudit]]) needs it as a frame). Same
+    * cap and hashing as [[docShingleHashes]]. */
+  def distinctDocShingles(doc: DataFrame, id: String = "doc_id",
+      text: String = "text", n: Int = 3): DataFrame =
+    docShingleHashes(doc, id, text, n).distinct()
+
   /** [[benchmarkOverlap]] against a precomputed [[benchmarkShingles]]
     * set — the reusable probe: the corpus scan never shuffles for the
     * membership check (broadcast), only the two per-doc counts do. */

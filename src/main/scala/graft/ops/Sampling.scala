@@ -69,6 +69,41 @@ object Sampling {
   }
 
   /**
+   * Per-stratum cap audit card — the RefinedWeb-style "no source may
+   * exceed N documents" policy, PRICED before it is applied: per
+   * stratum, how many docs and how much token mass the cap at `cap`
+   * keeps vs drops (the selection is [[stratifiedTopK]]'s deterministic
+   * hash rank, so the audited policy IS the policy a later enforcement
+   * pass applies — same salt, same draw). The capacity-planning
+   * companion of [[tokenLedger]] (budget-driven) and
+   * [[mixtureWeights]] (α-weighted): a hard ceiling per source.
+   *
+   * Scale shape: the kept side reads [[stratifiedTopK]], whose
+   * rank ≤ cap filter Catalyst rewrites to WindowGroupLimit — each map
+   * task keeps ≤ cap rows per stratum BEFORE the shuffle; the totals
+   * side is a plain map-side-combined aggregate. Two bounded scans
+   * instead of one full per-stratum sort: at 100 TB the full window
+   * would sort every stratum end to end, the group-limit form moves
+   * O(strata × cap × tasks) rows.
+   */
+  def capAudit(df: DataFrame, strata: Seq[String], id: Column,
+      tokens: Column, cap: Int, salt: String = "samp"): DataFrame = {
+    val kept = stratifiedTopK(df.withColumn("_tok", tokens),
+        strata, id, cap, salt)
+      .groupBy(strata.map(col): _*)
+      .agg(count(lit(1)).as("n_kept"), sum(col("_tok")).as("tokens_kept"))
+    val totals = df.withColumn("_tok", tokens)
+      .groupBy(strata.map(col): _*)
+      .agg(count(lit(1)).as("n_docs"), sum(col("_tok")).as("tokens_total"))
+    // every nonempty stratum appears on BOTH sides (cap ≥ 1 keeps ≥ 1)
+    totals.join(kept, strata)
+      .withColumn("docs_dropped", col("n_docs") - col("n_kept"))
+      .withColumn("tokens_dropped_ppm",
+        when(col("tokens_total") === 0L, 0L).otherwise(
+          expr("((tokens_total - tokens_kept) * 1000000) DIV tokens_total")))
+  }
+
+  /**
    * Temperature-based mixture weights per stratum — the data-mixing
    * step of a pretraining pipeline (sample sources ∝ n^α instead of ∝ n
    * so small high-quality sources aren't drowned). α is fixed at 0.5

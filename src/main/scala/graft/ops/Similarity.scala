@@ -529,4 +529,198 @@ object Similarity {
       .filter(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"), col("cos"))
   }
+
+  /**
+   * SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+   * deduplication in embedding space — partition the corpus with the
+   * deterministic k-means coarse quantizer, then WITHIN each cluster
+   * drop every vector whose exact cosine to a LOWER-id cluster-mate
+   * reaches `threshold`. The keep-lowest-index convention is the
+   * paper's own implementation (upper-triangular max-sim test), so no
+   * transitive closure is needed: each drop decision reads pairs, not
+   * components — unlike the shingle-dedup keeper chain (ext27/47),
+   * which follows the LSH pair GRAPH.
+   *
+   * This is the embedding-space sibling of [[cosineNearDupPairs]] with
+   * a LEARNED partitioning instead of random hyperplanes: candidates
+   * are cluster-mates, so recall is bounded by the quantizer (two
+   * near-dups split across a centroid boundary are missed — the
+   * [[kmeansProbeBuckets]] multi-probe assignment is the recall knob,
+   * priced by ext58's curve; cluster balance priced by ext60).
+   *
+   * Scale shape: the pair join is an equi-join keyed on `bucket` —
+   * O(Σ|bucket|²) comparisons instead of n², the entire point of the
+   * method at 100 TB: k grows with the corpus so bucket size stays
+   * bounded (the paper runs k=50k over 5B docs), and the join shuffles
+   * each vector once per side. `buckets` is the build-once index
+   * artifact ([[kmeansProbeIndex]]), three int64 columns.
+   *
+   * Returns one row per vector: (id, bucket, kept 1|0) — the kept
+   * corpus is `kept = 1`; the card is a group-by away.
+   */
+  def semDedup(emb: DataFrame, buckets: DataFrame,
+      threshold: Double = NearDupThreshold, id: String = "vec_id",
+      vec: String = "embedding"): DataFrame = {
+    // One row per vector (id, quantized vec, norm2, bucket), consumed by
+    // both pair sides and the output listing — materialized once.
+    val corpus = Reuse.shared(prepared(emb, id, vec).toDF("vid", "q", "n2")
+      .join(buckets.toDF("vid", "bucket"), "vid"))
+    val a = corpus.select(col("vid").as("id_a"), col("q").as("q_a"),
+      col("n2").as("n2_a"), col("bucket"))
+    val b = corpus.select(col("vid").as("id_b"), col("q").as("q_b"),
+      col("n2").as("n2_b"), col("bucket"))
+    val dropped = a.join(b, Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cos",
+        cosine(qdot(col("q_a"), col("q_b")), col("n2_a"), col("n2_b")))
+      .filter(col("cos") >= threshold)
+      .select(col("id_b").as("vid")).distinct()
+    corpus.join(dropped.withColumn("_drop", lit(1)), Seq("vid"), "left")
+      .select(col("vid").as(id), col("bucket"),
+        when(col("_drop").isNull, 1L).otherwise(0L).as("kept"))
+  }
+
+  // ---- Product quantization (Jégou et al. 2011) -------------------------
+
+  /** PQ geometry: M subspaces × K codes. Storage per vector drops from
+    * dims × 4 bytes to M bytes (one code id per subspace — 4 bytes here
+    * vs 256 for the 64-dim corpus); the audit (ext107) prices what that
+    * 64× compression costs in ranking fidelity. The SAME constants
+    * interpolate into the oracle. */
+  val PqSubspaces = 4
+  val PqCodes = 16
+  val PqIters = 2
+
+  /** Per-subspace view of the quantized corpus: (vid, m, sq, sn2) —
+    * subspace m holds dims [m·d+1, (m+1)·d], d = dims / M. Sub-norms
+    * sum to the full norm² exactly (disjoint dim partition). */
+  private def pqSub(emb: DataFrame, id: String, vec: String): DataFrame =
+    prepared(emb, id, vec).toDF("vid", "q", "n2")
+      .withColumn("_d", (size(col("q")) / lit(PqSubspaces)).cast("int"))
+      .select(col("vid"), explode(array((0 until PqSubspaces).map(m =>
+        struct(lit(m).as("m"),
+          expr(s"slice(q, $m * _d + 1, _d)").as("sq"))): _*)).as("s"))
+      .select(col("vid"), col("s.m").as("m"), col("s.sq").as("sq"))
+      .withColumn("sn2", qnorm2(col("sq")))
+
+  /**
+   * Deterministic per-subspace codebooks — [[kmeansBuckets]]'s Lloyd's
+   * rules (exact int64 distances, floor-quantized centroid updates,
+   * k-lowest-id seeds, (dist, code) argmin tie-break) run over all M
+   * subspaces AT ONCE: every relation carries `m` as a key column, so
+   * the corpus is scanned once per round for all M codebooks — not M
+   * times (the per-subspace problems are independent; the m-keyed
+   * chain is their data-parallel composition). Returns
+   * (m, code, cq, cn2): M × K rows, broadcast-sized at any corpus
+   * size — THE stored PQ artifact beside the codes table.
+   */
+  def pqCodebooks(emb: DataFrame, id: String = "vec_id",
+      vec: String = "embedding"): DataFrame = {
+    val corpus = Reuse.shared(pqSub(emb, id, vec))
+    val seeds = emb.select(col(id).as("vid")).orderBy("vid").limit(PqCodes)
+    var cents = corpus.join(broadcast(seeds), "vid")
+      .select(col("m"), col("vid").as("code"),
+        col("sq").as("cq"), col("sn2").as("cn2"))
+    (1 to PqIters).foreach { _ =>
+      val a = corpus.join(broadcast(cents), "m")
+        .withColumn("dist", col("sn2") + col("cn2")
+          - lit(2L) * qdot(col("sq"), col("cq")))
+        .groupBy(col("m"), col("vid"))
+        .agg(min(struct(col("dist"), col("code"))).as("mn"),
+          first(col("sq")).as("sq"))
+        .select(col("m"), col("mn.code").as("code"), col("sq"))
+      cents = a
+        .select(col("m"), col("code"),
+          posexplode(col("sq")).as(Seq("pos", "v")))
+        .groupBy("m", "code", "pos")
+        .agg(sum("v").as("s"), count(lit(1)).as("n"))
+        .withColumn("cv",
+          floor(col("s").cast("double") / col("n")).cast("long"))
+        .groupBy("m", "code")
+        .agg(transform(array_sort(collect_list(struct(col("pos"),
+          col("cv")))), x => x.getField("cv")).as("cq"))
+        .withColumn("cn2", qnorm2(col("cq")))
+    }
+    cents
+  }
+
+  /** PQ encoding: per (vector, subspace) the nearest codeword id —
+    * the compressed corpus representation (M small ints per vector).
+    * Broadcast M×K codebook join + m-keyed argmin; one corpus scan. */
+  def pqCodes(emb: DataFrame, codebooks: DataFrame,
+      id: String = "vec_id", vec: String = "embedding"): DataFrame =
+    pqSub(emb, id, vec).join(broadcast(codebooks), "m")
+      .withColumn("dist", col("sn2") + col("cn2")
+        - lit(2L) * qdot(col("sq"), col("cq")))
+      .groupBy(col("m"), col("vid"))
+      .agg(min(struct(col("dist"), col("code"))).as("mn"))
+      .select(col("vid").as(id), col("m"), col("mn.code").as("code"))
+
+  /**
+   * ADC (asymmetric distance computation) cosine top-k over the PQ
+   * frame: the query stays full-precision, the target is its codeword
+   * reconstruction — approx dot = Σ_m LUT(q, m, code_m(t)) where the
+   * LUT holds the query's sub-dot against every codeword (M × K
+   * entries per query, the classical PQ lookup table), and the target
+   * norm is the reconstruction's Σ_m |codeword|². Everything after
+   * codebook build touches only the CODES table: the scan carries M
+   * int rows per target and one broadcast LUT join — no vector
+   * arithmetic per pair at all (the 100 TB win: the corpus' float
+   * vectors are read once at encode time, never at query time).
+   * Exact int64 sums; ranks tie-break (cos_pq DESC, t_id ASC).
+   */
+  def pqTopK(emb: DataFrame, queries: DataFrame, k: Int,
+      id: String = "vec_id", vec: String = "embedding"): DataFrame = {
+    val cb = Reuse.shared(pqCodebooks(emb, id, vec))
+    val codes = pqCodes(emb, cb, id, vec).toDF("t_id", "m", "code")
+    val qsub = Reuse.shared(pqSub(queries, id, vec))
+    val qn2 = qsub.groupBy("vid").agg(sum("sn2").as("qn2"))
+    val lut = qsub.join(broadcast(cb), "m")
+      .select(col("vid").as("q_id"), col("m"), col("code"),
+        qdot(col("sq"), col("cq")).as("ldot"), col("cn2"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos_pq").desc, col("t_id").asc)
+    codes.join(broadcast(lut), Seq("m", "code"))
+      .filter(col("q_id") =!= col("t_id"))
+      .groupBy(col("q_id"), col("t_id"))
+      .agg(sum(col("ldot")).as("adc_dot"), sum(col("cn2")).as("tn2_hat"))
+      .join(broadcast(qn2.withColumnRenamed("vid", "q_id")), "q_id")
+      .withColumn("cos_pq",
+        cosine(col("adc_dot"), col("qn2"), col("tn2_hat")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("t_id"),
+        col("rank").cast("long").as("rank"), col("cos_pq"))
+  }
+
+  /**
+   * PQ fidelity audit — ext93's card over the PQ frame: exact
+   * full-precision top-k vs the ADC top-k, one row (rank-set overlap
+   * ppm + mean |cos_pq − cos| in nano-units, per-pair floor-quantized
+   * before summing). The decision it prices: ship M bytes per vector
+   * (64× compression here) or the full float array. Same sampled-
+   * query-set audit shape as ext54/57/88/93.
+   */
+  def pqFidelityAudit(emb: DataFrame, queries: DataFrame, k: Int,
+      id: String = "vec_id", vec: String = "embedding"): DataFrame = {
+    val full = bruteTopK(emb, queries, k, id, vec)
+      .select(col("q_id"), col("t_id"), col("cos"))
+    val pq = pqTopK(emb, queries, k, id, vec)
+      .select(col("q_id"), col("t_id"), col("cos_pq"))
+    val totals = full.agg(
+      countDistinct(col("q_id")).as("n_queries"),
+      count(lit(1)).as("n_pairs"))
+    val overlap = full.join(pq, Seq("q_id", "t_id"))
+      .agg(count(lit(1)).as("n_overlap"),
+        coalesce(sum(floor(abs(col("cos_pq") - col("cos")) * lit(1e9))
+          .cast("long")), lit(0L)).as("_err_sum"))
+    totals.crossJoin(broadcast(overlap))
+      .withColumn("overlap_ppm",
+        when(col("n_pairs") === 0, lit(0L))
+          .otherwise(expr("(n_overlap * 1000000) DIV n_pairs")))
+      .withColumn("mae_q9",
+        when(col("n_overlap") === 0, lit(0L))
+          .otherwise(expr("_err_sum DIV n_overlap")))
+      .select("n_queries", "n_pairs", "n_overlap", "overlap_ppm", "mae_q9")
+  }
 }

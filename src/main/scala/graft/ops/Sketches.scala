@@ -209,6 +209,91 @@ object Sketches {
       .select("tok", "exact", "est", "err_ppm")
       .orderBy(col("exact").desc, col("tok").asc)
   }
+
+  // ---- Bloom filter membership -----------------------------------------
+
+  /** Bloom geometry: m bits, k hash functions (the BFF/Dolma-style
+    * dedup/decontamination filter runs exactly this shape at ~10^12
+    * bits). Constants interpolate into the ext102 oracle. At the test
+    * corpus' ~10^4 member shingles this m gives a deliberately
+    * MEASURABLE per-probe false-positive rate (fill ~0.3, fpr ~3%) —
+    * the audit exists to price it, not hide it. */
+  val BloomM = 32768L
+  val BloomK = 3
+
+  /** j-th bloom bit position of a [[Hashing.portableHash32]] value —
+    * the same universal-hash family as MinHash/CMS, reduced mod m. */
+  def bloomPos(h: Column, j: Int, m: Long = BloomM): Column =
+    ((h * lit(Hashing.seedA(j)) + lit(Hashing.seedB(j)))
+      % lit(Hashing.Mersenne31)) % lit(m)
+
+  /** The set-bit relation of a Bloom filter over a key-hash set (column
+    * `h`): ≤ min(m, k·|keys|) distinct `bit` rows. This is THE stored
+    * membership artifact — m bits (4 KiB here, ~128 GiB for a
+    * trillion-key production filter is still one broadcast per
+    * executor), mergeable by union, never the keys themselves. */
+  def bloomBits(keys: DataFrame, m: Long = BloomM,
+      k: Int = BloomK): DataFrame =
+    keys.select(explode(array((0 until k).map(j =>
+      bloomPos(col("h"), j, m)): _*)).as("bit")).distinct()
+
+  /**
+   * Bloom-probed decontamination, priced against the exact probe — the
+   * sketch-vs-truth audit of the [[graft.ops.Dedup.benchmarkOverlap]]
+   * decision (ext32) when the benchmark membership set is carried as a
+   * Bloom filter instead of the exact hash set (the BFF trade: O(m)
+   * bits regardless of key count, one-sided error). Per corpus doc the
+   * SAME overlap-fraction ≥ threshold flag is computed both ways; the
+   * one-row card reports doc-flag agreement and the shingle-level
+   * false-positive rate (a bloom hit on a non-member probe). No false
+   * negatives is structural — member positions are set by construction
+   * — so flagged_bloom ⊇ flagged_exact always (spec-asserted).
+   *
+   * Scale shape: ONE corpus shingle pass; the k position probes ride
+   * the scan as a k-row explode joined against the BROADCAST bit set —
+   * the corpus never shuffles for membership, only the per-doc counts
+   * do (ext32's shape). Card columns: docs probed, exact/bloom doc
+   * flags, doc false positives, shingle probes, non-member probes,
+   * shingle false positives, fpr ppm, bits set.
+   */
+  def bloomContaminationAudit(corpus: DataFrame, bench: DataFrame,
+      id: String = "doc_id", text: String = "text", n: Int = 3,
+      threshold: Double = 0.8, m: Long = BloomM,
+      k: Int = BloomK): DataFrame = {
+    val benchH = Reuse.shared(Dedup.benchmarkShingles(bench, id, text, n))
+    // Consumed by the probe join AND the bits_set count — built once.
+    val bits = Reuse.shared(bloomBits(benchH, m, k))
+    val ch = Dedup.distinctDocShingles(corpus, id, text, n)
+    val probed = ch
+      .select(col(id), col("h"), explode(array((0 until k).map(j =>
+        bloomPos(col("h"), j, m)): _*)).as("bit"))
+      .join(broadcast(bits.withColumn("_b", lit(1L))), Seq("bit"), "left")
+      .groupBy(col(id), col("h"))
+      .agg((count(col("_b")) === k).cast("long").as("bloom_hit"))
+    val perDoc = probed
+      .join(broadcast(benchH.withColumn("_in", lit(1L))), Seq("h"), "left")
+      .groupBy(col(id))
+      .agg(count(lit(1)).as("n_sh"),
+        sum(when(col("_in").isNotNull, 1L).otherwise(0L)).as("n_exact"),
+        sum(col("bloom_hit")).as("n_bloom"))
+    val frac = (c: Column, tot: Column) => c.cast("double") / tot.cast("double")
+    perDoc.agg(
+        count(lit(1)).as("n_docs"),
+        sum((frac(col("n_exact"), col("n_sh")) >= threshold).cast("long"))
+          .as("docs_flagged_exact"),
+        sum((frac(col("n_bloom"), col("n_sh")) >= threshold).cast("long"))
+          .as("docs_flagged_bloom"),
+        sum(((frac(col("n_bloom"), col("n_sh")) >= threshold) &&
+          !(frac(col("n_exact"), col("n_sh")) >= threshold)).cast("long"))
+          .as("docs_false_pos"),
+        sum(col("n_sh")).as("shingle_probes"),
+        sum(col("n_sh") - col("n_exact")).as("nonmember_probes"),
+        sum(col("n_bloom") - col("n_exact")).as("shingle_fp"))
+      .crossJoin(broadcast(bits.agg(count(lit(1)).as("bits_set"))))
+      .withColumn("fpr_ppm",
+        when(col("nonmember_probes") === 0L, 0L)
+          .otherwise(expr("(shingle_fp * 1000000) DIV nonmember_probes")))
+  }
 }
 
 /** Sketch summary: how many mins are held (< k ⇒ the set is exact) and

@@ -905,6 +905,143 @@ object TextOps {
       .agg(sum(col(vals.head)).as(vals.head),
         vals.tail.map(v => sum(col(v)).as(v)): _*)
   }
+
+  /**
+   * The full Gopher repetition-signal card (Rae et al. 2021, table A1's
+   * repetition block), per document — [[repetition]] carries the
+   * dup-2-gram ratio and dominant token; this completes the suite in
+   * token-position units:
+   *
+   *  - `top{2,3,4}_ppm`: positions covered by the MOST FREQUENT n-gram
+   *    (count × n, ppm of the doc's tokens) — the paper's "fraction in
+   *    the most frequently occurring n-gram". Overlapping repeats can
+   *    push the product past 1e6 (the paper's measure has the same
+   *    property); reported raw, not clamped.
+   *  - `dup{5..10}_ppm`: DISTINCT positions covered by any n-gram
+   *    occurring ≥ 2 times within the doc — "fraction of characters in
+   *    duplicate n-grams", exact by discrete-position union (no
+   *    interval arithmetic needed).
+   *
+   * n-grams are hash-identified ([[Hashing.portableHash32]], same
+   * convention as the shingle pipeline; a within-doc collision would
+   * merge two n-grams identically in both engines). Scale shape: ONE
+   * tokenization, one 9-way n-explode bounded per doc by
+   * 9 × [[graft.ops.Dedup.MaxShinglesPerDoc]], a doc-keyed count, a
+   * doc-keyed join back, and the offset explode (≤ 10×) runs only on
+   * instances already known shared. Everything is doc-local — the
+   * operator is embarrassingly parallel on doc_id and stateless
+   * across documents (streams as a plain per-batch map).
+   */
+  def gopherRepetitionCard(doc: DataFrame, id: String = "doc_id",
+      text: String = "text"): DataFrame = {
+    val ns = 2 to 10
+    val inst = Reuse.shared(doc
+      .select(col(id), tokens(col(text)).as("_toks"))
+      .select(col(id), col("_toks"), size(col("_toks")).as("_len"),
+        explode(array(ns.map(lit(_)): _*)).as("n"))
+      .select(col(id), col("n"),
+        explode(when(col("_len") >= col("n"),
+          sequence(lit(1), least(col("_len") - col("n") + 1,
+            lit(Dedup.MaxShinglesPerDoc))))
+          .otherwise(array().cast("array<int>"))).as("i"),
+        col("_toks"))
+      .select(col(id), col("n"), col("i"),
+        Hashing.portableHash32(concat_ws(" ",
+          slice(col("_toks"), col("i"), col("n")))).as("h")))
+    val cnts = inst.groupBy(col(id), col("n"), col("h"))
+      .agg(count(lit(1)).as("c"))
+    val top = cnts.filter(col("n") <= 4)
+      .groupBy(col(id), col("n"))
+      .agg((max(col("c")) * col("n")).as("cov"))
+    val dup = inst.filter(col("n") >= 5)
+      .join(cnts.filter(col("c") >= 2L), Seq(id, "n", "h"))
+      .select(col(id), col("n"),
+        explode(sequence(col("i"), col("i") + col("n") - 1)).as("p"))
+      .distinct()
+      .groupBy(col(id), col("n")).agg(count(lit(1)).as("cov"))
+    // one row per (doc, n) on each side → max == the single value
+    val wide = top.unionByName(dup).groupBy(col(id))
+      .agg(max(when(col("n") === 2, col("cov"))).as("_c2"),
+        ns.tail.map(n =>
+          max(when(col("n") === n, col("cov"))).as(s"_c$n")): _*)
+    val ppm = (n: Int) =>
+      expr(s"(coalesce(_c$n, 0) * 1000000) DIV n_toks")
+    doc.select(col(id), size(tokens(col(text))).cast("long").as("n_toks"))
+      .join(wide, Seq(id), "left")
+      .select(Seq(col(id), col("n_toks")) ++
+        (2 to 4).map(n => ppm(n).as(s"top${n}_ppm")) ++
+        (5 to 10).map(n => ppm(n).as(s"dup${n}_ppm")): _*)
+  }
+
+  /** Conservative content normalization for dedup (the C4/CCNet
+    * convention): lowercase, non-alphanumerics to spaces, runs of
+    * spaces collapsed, ends trimmed. Pure codegen'd projection —
+    * composes with any hash-identity operator ([[Dedup.exact]],
+    * [[Dedup.snapshotDiff]]) to turn raw identity into normalized
+    * identity. Deliberately ASCII-scoped: portable across engines'
+    * regex dialects and Unicode tables (an NFKC pass is
+    * engine-specific and belongs upstream of the identity decision). */
+  def normalizeText(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(lower(text), "[^a-z0-9 ]", " "), " +", " "))
+
+  /**
+   * Normalization-sensitive duplication card, per stratum: distinct
+   * docs by RAW text identity vs by [[normalizeText]]'d identity —
+   * the gap is duplication visible only after case/punctuation/
+   * whitespace normalization, i.e. exactly what [[Dedup.exact]] on
+   * raw text misses and a C4-style normalized dedup pass would
+   * reclaim. Identities are full md5 (a 31-bit hash would birthday-
+   * merge distinct texts into phantom dups at corpus scale —
+   * snapshotDiff's rationale). One scan, one two-distinct-count
+   * aggregate per stratum; only digests shuffle, never text.
+   */
+  def normalizationDupCard(doc: DataFrame,
+      by: Seq[String] = Seq("source"), text: String = "text"): DataFrame =
+    doc.groupBy(by.map(col): _*)
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(md5(col(text))).as("distinct_raw"),
+        countDistinct(md5(normalizeText(col(text)))).as("distinct_norm"))
+      .withColumn("norm_gain", col("distinct_raw") - col("distinct_norm"))
+      .withColumn("gain_ppm",
+        expr("(norm_gain * 1000000) DIV distinct_raw"))
+
+  /**
+   * Pairwise vocabulary-distribution overlap between strata — content
+   * drift where ext82 measures SHARE drift: for each stratum pair, the
+   * total-variation overlap Σ_t min(p_a(t), p_b(t)) of their unigram
+   * distributions, ppm-quantized (`tv_ppm = 1e6 − overlap_ppm`). Each
+   * per-(stratum, token) probability is floor-quantized to ppm BEFORE
+   * the min/sum — exact int64 end to end, engine-portable; the
+   * flooring bias is < 1 ppm per shared type (≤ |vocab| ppm total,
+   * stated here rather than hidden in float noise).
+   *
+   * Scale shape: one token-instance explode into a (stratum, token)
+   * count (map-side combined), a broadcast |strata|-row totals join,
+   * then a token-keyed self-join whose fan-out is bounded by |strata|
+   * per token — never vocab², never corpus². Output is
+   * C(|strata|, 2) rows.
+   */
+  def vocabOverlap(doc: DataFrame, by: String = "lang",
+      text: String = "text"): DataFrame = {
+    // The count relation feeds the totals AND both pair sides —
+    // materialized once instead of re-planning the explode per reader.
+    val cnt = Reuse.shared(doc
+      .select(col(by).as("g"), explode(tokens(col(text))).as("tok"))
+      .groupBy("g", "tok").agg(count(lit(1)).as("cnt")))
+    val tot = cnt.groupBy("g").agg(sum("cnt").as("tot"))
+    val p = cnt.join(broadcast(tot), "g")
+      .withColumn("ppm", expr("(cnt * 1000000) DIV tot"))
+      .select("g", "tok", "ppm")
+    p.select(col("tok"), col("g").as("g_a"), col("ppm").as("ppm_a"))
+      .join(p.select(col("tok"), col("g").as("g_b"),
+        col("ppm").as("ppm_b")), "tok")
+      .filter(col("g_a") < col("g_b"))
+      .groupBy("g_a", "g_b")
+      .agg(count(lit(1)).as("shared_types"),
+        sum(least(col("ppm_a"), col("ppm_b"))).as("overlap_ppm"))
+      .withColumn("tv_ppm", lit(1000000L) - col("overlap_ppm"))
+  }
 }
 
 /**

@@ -95,4 +95,71 @@ class CorpusStatsSpec extends TestBase {
     assert(got("en") == ((4L, 7L, 7L * 1000000L / 4L)))
     assert(got("zz") == ((2L, 4L, 2000000L)))
   }
+
+  test("gopher repetition card: exact top-n and dup-n coverage on " +
+      "constructed docs (ext106)") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "x y x y x y z"),           // overlapping-repeat doc, 7 toks
+      (2L, "a b c a b c a b c a"),     // 3-periodic doc, 10 toks
+      (3L, "p q r s t"))               // repetition-free, 5 toks
+      .toDF("doc_id", "text")
+    val got = TextOps.gopherRepetitionCard(docs).orderBy("doc_id")
+      .collect().map(r => r.getLong(0) ->
+        (0 until r.length).map(r.getLong).toVector).toMap
+    // doc 1: top2 "x y"×3 → 6/7; top3 ×2 → 6/7; top4 ×2 → 8/7 (> 1e6,
+    // unclamped like the paper's measure); no duplicate 5..10-grams.
+    assert(got(1L) == Vector(1L, 7L, 857142L, 857142L, 1142857L,
+      0L, 0L, 0L, 0L, 0L, 0L))
+    // doc 2: top2 ×3 → 6/10; top3 "a b c"×3 → 9/10; top4 ×3 → 12/10;
+    // dup5/6/7 cover ALL 10 positions; 8..10-grams are all unique.
+    assert(got(2L) == Vector(2L, 10L, 600000L, 900000L, 1200000L,
+      1000000L, 1000000L, 1000000L, 0L, 0L, 0L))
+    // doc 3: nothing repeats at any n.
+    assert(got(3L) == Vector(3L, 5L, 400000L, 600000L, 800000L,
+      0L, 0L, 0L, 0L, 0L, 0L))
+  }
+
+  test("normalization dup card: case/punct/space variants collapse, " +
+      "clean corpus reads zero gain (ext104)") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "s1", "Hello, World!"),
+      (2L, "s1", "hello world"),
+      (3L, "s1", "hello  world"),   // double space collapses
+      (4L, "s1", "goodbye world"),
+      (5L, "s2", "plain text"))
+      .toDF("doc_id", "source", "text")
+    val got = TextOps.normalizationDupCard(docs).orderBy("source")
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSeq
+    // s1: 4 raw identities, 2 normalized → gain 2 (500000 ppm)
+    assert(got == Seq(
+      ("s1", 4L, 4L, 2L, 2L, 500000L),
+      ("s2", 1L, 1L, 1L, 0L, 0L)))
+    // normalizeText itself: the three variants share one normal form
+    val norms = docs.filter(col("doc_id") <= 3)
+      .select(TextOps.normalizeText(col("text"))).as[String]
+      .collect().toSet
+    assert(norms == Set("hello world"))
+  }
+
+  test("vocab overlap: exact TV overlap on known distributions, " +
+      "self-similar pair near 1e6 (ext105)") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a", "x x y z"),   // p: x .5, y .25, z .25
+      (2L, "b", "x y y w"))   // p: x .25, y .5, w .25
+      .toDF("doc_id", "lang", "text")
+    val got = TextOps.vocabOverlap(docs)
+      .as[(String, String, Long, Long, Long)].collect().toSeq
+    // shared {x, y}: min(.5,.25) + min(.25,.5) = .5
+    assert(got == Seq(("a", "b", 2L, 500000L, 500000L)))
+    // a stratum against a copy of itself: overlap within |vocab| ppm
+    // of exact 1e6 (per-type flooring bias only)
+    val twin = Seq((1L, "a", "x x y z"), (2L, "b", "x x y z"))
+      .toDF("doc_id", "lang", "text")
+    val self = TextOps.vocabOverlap(twin)
+      .as[(String, String, Long, Long, Long)].head()
+    assert(self._4 >= 1000000L - 3L && self._4 <= 1000000L)
+  }
 }

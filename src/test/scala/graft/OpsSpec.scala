@@ -4,7 +4,8 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
 
 import graft.ingest.Tables
-import graft.ops.{Dedup, DecodedImage, MediaAsset, Multimodal, Similarity}
+import graft.ops.{Dedup, DecodedImage, MediaAsset, Multimodal, Similarity,
+  Sketches}
 import graft.serve.Serve
 
 /** Unit coverage for serving, dedup, similarity and multimodal plumbing. */
@@ -124,6 +125,49 @@ class OpsSpec extends TestBase {
     assert(got(12L) == ((12L, 0L, 0L, 0L)))   // no shingles, frac 0
     // doc 13: 28 shingles, b-prefix contributes 14 shared → 0.5 < 0.8
     assert(got(13L)._3 == 14L && got(13L)._4 == 0L)
+  }
+
+  test("sketches: bloom decontamination — no false negatives, exact " +
+      "card arithmetic, measured fpr on the real corpus (ext102)") {
+    import spark.implicits._
+    // Planted fixture: a full benchmark copy, a clean doc, a half-leak.
+    val benchText = (1 to 30).map(i => s"b$i").mkString(" ")
+    val bench = Seq((1L, benchText)).toDF("doc_id", "text")
+    val corpus = Seq(
+      (10L, benchText),
+      (11L, (1 to 30).map(i => s"c$i").mkString(" ")),
+      (13L, ((1 to 16).map(i => s"b$i") ++
+        (1 to 14).map(i => s"d$i")).mkString(" ")))
+      .toDF("doc_id", "text")
+    val card = Sketches.bloomContaminationAudit(corpus, bench)
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long, Long)].head()
+    val (nDocs, fExact, fBloom, fPos, probes, nonmem, fp, bitsSet, fppm) =
+      card
+    assert(nDocs == 3L && fExact == 1L) // only the full copy flags exact
+    // structural one-sidedness: bloom flags ⊇ exact flags
+    assert(fBloom >= fExact && fPos == fBloom - fExact)
+    assert(probes == 28L + 28L + 28L && nonmem == probes - 28L - 14L)
+    assert(fp >= 0L && fp <= nonmem)
+    assert(fppm == (if (nonmem == 0) 0L else fp * 1000000L / nonmem))
+    // ≤ k positions per member key, deduped
+    assert(bitsSet > 0L && bitsSet <= 28L * Sketches.BloomK)
+    // Member probes ALWAYS hit: every benchmark shingle's k positions
+    // are set by construction.
+    val benchH = Dedup.benchmarkShingles(bench)
+    val bits = Sketches.bloomBits(benchH)
+      .as[Long].collect().toSet
+    val memberPos = benchH.select((0 until Sketches.BloomK).map(j =>
+      Sketches.bloomPos(col("h"), j)): _*)
+      .collect().flatMap(r => (0 until Sketches.BloomK).map(r.getLong))
+    assert(memberPos.forall(bits))
+    // Realism: on the sf0.001 documents the audit prices a nonzero
+    // probe volume and a sane fpr (deliberately measurable geometry).
+    val d = graft.ingest.Tables.documents(spark, sf("sf0.001"))
+    val real = Sketches.bloomContaminationAudit(
+      d.filter(col("doc_id") >= 20), d.filter(col("doc_id") < 20))
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long, Long)].head()
+    assert(real._5 > 0L && real._3 >= real._2)
+    assert(real._9 >= 0L && real._9 < 1000000L)
   }
 
   test("similarity: kmeans-IVF results stay inside the query's bucket") {

@@ -268,6 +268,30 @@ class PipelineOpsSpec extends TestBase {
       .except(again.select("id", "st", "rank")).isEmpty)
   }
 
+  test("sampling: cap audit card prices exactly what stratifiedTopK " +
+      "would keep (ext103)") {
+    import spark.implicits._
+    // stratum a: 5 docs of 10 tokens; stratum b: 2 docs of 7 tokens
+    val mk = (id: Long, st: String, n: Int) =>
+      (id, st, (1 to n).map(i => s"t$i").mkString(" "))
+    val df = (Seq.tabulate(5)(i => mk(i.toLong, "a", 10)) ++
+      Seq(mk(100L, "b", 7), mk(101L, "b", 7))).toDF("doc_id", "st", "text")
+    val toks = size(split(col("text"), " ")).cast("long")
+    val got = Sampling.capAudit(df, Seq("st"), col("doc_id"), toks, 3)
+      .orderBy("st")
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect().toSeq
+    // a: keeps 3 of 5 (30 of 50 tokens → 400000 ppm dropped);
+    // b: under cap, nothing dropped.
+    assert(got == Seq(
+      ("a", 5L, 50L, 3L, 30L, 2L, 400000L),
+      ("b", 2L, 14L, 2L, 14L, 0L, 0L)))
+    // the kept token mass is EXACTLY the stratifiedTopK selection's
+    val sel = Sampling.stratifiedTopK(df.withColumn("_t", toks),
+        Seq("st"), col("doc_id"), 3)
+      .groupBy("st").agg(sum("_t")).as[(String, Long)].collect().toMap
+    assert(got.map(r => r._1 -> r._5).toMap == sel)
+  }
+
   test("sampling: bernoulli near-nominal rate, monotone in the rate") {
     import spark.implicits._
     val ids = spark.range(0, 3000).toDF("id")

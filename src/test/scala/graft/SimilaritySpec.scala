@@ -279,4 +279,72 @@ class SimilaritySpec extends TestBase {
       (0L, 2L, 1L, 0L, 1000000000000L, 500000000000L),
       (1L, 1L, 0L, 4000000000000L, 4000000000000L, 4000000000000L)))
   }
+
+  test("pq: a corpus of <= K distinct repeated vectors reconstructs " +
+      "exactly — ADC == brute, perfect fidelity card (ext107)") {
+    import spark.implicits._
+    // 12 distinct 8-dim patterns (< K = 16 codes), repeated twice;
+    // seeds cover every pattern, so Lloyd's converges to the patterns
+    // themselves and the ADC reconstruction is EXACT.
+    def pat(p: Int) = Array.tabulate(8)(i =>
+      (((p * 31 + i * 7) % 11) - 5 + (if (i == p % 8) 7 else 0)).toFloat)
+    val vs = (0 until 24).map(i => (i.toLong, pat(i % 12)))
+      .toDF("vec_id", "embedding")
+    val qs = vs.filter(col("vec_id") < 5)
+    // one code per (vector, subspace)
+    val cb = Similarity.pqCodebooks(vs)
+    val codes = Similarity.pqCodes(vs, cb)
+    assert(codes.count() == 24L * Similarity.PqSubspaces)
+    assert(codes.groupBy("vec_id", "m").count()
+      .filter(col("count") =!= 1L).isEmpty)
+    val card = Similarity.pqFidelityAudit(vs, qs, 3)
+      .as[(Long, Long, Long, Long, Long)].head()
+    assert(card == ((5L, 15L, 15L, 1000000L, 0L)))
+    val pq = Similarity.pqTopK(vs, qs, 3)
+      .select("q_id", "t_id", "rank").as[(Long, Long, Long)]
+      .collect().toSet
+    val br = Similarity.bruteTopK(vs, qs, 3)
+      .select("q_id", "t_id", "rank").as[(Long, Long, Long)]
+      .collect().toSet
+    assert(pq == br)
+    // real embeddings: the audit prices a real, nonzero error
+    val real = Similarity.pqFidelityAudit(emb, queries, 3)
+      .as[(Long, Long, Long, Long, Long)].head()
+    assert(real._3 < real._2 && real._5 > 0L)
+  }
+
+  test("semdedup: drop iff a lower-id cluster-mate reaches the " +
+      "threshold; min-id per bucket survives (ext101)") {
+    import spark.implicits._
+    val buckets = Similarity.kmeansBuckets(emb)
+    val got = Similarity.semDedup(emb, buckets)
+      .as[(Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    // Independent driver-side recompute with the same quantization.
+    val vecs = emb.select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])].collect()
+      .map { case (i, v) =>
+        i -> v.map(x => math.floor(x.toDouble * 1e6).toLong)
+      }.toMap
+    val bk = buckets.as[(Long, Long)].collect().toMap
+    def cos(a: Array[Long], b: Array[Long]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      val n2 = (v: Array[Long]) => v.map(x => x * x).sum
+      dot.toDouble / math.sqrt(n2(a).toDouble * n2(b).toDouble)
+    }
+    val expected = vecs.keys.toSeq.sorted.map { i =>
+      val dropped = vecs.keys.exists(j => j < i && bk(j) == bk(i) &&
+        cos(vecs(j), vecs(i)) >= Similarity.NearDupThreshold)
+      (i, bk(i), if (dropped) 0L else 1L)
+    }
+    assert(got == expected)
+    // the audit is non-trivial on this corpus: some drops, some keeps
+    assert(got.exists(_._3 == 0L) && got.exists(_._3 == 1L))
+    // min-id of every bucket is always kept
+    val minIds = bk.groupBy(_._2).map { case (_, m) => m.keys.min }.toSet
+    assert(got.filter(r => minIds(r._1)).forall(_._3 == 1L))
+    // an impossible threshold keeps everything
+    val all = Similarity.semDedup(emb, buckets, threshold = 1.01)
+      .as[(Long, Long, Long)].collect()
+    assert(all.forall(_._3 == 1L))
+  }
 }
