@@ -273,6 +273,86 @@ object ExtEntry {
        |SELECT q_id, t_id, CAST(rank AS BIGINT) AS rank, cos
        |FROM r WHERE rank <= $k ORDER BY q_id, rank""".stripMargin
 
+  /** ADC chain shared by the PQ oracles (ext107/ext108): sub-flat view
+    * of the quantized embeddings, the m-keyed Lloyd's rounds (all
+    * subspace codebooks per round in one pass — the SQL twin of
+    * Similarity.pqCodebooks), the per-query LUT, ADC scores (`spqs`)
+    * and the ranked ADC relation (`rpq`). Assumes QuantFlatSql's
+    * `q`/`flat` in scope. */
+  private lazy val pqAdcCtes: String = {
+    val K = graft.ops.Similarity.PqCodes
+    val iters = graft.ops.Similarity.PqIters
+    val d = 64 / graft.ops.Similarity.PqSubspaces
+    val blocks = new StringBuilder
+    blocks ++=
+      s"""sflat AS (
+         |  SELECT vec_id, CAST((i - 1) // $d AS BIGINT) AS m,
+         |         ((i - 1) % $d) + 1 AS si, qi FROM flat),
+         |ssn2 AS (SELECT vec_id, m, CAST(SUM(qi * qi) AS BIGINT) AS sn2
+         |        FROM sflat GROUP BY 1, 2),
+         |c0 AS (
+         |  SELECT f.m, f.vec_id AS code, f.si, f.qi AS cv FROM sflat f
+         |  WHERE f.vec_id IN (SELECT vec_id FROM q ORDER BY vec_id
+         |                     LIMIT $K)),
+         |""".stripMargin
+    (1 to iters + 1).foreach { r =>
+      val c = s"c${r - 1}"
+      blocks ++=
+        s"""${c}n AS (SELECT m, code, CAST(SUM(cv * cv) AS BIGINT) AS cn2
+           |        FROM $c GROUP BY 1, 2),
+           |d$r AS (
+           |  SELECT f.vec_id, f.m, c.code,
+           |         CAST(sn.sn2 + cn.cn2
+           |              - 2 * CAST(SUM(f.qi * c.cv) AS BIGINT) AS BIGINT)
+           |           AS dist
+           |  FROM sflat f JOIN $c c ON c.m = f.m AND c.si = f.si
+           |       JOIN ssn2 sn ON sn.vec_id = f.vec_id AND sn.m = f.m
+           |       JOIN ${c}n cn ON cn.m = c.m AND cn.code = c.code
+           |  GROUP BY f.vec_id, f.m, c.code, sn.sn2, cn.cn2),
+           |a$r AS (
+           |  SELECT vec_id, m, code FROM (
+           |    SELECT vec_id, m, code, row_number() OVER (
+           |      PARTITION BY vec_id, m ORDER BY dist, code) AS rn
+           |    FROM d$r)
+           |  WHERE rn = 1),
+           |""".stripMargin
+      if (r <= iters) blocks ++=
+        s"""c$r AS (
+           |  SELECT a.m, a.code, f.si,
+           |         CAST(floor(CAST(SUM(f.qi) AS DOUBLE) / COUNT(*))
+           |              AS BIGINT) AS cv
+           |  FROM a$r a JOIN sflat f ON f.vec_id = a.vec_id
+           |       AND f.m = a.m
+           |  GROUP BY 1, 2, 3),
+           |""".stripMargin
+    }
+    val fin = iters + 1
+    blocks.toString +
+      s"""lut AS (
+         |  SELECT f.vec_id AS q_id, c.m, c.code,
+         |         CAST(SUM(f.qi * c.cv) AS BIGINT) AS ldot
+         |  FROM sflat f JOIN c$iters c ON c.m = f.m AND c.si = f.si
+         |  WHERE f.vec_id < $NumQueryVecs GROUP BY 1, 2, 3),
+         |qn2f AS (SELECT vec_id, CAST(SUM(sn2) AS BIGINT) AS qn2
+         |        FROM ssn2 GROUP BY 1),
+         |spq AS (
+         |  SELECT l.q_id, t.vec_id AS t_id,
+         |         CAST(SUM(l.ldot) AS BIGINT) AS adc,
+         |         CAST(SUM(cn.cn2) AS BIGINT) AS tn2
+         |  FROM a$fin t JOIN lut l ON l.m = t.m AND l.code = t.code
+         |       JOIN c${iters}n cn ON cn.m = t.m AND cn.code = t.code
+         |  WHERE t.vec_id <> l.q_id GROUP BY 1, 2),
+         |spqs AS (
+         |  SELECT s.q_id, s.t_id,
+         |         CAST(s.adc AS DOUBLE) /
+         |           sqrt(CAST(q2.qn2 AS DOUBLE) * CAST(s.tn2 AS DOUBLE))
+         |           AS cos_pq
+         |  FROM spq s JOIN qn2f q2 ON q2.vec_id = s.q_id),
+         |rpq AS (SELECT *, row_number() OVER (
+         |          PARTITION BY q_id ORDER BY cos_pq DESC, t_id ASC)
+         |          AS rank FROM spqs)""".stripMargin
+  }
+
   /** Shared tail of the recall-audit oracles (ext54/57/58): left-join
     * `truth` to `cand` on the pair key, then the quantized 3-scalar
     * summary [[graft.ops.Dedup.pairRecall]] computes. */
@@ -1532,7 +1612,26 @@ object ExtEntry {
       val e = embs(s, dir)
       Similarity.pqFidelityAudit(
         e, e.filter(col("vec_id") < NumQueryVecs), 3)
-    })
+    }),
+
+    // Two-stage PQ retrieval, recall-priced: ADC top-20 candidate pool
+    // off the codes table, exact re-rank of only those vectors, recall
+    // vs brute top-3 — measures what reranking recovers of ext107's
+    // raw-ADC ranking loss (the production IVF-PQ serving shape).
+    "ext108_pq_rerank_recall" -> ((s, dir) => {
+      val e = embs(s, dir)
+      Similarity.pqRerankRecallAudit(
+        e, e.filter(col("vec_id") < NumQueryVecs), 3, 20)
+    }),
+
+    // SemDeDup detector audit: truth = ALL pairs at/above the cosine
+    // threshold (exact, audit-scale), detected = the same-bucket pairs
+    // ext101 sees — the miss mass is near-dup pairs split across a
+    // centroid boundary (multi-probe, ext58, is the recovery knob).
+    // Every approximate path ships with a measured number (ext54/65/
+    // 88's discipline); this is ext101's.
+    "ext109_semdedup_recall" -> ((s, dir) =>
+      Similarity.semDedupRecallAudit(embs(s, dir), ivfBuckets(s, dir)))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3624,20 +3723,22 @@ object ExtEntry {
          |  GROUP BY 1),
          |card AS (
          |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
-         |         CAST(SUM(CASE WHEN CAST(n_exact AS DOUBLE)
-         |              / CAST(n_sh AS DOUBLE) >= 0.8 THEN 1 ELSE 0 END)
-         |           AS BIGINT) AS docs_flagged_exact,
-         |         CAST(SUM(CASE WHEN CAST(n_bloom AS DOUBLE)
-         |              / CAST(n_sh AS DOUBLE) >= 0.8 THEN 1 ELSE 0 END)
-         |           AS BIGINT) AS docs_flagged_bloom,
-         |         CAST(SUM(CASE WHEN CAST(n_bloom AS DOUBLE)
+         |         CAST(COALESCE(SUM(CASE WHEN CAST(n_exact AS DOUBLE)
+         |              / CAST(n_sh AS DOUBLE) >= 0.8 THEN 1 ELSE 0 END),
+         |           0) AS BIGINT) AS docs_flagged_exact,
+         |         CAST(COALESCE(SUM(CASE WHEN CAST(n_bloom AS DOUBLE)
+         |              / CAST(n_sh AS DOUBLE) >= 0.8 THEN 1 ELSE 0 END),
+         |           0) AS BIGINT) AS docs_flagged_bloom,
+         |         CAST(COALESCE(SUM(CASE WHEN CAST(n_bloom AS DOUBLE)
          |                / CAST(n_sh AS DOUBLE) >= 0.8
          |              AND NOT (CAST(n_exact AS DOUBLE)
          |                / CAST(n_sh AS DOUBLE) >= 0.8)
-         |              THEN 1 ELSE 0 END) AS BIGINT) AS docs_false_pos,
-         |         CAST(SUM(n_sh) AS BIGINT) AS shingle_probes,
-         |         CAST(SUM(n_sh - n_exact) AS BIGINT) AS nonmember_probes,
-         |         CAST(SUM(n_bloom - n_exact) AS BIGINT) AS shingle_fp
+         |              THEN 1 ELSE 0 END), 0) AS BIGINT) AS docs_false_pos,
+         |         CAST(COALESCE(SUM(n_sh), 0) AS BIGINT) AS shingle_probes,
+         |         CAST(COALESCE(SUM(n_sh - n_exact), 0) AS BIGINT)
+         |           AS nonmember_probes,
+         |         CAST(COALESCE(SUM(n_bloom - n_exact), 0) AS BIGINT)
+         |           AS shingle_fp
          |  FROM perdoc)
          |SELECT c.*,
          |       (SELECT CAST(count(*) AS BIGINT) FROM bits) AS bits_set,
@@ -3752,84 +3853,15 @@ object ExtEntry {
          |ORDER BY d.doc_id""".stripMargin
     },
 
-    // PQ fidelity: the m-keyed Lloyd's chain (all 4 subspace codebooks
-    // in one pass per round, mirroring Similarity.pqCodebooks), ADC
-    // scoring off the codes + LUT, then the ext93 audit tail.
+    // PQ fidelity: the shared ADC chain (m-keyed Lloyd's — all 4
+    // subspace codebooks in one pass per round, mirroring
+    // Similarity.pqCodebooks — LUT, ADC scores, ranked), then the
+    // ext93 audit tail.
     "ext107_pq_fidelity" -> {
-      val M = Similarity.PqSubspaces
-      val K = Similarity.PqCodes
-      val iters = Similarity.PqIters
-      val d = 64 / M
-      val blocks = new StringBuilder
-      blocks ++=
-        s"""sflat AS (
-           |  SELECT vec_id, CAST((i - 1) // $d AS BIGINT) AS m,
-           |         ((i - 1) % $d) + 1 AS si, qi FROM flat),
-           |ssn2 AS (SELECT vec_id, m, CAST(SUM(qi * qi) AS BIGINT) AS sn2
-           |        FROM sflat GROUP BY 1, 2),
-           |c0 AS (
-           |  SELECT f.m, f.vec_id AS code, f.si, f.qi AS cv FROM sflat f
-           |  WHERE f.vec_id IN (SELECT vec_id FROM q ORDER BY vec_id
-           |                     LIMIT $K)),
-           |""".stripMargin
-      (1 to iters + 1).foreach { r =>
-        val c = s"c${r - 1}"
-        blocks ++=
-          s"""${c}n AS (SELECT m, code, CAST(SUM(cv * cv) AS BIGINT) AS cn2
-             |        FROM $c GROUP BY 1, 2),
-             |d$r AS (
-             |  SELECT f.vec_id, f.m, c.code,
-             |         CAST(sn.sn2 + cn.cn2
-             |              - 2 * CAST(SUM(f.qi * c.cv) AS BIGINT) AS BIGINT)
-             |           AS dist
-             |  FROM sflat f JOIN $c c ON c.m = f.m AND c.si = f.si
-             |       JOIN ssn2 sn ON sn.vec_id = f.vec_id AND sn.m = f.m
-             |       JOIN ${c}n cn ON cn.m = c.m AND cn.code = c.code
-             |  GROUP BY f.vec_id, f.m, c.code, sn.sn2, cn.cn2),
-             |a$r AS (
-             |  SELECT vec_id, m, code FROM (
-             |    SELECT vec_id, m, code, row_number() OVER (
-             |      PARTITION BY vec_id, m ORDER BY dist, code) AS rn
-             |    FROM d$r)
-             |  WHERE rn = 1),
-             |""".stripMargin
-        if (r <= iters) blocks ++=
-          s"""c$r AS (
-             |  SELECT a.m, a.code, f.si,
-             |         CAST(floor(CAST(SUM(f.qi) AS DOUBLE) / COUNT(*))
-             |              AS BIGINT) AS cv
-             |  FROM a$r a JOIN sflat f ON f.vec_id = a.vec_id
-             |       AND f.m = a.m
-             |  GROUP BY 1, 2, 3),
-             |""".stripMargin
-      }
-      val fin = iters + 1
       s"""$QuantFlatSql,
-         |${blocks.toString}${cosTopKCtes("_f", "")},
+         |$pqAdcCtes,
+         |${cosTopKCtes("_f", "")},
          |fullk AS (SELECT q_id, t_id, cos FROM r_f WHERE rank <= 3),
-         |lut AS (
-         |  SELECT f.vec_id AS q_id, c.m, c.code,
-         |         CAST(SUM(f.qi * c.cv) AS BIGINT) AS ldot
-         |  FROM sflat f JOIN c$iters c ON c.m = f.m AND c.si = f.si
-         |  WHERE f.vec_id < $NumQueryVecs GROUP BY 1, 2, 3),
-         |qn2f AS (SELECT vec_id, CAST(SUM(sn2) AS BIGINT) AS qn2
-         |        FROM ssn2 GROUP BY 1),
-         |spq AS (
-         |  SELECT l.q_id, t.vec_id AS t_id,
-         |         CAST(SUM(l.ldot) AS BIGINT) AS adc,
-         |         CAST(SUM(cn.cn2) AS BIGINT) AS tn2
-         |  FROM a$fin t JOIN lut l ON l.m = t.m AND l.code = t.code
-         |       JOIN c${iters}n cn ON cn.m = t.m AND cn.code = t.code
-         |  WHERE t.vec_id <> l.q_id GROUP BY 1, 2),
-         |spqs AS (
-         |  SELECT s.q_id, s.t_id,
-         |         CAST(s.adc AS DOUBLE) /
-         |           sqrt(CAST(q2.qn2 AS DOUBLE) * CAST(s.tn2 AS DOUBLE))
-         |           AS cos_pq
-         |  FROM spq s JOIN qn2f q2 ON q2.vec_id = s.q_id),
-         |rpq AS (SELECT *, row_number() OVER (
-         |          PARTITION BY q_id ORDER BY cos_pq DESC, t_id ASC)
-         |          AS rank FROM spqs),
          |pqk AS (SELECT q_id, t_id, cos_pq FROM rpq WHERE rank <= 3),
          |ov AS (
          |  SELECT CAST(floor(abs(p.cos_pq - f.cos) * 1000000000.0)
@@ -3847,6 +3879,48 @@ object ExtEntry {
          |       CASE WHEN ova.novl = 0 THEN CAST(0 AS BIGINT)
          |            ELSE ova.esum // ova.novl END AS mae_q9
          |FROM tot, ova""".stripMargin
-    }
+    },
+
+    // Rerank recall: the same ADC chain; candidates = rpq rank <= 20,
+    // re-ranked by the EXACT cosine (scored_f), then the shared
+    // recall tail against the exact top-3 truth.
+    "ext108_pq_rerank_recall" ->
+      s"""$QuantFlatSql,
+         |$pqAdcCtes,
+         |${cosTopKCtes("_f", "")},
+         |truth AS (SELECT q_id, t_id FROM r_f WHERE rank <= 3),
+         |cand0 AS (SELECT q_id, t_id FROM rpq WHERE rank <= 20),
+         |rer AS (
+         |  SELECT c.q_id, c.t_id, row_number() OVER (
+         |    PARTITION BY c.q_id ORDER BY s.cos DESC, c.t_id ASC) AS rk
+         |  FROM cand0 c JOIN scored_f s
+         |    ON s.q_id = c.q_id AND s.t_id = c.t_id),
+         |cand AS (SELECT q_id, t_id FROM rer WHERE rk <= 3),
+         |$recallTailSql""".stripMargin,
+
+    // SemDeDup recall: ext101's kmeans buckets; truth = exact all-pairs
+    // cosine >= threshold, cand = truth restricted to shared buckets.
+    "ext109_semdedup_recall" ->
+      s"""$QuantFlatSql,
+         |${kmeansCtes(8, 2)},
+         |bk AS (SELECT vec_id, cid AS bucket FROM a3),
+         |alldots AS (
+         |  SELECT fa.vec_id AS id_a, fb.vec_id AS id_b,
+         |         CAST(SUM(fa.qi * fb.qi) AS BIGINT) AS dot
+         |  FROM flat fa JOIN flat fb ON fa.i = fb.i
+         |  WHERE fa.vec_id < fb.vec_id GROUP BY 1, 2),
+         |truth AS (
+         |  SELECT d.id_a AS q_id, d.id_b AS t_id
+         |  FROM alldots d JOIN n2 na ON na.vec_id = d.id_a
+         |       JOIN n2 nb ON nb.vec_id = d.id_b
+         |  WHERE CAST(d.dot AS DOUBLE) /
+         |        sqrt(CAST(na.n2 AS DOUBLE) * CAST(nb.n2 AS DOUBLE))
+         |        >= ${Similarity.NearDupThreshold}),
+         |cand AS (
+         |  SELECT t.q_id, t.t_id
+         |  FROM truth t JOIN bk ba ON ba.vec_id = t.q_id
+         |       JOIN bk bb ON bb.vec_id = t.t_id
+         |                 AND bb.bucket = ba.bucket),
+         |$recallTailSql""".stripMargin
   )
 }

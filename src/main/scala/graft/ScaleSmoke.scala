@@ -242,6 +242,60 @@ object ScaleSmoke {
         big.filter(col("doc_id") % 2 === 0),
         big.filter(col("doc_id") % 2 === 1))
     }
+    // r8 batch-2 additions (ext101-107).
+    // semdedup: shifted copies are IDENTICAL vectors, so every family
+    // lands whole in one kmeans bucket — the within-bucket pair join is
+    // quadratic in family size (the mass-duplicate hazard every banded
+    // detector shares); the measured number prices it, and the exact-
+    // first composition (embed_exact_then_lsh above) is the production
+    // answer here too. Expect all non-min copies dropped (kept ==
+    // base-corpus keeps).
+    time("semdedup") {
+      graft.ops.Similarity.semDedup(bigEmb,
+        graft.ops.Similarity.kmeansBuckets(bigEmb))
+    }
+    // pq encode: one linear scan + broadcast M×K codebook argmin;
+    // output = M rows per vector at any mult. The Lloyd's build cost
+    // is the same m-keyed chain at Nx input.
+    time("pq_encode") {
+      graft.ops.Similarity.pqCodes(bigEmb,
+        graft.ops.Similarity.pqCodebooks(bigEmb))
+    }
+    // fixed 20-query audit against the grown corpus: linear scans,
+    // 1-row output at any mult (the ext93 smoke's shape).
+    time("pq_fidelity_20q") {
+      graft.ops.Similarity.pqFidelityAudit(bigEmbL,
+        bigEmbL.filter(col("vec_id") < 20), 3)
+    }
+    // bloom probe: bench/bit sets are FIXED (the base corpus' docs
+    // < 20); the corpus side grows Nx but never shuffles for the
+    // membership probe — expect linear, 1-row card.
+    time("bloom_decontaminate") {
+      graft.ops.Sketches.bloomContaminationAudit(
+        big.filter(col("doc_id") % 1000000L >= 20),
+        base.filter(col("doc_id") < 20))
+    }
+    // vocab overlap: in dup mode the TYPE set is constant while
+    // instances grow Nx — the explode+count is the only corpus-sized
+    // work, the pair join stays vocab-bounded, output C(|langs|,2).
+    time("vocab_overlap") { graft.ops.TextOps.vocabOverlap(big) }
+    // per-doc repetition card: doc-local everywhere — expect linear,
+    // rows == docs.
+    time("gopher_repetition") {
+      graft.ops.TextOps.gopherRepetitionCard(big)
+    }
+    // cap audit: WindowGroupLimit kept-side + plain totals agg — the
+    // point is that NO full per-stratum sort appears at Nx.
+    time("cap_audit_15") {
+      graft.ops.Sampling.capAudit(big, Seq("source"), col("doc_id"),
+        size(split(col("text"), " ")).cast("long"), 15)
+    }
+    // normalization dups: two corpus-distincts on md5 digests — the
+    // only corpus-sized state; in dup mode distinct counts stay at the
+    // 1x values (copies collapse), the degenerate check.
+    time("normalization_dups") {
+      graft.ops.TextOps.normalizationDupCard(big)
+    }
     spark.stop()
   }
 }

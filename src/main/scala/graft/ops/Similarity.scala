@@ -565,19 +565,63 @@ object Similarity {
     // both pair sides and the output listing — materialized once.
     val corpus = Reuse.shared(prepared(emb, id, vec).toDF("vid", "q", "n2")
       .join(buckets.toDF("vid", "bucket"), "vid"))
-    val a = corpus.select(col("vid").as("id_a"), col("q").as("q_a"),
-      col("n2").as("n2_a"), col("bucket"))
-    val b = corpus.select(col("vid").as("id_b"), col("q").as("q_b"),
-      col("n2").as("n2_b"), col("bucket"))
-    val dropped = a.join(b, Seq("bucket"))
-      .filter(col("id_a") < col("id_b"))
-      .withColumn("cos",
-        cosine(qdot(col("q_a"), col("q_b")), col("n2_a"), col("n2_b")))
-      .filter(col("cos") >= threshold)
+    val dropped = semDedupPairsOf(corpus, threshold)
       .select(col("id_b").as("vid")).distinct()
     corpus.join(dropped.withColumn("_drop", lit(1)), Seq("vid"), "left")
       .select(col("vid").as(id), col("bucket"),
         when(col("_drop").isNull, 1L).otherwise(0L).as("kept"))
+  }
+
+  /** The cluster-mate near-dup pair relation behind [[semDedup]]:
+    * (id_a < id_b, cos) for same-bucket pairs at/above the threshold —
+    * exposed so the recall audit (ext109) can price the bucket
+    * restriction against exact all-pairs truth. */
+  def semDedupPairs(emb: DataFrame, buckets: DataFrame,
+      threshold: Double = NearDupThreshold, id: String = "vec_id",
+      vec: String = "embedding"): DataFrame =
+    semDedupPairsOf(prepared(emb, id, vec).toDF("vid", "q", "n2")
+      .join(buckets.toDF("vid", "bucket"), "vid"), threshold)
+
+  private def semDedupPairsOf(corpus: DataFrame,
+      threshold: Double): DataFrame = {
+    val a = corpus.select(col("vid").as("id_a"), col("q").as("q_a"),
+      col("n2").as("n2_a"), col("bucket"))
+    val b = corpus.select(col("vid").as("id_b"), col("q").as("q_b"),
+      col("n2").as("n2_b"), col("bucket"))
+    a.join(b, Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cos",
+        cosine(qdot(col("q_a"), col("q_b")), col("n2_a"), col("n2_b")))
+      .filter(col("cos") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cos"))
+  }
+
+  /**
+   * SemDeDup detector audit — prices the kmeans-bucket restriction the
+   * way ext54/65/88 price every other approximate detector: truth =
+   * ALL pairs at/above the cosine threshold (exact all-pairs — the
+   * audit runs at sampled/audit scale, as a production pipeline
+   * audits a shard, not the corpus); detected = the same-bucket pairs
+   * [[semDedup]] sees. The miss mass is exactly the near-dup pairs
+   * split across a centroid boundary — the multi-probe assignment
+   * (ext58's curve) is the recovery knob.
+   */
+  def semDedupRecallAudit(emb: DataFrame, buckets: DataFrame,
+      threshold: Double = NearDupThreshold, id: String = "vec_id",
+      vec: String = "embedding"): DataFrame = {
+    val corpus = Reuse.shared(prepared(emb, id, vec).toDF("vid", "q", "n2"))
+    val a = corpus.toDF("id_a", "q_a", "n2_a")
+    val b = corpus.toDF("id_b", "q_b", "n2_b")
+    val truth = a.crossJoin(b)
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cos",
+        cosine(qdot(col("q_a"), col("q_b")), col("n2_a"), col("n2_b")))
+      .filter(col("cos") >= threshold)
+      .select("id_a", "id_b")
+    val cand = semDedupPairsOf(
+      corpus.toDF("vid", "q", "n2").join(buckets.toDF("vid", "bucket"),
+        "vid"), threshold)
+    Dedup.pairRecall(truth, cand)
   }
 
   // ---- Product quantization (Jégou et al. 2011) -------------------------
@@ -691,6 +735,49 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("q_id"), col("t_id"),
         col("rank").cast("long").as("rank"), col("cos_pq"))
+  }
+
+  /**
+   * Two-stage PQ retrieval — the production answer to raw ADC's
+   * ranking error (ext107 prices it): ADC generates `candidates`
+   * top-C per query off the CODES table alone, then only those C
+   * vectors per query are re-read at full precision and re-ranked by
+   * exact cosine. At 100 TB the corpus' float vectors are touched
+   * C·|queries| times per query batch — a keyed equi-join on t_id,
+   * never a scan — while candidate generation stays in the M-byte
+   * code domain. The standard IVF-PQ + rerank serving shape.
+   */
+  def pqRerankTopK(emb: DataFrame, queries: DataFrame, k: Int,
+      candidates: Int = 20, id: String = "vec_id",
+      vec: String = "embedding"): DataFrame = {
+    require(candidates >= k, "candidate pool must cover the final k")
+    val cand = pqTopK(emb, queries, candidates, id, vec)
+      .select(col("q_id"), col("t_id"))
+    val corpus = prepared(emb, id, vec).toDF("t_id", "t_q", "t_n2")
+    val qs = prepared(queries, id, vec).toDF("q_id", "q_q", "q_n2")
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("t_id").asc)
+    cand.join(corpus, "t_id")
+      .join(broadcast(qs), "q_id")
+      .withColumn("cos",
+        cosine(qdot(col("q_q"), col("t_q")), col("q_n2"), col("t_n2")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("t_id"),
+        col("rank").cast("long").as("rank"), col("cos"))
+  }
+
+  /** Recall of the two-stage rerank vs the exact top-k (ext88's
+    * 3-scalar summary via [[Dedup.pairRecall]]) — measures what the
+    * C-candidate pool recovers of raw ADC's ranking loss. */
+  def pqRerankRecallAudit(emb: DataFrame, queries: DataFrame, k: Int,
+      candidates: Int = 20, id: String = "vec_id",
+      vec: String = "embedding"): DataFrame = {
+    val truth = bruteTopK(emb, queries, k, id, vec)
+      .select(col("q_id").as("id_a"), col("t_id").as("id_b"))
+    val got = pqRerankTopK(emb, queries, k, candidates, id, vec)
+      .select(col("q_id").as("id_a"), col("t_id").as("id_b"))
+    Dedup.pairRecall(truth, got)
   }
 
   /**

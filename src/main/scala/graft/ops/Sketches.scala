@@ -256,13 +256,16 @@ object Sketches {
    * flags, doc false positives, shingle probes, non-member probes,
    * shingle false positives, fpr ppm, bits set.
    */
-  def bloomContaminationAudit(corpus: DataFrame, bench: DataFrame,
+  /** The per-doc bloom-vs-exact probe: (id, distinct shingles, exact
+    * member count, bloom-hit count) against a PRECOMPUTED membership
+    * set + bit set — the relation the audit card aggregates, and what
+    * the streaming twin ([[graft.stream.StreamingPipeline
+    * .bloomProbeSink]]) scores per micro-batch (each doc arrives whole;
+    * both probe sides are static artifacts, so streamed rows equal the
+    * batch operator's at any batching). */
+  def bloomPerDoc(corpus: DataFrame, benchH: DataFrame, bits: DataFrame,
       id: String = "doc_id", text: String = "text", n: Int = 3,
-      threshold: Double = 0.8, m: Long = BloomM,
-      k: Int = BloomK): DataFrame = {
-    val benchH = Reuse.shared(Dedup.benchmarkShingles(bench, id, text, n))
-    // Consumed by the probe join AND the bits_set count — built once.
-    val bits = Reuse.shared(bloomBits(benchH, m, k))
+      m: Long = BloomM, k: Int = BloomK): DataFrame = {
     val ch = Dedup.distinctDocShingles(corpus, id, text, n)
     val probed = ch
       .select(col(id), col("h"), explode(array((0 until k).map(j =>
@@ -270,25 +273,38 @@ object Sketches {
       .join(broadcast(bits.withColumn("_b", lit(1L))), Seq("bit"), "left")
       .groupBy(col(id), col("h"))
       .agg((count(col("_b")) === k).cast("long").as("bloom_hit"))
-    val perDoc = probed
+    probed
       .join(broadcast(benchH.withColumn("_in", lit(1L))), Seq("h"), "left")
       .groupBy(col(id))
       .agg(count(lit(1)).as("n_sh"),
         sum(when(col("_in").isNotNull, 1L).otherwise(0L)).as("n_exact"),
         sum(col("bloom_hit")).as("n_bloom"))
+  }
+
+  def bloomContaminationAudit(corpus: DataFrame, bench: DataFrame,
+      id: String = "doc_id", text: String = "text", n: Int = 3,
+      threshold: Double = 0.8, m: Long = BloomM,
+      k: Int = BloomK): DataFrame = {
+    val benchH = Reuse.shared(Dedup.benchmarkShingles(bench, id, text, n))
+    // Consumed by the probe join AND the bits_set count — built once.
+    val bits = Reuse.shared(bloomBits(benchH, m, k))
+    val perDoc = bloomPerDoc(corpus, benchH, bits, id, text, n, m, k)
     val frac = (c: Column, tot: Column) => c.cast("double") / tot.cast("double")
+    // coalesce: SUM over an empty corpus is SQL NULL — the card must
+    // stay one well-defined all-zero row (EmptyInputSpec discipline).
+    val z = (c: Column, n: String) => coalesce(c, lit(0L)).as(n)
     perDoc.agg(
         count(lit(1)).as("n_docs"),
-        sum((frac(col("n_exact"), col("n_sh")) >= threshold).cast("long"))
-          .as("docs_flagged_exact"),
-        sum((frac(col("n_bloom"), col("n_sh")) >= threshold).cast("long"))
-          .as("docs_flagged_bloom"),
-        sum(((frac(col("n_bloom"), col("n_sh")) >= threshold) &&
-          !(frac(col("n_exact"), col("n_sh")) >= threshold)).cast("long"))
-          .as("docs_false_pos"),
-        sum(col("n_sh")).as("shingle_probes"),
-        sum(col("n_sh") - col("n_exact")).as("nonmember_probes"),
-        sum(col("n_bloom") - col("n_exact")).as("shingle_fp"))
+        z(sum((frac(col("n_exact"), col("n_sh")) >= threshold)
+          .cast("long")), "docs_flagged_exact"),
+        z(sum((frac(col("n_bloom"), col("n_sh")) >= threshold)
+          .cast("long")), "docs_flagged_bloom"),
+        z(sum(((frac(col("n_bloom"), col("n_sh")) >= threshold) &&
+          !(frac(col("n_exact"), col("n_sh")) >= threshold))
+          .cast("long")), "docs_false_pos"),
+        z(sum(col("n_sh")), "shingle_probes"),
+        z(sum(col("n_sh") - col("n_exact")), "nonmember_probes"),
+        z(sum(col("n_bloom") - col("n_exact")), "shingle_fp"))
       .crossJoin(broadcast(bits.agg(count(lit(1)).as("bits_set"))))
       .withColumn("fpr_ppm",
         when(col("nonmember_probes") === 0L, 0L)

@@ -406,6 +406,49 @@ object StreamingPipeline {
     }
   }
 
+  /**
+   * Streaming twin of the Bloom decontamination probe (ext102): the
+   * benchmark membership set AND its Bloom bit set are offline
+   * artifacts (the eval suite is static — [[decontaminationSink]]'s
+   * boundary), broadcast into every micro-batch's probe; each batch of
+   * docs scores independently (a doc arrives whole, both probe sides
+   * are static), so streamed per-doc rows equal the batch operator's
+   * at any batching — and at a stream's scale the bits artifact is the
+   * point: O(m) bits regardless of how many keys the suite grows to.
+   * Stateless foreachBatch, idempotent batch-keyed layout.
+   */
+  def bloomProbeSink(docs: DataFrame, benchShingles: DataFrame,
+      outPath: String): DataStreamWriter[org.apache.spark.sql.Row] = {
+    val benchH = benchShingles.localCheckpoint(true)
+    val bits = graft.ops.Sketches.bloomBits(benchH).localCheckpoint(true)
+    docs.writeStream.outputMode("append").foreachBatch {
+      (batch: DataFrame, batchId: Long) =>
+        graft.ops.Sketches.bloomPerDoc(batch, benchH, bits)
+          .write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
+    }
+  }
+
+  /**
+   * Streaming PQ encoder (ext107): codebooks are a per-snapshot BUILD
+   * artifact (`Similarity.pqCodebooks`, stored once per corpus
+   * generation — re-learning them in-stream would re-code already-
+   * emitted vectors, the ext77 centroid boundary); arriving vectors
+   * encode against the broadcast M×K codebook — one stateless argmin
+   * per (vector, subspace), no cross-batch state, so streamed codes
+   * equal `Similarity.pqCodes` at any batching. This is the production
+   * ingest path of a PQ vector store: floats are read once on arrival,
+   * only M small ints per vector persist.
+   */
+  def pqEncodeSink(vecs: DataFrame, codebooks: DataFrame,
+      outPath: String): DataStreamWriter[org.apache.spark.sql.Row] = {
+    val cb = codebooks.localCheckpoint(true)
+    vecs.writeStream.outputMode("append").foreachBatch {
+      (batch: DataFrame, batchId: Long) =>
+        graft.ops.Similarity.pqCodes(batch, cb)
+          .write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
+    }
+  }
+
   /** Shared shape of the r7 algebraic-partials twins (ext78/82/84):
     * each micro-batch writes its own tiny COMMUTATIVE partial relation
     * batch-keyed (idempotent replay, the [[cardPartialsSink]]

@@ -168,6 +168,38 @@ class EmptyInputSpec extends TestBase {
     graft.ops.Reuse.freeAll(spark)
   }
 
+  test("r8 batch-2 ops: empty inputs flow through, no NPE; cards stay " +
+      "one well-defined zero row") {
+    import graft.ops.{Sampling, Similarity, Sketches, TextOps}
+    import spark.implicits._
+    val d = emptyDocs
+    val e = emptyEmb
+    val results = Seq(
+      countOf("semDedup")(
+        Similarity.semDedup(e, Similarity.kmeansBuckets(e))),
+      countOf("pqCodes")(Similarity.pqCodes(e, Similarity.pqCodebooks(e))),
+      countOf("capAudit")(Sampling.capAudit(d, Seq("source"),
+        col("doc_id"), size(split(col("text"), " ")).cast("long"), 15)),
+      countOf("vocabOverlap")(TextOps.vocabOverlap(d)),
+      countOf("gopherRepetitionCard")(TextOps.gopherRepetitionCard(d)),
+      countOf("normalizationDupCard")(TextOps.normalizationDupCard(d)))
+    assert(results.forall(_._2 == 0L), results.toString)
+    // the global-aggregate cards: one all-zero row, never NULL
+    val bloom = Sketches.bloomContaminationAudit(d, d)
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long, Long)].head()
+    assert(bloom == ((0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L)))
+    val pqCard = Similarity.pqFidelityAudit(e, e, 3)
+      .as[(Long, Long, Long, Long, Long)].head()
+    assert(pqCard == ((0L, 0L, 0L, 0L, 0L)))
+    val rerank = Similarity.pqRerankRecallAudit(e, e, 3, 20)
+      .as[(Long, Long, Long)].head()
+    assert(rerank == ((0L, 0L, 0L)))
+    val sdRecall = Similarity.semDedupRecallAudit(e,
+      Similarity.kmeansBuckets(e)).as[(Long, Long, Long)].head()
+    assert(sdRecall == ((0L, 0L, 0L)))
+    graft.ops.Reuse.freeAll(spark)
+  }
+
   test("ext85 on a duplicate-free corpus: one zero-savings row, no NULLs " +
       "(r7 ADVICE degenerate-case parity)") {
     // With zero dup clusters the family relation is empty; the report

@@ -313,6 +313,27 @@ class SimilaritySpec extends TestBase {
     assert(real._3 < real._2 && real._5 > 0L)
   }
 
+  test("pq rerank: full-pool rerank is exact; recall >= raw ADC " +
+      "overlap (ext108)") {
+    import spark.implicits._
+    // candidates >= |corpus|-1 → the pool is everything → the exact
+    // rerank IS brute → recall must read 1e6.
+    val n = emb.count().toInt
+    val all = Similarity.pqRerankRecallAudit(emb, queries, 3, n)
+      .as[(Long, Long, Long)].head()
+    assert(all._2 == all._1 && all._3 == 1000000L)
+    // A true top-3 pair that reaches the candidate pool ALWAYS
+    // survives exact rerank at k=3 (at most 2 vectors beat it
+    // globally, so at most 2 pool members outrank it) — so rerank
+    // recall is >= the raw ADC top-3 overlap, at any pool size.
+    val rr = Similarity.pqRerankRecallAudit(emb, queries, 3, 20)
+      .as[(Long, Long, Long)].head()
+    val raw = Similarity.pqFidelityAudit(emb, queries, 3)
+      .as[(Long, Long, Long, Long, Long)].head()
+    assert(rr._1 == raw._2 && rr._2 >= raw._3,
+      s"rerank detected ${rr._2} < raw ADC overlap ${raw._3}")
+  }
+
   test("semdedup: drop iff a lower-id cluster-mate reaches the " +
       "threshold; min-id per bucket survives (ext101)") {
     import spark.implicits._
@@ -346,5 +367,20 @@ class SimilaritySpec extends TestBase {
     val all = Similarity.semDedup(emb, buckets, threshold = 1.01)
       .as[(Long, Long, Long)].collect()
     assert(all.forall(_._3 == 1L))
+  }
+
+  test("semdedup recall audit: detected is truth restricted to shared " +
+      "buckets; one bucket → recall 1e6 (ext109)") {
+    import spark.implicits._
+    val buckets = Similarity.kmeansBuckets(emb)
+    val card = Similarity.semDedupRecallAudit(emb, buckets)
+      .as[(Long, Long, Long)].head()
+    assert(card._1 > 0L && card._2 <= card._1)
+    assert(card._3 == card._2 * 1000000L / card._1)
+    // a single bucket restricts nothing — recall must be exact
+    val one = Similarity.semDedupRecallAudit(emb,
+      Similarity.kmeansBuckets(emb, k = 1))
+      .as[(Long, Long, Long)].head()
+    assert(one._1 == card._1 && one._2 == one._1 && one._3 == 1000000L)
   }
 }

@@ -466,6 +466,56 @@ class StreamingSpec extends TestBase {
     graft.ops.Reuse.freeAll(spark)
   }
 
+  test("streaming bloom probe == batch per-doc relation (ext102 twin)") {
+    val docs = graft.ingest.Tables.documents(spark, sf("sf0.001"))
+    val bench = docs.filter(col("doc_id") < 20)
+    val corpus = docs.filter(col("doc_id") >= 20)
+    // Membership set and bit set computed once offline, as in
+    // production — the stream only probes.
+    val benchH = graft.ops.Dedup.benchmarkShingles(bench)
+      .localCheckpoint(true)
+    val bits = graft.ops.Sketches.bloomBits(benchH).localCheckpoint(true)
+    val srcDir = Files.createTempDirectory("graft-bloom-src").toString + "/d"
+    corpus.select("doc_id", "text").write.parquet(srcDir)
+    val out = Files.createTempDirectory("graft-bloom-out").toString
+    val ckpt = Files.createTempDirectory("graft-bloom-ckpt").toString
+    val q = StreamingPipeline.bloomProbeSink(
+      StreamingPipeline.parquetStream(spark, srcDir,
+        maxFilesPerTrigger = Some(1)), benchH, out)
+      .option("checkpointLocation", ckpt).start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.read.parquet(out)
+      .select("doc_id", "n_sh", "n_exact", "n_bloom")
+    val batch = graft.ops.Sketches.bloomPerDoc(
+      corpus.select("doc_id", "text"), benchH, bits)
+    assert(streamed.count() == batch.count() && batch.count() > 0)
+    assert(streamed.except(batch).isEmpty && batch.except(streamed).isEmpty,
+      "streamed bloom probe rows differ from the batch operator")
+    graft.ops.Reuse.freeAll(spark)
+  }
+
+  test("streaming pq encode == batch codes (ext107 twin)") {
+    val emb = graft.ingest.Tables.embeddings(spark, sf("sf0.001"))
+    // Codebooks built once offline from the corpus snapshot.
+    val cb = graft.ops.Similarity.pqCodebooks(emb).localCheckpoint(true)
+    val src = StreamingPipeline.parquetStream(spark,
+      sf("sf0.001") + "/embeddings.parquet")
+    val out = Files.createTempDirectory("graft-pq-out").toString
+    val ckpt = Files.createTempDirectory("graft-pq-ckpt").toString
+    val q = StreamingPipeline.pqEncodeSink(src, cb, out)
+      .option("checkpointLocation", ckpt).start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.read.parquet(out)
+      .select("vec_id", "m", "code")
+    val batch = graft.ops.Similarity.pqCodes(emb, cb)
+    assert(streamed.count() == batch.count() && batch.count() > 0)
+    assert(streamed.except(batch).isEmpty && batch.except(streamed).isEmpty,
+      "streamed pq codes differ from the batch encoder")
+    graft.ops.Reuse.freeAll(spark)
+  }
+
   test("streaming boilerplate removal == batch operator (ext59 twin)") {
     val docs = graft.ingest.Tables.documents(spark, sf("sf0.001"))
       .select("doc_id", "text")
