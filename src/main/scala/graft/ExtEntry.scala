@@ -1631,7 +1631,15 @@ object ExtEntry {
     // Every approximate path ships with a measured number (ext54/65/
     // 88's discipline); this is ext101's.
     "ext109_semdedup_recall" -> ((s, dir) =>
-      Similarity.semDedupRecallAudit(embs(s, dir), ivfBuckets(s, dir)))
+      Similarity.semDedupRecallAudit(embs(s, dir), ivfBuckets(s, dir))),
+
+    // ext109's recovery knob, measured (ext58's curve for the dedup
+    // path): replicate each vector into its p nearest buckets and
+    // re-price pair recall at p = 1, 2, 4 off the shared build-once
+    // probe index. Row p=1 == ext109's card by construction.
+    "ext110_semdedup_probe_curve" -> ((s, dir) =>
+      Similarity.semDedupProbeCurve(embs(s, dir), ivfProbeIndex(s, dir),
+        ProbeCurve))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3921,6 +3929,39 @@ object ExtEntry {
          |  FROM truth t JOIN bk ba ON ba.vec_id = t.q_id
          |       JOIN bk bb ON bb.vec_id = t.t_id
          |                 AND bb.bucket = ba.bucket),
-         |$recallTailSql""".stripMargin
+         |$recallTailSql""".stripMargin,
+
+    // SemDeDup probe curve: ext109's truth; candP = true pairs whose
+    // p-probe bucket sets intersect (pmax = the multi-probe ranks off
+    // the same Lloyd's distances as ext58).
+    "ext110_semdedup_probe_curve" ->
+      s"""$QuantFlatSql,
+         |${kmeansCtes(8, 2)},
+         |pmax AS (SELECT vec_id, cid, rn FROM (
+         |  SELECT vec_id, cid, row_number() OVER (
+         |    PARTITION BY vec_id ORDER BY dist, cid) AS rn FROM d3)
+         |  WHERE rn <= ${ProbeCurve.max}),
+         |alldots AS (
+         |  SELECT fa.vec_id AS id_a, fb.vec_id AS id_b,
+         |         CAST(SUM(fa.qi * fb.qi) AS BIGINT) AS dot
+         |  FROM flat fa JOIN flat fb ON fa.i = fb.i
+         |  WHERE fa.vec_id < fb.vec_id GROUP BY 1, 2),
+         |truth AS (
+         |  SELECT d.id_a AS q_id, d.id_b AS t_id
+         |  FROM alldots d JOIN n2 na ON na.vec_id = d.id_a
+         |       JOIN n2 nb ON nb.vec_id = d.id_b
+         |  WHERE CAST(d.dot AS DOUBLE) /
+         |        sqrt(CAST(na.n2 AS DOUBLE) * CAST(nb.n2 AS DOUBLE))
+         |        >= ${Similarity.NearDupThreshold}),
+         |${ProbeCurve.map { p =>
+          s"""cand$p AS (
+             |  SELECT DISTINCT t.q_id, t.t_id FROM truth t
+             |  JOIN pmax pa ON pa.vec_id = t.q_id AND pa.rn <= $p
+             |  JOIN pmax pb ON pb.vec_id = t.t_id AND pb.rn <= $p
+             |                AND pb.cid = pa.cid)""".stripMargin
+        }.mkString(",\n")}
+         |SELECT * FROM (
+         |${ProbeCurve.map(probeRecallRowSql).mkString("\nUNION ALL\n")})
+         |ORDER BY probes""".stripMargin
   )
 }

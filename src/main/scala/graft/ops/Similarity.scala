@@ -624,6 +624,43 @@ object Similarity {
     Dedup.pairRecall(truth, cand)
   }
 
+  /**
+   * SemDeDup multi-probe recall curve — ext109's recovery knob
+   * MEASURED (ext58's discipline for the search path, applied to the
+   * dedup path): at probe level p each vector is replicated into its p
+   * nearest centroid buckets ([[kmeansProbeBuckets]]' assignment), and
+   * a true near-dup pair is detected iff some bucket is probed by BOTH
+   * sides. p = 1 is exactly [[semDedupRecallAudit]]'s single-bucket
+   * detector (the curves' first row must equal ext109's card —
+   * spec-asserted); detection cost grows ×p per side while recall
+   * recovers the centroid-boundary misses. Truth is the exact
+   * all-pairs relation, computed once and reused across the curve.
+   */
+  def semDedupProbeCurve(emb: DataFrame, probeIndex: DataFrame,
+      probes: Seq[Int], threshold: Double = NearDupThreshold,
+      id: String = "vec_id", vec: String = "embedding"): DataFrame = {
+    val corpus = Reuse.shared(prepared(emb, id, vec).toDF("vid", "q", "n2"))
+    val a = corpus.toDF("id_a", "q_a", "n2_a")
+    val b = corpus.toDF("id_b", "q_b", "n2_b")
+    val truth = Reuse.shared(a.crossJoin(b)
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cos",
+        cosine(qdot(col("q_a"), col("q_b")), col("n2_a"), col("n2_b")))
+      .filter(col("cos") >= threshold)
+      .select("id_a", "id_b"))
+    probes.map { p =>
+      val bk = probeIndex.filter(col("probe_rank") <= p)
+      val det = truth
+        .join(bk.select(col(id).as("id_a"), col("bucket")), "id_a")
+        .join(bk.select(col(id).as("id_b"), col("bucket")),
+          Seq("id_b", "bucket"))
+        .select("id_a", "id_b").distinct()
+      Dedup.pairRecall(truth, det).withColumn("probes", lit(p.toLong))
+    }.reduce(_ unionByName _)
+      .select("probes", "n_true", "n_detected", "recall_q")
+      .orderBy("probes")
+  }
+
   // ---- Product quantization (Jégou et al. 2011) -------------------------
 
   /** PQ geometry: M subspaces × K codes. Storage per vector drops from

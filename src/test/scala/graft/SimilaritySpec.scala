@@ -369,6 +369,22 @@ class SimilaritySpec extends TestBase {
     assert(all.forall(_._3 == 1L))
   }
 
+  test("semdedup probe curve: p=1 row equals the single-bucket audit, " +
+      "recall monotone in p, n_true constant (ext110)") {
+    import spark.implicits._
+    val probeIdx = Similarity.kmeansProbeBuckets(emb, probes = 4)
+    val curve = Similarity.semDedupProbeCurve(emb, probeIdx, Seq(1, 2, 4))
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(curve.map(_._1) == Seq(1L, 2L, 4L))
+    assert(curve.map(_._2).distinct.size == 1) // truth never changes
+    assert(curve.map(_._3) == curve.map(_._3).sorted,
+      s"detected must be monotone in probes: $curve")
+    val card = Similarity.semDedupRecallAudit(emb,
+      probeIdx.filter(col("probe_rank") === 1).select("vec_id", "bucket"))
+      .as[(Long, Long, Long)].head()
+    assert((curve.head._2, curve.head._3, curve.head._4) == card)
+  }
+
   test("semdedup recall audit: detected is truth restricted to shared " +
       "buckets; one bucket → recall 1e6 (ext109)") {
     import spark.implicits._
