@@ -1639,7 +1639,17 @@ object ExtEntry {
     // probe index. Row p=1 == ext109's card by construction.
     "ext110_semdedup_probe_curve" -> ((s, dir) =>
       Similarity.semDedupProbeCurve(embs(s, dir), ivfProbeIndex(s, dir),
-        ProbeCurve))
+        ProbeCurve)),
+
+    // BPE merge-table LEARNING (Sennrich et al.): tokenizer vocabulary
+    // induction as an iterative relational algorithm — one corpus pass
+    // builds the word-frequency table, then every round iterates on
+    // the vocab-bounded positional symbol state (argmax pair →
+    // run-parity greedy merge). The missing third of the tokenizer
+    // stack: ext10 applies a tokenizer, ext34 counts a vocab, this
+    // LEARNS one. Output = the 3-row merge table artifact.
+    "ext111_bpe_merges" -> ((s, dir) =>
+      TextOps.bpeMerges(docs(s, dir), 3))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3962,6 +3972,58 @@ object ExtEntry {
         }.mkString(",\n")}
          |SELECT * FROM (
          |${ProbeCurve.map(probeRecallRowSql).mkString("\nUNION ALL\n")})
-         |ORDER BY probes""".stripMargin
+         |ORDER BY probes""".stripMargin,
+
+    // BPE: the same three unrolled rounds — pair counts (overlapping
+    // adjacencies count), (count DESC, a, b) argmax, run-parity greedy
+    // merge via two windows, anti-join of absorbed positions, dense
+    // renumber.
+    "ext111_bpe_merges" -> {
+      val rounds = (1 to 3).map { r =>
+        val prev = s"s${r - 1}"
+        s"""p$r AS (
+           |  SELECT x.word, x.cnt, x.pos, x.sym AS a, y.sym AS b
+           |  FROM $prev x JOIN $prev y
+           |    ON y.word = x.word AND y.pos = x.pos + 1),
+           |t$r AS (
+           |  SELECT a, b, CAST(SUM(cnt) AS BIGINT) AS pair_count
+           |  FROM p$r GROUP BY 1, 2
+           |  ORDER BY pair_count DESC, a ASC, b ASC LIMIT 1),
+           |m$r AS (
+           |  SELECT p.word, p.pos FROM p$r p
+           |  JOIN t$r t ON t.a = p.a AND t.b = p.b),
+           |o$r AS (
+           |  SELECT word, pos, row_number() OVER (
+           |    PARTITION BY word, pos - rn ORDER BY pos) - 1 AS off
+           |  FROM (SELECT word, pos, row_number() OVER (
+           |          PARTITION BY word ORDER BY pos) AS rn FROM m$r)),
+           |mg$r AS (SELECT word, pos FROM o$r WHERE off % 2 = 0),
+           |s$r AS (
+           |  SELECT s.word, s.cnt,
+           |         row_number() OVER (PARTITION BY s.word
+           |           ORDER BY s.pos) AS pos,
+           |         CASE WHEN x.pos IS NOT NULL THEN t.a || t.b
+           |              ELSE s.sym END AS sym
+           |  FROM $prev s
+           |  LEFT JOIN mg$r x ON x.word = s.word AND x.pos = s.pos
+           |  LEFT JOIN mg$r y ON y.word = s.word AND y.pos = s.pos - 1
+           |  CROSS JOIN t$r t
+           |  WHERE y.pos IS NULL)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH w AS (
+         |  SELECT tok AS word, CAST(count(*) AS BIGINT) AS cnt
+         |  FROM (SELECT unnest(string_split(text, ' ')) AS tok
+         |        FROM documents) GROUP BY 1),
+         |s0 AS (
+         |  SELECT word, cnt, i AS pos, substr(word, i, 1) AS sym
+         |  FROM w JOIN range(1, ${TextOps.BpeMaxWordLen + 1}) r(i)
+         |    ON i <= length(word)),
+         |$rounds
+         |${(1 to 3).map(r =>
+            s"SELECT CAST($r AS BIGINT) AS merge_rank, a AS left_sym, " +
+            s"b AS right_sym, pair_count FROM t$r")
+          .mkString("\nUNION ALL\n")}
+         |ORDER BY merge_rank""".stripMargin
+    }
   )
 }

@@ -973,6 +973,90 @@ object TextOps {
         (5 to 10).map(n => ppm(n).as(s"dup${n}_ppm")): _*)
   }
 
+  /** Word-length cap for [[bpeMerges]]: positions beyond this never
+    * enter the symbol state (bounds the per-word fan-out; interpolated
+    * into the ext111 oracle's `range`). */
+  val BpeMaxWordLen = 32
+
+  /**
+   * BPE merge-table LEARNING (Sennrich et al. 2016) — tokenizer
+   * vocabulary induction as an iterative relational algorithm, the
+   * missing third of the tokenizer stack ([[tokenCounts]] applies a
+   * tokenizer, ext34 counts a vocab; this LEARNS one):
+   *
+   *  1. word-frequency table (one corpus pass — the ONLY corpus-sized
+   *     work; everything after iterates on the vocab-bounded state);
+   *  2. per word, the symbol sequence starts as characters
+   *     (positional (word, cnt, pos, sym) rows, capped at
+   *     [[BpeMaxWordLen]]);
+   *  3. each round: count adjacent symbol pairs weighted by word
+   *     count (overlapping adjacencies count, as in the reference
+   *     implementation's get_stats), take the argmax pair —
+   *     (count DESC, left ASC, right ASC) tie-break — and merge its
+   *     leftmost non-overlapping occurrences in every word
+   *     (run-parity greedy: within a run of consecutive match starts,
+   *     merge the even offsets).
+   *
+   * Returns the merge table (merge_rank, left_sym, right_sym,
+   * pair_count) — nMerges rows, THE stored tokenizer artifact.
+   * Rounds iterate kmeans-style: per-round state is checkpointed
+   * ([[Reuse.shared]]) so lineage stays flat; every shuffle is keyed
+   * on `word` (vocab-bounded, never the corpus). Requires a corpus
+   * with at least nMerges achievable merges (any real text corpus;
+   * a single-character vocabulary exhausts early and later rounds
+   * return no rows).
+   */
+  def bpeMerges(doc: DataFrame, nMerges: Int = 3,
+      text: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val words = doc.select(explode(tokens(col(text))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+    var state = Reuse.shared(words
+      .select(col("word"), col("cnt"),
+        explode(sequence(lit(1),
+          least(length(col("word")), lit(BpeMaxWordLen)))).as("pos"))
+      .withColumn("sym", expr("substr(word, pos, 1)")))
+    val merged = (1 to nMerges).map { r =>
+      val nxt = state.select(col("word").as("w2"), (col("pos") - 1)
+        .as("p2"), col("sym").as("b"))
+      val pairs = state.join(nxt,
+          col("word") === col("w2") && col("pos") === col("p2"))
+        .select(col("word"), col("cnt"), col("pos"),
+          col("sym").as("a"), col("b"))
+      val top = pairs.groupBy("a", "b")
+        .agg(sum(col("cnt")).as("pair_count"))
+        .orderBy(col("pair_count").desc, col("a").asc, col("b").asc)
+        .limit(1)
+      val topRow = Reuse.shared(top)
+      val starts = pairs
+        .join(broadcast(topRow.select("a", "b")), Seq("a", "b"))
+        .select("word", "pos")
+      val wOrd = Window.partitionBy("word").orderBy("pos")
+      val runs = starts.withColumn("rn", row_number().over(wOrd))
+        .withColumn("off", row_number().over(
+          Window.partitionBy(col("word"), col("pos") - col("rn"))
+            .orderBy("pos")) - 1)
+      val mergeAt = runs.filter(col("off") % 2 === 0)
+        .select(col("word"), col("pos"))
+      state = Reuse.shared(state
+        .join(mergeAt.withColumn("_mg", lit(1)), Seq("word", "pos"),
+          "left")
+        .join(mergeAt.select(col("word"), (col("pos") + 1).as("pos"))
+          .withColumn("_ab", lit(1)), Seq("word", "pos"), "left")
+        .filter(col("_ab").isNull)
+        .crossJoin(broadcast(topRow.select(col("a").as("_ta"),
+          col("b").as("_tb"))))
+        .withColumn("sym", when(col("_mg") === 1,
+          concat(col("_ta"), col("_tb"))).otherwise(col("sym")))
+        .withColumn("pos", row_number().over(wOrd))
+        .select("word", "cnt", "pos", "sym"))
+      topRow.select(lit(r.toLong).as("merge_rank"),
+        col("a").as("left_sym"), col("b").as("right_sym"),
+        col("pair_count"))
+    }.reduce(_ unionByName _)
+    merged.orderBy("merge_rank")
+  }
+
   /** Conservative content normalization for dedup (the C4/CCNet
     * convention): lowercase, non-alphanumerics to spaces, runs of
     * spaces collapsed, ends trimmed. Pure codegen'd projection —

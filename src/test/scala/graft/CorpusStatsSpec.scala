@@ -120,6 +120,31 @@ class CorpusStatsSpec extends TestBase {
       0L, 0L, 0L, 0L, 0L, 0L))
   }
 
+  test("bpe merges: hand-computed merge table; overlap counting and " +
+      "run-parity greedy merge (ext111)") {
+    import spark.implicits._
+    // words: abc ×2, abd ×1 → merges (a,b,3), (ab,c,2), (ab,d,1)
+    val docs = Seq((1L, "abc abc abd")).toDF("doc_id", "text")
+    val got = TextOps.bpeMerges(docs, 3)
+      .as[(Long, String, String, Long)].collect().toSeq
+    assert(got == Seq((1L, "a", "b", 3L), (2L, "ab", "c", 2L),
+      (3L, "ab", "d", 1L)))
+    // overlapping adjacencies count (aaaa → (a,a) × 3) and the
+    // run-parity merge produces [aa, aa], whose pair then merges
+    val runs = TextOps.bpeMerges(Seq((1L, "aaaa")).toDF("doc_id", "text"),
+      2).as[(Long, String, String, Long)].collect().toSeq
+    assert(runs == Seq((1L, "a", "a", 3L), (2L, "aa", "aa", 1L)))
+    // real corpus: three rounds land, argmax counts non-increasing
+    // (a new pair's occurrences are bounded by the merges that
+    // created its right/left symbol)
+    val real = TextOps.bpeMerges(
+      graft.ingest.Tables.documents(spark, sf("sf0.001")), 3)
+      .as[(Long, String, String, Long)].collect().toSeq
+    assert(real.size == 3 && real.map(_._1) == Seq(1L, 2L, 3L))
+    assert(real.map(_._4) == real.map(_._4).sorted.reverse)
+    graft.ops.Reuse.freeAll(spark)
+  }
+
   test("normalization dup card: case/punct/space variants collapse, " +
       "clean corpus reads zero gain (ext104)") {
     import spark.implicits._
