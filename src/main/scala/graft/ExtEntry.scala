@@ -353,6 +353,53 @@ object ExtEntry {
          |          AS rank FROM spqs)""".stripMargin
   }
 
+  /** BPE learn chain shared by ext111/ext112: word-frequency table,
+    * character state s0, three unrolled merge rounds (pair counts t$r,
+    * run-parity merge, renumbered states s$r). A complete WITH clause
+    * ending at s3 — append `,` + more CTEs or a SELECT. */
+  private lazy val bpeCtes: String = {
+    val rounds = (1 to 3).map { r =>
+      val prev = s"s${r - 1}"
+      s"""p$r AS (
+         |  SELECT x.word, x.cnt, x.pos, x.sym AS a, y.sym AS b
+         |  FROM $prev x JOIN $prev y
+         |    ON y.word = x.word AND y.pos = x.pos + 1),
+         |t$r AS (
+         |  SELECT a, b, CAST(SUM(cnt) AS BIGINT) AS pair_count
+         |  FROM p$r GROUP BY 1, 2
+         |  ORDER BY pair_count DESC, a ASC, b ASC LIMIT 1),
+         |m$r AS (
+         |  SELECT p.word, p.pos FROM p$r p
+         |  JOIN t$r t ON t.a = p.a AND t.b = p.b),
+         |o$r AS (
+         |  SELECT word, pos, row_number() OVER (
+         |    PARTITION BY word, pos - rn ORDER BY pos) - 1 AS off
+         |  FROM (SELECT word, pos, row_number() OVER (
+         |          PARTITION BY word ORDER BY pos) AS rn FROM m$r)),
+         |mg$r AS (SELECT word, pos FROM o$r WHERE off % 2 = 0),
+         |s$r AS (
+         |  SELECT s.word, s.cnt,
+         |         row_number() OVER (PARTITION BY s.word
+         |           ORDER BY s.pos) AS pos,
+         |         CASE WHEN x.pos IS NOT NULL THEN t.a || t.b
+         |              ELSE s.sym END AS sym
+         |  FROM $prev s
+         |  LEFT JOIN mg$r x ON x.word = s.word AND x.pos = s.pos
+         |  LEFT JOIN mg$r y ON y.word = s.word AND y.pos = s.pos - 1
+         |  CROSS JOIN t$r t
+         |  WHERE y.pos IS NULL)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH w AS (
+       |  SELECT tok AS word, CAST(count(*) AS BIGINT) AS cnt
+       |  FROM (SELECT unnest(string_split(text, ' ')) AS tok
+       |        FROM documents) GROUP BY 1),
+       |s0 AS (
+       |  SELECT word, cnt, i AS pos, substr(word, i, 1) AS sym
+       |  FROM w JOIN range(1, ${TextOps.BpeMaxWordLen + 1}) r(i)
+       |    ON i <= length(word)),
+       |$rounds""".stripMargin
+  }
+
   /** Shared tail of the recall-audit oracles (ext54/57/58): left-join
     * `truth` to `cand` on the pair key, then the quantized 3-scalar
     * summary [[graft.ops.Dedup.pairRecall]] computes. */
@@ -1649,7 +1696,14 @@ object ExtEntry {
     // stack: ext10 applies a tokenizer, ext34 counts a vocab, this
     // LEARNS one. Output = the 3-row merge table artifact.
     "ext111_bpe_merges" -> ((s, dir) =>
-      TextOps.bpeMerges(docs(s, dir), 3))
+      TextOps.bpeMerges(docs(s, dir), 3)),
+
+    // The ENCODE side + estimator pricing: true BPE token counts under
+    // the ext111-learned vocabulary vs the chars/4 heuristic that
+    // prices token budgets everywhere (ext62/75/78), per language —
+    // how far off those budgets run, re-priced as the table deepens.
+    "ext112_bpe_estimate_audit" -> ((s, dir) =>
+      TextOps.bpeEstimateAudit(docs(s, dir), 3).orderBy("lang"))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3978,52 +4032,41 @@ object ExtEntry {
     // adjacencies count), (count DESC, a, b) argmax, run-parity greedy
     // merge via two windows, anti-join of absorbed positions, dense
     // renumber.
-    "ext111_bpe_merges" -> {
-      val rounds = (1 to 3).map { r =>
-        val prev = s"s${r - 1}"
-        s"""p$r AS (
-           |  SELECT x.word, x.cnt, x.pos, x.sym AS a, y.sym AS b
-           |  FROM $prev x JOIN $prev y
-           |    ON y.word = x.word AND y.pos = x.pos + 1),
-           |t$r AS (
-           |  SELECT a, b, CAST(SUM(cnt) AS BIGINT) AS pair_count
-           |  FROM p$r GROUP BY 1, 2
-           |  ORDER BY pair_count DESC, a ASC, b ASC LIMIT 1),
-           |m$r AS (
-           |  SELECT p.word, p.pos FROM p$r p
-           |  JOIN t$r t ON t.a = p.a AND t.b = p.b),
-           |o$r AS (
-           |  SELECT word, pos, row_number() OVER (
-           |    PARTITION BY word, pos - rn ORDER BY pos) - 1 AS off
-           |  FROM (SELECT word, pos, row_number() OVER (
-           |          PARTITION BY word ORDER BY pos) AS rn FROM m$r)),
-           |mg$r AS (SELECT word, pos FROM o$r WHERE off % 2 = 0),
-           |s$r AS (
-           |  SELECT s.word, s.cnt,
-           |         row_number() OVER (PARTITION BY s.word
-           |           ORDER BY s.pos) AS pos,
-           |         CASE WHEN x.pos IS NOT NULL THEN t.a || t.b
-           |              ELSE s.sym END AS sym
-           |  FROM $prev s
-           |  LEFT JOIN mg$r x ON x.word = s.word AND x.pos = s.pos
-           |  LEFT JOIN mg$r y ON y.word = s.word AND y.pos = s.pos - 1
-           |  CROSS JOIN t$r t
-           |  WHERE y.pos IS NULL)""".stripMargin
-      }.mkString(",\n")
-      s"""WITH w AS (
-         |  SELECT tok AS word, CAST(count(*) AS BIGINT) AS cnt
-         |  FROM (SELECT unnest(string_split(text, ' ')) AS tok
-         |        FROM documents) GROUP BY 1),
-         |s0 AS (
-         |  SELECT word, cnt, i AS pos, substr(word, i, 1) AS sym
-         |  FROM w JOIN range(1, ${TextOps.BpeMaxWordLen + 1}) r(i)
-         |    ON i <= length(word)),
-         |$rounds
+    "ext111_bpe_merges" ->
+      s"""$bpeCtes
          |${(1 to 3).map(r =>
             s"SELECT CAST($r AS BIGINT) AS merge_rank, a AS left_sym, " +
             s"b AS right_sym, pair_count FROM t$r")
           .mkString("\nUNION ALL\n")}
-         |ORDER BY merge_rank""".stripMargin
-    }
+         |ORDER BY merge_rank""".stripMargin,
+
+    // Estimator audit: per-word symbol counts off the post-merge state
+    // s3 (+ over-cap chars as single symbols), joined to per-lang word
+    // instance counts; the heuristic is (len+3) DIV 4 per word.
+    "ext112_bpe_estimate_audit" ->
+      s"""$bpeCtes,
+         |wc AS (
+         |  SELECT word,
+         |         CAST(count(*) + greatest(length(word)
+         |           - ${TextOps.BpeMaxWordLen}, 0) AS BIGINT) AS n_syms
+         |  FROM s3 GROUP BY word),
+         |lw AS (
+         |  SELECT lang, tok AS word, CAST(count(*) AS BIGINT) AS n
+         |  FROM (SELECT lang, unnest(string_split(text, ' ')) AS tok
+         |        FROM documents) GROUP BY 1, 2),
+         |card AS (
+         |  SELECT lang,
+         |         CAST(SUM(l.n) AS BIGINT) AS ws_tokens,
+         |         CAST(SUM(l.n * wc.n_syms) AS BIGINT)
+         |           AS bpe_tokens_true,
+         |         CAST(SUM(l.n * ((length(l.word) + 3) // 4)) AS BIGINT)
+         |           AS bpe_tokens_est
+         |  FROM lw l JOIN wc USING (word) GROUP BY 1)
+         |SELECT lang, ws_tokens, bpe_tokens_true, bpe_tokens_est,
+         |       CAST(CASE WHEN bpe_tokens_true = 0 THEN 0
+         |            ELSE (abs(bpe_tokens_est - bpe_tokens_true)
+         |                  * 1000000) // bpe_tokens_true END AS BIGINT)
+         |         AS est_err_ppm
+         |FROM card ORDER BY lang""".stripMargin
   )
 }

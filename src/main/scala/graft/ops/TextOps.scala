@@ -1007,7 +1007,58 @@ object TextOps {
    * return no rows).
    */
   def bpeMerges(doc: DataFrame, nMerges: Int = 3,
-      text: String = "text"): DataFrame = {
+      text: String = "text"): DataFrame =
+    bpeLearn(doc, nMerges, text)._1
+
+  /** The symbol state after applying [[bpeMerges]]' learned table —
+    * the ENCODE side of the tokenizer: (word, cnt, n_syms) per
+    * distinct word, where n_syms is the true BPE token count under
+    * the nMerges-deep vocabulary (characters past [[BpeMaxWordLen]]
+    * count as single symbols). */
+  def bpeSegmentCounts(doc: DataFrame, nMerges: Int = 3,
+      text: String = "text"): DataFrame =
+    bpeLearn(doc, nMerges, text)._2
+      .groupBy("word")
+      .agg(first(col("cnt")).as("cnt"), count(lit(1)).as("n_core"))
+      .select(col("word"), col("cnt"),
+        (col("n_core") +
+          greatest(length(col("word")) - lit(BpeMaxWordLen), lit(0)))
+          .as("n_syms"))
+
+  /**
+   * Tokenizer-estimate audit — prices the `bpe_estimate` heuristic
+   * (chars/4, the [[quality]]/[[tokenFertility]] proxy) against TRUE
+   * BPE token counts under the [[bpeMerges]]-learned vocabulary, per
+   * language: whitespace tokens, true BPE tokens, estimated tokens,
+   * absolute error ppm. The heuristic prices token BUDGETS (ext62's
+   * ledger, ext78's packing) — this card says how far off those
+   * budgets run per language, and re-prices as the merge table
+   * deepens. Scale shape: the encode state is vocab-bounded; the
+   * per-lang instance counts are one corpus explode, joined to the
+   * per-word symbol counts on `word` — vocab-keyed, never corpus².
+   */
+  def bpeEstimateAudit(doc: DataFrame, nMerges: Int = 3,
+      by: String = "lang", text: String = "text"): DataFrame = {
+    val counts = bpeSegmentCounts(doc, nMerges, text)
+      .select(col("word"), col("n_syms"))
+    val langWords = doc
+      .select(col(by), explode(tokens(col(text))).as("word"))
+      .groupBy(col(by), col("word")).agg(count(lit(1)).as("n"))
+    langWords.join(counts, "word")
+      .groupBy(col(by))
+      .agg(sum(col("n")).as("ws_tokens"),
+        sum(col("n") * col("n_syms")).as("bpe_tokens_true"),
+        sum(col("n") * expr("(length(word) + 3) DIV 4"))
+          .as("bpe_tokens_est"))
+      .withColumn("est_err_ppm",
+        when(col("bpe_tokens_true") === 0L, 0L).otherwise(expr(
+          "(abs(bpe_tokens_est - bpe_tokens_true) * 1000000)" +
+            " DIV bpe_tokens_true")))
+  }
+
+  /** Shared learn loop: returns (merge table, final symbol state). */
+  private def bpeLearn(doc: DataFrame, nMerges: Int,
+      text: String): (DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
     val words = doc.select(explode(tokens(col(text))).as("word"))
       .groupBy("word").agg(count(lit(1)).as("cnt"))
@@ -1016,7 +1067,7 @@ object TextOps {
         explode(sequence(lit(1),
           least(length(col("word")), lit(BpeMaxWordLen)))).as("pos"))
       .withColumn("sym", expr("substr(word, pos, 1)")))
-    val merged = (1 to nMerges).map { r =>
+    val tops = (1 to nMerges).map { r =>
       val nxt = state.select(col("word").as("w2"), (col("pos") - 1)
         .as("p2"), col("sym").as("b"))
       val pairs = state.join(nxt,
@@ -1053,8 +1104,11 @@ object TextOps {
       topRow.select(lit(r.toLong).as("merge_rank"),
         col("a").as("left_sym"), col("b").as("right_sym"),
         col("pair_count"))
-    }.reduce(_ unionByName _)
-    merged.orderBy("merge_rank")
+    }
+    val table =
+      if (tops.isEmpty) null
+      else tops.reduce(_ unionByName _).orderBy("merge_rank")
+    (table, state)
   }
 
   /** Conservative content normalization for dedup (the C4/CCNet

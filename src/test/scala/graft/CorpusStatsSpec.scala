@@ -145,6 +145,29 @@ class CorpusStatsSpec extends TestBase {
     graft.ops.Reuse.freeAll(spark)
   }
 
+  test("bpe encode + estimator audit: exact segment counts under the " +
+      "learned merges (ext112)") {
+    import spark.implicits._
+    // abc ×2, abd ×1; after merges (a,b), (ab,c), (ab,d):
+    // abc → [abc] (1 sym), abd → [abd] (1 sym)
+    val docs = Seq((1L, "en", "abc abc abd")).toDF("doc_id", "lang", "text")
+    val segs = TextOps.bpeSegmentCounts(docs, 3)
+      .as[(String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(segs == Map("abc" -> ((2L, 1L)), "abd" -> ((1L, 1L))))
+    val card = TextOps.bpeEstimateAudit(docs, 3)
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    // 3 ws tokens; true bpe = 3 (one sym each); est = (3+3) div 4 = 1
+    // per word → 3; err 0
+    assert(card == Seq(("en", 3L, 3L, 3L, 0L)))
+    // with 0 merges the true count is the character count
+    val raw = TextOps.bpeSegmentCounts(docs, 0)
+      .as[(String, Long, Long)].collect()
+      .map(r => r._1 -> r._3).toMap
+    assert(raw == Map("abc" -> 3L, "abd" -> 3L))
+    graft.ops.Reuse.freeAll(spark)
+  }
+
   test("normalization dup card: case/punct/space variants collapse, " +
       "clean corpus reads zero gain (ext104)") {
     import spark.implicits._
