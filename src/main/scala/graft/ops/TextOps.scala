@@ -1057,50 +1057,67 @@ object TextOps {
   }
 
   /** Shared learn loop: returns (merge table, final symbol state). */
-  private def bpeLearn(doc: DataFrame, nMerges: Int,
-      text: String): (DataFrame, DataFrame) = {
-    import org.apache.spark.sql.expressions.Window
-    val words = doc.select(explode(tokens(col(text))).as("word"))
+  /** Initial BPE symbol state for a corpus: one positional character
+    * row per (distinct word, pos ≤ [[BpeMaxWordLen]]). */
+  private def bpeInitState(doc: DataFrame, text: String): DataFrame =
+    Reuse.shared(doc.select(explode(tokens(col(text))).as("word"))
       .groupBy("word").agg(count(lit(1)).as("cnt"))
-    var state = Reuse.shared(words
       .select(col("word"), col("cnt"),
         explode(sequence(lit(1),
           least(length(col("word")), lit(BpeMaxWordLen)))).as("pos"))
       .withColumn("sym", expr("substr(word, pos, 1)")))
+
+  /** Adjacency relation of a symbol state: (word, cnt, pos, a, b). */
+  private def bpeAdjacent(state: DataFrame): DataFrame = {
+    val nxt = state.select(col("word").as("w2"), (col("pos") - 1)
+      .as("p2"), col("sym").as("b"))
+    state.join(nxt,
+        col("word") === col("w2") && col("pos") === col("p2"))
+      .select(col("word"), col("cnt"), col("pos"),
+        col("sym").as("a"), col("b"))
+  }
+
+  /** One merge application: replace the leftmost non-overlapping
+    * occurrences of `pairRow`'s (a, b) in every word (run-parity
+    * greedy) and renumber. `pairRow` must be a materialized 1-row
+    * frame. Returns the checkpointed next state. */
+  private def bpeApplyPair(state: DataFrame, pairs: DataFrame,
+      pairRow: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wOrd = Window.partitionBy("word").orderBy("pos")
+    val starts = pairs
+      .join(broadcast(pairRow.select("a", "b")), Seq("a", "b"))
+      .select("word", "pos")
+    val runs = starts.withColumn("rn", row_number().over(wOrd))
+      .withColumn("off", row_number().over(
+        Window.partitionBy(col("word"), col("pos") - col("rn"))
+          .orderBy("pos")) - 1)
+    val mergeAt = runs.filter(col("off") % 2 === 0)
+      .select(col("word"), col("pos"))
+    Reuse.shared(state
+      .join(mergeAt.withColumn("_mg", lit(1)), Seq("word", "pos"),
+        "left")
+      .join(mergeAt.select(col("word"), (col("pos") + 1).as("pos"))
+        .withColumn("_ab", lit(1)), Seq("word", "pos"), "left")
+      .filter(col("_ab").isNull)
+      .crossJoin(broadcast(pairRow.select(col("a").as("_ta"),
+        col("b").as("_tb"))))
+      .withColumn("sym", when(col("_mg") === 1,
+        concat(col("_ta"), col("_tb"))).otherwise(col("sym")))
+      .withColumn("pos", row_number().over(wOrd))
+      .select("word", "cnt", "pos", "sym"))
+  }
+
+  private def bpeLearn(doc: DataFrame, nMerges: Int,
+      text: String): (DataFrame, DataFrame) = {
+    var state = bpeInitState(doc, text)
     val tops = (1 to nMerges).map { r =>
-      val nxt = state.select(col("word").as("w2"), (col("pos") - 1)
-        .as("p2"), col("sym").as("b"))
-      val pairs = state.join(nxt,
-          col("word") === col("w2") && col("pos") === col("p2"))
-        .select(col("word"), col("cnt"), col("pos"),
-          col("sym").as("a"), col("b"))
-      val top = pairs.groupBy("a", "b")
+      val pairs = bpeAdjacent(state)
+      val topRow = Reuse.shared(pairs.groupBy("a", "b")
         .agg(sum(col("cnt")).as("pair_count"))
         .orderBy(col("pair_count").desc, col("a").asc, col("b").asc)
-        .limit(1)
-      val topRow = Reuse.shared(top)
-      val starts = pairs
-        .join(broadcast(topRow.select("a", "b")), Seq("a", "b"))
-        .select("word", "pos")
-      val wOrd = Window.partitionBy("word").orderBy("pos")
-      val runs = starts.withColumn("rn", row_number().over(wOrd))
-        .withColumn("off", row_number().over(
-          Window.partitionBy(col("word"), col("pos") - col("rn"))
-            .orderBy("pos")) - 1)
-      val mergeAt = runs.filter(col("off") % 2 === 0)
-        .select(col("word"), col("pos"))
-      state = Reuse.shared(state
-        .join(mergeAt.withColumn("_mg", lit(1)), Seq("word", "pos"),
-          "left")
-        .join(mergeAt.select(col("word"), (col("pos") + 1).as("pos"))
-          .withColumn("_ab", lit(1)), Seq("word", "pos"), "left")
-        .filter(col("_ab").isNull)
-        .crossJoin(broadcast(topRow.select(col("a").as("_ta"),
-          col("b").as("_tb"))))
-        .withColumn("sym", when(col("_mg") === 1,
-          concat(col("_ta"), col("_tb"))).otherwise(col("sym")))
-        .withColumn("pos", row_number().over(wOrd))
-        .select("word", "cnt", "pos", "sym"))
+        .limit(1))
+      state = bpeApplyPair(state, pairs, topRow)
       topRow.select(lit(r.toLong).as("merge_rank"),
         col("a").as("left_sym"), col("b").as("right_sym"),
         col("pair_count"))
@@ -1109,6 +1126,37 @@ object TextOps {
       if (tops.isEmpty) null
       else tops.reduce(_ unionByName _).orderBy("merge_rank")
     (table, state)
+  }
+
+  /**
+   * Apply a STORED merge table (the [[bpeMerges]] artifact) to a new
+   * corpus — the SERVING side of the tokenizer: merges replay in rank
+   * order over the words' symbol states, no counting, no argmax.
+   * Returns per-word (word, cnt, n_syms) like [[bpeSegmentCounts]];
+   * applying a table to the corpus it was learned from reproduces the
+   * learn-time state exactly (spec law). `nMerges` bounds the replay
+   * (ranks beyond the table apply nothing). This is what a stream
+   * runs per micro-batch against the broadcast table
+   * ([[graft.stream.StreamingPipeline.bpeEncodeSink]]).
+   */
+  def bpeApplyCounts(doc: DataFrame, merges: DataFrame, nMerges: Int,
+      text: String = "text"): DataFrame = {
+    var state = bpeInitState(doc, text)
+    (1 to nMerges).foreach { r =>
+      val pairRow = Reuse.shared(merges
+        .filter(col("merge_rank") === r.toLong)
+        .select(col("left_sym").as("a"), col("right_sym").as("b")))
+      // a rank past the table's end applies nothing (the cross join
+      // with an EMPTY pair frame would otherwise annihilate the state)
+      if (!pairRow.isEmpty)
+        state = bpeApplyPair(state, bpeAdjacent(state), pairRow)
+    }
+    state.groupBy("word")
+      .agg(first(col("cnt")).as("cnt"), count(lit(1)).as("n_core"))
+      .select(col("word"), col("cnt"),
+        (col("n_core") +
+          greatest(length(col("word")) - lit(BpeMaxWordLen), lit(0)))
+          .as("n_syms"))
   }
 
   /** Conservative content normalization for dedup (the C4/CCNet

@@ -449,6 +449,27 @@ object StreamingPipeline {
     }
   }
 
+  /**
+   * Streaming BPE encoder (ext111/ext112's serving path): the merge
+   * table is a per-snapshot LEARN artifact (`TextOps.bpeMerges` —
+   * learning in-stream would pick merges by arrival order, the ext111
+   * boundary); arriving docs tokenize against the broadcast table by
+   * replaying the merges in rank order over each batch's word states
+   * (`TextOps.bpeApplyCounts` — no counting, no argmax, per-batch
+   * stateless). Streamed per-word segment counts equal the batch
+   * encoder's on the same docs at any batching. Idempotent
+   * batch-keyed layout.
+   */
+  def bpeEncodeSink(docs: DataFrame, merges: DataFrame, nMerges: Int,
+      outPath: String): DataStreamWriter[org.apache.spark.sql.Row] = {
+    val table = merges.localCheckpoint(true)
+    docs.writeStream.outputMode("append").foreachBatch {
+      (batch: DataFrame, batchId: Long) =>
+        graft.ops.TextOps.bpeApplyCounts(batch, table, nMerges)
+          .write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
+    }
+  }
+
   /** Shared shape of the r7 algebraic-partials twins (ext78/82/84):
     * each micro-batch writes its own tiny COMMUTATIVE partial relation
     * batch-keyed (idempotent replay, the [[cardPartialsSink]]

@@ -168,6 +168,33 @@ class CorpusStatsSpec extends TestBase {
     graft.ops.Reuse.freeAll(spark)
   }
 
+  test("bpe apply: stored table replays to the learn-time state; new " +
+      "words segment under the learned merges") {
+    import spark.implicits._
+    val docs = Seq((1L, "en", "abc abc abd")).toDF("doc_id", "lang", "text")
+    val merges = TextOps.bpeMerges(docs, 3).localCheckpoint(true)
+    // applying the learned table to its own corpus == the learn state
+    val applied = TextOps.bpeApplyCounts(docs, merges, 3)
+      .as[(String, Long, Long)].collect().toSet
+    val learned = TextOps.bpeSegmentCounts(docs, 3)
+      .as[(String, Long, Long)].collect().toSet
+    assert(applied == learned)
+    // a NEW corpus under the same merges (a,b), (ab,c), (ab,d):
+    // abcd → [ab,c,d] → [abc,d] (rank-3 (ab,d) no longer matches);
+    // ab → [ab]
+    val fresh = Seq((9L, "xx", "abcd ab")).toDF("doc_id", "lang", "text")
+    val out = TextOps.bpeApplyCounts(fresh, merges, 3)
+      .as[(String, Long, Long)].collect()
+      .map(r => r._1 -> r._3).toMap
+    assert(out == Map("abcd" -> 2L, "ab" -> 1L))
+    // ranks past the table's end apply nothing
+    val deep = TextOps.bpeApplyCounts(fresh, merges, 5)
+      .as[(String, Long, Long)].collect()
+      .map(r => r._1 -> r._3).toMap
+    assert(deep == out)
+    graft.ops.Reuse.freeAll(spark)
+  }
+
   test("normalization dup card: case/punct/space variants collapse, " +
       "clean corpus reads zero gain (ext104)") {
     import spark.implicits._

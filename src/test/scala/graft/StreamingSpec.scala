@@ -516,6 +516,37 @@ class StreamingSpec extends TestBase {
     graft.ops.Reuse.freeAll(spark)
   }
 
+  test("streaming bpe encode == batch apply under the stored table " +
+      "(ext111/112 twin)") {
+    val docs = graft.ingest.Tables.documents(spark, sf("sf0.001"))
+      .select("doc_id", "text")
+    // Merge table learned once offline from the corpus snapshot.
+    val merges = graft.ops.TextOps.bpeMerges(docs, 3).localCheckpoint(true)
+    val srcDir = Files.createTempDirectory("graft-bpe-src").toString + "/d"
+    docs.write.parquet(srcDir)
+    val out = Files.createTempDirectory("graft-bpe-out").toString
+    val ckpt = Files.createTempDirectory("graft-bpe-ckpt").toString
+    val q = StreamingPipeline.bpeEncodeSink(
+      StreamingPipeline.parquetStream(spark, srcDir,
+        maxFilesPerTrigger = Some(1)), merges, 3, out)
+      .option("checkpointLocation", ckpt).start()
+    q.processAllAvailable()
+    q.stop()
+    // Per-word counts are per-batch; summed across batches they equal
+    // the batch encoder's, and n_syms is batch-independent per word.
+    val streamed = spark.read.parquet(out)
+      .groupBy("word").agg(sum("cnt").as("cnt"),
+        min("n_syms").as("mn"), max("n_syms").as("mx"))
+    val batch = graft.ops.TextOps.bpeApplyCounts(docs, merges, 3)
+    assert(streamed.filter(col("mn") =!= col("mx")).isEmpty,
+      "n_syms must not depend on batching")
+    val joined = streamed.select(col("word"), col("cnt"),
+      col("mn").as("n_syms"))
+    assert(joined.except(batch).isEmpty && batch.except(joined).isEmpty,
+      "streamed bpe segment counts differ from the batch encoder")
+    graft.ops.Reuse.freeAll(spark)
+  }
+
   test("streaming boilerplate removal == batch operator (ext59 twin)") {
     val docs = graft.ingest.Tables.documents(spark, sf("sf0.001"))
       .select("doc_id", "text")
