@@ -296,6 +296,12 @@ object ScaleSmoke {
     time("normalization_dups") {
       graft.ops.TextOps.normalizationDupCard(big)
     }
+    // bpe learn: ONE corpus pass builds the word-frequency table; in
+    // dup mode the TYPE set (and so the whole iterating symbol state)
+    // is IDENTICAL to 1x — only the counts scale — so the rounds'
+    // cost must stay ~flat while the initial pass grows Nx: the
+    // "state is the vocab, not the data" claim, measured.
+    time("bpe_merges_3") { graft.ops.TextOps.bpeMerges(big, 3) }
     spark.stop()
   }
 }
