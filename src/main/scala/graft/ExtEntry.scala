@@ -1703,7 +1703,16 @@ object ExtEntry {
     // prices token budgets everywhere (ext62/75/78), per language —
     // how far off those budgets run, re-priced as the table deepens.
     "ext112_bpe_estimate_audit" -> ((s, dir) =>
-      TextOps.bpeEstimateAudit(docs(s, dir), 3).orderBy("lang"))
+      TextOps.bpeEstimateAudit(docs(s, dir), 3).orderBy("lang")),
+
+    // Asymmetric containment detector: |∩| / min(|A|,|B|) over the
+    // capped shingle sets — the doc-inside-doc duplication Jaccard
+    // structurally misses (a fully-quoted short doc scores containment
+    // 1.0, Jaccard ~0.03). jaccard_ppm rides along so every emitted
+    // pair shows what the symmetric detector would have said.
+    "ext113_containment_pairs" -> ((s, dir) =>
+      Dedup.containmentPairs(docs(s, dir), threshold = 0.8)
+        .orderBy("id_a", "id_b"))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -4067,6 +4076,24 @@ object ExtEntry {
          |            ELSE (abs(bpe_tokens_est - bpe_tokens_true)
          |                  * 1000000) // bpe_tokens_true END AS BIGINT)
          |         AS est_err_ppm
-         |FROM card ORDER BY lang""".stripMargin
+         |FROM card ORDER BY lang""".stripMargin,
+
+    // Containment: ext02's inter/sizes chain, integer ppm divisions.
+    "ext113_containment_pairs" ->
+      s"""$ShingleSql,
+         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+         |inter AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+         |  FROM sh a JOIN sh b USING (h)
+         |  WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+         |SELECT id_a, id_b, CAST(n_inter AS BIGINT) AS n_inter,
+         |       CAST((n_inter * 1000000) // least(na.n, nb.n) AS BIGINT)
+         |         AS containment_ppm,
+         |       CAST((n_inter * 1000000) // (na.n + nb.n - n_inter)
+         |         AS BIGINT) AS jaccard_ppm
+         |FROM inter JOIN sizes na ON na.doc_id = id_a
+         |           JOIN sizes nb ON nb.doc_id = id_b
+         |WHERE (n_inter * 1000000) // least(na.n, nb.n) >= 800000
+         |ORDER BY id_a, id_b""".stripMargin
   )
 }

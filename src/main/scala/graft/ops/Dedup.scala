@@ -176,6 +176,49 @@ object Dedup {
   }
 
   /**
+   * Asymmetric CONTAINMENT near-dup pairs — the doc-inside-doc case
+   * symmetric Jaccard structurally misses: a 10-shingle document fully
+   * quoted inside a 300-shingle one has containment 1.0 but Jaccard
+   * ~0.03, far under any near-dup threshold (quote extraction,
+   * boilerplate inclusion, article-in-digest). containment =
+   * |∩| / min(|A|, |B|) over the same capped distinct shingle sets as
+   * [[ngramJaccard]]; ppm-quantized integer division end to end (no
+   * doubles anywhere — stricter than the Jaccard op's single IEEE
+   * division). The report carries `jaccard_ppm` beside it, so each
+   * emitted pair shows exactly what the symmetric detector would have
+   * said — the asymmetric catch is visible per row.
+   *
+   * Scale shape: identical to [[ngramJaccardFromGroups]] — bucketed
+   * in-list pair combos under the stop-shingle cap, never a self-join.
+   */
+  def containmentPairs(doc: DataFrame, id: String = "doc_id",
+      text: String = "text", threshold: Double = 0.8): DataFrame =
+    containmentPairsFromGroups(shingleGroups(doc, id, text), id, threshold)
+
+  /** [[containmentPairs]] over a pre-built [[shingleGroups]] relation
+    * (shares one shingle pass with the other detectors). */
+  def containmentPairsFromGroups(g: DataFrame, id: String = "doc_id",
+      threshold: Double = 0.8): DataFrame = {
+    val thresholdPpm = math.floor(threshold * 1e6).toLong
+    val inter = g.select(explode(pairCombos(col("ids"))).as("p"))
+      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
+      .filter(col("id_a") =!= col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_inter"))
+    val sizes = g.select(explode(col("ids")).as(id))
+      .groupBy(col(id)).agg(count(lit(1)).as("n_sh"))
+    inter
+      .join(sizes.select(col(id).as("id_a"), col("n_sh").as("n_a")), "id_a")
+      .join(sizes.select(col(id).as("id_b"), col("n_sh").as("n_b")), "id_b")
+      .withColumn("containment_ppm",
+        expr("(n_inter * 1000000) DIV least(n_a, n_b)"))
+      .withColumn("jaccard_ppm",
+        expr("(n_inter * 1000000) DIV (n_a + n_b - n_inter)"))
+      .filter(col("containment_ppm") >= thresholdPpm)
+      .select(col("id_a"), col("id_b"), col("n_inter"),
+        col("containment_ppm"), col("jaccard_ppm"))
+  }
+
+  /**
    * Benchmark decontamination: score every corpus doc by its n-gram
    * overlap with a (small) benchmark/eval set — the standard "did the
    * test set leak into the training corpus" check of a pretraining

@@ -348,4 +348,26 @@ class DedupSpec extends TestBase {
     assert(got(2L) == ((4L, 0L, "clean text only here")))
     graft.ops.Reuse.freeAll(spark)
   }
+
+  test("containment pairs: a fully-quoted short doc scores 1e6 where " +
+      "jaccard reads 333333 (ext113)") {
+    import spark.implicits._
+    val short0 = (1 to 12).map(i => s"b$i").mkString(" ")   // 10 shingles
+    val long0 = ((1 to 12).map(i => s"b$i") ++
+      (1 to 20).map(i => s"c$i")).mkString(" ")             // 30 shingles
+    val docs = Seq(
+      (1L, short0),                                  // contained in 2
+      (2L, long0),
+      (3L, (1 to 12).map(i => s"z$i").mkString(" ")) // unrelated
+    ).toDF("doc_id", "text")
+    val got = Dedup.containmentPairs(docs, threshold = 0.8)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    // |∩| = 10, min side 10 → containment 1e6; jaccard 10/30
+    assert(got == Seq((1L, 2L, 10L, 1000000L, 333333L)))
+    // the symmetric detector at any usual threshold misses this pair
+    val jac = Dedup.ngramJaccard(docs, threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect()
+    assert(!jac.contains((1L, 2L)))
+    graft.ops.Reuse.freeAll(spark)
+  }
 }
