@@ -1712,7 +1712,28 @@ object ExtEntry {
     // pair shows what the symmetric detector would have said.
     "ext113_containment_pairs" -> ((s, dir) =>
       Dedup.containmentPairs(docs(s, dir), threshold = 0.8)
-        .orderBy("id_a", "id_b"))
+        .orderBy("id_a", "id_b")),
+
+    // Salt-and-replicate skew join: lineitem×part revenue per brand
+    // through the salted plan — the manual skew pattern for joins
+    // AQE's splitting can't reach (over-broadcast dims, stateful
+    // joins). The salt never reaches the result, so the oracle is the
+    // PLAIN join + aggregate: correctness of the rewrite itself is
+    // what's checked.
+    "ext114_salted_join" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_partkey").as("partkey"),
+          col("l_extendedprice"), col("l_orderkey"))
+      val p = Tables.part(s, dir)
+        .select(col("p_partkey").as("partkey"), col("p_brand"))
+      graft.ops.Skew.saltedJoin(li, p, "partkey",
+          col("l_orderkey") * lit(7919) + col("partkey"))
+        .groupBy("p_brand")
+        .agg(count(lit(1)).as("n_items"),
+          sum(col("l_extendedprice").cast("decimal(18,6)"))
+            .cast("double").as("revenue"))
+        .orderBy("p_brand")
+    })
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -4094,6 +4115,16 @@ object ExtEntry {
          |FROM inter JOIN sizes na ON na.doc_id = id_a
          |           JOIN sizes nb ON nb.doc_id = id_b
          |WHERE (n_inter * 1000000) // least(na.n, nb.n) >= 800000
-         |ORDER BY id_a, id_b""".stripMargin
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    // The salted rewrite must be invisible in results: the oracle is
+    // the PLAIN join + aggregate.
+    "ext114_salted_join" ->
+      """SELECT p_brand,
+        |       CAST(count(*) AS BIGINT) AS n_items,
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6)))
+        |            AS DOUBLE) AS revenue
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |GROUP BY 1 ORDER BY p_brand""".stripMargin
   )
 }

@@ -99,6 +99,9 @@ object Tables {
   def orders(spark: SparkSession, sfDir: String): DataFrame =
     table(spark, sfDir, "orders")
 
+  def part(spark: SparkSession, sfDir: String): DataFrame =
+    table(spark, sfDir, "part")
+
   /**
    * OP-02/04: line-delimited tweet JSON → typed, time-stamped DataFrame.
    * Mirrors reference TweetGate/Program.SaveAggregates.cs:72-76: JSON

@@ -32,4 +32,28 @@ object Skew {
       .agg(sum(col("c")).as("cnt"),
         sum(col("s")).cast("double").as("weight_sum"))
   }
+
+  /**
+   * Salt-and-replicate equi-join — the manual skew-join for the cases
+   * AQE's runtime splitting cannot reach: a sort-merge join whose hot
+   * key floods one reducer when the dimension side is too big to
+   * broadcast yet small enough to replicate ×numSalts (AQE skew-join
+   * also cannot rebalance stream-stream or stateful joins). The big
+   * side gets a uniform salt from `discriminator`; the small side
+   * replicates into every salt; the join keys on (key, salt), so the
+   * hot key's rows spread over numSalts reducers. Result set is
+   * EXACTLY the plain inner join (each big row meets exactly the one
+   * replica carrying its salt) — the salt never leaks into results,
+   * so correctness is oracle-checkable against the unsalted join
+   * (ext114). Cost: small side ×numSalts rows; pick numSalts ≈ the
+   * hot key's skew factor, not more.
+   */
+  def saltedJoin(big: DataFrame, small: DataFrame, key: String,
+      discriminator: Column, numSalts: Int = 16): DataFrame = {
+    val b = big.withColumn("_salt",
+      pmod(hash(discriminator), lit(numSalts)))
+    val s = small.withColumn("_salt",
+      explode(sequence(lit(0), lit(numSalts - 1))))
+    b.join(s, Seq(key, "_salt")).drop("_salt")
+  }
 }

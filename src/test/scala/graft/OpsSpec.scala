@@ -170,6 +170,24 @@ class OpsSpec extends TestBase {
     assert(real._9 >= 0L && real._9 < 1000000L)
   }
 
+  test("skew: salted join equals the plain join row-for-row (ext114)") {
+    import spark.implicits._
+    // hot key 1 (8 rows) + singletons; dim has 1:1 keys
+    val big = ((1 to 8).map(i => (1L, i.toLong)) ++
+      Seq((2L, 100L), (3L, 200L))).toDF("k", "v")
+    val small = Seq((1L, "hot"), (2L, "a"), (3L, "b"), (4L, "unused"))
+      .toDF("k", "name")
+    val got = graft.ops.Skew.saltedJoin(big, small, "k", col("v"), 4)
+      .select("k", "v", "name").as[(Long, Long, String)]
+      .collect().sorted.toSeq
+    val plain = big.join(small, "k")
+      .select("k", "v", "name").as[(Long, Long, String)]
+      .collect().sorted.toSeq
+    assert(got == plain && got.size == 10)
+    // every big row appears exactly once (no replica double-match)
+    assert(got.map(r => (r._1, r._2)).distinct.size == 10)
+  }
+
   test("similarity: kmeans-IVF results stay inside the query's bucket") {
     import spark.implicits._
     // Two well-separated clusters of 4 vectors each, INTERLEAVED by id
