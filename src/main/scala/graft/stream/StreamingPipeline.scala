@@ -470,6 +470,34 @@ object StreamingPipeline {
     }
   }
 
+  /**
+   * STREAM-STREAM interval join — ext22's online form, and the one
+   * join class the stream-static sinks above cannot express: both
+   * sides arrive continuously, and a pair (l, r) with the same key
+   * and `r.ts ∈ [l.ts − interval, l.ts)` must emit no matter which
+   * side arrives first. Spark buffers both sides in state; the
+   * watermarks PLUS the time-range condition bound that state — each
+   * side's rows are droppable once the other side's watermark passes
+   * their match window (this is exactly the state-cleanup contract
+   * the batch op's scaladoc cites; without the range condition the
+   * join state would grow forever). Inner join in append mode: rows
+   * emit as they match. The batch twin (`IntervalJoin` pairs at the
+   * same predicate) is the oracle the spec compares against.
+   */
+  def intervalJoinPairsStream(left: DataFrame, right: DataFrame,
+      key: String, time: String, intervalUs: Long,
+      delayThreshold: String = "10 seconds"): DataFrame = {
+    val l = left.select(col(key).as("l_key"),
+        col("event_id").as("l_id"), col(time).as("l_ts"))
+      .withWatermark("l_ts", delayThreshold)
+    val r = right.select(col(key).as("r_key"),
+        col("event_id").as("r_id"), col(time).as("r_ts"))
+      .withWatermark("r_ts", delayThreshold)
+    l.join(r, expr(s"l_key = r_key AND " +
+      s"r_ts >= l_ts - INTERVAL $intervalUs MICROSECOND AND " +
+      "r_ts < l_ts"))
+  }
+
   /** Shared shape of the r7 algebraic-partials twins (ext78/82/84):
     * each micro-batch writes its own tiny COMMUTATIVE partial relation
     * batch-keyed (idempotent replay, the [[cardPartialsSink]]

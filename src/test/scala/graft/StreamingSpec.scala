@@ -516,6 +516,34 @@ class StreamingSpec extends TestBase {
     graft.ops.Reuse.freeAll(spark)
   }
 
+  test("stream-stream interval join == batch range-join pairs " +
+      "(ext22 online form)") {
+    val ev = graft.ingest.Tables.events(spark, sf("sf0.001"))
+    val iv = 10L * 60 * 1000000 // 10 minutes
+    val src = () => StreamingPipeline.eventStream(spark,
+      sf("sf0.001") + "/events.parquet")
+    val q = StreamingPipeline.intervalJoinPairsStream(
+        src(), src(), "user_id", "ts", iv)
+      .select("l_id", "r_id")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("ssij").start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("ssij")
+    // batch twin: the same predicate as a plain range join
+    val l = ev.select(col("user_id").as("k"), col("event_id").as("l_id"),
+      unix_micros(col("ts")).as("l_us"))
+    val r = ev.select(col("user_id").as("k2"), col("event_id").as("r_id"),
+      unix_micros(col("ts")).as("r_us"))
+    val batch = l.join(r, col("k") === col("k2") &&
+        col("r_us") >= col("l_us") - iv && col("r_us") < col("l_us"))
+      .select("l_id", "r_id")
+    assert(streamed.count() == batch.count() && batch.count() > 0)
+    assert(streamed.except(batch).isEmpty && batch.except(streamed).isEmpty,
+      "stream-stream interval join pairs differ from the batch range join")
+    graft.ops.Reuse.freeAll(spark)
+  }
+
   test("streaming bpe encode == batch apply under the stored table " +
       "(ext111/112 twin)") {
     val docs = graft.ingest.Tables.documents(spark, sf("sf0.001"))
