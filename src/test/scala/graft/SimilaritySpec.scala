@@ -367,6 +367,11 @@ class SimilaritySpec extends TestBase {
     val all = Similarity.semDedup(emb, buckets, threshold = 1.01)
       .as[(Long, Long, Long)].collect()
     assert(all.forall(_._3 == 1L))
+    // the exposed pair relation is exactly the drop evidence: a vector
+    // is dropped iff it appears as id_b in some pair
+    val pairDrops = Similarity.semDedupPairs(emb, buckets)
+      .select("id_b").as[Long].collect().toSet
+    assert(got.filter(_._3 == 0L).map(_._1).toSet == pairDrops)
   }
 
   test("semdedup probe curve: p=1 row equals the single-bucket audit, " +
