@@ -1720,6 +1720,21 @@ object ExtEntry {
     // joins). The salt never reaches the result, so the oracle is the
     // PLAIN join + aggregate: correctness of the rewrite itself is
     // what's checked.
+    // Signal-redundancy audit: pairwise Pearson over four per-doc
+    // integer signals (tokens, chars, type-token ratio, mean word
+    // length) — two signals at |corr|→1 gate the same documents, so
+    // one is filter budget spent twice. Exact int64 moments off ONE
+    // aggregate; the corr is a fixed IEEE sequence (cosine contract).
+    "ext115_signal_correlation" -> ((s, dir) =>
+      graft.ops.Reporting.signalCorrelations(docs(s, dir), Seq(
+        "n_toks" -> size(split(col("text"), " ")).cast("long"),
+        "n_chars" -> length(col("text")).cast("long"),
+        "ttr_ppm" -> expr("(size(array_distinct(split(text, ' '))) " +
+          "* 1000000) DIV size(split(text, ' '))"),
+        "wlen_ppm" -> expr("((length(text) - (size(split(text, ' ')) " +
+          "- 1)) * 1000000) DIV size(split(text, ' '))")))
+        .orderBy("sig_a", "sig_b")),
+
     "ext114_salted_join" -> ((s, dir) => {
       val li = Tables.lineitem(s, dir)
         .select(col("l_partkey").as("partkey"),
@@ -4116,6 +4131,49 @@ object ExtEntry {
          |           JOIN sizes nb ON nb.doc_id = id_b
          |WHERE (n_inter * 1000000) // least(na.n, nb.n) >= 800000
          |ORDER BY id_a, id_b""".stripMargin,
+
+    // Correlation: the same exact int64 moments, the same fixed IEEE
+    // corr expression per pair; pairs generated in the same order.
+    "ext115_signal_correlation" -> {
+      val names = Seq("n_toks", "n_chars", "ttr_ppm", "wlen_ppm")
+      val sums = names.map(n =>
+        s"CAST(SUM($n) AS BIGINT) AS s_$n").mkString(",\n  |       ")
+      val quads = names.map(n =>
+        s"CAST(SUM($n * $n) AS BIGINT) AS q_$n").mkString(",\n  |       ")
+      val crosses = names.combinations(2).map { case Seq(a, b) =>
+        s"CAST(SUM($a * $b) AS BIGINT) AS x_${a}__$b"
+      }.mkString(",\n  |       ")
+      val rows = names.combinations(2).map { case Seq(a, b) =>
+        s"""SELECT '$a' AS sig_a, '$b' AS sig_b, n,
+           |       CAST(CASE WHEN n * q_$a - s_$a * s_$a = 0
+           |                   OR n * q_$b - s_$b * s_$b = 0 THEN 0
+           |            ELSE floor(1000000.0 *
+           |              (CAST(n * x_${a}__$b - s_$a * s_$b AS DOUBLE) /
+           |               sqrt(CAST(n * q_$a - s_$a * s_$a AS DOUBLE) *
+           |                    CAST(n * q_$b - s_$b * s_$b AS DOUBLE))))
+           |            END AS BIGINT) AS corr_ppm
+           |FROM m""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH sig AS (
+         |  SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks,
+         |         CAST(length(text) AS BIGINT) AS n_chars,
+         |         CAST((len(list_distinct(string_split(text, ' ')))
+         |              * 1000000) // len(string_split(text, ' '))
+         |           AS BIGINT) AS ttr_ppm,
+         |         CAST(((length(text) - (len(string_split(text, ' '))
+         |              - 1)) * 1000000) // len(string_split(text, ' '))
+         |           AS BIGINT) AS wlen_ppm
+         |  FROM documents),
+         |m AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n,
+         |       $sums,
+         |       $quads,
+         |       $crosses
+         |  FROM sig)
+         |SELECT * FROM (
+         |$rows)
+         |ORDER BY sig_a, sig_b""".stripMargin
+    },
 
     // The salted rewrite must be invisible in results: the oracle is
     // the PLAIN join + aggregate.

@@ -205,4 +205,49 @@ object Reporting {
         sum(col("n_string")).as("n_string"),
         sum(col("n_bool")).as("n_bool"),
         sum(col("n_null")).as("n_null"))
+
+  /**
+   * Pairwise Pearson correlation of per-row INTEGER signals — the
+   * signal-redundancy audit behind curation-filter ablations: two
+   * signals at |corr| → 1 gate the same documents, so one of them is
+   * budget spent twice (the DataComp-style question "which filters are
+   * actually independent"). Signals must be int64 columns (quantize
+   * ratios to ppm first): all five moment sums (n, Σx, Σx², Σxy) are
+   * then EXACT and order/partition-independent, and the one corr
+   * expression per pair is a fixed IEEE double sequence off those
+   * integers — bit-portable to the oracle, like the cosine contract.
+   *
+   * Scale shape: ONE map-side-combined aggregate over the scan
+   * produces every moment (k + k + k(k+1)/2 columns); the pair
+   * explosion happens on the 1-row result. Zero-variance signals
+   * yield corr 0 by guard (not NaN). At test scale the int64 moments
+   * are exact; at ~10⁹+ rows × ppm-scaled signals carry them as
+   * DECIMAL(38,0) (the ext95 escape) — the audit is usually run on a
+   * shard sample anyway.
+   */
+  def signalCorrelations(df: DataFrame,
+      signals: Seq[(String, Column)]): DataFrame = {
+    require(signals.size >= 2, "need at least two signals")
+    val sel = df.select(signals.map { case (n, c) =>
+      c.cast("long").as(n) }: _*)
+    val names = signals.map(_._1)
+    val moments =
+      Seq(count(lit(1)).as("n")) ++
+        names.map(n => sum(col(n)).as(s"s_$n")) ++
+        names.map(n => sum(col(n) * col(n)).as(s"q_$n")) ++
+        names.combinations(2).map { case Seq(a, b) =>
+          sum(col(a) * col(b)).as(s"x_${a}__$b") }.toSeq
+    val agg = sel.agg(moments.head, moments.tail: _*)
+    val pairRows = names.combinations(2).map { case Seq(a, b) =>
+      val num = col("n") * col(s"x_${a}__$b") - col(s"s_$a") * col(s"s_$b")
+      val va = col("n") * col(s"q_$a") - col(s"s_$a") * col(s"s_$a")
+      val vb = col("n") * col(s"q_$b") - col(s"s_$b") * col(s"s_$b")
+      struct(lit(a).as("sig_a"), lit(b).as("sig_b"), col("n"),
+        when(va === 0L || vb === 0L, 0L).otherwise(
+          floor(lit(1000000.0d) * (num.cast("double") /
+            sqrt(va.cast("double") * vb.cast("double")))).cast("long"))
+          .as("corr_ppm"))
+    }.toSeq
+    agg.select(explode(array(pairRows: _*)).as("p")).select("p.*")
+  }
 }

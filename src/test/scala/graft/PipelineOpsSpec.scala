@@ -268,6 +268,24 @@ class PipelineOpsSpec extends TestBase {
       .except(again.select("id", "st", "rank")).isEmpty)
   }
 
+  test("signal correlations: exact ±1 on constructed columns, 0 under " +
+      "the zero-variance guard (ext115)") {
+    import spark.implicits._
+    // x=(1,2,3), y=2x → +1 exactly (all moments integer, sqrt(144)=12);
+    // z=-x+10 → −1 exactly; c constant → guard fires.
+    val df = Seq((1L, 2L, 9L, 5L), (2L, 4L, 8L, 5L), (3L, 6L, 7L, 5L))
+      .toDF("x", "y", "z", "c")
+    val got = graft.ops.Reporting.signalCorrelations(df, Seq(
+      "x" -> col("x"), "y" -> col("y"), "z" -> col("z"), "c" -> col("c")))
+      .as[(String, String, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r._4).toMap
+    assert(got(("x", "y")) == 1000000L)
+    assert(got(("x", "z")) == -1000000L)
+    assert(got(("y", "z")) == -1000000L)
+    assert(got(("x", "c")) == 0L && got(("y", "c")) == 0L &&
+      got(("z", "c")) == 0L)
+  }
+
   test("sampling: cap audit card prices exactly what stratifiedTopK " +
       "would keep (ext103)") {
     import spark.implicits._
