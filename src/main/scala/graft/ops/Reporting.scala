@@ -226,6 +226,14 @@ object Reporting {
    * shard sample anyway.
    */
   def signalCorrelations(df: DataFrame,
+      signals: Seq[(String, Column)]): DataFrame =
+    correlationsFromMoments(signalMoments(df, signals))
+
+  /** The 1-row exact moment relation (n, s_*, q_*, x_*__*) — every
+    * column a pure sum, so duplicate rows (micro-batch partials,
+    * shards) FOLD by summation: the ext78/82/84 algebraic-partials
+    * contract, which is what the streaming twin writes per batch. */
+  def signalMoments(df: DataFrame,
       signals: Seq[(String, Column)]): DataFrame = {
     require(signals.size >= 2, "need at least two signals")
     val sel = df.select(signals.map { case (n, c) =>
@@ -237,8 +245,24 @@ object Reporting {
         names.map(n => sum(col(n) * col(n)).as(s"q_$n")) ++
         names.combinations(2).map { case Seq(a, b) =>
           sum(col(a) * col(b)).as(s"x_${a}__$b") }.toSeq
-    val agg = sel.agg(moments.head, moments.tail: _*)
-    val pairRows = names.combinations(2).map { case Seq(a, b) =>
+    sel.agg(moments.head, moments.tail: _*)
+  }
+
+  /** Fold + finish: sum duplicate moment rows exactly, then derive the
+    * pairwise correlations. Signal names and pair order are
+    * reconstructed from the `x_a__b` column names, so the fold needs
+    * no side-channel configuration. Empty/missing sums coalesce to 0
+    * (an empty stream yields an empty pair frame via n = 0 guards). */
+  def correlationsFromMoments(raw: DataFrame): DataFrame = {
+    val sumCols = raw.columns.filter(_ != "n")
+    val folded = raw.agg(
+      coalesce(sum(col("n")), lit(0L)).as("n"),
+      sumCols.map(c => coalesce(sum(col(c)), lit(0L)).as(c)): _*)
+    val pairs = raw.columns.filter(_.startsWith("x_")).toSeq
+      .map(_.stripPrefix("x_").split("__") match {
+        case Array(a, b) => (a, b)
+      })
+    val pairRows = pairs.map { case (a, b) =>
       val num = col("n") * col(s"x_${a}__$b") - col(s"s_$a") * col(s"s_$b")
       val va = col("n") * col(s"q_$a") - col(s"s_$a") * col(s"s_$a")
       val vb = col("n") * col(s"q_$b") - col(s"s_$b") * col(s"s_$b")
@@ -247,7 +271,7 @@ object Reporting {
           floor(lit(1000000.0d) * (num.cast("double") /
             sqrt(va.cast("double") * vb.cast("double")))).cast("long"))
           .as("corr_ppm"))
-    }.toSeq
-    agg.select(explode(array(pairRows: _*)).as("p")).select("p.*")
+    }
+    folded.select(explode(array(pairRows: _*)).as("p")).select("p.*")
   }
 }

@@ -529,6 +529,21 @@ object StreamingPipeline {
     graft.ops.Packing.packEfficiencyFromCounts(
       spark.read.parquet(outPath).drop("batch"))
 
+  /** Streaming twin of the signal-correlation audit (ext115): each
+    * micro-batch writes its 1-row exact moment sums; the fold sums
+    * duplicates and finishes the correlations — streamed card ==
+    * batch card at any batching, signals correlate ON ARRIVAL. */
+  def signalMomentsPartialsSink(docs: DataFrame,
+      signals: Seq[(String, org.apache.spark.sql.Column)],
+      outPath: String): DataStreamWriter[org.apache.spark.sql.Row] =
+    partialsSink(docs,
+      graft.ops.Reporting.signalMoments(_, signals), outPath)
+
+  def signalCorrelationsFromState(spark: SparkSession,
+      outPath: String): DataFrame =
+    graft.ops.Reporting.correlationsFromMoments(
+      spark.read.parquet(outPath).drop("batch"))
+
   /** Streaming twin of the composition-drift audit (ext82). */
   def driftPartialsSink(docs: DataFrame, sideA: Column,
       strata: Seq[String], outPath: String)

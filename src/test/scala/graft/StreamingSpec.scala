@@ -516,6 +516,32 @@ class StreamingSpec extends TestBase {
     graft.ops.Reuse.freeAll(spark)
   }
 
+  test("streaming signal moments fold == batch correlation card " +
+      "(ext115 twin)") {
+    val docs = graft.ingest.Tables.documents(spark, sf("sf0.001"))
+      .select("doc_id", "text")
+    val signals = Seq(
+      "n_toks" -> size(split(col("text"), " ")).cast("long"),
+      "n_chars" -> length(col("text")).cast("long"))
+    val srcDir = Files.createTempDirectory("graft-corr-src").toString + "/d"
+    docs.write.parquet(srcDir)
+    val out = Files.createTempDirectory("graft-corr-out").toString
+    val ckpt = Files.createTempDirectory("graft-corr-ckpt").toString
+    val q = StreamingPipeline.signalMomentsPartialsSink(
+      StreamingPipeline.parquetStream(spark, srcDir,
+        maxFilesPerTrigger = Some(1)), signals, out)
+      .option("checkpointLocation", ckpt).start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = StreamingPipeline
+      .signalCorrelationsFromState(spark, out)
+    val batch = graft.ops.Reporting.signalCorrelations(docs, signals)
+    assert(streamed.count() == 1 && batch.count() == 1)
+    assert(streamed.except(batch).isEmpty && batch.except(streamed).isEmpty,
+      "folded streamed moments differ from the batch correlation card")
+    graft.ops.Reuse.freeAll(spark)
+  }
+
   test("stream-stream interval join == batch range-join pairs " +
       "(ext22 online form)") {
     val ev = graft.ingest.Tables.events(spark, sf("sf0.001"))
