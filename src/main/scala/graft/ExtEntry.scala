@@ -1720,6 +1720,17 @@ object ExtEntry {
     // joins). The salt never reaches the result, so the oracle is the
     // PLAIN join + aggregate: correctness of the rewrite itself is
     // what's checked.
+    // Per-language rank normalization (the CCNet perplexity-percentile
+    // convention): raw scores aren't comparable across strata, so the
+    // filter operates on the within-stratum percentile — here the doc
+    // length signal, rank-normalized per lang, exact integer
+    // percent-rank.
+    "ext116_rank_normalize" -> ((s, dir) =>
+      Sampling.rankNormalize(
+          docs(s, dir).select("doc_id", "lang", "n_chars"),
+          Seq("lang"), col("doc_id"), col("n_chars"))
+        .orderBy("doc_id")),
+
     // Signal-redundancy audit: pairwise Pearson over four per-doc
     // integer signals (tokens, chars, type-token ratio, mean word
     // length) — two signals at |corr|→1 gate the same documents, so
@@ -4131,6 +4142,20 @@ object ExtEntry {
          |           JOIN sizes nb ON nb.doc_id = id_b
          |WHERE (n_inter * 1000000) // least(na.n, nb.n) >= 800000
          |ORDER BY id_a, id_b""".stripMargin,
+
+    // Exact integer percent-rank over the same (signal, id) order.
+    "ext116_rank_normalize" ->
+      """WITH r AS (
+        |  SELECT doc_id, lang, n_chars,
+        |         row_number() OVER (PARTITION BY lang
+        |           ORDER BY n_chars ASC, doc_id ASC) AS rk,
+        |         count(*) OVER (PARTITION BY lang) AS n
+        |  FROM documents)
+        |SELECT doc_id, lang, n_chars,
+        |       CAST(CASE WHEN n = 1 THEN 0
+        |            ELSE ((rk - 1) * 1000000) // (n - 1) END AS BIGINT)
+        |         AS pct_ppm
+        |FROM r ORDER BY doc_id""".stripMargin,
 
     // Correlation: the same exact int64 moments, the same fixed IEEE
     // corr expression per pair; pairs generated in the same order.

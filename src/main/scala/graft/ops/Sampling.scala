@@ -104,6 +104,36 @@ object Sampling {
   }
 
   /**
+   * Per-stratum RANK normalization of a quality signal — the CCNet
+   * convention (perplexity percentiles per language): raw scores are
+   * not comparable across strata (a "good" perplexity in English is a
+   * different number than in German), so threshold-free curation
+   * filters on the within-stratum percentile instead. `pct_ppm` is the
+   * exact percent-rank `(rank − 1) · 1e6 DIV (n − 1)` over the
+   * (signal, id) total order — integer arithmetic, engine-portable;
+   * singleton strata read 0. Composes with [[acceptByRate]] /
+   * quantile-threshold curation: "keep each stratum's best X%" without
+   * knowing any stratum's score scale.
+   *
+   * Scale shape: one full sort per stratum (the exact-rank price,
+   * same accepted shape as ext24's exact quantiles; ext33's
+   * hash-sampled form is the at-scale alternative when approximate
+   * ranks suffice).
+   */
+  def rankNormalize(df: DataFrame, strata: Seq[String], id: Column,
+      signal: Column, outName: String = "pct_ppm"): DataFrame = {
+    val w = Window.partitionBy(strata.map(col): _*)
+      .orderBy(signal.asc, id.asc)
+    val n = Window.partitionBy(strata.map(col): _*)
+    df.withColumn("_rk", row_number().over(w).cast("long"))
+      .withColumn("_n", count(lit(1)).over(n))
+      .withColumn(outName,
+        when(col("_n") === 1L, 0L)
+          .otherwise(expr("((_rk - 1) * 1000000) DIV (_n - 1)")))
+      .drop("_rk", "_n")
+  }
+
+  /**
    * Temperature-based mixture weights per stratum — the data-mixing
    * step of a pretraining pipeline (sample sources ∝ n^α instead of ∝ n
    * so small high-quality sources aren't drowned). α is fixed at 0.5

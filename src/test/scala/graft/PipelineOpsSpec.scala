@@ -268,6 +268,28 @@ class PipelineOpsSpec extends TestBase {
       .except(again.select("id", "st", "rank")).isEmpty)
   }
 
+  test("rank normalize: exact percent-rank per stratum, endpoints 0 " +
+      "and 1e6, singleton reads 0 (ext116)") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a", 30L), (2L, "a", 10L), (3L, "a", 20L), (4L, "a", 20L),
+      (5L, "b", 99L))
+      .toDF("doc_id", "st", "sig")
+    val got = Sampling.rankNormalize(df, Seq("st"), col("doc_id"),
+        col("sig")).orderBy("doc_id")
+      .as[(Long, String, Long, Long)].collect()
+      .map(r => r._1 -> r._4).toMap
+    // a: order by (sig, id): 2(10) < 3(20) < 4(20) < 1(30) →
+    // ranks 1..4 → pct 0, 333333, 666666, 1e6
+    assert(got == Map(2L -> 0L, 3L -> 333333L, 4L -> 666666L,
+      1L -> 1000000L, 5L -> 0L))
+    // stable under repartition
+    val again = Sampling.rankNormalize(df.repartition(5), Seq("st"),
+        col("doc_id"), col("sig"))
+      .as[(Long, String, Long, Long)].collect().map(r => r._1 -> r._4).toMap
+    assert(again == got)
+  }
+
   test("signal correlations: exact ±1 on constructed columns, 0 under " +
       "the zero-variance guard (ext115)") {
     import spark.implicits._
