@@ -236,6 +236,13 @@ object Reporting {
   def signalMoments(df: DataFrame,
       signals: Seq[(String, Column)]): DataFrame = {
     require(signals.size >= 2, "need at least two signals")
+    // The cross-moment columns encode the pair as `x_<a>__<b>`;
+    // a name containing "__" would make that encoding ambiguous and
+    // mis-parse in [[correlationsFromMoments]] (r8 ADVICE).
+    signals.foreach { case (n, _) =>
+      require(!n.contains("__"),
+        s"signal name must not contain '__' (reserved pair separator): $n")
+    }
     val sel = df.select(signals.map { case (n, c) =>
       c.cast("long").as(n) }: _*)
     val names = signals.map(_._1)
@@ -250,18 +257,26 @@ object Reporting {
 
   /** Fold + finish: sum duplicate moment rows exactly, then derive the
     * pairwise correlations. Signal names and pair order are
-    * reconstructed from the `x_a__b` column names, so the fold needs
-    * no side-channel configuration. Empty/missing sums coalesce to 0
-    * (an empty stream yields an empty pair frame via n = 0 guards). */
+    * reconstructed from the `x_a__b` column names (unambiguous because
+    * [[signalMoments]] rejects names containing "__"), so the fold
+    * needs no side-channel configuration. Empty/missing sums coalesce
+    * to 0; an EMPTY input still yields the full C(k, 2) pair rows —
+    * one per x_ column, each with n = 0 and corr_ppm = 0 via the
+    * zero-variance guard (the pair list is schema-derived, not
+    * data-derived). */
   def correlationsFromMoments(raw: DataFrame): DataFrame = {
     val sumCols = raw.columns.filter(_ != "n")
     val folded = raw.agg(
       coalesce(sum(col("n")), lit(0L)).as("n"),
       sumCols.map(c => coalesce(sum(col(c)), lit(0L)).as(c)): _*)
     val pairs = raw.columns.filter(_.startsWith("x_")).toSeq
-      .map(_.stripPrefix("x_").split("__") match {
-        case Array(a, b) => (a, b)
-      })
+      .map { c =>
+        val parts = c.stripPrefix("x_").split("__")
+        require(parts.length == 2,
+          s"moment column '$c' does not parse as x_<a>__<b>: signal " +
+            "names must not contain '__' (enforced by signalMoments)")
+        (parts(0), parts(1))
+      }
     val pairRows = pairs.map { case (a, b) =>
       val num = col("n") * col(s"x_${a}__$b") - col(s"s_$a") * col(s"s_$b")
       val va = col("n") * col(s"q_$a") - col(s"s_$a") * col(s"s_$a")

@@ -88,6 +88,11 @@ object Sampling {
    */
   def capAudit(df: DataFrame, strata: Seq[String], id: Column,
       tokens: Column, cap: Int, salt: String = "samp"): DataFrame = {
+    // the inner join below relies on cap >= 1: every nonempty stratum
+    // keeps at least one doc, so no stratum silently vanishes from the
+    // card (cap <= 0 would drop ALL strata instead of reporting
+    // everything dropped — r8 ADVICE)
+    require(cap >= 1, s"cap must be >= 1, got $cap")
     val kept = stratifiedTopK(df.withColumn("_tok", tokens),
         strata, id, cap, salt)
       .groupBy(strata.map(col): _*)

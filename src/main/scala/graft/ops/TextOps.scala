@@ -1001,10 +1001,12 @@ object TextOps {
    * pair_count) — nMerges rows, THE stored tokenizer artifact.
    * Rounds iterate kmeans-style: per-round state is checkpointed
    * ([[Reuse.shared]]) so lineage stays flat; every shuffle is keyed
-   * on `word` (vocab-bounded, never the corpus). Requires a corpus
-   * with at least nMerges achievable merges (any real text corpus;
-   * a single-character vocabulary exhausts early and later rounds
-   * return no rows).
+   * on `word` (vocab-bounded, never the corpus). A corpus that
+   * exhausts its achievable merges before nMerges rounds (e.g. a
+   * single-character vocabulary) yields a SHORTER table — the learn
+   * loop stops at the last achievable merge rather than applying an
+   * empty pair (which would annihilate the symbol state); nMerges == 0
+   * yields the typed empty table.
    */
   def bpeMerges(doc: DataFrame, nMerges: Int = 3,
       text: String = "text"): DataFrame =
@@ -1108,22 +1110,42 @@ object TextOps {
       .select("word", "cnt", "pos", "sym"))
   }
 
+  /** Typed empty merge table — what [[bpeLearn]] returns when the
+    * corpus exhausts its achievable merges before round 1, or when
+    * nMerges == 0 (r8 ADVICE: previously a null frame / a state-
+    * annihilating empty-pair apply). */
+  private def emptyMergeTable(doc: DataFrame): DataFrame =
+    doc.sparkSession.range(0).select(
+      col("id").as("merge_rank"), lit("").as("left_sym"),
+      lit("").as("right_sym"), col("id").as("pair_count"))
+
   private def bpeLearn(doc: DataFrame, nMerges: Int,
       text: String): (DataFrame, DataFrame) = {
     var state = bpeInitState(doc, text)
-    val tops = (1 to nMerges).map { r =>
+    val tops = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    var exhausted = false
+    var r = 1
+    while (r <= nMerges && !exhausted) {
       val pairs = bpeAdjacent(state)
       val topRow = Reuse.shared(pairs.groupBy("a", "b")
         .agg(sum(col("cnt")).as("pair_count"))
         .orderBy(col("pair_count").desc, col("a").asc, col("b").asc)
         .limit(1))
-      state = bpeApplyPair(state, pairs, topRow)
-      topRow.select(lit(r.toLong).as("merge_rank"),
-        col("a").as("left_sym"), col("b").as("right_sym"),
-        col("pair_count"))
+      // No adjacent pair left (every word is a single symbol): applying
+      // an EMPTY pair frame would annihilate the whole symbol state via
+      // bpeApplyPair's crossJoin — stop learning instead, exactly like
+      // bpeApplyCounts' replay guard (r8 ADVICE).
+      if (topRow.isEmpty) exhausted = true
+      else {
+        state = bpeApplyPair(state, pairs, topRow)
+        tops += topRow.select(lit(r.toLong).as("merge_rank"),
+          col("a").as("left_sym"), col("b").as("right_sym"),
+          col("pair_count"))
+        r += 1
+      }
     }
     val table =
-      if (tops.isEmpty) null
+      if (tops.isEmpty) emptyMergeTable(doc)
       else tops.reduce(_ unionByName _).orderBy("merge_rank")
     (table, state)
   }
@@ -1142,14 +1164,24 @@ object TextOps {
   def bpeApplyCounts(doc: DataFrame, merges: DataFrame, nMerges: Int,
       text: String = "text"): DataFrame = {
     var state = bpeInitState(doc, text)
-    (1 to nMerges).foreach { r =>
-      val pairRow = Reuse.shared(merges
-        .filter(col("merge_rank") === r.toLong)
-        .select(col("left_sym").as("a"), col("right_sym").as("b")))
-      // a rank past the table's end applies nothing (the cross join
-      // with an EMPTY pair frame would otherwise annihilate the state)
-      if (!pairRow.isEmpty)
-        state = bpeApplyPair(state, bpeAdjacent(state), pairRow)
+    // The merge table is nMerges rows BY CONSTRUCTION (the stored
+    // tokenizer artifact — broadcast-sized at any depth), so collect it
+    // ONCE to a driver-local list and drive the replay from that: one
+    // driver action total instead of one per-rank `isEmpty` job (r8
+    // verdict finding 2 — at 32k merges the per-rank form costs 32k
+    // scheduling round-trips). Ranks past the table's end (a table
+    // shorter than nMerges) simply don't appear — same no-op semantics
+    // as before, without ever applying an empty pair.
+    val table = merges
+      .filter(col("merge_rank") <= nMerges.toLong)
+      .select(col("merge_rank"), col("left_sym"), col("right_sym"))
+      .collect()
+      .map(row => (row.getLong(0), row.getString(1), row.getString(2)))
+      .sortBy(_._1)
+    table.foreach { case (_, a, b) =>
+      val pairRow = doc.sparkSession.range(1)
+        .select(lit(a).as("a"), lit(b).as("b"))
+      state = bpeApplyPair(state, bpeAdjacent(state), pairRow)
     }
     state.groupBy("word")
       .agg(first(col("cnt")).as("cnt"), count(lit(1)).as("n_core"))
@@ -1205,8 +1237,12 @@ object TextOps {
    * Scale shape: one token-instance explode into a (stratum, token)
    * count (map-side combined), a broadcast |strata|-row totals join,
    * then a token-keyed self-join whose fan-out is bounded by |strata|
-   * per token — never vocab², never corpus². Output is
-   * C(|strata|, 2) rows.
+   * per token — never vocab², never corpus². Output is AT MOST
+   * C(|strata|, 2) rows: a stratum pair sharing zero token types never
+   * meets in the inner self-join, so fully-disjoint pairs are OMITTED
+   * rather than emitted as tv_ppm = 1e6 rows (callers wanting explicit
+   * rows for disjoint pairs left-join this against a strata cross
+   * product; COVERAGE.md documents the choice).
    */
   def vocabOverlap(doc: DataFrame, by: String = "lang",
       text: String = "text"): DataFrame = {

@@ -195,6 +195,31 @@ class CorpusStatsSpec extends TestBase {
     graft.ops.Reuse.freeAll(spark)
   }
 
+  test("bpe learn guards: exhausted corpus stops the table short with " +
+      "the symbol state intact; zero merges returns the typed empty " +
+      "table (r8 ADVICE)") {
+    import spark.implicits._
+    // "ab" exhausts after ONE merge: round 2 finds no adjacent pair and
+    // must stop — not annihilate the state via an empty-pair apply.
+    val docs = Seq((1L, "en", "ab ab")).toDF("doc_id", "lang", "text")
+    val table = TextOps.bpeMerges(docs, 5)
+      .as[(Long, String, String, Long)].collect().toSeq
+    assert(table == Seq((1L, "a", "b", 2L)))
+    // the encode side still sees every word (previously: empty frame)
+    val segs = TextOps.bpeSegmentCounts(docs, 5)
+      .as[(String, Long, Long)].collect().toSeq
+    assert(segs == Seq(("ab", 2L, 1L)))
+    // single-character vocabulary: zero achievable merges, empty table
+    val chars = Seq((1L, "en", "a b a")).toDF("doc_id", "lang", "text")
+    assert(TextOps.bpeMerges(chars, 3).count() == 0L)
+    // nMerges == 0: typed empty frame, not null (NPE at caller before)
+    val zero = TextOps.bpeMerges(docs, 0)
+    assert(zero.count() == 0L &&
+      zero.columns.toSeq == Seq("merge_rank", "left_sym", "right_sym",
+        "pair_count"))
+    graft.ops.Reuse.freeAll(spark)
+  }
+
   test("normalization dup card: case/punct/space variants collapse, " +
       "clean corpus reads zero gain (ext104)") {
     import spark.implicits._

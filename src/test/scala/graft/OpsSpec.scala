@@ -188,6 +188,41 @@ class OpsSpec extends TestBase {
     assert(got.map(r => (r._1, r._2)).distinct.size == 10)
   }
 
+  test("skew: measured salt count tracks the hot key's skew factor and " +
+      "spreads it evenly; auto join equals the plain join (r8 item 5)") {
+    import spark.implicits._
+    // 90%-hot-key frame: key 1 carries 90 of 100 rows over 11 keys →
+    // skew factor ceil(90 * 11 / 100) = 10
+    val big = ((1 to 90).map(i => (1L, i.toLong)) ++
+      (2 to 11).map(k => (k.toLong, 1000L + k))).toDF("k", "v")
+    val salts = graft.ops.Skew.measuredNumSalts(big, "k")
+    assert(salts == 10)
+    // a uniform frame needs no replication at all
+    val uniform = (1 to 50).map(i => (i.toLong, i.toLong)).toDF("k", "v")
+    assert(graft.ops.Skew.measuredNumSalts(uniform, "k") == 1)
+    // the cap clamps runaway skew; empty input is a no-op
+    assert(graft.ops.Skew.measuredNumSalts(big, "k", maxSalts = 4) == 4)
+    assert(graft.ops.Skew.measuredNumSalts(
+      big.filter(col("k") < 0), "k") == 1)
+    // the hot key's rows actually spread: with 10 salts over a
+    // high-cardinality discriminator no reducer holds more than ~2x
+    // the even share (90/10 = 9)
+    val spread = big.filter(col("k") === 1L)
+      .groupBy(pmod(hash(col("v")), lit(salts)).as("salt"))
+      .agg(count(lit(1)).as("c"))
+      .agg(max("c"), countDistinct("salt")).as[(Long, Long)].head()
+    assert(spread._1 <= 18L && spread._2 >= 5L, spread.toString)
+    // end to end: auto-salted join == plain join
+    val small = (1 to 11).map(k => (k.toLong, s"n$k")).toDF("k", "name")
+    val auto = graft.ops.Skew.saltedJoinAuto(big, small, "k", col("v"))
+      .select("k", "v", "name").as[(Long, Long, String)]
+      .collect().sorted.toSeq
+    val plain = big.join(small, "k")
+      .select("k", "v", "name").as[(Long, Long, String)]
+      .collect().sorted.toSeq
+    assert(auto == plain && auto.size == 100)
+  }
+
   test("similarity: kmeans-IVF results stay inside the query's bucket") {
     import spark.implicits._
     // Two well-separated clusters of 4 vectors each, INTERLEAVED by id

@@ -308,6 +308,24 @@ class PipelineOpsSpec extends TestBase {
       got(("z", "c")) == 0L)
   }
 
+  test("signal correlations guards: '__' in a signal name is rejected; " +
+      "empty input yields all C(k,2) pair rows at n=0 (r8 ADVICE)") {
+    import spark.implicits._
+    val df = Seq((1L, 2L), (2L, 4L)).toDF("x", "y")
+    intercept[IllegalArgumentException] {
+      graft.ops.Reporting.signalMoments(df, Seq(
+        "a__b" -> col("x"), "y" -> col("y")))
+    }
+    // empty stream: the pair list is schema-derived, so the fold still
+    // emits every pair — n = 0, corr 0 via the zero-variance guard
+    val moments = graft.ops.Reporting.signalMoments(df, Seq(
+      "x" -> col("x"), "y" -> col("y")))
+    val empty = graft.ops.Reporting.correlationsFromMoments(
+      moments.limit(0))
+      .as[(String, String, Long, Long)].collect().toSeq
+    assert(empty == Seq(("x", "y", 0L, 0L)))
+  }
+
   test("sampling: cap audit card prices exactly what stratifiedTopK " +
       "would keep (ext103)") {
     import spark.implicits._
@@ -330,6 +348,11 @@ class PipelineOpsSpec extends TestBase {
         Seq("st"), col("doc_id"), 3)
       .groupBy("st").agg(sum("_t")).as[(String, Long)].collect().toMap
     assert(got.map(r => r._1 -> r._5).toMap == sel)
+    // cap < 1 would silently drop every stratum from the card — the
+    // inner join's precondition is enforced instead (r8 ADVICE)
+    intercept[IllegalArgumentException] {
+      Sampling.capAudit(df, Seq("st"), col("doc_id"), toks, 0)
+    }
   }
 
   test("sampling: bernoulli near-nominal rate, monotone in the rate") {
