@@ -160,21 +160,23 @@ object ExtEntry {
 
   /** The Lloyd's-iteration CTE blocks alone (assumes QuantFlatSql's
     * `q`/`flat`/`n2` are in scope); final assignment CTE is
-    * `a{iters+1}`. Shared by the ext28 oracle and the ext31 kmeans-IVF
-    * oracle. */
-  private def kmeansCtes(k: Int, iters: Int): String = {
+    * `{pfx}a{iters+1}`. Shared by the ext28 oracle and the ext31
+    * kmeans-IVF oracle. `pfx` prefixes every CTE name so the chain can
+    * coexist with [[pqAdcCtes]] (whose internal Lloyd's rounds use the
+    * same c0/a_r/d_r names) in one WITH — the ext117/118 composition. */
+  private def kmeansCtes(k: Int, iters: Int, pfx: String = ""): String = {
     val blocks = new StringBuilder
     blocks ++=
-      s"""c0 AS (
+      s"""${pfx}c0 AS (
          |  SELECT f.vec_id AS cid, f.i, f.qi AS cv FROM flat f
          |  WHERE f.vec_id IN (SELECT vec_id FROM q ORDER BY vec_id LIMIT $k)),
          |""".stripMargin
     (1 to iters + 1).foreach { r =>
-      val c = s"c${r - 1}"
+      val c = s"${pfx}c${r - 1}"
       blocks ++=
         s"""${c}n AS (SELECT cid, CAST(SUM(cv * cv) AS BIGINT) AS cn2
            |       FROM $c GROUP BY 1),
-           |d$r AS (
+           |${pfx}d$r AS (
            |  SELECT f.vec_id, c.cid,
            |         CAST(n2.n2 + cn.cn2
            |              - 2 * CAST(SUM(f.qi * c.cv) AS BIGINT) AS BIGINT)
@@ -183,18 +185,18 @@ object ExtEntry {
            |       JOIN n2 ON n2.vec_id = f.vec_id
            |       JOIN ${c}n cn ON cn.cid = c.cid
            |  GROUP BY f.vec_id, c.cid, n2.n2, cn.cn2),
-           |a$r AS (
+           |${pfx}a$r AS (
            |  SELECT vec_id, cid FROM (
            |    SELECT vec_id, cid, row_number() OVER (
-           |      PARTITION BY vec_id ORDER BY dist, cid) AS rn FROM d$r)
+           |      PARTITION BY vec_id ORDER BY dist, cid) AS rn FROM ${pfx}d$r)
            |  WHERE rn = 1),
            |""".stripMargin
       if (r <= iters) blocks ++=
-        s"""c$r AS (
+        s"""${pfx}c$r AS (
            |  SELECT a.cid, f.i,
            |         CAST(floor(CAST(SUM(f.qi) AS DOUBLE) / COUNT(*))
            |              AS BIGINT) AS cv
-           |  FROM a$r a JOIN flat f ON f.vec_id = a.vec_id
+           |  FROM ${pfx}a$r a JOIN flat f ON f.vec_id = a.vec_id
            |  GROUP BY 1, 2),
            |""".stripMargin
     }
@@ -1759,6 +1761,30 @@ object ExtEntry {
           sum(col("l_extendedprice").cast("decimal(18,6)"))
             .cast("double").as("revenue"))
         .orderBy("p_brand")
+    }),
+
+    // The COMPOSED production retrieval operator (r9, verdict item 1):
+    // IVF probe restriction × PQ/ADC candidate generation × exact
+    // rerank — the 100 TB serving shape both halves were priced for
+    // separately (ext58's probe curve, ext107/108's ADC cards). The
+    // ADC scan touches only the codes of the query's 2 probed buckets;
+    // the float vectors are read only at the 20-candidate rerank.
+    "ext117_ivfpq_topk" -> ((s, dir) => {
+      val e = embs(s, dir)
+      Similarity.ivfPqTopK(e, e.filter(col("vec_id") < NumQueryVecs),
+          ivfProbeIndex(s, dir), k = 3, probes = 2, candidates = 20)
+        .orderBy("q_id", "rank")
+    }),
+
+    // ext117's recall curve — ext58's discipline for the full stack:
+    // recall vs the exact brute-force top-3 at p = 1, 2, 4 probes off
+    // the shared build-once artifacts. The residual at p=4 is PQ
+    // ranking error the 20-candidate pool didn't recover; the gap
+    // between rows is centroid-boundary loss.
+    "ext118_ivfpq_probe_curve" -> ((s, dir) => {
+      val e = embs(s, dir)
+      Similarity.ivfPqProbeCurve(e, e.filter(col("vec_id") < NumQueryVecs),
+        ivfProbeIndex(s, dir), ProbeCurve, k = 3, candidates = 20)
     })
   )
 
@@ -4208,6 +4234,75 @@ object ExtEntry {
         |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6)))
         |            AS DOUBLE) AS revenue
         |FROM lineitem JOIN part ON p_partkey = l_partkey
-        |GROUP BY 1 ORDER BY p_brand""".stripMargin
+        |GROUP BY 1 ORDER BY p_brand""".stripMargin,
+
+    // IVF-PQ + exact rerank: the `v`-prefixed Lloyd's chain is the IVF
+    // coarse quantizer (va3 = corpus argmin bucket, vd3 = the final
+    // distances the query's probe ranks come from), the shared ADC
+    // chain supplies the all-pairs ADC scores (spqs), the bucket
+    // restriction keeps only pairs whose target bucket is among the
+    // query's 2 probed buckets, and the exact-cosine rerank of the
+    // top-20 ADC candidates is the final ranking.
+    "ext117_ivfpq_topk" ->
+      s"""$QuantFlatSql,
+         |${kmeansCtes(8, 2, "v")},
+         |$pqAdcCtes,
+         |qprobe AS (SELECT vec_id, cid FROM (
+         |  SELECT vec_id, cid, row_number() OVER (
+         |    PARTITION BY vec_id ORDER BY dist, cid) AS rn FROM vd3)
+         |  WHERE rn <= 2 AND vec_id < $NumQueryVecs),
+         |spqb AS (
+         |  SELECT s.q_id, s.t_id, s.cos_pq
+         |  FROM spqs s JOIN qprobe qp ON qp.vec_id = s.q_id
+         |       JOIN va3 tb ON tb.vec_id = s.t_id AND tb.cid = qp.cid),
+         |rb AS (SELECT *, row_number() OVER (
+         |         PARTITION BY q_id ORDER BY cos_pq DESC, t_id ASC)
+         |         AS crank FROM spqb),
+         |cand0 AS (SELECT q_id, t_id FROM rb WHERE crank <= 20),
+         |${cosTopKCtes("_f", "")},
+         |rer AS (
+         |  SELECT c.q_id, c.t_id, s.cos, row_number() OVER (
+         |    PARTITION BY c.q_id ORDER BY s.cos DESC, c.t_id ASC) AS rk
+         |  FROM cand0 c JOIN scored_f s
+         |    ON s.q_id = c.q_id AND s.t_id = c.t_id)
+         |SELECT q_id, t_id, CAST(rk AS BIGINT) AS rank, cos
+         |FROM rer WHERE rk <= 3 ORDER BY q_id, rank""".stripMargin,
+
+    // The curve: one bucket-restricted ADC ranking + exact rerank per
+    // probe level off the SAME chains, each scored against the exact
+    // brute-force top-3 (truth) by the shared recall-row tail.
+    "ext118_ivfpq_probe_curve" ->
+      s"""$QuantFlatSql,
+         |${kmeansCtes(8, 2, "v")},
+         |$pqAdcCtes,
+         |vpmax AS (SELECT vec_id, cid, rn FROM (
+         |  SELECT vec_id, cid, row_number() OVER (
+         |    PARTITION BY vec_id ORDER BY dist, cid) AS rn FROM vd3)
+         |  WHERE rn <= ${ProbeCurve.max}),
+         |${cosTopKCtes("_f", "")},
+         |truth AS (SELECT q_id, t_id FROM r_f WHERE rank <= 3),
+         |${ProbeCurve.map { p =>
+          s"""spqb$p AS (
+             |  SELECT s.q_id, s.t_id, s.cos_pq
+             |  FROM spqs s JOIN vpmax qp ON qp.vec_id = s.q_id
+             |       AND qp.rn <= $p
+             |       JOIN va3 tb ON tb.vec_id = s.t_id
+             |       AND tb.cid = qp.cid),
+             |rb$p AS (SELECT *, row_number() OVER (
+             |         PARTITION BY q_id ORDER BY cos_pq DESC, t_id ASC)
+             |         AS crank FROM spqb$p),
+             |cand0$p AS (SELECT q_id, t_id FROM rb$p WHERE crank <= 20),
+             |rer$p AS (
+             |  SELECT c.q_id, c.t_id, row_number() OVER (
+             |    PARTITION BY c.q_id ORDER BY s.cos DESC, c.t_id ASC)
+             |    AS rk
+             |  FROM cand0$p c JOIN scored_f s
+             |    ON s.q_id = c.q_id AND s.t_id = c.t_id),
+             |cand$p AS (SELECT q_id, t_id FROM rer$p WHERE rk <= 3)"""
+            .stripMargin
+        }.mkString(",\n")}
+         |SELECT * FROM (
+         |${ProbeCurve.map(probeRecallRowSql).mkString("\nUNION ALL\n")})
+         |ORDER BY probes""".stripMargin
   )
 }

@@ -804,6 +804,125 @@ object Similarity {
         col("rank").cast("long").as("rank"), col("cos"))
   }
 
+  /**
+   * IVF-PQ + exact rerank — the COMPOSED production retrieval shape
+   * (r8 verdict item 1; the classical IVF-ADC serving stack of Jégou
+   * et al. 2011 §V): both halves already exist and are priced
+   * separately (the IVF probe index / ext58's recall curve; pqTopK's
+   * ADC / ext107's fidelity card) — this restricts the ADC scan to the
+   * query's `probes` nearest coarse buckets, then reranks the top-C
+   * survivors per query by exact cosine. Three cost tiers, each
+   * touching less data than the last is wide:
+   *
+   *  1. candidate generation reads ONLY the codes table (M small ints
+   *     per vector) and only ~(probes / k_centroids) of it — the
+   *     broadcast per-query LUT is expanded by the query's probed
+   *     buckets, so the equi-join key is (bucket, m, code) and
+   *     unprobed buckets never leave the scan;
+   *  2. ADC ranking shuffles ≤ candidates rows per query per map task
+   *     (WindowGroupLimit);
+   *  3. the exact tail re-reads full vectors for C·|queries| rows via
+   *     a keyed equi-join on t_id — never a corpus scan.
+   *
+   * At 100 TB this is the plan you'd serve: float vectors are read at
+   * encode time and at the C-row rerank, never in the scan.
+   * `probeIndex` is the build-once [[kmeansProbeIndex]] artifact
+   * covering corpus AND query ids (queries drawn from the corpus —
+   * the ext57/58 audit convention); the corpus is indexed under its
+   * argmin bucket (probe_rank 1), queries probe ranks ≤ `probes`.
+   * A target whose bucket no probe reaches is unreachable — exactly
+   * the recall the ext118 curve prices against `probes`.
+   */
+  def ivfPqTopK(emb: DataFrame, queries: DataFrame, probeIndex: DataFrame,
+      k: Int, probes: Int = 2, candidates: Int = 20,
+      id: String = "vec_id", vec: String = "embedding"): DataFrame = {
+    val cb = Reuse.shared(pqCodebooks(emb, id, vec))
+    val coded = pqCodes(emb, cb, id, vec).toDF("t_id", "m", "code")
+      .join(probeIndex.filter(col("probe_rank") === 1)
+        .select(col(id).as("t_id"), col("bucket")), "t_id")
+    ivfPqTopKOf(coded, cb, emb, queries, probeIndex, k, probes,
+      candidates, id, vec)
+  }
+
+  /** The search path over PREBUILT IVF-PQ artifacts (bucket-tagged
+    * codes + codebooks), so the probe curve builds once and searches
+    * per probe level — the production build/search split. */
+  private def ivfPqTopKOf(coded: DataFrame, cb: DataFrame,
+      emb: DataFrame, queries: DataFrame, probeIndex: DataFrame,
+      k: Int, probes: Int, candidates: Int, id: String,
+      vec: String): DataFrame = {
+    require(candidates >= k, "candidate pool must cover the final k")
+    require(probes >= 1, "probes must be >= 1")
+    val qsub = Reuse.shared(pqSub(queries, id, vec))
+    val qn2 = qsub.groupBy("vid").agg(sum("sn2").as("qn2"))
+    val lut = qsub.join(broadcast(cb), "m")
+      .select(col("vid").as("q_id"), col("m"), col("code"),
+        qdot(col("sq"), col("cq")).as("ldot"), col("cn2"))
+    // the per-query LUT × its probed buckets: |queries|·M·K·probes
+    // rows — broadcast-sized at any corpus size
+    val qProbes = probeIndex.filter(col("probe_rank") <= probes)
+      .select(col(id).as("q_id"), col("bucket"))
+      .join(queries.select(col(id).as("q_id")), "q_id")
+    val lutB = lut.join(qProbes, "q_id")
+    val wc = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos_pq").desc, col("t_id").asc)
+    val cand = coded
+      .join(broadcast(lutB), Seq("bucket", "m", "code"))
+      .filter(col("q_id") =!= col("t_id"))
+      .groupBy(col("q_id"), col("t_id"))
+      .agg(sum(col("ldot")).as("adc_dot"), sum(col("cn2")).as("tn2_hat"))
+      .join(broadcast(qn2.withColumnRenamed("vid", "q_id")), "q_id")
+      .withColumn("cos_pq",
+        cosine(col("adc_dot"), col("qn2"), col("tn2_hat")))
+      .withColumn("crank", row_number().over(wc))
+      .filter(col("crank") <= candidates)
+      .select("q_id", "t_id")
+    val corpus = prepared(emb, id, vec).toDF("t_id", "t_q", "t_n2")
+    val qs = prepared(queries, id, vec).toDF("q_id", "q_q", "q_n2")
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("t_id").asc)
+    cand.join(corpus, "t_id")
+      .join(broadcast(qs), "q_id")
+      .withColumn("cos",
+        cosine(qdot(col("q_q"), col("t_q")), col("q_n2"), col("t_n2")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("t_id"),
+        col("rank").cast("long").as("rank"), col("cos"))
+  }
+
+  /**
+   * Recall-vs-probes curve for the composed retrieval operator —
+   * ext58's discipline applied to the FULL serving stack: at each
+   * probe level, [[ivfPqTopK]]'s result scored against the exact
+   * brute-force top-k ([[Dedup.pairRecall]]'s 3-scalar summary).
+   * The IVF-PQ artifacts (codebooks, bucket-tagged codes, truth)
+   * build ONCE and every curve point searches them — the cost ratio
+   * production sees. The residual at max probes is PQ ranking error
+   * that `candidates` didn't recover (ext108's knob); the gap between
+   * consecutive rows is centroid-boundary loss (ext58's knob).
+   */
+  def ivfPqProbeCurve(emb: DataFrame, queries: DataFrame,
+      probeIndex: DataFrame, probes: Seq[Int], k: Int,
+      candidates: Int = 20, id: String = "vec_id",
+      vec: String = "embedding"): DataFrame = {
+    val cb = Reuse.shared(pqCodebooks(emb, id, vec))
+    val coded = Reuse.shared(
+      pqCodes(emb, cb, id, vec).toDF("t_id", "m", "code")
+        .join(probeIndex.filter(col("probe_rank") === 1)
+          .select(col(id).as("t_id"), col("bucket")), "t_id"))
+    val truth = Reuse.shared(bruteTopK(emb, queries, k, id, vec)
+      .select(col("q_id").as("id_a"), col("t_id").as("id_b")))
+    probes.map { p =>
+      val got = ivfPqTopKOf(coded, cb, emb, queries, probeIndex, k, p,
+          candidates, id, vec)
+        .select(col("q_id").as("id_a"), col("t_id").as("id_b"))
+      Dedup.pairRecall(truth, got).withColumn("probes", lit(p.toLong))
+    }.reduce(_ unionByName _)
+      .select("probes", "n_true", "n_detected", "recall_q")
+      .orderBy("probes")
+  }
+
   /** Recall of the two-stage rerank vs the exact top-k (ext88's
     * 3-scalar summary via [[Dedup.pairRecall]]) — measures what the
     * C-candidate pool recovers of raw ADC's ranking loss. */

@@ -334,6 +334,65 @@ class SimilaritySpec extends TestBase {
       s"rerank detected ${rr._2} < raw ADC overlap ${raw._3}")
   }
 
+  test("ivfpq: probing every bucket degenerates to pqRerankTopK " +
+      "exactly; fewer probes only shrink the reachable set (ext117)") {
+    import spark.implicits._
+    val probeIdx = Similarity.kmeansProbeBuckets(emb, k = 8, iters = 2,
+      probes = 8).localCheckpoint(true)
+    // probes = k_centroids ⇒ the ADC pool is every target ⇒ the
+    // composed operator IS the two-stage rerank, row for row
+    val all = Similarity.ivfPqTopK(emb, queries, probeIdx, 3,
+        probes = 8, candidates = 20)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    val rerank = Similarity.pqRerankTopK(emb, queries, 3, 20)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(all == rerank)
+    // at p < k the result stays inside the probed buckets: every hit's
+    // target bucket is among its query's 2 nearest centroids
+    val got = Similarity.ivfPqTopK(emb, queries, probeIdx, 3,
+      probes = 2, candidates = 20)
+    val tb = probeIdx.filter(col("probe_rank") === 1)
+      .select(col("vec_id").as("t_id"), col("bucket"))
+    val qb = probeIdx.filter(col("probe_rank") <= 2)
+      .select(col("vec_id").as("q_id"), col("bucket"))
+    val outside = got.join(tb, "t_id").join(qb, Seq("q_id", "bucket"),
+      "left_anti")
+    assert(outside.isEmpty)
+    graft.ops.Reuse.freeAll(spark)
+  }
+
+  test("ivfpq probe curve: n_true constant, quantization exact, p=1 " +
+      "row equals scoring the p=1 operator directly (ext118)") {
+    import spark.implicits._
+    val probeIdx = Similarity.kmeansProbeBuckets(emb, k = 8, iters = 2,
+      probes = 4).localCheckpoint(true)
+    val curve = Similarity.ivfPqProbeCurve(emb, queries, probeIdx,
+        Seq(1, 2, 4), 3, 20)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(curve.map(_._1) == Seq(1L, 2L, 4L))
+    assert(curve.map(_._2).distinct.size == 1) // truth is fixed
+    curve.foreach { r =>
+      assert(r._4 == r._3 * 1000000L / r._2) // recall_q exact
+      assert(r._3 <= r._2)
+    }
+    // NOTE: recall at fixed `candidates` need NOT be monotone in p —
+    // extra probed buckets add ADC-ranked candidates that can displace
+    // true neighbors from the fixed top-20 pool (candidate dilution;
+    // production grows C with p) — and a restricted pool can likewise
+    // beat the full pool by excluding ADC imposters. The curve's rows
+    // ARE each probe level's operator result: the p=1 row must equal
+    // scoring ivfPqTopK(p=1) against the brute-force truth directly.
+    val truth = Similarity.bruteTopK(emb, queries, 3)
+      .select(col("q_id").as("id_a"), col("t_id").as("id_b"))
+    val p1 = Similarity.ivfPqTopK(emb, queries, probeIdx, 3,
+        probes = 1, candidates = 20)
+      .select(col("q_id").as("id_a"), col("t_id").as("id_b"))
+    val direct = graft.ops.Dedup.pairRecall(truth, p1)
+      .as[(Long, Long, Long)].head()
+    assert((curve.head._2, curve.head._3, curve.head._4) == direct)
+    graft.ops.Reuse.freeAll(spark)
+  }
+
   test("semdedup: drop iff a lower-id cluster-mate reaches the " +
       "threshold; min-id per bucket survives (ext101)") {
     import spark.implicits._
