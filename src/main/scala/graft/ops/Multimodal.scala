@@ -17,6 +17,14 @@ case class DecodedImage(
     channels: Int,
     feature: Array[Float]) // pooled feature vector
 
+case class SampledFrame(
+    asset_id: Long,
+    frame_no: Long,
+    width: Int,           // 0 when the byte-window fallback produced it
+    height: Int,
+    decoded: Boolean,     // true = real pixels, false = byte-window
+    feature: Array[Float])
+
 /**
  * Multimodal-column plumbing (SURVEY.md §7.1 M6): image/audio/video as
  * opaque `binary` columns with typed metadata, flowing through Spark as
@@ -24,12 +32,16 @@ case class DecodedImage(
  *
  * Image decode is REAL: [[ImageIoDecoder]] reads PNG/JPEG/BMP/GIF with
  * the JDK's `javax.imageio` (no extra dependency) and pools an 8-float
- * feature from the actual pixels. Audio resample and video frame
- * extraction have no in-JDK codec, so the frame sampler below remains a
- * clearly-marked byte-window stand-in; the plumbing around both —
- * schema, batch shape (mapPartitions = the Scala analog of a batched
- * `mapInPandas` kernel), partitioning, column pruning — is real and
- * tested (OpsSpec).
+ * feature from the actual pixels. Frame SAMPLING is real for the one
+ * multi-frame container the JDK can iterate — animated GIF, via the
+ * same ImageIO reader seam ([[GifFrameDecoder]] /
+ * [[sampleFramesDecoded]], r8 verdict item 2). Audio resample and
+ * video codecs (MP4 etc.) have no in-JDK decoder, so undecodable
+ * containers fall back to the deterministic byte-window pseudo-frames
+ * of [[sampleFrames]], flagged `decoded = false`; the plumbing
+ * everywhere — schema, batch shape (mapPartitions = the Scala analog
+ * of a batched `mapInPandas` kernel), partitioning, column pruning —
+ * is real and tested (OpsSpec).
  */
 object Multimodal {
 
@@ -88,45 +100,128 @@ object Multimodal {
             new java.io.ByteArrayInputStream(a.bytes)))
           catch { case _: java.io.IOException => None }
         img.map { im =>
-          val w = im.getWidth
-          val h = im.getHeight
-          var sr = 0.0; var sg = 0.0; var sb = 0.0
-          var bright = 0L
-          val quadSum = new Array[Double](4)
-          val quadN = new Array[Long](4)
-          val row = new Array[Int](w)
-          var y = 0
-          while (y < h) {
-            im.getRGB(0, y, w, 1, row, 0, w)
-            val qy = if (y * 2 >= h) 2 else 0
-            var x = 0
-            while (x < w) {
-              val rgb = row(x)
-              val r = ((rgb >> 16) & 0xff) / 255.0
-              val g = ((rgb >> 8) & 0xff) / 255.0
-              val b = (rgb & 0xff) / 255.0
-              sr += r; sg += g; sb += b
-              val luma = 0.299 * r + 0.587 * g + 0.114 * b
-              if (luma > 0.5) bright += 1
-              val q = qy + (if (x * 2 >= w) 1 else 0)
-              quadSum(q) += luma
-              quadN(q) += 1
-              x += 1
-            }
-            y += 1
-          }
-          val n = w.toDouble * h
-          val feature = Array(
-            (sr / n).toFloat, (sg / n).toFloat, (sb / n).toFloat,
-            (quadSum(0) / math.max(quadN(0), 1L)).toFloat,
-            (quadSum(1) / math.max(quadN(1), 1L)).toFloat,
-            (quadSum(2) / math.max(quadN(2), 1L)).toFloat,
-            (quadSum(3) / math.max(quadN(3), 1L)).toFloat,
-            (bright / n).toFloat)
-          DecodedImage(a.asset_id, w, h,
-            im.getColorModel.getNumComponents, feature)
+          DecodedImage(a.asset_id, im.getWidth, im.getHeight,
+            im.getColorModel.getNumComponents, poolFeature(im))
         }
       }
+  }
+
+  /** The pooled 8-float pixel feature shared by [[ImageIoDecoder]] and
+    * the GIF frame path (see the decoder's scaladoc for the layout).
+    * One reused scanline buffer ⇒ O(width) decode memory. */
+  private[ops] def poolFeature(
+      im: java.awt.image.BufferedImage): Array[Float] = {
+    val w = im.getWidth
+    val h = im.getHeight
+    var sr = 0.0; var sg = 0.0; var sb = 0.0
+    var bright = 0L
+    val quadSum = new Array[Double](4)
+    val quadN = new Array[Long](4)
+    val row = new Array[Int](w)
+    var y = 0
+    while (y < h) {
+      im.getRGB(0, y, w, 1, row, 0, w)
+      val qy = if (y * 2 >= h) 2 else 0
+      var x = 0
+      while (x < w) {
+        val rgb = row(x)
+        val r = ((rgb >> 16) & 0xff) / 255.0
+        val g = ((rgb >> 8) & 0xff) / 255.0
+        val b = (rgb & 0xff) / 255.0
+        sr += r; sg += g; sb += b
+        val luma = 0.299 * r + 0.587 * g + 0.114 * b
+        if (luma > 0.5) bright += 1
+        val q = qy + (if (x * 2 >= w) 1 else 0)
+        quadSum(q) += luma
+        quadN(q) += 1
+        x += 1
+      }
+      y += 1
+    }
+    val n = w.toDouble * h
+    Array(
+      (sr / n).toFloat, (sg / n).toFloat, (sb / n).toFloat,
+      (quadSum(0) / math.max(quadN(0), 1L)).toFloat,
+      (quadSum(1) / math.max(quadN(1), 1L)).toFloat,
+      (quadSum(2) / math.max(quadN(2), 1L)).toFloat,
+      (quadSum(3) / math.max(quadN(3), 1L)).toFloat,
+      (bright / n).toFloat)
+  }
+
+  /**
+   * Real multi-frame decode via the ImageIO READER seam — the JDK's
+   * GIF reader iterates animated-GIF frames (`getNumImages` /
+   * `read(i)`) with zero new dependencies, which makes frame sampling
+   * real for at least one container (r8 verdict item 2). Frames come
+   * back AS STORED (a delta-encoded GIF frame is the stored raster,
+   * not the disposal-composited render — compositing is a renderer
+   * concern, not a curation-feature one). Returns None when no
+   * installed reader accepts the bytes (PNG/JPEG single images return
+   * Some(1 frame); MP4 and friends return None and take the
+   * byte-window fallback).
+   */
+  object GifFrameDecoder extends Serializable {
+    def frames(bytes: Array[Byte])
+        : Option[IndexedSeq[java.awt.image.BufferedImage]] = {
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) None
+        else {
+          val r = readers.next()
+          try {
+            r.setInput(iis)
+            val n = r.getNumImages(true)
+            Some((0 until n).map(r.read)) // strict: read before dispose
+          } catch {
+            case _: java.io.IOException => None
+            case _: IndexOutOfBoundsException => None // truncated stream
+          } finally r.dispose()
+        }
+      } finally iis.close()
+    }
+  }
+
+  /**
+   * Frame sampling with REAL decode where the JDK has a reader and the
+   * deterministic byte-window fallback where it does not: every
+   * `every`-th stored frame of a decodable container becomes one row
+   * with true (width, height) and the pooled pixel feature
+   * (`decoded = true`); undecodable bytes emit [[sampleFrames]]'
+   * stride-window pseudo-frames (`decoded = false`, zero dims, the
+   * window's first 8 bytes scaled to [0,1] as the feature) so one
+   * corrupt/unsupported blob never kills a 100 TB pass — the same
+   * drop-free contract as [[ImageIoDecoder]], made visible per row
+   * instead of silently. Same batched `mapPartitions` kernel shape as
+   * [[decodeImages]].
+   */
+  def sampleFramesDecoded(assets: Dataset[MediaAsset], every: Int = 1,
+      stride: Int = 16, frameBytes: Int = 8)(
+      implicit spark: SparkSession): Dataset[SampledFrame] = {
+    require(every >= 1 && stride >= 1 && frameBytes >= 1)
+    import spark.implicits._
+    assets.mapPartitions(_.flatMap { a =>
+      GifFrameDecoder.frames(a.bytes) match {
+        case Some(frames) if frames.nonEmpty =>
+          frames.indices.collect { case i if i % every == 0 =>
+            val im = frames(i)
+            SampledFrame(a.asset_id, i.toLong, im.getWidth,
+              im.getHeight, decoded = true, poolFeature(im))
+          }
+        case _ =>
+          val last = math.max((a.bytes.length - 1) / stride, 0)
+          (0 to last).map { f =>
+            val start = f * stride
+            val win = a.bytes.slice(start,
+              math.min(start + frameBytes, a.bytes.length))
+            val feat = Array.tabulate(8)(j =>
+              if (j < win.length) (win(j) & 0xff) / 255.0f else 0.0f)
+            SampledFrame(a.asset_id, f.toLong, 0, 0, decoded = false,
+              feat)
+          }
+      }
+    })
   }
 
   /** Batched per-partition decode (the JVM analog of `mapInPandas`);
@@ -138,9 +233,13 @@ object Multimodal {
     assets.mapPartitions(decoder.decodeBatch)
   }
 
-  /** STUB frame sampler — every `stride`-th byte window stands in for
-    * every N-th video frame; the slicing/explode plumbing is the real
-    * shape (one output row per sampled frame, order preserved). */
+  /** Byte-window frame sampler — the engine-portable PLUMBING twin
+    * (ext13's oracle reproduces it byte for byte): every `stride`-th
+    * byte window stands in for every N-th frame, one output row per
+    * sampled frame, order preserved. The REAL frame path is
+    * [[sampleFramesDecoded]] (GIF via the ImageIO seam); this form is
+    * its documented fallback for containers with no JDK reader and
+    * the oracle-checkable column pipeline. */
   def sampleFrames(assets: DataFrame, stride: Int = 16,
       frameBytes: Int = 8): DataFrame =
     assets

@@ -433,6 +433,66 @@ class OpsSpec extends TestBase {
       .filter(col("frames") =!= col("want")).count() == 0)
   }
 
+  private def gifBytes(colors: Seq[Int], w: Int = 4, h: Int = 4)
+      : Array[Byte] = {
+    val baos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(baos)
+    val writer = javax.imageio.ImageIO
+      .getImageWritersByFormatName("gif").next()
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    colors.foreach { c =>
+      val im = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = im.createGraphics()
+      g.setColor(new java.awt.Color(c)); g.fillRect(0, 0, w, h)
+      g.dispose()
+      writer.writeToSequence(new javax.imageio.IIOImage(im, null, null),
+        null)
+    }
+    writer.endWriteSequence()
+    writer.dispose(); ios.close()
+    baos.toByteArray
+  }
+
+  test("multimodal: animated-GIF frames decode for REAL through the " +
+      "ImageIO seam; undecodable bytes take the byte-window fallback " +
+      "(r8 item 2)") {
+    import spark.implicits._
+    implicit val s = spark
+    val textBytes = ("x" * 40).getBytes("UTF-8")
+    val assets = Seq(
+      MediaAsset(1L, "video", gifBytes(Seq(0x000000, 0xffffff)),
+        "image/gif"),
+      MediaAsset(2L, "video", textBytes, "video/mp4")).toDS()
+    val got = Multimodal.sampleFramesDecoded(assets).collect()
+      .sortBy(f => (f.asset_id, f.frame_no))
+    // asset 1: TWO real frames with true dimensions and pixel-derived
+    // features (all-black then all-white — only a real decode knows)
+    val frames = got.filter(_.asset_id == 1L)
+    assert(frames.length == 2 && frames.forall(f =>
+      f.decoded && f.width == 4 && f.height == 4))
+    def close(x: Float, want: Double) = math.abs(x - want) < 1e-3
+    assert(frames(0).feature.forall(f => close(f, 0.0)))
+    assert(frames(1).feature.forall(f => close(f, 1.0)))
+    // asset 2: no JDK reader — byte-window pseudo-frames, flagged, at
+    // sampleFrames' stride arithmetic (ceil(40/16) = 3 windows)
+    val fb = got.filter(_.asset_id == 2L)
+    assert(fb.length == 3 && fb.forall(f =>
+      !f.decoded && f.width == 0 && f.height == 0))
+    assert(fb(0).feature.forall(f => close(f, ('x'.toInt & 0xff) / 255.0)))
+    // `every` strides over REAL frames: every=2 keeps frame 0 only
+    val strided = Multimodal.sampleFramesDecoded(assets, every = 2)
+      .filter(col("asset_id") === 1L).collect()
+    assert(strided.map(_.frame_no).toSeq == Seq(0L))
+    // single-frame PNG bytes decode as a 1-frame container (the seam
+    // is format-agnostic: one reader loop, no GIF special-casing)
+    val png = Seq(MediaAsset(3L, "image",
+      pngBytes(6, 6, 0xffffff, 0xffffff), "image/png")).toDS()
+    val pf = Multimodal.sampleFramesDecoded(png).collect()
+    assert(pf.length == 1 && pf.head.decoded && pf.head.width == 6)
+  }
+
   test("repetition metrics flag repeated text, pass diverse text (ext29)") {
     import spark.implicits._
     val docs = Seq(
