@@ -46,6 +46,12 @@ object ExtEntry {
     ivfProbeIndex(s, dir).filter(col("probe_rank") === 1)
       .select("vec_id", "bucket")
 
+  /** Build-once PQ codebooks shared by ext107/108/117/118 — one
+    * m-keyed Lloyd's build per (session, sfdir), like [[ivfProbeIndex]]
+    * ([[graft.ops.Similarity.pqCodebooksIndex]]). */
+  private def pqCb(s: SparkSession, dir: String): Option[DataFrame] =
+    Some(Similarity.pqCodebooksIndex(embs(s, dir), cacheKey = dir))
+
   /** Build-once exact ANN ground truth for the fixed query set — the
     * stored audit artifact both IVF recall audits (ext57/58) score
     * against; brute-force over the corpus runs ONCE per (session, sf). */
@@ -1660,7 +1666,8 @@ object ExtEntry {
     "ext107_pq_fidelity" -> ((s, dir) => {
       val e = embs(s, dir)
       Similarity.pqFidelityAudit(
-        e, e.filter(col("vec_id") < NumQueryVecs), 3)
+        e, e.filter(col("vec_id") < NumQueryVecs), 3,
+        codebooks = pqCb(s, dir))
     }),
 
     // Two-stage PQ retrieval, recall-priced: ADC top-20 candidate pool
@@ -1670,7 +1677,8 @@ object ExtEntry {
     "ext108_pq_rerank_recall" -> ((s, dir) => {
       val e = embs(s, dir)
       Similarity.pqRerankRecallAudit(
-        e, e.filter(col("vec_id") < NumQueryVecs), 3, 20)
+        e, e.filter(col("vec_id") < NumQueryVecs), 3, 20,
+        codebooks = pqCb(s, dir))
     }),
 
     // SemDeDup detector audit: truth = ALL pairs at/above the cosine
@@ -1772,7 +1780,8 @@ object ExtEntry {
     "ext117_ivfpq_topk" -> ((s, dir) => {
       val e = embs(s, dir)
       Similarity.ivfPqTopK(e, e.filter(col("vec_id") < NumQueryVecs),
-          ivfProbeIndex(s, dir), k = 3, probes = 2, candidates = 20)
+          ivfProbeIndex(s, dir), k = 3, probes = 2, candidates = 20,
+          codebooks = pqCb(s, dir))
         .orderBy("q_id", "rank")
     }),
 
@@ -1784,7 +1793,8 @@ object ExtEntry {
     "ext118_ivfpq_probe_curve" -> ((s, dir) => {
       val e = embs(s, dir)
       Similarity.ivfPqProbeCurve(e, e.filter(col("vec_id") < NumQueryVecs),
-        ivfProbeIndex(s, dir), ProbeCurve, k = 3, candidates = 20)
+        ivfProbeIndex(s, dir), ProbeCurve, k = 3, candidates = 20,
+        codebooks = pqCb(s, dir))
     })
   )
 

@@ -302,6 +302,41 @@ object ScaleSmoke {
     // cost must stay ~flat while the initial pass grows Nx: the
     // "state is the vocab, not the data" claim, measured.
     time("bpe_merges_3") { graft.ops.TextOps.bpeMerges(big, 3) }
+    // r9 additions (r8 verdict items 4 and 6): the batch-3 family's
+    // claimed scale shapes, measured past 10x.
+    // containment: shares ngramJaccard's one bucketed shingle pass and
+    // its in-list pair combos under the stop-shingle cap; like the
+    // other shingle detectors its dup-mode curve is degenerate by
+    // design (cap kills cross-copy shingles) — growth is measured on
+    // the disjoint axis.
+    time("containment_pairs") { graft.ops.Dedup.containmentPairs(big) }
+    // signal correlation: ONE map-side-combined moment aggregate over
+    // the scan; output C(4,2) rows at any corpus size — wall-clock
+    // must track the scan, the pair tail is constant.
+    time("signal_correlation") {
+      graft.ops.Reporting.signalCorrelations(big, Seq(
+        "n_toks" -> size(split(col("text"), " ")).cast("long"),
+        "n_chars" -> length(col("text")).cast("long"),
+        "ttr_ppm" -> expr("(size(array_distinct(split(text, ' '))) " +
+          "* 1000000) DIV size(split(text, ' '))"),
+        "wlen_ppm" -> expr("((length(text) - (size(split(text, ' ')) " +
+          "- 1)) * 1000000) DIV size(split(text, ' '))")))
+    }
+    // bpe at tokenizer-ish depth (select via
+    // SPARK_GRAFT_SMOKE_ONLY=bpe_merges_32): every round is keyed on
+    // `word` over the vocab-bounded symbol state, so per-round cost
+    // must stay ~flat from rank 1 to rank 32 — the flat-round-cost
+    // claim at depth, not just at nMerges=3.
+    time("bpe_merges_32") { graft.ops.TextOps.bpeMerges(big, 32) }
+    // the composed retrieval operator (ext117): fixed 20-query probe
+    // against the grown corpus — the ADC scan reads M codes per target
+    // restricted to probed buckets; output <= 60 rows at any mult.
+    time("ivfpq_topk_20q") {
+      val idx = graft.ops.Similarity.kmeansProbeBuckets(bigEmbL,
+        k = 8, iters = 2, probes = 2).localCheckpoint(true)
+      graft.ops.Similarity.ivfPqTopK(bigEmbL,
+        bigEmbL.filter(col("vec_id") < 20), idx, 3)
+    }
     spark.stop()
   }
 }

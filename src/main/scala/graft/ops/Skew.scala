@@ -46,7 +46,8 @@ object Skew {
    * replica carrying its salt) — the salt never leaks into results,
    * so correctness is oracle-checkable against the unsalted join
    * (ext114). Cost: small side ×numSalts rows; pick numSalts ≈ the
-   * hot key's skew factor, not more.
+   * hot key's skew factor, not more — [[measuredNumSalts]] reads that
+   * factor off the key histogram, [[saltedJoinAuto]] wires it in.
    */
   def saltedJoin(big: DataFrame, small: DataFrame, key: String,
       discriminator: Column, numSalts: Int = 16): DataFrame = {
