@@ -66,6 +66,51 @@ object SparkEntry {
   private val RangeStart = 1704153600L // 2024-01-02 00:00:00 UTC
   private val RangeEnd = 1704412800L   // 2024-01-05 00:00:00 UTC
 
+  /**
+   * Seed-once materialized counts STORE in the AggregateStore layout
+   * (SURVEY §1.6 mapping: the RocksDB `counts` CF → parquet partitioned
+   * by `window_date`; r8 verdict item 8). op37 recomputes the hopping
+   * aggregate from the raw events per call; this is the read path a
+   * DEPLOYED store serves — the aggregate written once (the pay-once
+   * layout cost, exactly like ext26's bucketed join layout), every
+   * range scan pruning date partitions instead of touching the corpus
+   * (the reference's D19-key seek, RocksDBStore.cs:241-245, as layout
+   * pruning). Idempotent, cross-process file-locked and source-stamped,
+   * mirroring [[ExtEntry.ensureBucketed]]; the store lands under the
+   * compacted `batch=-1` layout [[graft.stream.AggregateStore]] reads.
+   */
+  def ensureCountsStore(s: SparkSession, dir: String): String =
+    synchronized {
+      val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+      val base = s"/tmp/graft_store/$tag"
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(base))
+      val lockCh = java.nio.channels.FileChannel.open(
+        java.nio.file.Paths.get(s"$base/.lock"),
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.WRITE)
+      val lock = lockCh.lock()
+      try {
+        val path = s"$base/counts"
+        val batchDir =
+          s"$path/batch=${graft.stream.AggregateStore.CompactedBatchId}"
+        val stamp =
+          new java.io.File(s"$dir/events.parquet").lastModified().toString
+        val stampFile = java.nio.file.Paths.get(s"$base/.source_stamp")
+        val present = java.nio.file.Files.exists(stampFile) &&
+          java.nio.file.Files.readString(stampFile) == stamp &&
+          new java.io.File(s"$batchDir/_SUCCESS").exists()
+        if (!present) {
+          Windows.hoppingCounts(events(s, dir))
+            .withColumn("window_date",
+              to_date(timestamp_seconds(col("window_end"))))
+            .write.mode("overwrite").partitionBy("window_date")
+            .parquet(batchDir)
+          java.nio.file.Files.writeString(stampFile, stamp)
+        }
+        path
+      } finally { lock.release(); lockCh.close() }
+    }
+
   /** Flagship (M2): the full tweet-pipeline shape on `events` — parse,
     * project, hopping windows, multi-agg, top-10 rank (OP-04..28). */
   def entry(spark: SparkSession): DataFrame =
@@ -219,6 +264,19 @@ object SparkEntry {
       Serve.rangeScan(
         Windows.hoppingCounts(events(s, dir)), RangeStart, RangeEnd)),
 
+    // OP-37 over the REAL stored layout (r9): the same [start, end)
+    // range served from the partitioned aggregate store —
+    // AggregateStore.readRange derives window_date bounds so the scan
+    // reads only the covered date partitions (pruned-vs-full measured
+    // in EXPLAINS). The layout is invisible in results (the ext114
+    // discipline): the oracle recomputes the range from raw events.
+    "op37_store_range" -> ((s, dir) => {
+      val path = ensureCountsStore(s, dir)
+      graft.stream.AggregateStore.readRange(s, path, RangeStart, RangeEnd)
+        .select("window_end", "cnt")
+        .orderBy("window_end")
+    }),
+
     // OP-38/39: entity-restricted range scan (documented-intent semantics —
     // the reference's seek-only restriction is a bug we fix; SURVEY §2.8).
     "op38_range_entity" -> ((s, dir) =>
@@ -362,6 +420,15 @@ object SparkEntry {
          |FROM c""".stripMargin,
 
     "op37_range_counts" ->
+      s"""${hoppingSql("event_id")},
+         |c AS (SELECT window_end, count(*) AS cnt FROM hop GROUP BY 1)
+         |SELECT window_end, cnt FROM c
+         |WHERE window_end >= $RangeStart AND window_end < $RangeEnd
+         |ORDER BY window_end""".stripMargin,
+
+    // Same result relation as op37 — the store layout must be invisible
+    // in results, so the oracle recomputes the range from raw events.
+    "op37_store_range" ->
       s"""${hoppingSql("event_id")},
          |c AS (SELECT window_end, count(*) AS cnt FROM hop GROUP BY 1)
          |SELECT window_end, cnt FROM c

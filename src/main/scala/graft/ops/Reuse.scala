@@ -117,7 +117,12 @@ object Reuse {
         val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         p.count()
         trackCache(p)
-      case _ => trackCheckpoint(df.localCheckpoint(true))
+      case _ => trackCheckpoint(
+        // The stats a checkpoint inherits explode as a power tower
+        // across iterative rounds (BPE/components) — clamp them above
+        // the no-planning-information line; see the bridge's scaladoc.
+        org.apache.spark.sql.graftbridge.SqlBridge.clampCheckpointStats(
+          df.localCheckpoint(true)))
     }
 
   /**
@@ -152,7 +157,9 @@ object Reuse {
       build: => DataFrame): DataFrame =
     indexes.computeIfAbsent(
       (org.apache.spark.sql.graftbridge.SqlBridge.sessionUUID(spark), key),
-      _ => new IndexHolder(() => build.localCheckpoint(true))).df
+      _ => new IndexHolder(() =>
+        org.apache.spark.sql.graftbridge.SqlBridge.clampCheckpointStats(
+          build.localCheckpoint(true)))).df
 
   /** Lazy index slot: materialization synchronizes on this holder (not
     * the registry map); `built` is observable without forcing a build. */

@@ -83,4 +83,35 @@ class ReuseSpec extends TestBase {
     assert(builds == 2 && idx2.count() == 5)
     Reuse.dropIndexes(spark)
   }
+
+  test("checkpoint stats are clamped: deep iterative checkpoint chains " +
+      "keep bounded sizeInBytes instead of a power-tower BigInt (the " +
+      "r9 bpe_merges_32 hang)") {
+    import spark.implicits._
+    // Each round joins the previous round's checkpoint with itself, so
+    // the INHERITED size estimate squares per round. Pre-clamp, 24
+    // rounds meant a ~2^24-digit BigInt — the driver hung for minutes
+    // inside BigInteger.multiply while CHECKPOINTING round ~20+. With
+    // the clamp this chain is instant and the leaf's stats stay at the
+    // cap. (The data itself stays 3 rows throughout — only the
+    // estimate explodes.)
+    var state = Reuse.shared((1L to 3L).toDF("id"))
+    (1 to 24).foreach { _ =>
+      val nxt = state.toDF("id")
+        .join(state.toDF("id2"), col("id") === col("id2"))
+        .select(col("id"))
+      state = Reuse.shared(nxt)
+    }
+    assert(state.count() == 3L)
+    val stats = state.queryExecution.optimizedPlan.stats
+    assert(stats.sizeInBytes <=
+      org.apache.spark.sql.graftbridge.SqlBridge.StatsCapBytes,
+      s"leaf stats not clamped: ${stats.sizeInBytes}")
+    // and a small frame keeps its REAL (unclamped) size estimate, so
+    // broadcast decisions are untouched
+    val small = Reuse.shared((1L to 10L).toDF("v"))
+    assert(small.queryExecution.optimizedPlan.stats.sizeInBytes <
+      1000000L)
+    Reuse.freeAll(spark)
+  }
 }
