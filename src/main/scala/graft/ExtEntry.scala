@@ -1795,7 +1795,26 @@ object ExtEntry {
       Similarity.ivfPqProbeCurve(e, e.filter(col("vec_id") < NumQueryVecs),
         ivfProbeIndex(s, dir), ProbeCurve, k = 3, candidates = 20,
         codebooks = pqCb(s, dir))
-    })
+    }),
+
+    // Cluster-prototypicality pruning (Sorscher et al. 2022): exact
+    // centroid distance, percent-ranked WITHIN the stored kmeans
+    // bucket, keep the hard half (the large-corpus prescription —
+    // easy examples are the redundant mass). Off the shared build-once
+    // probe index like the whole IVF family.
+    "ext119_prototype_pruning" -> ((s, dir) =>
+      Similarity.prototypePruning(embs(s, dir), ivfBuckets(s, dir),
+          keepPpm = 500000L, keep = "hard")
+        .orderBy("vec_id")),
+
+    // kNN-density outlier card: count/mean/max of the k nearest
+    // cluster-mate distances per vector — dense neighborhoods mark
+    // redundant mass, isolated points mark OOD/garbage embeddings.
+    // Bucket-restricted candidates are the production shape (the
+    // semDedup argument); isolated vectors emit n_neighbors 0.
+    "ext120_knn_density" -> ((s, dir) =>
+      Similarity.knnDensity(embs(s, dir), ivfBuckets(s, dir), k = 5)
+        .orderBy("vec_id"))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -4313,6 +4332,79 @@ object ExtEntry {
         }.mkString(",\n")}
          |SELECT * FROM (
          |${ProbeCurve.map(probeRecallRowSql).mkString("\nUNION ALL\n")})
-         |ORDER BY probes""".stripMargin
+         |ORDER BY probes""".stripMargin,
+
+    // Prototype pruning: a3 = the kmeans assignment, cm = the
+    // floor-quantized member-mean centroid per bucket (the kmeans
+    // update rule), exact |v-c|^2, integer percent-rank per bucket,
+    // keep the hard half (proto_ppm >= 500000).
+    "ext119_prototype_pruning" ->
+      s"""$QuantFlatSql,
+         |${kmeansCtes(8, 2)},
+         |cm AS (
+         |  SELECT a.cid AS bucket, f.i,
+         |         CAST(floor(CAST(SUM(f.qi) AS DOUBLE) / COUNT(*))
+         |              AS BIGINT) AS cv
+         |  FROM a3 a JOIN flat f ON f.vec_id = a.vec_id
+         |  GROUP BY 1, 2),
+         |cmn AS (SELECT bucket, CAST(SUM(cv * cv) AS BIGINT) AS cn2
+         |        FROM cm GROUP BY 1),
+         |pd AS (
+         |  SELECT a.vec_id, a.cid AS bucket,
+         |         CAST(n2.n2 + cn.cn2
+         |              - 2 * CAST(SUM(f.qi * c.cv) AS BIGINT) AS BIGINT)
+         |           AS dist
+         |  FROM a3 a JOIN flat f ON f.vec_id = a.vec_id
+         |       JOIN cm c ON c.bucket = a.cid AND c.i = f.i
+         |       JOIN n2 ON n2.vec_id = a.vec_id
+         |       JOIN cmn cn ON cn.bucket = a.cid
+         |  GROUP BY a.vec_id, a.cid, n2.n2, cn.cn2),
+         |pr AS (
+         |  SELECT *, row_number() OVER (
+         |           PARTITION BY bucket ORDER BY dist, vec_id) AS rk,
+         |         count(*) OVER (PARTITION BY bucket) AS n
+         |  FROM pd),
+         |pp AS (
+         |  SELECT vec_id, bucket, dist,
+         |         CASE WHEN n = 1 THEN CAST(0 AS BIGINT)
+         |              ELSE ((rk - 1) * 1000000) // (n - 1) END
+         |           AS proto_ppm
+         |  FROM pr)
+         |SELECT vec_id, bucket, dist, proto_ppm,
+         |       CASE WHEN proto_ppm >= 500000 THEN CAST(1 AS BIGINT)
+         |            ELSE CAST(0 AS BIGINT) END AS kept
+         |FROM pp ORDER BY vec_id""".stripMargin,
+
+    // kNN density: same-bucket pair distances off a3, k nearest per
+    // vector (dist, nid tie-break), count/mean/max with integer DIV;
+    // isolated vectors come back via the left join with NULL dists.
+    "ext120_knn_density" ->
+      s"""$QuantFlatSql,
+         |${kmeansCtes(8, 2)},
+         |pd AS (
+         |  SELECT a.vec_id AS vid, b.vec_id AS nid,
+         |         CAST(na.n2 + nb.n2
+         |              - 2 * CAST(SUM(fa.qi * fb.qi) AS BIGINT) AS BIGINT)
+         |           AS dist
+         |  FROM a3 a JOIN a3 b ON b.cid = a.cid
+         |       AND b.vec_id <> a.vec_id
+         |       JOIN flat fa ON fa.vec_id = a.vec_id
+         |       JOIN flat fb ON fb.vec_id = b.vec_id AND fb.i = fa.i
+         |       JOIN n2 na ON na.vec_id = a.vec_id
+         |       JOIN n2 nb ON nb.vec_id = b.vec_id
+         |  GROUP BY a.vec_id, b.vec_id, na.n2, nb.n2),
+         |rk AS (
+         |  SELECT *, row_number() OVER (
+         |    PARTITION BY vid ORDER BY dist, nid) AS r
+         |  FROM pd),
+         |agg AS (
+         |  SELECT vid, CAST(count(*) AS BIGINT) AS n_neighbors,
+         |         CAST(SUM(dist) AS BIGINT) // count(*) AS knn_mean_dist,
+         |         CAST(max(dist) AS BIGINT) AS knn_max_dist
+         |  FROM rk WHERE r <= 5 GROUP BY 1)
+         |SELECT a.vec_id, COALESCE(g.n_neighbors, 0) AS n_neighbors,
+         |       g.knn_mean_dist, g.knn_max_dist
+         |FROM a3 a LEFT JOIN agg g ON g.vid = a.vec_id
+         |ORDER BY a.vec_id""".stripMargin
   )
 }

@@ -661,6 +661,120 @@ object Similarity {
       .orderBy("probes")
   }
 
+  /**
+   * Cluster-prototypicality pruning (Sorscher et al. 2022, "Beyond
+   * neural scaling laws", arXiv:2206.14486 — the SSL-prototypes
+   * metric): score every vector by its exact integer distance to its
+   * OWN cluster's centroid, percent-rank the scores WITHIN the
+   * cluster, and keep the configured fraction — `keep = "easy"` keeps
+   * the most prototypical members (the paper's prescription for small
+   * datasets), `keep = "hard"` the least prototypical (its
+   * prescription for large corpora, where easy examples are the
+   * redundant mass). The within-cluster rank is what makes the knob
+   * corpus-calibrated: no global distance threshold exists across
+   * clusters of different tightness (the ext116 rationale, applied in
+   * embedding space).
+   *
+   * `buckets` is the stored coarse-quantizer assignment
+   * ([[kmeansProbeIndex]] rank 1 — the same build-once artifact the
+   * IVF/SemDeDup family reads). The centroid is the floor-quantized
+   * per-dimension mean of the bucket's MEMBERS (the [[kmeansBuckets]]
+   * update rule — integer-exact, engine-portable); distance is the
+   * exact |v−c|² identity. kept = 1 iff proto_ppm < keepPpm ("easy")
+   * or proto_ppm ≥ 1e6 − keepPpm ("hard"); singletons read
+   * proto_ppm 0.
+   *
+   * Scale shape: one posexplode shuffle builds |buckets| centroids
+   * (map-side combined), the scoring scan is a broadcast join, and
+   * the percent-rank is one sort per bucket — the exact-rank price
+   * ([[Sampling.rankNormalize]]'s accepted shape; hash-sampled
+   * approximate ranks are the at-scale alternative when the keep
+   * boundary can be fuzzy).
+   */
+  def prototypePruning(emb: DataFrame, buckets: DataFrame,
+      keepPpm: Long = 500000L, keep: String = "easy",
+      id: String = "vec_id", vec: String = "embedding"): DataFrame = {
+    require(keep == "easy" || keep == "hard",
+      s"keep must be easy|hard, got: $keep")
+    require(keepPpm >= 0L && keepPpm <= 1000000L,
+      s"keepPpm must be in [0, 1e6], got: $keepPpm")
+    val corpus = prepared(emb, id, vec).toDF("vid", "q", "n2")
+      .join(buckets.toDF("vid", "bucket"), "vid")
+    val cents = corpus
+      .select(col("bucket"), posexplode(col("q")).as(Seq("pos", "v")))
+      .groupBy("bucket", "pos")
+      .agg(sum("v").as("s"), count(lit(1)).as("n"))
+      .withColumn("cv",
+        floor(col("s").cast("double") / col("n")).cast("long"))
+      .groupBy("bucket")
+      .agg(transform(array_sort(collect_list(struct(col("pos"),
+        col("cv")))), x => x.getField("cv")).as("cq"))
+      .withColumn("cn2", qnorm2(col("cq")))
+    val w = Window.partitionBy(col("bucket"))
+      .orderBy(col("dist").asc, col("vid").asc)
+    val nw = Window.partitionBy(col("bucket"))
+    val scored = corpus.join(broadcast(cents), "bucket")
+      .withColumn("dist",
+        col("n2") + col("cn2") - lit(2L) * qdot(col("q"), col("cq")))
+      .withColumn("_rk", row_number().over(w).cast("long"))
+      .withColumn("_n", count(lit(1)).over(nw))
+      .withColumn("proto_ppm",
+        when(col("_n") === 1L, 0L)
+          .otherwise(expr("((_rk - 1) * 1000000) DIV (_n - 1)")))
+    val keptCond =
+      if (keep == "easy") col("proto_ppm") < keepPpm
+      else col("proto_ppm") >= lit(1000000L - keepPpm)
+    scored.select(col("vid").as(id), col("bucket"), col("dist"),
+      col("proto_ppm"), when(keptCond, 1L).otherwise(0L).as("kept"))
+  }
+
+  /**
+   * kNN-density outlier card — embedding-space density pruning: per
+   * vector, the count/mean/max of the exact integer L2 distances to
+   * its k nearest CLUSTER-MATES. Low mean = dense (redundant)
+   * neighborhood, the mass near-dup detectors thin; a max that dwarfs
+   * the cluster's typical distance = isolated point (mislabel, OOD,
+   * garbage embedding — what [[LabelAudit.labelCentroidOutliers]]
+   * sees only when the cluster HAS a coherent centroid).
+   *
+   * The candidate restriction to the stored coarse bucket is the
+   * production shape, not a shortcut (the [[semDedup]] argument: the
+   * pair join is an equi-join on `bucket`, O(Σ|bucket|²), never
+   * corpus² — and k grows with the corpus so bucket size stays
+   * bounded); boundary-split neighborhoods are the same recall story
+   * the ext58/110 probe curves price. Vectors in buckets with fewer
+   * than k+1 members report their actual neighbor count — visible,
+   * not padded — and a vector ALONE in its bucket (the ultimate
+   * outlier) still emits a row: n_neighbors 0 with NULL distances,
+   * never silently dropped. Exact int64 distances; ranks tie-break
+   * (dist ASC, neighbor id ASC); the mean is integer DIV.
+   */
+  def knnDensity(emb: DataFrame, buckets: DataFrame, k: Int = 5,
+      id: String = "vec_id", vec: String = "embedding"): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val corpus = Reuse.shared(prepared(emb, id, vec).toDF("vid", "q", "n2")
+      .join(buckets.toDF("vid", "bucket"), "vid"))
+    val nbrs = corpus.toDF("nid", "nq", "nn2", "bucket")
+    val w = Window.partitionBy(col("vid"))
+      .orderBy(col("dist").asc, col("nid").asc)
+    val agg = corpus.join(nbrs, "bucket")
+      .filter(col("vid") =!= col("nid"))
+      .withColumn("dist",
+        col("n2") + col("nn2") - lit(2L) * qdot(col("q"), col("nq")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .groupBy(col("vid"))
+      .agg(count(lit(1)).as("n_neighbors"),
+        sum(col("dist")).as("_sd"),
+        max(col("dist")).as("knn_max_dist"))
+      .withColumn("knn_mean_dist", expr("_sd DIV n_neighbors"))
+    corpus.select(col("vid"))
+      .join(agg, Seq("vid"), "left")
+      .select(col("vid").as(id),
+        coalesce(col("n_neighbors"), lit(0L)).as("n_neighbors"),
+        col("knn_mean_dist"), col("knn_max_dist"))
+  }
+
   // ---- Product quantization (Jégou et al. 2011) -------------------------
 
   /** PQ geometry: M subspaces × K codes. Storage per vector drops from

@@ -177,6 +177,10 @@ class EmptyInputSpec extends TestBase {
     val results = Seq(
       countOf("semDedup")(
         Similarity.semDedup(e, Similarity.kmeansBuckets(e))),
+      countOf("prototypePruning")(
+        Similarity.prototypePruning(e, Similarity.kmeansBuckets(e))),
+      countOf("knnDensity")(
+        Similarity.knnDensity(e, Similarity.kmeansBuckets(e))),
       countOf("pqCodes")(Similarity.pqCodes(e, Similarity.pqCodebooks(e))),
       countOf("capAudit")(Sampling.capAudit(d, Seq("source"),
         col("doc_id"), size(split(col("text"), " ")).cast("long"), 15)),

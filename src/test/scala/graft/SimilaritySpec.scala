@@ -393,6 +393,70 @@ class SimilaritySpec extends TestBase {
     graft.ops.Reuse.freeAll(spark)
   }
 
+  test("prototype pruning: within-bucket percent-rank of centroid " +
+      "distance; easy/hard keep halves partition each bucket (ext119)") {
+    import spark.implicits._
+    // bucket 10: four vectors on a line — centroid mean pulls to the
+    // middle, so distances rank deterministically; bucket 20: singleton
+    val e = Seq(
+      (1L, Array(0.0f, 0.0f)), (2L, Array(1.0f, 0.0f)),
+      (3L, Array(2.0f, 0.0f)), (4L, Array(9.0f, 0.0f)),
+      (5L, Array(100.0f, 100.0f)))
+      .toDF("vec_id", "embedding")
+    val b = Seq((1L, 10L), (2L, 10L), (3L, 10L), (4L, 10L), (5L, 20L))
+      .toDF("vec_id", "bucket")
+    val easy = Similarity.prototypePruning(e, b, 500000L, "easy")
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._4, r._5))).toMap
+    val hard = Similarity.prototypePruning(e, b, 500000L, "hard")
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r._5).toMap
+    // centroid of bucket 10 = (3, 0): dists rank 3 < 2 < 1 < 4 →
+    // proto_ppm 0 / 333333 / 666666 / 1e6 on ids 3, 2, 1, 4
+    assert(easy(3L) == ((0L, 1L)) && easy(2L) == ((333333L, 1L)))
+    assert(easy(1L) == ((666666L, 0L)) && easy(4L) == ((1000000L, 0L)))
+    // hard is the complement within the bucket
+    assert((1L to 4L).forall(id => hard(id) == 1L - easy(id)._2))
+    // singleton: proto_ppm 0 → kept by easy, dropped by hard (< 1e6)
+    assert(easy(5L) == ((0L, 1L)) && hard(5L) == 0L)
+    // realism: on sf0.001 the hard half keeps ~half the corpus
+    val kept = Similarity.prototypePruning(emb,
+        Similarity.kmeansBuckets(emb), 500000L, "hard")
+      .agg(sum("kept"), count(lit(1))).as[(Long, Long)].head()
+    assert(kept._1 > kept._2 * 2 / 5 && kept._1 < kept._2 * 3 / 5,
+      s"hard-half keep rate off: $kept")
+    graft.ops.Reuse.freeAll(spark)
+  }
+
+  test("knn density: exact per-bucket neighbor stats; short buckets " +
+      "report their true count; singletons surface with 0 (ext120)") {
+    import spark.implicits._
+    // bucket 10: three identical vectors + one distant; bucket 20:
+    // singleton. k=2.
+    val e = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(1.0f, 0.0f)),
+      (3L, Array(1.0f, 0.0f)), (4L, Array(3.0f, 0.0f)),
+      (9L, Array(5.0f, 5.0f)))
+      .toDF("vec_id", "embedding")
+    val b = Seq((1L, 10L), (2L, 10L), (3L, 10L), (4L, 10L), (9L, 20L))
+      .toDF("vec_id", "bucket")
+    val got = Similarity.knnDensity(e, b, 2).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3)))).toMap
+    // identical trio: two zero-distance neighbors each
+    (1L to 3L).foreach(id => assert(got(id) == ((2L, 0L, 0L))))
+    // the distant one: both nearest are at |2e6|^2 = 4e12
+    assert(got(4L) == ((2L, 4000000000000L, 4000000000000L)))
+    // singleton bucket: surfaced, not dropped
+    assert(got(9L) == ((0L, -1L, -1L)))
+    // k larger than the bucket: true counts, not padding
+    val wide = Similarity.knnDensity(e, b, 50).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(wide(1L) == 3L && wide(9L) == 0L)
+    graft.ops.Reuse.freeAll(spark)
+  }
+
   test("semdedup: drop iff a lower-id cluster-mate reaches the " +
       "threshold; min-id per bucket survives (ext101)") {
     import spark.implicits._
