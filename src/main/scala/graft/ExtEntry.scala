@@ -52,6 +52,15 @@ object ExtEntry {
   private def pqCb(s: SparkSession, dir: String): Option[DataFrame] =
     Some(Similarity.pqCodebooksIndex(embs(s, dir), cacheKey = dir))
 
+  /** Build-once BPE merge table shared by ext111/ext112 — THE stored
+    * tokenizer artifact: learned once per (session, sfdir), the audit
+    * replays it ([[graft.ops.TextOps.bpeEstimateAuditFrom]]) exactly
+    * as the serving/streaming side does. */
+  private def bpeMergesIdx(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Reuse.index(s, s"bpe-merges:$dir") {
+      TextOps.bpeMerges(docs(s, dir), 3)
+    }
+
   /** Build-once exact ANN ground truth for the fixed query set — the
     * stored audit artifact both IVF recall audits (ext57/58) score
     * against; brute-force over the corpus runs ONCE per (session, sf). */
@@ -579,9 +588,15 @@ object ExtEntry {
 
     // End-to-end dedup pipeline: detector pairs -> kept corpus
     // (min-id representative survives each near-dup pair).
+    // Pairs come from the stored LSH audit artifact's candidate side
+    // (== Dedup.minhashLsh on the same corpus by construction) — the
+    // detector runs once per snapshot, every consumer reads it (r9;
+    // the dupClusters/pqCodebooksIndex lifecycle for the raw pairs).
     "ext14_dedup_pipeline" -> ((s, dir) => {
       val d = docs(s, dir)
-      Dedup.keepRepresentatives(d, Dedup.minhashLsh(d))
+      Dedup.keepRepresentatives(d,
+          lshAuditPairs(s, dir).filter(col("rel") === "cand")
+            .select("id_a", "id_b"))
         .select("doc_id", "lang", "source")
         .orderBy("doc_id")
     }),
@@ -1706,14 +1721,15 @@ object ExtEntry {
     // stack: ext10 applies a tokenizer, ext34 counts a vocab, this
     // LEARNS one. Output = the 3-row merge table artifact.
     "ext111_bpe_merges" -> ((s, dir) =>
-      TextOps.bpeMerges(docs(s, dir), 3)),
+      bpeMergesIdx(s, dir).orderBy("merge_rank")),
 
     // The ENCODE side + estimator pricing: true BPE token counts under
     // the ext111-learned vocabulary vs the chars/4 heuristic that
     // prices token budgets everywhere (ext62/75/78), per language —
     // how far off those budgets run, re-priced as the table deepens.
     "ext112_bpe_estimate_audit" -> ((s, dir) =>
-      TextOps.bpeEstimateAudit(docs(s, dir), 3).orderBy("lang")),
+      TextOps.bpeEstimateAuditFrom(docs(s, dir), bpeMergesIdx(s, dir), 3)
+        .orderBy("lang")),
 
     // Asymmetric containment detector: |∩| / min(|A|,|B|) over the
     // capped shingle sets — the doc-inside-doc duplication Jaccard

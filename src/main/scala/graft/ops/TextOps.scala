@@ -1040,9 +1040,30 @@ object TextOps {
    * per-word symbol counts on `word` — vocab-keyed, never corpus².
    */
   def bpeEstimateAudit(doc: DataFrame, nMerges: Int = 3,
-      by: String = "lang", text: String = "text"): DataFrame = {
-    val counts = bpeSegmentCounts(doc, nMerges, text)
-      .select(col("word"), col("n_syms"))
+      by: String = "lang", text: String = "text"): DataFrame =
+    estimateAuditTail(doc,
+      bpeSegmentCounts(doc, nMerges, text).select(col("word"),
+        col("n_syms")), by, text)
+
+  /** [[bpeEstimateAudit]] against a STORED merge table (the ext111
+    * artifact) instead of re-learning it: the per-word counts come
+    * from [[bpeApplyCounts]]' replay, which reproduces the learn-time
+    * state exactly on the learning corpus (spec law) — so an audit
+    * pass reads the once-per-snapshot artifact like every other
+    * consumer (the r9 `pqCodebooksIndex` precedent for the tokenizer
+    * family). */
+  def bpeEstimateAuditFrom(doc: DataFrame, merges: DataFrame,
+      nMerges: Int = 3, by: String = "lang",
+      text: String = "text"): DataFrame =
+    estimateAuditTail(doc,
+      bpeApplyCounts(doc, merges, nMerges, text).select(col("word"),
+        col("n_syms")), by, text)
+
+  /** Shared tail of the two estimator-audit forms: per-stratum word
+    * instances joined to per-word true symbol counts on `word`
+    * (vocab-keyed, never corpus²), then the exact ppm error card. */
+  private def estimateAuditTail(doc: DataFrame, counts: DataFrame,
+      by: String, text: String): DataFrame = {
     val langWords = doc
       .select(col(by), explode(tokens(col(text))).as("word"))
       .groupBy(col(by), col("word")).agg(count(lit(1)).as("n"))
