@@ -1830,7 +1830,15 @@ object ExtEntry {
     // semDedup argument); isolated vectors emit n_neighbors 0.
     "ext120_knn_density" -> ((s, dir) =>
       Similarity.knnDensity(embs(s, dir), ivfBuckets(s, dir), k = 5)
-        .orderBy("vec_id"))
+        .orderBy("vec_id")),
+
+    // Two-phase curriculum ledger: bulk (α=1, 90% of budget) + anneal
+    // (α=0.5, 10%) per source off ONE counts aggregate — the plan
+    // sheet of a bulk+anneal pretraining run; epochs_q > 1e6 on an
+    // anneal row is the overfit warning.
+    "ext121_anneal_ledger" -> ((s, dir) =>
+      Sampling.annealLedger(docs(s, dir), TokenBudget)
+        .orderBy("phase", "source"))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -4390,6 +4398,48 @@ object ExtEntry {
          |       CASE WHEN proto_ppm >= 500000 THEN CAST(1 AS BIGINT)
          |            ELSE CAST(0 AS BIGINT) END AS kept
          |FROM pp ORDER BY vec_id""".stripMargin,
+
+    // Two-phase ledger: one counts CTE feeds the proportional bulk
+    // weights and the ext62 sqrt-temperature anneal weights; budgets
+    // split by exact integer ppm (inlined from the same constants the
+    // Spark side uses).
+    "ext121_anneal_ledger" -> {
+      val annealBudget = TokenBudget * 100000L / 1000000L
+      val bulkBudget = TokenBudget - annealBudget
+      s"""WITH c AS (
+         |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |         CAST(SUM(len(string_split(text, ' '))) AS BIGINT)
+         |           AS n_tokens
+         |  FROM documents GROUP BY 1),
+         |t AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS nd FROM c),
+         |q AS (SELECT source, n_docs, n_tokens,
+         |             CAST(floor(1000000.0 * sqrt(CAST(n_docs AS DOUBLE)))
+         |               AS BIGINT) AS q_s
+         |      FROM c),
+         |qt AS (SELECT CAST(SUM(q_s) AS BIGINT) AS q_tot FROM q),
+         |aw AS (SELECT source, n_docs, n_tokens,
+         |              CAST(floor(1000000.0 * (CAST(q_s AS DOUBLE)
+         |                   / CAST(q_tot AS DOUBLE))) AS BIGINT)
+         |                AS weight_q
+         |       FROM q, qt),
+         |u AS (
+         |  SELECT 'bulk' AS phase, source, n_docs, n_tokens,
+         |         (n_docs * 1000000) // nd AS weight_q,
+         |         (CAST($bulkBudget AS BIGINT)
+         |           * ((n_docs * 1000000) // nd)) // 1000000
+         |           AS planned_tokens
+         |  FROM c, t
+         |  UNION ALL
+         |  SELECT 'anneal', source, n_docs, n_tokens, weight_q,
+         |         (CAST($annealBudget AS BIGINT) * weight_q) // 1000000
+         |  FROM aw)
+         |SELECT phase, source, n_docs, n_tokens, weight_q,
+         |       planned_tokens,
+         |       CASE WHEN n_tokens > 0
+         |            THEN (planned_tokens * 1000000) // n_tokens
+         |            ELSE CAST(0 AS BIGINT) END AS epochs_q
+         |FROM u ORDER BY phase, source""".stripMargin
+    },
 
     // kNN density: same-bucket pair distances off a3, k nearest per
     // vector (dist, nid tie-break), count/mean/max with integer DIV;

@@ -212,6 +212,64 @@ object Sampling {
   }
 
   /**
+   * Two-phase curriculum ledger — the bulk + anneal token plan of a
+   * modern pretraining run: the BULK phase spends (1e6 − annealPpm)
+   * ppm of the budget sampling strata PROPORTIONALLY (α = 1 —
+   * coverage; weight is the stratum's exact doc share), and the
+   * ANNEAL phase spends the rest under the sqrt temperature (α = 0.5,
+   * [[mixtureWeights]]' one bit-portable exponent) so small
+   * high-quality strata are upweighted exactly when the
+   * learning-rate anneal makes each token count the most. The
+   * curriculum question ("how much of source S does phase P see, and
+   * how many epochs of S is that?") becomes one plan sheet.
+   *
+   * ONE counts aggregate feeds both phases (the ext62 fused-scan
+   * rule); the budget split and every derived column are exact int64
+   * (`annealBudget = totalBudget·annealPpm DIV 1e6`), so the sheet is
+   * engine-portable. `epochs_q > 1e6` on an anneal row is the
+   * overfit warning the ledger exists to raise: the phase plans more
+   * tokens from the stratum than the stratum has.
+   *
+   * Scale shape: identical to [[tokenLedger]] — one map-side-combined
+   * keyed aggregate plus broadcast 1-row totals; the union is
+   * |strata| × 2 rows. Batch-only like [[mixtureWeights]]: a training
+   * plan sheet is a corpus-snapshot property (recomputing weights
+   * in-stream would drift the plan with arrival order).
+   */
+  def annealLedger(df: DataFrame, totalTokenBudget: Long,
+      annealPpm: Long = 100000L, strata: Seq[String] = Seq("source"),
+      text: String = "text"): DataFrame = {
+    require(totalTokenBudget > 0, "totalTokenBudget must be positive")
+    require(annealPpm >= 0L && annealPpm <= 1000000L,
+      s"annealPpm must be in [0, 1e6], got $annealPpm")
+    val annealBudget = totalTokenBudget * annealPpm / 1000000L
+    val bulkBudget = totalTokenBudget - annealBudget
+    val counts = Reuse.shared(df.groupBy(strata.map(col): _*)
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(TextOps.tokens(col(text))).cast("long")).as("n_tokens")))
+    val ndTot = counts.agg(sum(col("n_docs")).as("nd_tot"))
+    val bulk = counts.crossJoin(broadcast(ndTot))
+      .withColumn("weight_q", expr("(n_docs * 1000000) DIV nd_tot"))
+      .drop("nd_tot")
+      .withColumn("phase", lit("bulk"))
+      .withColumn("planned_tokens",
+        expr(s"(${bulkBudget}L * weight_q) DIV 1000000"))
+    val anneal = withMixtureWeights(counts)
+      .drop("q_s")
+      .withColumn("phase", lit("anneal"))
+      .withColumn("planned_tokens",
+        expr(s"(${annealBudget}L * weight_q) DIV 1000000"))
+    bulk.unionByName(anneal)
+      .withColumn("epochs_q",
+        when(col("n_tokens") > 0,
+          expr("(planned_tokens * 1000000) DIV n_tokens"))
+          .otherwise(lit(0L)))
+      .select((Seq(col("phase")) ++ strata.map(col) ++
+        Seq(col("n_docs"), col("n_tokens"), col("weight_q"),
+          col("planned_tokens"), col("epochs_q"))): _*)
+  }
+
+  /**
    * Temperature resampling to a target corpus size: each stratum's
    * acceptance rate is its [[mixtureWeights]] share of `targetDocs`
    * spread over its own population —

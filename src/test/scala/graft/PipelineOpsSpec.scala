@@ -355,6 +355,37 @@ class PipelineOpsSpec extends TestBase {
     }
   }
 
+  test("anneal ledger: one counts pass plans both phases; the sqrt " +
+      "temperature upweights the small stratum in the anneal; epoch " +
+      "pressure surfaces (ext121)") {
+    import spark.implicits._
+    // a: 100 docs x 2 tokens; b: 1 doc x 5 tokens
+    val df = ((1 to 100).map(i => (i.toLong, "a", "t1 t2")) :+
+      (999L, "b", "x1 x2 x3 x4 x5")).toDF("doc_id", "source", "text")
+    val got = Sampling.annealLedger(df, 10000L, annealPpm = 200000L)
+      .as[(String, String, Long, Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> ((r._5, r._6, r._7))).toMap
+    // bulk (8000 tokens, alpha=1): shares 100/101 and 1/101
+    assert(got(("bulk", "a")) == ((990099L, 7920L, 39600000L)))
+    assert(got(("bulk", "b")) == ((9900L, 79L, 15800000L)))
+    // anneal (2000 tokens, alpha=0.5): q = 1e7 vs 1e6 -> 10:1 not
+    // 100:1 — the small stratum's share rises ~9x vs bulk
+    assert(got(("anneal", "a")) == ((909090L, 1818L, 9090000L)))
+    assert(got(("anneal", "b")) == ((90909L, 181L, 36200000L)))
+    // phase budgets are respected (floor rounding never overshoots)
+    assert(got(("bulk", "a"))._2 + got(("bulk", "b"))._2 <= 8000L)
+    assert(got(("anneal", "a"))._2 + got(("anneal", "b"))._2 <= 2000L)
+    // degenerate knobs: annealPpm 0 -> the anneal phase plans nothing
+    val none = Sampling.annealLedger(df, 10000L, annealPpm = 0L)
+      .filter(col("phase") === "anneal")
+      .agg(sum("planned_tokens")).as[Long].head()
+    assert(none == 0L)
+    intercept[IllegalArgumentException] {
+      Sampling.annealLedger(df, 10000L, annealPpm = 2000000L)
+    }
+    graft.ops.Reuse.freeAll(spark)
+  }
+
   test("sampling: bernoulli near-nominal rate, monotone in the rate") {
     import spark.implicits._
     val ids = spark.range(0, 3000).toDF("id")
