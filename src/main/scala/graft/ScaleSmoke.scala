@@ -337,6 +337,25 @@ object ScaleSmoke {
       graft.ops.Similarity.ivfPqTopK(bigEmbL,
         bigEmbL.filter(col("vec_id") < 20), idx, 3)
     }
+    // prototype pruning (ext119): centroid build + broadcast scoring
+    // are linear; the per-bucket rank sort is the exact-rank price —
+    // output == vectors at any mult.
+    time("prototype_pruning") {
+      val bk = graft.ops.Similarity.kmeansBuckets(bigEmb)
+        .localCheckpoint(true)
+      graft.ops.Similarity.prototypePruning(bigEmb, bk, keep = "hard")
+    }
+    // knn density (ext120): the same-bucket pair join is quadratic in
+    // bucket size — in dup mode every identical-vector family lands
+    // whole in one bucket (the semdedup mass-duplicate hazard, and the
+    // same production answer: exact-dedup first, k grows with the
+    // corpus). The 10x number prices it; 100x takes semdedup's
+    // reasoned exclusion at fixed k=8.
+    time("knn_density") {
+      val bk = graft.ops.Similarity.kmeansBuckets(bigEmb)
+        .localCheckpoint(true)
+      graft.ops.Similarity.knnDensity(bigEmb, bk, 5)
+    }
     spark.stop()
   }
 }

@@ -700,16 +700,7 @@ object Similarity {
       s"keepPpm must be in [0, 1e6], got: $keepPpm")
     val corpus = prepared(emb, id, vec).toDF("vid", "q", "n2")
       .join(buckets.toDF("vid", "bucket"), "vid")
-    val cents = corpus
-      .select(col("bucket"), posexplode(col("q")).as(Seq("pos", "v")))
-      .groupBy("bucket", "pos")
-      .agg(sum("v").as("s"), count(lit(1)).as("n"))
-      .withColumn("cv",
-        floor(col("s").cast("double") / col("n")).cast("long"))
-      .groupBy("bucket")
-      .agg(transform(array_sort(collect_list(struct(col("pos"),
-        col("cv")))), x => x.getField("cv")).as("cq"))
-      .withColumn("cn2", qnorm2(col("cq")))
+    val cents = bucketCentroidsOf(corpus)
     val w = Window.partitionBy(col("bucket"))
       .orderBy(col("dist").asc, col("vid").asc)
     val nw = Window.partitionBy(col("bucket"))
@@ -726,6 +717,86 @@ object Similarity {
       else col("proto_ppm") >= lit(1000000L - keepPpm)
     scored.select(col("vid").as(id), col("bucket"), col("dist"),
       col("proto_ppm"), when(keptCond, 1L).otherwise(0L).as("kept"))
+  }
+
+  /** The per-bucket centroid artifact behind [[prototypePruning]] —
+    * (bucket, cq, cn2), the floor-quantized member-mean — exposed so
+    * the streaming gate scores against the STORED build instead of
+    * recomputing it (the labelCentroids/ext83 artifact pattern). */
+  def prototypeCentroids(emb: DataFrame, buckets: DataFrame,
+      id: String = "vec_id", vec: String = "embedding"): DataFrame =
+    bucketCentroidsOf(prepared(emb, id, vec).toDF("vid", "q", "n2")
+      .join(buckets.toDF("vid", "bucket"), "vid"))
+
+  /** Floor-quantized member-mean centroid per bucket of a prepared
+    * (vid, q, n2, bucket) corpus — the kmeans update rule as a
+    * standalone step, shared by [[prototypePruning]] and the stored
+    * [[prototypeCentroids]] artifact. */
+  private def bucketCentroidsOf(corpus: DataFrame): DataFrame =
+    corpus
+      .select(col("bucket"), posexplode(col("q")).as(Seq("pos", "v")))
+      .groupBy("bucket", "pos")
+      .agg(sum("v").as("s"), count(lit(1)).as("n"))
+      .withColumn("cv",
+        floor(col("s").cast("double") / col("n")).cast("long"))
+      .groupBy("bucket")
+      .agg(transform(array_sort(collect_list(struct(col("pos"),
+        col("cv")))), x => x.getField("cv")).as("cq"))
+      .withColumn("cn2", qnorm2(col("cq")))
+
+  /** Per-bucket keep-boundary artifact off a [[prototypePruning]]
+    * result: the extreme kept distance per bucket (max for "easy",
+    * min for "hard") — |buckets| rows, stored beside the centroids.
+    * Buckets where nothing was kept are absent (the gate then drops
+    * everything routed to them, consistent with the batch pass). */
+  def prototypeThresholds(pruned: DataFrame,
+      keep: String = "easy"): DataFrame = {
+    require(keep == "easy" || keep == "hard")
+    val kept = pruned.filter(col("kept") === 1L)
+    if (keep == "easy")
+      kept.groupBy("bucket").agg(max("dist").as("thresh_dist"))
+    else kept.groupBy("bucket").agg(min("dist").as("thresh_dist"))
+  }
+
+  /**
+   * Stateless prototype GATE — the streaming/ingest side of
+   * [[prototypePruning]]: an arriving vector is assigned to its
+   * nearest STORED centroid (the coarse-quantizer assign step — same
+   * exact-int64 argmin and (dist, bucket) tie-break as
+   * [[kmeansBuckets]]), its distance compared against the bucket's
+   * stored keep boundary. Per row: (id, bucket, dist, kept). No
+   * state, no ranks — a percentile is a corpus-snapshot property
+   * (ext116's rationale), so the stream applies the SNAPSHOT's
+   * learned boundary (the ext67 stored-threshold pattern), refreshed
+   * when the offline pass rebuilds the artifacts.
+   *
+   * Two documented boundary caveats vs the batch pass: a distance
+   * exactly AT a threshold tie shared with a dropped row gates in
+   * (the batch rank split such ties by id); and a vector near a
+   * centroid boundary may assign differently than the snapshot's
+   * stored bucket (quantizer half-step drift). On well-separated
+   * clusters the gate reproduces the batch keep set exactly
+   * (spec-asserted).
+   */
+  def prototypeGate(vecs: DataFrame, cents: DataFrame,
+      thresholds: DataFrame, keep: String = "easy",
+      id: String = "vec_id", vec: String = "embedding"): DataFrame = {
+    require(keep == "easy" || keep == "hard")
+    val assigned = prepared(vecs, id, vec).toDF("vid", "q", "n2")
+      .crossJoin(broadcast(cents))
+      .withColumn("d",
+        col("n2") + col("cn2") - lit(2L) * qdot(col("q"), col("cq")))
+      .groupBy(col("vid"))
+      .agg(min(struct(col("d"), col("bucket"))).as("m"))
+      .select(col("vid"), col("m.bucket").as("bucket"),
+        col("m.d").as("dist"))
+    val cond =
+      if (keep == "easy") col("dist") <= col("thresh_dist")
+      else col("dist") >= col("thresh_dist")
+    assigned.join(broadcast(thresholds), Seq("bucket"), "left")
+      .select(col("vid").as(id), col("bucket"), col("dist"),
+        when(col("thresh_dist").isNotNull && cond, 1L).otherwise(0L)
+          .as("kept"))
   }
 
   /**

@@ -450,6 +450,28 @@ object StreamingPipeline {
   }
 
   /**
+   * Streaming prototype GATE (ext119's ingest side): arriving vectors
+   * are assigned to their nearest STORED bucket centroid and gated
+   * against the bucket's STORED keep boundary
+   * (`Similarity.prototypeGate` — both artifacts learned offline per
+   * corpus snapshot; re-ranking in-stream would shift every percentile
+   * with arrival order, ext116's rationale). Stateless per batch,
+   * broadcast artifacts, idempotent batch-keyed layout — the ext67
+   * stored-threshold pattern applied in embedding space.
+   */
+  def prototypeGateSink(vecs: DataFrame, cents: DataFrame,
+      thresholds: DataFrame, keep: String,
+      outPath: String): DataStreamWriter[org.apache.spark.sql.Row] = {
+    val c = cents.localCheckpoint(true)
+    val t = thresholds.localCheckpoint(true)
+    vecs.writeStream.outputMode("append").foreachBatch {
+      (batch: DataFrame, batchId: Long) =>
+        graft.ops.Similarity.prototypeGate(batch, c, t, keep)
+          .write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
+    }
+  }
+
+  /**
    * Streaming BPE encoder (ext111/ext112's serving path): the merge
    * table is a per-snapshot LEARN artifact (`TextOps.bpeMerges` —
    * learning in-stream would pick merges by arrival order, the ext111

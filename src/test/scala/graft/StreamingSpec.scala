@@ -516,6 +516,49 @@ class StreamingSpec extends TestBase {
     graft.ops.Reuse.freeAll(spark)
   }
 
+  test("streaming prototype gate == batch pruning on well-separated " +
+      "clusters; artifacts learned once offline (ext119 twin)") {
+    import spark.implicits._
+    val S = graft.ops.Similarity
+    // well-separated clusters: the gate's argmin assignment matches
+    // the stored buckets and all distances are distinct, so the
+    // stored-threshold gate reproduces the batch keep set exactly
+    val e = Seq(
+      (1L, Array(0.0f, 0.0f)), (2L, Array(1.0f, 0.0f)),
+      (3L, Array(2.0f, 0.0f)), (4L, Array(9.0f, 0.0f)),
+      (5L, Array(100.0f, 100.0f)))
+      .toDF("vec_id", "embedding")
+    val b = Seq((1L, 10L), (2L, 10L), (3L, 10L), (4L, 10L), (5L, 20L))
+      .toDF("vec_id", "bucket")
+    val batchPruned = S.prototypePruning(e, b, 500000L, "easy")
+      .localCheckpoint(true)
+    val cents = S.prototypeCentroids(e, b)
+    val th = S.prototypeThresholds(batchPruned, "easy")
+    val srcDir = Files.createTempDirectory("graft-pg-src").toString + "/d"
+    e.repartition(3).write.parquet(srcDir)
+    val out = Files.createTempDirectory("graft-pg-out").toString
+    val ckpt = Files.createTempDirectory("graft-pg-ckpt").toString
+    val q = StreamingPipeline.prototypeGateSink(
+      StreamingPipeline.parquetStream(spark, srcDir,
+        maxFilesPerTrigger = Some(1)), cents, th, "easy", out)
+      .option("checkpointLocation", ckpt).start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.read.parquet(out)
+      .select("vec_id", "bucket", "dist", "kept")
+    val batch = batchPruned.select("vec_id", "bucket", "dist", "kept")
+    assert(streamed.count() == 5)
+    assert(streamed.except(batch).isEmpty && batch.except(streamed).isEmpty,
+      "gated stream differs from the batch pruning on stable clusters")
+    // an arrival routed to a bucket with no kept rows (no threshold
+    // row) is dropped, not NPE'd
+    val noTh = S.prototypeGate(e, cents, th.filter(col("bucket") =!= 10L),
+      "easy")
+    assert(noTh.filter(col("bucket") === 10L)
+      .filter(col("kept") =!= 0L).isEmpty)
+    graft.ops.Reuse.freeAll(spark)
+  }
+
   test("streaming signal moments fold == batch correlation card " +
       "(ext115 twin)") {
     val docs = graft.ingest.Tables.documents(spark, sf("sf0.001"))
