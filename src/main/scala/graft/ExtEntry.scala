@@ -1838,7 +1838,20 @@ object ExtEntry {
     // anneal row is the overfit warning.
     "ext121_anneal_ledger" -> ((s, dir) =>
       Sampling.annealLedger(docs(s, dir), TokenBudget)
-        .orderBy("phase", "source"))
+        .orderBy("phase", "source")),
+
+    // Semantic decontamination: the embedding-space member of the
+    // decontamination family (ext97 lexical spans, ext102 Bloom
+    // membership) — paraphrase-level eval leaks that n-grams miss.
+    // Bench side = the fixed query subset; output = removal list +
+    // audit trail (nearest bench item per corpus vector).
+    "ext122_semantic_decontamination" -> ((s, dir) => {
+      val e = embs(s, dir)
+      Similarity.semanticDecontaminate(
+          e.filter(col("vec_id") >= NumQueryVecs),
+          e.filter(col("vec_id") < NumQueryVecs))
+        .orderBy("vec_id")
+    })
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -4440,6 +4453,33 @@ object ExtEntry {
          |            ELSE CAST(0 AS BIGINT) END AS epochs_q
          |FROM u ORDER BY phase, source""".stripMargin
     },
+
+    // Semantic decontamination: all (corpus, bench) cosines, argmax
+    // per corpus vector via the (cos DESC, bid ASC) ranking, flag at
+    // the shared near-dup threshold.
+    "ext122_semantic_decontamination" ->
+      s"""$QuantFlatSql,
+         |bd AS (
+         |  SELECT a.vec_id AS vid, b.vec_id AS bid,
+         |         CAST(SUM(a.qi * b.qi) AS BIGINT) AS dot
+         |  FROM flat a JOIN flat b ON b.i = a.i
+         |  WHERE a.vec_id >= $NumQueryVecs AND b.vec_id < $NumQueryVecs
+         |  GROUP BY 1, 2),
+         |sc AS (
+         |  SELECT vid, bid,
+         |         CAST(dot AS DOUBLE) /
+         |           sqrt(CAST(na.n2 AS DOUBLE) * CAST(nb.n2 AS DOUBLE))
+         |           AS cos
+         |  FROM bd JOIN n2 na ON na.vec_id = vid
+         |       JOIN n2 nb ON nb.vec_id = bid),
+         |r AS (SELECT *, row_number() OVER (
+         |        PARTITION BY vid ORDER BY cos DESC, bid ASC) AS rk
+         |      FROM sc)
+         |SELECT vid AS vec_id, bid AS bench_id, cos AS max_cos,
+         |       CASE WHEN cos >= ${Similarity.NearDupThreshold}
+         |            THEN CAST(1 AS BIGINT)
+         |            ELSE CAST(0 AS BIGINT) END AS contaminated
+         |FROM r WHERE rk = 1 ORDER BY vec_id""".stripMargin,
 
     // kNN density: same-bucket pair distances off a3, k nearest per
     // vector (dist, nid tie-break), count/mean/max with integer DIV;

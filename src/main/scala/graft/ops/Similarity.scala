@@ -719,6 +719,40 @@ object Similarity {
       col("proto_ppm"), when(keptCond, 1L).otherwise(0L).as("kept"))
   }
 
+  /**
+   * Semantic test-set decontamination — the embedding-space member of
+   * the decontamination family (lexical span surgery ext97, Bloom
+   * membership ext102): a corpus vector whose cosine to ANY benchmark
+   * vector reaches `threshold` is a paraphrase-level leak that token
+   * n-grams miss (the reason eval suites decontaminate semantically as
+   * well as lexically). One row per corpus vector: its nearest
+   * benchmark item, the max cosine, and the flag — so the output
+   * doubles as the removal list AND the audit trail (which bench item
+   * each leak matches).
+   *
+   * Scale shape: the benchmark side is broadcast (eval suites are
+   * tiny); ONE corpus scan computes all |bench| cosines per vector and
+   * the argmax folds map-side (min over (−cos, bench id) struct — no
+   * window, no shuffle of the corpus beyond the aggregate). Exact
+   * int64 dots; the argmax tie-breaks (cos DESC, bench id ASC).
+   */
+  def semanticDecontaminate(emb: DataFrame, bench: DataFrame,
+      threshold: Double = NearDupThreshold, id: String = "vec_id",
+      vec: String = "embedding"): DataFrame = {
+    val corpus = prepared(emb, id, vec).toDF("vid", "q", "n2")
+    val b = prepared(bench, id, vec).toDF("bid", "bq", "bn2")
+    corpus.crossJoin(broadcast(b))
+      .withColumn("cos",
+        cosine(qdot(col("q"), col("bq")), col("n2"), col("bn2")))
+      .groupBy(col("vid"))
+      .agg(min(struct((-col("cos")).as("negcos"),
+        col("bid").as("bid"))).as("m"))
+      .select(col("vid").as(id), col("m.bid").as("bench_id"),
+        (-col("m.negcos")).as("max_cos"),
+        when(-col("m.negcos") >= threshold, 1L).otherwise(0L)
+          .as("contaminated"))
+  }
+
   /** The per-bucket centroid artifact behind [[prototypePruning]] —
     * (bucket, cq, cn2), the floor-quantized member-mean — exposed so
     * the streaming gate scores against the STORED build instead of

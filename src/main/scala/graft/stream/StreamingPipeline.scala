@@ -450,6 +450,24 @@ object StreamingPipeline {
   }
 
   /**
+   * Streaming semantic decontamination (ext122's ingest side): every
+   * arriving vector is scored against the broadcast benchmark set —
+   * the embedding sibling of [[bloomProbeSink]]'s membership probe.
+   * Stateless per batch (the bench set is a fixed offline artifact),
+   * so the streamed flags equal `Similarity.semanticDecontaminate`
+   * at any batching.
+   */
+  def semanticDecontaminateSink(vecs: DataFrame, bench: DataFrame,
+      outPath: String): DataStreamWriter[org.apache.spark.sql.Row] = {
+    val b = bench.localCheckpoint(true)
+    vecs.writeStream.outputMode("append").foreachBatch {
+      (batch: DataFrame, batchId: Long) =>
+        graft.ops.Similarity.semanticDecontaminate(batch, b)
+          .write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
+    }
+  }
+
+  /**
    * Streaming prototype GATE (ext119's ingest side): arriving vectors
    * are assigned to their nearest STORED bucket centroid and gated
    * against the bucket's STORED keep boundary

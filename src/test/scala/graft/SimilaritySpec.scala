@@ -393,6 +393,27 @@ class SimilaritySpec extends TestBase {
     graft.ops.Reuse.freeAll(spark)
   }
 
+  test("semantic decontamination: planted paraphrase flagged with its " +
+      "bench item, orthogonal clean, equal-cos ties to the lower bench " +
+      "id (ext122)") {
+    import spark.implicits._
+    val bench = Seq((1L, Array(1.0f, 0.0f)), (2L, Array(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val corpus = Seq(
+      (10L, Array(2.0f, 0.0f)),   // scaled copy of bench 1 → cos 1
+      (11L, Array(3.0f, 3.0f)),   // equal cos to both → tie → bench 1
+      (12L, Array(-5.0f, 0.0f)))  // best is cos 0 vs bench 2 → clean
+      .toDF("vec_id", "embedding")
+    val got = Similarity.semanticDecontaminate(corpus, bench)
+      .as[(Long, Long, Double, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got(10L)._1 == 1L && got(10L)._3 == 1L &&
+      math.abs(got(10L)._2 - 1.0) < 1e-9)
+    assert(got(11L)._1 == 1L && got(11L)._3 == 1L)
+    assert(got(12L)._1 == 2L && got(12L)._3 == 0L &&
+      math.abs(got(12L)._2) < 1e-9)
+  }
+
   test("prototype pruning: within-bucket percent-rank of centroid " +
       "distance; easy/hard keep halves partition each bucket (ext119)") {
     import spark.implicits._

@@ -516,6 +516,30 @@ class StreamingSpec extends TestBase {
     graft.ops.Reuse.freeAll(spark)
   }
 
+  test("streaming semantic decontamination == batch flags at any " +
+      "batching (ext122 twin)") {
+    val emb = graft.ingest.Tables.embeddings(spark, sf("sf0.001"))
+    val bench = emb.filter(col("vec_id") < 20).localCheckpoint(true)
+    val corpus = emb.filter(col("vec_id") >= 20)
+    val srcDir = Files.createTempDirectory("graft-sd-src").toString + "/d"
+    corpus.repartition(3).write.parquet(srcDir)
+    val out = Files.createTempDirectory("graft-sd-out").toString
+    val ckpt = Files.createTempDirectory("graft-sd-ckpt").toString
+    val q = StreamingPipeline.semanticDecontaminateSink(
+      StreamingPipeline.parquetStream(spark, srcDir,
+        maxFilesPerTrigger = Some(1)), bench, out)
+      .option("checkpointLocation", ckpt).start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.read.parquet(out)
+      .select("vec_id", "bench_id", "max_cos", "contaminated")
+    val batch = graft.ops.Similarity.semanticDecontaminate(corpus, bench)
+    assert(streamed.count() == batch.count() && batch.count() > 0)
+    assert(streamed.except(batch).isEmpty && batch.except(streamed).isEmpty,
+      "streamed decontamination flags differ from the batch operator")
+    graft.ops.Reuse.freeAll(spark)
+  }
+
   test("streaming prototype gate == batch pruning on well-separated " +
       "clusters; artifacts learned once offline (ext119 twin)") {
     import spark.implicits._
