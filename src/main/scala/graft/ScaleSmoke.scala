@@ -356,6 +356,20 @@ object ScaleSmoke {
         .localCheckpoint(true)
       graft.ops.Similarity.knnDensity(bigEmb, bk, 5)
     }
+    // semantic decontamination (ext122): fixed 20-vector bench
+    // broadcast against the grown corpus — one linear scan, rows ==
+    // corpus (the bloom_decontaminate shape in embedding space).
+    time("semantic_decontaminate") {
+      graft.ops.Similarity.semanticDecontaminate(
+        bigEmbL.filter(col("vec_id") % 1000000L >= 20),
+        baseEmb.filter(col("vec_id") < 20))
+    }
+    // anneal ledger (ext121): one keyed counts aggregate + two
+    // broadcast totals — |strata| x 2 rows at any mult.
+    time("anneal_ledger") {
+      graft.ops.Sampling.annealLedger(big, 10000000L, 100000L,
+        Seq("source"))
+    }
     spark.stop()
   }
 }
