@@ -1840,6 +1840,13 @@ object ExtEntry {
       Sampling.annealLedger(docs(s, dir), TokenBudget)
         .orderBy("phase", "source")),
 
+    // Within-doc repetition surgery: intra-document dedup — the APPLY
+    // side of ext106's dup-n-gram measure (RefinedWeb line-dedup at
+    // n-gram granularity). First occurrence survives, repeats cut,
+    // reassembled in order; doc-local everywhere (no cross-doc state).
+    "ext123_repetition_surgery" -> ((s, dir) =>
+      Dedup.repetitionSurgery(docs(s, dir)).orderBy("doc_id")),
+
     // Semantic decontamination: the embedding-space member of the
     // decontamination family (ext97 lexical spans, ext102 Bloom
     // membership) — paraphrase-level eval leaks that n-grams miss.
@@ -4453,6 +4460,36 @@ object ExtEntry {
          |            ELSE CAST(0 AS BIGINT) END AS epochs_q
          |FROM u ORDER BY phase, source""".stripMargin
     },
+
+    // Within-doc surgery: per-(doc, h) first positions, repeats cut
+    // by coverage, ext96's reassembly tail.
+    "ext123_repetition_surgery" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+         |pos AS (
+         |  SELECT doc_id, i,
+         |         ${hashSql("tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]")} AS h
+         |  FROM toks JOIN range(1, ${Dedup.MaxShinglesPerDoc + 1}) g(i)
+         |    ON i <= len(tk) - 2),
+         |f AS (SELECT doc_id, h, min(i) AS i0 FROM pos GROUP BY 1, 2),
+         |cut AS (
+         |  SELECT DISTINCT p.doc_id, p.i + o AS p
+         |  FROM pos p JOIN f USING (doc_id, h), range(0, 3) r(o)
+         |  WHERE p.i > f.i0),
+         |tkr AS (
+         |  SELECT doc_id, unnest(tk) AS tok,
+         |         unnest(range(1, len(tk) + 1)) AS p
+         |  FROM toks),
+         |j AS (
+         |  SELECT t.doc_id, t.p, t.tok, c.p AS cp
+         |  FROM tkr t LEFT JOIN cut c ON c.doc_id = t.doc_id AND c.p = t.p)
+         |SELECT doc_id,
+         |       CAST(count(*) AS BIGINT) AS n_toks,
+         |       CAST(SUM(CASE WHEN cp IS NOT NULL THEN 1 ELSE 0 END)
+         |         AS BIGINT) AS n_toks_cut,
+         |       COALESCE(string_agg(CASE WHEN cp IS NULL THEN tok END,
+         |         ' ' ORDER BY p), '') AS clean_text
+         |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // Semantic decontamination: all (corpus, bench) cosines, argmax
     // per corpus vector via the (cos DESC, bid ASC) ranking, flag at

@@ -567,6 +567,14 @@ object Dedup {
         explode(sequence(col("i"), col("i") + lit(n - 1))).as("p"))
       .distinct()
       .withColumn("_cut", lit(1L))
+    surgeryTail(doc, toCut, id, text)
+  }
+
+  /** Shared reassembly tail of every span surgery: tokens minus the
+    * (id, p, _cut=1) cut set, counted and rejoined in order in ONE
+    * doc-keyed aggregate (the ext59 single-pass shape). */
+  private def surgeryTail(doc: DataFrame, toCut: DataFrame, id: String,
+      text: String): DataFrame =
     doc.select(col(id),
         posexplode(graft.ops.TextOps.tokens(col(text)))
           .as(Seq("_p0", "tok")))
@@ -580,6 +588,39 @@ object Dedup {
           array_sort(collect_list(when(col("_cut").isNull,
             struct(col("p"), col("tok"))))),
           s => s.getField("tok")), " ").as("clean_text"))
+
+  /**
+   * WITHIN-document repetition surgery — intra-document dedup, the
+   * APPLY side of [[graft.ops.TextOps.gopherRepetitionCard]]'s
+   * dup-n-gram measure (the RefinedWeb line-dedup convention at
+   * n-gram granularity): cut from each document the token positions
+   * covered by an n-gram occurrence whose hash FIRST occurs earlier
+   * in the SAME document, keep the first occurrence, reassemble in
+   * order. A repetition-free document comes back byte-identical; a
+   * k-times-repeated phrase collapses to one copy. Cross-document
+   * duplication is untouched — that is [[dupSpanSurgery]]'s job, and
+   * the two compose (within-doc first shrinks the cross-doc shingle
+   * volume), mirroring the ext106/ext91 measure pair.
+   *
+   * Scale shape: doc-local EVERYWHERE — the first-occurrence
+   * aggregate keys on (doc, h), the cut set and reassembly on
+   * (doc, p); no cross-document state at all, so the operator is
+   * embarrassingly data-parallel and its streaming form is just the
+   * batch operator per micro-batch (stateless by construction,
+   * unlike ext96's corpus-snapshot keeper artifact). Positions past
+   * [[MaxShinglesPerDoc]] are never cut — the shared cap discipline.
+   */
+  def repetitionSurgery(doc: DataFrame, id: String = "doc_id",
+      text: String = "text", n: Int = 3): DataFrame = {
+    val pos = Reuse.shared(positionalShingles(doc, id, text, n))
+    val firsts = pos.groupBy(col(id), col("h")).agg(min(col("i")).as("i0"))
+    val toCut = pos.join(firsts, Seq(id, "h"))
+      .filter(col("i") > col("i0"))
+      .select(col(id),
+        explode(sequence(col("i"), col("i") + lit(n - 1))).as("p"))
+      .distinct()
+      .withColumn("_cut", lit(1L))
+    surgeryTail(doc, toCut, id, text)
   }
 
   /**

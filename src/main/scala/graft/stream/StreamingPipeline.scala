@@ -450,6 +450,22 @@ object StreamingPipeline {
   }
 
   /**
+   * Streaming within-doc repetition surgery (ext123): the operator is
+   * doc-local everywhere (first occurrences, cuts, reassembly all key
+   * on the document), so the streaming form IS the batch operator per
+   * micro-batch — no corpus artifact at all, unlike ext96's keeper
+   * relation. Streamed rows equal the batch operator's at any
+   * batching by construction.
+   */
+  def repetitionSurgerySink(docs: DataFrame,
+      outPath: String): DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.outputMode("append").foreachBatch {
+      (batch: DataFrame, batchId: Long) =>
+        graft.ops.Dedup.repetitionSurgery(batch)
+          .write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
+    }
+
+  /**
    * Streaming semantic decontamination (ext122's ingest side): every
    * arriving vector is scored against the broadcast benchmark set —
    * the embedding sibling of [[bloomProbeSink]]'s membership probe.

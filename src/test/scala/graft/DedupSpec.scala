@@ -310,6 +310,27 @@ class DedupSpec extends TestBase {
     graft.ops.Reuse.freeAll(spark)
   }
 
+  test("repetitionSurgery: repeated phrases collapse to their first " +
+      "occurrence; repetition-free docs byte-identical (ext123)") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c a b c a b c a"),  // 3x phrase + tail
+      (2L, "x y x y x y z"),        // overlapping repeats
+      (3L, "p q r s t"),            // repetition-free
+      (4L, "hi"))                   // shorter than a trigram
+      .toDF("doc_id", "text")
+    val got = Dedup.repetitionSurgery(docs)
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // trigram firsts abc@1 bca@2 cab@3; repeats at 4..8 cover 4..10
+    assert(got(1L) == ((10L, 7L, "a b c")))
+    // firsts xyx@1 yxy@2 xyz@5; repeats at 3,4 cover 3..6
+    assert(got(2L) == ((7L, 4L, "x y z")))
+    assert(got(3L) == ((5L, 0L, "p q r s t")))
+    assert(got(4L) == ((1L, 0L, "hi")))
+    graft.ops.Reuse.freeAll(spark)
+  }
+
   test("lexicalAgreementAudit: exact copies confirm at cosine 1.0; " +
       "no-pair corpus yields a guarded zero row (ext100)") {
     import spark.implicits._

@@ -516,6 +516,29 @@ class StreamingSpec extends TestBase {
     graft.ops.Reuse.freeAll(spark)
   }
 
+  test("streaming repetition surgery == batch operator (ext123 twin — " +
+      "doc-local, so stateless at any batching)") {
+    val docs = graft.ingest.Tables.documents(spark, sf("sf0.001"))
+      .select("doc_id", "text")
+    val srcDir = Files.createTempDirectory("graft-rs-src").toString + "/d"
+    docs.repartition(3).write.parquet(srcDir)
+    val out = Files.createTempDirectory("graft-rs-out").toString
+    val ckpt = Files.createTempDirectory("graft-rs-ckpt").toString
+    val q = StreamingPipeline.repetitionSurgerySink(
+      StreamingPipeline.parquetStream(spark, srcDir,
+        maxFilesPerTrigger = Some(1)), out)
+      .option("checkpointLocation", ckpt).start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.read.parquet(out)
+      .select("doc_id", "n_toks", "n_toks_cut", "clean_text")
+    val batch = graft.ops.Dedup.repetitionSurgery(docs)
+    assert(streamed.count() == batch.count() && batch.count() > 0)
+    assert(streamed.except(batch).isEmpty && batch.except(streamed).isEmpty,
+      "streamed repetition surgery differs from the batch operator")
+    graft.ops.Reuse.freeAll(spark)
+  }
+
   test("streaming semantic decontamination == batch flags at any " +
       "batching (ext122 twin)") {
     val emb = graft.ingest.Tables.embeddings(spark, sf("sf0.001"))
