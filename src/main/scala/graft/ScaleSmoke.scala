@@ -370,6 +370,12 @@ object ScaleSmoke {
       graft.ops.Sampling.annealLedger(big, 10000000L, 100000L,
         Seq("source"))
     }
+    // within-doc repetition surgery (ext123): doc-local everywhere —
+    // expect linear, rows == docs; in dup mode every copy's intra-doc
+    // structure is identical, so per-doc outputs repeat exactly.
+    time("repetition_surgery") {
+      graft.ops.Dedup.repetitionSurgery(big)
+    }
     spark.stop()
   }
 }
