@@ -39,6 +39,19 @@ object PerfLab {
     * multi-second drift (what the gate exists for) still fails. */
   val FloorSlackSec = 0.35
 
+  /** Ceiling on the context factor, and the suite-TOTAL gate (r9
+    * ADVICE): unbounded median-normalization is blind to a uniform
+    * REAL regression — a change slowing every query 3x through a
+    * shared path (Reuse checkpointing, session conf) reads as ctx≈3
+    * with zero per-query breaches. Two closures: ctx is capped (the
+    * largest honest host-load factor ever observed is the r8 driver's
+    * 1.45x; 2.0 leaves margin), and the summed steady time over
+    * floor-covered queries is itself gated at TotalMargin x the summed
+    * floors — a uniform slowdown cancels out of the per-query ratios
+    * but not out of the total. */
+  val CtxCap = 2.0
+  val TotalMargin = 2.0
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -102,9 +115,9 @@ object PerfLab {
         floors.get(n).filter(_ > 0).map(fl => n -> dt / fl) }.toMap
       val ctx = if (ratios.isEmpty) 1.0 else {
         val sorted = ratios.values.toSeq.sorted
-        math.max(1.0, sorted(sorted.size / 2))
+        math.min(CtxCap, math.max(1.0, sorted(sorted.size / 2)))
       }
-      val breaches = steady.toSeq.sortBy(_._1).flatMap { case (name, dt) =>
+      val perQuery = steady.toSeq.sortBy(_._1).flatMap { case (name, dt) =>
         floors.get(name).flatMap { floor =>
           val margin = if (floor < SmallFloorSec) SmallFloorMargin
             else FloorMargin
@@ -114,6 +127,19 @@ object PerfLab {
           else None
         }
       }
+      // Uniform-regression gate: the per-query test normalizes a
+      // shared factor away; the summed total does not.
+      val covered = steady.keySet.intersect(floors.keySet).toSeq
+      val totalSteady = covered.map(steady).sum
+      val totalFloor = covered.map(floors).sum
+      val totalBreach =
+        if (covered.nonEmpty && totalSteady >
+            totalFloor * TotalMargin + FloorSlackSec * covered.size)
+          Seq(f"SUITE TOTAL: $totalSteady%.2f s > ${TotalMargin}x summed " +
+            f"floors $totalFloor%.2f s (+ per-query slack) — uniform " +
+            "regression the normalized gate cannot see")
+        else Nil
+      val breaches = perQuery ++ totalBreach
       breaches.foreach(b => println(s"PERFLAB FLOOR BREACH $b"))
       val checked = steady.keySet.intersect(floors.keySet).size
       println(f"PERFLAB floor gate: $checked queries checked, ctx " +

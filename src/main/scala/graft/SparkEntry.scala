@@ -81,7 +81,12 @@ object SparkEntry {
    */
   def ensureCountsStore(s: SparkSession, dir: String): String =
     synchronized {
-      val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+      // The readable prefix alone can collide for distinct dirs
+      // ("/a/b" and "/a.b" both flatten to "_a_b" — r9 ADVICE), and
+      // two sessions sharing one store path would thrash the stamp;
+      // the hash suffix makes the mapping injective in practice.
+      val tag = dir.replaceAll("[^a-zA-Z0-9]", "_") + "_" +
+        Integer.toHexString(dir.hashCode)
       val base = s"/tmp/graft_store/$tag"
       java.nio.file.Files.createDirectories(java.nio.file.Paths.get(base))
       val lockCh = java.nio.channels.FileChannel.open(

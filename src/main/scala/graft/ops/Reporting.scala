@@ -238,10 +238,15 @@ object Reporting {
     require(signals.size >= 2, "need at least two signals")
     // The cross-moment columns encode the pair as `x_<a>__<b>`;
     // a name containing "__" would make that encoding ambiguous and
-    // mis-parse in [[correlationsFromMoments]] (r8 ADVICE).
+    // mis-parse in [[correlationsFromMoments]] (r8 ADVICE). A leading
+    // or trailing single '_' is just as ambiguous once adjacent to the
+    // separator ('a_' + 'b' encodes as x_a___b, which re-parses as
+    // ('a', '_b') — r9 ADVICE), so the rule is round-trip safety:
+    // s"${a}__$b".split("__") must reproduce (a, b) exactly.
     signals.foreach { case (n, _) =>
-      require(!n.contains("__"),
-        s"signal name must not contain '__' (reserved pair separator): $n")
+      require(!n.contains("__") && !n.startsWith("_") && !n.endsWith("_"),
+        "signal name must not contain '__' (reserved pair separator) " +
+          s"or start/end with '_' (would touch the separator): $n")
     }
     val sel = df.select(signals.map { case (n, c) =>
       c.cast("long").as(n) }: _*)

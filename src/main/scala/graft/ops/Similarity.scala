@@ -741,12 +741,19 @@ object Similarity {
       vec: String = "embedding"): DataFrame = {
     val corpus = prepared(emb, id, vec).toDF("vid", "q", "n2")
     val b = prepared(bench, id, vec).toDF("bid", "bq", "bn2")
-    corpus.crossJoin(broadcast(b))
-      .withColumn("cos",
-        cosine(qdot(col("q"), col("bq")), col("n2"), col("bn2")))
+    // LEFT cross join, not crossJoin: an EMPTY bench side must still
+    // yield one row per corpus vector (bench_id/max_cos null,
+    // contaminated = 0), not an empty frame a downstream sink could
+    // mistake for "nothing contaminated, rows lost" (r9 ADVICE). The
+    // aggregate's min(when(...)) ignores the null-padded rows, so the
+    // non-empty-bench output is byte-identical to the old crossJoin.
+    corpus.join(broadcast(b), lit(true), "left")
+      .withColumn("cos", when(col("bid").isNotNull,
+        cosine(qdot(col("q"), col("bq")), col("n2"), col("bn2"))))
       .groupBy(col("vid"))
-      .agg(min(struct((-col("cos")).as("negcos"),
-        col("bid").as("bid"))).as("m"))
+      .agg(min(when(col("bid").isNotNull,
+        struct((-col("cos")).as("negcos"),
+          col("bid").as("bid")))).as("m"))
       .select(col("vid").as(id), col("m.bid").as("bench_id"),
         (-col("m.negcos")).as("max_cos"),
         when(-col("m.negcos") >= threshold, 1L).otherwise(0L)

@@ -485,6 +485,25 @@ class OpsSpec extends TestBase {
     val strided = Multimodal.sampleFramesDecoded(assets, every = 2)
       .filter(col("asset_id") === 1L).collect()
     assert(strided.map(_.frame_no).toSeq == Seq(0L))
+    // sample-AWARE decode (r9 item 3): every=2 on a 4-frame animation
+    // reads exactly frames {0, 2} through the seam — decode work is
+    // bounded by frames READ, not frames stored — and the output is
+    // identical to filtering the decode-all path
+    val four = Seq(MediaAsset(4L, "video",
+      gifBytes(Seq(0x000000, 0x404040, 0x808080, 0xffffff)),
+      "image/gif")).toDS()
+    val before = Multimodal.GifFrameDecoder.decodeCount.get()
+    val sampled = Multimodal.sampleFramesDecoded(four, every = 2)
+      .collect().sortBy(_.frame_no)
+    val reads = Multimodal.GifFrameDecoder.decodeCount.get() - before
+    assert(sampled.map(_.frame_no).toSeq == Seq(0L, 2L))
+    assert(reads == 2L, s"expected exactly 2 frame reads, saw $reads")
+    val allFrames = Multimodal.sampleFramesDecoded(four).collect()
+      .sortBy(_.frame_no).filter(_.frame_no % 2 == 0)
+    assert(sampled.map(f => (f.frame_no, f.width, f.height, f.decoded,
+        f.feature.toSeq)).toSeq ==
+      allFrames.map(f => (f.frame_no, f.width, f.height, f.decoded,
+        f.feature.toSeq)).toSeq)
     // single-frame PNG bytes decode as a 1-frame container (the seam
     // is format-agnostic: one reader loop, no GIF special-casing)
     val png = Seq(MediaAsset(3L, "image",

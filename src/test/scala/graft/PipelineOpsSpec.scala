@@ -316,6 +316,17 @@ class PipelineOpsSpec extends TestBase {
       graft.ops.Reporting.signalMoments(df, Seq(
         "a__b" -> col("x"), "y" -> col("y")))
     }
+    // leading/trailing single '_' is equally ambiguous once adjacent
+    // to the separator: 'a_' + 'b' encodes as x_a___b which re-parses
+    // as ('a', '_b') (r9 ADVICE)
+    intercept[IllegalArgumentException] {
+      graft.ops.Reporting.signalMoments(df, Seq(
+        "a_" -> col("x"), "b" -> col("y")))
+    }
+    intercept[IllegalArgumentException] {
+      graft.ops.Reporting.signalMoments(df, Seq(
+        "a" -> col("x"), "_b" -> col("y")))
+    }
     // empty stream: the pair list is schema-derived, so the fold still
     // emits every pair — n = 0, corr 0 via the zero-variance guard
     val moments = graft.ops.Reporting.signalMoments(df, Seq(

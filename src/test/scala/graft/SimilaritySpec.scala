@@ -412,6 +412,15 @@ class SimilaritySpec extends TestBase {
     assert(got(11L)._1 == 1L && got(11L)._3 == 1L)
     assert(got(12L)._1 == 2L && got(12L)._3 == 0L &&
       math.abs(got(12L)._2) < 1e-9)
+    // an EMPTY bench must keep the one-row-per-corpus-vector contract
+    // (contaminated = 0, null bench_id/max_cos), never an empty frame
+    // a sink could mistake for "nothing contaminated" with rows lost
+    // (r9 ADVICE)
+    val noBench = Similarity.semanticDecontaminate(corpus, bench.limit(0))
+      .collect().sortBy(_.getLong(0))
+    assert(noBench.length == 3)
+    assert(noBench.forall(r => r.isNullAt(1) && r.isNullAt(2) &&
+      r.getLong(3) == 0L))
   }
 
   test("prototype pruning: within-bucket percent-rank of centroid " +

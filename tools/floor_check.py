@@ -26,6 +26,15 @@ FLOOR_MARGIN = 2.0       # artifact gate: normalized ratio ceiling
 SMALL_FLOOR_SEC = 0.5
 SMALL_MARGIN = 2.5       # sub-second floors are scheduler-noise bound
 SLACK_SEC = 0.35
+# r9 ADVICE: unbounded median-normalization is blind to a UNIFORM real
+# regression (every query 3x slower via a shared path reads as ctx~3,
+# zero breaches). Two closures, mirroring graft.PerfLab: ctx is capped
+# (largest honest host-load factor observed is 1.5; 2.0 leaves margin)
+# and the summed time over floor-covered queries is gated against the
+# summed floors — a shared factor cancels out of per-query ratios but
+# not out of the total.
+CTX_CAP = 2.0
+TOTAL_MARGIN = 2.0
 
 
 def parse_queries(path):
@@ -52,7 +61,7 @@ def main():
         if not ratios:
             print(f"{path}: no overlapping queries with floors")
             continue
-        ctx = max(1.0, statistics.median(ratios.values()))
+        ctx = min(CTX_CAP, max(1.0, statistics.median(ratios.values())))
         breaches = []
         for k in sorted(ratios):
             fl = floors[k]
@@ -61,6 +70,14 @@ def main():
                 breaches.append(
                     f"  BREACH {k}: {qs[k]:.2f}s > {margin}x floor "
                     f"{fl:.2f}s x ctx {ctx:.2f} + {SLACK_SEC}s")
+        total_steady = sum(qs[k] for k in ratios)
+        total_floor = sum(floors[k] for k in ratios)
+        if total_steady > total_floor * TOTAL_MARGIN + SLACK_SEC * len(ratios):
+            breaches.append(
+                f"  BREACH SUITE TOTAL: {total_steady:.2f}s > "
+                f"{TOTAL_MARGIN}x summed floors {total_floor:.2f}s "
+                f"(+ per-query slack) — uniform regression the "
+                f"normalized gate cannot see")
         worst = max(ratios.values())
         worst_n = max((v / ctx) for v in ratios.values())
         print(f"{path}: {len(ratios)} queries vs floors, total={total}, "
