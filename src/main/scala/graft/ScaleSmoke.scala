@@ -254,6 +254,21 @@ object ScaleSmoke {
       graft.ops.Similarity.semDedup(bigEmb,
         graft.ops.Similarity.kmeansBuckets(bigEmb))
     }
+    // rebalanced twin of the fixed-k exclusion (r9 verdict item 1):
+    // one hierarchical split level caps bucket size, so the dup-mode
+    // 100x row that was a reasoned exclusion at fixed k=8 is a
+    // runnable number — the pair join's worst term is bounded by the
+    // cap, not by corpus/k. A child still over the cap (an identical
+    // family larger than the cap cannot split — every copy is
+    // equidistant to every centroid; that floor is exact dedup's job)
+    // would take a second application of the same operator.
+    time("semdedup_rebalanced") {
+      val bk = graft.ops.Similarity.kmeansBuckets(bigEmb)
+        .localCheckpoint(true)
+      val reb = graft.ops.Similarity.splitOversizedBuckets(bigEmb, bk,
+        maxBucket = 2000L, split = 32).localCheckpoint(true)
+      graft.ops.Similarity.semDedup(bigEmb, reb)
+    }
     // pq encode: one linear scan + broadcast M×K codebook argmin;
     // output = M rows per vector at any mult. The Lloyd's build cost
     // is the same m-keyed chain at Nx input.
@@ -356,6 +371,16 @@ object ScaleSmoke {
         .localCheckpoint(true)
       graft.ops.Similarity.knnDensity(bigEmb, bk, 5)
     }
+    // rebalanced twin (r9 verdict item 1) — same story as
+    // semdedup_rebalanced: the split cap bounds the same-bucket pair
+    // join that made fixed-k=8 knn density a 100x dup-mode exclusion.
+    time("knn_density_rebalanced") {
+      val bk = graft.ops.Similarity.kmeansBuckets(bigEmb)
+        .localCheckpoint(true)
+      val reb = graft.ops.Similarity.splitOversizedBuckets(bigEmb, bk,
+        maxBucket = 2000L, split = 32).localCheckpoint(true)
+      graft.ops.Similarity.knnDensity(bigEmb, reb, 5)
+    }
     // semantic decontamination (ext122): fixed 20-vector bench
     // broadcast against the grown corpus — one linear scan, rows ==
     // corpus (the bloom_decontaminate shape in embedding space).
@@ -375,6 +400,14 @@ object ScaleSmoke {
     // structure is identical, so per-doc outputs repeat exactly.
     time("repetition_surgery") {
       graft.ops.Dedup.repetitionSurgery(big)
+    }
+    // end-to-end curation chain (ext126): gopher → rep surgery → span
+    // surgery → semantic + bloom decon → mixture → pack, each stage an
+    // operator with its own smoke row above — the chain must cost
+    // roughly the SUM of its stages (it adds no new shuffle shape).
+    // Bench = doc_id < 20 (copy 0 only, fixed at any mult).
+    time("curation_pipeline") {
+      graft.ops.Curation.pipelineCard(big, bigEmbL, 20L, 10000000L)
     }
     spark.stop()
   }

@@ -371,6 +371,38 @@ object Similarity {
       kmeansProbeBuckets(emb, k, iters, maxProbes, id, vec)
     }
 
+  /** The stored coarse-quantizer artifact (cid, cq, cn2) behind
+    * [[kmeansBuckets]]/[[kmeansProbeBuckets]] — exposed so a
+    * STREAMING searcher can probe-assign arriving query vectors
+    * ([[centroidProbes]]) without the assignment index, which only
+    * covers the corpus snapshot (the prototypeCentroids/ext119
+    * stored-artifact pattern). Same deterministic Lloyd's: for any
+    * corpus member, centroidProbes off these centroids is
+    * bit-identical to its kmeansProbeBuckets row. */
+  def kmeansCentroids(emb: DataFrame, k: Int = 8, iters: Int = 2,
+      id: String = "vec_id", vec: String = "embedding"): DataFrame =
+    lloydCentroids(
+      Reuse.shared(prepared(emb, id, vec).toDF("vid", "q", "n2")), k, iters)
+
+  /** Probe assignment of ARBITRARY vectors against stored centroids —
+    * [[kmeansProbeBuckets]]' (dist ASC, cid ASC) ranking with the
+    * Lloyd's build replaced by the artifact; one broadcast of the
+    * k-row centroid frame, no corpus access. */
+  def centroidProbes(vecs: DataFrame, cents: DataFrame, probes: Int,
+      id: String = "vec_id", vec: String = "embedding"): DataFrame = {
+    require(probes >= 1, "probes must be >= 1")
+    val w = Window.partitionBy(col("vid"))
+      .orderBy(col("dist"), col("cid"))
+    prepared(vecs, id, vec).toDF("vid", "q", "n2")
+      .crossJoin(broadcast(cents))
+      .withColumn("dist",
+        col("n2") + col("cn2") - lit(2L) * qdot(col("q"), col("cq")))
+      .withColumn("probe_rank", row_number().over(w))
+      .filter(col("probe_rank") <= probes)
+      .select(col("vid").as(id), col("cid").as("bucket"),
+        col("probe_rank").cast("long").as("probe_rank"))
+  }
+
   /** argmin assignment as min(struct(dist, cid)) — a map-side-combinable
     * hash aggregate with the same (dist ASC, cid ASC) tie-break the
     * row_number window would give, minus the window's sort exchange;
@@ -887,6 +919,99 @@ object Similarity {
         col("knn_mean_dist"), col("knn_max_dist"))
   }
 
+  /**
+   * Hierarchical IVF bucket split/rebalance — the operator form of the
+   * documented quadratic-bucket hazard's production answer (r9 verdict
+   * item 1): every same-bucket pair consumer ([[semDedup]],
+   * [[knnDensity]]) is O(Σ|bucket|²), so a coarse quantizer whose hot
+   * bucket grows with the corpus (mass duplication at fixed k) turns
+   * linear passes quadratic. This re-runs the SAME deterministic
+   * Lloyd's WITHIN every bucket exceeding `maxBucket` — all oversized
+   * buckets re-clustered in ONE grouped dataflow, never a driver-side
+   * loop over buckets — and emits a composite id, so consumers take
+   * the rebalanced assignment completely unchanged.
+   *
+   * Composite encoding (collision-free by construction): a KEPT bucket
+   * b maps to `b * split`; a split parent p's child of dense rank
+   * r < split maps to `p * split + r`. Kept-vs-child ids can only
+   * collide at r = 0 with b = p, and p is split (not kept); child ids
+   * collide only within one parent, where the dense rank is unique.
+   * Bucket ids are opaque labels downstream (join/group keys), so the
+   * uniform rescale is invisible to consumers. Requires
+   * |bucket id| < Long.Max / split (bucket ids are seed vids).
+   *
+   * The output is a plain (id, bucket) assignment, so the operator
+   * COMPOSES with itself: children still exceeding the cap (an
+   * identical-vector family larger than `maxBucket` is unsplittable —
+   * every copy has the same distance to every child centroid; that
+   * floor is exact dedup's job, ext87's composition) are handled by
+   * re-application, each level multiplying the id by `split` again.
+   *
+   * Scale shape: bucket sizes are one keyed count; the seed pick is
+   * row_number ≤ split per bucket (WindowGroupLimit — a per-partition
+   * heap, not a full sort); each Lloyd's round is one broadcast join
+   * against the (|oversized| × split)-row centroid frame plus two
+   * keyed aggregates — the [[lloydCentroids]] cost profile with
+   * `bucket` added to every key. Nothing is all-pairs.
+   */
+  def splitOversizedBuckets(emb: DataFrame, buckets: DataFrame,
+      maxBucket: Long, split: Int = 2, iters: Int = 2,
+      id: String = "vec_id", vec: String = "embedding"): DataFrame = {
+    require(maxBucket >= 1, "maxBucket must be >= 1")
+    require(split >= 2, "split factor must be >= 2")
+    val corpus = Reuse.shared(prepared(emb, id, vec).toDF("vid", "q", "n2")
+      .join(buckets.toDF("vid", "bucket"), "vid"))
+    val over = corpus.groupBy("bucket").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") > maxBucket).select("bucket")
+    val members = corpus.join(broadcast(over), "bucket")
+    // Within-bucket seeds: the `split` smallest member vids — the
+    // per-bucket twin of lloydCentroids' orderBy(vid).limit(k).
+    val seedW = Window.partitionBy(col("bucket")).orderBy(col("vid"))
+    var cents = members.withColumn("rn", row_number().over(seedW))
+      .filter(col("rn") <= split)
+      .select(col("bucket"), col("vid").as("ccid"), col("q").as("cq"),
+        col("n2").as("cn2"))
+    // assignArgmin with `bucket` joined into the key: each member
+    // competes only against its own parent's child centroids.
+    def assignSub(c: DataFrame): DataFrame =
+      members.join(broadcast(c), Seq("bucket"))
+        .withColumn("dist",
+          col("n2") + col("cn2") - lit(2L) * qdot(col("q"), col("cq")))
+        .groupBy(col("vid"))
+        .agg(min(struct(col("dist"), col("ccid"))).as("m"),
+          first(col("bucket")).as("bucket"), first(col("q")).as("q"))
+        .select(col("vid"), col("bucket"), col("m.ccid").as("ccid"),
+          col("q"))
+    (1 to iters).foreach { _ =>
+      val a = assignSub(cents)
+      cents = a.select(col("bucket"), col("ccid"),
+          posexplode(col("q")).as(Seq("pos", "v")))
+        .groupBy("bucket", "ccid", "pos")
+        .agg(sum("v").as("s"), count(lit(1)).as("n"))
+        .withColumn("cv",
+          floor(col("s").cast("double") / col("n")).cast("long"))
+        .groupBy("bucket", "ccid")
+        .agg(transform(array_sort(collect_list(struct(col("pos"),
+          col("cv")))), x => x.getField("cv")).as("cq"))
+        .withColumn("cn2", qnorm2(col("cq")))
+    }
+    // Dense child rank off the FINAL surviving centroid set (tiny:
+    // |oversized| x split rows), ordered by ccid for determinism.
+    val rankW = Window.partitionBy(col("bucket")).orderBy(col("ccid"))
+    val childRank = cents.select("bucket", "ccid")
+      .withColumn("child", (row_number().over(rankW) - 1).cast("long"))
+    val splitAssign = assignSub(cents)
+      .join(broadcast(childRank), Seq("bucket", "ccid"))
+      .select(col("vid"),
+        (col("bucket") * split + col("child")).as("bucket"))
+    val keptAssign = corpus
+      .join(broadcast(over.withColumn("_o", lit(1))), Seq("bucket"), "left")
+      .filter(col("_o").isNull)
+      .select(col("vid"), (col("bucket") * split).as("bucket"))
+    keptAssign.union(splitAssign)
+      .select(col("vid").as(id), col("bucket"))
+  }
+
   // ---- Product quantization (Jégou et al. 2011) -------------------------
 
   /** PQ geometry: M subspaces × K codes. Storage per vector drops from
@@ -1078,23 +1203,58 @@ object Similarity {
       k: Int, probes: Int = 2, candidates: Int = 20,
       id: String = "vec_id", vec: String = "embedding",
       codebooks: Option[DataFrame] = None): DataFrame = {
+    require(probes >= 1, "probes must be >= 1")
     val cb = codebooks.getOrElse(Reuse.shared(pqCodebooks(emb, id, vec)))
-    val coded = pqCodes(emb, cb, id, vec).toDF("t_id", "m", "code")
-      .join(probeIndex.filter(col("probe_rank") === 1)
-        .select(col(id).as("t_id"), col("bucket")), "t_id")
-    ivfPqTopKOf(coded, cb, emb, queries, probeIndex, k, probes,
-      candidates, id, vec)
+    val coded = ivfPqCodedCorpus(emb, cb,
+      probeIndex.filter(col("probe_rank") === 1)
+        .select(col(id), col("bucket")), id, vec)
+    val qProbes = probeIndex.filter(col("probe_rank") <= probes)
+      .select(col(id).as("q_id"), col("bucket"))
+      .join(queries.select(col(id).as("q_id")), "q_id")
+    ivfPqTopKOf(coded, cb, emb, queries, qProbes, k, candidates, id, vec)
   }
 
-  /** The search path over PREBUILT IVF-PQ artifacts (bucket-tagged
-    * codes + codebooks), so the probe curve builds once and searches
-    * per probe level — the production build/search split. */
+  /** The bucket-tagged PQ code artifact `(t_id, m, code, bucket)` the
+    * IVF-PQ searchers scan — built ONCE per corpus snapshot (the
+    * serving store's persisted form: M small ints + one bucket tag per
+    * vector, never the floats). */
+  def ivfPqCodedCorpus(emb: DataFrame, cb: DataFrame,
+      buckets: DataFrame, id: String = "vec_id",
+      vec: String = "embedding"): DataFrame =
+    pqCodes(emb, cb, id, vec).toDF("t_id", "m", "code")
+      .join(buckets.toDF("t_id", "bucket"), "t_id")
+
+  /**
+   * Serving-path search over fully PREBUILT artifacts — the form a
+   * query STREAM runs (r9 verdict item 2): the arriving query knows
+   * nothing of the build, so its probed buckets come from the STORED
+   * coarse centroids ([[kmeansCentroids]]) via [[centroidProbes]] —
+   * the same (dist ASC, cid ASC) ranking the index build used, so for
+   * any corpus-member query the result is bit-identical to
+   * [[ivfPqTopK]] on the same snapshot. Scale shape unchanged from
+   * ivfPqTopK: broadcast per-query LUT × probed buckets, ADC equi-join
+   * on (bucket, m, code), WindowGroupLimit-bounded candidates, floats
+   * re-read only via the keyed join on ≤ candidates·|queries| rows.
+   */
+  def ivfPqSearch(queries: DataFrame, cents: DataFrame, cb: DataFrame,
+      coded: DataFrame, emb: DataFrame, k: Int, probes: Int = 2,
+      candidates: Int = 20, id: String = "vec_id",
+      vec: String = "embedding"): DataFrame = {
+    val qProbes = centroidProbes(queries, cents, probes, id, vec)
+      .select(col(id).as("q_id"), col("bucket"))
+    ivfPqTopKOf(coded, cb, emb, queries, qProbes, k, candidates, id, vec)
+  }
+
+  /** The search core over PREBUILT IVF-PQ artifacts (bucket-tagged
+    * codes + codebooks) and a per-query probe relation, so the probe
+    * curve builds once and searches per probe level and the streaming
+    * searcher probes off stored centroids — the production
+    * build/search split. */
   private def ivfPqTopKOf(coded: DataFrame, cb: DataFrame,
-      emb: DataFrame, queries: DataFrame, probeIndex: DataFrame,
-      k: Int, probes: Int, candidates: Int, id: String,
+      emb: DataFrame, queries: DataFrame, qProbes: DataFrame,
+      k: Int, candidates: Int, id: String,
       vec: String): DataFrame = {
     require(candidates >= k, "candidate pool must cover the final k")
-    require(probes >= 1, "probes must be >= 1")
     val qsub = Reuse.shared(pqSub(queries, id, vec))
     val qn2 = qsub.groupBy("vid").agg(sum("sn2").as("qn2"))
     val lut = qsub.join(broadcast(cb), "m")
@@ -1102,9 +1262,6 @@ object Similarity {
         qdot(col("sq"), col("cq")).as("ldot"), col("cn2"))
     // the per-query LUT × its probed buckets: |queries|·M·K·probes
     // rows — broadcast-sized at any corpus size
-    val qProbes = probeIndex.filter(col("probe_rank") <= probes)
-      .select(col(id).as("q_id"), col("bucket"))
-      .join(queries.select(col(id).as("q_id")), "q_id")
     val lutB = lut.join(qProbes, "q_id")
     val wc = Window.partitionBy(col("q_id"))
       .orderBy(col("cos_pq").desc, col("t_id").asc)
@@ -1157,7 +1314,10 @@ object Similarity {
     val truth = Reuse.shared(bruteTopK(emb, queries, k, id, vec)
       .select(col("q_id").as("id_a"), col("t_id").as("id_b")))
     probes.map { p =>
-      val got = ivfPqTopKOf(coded, cb, emb, queries, probeIndex, k, p,
+      val qProbes = probeIndex.filter(col("probe_rank") <= p)
+        .select(col(id).as("q_id"), col("bucket"))
+        .join(queries.select(col(id).as("q_id")), "q_id")
+      val got = ivfPqTopKOf(coded, cb, emb, queries, qProbes, k,
           candidates, id, vec)
         .select(col("q_id").as("id_a"), col("t_id").as("id_b"))
       Dedup.pairRecall(truth, got).withColumn("probes", lit(p.toLong))

@@ -506,6 +506,34 @@ object StreamingPipeline {
   }
 
   /**
+   * Streaming ANN retrieval over the STORED IVF-PQ index (r9 verdict
+   * item 2) — the serving path production actually runs: the index
+   * artifacts (coarse centroids, PQ codebooks, bucket-tagged codes)
+   * are built ONCE per corpus snapshot and every arriving QUERY
+   * searches them (`Similarity.ivfPqSearch`): probe-assign against
+   * the broadcast centroids, ADC over the probed buckets' codes,
+   * exact rerank of the bounded candidate pool against the corpus
+   * floats via a keyed join. Stateless per batch — no artifact is
+   * touched by a query, so streamed top-k equals the batch search at
+   * any batching, and for corpus-member queries equals `ivfPqTopK` on
+   * the same snapshot bit-for-bit. Idempotent batch-keyed layout.
+   */
+  def ivfPqSearchSink(queries: DataFrame, cents: DataFrame,
+      codebooks: DataFrame, coded: DataFrame, corpus: DataFrame,
+      k: Int, probes: Int = 2, candidates: Int = 20,
+      outPath: String = ""): DataStreamWriter[org.apache.spark.sql.Row] = {
+    val ce = cents.localCheckpoint(true)
+    val cb = codebooks.localCheckpoint(true)
+    val cd = coded.localCheckpoint(true)
+    queries.writeStream.outputMode("append").foreachBatch {
+      (batch: DataFrame, batchId: Long) =>
+        graft.ops.Similarity.ivfPqSearch(batch, ce, cb, cd, corpus,
+          k, probes, candidates)
+          .write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
+    }
+  }
+
+  /**
    * Streaming BPE encoder (ext111/ext112's serving path): the merge
    * table is a per-snapshot LEARN artifact (`TextOps.bpeMerges` —
    * learning in-stream would pick merges by arrival order, the ext111

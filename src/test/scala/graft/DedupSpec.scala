@@ -98,6 +98,36 @@ class DedupSpec extends TestBase {
     assert(res.passed, res.status.toString)
   }
 
+  test("dupSpans: maximal intervals merge adjacent shared n-grams, " +
+      "split on gaps, skip unshared docs; histogram folds the " +
+      "listing (ext125/ext127)") {
+    import spark.implicits._
+    // doc 1 shares "a b c d e" with doc 2 AND "a b c"/"f g h" with
+    // doc 4 — its covered sets 1-5 and 6-8 TOUCH, so maximality must
+    // merge them into one (1,8) span; doc 4's two shared regions are
+    // separated by the qqqq gap → two spans; doc 3 shares nothing.
+    val docs = Seq(
+      (1L, "a b c d e f g h"),
+      (2L, "x x a b c d e y z w"),
+      (3L, "p q r"),
+      (4L, "a b c q q q q f g h"))
+      .toDF("doc_id", "text")
+    val spans = Dedup.dupSpans(docs)
+      .as[(Long, Long, Long)].collect().sorted.toSeq
+    assert(spans == Seq((1L, 1L, 8L), (2L, 3L, 5L),
+      (4L, 1L, 3L), (4L, 8L, 3L)))
+    val hist = Dedup.dupSpanHistogram(docs)
+      .as[(Long, Long, Long, Long)].collect().sorted.toSeq
+    assert(hist == Seq((3L, 2L, 1L, 6L), (5L, 1L, 1L, 5L),
+      (8L, 1L, 1L, 8L)))
+    // stream-static: scoring a subset against the stored shared-hash
+    // artifact reproduces the batch rows for that subset
+    val shared = Dedup.dupSharedHashes(docs)
+    val sub = Dedup.dupSpansAgainst(docs.filter(col("doc_id") === 4L),
+      shared).as[(Long, Long, Long)].collect().sorted.toSeq
+    assert(sub == Seq((4L, 1L, 3L), (4L, 8L, 3L)))
+  }
+
   test("pairRecall: exact quantized fraction; misses counted; empty " +
       "truth and zero-hit edges are 0, not null (ext54)") {
     import spark.implicits._

@@ -423,6 +423,45 @@ class SimilaritySpec extends TestBase {
       r.getLong(3) == 0L))
   }
 
+  test("bucket rebalance: oversized bucket splits into its two " +
+      "sub-clusters, kept buckets rescale, consumers take the " +
+      "assignment unchanged, re-application composes (ext124)") {
+    import spark.implicits._
+    // bucket 100 (6 members, two clear L2 sub-clusters around x=1.1
+    // and x=10.1); bucket 200 (2 members, under any cap)
+    val e = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(1.1f, 0.0f)),
+      (3L, Array(1.2f, 0.0f)), (4L, Array(10.0f, 0.0f)),
+      (5L, Array(10.1f, 0.0f)), (6L, Array(10.2f, 0.0f)),
+      (7L, Array(5.0f, 5.0f)), (8L, Array(-5.0f, 5.0f)))
+      .toDF("vec_id", "embedding")
+    val bk = Seq(1L -> 100L, 2L -> 100L, 3L -> 100L, 4L -> 100L,
+      5L -> 100L, 6L -> 100L, 7L -> 200L, 8L -> 200L)
+      .toDF("vec_id", "bucket")
+    val reb = Similarity.splitOversizedBuckets(e, bk, maxBucket = 3)
+      .as[(Long, Long)].collect().toMap
+    // split parent 100 -> children 100*2+{0,1}; kept 200 -> 400
+    assert(Seq(1L, 2L, 3L).map(reb) == Seq(200L, 200L, 200L))
+    assert(Seq(4L, 5L, 6L).map(reb) == Seq(201L, 201L, 201L))
+    assert(reb(7L) == 400L && reb(8L) == 400L)
+    // consumers unchanged: semDedup over the rebalanced assignment
+    // still collapses the colinear (cos 1) families within each child
+    // to their lowest-id keeper, and leaves the orthogonal pair alone
+    val kept = Similarity.semDedup(e,
+        Seq(1L, 2L, 3L, 4L, 5L, 6L, 7L, 8L).map(v => v -> reb(v))
+          .toDF("vec_id", "bucket"))
+      .select("vec_id", "kept").as[(Long, Long)].collect().toMap
+    assert(kept == Map(1L -> 1L, 2L -> 0L, 3L -> 0L, 4L -> 1L,
+      5L -> 0L, 6L -> 0L, 7L -> 1L, 8L -> 1L))
+    // nothing oversized: pure rescale — re-application composes (a
+    // second level would multiply by `split` again)
+    val reb2 = Similarity.splitOversizedBuckets(e,
+        Seq(1L, 2L, 3L, 4L, 5L, 6L, 7L, 8L).map(v => v -> reb(v))
+          .toDF("vec_id", "bucket"), maxBucket = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(reb2 == reb.map { case (v, b) => v -> b * 2 })
+  }
+
   test("prototype pruning: within-bucket percent-rank of centroid " +
       "distance; easy/hard keep halves partition each bucket (ext119)") {
     import spark.implicits._

@@ -563,6 +563,43 @@ class StreamingSpec extends TestBase {
     graft.ops.Reuse.freeAll(spark)
   }
 
+  test("streaming IVF-PQ retrieval over stored artifacts == batch " +
+      "ivfPqTopK on the same snapshot at any batching (r9 item 2)") {
+    val S = graft.ops.Similarity
+    val emb = graft.ingest.Tables.embeddings(spark, sf("sf0.001"))
+    // the four build-once artifacts a serving node loads: coarse
+    // centroids, corpus probe index, PQ codebooks, bucket-tagged codes
+    val cents = S.kmeansCentroids(emb).localCheckpoint(true)
+    val probeIdx = S.kmeansProbeBuckets(emb, probes = 2)
+      .localCheckpoint(true)
+    val cb = S.pqCodebooks(emb).localCheckpoint(true)
+    val coded = S.ivfPqCodedCorpus(emb, cb,
+        probeIdx.filter(col("probe_rank") === 1)
+          .select("vec_id", "bucket"))
+      .localCheckpoint(true)
+    val queries = emb.filter(col("vec_id") < 20)
+    val srcDir = Files.createTempDirectory("graft-ivfq-src").toString + "/d"
+    queries.repartition(3).write.parquet(srcDir)
+    val out = Files.createTempDirectory("graft-ivfq-out").toString
+    val ckpt = Files.createTempDirectory("graft-ivfq-ckpt").toString
+    val q = StreamingPipeline.ivfPqSearchSink(
+        StreamingPipeline.parquetStream(spark, srcDir,
+          maxFilesPerTrigger = Some(1)),
+        cents, cb, coded, emb, k = 3, probes = 2, candidates = 20, out)
+      .option("checkpointLocation", ckpt).start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.read.parquet(out)
+      .select("q_id", "t_id", "rank", "cos")
+    val batch = S.ivfPqTopK(emb, queries, probeIdx, 3, probes = 2,
+      candidates = 20, codebooks = Some(cb))
+    assert(streamed.count() == batch.count() && batch.count() > 0)
+    assert(streamed.except(batch).isEmpty && batch.except(streamed).isEmpty,
+      "streamed IVF-PQ top-k differs from the batch search on the " +
+        "same artifacts")
+    graft.ops.Reuse.freeAll(spark)
+  }
+
   test("streaming prototype gate == batch pruning on well-separated " +
       "clusters; artifacts learned once offline (ext119 twin)") {
     import spark.implicits._
