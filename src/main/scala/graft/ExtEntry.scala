@@ -46,6 +46,14 @@ object ExtEntry {
     ivfProbeIndex(s, dir).filter(col("probe_rank") === 1)
       .select("vec_id", "bucket")
 
+  /** Build-once maximal-span listing shared by ext125/ext127 — the
+    * stored curator artifact; the histogram is a derived view
+    * ([[graft.ops.Dedup.dupSpanHistogramFrom]]). */
+  private def dupSpansIdx(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Reuse.index(s, s"dup-spans:$dir") {
+      Dedup.dupSpans(docs(s, dir))
+    }
+
   /** Build-once PQ codebooks shared by ext107/108/117/118 — one
     * m-keyed Lloyd's build per (session, sfdir), like [[ivfProbeIndex]]
     * ([[graft.ops.Similarity.pqCodebooksIndex]]). */
@@ -934,14 +942,17 @@ object ExtEntry {
     // intervals ext91 prices in aggregate and ext96 cuts — the
     // curator-inspectable artifact span-length distributions are
     // computed from. Gaps-and-islands over the covered-position
-    // relation: island key p − row_number(p) per doc.
+    // relation: island key p − row_number(p) per doc. The listing is a
+    // build-once artifact (Reuse.index) — ext127's distribution is a
+    // derived view of it, not a second coverage pass.
     "ext125_dup_spans" -> ((s, dir) =>
-      Dedup.dupSpans(docs(s, dir)).orderBy("doc_id", "span_start")),
+      dupSpansIdx(s, dir).orderBy("doc_id", "span_start")),
 
-    // The span-length distribution card over ext125's listing —
+    // The span-length distribution card over ext125's STORED listing —
     // RefinedWeb-style duplicate-span analysis as one row per length.
     "ext127_dup_span_histogram" -> ((s, dir) =>
-      Dedup.dupSpanHistogram(docs(s, dir)).orderBy("span_len")),
+      Dedup.dupSpanHistogramFrom(dupSpansIdx(s, dir))
+        .orderBy("span_len")),
 
     // Span-level dedup SURGERY: cut every token position covered by
     // an n-gram that also occurs in a lower-id document and reassemble

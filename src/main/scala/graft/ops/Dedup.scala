@@ -560,8 +560,15 @@ object Dedup {
     * one, and the total duplicated token mass at that length. */
   def dupSpanHistogram(doc: DataFrame, id: String = "doc_id",
       text: String = "text", n: Int = 3): DataFrame =
-    dupSpans(doc, id, text, n)
-      .groupBy(col("span_len"))
+    dupSpanHistogramFrom(dupSpans(doc, id, text, n), id)
+
+  /** The histogram fold alone, over an already-built span listing —
+    * so a STORED ext125 artifact feeds the card without recomputing
+    * the coverage pass (the listing is the inspectable artifact; the
+    * distribution is a derived view of it). */
+  def dupSpanHistogramFrom(spans: DataFrame,
+      id: String = "doc_id"): DataFrame =
+    spans.groupBy(col("span_len"))
       .agg(count(lit(1)).as("n_spans"),
         countDistinct(col(id)).as("n_docs"),
         sum(col("span_len")).as("total_toks"))

@@ -1245,6 +1245,37 @@ object Similarity {
     ivfPqTopKOf(coded, cb, emb, queries, qProbes, k, candidates, id, vec)
   }
 
+  /**
+   * [[ivfPqTopK]] over a REBALANCED assignment
+   * ([[splitOversizedBuckets]]' composite ids) — the proof that the
+   * split is layout-transparent to retrieval: a query probing parent
+   * p probes ALL of p's children (`composite DIV split == p`), and
+   * since every target in a probed parent lands in exactly one child,
+   * the candidate set — and therefore the result — is IDENTICAL to
+   * searching the unsplit index (spec-asserted). What changes is the
+   * layout consumers like [[semDedup]]/[[knnDensity]] pay for:
+   * bounded per-bucket cardinality. The child map is
+   * (|buckets_after|)-row tiny and broadcast.
+   */
+  def ivfPqTopKRebalanced(emb: DataFrame, queries: DataFrame,
+      probeIndex: DataFrame, rebalanced: DataFrame, split: Int,
+      k: Int, probes: Int = 2, candidates: Int = 20,
+      id: String = "vec_id", vec: String = "embedding",
+      codebooks: Option[DataFrame] = None): DataFrame = {
+    require(probes >= 1, "probes must be >= 1")
+    val cb = codebooks.getOrElse(Reuse.shared(pqCodebooks(emb, id, vec)))
+    val coded = ivfPqCodedCorpus(emb, cb, rebalanced, id, vec)
+    val childMap = rebalanced.select(
+        expr(s"bucket DIV $split").as("parent"), col("bucket"))
+      .distinct()
+    val qProbes = probeIndex.filter(col("probe_rank") <= probes)
+      .select(col(id).as("q_id"), col("bucket").as("parent"))
+      .join(queries.select(col(id).as("q_id")), "q_id")
+      .join(broadcast(childMap), "parent")
+      .select("q_id", "bucket")
+    ivfPqTopKOf(coded, cb, emb, queries, qProbes, k, candidates, id, vec)
+  }
+
   /** The search core over PREBUILT IVF-PQ artifacts (bucket-tagged
     * codes + codebooks) and a per-query probe relation, so the probe
     * curve builds once and searches per probe level and the streaming

@@ -450,6 +450,24 @@ object StreamingPipeline {
   }
 
   /**
+   * Streaming maximal-duplicated-span extraction (ext125's ingest
+   * side): arriving docs score against the STORED shared-hash
+   * artifact (`Dedup.dupSharedHashes` of the corpus snapshot — the
+   * dupSpanMassAgainst/bloomProbeSink static-side pattern); the
+   * islands computation is doc-local, so streamed spans equal
+   * `Dedup.dupSpans` batch rows for the same docs at any batching.
+   */
+  def dupSpansSink(docs: DataFrame, shared: DataFrame,
+      outPath: String): DataStreamWriter[org.apache.spark.sql.Row] = {
+    val sh = shared.localCheckpoint(true)
+    docs.writeStream.outputMode("append").foreachBatch {
+      (batch: DataFrame, batchId: Long) =>
+        graft.ops.Dedup.dupSpansAgainst(batch, sh)
+          .write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
+    }
+  }
+
+  /**
    * Streaming within-doc repetition surgery (ext123): the operator is
    * doc-local everywhere (first occurrences, cuts, reassembly all key
    * on the document), so the streaming form IS the batch operator per

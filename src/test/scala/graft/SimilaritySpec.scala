@@ -462,6 +462,28 @@ class SimilaritySpec extends TestBase {
     assert(reb2 == reb.map { case (v, b) => v -> b * 2 })
   }
 
+  test("rebalanced IVF-PQ search == unsplit search: the split is " +
+      "layout-transparent to retrieval (ext124 x ext117)") {
+    val emb = graft.ingest.Tables.embeddings(spark, sf("sf0.001"))
+    val probeIdx = Similarity.kmeansProbeBuckets(emb, probes = 2)
+      .localCheckpoint(true)
+    val reb = Similarity.splitOversizedBuckets(emb,
+        probeIdx.filter(col("probe_rank") === 1)
+          .select("vec_id", "bucket"),
+        maxBucket = 40, split = 2)
+      .localCheckpoint(true)
+    val queries = emb.filter(col("vec_id") < 10)
+    val cb = Similarity.pqCodebooks(emb).localCheckpoint(true)
+    val base = Similarity.ivfPqTopK(emb, queries, probeIdx, 3,
+      probes = 2, codebooks = Some(cb))
+    val split = Similarity.ivfPqTopKRebalanced(emb, queries, probeIdx,
+      reb, split = 2, k = 3, probes = 2, codebooks = Some(cb))
+    assert(split.count() == base.count() && base.count() > 0)
+    assert(split.except(base).isEmpty && base.except(split).isEmpty,
+      "rebalanced-index search differs from the unsplit search")
+    graft.ops.Reuse.freeAll(spark)
+  }
+
   test("prototype pruning: within-bucket percent-rank of centroid " +
       "distance; easy/hard keep halves partition each bucket (ext119)") {
     import spark.implicits._

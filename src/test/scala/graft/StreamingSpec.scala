@@ -539,6 +539,33 @@ class StreamingSpec extends TestBase {
     graft.ops.Reuse.freeAll(spark)
   }
 
+  test("streaming dup-span extraction against the stored shared-hash " +
+      "artifact == batch dupSpans (ext125 twin)") {
+    val docs = graft.ingest.Tables.documents(spark, sf("sf0.001"))
+      .select("doc_id", "text")
+    // The shared-hash set is a corpus-snapshot artifact, built once
+    // offline (ext91's min!=max aggregate).
+    val shared = graft.ops.Dedup.dupSharedHashes(docs)
+      .localCheckpoint(true)
+    val srcDir = Files.createTempDirectory("graft-ds-src").toString + "/d"
+    docs.repartition(3).write.parquet(srcDir)
+    val out = Files.createTempDirectory("graft-ds-out").toString
+    val ckpt = Files.createTempDirectory("graft-ds-ckpt").toString
+    val q = StreamingPipeline.dupSpansSink(
+      StreamingPipeline.parquetStream(spark, srcDir,
+        maxFilesPerTrigger = Some(1)), shared, out)
+      .option("checkpointLocation", ckpt).start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.read.parquet(out)
+      .select("doc_id", "span_start", "span_len")
+    val batch = graft.ops.Dedup.dupSpans(docs)
+    assert(streamed.count() == batch.count() && batch.count() > 0)
+    assert(streamed.except(batch).isEmpty && batch.except(streamed).isEmpty,
+      "streamed dup spans differ from the batch operator")
+    graft.ops.Reuse.freeAll(spark)
+  }
+
   test("streaming semantic decontamination == batch flags at any " +
       "batching (ext122 twin)") {
     val emb = graft.ingest.Tables.embeddings(spark, sf("sf0.001"))
