@@ -51,6 +51,37 @@ object SparkEntry {
        |         CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS follower_sum
        |  FROM hop GROUP BY 1, 2)""".stripMargin
 
+  /** The entity-payload STORE relation recomputed from raw events (the
+    * oracle side of op38_store_entity / op41_store_recent — layout
+    * invisible in results): per-entity hopping multi-agg + max_props,
+    * top-N rank per window, top-3 example ids per entity. */
+  private val entityStoreSql =
+    s"""WITH hop AS (
+       |  SELECT event_type AS entity, value, props, event_id,
+       |         ((($EsSql) // 60) - k) * 60 + 600 AS window_end
+       |  FROM events, range(10) t(k)),
+       |agg AS (
+       |  SELECT window_end, entity, count(*) AS tweet_count,
+       |         CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+       |           AS follower_sum,
+       |         max(props) AS max_props
+       |  FROM hop GROUP BY 1, 2),
+       |ranked AS (
+       |  SELECT *, CAST(row_number() OVER (
+       |    PARTITION BY window_end
+       |    ORDER BY follower_sum DESC, entity ASC) AS BIGINT) AS rank
+       |  FROM agg),
+       |exr AS (
+       |  SELECT window_end, entity, value, event_id, row_number() OVER (
+       |    PARTITION BY window_end, entity
+       |    ORDER BY value DESC, event_id ASC) AS rn
+       |  FROM hop),
+       |ex AS (
+       |  SELECT window_end, entity,
+       |         string_agg(CAST(event_id AS VARCHAR), ','
+       |                    ORDER BY value DESC, event_id ASC) AS top_ids
+       |  FROM exr WHERE rn <= 3 GROUP BY 1, 2)""".stripMargin
+
   // ---- Spark-side shared builders ---------------------------------------
 
   private def events(s: SparkSession, dir: String) = Tables.events(s, dir)
@@ -80,6 +111,60 @@ object SparkEntry {
    * compacted `batch=-1` layout [[graft.stream.AggregateStore]] reads.
    */
   def ensureCountsStore(s: SparkSession, dir: String): String =
+    ensureStore(s, dir, "counts")(Windows.hoppingCounts(events(s, dir)))
+
+  /**
+   * Seed-once ENTITY-payload store (SURVEY §1.6's mentions/hashtags/
+   * retweets CFs; r10 verdict next-step 1): the ranked per-entity
+   * aggregate WITH its payload (OP-25's Max(Text) representative and
+   * the OP-26/27 top-example ids) persisted partitioned by
+   * `window_date` and entity-SORTED within each partition, mirroring
+   * the reference's `D19(windowEnd)+entity` RocksDB key
+   * (RocksDBStore.cs:96-127). op38_store_entity / op41_store_recent
+   * serve from this layout; their oracles recompute from raw events,
+   * so the layout stays invisible in results (the op37_store
+   * discipline).
+   */
+  def ensureEntityStore(s: SparkSession, dir: String): String =
+    ensureStore(s, dir, "entity")(entityPayloadRelation(s, dir))
+
+  /** The stored entity relation: hopping per-entity multi-agg
+    * (count/sum/max_props), top-3 example event ids (value DESC, id
+    * ASC), ranked top-N per window. */
+  private def entityPayloadRelation(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
+    val agg = Windows.entityWindowAgg(ev, col("event_type"), col("value"),
+      extra = Seq(max(col("props")).as("max_props")))
+    val rows = ev.select(
+        window(col("ts"), Windows.WindowSize, Windows.HopSize).as("w"),
+        col("event_type").as("entity"), col("value"), col("event_id"))
+      .select(col("w.end").cast("long").as("window_end"), col("entity"),
+        col("value"), col("event_id"))
+    import org.apache.spark.sql.expressions.{Window => W}
+    val byWeight = W.partitionBy(col("window_end"), col("entity"))
+      .orderBy(col("value").desc, col("event_id").asc)
+    // row_number bounds the per-group state BEFORE collect_list — the
+    // collected array is at most 3 structs, never the group's rows.
+    val ex = rows.withColumn("rn", row_number().over(byWeight))
+      .filter(col("rn") <= 3)
+      .groupBy("window_end", "entity")
+      .agg(concat_ws(",", transform(array_sort(collect_list(struct(
+          (-col("value")).as("nv"), col("event_id").as("id")))),
+          x => x.getField("id").cast("string"))).as("top_ids"))
+    Windows.rankTopEntities(agg.join(ex, Seq("window_end", "entity")))
+      .select(col("window_end"), col("entity"), col("tweet_count"),
+        col("follower_sum"), col("rank").cast("long").as("rank"),
+        col("max_props"), col("top_ids"))
+  }
+
+  /** Shared seed-once store machinery (counts + entity stores):
+    * idempotent, cross-process file-locked, source-stamped per store
+    * name; lands under the compacted `batch=-1` layout
+    * [[graft.stream.AggregateStore]] reads; entity-bearing relations
+    * are laid out entity-sorted within each date partition (see
+    * [[graft.stream.AggregateStore.writeRanked]]). */
+  private def ensureStore(s: SparkSession, dir: String, name: String)(
+      build: => DataFrame): String =
     synchronized {
       // The readable prefix alone can collide for distinct dirs
       // ("/a/b" and "/a.b" both flatten to "_a_b" — r9 ADVICE), and
@@ -90,25 +175,29 @@ object SparkEntry {
       val base = s"/tmp/graft_store/$tag"
       java.nio.file.Files.createDirectories(java.nio.file.Paths.get(base))
       val lockCh = java.nio.channels.FileChannel.open(
-        java.nio.file.Paths.get(s"$base/.lock"),
+        java.nio.file.Paths.get(s"$base/.lock_$name"),
         java.nio.file.StandardOpenOption.CREATE,
         java.nio.file.StandardOpenOption.WRITE)
       val lock = lockCh.lock()
       try {
-        val path = s"$base/counts"
+        val path = s"$base/$name"
         val batchDir =
           s"$path/batch=${graft.stream.AggregateStore.CompactedBatchId}"
         val stamp =
           new java.io.File(s"$dir/events.parquet").lastModified().toString
-        val stampFile = java.nio.file.Paths.get(s"$base/.source_stamp")
+        val stampFile = java.nio.file.Paths.get(s"$base/.source_stamp_$name")
         val present = java.nio.file.Files.exists(stampFile) &&
           java.nio.file.Files.readString(stampFile) == stamp &&
           new java.io.File(s"$batchDir/_SUCCESS").exists()
         if (!present) {
-          Windows.hoppingCounts(events(s, dir))
-            .withColumn("window_date",
-              to_date(timestamp_seconds(col("window_end"))))
-            .write.mode("overwrite").partitionBy("window_date")
+          val df = build.withColumn("window_date",
+            to_date(timestamp_seconds(col("window_end"))))
+          val laid =
+            if (df.columns.contains("entity"))
+              df.sortWithinPartitions(
+                col("window_date"), col("entity"), col("window_end"))
+            else df
+          laid.write.mode("overwrite").partitionBy("window_date")
             .parquet(batchDir)
           java.nio.file.Files.writeString(stampFile, stamp)
         }
@@ -293,6 +382,32 @@ object SparkEntry {
     "op41_recent" -> ((s, dir) =>
       Serve.recent(Windows.hoppingCounts(events(s, dir)), 20)),
 
+    // OP-38/39 over the REAL stored entity layout (r10 verdict item 1):
+    // the [start, end) + entity scan served from the entity-payload
+    // store — window_date partitions prune the range, the
+    // entity-sorted row groups prune the entity equality via parquet
+    // min/max stats (the reference's ticks+entity key seek,
+    // RocksDBStore.cs:241-245). Oracle recomputes from raw events.
+    "op38_store_entity" -> ((s, dir) => {
+      val path = ensureEntityStore(s, dir)
+      graft.stream.AggregateStore.readRangeEntity(
+          s, path, RangeStart, RangeEnd, Some("purchase"))
+        .select("window_end", "entity", "tweet_count", "follower_sum",
+          "rank", "max_props", "top_ids")
+        .orderBy("window_end")
+    }),
+
+    // OP-40/41 over the stored entity layout: recent-N via newest-first
+    // date-partition widening (AggregateStore.readRecent) — the
+    // SeekToLast+Prev analog reads only the trailing partitions, not
+    // the store.
+    "op41_store_recent" -> ((s, dir) => {
+      val path = ensureEntityStore(s, dir)
+      graft.stream.AggregateStore.readRecent(s, path, 20)
+        .select("window_end", "entity", "tweet_count", "follower_sum")
+        .orderBy(col("window_end").desc, col("entity").desc)
+    }),
+
     // OP-26 as a custom bounded-heap Aggregator: top-5 event ids per
     // entity per tumbling window, weight DESC / id ASC.
     "op26_topk_aggregator" -> ((s, dir) => {
@@ -453,6 +568,29 @@ object SparkEntry {
          |SELECT * FROM
          |  (SELECT window_end, cnt FROM c ORDER BY window_end DESC LIMIT 20)
          |ORDER BY window_end DESC""".stripMargin,
+
+    // Store layout invisible in results: recompute the ranked
+    // entity-payload relation from raw events, then the same range +
+    // entity restriction the store read serves (top-N rank filter is
+    // inherent to the store — the reference persists only the ranked
+    // payloads).
+    "op38_store_entity" ->
+      s"""$entityStoreSql
+         |SELECT r.window_end, r.entity, r.tweet_count, r.follower_sum,
+         |       r.rank, r.max_props, ex.top_ids
+         |FROM ranked r JOIN ex USING (window_end, entity)
+         |WHERE r.rank <= ${Windows.TopN}
+         |  AND r.window_end >= $RangeStart AND r.window_end < $RangeEnd
+         |  AND r.entity = 'purchase'
+         |ORDER BY r.window_end""".stripMargin,
+
+    "op41_store_recent" ->
+      s"""$entityStoreSql
+         |SELECT * FROM (
+         |  SELECT window_end, entity, tweet_count, follower_sum FROM ranked
+         |  WHERE rank <= ${Windows.TopN}
+         |  ORDER BY window_end DESC, entity DESC LIMIT 20)
+         |ORDER BY window_end DESC, entity DESC""".stripMargin,
 
     "op26_topk_aggregator" ->
       s"""WITH base AS (

@@ -1150,7 +1150,21 @@ object AggregateStore {
     val ranked = Windows.rankTopEntities(batch, n)
       .withColumn("window_date",
         to_date(timestamp_seconds(col("window_end"))))
-    ranked.write.mode("overwrite").partitionBy("window_date")
+    // Entity-bearing stores (mentions/hashtags/retweets CFs, SURVEY
+    // §1.6) lay rows out entity-sorted within each date partition —
+    // `entity` joins the sort key the way it joins the reference's
+    // RocksDB key after the D19 ticks (RocksDBStore.cs:96-127) — so an
+    // entity-restricted read (OP-38/39) prunes row groups via parquet
+    // min/max stats on top of the window_date partition pruning. The
+    // explicit leading sort on the partition column also satisfies
+    // FileFormatWriter's required ordering, so no second sort is added
+    // and the entity order survives into the files.
+    val laid =
+      if (ranked.columns.contains("entity"))
+        ranked.sortWithinPartitions(
+          col("window_date"), col("entity"), col("window_end"))
+      else ranked
+    laid.write.mode("overwrite").partitionBy("window_date")
       .parquet(s"$path/batch=$batchId")
   }
 
@@ -1169,6 +1183,47 @@ object AggregateStore {
         to_date(timestamp_seconds(lit(startEpoch))) &&
         col("window_date") <= to_date(timestamp_seconds(lit(endEpoch))))
       .filter(col("window_end") >= startEpoch && col("window_end") < endEpoch)
+
+  /** OP-38/39 over the stored entity layout: partition-pruned range read
+    * plus an entity equality that parquet row-group min/max stats can
+    * prune because [[writeRanked]] laid rows out entity-sorted (the
+    * reference's `ticks+entity` key seek, RocksDBStore.cs:241-245, as
+    * partition + row-group pruning). */
+  def readRangeEntity(spark: SparkSession, path: String, startEpoch: Long,
+      endEpoch: Long, entity: Option[String]): DataFrame = {
+    val ranged = readRange(spark, path, startEpoch, endEpoch)
+    entity.fold(ranged)(e => ranged.filter(col("entity") === e))
+  }
+
+  /** OP-40/41 over the stored layout — the `SeekToLast+Prev` analog
+    * (RocksDBStore.cs:174-196). Instead of scanning the whole store and
+    * letting TakeOrderedAndProject merge, list the `window_date`
+    * partition values (driver-side filesystem metadata, no data read)
+    * and widen a newest-first date suffix until it covers >= n rows;
+    * the returned plan reads only those partitions. Widening doubles,
+    * so a pathological store (all rows on the oldest date) costs
+    * O(log #dates) probe jobs, each itself pruned. */
+  def readRecent(spark: SparkSession, path: String, n: Int): DataFrame = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dates = fs.globStatus(
+        new org.apache.hadoop.fs.Path(path, "*/window_date=*"))
+      .map(_.getPath.getName.stripPrefix("window_date="))
+      .distinct.sorted.reverse
+    val order = {
+      val cols = read(spark, path).columns
+      if (cols.contains("entity"))
+        Seq(col("window_end").desc, col("entity").desc)
+      else Seq(col("window_end").desc)
+    }
+    if (dates.isEmpty) return read(spark, path).orderBy(order: _*).limit(n)
+    def pruned(d: Int): DataFrame =
+      read(spark, path).filter(
+        col("window_date") >= lit(dates(math.min(d, dates.length) - 1)))
+    var d = 1
+    while (d < dates.length && pruned(d).count() < n) d = d * 2
+    pruned(d).orderBy(order: _*).limit(n)
+  }
 
   /** Partition value the compacted data lands under: keeping the
     * `batch=` level (with a sentinel id no micro-batch uses) means a
