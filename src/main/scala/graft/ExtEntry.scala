@@ -24,6 +24,13 @@ object ExtEntry {
   /** Query-vector subset for similarity search examples. */
   private val NumQueryVecs = 20
 
+  /** Deterministic PII plant for ext128 — one instance of each scrub
+    * pattern class (email whose local part carries a 10-digit run the
+    * `email` stage consumes before `idnum` looks, phone, ipv4, bare id
+    * number), appended identically by both engines. */
+  private val PiiPlantSuffix =
+    " reach u9123456789@ex4.com or +12345678901 via 10.0.0.1 acct 987654321"
+
   /** Probe counts the ext58 recall curve prices (must stay <= the index's
     * maxProbes below and <= k=8). */
   private val ProbeCurve = Seq(1, 2, 4)
@@ -919,6 +926,23 @@ object ExtEntry {
     // the full card (volumes + zero hits + scrub identity) honestly.
     "ext92_pii_audit" -> ((s, dir) =>
       TextOps.piiAudit(docs(s, dir)).orderBy("source")),
+
+    // PII redaction SURGERY (r10 verdict item 3 — the APPLY side of
+    // ext92's audit): the ordered scrub chain per document with
+    // per-stage applied-redaction counts, reassembled clean text, and
+    // before/after lengths. The synthetic corpus carries no PII, so
+    // the query PLANTS a deterministic PII suffix on every 7th doc in
+    // BOTH engines — the oracle then exercises the real cross-engine
+    // redaction chain (nonzero counts, placeholder substitution, the
+    // email-consumes-digits ordering), not just the identity path;
+    // untouched docs assert the byte-identical pass-through.
+    "ext128_pii_redaction" -> ((s, dir) => {
+      val planted = docs(s, dir).withColumn("text",
+        when(col("doc_id") % 7 === 0,
+          concat(col("text"), lit(PiiPlantSuffix)))
+          .otherwise(col("text")))
+      TextOps.redactPii(planted).orderBy("doc_id")
+    }),
 
     // Storage-precision pricing: full-precision cosine top-3 vs the
     // int8 re-quantized frame's top-3, as one agreement row (rank-set
@@ -2669,6 +2693,39 @@ object ExtEntry {
          |       CAST(SUM(length(text)) AS BIGINT) AS n_chars_raw,
          |       CAST(SUM(length($scrubbed)) AS BIGINT) AS n_chars_scrubbed
          |FROM documents GROUP BY source ORDER BY source""".stripMargin
+    },
+
+    // Twin of TextOps.redactPii over the same planted corpus: a staged
+    // CTE chain — stage i counts pattern i's matches on the text AS
+    // ALREADY REDACTED by stages < i, then replaces globally. Pattern
+    // strings interpolate from TextOps.PiiPatterns (one source of
+    // truth; Java-regex ∩ RE2 subset).
+    "ext128_pii_redaction" -> {
+      val stages = TextOps.PiiPatterns.zipWithIndex.map {
+        case ((name, pat), i) =>
+          s"""s${i + 1} AS (
+             |  SELECT * EXCLUDE (t),
+             |         CAST(len(regexp_extract_all(t, '$pat')) AS BIGINT)
+             |           AS n_redact_$name,
+             |         regexp_replace(t, '$pat', '<${name.toUpperCase}>', 'g')
+             |           AS t
+             |  FROM s$i)""".stripMargin
+      }
+      val last = s"s${TextOps.PiiPatterns.length}"
+      val counts = TextOps.PiiPatterns.map(p => s"n_redact_${p._1}")
+      s"""WITH planted AS (
+         |  SELECT doc_id,
+         |         CASE WHEN doc_id % 7 = 0 THEN text || '$PiiPlantSuffix'
+         |              ELSE text END AS t
+         |  FROM documents),
+         |s0 AS (
+         |  SELECT doc_id, t, CAST(length(t) AS BIGINT) AS len_raw
+         |  FROM planted),
+         |${stages.mkString(",\n")}
+         |SELECT doc_id, ${counts.mkString(", ")},
+         |       ${counts.mkString(" + ")} AS n_redactions, len_raw,
+         |       CAST(length(t) AS BIGINT) AS len_clean, t AS clean_text
+         |FROM $last ORDER BY doc_id""".stripMargin
     },
 
     // Twin of Similarity.int8FidelityAudit: per-vector max-abs int8

@@ -894,6 +894,45 @@ object TextOps {
           sum(length(scrub(t))).cast("long").as("n_chars_scrubbed")): _*)
   }
 
+  /**
+   * PII redaction SURGERY — the APPLY side of [[piiAudit]], following
+   * the measure→apply discipline of ext91→ext96 and ext106→ext123:
+   * run the ordered scrub chain per document, counting the redactions
+   * each stage ACTUALLY applies. The audit counts what each pattern
+   * would find on RAW text, independently; the surgery counts what
+   * the ordered chain replaces — an email's digit run is consumed by
+   * the `email` stage before `idnum` ever looks at the text, so the
+   * two counts legitimately differ on overlapping matches. Emits the
+   * reassembled clean text, per-pattern and total applied-redaction
+   * counts, and before/after char lengths (the per-doc evidence row).
+   * A PII-free document comes back byte-identical.
+   *
+   * Scale shape: map-only and scan-local — nested codegen'd
+   * `regexp_replace`/`regexp_extract_all` projections, no shuffle, no
+   * state; the 100 TB redaction pass is a single read-transform-write.
+   * Composes as a stage of the ext126 curation chain (stateless, so
+   * it also lifts unchanged into the streaming ingest sink).
+   */
+  def redactPii(doc: DataFrame, id: String = "doc_id",
+      text: String = "text",
+      patterns: Seq[(String, String)] = PiiPatterns): DataFrame = {
+    val start = doc.select(col(id), col(text).as("_t"),
+      length(col(text)).cast("long").as("len_raw"))
+    val staged = patterns.foldLeft(start) { case (df, (name, pat)) =>
+      df.withColumn(s"n_redact_$name",
+          size(regexp_extract_all(col("_t"), lit(pat), lit(0)))
+            .cast("long"))
+        .withColumn("_t",
+          regexp_replace(col("_t"), pat, s"<${name.toUpperCase}>"))
+    }
+    val total = patterns.map(p => col(s"n_redact_${p._1}")).reduce(_ + _)
+    staged.select(
+      col(id) +: patterns.map(p => col(s"n_redact_${p._1}")) ++: Seq(
+        total.as("n_redactions"), col("len_raw"),
+        length(col("_t")).cast("long").as("len_clean"),
+        col("_t").as("clean_text")): _*)
+  }
+
   /** Re-fold of [[piiAudit]] cards: every column is a count/sum, so
     * duplicate group keys (micro-batch partials) sum exactly — the
     * ext78/82/84 partials-fold contract. */

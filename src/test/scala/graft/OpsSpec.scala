@@ -976,4 +976,61 @@ class OpsSpec extends TestBase {
       .select("text").as[String].head()
     assert(d2 == "call <PHONE> acct <IDNUM> end")
   }
+
+  test("pii redaction surgery: per-stage applied counts, ordered chain " +
+      "consumes overlaps, clean doc byte-identical (ext128)") {
+    import spark.implicits._
+    import graft.ops.TextOps
+    val docs = Seq(
+      // one of each class; the email's local part carries a 9-digit run
+      (1L, "u123456789@x.com then +14155550123 on 10.0.0.1 acct 987654321"),
+      // PII-free: must come back byte-identical with all-zero counts
+      (2L, "plain text, nothing sensitive here"),
+      // digits ONLY inside an email: the audit's independent idnum count
+      // would see them; the ordered surgery must NOT (email ate them)
+      (3L, "mail me at a987654321b@host.org thanks")
+    ).toDF("doc_id", "text")
+    val out = TextOps.redactPii(docs).orderBy("doc_id").collect()
+
+    val d1 = out(0)
+    assert(d1.getAs[Long]("n_redact_email") == 1L)
+    assert(d1.getAs[Long]("n_redact_phone") == 1L)
+    assert(d1.getAs[Long]("n_redact_ipv4") == 1L)
+    // phone/email consumed their digit runs; only the bare acct remains
+    assert(d1.getAs[Long]("n_redact_idnum") == 1L)
+    assert(d1.getAs[Long]("n_redactions") == 4L)
+    assert(d1.getAs[String]("clean_text") ==
+      "<EMAIL> then <PHONE> on <IPV4> acct <IDNUM>")
+    assert(d1.getAs[Long]("len_raw") ==
+      "u123456789@x.com then +14155550123 on 10.0.0.1 acct 987654321".length)
+    assert(d1.getAs[Long]("len_clean") ==
+      "<EMAIL> then <PHONE> on <IPV4> acct <IDNUM>".length)
+
+    val d2 = out(1)
+    assert(d2.getAs[Long]("n_redactions") == 0L)
+    assert(d2.getAs[String]("clean_text") ==
+      "plain text, nothing sensitive here")
+    assert(d2.getAs[Long]("len_raw") == d2.getAs[Long]("len_clean"))
+
+    val d3 = out(2)
+    assert(d3.getAs[Long]("n_redact_email") == 1L)
+    assert(d3.getAs[Long]("n_redact_idnum") == 0L,
+      "idnum matched digits the email stage should have consumed")
+    assert(d3.getAs[String]("clean_text") == "mail me at <EMAIL> thanks")
+
+    // surgery counts == what the chain applied: a second pass over the
+    // clean text redacts nothing
+    val again = TextOps.redactPii(
+      docs.sparkSession.createDataFrame(
+        docs.sparkSession.sparkContext.parallelize(out.toIndexedSeq.map(r =>
+          org.apache.spark.sql.Row(r.getAs[Long]("doc_id"),
+            r.getAs[String]("clean_text")))),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("doc_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("text",
+            org.apache.spark.sql.types.StringType)))))
+      .agg(sum("n_redactions")).collect()(0).getLong(0)
+    assert(again == 0L, "redaction not idempotent")
+  }
 }
