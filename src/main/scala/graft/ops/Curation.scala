@@ -30,22 +30,42 @@ object Curation {
   val BloomFlagThreshold = 0.8d
 
   /**
-   * One row per stage: (stage_ord, stage, docs, toks, removed_docs,
-   * removed_toks) for input/gopher/rep_surgery/span_surgery/
-   * semantic_decon/bloom_decon, then one `mix:<source>` row per
-   * stratum (docs kept, planned token draw out of `tokenBudget`),
-   * then the `pack` row (padded sequences at `ctx`, padding waste).
-   *
-   * Scale shape: six corpus passes (one per stage — each a keyed
-   * aggregate or broadcast-artifact join), the stage counts are 1-row
-   * aggregates crossJoined pairwise (the TextOps 1-row-frame
-   * convention), mixture and pack are map-side-combined aggregates
-   * over the final survivors. Nothing is all-pairs; the only
-   * corpus-proportional artifact is span surgery's keeper relation
-   * (ext96's documented cost).
+   * The batch pipeline's full state on one corpus snapshot: the six
+   * stage relations (each `(doc_id, text, source)`, materialized
+   * once) and the four SNAPSHOT ARTIFACTS the streaming ingest sink
+   * reads ([[graft.stream.StreamingPipeline.curationSink]]) —
+   * span surgery's `(h, keeper_id)` relation, the benchmark embedding
+   * vectors, the benchmark shingle set, and its Bloom bit set.
    */
-  def pipelineCard(docs: DataFrame, embs: DataFrame, benchMaxId: Long,
-      tokenBudget: Long, ctx: Long = 512L): DataFrame = {
+  final case class Snapshot(
+      c0: DataFrame, c1: DataFrame, c2: DataFrame, c3: DataFrame,
+      c4: DataFrame, c5: DataFrame,
+      keeperSpans: DataFrame, benchVecs: DataFrame,
+      benchShingles: DataFrame, bloomBits: DataFrame)
+
+  /**
+   * Run the chain, returning every stage relation AND the snapshot
+   * artifacts. With `indexKey` set, artifacts route through
+   * [[Reuse.index]] (build-once per session per corpus, exactly like
+   * the ANN family's probe/codebook artifacts) — repeated invocations
+   * (the bench's two passes, a serving session's many cards) pay the
+   * keeper/shingle/Bloom builds once; stage relations stay
+   * [[Reuse.shared]] (per-query lifecycle) because they ARE the
+   * query's dataflow, not an index.
+   *
+   * The keeper relation is built on c2 (the post-repetition corpus —
+   * the same relation the batch surgery judges keepers on) via
+   * [[Dedup.dupKeeperSpans]] + [[Dedup.dupSpanSurgeryAgainst]], which
+   * compose to exactly [[Dedup.dupSpanSurgery]]'s cuts.
+   */
+  def snapshot(docs: DataFrame, embs: DataFrame, benchMaxId: Long,
+      indexKey: Option[String] = None): Snapshot = {
+    val spark = docs.sparkSession
+    def art(name: String)(build: => DataFrame): DataFrame =
+      indexKey match {
+        case Some(k) => Reuse.index(spark, s"curation:$k:$name")(build)
+        case None => Reuse.shared(build)
+      }
     val bench = docs.filter(col("doc_id") < benchMaxId)
     // Every stage output is MATERIALIZED once (Reuse.shared): the card
     // reads each relation from two-plus consumers (its own 1-row
@@ -62,21 +82,48 @@ object Curation {
     val c1 = Reuse.shared(TextOps.gopherRules(c0)
       .filter(col("keep") === 1).select("doc_id", "text", "source"))
     val c2 = resurface(Dedup.repetitionSurgery(c1), c1)
-    val c3 = resurface(Dedup.dupSpanSurgery(c2), c2)
+    val keepers = art("keepers")(Dedup.dupKeeperSpans(c2))
+    val c3 = resurface(Dedup.dupSpanSurgeryAgainst(c2, keepers), c2)
+    val benchVecs = art("benchvecs")(
+      embs.filter(col("vec_id") < benchMaxId))
     val semFlagged = Similarity.semanticDecontaminate(
         embs.join(c3.select(col("doc_id").as("vec_id")), "vec_id"),
-        embs.filter(col("vec_id") < benchMaxId))
+        benchVecs)
       .filter(col("contaminated") === 1L)
       .select(col("vec_id").as("doc_id"))
     val c4 = Reuse.shared(c3.join(semFlagged, Seq("doc_id"), "left_anti"))
-    val benchH = Dedup.benchmarkShingles(bench)
-    val bloomFlagged = Sketches.bloomPerDoc(c4, benchH,
-        Sketches.bloomBits(benchH))
+    val benchH = art("benchH")(Dedup.benchmarkShingles(bench))
+    val bits = art("bloombits")(Sketches.bloomBits(benchH))
+    val bloomFlagged = Sketches.bloomPerDoc(c4, benchH, bits)
       .filter(col("n_bloom").cast("double") /
         col("n_sh").cast("double") >= BloomFlagThreshold)
       .select("doc_id")
     val c5 = Reuse.shared(c4.join(bloomFlagged, Seq("doc_id"),
       "left_anti"))
+    Snapshot(c0, c1, c2, c3, c4, c5, keepers, benchVecs, benchH, bits)
+  }
+
+  /**
+   * One row per stage: (stage_ord, stage, docs, toks, removed_docs,
+   * removed_toks) for input/gopher/rep_surgery/span_surgery/
+   * semantic_decon/bloom_decon, then one `mix:<source>` row per
+   * stratum (docs kept, planned token draw out of `tokenBudget`),
+   * then the `pack` row (padded sequences at `ctx`, padding waste).
+   *
+   * Scale shape: six corpus passes (one per stage — each a keyed
+   * aggregate or broadcast-artifact join), the stage counts are 1-row
+   * aggregates crossJoined pairwise (the TextOps 1-row-frame
+   * convention), mixture and pack are map-side-combined aggregates
+   * over the final survivors. Nothing is all-pairs; the only
+   * corpus-proportional artifact is span surgery's keeper relation
+   * (ext96's documented cost).
+   */
+  def pipelineCard(docs: DataFrame, embs: DataFrame, benchMaxId: Long,
+      tokenBudget: Long, ctx: Long = 512L,
+      indexKey: Option[String] = None): DataFrame = {
+    val snap = snapshot(docs, embs, benchMaxId, indexKey)
+    val (c0, c1, c2, c3, c4, c5) =
+      (snap.c0, snap.c1, snap.c2, snap.c3, snap.c4, snap.c5)
     // ---- the card ----
     val nTok = size(TextOps.tokens(col("text"))).cast("long")
     def counts(df: DataFrame) = df.agg(count(lit(1)).as("d"),

@@ -622,6 +622,69 @@ class StreamingSpec extends TestBase {
     graft.ops.Reuse.freeAll(spark)
   }
 
+  test("composed streaming curation sink == batch pipeline survivors " +
+      "on the same snapshot artifacts at any batching (ext126 ingest " +
+      "twin, r10 item 2)") {
+    val docs = graft.ingest.Tables.documents(spark, sf("sf0.001"))
+      .select("doc_id", "text", "source")
+    val emb = graft.ingest.Tables.embeddings(spark, sf("sf0.001"))
+    val benchMax = 20L
+    // the batch pipeline run on the snapshot: survivors + the four
+    // offline artifacts the ingest sink reads
+    val snap = graft.ops.Curation.snapshot(docs, emb, benchMax)
+    val batchSurvivors = snap.c5.localCheckpoint(true)
+    val keepers = snap.keeperSpans.localCheckpoint(true)
+    val bv = snap.benchVecs.localCheckpoint(true)
+    val bh = snap.benchShingles.localCheckpoint(true)
+    val bits = snap.bloomBits.localCheckpoint(true)
+    val embSnap = emb.localCheckpoint(true)
+    graft.ops.Reuse.freeAll(spark)
+
+    val corpus = docs.filter(col("doc_id") >= benchMax)
+    val srcDir = Files.createTempDirectory("graft-cur-src").toString + "/d"
+    corpus.repartition(4).write.parquet(srcDir)
+    val out = Files.createTempDirectory("graft-cur-out").toString
+    val ckpt = Files.createTempDirectory("graft-cur-ckpt").toString
+    val q = StreamingPipeline.curationSink(
+        StreamingPipeline.parquetStream(spark, srcDir,
+          maxFilesPerTrigger = Some(1)),
+        embSnap, keepers, bv, bh, bits, out)
+      .option("checkpointLocation", ckpt).start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.read.parquet(out)
+      .select("doc_id", "text", "source")
+    assert(streamed.count() == batchSurvivors.count() &&
+      batchSurvivors.count() > 0)
+    assert(streamed.except(batchSurvivors).isEmpty &&
+      batchSurvivors.except(streamed).isEmpty,
+      "streamed curation survivors differ from the batch pipeline's")
+    // at least one doc must have been REMOVED by the chain, or the
+    // twin proves nothing
+    assert(batchSurvivors.count() < corpus.count(),
+      "curation chain removed nothing — twin is vacuous")
+
+    // the optional PII-redaction tail: same survivor set, redaction
+    // counts surfaced (zero on this PII-free corpus, text unchanged)
+    val out2 = Files.createTempDirectory("graft-cur2-out").toString
+    val ckpt2 = Files.createTempDirectory("graft-cur2-ckpt").toString
+    val q2 = StreamingPipeline.curationSink(
+        StreamingPipeline.parquetStream(spark, srcDir,
+          maxFilesPerTrigger = Some(2)),
+        embSnap, keepers, bv, bh, bits, out2, redactPii = true)
+      .option("checkpointLocation", ckpt2).start()
+    q2.processAllAvailable()
+    q2.stop()
+    val redacted = spark.read.parquet(out2)
+    assert(redacted.select("doc_id", "text", "source")
+      .except(batchSurvivors).isEmpty &&
+      batchSurvivors.except(
+        redacted.select("doc_id", "text", "source")).isEmpty,
+      "redaction tail changed the survivor relation on a PII-free corpus")
+    assert(redacted.agg(sum("n_redactions")).collect()(0).getLong(0) == 0L)
+    graft.ops.Reuse.freeAll(spark)
+  }
+
   test("streaming IVF-PQ retrieval over stored artifacts == batch " +
       "ivfPqTopK on the same snapshot at any batching (r9 item 2)") {
     val S = graft.ops.Similarity
