@@ -1866,6 +1866,18 @@ object ExtEntry {
       Similarity.semDedupProbeCurve(embs(s, dir), ivfProbeIndex(s, dir),
         ProbeCurve)),
 
+    // Multi-probe SemDeDup as the OPERATOR (r10 verdict item 5 —
+    // ext110 measured that probe replication recovers the centroid-
+    // boundary misses; this makes the knob turnable in ext101's
+    // operator): pair test over each vector's 2 nearest buckets, drop
+    // decisions deduped across replicas, output under the home bucket.
+    // p=1 == ext101 bit-exactly and p=4 reaches ext110's 100% recall
+    // row (both SimilaritySpec laws).
+    "ext129_semdedup_probed" -> ((s, dir) =>
+      Similarity.semDedupProbed(embs(s, dir), ivfProbeIndex(s, dir),
+          probes = 2)
+        .orderBy("vec_id")),
+
     // BPE merge-table LEARNING (Sennrich et al.): tokenizer vocabulary
     // induction as an iterative relational algorithm — one corpus pass
     // builds the word-frequency table, then every round iterates on
@@ -4477,6 +4489,40 @@ object ExtEntry {
          |SELECT * FROM (
          |${ProbeCurve.map(probeRecallRowSql).mkString("\nUNION ALL\n")})
          |ORDER BY probes""".stripMargin,
+
+    // Probed SemDeDup operator: ext101's drop rule with the pair test
+    // widened to any shared bucket among each side's 2 nearest (pmax
+    // ranks off the same Lloyd's distances); output under the home
+    // (rn=1) bucket.
+    "ext129_semdedup_probed" ->
+      s"""$QuantFlatSql,
+         |${kmeansCtes(8, 2)},
+         |pmax AS (SELECT vec_id, cid, rn FROM (
+         |  SELECT vec_id, cid, row_number() OVER (
+         |    PARTITION BY vec_id ORDER BY dist, cid) AS rn FROM d3)
+         |  WHERE rn <= 2),
+         |cos AS (
+         |  SELECT fa.vec_id AS id_a, fb.vec_id AS id_b,
+         |         CAST(SUM(fa.qi * fb.qi) AS BIGINT) AS dot
+         |  FROM (SELECT DISTINCT pa.vec_id AS va, pb.vec_id AS vb
+         |        FROM pmax pa JOIN pmax pb ON pb.cid = pa.cid
+         |        WHERE pa.vec_id < pb.vec_id) pr
+         |       JOIN flat fa ON fa.vec_id = pr.va
+         |       JOIN flat fb ON fb.vec_id = pr.vb AND fb.i = fa.i
+         |  GROUP BY 1, 2),
+         |drops AS (
+         |  SELECT DISTINCT c.id_b AS vec_id
+         |  FROM cos c JOIN n2 na ON na.vec_id = c.id_a
+         |       JOIN n2 nb ON nb.vec_id = c.id_b
+         |  WHERE CAST(c.dot AS DOUBLE) /
+         |        sqrt(CAST(na.n2 AS DOUBLE) * CAST(nb.n2 AS DOUBLE))
+         |        >= ${Similarity.NearDupThreshold}),
+         |home AS (SELECT vec_id, cid AS bucket FROM pmax WHERE rn = 1)
+         |SELECT h.vec_id, CAST(h.bucket AS BIGINT) AS bucket,
+         |       CAST(CASE WHEN dr.vec_id IS NULL THEN 1 ELSE 0 END
+         |            AS BIGINT) AS kept
+         |FROM home h LEFT JOIN drops dr USING (vec_id)
+         |ORDER BY h.vec_id""".stripMargin,
 
     // BPE: the same three unrolled rounds — pair counts (overlapping
     // adjacencies count), (count DESC, a, b) argmax, run-parity greedy

@@ -161,10 +161,13 @@ object Multimodal {
    * byte-window fallback).
    */
   object GifFrameDecoder extends Serializable {
-    /** Spec-only probe: counts individual `ImageReader.read(i)` calls
-      * in this JVM, so a test can assert the sample-aware path decodes
-      * exactly the sampled indices (r9 verdict item 3). */
-    val decodeCount = new java.util.concurrent.atomic.AtomicLong
+    /** Spec-only probe SEAM (r10 ADVICE): the production decode path
+      * does NOTHING unless a test installs a probe — no always-on
+      * JVM-global counter in the hot loop, and the
+      * parallelism-sensitive window exists only while a test holds the
+      * seam (suites run sequentially in the forked test JVM). The
+      * probe receives the stored frame index being read. */
+    @volatile var decodeProbe: Option[Int => Unit] = None
 
     /** Decode ONLY every `every`-th stored frame — `r.read(i)` per
       * sampled index, never a materialize-all-then-filter pass (r9
@@ -191,7 +194,7 @@ object Multimodal {
             r.setInput(iis)
             val n = r.getNumImages(true)
             Some((0 until n by every).map { i => // strict: read pre-dispose
-              decodeCount.incrementAndGet()
+              decodeProbe.foreach(_(i))
               i -> r.read(i)
             })
           } catch {

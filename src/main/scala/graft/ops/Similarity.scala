@@ -604,6 +604,43 @@ object Similarity {
         when(col("_drop").isNull, 1L).otherwise(0L).as("kept"))
   }
 
+  /**
+   * Multi-probe SemDeDup — ext110's measured recovery knob made
+   * TURNABLE in the operator itself (r10 verdict item 5): each vector
+   * joins the pair test in its `probes` nearest centroid buckets
+   * ([[kmeansProbeBuckets]]' assignment), so a near-dup pair split
+   * across a centroid boundary is still compared whenever ANY bucket
+   * is probed by BOTH sides. Pair decisions dedup across replicas (a
+   * pair sharing two probed buckets is one decision — the drop set is
+   * a distinct id set), and each vector reports under its rank-1
+   * (home) bucket, so the output shape is [[semDedup]]'s exactly.
+   * `probes = 1` is bit-identical to [[semDedup]] (SimilaritySpec
+   * law).
+   *
+   * Cost/recall: the within-bucket pair join sees each vector up to
+   * `probes` times per side (ext110's ×p pricing); the recall
+   * recovered is exactly ext109's measured centroid-boundary miss
+   * mass — at p = 4 the audit corpus reads 100% (ext110's curve, and
+   * the spec asserts the OPERATOR reaches it: every exact all-pairs
+   * near-dup's higher id is dropped at p = 4).
+   */
+  def semDedupProbed(emb: DataFrame, probeIndex: DataFrame,
+      probes: Int = 1, threshold: Double = NearDupThreshold,
+      id: String = "vec_id", vec: String = "embedding"): DataFrame = {
+    require(probes >= 1, s"probes must be >= 1, got: $probes")
+    val prep = Reuse.shared(prepared(emb, id, vec).toDF("vid", "q", "n2"))
+    val replicas = prep.join(
+      probeIndex.filter(col("probe_rank") <= probes)
+        .select(col(id).as("vid"), col("bucket")), "vid")
+    val dropped = semDedupPairsOf(replicas, threshold)
+      .select(col("id_b").as("vid")).distinct()
+    prep.join(probeIndex.filter(col("probe_rank") === 1)
+        .select(col(id).as("vid"), col("bucket")), "vid")
+      .join(dropped.withColumn("_drop", lit(1)), Seq("vid"), "left")
+      .select(col("vid").as(id), col("bucket"),
+        when(col("_drop").isNull, 1L).otherwise(0L).as("kept"))
+  }
+
   /** The cluster-mate near-dup pair relation behind [[semDedup]]:
     * (id_a < id_b, cos) for same-bucket pairs at/above the threshold —
     * exposed so the recall audit (ext109) can price the bucket
@@ -1000,14 +1037,27 @@ object Similarity {
     val rankW = Window.partitionBy(col("bucket")).orderBy(col("ccid"))
     val childRank = cents.select("bucket", "ccid")
       .withColumn("child", (row_number().over(rankW) - 1).cast("long"))
+    // Composite-id overflow guard (r10 ADVICE): the documented
+    // precondition |bucket| < Long.Max/split is ENFORCED, not assumed —
+    // repeated self-application multiplies ids by `split` per level, so
+    // an unguarded deep recursion would wrap silently. assert_true
+    // rides the existing projection (codegen'd, no extra job); the
+    // task fails with the offending id instead of emitting a collided
+    // bucket.
+    val cap = Long.MaxValue / split
+    def composed(b: Column, child: Column): Column =
+      when(assert_true(abs(b) <= cap,
+          concat(lit(s"splitOversizedBuckets: |bucket| > ${cap} would " +
+            s"overflow the composite id at split=$split: "),
+            b.cast("string"))).isNull,
+        b * split + child)
     val splitAssign = assignSub(cents)
       .join(broadcast(childRank), Seq("bucket", "ccid"))
-      .select(col("vid"),
-        (col("bucket") * split + col("child")).as("bucket"))
+      .select(col("vid"), composed(col("bucket"), col("child")).as("bucket"))
     val keptAssign = corpus
       .join(broadcast(over.withColumn("_o", lit(1))), Seq("bucket"), "left")
       .filter(col("_o").isNull)
-      .select(col("vid"), (col("bucket") * split).as("bucket"))
+      .select(col("vid"), composed(col("bucket"), lit(0L)).as("bucket"))
     keptAssign.union(splitAssign)
       .select(col("vid").as(id), col("bucket"))
   }

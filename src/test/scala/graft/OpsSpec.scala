@@ -492,12 +492,17 @@ class OpsSpec extends TestBase {
     val four = Seq(MediaAsset(4L, "video",
       gifBytes(Seq(0x000000, 0x404040, 0x808080, 0xffffff)),
       "image/gif")).toDS()
-    val before = Multimodal.GifFrameDecoder.decodeCount.get()
-    val sampled = Multimodal.sampleFramesDecoded(four, every = 2)
-      .collect().sortBy(_.frame_no)
-    val reads = Multimodal.GifFrameDecoder.decodeCount.get() - before
+    val readIdx = java.util.Collections.synchronizedList(
+      new java.util.ArrayList[Int]())
+    Multimodal.GifFrameDecoder.decodeProbe = Some(i => readIdx.add(i))
+    val sampled =
+      try Multimodal.sampleFramesDecoded(four, every = 2)
+        .collect().sortBy(_.frame_no)
+      finally Multimodal.GifFrameDecoder.decodeProbe = None
     assert(sampled.map(_.frame_no).toSeq == Seq(0L, 2L))
-    assert(reads == 2L, s"expected exactly 2 frame reads, saw $reads")
+    import scala.jdk.CollectionConverters._
+    assert(readIdx.asScala.sorted == Seq(0, 2),
+      s"expected exactly frame reads {0, 2}, saw ${readIdx.asScala}")
     val allFrames = Multimodal.sampleFramesDecoded(four).collect()
       .sortBy(_.frame_no).filter(_.frame_no % 2 == 0)
     assert(sampled.map(f => (f.frame_no, f.width, f.height, f.decoded,

@@ -460,6 +460,19 @@ class SimilaritySpec extends TestBase {
           .toDF("vec_id", "bucket"), maxBucket = 3)
       .as[(Long, Long)].collect().toMap
     assert(reb2 == reb.map { case (v, b) => v -> b * 2 })
+    // composite-id overflow is ENFORCED, not assumed (r10 ADVICE): a
+    // bucket id past Long.Max/split fails loudly instead of wrapping
+    val huge = Seq(7L -> (Long.MaxValue / 2 + 1), 8L -> 0L)
+      .toDF("vec_id", "bucket")
+    val ex = intercept[Exception] {
+      Similarity.splitOversizedBuckets(
+        e.filter(col("vec_id") >= 7L), huge, maxBucket = 3).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil
+      else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(ex).exists(_.contains("overflow")),
+      s"expected the overflow guard, got: $ex")
   }
 
   test("rebalanced IVF-PQ search == unsplit search: the split is " +
@@ -602,6 +615,51 @@ class SimilaritySpec extends TestBase {
       probeIdx.filter(col("probe_rank") === 1).select("vec_id", "bucket"))
       .as[(Long, Long, Long)].head()
     assert((curve.head._2, curve.head._3, curve.head._4) == card)
+  }
+
+  test("probed semdedup operator: p=1 == semDedup bit-exactly; p=4 " +
+      "drops the higher id of EVERY exact near-dup pair (reaches " +
+      "ext110's 100% recall row); drop set monotone in p (ext129)") {
+    import spark.implicits._
+    val probeIdx = Similarity.kmeansProbeBuckets(emb, probes = 4)
+    val single = Similarity.semDedup(emb,
+      probeIdx.filter(col("probe_rank") === 1).select("vec_id", "bucket"))
+      .as[(Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    val p1 = Similarity.semDedupProbed(emb, probeIdx, probes = 1)
+      .as[(Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    assert(p1 == single, "p=1 must equal the single-bucket operator")
+
+    def droppedAt(p: Int): Set[Long] =
+      Similarity.semDedupProbed(emb, probeIdx, probes = p)
+        .filter(col("kept") === 0L).select("vec_id")
+        .as[Long].collect().toSet
+    val d1 = droppedAt(1); val d2 = droppedAt(2); val d4 = droppedAt(4)
+    assert(d1.subsetOf(d2) && d2.subsetOf(d4),
+      "drop set must be monotone in probes (replicas only add pairs)")
+
+    // p=4 reaches the curve's 100% row on this corpus (ext110): the
+    // higher id of every EXACT all-pairs near-dup is dropped.
+    val vecs = emb.select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])].collect()
+      .map { case (i, v) =>
+        i -> v.map(x => math.floor(x.toDouble * 1e6).toLong)
+      }.toMap
+    def cos(a: Array[Long], b: Array[Long]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      val n2 = (v: Array[Long]) => v.map(x => x * x).sum
+      dot.toDouble / math.sqrt(n2(a).toDouble * n2(b).toDouble)
+    }
+    val ids = vecs.keys.toSeq.sorted
+    val truthDropped = ids.filter(i => ids.exists(j => j < i &&
+      cos(vecs(j), vecs(i)) >= Similarity.NearDupThreshold)).toSet
+    assert(truthDropped.nonEmpty, "no exact near-dups — law is vacuous")
+    assert(d4 == truthDropped,
+      s"p=4 operator must drop exactly the exact-truth set: " +
+        s"missing ${truthDropped -- d4}, extra ${d4 -- truthDropped}")
+    // and p=1 genuinely misses some of them on this corpus (ext109's
+    // measured miss mass — the reason the knob exists)
+    assert(d1 != truthDropped, "p=1 already exact — probe law vacuous")
+    graft.ops.Reuse.freeAll(spark)
   }
 
   test("semdedup recall audit: detected is truth restricted to shared " +

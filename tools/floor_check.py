@@ -61,7 +61,8 @@ def main():
         if not ratios:
             print(f"{path}: no overlapping queries with floors")
             continue
-        ctx = min(CTX_CAP, max(1.0, statistics.median(ratios.values())))
+        raw_ctx = statistics.median(ratios.values())
+        ctx = min(CTX_CAP, max(1.0, raw_ctx))
         breaches = []
         for k in sorted(ratios):
             fl = floors[k]
@@ -81,7 +82,8 @@ def main():
         worst = max(ratios.values())
         worst_n = max((v / ctx) for v in ratios.values())
         print(f"{path}: {len(ratios)} queries vs floors, total={total}, "
-              f"ctx={ctx:.2f}, max raw ratio {worst:.2f}, "
+              f"ctx={ctx:.2f} (raw median {raw_ctx:.2f}), "
+              f"max raw ratio {worst:.2f}, "
               f"max normalized {worst_n:.2f}, {len(breaches)} breaches")
         for b in breaches:
             print(b)
