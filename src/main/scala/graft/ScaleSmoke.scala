@@ -352,6 +352,23 @@ object ScaleSmoke {
       graft.ops.Similarity.ivfPqTopK(bigEmbL,
         bigEmbL.filter(col("vec_id") < 20), idx, 3)
     }
+    // rebalance THREADED THROUGH the composed retrieval (r10 verdict
+    // item 7): same fixed 20-query probe, but the coded corpus is
+    // bucket-tagged with the SPLIT assignment and each query's parent
+    // probe fans out to the child buckets (ivfPqTopKRebalanced —
+    // layout-transparent, spec-asserted == unsplit at test SF). In dup
+    // mode every identical-vector family lands whole in one bucket, so
+    // the unsplit probe drags the entire family through ADC + rerank
+    // per query; the cap bounds the probed candidate mass per child.
+    time("ivfpq_rebalanced_20q") {
+      val idx = graft.ops.Similarity.kmeansProbeBuckets(bigEmbL,
+        k = 8, iters = 2, probes = 2).localCheckpoint(true)
+      val reb = graft.ops.Similarity.splitOversizedBuckets(bigEmbL,
+          idx.filter(col("probe_rank") === 1).select("vec_id", "bucket"),
+          maxBucket = 2000L, split = 32).localCheckpoint(true)
+      graft.ops.Similarity.ivfPqTopKRebalanced(bigEmbL,
+        bigEmbL.filter(col("vec_id") < 20), idx, reb, split = 32, k = 3)
+    }
     // prototype pruning (ext119): centroid build + broadcast scoring
     // are linear; the per-bucket rank sort is the exact-rank price —
     // output == vectors at any mult.

@@ -23,9 +23,12 @@ for n in range(RUNS):
         capture_output=True, text=True, timeout=3600,
         env={**__import__("os").environ, "SPARK_GRAFT_SF_DIR": SF,
              "SPARK_GRAFT_CPUS": "32"})
-    line = next(l for l in r.stdout.splitlines()
-                if l.strip().startswith("{") and '"queries"' in l)
-    qs = json.loads(line.strip())["queries"]
+    # stdout splits the per-query map into <=10-entry parts (driver log
+    # tail limits); the complete record is the bench_last.json artifact
+    if r.returncode != 0:
+        raise SystemExit(f"run {n}: sbt exited {r.returncode}\n"
+                         + r.stdout[-2000:] + r.stderr[-2000:])
+    qs = json.load(open("/root/repo/bench_last.json"))["queries"]
     for k, v in qs.items():
         if v < 0:
             raise SystemExit(f"run {n}: {k} FAILED (-1) — not recording")
