@@ -62,14 +62,22 @@ object Repl {
       case "gettopretweetsstring" :: s :: e :: Nil =>
         Some(ranged("retweets", s, e)
           .orderBy(col("window_end"), col("entity")))
+      // recent-N reads through the newest-first date-pruned path
+      // (AggregateStore.readRecent — the SeekToLast analog): only the
+      // trailing window_date partitions are scanned, same rows as
+      // Serve.recent over the full store (StreamingSpec law).
       case "getrecenttopmentionsstring" :: n :: Nil =>
-        Some(Serve.recent(store("mentions"), n.toInt))
+        Some(AggregateStore.readRecent(spark, s"$storeRoot/mentions",
+          n.toInt))
       case "getrecenttophashtagsstring" :: n :: Nil =>
-        Some(Serve.recent(store("hashtags"), n.toInt))
+        Some(AggregateStore.readRecent(spark, s"$storeRoot/hashtags",
+          n.toInt))
       case "getrecenttopretweetsstring" :: n :: Nil =>
-        Some(Serve.recent(store("retweets"), n.toInt))
+        Some(AggregateStore.readRecent(spark, s"$storeRoot/retweets",
+          n.toInt))
       case "getrecentcounts" :: n :: Nil =>
-        Some(Serve.recent(store("counts"), n.toInt))
+        Some(AggregateStore.readRecent(spark, s"$storeRoot/counts",
+          n.toInt))
       // Beyond the reference's 8 commands: run any named engine query
       // (the whole SparkEntry surface — dedup, similarity, text ops...)
       // against a testdata-layout dir, so a REPL user reaches every

@@ -382,6 +382,16 @@ object SparkEntry {
     "op41_recent" -> ((s, dir) =>
       Serve.recent(Windows.hoppingCounts(events(s, dir)), 20)),
 
+    // OP-36 over the stored layout: getsummary folding the persisted
+    // counts CF instead of re-aggregating the raw events — the store
+    // read is bounded by |windows| rows, the recompute by |events|.
+    // Oracle recomputes from raw events (layout invisible in results).
+    "op36_store_summary" -> ((s, dir) => {
+      val path = ensureCountsStore(s, dir)
+      Serve.summary(
+        graft.stream.AggregateStore.read(s, path).select("window_end", "cnt"))
+    }),
+
     // OP-38/39 over the REAL stored entity layout (r10 verdict item 1):
     // the [start, end) + entity scan served from the entity-payload
     // store — window_date partitions prune the range, the
@@ -568,6 +578,18 @@ object SparkEntry {
          |SELECT * FROM
          |  (SELECT window_end, cnt FROM c ORDER BY window_end DESC LIMIT 20)
          |ORDER BY window_end DESC""".stripMargin,
+
+    // Same result relation as op36 — the store layout must be
+    // invisible in results, so the oracle recomputes from raw events.
+    "op36_store_summary" ->
+      s"""${hoppingSql("event_id")},
+         |c AS (SELECT window_end, count(*) AS cnt FROM hop GROUP BY 1)
+         |SELECT min(window_end) AS min_window_end,
+         |       max(window_end) AS max_window_end,
+         |       max(window_end) - min(window_end) AS duration_seconds,
+         |       count(*) AS window_count,
+         |       CAST(sum(cnt) AS BIGINT) AS total_tweets
+         |FROM c""".stripMargin,
 
     // Store layout invisible in results: recompute the ranked
     // entity-payload relation from raw events, then the same range +

@@ -140,6 +140,28 @@ object Curation {
       lit("input").as("stage"), col("d").as("docs"),
       col("t").as("toks"), lit(0L).as("removed_docs"),
       lit(0L).as("removed_toks"))
+    Seq(s0, stage(1, "gopher", c1, c0), stage(2, "rep_surgery", c2, c1),
+        stage(3, "span_surgery", c3, c2),
+        stage(4, "semantic_decon", c4, c3),
+        stage(5, "bloom_decon", c5, c4),
+        mixPackRows(c5, tokenBudget, ctx))
+      .reduce(_ unionByName _)
+  }
+
+  /**
+   * The card's mixture + pack rows (stage_ord 6/7) over a survivor
+   * relation `(doc_id, text, source)`. Exposed separately because
+   * these two stages are corpus-level REPORTS over whatever has
+   * survived — in batch that is `snapshot(...).c5`; for the streaming
+   * ingest sink it is the ACCUMULATED survivor store, read back by
+   * [[graft.stream.StreamingPipeline.curationMixPackFromState]] (both
+   * aggregates are algebraic over the survivor relation, so the fold
+   * equals the batch rows over everything that has arrived, at any
+   * batching — the partials-family contract).
+   */
+  def mixPackRows(c5: DataFrame, tokenBudget: Long,
+      ctx: Long = 512L): DataFrame = {
+    val nTok = size(TextOps.tokens(col("text"))).cast("long")
     val mix = Sampling.tokenLedger(c5, tokenBudget)
       .select(lit(6L).as("stage_ord"),
         concat(lit("mix:"), col("source")).as("stage"),
@@ -151,10 +173,6 @@ object Curation {
         col("total_toks").as("toks"), lit(0L).as("removed_docs"),
         (col("chunks_padded") * lit(ctx) - col("total_toks"))
           .as("removed_toks"))
-    Seq(s0, stage(1, "gopher", c1, c0), stage(2, "rep_surgery", c2, c1),
-        stage(3, "span_surgery", c3, c2),
-        stage(4, "semantic_decon", c4, c3),
-        stage(5, "bloom_decon", c5, c4), mix, pack)
-      .reduce(_ unionByName _)
+    mix.unionByName(pack)
   }
 }

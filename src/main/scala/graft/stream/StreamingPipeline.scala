@@ -859,6 +859,17 @@ object StreamingPipeline {
     }
   }
 
+  /** ext126's mixture/pack rows folded from the ACCUMULATED
+    * [[curationSink]] survivor store — the serving read of the ingest
+    * state: equals the batch card's stage_ord 6/7 rows over everything
+    * that has arrived, at any batching (both aggregates are algebraic
+    * over the survivor relation — the partials-family contract). */
+  def curationMixPackFromState(spark: SparkSession, outPath: String,
+      tokenBudget: Long, ctx: Long = 512L): DataFrame =
+    graft.ops.Curation.mixPackRows(
+      spark.read.parquet(outPath).select("doc_id", "text", "source"),
+      tokenBudget, ctx)
+
   def gopherPassRatesFromState(spark: SparkSession,
       outPath: String): DataFrame =
     graft.ops.TextOps.gopherPassRatesFromCounts(

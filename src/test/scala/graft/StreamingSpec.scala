@@ -664,6 +664,17 @@ class StreamingSpec extends TestBase {
     assert(batchSurvivors.count() < corpus.count(),
       "curation chain removed nothing — twin is vacuous")
 
+    // mix/pack card served from the accumulated ingest state == the
+    // batch card's stage 6/7 rows over the same survivors
+    val stateCard = StreamingPipeline.curationMixPackFromState(
+      spark, out, tokenBudget = 1000000L)
+    val batchCard = graft.ops.Curation.mixPackRows(
+      batchSurvivors, tokenBudget = 1000000L)
+    assert(stateCard.count() == batchCard.count() && batchCard.count() > 0)
+    assert(stateCard.exceptAll(batchCard).isEmpty &&
+      batchCard.exceptAll(stateCard).isEmpty,
+      "state-folded mix/pack card differs from the batch card")
+
     // the optional PII-redaction tail: same survivor set, redaction
     // counts surfaced (zero on this PII-free corpus, text unchanged)
     val out2 = Files.createTempDirectory("graft-cur2-out").toString
