@@ -61,9 +61,15 @@ object Curation {
   def snapshot(docs: DataFrame, embs: DataFrame, benchMaxId: Long,
       indexKey: Option[String] = None): Snapshot = {
     val spark = docs.sparkSession
+    // benchMaxId is part of the artifact identity: the keeper relation,
+    // bench vectors, shingle set and Bloom bits all depend on where the
+    // eval/train split falls, so a session that re-runs the same corpus
+    // dir with a different split must NOT be served the prior split's
+    // artifacts (r11 advice).
     def art(name: String)(build: => DataFrame): DataFrame =
       indexKey match {
-        case Some(k) => Reuse.index(spark, s"curation:$k:$name")(build)
+        case Some(k) =>
+          Reuse.index(spark, s"curation:$k:$benchMaxId:$name")(build)
         case None => Reuse.shared(build)
       }
     val bench = docs.filter(col("doc_id") < benchMaxId)

@@ -800,19 +800,80 @@ object StreamingPipeline {
    * Each intermediate stage is materialized eagerly per batch
    * (the pipelineCard sum-of-prefixes lesson: two-plus consumers per
    * stage) and its blocks are freed before the batch returns.
+   *
+   * This fixed-artifact overload pins ONE snapshot for the stream's
+   * whole life; a production stream that must pick up a refreshed
+   * eval suite without restart uses [[curationSinkVersioned]].
    */
   def curationSink(docs: DataFrame, embs: DataFrame,
       keeperSpans: DataFrame, benchVecs: DataFrame,
       benchShingles: DataFrame, bloomBits: DataFrame,
       outPath: String, redactPii: Boolean = false)
+      : DataStreamWriter[org.apache.spark.sql.Row] =
+    curationSinkVersioned(docs, embs,
+      () => ("static", CurationArtifacts(
+        keeperSpans, benchVecs, benchShingles, bloomBits)),
+      outPath, redactPii)
+
+  /** The four offline snapshot artifacts [[curationSinkVersioned]]
+    * gates on (see [[curationSink]]'s boundary rationale). */
+  final case class CurationArtifacts(
+      keeperSpans: DataFrame, benchVecs: DataFrame,
+      benchShingles: DataFrame, bloomBits: DataFrame)
+
+  /**
+   * [[curationSink]] with an ARTIFACT-VERSION SEAM (r11 verdict item
+   * 5): `artifacts` is consulted once per micro-batch, BEFORE any
+   * stage runs, and returns `(version, frames)`. Consistency model is
+   * per-batch snapshot pinning — a batch is processed end-to-end
+   * against exactly the snapshot whose version was current at its
+   * start; a bench-set rotation between batches takes effect at the
+   * next batch boundary, never mid-chain (so the five stages of one
+   * batch can never gate against two different eval suites).
+   *
+   * Artifact checkpoint lifecycle is owned HERE (r11 advice: the old
+   * construction-time checkpoints were never released): on a version
+   * change the superseded version's checkpoint blocks are freed
+   * immediately, and every pinned set is also registered with
+   * [[graft.ops.Reuse.pin]] so a harness's end-of-stream
+   * `Reuse.freeAll` (called only after the query stops — freeAll's
+   * between-queries contract) releases the final version too.
+   * Unchanged versions pay zero re-materialization per batch.
+   */
+  def curationSinkVersioned(docs: DataFrame, embs: DataFrame,
+      artifacts: () => (String, CurationArtifacts),
+      outPath: String, redactPii: Boolean = false)
       : DataStreamWriter[org.apache.spark.sql.Row] = {
-    val keepers = keeperSpans.localCheckpoint(true)
-    val bv = benchVecs.localCheckpoint(true)
-    val bh = benchShingles.localCheckpoint(true)
-    val bits = bloomBits.localCheckpoint(true)
+    // foreachBatch runs on the driver, so plain vars are safe: batches
+    // of one query are sequential.
+    var curVersion: String = null
+    var cur: CurationArtifacts = null
+    var curIds: Seq[Int] = Nil
     docs.writeStream.outputMode("append").foreachBatch {
       (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
+        val (version, raw) = artifacts()
+        if (version != curVersion) {
+          curIds.foreach { id =>
+            try org.apache.spark.graftbridge.SparkBridge
+              .unpersistRdd(spark.sparkContext, id)
+            catch { case _: Throwable => () }
+          }
+          val pinnedIds = scala.collection.mutable.ArrayBuffer[Int]()
+          def pinArt(df: DataFrame): DataFrame = {
+            val m = graft.ops.Reuse.pin(df.localCheckpoint(true))
+            org.apache.spark.sql.graftbridge.SqlBridge
+              .checkpointRddId(m).foreach(pinnedIds += _)
+            m
+          }
+          cur = CurationArtifacts(pinArt(raw.keeperSpans),
+            pinArt(raw.benchVecs), pinArt(raw.benchShingles),
+            pinArt(raw.bloomBits))
+          curIds = pinnedIds.toSeq
+          curVersion = version
+        }
+        val (keepers, bv, bh, bits) = (cur.keeperSpans, cur.benchVecs,
+          cur.benchShingles, cur.bloomBits)
         val tracked = scala.collection.mutable.ArrayBuffer[Int]()
         def mat(df: DataFrame): DataFrame = {
           val m = df.localCheckpoint(true)
@@ -1313,8 +1374,11 @@ object AggregateStore {
   def readRecent(spark: SparkSession, path: String, n: Int): DataFrame = {
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val dates = fs.globStatus(
-        new org.apache.hadoop.fs.Path(path, "*/window_date=*"))
+    // globStatus contract: null (not an empty array) on some
+    // filesystem/parent combinations — guard or an empty store NPEs.
+    val dates = Option(fs.globStatus(
+        new org.apache.hadoop.fs.Path(path, "*/window_date=*")))
+      .getOrElse(Array.empty[org.apache.hadoop.fs.FileStatus])
       .map(_.getPath.getName.stripPrefix("window_date="))
       .distinct.sorted.reverse
     val order = {

@@ -696,6 +696,175 @@ class StreamingSpec extends TestBase {
     graft.ops.Reuse.freeAll(spark)
   }
 
+  test("streaming curation PII tail applies REAL redactions: planted " +
+      "PII comes back redacted identically to batch redactPii " +
+      "(r11 item 3)") {
+    // ext128's plant discipline, applied to the streaming twin: the
+    // synthetic corpus is PII-free, so deterministically plant one
+    // instance of each scrub pattern class on every 7th doc BEFORE
+    // either engine runs — the twin then exercises real substitutions
+    // in the foreachBatch path, not the identity pass-through.
+    val plant = " reach u9123456789@ex4.com or +12345678901 via " +
+      "10.0.0.1 acct 987654321"
+    val docs = Tables.documents(spark, sf("sf0.001"))
+      .select(col("doc_id"),
+        when(col("doc_id") % 7 === 0, concat(col("text"), lit(plant)))
+          .otherwise(col("text")).as("text"),
+        col("source"))
+    val emb = Tables.embeddings(spark, sf("sf0.001"))
+    val benchMax = 20L
+    val snap = graft.ops.Curation.snapshot(docs, emb, benchMax)
+    val survivors = snap.c5.localCheckpoint(true)
+    val keepers = snap.keeperSpans.localCheckpoint(true)
+    val bv = snap.benchVecs.localCheckpoint(true)
+    val bh = snap.benchShingles.localCheckpoint(true)
+    val bits = snap.bloomBits.localCheckpoint(true)
+    val embSnap = emb.localCheckpoint(true)
+    graft.ops.Reuse.freeAll(spark)
+    // the batch redaction tail over the same planted survivors —
+    // exactly what the sink's redactPii=true tail computes per batch
+    val expected = graft.ops.TextOps.redactPii(survivors)
+      .join(survivors.select("doc_id", "source"), "doc_id")
+      .select(col("doc_id"), col("clean_text").as("text"),
+        col("source"), col("n_redactions"))
+      .localCheckpoint(true)
+
+    val corpus = docs.filter(col("doc_id") >= benchMax)
+      .localCheckpoint(true)
+    val srcDir = Files.createTempDirectory("graft-piis-src").toString + "/d"
+    corpus.repartition(4).write.parquet(srcDir)
+    val out = Files.createTempDirectory("graft-piis-out").toString
+    val ckpt = Files.createTempDirectory("graft-piis-ckpt").toString
+    val q = StreamingPipeline.curationSink(
+        StreamingPipeline.parquetStream(spark, srcDir,
+          maxFilesPerTrigger = Some(2)),
+        embSnap, keepers, bv, bh, bits, out, redactPii = true)
+      .option("checkpointLocation", ckpt).start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.read.parquet(out)
+      .select("doc_id", "text", "source", "n_redactions")
+    assert(streamed.count() == expected.count() && expected.count() > 0)
+    assert(streamed.except(expected).isEmpty &&
+      expected.except(streamed).isEmpty,
+      "streamed PII-redacted survivors differ from batch redactPii " +
+        "over the same survivors")
+    // non-vacuous: planted docs survived the chain and were REDACTED
+    val nRedacted = streamed.filter(col("n_redactions") > 0).count()
+    assert(nRedacted > 0, "no planted doc survived to the redaction " +
+      "tail — the twin proved nothing")
+    // and redaction actually rewrote the text (placeholder substitution)
+    assert(streamed.filter(col("n_redactions") > 0 &&
+      !col("text").contains("<EMAIL>")).count() == 0,
+      "a redacted doc's streamed text lacks the placeholder")
+    graft.ops.Reuse.freeAll(spark)
+  }
+
+  test("curation sink artifact rotation: a bench-set swap between " +
+      "batches takes effect at the NEXT batch, each batch pinned to " +
+      "one snapshot (r11 item 5)") {
+    // Crafted embedding space so the rotation is provably non-vacuous:
+    // bench-A vectors (ids < 10) sit on axis 0; one bench-B-window
+    // vector (id 25) on axis 1; probe docs 9000/9001 carry the SAME
+    // axis-1 vector — orthogonal to bench A (cos 0, never flagged)
+    // and identical to bench-B vec 25 (cos 1, always flagged). Real
+    // vectors keep ids >= benchB.
+    val benchA = 10L
+    val benchB = 30L
+    def axisVec(axis: Int) = array(
+      Seq.tabulate(64)(i => lit(if (i == axis) 1.0f else 0.0f)): _*)
+    val emb = Tables.embeddings(spark, sf("sf0.001"))
+      .select("vec_id", "embedding")
+    val crafted = spark.range(0, benchA)
+      .select(col("id").as("vec_id"), axisVec(0).as("embedding"))
+      .union(spark.range(25, 26)
+        .select(col("id").as("vec_id"), axisVec(1).as("embedding")))
+      .union(spark.range(9000, 9002)
+        .select(col("id").as("vec_id"), axisVec(1).as("embedding")))
+    val embAll = emb.filter(col("vec_id") >= benchB).unionByName(crafted)
+      .localCheckpoint(true)
+    val realDocs = Tables.documents(spark, sf("sf0.001"))
+      .select("doc_id", "text", "source")
+    // Probe text: a real gopher-surviving corpus doc's text, so the
+    // doc-local stages pass the probes for sure; its spans being
+    // duplicated across donor/9000/9001 only exercises span surgery
+    // identically in both engines.
+    val donor = graft.ops.TextOps.gopherRules(realDocs)
+      .filter(col("keep") === 1 && col("doc_id") >= benchB)
+      .orderBy("doc_id").select("text").head.getString(0)
+    val probes = spark.range(9000, 9002)
+      .select(col("id").as("doc_id"), lit(donor).as("text"),
+        lit("web").as("source"))
+    val docsAll = realDocs.unionByName(probes).localCheckpoint(true)
+    graft.ops.Reuse.freeAll(spark)
+
+    def arts(benchMax: Long): (StreamingPipeline.CurationArtifacts,
+        org.apache.spark.sql.DataFrame) = {
+      val s = graft.ops.Curation.snapshot(docsAll, embAll, benchMax)
+      val a = StreamingPipeline.CurationArtifacts(
+        s.keeperSpans.localCheckpoint(true),
+        s.benchVecs.localCheckpoint(true),
+        s.benchShingles.localCheckpoint(true),
+        s.bloomBits.localCheckpoint(true))
+      val c5 = s.c5.localCheckpoint(true)
+      graft.ops.Reuse.freeAll(spark)
+      (a, c5)
+    }
+    val (artsA, c5A) = arts(benchA)
+    val (artsB, c5B) = arts(benchB)
+    // the rotation is real: under A's judgment both probes survive,
+    // under B's neither does — a stuck seam is therefore visible
+    assert(c5A.filter(col("doc_id") >= 9000).count() == 2,
+      "corpus construction: probes must survive under bench A")
+    assert(c5B.filter(col("doc_id") >= 9000).count() == 0,
+      "corpus construction: probes must be decontaminated under bench B")
+
+    @volatile var version = "A"
+    val provider = () =>
+      if (version == "A") ("A", artsA) else ("B", artsB)
+    // phase A streams probe 9000 + the first half of the real corpus;
+    // phase B (after the swap) probe 9001 + the rest — no doc repeats.
+    val phaseA = docsAll.filter(
+      col("doc_id") === 9000L ||
+        (col("doc_id") >= benchB && col("doc_id") < 250))
+    val phaseB = docsAll.filter(
+      col("doc_id") === 9001L ||
+        (col("doc_id") >= 250 && col("doc_id") < 9000))
+    val srcDir = Files.createTempDirectory("graft-rot-src").toString + "/d"
+    phaseA.repartition(2).write.parquet(srcDir)
+    val out = Files.createTempDirectory("graft-rot-out").toString
+    val ckpt = Files.createTempDirectory("graft-rot-ckpt").toString
+    val q = StreamingPipeline.curationSinkVersioned(
+        StreamingPipeline.parquetStream(spark, srcDir,
+          maxFilesPerTrigger = Some(1)),
+        embAll, provider, out)
+      .option("checkpointLocation", ckpt).start()
+    q.processAllAvailable()
+    version = "B" // the bench-set swap, between batches
+    phaseB.repartition(2).write.mode("append").parquet(srcDir)
+    q.processAllAvailable()
+    q.stop()
+
+    val streamed = spark.read.parquet(out)
+      .select("doc_id", "text", "source").localCheckpoint(true)
+    // each phase gated against ITS version's snapshot
+    val expectA = c5A.join(phaseA.select("doc_id"), "doc_id")
+    val sA = streamed.join(phaseA.select("doc_id"), "doc_id")
+    assert(sA.except(expectA).isEmpty && expectA.except(sA).isEmpty,
+      "pre-swap batches not gated against snapshot A")
+    val expectB = c5B.join(phaseB.select("doc_id"), "doc_id")
+    val sB = streamed.join(phaseB.select("doc_id"), "doc_id")
+    assert(sB.except(expectB).isEmpty && expectB.except(sB).isEmpty,
+      "post-swap batches not gated against snapshot B")
+    // the probes pin it down: identical docs, opposite judgments
+    assert(streamed.filter(col("doc_id") === 9000L).count() == 1,
+      "probe 9000 (processed under A) must survive")
+    assert(streamed.filter(col("doc_id") === 9001L).count() == 0,
+      "probe 9001 (processed under B) must be decontaminated — " +
+        "the swap did not take effect")
+    graft.ops.Reuse.freeAll(spark)
+  }
+
   test("streaming IVF-PQ retrieval over stored artifacts == batch " +
       "ivfPqTopK on the same snapshot at any batching (r9 item 2)") {
     val S = graft.ops.Similarity

@@ -61,6 +61,14 @@ def main():
         if not ratios:
             print(f"{path}: no overlapping queries with floors")
             continue
+        # r11 verdict item 2: a benched query with no recorded floor is
+        # an ungated query — twice now a new query shipped floorless and
+        # the gate silently shrank its denominator. Fail loudly instead.
+        floorless = sorted(k for k in qs if floors.get(k, 0) <= 0)
+        if floorless:
+            print(f"{path}: FLOORLESS benched queries (run "
+                  f"tools/record_floors.py): {', '.join(floorless)}")
+            failed = True
         raw_ctx = statistics.median(ratios.values())
         ctx = min(CTX_CAP, max(1.0, raw_ctx))
         breaches = []
