@@ -52,12 +52,16 @@ object SparkEntry {
        |  FROM hop GROUP BY 1, 2)""".stripMargin
 
   /** The entity-payload STORE relation recomputed from raw events (the
-    * oracle side of op38_store_entity / op41_store_recent — layout
-    * invisible in results): per-entity hopping multi-agg + max_props,
-    * top-N rank per window, top-3 example ids per entity. */
+    * oracle side of op38_store_entity / op38_store_payload /
+    * op41_store_recent — layout invisible in results): per-entity hopping
+    * multi-agg + max_props, top-N rank per window, and the full
+    * top-`Windows.ExamplesPerEntity` example payloads per entity
+    * (`top_ids` compact ids; `examples_str` the serialized
+    * TweetDescription fields id|screenName|followerCount|text, value
+    * formatted through DECIMAL(18,6) so both engines print identically). */
   private val entityStoreSql =
     s"""WITH hop AS (
-       |  SELECT event_type AS entity, value, props, event_id,
+       |  SELECT event_type AS entity, value, props, event_id, user_id,
        |         ((($EsSql) // 60) - k) * 60 + 600 AS window_end
        |  FROM events, range(10) t(k)),
        |agg AS (
@@ -72,15 +76,23 @@ object SparkEntry {
        |    ORDER BY follower_sum DESC, entity ASC) AS BIGINT) AS rank
        |  FROM agg),
        |exr AS (
-       |  SELECT window_end, entity, value, event_id, row_number() OVER (
+       |  SELECT window_end, entity, value, event_id, user_id, props,
+       |         row_number() OVER (
        |    PARTITION BY window_end, entity
        |    ORDER BY value DESC, event_id ASC) AS rn
        |  FROM hop),
        |ex AS (
        |  SELECT window_end, entity,
        |         string_agg(CAST(event_id AS VARCHAR), ','
-       |                    ORDER BY value DESC, event_id ASC) AS top_ids
-       |  FROM exr WHERE rn <= 3 GROUP BY 1, 2)""".stripMargin
+       |                    ORDER BY value DESC, event_id ASC) AS top_ids,
+       |         string_agg(CAST(event_id AS VARCHAR) || '|' ||
+       |                    CAST(user_id AS VARCHAR) || '|' ||
+       |                    CAST(CAST(value AS DECIMAL(18,6)) AS VARCHAR) ||
+       |                    '|' || props, ';'
+       |                    ORDER BY value DESC, event_id ASC)
+       |           AS examples_str
+       |  FROM exr WHERE rn <= ${Windows.ExamplesPerEntity}
+       |  GROUP BY 1, 2)""".stripMargin
 
   // ---- Spark-side shared builders ---------------------------------------
 
@@ -129,32 +141,47 @@ object SparkEntry {
     ensureStore(s, dir, "entity")(entityPayloadRelation(s, dir))
 
   /** The stored entity relation: hopping per-entity multi-agg
-    * (count/sum/max_props), top-3 example event ids (value DESC, id
-    * ASC), ranked top-N per window. */
+    * (count/sum/max_props), the FULL top-`Windows.ExamplesPerEntity`
+    * example payloads (value DESC, id ASC — the reference's
+    * `TweetDescription[]` per entity, AggregatePayloads.cs:5-13,29-42,
+    * with the events-domain field mapping value→followerCount,
+    * event_id→id, props→text, user_id→screenName and the OP-06 −1
+    * sentinel for the absent retweet link), ranked top-N per window.
+    * `top_ids` stays as the compact projection of the same examples.
+    * Streaming twin: [[graft.stream.StreamingPipeline.unifiedAggStream]]
+    * persists the same struct shape (and k) for the tweets domain. */
   private def entityPayloadRelation(s: SparkSession, dir: String): DataFrame = {
     val ev = events(s, dir)
     val agg = Windows.entityWindowAgg(ev, col("event_type"), col("value"),
       extra = Seq(max(col("props")).as("max_props")))
     val rows = ev.select(
         window(col("ts"), Windows.WindowSize, Windows.HopSize).as("w"),
-        col("event_type").as("entity"), col("value"), col("event_id"))
+        col("event_type").as("entity"), col("value"), col("event_id"),
+        col("user_id"), col("props"))
       .select(col("w.end").cast("long").as("window_end"), col("entity"),
-        col("value"), col("event_id"))
+        col("value"), col("event_id"), col("user_id"), col("props"))
     import org.apache.spark.sql.expressions.{Window => W}
     val byWeight = W.partitionBy(col("window_end"), col("entity"))
       .orderBy(col("value").desc, col("event_id").asc)
     // row_number bounds the per-group state BEFORE collect_list — the
-    // collected array is at most 3 structs, never the group's rows.
+    // collected array is at most k structs, never the group's rows.
     val ex = rows.withColumn("rn", row_number().over(byWeight))
-      .filter(col("rn") <= 3)
+      .filter(col("rn") <= Windows.ExamplesPerEntity)
       .groupBy("window_end", "entity")
-      .agg(concat_ws(",", transform(array_sort(collect_list(struct(
-          (-col("value")).as("nv"), col("event_id").as("id")))),
-          x => x.getField("id").cast("string"))).as("top_ids"))
+      .agg(transform(array_sort(collect_list(struct(
+          (-col("value")).as("nv"), col("event_id").as("sid"),
+          struct(col("value").as("followerCount"),
+            col("event_id").as("id"), col("props").as("text"),
+            col("user_id").cast("string").as("screenName"),
+            lit(-1L).as("originalTweetId")).as("t")))),
+          x => x.getField("t")).as("examples"))
     Windows.rankTopEntities(agg.join(ex, Seq("window_end", "entity")))
       .select(col("window_end"), col("entity"), col("tweet_count"),
         col("follower_sum"), col("rank").cast("long").as("rank"),
-        col("max_props"), col("top_ids"))
+        col("max_props"),
+        concat_ws(",", transform(col("examples"),
+          x => x.getField("id").cast("string"))).as("top_ids"),
+        col("examples"))
   }
 
   /** Shared seed-once store machinery (counts + entity stores):
@@ -183,8 +210,12 @@ object SparkEntry {
         val path = s"$base/$name"
         val batchDir =
           s"$path/batch=${graft.stream.AggregateStore.CompactedBatchId}"
+        // Source mtime + store FORMAT version: a schema change to the
+        // stored relation (e.g. r12's full example payloads) must
+        // invalidate stores cached by earlier builds of this library.
         val stamp =
-          new java.io.File(s"$dir/events.parquet").lastModified().toString
+          new java.io.File(s"$dir/events.parquet").lastModified().toString +
+            ":v2"
         val stampFile = java.nio.file.Paths.get(s"$base/.source_stamp_$name")
         val present = java.nio.file.Files.exists(stampFile) &&
           java.nio.file.Files.readString(stampFile) == stamp &&
@@ -418,6 +449,27 @@ object SparkEntry {
         .orderBy(col("window_end").desc, col("entity").desc)
     }),
 
+    // The FULL example payloads served from the stored entity layout
+    // (r11 verdict item 1): each ranked entity row carries its
+    // top-`Windows.ExamplesPerEntity` TweetDescription structs
+    // (AggregatePayloads.cs:5-13 via the events-domain field mapping) —
+    // serialized to one deterministic string per row so the DuckDB twin
+    // can build the identical value. Oracle recomputes from raw events
+    // (the op37_store discipline: layout invisible in results).
+    "op38_store_payload" -> ((s, dir) => {
+      val path = ensureEntityStore(s, dir)
+      graft.stream.AggregateStore.readRangeEntity(
+          s, path, RangeStart, RangeEnd, Some("purchase"))
+        .select(col("window_end"), col("entity"), col("rank"),
+          array_join(transform(col("examples"), e =>
+            concat_ws("|", e.getField("id").cast("string"),
+              e.getField("screenName"),
+              e.getField("followerCount").cast("decimal(18,6)")
+                .cast("string"),
+              e.getField("text"))), ";").as("examples_str"))
+        .orderBy("window_end")
+    }),
+
     // OP-26 as a custom bounded-heap Aggregator: top-5 event ids per
     // entity per tumbling window, weight DESC / id ASC.
     "op26_topk_aggregator" -> ((s, dir) => {
@@ -600,6 +652,15 @@ object SparkEntry {
       s"""$entityStoreSql
          |SELECT r.window_end, r.entity, r.tweet_count, r.follower_sum,
          |       r.rank, r.max_props, ex.top_ids
+         |FROM ranked r JOIN ex USING (window_end, entity)
+         |WHERE r.rank <= ${Windows.TopN}
+         |  AND r.window_end >= $RangeStart AND r.window_end < $RangeEnd
+         |  AND r.entity = 'purchase'
+         |ORDER BY r.window_end""".stripMargin,
+
+    "op38_store_payload" ->
+      s"""$entityStoreSql
+         |SELECT r.window_end, r.entity, r.rank, ex.examples_str
          |FROM ranked r JOIN ex USING (window_end, entity)
          |WHERE r.rank <= ${Windows.TopN}
          |  AND r.window_end >= $RangeStart AND r.window_end < $RangeEnd

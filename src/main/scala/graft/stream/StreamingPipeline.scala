@@ -1175,47 +1175,68 @@ object StreamingPipeline {
         array(tag("retweets", col("originalTweetId").cast("string"))))
         .otherwise(array().cast("array<struct<kind:string,entity:string>>")),
       array(tag("counts", lit("_all"))))
-    val topk = graft.agg.TopK.topKIds(Windows.ExamplesPerEntity)
+    val topk = graft.agg.TopK.topKTweets(Windows.ExamplesPerEntity)
     t.select(col("ts"), col("followerCount"), col("text"), col("id"),
+        col("screenName"), col("originalTweetId"),
         explode(kindEntities).as("ke"))
       .select(col("ts"), col("ke.kind").as("kind"),
         col("ke.entity").as("entity"), col("followerCount"), col("text"),
-        col("id"))
+        col("id"), col("screenName"), col("originalTweetId"),
+        // OP-27's dedupe key: mentions/hashtags collapse retweets of one
+        // tweet to one example (effective original id); retweets group BY
+        // the original id, so their examples stay per retweeting row and
+        // the reference applies no dedupe there (Query.cs:130-137).
+        when(col("ke.kind").isin("mentions", "hashtags") &&
+            col("originalTweetId") =!= -1L, col("originalTweetId"))
+          .otherwise(col("id")).as("dedupe_key"))
       .groupBy(window(col("ts"), Windows.WindowSize, Windows.HopSize),
         col("kind"), col("entity"))
       .agg(count("*").as("tweet_count"),
         (Seq(
           sum(col("followerCount")).as("follower_sum"),
           max(col("text")).as("max_text")) ++
-          // OP-26/27: per-entity example tweets as the reference's
-          // TopTweets (AggregatePayloads.cs:29-42), stored as compact id
-          // references — bounded state (k per entity), ranked
-          // follower-count DESC id ASC. Optional: the typed buffer
-          // ser/des per state update is the priciest part of the
-          // pipeline; pipelines that don't need examples skip it.
+          // OP-26/27: per-entity example tweets as the reference's FULL
+          // TopTweets payload (TweetDescription structs,
+          // AggregatePayloads.cs:5-13,29-42) — bounded state (k structs
+          // per entity), ranked follower-count DESC id ASC, distinct per
+          // dedupe key. Optional: the typed buffer ser/des per state
+          // update is the priciest part of the pipeline; pipelines that
+          // don't need examples skip it.
           (if (includeExamples)
-             Seq(topk(col("followerCount").cast("double"), col("id"))
-               .as("top_tweet_ids"))
+             Seq(topk(col("dedupe_key"), col("followerCount"), col("id"),
+               col("text"), col("screenName"), col("originalTweetId"))
+               .as("top_tweets"))
            else Nil)): _*)
       .select(Seq(col("window.end").cast("long").as("window_end"),
         col("kind"), col("entity"), col("tweet_count"),
         col("follower_sum"), col("max_text")) ++
-        (if (includeExamples) Seq(col("top_tweet_ids")) else Nil): _*)
+        (if (includeExamples) Seq(col("top_tweets")) else Nil): _*)
   }
 
   /** Sink for [[unifiedAggStream]]: per micro-batch, rank each entity kind
-    * within its windows and write idempotently to `storeRoot/<kind>/`. */
+    * within its windows and write idempotently to `storeRoot/<kind>/`.
+    * The retweets family additionally derives `top_users` — the example
+    * tweets' screen names, the reference's `TopRetweets.TopUsers`
+    * (AggregatePayloads.cs:44-49, `TopTweets.Select(t =>
+    * t.Payload.ScreenName)` Query.cs:137) — a projection over the
+    * already-bounded structs, no extra state. */
   def unifiedSink(agg: DataFrame, storeRoot: String,
       n: Int = Windows.TopN): DataStreamWriter[org.apache.spark.sql.Row] =
     agg.writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val b = batch.persist()
+        val hasExamples = b.columns.contains("top_tweets")
         try {
           Seq("hashtags", "mentions", "retweets").foreach { kind =>
-            AggregateStore.writeRanked(
-              b.filter(col("kind") === kind).drop("kind"),
-              s"$storeRoot/$kind", n, batchId)
+            val fam = b.filter(col("kind") === kind).drop("kind")
+            val shaped =
+              if (kind == "retweets" && hasExamples)
+                fam.withColumn("top_users",
+                  transform(col("top_tweets"), t => t.getField("screenName")))
+              else fam
+            AggregateStore.writeRanked(shaped, s"$storeRoot/$kind", n,
+              batchId)
           }
           b.filter(col("kind") === "counts")
             .select(col("window_end"), col("tweet_count").as("cnt"))

@@ -25,8 +25,12 @@ class StreamingSpec extends TestBase {
       val tag = tags(i % 3)
       val user = s"user${i % 5}"
       val fc = 10 + (i * 37) % 1000
+      // every 10th row retweets one of THREE shared originals, so the
+      // OP-27 example dedupe (retweets of one tweet collapse to one
+      // example) has real work to do in every hopping window
+      val orig = 1000 + (i / 10) % 3
       s"""{"id":${2000 + i},"text":"tweet $i #$tag","timestamp_ms":"$t","lang":"en","extended_tweet":null,"entities":{"hashtags":[{"text":"$tag"}],"user_mentions":[{"screen_name":"m${i % 4}"}]},"user":{"followers_count":$fc,"screen_name":"$user"},"retweeted_status":${
-        if (i % 10 == 0) s"""{"id":${1000 + i},"extended_tweet":{"full_text":"original $i"}}"""
+        if (i % 10 == 0) s"""{"id":$orig,"extended_tweet":{"full_text":"original $orig"}}"""
         else "null"
       }}"""
     }
@@ -131,6 +135,64 @@ class StreamingSpec extends TestBase {
     val retweetsRanged = Repl.dispatch(spark, store,
       s"gettopretweetsstring 2024-01-01T00:00:00 2024-01-02T00:00:00").get
     assert(retweetsRanged.count() > 0) // ISO time parsing path
+
+    // ---- full example payloads in the stored entity CFs (r11 item 1) --
+    // The hashtags family's stored TweetDescription structs equal batch
+    // `topEntityPayloads` struct-for-struct on emitted windows — stats,
+    // rank, AND the deduped ordered examples.
+    val projected = graft.ingest.Tables.projectTweets(
+      Tables.tweetsFromFile(spark, dir.toString + "/part-0.jsonl"))
+    def canon(c: org.apache.spark.sql.Column) = transform(c, t => struct(
+      t.getField("id").as("id"),
+      t.getField("followerCount").as("followerCount"),
+      t.getField("text").as("text"),
+      t.getField("screenName").as("screenName"),
+      t.getField("originalTweetId").as("originalTweetId")))
+    val hstore = AggregateStore.read(spark, s"$store/hashtags")
+    val streamedP = hstore.select(col("window_end"), col("entity"),
+      col("tweet_count"), col("follower_sum"),
+      col("rank").cast("long").as("rank"),
+      canon(col("top_tweets")).as("tt"))
+    val batchP = graft.agg.Payloads.topEntityPayloads(
+        projected, col("hashtags"))
+      .select(col("window_end"), col("entity"), col("tweet_count"),
+        col("followerCountSum").as("follower_sum"),
+        col("rank").cast("long").as("rank"),
+        canon(col("topTweets")).as("tt"))
+      .join(hstore.select("window_end").distinct(), "window_end")
+    assert(streamedP.exceptAll(batchP).count() == 0 &&
+      batchP.exceptAll(streamedP).count() == 0,
+      "stored entity payloads differ from batch topEntityPayloads")
+    assert(hstore.filter(size(col("top_tweets")) > 1).count() > 0,
+      "payload twin vacuous: no entity stored more than one example")
+    // ...and the dedupe had real work: some (window, hashtag) saw
+    // multiple retweets of one original (the fixture plants them)
+    val dupWork = projected.filter(col("originalTweetId") =!= -1L)
+      .select(window(col("ts"), "10 minutes", "1 minute"),
+        explode(col("hashtags")).as("entity"), col("originalTweetId"))
+      .groupBy("window", "entity", "originalTweetId").count()
+      .filter(col("count") > 1)
+    assert(dupWork.count() > 0,
+      "fixture planted no duplicate-original retweets — dedupe untested")
+    // retweets family: TopUsers (AggregatePayloads.cs:44-49) is the
+    // examples' screen names, in example order
+    val rstore = AggregateStore.read(spark, s"$store/retweets")
+    assert(rstore.filter(col("top_users") =!=
+      transform(col("top_tweets"), t => t.getField("screenName")))
+      .count() == 0, "top_users differs from example screen names")
+    assert(rstore.filter(size(col("top_users")) > 1).count() > 0,
+      "top_users vacuous: no retweet stored more than one user")
+    // REPL serving carries the structs (Program.Repl.cs:58-83): the
+    // written JSON contains the TweetDescription fields
+    assert(mentionsRanged.columns.contains("top_tweets"))
+    val replOut = Files.createTempDirectory("graft-repl-out").toString
+    val jsPath = Repl.writeResult(mentionsRanged, "gettopmentionsstring",
+      replOut)
+    val js = new String(java.nio.file.Files.readAllBytes(jsPath), "UTF-8")
+    assert(js.contains("\"top_tweets\"") && js.contains("\"screenName\"") &&
+      js.contains("\"followerCount\"") && js.contains("\"text\""),
+      s"REPL JSON lacks example structs: ${js.take(400)}")
+    assert(retweetsRanged.columns.contains("top_users"))
 
     // partition-pruned range read: correct rows + window_date reaches the
     // scan as a partition filter

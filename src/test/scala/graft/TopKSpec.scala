@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalacheck.{Gen, Prop, Test => SCTest}
 
-import graft.agg.{TopK, TopKIds, TopKItem}
+import graft.agg.{KeyedExample, TopK, TopKIds, TopKItem, TopKTweets}
 import graft.ingest.Tables
 
 /** OP-26 laws (SURVEY.md §5d): merge associativity/commutativity, bound,
@@ -84,6 +84,50 @@ class TopKSpec extends TestBase {
     // it must be a no-op, not an evict-last-and-reinsert.
     assert(xs.foldLeft(agg.zero)(agg.reduce) ==
       Seq(TopKItem(3.0, 1L), TopKItem(2.0, 2L)))
+  }
+
+  // ---- TopKTweets: bounded FULL-payload top-k, distinct per dedupe key --
+
+  /** Unbounded reference: per dedupe key the best row (fc DESC, id ASC —
+    * OP-27's max-follower representative), then top-k keys in the same
+    * order — exactly batch `Payloads.topEntityPayloads`' dedupe-first
+    * semantics. */
+  private def refTweets(k: Int, xs: Seq[KeyedExample]): Seq[KeyedExample] =
+    xs.groupBy(_.dedupeKey).valuesIterator
+      .map(_.minBy(t => (-t.followerCount, t.id))).toVector
+      .sortBy(t => (-t.followerCount, t.id)).take(k)
+
+  // Small key/fc domains force the hard paths: same-key replacement,
+  // eviction, and post-eviction re-entry of a key. Ids are assigned
+  // uniquely (list position) — the real-domain invariant the ordering's
+  // totality rests on: a tweet id identifies ONE tweet, so distinct rows
+  // never collide on (followerCount, id).
+  private val keyedGen = Gen.listOf(for {
+    key <- Gen.chooseNum(0L, 8L)
+    fc <- Gen.chooseNum(0L, 12L)
+  } yield (key, fc)).map(_.zipWithIndex.map { case ((key, fc), i) =>
+    KeyedExample(key, fc, i.toLong, s"t$i", s"u$key", key)
+  })
+
+  test("TopKTweets: bounded fold is EXACT vs unbounded dedupe-then-topk") {
+    val agg = new TopKTweets(3)
+    checkProp(Prop.forAll(keyedGen) { xs =>
+      agg.finish(xs.foldLeft(agg.zero)(agg.reduce)) ==
+        agg.finish(refTweets(3, xs))
+    })
+  }
+
+  test("TopKTweets: merge of split parts equals whole; commutative; " +
+      "buffer bounded and one-per-key") {
+    val agg = new TopKTweets(3)
+    checkProp(Prop.forAll(keyedGen, Gen.chooseNum(0, 100)) { (xs, cut) =>
+      val (l, r) = xs.splitAt(cut % (xs.size + 1))
+      val whole = refTweets(3, xs)
+      val lb = l.foldLeft(agg.zero)(agg.reduce)
+      val rb = r.foldLeft(agg.zero)(agg.reduce)
+      lb.size <= 3 && lb.map(_.dedupeKey).distinct.size == lb.size &&
+        agg.merge(lb, rb) == whole && agg.merge(rb, lb) == whole
+    })
   }
 
   test("udaf parity with built-in sort_array composite on events") {
