@@ -426,6 +426,64 @@ object ScaleSmoke {
     time("curation_pipeline") {
       graft.ops.Curation.pipelineCard(big, bigEmbL, 20L, 10000000L)
     }
+    // Composed streaming curation sink (r11 item 6): the mult-x corpus
+    // through `curationSink` as MANY micro-batches. The sink's claim is
+    // that per-batch localCheckpoint + free bounds the block-manager
+    // footprint by ONE batch (plus the pinned snapshot artifacts), so
+    // per-batch wall time and peak cached bytes must stay FLAT across
+    // the stream — growth with batch index would mean state leaking
+    // from batch to batch. A poller thread samples cached-RDD bytes at
+    // 100 ms so the peak is measured DURING batches, not between them.
+    if (only.forall(_.exists("curation_sink_stream".startsWith))) {
+      val nBatches = 12
+      val snap = graft.ops.Curation.snapshot(big, bigEmbL, 20L)
+      val keepers = snap.keeperSpans.localCheckpoint(true)
+      val bv = snap.benchVecs.localCheckpoint(true)
+      val bh = snap.benchShingles.localCheckpoint(true)
+      val bits = snap.bloomBits.localCheckpoint(true)
+      val embSnap = bigEmbL.localCheckpoint(true)
+      graft.ops.Reuse.freeAll(spark)
+      val tmp = java.nio.file.Files.createTempDirectory("graft-smoke-cs")
+      val srcDir = s"$tmp/src"
+      big.filter(col("doc_id") % 1000000L >= 20)
+        .repartition(nBatches).write.parquet(srcDir)
+      @volatile var peakBytes = 0L
+      @volatile var peakRdds = 0
+      @volatile var stopPoll = false
+      val poller = new Thread(() => while (!stopPoll) {
+        val infos = spark.sparkContext.getRDDStorageInfo
+        val b = infos.map(_.memSize).sum
+        if (b > peakBytes) peakBytes = b
+        if (infos.length > peakRdds) peakRdds = infos.length
+        Thread.sleep(100)
+      })
+      poller.setDaemon(true); poller.start()
+      val t0 = System.nanoTime()
+      val q = graft.stream.StreamingPipeline.curationSink(
+          graft.stream.StreamingPipeline.parquetStream(spark, srcDir,
+            maxFilesPerTrigger = Some(1)),
+          embSnap, keepers, bv, bh, bits, s"$tmp/out")
+        .option("checkpointLocation", s"$tmp/ckpt").start()
+      q.processAllAvailable()
+      val secs = (System.nanoTime() - t0) / 1e9
+      val durs = q.recentProgress.toSeq
+        .filter(_.numInputRows > 0)
+        .map(p => p.batchId ->
+          p.durationMs.get("triggerExecution").toLong / 1e3)
+        .sortBy(_._1)
+      q.stop(); stopPoll = true
+      def med(xs: Seq[Double]) =
+        if (xs.isEmpty) 0.0 else xs.sorted.apply(xs.size / 2)
+      val (h1, h2) = durs.map(_._2).splitAt(durs.size / 2)
+      val survivors = spark.read.parquet(s"$tmp/out").count()
+      println(f"[scale-smoke] curation_sink_stream_${mult}x  " +
+        f"batches=${durs.size}  total=$secs%.1f s  " +
+        f"medFirstHalf=${med(h1)}%.1f s  medSecondHalf=${med(h2)}%.1f s  " +
+        f"perBatch=[${durs.map(d => f"${d._2}%.1f").mkString(",")}]  " +
+        f"peakCachedRdds=$peakRdds  peakCachedMB=${peakBytes / 1e6}%.0f  " +
+        f"survivors=$survivors")
+      graft.ops.Reuse.freeAll(spark)
+    }
     spark.stop()
   }
 }
