@@ -2,8 +2,8 @@ package graft
 
 import java.time.{Instant, LocalDateTime, ZoneOffset}
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 import graft.serve.Serve
 import graft.stream.AggregateStore
@@ -27,8 +27,58 @@ import graft.stream.AggregateStore
  *
  * OP-38/39 note: entity restriction really filters (the documented intent;
  * the reference's implementation forgot to — SURVEY.md §2.8 quirk #1).
+ *
+ * Output shape parity (r12): the read commands project to the
+ * reference's serialized record shapes — `TopMentions`/`TopHashTags`
+ * with `TopTweets: TweetDescription[]`, `TopRetweets` with `TopUsers`,
+ * `Counts`, `DbSummary` (AggregatePayloads.cs:5-49,
+ * RocksDBStore.DbSummary.cs:9-31) — so a reference user reading the
+ * written `<command>.<ticks>.json` files sees the same field names.
+ * Times stay epoch-seconds/UTC timestamps (this library's time axis)
+ * rather than .NET ticks; `DurationSeconds` replaces the TimeSpan.
  */
 object Repl {
+
+  /** `TweetDescription[]` with the reference's field casing
+    * (AggregatePayloads.cs:5-13). */
+  private def tweetDescs(c: Column): Column = transform(c, t => struct(
+    t.getField("id").as("Id"),
+    t.getField("followerCount").as("FollowerCount"),
+    t.getField("text").as("Text"),
+    t.getField("screenName").as("ScreenName"),
+    t.getField("originalTweetId").as("OriginalTweetId")))
+
+  /** TopMentions/TopHashTags shape (AggregatePayloads.cs:29-42); stores
+    * written with `includeExamples=false` just omit TopTweets. */
+  private def refEntityShape(df: DataFrame, entityField: String): DataFrame =
+    df.select(Seq(col("window_end").as("WindowTime"),
+      col("follower_sum").as("FollowerCountSum"),
+      col("tweet_count").as("TweetCount"),
+      col("entity").as(entityField)) ++
+      (if (df.columns.contains("top_tweets"))
+         Seq(tweetDescs(col("top_tweets")).as("TopTweets"))
+       else Nil): _*)
+
+  /** TopRetweets shape (AggregatePayloads.cs:44-49). */
+  private def refRetweetsShape(df: DataFrame): DataFrame =
+    df.select(Seq(col("window_end").as("WindowTime"),
+      col("follower_sum").as("FollowerCountSum"),
+      col("tweet_count").as("TweetCount"),
+      col("entity").cast("long").as("Id"),
+      col("max_text").as("Text")) ++
+      (if (df.columns.contains("top_users"))
+         Seq(col("top_users").as("TopUsers")) else Nil): _*)
+
+  private def refCountsShape(df: DataFrame): DataFrame =
+    df.select(col("window_end").as("WindowTime"), col("cnt").as("Count"))
+
+  /** DbSummary shape (RocksDBStore.DbSummary.cs:9-31). */
+  private def refSummaryShape(df: DataFrame): DataFrame =
+    df.select(timestamp_seconds(col("min_window_end")).as("MinDate"),
+      timestamp_seconds(col("max_window_end")).as("MaxDate"),
+      col("duration_seconds").as("DurationSeconds"),
+      col("window_count").as("WindowCount"),
+      col("total_tweets").as("NumberOfTweets"))
 
   private def parseTime(s: String): Long =
     if (s.forall(_.isDigit)) s.toLong
@@ -50,34 +100,37 @@ object Repl {
     val parts = line.trim.split("\\s+").toList
     parts match {
       case "getsummary" :: Nil =>
-        Some(Serve.summary(store("counts")))
+        Some(refSummaryShape(Serve.summary(store("counts"))))
       case "getcounts" :: s :: e :: Nil =>
-        Some(ranged("counts", s, e).orderBy(col("window_end")))
+        Some(refCountsShape(
+          ranged("counts", s, e).orderBy(col("window_end"))))
       case "gettopmentionsstring" :: s :: e :: rest if rest.size <= 1 =>
-        Some(Serve.entityFilter(ranged("mentions", s, e), rest.headOption)
-          .orderBy(col("window_end"), col("entity")))
+        Some(refEntityShape(
+          Serve.entityFilter(ranged("mentions", s, e), rest.headOption)
+            .orderBy(col("window_end"), col("entity")), "ScreenName"))
       case "gettophashtagsstring" :: s :: e :: rest if rest.size <= 1 =>
-        Some(Serve.entityFilter(ranged("hashtags", s, e), rest.headOption)
-          .orderBy(col("window_end"), col("entity")))
+        Some(refEntityShape(
+          Serve.entityFilter(ranged("hashtags", s, e), rest.headOption)
+            .orderBy(col("window_end"), col("entity")), "HashTag"))
       case "gettopretweetsstring" :: s :: e :: Nil =>
-        Some(ranged("retweets", s, e)
-          .orderBy(col("window_end"), col("entity")))
+        Some(refRetweetsShape(ranged("retweets", s, e)
+          .orderBy(col("window_end"), col("entity"))))
       // recent-N reads through the newest-first date-pruned path
       // (AggregateStore.readRecent — the SeekToLast analog): only the
       // trailing window_date partitions are scanned, same rows as
       // Serve.recent over the full store (StreamingSpec law).
       case "getrecenttopmentionsstring" :: n :: Nil =>
-        Some(AggregateStore.readRecent(spark, s"$storeRoot/mentions",
-          n.toInt))
+        Some(refEntityShape(AggregateStore.readRecent(spark,
+          s"$storeRoot/mentions", n.toInt), "ScreenName"))
       case "getrecenttophashtagsstring" :: n :: Nil =>
-        Some(AggregateStore.readRecent(spark, s"$storeRoot/hashtags",
-          n.toInt))
+        Some(refEntityShape(AggregateStore.readRecent(spark,
+          s"$storeRoot/hashtags", n.toInt), "HashTag"))
       case "getrecenttopretweetsstring" :: n :: Nil =>
-        Some(AggregateStore.readRecent(spark, s"$storeRoot/retweets",
-          n.toInt))
+        Some(refRetweetsShape(AggregateStore.readRecent(spark,
+          s"$storeRoot/retweets", n.toInt)))
       case "getrecentcounts" :: n :: Nil =>
-        Some(AggregateStore.readRecent(spark, s"$storeRoot/counts",
-          n.toInt))
+        Some(refCountsShape(AggregateStore.readRecent(spark,
+          s"$storeRoot/counts", n.toInt)))
       // Beyond the reference's 8 commands: run any named engine query
       // (the whole SparkEntry surface — dedup, similarity, text ops...)
       // against a testdata-layout dir, so a REPL user reaches every

@@ -470,6 +470,33 @@ object SparkEntry {
         .orderBy("window_end")
     }),
 
+    // OP-26/27 fused as the bounded FULL-payload aggregator (TopKTweets
+    // — the one the streaming entity stores run): top-5 example payloads
+    // per entity per tumbling window, DISTINCT per dedupe key (user_id —
+    // the "retweets of one original collapse to one example" analog in
+    // the events domain: one user's events collapse to their best).
+    // Weight goes through floor() to BIGINT so both engines order by the
+    // identical integer. The oracle replays dedupe-first-then-topk in
+    // SQL; the aggregator's exactness-under-bound is the claim under
+    // test (TopKSpec proves it property-wise, this row cross-engine).
+    "op27_topk_payloads" -> ((s, dir) => {
+      val topk = TopK.topKTweets(5)
+      events(s, dir)
+        .select(window(col("ts"), Windows.WindowSize).as("w"),
+          col("event_type").as("entity"), col("user_id"),
+          floor(col("value")).cast("long").as("fc"),
+          col("event_id"), col("props"))
+        .groupBy(col("w.end").cast("long").as("window_end"), col("entity"))
+        .agg(topk(col("user_id"), col("fc"), col("event_id"), col("props"),
+          col("user_id").cast("string"), lit(-1L)).as("ex"))
+        .select(col("window_end"), col("entity"),
+          array_join(transform(col("ex"), e => concat_ws("|",
+            e.getField("id").cast("string"), e.getField("screenName"),
+            e.getField("followerCount").cast("string"),
+            e.getField("text"))), ";").as("examples_str"))
+        .orderBy("window_end", "entity")
+    }),
+
     // OP-26 as a custom bounded-heap Aggregator: top-5 event ids per
     // entity per tumbling window, weight DESC / id ASC.
     "op26_topk_aggregator" -> ((s, dir) => {
@@ -674,6 +701,31 @@ object SparkEntry {
          |  WHERE rank <= ${Windows.TopN}
          |  ORDER BY window_end DESC, entity DESC LIMIT 20)
          |ORDER BY window_end DESC, entity DESC""".stripMargin,
+
+    "op27_topk_payloads" ->
+      s"""WITH base AS (
+         |  SELECT $TumblingEndSql AS window_end, event_type AS entity,
+         |         user_id, CAST(floor(value) AS BIGINT) AS fc,
+         |         event_id, props
+         |  FROM events),
+         |dd AS (
+         |  SELECT *, row_number() OVER (
+         |    PARTITION BY window_end, entity, user_id
+         |    ORDER BY fc DESC, event_id ASC) AS rnk
+         |  FROM base),
+         |top AS (
+         |  SELECT *, row_number() OVER (
+         |    PARTITION BY window_end, entity
+         |    ORDER BY fc DESC, event_id ASC) AS rn
+         |  FROM dd WHERE rnk = 1)
+         |SELECT window_end, entity,
+         |       string_agg(CAST(event_id AS VARCHAR) || '|' ||
+         |                  CAST(user_id AS VARCHAR) || '|' ||
+         |                  CAST(fc AS VARCHAR) || '|' || props, ';'
+         |                  ORDER BY fc DESC, event_id ASC)
+         |         AS examples_str
+         |FROM top WHERE rn <= 5
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "op26_topk_aggregator" ->
       s"""WITH base AS (

@@ -1284,6 +1284,45 @@ object StreamingPipeline {
         col("top_entities"))
   }
 
+  /**
+   * [[topEntitiesStreamChained]] with the FULL example payloads — the
+   * complete reference emission shape, end-to-end incremental: per
+   * hopping window the per-hashtag multi-agg carries its k example
+   * `TweetDescription` structs (bounded [[graft.agg.TopKTweets]], OP-26/
+   * 27 fused), and the 1-min tumbling second level ranks whole
+   * entity+payload rows (bounded [[graft.agg.TopKEntitiesPayload]]) —
+   * exactly `GetTopItems` over `TopHashTags{..., TopTweets}`
+   * (Query.cs:152-168 over AggregatePayloads.cs:29-42), with state
+   * bounded at k entities x k examples per rank window and both levels
+   * in ONE streaming query (no foreachBatch ranking).
+   */
+  def topEntitiesPayloadStreamChained(tweets: DataFrame,
+      n: Int = Windows.TopN): DataFrame = {
+    val topkT = graft.agg.TopK.topKTweets(Windows.ExamplesPerEntity)
+    val topkE = graft.agg.TopK.topKEntitiesPayload(n)
+    tweets
+      .withWatermark("ts", Watermark)
+      .filter(size(col("hashtags")) > 0)
+      .select(col("ts"), explode(col("hashtags")).as("entity"),
+        col("followerCount"), col("id"), col("text"), col("screenName"),
+        col("originalTweetId"),
+        // OP-27 dedupe key (see unifiedAggStream)
+        when(col("originalTweetId") =!= -1L, col("originalTweetId"))
+          .otherwise(col("id")).as("dedupe_key"))
+      .groupBy(window(col("ts"), Windows.WindowSize, Windows.HopSize),
+        col("entity"))
+      .agg(count("*").as("tweet_count"),
+        sum(col("followerCount")).cast("double").as("follower_sum"),
+        topkT(col("dedupe_key"), col("followerCount"), col("id"),
+          col("text"), col("screenName"), col("originalTweetId"))
+          .as("top_tweets"))
+      .groupBy(window(window_time(col("window")), Windows.HopSize))
+      .agg(topkE(col("follower_sum"), col("entity"), col("tweet_count"),
+        col("top_tweets")).as("top_entities"))
+      .select(col("window.end").cast("long").as("rank_window_end"),
+        col("top_entities"))
+  }
+
   /** Hopping tweet-count stream (OP-22, the `counts` CF). */
   def countStream(tweets: DataFrame): DataFrame =
     tweets

@@ -111,7 +111,7 @@ class StreamingSpec extends TestBase {
 
     // repl dispatch over the store
     val summary = Repl.dispatch(spark, store, "getsummary").get.collect()(0)
-    assert(summary.getAs[Long]("window_count") > 0)
+    assert(summary.getAs[Long]("WindowCount") > 0)
     val recent = Repl.dispatch(spark, store,
       "getrecenttophashtagsstring 5").get
     assert(recent.count() > 0 && recent.count() <= 5)
@@ -121,7 +121,7 @@ class StreamingSpec extends TestBase {
     assert(ranged.count() == counts.count())
     val restricted = Repl.dispatch(spark, store,
       s"gettophashtagsstring ${we.head} ${we.last + 1} spark").get
-    assert(restricted.select("entity").distinct().as[String]
+    assert(restricted.select("HashTag").distinct().as[String]
       .collect().toSeq == Seq("spark"))
     assert(Repl.dispatch(spark, store, "bogus 1 2").isEmpty)
     assert(Repl.dispatch(spark, store, "getrecentcounts 3").get.count() == 3)
@@ -182,17 +182,22 @@ class StreamingSpec extends TestBase {
       .count() == 0, "top_users differs from example screen names")
     assert(rstore.filter(size(col("top_users")) > 1).count() > 0,
       "top_users vacuous: no retweet stored more than one user")
-    // REPL serving carries the structs (Program.Repl.cs:58-83): the
-    // written JSON contains the TweetDescription fields
-    assert(mentionsRanged.columns.contains("top_tweets"))
+    // REPL serving carries the structs in the REFERENCE's serialized
+    // record shape (Program.Repl.cs:58-83 over AggregatePayloads.cs):
+    // the written JSON contains the TweetDescription fields, PascalCase
+    assert(mentionsRanged.columns.toSeq ==
+      Seq("WindowTime", "FollowerCountSum", "TweetCount", "ScreenName",
+        "TopTweets"))
     val replOut = Files.createTempDirectory("graft-repl-out").toString
     val jsPath = Repl.writeResult(mentionsRanged, "gettopmentionsstring",
       replOut)
     val js = new String(java.nio.file.Files.readAllBytes(jsPath), "UTF-8")
-    assert(js.contains("\"top_tweets\"") && js.contains("\"screenName\"") &&
-      js.contains("\"followerCount\"") && js.contains("\"text\""),
-      s"REPL JSON lacks example structs: ${js.take(400)}")
-    assert(retweetsRanged.columns.contains("top_users"))
+    assert(js.contains("\"TopTweets\"") && js.contains("\"ScreenName\"") &&
+      js.contains("\"FollowerCount\"") && js.contains("\"Text\"") &&
+      js.contains("\"OriginalTweetId\""),
+      s"REPL JSON lacks reference-shaped example structs: ${js.take(400)}")
+    assert(retweetsRanged.columns.contains("TopUsers") &&
+      retweetsRanged.columns.contains("Text"))
 
     // partition-pruned range read: correct rows + window_date reaches the
     // scan as a partition filter
@@ -321,6 +326,58 @@ class StreamingSpec extends TestBase {
     assert(joined.count() == streamed.count())
     assert(joined.filter(streamed("entities") =!= batchTop("entities"))
       .count() == 0, "chained streaming top-k differs from batch rank")
+  }
+
+  test("chained two-level stateful top-k with FULL payloads == batch " +
+      "topEntityPayloads (the complete reference emission, r12)") {
+    val dir = Files.createTempDirectory("graft-replay4p").toFile
+    Files.write(new java.io.File(dir, "part-0.jsonl").toPath,
+      fixtureLines.mkString("\n").getBytes)
+
+    val out = StreamingPipeline.topEntitiesPayloadStreamChained(
+      StreamingPipeline.tweetStream(spark, dir.toString), 2)
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("chainedp").start()
+    q.processAllAvailable()
+    q.stop()
+
+    def canon(c: org.apache.spark.sql.Column) = transform(c, t => struct(
+      t.getField("id").as("id"),
+      t.getField("followerCount").as("followerCount"),
+      t.getField("text").as("text"),
+      t.getField("screenName").as("screenName"),
+      t.getField("originalTweetId").as("originalTweetId")))
+    val streamed = spark.table("chainedp")
+      .select(col("rank_window_end"),
+        transform(col("top_entities"), e => struct(
+          e.getField("entity").as("entity"),
+          e.getField("tweetCount").as("tweet_count"),
+          e.getField("weight").cast("long").as("fsum"),
+          canon(e.getField("topTweets")).as("tt"))).as("ents"))
+    assert(streamed.count() > 0, "payload chained query emitted nothing")
+    // non-vacuous: payloads actually ride through the second level
+    assert(streamed.filter(size(element_at(col("ents"), 1)
+      .getField("tt")) > 1).count() > 0,
+      "no emitted entity carried more than one example through level 2")
+
+    val projected = graft.ingest.Tables.projectTweets(
+      Tables.tweetsFromFile(spark, dir.toString + "/part-0.jsonl"))
+    val bp = graft.agg.Payloads.topEntityPayloads(
+      projected, col("hashtags"), topN = 2)
+    val batchArr = bp.groupBy(col("window_end").as("rank_window_end"))
+      .agg(array_sort(collect_list(struct(col("rank"), struct(
+        col("entity").as("entity"),
+        col("tweet_count").as("tweet_count"),
+        col("followerCountSum").cast("long").as("fsum"),
+        canon(col("topTweets")).as("tt")).as("e")))).as("re"))
+      .select(col("rank_window_end"),
+        transform(col("re"), x => x.getField("e")).as("ents"))
+
+    val joined = streamed.join(batchArr, "rank_window_end")
+    assert(joined.count() == streamed.count())
+    assert(joined.filter(streamed("ents") =!= batchArr("ents"))
+      .count() == 0,
+      "chained full-payload streaming differs from batch topEntityPayloads")
   }
 
   test("restart from checkpoint resumes without loss or duplication") {
