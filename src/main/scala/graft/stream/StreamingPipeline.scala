@@ -493,9 +493,10 @@ object StreamingPipeline {
    */
   def semanticDecontaminateSink(vecs: DataFrame, bench: DataFrame,
       outPath: String): DataStreamWriter[org.apache.spark.sql.Row] = {
-    val b = bench.localCheckpoint(true)
+    val pinned = new PinnedArtifacts(() => ("static", Seq(bench)))
     vecs.writeStream.outputMode("append").foreachBatch {
       (batch: DataFrame, batchId: Long) =>
+        val Seq(b) = pinned.resolve(batch.sparkSession)
         graft.ops.Similarity.semanticDecontaminate(batch, b)
           .write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
     }
@@ -514,10 +515,10 @@ object StreamingPipeline {
   def prototypeGateSink(vecs: DataFrame, cents: DataFrame,
       thresholds: DataFrame, keep: String,
       outPath: String): DataStreamWriter[org.apache.spark.sql.Row] = {
-    val c = cents.localCheckpoint(true)
-    val t = thresholds.localCheckpoint(true)
+    val pinned = new PinnedArtifacts(() => ("static", Seq(cents, thresholds)))
     vecs.writeStream.outputMode("append").foreachBatch {
       (batch: DataFrame, batchId: Long) =>
+        val Seq(c, t) = pinned.resolve(batch.sparkSession)
         graft.ops.Similarity.prototypeGate(batch, c, t, keep)
           .write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
     }
@@ -539,12 +540,46 @@ object StreamingPipeline {
   def ivfPqSearchSink(queries: DataFrame, cents: DataFrame,
       codebooks: DataFrame, coded: DataFrame, corpus: DataFrame,
       k: Int, probes: Int = 2, candidates: Int = 20,
-      outPath: String = ""): DataStreamWriter[org.apache.spark.sql.Row] = {
-    val ce = cents.localCheckpoint(true)
-    val cb = codebooks.localCheckpoint(true)
-    val cd = coded.localCheckpoint(true)
+      outPath: String = ""): DataStreamWriter[org.apache.spark.sql.Row] =
+    ivfPqSearchSinkVersioned(queries,
+      () => ("static", IvfPqIndex(cents, codebooks, coded, corpus)),
+      k, probes, candidates, outPath)
+
+  /** One version of the stored IVF-PQ index [[ivfPqSearchSinkVersioned]]
+    * serves: the three broadcast-sized artifacts plus the corpus floats
+    * the exact-rerank join scans. */
+  final case class IvfPqIndex(cents: DataFrame, codebooks: DataFrame,
+      coded: DataFrame, corpus: DataFrame)
+
+  /**
+   * [[ivfPqSearchSink]] with the [[PinnedArtifacts]] version seam: a
+   * production retrieval stream serves for weeks while the index is
+   * rebuilt offline as the corpus grows — it must pick up the new
+   * snapshot without a restart. `index` is consulted once per
+   * micro-batch; per-batch pinning means every query of one batch
+   * searches ONE coherent index version (centroids, codebooks and
+   * codes can never mix across rebuilds mid-batch — mixed versions
+   * would silently mis-decode every ADC distance). The corpus floats
+   * are deliberately NOT pinned: the rerank side is a stored table the
+   * keyed join scans per batch (at index scale it has no business in
+   * the block manager); only the broadcast-sized artifacts pin.
+   */
+  def ivfPqSearchSinkVersioned(queries: DataFrame,
+      index: () => (String, IvfPqIndex), k: Int, probes: Int = 2,
+      candidates: Int = 20, outPath: String = "")
+      : DataStreamWriter[org.apache.spark.sql.Row] = {
+    // resolve() invokes this provider once per batch; the closure var
+    // carries the same version's corpus to the rerank join (driver-side,
+    // batches sequential).
+    var corpus: DataFrame = null
+    val pinned = new PinnedArtifacts(() => {
+      val (v, ix) = index()
+      corpus = ix.corpus
+      (v, Seq(ix.cents, ix.codebooks, ix.coded))
+    })
     queries.writeStream.outputMode("append").foreachBatch {
       (batch: DataFrame, batchId: Long) =>
+        val Seq(ce, cb, cd) = pinned.resolve(batch.sparkSession)
         graft.ops.Similarity.ivfPqSearch(batch, ce, cb, cd, corpus,
           k, probes, candidates)
           .write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
@@ -564,9 +599,10 @@ object StreamingPipeline {
    */
   def bpeEncodeSink(docs: DataFrame, merges: DataFrame, nMerges: Int,
       outPath: String): DataStreamWriter[org.apache.spark.sql.Row] = {
-    val table = merges.localCheckpoint(true)
+    val pinned = new PinnedArtifacts(() => ("static", Seq(merges)))
     docs.writeStream.outputMode("append").foreachBatch {
       (batch: DataFrame, batchId: Long) =>
+        val Seq(table) = pinned.resolve(batch.sparkSession)
         graft.ops.TextOps.bpeApplyCounts(batch, table, nMerges)
           .write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
     }
@@ -822,6 +858,49 @@ object StreamingPipeline {
       benchShingles: DataFrame, bloomBits: DataFrame)
 
   /**
+   * Per-batch snapshot pinning for artifact-gated streaming sinks —
+   * the version seam every long-running serving/ingest stream needs
+   * (curation eval suites rotate, ANN indexes rebuild, BPE vocabs
+   * refresh — none should require a stream restart). `resolve` is
+   * called once per micro-batch, driver-side (batches of one query are
+   * sequential, so plain vars are safe): an unchanged version returns
+   * the already-materialized frames at zero cost; a changed version
+   * frees the superseded checkpoint blocks immediately, then
+   * `localCheckpoint`s and [[graft.ops.Reuse.pin]]s the new set (so an
+   * end-of-stream `Reuse.freeAll` — between queries, per its contract —
+   * releases the final version too). Consistency model: one batch is
+   * processed end-to-end against exactly the snapshot current at its
+   * start; a rotation takes effect at the next batch boundary, never
+   * mid-chain.
+   */
+  final class PinnedArtifacts(provider: () => (String, Seq[DataFrame])) {
+    private var version: String = null
+    private var frames: Seq[DataFrame] = Nil
+    private var ids: Seq[Int] = Nil
+
+    def resolve(spark: SparkSession): Seq[DataFrame] = {
+      val (v, raw) = provider()
+      if (v != version) {
+        ids.foreach { id =>
+          try org.apache.spark.graftbridge.SparkBridge
+            .unpersistRdd(spark.sparkContext, id)
+          catch { case _: Throwable => () }
+        }
+        val buf = scala.collection.mutable.ArrayBuffer[Int]()
+        frames = raw.map { df =>
+          val m = graft.ops.Reuse.pin(df.localCheckpoint(true))
+          org.apache.spark.sql.graftbridge.SqlBridge
+            .checkpointRddId(m).foreach(buf += _)
+          m
+        }
+        ids = buf.toSeq
+        version = v
+      }
+      frames
+    }
+  }
+
+  /**
    * [[curationSink]] with an ARTIFACT-VERSION SEAM (r11 verdict item
    * 5): `artifacts` is consulted once per micro-batch, BEFORE any
    * stage runs, and returns `(version, frames)`. Consistency model is
@@ -831,49 +910,24 @@ object StreamingPipeline {
    * next batch boundary, never mid-chain (so the five stages of one
    * batch can never gate against two different eval suites).
    *
-   * Artifact checkpoint lifecycle is owned HERE (r11 advice: the old
-   * construction-time checkpoints were never released): on a version
-   * change the superseded version's checkpoint blocks are freed
-   * immediately, and every pinned set is also registered with
-   * [[graft.ops.Reuse.pin]] so a harness's end-of-stream
-   * `Reuse.freeAll` (called only after the query stops — freeAll's
-   * between-queries contract) releases the final version too.
-   * Unchanged versions pay zero re-materialization per batch.
+   * Artifact checkpoint lifecycle is owned by [[PinnedArtifacts]]
+   * (r11 advice: the old construction-time checkpoints were never
+   * released) — superseded versions freed on rotation, the final
+   * version released by an end-of-stream `Reuse.freeAll`, unchanged
+   * versions at zero re-materialization per batch.
    */
   def curationSinkVersioned(docs: DataFrame, embs: DataFrame,
       artifacts: () => (String, CurationArtifacts),
       outPath: String, redactPii: Boolean = false)
       : DataStreamWriter[org.apache.spark.sql.Row] = {
-    // foreachBatch runs on the driver, so plain vars are safe: batches
-    // of one query are sequential.
-    var curVersion: String = null
-    var cur: CurationArtifacts = null
-    var curIds: Seq[Int] = Nil
+    val pinned = new PinnedArtifacts(() => {
+      val (v, a) = artifacts()
+      (v, Seq(a.keeperSpans, a.benchVecs, a.benchShingles, a.bloomBits))
+    })
     docs.writeStream.outputMode("append").foreachBatch {
       (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
-        val (version, raw) = artifacts()
-        if (version != curVersion) {
-          curIds.foreach { id =>
-            try org.apache.spark.graftbridge.SparkBridge
-              .unpersistRdd(spark.sparkContext, id)
-            catch { case _: Throwable => () }
-          }
-          val pinnedIds = scala.collection.mutable.ArrayBuffer[Int]()
-          def pinArt(df: DataFrame): DataFrame = {
-            val m = graft.ops.Reuse.pin(df.localCheckpoint(true))
-            org.apache.spark.sql.graftbridge.SqlBridge
-              .checkpointRddId(m).foreach(pinnedIds += _)
-            m
-          }
-          cur = CurationArtifacts(pinArt(raw.keeperSpans),
-            pinArt(raw.benchVecs), pinArt(raw.benchShingles),
-            pinArt(raw.bloomBits))
-          curIds = pinnedIds.toSeq
-          curVersion = version
-        }
-        val (keepers, bv, bh, bits) = (cur.keeperSpans, cur.benchVecs,
-          cur.benchShingles, cur.bloomBits)
+        val Seq(keepers, bv, bh, bits) = pinned.resolve(spark)
         val tracked = scala.collection.mutable.ArrayBuffer[Int]()
         def mat(df: DataFrame): DataFrame = {
           val m = df.localCheckpoint(true)

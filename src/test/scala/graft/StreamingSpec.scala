@@ -1021,6 +1021,73 @@ class StreamingSpec extends TestBase {
     graft.ops.Reuse.freeAll(spark)
   }
 
+  test("IVF-PQ serving picks up a rebuilt index at the next batch " +
+      "boundary — the PinnedArtifacts version seam on the ANN path") {
+    val S = graft.ops.Similarity
+    val embA = graft.ingest.Tables.embeddings(spark, sf("sf0.001"))
+      .localCheckpoint(true)
+    // phase-B corpus: the same vectors PLUS exact copies of the phase-B
+    // queries at planted ids — results containing a planted id prove
+    // the post-rotation batch searched index B, not a stale pin of A
+    val qA = embA.filter(col("vec_id") < 10).localCheckpoint(true)
+    val qB = embA.filter(col("vec_id") >= 10 && col("vec_id") < 20)
+      .localCheckpoint(true)
+    val embB = embA.unionByName(
+      qB.withColumn("vec_id", col("vec_id") + 900000L))
+      .localCheckpoint(true)
+    def buildIndex(emb: org.apache.spark.sql.DataFrame)
+        : StreamingPipeline.IvfPqIndex = {
+      val cents = S.kmeansCentroids(emb).localCheckpoint(true)
+      val probeIdx = S.kmeansProbeBuckets(emb, probes = 2)
+      val cb = S.pqCodebooks(emb).localCheckpoint(true)
+      val coded = S.ivfPqCodedCorpus(emb, cb,
+          probeIdx.filter(col("probe_rank") === 1)
+            .select("vec_id", "bucket"))
+        .localCheckpoint(true)
+      StreamingPipeline.IvfPqIndex(cents, cb, coded, emb)
+    }
+    val ixA = buildIndex(embA)
+    val ixB = buildIndex(embB)
+    graft.ops.Reuse.freeAll(spark)
+    val expectA = S.ivfPqSearch(qA, ixA.cents, ixA.codebooks, ixA.coded,
+      embA, 3, 2, 20).localCheckpoint(true)
+    val expectB = S.ivfPqSearch(qB, ixB.cents, ixB.codebooks, ixB.coded,
+      embB, 3, 2, 20).localCheckpoint(true)
+    graft.ops.Reuse.freeAll(spark)
+
+    @volatile var version = "A"
+    val provider = () => if (version == "A") ("A", ixA) else ("B", ixB)
+    val srcDir = Files.createTempDirectory("graft-ivfr-src").toString + "/d"
+    qA.repartition(2).write.parquet(srcDir)
+    val out = Files.createTempDirectory("graft-ivfr-out").toString
+    val ckpt = Files.createTempDirectory("graft-ivfr-ckpt").toString
+    val q = StreamingPipeline.ivfPqSearchSinkVersioned(
+        StreamingPipeline.parquetStream(spark, srcDir,
+          maxFilesPerTrigger = Some(1)),
+        provider, k = 3, probes = 2, candidates = 20, out)
+      .option("checkpointLocation", ckpt).start()
+    q.processAllAvailable()
+    version = "B" // offline rebuild published, between batches
+    qB.repartition(2).write.mode("append").parquet(srcDir)
+    q.processAllAvailable()
+    q.stop()
+
+    val streamed = spark.read.parquet(out)
+      .select("q_id", "t_id", "rank", "cos").localCheckpoint(true)
+    val sA = streamed.filter(col("q_id") < 10)
+    val sB = streamed.filter(col("q_id") >= 10)
+    assert(sA.except(expectA).isEmpty && expectA.except(sA).isEmpty,
+      "pre-rotation queries not served by index A")
+    assert(sB.except(expectB).isEmpty && expectB.except(sB).isEmpty,
+      "post-rotation queries not served by index B")
+    // the seam is provably live: a planted exact copy (index B only)
+    // surfaces in the post-rotation results
+    assert(sB.filter(col("t_id") >= 900000L).count() > 0,
+      "no planted index-B id in post-rotation results — rotation " +
+        "did not take effect")
+    graft.ops.Reuse.freeAll(spark)
+  }
+
   test("streaming prototype gate == batch pruning on well-separated " +
       "clusters; artifacts learned once offline (ext119 twin)") {
     import spark.implicits._
