@@ -22,12 +22,8 @@ import org.apache.spark.sql.functions._
  */
 object Payloads {
 
-  def topEntityPayloads(
-      tweets: DataFrame,
-      entities: Column, // array column, e.g. col("hashtags")
-      topN: Int = Windows.TopN,
-      examplesPerEntity: Int = Windows.ExamplesPerEntity): DataFrame = {
-    val rows = tweets
+  private def entityRows(tweets: DataFrame, entities: Column): DataFrame =
+    tweets
       .filter(size(entities) > 0)
       .select(col("ts"), explode(entities).as("entity"), col("id"),
         col("text"), col("screenName"), col("originalTweetId"),
@@ -37,6 +33,53 @@ object Payloads {
       .select(col("w.end").cast("long").as("window_end"), col("entity"),
         col("id"), col("text"), col("screenName"), col("originalTweetId"),
         col("followerCount"))
+
+  /**
+   * The scale path (r12): stats AND the deduped bounded examples in ONE
+   * grouped aggregation via [[TopKTweets]] — a single shuffle carrying
+   * ≤ `examplesPerEntity` structs per (group × partition), where the
+   * composite form pays a second grouped pass, a per-group window sort,
+   * and a join. Semantics are identical (PayloadsSpec law: this equals
+   * [[topEntityPayloadsComposite]] row-for-row; TopKSpec proves the
+   * aggregator exact vs the unbounded compute; op27_topk_payloads
+   * proves it cross-engine).
+   */
+  def topEntityPayloads(
+      tweets: DataFrame,
+      entities: Column, // array column, e.g. col("hashtags")
+      topN: Int = Windows.TopN,
+      examplesPerEntity: Int = Windows.ExamplesPerEntity): DataFrame = {
+    val topk = TopK.topKTweets(examplesPerEntity)
+    val agg = entityRows(tweets, entities)
+      .groupBy("window_end", "entity")
+      .agg(count("*").as("tweet_count"),
+        sum(col("followerCount")).as("follower_sum"),
+        topk(when(col("originalTweetId") === -1L, col("id"))
+            .otherwise(col("originalTweetId")),
+          col("followerCount"), col("id"), col("text"),
+          col("screenName"), col("originalTweetId")).as("tt"))
+    Windows.rankTopEntities(agg, topN)
+      .select(col("window_end"), col("entity"),
+        col("tweet_count"), col("follower_sum").as("followerCountSum"),
+        col("rank").cast("long").as("rank"),
+        // keep the documented struct field order (id first)
+        transform(col("tt"), t => struct(t.getField("id").as("id"),
+          t.getField("followerCount").as("followerCount"),
+          t.getField("text").as("text"),
+          t.getField("screenName").as("screenName"),
+          t.getField("originalTweetId").as("originalTweetId")))
+          .as("topTweets"))
+  }
+
+  /** The built-in-composite form (window dedupe + sorted collect + join)
+    * — kept as the independent semantic witness the parity law checks
+    * the aggregator path against. */
+  def topEntityPayloadsComposite(
+      tweets: DataFrame,
+      entities: Column,
+      topN: Int = Windows.TopN,
+      examplesPerEntity: Int = Windows.ExamplesPerEntity): DataFrame = {
+    val rows = entityRows(tweets, entities)
 
     val stats = rows.groupBy("window_end", "entity")
       .agg(count("*").as("tweet_count"),

@@ -40,6 +40,36 @@ class PayloadsSpec extends TestBase {
     assert(tops.head.getAs[String]("text") == "the original")
   }
 
+  test("aggregator scale path == composite witness on a shared-original " +
+      "corpus (one-shuffle topEntityPayloads law, r12)") {
+    import spark.implicits._
+    // 240 tweets, 8 hashtags, retweets of 4 shared originals, follower
+    // ties included — exercises collapse, the k-bound, and tie-breaks
+    val lines = (0 until 240).map { i =>
+      val rt =
+        if (i % 3 == 0)
+          s"""{"id":${500 + i % 4},"extended_tweet":{"full_text":"orig ${i % 4}"}}"""
+        else "null"
+      s"""{"id":${3000 + i},"text":"t $i","timestamp_ms":"${1704067200000L + i * 7000L}","entities":{"hashtags":[{"text":"h${i % 8}"}],"user_mentions":[]},"user":{"followers_count":${(i * 13) % 40},"screen_name":"u${i % 6}"},"retweeted_status":$rt}"""
+    }
+    val tweets = Tables.projectTweets(
+      Tables.tweetsFromJsonLines(lines.toDF("value")))
+    val viaAgg = Payloads.topEntityPayloads(tweets, col("hashtags"),
+      topN = 3, examplesPerEntity = 4)
+    val viaComposite = Payloads.topEntityPayloadsComposite(tweets,
+      col("hashtags"), topN = 3, examplesPerEntity = 4)
+    assert(viaAgg.count() == viaComposite.count() && viaAgg.count() > 0)
+    assert(viaAgg.exceptAll(viaComposite).isEmpty &&
+      viaComposite.exceptAll(viaAgg).isEmpty,
+      "one-shuffle aggregator path differs from the composite witness")
+    // the plan claim: the aggregator path has no per-row window sort
+    // and no stats-examples join
+    val plan = viaAgg.queryExecution.executedPlan.toString
+    assert(!plan.contains("RunningWindowFunction") &&
+      !plan.contains("SortMergeJoin"),
+      s"aggregator path plan regressed:\n${plan.take(800)}")
+  }
+
   test("payload ranks entities per window and caps examples") {
     import spark.implicits._
     val tweets = Tables.projectTweets(Tables.tweetsFromJsonLines(
