@@ -40,9 +40,20 @@ object StreamBench {
     val store = Files.createTempDirectory("graft-sbench-store").toString
     val ckpt = Files.createTempDirectory("graft-sbench-ckpt").toString
     val base = 1704067200000L
-    val w = new java.io.PrintWriter(new java.io.File(dir, "replay.jsonl"))
+    // Chunked replay (~100k tweets per file) + maxFilesPerTrigger=1:
+    // the backlog streams as BOUNDED micro-batches, the way a production
+    // trigger admits it — a single-batch 500k replay with full example
+    // payloads is a 69-hour backlog in one batch and OOMs the cache of
+    // the batch aggregate (see unifiedSink's persist note).
+    val chunk = 100000
+    var w: java.io.PrintWriter = null
     var i = 0
     while (i < n) {
+      if (i % chunk == 0) {
+        if (w != null) w.close()
+        w = new java.io.PrintWriter(
+          new java.io.File(dir, f"replay-${i / chunk}%03d.jsonl"))
+      }
       val t = base + (i.toLong * 500) // 2 tweets per second of event time
       val tag = s"tag${i % 1000}"
       val rt =
@@ -52,14 +63,15 @@ object StreamBench {
         s"""{"id":${1000000 + i},"text":"tweet $i #$tag","timestamp_ms":"$t","lang":"en","extended_tweet":null,"entities":{"hashtags":[{"text":"$tag"}],"user_mentions":[{"screen_name":"m${i % 500}"}]},"user":{"followers_count":${(i * 37) % 10000},"screen_name":"u${i % 2000}"},"retweeted_status":$rt}""")
       i += 1
     }
-    w.close()
+    if (w != null) w.close()
 
     val includeExamples =
       sys.env.getOrElse("SPARK_GRAFT_EXAMPLES", "true").toBoolean
     val t0 = System.nanoTime()
     val q = graft.stream.StreamingPipeline.unifiedSink(
         graft.stream.StreamingPipeline.unifiedAggStream(
-          graft.stream.StreamingPipeline.tweetStream(spark, dir.toString),
+          graft.stream.StreamingPipeline.tweetStream(spark, dir.toString,
+            maxFilesPerTrigger = Some(1)),
           includeExamples),
         store)
       .option("checkpointLocation", ckpt)

@@ -49,11 +49,20 @@ object StreamingPipeline {
     * logs KB read per 5-min window (TwitterStream.cs:50-64); here every
     * micro-batch reports rows/chars ingested via
     * `StreamingQueryProgress.observedMetrics("ingest")`. */
-  def tweetStream(spark: SparkSession, dir: String): DataFrame =
+  /** `maxFilesPerTrigger` bounds a backlog replay to per-file batches —
+    * a production stream never admits an unbounded backlog into one
+    * micro-batch (trigger admission is the memory bound on the batch
+    * aggregate; cf. the 500k single-batch OOM note in unifiedSink). */
+  def tweetStream(spark: SparkSession, dir: String,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val reader = spark.readStream
+    maxFilesPerTrigger.foreach(n =>
+      reader.option("maxFilesPerTrigger", n.toString))
     Tables.projectTweets(
-      Tables.tweetsFromJsonLines(spark.readStream.text(dir)))
+      Tables.tweetsFromJsonLines(reader.text(dir)))
       .observe("ingest", count(lit(1)).as("rows"),
         sum(length(col("text"))).as("chars"))
+  }
 
   /**
    * OP-34 (`sendToEventhub`, Program.SendToEventHub.cs:21-151): forward
@@ -1279,7 +1288,14 @@ object StreamingPipeline {
     agg.writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val b = batch.persist()
+        // Serialized + spill-able: the batch aggregate is consumed four
+        // times (one per family), but with full example payloads a
+        // backlog batch's deserialized object cache can exceed the heap
+        // — columnar-serialized blocks spill to disk instead of OOMing
+        // (measured: a 500k-tweet single-batch replay OOMed the 8 GB
+        // driver under plain persist(), runs under SER).
+        val b = batch.persist(
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
         val hasExamples = b.columns.contains("top_tweets")
         try {
           Seq("hashtags", "mentions", "retweets").foreach { kind =>
