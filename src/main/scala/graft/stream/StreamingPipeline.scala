@@ -881,6 +881,16 @@ object StreamingPipeline {
    * processed end-to-end against exactly the snapshot current at its
    * start; a rotation takes effect at the next batch boundary, never
    * mid-chain.
+   *
+   * Restart interaction: after a checkpoint recovery, a REPLAYED batch
+   * is re-processed against the snapshot current at replay time, not
+   * the (unrecorded) one it originally saw — and because every sink
+   * using this helper writes batch-keyed idempotent output, the replay
+   * OVERWRITES the old batch's judgments with the current snapshot's.
+   * That is the consistency a rotation wants (newest eval suite wins);
+   * a pipeline needing bitwise replay stability would persist the
+   * version alongside each batch dir and re-resolve it — not offered
+   * here because no reference or extension consumer needs it.
    */
   final class PinnedArtifacts(provider: () => (String, Seq[DataFrame])) {
     private var version: String = null
@@ -1317,9 +1327,16 @@ object StreamingPipeline {
         } finally b.unpersist()
       }
 
+  /** `maxFilesPerTrigger` default 8: starting against an existing
+    * backlog directory must not admit the whole history into one
+    * micro-batch (the 500k single-batch OOM lesson — see unifiedSink's
+    * persist note); live tailing is unaffected (per-trigger arrivals
+    * are few files). */
   def runUnified(spark: SparkSession, inputDir: String, storeRoot: String,
-      checkpoint: String): StreamingQuery =
-    unifiedSink(unifiedAggStream(tweetStream(spark, inputDir)), storeRoot)
+      checkpoint: String,
+      maxFilesPerTrigger: Option[Int] = Some(8)): StreamingQuery =
+    unifiedSink(unifiedAggStream(
+        tweetStream(spark, inputDir, maxFilesPerTrigger)), storeRoot)
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.ProcessingTime("1 second"))
       .start()
