@@ -51,6 +51,34 @@ class SinksAndReplSpec extends TestBase {
     assert(lines.get(1).contains("\"entity\":\"y\""))
   }
 
+  test("repl serves a store written WITHOUT examples: reference shapes " +
+      "simply omit TopTweets/TopUsers (includeExamples=false config)") {
+    val dir = Files.createTempDirectory("graft-noex").toFile
+    val store = Files.createTempDirectory("graft-noex-store").toString
+    val ckpt = Files.createTempDirectory("graft-noex-ckpt").toString
+    val line =
+      """{"id":1,"text":"x #t","timestamp_ms":"1704067200000","entities":{"hashtags":[{"text":"t"}],"user_mentions":[{"screen_name":"m"}]},"user":{"followers_count":5,"screen_name":"u"},"retweeted_status":{"id":9,"extended_tweet":null}}"""
+    Files.write(new java.io.File(dir, "part-0.jsonl").toPath,
+      (1 to 40).map(i => line.replace("\"id\":1",
+        s""""id":$i""").replace("1704067200000",
+        (1704067200000L + i * 6000L).toString)).mkString("\n").getBytes)
+    val q = StreamingPipeline.unifiedSink(
+        StreamingPipeline.unifiedAggStream(
+          StreamingPipeline.tweetStream(spark, dir.toString),
+          includeExamples = false), store)
+      .option("checkpointLocation", ckpt).start()
+    q.processAllAvailable()
+    q.stop()
+    val h = Repl.dispatch(spark, store, "getrecenttophashtagsstring 3").get
+    assert(h.count() > 0 && !h.columns.contains("TopTweets") &&
+      h.columns.contains("FollowerCountSum"))
+    val r = Repl.dispatch(spark, store, "getrecenttopretweetsstring 3").get
+    assert(r.count() > 0 && !r.columns.contains("TopUsers") &&
+      r.columns.contains("Text"))
+    assert(Repl.dispatch(spark, store, "getsummary").get
+      .collect()(0).getAs[Long]("WindowCount") > 0)
+  }
+
   test("repl run/list expose the full engine query surface") {
     val listed = Repl.dispatch(spark, "/nonexistent", "list")
     assert(listed.isDefined)
