@@ -414,6 +414,57 @@ class StreamingSpec extends TestBase {
       "resumed stream diverges from batch on emitted windows")
   }
 
+  test("curation sink resumes from checkpoint without loss or " +
+      "duplication: batch-keyed idempotent writes across a restart") {
+    val docs = Tables.documents(spark, sf("sf0.001"))
+      .select("doc_id", "text", "source")
+    val emb = Tables.embeddings(spark, sf("sf0.001"))
+    val benchMax = 20L
+    val snap = graft.ops.Curation.snapshot(docs, emb, benchMax)
+    val survivors = snap.c5.localCheckpoint(true)
+    val keepers = snap.keeperSpans.localCheckpoint(true)
+    val bv = snap.benchVecs.localCheckpoint(true)
+    val bh = snap.benchShingles.localCheckpoint(true)
+    val bits = snap.bloomBits.localCheckpoint(true)
+    val embSnap = emb.localCheckpoint(true)
+    graft.ops.Reuse.freeAll(spark)
+
+    val corpus = docs.filter(col("doc_id") >= benchMax)
+      .localCheckpoint(true)
+    val srcDir = Files.createTempDirectory("graft-cres-src").toString + "/d"
+    val out = Files.createTempDirectory("graft-cres-out").toString
+    val ckpt = Files.createTempDirectory("graft-cres-ckpt").toString
+    def sink() = StreamingPipeline.curationSink(
+        StreamingPipeline.parquetStream(spark, srcDir,
+          maxFilesPerTrigger = Some(1)),
+        embSnap, keepers, bv, bh, bits, out)
+      .option("checkpointLocation", ckpt)
+    // phase 1: half the corpus, then a simulated shutdown
+    corpus.filter(col("doc_id") % 2 === 0).repartition(2)
+      .write.parquet(srcDir)
+    val q1 = sink().start()
+    q1.processAllAvailable()
+    q1.stop()
+    // phase 2: the rest arrives, a NEW query resumes the same checkpoint
+    corpus.filter(col("doc_id") % 2 === 1).repartition(2)
+      .write.mode("append").parquet(srcDir)
+    val q2 = sink().start()
+    q2.processAllAvailable()
+    q2.stop()
+
+    val streamed = spark.read.parquet(out)
+      .select("doc_id", "text", "source")
+    // every survivor exactly once (no replay duplicates), none lost
+    assert(streamed.count() == survivors.count() && survivors.count() > 0)
+    assert(streamed.except(survivors).isEmpty &&
+      survivors.except(streamed).isEmpty,
+      "resumed curation stream diverges from the batch survivor set")
+    assert(streamed.groupBy("doc_id").count()
+      .filter(col("count") > 1).count() == 0,
+      "replayed batches duplicated survivors")
+    graft.ops.Reuse.freeAll(spark)
+  }
+
   test("OP-19 delta: rows later than the watermark drop in streaming, stay in batch") {
     import spark.implicits._
     val base = 1704067200000L
