@@ -426,6 +426,33 @@ object ScaleSmoke {
     time("curation_pipeline") {
       graft.ops.Curation.pipelineCard(big, bigEmbL, 20L, 10000000L)
     }
+    // r12: the one-shuffle full-payload aggregation vs the composite
+    // witness on a mult-x synthetic tweet corpus — the claim being
+    // priced: fusing stats + deduped bounded examples into ONE grouped
+    // aggregate (TopKTweets) beats the three-pass shape (stats groupBy
+    // + window-sort dedupe + sorted-collect + join) and the gap widens
+    // with corpus size, since the composite's window sort touches every
+    // row where the aggregator ships <= k structs per group-partition.
+    if (only.forall(_.exists("payloads".startsWith))) {
+      val nT = mult.toLong * 200000L
+      val tweets = spark.range(nT).select(
+        expr("timestamp_millis(1704067200000 + id * 500)").as("ts"),
+        col("id"),
+        concat(lit("tweet "), col("id")).as("text"),
+        concat(lit("u"), col("id") % 2000).as("screenName"),
+        when(col("id") % 5 === 0, col("id") % 1000)
+          .otherwise(lit(-1L)).as("originalTweetId"),
+        (col("id") * 37 % 10000).as("followerCount"),
+        array(concat(lit("tag"), col("id") % 1000)).as("hashtags"))
+        .localCheckpoint(true)
+      time("payloads_one_shuffle") {
+        graft.agg.Payloads.topEntityPayloads(tweets, col("hashtags"))
+      }
+      time("payloads_composite") {
+        graft.agg.Payloads.topEntityPayloadsComposite(tweets,
+          col("hashtags"))
+      }
+    }
     // Composed streaming curation sink (r11 item 6): the mult-x corpus
     // through `curationSink` as MANY micro-batches. The sink's claim is
     // that per-batch localCheckpoint + free bounds the block-manager
