@@ -1174,15 +1174,49 @@ object StreamingPipeline {
    * (ext01). At-least-once sources (file replay after restart, Kafka with
    * producer retries) re-deliver tweets; `dropDuplicatesWithinWatermark`
    * keys state by id and EXPIRES each key once the watermark passes its
-   * event time, so dedup state is bounded by the disorder window — a
-   * plain streaming `dropDuplicates` keeps every id forever and OOMs a
-   * 100 TB replay. Trade-off (documented, matches the reference's
-   * at-least-once EventHub forwarding): a duplicate arriving later than
-   * the watermark is not caught.
+   * event time, so dedup state is bounded by the disorder window.
+   * Trade-off (documented, matches the reference's at-least-once
+   * EventHub forwarding): a duplicate arriving later than the watermark
+   * is not caught — when late duplicates MUST be caught (crawl
+   * re-ingestion), use [[dedupAllTimeStream]] and pay its
+   * state-per-distinct-doc price instead.
    */
   def dedupedTweetStream(tweets: DataFrame): DataFrame =
     tweets.withWatermark("ts", Watermark)
       .dropDuplicatesWithinWatermark("id")
+
+  /**
+   * Cross-batch ALL-TIME content dedup — the crawl-ingest variant: a
+   * re-crawled page months later IS a duplicate to drop, so
+   * [[dedupedTweetStream]]'s watermark bound doesn't apply. Keyed by
+   * the 8-byte content hash; state is one key per DISTINCT document,
+   * kept forever. The state-growth trade-off triple, explicit:
+   *
+   *   - `dropDuplicatesWithinWatermark` ([[dedupedTweetStream]]):
+   *     bounded state, misses any duplicate later than the disorder
+   *     window;
+   *   - THIS (`dropDuplicates` on the content hash): exact forever;
+   *     state O(distinct docs) of 8-byte keys, disk-backed under the
+   *     RocksDB state-store provider (~8 GB per 10^9 distinct docs
+   *     across the cluster) — the production configuration for a
+   *     100 TB crawl, and why "plain dropDuplicates OOMs" (true of the
+   *     in-memory provider keyed by full rows) does not apply here;
+   *   - an accumulating Bloom gate (the bounded-bits alternative):
+   *     fixed memory, but false positives DROP unique documents —
+   *     irreversible data loss, acceptable only where the FPR is
+   *     priced in.
+   *
+   * Keeper semantics: across batches the EARLIER batch's copy wins
+   * (first arrival — the at-ingest rule); within one micro-batch the
+   * surviving copy is arrival-order dependent across partitions. The
+   * batch twin `Dedup.exact` keeps min-id instead, so the spec law
+   * compares what IS deterministic: one survivor per hash, the
+   * survivor set of hashes, and the cross-batch winner.
+   */
+  def dedupAllTimeStream(docs: DataFrame,
+      textCol: String = "text"): DataFrame =
+    docs.withColumn("content_h", xxhash64(col(textCol)))
+      .dropDuplicates("content_h")
 
   /**
    * Streaming twin of `IntervalJoin` (ext22): stream-stream inner join of

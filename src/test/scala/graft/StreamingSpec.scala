@@ -414,6 +414,48 @@ class StreamingSpec extends TestBase {
       "resumed stream diverges from batch on emitted windows")
   }
 
+  test("all-time content dedup drops a cross-batch re-crawl; earlier " +
+      "batch's copy wins (dedupAllTimeStream)") {
+    import spark.implicits._
+    val srcDir = Files.createTempDirectory("graft-adt-src").toString + "/d"
+    val out = Files.createTempDirectory("graft-adt-out").toString
+    val ckpt = Files.createTempDirectory("graft-adt-ckpt").toString
+    // phase 1: docs 0..49, unique texts
+    (0L until 50L).map(i => (i, s"text $i", "web")).toDF(
+      "doc_id", "text", "source").coalesce(1).write.parquet(srcDir)
+    val q1 = StreamingPipeline.dedupAllTimeStream(
+        StreamingPipeline.parquetStream(spark, srcDir,
+          maxFilesPerTrigger = Some(1)))
+      .writeStream.outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        b.write.mode("overwrite").parquet(s"$out/batch=$id")
+      }
+      .option("checkpointLocation", ckpt).start()
+    q1.processAllAvailable()
+    // phase 2 (later batch): 20 re-crawls of phase-1 texts under NEW
+    // doc ids + 10 genuinely new docs, one of them duplicated in-batch
+    val recrawls = (0L until 20L).map(i => (1000L + i, s"text $i", "web"))
+    val fresh = (100L until 110L).map(i => (i, s"fresh $i", "web"))
+    val inBatchDup = Seq((2000L, "fresh 100", "web"))
+    (recrawls ++ fresh ++ inBatchDup).toDF("doc_id", "text", "source")
+      .coalesce(1).write.mode("append").parquet(srcDir)
+    q1.processAllAvailable()
+    q1.stop()
+
+    val survived = spark.read.parquet(out)
+    // one survivor per distinct text, all 60 distinct texts present
+    assert(survived.count() == 60 &&
+      survived.select("text").distinct().count() == 60)
+    // every re-crawled text survives as the PHASE-1 doc (earlier batch
+    // wins), never the re-crawl id
+    assert(survived.filter(col("doc_id") >= 1000L &&
+      col("doc_id") < 2000L).count() == 0,
+      "a re-crawled duplicate displaced the original")
+    // "fresh 100" survived exactly once (in-batch dup collapsed)
+    assert(survived.filter(col("text") === "fresh 100").count() == 1)
+    graft.ops.Reuse.freeAll(spark)
+  }
+
   test("curation sink resumes from checkpoint without loss or " +
       "duplication: batch-keyed idempotent writes across a restart") {
     val docs = Tables.documents(spark, sf("sf0.001"))
