@@ -130,6 +130,52 @@ class TopKSpec extends TestBase {
     })
   }
 
+  test("TopKTweets through the udaf/encoder path is partition-count " +
+      "independent on events") {
+    val ev = Tables.events(spark, sf("sf0.001"))
+      .select(col("event_type"), col("user_id"),
+        floor(col("value")).cast("long").as("fc"),
+        col("event_id"), col("props"))
+    def run(parts: Int) = {
+      val fn = TopK.topKTweets(5)
+      ev.repartition(parts)
+        .groupBy("event_type")
+        .agg(fn(col("user_id"), col("fc"), col("event_id"), col("props"),
+          col("user_id").cast("string"), lit(-1L)).as("ex"))
+        .select(col("event_type"),
+          transform(col("ex"), e => e.getField("id")).as("ids"))
+    }
+    val a = run(1).collect().map(r => r.getString(0) -> r.getSeq[Long](1))
+      .toMap
+    val b = run(13).collect().map(r => r.getString(0) -> r.getSeq[Long](1))
+      .toMap
+    assert(a.nonEmpty && a == b,
+      "TopKTweets result depends on partitioning")
+  }
+
+  // ---- TopKEntities / TopKEntitiesPayload: second-level rank laws ----
+
+  test("TopKEntitiesPayload: merge of any split equals whole; bounded; " +
+      "payload arrays ride untouched") {
+    import graft.agg.{TopKEntityPayload, TopKEntitiesPayload, TweetExample}
+    val agg = new TopKEntitiesPayload(3)
+    def ex(n: Long) = Seq(TweetExample(n, n, s"t$n", s"u$n", -1L))
+    val entGen = Gen.listOf(for {
+      w <- Gen.chooseNum(0L, 10L)
+      e <- Gen.chooseNum(0, 6)
+    } yield TopKEntityPayload(w.toDouble, s"e$e", w, ex(w)))
+    def ref(xs: Seq[TopKEntityPayload]): Seq[TopKEntityPayload] =
+      xs.sortBy(t => (-t.weight, t.entity)).take(3)
+    checkProp(Prop.forAll(entGen, Gen.chooseNum(0, 100)) { (xs, cut) =>
+      val (l, r) = xs.splitAt(cut % (xs.size + 1))
+      val whole = xs.foldLeft(agg.zero)(agg.reduce)
+      val lb = l.foldLeft(agg.zero)(agg.reduce)
+      val rb = r.foldLeft(agg.zero)(agg.reduce)
+      whole.size <= 3 && agg.finish(whole) == ref(xs) &&
+        agg.merge(lb, rb) == whole && agg.merge(rb, lb) == whole
+    })
+  }
+
   test("udaf parity with built-in sort_array composite on events") {
     val ev = Tables.events(spark, sf("sf0.001"))
     val topk = TopK.topKIds(5)
