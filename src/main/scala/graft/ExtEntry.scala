@@ -1878,6 +1878,24 @@ object ExtEntry {
           probes = 2)
         .orderBy("vec_id")),
 
+    // SOFT dedup APPLIED (closes ext79's measure→apply gap the ext128
+    // way): the duplication-aware weights drive the deterministic
+    // weighted draw — a near-dup family's total draw mass equals one
+    // unduplicated document's, per source stratum, and the variants
+    // stay eligible (hard dedup would discard them). Pure composition:
+    // dedupWeights ⋈ docs → weightedTopK(weight_ppm) over the same
+    // build-once cluster-map artifact ext47/ext64/ext79 read — no new
+    // shuffle shape beyond its two parents.
+    "ext130_soft_dedup_sample" -> ((s, dir) => {
+      val w = Dedup.dedupWeights(docs(s, dir), dupClusters(s, dir))
+      Sampling.weightedTopK(
+          docs(s, dir).select("doc_id", "source").join(w, "doc_id"),
+          Seq("source"), col("doc_id"), col("weight_ppm"), 20,
+          salt = "softdd")
+        .select("doc_id", "source", "n_members", "weight_ppm", "rank")
+        .orderBy("source", "rank")
+    }),
+
     // BPE merge-table LEARNING (Sennrich et al.): tokenizer vocabulary
     // induction as an iterative relational algorithm — one corpus pass
     // builds the word-frequency table, then every round iterates on
@@ -4523,6 +4541,34 @@ object ExtEntry {
          |            AS BIGINT) AS kept
          |FROM home h LEFT JOIN drops dr USING (vec_id)
          |ORDER BY h.vec_id""".stripMargin,
+
+    // ext79's weights recomputed (same cluster CTE chain), then the
+    // ext39 weighted-draw replay with weight = weight_ppm.
+    "ext130_soft_dedup_sample" ->
+      s"""WITH RECURSIVE $clusterCtes,
+         |cl AS (SELECT id AS doc_id, min(label) AS cluster_id
+         |       FROM reach GROUP BY 1),
+         |sz AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_members
+         |       FROM cl GROUP BY 1),
+         |m AS (SELECT cl.doc_id, sz.n_members
+         |      FROM cl JOIN sz USING (cluster_id)),
+         |w AS (SELECT d.doc_id, d.source,
+         |             COALESCE(m.n_members, 1) AS n_members,
+         |             CAST(1000000 // COALESCE(m.n_members, 1) AS BIGINT)
+         |               AS weight_ppm
+         |      FROM documents d LEFT JOIN m USING (doc_id)),
+         |h AS (SELECT *,
+         |        CAST(${hashSql("'softdd:' || CAST(doc_id AS VARCHAR)")}
+         |             AS DOUBLE) / CAST(weight_ppm AS DOUBLE) AS pri
+         |      FROM w),
+         |r AS (SELECT doc_id, source, n_members, weight_ppm,
+         |             row_number() OVER (
+         |               PARTITION BY source ORDER BY pri, doc_id) AS rank
+         |      FROM h)
+         |SELECT doc_id, source, n_members, weight_ppm,
+         |       CAST(rank AS BIGINT) AS rank
+         |FROM r WHERE rank <= 20
+         |ORDER BY source, rank""".stripMargin,
 
     // BPE: the same three unrolled rounds — pair counts (overlapping
     // adjacencies count), (count DESC, a, b) argmax, run-parity greedy
