@@ -1896,6 +1896,31 @@ object ExtEntry {
         .orderBy("source", "rank")
     }),
 
+    // The soft-dedup capacity ledger (ext85's counterpart for the SOFT
+    // policy): per source, raw token mass vs the EFFECTIVE mass under
+    // ext79's duplication-aware weights — sum(n_toks x weight_ppm)/1e6,
+    // integer-exact and order-independent (the division happens after
+    // the long sum). ext85 answers "what would hard dedup delete";
+    // this answers "what does down-weighting train on" — the number a
+    // token-budgeted mixture (ext62/75/78) plugs in when it keeps the
+    // variants. One corpus scan joined to the weights; the cluster map
+    // is the shared build-once artifact.
+    "ext131_soft_dedup_ledger" -> ((s, dir) => {
+      val w = Dedup.dedupWeights(docs(s, dir), dupClusters(s, dir))
+      docs(s, dir).select(col("doc_id"), col("source"),
+          size(TextOps.tokens(col("text"))).cast("long").as("n_toks"))
+        .join(w, "doc_id")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_toks")).as("raw_toks"),
+          sum(col("n_toks") * col("weight_ppm")).as("wsum"))
+        .select(col("source"), col("n_docs"), col("raw_toks"),
+          expr("wsum DIV 1000000").as("eff_toks"),
+          expr("((raw_toks - (wsum DIV 1000000)) * 1000000) DIV raw_toks")
+            .as("downweight_ppm"))
+        .orderBy("source")
+    }),
+
     // BPE merge-table LEARNING (Sennrich et al.): tokenizer vocabulary
     // induction as an iterative relational algorithm — one corpus pass
     // builds the word-frequency table, then every round iterates on
@@ -4541,6 +4566,30 @@ object ExtEntry {
          |            AS BIGINT) AS kept
          |FROM home h LEFT JOIN drops dr USING (vec_id)
          |ORDER BY h.vec_id""".stripMargin,
+
+    "ext131_soft_dedup_ledger" ->
+      s"""WITH RECURSIVE $clusterCtes,
+         |cl AS (SELECT id AS doc_id, min(label) AS cluster_id
+         |       FROM reach GROUP BY 1),
+         |sz AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_members
+         |       FROM cl GROUP BY 1),
+         |m AS (SELECT cl.doc_id, sz.n_members
+         |      FROM cl JOIN sz USING (cluster_id)),
+         |w AS (SELECT d.doc_id, d.source,
+         |             CAST(len(string_split(d.text, ' ')) AS BIGINT)
+         |               AS n_toks,
+         |             CAST(1000000 // COALESCE(m.n_members, 1) AS BIGINT)
+         |               AS weight_ppm
+         |      FROM documents d LEFT JOIN m USING (doc_id)),
+         |a AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |             CAST(sum(n_toks) AS BIGINT) AS raw_toks,
+         |             CAST(sum(n_toks * weight_ppm) AS BIGINT) AS wsum
+         |      FROM w GROUP BY 1)
+         |SELECT source, n_docs, raw_toks,
+         |       CAST(wsum // 1000000 AS BIGINT) AS eff_toks,
+         |       CAST(((raw_toks - (wsum // 1000000)) * 1000000)
+         |            // raw_toks AS BIGINT) AS downweight_ppm
+         |FROM a ORDER BY source""".stripMargin,
 
     // ext79's weights recomputed (same cluster CTE chain), then the
     // ext39 weighted-draw replay with weight = weight_ppm.
