@@ -1921,6 +1921,21 @@ object ExtEntry {
         .orderBy("source")
     }),
 
+    // HyperLogLog distinct per event_type — the production distinct
+    // sketch beside ext21's KMV: m = 256 BYTE registers per group (state
+    // fixed regardless of cardinality), no distinct pass anywhere
+    // (register max absorbs duplicates), elementwise-max mergeable
+    // across shards/batches. Registers derive from the portable hash,
+    // so even the ESTIMATE is oracle-checked — the scaled harmonic sum
+    // is an exact int64 in both engines. Aggregator form = the scale
+    // path: the exchange carries one 256-byte buffer per group per map
+    // task. exact_distinct rides along for error checks (ext21
+    // convention).
+    "ext132_hll_distinct" -> ((s, dir) =>
+      Sketches.hllDistinctAgg(Tables.events(s, dir), col("event_type"),
+          col("user_id"))
+        .orderBy("entity")),
+
     // BPE merge-table LEARNING (Sennrich et al.): tokenizer vocabulary
     // induction as an iterative relational algorithm — one corpus pass
     // builds the word-frequency table, then every round iterates on
@@ -4590,6 +4605,49 @@ object ExtEntry {
          |       CAST(((raw_toks - (wsum // 1000000)) * 1000000)
          |            // raw_toks AS BIGINT) AS downweight_ppm
          |FROM a ORDER BY source""".stripMargin,
+
+    // The oracle recomputes the HLL registers from the same portable
+    // hash and the estimate from the same single-literal numerator; the
+    // scaled harmonic sum (every addend 2^(24-rho) a whole number) is
+    // integer-exact, so register state AND estimate both hash-compare.
+    "ext132_hll_distinct" ->
+      s"""WITH hv AS (
+         |  SELECT event_type AS entity,
+         |         ${hashSql("'hll:' || CAST(user_id AS VARCHAR)")} AS h
+         |  FROM events),
+         |r AS (SELECT entity, h % ${Sketches.HllM} AS idx,
+         |        max(CASE WHEN h // ${Sketches.HllM} = 0
+         |                 THEN ${Sketches.HllRhoMax}
+         |                 ELSE ${Sketches.HllRhoMax}
+         |                      - length(bin(h // ${Sketches.HllM})) END)
+         |          AS rho
+         |      FROM hv GROUP BY 1, 2),
+         |a AS (SELECT entity, CAST(count(*) AS BIGINT) AS n_hit,
+         |        CAST(sum(CAST(1 AS BIGINT)
+         |                 << CAST(${Sketches.HllRhoMax} - rho AS INT))
+         |             AS BIGINT) AS hit_scaled
+         |      FROM r GROUP BY 1),
+         |e AS (SELECT entity, ${Sketches.HllM} - n_hit AS v_zero,
+         |        hit_scaled + (${Sketches.HllM} - n_hit)
+         |          * ${1L << Sketches.HllRhoMax} AS harmonic_scaled
+         |      FROM a),
+         |x AS (SELECT event_type AS entity,
+         |             CAST(count(DISTINCT user_id) AS BIGINT)
+         |               AS exact_distinct
+         |      FROM events GROUP BY 1)
+         |SELECT e.entity, e.v_zero, e.harmonic_scaled,
+         |  CASE WHEN (${Sketches.HllAlphaNum}
+         |             / CAST(e.harmonic_scaled AS DOUBLE))
+         |            <= ${2.5 * Sketches.HllM} AND e.v_zero > 0
+         |       THEN ${Sketches.HllM.toDouble}
+         |            * ln(${Sketches.HllM.toDouble}
+         |                 / CAST(e.v_zero AS DOUBLE))
+         |       ELSE ${Sketches.HllAlphaNum}
+         |            / CAST(e.harmonic_scaled AS DOUBLE) END
+         |    AS est_distinct,
+         |  x.exact_distinct
+         |FROM e JOIN x USING (entity)
+         |ORDER BY entity""".stripMargin,
 
     // ext79's weights recomputed (same cluster CTE chain), then the
     // ext39 weighted-draw replay with weight = weight_ppm.

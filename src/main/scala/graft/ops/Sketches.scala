@@ -310,6 +310,124 @@ object Sketches {
         when(col("nonmember_probes") === 0L, 0L)
           .otherwise(expr("(shingle_fp * 1000000) DIV nonmember_probes")))
   }
+
+  // ---- HyperLogLog distinct --------------------------------------------
+
+  /** HLL geometry (Flajolet et al., "HyperLogLog: the analysis of a
+    * near-optimal cardinality estimation algorithm", AofA 2007): p = 8
+    * → m = 256 registers. The portable 31-bit hash splits into register
+    * index `h mod m` (low 8 bits) and a 23-bit suffix `w = h div m`;
+    * the register rank ρ is the leading-zero count of w in 23 bits plus
+    * one, ρ ∈ [1, 24] (ρ = 24 ⇔ w = 0). KMV ([[kmvDistinct]]) holds the
+    * k smallest distinct hashes — state k int64s and a distinct pass;
+    * HLL's state is m BYTES, FIXED regardless of group cardinality, and
+    * needs no distinct at all (register max absorbs duplicates) — which
+    * is why it is THE production distinct sketch. The usual objection
+    * (engine-private hashing makes `approx_count_distinct` estimates
+    * unreproducible) does not apply here: registers derive from the
+    * portable md5 hash, so the DuckDB oracle recomputes the SAME
+    * registers and the SAME estimate bit-for-bit (the scaled harmonic
+    * sum is an exact integer — see [[hllEstimateFromRegisters]]).
+    * Saturation boundary: a 31-bit hash space caps the raw estimator
+    * around 2^31/30 ≈ 7·10⁷ distinct per group before hash collisions
+    * bias it — per-GROUP cardinalities at 100 TB (users per event type,
+    * tokens per shard) sit well inside; a whole-corpus single-group
+    * count at trillions would want the 64-bit-hash variant instead. */
+  val HllM = 256
+  val HllRhoMax = 24 // (31 − log₂ m) suffix bits + 1
+
+  /** α_m·m²·2^24 — the harmonic-mean numerator folded to ONE double
+    * literal shared textually with the ext132 oracle SQL, so the raw
+    * estimate is a single IEEE division in both engines. */
+  val HllAlphaNum: Double =
+    0.7213 / (1.0 + 1.079 / HllM) * HllM * HllM * (1L << HllRhoMax).toDouble
+
+  /** Domain-tagged portable hash, the kmv:/mh: convention. */
+  private def hllHash(value: Column): Column =
+    Hashing.portableHash32(concat(lit("hll:"), value.cast("string")))
+
+  /** ρ of the 23-bit suffix w — integer-exact via `length(bin(w))`
+    * (minimal binary, the ext56 engine-portable bit-length idiom). */
+  private def hllRho(w: Column): Column =
+    when(w === 0L, lit(HllRhoMax.toLong))
+      .otherwise(lit(HllRhoMax.toLong) - length(bin(w)).cast("long"))
+
+  /** The register relation of a per-group HLL: (entity, idx, ρ_max) —
+    * ≤ m rows per group. This is the sketch AS A RELATION: mergeable by
+    * union + re-max (shards, snapshots, micro-batches), storable beside
+    * a shard manifest, and the shape the oracle replays. No distinct
+    * pass: max absorbs duplicates, so the one wide exchange carries ≤ m
+    * rows per (group × map task) after partial aggregation — at 100 TB
+    * the shuffle is bounded by groups × 256 rows no matter how many
+    * billion values each group holds. */
+  def hllRegisters(df: DataFrame, group: Column, value: Column): DataFrame = {
+    val h = hllHash(value)
+    df.select(group.as("entity"), h.as("h"))
+      .select(col("entity"), (col("h") % HllM.toLong).as("idx"),
+        hllRho(shiftright(col("h"), 8)).as("rho"))
+      .groupBy("entity", "idx").agg(max("rho").as("rho"))
+  }
+
+  /** est_distinct from (v_zero, harmonic_scaled): the raw harmonic
+    * estimate α_m·m²·2^24 / S', switching to linear counting
+    * m·ln(m/V) in Flajolet's small-range regime (E ≤ 2.5m with empty
+    * registers remaining). One shared literal numerator; both engines
+    * run the identical flop sequence. */
+  private def hllEstCol: Column = {
+    val estRaw = lit(HllAlphaNum) / col("harmonic_scaled").cast("double")
+    when(estRaw <= lit(2.5 * HllM) && col("v_zero") > 0L,
+      lit(HllM.toDouble)
+        * log(lit(HllM.toDouble) / col("v_zero").cast("double")))
+      .otherwise(estRaw).as("est_distinct")
+  }
+
+  /** Estimate card from a register relation. `harmonic_scaled` is the
+    * harmonic sum scaled by 2^24: every addend 2^(24−ρ) is a whole
+    * number (ρ ≤ 24), so the sum is an EXACT int64 — order-independent
+    * and integer-comparable across engines; the float division happens
+    * once at the end. Empty registers contribute 2^24 each (2^−0
+    * unscaled), folded in arithmetically from v_zero. */
+  def hllEstimateFromRegisters(regs: DataFrame): DataFrame =
+    regs.groupBy("entity")
+      .agg(count(lit(1)).as("n_hit"),
+        sum(expr(s"shiftleft(CAST(1 AS BIGINT), " +
+          s"CAST($HllRhoMax - rho AS INT))")).as("hit_scaled"))
+      .select(col("entity"),
+        (lit(HllM.toLong) - col("n_hit")).as("v_zero"),
+        (col("hit_scaled")
+          + (lit(HllM.toLong) - col("n_hit")) * lit(1L << HllRhoMax))
+          .as("harmonic_scaled"))
+      .select(col("entity"), col("v_zero"), col("harmonic_scaled"),
+        hllEstCol)
+
+  /** Per-group HLL distinct estimate, relational form (+ exact for
+    * error inspection, the ext21 convention — drop the exact join at
+    * production scale, it is the audit not the sketch). */
+  def hllDistinct(df: DataFrame, group: Column, value: Column): DataFrame =
+    hllEstimateFromRegisters(hllRegisters(df, group, value))
+      .join(df.groupBy(group.as("entity"))
+        .agg(countDistinct(value).as("exact_distinct")), Seq("entity"))
+
+  /** The sketch as a plain aggregate Column — m bytes of buffer per
+    * group per task, elementwise-max merged; legal bounded streaming
+    * state exactly like [[kmvSummary]] (StreamingSpec parity-tests the
+    * two paths). */
+  def hllSummary(value: Column): Column =
+    udaf(new HllAgg(), Encoders.scalaLong)(hllHash(value))
+
+  /** [[hllDistinct]] as the typed-Aggregator scale path: one groupBy,
+    * the exchange carries one 256-byte register array per (group × map
+    * task). Parity with the relational form is spec-asserted (the
+    * sketch is a pure function of the hash set). */
+  def hllDistinctAgg(df: DataFrame, group: Column, value: Column): DataFrame =
+    df.groupBy(group.as("entity"))
+      .agg(hllSummary(value).as("s"),
+        countDistinct(value).as("exact_distinct"))
+      .select(col("entity"), col("s.vZero").as("v_zero"),
+        col("s.harmonicScaled").as("harmonic_scaled"),
+        col("exact_distinct"))
+      .select(col("entity"), col("v_zero"), col("harmonic_scaled"),
+        hllEstCol, col("exact_distinct"))
 }
 
 /** Sketch summary: how many mins are held (< k ⇒ the set is exact) and
@@ -353,4 +471,61 @@ class KmvAgg(k: Int) extends Aggregator[Long, Seq[Long], KmvSummary] {
     ExpressionEncoder[Seq[Long]]()
   override def outputEncoder: Encoder[KmvSummary] =
     ExpressionEncoder[KmvSummary]()
+}
+
+/** HLL sketch summary: empty-register count V and the 2^24-scaled
+  * harmonic sum (an exact int64 — see
+  * [[Sketches.hllEstimateFromRegisters]]). */
+case class HllSummary(vZero: Long, harmonicScaled: Long)
+
+/**
+ * HyperLogLog register buffer: m = 256 bytes holding each register's
+ * max rank, FIXED-size regardless of how many values the group holds.
+ * `reduce` is a register max (duplicates are absorbed — no distinct
+ * pass exists anywhere in the sketch), `merge` is elementwise max —
+ * associative, commutative and idempotent, so the registers are a pure
+ * function of the input hash SET, independent of partitioning, merge
+ * order and replay. That merge law is what makes the sketch shardable
+ * (per-shard registers union by max), streamable (bounded state per
+ * group) and storable (256 bytes per group in a manifest, re-mergeable
+ * forever).
+ */
+class HllAgg extends Aggregator[Long, Array[Byte], HllSummary] {
+  private val m = Sketches.HllM
+
+  override def zero: Array[Byte] = new Array[Byte](m)
+
+  override def reduce(b: Array[Byte], h: Long): Array[Byte] = {
+    val idx = (h % m).toInt
+    val w = h >>> 8
+    val rho = (if (w == 0L) Sketches.HllRhoMax
+      else Sketches.HllRhoMax
+        - (64 - java.lang.Long.numberOfLeadingZeros(w))).toByte
+    if (rho > b(idx)) b(idx) = rho
+    b
+  }
+
+  override def merge(a: Array[Byte], c: Array[Byte]): Array[Byte] = {
+    var i = 0
+    while (i < m) { if (c(i) > a(i)) a(i) = c(i); i += 1 }
+    a
+  }
+
+  override def finish(r: Array[Byte]): HllSummary = {
+    var v = 0L
+    var s = 0L
+    var i = 0
+    while (i < m) {
+      val rho = r(i)
+      if (rho == 0) v += 1L
+      // rho = 0 (empty) contributes 2^24 — the unscaled 2^-0 addend.
+      s += 1L << (Sketches.HllRhoMax - rho)
+      i += 1
+    }
+    HllSummary(v, s)
+  }
+
+  override def bufferEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+  override def outputEncoder: Encoder[HllSummary] =
+    ExpressionEncoder[HllSummary]()
 }

@@ -216,6 +216,49 @@ class PipelineOpsSpec extends TestBase {
     assert(a.except(b).isEmpty && b.except(a).isEmpty && b.count() > 0)
   }
 
+  test("hll: linear-counting regime exact-ish small, raw regime within " +
+      "rse bound big, duplicates absorbed (ext132)") {
+    import spark.implicits._
+    // "small": 10 distinct (duplicated ×3) → linear-counting regime;
+    // m·ln(m/V) at V=246..256 is near-exact for tiny cardinalities.
+    // "big": 50k distinct → raw harmonic regime; standard error is
+    // 1.04/√256 ≈ 6.5%, assert within 4σ.
+    val small = (1 to 10).flatMap(v => Seq.fill(3)(("small", v)))
+    val big = (1 to 50000).map(v => ("big", v))
+    val df = (small ++ big).toDF("g", "v")
+    val got = Sketches.hllDistinct(df, col("g"), col("v"))
+      .select("entity", "est_distinct", "exact_distinct")
+      .as[(String, Double, Long)].collect().map(r => r._1 -> r).toMap
+    assert(got("small")._3 == 10L &&
+      math.abs(got("small")._2 - 10.0) < 2.0)
+    val (est, exact) = (got("big")._2, got("big")._3.toDouble)
+    assert(exact == 50000.0 && math.abs(est / exact - 1.0) < 0.26)
+  }
+
+  test("hll: register relation merges by union+re-max; aggregator form " +
+      "matches relational form on real data (ext132)") {
+    import spark.implicits._
+    val ev = graft.ingest.Tables.events(spark, sf("sf0.001"))
+    // Mergeability: per-half register relations unioned and re-maxed
+    // equal the one-shot registers — the law that makes the sketch
+    // shardable/streamable/storable.
+    val whole = Sketches.hllRegisters(ev, col("event_type"), col("user_id"))
+    val halves = Sketches.hllRegisters(
+        ev.filter($"user_id" % 2 === 0), col("event_type"), col("user_id"))
+      .union(Sketches.hllRegisters(
+        ev.filter($"user_id" % 2 === 1), col("event_type"), col("user_id")))
+      .groupBy("entity", "idx").agg(max("rho").as("rho"))
+    assert(halves.except(whole).isEmpty && whole.except(halves).isEmpty)
+    // And the estimate over merged registers equals the one-shot one.
+    val estW = Sketches.hllEstimateFromRegisters(whole)
+    val estH = Sketches.hllEstimateFromRegisters(halves)
+    assert(estH.except(estW).isEmpty && estW.except(estH).isEmpty)
+    // Aggregator scale path == relational path, bit-for-bit.
+    val a = Sketches.hllDistinct(ev, col("event_type"), col("user_id"))
+    val b = Sketches.hllDistinctAgg(ev, col("event_type"), col("user_id"))
+    assert(a.except(b).isEmpty && b.except(a).isEmpty && b.count() > 0)
+  }
+
   test("interval join: [t-i, t) bounds, cross-bin matches, empty left") {
     import spark.implicits._
     val i = 100L // µs interval → bins of 100
