@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.agg.Windows
 import graft.ingest.Tables
-import graft.ops.{AsOf, Components, Curation, Dedup, Hashing,
+import graft.ops.{AsOf, Components, Curation, Decay, Dedup, Hashing,
   IntervalJoin, Multimodal, Packing, Sampling, Similarity, Sketches,
   Skew, Splits, TextOps}
 
@@ -1935,6 +1935,18 @@ object ExtEntry {
       Sketches.hllDistinctAgg(Tables.events(s, dir), col("event_type"),
           col("user_id"))
         .orderBy("entity")),
+
+    // Exponentially-decayed trending: per event type, the 10 users with
+    // the highest decayed activity count (half-life 1 day, reference
+    // clock = corpus max ts). Decay quantized to whole half-life
+    // buckets so every weight is a power of two and the scaled score an
+    // EXACT int64 (order-independent, mergeable, oracle-recomputable) —
+    // the state behind it is a ≤30-counter histogram per entity that a
+    // serving store ages in place per half-life (Decay.shift).
+    "ext133_decayed_trend" -> ((s, dir) =>
+      Decay.trendingTopK(Tables.events(s, dir), col("event_type"),
+          col("user_id"), col("ts"), 86400000000L, 10)
+        .orderBy("part", "rank")),
 
     // BPE merge-table LEARNING (Sennrich et al.): tokenizer vocabulary
     // induction as an iterative relational algorithm — one corpus pass
@@ -4648,6 +4660,26 @@ object ExtEntry {
          |  x.exact_distinct
          |FROM e JOIN x USING (entity)
          |ORDER BY entity""".stripMargin,
+
+    // Same integer arithmetic: bucket = whole half-lives of age, weight
+    // = 1 << (29 - bucket), score = exact int64 sum — the oracle replays
+    // the decayed ranking bit-for-bit.
+    "ext133_decayed_trend" ->
+      """WITH tref AS (SELECT max(epoch_us(ts)) AS tref_us FROM events),
+        |h AS (SELECT event_type AS part, user_id AS entity,
+        |        greatest(tref_us - epoch_us(ts), 0) // 86400000000
+        |          AS age_bucket
+        |      FROM events, tref),
+        |s AS (SELECT part, entity,
+        |        CAST(sum(CAST(1 AS BIGINT) << CAST(29 - age_bucket AS INT))
+        |             AS BIGINT) AS decayed_scaled,
+        |        CAST(count(*) AS BIGINT) AS n_events
+        |      FROM h WHERE age_bucket < 30 GROUP BY 1, 2),
+        |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY part
+        |          ORDER BY decayed_scaled DESC, entity) AS BIGINT) AS rank
+        |      FROM s)
+        |SELECT part, entity, decayed_scaled, n_events, rank
+        |FROM r WHERE rank <= 10 ORDER BY part, rank""".stripMargin,
 
     // ext79's weights recomputed (same cluster CTE chain), then the
     // ext39 weighted-draw replay with weight = weight_ppm.

@@ -259,6 +259,45 @@ class PipelineOpsSpec extends TestBase {
     assert(a.except(b).isEmpty && b.except(a).isEmpty && b.count() > 0)
   }
 
+  test("decay: power-of-two weights, histogram merge law, in-place " +
+      "shift == recompute at tref+H (ext133)") {
+    import spark.implicits._
+    import graft.ops.Decay
+    val H = 86400000000L
+    // Weights: ages 0, 1 and K-1 buckets → 2^29 + 2^28 + 1 exactly;
+    // an event K half-lives old contributes nothing.
+    val base = 1700000000000000L
+    val tiny = Seq(base, base - H, base - (Decay.AgeBuckets - 1) * H,
+        base - Decay.AgeBuckets.toLong * H)
+      .map(us => ("t", 1L, us)).toDF("et", "uid", "us")
+      .select($"et", $"uid", expr("timestamp_micros(us)").as("ts"))
+    val tinyScore = Decay.scoreFromHistogram(Decay.histogram(
+        tiny, Seq($"et", $"uid"), $"ts", lit(base), H))
+      .select("decayed_scaled", "n_events").as[(Long, Long)].collect()
+    assert(tinyScore.toSeq == Seq(((1L << 29) + (1L << 28) + 1L, 3L)))
+    // Real data: histogram of halves unioned + re-summed == one-shot
+    // (the shard/micro-batch merge law), and one in-place shift equals
+    // recomputing every event's age against tref advanced a half-life
+    // — including the oldest bucket expiring (30-day corpus, K = 30).
+    val ev = graft.ingest.Tables.events(spark, sf("sf0.001"))
+    val tref = ev.agg(max(unix_micros($"ts")).as("t"))
+      .as[Long].collect().head
+    def hist(df: org.apache.spark.sql.DataFrame, t: Long) =
+      Decay.histogram(df, Seq($"event_type", $"user_id"), $"ts", lit(t), H)
+    val whole = hist(ev, tref)
+    val merged = hist(ev.filter($"event_id" % 2 === 0), tref)
+      .union(hist(ev.filter($"event_id" % 2 === 1), tref))
+      .groupBy("g0", "g1", "age_bucket").agg(sum("cnt").as("cnt"))
+    assert(merged.except(whole).isEmpty && whole.except(merged).isEmpty)
+    val shifted = Decay.scoreFromHistogram(Decay.shift(whole))
+    val recomputed = Decay.scoreFromHistogram(hist(ev, tref + H))
+    assert(shifted.except(recomputed).isEmpty &&
+      recomputed.except(shifted).isEmpty && shifted.count() > 0)
+    // And the expiry edge is non-vacuous: the corpus really has events
+    // in the oldest bucket at tref.
+    assert(whole.filter($"age_bucket" === (Decay.AgeBuckets - 1)).count() > 0)
+  }
+
   test("interval join: [t-i, t) bounds, cross-bin matches, empty left") {
     import spark.implicits._
     val i = 100L // µs interval → bins of 100

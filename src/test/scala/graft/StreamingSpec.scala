@@ -1750,6 +1750,32 @@ class StreamingSpec extends TestBase {
       streamed.except(batch).isEmpty && batch.except(streamed).isEmpty)
   }
 
+  test("streaming HLL sketch == batch sketch (register-max merge " +
+      "safety, ext132 twin)") {
+    // The HllAgg buffer is m=256 bytes per group regardless of stream
+    // length — legal unbounded-state-free streaming aggregation; the
+    // elementwise-max merge law means incremental micro-batch folds
+    // land on the SAME registers (hence the same exact-int64 scaled
+    // harmonic sum) as the one-shot batch build.
+    val src = StreamingPipeline.eventStream(spark,
+      sf("sf0.001") + "/events.parquet")
+      .groupBy(col("event_type").as("entity"))
+      .agg(graft.ops.Sketches.hllSummary(col("user_id")).as("s"))
+      .select(col("entity"), col("s.vZero").as("v_zero"),
+        col("s.harmonicScaled").as("harmonic_scaled"))
+    val q = src.writeStream.outputMode("complete").format("memory")
+      .queryName("hll_stream").start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("hll_stream")
+    val batch = graft.ops.Sketches
+      .hllDistinctAgg(Tables.events(spark, sf("sf0.001")),
+        col("event_type"), col("user_id"))
+      .select("entity", "v_zero", "harmonic_scaled")
+    assert(streamed.count() > 0 &&
+      streamed.except(batch).isEmpty && batch.except(streamed).isEmpty)
+  }
+
   test("streaming interval join == batch interval join pairs (ext22 twin)") {
     val streamed = StreamingPipeline.recentClickJoinStream(
       StreamingPipeline.eventStream(spark, sf("sf0.001") + "/events.parquet"))
