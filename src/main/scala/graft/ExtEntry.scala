@@ -1948,6 +1948,19 @@ object ExtEntry {
           col("user_id"), col("ts"), 86400000000L, 10)
         .orderBy("part", "rank")),
 
+    // DSIR data selection (Xie et al. 2023): select the 100 raw docs
+    // whose hashed-unigram bags look most like the TARGET domain
+    // (lang = 'en'), by importance resampling with octave-quantized
+    // log-ratio weights — pure int64 arithmetic end to end, so the
+    // score AND the weighted draw replay bit-for-bit in the oracle
+    // (weights are powers of two, making the h/w priority division
+    // IEEE-exact, not merely portable).
+    "ext134_dsir_select" -> ((s, dir) =>
+      Sampling.dsirSelect(docs(s, dir), col("lang") === "en", 100)
+        .select("doc_id", "lang", "source", "dsir_log2w", "n_toks",
+          "rank")
+        .orderBy("rank")),
+
     // BPE merge-table LEARNING (Sennrich et al.): tokenizer vocabulary
     // induction as an iterative relational algorithm — one corpus pass
     // builds the word-frequency table, then every round iterates on
@@ -4680,6 +4693,50 @@ object ExtEntry {
         |      FROM s)
         |SELECT part, entity, decayed_scaled, n_events, rank
         |FROM r WHERE rank <= 10 ORDER BY part, rank""".stripMargin,
+
+    // The oracle rebuilds the hashed-bucket count vectors, the octave
+    // log-ratio table (bit-length idiom) and the per-doc integer score,
+    // then replays the power-of-two weighted draw — everything int64
+    // except the final h/2^e priority, which is IEEE-exact.
+    "ext134_dsir_select" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, is_target,
+         |         ${hashSql("'dsir:' || t")} % 256 AS b
+         |  FROM (SELECT doc_id, lang = 'en' AS is_target,
+         |               unnest(string_split(text, ' ')) AS t
+         |        FROM documents)),
+         |c AS (SELECT b,
+         |        CAST(sum(CASE WHEN is_target THEN 1 ELSE 0 END)
+         |             AS BIGINT) AS c_t,
+         |        CAST(count(*) AS BIGINT) AS c_r
+         |      FROM tok GROUP BY 1),
+         |tot AS (SELECT CAST(sum(c_t) AS BIGINT) AS n_t,
+         |               CAST(sum(c_r) AS BIGINT) AS n_r FROM c),
+         |lr AS (SELECT b,
+         |         CAST(length(bin(greatest(
+         |             (1000000 * (c_t + 1) * (n_r + 256))
+         |               // ((c_r + 1) * (n_t + 256)), 1))) AS BIGINT)
+         |           - 20 AS lr_oct
+         |       FROM c, tot),
+         |sc AS (SELECT doc_id, CAST(sum(lr_oct) AS BIGINT) AS dsir_log2w,
+         |              CAST(count(*) AS BIGINT) AS n_toks
+         |       FROM tok JOIN lr USING (b) GROUP BY 1),
+         |f AS (SELECT d.doc_id, d.lang, d.source,
+         |             coalesce(sc.dsir_log2w, 0) AS dsir_log2w,
+         |             coalesce(sc.n_toks, 0) AS n_toks
+         |      FROM documents d LEFT JOIN sc USING (doc_id)),
+         |p AS (SELECT *,
+         |        CAST(${hashSql("'dsir:' || CAST(doc_id AS VARCHAR)")}
+         |             AS DOUBLE)
+         |          / CAST(CAST(1 AS BIGINT)
+         |                 << CAST(greatest(least(dsir_log2w, 31), -31)
+         |                         + 31 AS INT) AS DOUBLE) AS pri
+         |      FROM f),
+         |r AS (SELECT doc_id, lang, source, dsir_log2w, n_toks,
+         |        CAST(row_number() OVER (ORDER BY pri, doc_id)
+         |             AS BIGINT) AS rank
+         |      FROM p)
+         |SELECT * FROM r WHERE rank <= 100 ORDER BY rank""".stripMargin,
 
     // ext79's weights recomputed (same cluster CTE chain), then the
     // ext39 weighted-draw replay with weight = weight_ppm.

@@ -309,4 +309,80 @@ object Sampling {
     acceptByRate(
       df.join(broadcast(temperatureRates(df, targetDocs, strata)), strata),
       id, salt)
+
+  // ---- DSIR: data selection via importance resampling ------------------
+
+  /** Hashed-feature buckets for [[dsirScores]]. */
+  val DsirBuckets = 256
+
+  /**
+   * DSIR importance scores (Xie et al., "Data Selection for Language
+   * Models via Importance Resampling", NeurIPS 2023): score every raw
+   * document by how much more likely its hashed-unigram bag is under
+   * the TARGET domain's distribution than under the raw corpus's —
+   * log w(d) = Σ_tokens [log p_target(b(tok)) − log p_raw(b(tok))] —
+   * then resample raw docs proportional to w. Selecting by w reshapes
+   * the kept corpus toward the target domain using only counts, no
+   * model.
+   *
+   * Engine-exact variant: the per-bucket log-ratio is quantized to
+   * OCTAVES — lr_oct[b] = floor(log₂ r̃[b]) with r̃ the Laplace-smoothed
+   * target/raw ratio in ppm, computed from pure int64 arithmetic
+   * (`length(bin(ratio_ppm)) − 20`, the ext56 bit-length idiom; 2^20 ≈
+   * 1.05e6 ppm ⇒ ratio 1 ↦ octave 0 with ~5% skew, uniform across all
+   * buckets so ranking is unaffected). A doc's score is then an int64
+   * sum of small integers — order-independent, mergeable, and replayed
+   * bit-for-bit by the oracle; the octave coarsening (≤1 bit per
+   * bucket) is the price of never summing engine-specific `ln`s.
+   *
+   * Scale shape: one token pass builds both count vectors (target
+   * rides a conditional sum on the same groupBy — at 100 TB this is
+   * the one corpus-wide shuffle, keyed by 256 buckets after map-side
+   * combine), the 256-row log-ratio table broadcasts, and scoring is a
+   * map-side broadcast-join + per-doc sum. Int64 headroom: the ppm
+   * ratio's numerator is 1e6·(c_t+1)·(N_r+B) — fine through ~10^12
+   * token corpora; past that, pre-divide both counts by a common 2^s
+   * (octaves are shift-invariant).
+   *
+   * Output: (doc_id, dsir_log2w, n_toks) — log₂ of the (octave-
+   * quantized) importance weight; docs with no tokens score 0.
+   */
+  def dsirScores(doc: DataFrame, targetPred: Column,
+      buckets: Int = DsirBuckets): DataFrame = {
+    val toks = doc
+      .select(col("doc_id"), targetPred.as("is_target"),
+        explode(split(col("text"), " ")).as("tok"))
+      .select(col("doc_id"), col("is_target"),
+        (Hashing.portableHash32(concat(lit("dsir:"), col("tok")))
+          % buckets).as("b"))
+    val counts = toks.groupBy("b").agg(
+      sum(when(col("is_target"), 1L).otherwise(0L)).as("c_t"),
+      count(lit(1)).as("c_r"))
+    val totals = counts.agg(sum("c_t").as("n_t"), sum("c_r").as("n_r"))
+    val lr = counts.crossJoin(broadcast(totals))
+      .select(col("b"),
+        (length(expr(s"bin(greatest((1000000 * (c_t + 1) * (n_r + $buckets))"
+          + s" DIV ((c_r + 1) * (n_t + $buckets)), 1))")).cast("long")
+          - 20L).as("lr_oct"))
+    val scored = toks.join(broadcast(lr), "b")
+      .groupBy("doc_id")
+      .agg(sum("lr_oct").as("dsir_log2w"), count(lit(1)).as("n_toks"))
+    doc.select(col("doc_id")).join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("dsir_log2w"), lit(0L)).as("dsir_log2w"),
+        coalesce(col("n_toks"), lit(0L)).as("n_toks"))
+  }
+
+  /** DSIR selection: [[weightedTopK]] with weight 2^clamp(score, ±31)
+    * — the importance draw (h/w priority) over octave weights. Every
+    * weight is a power of two, so the priority h·2^−e is EXACT in IEEE
+    * arithmetic: the draw is not merely portable but rounding-free. */
+  def dsirSelect(doc: DataFrame, targetPred: Column, k: Int,
+      buckets: Int = DsirBuckets, salt: String = "dsir"): DataFrame = {
+    val scoresOnly = dsirScores(doc, targetPred, buckets)
+    val w = expr("shiftleft(CAST(1 AS BIGINT), " +
+      "CAST(greatest(least(dsir_log2w, 31), -31) + 31 AS INT))")
+    weightedTopK(doc.join(scoresOnly, "doc_id"), Seq.empty,
+      col("doc_id"), w, k, salt)
+  }
 }

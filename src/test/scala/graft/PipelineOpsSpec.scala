@@ -259,6 +259,36 @@ class PipelineOpsSpec extends TestBase {
     assert(a.except(b).isEmpty && b.except(a).isEmpty && b.count() > 0)
   }
 
+  test("dsir: target-vocab docs outscore off-vocab, layout-stable, " +
+      "selection mass shifts toward high scores (ext134)") {
+    import spark.implicits._
+    // Target docs speak vocab {aa bb cc dd}, off-corpus docs {xx yy zz
+    // ww}; two raw candidates speak one vocab each. The candidate whose
+    // tokens the target distribution favors must outscore the other
+    // (its buckets carry higher target/raw octave ratios).
+    val docs = ((1 to 10).map(i => (i.toLong, "aa bb cc dd", true)) ++
+      (11 to 12).map(i => (i.toLong, "xx yy zz ww", false)) ++
+      Seq((100L, "aa bb aa bb", false), (101L, "xx yy xx yy", false)))
+      .toDF("doc_id", "text", "is_t")
+    val sc = Sampling.dsirScores(docs, $"is_t")
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> r._2).toMap
+    assert(sc(100L) > sc(101L))
+    // Scores are a pure function of the corpus — stable under layout.
+    val sc7 = Sampling.dsirScores(docs.repartition(7), $"is_t")
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> r._2).toMap
+    assert(sc7 == sc)
+    // Real corpus: the importance draw must shift selection mass toward
+    // high-scoring docs — mean selected score strictly above the corpus
+    // mean (weights span octaves, so the shift is far outside draw
+    // noise).
+    val real = graft.ingest.Tables.documents(spark, sf("sf0.001"))
+    val scores = Sampling.dsirScores(real, col("lang") === "en")
+    val corpusMean = scores.agg(avg("dsir_log2w")).as[Double].collect().head
+    val selMean = Sampling.dsirSelect(real, col("lang") === "en", 100)
+      .agg(avg("dsir_log2w")).as[Double].collect().head
+    assert(selMean > corpusMean)
+  }
+
   test("decay: power-of-two weights, histogram merge law, in-place " +
       "shift == recompute at tref+H (ext133)") {
     import spark.implicits._
