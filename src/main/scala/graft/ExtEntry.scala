@@ -1961,6 +1961,17 @@ object ExtEntry {
           "rank")
         .orderBy("rank")),
 
+    // EXACT Jaccard τ=0.8 similarity join via prefix filtering — the
+    // lossless counterpart of the LSH/capped candidate generators: the
+    // rarest-first prefix equi-join provably produces every τ-pair
+    // (pigeonhole), the PPJoin size filter prunes by |set| alone, and
+    // the emitted Jaccard is the TRUE one over full shingle sets
+    // (integer ppm). The oracle replays the same algorithm; the spec
+    // proves completeness against the naive all-pairs join.
+    "ext135_jaccard_prefix_join" -> ((s, dir) =>
+      Dedup.jaccardPrefixJoin(docs(s, dir))
+        .orderBy("id_a", "id_b")),
+
     // BPE merge-table LEARNING (Sennrich et al.): tokenizer vocabulary
     // induction as an iterative relational algorithm — one corpus pass
     // builds the word-frequency table, then every round iterates on
@@ -4737,6 +4748,44 @@ object ExtEntry {
          |             AS BIGINT) AS rank
          |      FROM p)
          |SELECT * FROM r WHERE rank <= 100 ORDER BY rank""".stripMargin,
+
+    // Prefix filtering replayed on the UNCAPPED distinct shingle
+    // relation (sh0 — losslessness is the point, no hot-shingle drop):
+    // rarest-first per-doc position, prefix length n − ceil(τn) + 1,
+    // size-filtered prefix equi-join, exact intersection, integer τ
+    // test — all int64.
+    "ext135_jaccard_prefix_join" ->
+      s"""$ShingleSql,
+         |dfreq AS (SELECT h, CAST(count(*) AS BIGINT) AS df
+         |          FROM sh0 GROUP BY 1),
+         |sized AS (
+         |  SELECT s.doc_id, s.h, d.df,
+         |         CAST(count(*) OVER (PARTITION BY s.doc_id) AS BIGINT)
+         |           AS n_sh,
+         |         CAST(row_number() OVER (PARTITION BY s.doc_id
+         |             ORDER BY d.df, s.h) AS BIGINT) AS pos
+         |  FROM sh0 s JOIN dfreq d USING (h)),
+         |pfx AS (SELECT doc_id, h, n_sh FROM sized
+         |        WHERE pos <= n_sh - ((4 * n_sh + 4) // 5) + 1),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         |         a.n_sh AS n_a, b.n_sh AS n_b
+         |  FROM pfx a JOIN pfx b ON a.h = b.h AND a.doc_id < b.doc_id
+         |  WHERE 5 * least(a.n_sh, b.n_sh)
+         |          >= 4 * greatest(a.n_sh, b.n_sh)),
+         |iv AS (
+         |  SELECT c.id_a, c.id_b, c.n_a, c.n_b,
+         |         CAST(count(*) AS BIGINT) AS n_inter
+         |  FROM cand c JOIN sh0 ta ON ta.doc_id = c.id_a
+         |              JOIN sh0 tb ON tb.doc_id = c.id_b
+         |                         AND tb.h = ta.h
+         |  GROUP BY 1, 2, 3, 4)
+         |SELECT id_a, id_b, n_a, n_b, n_inter,
+         |       (1000000 * n_inter) // (n_a + n_b - n_inter)
+         |         AS jaccard_ppm
+         |FROM iv
+         |WHERE 5 * n_inter >= 4 * (n_a + n_b - n_inter)
+         |ORDER BY id_a, id_b""".stripMargin,
 
     // ext79's weights recomputed (same cluster CTE chain), then the
     // ext39 weighted-draw replay with weight = weight_ppm.

@@ -258,6 +258,66 @@ object Dedup {
       text: String = "text", n: Int = 3): DataFrame =
     docShingleHashes(doc, id, text, n).distinct()
 
+  /**
+   * EXACT Jaccard τ-similarity join via prefix filtering (Chaudhuri et
+   * al. ICDE 2006; Bayardo et al. "Scaling up all pairs similarity
+   * search", WWW 2007) — the LOSSLESS counterpart of this family's
+   * candidate generators: [[minhashLsh]] misses pairs with small
+   * probability and [[ngramJaccard]]'s stop-shingle cap drops pairs
+   * that share only hot shingles, but the prefix filter provably loses
+   * NOTHING at the target threshold. Order every doc's shingle set by
+   * global rarity (df asc, h asc — any total order works; rarest-first
+   * minimizes candidates) and keep each doc's first
+   * p = |d| − ⌈τ·|d|⌉ + 1 shingles as its PREFIX: two sets with
+   * Jaccard ≥ τ overlap in ≥ ⌈τ·|d|⌉ elements, so by pigeonhole their
+   * prefixes must share at least one shingle — candidates = prefix
+   * equi-join, completeness guaranteed (spec-checked against the naive
+   * all-pairs join). τ = tauNum/tauDen kept rational so prefix lengths,
+   * the PPJoin size filter (τ·|larger| ≤ |smaller|) and the final
+   * τ-test are all integer-exact.
+   *
+   * Scale shape: the equi-join runs on the PREFIX relation — ~(1−τ) of
+   * the corpus's shingle mass, concentrated on rare shingles (median
+   * df = 1), so per-key fan-out stays tiny where [[ngramJaccard]]'s
+   * uncapped variant would quadratically explode on hot keys; the
+   * exact intersection count then touches only surviving candidate
+   * pairs. No cap, no sketch: every emitted pair carries its TRUE
+   * Jaccard over full shingle sets (ppm, integer DIV).
+   */
+  def jaccardPrefixJoin(doc: DataFrame, id: String = "doc_id",
+      text: String = "text", n: Int = 3, tauNum: Long = 4L,
+      tauDen: Long = 5L): DataFrame = {
+    val toks = Reuse.shared(distinctDocShingles(doc, id, text, n))
+    val dfreq = toks.groupBy("h").agg(count(lit(1)).as("df"))
+    val sized = toks.join(dfreq, "h")
+      .withColumn("n_sh", count(lit(1)).over(Window.partitionBy(id)))
+      .withColumn("pos", row_number().over(
+        Window.partitionBy(id).orderBy(col("df"), col("h"))))
+    val prefix = sized.filter(col("pos") <=
+      col("n_sh") - expr(s"($tauNum * n_sh + ${tauDen - 1}) DIV $tauDen")
+        + 1L)
+      .select(col(id), col("h"), col("n_sh"))
+    val cand = prefix.as("a").join(prefix.as("b"),
+        col("a.h") === col("b.h") &&
+          col(s"a.$id") < col(s"b.$id") &&
+          lit(tauDen) * least(col("a.n_sh"), col("b.n_sh")) >=
+            lit(tauNum) * greatest(col("a.n_sh"), col("b.n_sh")))
+      .select(col(s"a.$id").as("id_a"), col(s"b.$id").as("id_b"),
+        col("a.n_sh").as("n_a"), col("b.n_sh").as("n_b"))
+      .distinct()
+    cand
+      .join(toks.select(col(id).as("id_a"), col("h")), "id_a")
+      .join(toks.select(col(id).as("id_b"), col("h")), Seq("id_b", "h"))
+      .groupBy("id_a", "id_b", "n_a", "n_b")
+      .agg(count(lit(1)).as("n_inter"))
+      .filter(lit(tauDen) * col("n_inter") >=
+        lit(tauNum) * (col("n_a") + col("n_b") - col("n_inter")))
+      .select(col("id_a"), col("id_b"), col("n_a"), col("n_b"),
+        col("n_inter"),
+        expr("(1000000 * n_inter) DIV (n_a + n_b - n_inter)")
+          .as("jaccard_ppm"))
+  }
+
   /** [[benchmarkOverlap]] against a precomputed [[benchmarkShingles]]
     * set — the reusable probe: the corpus scan never shuffles for the
     * membership check (broadcast), only the two per-doc counts do. */

@@ -421,4 +421,44 @@ class DedupSpec extends TestBase {
     assert(!jac.contains((1L, 2L)))
     graft.ops.Reuse.freeAll(spark)
   }
+
+  test("prefix-filtered jaccard join: COMPLETE vs naive all-pairs at " +
+      "tau, boundary pair kept, below-tau dropped (ext135)") {
+    import spark.implicits._
+    // Boundary engineering on shingle SETS: doc 1 has shingles of
+    // "a1..a12" (10 shingles), doc 2 shares 9 of them plus one run of
+    // its own → J = 9/(10+11-9) = 0.75 < 0.8 dropped; doc 3 = doc 1
+    // verbatim → J = 1 kept. Doc 4 unrelated.
+    val docs = Seq(
+      (1L, (1 to 12).map(i => s"a$i").mkString(" ")),
+      (2L, ((1 to 11).map(i => s"a$i") ++ Seq("q1", "q2")).mkString(" ")),
+      (3L, (1 to 12).map(i => s"a$i").mkString(" ")),
+      (4L, (1 to 12).map(i => s"z$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val got = Dedup.jaccardPrefixJoin(docs)
+      .select("id_a", "id_b", "jaccard_ppm")
+      .as[(Long, Long, Long)].collect().toSeq.sorted
+    assert(got == Seq((1L, 3L, 1000000L)))
+    // Completeness law on the real corpus: the prefix join emits
+    // EXACTLY the pairs the naive all-pairs exact-Jaccard join finds at
+    // tau — nothing lost (the pigeonhole guarantee), nothing extra.
+    val real = graft.ingest.Tables.documents(spark, sf("sf0.001"))
+    val toks = Dedup.distinctDocShingles(real)
+    val sizes = toks.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val naive = toks.as("x").join(toks.as("y"),
+        col("x.h") === col("y.h") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("ni"))
+      .join(sizes.select(col("doc_id").as("id_a"), col("n").as("na")),
+        "id_a")
+      .join(sizes.select(col("doc_id").as("id_b"), col("n").as("nb")),
+        "id_b")
+      .filter(lit(5L) * col("ni") >= lit(4L) * (col("na") + col("nb")
+        - col("ni")))
+      .select("id_a", "id_b")
+    val pref = Dedup.jaccardPrefixJoin(real).select("id_a", "id_b")
+    assert(pref.except(naive).isEmpty && naive.except(pref).isEmpty &&
+      pref.count() > 0)
+    graft.ops.Reuse.freeAll(spark)
+  }
 }
