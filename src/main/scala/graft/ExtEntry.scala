@@ -1972,6 +1972,14 @@ object ExtEntry {
       Dedup.jaccardPrefixJoin(docs(s, dir))
         .orderBy("id_a", "id_b")),
 
+    // Cohort retention: users grouped by first-seen week, per-week
+    // comeback counts as ppm of cohort size — the longitudinal
+    // analytics companion of the session/window family, integer-exact
+    // end to end (epoch-µs DIV week, counts, ppm DIV).
+    "ext136_cohort_retention" -> ((s, dir) =>
+      Windows.cohortRetention(Tables.events(s, dir), col("user_id"))
+        .orderBy("cohort_p", "p_offset")),
+
     // BPE merge-table LEARNING (Sennrich et al.): tokenizer vocabulary
     // induction as an iterative relational algorithm — one corpus pass
     // builds the word-frequency table, then every round iterates on
@@ -4786,6 +4794,24 @@ object ExtEntry {
          |FROM iv
          |WHERE 5 * n_inter >= 4 * (n_a + n_b - n_inter)
          |ORDER BY id_a, id_b""".stripMargin,
+
+    // Same integer period arithmetic: week = epoch_us // 7 days, cohort
+    // = min week per user over the distinct (user, week) matrix.
+    "ext136_cohort_retention" ->
+      """WITH pr AS (SELECT DISTINCT user_id AS uid,
+        |              epoch_us(ts) // 604800000000 AS p
+        |            FROM events),
+        |f AS (SELECT uid, min(p) AS cohort_p FROM pr GROUP BY 1),
+        |cs AS (SELECT cohort_p, CAST(count(*) AS BIGINT) AS cohort_users
+        |       FROM f GROUP BY 1),
+        |m AS (SELECT f.cohort_p, pr.p - f.cohort_p AS p_offset,
+        |        CAST(count(*) AS BIGINT) AS active_users
+        |      FROM pr JOIN f USING (uid) GROUP BY 1, 2)
+        |SELECT m.cohort_p, m.p_offset, m.active_users, cs.cohort_users,
+        |       (1000000 * m.active_users) // cs.cohort_users
+        |         AS retention_ppm
+        |FROM m JOIN cs USING (cohort_p)
+        |ORDER BY cohort_p, p_offset""".stripMargin,
 
     // ext79's weights recomputed (same cluster CTE chain), then the
     // ext39 weighted-draw replay with weight = weight_ppm.

@@ -168,4 +168,39 @@ object Windows {
         unix_micros(col("session_window.start")).as("session_start_us"),
         unix_micros(col("session_window.end")).as("session_end_us"),
         col("n_events"), col("weight_sum"))
+
+  /**
+   * Cohort retention — the longitudinal member of the window family:
+   * group users by the period they FIRST appeared (their cohort), then
+   * for each (cohort, periods-since) cell count how many of them came
+   * back. Periods are whole `periodUs` slices of epoch time (integer
+   * DIV — engine-portable, no calendar arithmetic), retention is ppm
+   * of the cohort's size (integer DIV after the count, so cells are
+   * exact int64s).
+   *
+   * Scale shape: raw events collapse map-side into the distinct
+   * (user, period) activity matrix — the ONLY relation that ever
+   * shuffles, bounded by users × active periods, not event count; the
+   * first-seen min and the user-keyed join both run over that compact
+   * matrix, and cohort sizes (|cohorts| rows) broadcast back onto it.
+   * Raw events are touched exactly once.
+   */
+  def cohortRetention(events: DataFrame, user: Column, ts: String = "ts",
+      periodUs: Long = 7L * 86400000000L): DataFrame = {
+    val periods = events
+      .select(user.as("uid"),
+        expr(s"unix_micros(ts) DIV $periodUs").as("p"))
+      .distinct()
+    val first = periods.groupBy("uid").agg(min("p").as("cohort_p"))
+    val cohortSize = first.groupBy("cohort_p")
+      .agg(count(lit(1)).as("cohort_users"))
+    periods.join(first, "uid")
+      .groupBy(col("cohort_p"), (col("p") - col("cohort_p")).as("p_offset"))
+      .agg(count(lit(1)).as("active_users"))
+      .join(broadcast(cohortSize), "cohort_p")
+      .select(col("cohort_p"), col("p_offset"), col("active_users"),
+        col("cohort_users"),
+        expr("(1000000 * active_users) DIV cohort_users")
+          .as("retention_ppm"))
+  }
 }

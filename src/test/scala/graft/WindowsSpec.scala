@@ -57,4 +57,31 @@ class WindowsSpec extends TestBase {
       .agg(sum("cnt")).as[Long].collect()(0)
     assert(total == 500L * 10)
   }
+
+  test("cohort retention: churn, late cohorts, rejoin and ppm cells " +
+      "hand-checked (ext136)") {
+    import spark.implicits._
+    val week = 7L * 86400000000L
+    // Cohort week 0: users 1, 2, 3 (3 users). Week 1: user 1 and 2
+    // return (2/3); week 2: only user 1 (1/3) — user 3 REJOINS in week
+    // 3 with user 1 (2/3). Cohort week 1: user 4 alone, never returns.
+    // Duplicate events within a week must not double-count.
+    val ev = Seq(
+      (1L, 0L), (1L, 1L), (2L, 0L), (2L, 0L), (2L, 1L), (3L, 0L),
+      (1L, 2L), (1L, 3L), (3L, 3L), (4L, 1L), (4L, 1L))
+      .map { case (u, w) => (u, w * week + u * 1000L) }
+      .toDF("uid", "us")
+      .select($"uid".as("user_id"),
+        expr("timestamp_micros(us)").as("ts"))
+    val got = Windows.cohortRetention(ev, col("user_id"))
+      .select("cohort_p", "p_offset", "active_users", "cohort_users",
+        "retention_ppm")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq.sorted
+    assert(got == Seq(
+      (0L, 0L, 3L, 3L, 1000000L),
+      (0L, 1L, 2L, 3L, 666666L),
+      (0L, 2L, 1L, 3L, 333333L),
+      (0L, 3L, 2L, 3L, 666666L),
+      (1L, 0L, 1L, 1L, 1000000L)))
+  }
 }
