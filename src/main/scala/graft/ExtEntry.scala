@@ -1980,6 +1980,73 @@ object ExtEntry {
       Windows.cohortRetention(Tables.events(s, dir), col("user_id"))
         .orderBy("cohort_p", "p_offset")),
 
+    // Margin-based pair mining (Artetxe & Schwenk 2019 / CCMatrix):
+    // candidate pairs between the even-id and odd-id halves of the
+    // embedding corpus, kept on the ratio of pair cosine to the mean
+    // of BOTH endpoints' k-NN neighborhoods — the hub-robust criterion
+    // that raw-cosine thresholds (ext16) cannot express. Neighborhood
+    // means fold in rank order and the margin is floor-ppm'd, so the
+    // kept set is engine-portable.
+    "ext137_margin_mine" -> ((s, dir) => {
+      val e = embs(s, dir)
+      Similarity.marginMine(
+          e.filter(col("vec_id") % 2 === 0),
+          e.filter(col("vec_id") % 2 === 1))
+        .orderBy("a_id", "b_id")
+    }),
+
+    // Greedy k-center coreset (Gonzalez; CoreSet selection): k rounds
+    // of farthest-point selection over exact int64 squared-L2 — the
+    // diversity-maximizing counterpart of the density/dedup prunes
+    // (ext119/ext120 keep the TYPICAL, this keeps the SPREAD). Output
+    // doubles as the coverage-radius-vs-k curve.
+    "ext138_kcenter_coreset" -> ((s, dir) =>
+      Similarity.kCenterCoreset(embs(s, dir)).orderBy("sel_rank")),
+
+    // Ordered-step conversion funnel over the event stream: users
+    // progressing signup -> view -> click -> purchase, each step
+    // strictly after the previous and within 7 days of step 1;
+    // per-step conversion as exact ppm of the previous step and of
+    // the cohort entry. The sequential companion of ext136's
+    // longitudinal retention.
+    "ext139_funnel" -> ((s, dir) =>
+      Windows.funnel(Tables.events(s, dir), col("user_id"),
+        Seq("signup", "view", "click", "purchase")).orderBy("step")),
+
+    // Mass-balanced leakage-safe k-fold assignment off the stored
+    // dedup-cluster artifact: the heavy head (top-64 groups by char
+    // mass) dealt serpentine round 5 folds, the tail hashed — grouped
+    // k-fold where ext51's hash split is only
+    // proportional-in-expectation.
+    "ext140_balanced_folds" -> ((s, dir) =>
+      Splits.balancedFolds(docs(s, dir), dupClusters(s, dir), 5,
+          col("n_chars"))
+        .orderBy("doc_id")),
+
+    // Z-order (Morton) layout audit: events bucketed by the
+    // interleaved bits of (user_id, event day) vs a single-key sort at
+    // the same file granularity — per-bucket row counts and BOTH
+    // dimensions' grid spans, the min/max-footer pruning a layout
+    // optimizer actually buys. Pure integer projections (grid DIV,
+    // bit interleave), no global sort.
+    "ext142_zorder_layout" -> ((s, dir) =>
+      graft.ops.Layout.zOrderAudit(
+          Tables.events(s, dir)
+            .select(col("user_id"),
+              expr("unix_micros(ts) DIV 86400000000").as("day")),
+          col("user_id"), col("day"))
+        .orderBy("layout", "bucket")),
+
+    // Decayed trending on the ABSOLUTE epoch grid — the
+    // streaming-mergeable variant of ext133: bucket = ts DIV H needs
+    // no reference-clock agreement, so per-shard partial histograms
+    // merge by pure addition and "now" derives from the merged state
+    // (max bucket). Same exact-int64 power-of-two scoring.
+    "ext141_trending_aligned" -> ((s, dir) =>
+      Decay.trendingTopKAligned(Tables.events(s, dir), col("event_type"),
+          col("user_id"), col("ts"), 86400000000L, 10)
+        .orderBy("part", "rank")),
+
     // BPE merge-table LEARNING (Sennrich et al.): tokenizer vocabulary
     // induction as an iterative relational algorithm — one corpus pass
     // builds the word-frequency table, then every round iterates on
@@ -4713,6 +4780,62 @@ object ExtEntry {
         |SELECT part, entity, decayed_scaled, n_events, rank
         |FROM r WHERE rank <= 10 ORDER BY part, rank""".stripMargin,
 
+    // Same grid DIV + 32-term disjoint-bit Morton sum + top-bits
+    // bucketing, both layouts unioned off one cells CTE.
+    "ext142_zorder_layout" -> {
+      val bits = 16
+      val bucketBits = 4
+      def cell(v: String, lo: String, hi: String) =
+        s"CAST(CASE WHEN $hi = $lo THEN 0 ELSE " +
+          s"(($v - $lo) * ${(1L << bits) - 1}) // ($hi - $lo) END " +
+          "AS BIGINT)"
+      val morton = (0 until bits).flatMap(i => Seq(
+          s"(((c1 >> $i) & 1) << ${2 * i + 1})",
+          s"(((c2 >> $i) & 1) << ${2 * i})"))
+        .mkString(" + ")
+      s"""WITH v AS (SELECT user_id AS d1,
+         |             epoch_us(ts) // 86400000000 AS d2 FROM events),
+         |mm AS (SELECT min(d1) AS min1, max(d1) AS max1,
+         |              min(d2) AS min2, max(d2) AS max2 FROM v),
+         |cells AS (SELECT ${cell("d1", "min1", "max1")} AS c1,
+         |                 ${cell("d2", "min2", "max2")} AS c2
+         |          FROM v, mm),
+         |tagged AS (
+         |  SELECT 'zorder' AS layout,
+         |         CAST(($morton) >> ${2 * bits - bucketBits} AS BIGINT)
+         |           AS bucket, c1, c2
+         |  FROM cells
+         |  UNION ALL
+         |  SELECT 'd1sort' AS layout,
+         |         CAST(c1 >> ${bits - bucketBits} AS BIGINT) AS bucket,
+         |         c1, c2
+         |  FROM cells)
+         |SELECT layout, bucket, CAST(count(*) AS BIGINT) AS n_rows,
+         |       CAST(max(c1) - min(c1) AS BIGINT) AS d1_span,
+         |       CAST(max(c2) - min(c2) AS BIGINT) AS d2_span
+         |FROM tagged GROUP BY 1, 2
+         |ORDER BY layout, bucket""".stripMargin
+    },
+
+    // ext133's scoring with absolute-grid ages: tref is the max epoch
+    // bucket, age = bucket distance on the grid.
+    "ext141_trending_aligned" ->
+      """WITH tb AS (SELECT max(epoch_us(ts) // 86400000000) AS tref_b
+        |            FROM events),
+        |h AS (SELECT event_type AS part, user_id AS entity,
+        |        tref_b - (epoch_us(ts) // 86400000000) AS age_bucket
+        |      FROM events, tb),
+        |s AS (SELECT part, entity,
+        |        CAST(sum(CAST(1 AS BIGINT) << CAST(29 - age_bucket AS INT))
+        |             AS BIGINT) AS decayed_scaled,
+        |        CAST(count(*) AS BIGINT) AS n_events
+        |      FROM h WHERE age_bucket < 30 GROUP BY 1, 2),
+        |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY part
+        |          ORDER BY decayed_scaled DESC, entity) AS BIGINT) AS rank
+        |      FROM s)
+        |SELECT part, entity, decayed_scaled, n_events, rank
+        |FROM r WHERE rank <= 10 ORDER BY part, rank""".stripMargin,
+
     // The oracle rebuilds the hashed-bucket count vectors, the octave
     // log-ratio table (bit-length idiom) and the per-doc integer score,
     // then replays the power-of-two weighted draw — everything int64
@@ -4812,6 +4935,183 @@ object ExtEntry {
         |         AS retention_ppm
         |FROM m JOIN cs USING (cohort_p)
         |ORDER BY cohort_p, p_offset""".stripMargin,
+
+    // The same dots/rank/fold-mean/margin algebra over the parity
+    // split: forward and backward rankings off one scored relation,
+    // k-NN means as rank-pivoted left folds (the fold order IS the
+    // contract), floor-ppm margin, integer threshold.
+    "ext137_margin_mine" -> {
+      val k = graft.ops.Similarity.MarginK
+      val foldMean =
+        (1 to k).map(i => s"max(CASE WHEN rn = $i THEN cos END)")
+          .reduceLeft((a, b) => s"($a + $b)") + s" / $k.0"
+      s"""$QuantFlatSql,
+         |mdots AS (
+         |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+         |         CAST(SUM(a.qi * b.qi) AS BIGINT) AS dot
+         |  FROM flat a JOIN flat b ON a.i = b.i
+         |  WHERE a.vec_id % 2 = 0 AND b.vec_id % 2 = 1
+         |  GROUP BY 1, 2),
+         |msc AS (
+         |  SELECT a_id, b_id,
+         |         CAST(dot AS DOUBLE) /
+         |           sqrt(CAST(na.n2 AS DOUBLE) * CAST(nb.n2 AS DOUBLE))
+         |           AS cos
+         |  FROM mdots JOIN n2 na ON na.vec_id = a_id
+         |             JOIN n2 nb ON nb.vec_id = b_id),
+         |mf AS (SELECT *, row_number() OVER (
+         |         PARTITION BY a_id ORDER BY cos DESC, b_id) AS rn
+         |       FROM msc),
+         |mb AS (SELECT *, row_number() OVER (
+         |         PARTITION BY b_id ORDER BY cos DESC, a_id) AS rn
+         |       FROM msc),
+         |maa AS (SELECT a_id, $foldMean AS a_knn
+         |        FROM mf WHERE rn <= $k GROUP BY 1),
+         |mbb AS (SELECT b_id, $foldMean AS b_knn
+         |        FROM mb WHERE rn <= $k GROUP BY 1)
+         |SELECT mf.a_id, mf.b_id, CAST(mf.rn AS BIGINT) AS fwd_rank,
+         |       mf.cos,
+         |       CAST(floor(((mf.cos + mf.cos) / (maa.a_knn + mbb.b_knn))
+         |                  * 1000000.0) AS BIGINT) AS margin_ppm
+         |FROM mf JOIN maa USING (a_id) JOIN mbb USING (b_id)
+         |WHERE mf.rn <= $k
+         |  AND CAST(floor(((mf.cos + mf.cos) / (maa.a_knn + mbb.b_knn))
+         |                 * 1000000.0) AS BIGINT)
+         |      >= ${graft.ops.Similarity.MarginThresholdPpm}
+         |ORDER BY a_id, b_id""".stripMargin
+    },
+
+    // The same Gonzalez rounds unrolled: seed = (max n2, min id), each
+    // round distances-to-last-pick folded into a running min (same
+    // VALUE as the operator's min-over-set — exact ints), argmax with
+    // (mind DESC, vec_id) ties, already-selected excluded.
+    "ext138_kcenter_coreset" -> {
+      val k = graft.ops.Similarity.KCenterK
+      val blocks = new StringBuilder
+      blocks ++=
+        """s1 AS (SELECT vec_id, CAST(0 AS BIGINT) AS dist2
+          |       FROM n2 ORDER BY n2 DESC, vec_id LIMIT 1),
+          |""".stripMargin
+      for (r <- 2 to k) {
+        val prev = r - 1
+        val selUnion = (1 until r)
+          .map(i => s"SELECT vec_id FROM s$i").mkString(" UNION ALL ")
+        val mind =
+          if (r == 2) s"SELECT vec_id, dist AS mind FROM d$prev"
+          else
+            s"""SELECT m${prev - 1}.vec_id,
+               |        CASE WHEN d$prev.dist < m${prev - 1}.mind
+               |             THEN d$prev.dist ELSE m${prev - 1}.mind END
+               |          AS mind
+               |      FROM m${prev - 1}
+               |      JOIN d$prev USING (vec_id)""".stripMargin
+        blocks ++=
+          s"""d$prev AS (
+             |  SELECT f.vec_id,
+             |         CAST(na.n2 + nb.n2 - 2 * SUM(f.qi * g.qi) AS BIGINT)
+             |           AS dist
+             |  FROM flat f
+             |  JOIN flat g ON g.i = f.i
+             |       AND g.vec_id = (SELECT vec_id FROM s$prev)
+             |  JOIN n2 na ON na.vec_id = f.vec_id
+             |  JOIN n2 nb ON nb.vec_id = g.vec_id
+             |  GROUP BY f.vec_id, na.n2, nb.n2),
+             |m$prev AS ($mind),
+             |s$r AS (SELECT vec_id, mind AS dist2 FROM m$prev
+             |        WHERE vec_id NOT IN ($selUnion)
+             |        ORDER BY mind DESC, vec_id LIMIT 1),
+             |""".stripMargin
+      }
+      val rows = (1 to k)
+        .map(i =>
+          s"SELECT CAST($i AS BIGINT) AS sel_rank, vec_id, dist2 FROM s$i")
+        .mkString("\n      UNION ALL ")
+      s"""$QuantFlatSql,
+         |${blocks.toString.stripSuffix(",\n")}
+         |SELECT * FROM ($rows)
+         |ORDER BY sel_rank""".stripMargin
+    },
+
+    // The same min-ts step chain: each step joins the shrinking
+    // survivor relation, strictly-after + 7-day-horizon predicates on
+    // epoch-µs ints, ppm DIVs off a lag/first window over the 4-row
+    // summary.
+    "ext139_funnel" -> {
+      val steps = Seq("signup", "view", "click", "purchase")
+      val h = 7L * 86400000000L
+      val ctes = new StringBuilder
+      ctes ++=
+        s"""u1 AS (SELECT user_id AS uid, min(epoch_us(ts)) AS t1,
+           |         min(epoch_us(ts)) AS tp
+           |       FROM events WHERE event_type = '${steps.head}'
+           |       GROUP BY 1),
+           |""".stripMargin
+      for (i <- 2 to steps.size) {
+        ctes ++=
+          s"""u$i AS (SELECT e.user_id AS uid, u${i - 1}.t1,
+             |         min(epoch_us(e.ts)) AS tp
+             |       FROM events e JOIN u${i - 1} ON u${i - 1}.uid = e.user_id
+             |       WHERE e.event_type = '${steps(i - 1)}'
+             |         AND epoch_us(e.ts) > u${i - 1}.tp
+             |         AND epoch_us(e.ts) <= u${i - 1}.t1 + $h
+             |       GROUP BY 1, 2),
+             |""".stripMargin
+      }
+      val counts = steps.zipWithIndex.map { case (name, i) =>
+        s"""SELECT CAST(${i + 1} AS BIGINT) AS step, '$name' AS step_name,
+           |             CAST(count(*) AS BIGINT) AS users FROM u${i + 1}"""
+          .stripMargin
+      }.mkString("\n      UNION ALL ")
+      s"""WITH ${ctes.toString.stripSuffix(",\n")},
+         |c AS ($counts),
+         |w AS (SELECT *, lag(users) OVER (ORDER BY step) AS prev,
+         |        first_value(users) OVER (ORDER BY step
+         |          ROWS BETWEEN UNBOUNDED PRECEDING
+         |          AND UNBOUNDED FOLLOWING) AS frst
+         |      FROM c)
+         |SELECT step, step_name, users,
+         |       CASE WHEN prev IS NULL THEN 1000000
+         |            WHEN prev = 0 THEN 0
+         |            ELSE (1000000 * users) // prev END AS conv_prev_ppm,
+         |       CASE WHEN frst = 0 THEN 0
+         |            ELSE (1000000 * users) // frst END AS conv_first_ppm
+         |FROM w ORDER BY step""".stripMargin
+    },
+
+    // Same cluster CTE chain as ext130, then the head/serpentine/hash
+    // fold algebra: top-64 groups by (mass DESC, key) dealt
+    // boustrophedon over 5 folds, tail = portable hash of
+    // 'fold:<group>' mod 5.
+    "ext140_balanced_folds" -> {
+      val k = 5
+      val h = 64
+      s"""WITH RECURSIVE $clusterCtes,
+         |cl AS (SELECT id AS doc_id, min(label) AS cluster_id
+         |       FROM reach GROUP BY 1),
+         |g AS (SELECT d.doc_id,
+         |        COALESCE(cl.cluster_id, d.doc_id) AS group_key,
+         |        d.n_chars
+         |      FROM documents d LEFT JOIN cl USING (doc_id)),
+         |gm AS (SELECT group_key, CAST(SUM(n_chars) AS BIGINT) AS g_mass
+         |       FROM g GROUP BY 1),
+         |hd AS (SELECT group_key,
+         |         row_number() OVER (ORDER BY g_mass DESC, group_key)
+         |           AS r
+         |       FROM gm ORDER BY g_mass DESC, group_key LIMIT $h),
+         |hf AS (SELECT group_key AS h_key,
+         |         CAST(CASE WHEN (r - 1) % ${2 * k} < $k
+         |              THEN (r - 1) % ${2 * k}
+         |              ELSE ${2 * k - 1} - (r - 1) % ${2 * k} END
+         |           AS BIGINT) AS h_fold
+         |       FROM hd)
+         |SELECT g.doc_id, g.group_key,
+         |       COALESCE(hf.h_fold,
+         |         ${hashSql("'fold:' || CAST(g.group_key AS VARCHAR)")}
+         |           % $k) AS fold,
+         |       hf.h_key IS NOT NULL AS in_head
+         |FROM g LEFT JOIN hf ON hf.h_key = g.group_key
+         |ORDER BY g.doc_id""".stripMargin
+    },
 
     // ext79's weights recomputed (same cluster CTE chain), then the
     // ext39 weighted-draw replay with weight = weight_ppm.

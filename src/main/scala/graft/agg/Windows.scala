@@ -185,6 +185,63 @@ object Windows {
    * matrix, and cohort sizes (|cohorts| rows) broadcast back onto it.
    * Raw events are touched exactly once.
    */
+  /**
+   * Ordered-step conversion funnel — the sequential companion of
+   * [[cohortRetention]]: how many users progress through `steps` IN
+   * ORDER, each step strictly after the previous one and inside a
+   * `horizonUs` window from the user's step-1 time. Times are epoch-µs
+   * integers end to end (no calendar math); per-step conversion is ppm
+   * of the previous step and of step 1 (integer DIV — exact).
+   *
+   * Scale shape: each step is one type-filtered pass over events
+   * joined against the (user, t1, t_prev) survivor relation — the
+   * survivor side is bounded by |users| and SHRINKS monotonically per
+   * step, so it broadcasts; events are scanned once per step with the
+   * event-type predicate pushed to the parquet scan, and the per-user
+   * min collapses map-side. The final 4-row summary never shuffles
+   * anything bigger than |steps| rows.
+   */
+  def funnel(events: DataFrame, user: Column,
+      steps: Seq[String], horizonUs: Long = 7L * 86400000000L,
+      ts: String = "ts", eventType: String = "event_type"): DataFrame = {
+    require(steps.size >= 2, "a funnel needs at least two steps")
+    val tsUs = unix_micros(col(ts))
+    val first = events.filter(col(eventType) === steps.head)
+      .groupBy(user.as("uid"))
+      .agg(min(tsUs).as("t1"))
+      .withColumn("t_prev", col("t1"))
+    val survivors = steps.tail.foldLeft(List(first)) { (acc, step) =>
+      val prev = acc.head
+      val next = events.filter(col(eventType) === step)
+        .select(user.as("uid"), tsUs.as("t_ev"))
+        .join(broadcast(prev), "uid")
+        .filter(col("t_ev") > col("t_prev") &&
+          col("t_ev") <= col("t1") + lit(horizonUs))
+        .groupBy("uid", "t1")
+        .agg(min(col("t_ev")).as("t_prev"))
+      next :: acc
+    }.reverse
+    val counts = survivors.zip(steps).zipWithIndex.map {
+      case ((df, name), i) =>
+        df.agg(count(lit(1)).as("users"))
+          .select(lit(i + 1L).as("step"), lit(name).as("step_name"),
+            col("users"))
+    }.reduceLeft(_ union _)
+    counts
+      .withColumn("_first", first_value(col("users")).over(
+        Window.orderBy("step")
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .withColumn("_prev", lag(col("users"), 1).over(Window.orderBy("step")))
+      .select(col("step"), col("step_name"), col("users"),
+        when(col("_prev").isNull, lit(1000000L))
+          .when(col("_prev") === 0, lit(0L))
+          .otherwise(expr("(1000000 * users) DIV _prev"))
+          .as("conv_prev_ppm"),
+        when(col("_first") === 0, lit(0L))
+          .otherwise(expr("(1000000 * users) DIV _first"))
+          .as("conv_first_ppm"))
+  }
+
   def cohortRetention(events: DataFrame, user: Column, ts: String = "ts",
       periodUs: Long = 7L * 86400000000L): DataFrame = {
     val periods = events

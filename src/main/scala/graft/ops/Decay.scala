@@ -77,6 +77,57 @@ object Decay {
         sum("cnt").as("n_events"))
   }
 
+  /**
+   * Absolute-grid decay histogram — the STREAMING-MERGEABLE member of
+   * the family. [[histogram]] quantizes age as distance-from-tref, so
+   * two partials built under different reference clocks cannot merge
+   * (their bucket boundaries disagree unless the trefs differ by an
+   * exact half-life multiple). Here buckets sit on the absolute epoch
+   * grid (`ts DIV halfLife`), so per-shard / per-micro-batch partial
+   * histograms merge by PURE ADDITION with no tref agreement at all,
+   * and the reference clock is derivable FROM the merged state
+   * (max bucket) — exactly how a production trending store keys its
+   * counters. Advancing the clock one half-life is [[shift]] on the
+   * derived ages, i.e. free.
+   */
+  def alignedHistogram(df: DataFrame, groupCols: Seq[Column], ts: Column,
+      halfLifeUs: Long): DataFrame = {
+    val named = groupCols.zipWithIndex.map { case (c, i) => c.as(s"g$i") }
+    val gNames = named.indices.map(i => col(s"g$i"))
+    df.select(named :+ unix_micros(ts).as("ts_us"): _*)
+      .select(gNames :+
+        expr(s"ts_us DIV $halfLifeUs").as("abs_bucket"): _*)
+      .groupBy(gNames :+ col("abs_bucket"): _*)
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Rank an [[alignedHistogram]] (possibly the sum of many partials):
+    * reference bucket = max over the state, age = distance on the
+    * absolute grid, then the same exact-int64 scoring and bounded rank
+    * as [[trendingTopK]]. */
+  def trendingFromAligned(hist: DataFrame, k: Int): DataFrame = {
+    val trefB = hist.agg(max("abs_bucket").as("tref_b"))
+    val aged = hist.crossJoin(broadcast(trefB))
+      .withColumn("age_bucket", col("tref_b") - col("abs_bucket"))
+      .filter(col("age_bucket") < AgeBuckets)
+      .drop("tref_b", "abs_bucket")
+    scoreFromHistogram(aged)
+      .withColumn("rank", row_number().over(Window.partitionBy("g0")
+        .orderBy(col("decayed_scaled").desc, col("g1"))))
+      .filter(col("rank") <= k)
+      .select(col("g0").as("part"), col("g1").as("entity"),
+        col("decayed_scaled"), col("n_events"), col("rank"))
+  }
+
+  /** [[trendingTopK]] under absolute-grid quantization — identical
+    * algebra, bucket boundaries anchored at the epoch instead of at
+    * tref (weights differ from the tref-anchored form by at most one
+    * half-life of quantization; the trade buys mergeability). */
+  def trendingTopKAligned(df: DataFrame, part: Column, entity: Column,
+      ts: Column, halfLifeUs: Long, k: Int): DataFrame =
+    trendingFromAligned(
+      alignedHistogram(df, Seq(part, entity), ts, halfLifeUs), k)
+
   /** Trending top-k: per `part` (e.g. event type), the k `entity`s
     * (e.g. users) with the highest decayed count, reference clock =
     * max(ts) over the input. Rank runs over the aggregated pair

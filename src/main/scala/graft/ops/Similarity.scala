@@ -1453,4 +1453,144 @@ object Similarity {
           .otherwise(expr("_err_sum DIV n_overlap")))
       .select("n_queries", "n_pairs", "n_overlap", "overlap_ppm", "mae_q9")
   }
+
+  /** Denominator neighborhood size of [[marginMine]] — the k of the
+    * ratio-margin criterion (Artetxe & Schwenk 2019 use k = 4; so does
+    * CCMatrix). Also the candidate fan-out per left-side vector. */
+  val MarginK = 4
+
+  /** Mined-pair acceptance threshold of [[marginMine]] in ppm:
+    * margin ≥ 1.02 keeps pairs whose cosine beats the average of both
+    * endpoints' neighborhoods by ≥ 2% — pairs that merely sit in a
+    * dense hub region score ≈ 1 and are dropped. The comparison runs
+    * on floor(margin·10⁶) int64 so the cut is engine-portable (no
+    * double-literal threshold to round differently). */
+  val MarginThresholdPpm = 1020000L
+
+  /**
+   * Margin-based pair mining between two embedded corpora (Artetxe &
+   * Schwenk, ACL 2019; the CCMatrix bitext-mining criterion): a
+   * candidate pair (a, b) is kept not on raw cosine — which hub
+   * vectors inflate for *every* partner — but on the RATIO of its
+   * cosine to the mean cosine of each endpoint's own k-nearest
+   * neighborhood on the other side:
+   *
+   *   margin(a, b) = 2·cos(a, b) / (knnAvg_k(a→B) + knnAvg_k(b→A))
+   *
+   * Candidates are a's forward top-k in B; a pair survives when
+   * floor(margin·10⁶) ≥ `minMarginPpm`. Output one row per surviving
+   * pair: (a_id, b_id, fwd_rank, cos, margin_ppm).
+   *
+   * Determinism: cosines are the [[Similarity]] contract (exact int64
+   * dots, fixed IEEE division); the k-NN mean is summed in RANK order
+   * via a left fold over the pivoted rank columns — never a float SUM
+   * whose order the engine picks — and the margin is floor-quantized
+   * to int64 ppm before the threshold compare, so both the kept SET
+   * and every emitted value are bit-identical across engines. Sides
+   * need ≥ k vectors each (fewer leaves the fold NULL and the pair is
+   * dropped — mining against a corpus smaller than the neighborhood
+   * is ill-posed).
+   *
+   * Scale shape: the smaller side broadcasts; the |A|×|B| scored
+   * relation never materializes beyond the two rank shuffles, each
+   * pre-pruned to k rows per partition per map task by
+   * WindowGroupLimit; the two neighborhood-mean relations are |A| and
+   * |B| rows and broadcast back onto the k·|A| candidate set. At
+   * 100 TB neither side broadcasts — swap the exact crossJoin
+   * candidate generator for [[ivfTopK]]/[[ivfPqSearch]] per side (the
+   * margin algebra is unchanged; recall is priced by ext57/ext118's
+   * audits), exactly how CCMatrix runs FAISS-approximate kNN under
+   * the same margin.
+   */
+  /** Selection size of [[kCenterCoreset]]'s registry query — small by
+    * design: the oracle unrolls one CTE block per round. */
+  val KCenterK = 6
+
+  /**
+   * Greedy k-center coreset selection (Gonzalez 1985; the
+   * facility-location "diverse subset" selector of active-learning /
+   * data-pruning pipelines, e.g. CoreSet, Sener & Savarese 2018):
+   * seed with the max-norm vector, then k−1 rounds of "pick the point
+   * farthest from everything selected so far". The greedy prefix is a
+   * 2-approximation of the optimal k-center cover, and each selected
+   * point's `dist2` — its squared L2 distance to the previously
+   * selected set — is exactly the covering radius of the prefix before
+   * it (so the OUTPUT doubles as the coverage-vs-k curve).
+   *
+   * Determinism: distances are exact int64 (n2a + n2b − 2·qdot over
+   * quantized vectors); argmax ties break by min id; the seed is
+   * (max n2, min id). Every round is reproducible arithmetic — the
+   * DuckDB oracle unrolls the same rounds.
+   *
+   * Scale shape: the classic distributed Gonzalez — each round is ONE
+   * map-only corpus pass (the ≤k selected vectors ride the closure as
+   * literals; min-distance is a fixed fold of codegen'd integer dot
+   * products) topped by a TakeOrdered argmax of exactly one row. Total
+   * cost k scans, k·|corpus| distance evaluations, driver state k
+   * vectors — no shuffle anywhere. At 100 TB you'd carry the running
+   * min-distance column between rounds (one persisted int64 per row)
+   * instead of refolding all k dots; the selection it computes is
+   * identical (min over a set, order-free), so this implementation
+   * states the semantics for both.
+   */
+  def kCenterCoreset(emb: DataFrame, k: Int = KCenterK,
+      id: String = "vec_id", vec: String = "embedding"): DataFrame = {
+    require(k >= 1, "k-center needs k >= 1")
+    val spark = emb.sparkSession
+    val p = prepared(emb, id, vec).toDF("id", "q", "n2")
+    val seed = p.orderBy(col("n2").desc, col("id").asc).head()
+    // (rank, id, vector, n2, dist2-to-previous-set)
+    var sel = List((1L, seed.getLong(0),
+      seed.getSeq[Long](1).toArray, seed.getLong(2), 0L))
+    for (r <- 2 to k) {
+      val minDist = sel
+        .map { case (_, _, sq, sn2, _) =>
+          col("n2") + lit(sn2) - lit(2L) * qdot(col("q"), typedLit(sq.toSeq))
+        }
+        .reduceLeft((a, b) => least(a, b))
+      val chosen = p.filter(!col("id").isin(sel.map(_._2): _*))
+        .withColumn("mind", minDist)
+        .orderBy(col("mind").desc, col("id").asc)
+        .head()
+      sel = (r.toLong, chosen.getLong(0), chosen.getSeq[Long](1).toArray,
+        chosen.getLong(2), chosen.getLong(3)) :: sel
+    }
+    import spark.implicits._
+    sel.reverse.map(s => (s._1, s._2, s._5))
+      .toDF("sel_rank", "vec_id", "dist2")
+  }
+
+  def marginMine(embA: DataFrame, embB: DataFrame, k: Int = MarginK,
+      minMarginPpm: Long = MarginThresholdPpm, id: String = "vec_id",
+      vec: String = "embedding"): DataFrame = {
+    val a = prepared(embA, id, vec).toDF("a_id", "a_q", "a_n2")
+    val b = prepared(embB, id, vec).toDF("b_id", "b_q", "b_n2")
+    val scored = a.crossJoin(broadcast(b))
+      .select(col("a_id"), col("b_id"),
+        cosine(qdot(col("a_q"), col("b_q")), col("a_n2"), col("b_n2"))
+          .as("cos"))
+    val wFwd = Window.partitionBy("a_id")
+      .orderBy(col("cos").desc, col("b_id").asc)
+    val wBwd = Window.partitionBy("b_id")
+      .orderBy(col("cos").desc, col("a_id").asc)
+    val fwd = scored.withColumn("rn", row_number().over(wFwd))
+      .filter(col("rn") <= k)
+    val bwd = scored.withColumn("rn", row_number().over(wBwd))
+      .filter(col("rn") <= k)
+    // Rank-ordered left-fold mean: ((c1+c2)+…+ck)/k, ci = the cosine at
+    // rank i. The fold order is part of the cross-engine contract.
+    def knnAvg = (1 to k)
+      .map(i => max(when(col("rn") === i, col("cos"))))
+      .reduceLeft(_ + _) / k.toDouble
+    val aAvg = fwd.groupBy("a_id").agg(knnAvg.as("a_knn"))
+    val bAvg = bwd.groupBy("b_id").agg(knnAvg.as("b_knn"))
+    fwd.join(broadcast(aAvg), "a_id").join(broadcast(bAvg), "b_id")
+      .withColumn("margin_ppm",
+        floor((col("cos") + col("cos")) / (col("a_knn") + col("b_knn"))
+          * lit(1000000.0)).cast("long"))
+      .filter(col("margin_ppm") >= minMarginPpm)
+      .select(col("a_id"), col("b_id"),
+        col("rn").cast("long").as("fwd_rank"), col("cos"),
+        col("margin_ppm"))
+  }
 }

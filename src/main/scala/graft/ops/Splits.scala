@@ -90,6 +90,59 @@ object Splits {
    * on the write path; nShards bounds the parallelism of the final
    * write, not any intermediate state. No global ordering anywhere.
    */
+  /**
+   * Mass-balanced leakage-safe k-fold assignment (grouped k-fold) —
+   * the cross-validation / held-out-eval builder: every near-dup group
+   * lands wholly in ONE fold (no pair straddles folds), and fold
+   * MASSES are balanced rather than merely proportional-in-expectation
+   * the way [[assign]]'s hash buckets are.
+   *
+   * Exact mass balance needs a total order over groups — a non-starter
+   * at corpus scale. But fold imbalance is driven almost entirely by
+   * the heavy HEAD of the group-mass distribution: hashing balances
+   * the long tail to sampling noise, while ONE crawl-dup mega-cluster
+   * assigned by hash can skew a fold by percent. So the heaviest
+   * `headSize` groups — the only relation ever globally ordered,
+   * bounded by construction (TakeOrdered) — are dealt round the folds
+   * in serpentine (boustrophedon) order: ranks 1..k left-to-right,
+   * k+1..2k right-to-left, …, pairing heavy with light
+   * deterministically; every tail group hashes `salt:group_key` mod k
+   * (stable under appends — a tail group never migrates folds when new
+   * groups arrive; head membership is a corpus-snapshot property, like
+   * every stored artifact here).
+   *
+   * Scale shape: one map-side-combined groupBy for group masses, a
+   * TakeOrdered(headSize) head ranked within its own ≤headSize rows,
+   * a broadcast join of the head back onto docs, and a codegen'd hash
+   * projection for the rest. No global sort, no driver loop.
+   */
+  def balancedFolds(doc: DataFrame, clusters: DataFrame, k: Int,
+      mass: Column, headSize: Int = 64, id: String = "doc_id",
+      salt: String = "fold"): DataFrame = {
+    require(k >= 2, "need at least two folds")
+    val keyed = doc.join(clusters, Seq(id), "left")
+      .withColumn("group_key", coalesce(col("cluster_id"), col(id)))
+      .drop("cluster_id")
+    val head = keyed.groupBy("group_key")
+      .agg(sum(mass).as("g_mass"))
+      .orderBy(col("g_mass").desc, col("group_key").asc)
+      .limit(headSize)
+      .withColumn("r", row_number().over(
+        Window.orderBy(col("g_mass").desc, col("group_key").asc)))
+      .withColumn("i", (col("r") - 1) % (2 * k))
+      .select(col("group_key").as("h_key"),
+        when(col("i") < k, col("i"))
+          .otherwise(lit(2L * k - 1) - col("i"))
+          .cast("long").as("h_fold"))
+    keyed.join(broadcast(head), col("group_key") === col("h_key"), "left")
+      .withColumn("fold", coalesce(col("h_fold"),
+        Hashing.portableHash32(
+          concat(lit(salt + ":"), col("group_key").cast("string")))
+          % lit(k.toLong)))
+      .withColumn("in_head", col("h_key").isNotNull)
+      .select(col(id), col("group_key"), col("fold"), col("in_head"))
+  }
+
   def shardAssign(df: DataFrame, id: Column, nShards: Int,
       salt: String = "shard"): DataFrame = {
     require(nShards > 0, "nShards must be positive")

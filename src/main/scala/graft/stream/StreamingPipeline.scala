@@ -645,6 +645,87 @@ object StreamingPipeline {
       "r_ts < l_ts"))
   }
 
+  /**
+   * Streaming twin of [[graft.agg.Windows.funnel]] (ext139): each
+   * micro-batch folds the funnel-relevant events into a compact
+   * per-user event state snapshot, and [[funnelFromState]] derives the
+   * summary by running the BATCH operator over the state — so the
+   * streamed funnel equals the batch one at ANY batching.
+   *
+   * The state is NOT the per-user "current step" of naive streaming
+   * funnels (which breaks under out-of-order arrival: a late step-1
+   * event can re-time the whole chain). It is the minimal event
+   * relation the batch chain can still be affected by, with a provable
+   * eviction rule: t1(u) — the step-1 min — only DECREASES as events
+   * arrive, so any funnel-type event with `ts > current t1(u) +
+   * horizon` is dead forever and is dropped; events at or below that
+   * line survive (a later-arriving earlier step-1 event can
+   * re-validate them), as do events of users with no step-1 yet.
+   * Re-delivered events dedupe by event_id (idempotent). State is
+   * therefore bounded by the horizon-windowed funnel-type event mass —
+   * the same relation the batch operator's joins touch — NOT by stream
+   * history; each batch writes a full snapshot under `snap=<batchId>`
+   * and reads its predecessor (crash replay of a batchId reproduces
+   * the same snapshot).
+   */
+  def funnelStateSink(events: DataFrame, steps: Seq[String],
+      statePath: String, horizonUs: Long = 7L * 86400000000L)
+      : DataStreamWriter[org.apache.spark.sql.Row] =
+    events.writeStream.outputMode("append").foreachBatch {
+      (batch: DataFrame, batchId: Long) =>
+        processFunnelBatch(batch, batchId, steps, statePath, horizonUs)
+    }
+
+  /** One micro-batch of [[funnelStateSink]] — exposed for the replay
+    * contract (same batchId ⇒ byte-identical snapshot, because the
+    * predecessor read excludes the batch's own output). */
+  def processFunnelBatch(batch: DataFrame, batchId: Long,
+      steps: Seq[String], statePath: String, horizonUs: Long): Unit = {
+    val spark = batch.sparkSession
+    val fresh = batch.filter(col("event_type").isin(steps: _*))
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("ts_us"))
+    val merged = latestFunnelSnap(spark, statePath, before = Some(batchId))
+      .map(_.unionByName(fresh)).getOrElse(fresh)
+      .dropDuplicates("event_id")
+    val t1 = merged.filter(col("event_type") === steps.head)
+      .groupBy("user_id").agg(min("ts_us").as("t1"))
+    merged.join(broadcast(t1), Seq("user_id"), "left")
+      .filter(col("t1").isNull ||
+        col("ts_us") <= col("t1") + lit(horizonUs))
+      .select("event_id", "user_id", "event_type", "ts_us")
+      .write.mode("overwrite").parquet(f"$statePath/snap=$batchId%09d")
+  }
+
+  private def latestFunnelSnap(spark: SparkSession, statePath: String,
+      before: Option[Long]): Option[DataFrame] = {
+    val root = new org.apache.hadoop.fs.Path(statePath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return None
+    val snaps = Option(fs.listStatus(root)).getOrElse(Array.empty)
+      .filter(_.isDirectory)
+      .map(_.getPath.getName)
+      .collect { case n if n.startsWith("snap=") =>
+        n.stripPrefix("snap=").toLong }
+      .filter(id => before.forall(id < _))
+    if (snaps.isEmpty) None
+    else Some(spark.read.parquet(
+      f"$statePath/snap=${snaps.max}%09d"))
+  }
+
+  /** The derivation side of [[funnelStateSink]]: the batch funnel over
+    * the latest state snapshot. */
+  def funnelFromState(spark: SparkSession, statePath: String,
+      steps: Seq[String],
+      horizonUs: Long = 7L * 86400000000L): DataFrame =
+    graft.agg.Windows.funnel(
+      latestFunnelSnap(spark, statePath, before = None)
+        .getOrElse(throw new IllegalStateException(
+          s"no funnel state snapshots under $statePath"))
+        .select(col("user_id"), col("event_type"),
+          expr("timestamp_micros(ts_us)").as("ts")),
+      col("user_id"), steps, horizonUs)
+
   /** Shared shape of the r7 algebraic-partials twins (ext78/82/84):
     * each micro-batch writes its own tiny COMMUTATIVE partial relation
     * batch-keyed (idempotent replay, the [[cardPartialsSink]]
@@ -731,6 +812,31 @@ object StreamingPipeline {
     * mergeable-sketch property, same lifecycle as the ext78/82/84
     * partials. Estimates ([[graft.ops.Sketches.countMinEstimates]])
     * read the folded table on demand. */
+  /** Streaming twin of decayed trending (ext141, the aligned-grid
+    * form): each micro-batch writes its absolute-grid decay histogram
+    * — buckets on the epoch grid need NO reference-clock agreement, so
+    * partials merge by pure addition ([[graft.ops.Decay
+    * .alignedHistogram]]'s design property; the tref-anchored ext133
+    * form is deliberately NOT streamable this way). State per entity ≤
+    * one int64 per touched half-life bucket. */
+  def trendingPartialsSink(events: DataFrame, part: Column,
+      entity: Column, ts: Column, halfLifeUs: Long,
+      outPath: String): DataStreamWriter[org.apache.spark.sql.Row] =
+    partialsSink(events,
+      graft.ops.Decay.alignedHistogram(_, Seq(part, entity), ts,
+        halfLifeUs), outPath)
+
+  /** The derivation side of [[trendingPartialsSink]]: re-sum the
+    * partial histograms (duplicate (g, bucket) keys across batches sum
+    * BEFORE any scoring) and rank; the reference clock derives from
+    * the merged state's max bucket. */
+  def trendingFromState(spark: SparkSession, outPath: String,
+      k: Int): DataFrame =
+    graft.ops.Decay.trendingFromAligned(
+      spark.read.parquet(outPath).drop("batch")
+        .groupBy("g0", "g1", "abs_bucket")
+        .agg(sum("cnt").as("cnt")), k)
+
   def countMinPartialsSink(docs: DataFrame,
       outPath: String): DataStreamWriter[org.apache.spark.sql.Row] =
     partialsSink(docs, graft.ops.Sketches.countMinCounters(_), outPath)

@@ -61,6 +61,53 @@ class PipelineOpsSpec extends TestBase {
     graft.ops.Reuse.freeAll(spark)
   }
 
+  test("balanced folds: groups never straddle folds, head is dealt " +
+      "serpentine by mass rank, tail matches the hash draw (ext140)") {
+    import spark.implicits._
+    val k = 3
+    val headSize = 7
+    // 40 docs; docs 2i/2i+1 for i<5 pair into clusters of mass
+    // (2000−4i)+(2000−4i−2); the rest are singletons with descending
+    // masses — so group masses (and the serpentine ranking) are known.
+    val docs = (0 until 40)
+      .map(i => (i.toLong, 2000L - 2 * i)).toDF("doc_id", "n_chars")
+    val clusters = (0 until 5)
+      .flatMap(i => Seq((2L * i, 2L * i), (2L * i + 1, 2L * i)))
+      .toDF("doc_id", "cluster_id")
+    val got = Splits.balancedFolds(docs, clusters, k,
+        col("n_chars"), headSize)
+      .as[(Long, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+
+    // (a) leakage-safety: paired docs share group AND fold
+    (0 until 5).foreach { i =>
+      assert(got(2L * i)._2 == got(2L * i + 1)._2 &&
+        got(2L * i)._3 == got(2L * i + 1)._3)
+    }
+    // (b) head = the 7 heaviest groups: the 5 clusters (mass ≈ 4k)
+    //     then singletons 10, 11; serpentine folds 0,1,2,2,1,0,0
+    val headGroups = Seq(0L, 2L, 4L, 6L, 8L, 10L, 11L)
+    val serpentine = Seq(0L, 1L, 2L, 2L, 1L, 0L, 0L)
+    headGroups.zip(serpentine).foreach { case (gk, f) =>
+      val doc = got.values.find(_._2 == gk).get
+      assert(doc._4, s"group $gk expected in head")
+      assert(got.values.filter(_._2 == gk).forall(_._3 == f),
+        s"group $gk expected fold $f, got " +
+          got.values.filter(_._2 == gk).map(_._3).toSet)
+    }
+    // (c) every tail doc matches the portable hash draw and is
+    //     flagged out-of-head
+    val tail = got.values.filter(!_._4).toSeq
+    assert(tail.nonEmpty)
+    tail.foreach { case (_, gk, fold, _) =>
+      assert(!headGroups.contains(gk))
+      assert(fold ==
+        ((graft.ops.Hashing.portableHash32Local(s"fold:$gk") %
+          k) + k) % k)
+    }
+    graft.ops.Reuse.freeAll(spark)
+  }
+
   test("shard assign: stable shard, dense reproducible within-shard " +
       "sequence (ext52)") {
     import spark.implicits._
@@ -326,6 +373,92 @@ class PipelineOpsSpec extends TestBase {
     // And the expiry edge is non-vacuous: the corpus really has events
     // in the oldest bucket at tref.
     assert(whole.filter($"age_bucket" === (Decay.AgeBuckets - 1)).count() > 0)
+  }
+
+  test("aligned decay: == tref-anchored form on grid-aligned data, " +
+      "differs off-grid, addition merge law (ext141)") {
+    import spark.implicits._
+    import graft.ops.Decay
+    val H = 86400000000L
+    // Grid-aligned timestamps (exact multiples of H): (tref−ts) DIV H
+    // == trefB − tsB, so both quantizations agree bucket-for-bucket.
+    val aligned = Seq(0L, 1L, 1L, 3L, 29L, 30L)
+      .map(b => ("t", 1L + b % 2, 1700006400000000L - b * H))
+      .toDF("et", "uid", "us")
+      .select($"et", $"uid", expr("timestamp_micros(us)").as("ts"))
+    val a = Decay.trendingTopKAligned(
+      aligned, $"et", $"uid", $"ts", H, 10)
+    val t = Decay.trendingTopK(aligned, $"et", $"uid", $"ts", H, 10)
+    assert(a.except(t).isEmpty && t.except(a).isEmpty && a.count() > 0)
+    // Off-grid: two events half a bucket apart that STRADDLE a grid
+    // boundary — tref-anchored puts both at age 0, the absolute grid
+    // ages the earlier one to 1. The distinction is non-vacuous.
+    val off = Seq(1700006400000000L + H / 4,
+        1700006400000000L + H / 4 - H / 2)
+      .map(us => ("t", 1L, us))
+      .toDF("et", "uid", "us")
+      .select($"et", $"uid", expr("timestamp_micros(us)").as("ts"))
+    val aOff = Decay.trendingTopKAligned(off, $"et", $"uid", $"ts", H, 10)
+      .select("decayed_scaled").as[Long].collect().toSeq
+    val tOff = Decay.trendingTopK(off, $"et", $"uid", $"ts", H, 10)
+      .select("decayed_scaled").as[Long].collect().toSeq
+    assert(aOff != tOff,
+      "aligned and tref-anchored agreed off-grid — law is vacuous")
+    // Merge law on real data: partial aligned histograms of the two
+    // halves sum to the one-shot histogram (NO tref agreement needed —
+    // the property histogram() cannot have across different trefs).
+    val ev = graft.ingest.Tables.events(spark, sf("sf0.001"))
+    def ah(df: org.apache.spark.sql.DataFrame) =
+      Decay.alignedHistogram(df, Seq($"event_type", $"user_id"), $"ts", H)
+    val whole = ah(ev)
+    val merged = ah(ev.filter($"event_id" % 2 === 0))
+      .union(ah(ev.filter($"event_id" % 2 === 1)))
+      .groupBy("g0", "g1", "abs_bucket").agg(sum("cnt").as("cnt"))
+    assert(merged.except(whole).isEmpty && whole.except(merged).isEmpty)
+    assert(Decay.trendingFromAligned(merged, 10)
+      .except(Decay.trendingFromAligned(whole, 10)).isEmpty)
+    graft.ops.Reuse.freeAll(spark)
+  }
+
+  test("z-order layout: morton interleave hand-checked; every z-bucket " +
+      "bounds BOTH dim spans, d1-sort leaves d2 unbounded (ext142)") {
+    import spark.implicits._
+    import graft.ops.Layout
+    // morton(0b101, 0b011) = d1 bits at odd positions (1<<1 + 1<<5)
+    // + d2 bits at even positions (1<<0 + 1<<2) = 2 + 32 + 1 + 4 = 39
+    val m = Seq((5L, 3L)).toDF("a", "b")
+      .select(Layout.morton(col("a"), col("b"), 16).as("z"))
+      .as[Long].head()
+    assert(m == 39L)
+
+    val bits = 16
+    val bucketBits = 4
+    val audit = Layout.zOrderAudit(
+        graft.ingest.Tables.events(spark, sf("sf0.001"))
+          .select(col("user_id"),
+            expr("unix_micros(ts) DIV 86400000000").as("day")),
+        col("user_id"), col("day"), bucketBits, bits)
+      .as[(String, Long, Long, Long, Long)].collect()
+    val (zb, db) = audit.partition(_._1 == "zorder")
+    assert(zb.nonEmpty && db.nonEmpty)
+    // row conservation: both layouts partition the same rows
+    assert(zb.map(_._3).sum == db.map(_._3).sum)
+    // bucketBits=4 constrains the top 2 bits of EACH dimension inside
+    // a z-bucket → both spans < 2^(bits−2); more than one z-bucket is
+    // actually populated (the bound is not vacuous)
+    val cap = 1L << (bits - bucketBits / 2)
+    assert(zb.length > 1)
+    assert(zb.forall(r => r._4 < cap && r._5 < cap),
+      s"z-bucket span exceeded ${cap}: ${zb.filterNot(r =>
+        r._4 < cap && r._5 < cap).toSeq}")
+    // the single-key layout bounds d1 the same way…
+    assert(db.forall(_._4 < cap))
+    // …but leaves some bucket's d2 span at (near-)full range — the
+    // pruning Z-order buys and d1-sort cannot
+    assert(db.exists(_._5 >= cap),
+      s"d1-sort d2 spans all under $cap — fixture can't distinguish " +
+        "layouts")
+    graft.ops.Reuse.freeAll(spark)
   }
 
   test("interval join: [t-i, t) bounds, cross-bin matches, empty left") {

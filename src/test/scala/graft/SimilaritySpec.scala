@@ -676,4 +676,76 @@ class SimilaritySpec extends TestBase {
       .as[(Long, Long, Long)].head()
     assert(one._1 == card._1 && one._2 == one._1 && one._3 == 1000000L)
   }
+
+  test("k-center coreset == driver replay of greedy farthest-point; " +
+      "radius curve non-increasing (ext138)") {
+    import spark.implicits._
+    val k = Similarity.KCenterK
+    val got = Similarity.kCenterCoreset(emb, k)
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(got.length == k && got.map(_._2).distinct.length == k)
+    // covering radius (= dist2 of the NEXT pick) never grows
+    val radii = got.drop(1).map(_._3)
+    assert(radii.nonEmpty && radii.forall(_ > 0L))
+    assert(radii.zip(radii.tail).forall { case (a, b) => b <= a })
+
+    // driver replay over the same quantized vectors
+    val vecs = emb.select(col("vec_id"),
+        Similarity.quantize(col("embedding")).as("q"))
+      .as[(Long, Seq[Long])].collect().toMap
+    def d2(a: Seq[Long], b: Seq[Long]) =
+      a.zip(b).map { case (x, y) => val d = x - y; d * d }.sum
+    val seed = vecs.keys.toSeq
+      .map(i => (i, vecs(i).map(v => v * v).sum))
+      .sortBy { case (i, n2) => (-n2, i) }.head._1
+    var sel = Vector((1L, seed, 0L))
+    while (sel.length < k) {
+      val chosen = vecs.keys.toSeq
+        .filterNot(sel.map(_._2).contains)
+        .map(i => (i, sel.map(s => d2(vecs(i), vecs(s._2))).min))
+        .sortBy { case (i, m) => (-m, i) }.head
+      sel = sel :+ ((sel.length + 1L, chosen._1, chosen._2))
+    }
+    assert(got.toVector == sel)
+  }
+
+  test("margin mining == brute-force recompute of the ratio margin; " +
+      "threshold is non-vacuous (ext137)") {
+    import spark.implicits._
+    val a = emb.filter(col("vec_id") % 2 === 0)
+    val b = emb.filter(col("vec_id") % 2 === 1)
+    val k = Similarity.MarginK
+    val got = Similarity.marginMine(a, b)
+      .select("a_id", "b_id", "fwd_rank", "margin_ppm")
+      .as[(Long, Long, Long, Long)].collect().toSet
+
+    // Independent path: both directions through bruteTopK, neighborhood
+    // means folded in rank order on the driver, same floor-ppm margin.
+    def knn(corpus: org.apache.spark.sql.DataFrame,
+        qs: org.apache.spark.sql.DataFrame) =
+      Similarity.bruteTopK(corpus, qs, k)
+        .as[(Long, Long, Long, Double)].collect()
+    val fwd = knn(b, a) // (q=a_id, t=b_id, rank, cos)
+    val bwd = knn(a, b)
+    def avgOf(rows: Array[(Long, Long, Long, Double)]) =
+      rows.groupBy(_._1).map { case (id, rs) =>
+        id -> rs.sortBy(_._3).map(_._4).reduceLeft(_ + _) / k.toDouble
+      }
+    val aKnn = avgOf(fwd)
+    val bKnn = avgOf(bwd)
+    val expected = fwd.map { case (aId, bId, rank, cos) =>
+      val ppm = math.floor(
+        (cos + cos) / (aKnn(aId) + bKnn(bId)) * 1000000.0).toLong
+      (aId, bId, rank, ppm)
+    }.filter(_._4 >= Similarity.MarginThresholdPpm).toSet
+    assert(got == expected)
+    // non-vacuous both ways: the threshold keeps some pairs and cuts
+    // some candidates (a trivial cut point would make the law empty)
+    assert(got.nonEmpty, "threshold kept nothing — law is vacuous")
+    assert(got.size < fwd.length,
+      "threshold cut nothing — margin filter is vacuous")
+    // every survivor is a forward top-k candidate of its left vector
+    val candidates = fwd.map(r => (r._1, r._2)).toSet
+    assert(got.forall(p => candidates((p._1, p._2))))
+  }
 }

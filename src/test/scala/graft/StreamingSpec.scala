@@ -1976,4 +1976,111 @@ class StreamingSpec extends TestBase {
       "streamed norm-audit fold differs from the batch card")
     graft.ops.Reuse.freeAll(spark)
   }
+
+  test("streaming trending partials == batch aligned trending at any " +
+      "batching (ext141 twin, addition-merged histogram state)") {
+    import spark.implicits._
+    val ev = graft.ingest.Tables.events(spark, sf("sf0.001"))
+      .select("event_id", "ts", "user_id", "event_type")
+    val batch = graft.ops.Decay.trendingTopKAligned(ev, col("event_type"),
+        col("user_id"), col("ts"), 86400000000L, 10)
+    for (filesPerTrigger <- Seq(1, 4)) {
+      val srcDir = Files.createTempDirectory("graft-trend-src")
+        .toString + "/d"
+      // four increments = four parquet files, split by event id
+      ev.withColumn("part", pmod(col("event_id"), lit(4)))
+        .repartition(4, col("part")).drop("part")
+        .write.parquet(srcDir)
+      val out = Files.createTempDirectory("graft-trend-out").toString
+      val ckpt = Files.createTempDirectory("graft-trend-ckpt").toString
+      val q = StreamingPipeline.trendingPartialsSink(
+        StreamingPipeline.parquetStream(spark, srcDir,
+          maxFilesPerTrigger = Some(filesPerTrigger)),
+        col("event_type"), col("user_id"), col("ts"), 86400000000L, out)
+        .option("checkpointLocation", ckpt).start()
+      q.processAllAvailable()
+      q.stop()
+      val streamed = StreamingPipeline.trendingFromState(spark, out, 10)
+      assert(streamed.count() == batch.count() && batch.count() > 0)
+      assert(streamed.except(batch).isEmpty &&
+        batch.except(streamed).isEmpty,
+        s"streamed trending @$filesPerTrigger/trigger differs from batch")
+    }
+    graft.ops.Reuse.freeAll(spark)
+  }
+
+  test("streaming funnel state == batch funnel at any batching; " +
+      "horizon eviction non-vacuous (ext139 twin)") {
+    import spark.implicits._
+    val hour = 3600000000L
+    val day = 24L * hour
+    val steps = Seq("A", "B", "C")
+    // Out-of-order across increments: u1's step-1 'A' arrives LAST —
+    // its earlier-ts B/C must be re-validated by the late t1 (the case
+    // that kills current-step streaming funnels). u2's B is past the
+    // horizon once its t1 is known — eviction must drop it from state.
+    // u3 converts in order. 'X' rows never enter funnel state.
+    val incs = Seq(
+      Seq((1L, 1L, "B", 2 * hour), (2L, 3L, "A", 0L),
+        (3L, 2L, "A", 0L), (4L, 1L, "X", hour)),
+      Seq((5L, 1L, "C", 3 * hour), (6L, 3L, "B", hour),
+        (7L, 2L, "B", 9 * day)),
+      Seq((8L, 1L, "A", hour), (9L, 3L, "C", 2 * hour)))
+    val all = incs.flatten
+    def toDf(rows: Seq[(Long, Long, String, Long)]) =
+      rows.toDF("event_id", "user_id", "event_type", "us")
+        .select($"event_id", $"user_id", $"event_type",
+          expr("timestamp_micros(us)").as("ts"))
+    val batchRef = graft.agg.Windows
+      .funnel(toDf(all), col("user_id"), steps)
+      .orderBy("step")
+      .as[(Long, String, Long, Long, Long)].collect().toSeq
+    // u1: A@1h, B@2h, C@3h converts fully (late A re-times the chain);
+    // u3 converts; u2 stalls at A (B beyond horizon).
+    assert(batchRef.map(r => (r._1, r._3)) == Seq((1L, 3L), (2L, 2L),
+      (3L, 2L)), s"fixture drifted: $batchRef")
+
+    for (filesPerTrigger <- Seq(1, 3)) {
+      val srcDir = Files.createTempDirectory("graft-funnel-src").toFile
+      val state = Files.createTempDirectory("graft-funnel-state")
+        .toString + "/s"
+      val ckpt = Files.createTempDirectory("graft-funnel-ckpt").toString
+      incs.zipWithIndex.foreach { case (rows, i) =>
+        val tmp = s"$srcDir/_stage$i"
+        toDf(rows).coalesce(1).write.parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        val dst = new java.io.File(srcDir, f"inc$i%02d.parquet")
+        Files.move(part.toPath, dst.toPath)
+        dst.setLastModified(1704067200000L + i * 60000L)
+        org.apache.commons.io.FileUtils.deleteDirectory(
+          new java.io.File(tmp))
+      }
+      val q = StreamingPipeline.funnelStateSink(
+        StreamingPipeline.parquetStream(spark, srcDir.toString,
+          maxFilesPerTrigger = Some(filesPerTrigger)),
+        steps, state)
+        .option("checkpointLocation", ckpt).start()
+      q.processAllAvailable()
+      q.stop()
+      val streamed = StreamingPipeline
+        .funnelFromState(spark, state, steps)
+        .orderBy("step")
+        .as[(Long, String, Long, Long, Long)].collect().toSeq
+      assert(streamed == batchRef,
+        s"streamed funnel @$filesPerTrigger/trigger differs: " +
+          s"$streamed vs $batchRef")
+      // eviction + type-filter non-vacuous: u2's beyond-horizon B and
+      // the 'X' row are gone from the final snapshot
+      val stateIds = spark.read.parquet(
+          new java.io.File(state).listFiles().filter(_.isDirectory)
+            .map(_.toString).max)
+        .select("event_id").as[Long].collect().toSet
+      assert(!stateIds.contains(7L),
+        "beyond-horizon event survived eviction")
+      assert(!stateIds.contains(4L), "non-funnel event entered state")
+      assert(stateIds.contains(5L),
+        "pre-t1 event was wrongly evicted before its late step-1")
+    }
+  }
 }

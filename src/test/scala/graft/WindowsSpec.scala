@@ -84,4 +84,35 @@ class WindowsSpec extends TestBase {
       (0L, 3L, 2L, 3L, 666666L),
       (1L, 0L, 1L, 1L, 1000000L)))
   }
+
+  test("funnel: order, strictness, horizon and ppm cells hand-checked " +
+      "(ext139)") {
+    import spark.implicits._
+    val hour = 3600000000L
+    val day = 24L * hour
+    // u1 converts fully in order. u2 stalls after B. u3 has C BEFORE
+    // its B (out of order — must not count as step 3). u4's B lands
+    // past the 7-day horizon. u5 never does step A at all (its B/C
+    // must not enter the funnel). u6's B is at the SAME µs as its A —
+    // strictly-after must reject it.
+    val ev = Seq(
+      (1L, "A", 0L), (1L, "B", hour), (1L, "C", 2 * hour),
+      (2L, "A", 0L), (2L, "B", hour),
+      (3L, "A", 0L), (3L, "C", hour), (3L, "B", 2 * hour),
+      (4L, "A", 0L), (4L, "B", 8 * day),
+      (5L, "B", hour), (5L, "C", 2 * hour),
+      (6L, "A", hour), (6L, "B", hour))
+      .toDF("user_id", "event_type", "us")
+      .select($"user_id", $"event_type",
+        expr("timestamp_micros(us)").as("ts"))
+    val got = Windows.funnel(ev, col("user_id"), Seq("A", "B", "C"))
+      .orderBy("step")
+      .as[(Long, String, Long, Long, Long)].collect().toSeq
+    // step A: users 1,2,3,4,6 = 5. step B: 1,2,3 (u4 horizon, u6 not
+    // strictly after) = 3. step C: only u1 (u3's C precedes its B) = 1.
+    assert(got == Seq(
+      (1L, "A", 5L, 1000000L, 1000000L),
+      (2L, "B", 3L, 600000L, 600000L),
+      (3L, "C", 1L, 333333L, 200000L)))
+  }
 }
