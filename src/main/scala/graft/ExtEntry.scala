@@ -2023,6 +2023,48 @@ object ExtEntry {
           col("n_chars"))
         .orderBy("doc_id")),
 
+    // Margin mining with IVF candidate generation (the ext137 scale
+    // path made real): both directions' neighbor lists come from the
+    // bucket-restricted ivfTopK instead of the exact cross — the
+    // margin algebra above the lists is shared code, bit-identical.
+    "ext146_margin_mine_ivf" -> ((s, dir) => {
+      val e = embs(s, dir)
+      Similarity.marginMineIvf(
+          e.filter(col("vec_id") % 2 === 0),
+          e.filter(col("vec_id") % 2 === 1))
+        .orderBy("a_id", "b_id")
+    }),
+
+    // TextRank keyword extraction: damped weighted power iteration
+    // over the corpus word-adjacency graph, all fixed-point int64
+    // (per-edge DIV truncation, damping blend DIV 100) — PageRank's
+    // algebra as a relational loop, top-20 salient tokens.
+    "ext145_textrank" -> ((s, dir) =>
+      TextOps.textRank(docs(s, dir))
+        .orderBy(col("rank_q6").desc, col("token"))),
+
+    // Code-switch segmentation: 16-token windows language-ID'd with
+    // the ext08 marker scoring, consecutive same-language windows
+    // merged gaps-and-islands — per-doc language STRUCTURE where ext08
+    // gives one label; segment count − 1 = code-switch count.
+    "ext144_lang_segments" -> ((s, dir) =>
+      TextOps.langSegments(docs(s, dir))
+        .orderBy("doc_id", "seg_idx")),
+
+    // Reciprocal-rank fusion over the three standard retrieval
+    // neighborhoods (cosine / dot / L2 brute rankings, k=10 each):
+    // rank positions — not scores — fuse, integer DIV contributions,
+    // exact int64 fused score, top-5 re-rank. The hybrid-search
+    // combiner for heterogeneous retrievers.
+    "ext143_rrf_fusion" -> ((s, dir) => {
+      val e = embs(s, dir)
+      val q = e.filter(col("vec_id") < NumQueryVecs)
+      Similarity.rrfFuse(
+          Seq("cosine", "dot", "l2").map(m =>
+            Similarity.bruteTopKMetric(e, q, 10, m)), 5)
+        .orderBy("q_id", "rank")
+    }),
+
     // Z-order (Morton) layout audit: events bucketed by the
     // interleaved bits of (user_id, event day) vs a single-key sort at
     // the same file granularity — per-bucket row counts and BOTH
@@ -2252,6 +2294,50 @@ object ExtEntry {
           indexKey = Some(dir))
         .orderBy("stage_ord", "stage"))
   )
+
+  /** The ext137/ext146 margin oracle: dots/rank/fold-mean/margin over
+    * the parity split, with `bucketPred` restricting candidate pairs
+    * (empty = exact; label equality = the IVF form). */
+  private def marginMineSql(bucketPred: String): String = {
+      val k = graft.ops.Similarity.MarginK
+      val foldMean =
+        (1 to k).map(i => s"max(CASE WHEN rn = $i THEN cos END)")
+          .reduceLeft((a, b) => s"($a + $b)") + s" / $k.0"
+      s"""$QuantFlatSql,
+         |mdots AS (
+         |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+         |         CAST(SUM(a.qi * b.qi) AS BIGINT) AS dot
+         |  FROM flat a JOIN flat b ON a.i = b.i
+         |  WHERE a.vec_id % 2 = 0 AND b.vec_id % 2 = 1 $bucketPred
+         |  GROUP BY 1, 2),
+         |msc AS (
+         |  SELECT a_id, b_id,
+         |         CAST(dot AS DOUBLE) /
+         |           sqrt(CAST(na.n2 AS DOUBLE) * CAST(nb.n2 AS DOUBLE))
+         |           AS cos
+         |  FROM mdots JOIN n2 na ON na.vec_id = a_id
+         |             JOIN n2 nb ON nb.vec_id = b_id),
+         |mf AS (SELECT *, row_number() OVER (
+         |         PARTITION BY a_id ORDER BY cos DESC, b_id) AS rn
+         |       FROM msc),
+         |mb AS (SELECT *, row_number() OVER (
+         |         PARTITION BY b_id ORDER BY cos DESC, a_id) AS rn
+         |       FROM msc),
+         |maa AS (SELECT a_id, $foldMean AS a_knn
+         |        FROM mf WHERE rn <= $k GROUP BY 1),
+         |mbb AS (SELECT b_id, $foldMean AS b_knn
+         |        FROM mb WHERE rn <= $k GROUP BY 1)
+         |SELECT mf.a_id, mf.b_id, CAST(mf.rn AS BIGINT) AS fwd_rank,
+         |       mf.cos,
+         |       CAST(floor(((mf.cos + mf.cos) / (maa.a_knn + mbb.b_knn))
+         |                  * 1000000.0) AS BIGINT) AS margin_ppm
+         |FROM mf JOIN maa USING (a_id) JOIN mbb USING (b_id)
+         |WHERE mf.rn <= $k
+         |  AND CAST(floor(((mf.cos + mf.cos) / (maa.a_knn + mbb.b_knn))
+         |                 * 1000000.0) AS BIGINT)
+         |      >= ${graft.ops.Similarity.MarginThresholdPpm}
+         |ORDER BY a_id, b_id""".stripMargin
+  }
 
   def oracleSql: Map[String, String] = Map(
     "ext01_dedup_exact" ->
@@ -4780,6 +4866,125 @@ object ExtEntry {
         |SELECT part, entity, decayed_scaled, n_events, rank
         |FROM r WHERE rank <= 10 ORDER BY part, rank""".stripMargin,
 
+    // Same symmetrized adjacency graph, vertex floor, and three
+    // unrolled power-iteration rounds with identical integer
+    // truncation points.
+    "ext145_textrank" -> {
+      val iters = 3
+      val damp = 85
+      val rounds = (1 to iters).map { i =>
+        val p = s"r${i - 1}"
+        s"""c$i AS (SELECT ew.dst,
+           |         CAST(SUM((${p}.r * ew.w) // ew.wout) AS BIGINT) AS cs
+           |       FROM ew JOIN $p ON ${p}.v = ew.src GROUP BY 1),
+           |r$i AS (SELECT ${p}.v,
+           |         CAST((${100 - damp} * 1000000 +
+           |               $damp * COALESCE(c$i.cs, 0)) // 100 AS BIGINT)
+           |           AS r
+           |       FROM $p LEFT JOIN c$i ON c$i.dst = ${p}.v),
+           |""".stripMargin
+      }.mkString
+      s"""WITH bg AS (
+         |  SELECT unnest(tk[1:len(tk)-1]) AS t1,
+         |         unnest(tk[2:len(tk)]) AS t2
+         |  FROM (SELECT string_split(text, ' ') AS tk FROM documents)),
+         |pr AS (SELECT t1 AS src, t2 AS dst FROM bg WHERE t1 <> t2
+         |       UNION ALL
+         |       SELECT t2 AS src, t1 AS dst FROM bg WHERE t1 <> t2),
+         |aw AS (SELECT src, dst, CAST(count(*) AS BIGINT) AS w
+         |       FROM pr GROUP BY 1, 2),
+         |kp AS (SELECT src FROM (SELECT src, SUM(w) AS w0 FROM aw
+         |                        GROUP BY 1) WHERE w0 >= 5),
+         |e2 AS (SELECT aw.src, aw.dst, aw.w
+         |       FROM aw JOIN kp USING (src)
+         |            JOIN kp k2 ON k2.src = aw.dst),
+         |dg AS (SELECT src, CAST(SUM(w) AS BIGINT) AS wout
+         |       FROM e2 GROUP BY 1),
+         |ew AS (SELECT e2.src, e2.dst, e2.w, dg.wout
+         |       FROM e2 JOIN dg USING (src)),
+         |r0 AS (SELECT src AS v, CAST(1000000 AS BIGINT) AS r FROM dg),
+         |${rounds.stripSuffix(",\n")}
+         |SELECT v AS token, r AS rank_q6 FROM r$iters
+         |ORDER BY r DESC, v LIMIT 20""".stripMargin
+    },
+
+    // Same windowing (pos // 16 over the split token list), ext08's
+    // marker scoring + tie chain per window, islands via the
+    // win − row_number trick, per-doc segment reindex.
+    "ext144_lang_segments" ->
+      s"""WITH tku AS (
+         |  SELECT doc_id,
+         |         unnest(string_split(text, ' ')) AS tok,
+         |         unnest(range(0, len(string_split(text, ' ')))) AS pos
+         |  FROM documents),
+         |w AS (SELECT doc_id, pos // 16 AS win,
+         |        CAST(SUM(CASE WHEN tok IN (${markerList("en")})
+         |             THEN 1 ELSE 0 END) AS BIGINT) AS score_en,
+         |        CAST(SUM(CASE WHEN tok IN (${markerList("es")})
+         |             THEN 1 ELSE 0 END) AS BIGINT) AS score_es,
+         |        CAST(SUM(CASE WHEN tok IN (${markerList("zh")})
+         |             THEN 1 ELSE 0 END) AS BIGINT) AS score_zh
+         |      FROM tku GROUP BY 1, 2),
+         |p AS (SELECT doc_id, win,
+         |        CASE WHEN score_en >= score_es AND score_en >= score_zh
+         |             THEN 'en'
+         |             WHEN score_es >= score_zh THEN 'es'
+         |             ELSE 'zh' END AS lang
+         |      FROM w),
+         |isl AS (SELECT *, win - row_number() OVER (
+         |          PARTITION BY doc_id, lang ORDER BY win) AS i
+         |        FROM p),
+         |seg AS (SELECT doc_id, lang, i, min(win) AS seg_start,
+         |          CAST(count(*) AS BIGINT) AS n_windows
+         |        FROM isl GROUP BY 1, 2, 3)
+         |SELECT doc_id,
+         |       CAST(row_number() OVER (PARTITION BY doc_id
+         |         ORDER BY seg_start) AS BIGINT) AS seg_idx,
+         |       lang, CAST(seg_start AS BIGINT) AS seg_start, n_windows
+         |FROM seg ORDER BY doc_id, seg_idx""".stripMargin,
+
+    // One dots relation feeds all three metric rankings (cos DESC /
+    // dot DESC / l2 ASC, ties t_id), each truncated at 10; RRF = sum
+    // of 1000000 // (60 + rank) over the union, top-5 re-rank.
+    "ext143_rrf_fusion" -> {
+      val k = graft.ops.Similarity.RrfK
+      s"""$QuantFlatSql,
+         |fdots AS (
+         |  SELECT a.vec_id AS q_id, b.vec_id AS t_id,
+         |         CAST(SUM(a.qi * b.qi) AS BIGINT) AS dot
+         |  FROM flat a JOIN flat b ON a.i = b.i
+         |  WHERE a.vec_id < $NumQueryVecs AND a.vec_id <> b.vec_id
+         |  GROUP BY 1, 2),
+         |fsc AS (
+         |  SELECT q_id, t_id, dot,
+         |         CAST(dot AS DOUBLE) /
+         |           sqrt(CAST(na.n2 AS DOUBLE) * CAST(nb.n2 AS DOUBLE))
+         |           AS cos,
+         |         na.n2 + nb.n2 - 2 * dot AS l2
+         |  FROM fdots JOIN n2 na ON na.vec_id = q_id
+         |             JOIN n2 nb ON nb.vec_id = t_id),
+         |rrc AS (SELECT q_id, t_id, row_number() OVER (
+         |          PARTITION BY q_id ORDER BY cos DESC, t_id) AS rank
+         |        FROM fsc),
+         |rrd AS (SELECT q_id, t_id, row_number() OVER (
+         |          PARTITION BY q_id ORDER BY dot DESC, t_id) AS rank
+         |        FROM fsc),
+         |rrl AS (SELECT q_id, t_id, row_number() OVER (
+         |          PARTITION BY q_id ORDER BY l2 ASC, t_id) AS rank
+         |        FROM fsc),
+         |ru AS (SELECT * FROM rrc WHERE rank <= 10
+         |       UNION ALL SELECT * FROM rrd WHERE rank <= 10
+         |       UNION ALL SELECT * FROM rrl WHERE rank <= 10),
+         |rs AS (SELECT q_id, t_id,
+         |         CAST(SUM(1000000 // ($k + rank)) AS BIGINT) AS rrf
+         |       FROM ru GROUP BY 1, 2),
+         |rf AS (SELECT *, row_number() OVER (
+         |         PARTITION BY q_id ORDER BY rrf DESC, t_id) AS rank
+         |       FROM rs)
+         |SELECT q_id, t_id, rrf, CAST(rank AS BIGINT) AS rank
+         |FROM rf WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
+    },
+
     // Same grid DIV + 32-term disjoint-bit Morton sum + top-bits
     // bucketing, both layouts unioned off one cells CTE.
     "ext142_zorder_layout" -> {
@@ -4940,46 +5145,15 @@ object ExtEntry {
     // split: forward and backward rankings off one scored relation,
     // k-NN means as rank-pivoted left folds (the fold order IS the
     // contract), floor-ppm margin, integer threshold.
-    "ext137_margin_mine" -> {
-      val k = graft.ops.Similarity.MarginK
-      val foldMean =
-        (1 to k).map(i => s"max(CASE WHEN rn = $i THEN cos END)")
-          .reduceLeft((a, b) => s"($a + $b)") + s" / $k.0"
-      s"""$QuantFlatSql,
-         |mdots AS (
-         |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
-         |         CAST(SUM(a.qi * b.qi) AS BIGINT) AS dot
-         |  FROM flat a JOIN flat b ON a.i = b.i
-         |  WHERE a.vec_id % 2 = 0 AND b.vec_id % 2 = 1
-         |  GROUP BY 1, 2),
-         |msc AS (
-         |  SELECT a_id, b_id,
-         |         CAST(dot AS DOUBLE) /
-         |           sqrt(CAST(na.n2 AS DOUBLE) * CAST(nb.n2 AS DOUBLE))
-         |           AS cos
-         |  FROM mdots JOIN n2 na ON na.vec_id = a_id
-         |             JOIN n2 nb ON nb.vec_id = b_id),
-         |mf AS (SELECT *, row_number() OVER (
-         |         PARTITION BY a_id ORDER BY cos DESC, b_id) AS rn
-         |       FROM msc),
-         |mb AS (SELECT *, row_number() OVER (
-         |         PARTITION BY b_id ORDER BY cos DESC, a_id) AS rn
-         |       FROM msc),
-         |maa AS (SELECT a_id, $foldMean AS a_knn
-         |        FROM mf WHERE rn <= $k GROUP BY 1),
-         |mbb AS (SELECT b_id, $foldMean AS b_knn
-         |        FROM mb WHERE rn <= $k GROUP BY 1)
-         |SELECT mf.a_id, mf.b_id, CAST(mf.rn AS BIGINT) AS fwd_rank,
-         |       mf.cos,
-         |       CAST(floor(((mf.cos + mf.cos) / (maa.a_knn + mbb.b_knn))
-         |                  * 1000000.0) AS BIGINT) AS margin_ppm
-         |FROM mf JOIN maa USING (a_id) JOIN mbb USING (b_id)
-         |WHERE mf.rn <= $k
-         |  AND CAST(floor(((mf.cos + mf.cos) / (maa.a_knn + mbb.b_knn))
-         |                 * 1000000.0) AS BIGINT)
-         |      >= ${graft.ops.Similarity.MarginThresholdPpm}
-         |ORDER BY a_id, b_id""".stripMargin
-    },
+    "ext137_margin_mine" -> marginMineSql(""),
+
+    // The identical margin algebra with IVF candidate generation: the
+    // dots relation is restricted to shared-bucket (same-label) pairs
+    // — the ext06 coarse quantizer — in BOTH directions' rankings and
+    // neighborhood means.
+    "ext146_margin_mine_ivf" ->
+      marginMineSql("AND a.label = b.label"),
+
 
     // The same Gonzalez rounds unrolled: seed = (max n2, min id), each
     // round distances-to-last-pick folded into a running min (same

@@ -418,6 +418,59 @@ object ScaleSmoke {
     time("repetition_surgery") {
       graft.ops.Dedup.repetitionSurgery(big)
     }
+    // r12 additions. k-center: k map-only rounds + TakeOrdered(1)
+    // argmax each — expect linear in corpus at constant round count
+    // (driver state = k vectors); in dup mode duplicate vectors tie at
+    // distance 0 and the min-id tie-break keeps selection stable.
+    time("kcenter_coreset") {
+      graft.ops.Similarity.kCenterCoreset(bigEmb)
+    }
+    // balanced folds: group masses map-side combine, TakeOrdered head,
+    // broadcast head join + hash-projection tail — linear; the cluster
+    // side rides the same LSH pair graph as leakage_safe_split.
+    time("balanced_folds") {
+      graft.ops.Splits.balancedFolds(big,
+        graft.ops.Components.connectedComponents(
+          graft.ops.Dedup.minhashLsh(big).select("id_a", "id_b"))
+          .select(col("id").as("doc_id"), col("cluster_id")),
+        5, length(col("text")))
+    }
+    // code-switch segments: doc-local posexplode, window scores
+    // collapse map-side, bounded per-doc window relation — expect
+    // linear; per-copy segment structure repeats exactly in dup mode.
+    time("lang_segments") {
+      graft.ops.TextOps.langSegments(big)
+    }
+    // funnel / aligned trending / z-order price on a mult-x SYNTHETIC
+    // event stream (the parquet events table is fixed-size): users
+    // fixed at 2000, so the funnel's broadcast survivor relation stays
+    // bounded while events grow — the claim each of these plans makes.
+    if (only.forall(_.exists("events_ops".startsWith))) {
+      val nE = mult.toLong * 100000L
+      val ev = spark.range(nE).select(
+        col("id").as("event_id"),
+        expr("timestamp_millis(1704067200000 + (id * 7919) % 2592000000)")
+          .as("ts"),
+        (col("id") % 2000).as("user_id"),
+        element_at(array(lit("signup"), lit("view"), lit("click"),
+          lit("purchase"), lit("error")),
+          (col("id") % 5 + 1).cast("int")).as("event_type"))
+        .localCheckpoint(true)
+      time("events_ops_funnel") {
+        graft.agg.Windows.funnel(ev, col("user_id"),
+          Seq("signup", "view", "click", "purchase"))
+      }
+      time("events_ops_trending") {
+        graft.ops.Decay.trendingTopKAligned(ev, col("event_type"),
+          col("user_id"), col("ts"), 86400000000L, 10)
+      }
+      time("events_ops_zorder") {
+        graft.ops.Layout.zOrderAudit(
+          ev.select(col("user_id"),
+            expr("unix_micros(ts) DIV 86400000000").as("day")),
+          col("user_id"), col("day"))
+      }
+    }
     // end-to-end curation chain (ext126): gopher → rep surgery → span
     // surgery → semantic + bloom decon → mixture → pack, each stage an
     // operator with its own smoke row above — the chain must cost

@@ -1506,6 +1506,42 @@ object Similarity {
     * design: the oracle unrolls one CTE block per round. */
   val KCenterK = 6
 
+  /** RRF dampening constant — 60 per Cormack et al. (SIGIR 2009), the
+    * value every production hybrid-search implementation ships. */
+  val RrfK = 60
+
+  /**
+   * Reciprocal-rank fusion (Cormack, Clarke & Büttcher, SIGIR 2009) —
+   * the hybrid-retrieval combiner: given N per-query rankings
+   * `(q_id, t_id, rank)` from heterogeneous retrievers (cosine vs dot
+   * vs L2 here; BM25 vs dense vs sparse in a search stack), score
+   * every candidate Σ_lists 10⁶ DIV (rrfK + rank) and re-rank. Rank
+   * positions — not scores — enter the sum, so incomparable score
+   * scales fuse without calibration; the contribution is integer DIV
+   * so the fused score is an exact int64 (no float reciprocal sums to
+   * diverge between engines). Ties break on t_id.
+   *
+   * Scale shape: fusion itself never touches the corpus — it is one
+   * union of the bounded top-k lists (≤ N·k rows per query) and one
+   * map-side-combined groupBy; the cost lives in producing the input
+   * rankings, which at 100 TB are stored retrieval outputs
+   * ([[ivfTopK]]/[[ivfPqSearch]] sinks), not recomputed per fusion.
+   */
+  def rrfFuse(rankings: Seq[DataFrame], k: Int,
+      rrfK: Int = RrfK): DataFrame = {
+    require(rankings.nonEmpty, "nothing to fuse")
+    val scored = rankings
+      .map(_.select(col("q_id"), col("t_id"),
+        expr(s"1000000 DIV ($rrfK + rank)").as("contrib")))
+      .reduceLeft(_ unionByName _)
+    scored.groupBy("q_id", "t_id").agg(sum("contrib").as("rrf"))
+      .withColumn("rank", row_number().over(Window.partitionBy("q_id")
+        .orderBy(col("rrf").desc, col("t_id").asc)))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("t_id"), col("rrf"),
+        col("rank").cast("long").as("rank"))
+  }
+
   /**
    * Greedy k-center coreset selection (Gonzalez 1985; the
    * facility-location "diverse subset" selector of active-learning /
@@ -1577,6 +1613,23 @@ object Similarity {
       .filter(col("rn") <= k)
     val bwd = scored.withColumn("rn", row_number().over(wBwd))
       .filter(col("rn") <= k)
+    marginFromRanked(
+      fwd.select(col("a_id"), col("b_id"), col("rn"), col("cos")),
+      bwd.select(col("a_id"), col("b_id"), col("rn"), col("cos")),
+      k, minMarginPpm)
+  }
+
+  /**
+   * The margin algebra alone, over PRE-RANKED neighbor lists: `fwd` =
+   * a's ranked neighbors in B, `bwd` = b's ranked neighbors in A, both
+   * as (a_id, b_id, rn, cos) with rn already ≤ k per query side. This
+   * is the seam [[marginMine]]'s Scaladoc promises: swap the exact
+   * crossJoin lists for ANN lists and the margin criterion is
+   * unchanged — [[marginMineIvf]] does exactly that.
+   */
+  def marginFromRanked(fwd: DataFrame, bwd: DataFrame,
+      k: Int = MarginK,
+      minMarginPpm: Long = MarginThresholdPpm): DataFrame = {
     // Rank-ordered left-fold mean: ((c1+c2)+…+ck)/k, ci = the cosine at
     // rank i. The fold order is part of the cross-engine contract.
     def knnAvg = (1 to k)
@@ -1592,5 +1645,30 @@ object Similarity {
       .select(col("a_id"), col("b_id"),
         col("rn").cast("long").as("fwd_rank"), col("cos"),
         col("margin_ppm"))
+  }
+
+  /**
+   * [[marginMine]] with IVF candidate generation — the 100 TB form:
+   * both directions' neighbor lists come from [[ivfTopK]] (bucket =
+   * the coarse quantizer; here the label column, exactly ext06's
+   * shape), so neither side is ever crossed against the other — the
+   * scan cost is the bucket-restricted candidate mass, priced by the
+   * ext57/ext58 recall audits. The margin algebra above the lists is
+   * [[marginFromRanked]], bit-identical to the exact form's; a pair
+   * whose endpoints share no bucket can't be mined (the CCMatrix
+   * trade, measured there as negligible at adequate nprobe). Sides
+   * must have disjoint ids (they are different corpora).
+   */
+  def marginMineIvf(embA: DataFrame, embB: DataFrame, k: Int = MarginK,
+      minMarginPpm: Long = MarginThresholdPpm, id: String = "vec_id",
+      vec: String = "embedding"): DataFrame = {
+    def ranked(corpus: DataFrame, queries: DataFrame, aSide: Boolean) =
+      ivfTopK(corpus, queries, k, id = id, vec = vec)
+        .select(
+          (if (aSide) col("q_id") else col("t_id")).as("a_id"),
+          (if (aSide) col("t_id") else col("q_id")).as("b_id"),
+          col("rank").as("rn"), col("cos"))
+    marginFromRanked(ranked(embB, embA, aSide = true),
+      ranked(embA, embB, aSide = false), k, minMarginPpm)
   }
 }

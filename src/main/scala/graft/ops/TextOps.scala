@@ -216,6 +216,53 @@ object TextOps {
         .otherwise(lit("zh")))
   }
 
+  /**
+   * Code-switch segmentation — WITHIN-document language structure,
+   * where [[langScores]] gives one label per doc: the token stream is
+   * cut into fixed `windowTokens` windows, each window language-ID'd
+   * by the same marker scoring and tie-break chain as [[langScores]],
+   * and consecutive same-language windows merge into segments
+   * (gaps-and-islands). Output one row per (doc, segment): its index,
+   * language, starting window and window count — the relation a
+   * multilingual pipeline routes on (mixed-language docs go to
+   * splitting, not to a single-language bucket; a doc's segment count
+   * minus one IS its code-switch count).
+   *
+   * Scale shape: one posexplode pass, a (doc, window)-keyed
+   * aggregation that collapses map-side (window scores are sums), and
+   * two bounded per-doc window functions over the ≤tokens/windowTokens
+   * window relation — never over raw tokens. All integer counts and a
+   * fixed tie-break: engine-portable.
+   */
+  def langSegments(doc: DataFrame, windowTokens: Int = 16,
+      id: String = "doc_id", text: String = "text"): DataFrame = {
+    val toks = doc.select(col(id),
+        posexplode(tokens(col(text))).as(Seq("pos", "tok")))
+      .withColumn("win", expr(s"pos DIV $windowTokens"))
+    val scoreCols = LangMarkers.toSeq.sortBy(_._1).map { case (lang, ms) =>
+      sum(when(col("tok").isin(ms: _*), 1L).otherwise(0L))
+        .as(s"score_$lang")
+    }
+    val scored = toks.groupBy(col(id), col("win"))
+      .agg(scoreCols.head, scoreCols.tail: _*)
+    val predicted = scored.withColumn("lang",
+      when(col("score_en") >= col("score_es") &&
+           col("score_en") >= col("score_zh"), lit("en"))
+        .when(col("score_es") >= col("score_zh"), lit("es"))
+        .otherwise(lit("zh")))
+    val islands = predicted.withColumn("isl",
+      col("win") - row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col(id), col("lang")).orderBy("win")))
+    islands.groupBy(col(id), col("lang"), col("isl"))
+      .agg(min("win").as("seg_start"), count(lit(1)).as("n_windows"))
+      .withColumn("seg_idx", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col(id)).orderBy("seg_start")).cast("long"))
+      .select(col(id), col("seg_idx"), col("lang"),
+        col("seg_start"), col("n_windows"))
+  }
+
   /** Quality scoring: length, word count, stopword ratio, non-alpha ratio,
     * combined into a fixed-order double formula. */
   val Stopwords: Seq[String] = Seq("the", "a", "of", "and")
@@ -540,6 +587,63 @@ object TextOps {
       .withColumn("t1", element_at(col("_tk"), col("_i")))
       .withColumn("t2", element_at(col("_tk"), col("_i") + 1))
       .drop("_tk", "_i", text)
+
+  /**
+   * TextRank keyword extraction (Mihalcea & Tarau, EMNLP 2004) — the
+   * graph-analytics member of the text family: vertices are tokens
+   * whose total adjacency mass clears `minWout`, edges the
+   * corpus-summed adjacent-token co-occurrence (symmetrized), scores a
+   * damped weighted power iteration — PageRank's algebra on the word
+   * graph, the keyword prior crawl pipelines rank salient terms with.
+   *
+   * Everything is fixed-point integer arithmetic so the oracle replays
+   * every round bit-for-bit: scores carry ×10⁶; each edge contributes
+   * `(r(u)·w(u,v)) DIV wout(u)` (per-edge truncation, same in both
+   * engines); the damping blend is
+   * `((100−d)·10⁶ + d·Σcontrib) DIV 100`. No float stochastic matrix.
+   *
+   * Scale shape: pair counting is [[bigramRows]]' doc-local position
+   * explode into ONE map-side-combined groupBy (no self-join); the
+   * graph is vocab²-bounded, tiny next to the corpus; each of the
+   * `iters` rounds is one edge⋈ranks join + one keyed sum over that
+   * bounded relation, with per-round `localCheckpoint` cutting lineage
+   * (the [[Components]] iterative-DataFrame discipline — without it
+   * Catalyst re-optimization goes exponential in rounds). Output is
+   * TakeOrdered top-k.
+   */
+  def textRank(doc: DataFrame, iters: Int = 3, minWout: Int = 5,
+      topK: Int = 20, dampPct: Int = 85,
+      text: String = "text"): DataFrame = {
+    val pairs = bigramRows(doc.select(col(text)), text)
+      .filter(col("t1") =!= col("t2"))
+      .select(col("t1").as("src"), col("t2").as("dst"))
+    val und = pairs.union(
+      pairs.select(col("dst").as("src"), col("src").as("dst")))
+    val all = und.groupBy("src", "dst").agg(count(lit(1)).as("w"))
+    val keep = all.groupBy("src").agg(sum("w").as("w0"))
+      .filter(col("w0") >= minWout).select("src")
+    val e2 = all.join(keep, "src")
+      .join(keep.select(col("src").as("dst")), "dst")
+    val deg = e2.groupBy("src").agg(sum("w").as("wout"))
+    val ew = Reuse.shared(e2.join(deg, "src")
+      .select("src", "dst", "w", "wout"))
+    var ranks = Reuse.pin(
+      deg.select(col("src").as("v"), lit(1000000L).as("r"))
+        .localCheckpoint(true))
+    for (_ <- 1 to iters) {
+      val cs = ew.join(ranks, col("src") === col("v"))
+        .select(col("dst"), expr("(r * w) DIV wout").as("c"))
+        .groupBy("dst").agg(sum("c").as("cs"))
+      ranks = Reuse.pin(ranks.select(col("v"))
+        .join(cs, col("v") === col("dst"), "left")
+        .select(col("v"),
+          expr(s"(${100 - dampPct} * 1000000 + " +
+            s"$dampPct * coalesce(cs, 0)) DIV 100").as("r"))
+        .localCheckpoint(true))
+    }
+    ranks.orderBy(col("r").desc, col("v").asc).limit(topK)
+      .select(col("v").as("token"), col("r").as("rank_q6"))
+  }
 
   /**
    * Corpus bigram language-model statistics: count of every adjacent

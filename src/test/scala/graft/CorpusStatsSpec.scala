@@ -262,4 +262,36 @@ class CorpusStatsSpec extends TestBase {
       .as[(String, String, Long, Long, Long)].head()
     assert(self._4 >= 1000000L - 3L && self._4 <= 1000000L)
   }
+
+  test("textrank == driver power-iteration replay; hub outranks leaf " +
+      "(ext145)") {
+    import spark.implicits._
+    val texts = Seq("a b a c", "b a b d", "c a")
+    val got = graft.ops.TextOps.textRank(
+        texts.toDF("text"), iters = 3, minWout = 1, topK = 10)
+      .as[(String, Long)].collect().toSeq
+
+    // driver replay with the exact same truncation points
+    val adj = texts.map(_.split(" ").toSeq)
+      .flatMap(t => t.zip(t.tail)).filter(p => p._1 != p._2)
+    val und = adj ++ adj.map(_.swap)
+    val w = und.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val wout = w.toSeq.groupBy(_._1._1)
+      .map { case (s, es) => s -> es.map(_._2).sum }
+    var r: Map[String, Long] = wout.keys.map(_ -> 1000000L).toMap
+    for (_ <- 1 to 3) {
+      val cs = w.toSeq
+        .map { case ((s, d), wt) => d -> (r(s) * wt) / wout(s) }
+        .groupBy(_._1).map { case (d, vs) => d -> vs.map(_._2).sum }
+      r = r.keys.map(v =>
+        v -> ((15L * 1000000L + 85L * cs.getOrElse(v, 0L)) / 100L)).toMap
+    }
+    val expected = r.toSeq.sortBy { case (v, s) => (-s, v) }.take(10)
+    assert(got == expected)
+    // structure is non-degenerate: the hub token ranks first and the
+    // one-neighbor leaf is strictly below it
+    assert(got.head._1 == "a")
+    assert(got.find(_._1 == "d").get._2 < got.head._2)
+    graft.ops.Reuse.freeAll(spark)
+  }
 }

@@ -677,6 +677,61 @@ class SimilaritySpec extends TestBase {
     assert(one._1 == card._1 && one._2 == one._1 && one._3 == 1000000L)
   }
 
+  test("rrf fusion == driver recompute over the three metric lists; " +
+      "multi-list support non-vacuous (ext143)") {
+    import spark.implicits._
+    val q = emb.filter(col("vec_id") < 10)
+    def list(m: String) = Similarity.bruteTopKMetric(emb, q, 10, m)
+    val fused = Similarity.rrfFuse(
+        Seq("cosine", "dot", "l2").map(list), 5)
+      .as[(Long, Long, Long, Long)].collect().toSet
+
+    val collected = Seq("cosine", "dot", "l2").flatMap(m =>
+      list(m).select("q_id", "t_id", "rank")
+        .as[(Long, Long, Long)].collect().toSeq)
+    val sums = collected
+      .groupBy(r => (r._1, r._2))
+      .map { case (key, rs) =>
+        key -> rs.map(r => 1000000L / (Similarity.RrfK + r._3)).sum }
+    val expected = sums.groupBy(_._1._1).flatMap { case (qi, m) =>
+      m.toSeq.map { case ((_, ti), s) => (ti, s) }
+        .sortBy { case (ti, s) => (-s, ti) }.take(5).zipWithIndex
+        .map { case ((ti, s), i) => (qi, ti, s, i + 1L) }
+    }.toSet
+    assert(fused == expected)
+    // a candidate really appears in ≥2 lists (the summed-support case)
+    assert(sums.values.exists(_ > 1000000L / (Similarity.RrfK + 1)),
+      "no candidate appeared in two lists — fusion law is vacuous")
+  }
+
+  test("ivf margin mining: one shared bucket == exact marginMine; " +
+      "real buckets restrict candidates (ext146)") {
+    import spark.implicits._
+    val a = emb.filter(col("vec_id") % 2 === 0)
+    val b = emb.filter(col("vec_id") % 2 === 1)
+    // one bucket (constant label) → ivfTopK IS bruteTopK → the IVF
+    // form must reproduce the exact operator row-for-row
+    def flat(df: org.apache.spark.sql.DataFrame) =
+      df.withColumn("label", lit(0))
+    val one = Similarity.marginMineIvf(flat(a), flat(b))
+      .as[(Long, Long, Long, Double, Long)].collect().toSet
+    val exact = Similarity.marginMine(a, b)
+      .as[(Long, Long, Long, Double, Long)].collect().toSet
+    assert(one == exact && exact.nonEmpty)
+    // real labels: every mined pair shares its endpoints' bucket, and
+    // the restriction genuinely changes the output (non-vacuous)
+    val ivf = Similarity.marginMineIvf(a, b)
+      .as[(Long, Long, Long, Double, Long)].collect().toSet
+    val labels = emb.select("vec_id", "label")
+      .as[(Long, Int)].collect().toMap
+    assert(ivf.nonEmpty)
+    assert(ivf.forall(p => labels(p._1) == labels(p._2)),
+      "an IVF-mined pair straddles buckets")
+    assert(ivf != exact, "bucket restriction changed nothing — law " +
+      "is vacuous on this corpus")
+    graft.ops.Reuse.freeAll(spark)
+  }
+
   test("k-center coreset == driver replay of greedy farthest-point; " +
       "radius curve non-increasing (ext138)") {
     import spark.implicits._

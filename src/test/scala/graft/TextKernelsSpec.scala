@@ -86,4 +86,29 @@ class TextKernelsSpec extends TestBase {
     assert("""\*\(\d+\) Project \[count_in_set""".r
       .findFirstIn(plan).isDefined, plan)
   }
+
+  test("lang segments: window labels, island merge and switch count " +
+      "hand-checked (ext144)") {
+    import spark.implicits._
+    import graft.ops.TextOps
+    // 16-token windows. Windows 0–1 are English-marked ('the'),
+    // window 2 Spanish-marked ('data'), window 3 English again —
+    // 3 segments: en[0,2) es[2,1) en[3,1); 2 code switches. A second
+    // doc with no markers anywhere ties every window to 'en'
+    // (the fixed tie-break) → ONE segment, zero switches.
+    def win(marker: String) =
+      (marker +: Seq.fill(15)("x")).mkString(" ")
+    val doc1 = Seq(win("the"), win("the"), win("data"), win("the"))
+      .mkString(" ")
+    val doc2 = Seq(win("zz"), win("zz")).mkString(" ")
+    val got = TextOps.langSegments(
+        Seq((1L, doc1), (2L, doc2)).toDF("doc_id", "text"))
+      .orderBy("doc_id", "seg_idx")
+      .as[(Long, Long, String, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (1L, 1L, "en", 0L, 2L),
+      (1L, 2L, "es", 2L, 1L),
+      (1L, 3L, "en", 3L, 1L),
+      (2L, 1L, "en", 0L, 2L)))
+  }
 }
