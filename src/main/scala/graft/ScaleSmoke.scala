@@ -441,6 +441,22 @@ object ScaleSmoke {
     time("lang_segments") {
       graft.ops.TextOps.langSegments(big)
     }
+    // IVF margin mining: the scored relation is Σ|bucketA|×|bucketB|
+    // over shared buckets — per-label buckets grow linearly with mult,
+    // so THIS number prices quadratic in-bucket candidate mass growth;
+    // the production answer at larger scale is the same as semdedup /
+    // knn_density: kmeansProbeBuckets + splitOversizedBuckets to cap
+    // the per-bucket mass (the margin algebra consumes any ranked
+    // lists — marginFromRanked is the seam).
+    time("margin_mine_ivf") {
+      // base-vector bucket: every dup copy lands in its base's bucket —
+      // the mass-duplicate hazard case the cap answers
+      val lab = bigEmb.withColumn("label",
+        pmod(pmod(col("vec_id"), lit(1000000L)), lit(10L)).cast("int"))
+      graft.ops.Similarity.marginMineIvf(
+        lab.filter(col("vec_id") % 2 === 0),
+        lab.filter(col("vec_id") % 2 === 1))
+    }
     // funnel / aligned trending / z-order price on a mult-x SYNTHETIC
     // event stream (the parquet events table is fixed-size): users
     // fixed at 2000, so the funnel's broadcast survivor relation stays

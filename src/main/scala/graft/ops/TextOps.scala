@@ -619,7 +619,16 @@ object TextOps {
       .select(col("t1").as("src"), col("t2").as("dst"))
     val und = pairs.union(
       pairs.select(col("dst").as("src"), col("src").as("dst")))
-    val all = und.groupBy("src", "dst").agg(count(lit(1)).as("w"))
+    textRankFromEdges(und.groupBy("src", "dst")
+      .agg(count(lit(1)).as("w")), iters, minWout, topK, dampPct)
+  }
+
+  /** [[textRank]]'s floor/iterate/rank tail over a PRE-COUNTED
+    * symmetrized edge relation (src, dst, w) — the seam the streaming
+    * twin derives through: per-batch partial edge counts merge by
+    * addition, then this tail runs once on the merged graph. */
+  def textRankFromEdges(all: DataFrame, iters: Int = 3, minWout: Int = 5,
+      topK: Int = 20, dampPct: Int = 85): DataFrame = {
     val keep = all.groupBy("src").agg(sum("w").as("w0"))
       .filter(col("w0") >= minWout).select("src")
     val e2 = all.join(keep, "src")

@@ -837,6 +837,37 @@ object StreamingPipeline {
         .groupBy("g0", "g1", "abs_bucket")
         .agg(sum("cnt").as("cnt")), k)
 
+  /** Streaming twin of TextRank (ext145): the word-adjacency graph is
+    * a COUNT relation, so per-batch partial edge counts merge by pure
+    * addition — exactly the [[trendingPartialsSink]] state shape. Each
+    * micro-batch writes its doc-local bigram counts (symmetrized,
+    * self-loops dropped); the derivation re-sums duplicate edges
+    * across batches BEFORE the vertex floor and the power iteration,
+    * so the streamed keywords equal the batch operator's at any
+    * batching (iteration cost is vocab²-bounded, independent of
+    * stream length). */
+  def textrankPartialsSink(docs: DataFrame,
+      outPath: String): DataStreamWriter[org.apache.spark.sql.Row] =
+    partialsSink(docs, b => {
+      val pairs = graft.ops.TextOps.bigramRows(b.select(col("text")))
+        .filter(col("t1") =!= col("t2"))
+        .select(col("t1").as("src"), col("t2").as("dst"))
+      pairs.union(
+          pairs.select(col("dst").as("src"), col("src").as("dst")))
+        .groupBy("src", "dst").agg(count(lit(1)).as("w"))
+    }, outPath)
+
+  /** The derivation side of [[textrankPartialsSink]]: merge the edge
+    * partials by addition, then the batch operator's floor/iterate/rank
+    * tail over the merged graph. */
+  def textrankFromState(spark: SparkSession, outPath: String,
+      iters: Int = 3, minWout: Int = 5, topK: Int = 20,
+      dampPct: Int = 85): DataFrame =
+    graft.ops.TextOps.textRankFromEdges(
+      spark.read.parquet(outPath).drop("batch")
+        .groupBy("src", "dst").agg(sum("w").as("w")),
+      iters, minWout, topK, dampPct)
+
   def countMinPartialsSink(docs: DataFrame,
       outPath: String): DataStreamWriter[org.apache.spark.sql.Row] =
     partialsSink(docs, graft.ops.Sketches.countMinCounters(_), outPath)

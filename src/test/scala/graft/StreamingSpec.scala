@@ -2009,6 +2009,39 @@ class StreamingSpec extends TestBase {
     graft.ops.Reuse.freeAll(spark)
   }
 
+  test("streaming textrank edge partials == batch keywords at any " +
+      "batching (ext145 twin, addition-merged graph)") {
+    import spark.implicits._
+    val docs = graft.ingest.Tables.documents(spark, sf("sf0.001"))
+      .select("doc_id", "text")
+    // collect the reference BEFORE the loop: freeAll between
+    // granularities drops the checkpoint blocks a live plan would read
+    val batch = graft.ops.TextOps.textRank(docs)
+      .as[(String, Long)].collect().toSet
+    graft.ops.Reuse.freeAll(spark)
+    assert(batch.nonEmpty)
+    for (filesPerTrigger <- Seq(1, 4)) {
+      val srcDir = Files.createTempDirectory("graft-tr-src")
+        .toString + "/d"
+      docs.withColumn("part", pmod(col("doc_id"), lit(4)))
+        .repartition(4, col("part")).drop("part")
+        .write.parquet(srcDir)
+      val out = Files.createTempDirectory("graft-tr-out").toString
+      val ckpt = Files.createTempDirectory("graft-tr-ckpt").toString
+      val q = StreamingPipeline.textrankPartialsSink(
+        StreamingPipeline.parquetStream(spark, srcDir,
+          maxFilesPerTrigger = Some(filesPerTrigger)), out)
+        .option("checkpointLocation", ckpt).start()
+      q.processAllAvailable()
+      q.stop()
+      val streamed = StreamingPipeline.textrankFromState(spark, out)
+        .as[(String, Long)].collect().toSet
+      assert(streamed == batch,
+        s"streamed textrank @$filesPerTrigger/trigger differs from batch")
+      graft.ops.Reuse.freeAll(spark)
+    }
+  }
+
   test("streaming funnel state == batch funnel at any batching; " +
       "horizon eviction non-vacuous (ext139 twin)") {
     import spark.implicits._
