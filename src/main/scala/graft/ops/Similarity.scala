@@ -1573,25 +1573,38 @@ object Similarity {
       id: String = "vec_id", vec: String = "embedding"): DataFrame = {
     require(k >= 1, "k-center needs k >= 1")
     val spark = emb.sparkSession
+    import spark.implicits._
     val p = prepared(emb, id, vec).toDF("id", "q", "n2")
-    val seed = p.orderBy(col("n2").desc, col("id").asc).head()
+    // Empty corpus / corpus smaller than k: return the selectable
+    // prefix (possibly no rows) rather than throwing — the empty-input
+    // contract every operator here honors (EmptyInputSpec).
+    val seedOpt = p.orderBy(col("n2").desc, col("id").asc)
+      .head(1).headOption
+    if (seedOpt.isEmpty)
+      return Seq.empty[(Long, Long, Long)]
+        .toDF("sel_rank", "vec_id", "dist2")
+    val seed = seedOpt.get
     // (rank, id, vector, n2, dist2-to-previous-set)
     var sel = List((1L, seed.getLong(0),
       seed.getSeq[Long](1).toArray, seed.getLong(2), 0L))
-    for (r <- 2 to k) {
+    var exhausted = false
+    for (r <- 2 to k if !exhausted) {
       val minDist = sel
         .map { case (_, _, sq, sn2, _) =>
           col("n2") + lit(sn2) - lit(2L) * qdot(col("q"), typedLit(sq.toSeq))
         }
         .reduceLeft((a, b) => least(a, b))
-      val chosen = p.filter(!col("id").isin(sel.map(_._2): _*))
+      p.filter(!col("id").isin(sel.map(_._2): _*))
         .withColumn("mind", minDist)
         .orderBy(col("mind").desc, col("id").asc)
-        .head()
-      sel = (r.toLong, chosen.getLong(0), chosen.getSeq[Long](1).toArray,
-        chosen.getLong(2), chosen.getLong(3)) :: sel
+        .head(1).headOption match {
+        case Some(chosen) =>
+          sel = (r.toLong, chosen.getLong(0),
+            chosen.getSeq[Long](1).toArray, chosen.getLong(2),
+            chosen.getLong(3)) :: sel
+        case None => exhausted = true
+      }
     }
-    import spark.implicits._
     sel.reverse.map(s => (s._1, s._2, s._5))
       .toDF("sel_rank", "vec_id", "dist2")
   }

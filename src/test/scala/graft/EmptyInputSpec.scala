@@ -204,6 +204,50 @@ class EmptyInputSpec extends TestBase {
     graft.ops.Reuse.freeAll(spark)
   }
 
+  test("r12 ops: empty inputs flow through, no NPE; funnel summary " +
+      "stays well-defined at zero users") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val d = emptyDocs
+    val e = emptyEmb
+    val emptyEvents = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(
+        StructField("event_id", LongType),
+        StructField("ts", TimestampType),
+        StructField("user_id", LongType),
+        StructField("event_type", StringType))))
+    val emptyClusters = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(
+        StructField("doc_id", LongType),
+        StructField("cluster_id", LongType))))
+    val results = Seq(
+      countOf("marginMine")(graft.ops.Similarity.marginMine(e, e)),
+      countOf("marginMineIvf")(graft.ops.Similarity.marginMineIvf(e, e)),
+      countOf("kCenterCoreset")(graft.ops.Similarity.kCenterCoreset(e)),
+      countOf("balancedFolds")(graft.ops.Splits.balancedFolds(
+        d, emptyClusters, 5, col("n_chars"))),
+      countOf("trendingTopKAligned")(graft.ops.Decay.trendingTopKAligned(
+        emptyEvents, col("event_type"), col("user_id"), col("ts"),
+        86400000000L, 10)),
+      countOf("zOrderAudit")(graft.ops.Layout.zOrderAudit(
+        emptyEvents.select(col("user_id"), lit(0L).as("day")),
+        col("user_id"), col("day"))),
+      countOf("langSegments")(graft.ops.TextOps.langSegments(d)),
+      countOf("textRank")(graft.ops.TextOps.textRank(d)),
+      countOf("rrfFuse")(graft.ops.Similarity.rrfFuse(
+        Seq(graft.ops.Similarity.bruteTopK(e, e, 3)), 5)))
+    assert(results.forall(_._2 == 0L), s"non-empty: $results")
+    // the funnel summary is |steps| rows BY DESIGN at zero users, with
+    // ppm cells defined (no 0/0 ANSI error)
+    val f = graft.agg.Windows.funnel(emptyEvents, col("user_id"),
+        Seq("A", "B")).orderBy("step")
+      .as[(Long, String, Long, Long, Long)].collect().toSeq
+    assert(f == Seq((1L, "A", 0L, 1000000L, 0L), (2L, "B", 0L, 0L, 0L)))
+    graft.ops.Reuse.freeAll(spark)
+  }
+
   test("ext85 on a duplicate-free corpus: one zero-savings row, no NULLs " +
       "(r7 ADVICE degenerate-case parity)") {
     // With zero dup clusters the family relation is empty; the report
