@@ -4,6 +4,16 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // Iteration mode (r12 verdict item 8): the registry is 170+ queries
+    // with ~0.45 s median floor, so a full bench pass is dominated by
+    // fixed per-query overhead. SPARK_GRAFT_BENCH_ONLY=ext147,ext139
+    // restricts timing to name-prefix matches while iterating; the
+    // graded gate ALWAYS runs the full set (driver sets no filter), and
+    // a filtered run writes bench_last_partial.json so it can never
+    // poison the floors pipeline (record_floors.py reads
+    // bench_last.json only).
+    val benchOnly = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").toSeq.filter(_.nonEmpty))
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -43,7 +53,10 @@ object Bench {
     // untimed pre-run demonstrably did not absorb it. The min of two
     // passes measures the plan, not the process state it ran in.
     def timedPass(): Map[String, Double] =
-      SparkEntry.queries.toSeq.sortBy(_._1).map {
+      SparkEntry.queries.toSeq.sortBy(_._1)
+        .filter { case (name, _) =>
+          benchOnly.forall(_.exists(name.startsWith)) }
+        .map {
         case (name, fn) =>
           val t0 = System.nanoTime()
           // A failed query must not abort the bench, but must be visible
@@ -98,7 +111,9 @@ object Bench {
     // (One total line only: the r5 duplicate double-counted in
     // sum-all-records consumers — r5 ADVICE.)
     try {
-      val w = new java.io.PrintWriter("bench_last.json")
+      val w = new java.io.PrintWriter(
+        if (benchOnly.isDefined) "bench_last_partial.json"
+        else "bench_last.json")
       try w.println(full) finally w.close()
     } catch { case _: Throwable => () }
     sorted.grouped(10).zipWithIndex.foreach { case (grp, i) =>

@@ -2035,6 +2035,35 @@ object ExtEntry {
         .orderBy("a_id", "b_id")
     }),
 
+    // Kept-pair recall of the CAPPED margin miner — ext146's production
+    // answer to its measured dup-mode quadratic (x17 wall at x10 data):
+    // the ext124 rebalanced assignment (kmeans argmin, mean-size cap,
+    // within-bucket split, composite ids) threaded through the SHARED
+    // margin algebra via marginMineBucketed, priced against the exact
+    // marginMine as one int64 row — the ext54 discipline: every
+    // approximate path ships its price.
+    "ext147_margin_recall" -> ((s, dir) => {
+      val e = embs(s, dir)
+      val a = e.filter(col("vec_id") % 2 === 0)
+      val b = e.filter(col("vec_id") % 2 === 1)
+      val bk = ivfBuckets(s, dir)
+      val st = bk.groupBy("bucket").agg(count(lit(1)).as("cnt"))
+        .agg(count(lit(1)).as("nb"), sum("cnt").as("nv")).head()
+      val cap = st.getLong(1) / st.getLong(0)
+      val reb = Similarity.splitOversizedBuckets(e, bk, cap)
+      val exact = Similarity.marginMine(a, b).select("a_id", "b_id")
+      val capped = Similarity.marginMineBucketed(a, b, reb)
+        .select("a_id", "b_id")
+      exact.agg(count(lit(1)).as("n_exact"))
+        .crossJoin(capped.agg(count(lit(1)).as("n_capped")))
+        .crossJoin(exact.intersect(capped)
+          .agg(count(lit(1)).as("n_common")))
+        .select(col("n_exact"), col("n_capped"), col("n_common"),
+          when(col("n_exact") === 0, lit(1000000L))
+            .otherwise(expr("(1000000 * n_common) DIV n_exact"))
+            .as("recall_ppm"))
+    }),
+
     // TextRank keyword extraction: damped weighted power iteration
     // over the corpus word-adjacency graph, all fixed-point int64
     // (per-edge DIV truncation, damping blend DIV 100) — PageRank's
@@ -2295,49 +2324,94 @@ object ExtEntry {
         .orderBy("stage_ord", "stage"))
   )
 
-  /** The ext137/ext146 margin oracle: dots/rank/fold-mean/margin over
-    * the parity split, with `bucketPred` restricting candidate pairs
-    * (empty = exact; label equality = the IVF form). */
-  private def marginMineSql(bucketPred: String): String = {
+  /** The margin CTE chain, name-prefixed so ext147 can run TWO
+    * instances (exact + bucket-capped) in one WITH: dots/rank/
+    * fold-mean/margin over the parity split, candidate pairs
+    * restricted by `extraJoin` (inserted into the dot join's FROM) and
+    * `bucketPred` (ANDed into its WHERE). Assumes QuantFlatSql's
+    * `flat`/`n2` are in scope; leaves `{p}kept(a_id, b_id, fwd_rank,
+    * cos, margin_ppm)` — the positive-neighborhood guard (a_knn +
+    * b_knn > 0) mirrors [[graft.ops.Similarity.marginFromRanked]]. */
+  private def marginCtes(p: String, extraJoin: String,
+      bucketPred: String): String = {
       val k = graft.ops.Similarity.MarginK
       val foldMean =
         (1 to k).map(i => s"max(CASE WHEN rn = $i THEN cos END)")
           .reduceLeft((a, b) => s"($a + $b)") + s" / $k.0"
-      s"""$QuantFlatSql,
-         |mdots AS (
+      s"""${p}dots AS (
          |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
          |         CAST(SUM(a.qi * b.qi) AS BIGINT) AS dot
          |  FROM flat a JOIN flat b ON a.i = b.i
+         |  $extraJoin
          |  WHERE a.vec_id % 2 = 0 AND b.vec_id % 2 = 1 $bucketPred
          |  GROUP BY 1, 2),
-         |msc AS (
+         |${p}sc AS (
          |  SELECT a_id, b_id,
          |         CAST(dot AS DOUBLE) /
          |           sqrt(CAST(na.n2 AS DOUBLE) * CAST(nb.n2 AS DOUBLE))
          |           AS cos
-         |  FROM mdots JOIN n2 na ON na.vec_id = a_id
+         |  FROM ${p}dots JOIN n2 na ON na.vec_id = a_id
          |             JOIN n2 nb ON nb.vec_id = b_id),
-         |mf AS (SELECT *, row_number() OVER (
+         |${p}f AS (SELECT *, row_number() OVER (
          |         PARTITION BY a_id ORDER BY cos DESC, b_id) AS rn
-         |       FROM msc),
-         |mb AS (SELECT *, row_number() OVER (
+         |       FROM ${p}sc),
+         |${p}b AS (SELECT *, row_number() OVER (
          |         PARTITION BY b_id ORDER BY cos DESC, a_id) AS rn
-         |       FROM msc),
-         |maa AS (SELECT a_id, $foldMean AS a_knn
-         |        FROM mf WHERE rn <= $k GROUP BY 1),
-         |mbb AS (SELECT b_id, $foldMean AS b_knn
-         |        FROM mb WHERE rn <= $k GROUP BY 1)
-         |SELECT mf.a_id, mf.b_id, CAST(mf.rn AS BIGINT) AS fwd_rank,
-         |       mf.cos,
-         |       CAST(floor(((mf.cos + mf.cos) / (maa.a_knn + mbb.b_knn))
-         |                  * 1000000.0) AS BIGINT) AS margin_ppm
-         |FROM mf JOIN maa USING (a_id) JOIN mbb USING (b_id)
-         |WHERE mf.rn <= $k
-         |  AND CAST(floor(((mf.cos + mf.cos) / (maa.a_knn + mbb.b_knn))
-         |                 * 1000000.0) AS BIGINT)
-         |      >= ${graft.ops.Similarity.MarginThresholdPpm}
-         |ORDER BY a_id, b_id""".stripMargin
+         |       FROM ${p}sc),
+         |${p}aa AS (SELECT a_id, $foldMean AS a_knn
+         |        FROM ${p}f WHERE rn <= $k GROUP BY 1),
+         |${p}bb AS (SELECT b_id, $foldMean AS b_knn
+         |        FROM ${p}b WHERE rn <= $k GROUP BY 1),
+         |${p}kept AS (
+         |  SELECT mf.a_id, mf.b_id, CAST(mf.rn AS BIGINT) AS fwd_rank,
+         |         mf.cos,
+         |         CAST(floor(((mf.cos + mf.cos) / (maa.a_knn + mbb.b_knn))
+         |                    * 1000000.0) AS BIGINT) AS margin_ppm
+         |  FROM ${p}f mf JOIN ${p}aa maa USING (a_id)
+         |       JOIN ${p}bb mbb USING (b_id)
+         |  WHERE mf.rn <= $k
+         |    AND (maa.a_knn + mbb.b_knn) > 0
+         |    AND CAST(floor(((mf.cos + mf.cos) / (maa.a_knn + mbb.b_knn))
+         |                   * 1000000.0) AS BIGINT)
+         |        >= ${graft.ops.Similarity.MarginThresholdPpm})""".stripMargin
   }
+
+  /** The ext137/ext146 margin oracle: [[marginCtes]] with `bucketPred`
+    * restricting candidate pairs (empty = exact; label equality = the
+    * IVF form). */
+  private def marginMineSql(bucketPred: String): String =
+    s"""$QuantFlatSql,
+       |${marginCtes("m", "", bucketPred)}
+       |SELECT a_id, b_id, fwd_rank, cos, margin_ppm
+       |FROM mkept ORDER BY a_id, b_id""".stripMargin
+
+  /** The ext124 rebalanced-assignment CTE chain (kmeans argmin →
+    * mean-size cap → within-bucket split → composite ids), shared by
+    * the ext124 card and the ext147 recall audit; leaves
+    * `reb(vec_id, bucket)`. Assumes QuantFlatSql's CTEs in scope. */
+  private def rebalanceCtes: String =
+    s"""${kmeansCtes(8, 2)},
+       |b AS (SELECT cid AS bucket, count(*) AS cnt FROM a3 GROUP BY 1),
+       |cap AS (SELECT CAST(SUM(cnt) // COUNT(*) AS BIGINT) AS cap FROM b),
+       |over AS (SELECT bucket FROM b, cap WHERE cnt > cap.cap),
+       |mem AS (SELECT a.vec_id, a.cid AS bucket
+       |        FROM a3 a JOIN over o ON o.bucket = a.cid),
+       |${bucketSplitCtes(2, 2)},
+       |childrank AS (
+       |  SELECT bucket, ccid,
+       |         CAST(row_number() OVER (
+       |           PARTITION BY bucket ORDER BY ccid) - 1 AS BIGINT)
+       |           AS child
+       |  FROM (SELECT DISTINCT bucket, ccid FROM sc2)),
+       |splitasn AS (
+       |  SELECT a.vec_id, a.bucket * 2 + c.child AS bucket
+       |  FROM sa3 a JOIN childrank c ON c.bucket = a.bucket
+       |       AND c.ccid = a.ccid),
+       |keptasn AS (
+       |  SELECT a.vec_id, a.cid * 2 AS bucket FROM a3 a
+       |  WHERE a.cid NOT IN (SELECT bucket FROM over)),
+       |reb AS (SELECT * FROM splitasn UNION ALL SELECT * FROM keptasn)"""
+      .stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "ext01_dedup_exact" ->
@@ -5063,7 +5137,7 @@ object ExtEntry {
          |         CAST(length(bin(greatest(
          |             (1000000 * (c_t + 1) * (n_r + 256))
          |               // ((c_r + 1) * (n_t + 256)), 1))) AS BIGINT)
-         |           - 20 AS lr_oct
+         |           - 21 AS lr_oct
          |       FROM c, tot),
          |sc AS (SELECT doc_id, CAST(sum(lr_oct) AS BIGINT) AS dsir_log2w,
          |              CAST(count(*) AS BIGINT) AS n_toks
@@ -5153,6 +5227,39 @@ object ExtEntry {
     // neighborhood means.
     "ext146_margin_mine_ivf" ->
       marginMineSql("AND a.label = b.label"),
+
+    // The capped-margin recall audit: the ext124 rebalanced assignment
+    // replayed verbatim (rebalanceCtes), then TWO margin chains in one
+    // WITH — x = exact, y = candidates restricted to same REBALANCED
+    // bucket — and the kept-pair sets compared as exact int64 counts.
+    // flat/n2/reb are MATERIALIZED: this WITH references `flat` ~18
+    // times across the two chains plus the Lloyd's replay, and DuckDB's
+    // default CTE inlining multiplies the parquet scan instances past
+    // the fd limit ("Too many open files" at ulimit 20000); identical
+    // rows, just evaluated once.
+    "ext147_margin_recall" ->
+      s"""${QuantFlatSql
+            .replace("flat AS (", "flat AS MATERIALIZED (")
+            .replace("n2 AS (SELECT", "n2 AS MATERIALIZED (SELECT")},
+         |${rebalanceCtes
+            .replace("reb AS (SELECT", "reb AS MATERIALIZED (SELECT")},
+         |${marginCtes("x", "", "")},
+         |${marginCtes("y",
+            """JOIN reb ra ON ra.vec_id = a.vec_id
+              |       JOIN reb rb ON rb.vec_id = b.vec_id
+              |                   AND rb.bucket = ra.bucket""".stripMargin,
+            "")},
+         |xc AS (SELECT CAST(count(*) AS BIGINT) AS n_exact FROM xkept),
+         |yc AS (SELECT CAST(count(*) AS BIGINT) AS n_capped FROM ykept),
+         |cc AS (SELECT CAST(count(*) AS BIGINT) AS n_common FROM (
+         |         SELECT a_id, b_id FROM xkept
+         |         INTERSECT
+         |         SELECT a_id, b_id FROM ykept))
+         |SELECT xc.n_exact, yc.n_capped, cc.n_common,
+         |       CASE WHEN xc.n_exact = 0 THEN 1000000
+         |            ELSE (1000000 * cc.n_common) // xc.n_exact
+         |       END AS recall_ppm
+         |FROM xc, yc, cc""".stripMargin,
 
 
     // The same Gonzalez rounds unrolled: seed = (max n2, min id), each
@@ -5657,29 +5764,8 @@ object ExtEntry {
     // histograms' extremes in exact int64.
     "ext124_bucket_rebalance" ->
       s"""$QuantFlatSql,
-         |${kmeansCtes(8, 2)},
-         |b AS (SELECT cid AS bucket, count(*) AS cnt FROM a3 GROUP BY 1),
-         |cap AS (SELECT CAST(SUM(cnt) // COUNT(*) AS BIGINT) AS cap FROM b),
-         |over AS (SELECT bucket FROM b, cap WHERE cnt > cap.cap),
-         |mem AS (SELECT a.vec_id, a.cid AS bucket
-         |        FROM a3 a JOIN over o ON o.bucket = a.cid),
-         |${bucketSplitCtes(2, 2)},
-         |childrank AS (
-         |  SELECT bucket, ccid,
-         |         CAST(row_number() OVER (
-         |           PARTITION BY bucket ORDER BY ccid) - 1 AS BIGINT)
-         |           AS child
-         |  FROM (SELECT DISTINCT bucket, ccid FROM sc2)),
-         |splitasn AS (
-         |  SELECT a.vec_id, a.bucket * 2 + c.child AS bucket
-         |  FROM sa3 a JOIN childrank c ON c.bucket = a.bucket
-         |       AND c.ccid = a.ccid),
-         |keptasn AS (
-         |  SELECT a.vec_id, a.cid * 2 AS bucket FROM a3 a
-         |  WHERE a.cid NOT IN (SELECT bucket FROM over)),
-         |nb AS (SELECT bucket, count(*) AS cnt FROM (
-         |         SELECT * FROM splitasn UNION ALL SELECT * FROM keptasn)
-         |       GROUP BY 1),
+         |$rebalanceCtes,
+         |nb AS (SELECT bucket, count(*) AS cnt FROM reb GROUP BY 1),
          |bb AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n_vectors,
          |              CAST(COUNT(*) AS BIGINT) AS n_buckets_before,
          |              CAST(MAX(cnt) AS BIGINT) AS max_bucket_before,

@@ -441,6 +441,32 @@ object ScaleSmoke {
     time("lang_segments") {
       graft.ops.TextOps.langSegments(big)
     }
+    // r13 (r12 verdict item 4): TextRank at Nx — the last iterative
+    // operator without a priced 100x row. The claim: the power
+    // iteration's cost is bounded by the EDGE GRAPH, not the corpus —
+    // in dup mode the graph is IDENTICAL to 1x (copies add edge-count
+    // mass, not vertices or edges), in disjoint mode vocab grows ~Nx
+    // and the companion graph row below measures the vocab² bound
+    // actually holding (natural-text adjacency is sparse: edges ≪
+    // vocab², and minWout floors the vertex set).
+    time("textrank") { graft.ops.TextOps.textRank(big) }
+    if (only.forall(_.exists("textrank".startsWith))) {
+      val pairs = graft.ops.TextOps.bigramRows(big.select("text"))
+        .filter(col("t1") =!= col("t2"))
+        .select(col("t1").as("src"), col("t2").as("dst"))
+      val und = pairs.union(
+        pairs.select(col("dst").as("src"), col("src").as("dst")))
+      val all = und.groupBy("src", "dst").agg(count(lit(1)).as("w"))
+      val keep = all.groupBy("src").agg(sum("w").as("w0"))
+        .filter(col("w0") >= 5).select("src")
+      val v = keep.count()
+      val e = all.join(keep, "src")
+        .join(keep.select(col("src").as("dst")), "dst").count()
+      println(s"[scale-smoke] textrank_graph vocab=$v edges=$e " +
+        s"vocab2=${v * v} edge_fill_ppm=${
+          if (v > 0) e * 1000000L / (v * v) else 0}")
+      graft.ops.Reuse.freeAll(spark)
+    }
     // IVF margin mining: the scored relation is Σ|bucketA|×|bucketB|
     // over shared buckets — per-label buckets grow linearly with mult,
     // so THIS number prices quadratic in-bucket candidate mass growth;
@@ -456,6 +482,28 @@ object ScaleSmoke {
       graft.ops.Similarity.marginMineIvf(
         lab.filter(col("vec_id") % 2 === 0),
         lab.filter(col("vec_id") % 2 === 1))
+    }
+    // r13 (r12 verdict item 2): the capped composition — the same
+    // parity-split margin mining fed splitOversizedBuckets' rebalanced
+    // kmeans assignment through marginMineBucketed (the production
+    // path EXPLAINS named; recall priced by ext147). In dup mode every
+    // copy of a base vector is identical, so kmeans piles whole
+    // families into hot buckets and the split caps everything EXCEPT
+    // unsplittable identical families (argmin ties keep them together
+    // — exact dedup's job first, the ext87 composition): candidate
+    // mass drops from Σ|bucketA|·|bucketB| over mult-scaled buckets to
+    // Σ capped-bucket products — sub-quadratic growth is what this row
+    // vs margin_mine_ivf measures.
+    time("margin_mine_capped") {
+      val bk = graft.ops.Similarity.kmeansBuckets(bigEmb)
+      val st = bk.groupBy("bucket").agg(count(lit(1)).as("cnt"))
+        .agg(count(lit(1)).as("nb"), sum("cnt").as("nv")).head()
+      val cap = st.getLong(1) / st.getLong(0)
+      val reb = graft.ops.Similarity
+        .splitOversizedBuckets(bigEmb, bk, cap)
+      graft.ops.Similarity.marginMineBucketed(
+        bigEmb.filter(col("vec_id") % 2 === 0),
+        bigEmb.filter(col("vec_id") % 2 === 1), reb)
     }
     // funnel / aligned trending / z-order price on a mult-x SYNTHETIC
     // event stream (the parquet events table is fixed-size): users
@@ -486,6 +534,82 @@ object ScaleSmoke {
             expr("unix_micros(ts) DIV 86400000000").as("day")),
           col("user_id"), col("day"))
       }
+    }
+    // r13 (r12 verdict item 1): the funnel with USERS scaling WITH the
+    // corpus — the case the removed broadcast(prev) hint would OOM:
+    // the survivor relation is O(|users|), corpus-proportional, so at
+    // Nx events AND Nx distinct users the step joins must run as
+    // uid-keyed shuffle joins with flat heap (AQE may still downgrade
+    // to broadcast only when the survivor side is genuinely small).
+    // The companion line prints the physical join strategies chosen.
+    if (only.forall(_.exists("funnel_scaled_users".startsWith))) {
+      val nE = mult.toLong * 100000L
+      val evU = spark.range(nE).select(
+        col("id").as("event_id"),
+        expr("timestamp_millis(1704067200000 + (id * 7919) % 2592000000)")
+          .as("ts"),
+        (col("id") % (mult.toLong * 2000L)).as("user_id"),
+        element_at(array(lit("signup"), lit("view"), lit("click"),
+          lit("purchase"), lit("error")),
+          (col("id") % 5 + 1).cast("int")).as("event_type"))
+        .localCheckpoint(true)
+      time("funnel_scaled_users") {
+        graft.agg.Windows.funnel(evU, col("user_id"),
+          Seq("signup", "view", "click", "purchase"))
+      }
+      val plan = graft.agg.Windows.funnel(evU, col("user_id"),
+          Seq("signup", "view", "click", "purchase"))
+        .queryExecution.executedPlan.toString
+      def cnt(m: String) = m.r.findAllMatchIn(plan).size
+      println(s"[scale-smoke] funnel_join_strategies " +
+        s"shuffleJoins=${cnt("SortMergeJoin") + cnt("ShuffledHashJoin")} " +
+        s"broadcastJoins=${cnt("BroadcastHashJoin")} " +
+        s"forcedHints=${cnt("ResolvedHint")}")
+      graft.ops.Reuse.freeAll(spark)
+    }
+    // r13 (r12 verdict item 5): price funnelStateSink's state. The
+    // eviction law (ts > t1(u) + horizon ⇒ dead forever) is
+    // spec-proved; this measures it — events arrive in rough time
+    // order over ~10 horizons of event time across many batches driven
+    // through the EXPOSED per-batch seam (processFunnelBatch), and the
+    // snapshot row count after each batch must PLATEAU at the
+    // horizon-windowed funnel-event mass (each user's first week)
+    // instead of growing with stream length. Also witnesses the r13
+    // snapshot GC: at most 2 snap dirs ever on disk.
+    if (only.forall(_.exists("funnel_state_plateau".startsWith))) {
+      val steps = Seq("signup", "view", "click", "purchase")
+      val horizonUs = 7L * 86400000000L
+      val nBatches = 12
+      val nE = mult.toLong * 100000L
+      val perB = nE / nBatches
+      val tmpS = java.nio.file.Files
+        .createTempDirectory("graft-smoke-fs").toString
+      val sizes = (0 until nBatches).map { bi =>
+        // ~70 days of event time over 12 batches: time advances with
+        // the batch index, users cycle — every user's funnel window
+        // closes long before the stream ends.
+        val b = spark.range(bi * perB, (bi + 1) * perB).select(
+          col("id").as("event_id"),
+          expr("timestamp_micros(1704067200000000 + id * " +
+            s"${70L * 86400000000L / nE})").as("ts"),
+          concat(lit("u"), col("id") % 2000).as("user_id"),
+          element_at(array(lit("signup"), lit("view"), lit("click"),
+            lit("purchase"), lit("error")),
+            (col("id") % 5 + 1).cast("int")).as("event_type"))
+        graft.stream.StreamingPipeline.processFunnelBatch(
+          b, bi.toLong, steps, tmpS, horizonUs)
+        val snaps = new java.io.File(tmpS).listFiles()
+          .filter(_.isDirectory).map(_.toString).sorted
+        (spark.read.parquet(snaps.max).count(), snaps.length)
+      }
+      println(s"[scale-smoke] funnel_state_plateau " +
+        s"events=$nE batches=$nBatches " +
+        s"stateRows=[${sizes.map(_._1).mkString(",")}] " +
+        s"snapDirsOnDisk=${sizes.map(_._2).max} " +
+        s"finalOverMidRatio_pct=${
+          if (sizes(nBatches / 2)._1 > 0)
+            sizes.last._1 * 100 / sizes(nBatches / 2)._1 else -1}")
+      graft.ops.Reuse.freeAll(spark)
     }
     // end-to-end curation chain (ext126): gopher → rep surgery → span
     // surgery → semantic + bloom decon → mixture → pack, each stage an

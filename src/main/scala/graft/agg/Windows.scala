@@ -22,6 +22,35 @@ object Windows {
   val TopN = 10
   val ExamplesPerEntity = 10
 
+  /** Parse a `"<n> (seconds|minutes|hours)"` window-duration string into
+    * seconds — the single source the slice-rollup fan-out and stride are
+    * DERIVED from, so changing [[WindowSize]]/[[HopSize]] can never
+    * silently desynchronize the sliced forms from the direct `window()`
+    * form (they used to bake in `10` and `* 60` as literals). */
+  private[graft] def durationSec(d: String): Long = {
+    val pat = raw"(\d+)\s+(second|minute|hour)s?".r
+    d.trim match {
+      case pat(n, unit) => n.toLong * (unit match {
+        case "second" => 1L
+        case "minute" => 60L
+        case "hour"   => 3600L
+      })
+      case other =>
+        throw new IllegalArgumentException(s"unparseable duration: $other")
+    }
+  }
+
+  /** Hop fan-out (slices per window) and hop stride in seconds for a
+    * window/hop pair; requires the hop to divide the window evenly (the
+    * same constraint `window(ts, w, h)` slicing assumes). */
+  private[graft] def hopShape(windowSize: String, hopSize: String): (Int, Long) = {
+    val winSec = durationSec(windowSize)
+    val hopSec = durationSec(hopSize)
+    require(winSec % hopSec == 0,
+      s"hop $hopSize must divide window $windowSize evenly")
+    ((winSec / hopSec).toInt, hopSec)
+  }
+
   /** Window end as epoch seconds (BIGINT) — the cross-engine-stable key
     * the serving layer sorts/prunes on (the reference's D19 tick key,
     * RocksDBStore.cs:207-210, plays the same role). */
@@ -42,14 +71,17 @@ object Windows {
     * naive form (`window(ts, 10 min, 1 min)` directly) makes map-side
     * aggregation state and pre-combine rows 10× larger; slice rollup
     * moves the ×10 fan-out to |slices| rows instead of |events|. */
-  def hoppingCounts(events: DataFrame, ts: String = "ts"): DataFrame = {
-    val slices = events.groupBy(window(col(ts), HopSize))
+  def hoppingCounts(events: DataFrame, ts: String = "ts",
+      windowSize: String = WindowSize, hopSize: String = HopSize): DataFrame = {
+    val (fanOut, hopSec) = hopShape(windowSize, hopSize)
+    val slices = events.groupBy(window(col(ts), hopSize))
       .agg(count("*").as("c"))
       .select(col("window.start").cast("long").as("slice_start"), col("c"))
     slices
       .select(col("slice_start"), col("c"),
-        explode(sequence(lit(1), lit(10))).as("k"))
-      .select(col("c"), (col("slice_start") + col("k") * 60).as("window_end"))
+        explode(sequence(lit(1), lit(fanOut))).as("k"))
+      .select(col("c"),
+        (col("slice_start") + col("k") * hopSec).as("window_end"))
       .groupBy("window_end")
       .agg(sum(col("c")).as("cnt"))
   }
@@ -67,12 +99,14 @@ object Windows {
       entity: Column,
       weight: Column,
       ts: String = "ts",
-      extra: Seq[Column] = Nil): DataFrame =
+      extra: Seq[Column] = Nil,
+      windowSize: String = WindowSize,
+      hopSize: String = HopSize): DataFrame =
     if (extra.isEmpty &&
         events.sparkSession.conf.get("graft.hopagg", "sliced") == "sliced")
-      entityWindowAggSliced(events, entity, weight, ts)
+      entityWindowAggSliced(events, entity, weight, ts, windowSize, hopSize)
     else
-      events.groupBy(window(col(ts), WindowSize, HopSize), entity.as("entity"))
+      events.groupBy(window(col(ts), windowSize, hopSize), entity.as("entity"))
         .agg(
           count("*").as("tweet_count"),
           (sum(weight.cast("decimal(18,6)")).cast("double")
@@ -89,18 +123,21 @@ object Windows {
       events: DataFrame,
       entity: Column,
       weight: Column,
-      ts: String = "ts"): DataFrame = {
+      ts: String = "ts",
+      windowSize: String = WindowSize,
+      hopSize: String = HopSize): DataFrame = {
+    val (fanOut, hopSec) = hopShape(windowSize, hopSize)
     val slices = events
-      .groupBy(window(col(ts), HopSize), entity.as("entity"))
+      .groupBy(window(col(ts), hopSize), entity.as("entity"))
       .agg(count("*").as("c"),
         sum(weight.cast("decimal(18,6)")).as("s"))
       .select(col("window.start").cast("long").as("slice_start"),
         col("entity"), col("c"), col("s"))
     slices
       .select(col("slice_start"), col("entity"), col("c"), col("s"),
-        explode(sequence(lit(1), lit(10))).as("k"))
+        explode(sequence(lit(1), lit(fanOut))).as("k"))
       .select(col("entity"), col("c"), col("s"),
-        (col("slice_start") + col("k") * 60).as("window_end"))
+        (col("slice_start") + col("k") * hopSec).as("window_end"))
       .groupBy("window_end", "entity")
       .agg(sum(col("c")).as("tweet_count"),
         sum(col("s")).cast("double").as("follower_sum"))
@@ -194,12 +231,16 @@ object Windows {
    * of the previous step and of step 1 (integer DIV — exact).
    *
    * Scale shape: each step is one type-filtered pass over events
-   * joined against the (user, t1, t_prev) survivor relation — the
-   * survivor side is bounded by |users| and SHRINKS monotonically per
-   * step, so it broadcasts; events are scanned once per step with the
-   * event-type predicate pushed to the parquet scan, and the per-user
-   * min collapses map-side. The final 4-row summary never shuffles
-   * anything bigger than |steps| rows.
+   * equi-joined on `uid` against the (user, t1, t_prev) survivor
+   * relation. The survivor side is O(|users|) — corpus-proportional,
+   * NOT constant-bounded — so it is deliberately NOT broadcast-hinted
+   * (the same boundary `dedupWeights`/`noveltySink` document): both
+   * sides hash-partition on `uid` and AQE downgrades to a broadcast
+   * join at runtime only when the survivor side is actually small.
+   * Events are scanned once per step with the event-type predicate
+   * pushed to the parquet scan, and the per-user min collapses
+   * map-side. The final 4-row summary never shuffles anything bigger
+   * than |steps| rows.
    */
   def funnel(events: DataFrame, user: Column,
       steps: Seq[String], horizonUs: Long = 7L * 86400000000L,
@@ -214,7 +255,7 @@ object Windows {
       val prev = acc.head
       val next = events.filter(col(eventType) === step)
         .select(user.as("uid"), tsUs.as("t_ev"))
-        .join(broadcast(prev), "uid")
+        .join(prev, "uid")
         .filter(col("t_ev") > col("t_prev") &&
           col("t_ev") <= col("t1") + lit(horizonUs))
         .groupBy("uid", "t1")
@@ -246,7 +287,7 @@ object Windows {
       periodUs: Long = 7L * 86400000000L): DataFrame = {
     val periods = events
       .select(user.as("uid"),
-        expr(s"unix_micros(ts) DIV $periodUs").as("p"))
+        expr(s"unix_micros($ts) DIV $periodUs").as("p"))
       .distinct()
     val first = periods.groupBy("uid").agg(min("p").as("cohort_p"))
     val cohortSize = first.groupBy("cohort_p")

@@ -326,11 +326,15 @@ object Sampling {
    * model.
    *
    * Engine-exact variant: the per-bucket log-ratio is quantized to
-   * OCTAVES — lr_oct[b] = floor(log₂ r̃[b]) with r̃ the Laplace-smoothed
+   * OCTAVES — lr_oct[b] ≈ floor(log₂ r̃[b]) with r̃ the Laplace-smoothed
    * target/raw ratio in ppm, computed from pure int64 arithmetic
-   * (`length(bin(ratio_ppm)) − 20`, the ext56 bit-length idiom; 2^20 ≈
-   * 1.05e6 ppm ⇒ ratio 1 ↦ octave 0 with ~5% skew, uniform across all
-   * buckets so ranking is unaffected). A doc's score is then an int64
+   * (`length(bin(ratio_ppm)) − 21`, the ext56 bit-length idiom;
+   * bitlen − 21 = floor(log₂ ratio_ppm) − 20 ≈ log₂ r − 0.07 on
+   * average, i.e. near-unbiased per token — the earlier `− 20` form
+   * over-counted ~+0.93 bits/token, which cancels in equal-length
+   * comparisons but systematically inflates LONG documents' weights by
+   * ~2^(0.93·n_toks); `− 21` removes that length bias). A doc's score
+   * is then an int64
    * sum of small integers — order-independent, mergeable, and replayed
    * bit-for-bit by the oracle; the octave coarsening (≤1 bit per
    * bucket) is the price of never summing engine-specific `ln`s.
@@ -363,7 +367,7 @@ object Sampling {
       .select(col("b"),
         (length(expr(s"bin(greatest((1000000 * (c_t + 1) * (n_r + $buckets))"
           + s" DIV ((c_r + 1) * (n_t + $buckets)), 1))")).cast("long")
-          - 20L).as("lr_oct"))
+          - 21L).as("lr_oct"))
     val scored = toks.join(broadcast(lr), "b")
       .groupBy("doc_id")
       .agg(sum("lr_oct").as("dsir_log2w"), count(lit(1)).as("n_toks"))

@@ -27,9 +27,12 @@ case class ShardManifestRow(shard: Long, n_docs: Long, checksum: Long)
  * → ranked top-N per window → partitioned store.
  *
  * Mapping of the reference's Trill policies (Query.cs:27-31):
- *  - DisorderPolicy.Adjust(5 s)  → withWatermark(ts, 5 s). Semantic delta
- *    (SURVEY.md §7.3): Trill *adjusts* late timestamps into bounds, Spark
- *    *drops* rows later than the watermark — documented, not hidden.
+ *  - DisorderPolicy.Adjust(5 s)  → [[StreamingPipeline.adjustDisorderStream]]
+ *    (a max-seen-timestamp clamp that LIFTS late events to the 5-s bound,
+ *    Trill's Adjust) ahead of withWatermark(ts, 5 s) — post-clamp the
+ *    watermark can never drop a row. Plain withWatermark alone is the
+ *    drop-mode variant (Trill's DisorderPolicy.Drop); the delta between
+ *    the two is spec-asserted non-vacuous (StreamingSpec).
  *  - FlushOnPunctuation / 1 s    → micro-batch trigger.
  *  - Egress CoalesceEndEdges     → append mode emits one row per window
  *    at watermark expiry; window.end is the WindowTime.
@@ -690,11 +693,40 @@ object StreamingPipeline {
       .dropDuplicates("event_id")
     val t1 = merged.filter(col("event_type") === steps.head)
       .groupBy("user_id").agg(min("ts_us").as("t1"))
-    merged.join(broadcast(t1), Seq("user_id"), "left")
+    // t1 is O(|users|) — corpus-proportional, so no forced broadcast
+    // (the [[graft.agg.Windows.funnel]] boundary); AQE downgrades the
+    // uid-keyed join to broadcast only when t1 is actually small.
+    merged.join(t1, Seq("user_id"), "left")
       .filter(col("t1").isNull ||
         col("ts_us") <= col("t1") + lit(horizonUs))
       .select("event_id", "user_id", "event_type", "ts_us")
       .write.mode("overwrite").parquet(f"$statePath/snap=$batchId%09d")
+    gcFunnelSnaps(spark, statePath, batchId)
+  }
+
+  /** Snapshot GC: each batch's snapshot fully subsumes its
+    * predecessors, so only the newest and one fallback are ever needed
+    * (crash replay of batchId B reads the newest snap < B — keeping
+    * the current snap's immediate predecessor covers re-running the
+    * current batch). Without this, on-disk usage grows O(batches ×
+    * state) over a long-running stream even though each individual
+    * snapshot is bounded. */
+  private def gcFunnelSnaps(spark: SparkSession, statePath: String,
+      current: Long): Unit = {
+    val root = new org.apache.hadoop.fs.Path(statePath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return
+    val old = Option(fs.listStatus(root)).getOrElse(Array.empty)
+      .filter(_.isDirectory)
+      .map(_.getPath.getName)
+      .collect { case n if n.startsWith("snap=") =>
+        n.stripPrefix("snap=").toLong }
+      .filter(_ < current)
+      .sorted.dropRight(1) // keep the immediate predecessor for replay
+    old.foreach { id =>
+      fs.delete(new org.apache.hadoop.fs.Path(
+        f"$statePath/snap=$id%09d"), true)
+    }
   }
 
   private def latestFunnelSnap(spark: SparkSession, statePath: String,
@@ -1377,6 +1409,87 @@ object StreamingPipeline {
       s"""p_user = c_user AND
          |c_ts >= p_ts - INTERVAL $interval AND c_ts < p_ts""".stripMargin))
   }
+
+  /**
+   * Trill `DisorderPolicy.Adjust` twin (OP-19; Query.cs:27-31) — the
+   * last reference semantics gap (r12 verdict item 6). Trill ingress
+   * keeps a high watermark M = max event time seen so far and, under
+   * `Adjust(5 s)`, LIFTS any event older than M − 5 s up to exactly
+   * M − 5 s instead of dropping it; Spark's `withWatermark` DROPS such
+   * rows. This operator reproduces Adjust ahead of the windowed agg:
+   * one Long of state (M over all PRIOR batches) via
+   * `flatMapGroupsWithState`; every event in the current batch is
+   * clamped to `max(ts, M_prior − bound)` and M advances to the batch
+   * max. After the clamp no event is ever later than `bound` behind
+   * the stream's running max, so the downstream
+   * `withWatermark(ts, bound)` drops NOTHING — the drop-vs-adjust
+   * delta is closed.
+   *
+   * Residual delta vs Trill (documented, spec-asserted on the rest):
+   * Trill adjusts against the watermark AT EACH EVENT'S ARRIVAL within
+   * its ordered ingress; a micro-batch has no intra-batch order, so
+   * events of one batch are treated as simultaneous arrivals — the
+   * batch plays the reorder buffer's role (windowed aggregation is
+   * order-insensitive inside the bound, so counts agree whenever the
+   * trigger interval ≤ the disorder bound, the reference's own 1-s
+   * punctuation vs 5-s bound regime).
+   *
+   * Scale note: the single global key serializes each micro-batch
+   * through one task — faithful to the reference, whose ingress IS one
+   * sequential Rx stream with ONE global watermark (TwitterStream.cs);
+   * a sharded deployment runs one Adjust per source shard by passing
+   * that shard id as `key` (state = one Long per shard either way;
+   * the micro-batch is materialized per group, so admission control —
+   * maxFilesPerTrigger — bounds the task, exactly the
+   * [[shardSequencerStream]] contract).
+   */
+  def adjustDisorderStream(events: DataFrame, ts: String = "ts",
+      boundUs: Long = 5000000L,
+      key: Column = lit(0L)): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    val withUs = events
+      .withColumn("_adj_us", unix_micros(col(ts)))
+      .withColumn("_adj_key", key.cast("long"))
+    val schema = withUs.schema
+    val tsIdx = schema.fieldIndex("_adj_us")
+    val keyIdx = schema.fieldIndex("_adj_key")
+    val enc = Encoders.row(schema)
+    val adjusted = withUs
+      .groupByKey((r: Row) => r.getLong(keyIdx))(Encoders.scalaLong)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout) {
+        (_: Long, rows: Iterator[Row], state: GroupState[Long]) =>
+          val prior = state.getOption.getOrElse(Long.MinValue)
+          val floor =
+            if (prior == Long.MinValue) Long.MinValue
+            else prior - boundUs
+          var mx = prior
+          val out = rows.map { r =>
+            val raw = r.getLong(tsIdx)
+            if (raw > mx) mx = raw
+            if (raw < floor) Row.fromSeq(r.toSeq.updated(tsIdx, floor))
+            else r
+          }.toArray
+          if (mx != Long.MinValue) state.update(mx)
+          out.iterator
+      }(Encoders.scalaLong, enc)
+    adjusted
+      .withColumn(ts, expr("timestamp_micros(_adj_us)"))
+      .drop("_adj_us", "_adj_key")
+  }
+
+  /** OP-19/20 with Adjust semantics end to end: the clamp above, then
+    * the reference's tumbling count under a watermark equal to the
+    * disorder bound — which, post-clamp, can never drop a row
+    * (flatMapGroupsWithState in Append mode composes with a downstream
+    * windowed aggregation). */
+  def adjustedTumblingCountsStream(tweets: DataFrame,
+      boundUs: Long = 5000000L): DataFrame =
+    adjustDisorderStream(tweets, "ts", boundUs)
+      .withWatermark("ts", s"${boundUs / 1000000L} seconds")
+      .groupBy(window(col("ts"), Windows.WindowSize))
+      .agg(count("*").as("cnt"))
+      .select(col("window.end").cast("long").as("window_end"), col("cnt"))
 
   /** Per-hashtag hopping-window aggregate stream (OP-21/23/24). */
   def hashtagAggStream(tweets: DataFrame): DataFrame =

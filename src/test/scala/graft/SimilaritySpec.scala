@@ -729,6 +729,28 @@ class SimilaritySpec extends TestBase {
       "an IVF-mined pair straddles buckets")
     assert(ivf != exact, "bucket restriction changed nothing — law " +
       "is vacuous on this corpus")
+    // marginMineBucketed over the label column AS an explicit
+    // assignment == marginMineIvf over the label column: the ext124
+    // consumer seam carries the same candidate sets through the shared
+    // margin algebra (single-bucket assignment ⇒ identical same-bucket
+    // pair lists), so any (id, bucket) relation — including
+    // splitOversizedBuckets' composite ids — slots in unchanged.
+    val asg = emb.select(col("vec_id"), col("label").cast("long"))
+    val bucketed = Similarity.marginMineBucketed(a, b, asg)
+      .as[(Long, Long, Long, Double, Long)].collect().toSet
+    assert(bucketed == ivf,
+      "bucketed-assignment margin differs from the ivfTopK form")
+    // and the REBALANCED assignment composes: capped buckets still
+    // produce a nonempty mined set whose pairs all share a composite
+    // bucket (the ext147 recall audit prices what the cap costs)
+    val bk = Similarity.kmeansBuckets(emb)
+    val reb = Similarity.splitOversizedBuckets(emb, bk, 8L)
+    val capped = Similarity.marginMineBucketed(a, b, reb)
+      .as[(Long, Long, Long, Double, Long)].collect().toSet
+    val rebMap = reb.as[(Long, Long)].collect().toMap
+    assert(capped.nonEmpty)
+    assert(capped.forall(p => rebMap(p._1) == rebMap(p._2)),
+      "a capped-mined pair straddles rebalanced buckets")
     graft.ops.Reuse.freeAll(spark)
   }
 
@@ -788,11 +810,17 @@ class SimilaritySpec extends TestBase {
       }
     val aKnn = avgOf(fwd)
     val bKnn = avgOf(bwd)
-    val expected = fwd.map { case (aId, bId, rank, cos) =>
-      val ppm = math.floor(
-        (cos + cos) / (aKnn(aId) + bKnn(bId)) * 1000000.0).toLong
-      (aId, bId, rank, ppm)
-    }.filter(_._4 >= Similarity.MarginThresholdPpm).toSet
+    val expected = fwd
+      // positive-neighborhood guard (r12 ADVICE): a pair whose BOTH
+      // endpoints average negative cosine must never be mined — the
+      // ratio's sign flips and a strongly anti-correlated pair would
+      // read as high-margin.
+      .filter { case (aId, bId, _, _) => aKnn(aId) + bKnn(bId) > 0 }
+      .map { case (aId, bId, rank, cos) =>
+        val ppm = math.floor(
+          (cos + cos) / (aKnn(aId) + bKnn(bId)) * 1000000.0).toLong
+        (aId, bId, rank, ppm)
+      }.filter(_._4 >= Similarity.MarginThresholdPpm).toSet
     assert(got == expected)
     // non-vacuous both ways: the threshold keeps some pairs and cuts
     // some candidates (a trivial cut point would make the law empty)

@@ -2116,4 +2116,77 @@ class StreamingSpec extends TestBase {
         "pre-t1 event was wrongly evicted before its late step-1")
     }
   }
+
+  test("DisorderPolicy.Adjust twin: late events lift to the 5-s bound, " +
+      "window counts equal hand-computed Trill Adjust, delta vs " +
+      "drop-mode non-vacuous (OP-19)") {
+    import spark.implicits._
+    val base = 1704067200000000L // 2024-01-01 00:00:00 UTC in micros
+    def at(s: Long) = base + s * 1000000L
+    // Trill Adjust(5 s) hand-run, M = running max event time:
+    //  b0: e1@0:00, e2@9:58            -> M = 9:58, nothing late
+    //  b1: e3@9:50  (< M-5s = 9:53)    -> ADJUSTED to 9:53
+    //      e4@-0:03 (ancient)          -> ADJUSTED to 9:53 — crosses a
+    //                                     window boundary into [0,10)
+    //      e5@10:05 fresh              -> M = 10:05
+    //  b2: e6@20:30 fresh (flushes [0,10) and [10,20))
+    //  b3: e7@40:00 fresh (flushes [20,30))
+    // Tumbling 10-min counts under Adjust: [0,10) = e1,e2,e3,e4 = 4;
+    // [10,20) = e5 = 1; [20,30) = e6 = 1.
+    val incs = Seq(
+      Seq((1L, at(0)), (2L, at(598))),
+      Seq((3L, at(590)), (4L, at(-3)), (5L, at(605))),
+      Seq((6L, at(1230))),
+      Seq((7L, at(2400))))
+    def toDf(rows: Seq[(Long, Long)]) =
+      rows.toDF("event_id", "us")
+        .select($"event_id", expr("timestamp_micros(us)").as("ts"))
+    val srcDir = Files.createTempDirectory("graft-adjust-src").toFile
+    incs.zipWithIndex.foreach { case (rows, i) =>
+      val tmp = s"$srcDir/_stage$i"
+      toDf(rows).coalesce(1).write.parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dst = new java.io.File(srcDir, f"inc$i%02d.parquet")
+      Files.move(part.toPath, dst.toPath)
+      dst.setLastModified(1704067200000L + i * 60000L)
+      org.apache.commons.io.FileUtils.deleteDirectory(
+        new java.io.File(tmp))
+    }
+    def runCounts(adjust: Boolean): Map[Long, Long] = {
+      val ckpt = Files.createTempDirectory("graft-adjust-ckpt").toString
+      val out = Files.createTempDirectory("graft-adjust-out").toString
+      val src = StreamingPipeline.parquetStream(spark, srcDir.toString,
+        maxFilesPerTrigger = Some(1))
+      val counts =
+        if (adjust) StreamingPipeline.adjustedTumblingCountsStream(src)
+        else src.withWatermark("ts", StreamingPipeline.Watermark)
+          .groupBy(window(col("ts"), graft.agg.Windows.WindowSize))
+          .agg(count("*").as("cnt"))
+          .select(col("window.end").cast("long").as("window_end"),
+            col("cnt"))
+      val q = counts.writeStream.outputMode("append")
+        .format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt).start()
+      q.processAllAvailable()
+      q.stop()
+      spark.read.parquet(out).as[(Long, Long)].collect().toMap
+    }
+    val adjusted = runCounts(adjust = true)
+    val baseSec = base / 1000000L
+    // e7's window never closes (no later event) — assert the CLOSED set.
+    assert(adjusted == Map(
+      (baseSec + 600L) -> 4L, (baseSec + 1200L) -> 1L,
+      (baseSec + 1800L) -> 1L),
+      s"Adjust-mode counts differ from hand-computed Trill: $adjusted")
+    // Drop-mode (plain watermark, Trill's DisorderPolicy.Drop analog):
+    // e4's window end (0:10:00 after base-10min... its own window ends
+    // at base+0) is behind the b0-derived watermark 9:53 -> DROPPED;
+    // e3's window [0,10) end 10:00 is ahead of it -> kept. [0,10) = 3.
+    val dropped = runCounts(adjust = false)
+    assert(dropped.get(baseSec + 600L).contains(3L),
+      s"drop-mode fixture drifted: $dropped")
+    assert(adjusted(baseSec + 600L) != dropped(baseSec + 600L),
+      "Adjust-vs-drop delta is vacuous on this fixture")
+  }
 }
