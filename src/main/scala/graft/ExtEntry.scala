@@ -2064,6 +2064,25 @@ object ExtEntry {
             .as("recall_ppm"))
     }),
 
+    // Stupid-backoff bigram LM document scoring over the corpus-built
+    // PRUNED LM — the count-based perplexity filter (CCNet's KenLM
+    // analog): kept bigrams score c(w1 w2)/c(w1), pruned transitions
+    // back off to 0.4*c(w2)/N, every position contributing its
+    // debiased octave (bitlen(ppm)-21); the integer log2-likelihood a
+    // curation pipeline thresholds on, where ext42's lm_q is a mean
+    // conditional probability with no backoff path.
+    "ext148_lm_backoff" -> ((s, dir) =>
+      TextOps.stupidBackoffScores(docs(s, dir)).orderBy("doc_id")),
+
+    // Empirical LSH band-plan tuning card: for every (r, b)
+    // factorization of the 16-hash MinHash signature, the expected
+    // banded-LSH recall E[1-(1-s^r)^b] over the corpus's own true
+    // >= tau Jaccard pairs (exact integer ppm s, truncating fixed-point
+    // power chains) — the recall-vs-cost trade the shipped 4x4 banding
+    // commits to, computed from data instead of assumed.
+    "ext149_lsh_band_plan" -> ((s, dir) =>
+      Dedup.lshBandPlan(docs(s, dir)).orderBy("rows_per_band")),
+
     // TextRank keyword extraction: damped weighted power iteration
     // over the corpus word-adjacency graph, all fixed-point int64
     // (per-edge DIV truncation, damping blend DIV 100) — PageRank's
@@ -5260,6 +5279,76 @@ object ExtEntry {
          |            ELSE (1000000 * cc.n_common) // xc.n_exact
          |       END AS recall_ppm
          |FROM xc, yc, cc""".stripMargin,
+
+    // Stupid-backoff replay: pruned bigram LM (HAVING >= minCount),
+    // unigram table, 1-row total; kept positions (1e6*cb)//cu(t1),
+    // backoff (4e5*cu(t2))//N, octave = bitlen(ppm)-21 — all int64.
+    "ext148_lm_backoff" ->
+      """WITH bg AS (
+        |  SELECT doc_id, unnest(tk[1:len(tk)-1]) AS t1,
+        |         unnest(tk[2:len(tk)]) AS t2
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS tk
+        |        FROM documents)),
+        |lm AS (SELECT t1, t2, CAST(count(*) AS BIGINT) AS cb
+        |       FROM bg GROUP BY 1, 2 HAVING count(*) >= 2),
+        |uni AS (SELECT t, CAST(count(*) AS BIGINT) AS cu FROM (
+        |          SELECT unnest(string_split(text, ' ')) AS t
+        |          FROM documents) GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(cu) AS BIGINT) AS n_total FROM uni),
+        |sp AS (
+        |  SELECT bg.doc_id,
+        |         CASE WHEN lm.cb IS NOT NULL
+        |              THEN (1000000 * lm.cb) // u1.cu
+        |              ELSE (400000 * u2.cu) // tot.n_total END AS ppm,
+        |         CASE WHEN lm.cb IS NULL THEN 1 ELSE 0 END AS bo
+        |  FROM bg LEFT JOIN lm USING (t1, t2)
+        |       JOIN uni u1 ON u1.t = bg.t1
+        |       JOIN uni u2 ON u2.t = bg.t2, tot),
+        |s AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |             CAST(SUM(bo) AS BIGINT) AS n_backoff,
+        |             CAST(SUM(CAST(length(bin(greatest(ppm, 1)))
+        |                  AS BIGINT) - 21) AS BIGINT) AS lm_log2q
+        |      FROM sp GROUP BY 1)
+        |SELECT d.doc_id, COALESCE(s.n_bigrams, 0) AS n_bigrams,
+        |       COALESCE(s.n_backoff, 0) AS n_backoff,
+        |       COALESCE(s.lm_log2q, 0) AS lm_log2q
+        |FROM documents d LEFT JOIN s USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+
+    // Band-plan replay: the ext02 bounded-Jaccard truth with integer
+    // ppm, then one aggregate per (r, b) plan over the SAME
+    // fpPowChain-generated truncating power chains as the Spark side.
+    "ext149_lsh_band_plan" -> {
+      val planRows = (1 to Dedup.NumHashes)
+        .filter(Dedup.NumHashes % _ == 0).map { r =>
+          val b = Dedup.NumHashes / r
+          val p = s"(1000000 - ${Dedup.fpPowChain(
+            s"(1000000 - ${Dedup.fpPowChain("s", r)})", b)})"
+          val inUse = if (r == Dedup.BandRows) 1 else 0
+          s"""SELECT CAST($r AS BIGINT) AS rows_per_band,
+             |       CAST($b AS BIGINT) AS bands,
+             |       CAST(count(*) AS BIGINT) AS n_true_pairs,
+             |       CAST(CASE WHEN count(*) = 0 THEN 0
+             |            ELSE SUM(${p.replace("DIV", "//")}) // count(*)
+             |            END AS BIGINT) AS exp_recall_ppm,
+             |       CAST($inUse AS BIGINT) AS in_use
+             |FROM truth""".stripMargin
+        }.mkString("\nUNION ALL\n")
+      s"""$ShingleSql,
+         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+         |inter AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+         |  FROM sh a JOIN sh b USING (h)
+         |  WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+         |truth AS (
+         |  SELECT (1000000 * n_inter) // (na.n + nb.n - n_inter) AS s
+         |  FROM inter JOIN sizes na ON na.doc_id = id_a
+         |             JOIN sizes nb ON nb.doc_id = id_b
+         |  WHERE (1000000 * n_inter) // (na.n + nb.n - n_inter)
+         |        >= 500000)
+         |SELECT * FROM ($planRows)
+         |ORDER BY rows_per_band""".stripMargin
+    },
 
 
     // The same Gonzalez rounds unrolled: seed = (max n2, min id), each

@@ -494,16 +494,34 @@ object ScaleSmoke {
     // mass drops from Σ|bucketA|·|bucketB| over mult-scaled buckets to
     // Σ capped-bucket products — sub-quadratic growth is what this row
     // vs margin_mine_ivf measures.
+    // The cap here is ABSOLUTE and the splitter is RE-APPLIED until
+    // every bucket fits (the self-composition its contract promises) —
+    // ext147's single-level mean-size cap mirrors ext124's replayable
+    // statistic, but a mean cap scales WITH the corpus and can't give
+    // sub-quadratic growth; a fixed cap can, because dup-mode identical
+    // families never straddle the even/odd corpus split (copy offsets
+    // preserve vec_id parity), so cross-family candidates are exactly
+    // what recursive splitting separates.
     time("margin_mine_capped") {
-      val bk = graft.ops.Similarity.kmeansBuckets(bigEmb)
-      val st = bk.groupBy("bucket").agg(count(lit(1)).as("cnt"))
-        .agg(count(lit(1)).as("nb"), sum("cnt").as("nv")).head()
-      val cap = st.getLong(1) / st.getLong(0)
-      val reb = graft.ops.Similarity
-        .splitOversizedBuckets(bigEmb, bk, cap)
+      val fixedCap = 1000L
+      var asg = graft.ops.Similarity.kmeansBuckets(bigEmb)
+        .localCheckpoint(true)
+      def maxBucket = asg.groupBy("bucket").agg(count(lit(1)).as("c"))
+        .agg(max("c")).head().getLong(0)
+      var lvl = 0
+      var mx = maxBucket
+      while (mx > fixedCap && lvl < 4) {
+        asg = graft.ops.Similarity
+          .splitOversizedBuckets(bigEmb, asg, fixedCap, split = 4)
+          .localCheckpoint(true)
+        lvl += 1
+        mx = maxBucket
+      }
+      println(s"[scale-smoke] margin_cap_levels=$lvl maxBucket=$mx " +
+        s"cap=$fixedCap")
       graft.ops.Similarity.marginMineBucketed(
         bigEmb.filter(col("vec_id") % 2 === 0),
-        bigEmb.filter(col("vec_id") % 2 === 1), reb)
+        bigEmb.filter(col("vec_id") % 2 === 1), asg)
     }
     // funnel / aligned trending / z-order price on a mult-x SYNTHETIC
     // event stream (the parquet events table is fixed-size): users
@@ -549,9 +567,14 @@ object ScaleSmoke {
         expr("timestamp_millis(1704067200000 + (id * 7919) % 2592000000)")
           .as("ts"),
         (col("id") % (mult.toLong * 2000L)).as("user_id"),
+        // type cycles with each user's OCCURRENCE index (id DIV |users|),
+        // not with id itself: |users| is divisible by 5, so any function
+        // of id alone is CONSTANT per user and nobody would ever
+        // progress past step 1
         element_at(array(lit("signup"), lit("view"), lit("click"),
           lit("purchase"), lit("error")),
-          (col("id") % 5 + 1).cast("int")).as("event_type"))
+          ((col("id") / (mult.toLong * 2000L)).cast("long") % 5 + 1)
+            .cast("int")).as("event_type"))
         .localCheckpoint(true)
       time("funnel_scaled_users") {
         graft.agg.Windows.funnel(evU, col("user_id"),
@@ -593,9 +616,15 @@ object ScaleSmoke {
           expr("timestamp_micros(1704067200000000 + id * " +
             s"${70L * 86400000000L / nE})").as("ts"),
           concat(lit("u"), col("id") % 2000).as("user_id"),
+          // occurrence-indexed type (see funnel_scaled_users): every
+          // user signs up on their FIRST occurrence, so t1 is known
+          // early and the eviction law has teeth — the plateau is the
+          // horizon-windowed mass, ~|users| x (horizon/occurrence
+          // spacing) events, reached once event time passes t1+horizon
           element_at(array(lit("signup"), lit("view"), lit("click"),
             lit("purchase"), lit("error")),
-            (col("id") % 5 + 1).cast("int")).as("event_type"))
+            ((col("id") / 2000L).cast("long") % 5 + 1).cast("int"))
+            .as("event_type"))
         graft.stream.StreamingPipeline.processFunnelBatch(
           b, bi.toLong, steps, tmpS, horizonUs)
         val snaps = new java.io.File(tmpS).listFiles()

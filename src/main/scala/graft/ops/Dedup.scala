@@ -996,6 +996,62 @@ object Dedup {
       .select(col(id), col("band.band_id"), col("band.band_sig"))
   }
 
+  /** Truncating fixed-point ppm power as a LITERAL left-fold chain —
+    * `((base * base) DIV 1e6 * base) DIV 1e6 …`, k−1 multiplies. The
+    * SAME string interpolates into both Spark `expr` and the DuckDB
+    * oracle, so the truncation ORDER (part of the cross-engine
+    * contract, like the margin fold) is identical by construction.
+    * Products stay ≤ 1e12 — int64-safe. */
+  def fpPowChain(base: String, k: Int): String =
+    (2 to k).foldLeft(base)((acc, _) => s"(($acc * $base) DIV 1000000)")
+
+  /**
+   * Empirical LSH band-plan tuning card (the S-curve analysis of
+   * Leskovec/Rajaraman/Ullman, MMDS ch. 3 — what datasketch's
+   * `_optimal_param` does numerically, here computed over the CORPUS'S
+   * own near-duplicate pairs instead of an assumed similarity): for
+   * every (rows-per-band r, bands b) factorization of [[NumHashes]],
+   * the expected MinHash-LSH recall over the true ≥τ Jaccard pairs —
+   * E[1 − (1 − s^r)^b] with s each true pair's EXACT integer ppm
+   * Jaccard — as one fixed-point int64 row per plan. `bands` is the
+   * plan's cost axis (band rows shuffled and banded-state kept scale
+   * linearly in b), so the card IS the recall-vs-cost trade the
+   * [[minhashLsh]] constants commit to; `in_use` marks the shipped
+   * r = [[BandRows]] plan. All powers are [[fpPowChain]] truncating
+   * chains — replayed bit-for-bit by the oracle.
+   *
+   * Scale shape: the truth relation is the ext02/ext54 bounded-Jaccard
+   * pair audit (shingle-capped candidate generation, never all-pairs),
+   * computed ONCE ([[Reuse.shared]]) and folded by |plans| (= 5 at 16
+   * hashes) one-row aggregates; the card itself is |plans| rows.
+   */
+  def lshBandPlan(doc: DataFrame, tauPpm: Long = 500000L,
+      id: String = "doc_id", text: String = "text"): DataFrame = {
+    val g = shingleGroups(doc, id, text)
+    val inter = g.select(explode(pairCombos(col("ids"))).as("p"))
+      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
+      .filter(col("id_a") =!= col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_inter"))
+    val sizes = g.select(explode(col("ids")).as(id))
+      .groupBy(col(id)).agg(count(lit(1)).as("n_sh"))
+    val truth = Reuse.shared(inter
+      .join(sizes.select(col(id).as("id_a"), col("n_sh").as("n_a")), "id_a")
+      .join(sizes.select(col(id).as("id_b"), col("n_sh").as("n_b")), "id_b")
+      .select(expr("(1000000 * n_inter) DIV (n_a + n_b - n_inter)").as("s"))
+      .filter(col("s") >= tauPpm))
+    (1 to NumHashes).filter(NumHashes % _ == 0).map { r =>
+      val b = NumHashes / r
+      val p = s"(1000000 - ${
+        fpPowChain(s"(1000000 - ${fpPowChain("s", r)})", b)})"
+      truth.agg(count(lit(1)).as("n_true_pairs"), sum(expr(p)).as("sp"))
+        .select(lit(r.toLong).as("rows_per_band"),
+          lit(b.toLong).as("bands"), col("n_true_pairs"),
+          when(col("n_true_pairs") === 0, 0L)
+            .otherwise(expr("sp DIV n_true_pairs")).as("exp_recall_ppm"),
+          lit(if (r == BandRows) 1L else 0L).as("in_use"))
+    }.reduce(_ unionByName _)
+  }
+
   /**
    * MinHash + LSH banding: docs agreeing on any band (4 consecutive
    * signature slots) become candidates; est_jaccard = fraction of equal

@@ -730,6 +730,65 @@ object TextOps {
   }
 
   /**
+   * Stupid-backoff bigram LM document scoring (Brants et al., EMNLP
+   * 2007, "Large Language Models in Machine Translation") — the
+   * count-based analog of CCNet's KenLM perplexity filter, built from
+   * the corpus itself: S(w₂|w₁) = c(w₁w₂)/c(w₁) when the PRUNED LM
+   * keeps the bigram (count ≥ `minCount`), else α·c(w₂)/N with the
+   * paper's α = 0.4. A document's score is Σ over positions of the
+   * OCTAVE of the ppm-scaled S — `bitlen(ppm) − 21`, the ext134
+   * debiased bit-length idiom — i.e. an integer log₂-likelihood
+   * (negated ≈ log-perplexity), order-independent, mergeable, and
+   * replayed bit-for-bit by the oracle. Pruning is what ARMS the
+   * backoff: an LM trained and applied on the same corpus covers every
+   * bigram (the [[lmQuality]] inner-join property), so without the
+   * `minCount` floor the backoff branch would be dead code; with it,
+   * documents built of rare transitions pay the unigram penalty —
+   * exactly the perplexity-filter signal.
+   *
+   * Scale shape: the pruned LM (vocab²-bounded, then pruned) and the
+   * unigram table (vocab-bounded) build in two map-side-combined
+   * groupBys; scoring is the doc-local bigram relation equi-joined
+   * once on (t1, t2) against the pruned LM and twice against the
+   * unigram table — three keyed joins of corpus-positions against
+   * vocab-bounded sides (none broadcast-hinted; at 100 TB a top-M
+   * truncated LM broadcasts, same as [[lmQuality]] documents), the
+   * 1-row total rides a broadcast envelope, and the per-doc sum
+   * collapses map-side.
+   */
+  def stupidBackoffScores(doc: DataFrame, minCount: Long = 2L,
+      id: String = "doc_id", text: String = "text"): DataFrame = {
+    require(minCount >= 2L,
+      "minCount < 2 keeps every self-corpus bigram and the backoff " +
+        "branch is dead code")
+    val bg = Reuse.shared(bigramRows(doc.select(col(id), col(text)), text))
+    val lm = bg.groupBy("t1", "t2").agg(count(lit(1)).as("cb"))
+      .filter(col("cb") >= minCount)
+    val toks = doc.select(col(id), explode(tokens(col(text))).as("t"))
+    val uni = Reuse.shared(toks.groupBy("t").agg(count(lit(1)).as("cu")))
+    val tot = uni.agg(sum("cu").as("n_total"))
+    val scored = bg
+      .join(lm, Seq("t1", "t2"), "left")
+      .join(uni.select(col("t").as("t1"), col("cu").as("cu1")), Seq("t1"))
+      .join(uni.select(col("t").as("t2"), col("cu").as("cu2")), Seq("t2"))
+      .crossJoin(broadcast(tot))
+      .withColumn("ppm",
+        when(col("cb").isNotNull, expr("(1000000 * cb) DIV cu1"))
+          .otherwise(expr("(400000 * cu2) DIV n_total")))
+      .withColumn("oct",
+        length(expr("bin(greatest(ppm, 1))")).cast("long") - 21L)
+      .groupBy(col(id))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(when(col("cb").isNull, 1L).otherwise(0L)).as("n_backoff"),
+        sum("oct").as("lm_log2q"))
+    doc.select(col(id)).join(scored, Seq(id), "left")
+      .select(col(id),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("n_backoff"), lit(0L)).as("n_backoff"),
+        coalesce(col("lm_log2q"), lit(0L)).as("lm_log2q"))
+  }
+
+  /**
    * T5-style span corruption — deterministic masked-span training-pair
    * generation, expressed relationally: tokens are masked by the
    * portable hash draw `hash("<salt>:<doc>:<pos>") mod den < rate`

@@ -1717,12 +1717,24 @@ object StreamingPipeline {
       }
 
   /** End-to-end assembly: source dir → ranked parquet store. */
+  /** The reference's live pipeline end to end. `adjust = true` runs
+    * ingress under [[adjustDisorderStream]] — Trill's
+    * `DisorderPolicy.Adjust(5 s)`, the policy the reference actually
+    * ingests with (Query.cs:27-31) — so an out-of-bound late tweet is
+    * LIFTED into the trailing window instead of silently dropped;
+    * `adjust = false` keeps plain watermark Drop semantics (the default
+    * of rounds 1-12, left as default so existing twins/oracles are
+    * unchanged; the in-bound replay fixture makes the two identical
+    * there). */
   def run(spark: SparkSession, inputDir: String, storePath: String,
-      checkpoint: String): StreamingQuery =
-    rankedSink(hashtagAggStream(tweetStream(spark, inputDir)), storePath)
+      checkpoint: String, adjust: Boolean = false): StreamingQuery = {
+    val src = tweetStream(spark, inputDir)
+    rankedSink(hashtagAggStream(
+        if (adjust) adjustDisorderStream(src) else src), storePath)
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.ProcessingTime("1 second"))
       .start()
+  }
 }
 
 /**

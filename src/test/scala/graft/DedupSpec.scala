@@ -461,4 +461,34 @@ class DedupSpec extends TestBase {
       pref.count() > 0)
     graft.ops.Reuse.freeAll(spark)
   }
+
+  test("lsh band plan: fixed-point S-curve chain hand-checked; card " +
+      "shape, bounds, recall monotone in rows-per-band (ext149)") {
+    import spark.implicits._
+    // fpPowChain at s = 0.5 ppm, r=2, b=8 — every truncation
+    // hand-computed: s^2 = 250000; q = 750000; q^2 = 562500,
+    // q^3 = 421875, q^4 = 316406, q^5 = 237304, q^6 = 177978,
+    // q^7 = 133483, q^8 = 100112; p = 1e6 - q^8 = 899888.
+    val p28 = s"(1000000 - ${Dedup.fpPowChain(
+      s"(1000000 - ${Dedup.fpPowChain("s", 2)})", 8)})"
+    val v = Seq(500000L).toDF("s").select(expr(p28).cast("long"))
+      .as[Long].collect().head
+    assert(v == 899888L, s"S-curve chain drifted: $v")
+    // the card over the real corpus
+    val card = Dedup.lshBandPlan(
+        graft.ingest.Tables.documents(spark, sf("sf0.001")))
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(card.map(r => (r._1, r._2)) ==
+      Seq((1L, 16L), (2L, 8L), (4L, 4L), (8L, 2L), (16L, 1L)))
+    assert(card.map(_._3).distinct.size == 1 && card.head._3 > 0,
+      "truth-pair count must be plan-independent and non-empty")
+    assert(card.forall(r => r._4 >= 0L && r._4 <= 1000000L))
+    // more rows per band = a stricter AND = recall can only drop
+    assert(card.map(_._4).zip(card.map(_._4).tail)
+      .forall { case (a, b) => b <= a },
+      s"recall not monotone in rows-per-band: $card")
+    assert(card.filter(_._5 == 1L).map(_._1) == Seq(4L),
+      "in_use must mark exactly the shipped 4x4 plan")
+    graft.ops.Reuse.freeAll(spark)
+  }
 }

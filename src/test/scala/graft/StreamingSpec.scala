@@ -2189,4 +2189,49 @@ class StreamingSpec extends TestBase {
     assert(adjusted(baseSec + 600L) != dropped(baseSec + 600L),
       "Adjust-vs-drop delta is vacuous on this fixture")
   }
+
+  test("run(adjust = true): the full live pipeline LIFTS an " +
+      "out-of-bound late tweet into the trailing window that plain " +
+      "watermark ingress drops (OP-19 end to end)") {
+    val base = 1704067200000L
+    def line(id: Long, tMs: Long) =
+      s"""{"id":$id,"text":"t $id #x","timestamp_ms":"$tMs","lang":"en",""" +
+        """"extended_tweet":null,"entities":{"hashtags":[{"text":"x"}],""" +
+        """"user_mentions":[]},"user":{"followers_count":10,""" +
+        """"screen_name":"u"},"retweeted_status":null}"""
+    def counts(adjust: Boolean): Map[Long, Long] = {
+      val dir = Files.createTempDirectory("graft-adj-run").toFile
+      val store = Files.createTempDirectory("graft-adj-store").toString
+      val ckpt = Files.createTempDirectory("graft-adj-ckpt").toString
+      val q = StreamingPipeline.run(spark, dir.toString, store, ckpt,
+        adjust = adjust)
+      def feed(name: String, lines: Seq[String]): Unit = {
+        Files.write(new java.io.File(dir, name).toPath,
+          lines.mkString("\n").getBytes)
+        q.processAllAvailable()
+      }
+      // batch 1 establishes M = base+598 s; batch 2's tweet at
+      // base-60 s is ~11 min late — beyond every containing hopping
+      // window under Drop, lifted to base+593 s under Adjust; batch 3
+      // advances the watermark so windows close and emit.
+      feed("b1.jsonl", Seq(line(1, base), line(2, base + 598000L)))
+      feed("b2.jsonl", Seq(line(3, base - 60000L)))
+      feed("b3.jsonl", Seq(line(4, base + 2000000L)))
+      q.stop()
+      import spark.implicits._
+      AggregateStore.read(spark, store)
+        .filter(col("entity") === "x")
+        .select("window_end", "tweet_count")
+        .as[(Long, Long)].collect().toMap
+    }
+    val baseSec = base / 1000L
+    val adj = counts(adjust = true)
+    val drop = counts(adjust = false)
+    // the window ending base+600 s holds tweets 1 and 2 either way;
+    // only Adjust also holds the lifted tweet 3 (at base+593 s)
+    assert(drop.get(baseSec + 600L).contains(2L),
+      s"drop-mode fixture drifted: $drop")
+    assert(adj.get(baseSec + 600L).contains(3L),
+      s"Adjust did not lift the late tweet: $adj")
+  }
 }

@@ -111,4 +111,40 @@ class TextKernelsSpec extends TestBase {
       (1L, 3L, "en", 3L, 1L),
       (2L, 1L, "en", 0L, 2L)))
   }
+
+  test("stupid-backoff LM: kept vs pruned transitions hand-checked, " +
+      "octave algebra exact, layout-stable, backoff non-vacuous on " +
+      "real corpus (ext148)") {
+    import spark.implicits._
+    // Corpus: "a b" occurs 3x (kept at minCount 2); "b a" and "b c"
+    // once each (pruned -> backoff). Unigrams a=3 b=3 c=1 z=1, N=8.
+    //  d1 "a b a b": (a,b) ppm=1e6*3//3=1000000 -> oct bitlen-21 = -1;
+    //                (b,a) backoff 400000*3//8=150000 -> bitlen 18 -> -3;
+    //                (a,b) -> -1.  n=3, backoff=1, score=-5.
+    //  d2 "a b c":   (a,b) -> -1; (b,c) backoff 400000*1//8=50000 ->
+    //                bitlen 16 -> -5.  n=2, backoff=1, score=-6.
+    //  d3 "z": no bigrams -> zeros.
+    val docs = Seq((1L, "a b a b"), (2L, "a b c"), (3L, "z"))
+      .toDF("doc_id", "text")
+    val got = TextOps.stupidBackoffScores(docs)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got == Seq((1L, 3L, 1L, -5L), (2L, 2L, 1L, -6L),
+      (3L, 0L, 0L, 0L)), s"hand-check drifted: $got")
+    // pure function of the corpus — stable under layout
+    val got7 = TextOps.stupidBackoffScores(docs.repartition(7))
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got7 == got)
+    graft.ops.Reuse.freeAll(spark)
+    // real corpus: the pruned LM must actually exercise BOTH branches
+    // (all-kept would mean the minCount floor is dead code; all-backoff
+    // would mean the LM kept nothing)
+    val real = graft.ingest.Tables.documents(spark, sf("sf0.001"))
+    val rs = TextOps.stupidBackoffScores(real)
+      .agg(sum("n_backoff").cast("long"),
+        (sum("n_bigrams") - sum("n_backoff")).cast("long"))
+      .as[(Long, Long)].collect().head
+    assert(rs._1 > 0L, "backoff branch never fired on the real corpus")
+    assert(rs._2 > 0L, "no bigram survived pruning on the real corpus")
+    graft.ops.Reuse.freeAll(spark)
+  }
 }
