@@ -285,7 +285,9 @@ object ExtEntry {
   /** The WITHIN-BUCKET Lloyd's replay behind ext124 — [[kmeansCtes]]
     * with `bucket` joined into every key, exactly as
     * [[graft.ops.Similarity.splitOversizedBuckets]] adds it: seeds =
-    * the `split` smallest member vids per oversized bucket, each round
+    * the `split` smallest DISTINCT-VECTOR representatives (min vid per
+    * distinct quantized vector — the r13 mass-duplication hardening)
+    * per oversized bucket, each round
     * one distance join restricted to the member's own parent, argmin
     * tie-break (dist, ccid), floor-mean update per (bucket, ccid, i).
     * Assumes `flat`/`n2` (QuantFlatSql) and `mem(vec_id, bucket)` (the
@@ -296,9 +298,15 @@ object ExtEntry {
     val blocks = new StringBuilder
     blocks ++=
       s"""seeds AS (
-         |  SELECT bucket, vec_id AS ccid FROM (
-         |    SELECT bucket, vec_id, row_number() OVER (
-         |      PARTITION BY bucket ORDER BY vec_id) AS rn FROM mem)
+         |  SELECT bucket, ccid FROM (
+         |    SELECT bucket, ccid, row_number() OVER (
+         |      PARTITION BY bucket ORDER BY ccid) AS rn
+         |    FROM (SELECT bucket, min(vec_id) AS ccid
+         |          FROM (SELECT m.bucket, m.vec_id,
+         |                       list(f.qi ORDER BY f.i) AS v
+         |                FROM mem m JOIN flat f ON f.vec_id = m.vec_id
+         |                GROUP BY m.bucket, m.vec_id)
+         |          GROUP BY bucket, v))
          |  WHERE rn <= $split),
          |sc0 AS (
          |  SELECT s.bucket, s.ccid, f.i, f.qi AS cv

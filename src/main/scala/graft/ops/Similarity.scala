@@ -1001,10 +1001,22 @@ object Similarity {
     val over = corpus.groupBy("bucket").agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") > maxBucket).select("bucket")
     val members = corpus.join(broadcast(over), "bucket")
-    // Within-bucket seeds: the `split` smallest member vids — the
-    // per-bucket twin of lloydCentroids' orderBy(vid).limit(k).
+    // Within-bucket seeds: the `split` smallest DISTINCT-VECTOR
+    // representatives (min vid per distinct quantized vector, then the
+    // `split` smallest of those) — the per-bucket twin of
+    // lloydCentroids' orderBy(vid).limit(k), hardened against
+    // mass duplication (r13): seeding by raw smallest vids picks
+    // IDENTICAL vectors when a duplicate family holds the low ids,
+    // every child centroid coincides, argmin ties send ALL members to
+    // child 0 and the split stalls (measured: 100× dup smoke stuck at
+    // maxBucket 4000 under cap 1000). Distinct-vector seeds restore
+    // progress whenever the bucket holds ≥ 2 distinct vectors; a
+    // bucket that IS one identical family stays unsplittable — that
+    // floor is exact dedup's job (the ext87 composition).
     val seedW = Window.partitionBy(col("bucket")).orderBy(col("vid"))
-    var cents = members.withColumn("rn", row_number().over(seedW))
+    val reps = members.groupBy(col("bucket"), col("q"))
+      .agg(min(col("vid")).as("vid"), first(col("n2")).as("n2"))
+    var cents = reps.withColumn("rn", row_number().over(seedW))
       .filter(col("rn") <= split)
       .select(col("bucket"), col("vid").as("ccid"), col("q").as("cq"),
         col("n2").as("cn2"))

@@ -758,14 +758,36 @@ object TextOps {
    */
   def stupidBackoffScores(doc: DataFrame, minCount: Long = 2L,
       id: String = "doc_id", text: String = "text"): DataFrame = {
+    val bg = Reuse.shared(bigramRows(doc.select(col(id), col(text)), text))
+    val bi = bg.groupBy("t1", "t2").agg(count(lit(1)).as("cb"))
+    val uni = doc.select(explode(tokens(col(text))).as("t"))
+      .groupBy("t").agg(count(lit(1)).as("cu"))
+    stupidBackoffScoresFrom(doc, bi, uni, minCount, id, text,
+      docBigrams = Some(bg))
+  }
+
+  /**
+   * [[stupidBackoffScores]]' scoring tail over PRE-AGGREGATED count
+   * relations — the stored-LM seam: `bi` (t1, t2, cb) UNPRUNED bigram
+   * counts and `uni` (t, cu) unigram counts are pure-addition partials
+   * (per-shard or per-micro-batch counts merge by summing — the
+   * streaming `lmPartialsSink` accumulates exactly these), and the
+   * `minCount` prune applies AFTER the merge, where it must (a bigram
+   * seen once in each of three batches is count 3, kept). Scoring any
+   * corpus snapshot against the merged artifact reproduces the batch
+   * operator exactly when the artifact was counted from that corpus.
+   */
+  def stupidBackoffScoresFrom(doc: DataFrame, bi: DataFrame,
+      uni0: DataFrame, minCount: Long = 2L,
+      id: String = "doc_id", text: String = "text",
+      docBigrams: Option[DataFrame] = None): DataFrame = {
     require(minCount >= 2L,
       "minCount < 2 keeps every self-corpus bigram and the backoff " +
         "branch is dead code")
-    val bg = Reuse.shared(bigramRows(doc.select(col(id), col(text)), text))
-    val lm = bg.groupBy("t1", "t2").agg(count(lit(1)).as("cb"))
-      .filter(col("cb") >= minCount)
-    val toks = doc.select(col(id), explode(tokens(col(text))).as("t"))
-    val uni = Reuse.shared(toks.groupBy("t").agg(count(lit(1)).as("cu")))
+    val bg = docBigrams.getOrElse(
+      Reuse.shared(bigramRows(doc.select(col(id), col(text)), text)))
+    val lm = bi.filter(col("cb") >= minCount)
+    val uni = Reuse.shared(uni0)
     val tot = uni.agg(sum("cu").as("n_total"))
     val scored = bg
       .join(lm, Seq("t1", "t2"), "left")

@@ -900,6 +900,43 @@ object StreamingPipeline {
         .groupBy("src", "dst").agg(sum("w").as("w")),
       iters, minWout, topK, dampPct)
 
+  /** Streaming twin of the stupid-backoff LM build (ext148): per batch,
+    * the UNPRUNED bigram and unigram counts as ONE kind-tagged relation
+    * (uni rows carry t2 = null) — pure-addition partials, the
+    * [[textrankPartialsSink]] state shape. The `minCount` prune belongs
+    * to the DERIVATION, after the merge (a bigram seen once in each of
+    * three batches is count 3, kept — pruning per batch would
+    * over-prune, which is why the sink stores raw counts). */
+  def lmPartialsSink(docs: DataFrame,
+      outPath: String): DataStreamWriter[org.apache.spark.sql.Row] =
+    partialsSink(docs, b => {
+      val bi = graft.ops.TextOps.bigramRows(b.select(col("text")))
+        .groupBy("t1", "t2").agg(count(lit(1)).as("c"))
+      val uni = b.select(explode(
+          graft.ops.TextOps.tokens(col("text"))).as("t1"))
+        .groupBy("t1").agg(count(lit(1)).as("c"))
+        .select(col("t1"), lit(null).cast("string").as("t2"), col("c"))
+      bi.unionByName(uni)
+    }, outPath)
+
+  /** The derivation/serving side of [[lmPartialsSink]]: merge the count
+    * partials by addition, split the tagged relation back into the
+    * bigram and unigram tables, and score `docs` via the batch
+    * operator's stored-LM seam — equal to batch
+    * `stupidBackoffScores(corpus)` at ANY batching once the stream has
+    * counted the whole corpus. */
+  def lmBackoffFromState(spark: SparkSession, outPath: String,
+      docs: DataFrame, minCount: Long = 2L): DataFrame = {
+    val merged = spark.read.parquet(outPath).drop("batch")
+      .groupBy("t1", "t2").agg(sum("c").as("c"))
+    graft.ops.TextOps.stupidBackoffScoresFrom(docs,
+      merged.filter(col("t2").isNotNull)
+        .select(col("t1"), col("t2"), col("c").as("cb")),
+      merged.filter(col("t2").isNull)
+        .select(col("t1").as("t"), col("c").as("cu")),
+      minCount)
+  }
+
   def countMinPartialsSink(docs: DataFrame,
       outPath: String): DataStreamWriter[org.apache.spark.sql.Row] =
     partialsSink(docs, graft.ops.Sketches.countMinCounters(_), outPath)

@@ -248,6 +248,33 @@ class EmptyInputSpec extends TestBase {
     graft.ops.Reuse.freeAll(spark)
   }
 
+  test("r13 ops: empty inputs flow through, no NPE; per-doc and " +
+      "per-plan cards stay well-defined") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val d = emptyDocs
+    val e = emptyEmb
+    val emptyAsg = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(
+        StructField("vec_id", LongType),
+        StructField("bucket", LongType))))
+    val results = Seq(
+      countOf("marginMineBucketed")(
+        graft.ops.Similarity.marginMineBucketed(e, e, emptyAsg)),
+      countOf("stupidBackoffScores")(
+        graft.ops.TextOps.stupidBackoffScores(d)))
+    assert(results.forall(_._2 == 0L), s"non-empty: $results")
+    // the band-plan card is |plans| rows BY DESIGN on an empty corpus,
+    // zero truth pairs, recall cells defined (no 0/0)
+    val card = graft.ops.Dedup.lshBandPlan(d)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    assert(card.size == 5 &&
+      card.forall(r => r._3 == 0L && r._4 == 0L),
+      s"empty-corpus band card drifted: $card")
+    graft.ops.Reuse.freeAll(spark)
+  }
+
   test("ext85 on a duplicate-free corpus: one zero-savings row, no NULLs " +
       "(r7 ADVICE degenerate-case parity)") {
     // With zero dup clusters the family relation is empty; the report

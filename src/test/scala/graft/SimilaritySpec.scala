@@ -453,6 +453,22 @@ class SimilaritySpec extends TestBase {
       .select("vec_id", "kept").as[(Long, Long)].collect().toMap
     assert(kept == Map(1L -> 1L, 2L -> 0L, 3L -> 0L, 4L -> 1L,
       5L -> 0L, 6L -> 0L, 7L -> 1L, 8L -> 1L))
+    // duplicate-family hardening (r13): low ids are an IDENTICAL
+    // family — raw smallest-vid seeding would pick two equal seeds,
+    // tie every member into child 0 and stall; distinct-vector
+    // representative seeding must still separate the two sub-clusters
+    val dup = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(1.0f, 0.0f)),
+      (3L, Array(1.0f, 0.0f)), (4L, Array(1.0f, 0.0f)),
+      (5L, Array(10.0f, 0.0f)), (6L, Array(10.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val dupBk = (1L to 6L).map(_ -> 100L).toDF("vec_id", "bucket")
+    val dupReb = Similarity.splitOversizedBuckets(dup, dupBk,
+        maxBucket = 4).as[(Long, Long)].collect().toMap
+    assert(Seq(1L, 2L, 3L, 4L).map(dupReb).distinct.size == 1)
+    assert(Seq(5L, 6L).map(dupReb).distinct.size == 1)
+    assert(dupReb(1L) != dupReb(5L),
+      s"identical-family seeds stalled the split: $dupReb")
     // nothing oversized: pure rescale — re-application composes (a
     // second level would multiply by `split` again)
     val reb2 = Similarity.splitOversizedBuckets(e,

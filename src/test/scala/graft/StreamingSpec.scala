@@ -2042,6 +2042,56 @@ class StreamingSpec extends TestBase {
     }
   }
 
+  test("streaming stupid-backoff LM count partials == batch scores at " +
+      "any batching; post-merge prune non-vacuous (ext148 twin)") {
+    import spark.implicits._
+    val docs = graft.ingest.Tables.documents(spark, sf("sf0.001"))
+      .select("doc_id", "text")
+    val batch = graft.ops.TextOps.stupidBackoffScores(docs)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    graft.ops.Reuse.freeAll(spark)
+    assert(batch.nonEmpty)
+    for (filesPerTrigger <- Seq(1, 4)) {
+      val srcDir = Files.createTempDirectory("graft-lm-src")
+        .toString + "/d"
+      docs.withColumn("part", pmod(col("doc_id"), lit(4)))
+        .repartition(4, col("part")).drop("part")
+        .write.parquet(srcDir)
+      val out = Files.createTempDirectory("graft-lm-out").toString
+      val ckpt = Files.createTempDirectory("graft-lm-ckpt").toString
+      val q = StreamingPipeline.lmPartialsSink(
+        StreamingPipeline.parquetStream(spark, srcDir,
+          maxFilesPerTrigger = Some(filesPerTrigger)), out)
+        .option("checkpointLocation", ckpt).start()
+      q.processAllAvailable()
+      q.stop()
+      val streamed = StreamingPipeline
+        .lmBackoffFromState(spark, out, docs)
+        .as[(Long, Long, Long, Long)].collect().toSet
+      assert(streamed == batch,
+        s"streamed lm backoff @$filesPerTrigger/trigger differs")
+      // the post-merge prune law has teeth at 1-file batching: some
+      // bigram must be kept in the MERGE that no single batch saw
+      // minCount times (per-batch pruning would have dropped it)
+      if (filesPerTrigger == 1) {
+        val perBatchKept = spark.read.parquet(out)
+          .filter(col("t2").isNotNull)
+          .groupBy("batch", "t1", "t2").agg(sum("c").as("c"))
+          .filter(col("c") >= 2)
+          .select("t1", "t2").distinct()
+        val mergedKept = spark.read.parquet(out).drop("batch")
+          .filter(col("t2").isNotNull)
+          .groupBy("t1", "t2").agg(sum("c").as("c"))
+          .filter(col("c") >= 2)
+          .select("t1", "t2").distinct()
+        assert(mergedKept.except(perBatchKept).count() > 0,
+          "post-merge prune is vacuous: every kept bigram already " +
+            "cleared minCount inside one batch")
+      }
+      graft.ops.Reuse.freeAll(spark)
+    }
+  }
+
   test("streaming funnel state == batch funnel at any batching; " +
       "horizon eviction non-vacuous (ext139 twin)") {
     import spark.implicits._
