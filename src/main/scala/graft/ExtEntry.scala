@@ -2091,6 +2091,15 @@ object ExtEntry {
     "ext149_lsh_band_plan" -> ((s, dir) =>
       Dedup.lshBandPlan(docs(s, dir)).orderBy("rows_per_band")),
 
+    // Octave-quantized PSI drift card between the ext81/82 parity
+    // snapshots over the doc-length log2 histogram: per-bin
+    // (p-q)*oct2(p/q) contributions (all >= 0 by sign alignment) plus
+    // the TOTAL tripwire row (bucket = -1) — the standard
+    // population-stability drift monitor made engine-exact.
+    "ext150_psi_drift" -> ((s, dir) =>
+      graft.ops.Reporting.psiDrift(docs(s, dir),
+        col("doc_id") % 2 === 0, col("n_chars")).orderBy("bucket")),
+
     // TextRank keyword extraction: damped weighted power iteration
     // over the corpus word-adjacency graph, all fixed-point int64
     // (per-edge DIV truncation, damping blend DIV 100) — PageRank's
@@ -5357,6 +5366,43 @@ object ExtEntry {
          |SELECT * FROM ($planRows)
          |ORDER BY rows_per_band""".stripMargin
     },
+
+    // PSI replay: log2 length buckets, Laplace ppm shares, bit-length
+    // octave of the share ratio, aligned-sign contributions, total row.
+    "ext150_psi_drift" ->
+      """WITH c AS (
+        |  SELECT CAST(length(bin(greatest(CAST(n_chars AS BIGINT), 1)))
+        |              - 1 AS BIGINT) AS bucket,
+        |         CAST(SUM(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END)
+        |              AS BIGINT) AS n_a,
+        |         CAST(SUM(CASE WHEN doc_id % 2 = 0 THEN 0 ELSE 1 END)
+        |              AS BIGINT) AS n_b
+        |  FROM documents GROUP BY 1),
+        |t AS (SELECT CAST(SUM(n_a) AS BIGINT) AS ta,
+        |             CAST(SUM(n_b) AS BIGINT) AS tb,
+        |             CAST(COUNT(*) AS BIGINT) AS nb FROM c),
+        |p AS (SELECT bucket, n_a, n_b,
+        |        (1000000 * (n_a + 1)) // (ta + nb) AS p_ppm,
+        |        (1000000 * (n_b + 1)) // (tb + nb) AS q_ppm
+        |      FROM c, t),
+        |f AS (SELECT bucket, n_a, n_b, p_ppm, q_ppm,
+        |        CAST(length(bin((1000000 * p_ppm) // q_ppm))
+        |             AS BIGINT) - 20 AS oct2,
+        |        (p_ppm - q_ppm) *
+        |          (CAST(length(bin((1000000 * p_ppm) // q_ppm))
+        |                AS BIGINT) - 20) AS psi_contrib
+        |      FROM p)
+        |SELECT * FROM (
+        |  SELECT * FROM f
+        |  UNION ALL
+        |  SELECT CAST(-1 AS BIGINT),
+        |         CAST(COALESCE(SUM(n_a), 0) AS BIGINT),
+        |         CAST(COALESCE(SUM(n_b), 0) AS BIGINT),
+        |         CAST(1000000 AS BIGINT), CAST(1000000 AS BIGINT),
+        |         CAST(0 AS BIGINT),
+        |         CAST(COALESCE(SUM(psi_contrib), 0) AS BIGINT)
+        |  FROM f)
+        |ORDER BY bucket""".stripMargin,
 
 
     // The same Gonzalez rounds unrolled: seed = (max n2, min id), each

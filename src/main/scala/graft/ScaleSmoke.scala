@@ -510,12 +510,18 @@ object ScaleSmoke {
         .agg(max("c")).head().getLong(0)
       var lvl = 0
       var mx = maxBucket
-      while (mx > fixedCap && lvl < 4) {
+      // split=8 with up to 8 levels: low-vid seeds are arbitrarily
+      // placed, so per-level shrink of the densest child can be far
+      // below the ideal 1/split (measured /1.6 per level at split=4);
+      // a wider split per level converges in fewer (expensive) Lloyd's
+      // rounds
+      while (mx > fixedCap && lvl < 8) {
         asg = graft.ops.Similarity
-          .splitOversizedBuckets(bigEmb, asg, fixedCap, split = 4)
+          .splitOversizedBuckets(bigEmb, asg, fixedCap, split = 8)
           .localCheckpoint(true)
         lvl += 1
         mx = maxBucket
+        println(s"[scale-smoke] margin_cap_level=$lvl maxBucket=$mx")
       }
       println(s"[scale-smoke] margin_cap_levels=$lvl maxBucket=$mx " +
         s"cap=$fixedCap")

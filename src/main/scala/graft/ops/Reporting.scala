@@ -294,4 +294,62 @@ object Reporting {
     }
     folded.select(explode(array(pairRows: _*)).as("p")).select("p.*")
   }
+
+  /**
+   * Octave-quantized Population Stability Index (PSI) — the standard
+   * model/data drift tripwire (credit-scoring lineage; PSI =
+   * Σ_bins (p_i − q_i)·ln(p_i/q_i)) over the log₂-bucket histogram of
+   * `value` between two snapshots sharing one table (`sideA` picks
+   * snapshot A per row — the ext82 single-scan convention). The
+   * engine-exact substitutions: bins are the ext56 integer log₂
+   * buckets (`length(bin(v)) − 1`); p, q are Laplace-smoothed ppm
+   * shares ((n+1)·10⁶ DIV (N + |bins|), the ext134 smoothing); ln →
+   * the bit-length octave of the share ratio (`bitlen(ratio_ppm) − 20`,
+   * ratio 1 ↦ 0). Contribution signs align ((p−q) and log(p/q) agree),
+   * so every per-bin contribution is ≥ 0 and the TOTAL row
+   * (bucket = −1) is a monotone drift score. Quantization is the
+   * price: octave 0 spans ratio ∈ [0.52, 1.05), so sub-2× share
+   * shifts in a bin contribute 0 — this is a ≥one-octave-shift
+   * tripwire with exact cross-engine replay, not a fine-grained PSI
+   * (documented trade, same family as ext132's HLL estimate).
+   *
+   * Scale shape: one corpus scan collapses map-side into ≤ 64
+   * (bucket, n_a, n_b) rows; everything after is arithmetic on that
+   * bounded relation plus a broadcast 1-row total.
+   */
+  def psiDrift(df: DataFrame, sideA: Column, value: Column): DataFrame =
+    psiFromCounts(df.select(
+        (length(bin(greatest(value.cast("long"), lit(1L)))) - lit(1))
+          .cast("long").as("bucket"),
+        when(sideA, 1L).otherwise(0L).as("n_a"),
+        when(sideA, 0L).otherwise(1L).as("n_b"))
+      .groupBy("bucket")
+      .agg(sum("n_a").as("n_a"), sum("n_b").as("n_b")))
+
+  /** The PSI math over a (bucket, n_a, n_b) counts relation — counts
+    * are COMMUTATIVE partials (the streaming twin accumulates them per
+    * micro-batch and folds here; duplicate bucket keys sum before the
+    * share math, so the fold is exact at any batching). */
+  def psiFromCounts(rawCounts: DataFrame): DataFrame = {
+    val counts = Reuse.shared(rawCounts.groupBy("bucket")
+      .agg(sum("n_a").as("n_a"), sum("n_b").as("n_b")))
+    val tot = counts.agg(sum("n_a").as("ta"), sum("n_b").as("tb"),
+      count(lit(1)).as("nb"))
+    val per = Reuse.shared(counts.crossJoin(broadcast(tot))
+      .select(col("bucket"), col("n_a"), col("n_b"),
+        expr("(1000000 * (n_a + 1)) DIV (ta + nb)").as("p_ppm"),
+        expr("(1000000 * (n_b + 1)) DIV (tb + nb)").as("q_ppm"))
+      .withColumn("oct2",
+        length(expr("bin((1000000 * p_ppm) DIV q_ppm)")).cast("long")
+          - 20L)
+      .withColumn("psi_contrib",
+        (col("p_ppm") - col("q_ppm")) * col("oct2")))
+    per.unionByName(per.agg(
+        coalesce(sum("psi_contrib"), lit(0L)).as("psi_contrib"),
+        coalesce(sum("n_a"), lit(0L)).as("n_a"),
+        coalesce(sum("n_b"), lit(0L)).as("n_b"))
+      .select(lit(-1L).as("bucket"), col("n_a"), col("n_b"),
+        lit(1000000L).as("p_ppm"), lit(1000000L).as("q_ppm"),
+        lit(0L).as("oct2"), col("psi_contrib")))
+  }
 }

@@ -1008,11 +1008,16 @@ object Similarity {
     // mass duplication (r13): seeding by raw smallest vids picks
     // IDENTICAL vectors when a duplicate family holds the low ids,
     // every child centroid coincides, argmin ties send ALL members to
-    // child 0 and the split stalls (measured: 100× dup smoke stuck at
-    // maxBucket 4000 under cap 1000). Distinct-vector seeds restore
+    // child 0 and the split stalls FOREVER (spec-proved on an
+    // identical-family fixture). Distinct-vector seeds restore
     // progress whenever the bucket holds ≥ 2 distinct vectors; a
     // bucket that IS one identical family stays unsplittable — that
-    // floor is exact dedup's job (the ext87 composition).
+    // floor is exact dedup's job (the ext87 composition). Orthogonal
+    // and accepted: low-vid seeds are arbitrarily PLACED, so a dense
+    // child can shrink well below 1/split per level (the 100× smoke's
+    // measured ~/1.6 at split=4) — callers chasing a hard cap either
+    // widen `split` or re-apply more levels (EXPLAINS r13 prices
+    // both).
     val seedW = Window.partitionBy(col("bucket")).orderBy(col("vid"))
     val reps = members.groupBy(col("bucket"), col("q"))
       .agg(min(col("vid")).as("vid"), first(col("n2")).as("n2"))

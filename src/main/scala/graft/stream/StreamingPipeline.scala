@@ -815,6 +815,24 @@ object StreamingPipeline {
     graft.ops.Reporting.driftFromCounts(
       spark.read.parquet(outPath).drop("batch"))
 
+  /** Streaming twin of the octave-PSI drift card (ext150): per-batch
+    * (bucket, n_a, n_b) histogram counts are pure-addition partials
+    * (the [[driftPartialsSink]] state shape — ≤ 64 rows per batch);
+    * the share/octave math belongs to the derivation, after the merge. */
+  def psiPartialsSink(docs: DataFrame, sideA: Column, value: Column,
+      outPath: String): DataStreamWriter[org.apache.spark.sql.Row] =
+    partialsSink(docs, b => b.select(
+        (length(bin(greatest(value.cast("long"), lit(1L)))) - lit(1))
+          .cast("long").as("bucket"),
+        when(sideA, 1L).otherwise(0L).as("n_a"),
+        when(sideA, 0L).otherwise(1L).as("n_b"))
+      .groupBy("bucket")
+      .agg(sum("n_a").as("n_a"), sum("n_b").as("n_b")), outPath)
+
+  def psiFromState(spark: SparkSession, outPath: String): DataFrame =
+    graft.ops.Reporting.psiFromCounts(
+      spark.read.parquet(outPath).drop("batch"))
+
   /** Streaming twin of the per-source Gopher pass rates (ext84). */
   def gopherPassPartialsSink(docs: DataFrame, strata: Seq[String],
       outPath: String): DataStreamWriter[org.apache.spark.sql.Row] =
@@ -1655,12 +1673,18 @@ object StreamingPipeline {
     * are few files). */
   def runUnified(spark: SparkSession, inputDir: String, storeRoot: String,
       checkpoint: String,
-      maxFilesPerTrigger: Option[Int] = Some(8)): StreamingQuery =
+      maxFilesPerTrigger: Option[Int] = Some(8),
+      adjust: Boolean = false): StreamingQuery = {
+    val src = tweetStream(spark, inputDir, maxFilesPerTrigger)
+    // `adjust` mirrors [[run]]: Trill Adjust(5 s) ingress for the
+    // unified 4-family pipeline (Query.cs:27-31 applies to the SAME
+    // multicast input both paths consume).
     unifiedSink(unifiedAggStream(
-        tweetStream(spark, inputDir, maxFilesPerTrigger)), storeRoot)
+        if (adjust) adjustDisorderStream(src) else src), storeRoot)
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.ProcessingTime("1 second"))
       .start()
+  }
 
   /**
    * OP-28 as a CHAINED streaming query (Spark ≥3.4 multiple stateful

@@ -821,6 +821,42 @@ class PipelineOpsSpec extends TestBase {
     graft.ops.Reuse.freeAll(spark)
   }
 
+  test("psi drift: buckets, smoothed shares, octave and contributions " +
+      "hand-checked; total row sums; contributions never negative " +
+      "(ext150)") {
+    import spark.implicits._
+    // A (even ids): values 1, 1 -> bucket 0; 8 -> bucket 3.
+    // B (odd ids):  value 1 -> bucket 0; 100 -> bucket 6.
+    // ta=3 tb=2 |bins|=3. Hand-run (Laplace ppm, truncating ratios):
+    //  b0: p=500000 q=400000 ratio 1250000 -> oct 1  -> 100000
+    //  b3: p=333333 q=200000 ratio 1666665 -> oct 1  -> 133333
+    //  b6: p=166666 q=400000 ratio  416665 -> oct -1 -> 233334
+    //  total 466667.
+    val df = Seq((0L, 1L), (2L, 1L), (4L, 8L), (1L, 1L), (3L, 100L))
+      .toDF("doc_id", "v")
+    val got = graft.ops.Reporting.psiDrift(df,
+        col("doc_id") % 2 === 0, col("v"))
+      .as[(Long, Long, Long, Long, Long, Long, Long)]
+      .collect().sortBy(_._1).toSeq
+    assert(got == Seq(
+      (-1L, 3L, 2L, 1000000L, 1000000L, 0L, 466667L),
+      (0L, 2L, 1L, 500000L, 400000L, 1L, 100000L),
+      (3L, 1L, 0L, 333333L, 200000L, 1L, 133333L),
+      (6L, 0L, 1L, 166666L, 400000L, -1L, 233334L)),
+      s"hand-check drifted: $got")
+    graft.ops.Reuse.freeAll(spark)
+    // sign-alignment law on the real corpus: every contribution >= 0,
+    // total equals the per-bin sum
+    val real = graft.ingest.Tables.documents(spark, sf("sf0.001"))
+    val card = graft.ops.Reporting.psiDrift(real,
+        col("doc_id") % 2 === 0, col("n_chars"))
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect().toSeq
+    val (tot, bins) = card.partition(_._1 == -1L)
+    assert(bins.forall(_._7 >= 0L), s"negative contribution: $bins")
+    assert(tot.head._7 == bins.map(_._7).sum)
+    graft.ops.Reuse.freeAll(spark)
+  }
+
   test("dedup token savings: consistent with the cluster listing and " +
       "the ext47 keeper draw (ext85)") {
     import spark.implicits._

@@ -1451,6 +1451,14 @@ class StreamingSpec extends TestBase {
     assert(driftStreamed.except(driftBatch).isEmpty &&
       driftBatch.except(driftStreamed).isEmpty && driftBatch.count() > 0,
       "streamed drift fold differs from the batch operator")
+    val psiOut = runSink((s, o) => StreamingPipeline.psiPartialsSink(
+      s, col("doc_id") % 2 === 0, length(col("text")), o))
+    val psiStreamed = StreamingPipeline.psiFromState(spark, psiOut)
+    val psiBatch = graft.ops.Reporting.psiDrift(docs,
+      col("doc_id") % 2 === 0, length(col("text")))
+    assert(psiStreamed.except(psiBatch).isEmpty &&
+      psiBatch.except(psiStreamed).isEmpty && psiBatch.count() > 1,
+      "streamed psi fold differs from the batch operator")
     val gopherOut = runSink((s, o) =>
       StreamingPipeline.gopherPassPartialsSink(s, Seq("source"), o))
     val gopherStreamed =
