@@ -57,6 +57,20 @@ object ExtEntry {
     ivfProbeIndex(s, dir).filter(col("probe_rank") === 1)
       .select("vec_id", "bucket")
 
+  /** Build-once REBALANCED assignment (ext124's statistic: mean-size
+    * cap over the shared argmin buckets, one split level) — the stored
+    * layout artifact the ext124 card and the ext147 recall audit both
+    * read, exactly as production rebalances once per corpus snapshot
+    * and every same-bucket consumer takes the assignment unchanged. */
+  private def rebBuckets(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Reuse.index(s, s"reb-buckets:$dir") {
+      val bk = ivfBuckets(s, dir)
+      val st = bk.groupBy("bucket").agg(count(lit(1)).as("cnt"))
+        .agg(count(lit(1)).as("nb"), sum("cnt").as("nv")).head()
+      Similarity.splitOversizedBuckets(embs(s, dir), bk,
+        st.getLong(1) / st.getLong(0))
+    }
+
   /** Build-once maximal-span listing shared by ext125/ext127 — the
     * stored curator artifact; the histogram is a derived view
     * ([[graft.ops.Dedup.dupSpanHistogramFrom]]). */
@@ -2054,11 +2068,7 @@ object ExtEntry {
       val e = embs(s, dir)
       val a = e.filter(col("vec_id") % 2 === 0)
       val b = e.filter(col("vec_id") % 2 === 1)
-      val bk = ivfBuckets(s, dir)
-      val st = bk.groupBy("bucket").agg(count(lit(1)).as("cnt"))
-        .agg(count(lit(1)).as("nb"), sum("cnt").as("nv")).head()
-      val cap = st.getLong(1) / st.getLong(0)
-      val reb = Similarity.splitOversizedBuckets(e, bk, cap)
+      val reb = rebBuckets(s, dir)
       val exact = Similarity.marginMine(a, b).select("a_id", "b_id")
       val capped = Similarity.marginMineBucketed(a, b, reb)
         .select("a_id", "b_id")
@@ -2317,7 +2327,7 @@ object ExtEntry {
       val st = bk.groupBy("bucket").agg(count(lit(1)).as("cnt"))
         .agg(count(lit(1)).as("nb"), sum("cnt").as("nv")).head()
       val cap = st.getLong(1) / st.getLong(0)
-      val reb = Similarity.splitOversizedBuckets(embs(s, dir), bk, cap)
+      val reb = rebBuckets(s, dir)
       val before = bk.groupBy("bucket").agg(count(lit(1)).as("cnt"))
       val after = reb.groupBy("bucket").agg(count(lit(1)).as("cnt"))
       before.agg(sum("cnt").as("n_vectors"),
