@@ -2110,6 +2110,16 @@ object ExtEntry {
       graft.ops.Reporting.psiDrift(docs(s, dir),
         col("doc_id") % 2 === 0, col("n_chars")).orderBy("bucket")),
 
+    // Exact per-lang quantiles WITHOUT sorting — distributed selection
+    // by binary search on the VALUE DOMAIN: the k = ceil(q*n/100)-th
+    // smallest found in <= log2(max-min) map-side-combined count
+    // passes with ZERO data shuffles; completes the quantile trade
+    // square (ext24 exact-by-sort, ext56 one-pass 2x-bounded, ext33
+    // one-pass sampled).
+    "ext151_selection_quantiles" -> ((s, dir) =>
+      Sketches.selectionQuantiles(docs(s, dir), Seq("lang"),
+        col("n_chars")).orderBy("lang", "q")),
+
     // TextRank keyword extraction: damped weighted power iteration
     // over the corpus word-adjacency graph, all fixed-point int64
     // (per-edge DIV truncation, damping blend DIV 100) — PageRank's
@@ -5413,6 +5423,21 @@ object ExtEntry {
         |         CAST(COALESCE(SUM(psi_contrib), 0) AS BIGINT)
         |  FROM f)
         |ORDER BY bucket""".stripMargin,
+
+    // Selection-quantile replay: rank every row, pick rn = ceil(q*n/100)
+    // — the k-th order statistic (ties share the value, so the pick is
+    // deterministic in `value` even though row_number is not).
+    "ext151_selection_quantiles" ->
+      """WITH r AS (
+        |  SELECT lang, CAST(n_chars AS BIGINT) AS v,
+        |         row_number() OVER (
+        |           PARTITION BY lang ORDER BY n_chars) AS rn,
+        |         count(*) OVER (PARTITION BY lang) AS n
+        |  FROM documents)
+        |SELECT lang, CAST(qq.q AS BIGINT) AS q, v AS value
+        |FROM r, (VALUES (50), (90)) qq(q)
+        |WHERE rn = (qq.q * n + 99) // 100
+        |ORDER BY lang, q""".stripMargin,
 
 
     // The same Gonzalez rounds unrolled: seed = (max n2, min id), each

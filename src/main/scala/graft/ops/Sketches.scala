@@ -135,6 +135,90 @@ object Sketches {
       }: _*)
   }
 
+  /**
+   * EXACT per-stratum quantiles WITHOUT sorting — distributed
+   * selection by binary search on the VALUE DOMAIN (the classic
+   * k-th-order-statistic trick, Munro/Paterson lineage): the q-th
+   * quantile is the k-th smallest with k = ⌈q·n/100⌉, and the smallest
+   * v with count(≤ v) ≥ k is found by halving an integer [lo, hi]
+   * interval, ONE map-side-combined conditional count per round and
+   * ZERO data shuffles anywhere — each round's job moves
+   * |strata|·|qs| count rows, nothing else. This completes the
+   * quantile family's trade square: exact `percentile` (ext24) pays a
+   * per-stratum sort — at 100 TB an O(n log n) range-shuffle;
+   * [[logHistogramQuantiles]] is one pass but only 2×-bounded; the
+   * hash-rank sample (ext33) is one pass but approximate; THIS is
+   * exact at ⌈log₂(max−min)⌉ corpus scans (≤ ~20 for length-like
+   * values, and in production the histogram's octave brackets the
+   * interval first, leaving `b` rounds for a 2^b-wide octave).
+   *
+   * Driver state: one (stratum, q, lo, hi, k) row per active probe —
+   * requires LOW-CARDINALITY strata (lang/source — the ext24
+   * assumption); each round all active probes ride ONE pass (the
+   * corpus joins the broadcast probe relation, ≤ |qs| rows per
+   * stratum). Ties: converges to the smallest value whose cumulative
+   * count reaches k — exactly the k-th element of the sorted multiset.
+   */
+  def selectionQuantiles(df: DataFrame, strata: Seq[String],
+      value: Column, qs: Seq[Int] = Seq(50, 90)): DataFrame = {
+    require(strata.nonEmpty, "selection quantiles need stratum keys")
+    require(qs.nonEmpty && qs.forall(q => q > 0 && q < 100),
+      "quantiles are integer percents in (0, 100)")
+    val spark = df.sparkSession
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{IntegerType, LongType,
+      StructField, StructType}
+    import scala.jdk.CollectionConverters._
+    val base = Reuse.shared(df.select(
+      struct(strata.map(col): _*).as("_s"),
+      value.cast("long").as("_v")))
+    val keyType = base.schema("_s").dataType
+    val init = base.groupBy("_s")
+      .agg(count(lit(1)).as("n"), min("_v").as("lo"), max("_v").as("hi"))
+      .collect()
+    // (stratum key row, q, k, lo, hi):
+    // invariant count(< lo) < k <= count(<= hi)
+    var probes = init.flatMap { r =>
+      val (s, n, lo, hi) =
+        (r.getStruct(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      qs.map(q => (s, q, (q.toLong * n + 99L) / 100L, lo, hi))
+    }
+    var done = Map.empty[(Row, Int), Long]
+    val midsSchema = StructType(Seq(
+      StructField("_s", keyType), StructField("_q", IntegerType),
+      StructField("_mid", LongType)))
+    while (probes.nonEmpty) {
+      val (fin, active) = probes.partition(p => p._4 >= p._5)
+      done ++= fin.map(p => ((p._1: Row), p._2) -> p._4)
+      if (active.nonEmpty) {
+        val mids = spark.createDataFrame(
+          active.map { case (s, q, _, lo, hi) =>
+            Row(s, q, lo + (hi - lo) / 2)
+          }.toSeq.asJava, midsSchema)
+        val cnts = base.join(broadcast(mids), "_s")
+          .groupBy("_s", "_q")
+          .agg(sum(when(col("_v") <= col("_mid"), 1L).otherwise(0L))
+            .as("c"))
+          .collect()
+          .map(r =>
+            ((r.getStruct(0): Row), r.getInt(1)) -> r.getLong(2))
+          .toMap
+        probes = active.map { case (s, q, k, lo, hi) =>
+          val mid = lo + (hi - lo) / 2
+          if (cnts((s, q)) >= k) (s, q, k, lo, mid)
+          else (s, q, k, mid + 1, hi)
+        }
+      } else probes = Array.empty
+    }
+    val outSchema = StructType(
+      strata.map(c => StructField(c, df.schema(c).dataType)) ++ Seq(
+        StructField("q", LongType), StructField("value", LongType)))
+    spark.createDataFrame(
+      done.toSeq.map { case ((s, q), v) =>
+        Row.fromSeq(s.toSeq ++ Seq(q.toLong, v))
+      }.asJava, outSchema)
+  }
+
   /** Count-Min sketch geometry. Width × depth = 4096 counters — the
     * whole sketch is a broadcast-sized artifact at ANY corpus size;
     * depth-4 rows drive the union-explode and the per-token min. The

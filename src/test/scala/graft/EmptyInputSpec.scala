@@ -272,6 +272,17 @@ class EmptyInputSpec extends TestBase {
     assert(card.size == 5 &&
       card.forall(r => r._3 == 0L && r._4 == 0L),
       s"empty-corpus band card drifted: $card")
+    // the PSI card on an empty corpus is exactly its total tripwire
+    // row, all-zero (coalesced sums, no 0/0)
+    val psi = graft.ops.Reporting.psiDrift(d,
+        col("doc_id") % 2 === 0, col("n_chars"))
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(psi == Seq((-1L, 0L, 0L, 1000000L, 1000000L, 0L, 0L)),
+      s"empty-corpus psi card drifted: $psi")
+    // selection quantiles: no strata on an empty corpus -> no probes,
+    // empty result (not an NPE in the driver loop)
+    assert(graft.ops.Sketches.selectionQuantiles(d, Seq("lang"),
+      col("n_chars")).count() == 0L)
     graft.ops.Reuse.freeAll(spark)
   }
 

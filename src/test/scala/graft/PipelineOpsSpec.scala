@@ -857,6 +857,37 @@ class PipelineOpsSpec extends TestBase {
     graft.ops.Reuse.freeAll(spark)
   }
 
+  test("selection quantiles: k-th order statistic hand-checked incl. " +
+      "ties and singleton strata; == sort-based replay on the real " +
+      "corpus (ext151)") {
+    import spark.implicits._
+    import graft.ops.Sketches
+    // lang a: sorted [1,3,3,5,9] — k50 = ceil(5*50/100) = 3 -> 3 (a
+    // TIE value), k90 = ceil(4.5) = 5 -> 9. lang b: singleton -> 7,7.
+    val df = Seq(("a", 5L), ("a", 1L), ("a", 3L), ("a", 3L), ("a", 9L),
+      ("b", 7L)).toDF("lang", "v")
+    val got = Sketches.selectionQuantiles(df, Seq("lang"), col("v"))
+      .as[(String, Long, Long)].collect().toSeq.sorted
+    assert(got == Seq(("a", 50L, 3L), ("a", 90L, 9L),
+      ("b", 50L, 7L), ("b", 90L, 7L)), s"hand-check drifted: $got")
+    graft.ops.Reuse.freeAll(spark)
+    // the zero-shuffle search must agree with a driver sort replay of
+    // the same k = ceil(q*n/100) definition on every real stratum
+    val real = graft.ingest.Tables.documents(spark, sf("sf0.001"))
+    val sel = Sketches.selectionQuantiles(real, Seq("lang"),
+        col("n_chars"))
+      .as[(String, Long, Long)].collect().toSet
+    val byLang = real.select($"lang", $"n_chars".cast("long"))
+      .as[(String, Long)].collect().groupBy(_._1)
+    val replay = byLang.flatMap { case (l, rows) =>
+      val sorted = rows.map(_._2).sorted
+      Seq(50L, 90L).map(q =>
+        (l, q, sorted(((q * sorted.length + 99) / 100 - 1).toInt)))
+    }.toSet
+    assert(sel == replay, s"selection != sort replay")
+    graft.ops.Reuse.freeAll(spark)
+  }
+
   test("dedup token savings: consistent with the cluster listing and " +
       "the ext47 keeper draw (ext85)") {
     import spark.implicits._
