@@ -2120,6 +2120,15 @@ object ExtEntry {
       Sketches.selectionQuantiles(docs(s, dir), Seq("lang"),
         col("n_chars")).orderBy("lang", "q")),
 
+    // Per-event-type OLS trend slope over daily counts — DIRECTION
+    // where ext133/141 rank recency-weighted MASS: five int64
+    // sufficient statistics over the (entity, day, count) matrix,
+    // global-min-shifted x, one IEEE division floor-ppm'd; zero-
+    // variance entities report 0, not 0/0.
+    "ext152_trend_slope" -> ((s, dir) =>
+      Windows.trendSlopes(Tables.events(s, dir), col("event_type"))
+        .orderBy("entity")),
+
     // TextRank keyword extraction: damped weighted power iteration
     // over the corpus word-adjacency graph, all fixed-point int64
     // (per-edge DIV truncation, damping blend DIV 100) — PageRank's
@@ -5438,6 +5447,31 @@ object ExtEntry {
         |FROM r, (VALUES (50), (90)) qq(q)
         |WHERE rn = (qq.q * n + 99) // 100
         |ORDER BY lang, q""".stripMargin,
+
+    // Trend-slope replay: the same five sums over the day-count
+    // matrix, min-shifted x, single double division.
+    "ext152_trend_slope" ->
+      """WITH c AS (
+        |  SELECT event_type AS entity,
+        |         epoch_us(ts) // 86400000000 AS x,
+        |         CAST(count(*) AS BIGINT) AS y
+        |  FROM events GROUP BY 1, 2),
+        |m AS (SELECT CAST(MIN(x) AS BIGINT) AS x0 FROM c),
+        |s AS (
+        |  SELECT entity, CAST(count(*) AS BIGINT) AS n_periods,
+        |         CAST(SUM(x - x0) AS BIGINT) AS sx,
+        |         CAST(SUM(y) AS BIGINT) AS sy,
+        |         CAST(SUM((x - x0) * y) AS BIGINT) AS sxy,
+        |         CAST(SUM((x - x0) * (x - x0)) AS BIGINT) AS sxx
+        |  FROM c, m GROUP BY 1)
+        |SELECT entity, n_periods, sy AS n_events,
+        |       CASE WHEN n_periods * sxx - sx * sx = 0 THEN 0
+        |            ELSE CAST(floor(1000000.0 *
+        |                 (CAST(n_periods * sxy - sx * sy AS DOUBLE) /
+        |                  CAST(n_periods * sxx - sx * sx AS DOUBLE)))
+        |                 AS BIGINT)
+        |       END AS slope_ppm
+        |FROM s ORDER BY entity""".stripMargin,
 
 
     // The same Gonzalez rounds unrolled: seed = (max n2, min id), each

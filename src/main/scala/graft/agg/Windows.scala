@@ -283,6 +283,61 @@ object Windows {
           .as("conv_first_ppm"))
   }
 
+  /**
+   * Per-entity OLS trend slope over per-period event counts — "which
+   * event types / entities are growing, and how fast": periods are
+   * `unix_micros(ts) DIV periodUs` (day grid by default), y = events
+   * per (entity, period), slope = the least-squares fit
+   * (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²) reported as floor-ppm. The
+   * decayed trending family (ext133/141) ranks by recency-weighted
+   * MASS; this fits DIRECTION — the complementary signal a growth
+   * dashboard plots.
+   *
+   * Engine-exact: x is shifted by the GLOBAL min period (slope is
+   * shift-invariant; keeps every product far from int64 edges), all
+   * five sufficient statistics are int64 sums over the per-period
+   * count matrix, and the one IEEE division is a single op both
+   * engines round identically (the ext115 correlation discipline).
+   * Entities seen in only one period (or with zero x-variance) report
+   * slope 0 rather than an ANSI 0/0.
+   *
+   * Scale shape: raw events collapse map-side into the (entity,
+   * period, count) matrix — the ONLY corpus-sized shuffle; the
+   * sufficient statistics collapse that matrix map-side again; the
+   * global min period is a broadcast 1-row envelope. The per-(entity,
+   * period) counts are pure-addition partials, so the streaming twin
+   * ([[graft.stream.StreamingPipeline.trendSlopePartialsSink]])
+   * accumulates exactly them per micro-batch and folds here.
+   */
+  def trendSlopes(events: DataFrame, entity: Column, ts: String = "ts",
+      periodUs: Long = 86400000000L): DataFrame =
+    trendSlopesFromCounts(
+      events.select(entity.as("entity"),
+          expr(s"unix_micros($ts) DIV $periodUs").as("x"))
+        .groupBy("entity", "x").agg(count(lit(1)).as("y")))
+
+  /** [[trendSlopes]]' fit over a pre-counted (entity, x, y) period
+    * matrix — duplicate (entity, x) keys are re-summed first, so
+    * per-micro-batch partials fold exactly at any batching. */
+  def trendSlopesFromCounts(rawCounts: DataFrame): DataFrame = {
+    val per = rawCounts.groupBy("entity", "x").agg(sum("y").as("y"))
+    val xmin = per.agg(min("x").as("x0"))
+    per.crossJoin(broadcast(xmin))
+      .select(col("entity"), (col("x") - col("x0")).as("x"), col("y"))
+      .groupBy("entity").agg(
+        count(lit(1)).as("n_periods"), sum("x").as("sx"),
+        sum("y").as("sy"), sum(expr("x * y")).as("sxy"),
+        sum(expr("x * x")).as("sxx"))
+      .select(col("entity"), col("n_periods"),
+        col("sy").as("n_events"),
+        when(expr("n_periods * sxx - sx * sx") === 0, lit(0L))
+          .otherwise(floor(lit(1000000.0d) *
+            (expr("n_periods * sxy - sx * sy").cast("double") /
+              expr("n_periods * sxx - sx * sx").cast("double")))
+            .cast("long"))
+          .as("slope_ppm"))
+  }
+
   def cohortRetention(events: DataFrame, user: Column, ts: String = "ts",
       periodUs: Long = 7L * 86400000000L): DataFrame = {
     val periods = events

@@ -833,6 +833,23 @@ object StreamingPipeline {
     graft.ops.Reporting.psiFromCounts(
       spark.read.parquet(outPath).drop("batch"))
 
+  /** Streaming twin of the OLS trend-slope card (ext152): the
+    * per-batch (entity, period, count) matrix is a pure-addition
+    * partial; the min-shift and the five sufficient statistics belong
+    * to the derivation, AFTER the merge (the x-shift depends on the
+    * global min period, which only the merged matrix knows). */
+  def trendSlopePartialsSink(events: DataFrame, entity: Column,
+      outPath: String, periodUs: Long = 86400000000L)
+      : DataStreamWriter[org.apache.spark.sql.Row] =
+    partialsSink(events, b => b.select(entity.as("entity"),
+        expr(s"unix_micros(ts) DIV $periodUs").as("x"))
+      .groupBy("entity", "x").agg(count(lit(1)).as("y")), outPath)
+
+  def trendSlopesFromState(spark: SparkSession,
+      outPath: String): DataFrame =
+    graft.agg.Windows.trendSlopesFromCounts(
+      spark.read.parquet(outPath).drop("batch"))
+
   /** Streaming twin of the per-source Gopher pass rates (ext84). */
   def gopherPassPartialsSink(docs: DataFrame, strata: Seq[String],
       outPath: String): DataStreamWriter[org.apache.spark.sql.Row] =

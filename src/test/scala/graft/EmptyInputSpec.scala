@@ -259,6 +259,13 @@ class EmptyInputSpec extends TestBase {
       StructType(Seq(
         StructField("vec_id", LongType),
         StructField("bucket", LongType))))
+    val emptyEvents = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(
+        StructField("event_id", LongType),
+        StructField("ts", TimestampType),
+        StructField("user_id", LongType),
+        StructField("event_type", StringType))))
     val results = Seq(
       countOf("marginMineBucketed")(
         graft.ops.Similarity.marginMineBucketed(e, e, emptyAsg)),
@@ -283,6 +290,10 @@ class EmptyInputSpec extends TestBase {
     // empty result (not an NPE in the driver loop)
     assert(graft.ops.Sketches.selectionQuantiles(d, Seq("lang"),
       col("n_chars")).count() == 0L)
+    // trend slopes: empty events -> empty card (null min period never
+    // reaches the fit)
+    assert(graft.agg.Windows.trendSlopes(emptyEvents,
+      col("event_type")).count() == 0L)
     graft.ops.Reuse.freeAll(spark)
   }
 

@@ -1451,6 +1451,26 @@ class StreamingSpec extends TestBase {
     assert(driftStreamed.except(driftBatch).isEmpty &&
       driftBatch.except(driftStreamed).isEmpty && driftBatch.count() > 0,
       "streamed drift fold differs from the batch operator")
+    val trendOut = Files.createTempDirectory("graft-tsl-out").toString
+    val trendCkpt = Files.createTempDirectory("graft-tsl-ck").toString
+    val evDir = Files.createTempDirectory("graft-tsl-src").toString + "/d"
+    val evs = graft.ingest.Tables.events(spark, sf("sf0.001"))
+      .select("event_id", "user_id", "event_type", "ts")
+    evs.write.parquet(evDir)
+    val tq = StreamingPipeline.trendSlopePartialsSink(
+      StreamingPipeline.parquetStream(spark, evDir,
+        maxFilesPerTrigger = Some(1)),
+      col("event_type"), trendOut)
+      .option("checkpointLocation", trendCkpt).start()
+    tq.processAllAvailable()
+    tq.stop()
+    val trendStreamed =
+      StreamingPipeline.trendSlopesFromState(spark, trendOut)
+    val trendBatch = graft.agg.Windows.trendSlopes(evs,
+      col("event_type"))
+    assert(trendStreamed.except(trendBatch).isEmpty &&
+      trendBatch.except(trendStreamed).isEmpty && trendBatch.count() > 0,
+      "streamed trend-slope fold differs from the batch operator")
     val psiOut = runSink((s, o) => StreamingPipeline.psiPartialsSink(
       s, col("doc_id") % 2 === 0, length(col("text")), o))
     val psiStreamed = StreamingPipeline.psiFromState(spark, psiOut)

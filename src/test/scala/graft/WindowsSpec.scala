@@ -92,6 +92,39 @@ class WindowsSpec extends TestBase {
     intercept[IllegalArgumentException](Windows.durationSec("10 fortnights"))
   }
 
+  test("trend slopes: OLS fit hand-checked (rising, falling, flat, " +
+      "degenerate single-period), min-shift invariance (ext152)") {
+    import spark.implicits._
+    val day = 86400000000L
+    // per-(entity, day) event counts:
+    //  up:   1, 2, 3 over days 0..2 -> slope 1 (1000000 ppm)
+    //  down: 3, 1 over days 0..1    -> slope -2 (-2000000 ppm)
+    //  flat: 2, 2 over days 0 and 2 -> slope 0
+    //  one:  7 events on day 5      -> zero x-variance -> 0 guard
+    val rows = Seq(("up", 0, 1), ("up", 1, 2), ("up", 2, 3),
+      ("down", 0, 3), ("down", 1, 1), ("flat", 0, 2), ("flat", 2, 2),
+      ("one", 5, 7))
+    val ev = rows.flatMap { case (e, d, n) =>
+      (0 until n).map(i => (e, d.toLong * day + i * 1000L))
+    }.toDF("event_type", "us")
+      .select($"event_type", expr("timestamp_micros(us)").as("ts"))
+    val got = graft.agg.Windows.trendSlopes(ev, col("event_type"))
+      .as[(String, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got == Seq(("down", 2L, 4L, -2000000L),
+      ("flat", 2L, 4L, 0L), ("one", 1L, 7L, 0L),
+      ("up", 3L, 6L, 1000000L)), s"hand-check drifted: $got")
+    // shift invariance: moving every event 1000 days later changes
+    // nothing (x re-zeroes on the new global min)
+    val shifted = graft.agg.Windows.trendSlopes(
+        ev.select($"event_type",
+          expr(s"timestamp_micros(unix_micros(ts) + 1000 * $day)")
+            .as("ts")),
+        col("event_type"))
+      .as[(String, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(shifted == got)
+    graft.ops.Reuse.freeAll(spark)
+  }
+
   test("cohort retention: churn, late cohorts, rejoin and ppm cells " +
       "hand-checked (ext136)") {
     import spark.implicits._
