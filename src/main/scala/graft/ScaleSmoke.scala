@@ -450,6 +450,20 @@ object ScaleSmoke {
     // actually holding (natural-text adjacency is sparse: edges ≪
     // vocab², and minWout floors the vertex set).
     time("textrank") { graft.ops.TextOps.textRank(big) }
+    // r13: stupid-backoff LM scoring at Nx — the claim: corpus-linear
+    // (one bigram explode + three joins against vocab-bounded count
+    // tables); in dup mode the LM tables are the 1x tables with count
+    // mass x mult, in disjoint mode vocab grows ~mult and the tables
+    // stay graph-sized either way.
+    time("lm_backoff") { graft.ops.TextOps.stupidBackoffScores(big) }
+    // r13: selection quantiles at Nx — the claim: ROUNDS are bounded
+    // by the value-domain width (log2(max-min)), NOT the corpus, so
+    // wall grows ~linearly with corpus (each round is one map-side
+    // count pass) while the round count stays flat.
+    time("selection_quantiles") {
+      graft.ops.Sketches.selectionQuantiles(big, Seq("lang"),
+        length(col("text")))
+    }
     if (only.forall(_.exists("textrank".startsWith))) {
       val pairs = graft.ops.TextOps.bigramRows(big.select("text"))
         .filter(col("t1") =!= col("t2"))
