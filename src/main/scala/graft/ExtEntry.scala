@@ -5343,13 +5343,14 @@ object ExtEntry {
         |tot AS (SELECT CAST(SUM(cu) AS BIGINT) AS n_total FROM uni),
         |sp AS (
         |  SELECT bg.doc_id,
-        |         CASE WHEN lm.cb IS NOT NULL
+        |         CASE WHEN lm.cb IS NOT NULL AND u1.cu IS NOT NULL
         |              THEN (1000000 * lm.cb) // u1.cu
-        |              ELSE (400000 * u2.cu) // tot.n_total END AS ppm,
+        |              ELSE (400000 * COALESCE(u2.cu, 0)) // tot.n_total
+        |         END AS ppm,
         |         CASE WHEN lm.cb IS NULL THEN 1 ELSE 0 END AS bo
         |  FROM bg LEFT JOIN lm USING (t1, t2)
-        |       JOIN uni u1 ON u1.t = bg.t1
-        |       JOIN uni u2 ON u2.t = bg.t2, tot),
+        |       LEFT JOIN uni u1 ON u1.t = bg.t1
+        |       LEFT JOIN uni u2 ON u2.t = bg.t2, tot),
         |s AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
         |             CAST(SUM(bo) AS BIGINT) AS n_backoff,
         |             CAST(SUM(CAST(length(bin(greatest(ppm, 1)))
@@ -5411,8 +5412,8 @@ object ExtEntry {
         |             CAST(SUM(n_b) AS BIGINT) AS tb,
         |             CAST(COUNT(*) AS BIGINT) AS nb FROM c),
         |p AS (SELECT bucket, n_a, n_b,
-        |        (1000000 * (n_a + 1)) // (ta + nb) AS p_ppm,
-        |        (1000000 * (n_b + 1)) // (tb + nb) AS q_ppm
+        |        greatest((1000000 * (n_a + 1)) // (ta + nb), 1) AS p_ppm,
+        |        greatest((1000000 * (n_b + 1)) // (tb + nb), 1) AS q_ppm
         |      FROM c, t),
         |f AS (SELECT bucket, n_a, n_b, p_ppm, q_ppm,
         |        CAST(length(bin((1000000 * p_ppm) // q_ppm))
@@ -5461,14 +5462,17 @@ object ExtEntry {
         |  SELECT entity, CAST(count(*) AS BIGINT) AS n_periods,
         |         CAST(SUM(x - x0) AS BIGINT) AS sx,
         |         CAST(SUM(y) AS BIGINT) AS sy,
-        |         CAST(SUM((x - x0) * y) AS BIGINT) AS sxy,
+        |         SUM(CAST(x - x0 AS HUGEINT) * y) AS sxy,
         |         CAST(SUM((x - x0) * (x - x0)) AS BIGINT) AS sxx
         |  FROM c, m GROUP BY 1)
         |SELECT entity, n_periods, sy AS n_events,
-        |       CASE WHEN n_periods * sxx - sx * sx = 0 THEN 0
+        |       CASE WHEN CAST(n_periods AS HUGEINT) * sxx
+        |                 - CAST(sx AS HUGEINT) * sx = 0 THEN 0
         |            ELSE CAST(floor(1000000.0 *
-        |                 (CAST(n_periods * sxy - sx * sy AS DOUBLE) /
-        |                  CAST(n_periods * sxx - sx * sx AS DOUBLE)))
+        |                 (CAST(CAST(n_periods AS HUGEINT) * sxy
+        |                       - CAST(sx AS HUGEINT) * sy AS DOUBLE) /
+        |                  CAST(CAST(n_periods AS HUGEINT) * sxx
+        |                       - CAST(sx AS HUGEINT) * sx AS DOUBLE)))
         |                 AS BIGINT)
         |       END AS slope_ppm
         |FROM s ORDER BY entity""".stripMargin,

@@ -47,6 +47,24 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // _MANIFEST.json: the dump's own statement of what it contains, so a
+    // downstream comparator (driver or tools/check.py --manifest) can detect
+    // a silently-empty or truncated round artifact — an oracle_sql.json with
+    // fewer entries than the registry, or a query dir that never got written
+    // — instead of recording `{}` as if nothing was ever claimed
+    // (CORRECTNESS_r13.json failure mode).
+    val qNames = SparkEntry.queries.keys.toSeq.sorted
+    val oNames = SparkEntry.oracleSql.keys.toSeq.sorted
+    val written = qNames.filter(n => Files.exists(Paths.get(s"$outDir/$n")))
+    val manifest =
+      s"""{"query_count": ${qNames.size}, "oracle_count": ${oNames.size},
+         | "written_count": ${written.size},
+         | "queries": [${qNames.map(q).mkString(",")}],
+         | "oracles": [${oNames.map(q).mkString(",")}],
+         | "written": [${written.map(q).mkString(",")}]}""".stripMargin
+    Files.writeString(Paths.get(s"$outDir/_MANIFEST.json"), manifest)
+    println(s"[verify] manifest: ${qNames.size} queries, " +
+      s"${oNames.size} oracles, ${written.size} written")
     spark.stop()
   }
 }

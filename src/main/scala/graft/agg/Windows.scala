@@ -294,10 +294,12 @@ object Windows {
    * dashboard plots.
    *
    * Engine-exact: x is shifted by the GLOBAL min period (slope is
-   * shift-invariant; keeps every product far from int64 edges), all
-   * five sufficient statistics are int64 sums over the per-period
-   * count matrix, and the one IEEE division is a single op both
-   * engines round identically (the ext115 correlation discipline).
+   * shift-invariant; bounds the x-side products, but NOT the count-
+   * weighted cross terms — those are computed in decimal(38,0)/HUGEINT
+   * so ~1e4 periods × 1e11 events cannot wrap int64), all five
+   * sufficient statistics are int64 sums over the per-period count
+   * matrix, and the one IEEE division is a single op both engines
+   * round identically (the ext115 correlation discipline).
    * Entities seen in only one period (or with zero x-variance) report
    * slope 0 rather than an ANSI 0/0.
    *
@@ -326,14 +328,27 @@ object Windows {
       .select(col("entity"), (col("x") - col("x0")).as("x"), col("y"))
       .groupBy("entity").agg(
         count(lit(1)).as("n_periods"), sum("x").as("sx"),
-        sum("y").as("sy"), sum(expr("x * y")).as("sxy"),
+        // sxy is the one sufficient statistic that can itself leave
+        // int64 (≤ periods · max_x · max_y ≈ 1e4·1e4·1e11): sum it in
+        // decimal. sx/sxx are x-bounded (min-shift) and sy is the
+        // entity's event count — int64-safe to 9.2e18 events.
+        sum("y").as("sy"),
+        sum(expr("cast(x as decimal(38,0)) * y")).as("sxy"),
         sum(expr("x * x")).as("sxx"))
       .select(col("entity"), col("n_periods"),
         col("sy").as("n_events"),
-        when(expr("n_periods * sxx - sx * sx") === 0, lit(0L))
+        // The cross terms are count-weighted: sxy/sy scale with per-
+        // entity EVENT counts, so n_periods*sxy and sx*sy leave int64
+        // around 1e4 periods × 1e11 events (silent wrap under non-ANSI
+        // Spark). decimal(38,0) keeps the numerator/denominator exact
+        // integers (both engines cast the same exact value to double).
+        when(expr("cast(n_periods as decimal(38,0)) * sxx" +
+            " - cast(sx as decimal(38,0)) * sx") === 0, lit(0L))
           .otherwise(floor(lit(1000000.0d) *
-            (expr("n_periods * sxy - sx * sy").cast("double") /
-              expr("n_periods * sxx - sx * sx").cast("double")))
+            (expr("cast(n_periods as decimal(38,0)) * sxy" +
+                " - cast(sx as decimal(38,0)) * sy").cast("double") /
+              expr("cast(n_periods as decimal(38,0)) * sxx" +
+                " - cast(sx as decimal(38,0)) * sx").cast("double")))
             .cast("long"))
           .as("slope_ppm"))
   }

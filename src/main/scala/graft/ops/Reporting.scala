@@ -303,7 +303,9 @@ object Reporting {
    * snapshot A per row — the ext82 single-scan convention). The
    * engine-exact substitutions: bins are the ext56 integer log₂
    * buckets (`length(bin(v)) − 1`); p, q are Laplace-smoothed ppm
-   * shares ((n+1)·10⁶ DIV (N + |bins|), the ext134 smoothing); ln →
+   * shares ((n+1)·10⁶ DIV (N + |bins|), the ext134 smoothing, floored
+   * at 1 ppm so a >1e6-row side cannot truncate a rare bucket's share
+   * to 0 and NULL the octave ratio); ln →
    * the bit-length octave of the share ratio (`bitlen(ratio_ppm) − 20`,
    * ratio 1 ↦ 0). Contribution signs align ((p−q) and log(p/q) agree),
    * so every per-bin contribution is ≥ 0 and the TOTAL row
@@ -335,10 +337,17 @@ object Reporting {
       .agg(sum("n_a").as("n_a"), sum("n_b").as("n_b")))
     val tot = counts.agg(sum("n_a").as("ta"), sum("n_b").as("tb"),
       count(lit(1)).as("nb"))
+    // Shares floor at 1 ppm: once a side's total exceeds ~1e6 rows the
+    // integer DIV truncates a rare bucket's smoothed share to 0, and a
+    // zero q_ppm would NULL the octave (DIV by zero) — silently dropping
+    // the MOST drifted one-sided bucket from the bucket=-1 total. The
+    // floor keeps the ratio finite and the (p−q)/octave signs aligned.
     val per = Reuse.shared(counts.crossJoin(broadcast(tot))
       .select(col("bucket"), col("n_a"), col("n_b"),
-        expr("(1000000 * (n_a + 1)) DIV (ta + nb)").as("p_ppm"),
-        expr("(1000000 * (n_b + 1)) DIV (tb + nb)").as("q_ppm"))
+        expr("greatest((1000000 * (n_a + 1)) DIV (ta + nb), 1)")
+          .as("p_ppm"),
+        expr("greatest((1000000 * (n_b + 1)) DIV (tb + nb), 1)")
+          .as("q_ppm"))
       .withColumn("oct2",
         length(expr("bin((1000000 * p_ppm) DIV q_ppm)")).cast("long")
           - 20L)

@@ -169,9 +169,12 @@ object Sketches {
     import org.apache.spark.sql.types.{IntegerType, LongType,
       StructField, StructType}
     import scala.jdk.CollectionConverters._
+    // NULL values must not count toward n: they'd inflate k past the
+    // reachable cumulative count (no NULL ever satisfies _v <= _mid) and
+    // the bisection would silently converge to the stratum max.
     val base = Reuse.shared(df.select(
       struct(strata.map(col): _*).as("_s"),
-      value.cast("long").as("_v")))
+      value.cast("long").as("_v")).where(col("_v").isNotNull))
     val keyType = base.schema("_s").dataType
     val init = base.groupBy("_s")
       .agg(count(lit(1)).as("n"), min("_v").as("lo"), max("_v").as("hi"))

@@ -789,14 +789,23 @@ object TextOps {
     val lm = bi.filter(col("cb") >= minCount)
     val uni = Reuse.shared(uni0)
     val tot = uni.agg(sum("cu").as("n_total"))
+    // Unigram joins are LEFT: scoring a snapshot newer than the counted
+    // corpus meets tokens absent from the stored LM, and an inner join
+    // would silently drop those positions from n_bigrams, pushing
+    // unseen-vocab docs toward a neutral 0 instead of penalizing them.
+    // A missing unigram scores the OOV floor (ppm 1 via the octave's
+    // greatest(ppm, 1) — the maximum per-position penalty, oct = −20).
     val scored = bg
       .join(lm, Seq("t1", "t2"), "left")
-      .join(uni.select(col("t").as("t1"), col("cu").as("cu1")), Seq("t1"))
-      .join(uni.select(col("t").as("t2"), col("cu").as("cu2")), Seq("t2"))
+      .join(uni.select(col("t").as("t1"), col("cu").as("cu1")),
+        Seq("t1"), "left")
+      .join(uni.select(col("t").as("t2"), col("cu").as("cu2")),
+        Seq("t2"), "left")
       .crossJoin(broadcast(tot))
       .withColumn("ppm",
-        when(col("cb").isNotNull, expr("(1000000 * cb) DIV cu1"))
-          .otherwise(expr("(400000 * cu2) DIV n_total")))
+        when(col("cb").isNotNull && col("cu1").isNotNull,
+          expr("(1000000 * cb) DIV cu1"))
+          .otherwise(expr("(400000 * coalesce(cu2, 0)) DIV n_total")))
       .withColumn("oct",
         length(expr("bin(greatest(ppm, 1))")).cast("long") - 21L)
       .groupBy(col(id))

@@ -147,4 +147,28 @@ class TextKernelsSpec extends TestBase {
     assert(rs._2 > 0L, "no bigram survived pruning on the real corpus")
     graft.ops.Reuse.freeAll(spark)
   }
+
+  test("stupid-backoff stored-LM seam: OOV tokens score the floor " +
+      "penalty instead of silently dropping positions") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // Stored LM counted from "a b a b": bi {(a,b)->2, (b,a)->1},
+    // uni {a->2, b->2}, N=4; minCount 2 keeps only (a,b).
+    val bi = Seq(("a", "b", 2L), ("b", "a", 1L)).toDF("t1", "t2", "cb")
+    val uni = Seq(("a", 2L), ("b", 2L)).toDF("t", "cu")
+    // Snapshot NEWER than the counted corpus:
+    //  d1 "q r": (q,r) fully OOV -> ppm floor 1 -> oct -20 (max penalty)
+    //  d2 "q a": (q,a) backoff on cu(a)=2 -> 400000*2//4=200000 ->
+    //            bitlen 18 -> oct -3
+    //  d3 "a q": (a,q) t2 OOV -> floor -> oct -20
+    //  d4 "a b": kept -> 1e6*2//2=1000000 -> oct -1
+    val snap = Seq((1L, "q r"), (2L, "q a"), (3L, "a q"), (4L, "a b"))
+      .toDF("doc_id", "text")
+    val got = TextOps.stupidBackoffScoresFrom(snap, bi, uni)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got == Seq((1L, 1L, 1L, -20L), (2L, 1L, 1L, -3L),
+      (3L, 1L, 1L, -20L), (4L, 1L, 0L, -1L)),
+      s"OOV positions must count AND pay the floor penalty: $got")
+    graft.ops.Reuse.freeAll(spark)
+  }
 }

@@ -125,6 +125,30 @@ class WindowsSpec extends TestBase {
     graft.ops.Reuse.freeAll(spark)
   }
 
+  test("trend slopes: count-weighted cross terms past int64 do not " +
+      "wrap (10-year daily matrix at ~1.5e13 covariance mass)") {
+    import spark.implicits._
+    // Exact linear y = c·x + b over 3650 daily periods: the true
+    // numerator c·(n·sxx − sx²) ≈ 3.4e19 leaves int64 (its two's-
+    // complement difference lands negative), so pre-fix the slope came
+    // out wrapped; decimal arithmetic must recover exactly c ppm-scaled.
+    val c = 2300000L; val b = 1000L; val n = 3650
+    val counts = (0 until n).map(x => ("big", x.toLong, c * x + b))
+      .toDF("entity", "x", "y")
+    val got = graft.agg.Windows.trendSlopesFromCounts(counts)
+      .as[(String, Long, Long, Long)].collect().head
+    // replicate the engines' one IEEE division on exact integers
+    val sx = BigInt(n - 1) * n / 2
+    val sxx = (0 until n).map(x => BigInt(x) * x).sum
+    val num = BigInt(c) * (BigInt(n) * sxx - sx * sx)
+    val den = BigInt(n) * sxx - sx * sx
+    val want = math.floor(1e6 * (num.toDouble / den.toDouble)).toLong
+    assert(num > BigInt(Long.MaxValue), "fixture no longer overflows")
+    assert(got == (("big", n.toLong, counts.agg(sum("y"))
+      .as[Long].collect().head, want)), s"wrapped cross term: $got")
+    graft.ops.Reuse.freeAll(spark)
+  }
+
   test("cohort retention: churn, late cohorts, rejoin and ppm cells " +
       "hand-checked (ext136)") {
     import spark.implicits._
