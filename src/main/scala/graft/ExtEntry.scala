@@ -2129,6 +2129,55 @@ object ExtEntry {
       Windows.trendSlopes(Tables.events(s, dir), col("event_type"))
         .orderBy("entity")),
 
+    // The ENCODE side of the tokenizer as a first-class card: one-pass
+    // per-word replay of the stored ext111 merge table (rank-map floor
+    // scan — O(achievable merges) per word, table-depth-independent;
+    // r13 verdict closed: the old replay chained one Spark stage per
+    // rank). Output = the full (word, cnt, n_syms) vocabulary.
+    "ext153_bpe_encode" -> ((s, dir) =>
+      TextOps.bpeApplyCounts(docs(s, dir), bpeMergesIdx(s, dir), 3)
+        .where(length(col("word")) > 0).orderBy("word")),
+
+    // Moore-Lewis contrastive selection: per-doc octave log-likelihood
+    // under the in-domain (lang='en') stupid-backoff LM minus the
+    // general-corpus LM — the classical cross-entropy-difference data
+    // selector; gain >= 0 selects. One bigram explode feeds all four
+    // count tables.
+    "ext154_moore_lewis" -> ((s, dir) =>
+      TextOps.mooreLewisScores(docs(s, dir), col("lang") === "en")
+        .orderBy("doc_id")),
+
+    // Per-doc character-distribution entropy in integer octaves — the
+    // vocabulary-free garbage detector (binary/base64 reads high, spam
+    // floods read low); share_ppm surprise = 21 - bitlen, ent_oct =
+    // sum(n_c * surprise), mean x1000 — all-positive int64 end to end.
+    "ext155_char_entropy" -> ((s, dir) =>
+      TextOps.charEntropy(docs(s, dir)).orderBy("doc_id")),
+
+    // CCNet head/middle/tail perplexity buckets per language: docs
+    // ranked by length-normalized stupid-backoff penalty (negated
+    // octaves x1000 DIV n_bigrams — strictly positive, sign-free DIV),
+    // cut into terciles over a deterministic (penalty, doc_id) order;
+    // zero-bigram docs land in an explicit 'unscored' bucket.
+    "ext156_ccnet_buckets" -> ((s, dir) =>
+      TextOps.ccnetBuckets(docs(s, dir)).orderBy("doc_id")),
+
+    // Language-ID confidence margin: best minus runner-up marker score
+    // (runner-up = total - max - min, no sort), per-token margin in
+    // ppm, confident flag at 1000 ppm — the routing threshold ext08's
+    // argmax alone can't express. Stateless codegen projection.
+    "ext157_langid_margin" -> ((s, dir) =>
+      TextOps.langidMargin(docs(s, dir)).orderBy("doc_id")),
+
+    // Median/MAD anomaly days per event type: pointwise outliers where
+    // ext152 reads direction and ext150 distribution drift — modified
+    // z-score flag (dev > 7 x MAD, MAD floored at 1), both medians
+    // lower-order statistics over the daily count matrix; all int64,
+    // zero divisions.
+    "ext158_anomaly_days" -> ((s, dir) =>
+      Windows.anomalyDays(Tables.events(s, dir), col("event_type"))
+        .orderBy("entity", "x")),
+
     // TextRank keyword extraction: damped weighted power iteration
     // over the corpus word-adjacency graph, all fixed-point int64
     // (per-edge DIV truncation, damping blend DIV 100) — PageRank's
@@ -5476,6 +5525,227 @@ object ExtEntry {
         |                 AS BIGINT)
         |       END AS slope_ppm
         |FROM s ORDER BY entity""".stripMargin,
+
+    // Encode-side replay: the ext111/112 bpeCtes chain ends at the
+    // post-merge state s3; the vocabulary card is one GROUP BY word
+    // (+ over-cap chars as single symbols, the ext112 wc shape).
+    "ext153_bpe_encode" ->
+      s"""$bpeCtes
+         |SELECT word, CAST(MAX(cnt) AS BIGINT) AS cnt,
+         |       CAST(count(*) + greatest(length(word)
+         |         - ${TextOps.BpeMaxWordLen}, 0) AS BIGINT) AS n_syms
+         |FROM s3 WHERE length(word) > 0
+         |GROUP BY word ORDER BY word""".stripMargin,
+
+    // Moore-Lewis: the ext148 stupid-backoff chain TWICE — general LM
+    // from all documents, in-domain LM from lang='en' — then the
+    // per-doc octave difference; selected = sign(gain).
+    "ext154_moore_lewis" ->
+      """WITH bg AS (
+        |  SELECT doc_id, lang, unnest(tk[1:len(tk)-1]) AS t1,
+        |         unnest(tk[2:len(tk)]) AS t2
+        |  FROM (SELECT doc_id, lang, string_split(text, ' ') AS tk
+        |        FROM documents)),
+        |lmg AS (SELECT t1, t2, CAST(count(*) AS BIGINT) AS cb
+        |        FROM bg GROUP BY 1, 2 HAVING count(*) >= 2),
+        |lmi AS (SELECT t1, t2, CAST(count(*) AS BIGINT) AS cb
+        |        FROM bg WHERE lang = 'en'
+        |        GROUP BY 1, 2 HAVING count(*) >= 2),
+        |ung AS (SELECT t, CAST(count(*) AS BIGINT) AS cu FROM (
+        |          SELECT unnest(string_split(text, ' ')) AS t
+        |          FROM documents) GROUP BY 1),
+        |uin AS (SELECT t, CAST(count(*) AS BIGINT) AS cu FROM (
+        |          SELECT unnest(string_split(text, ' ')) AS t
+        |          FROM documents WHERE lang = 'en') GROUP BY 1),
+        |tg AS (SELECT CAST(SUM(cu) AS BIGINT) AS n_total FROM ung),
+        |ti AS (SELECT CAST(SUM(cu) AS BIGINT) AS n_total FROM uin),
+        |spg AS (
+        |  SELECT bg.doc_id,
+        |         CASE WHEN lm.cb IS NOT NULL AND u1.cu IS NOT NULL
+        |              THEN (1000000 * lm.cb) // u1.cu
+        |              ELSE (400000 * COALESCE(u2.cu, 0)) // tg.n_total
+        |         END AS ppm,
+        |         CASE WHEN lm.cb IS NULL THEN 1 ELSE 0 END AS bo
+        |  FROM bg LEFT JOIN lmg lm USING (t1, t2)
+        |       LEFT JOIN ung u1 ON u1.t = bg.t1
+        |       LEFT JOIN ung u2 ON u2.t = bg.t2, tg),
+        |spi AS (
+        |  SELECT bg.doc_id,
+        |         CASE WHEN lm.cb IS NOT NULL AND u1.cu IS NOT NULL
+        |              THEN (1000000 * lm.cb) // u1.cu
+        |              ELSE (400000 * COALESCE(u2.cu, 0)) // ti.n_total
+        |         END AS ppm,
+        |         CASE WHEN lm.cb IS NULL THEN 1 ELSE 0 END AS bo
+        |  FROM bg LEFT JOIN lmi lm USING (t1, t2)
+        |       LEFT JOIN uin u1 ON u1.t = bg.t1
+        |       LEFT JOIN uin u2 ON u2.t = bg.t2, ti),
+        |sg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |              CAST(SUM(bo) AS BIGINT) AS n_backoff,
+        |              CAST(SUM(CAST(length(bin(greatest(ppm, 1)))
+        |                   AS BIGINT) - 21) AS BIGINT) AS lmq
+        |       FROM spg GROUP BY 1),
+        |si AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |              CAST(SUM(bo) AS BIGINT) AS n_backoff,
+        |              CAST(SUM(CAST(length(bin(greatest(ppm, 1)))
+        |                   AS BIGINT) - 21) AS BIGINT) AS lmq
+        |       FROM spi GROUP BY 1)
+        |SELECT d.doc_id,
+        |       COALESCE(si.n_bigrams, 0) AS n_bigrams,
+        |       COALESCE(si.n_backoff, 0) AS n_backoff_in,
+        |       COALESCE(si.lmq, 0) AS lm_in,
+        |       COALESCE(sg.n_backoff, 0) AS n_backoff_gen,
+        |       COALESCE(sg.lmq, 0) AS lm_gen,
+        |       COALESCE(si.lmq, 0) - COALESCE(sg.lmq, 0) AS gain_oct,
+        |       CAST(CASE WHEN COALESCE(si.lmq, 0)
+        |                      - COALESCE(sg.lmq, 0) >= 0
+        |            THEN 1 ELSE 0 END AS BIGINT) AS selected
+        |FROM documents d LEFT JOIN sg USING (doc_id)
+        |     LEFT JOIN si USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
+
+    // Char entropy: per-(doc, code point) counts, ppm share floored at
+    // 1, surprise = 21 - bitlen(share), ent = sum(nc * surprise) — the
+    // same all-positive octave algebra, so trunc-vs-floor DIV never
+    // diverges.
+    "ext155_char_entropy" ->
+      """WITH pc AS (
+        |  SELECT doc_id, ch, CAST(count(*) AS BIGINT) AS nc
+        |  FROM (SELECT doc_id, unnest(string_split(text, '')) AS ch
+        |        FROM documents)
+        |  WHERE length(ch) > 0 GROUP BY 1, 2),
+        |wd AS (SELECT doc_id, nc,
+        |              SUM(nc) OVER (PARTITION BY doc_id) AS n FROM pc),
+        |sc AS (SELECT doc_id, nc, n,
+        |              greatest((nc * 1000000) // n, 1) AS share_ppm
+        |       FROM wd),
+        |card AS (
+        |  SELECT doc_id, CAST(MAX(n) AS BIGINT) AS n_chars_used,
+        |         CAST(count(*) AS BIGINT) AS n_distinct_chars,
+        |         CAST(SUM(nc * (21 - length(bin(share_ppm))))
+        |           AS BIGINT) AS ent_oct
+        |  FROM sc GROUP BY 1)
+        |SELECT d.doc_id,
+        |       COALESCE(c.n_chars_used, 0) AS n_chars_used,
+        |       COALESCE(c.n_distinct_chars, 0) AS n_distinct_chars,
+        |       COALESCE(c.ent_oct, 0) AS ent_oct,
+        |       COALESCE(CAST((c.ent_oct * 1000) // c.n_chars_used
+        |         AS BIGINT), 0) AS mean_millioct
+        |FROM documents d LEFT JOIN card c USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
+
+    // CCNet buckets: the ext148 backoff chain, negated-octave penalty
+    // per position x1000 (strictly positive — sign-free DIV), per-lang
+    // tercile cut over the (penalty, doc_id) total order; zero-bigram
+    // docs in an explicit 'unscored' bucket.
+    "ext156_ccnet_buckets" ->
+      """WITH bg AS (
+        |  SELECT doc_id, unnest(tk[1:len(tk)-1]) AS t1,
+        |         unnest(tk[2:len(tk)]) AS t2
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS tk
+        |        FROM documents)),
+        |lm AS (SELECT t1, t2, CAST(count(*) AS BIGINT) AS cb
+        |       FROM bg GROUP BY 1, 2 HAVING count(*) >= 2),
+        |uni AS (SELECT t, CAST(count(*) AS BIGINT) AS cu FROM (
+        |          SELECT unnest(string_split(text, ' ')) AS t
+        |          FROM documents) GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(cu) AS BIGINT) AS n_total FROM uni),
+        |sp AS (
+        |  SELECT bg.doc_id,
+        |         CASE WHEN lm.cb IS NOT NULL AND u1.cu IS NOT NULL
+        |              THEN (1000000 * lm.cb) // u1.cu
+        |              ELSE (400000 * COALESCE(u2.cu, 0)) // tot.n_total
+        |         END AS ppm
+        |  FROM bg LEFT JOIN lm USING (t1, t2)
+        |       LEFT JOIN uni u1 ON u1.t = bg.t1
+        |       LEFT JOIN uni u2 ON u2.t = bg.t2, tot),
+        |s AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |             CAST(SUM(CAST(length(bin(greatest(ppm, 1)))
+        |                  AS BIGINT) - 21) AS BIGINT) AS lm
+        |      FROM sp GROUP BY 1),
+        |sc AS (SELECT d.doc_id, d.lang,
+        |              COALESCE(s.n_bigrams, 0) AS n_bigrams,
+        |              COALESCE(s.lm, 0) AS lm
+        |       FROM documents d LEFT JOIN s USING (doc_id)),
+        |r AS (SELECT doc_id, lang, n_bigrams,
+        |        ((0 - lm) * 1000) // n_bigrams AS penalty_mppm,
+        |        row_number() OVER (PARTITION BY lang
+        |          ORDER BY ((0 - lm) * 1000) // n_bigrams, doc_id) AS rk,
+        |        count(*) OVER (PARTITION BY lang) AS n
+        |      FROM sc WHERE n_bigrams > 0)
+        |SELECT doc_id, lang, CAST(n_bigrams AS BIGINT) AS n_bigrams,
+        |       CAST(penalty_mppm AS BIGINT) AS penalty_mppm,
+        |       CASE ((rk - 1) * 3) // n WHEN 0 THEN 'head'
+        |            WHEN 1 THEN 'middle' ELSE 'tail' END AS bucket
+        |FROM r
+        |UNION ALL
+        |SELECT doc_id, lang, CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+        |       'unscored'
+        |FROM sc WHERE n_bigrams = 0
+        |ORDER BY doc_id""".stripMargin,
+
+    // Langid margin: the ext08 marker scores + best/runner-up
+    // arithmetic (runner-up = total - max - min), per-token ppm margin
+    // and the 1000-ppm confident flag.
+    "ext157_langid_margin" ->
+      s"""WITH s AS (
+         |  SELECT doc_id,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks,
+         |    CAST(len(list_filter(string_split(text, ' '),
+         |      t -> t IN (${markerList("en")}))) AS BIGINT) AS score_en,
+         |    CAST(len(list_filter(string_split(text, ' '),
+         |      t -> t IN (${markerList("es")}))) AS BIGINT) AS score_es,
+         |    CAST(len(list_filter(string_split(text, ' '),
+         |      t -> t IN (${markerList("zh")}))) AS BIGINT) AS score_zh
+         |  FROM documents),
+         |m AS (
+         |  SELECT doc_id, n_toks,
+         |    CASE WHEN score_en >= score_es AND score_en >= score_zh
+         |         THEN 'en'
+         |         WHEN score_es >= score_zh THEN 'es'
+         |         ELSE 'zh' END AS predicted,
+         |    greatest(score_en, score_es, score_zh) AS best,
+         |    score_en + score_es + score_zh
+         |      - greatest(score_en, score_es, score_zh)
+         |      - least(score_en, score_es, score_zh) AS second
+         |  FROM s)
+         |SELECT doc_id, predicted, n_toks, best, second,
+         |       best - second AS margin,
+         |       CAST(CASE WHEN n_toks = 0 THEN 0
+         |            ELSE ((best - second) * 1000000) // n_toks
+         |       END AS BIGINT) AS margin_ppm,
+         |       CAST(CASE WHEN (CASE WHEN n_toks = 0 THEN 0
+         |                 ELSE ((best - second) * 1000000) // n_toks
+         |                 END) >= 1000
+         |            THEN 1 ELSE 0 END AS BIGINT) AS confident
+         |FROM m ORDER BY doc_id""".stripMargin,
+
+    // Anomaly days: lower-median + lower-MAD per entity over the daily
+    // count matrix, flag = dev > 7 x greatest(mad, 1) — all int64 rank
+    // statistics, zero divisions.
+    "ext158_anomaly_days" ->
+      """WITH c AS (
+        |  SELECT event_type AS entity,
+        |         epoch_us(ts) // 86400000000 AS x,
+        |         CAST(count(*) AS BIGINT) AS y
+        |  FROM events GROUP BY 1, 2),
+        |r AS (SELECT *,
+        |        row_number() OVER (PARTITION BY entity ORDER BY y)
+        |          AS rn,
+        |        count(*) OVER (PARTITION BY entity) AS n FROM c),
+        |m AS (SELECT entity, y AS med FROM r WHERE rn = (n + 1) // 2),
+        |d AS (SELECT c.entity, x, y, med, abs(y - med) AS dev
+        |      FROM c JOIN m USING (entity)),
+        |r2 AS (SELECT *,
+        |         row_number() OVER (PARTITION BY entity ORDER BY dev)
+        |           AS rn2,
+        |         count(*) OVER (PARTITION BY entity) AS n2 FROM d),
+        |m2 AS (SELECT entity, dev AS mad FROM r2
+        |       WHERE rn2 = (n2 + 1) // 2)
+        |SELECT d.entity, x, y, med, mad, dev,
+        |       CAST(CASE WHEN dev > 7 * greatest(mad, 1) THEN 1 ELSE 0
+        |            END AS BIGINT) AS flag
+        |FROM d JOIN m2 USING (entity)
+        |ORDER BY entity, x""".stripMargin,
 
 
     // The same Gonzalez rounds unrolled: seed = (max n2, min id), each

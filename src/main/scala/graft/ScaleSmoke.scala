@@ -464,6 +464,32 @@ object ScaleSmoke {
       graft.ops.Sketches.selectionQuantiles(big, Seq("lang"),
         length(col("text")))
     }
+    // r14 (r13 verdict item 2): ENCODE at tokenizer-ish depth — the
+    // one-pass apply's claim: ONE distributed pass regardless of table
+    // depth (the r13 relational replay chained one stage per rank;
+    // bpe_merges_32 above prices the LEARN loop's 32 keyed rounds).
+    // Cost must be ~the vocab groupBy + a per-word local replay
+    // bounded by achievable merges — i.e. ~flat from depth 3 to 32,
+    // and a small fraction of the learn loop's wall.
+    if (only.forall(_.exists("bpe_apply".startsWith))) {
+      val t32 = graft.ops.TextOps.bpeMerges(big, 32).localCheckpoint(true)
+      graft.ops.Reuse.freeAll(spark)
+      time("bpe_apply_3") { graft.ops.TextOps.bpeApplyCounts(big, t32, 3) }
+      time("bpe_apply_32") {
+        graft.ops.TextOps.bpeApplyCounts(big, t32, 32)
+      }
+    }
+    // r14: Moore-Lewis — ONE corpus bigram explode (flag riding along)
+    // feeds all four vocab-bounded count tables; scoring is two passes
+    // of the lm_backoff join shape over the SAME shared bigram
+    // relation: expect ~2x lm_backoff, corpus-linear.
+    time("moore_lewis") {
+      graft.ops.TextOps.mooreLewisScores(big, col("lang") === "en")
+    }
+    // r14: char entropy — one doc-local char explode into a (id, ch)
+    // map-side-combined groupBy bounded by alphabet x docs (far under
+    // token counts): expect linear, rows == docs.
+    time("char_entropy") { graft.ops.TextOps.charEntropy(big) }
     if (only.forall(_.exists("textrank".startsWith))) {
       val pairs = graft.ops.TextOps.bigramRows(big.select("text"))
         .filter(col("t1") =!= col("t2"))

@@ -353,6 +353,60 @@ object Windows {
           .as("slope_ppm"))
   }
 
+  /**
+   * Median/MAD anomaly days — POINTWISE outliers where [[trendSlopes]]
+   * reads direction and PSI (ext150) reads distribution drift: per
+   * entity, each period's count is flagged when its absolute deviation
+   * from the entity's median exceeds `k` × MAD (the modified z-score
+   * rule, robust where mean/stddev would let one spike poison its own
+   * threshold). Median and MAD are LOWER-median order statistics
+   * (rank `(n+1) DIV 2` over value order) — deterministic in VALUE
+   * even under row_number tie permutation, so both engines pick the
+   * same integers; `greatest(mad, 1)` keeps constant-series entities
+   * (MAD 0) from flagging every ±1 wiggle. All int64, no division at
+   * all.
+   *
+   * Scale shape: raw events collapse map-side into the (entity,
+   * period, count) matrix — the only corpus-sized shuffle (shared
+   * shape with [[trendSlopesFromCounts]]); both medians are windowed
+   * rank statistics over that compact matrix (|entities| × |periods|
+   * rows), and the flags are a stateless projection. The matrix is a
+   * pure-addition partial, so the streaming path folds the same
+   * per-batch counts ([[trendSlopesFromCounts]]' sink) before the
+   * rank pass.
+   */
+  def anomalyDays(events: DataFrame, entity: Column, ts: String = "ts",
+      periodUs: Long = 86400000000L, k: Long = 7L): DataFrame =
+    anomalyDaysFromCounts(
+      events.select(entity.as("entity"),
+          expr(s"unix_micros($ts) DIV $periodUs").as("x"))
+        .groupBy("entity", "x").agg(count(lit(1)).as("y")), k)
+
+  /** [[anomalyDays]]' rank pass over a pre-counted (entity, x, y)
+    * matrix — duplicate keys re-summed first (partials fold exactly). */
+  def anomalyDaysFromCounts(rawCounts: DataFrame,
+      k: Long = 7L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val per = rawCounts.groupBy("entity", "x").agg(sum("y").as("y"))
+    val byEnt = Window.partitionBy("entity")
+    def lowerMedian(df: DataFrame, value: String,
+        out: String): DataFrame =
+      df.withColumn("_rn", row_number().over(byEnt.orderBy(col(value))))
+        .withColumn("_n", count(lit(1)).over(byEnt))
+        .filter(col("_rn") === expr("(_n + 1) DIV 2"))
+        .select(col("entity"), col(value).as(out))
+    val med = lowerMedian(per, "y", "med")
+    val dev = per.join(med, "entity")
+      .withColumn("dev", abs(col("y") - col("med")))
+    val mad = lowerMedian(dev.select(col("entity"), col("dev")),
+      "dev", "mad")
+    dev.join(mad, "entity")
+      .select(col("entity"), col("x"), col("y"), col("med"), col("mad"),
+        col("dev"),
+        (col("dev") > lit(k) * greatest(col("mad"), lit(1L)))
+          .cast("long").as("flag"))
+  }
+
   def cohortRetention(events: DataFrame, user: Column, ts: String = "ts",
       periodUs: Long = 7L * 86400000000L): DataFrame = {
     val periods = events

@@ -217,6 +217,43 @@ object TextOps {
   }
 
   /**
+   * Language-ID confidence margin — the THRESHOLD signal [[langScores]]
+   * lacks: a crawl pipeline doesn't act on the argmax label alone, it
+   * acts on how far the winner is ahead (fasttext-style routing keeps
+   * a doc only when the top-language score clears the runner-up by a
+   * margin; ties are exactly the docs that go to human/secondary
+   * review). Per doc: best and second-best marker scores, their
+   * difference, the per-token margin in ppm (`(margin·10⁶) DIV
+   * n_toks`, 0 for empty docs — all terms non-negative, so trunc-vs-
+   * floor DIV never diverges), and `confident = margin_ppm ≥
+   * threshold` (default 1000 ppm = one marker word per 1000 tokens of
+   * daylight). With three scores the runner-up is total − max − min —
+   * no sort, pure codegen'd projection.
+   *
+   * Scale shape: [[langScores]]' stateless marker-count projection +
+   * arithmetic — zero shuffles beyond the scan; rows == docs.
+   */
+  def langidMargin(doc: DataFrame, thresholdPpm: Long = 1000L,
+      id: String = "doc_id", text: String = "text"): DataFrame =
+    langScores(doc.select(col(id), col(text)), text)
+      .withColumn("n_toks", size(col("toks")).cast("long"))
+      .withColumn("best",
+        greatest(col("score_en"), col("score_es"), col("score_zh")))
+      .withColumn("second",
+        col("score_en") + col("score_es") + col("score_zh")
+          - col("best")
+          - least(col("score_en"), col("score_es"), col("score_zh")))
+      .withColumn("margin", col("best") - col("second"))
+      .withColumn("margin_ppm",
+        when(col("n_toks") === 0L, 0L)
+          .otherwise(expr("(margin * 1000000) DIV n_toks")))
+      .withColumn("confident",
+        (col("margin_ppm") >= thresholdPpm).cast("long"))
+      .select(col(id), col("predicted"), col("n_toks"), col("best"),
+        col("second"), col("margin"), col("margin_ppm"),
+        col("confident"))
+
+  /**
    * Code-switch segmentation — WITHIN-document language structure,
    * where [[langScores]] gives one label per doc: the token stream is
    * cut into fixed `windowTokens` windows, each window language-ID'd
@@ -820,6 +857,161 @@ object TextOps {
   }
 
   /**
+   * CCNet perplexity buckets (Wenzek et al., LREC 2020) — the
+   * head/middle/tail split CCNet ships per language: documents are
+   * ranked per language by length-normalized LM penalty and cut into
+   * terciles; "head" trains high-quality models, "tail" is the
+   * candidate-for-drop stratum. Here the LM is [[stupidBackoffScores]]
+   * (the engine's KenLM analog) and the per-position penalty is the
+   * NEGATED octave sum ×1000 DIV n_bigrams — every per-position octave
+   * is ≤ −1, so the negation is ≥ 1000 m‰ and strictly positive:
+   * integer DIV never sees a sign (the trunc-vs-floor portability
+   * rule). Docs with zero bigrams cannot be ranked and land in an
+   * explicit "unscored" bucket (CCNet drops them; an explicit bucket
+   * keeps the card total == corpus). Bucket cut: rank terciles
+   * `((rk−1)·3) DIV n` over (penalty ASC, doc_id ASC) — deterministic
+   * total order, so the cut replays bit-for-bit cross-engine.
+   *
+   * Scale shape: scoring is [[stupidBackoffScores]]' shape (corpus
+   * bigrams against vocab-bounded tables); the rank is one per-lang
+   * sort of the |docs|-row score card — the exact-rank price ext116
+   * documents (the at-scale alternative is bucketing by the ext56
+   * histogram of penalties).
+   */
+  def ccnetBuckets(doc: DataFrame, minCount: Long = 2L,
+      id: String = "doc_id", lang: String = "lang",
+      text: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scores = stupidBackoffScores(doc, minCount, id, text)
+    val withLang = doc.select(col(id), col(lang)).join(scores, Seq(id))
+    val scored = withLang.filter(col("n_bigrams") > 0L)
+      .withColumn("penalty_mppm",
+        expr("((0 - lm_log2q) * 1000) DIV n_bigrams"))
+    val byLang = Window.partitionBy(col(lang))
+    val ranked = scored
+      .withColumn("rk", row_number().over(
+        byLang.orderBy(col("penalty_mppm"), col(id))).cast("long"))
+      .withColumn("n", count(lit(1)).over(byLang))
+      .withColumn("bucket", element_at(
+        array(lit("head"), lit("middle"), lit("tail")),
+        (expr("((rk - 1) * 3) DIV n") + 1L).cast("int")))
+      .select(col(id), col(lang), col("n_bigrams"),
+        col("penalty_mppm"), col("bucket"))
+    val unscored = withLang.filter(col("n_bigrams") === 0L)
+      .select(col(id), col(lang), col("n_bigrams"),
+        lit(0L).as("penalty_mppm"), lit("unscored").as("bucket"))
+    ranked.unionByName(unscored)
+  }
+
+  /**
+   * Moore–Lewis contrastive data selection (Moore & Lewis, ACL 2010,
+   * "Intelligent Selection of Language Model Training Data") — THE
+   * classical cross-entropy-difference selector: score every document
+   * under an IN-DOMAIN LM and under the GENERAL-corpus LM, keep the
+   * ones the in-domain model likes better. Here both LMs are the
+   * [[stupidBackoffScores]] count models (pruned bigram + unigram
+   * backoff), the in-domain one counted from the `inDomain` subset of
+   * the same corpus, and a document's gain is the integer difference
+   * of its two octave log-likelihoods — `gain_oct =
+   * lm_in − lm_gen ≈ log₂ P_in(doc) − log₂ P_gen(doc)`. `selected` is
+   * the sign (gain ≥ 0); per-length normalization is deliberately NOT
+   * divided here (a negative integer division truncates toward zero in
+   * Spark but floors in other engines — the consumer ranks by
+   * (gain_oct, n_bigrams) instead, both exact int64).
+   *
+   * Scale shape: ONE corpus bigram explode ([[bigramRows]], doc-local,
+   * flag riding along) feeds all four count tables as map-side-combined
+   * groupBys (the in-domain ones over the flagged subset — a second
+   * SCAN never happens); scoring is [[stupidBackoffScoresFrom]] twice
+   * over the SAME shared bigram relation — joins keyed on (t1, t2) /
+   * t against vocab-bounded sides — then one id-keyed join of the two
+   * per-doc cards. Nothing broadcast-hinted except the 1-row totals;
+   * at 100 TB the pruned LMs truncate to top-M vocab and broadcast
+   * (the [[lmQuality]] note).
+   */
+  def mooreLewisScores(doc: DataFrame, inDomain: Column,
+      minCount: Long = 2L, id: String = "doc_id",
+      text: String = "text"): DataFrame = {
+    val flagged = doc.select(col(id), col(text),
+      inDomain.cast("boolean").as("_in"))
+    val bg = Reuse.shared(bigramRows(flagged, text))
+    val docBg = bg.select(col(id), col("t1"), col("t2"))
+    val biGen = bg.groupBy("t1", "t2").agg(count(lit(1)).as("cb"))
+    val biIn = bg.filter(col("_in")).groupBy("t1", "t2")
+      .agg(count(lit(1)).as("cb"))
+    val uniRows = Reuse.shared(flagged.select(col("_in"),
+      explode(tokens(col(text))).as("t")))
+    val uniGen = uniRows.groupBy("t").agg(count(lit(1)).as("cu"))
+    val uniIn = uniRows.filter(col("_in")).groupBy("t")
+      .agg(count(lit(1)).as("cu"))
+    val sIn = stupidBackoffScoresFrom(doc, biIn, uniIn, minCount, id,
+      text, docBigrams = Some(docBg))
+    val sGen = stupidBackoffScoresFrom(doc, biGen, uniGen, minCount, id,
+      text, docBigrams = Some(docBg))
+    sIn.select(col(id), col("n_bigrams"),
+        col("n_backoff").as("n_backoff_in"),
+        col("lm_log2q").as("lm_in"))
+      .join(sGen.select(col(id),
+        col("n_backoff").as("n_backoff_gen"),
+        col("lm_log2q").as("lm_gen")), Seq(id))
+      .withColumn("gain_oct", col("lm_in") - col("lm_gen"))
+      .withColumn("selected", (col("gain_oct") >= 0L).cast("long"))
+  }
+
+  /**
+   * Per-document character-distribution entropy — the zero-model
+   * garbage detector: binary blobs, base64 runs and key-mash read HIGH
+   * (flat char distribution), single-char spam and whitespace floods
+   * read LOW; natural text sits in a stable per-language band. The
+   * signal the quality stack ([[quality]]/Gopher rules) can't fake
+   * cheaply, and the first filter a 100 TB crawl pass runs because it
+   * needs no vocabulary at all.
+   *
+   * Integer-exact across engines (the ext134 octave discipline): per
+   * char share_ppm = max((n_c·10⁶) DIV n, 1); its surprise octave is
+   * `21 − bitlen(share_ppm)` ∈ [1, 20] (share 100% → 1, share 1 ppm →
+   * 20 — the debiased −oct); `ent_oct = Σ n_c·surprise(c)` and the
+   * per-char mean rides ×1000 (`(ent_oct·1000) DIV n` — all terms
+   * non-negative, so trunc-vs-floor DIV never diverges). Characters
+   * are Unicode code points on both sides.
+   *
+   * Scale shape: one doc-local char explode into a map-side-combined
+   * groupBy((id, ch)) — the only corpus-sized shuffle, bounded by
+   * Σ per-doc distinct chars (≲ alphabet × docs, far under token
+   * counts); the per-doc total rides a window over the already
+   * id-clustered matrix; empty docs come back as zero rows via the
+   * left join.
+   */
+  def charEntropy(doc: DataFrame, id: String = "doc_id",
+      text: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val perChar = doc
+      .select(col(id), explode(split(col(text), "")).as("ch"))
+      .filter(length(col("ch")) > 0)
+      .groupBy(col(id), col("ch")).agg(count(lit(1)).as("nc"))
+    val byDoc = Window.partitionBy(col(id))
+    val card = perChar
+      .withColumn("n", sum("nc").over(byDoc))
+      .withColumn("share_ppm",
+        expr("greatest((nc * 1000000) DIV n, 1)"))
+      .withColumn("surprise",
+        lit(21L) - length(expr("bin(share_ppm)")).cast("long"))
+      .groupBy(col(id))
+      .agg(max("n").as("n_chars_used"),
+        count(lit(1)).as("n_distinct_chars"),
+        sum(col("nc") * col("surprise")).as("ent_oct"))
+      .withColumn("mean_millioct",
+        expr("(ent_oct * 1000) DIV n_chars_used"))
+    doc.select(col(id)).join(card, Seq(id), "left")
+      .select(col(id),
+        coalesce(col("n_chars_used"), lit(0L)).as("n_chars_used"),
+        coalesce(col("n_distinct_chars"), lit(0L))
+          .as("n_distinct_chars"),
+        coalesce(col("ent_oct"), lit(0L)).as("ent_oct"),
+        coalesce(col("mean_millioct"), lit(0L)).as("mean_millioct"))
+  }
+
+  /**
    * T5-style span corruption — deterministic masked-span training-pair
    * generation, expressed relationally: tokens are masked by the
    * portable hash draw `hash("<salt>:<doc>:<pos>") mod den < rate`
@@ -1419,22 +1611,144 @@ object TextOps {
    * order over the words' symbol states, no counting, no argmax.
    * Returns per-word (word, cnt, n_syms) like [[bpeSegmentCounts]];
    * applying a table to the corpus it was learned from reproduces the
-   * learn-time state exactly (spec law). `nMerges` bounds the replay
-   * (ranks beyond the table apply nothing). This is what a stream
-   * runs per micro-batch against the broadcast table
+   * learn-time state exactly (spec law, and fast == relational is a
+   * second spec law against [[bpeApplyCountsRelational]]). `nMerges`
+   * bounds the replay (ranks beyond the table apply nothing). This is
+   * what a stream runs per micro-batch against the broadcast table
    * ([[graft.stream.StreamingPipeline.bpeEncodeSink]]).
+   *
+   * ONE distributed pass, regardless of table depth (r13 verdict: the
+   * relational replay chained one Spark stage per merge rank — ~32k
+   * stages to ENCODE a corpus under a production table). Applying a
+   * static table is a pure per-word function, so: the table (nMerges
+   * rows by construction — broadcast-sized at any depth) collects once
+   * and broadcasts as a rank map; the corpus collapses map-side into
+   * the distinct-word vocabulary (the only shuffle, vocab-bounded,
+   * never the corpus); each word replays the whole table locally in
+   * [[bpeReplayTokenCount]] — O(word_len × achievable merges) via a
+   * rank-map floor scan, NOT O(word_len × table_depth), so a 32k-deep
+   * table costs a 32-symbol word at most 31 merge applications. The
+   * kernel rides a UDF PROJECTION (not mapPartitions) deliberately:
+   * a projection preserves the groupBy's hashpartitioning(word), so
+   * consumers that re-join on `word` ([[estimateAuditTail]], the
+   * streaming encode sink) reuse the exchange instead of re-shuffling
+   * the vocab table.
    */
   def bpeApplyCounts(doc: DataFrame, merges: DataFrame, nMerges: Int,
       text: String = "text"): DataFrame = {
+    val spark = doc.sparkSession
+    // A pair can hold SEVERAL replay positions: a learned table never
+    // repeats a pair, but a stored/hand-built one may, and a later
+    // duplicate can genuinely merge (an intervening merge can recreate
+    // the pair — e.g. (a,bc) at rank 1 is a no-op until (b,c) at rank 2
+    // builds "bc", and a rank-3 (a,bc) then fires). Keeping every rank
+    // preserves exact rank-order semantics for any table.
+    val rankOf: Map[(String, String), Array[Int]] = merges
+      .filter(col("merge_rank") <= nMerges.toLong)
+      .select(col("merge_rank"), col("left_sym"), col("right_sym"))
+      .collect()
+      .sortBy(_.getLong(0))
+      .iterator.zipWithIndex
+      .map { case (row, i) => ((row.getString(1), row.getString(2)), i) }
+      .toSeq.groupBy(_._1)
+      .map { case (p, xs) => (p, xs.map(_._2).sorted.toArray) }
+    val bc = spark.sparkContext.broadcast(rankOf)
+    val replay = udf((w: String) => bpeReplayTokenCount(w, bc.value))
+    doc.select(explode(tokens(col(text))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+      .withColumn("n_syms", replay(col("word")))
+  }
+
+  /**
+   * Pure per-word replay of a rank-indexed merge table — the local
+   * kernel of [[bpeApplyCounts]]. Symbols start as the word's first
+   * [[BpeMaxWordLen]] code points (the [[bpeInitState]] cap; Spark's
+   * `substr`/`length` count code points, so segmentation here is
+   * code-point-exact incl. multibyte). Ranks replay in order; each
+   * applied rank merges its pair's leftmost non-overlapping
+   * occurrences — the left-to-right greedy scan, provably identical
+   * to the learn loop's run-parity rule (within a run of consecutive
+   * match starts, the even offsets merge). A rank-monotone floor scan
+   * finds each next applicable rank as the MINIMUM rank ≥ floor among
+   * the current adjacent pairs (one hash lookup per adjacency), which
+   * replays exactly the rank-order semantics while skipping absent
+   * ranks in O(1) — cost is bounded by the word's achievable merges,
+   * independent of table depth. Returns the final symbol count plus
+   * over-cap code points as single symbols (the n_syms contract).
+   */
+  private[graft] def bpeReplayTokenCount(word: String,
+      rankOf: Map[(String, String), Array[Int]]): Long = {
+    var cur = new scala.collection.mutable.ArrayBuffer[String](
+      math.min(word.length, BpeMaxWordLen))
+    var i = 0
+    var cps = 0
+    while (i < word.length) {
+      val n = Character.charCount(word.codePointAt(i))
+      if (cps < BpeMaxWordLen) cur += word.substring(i, i + n)
+      i += n
+      cps += 1
+    }
+    var floor = 0
+    var done = rankOf.isEmpty
+    while (!done && cur.length >= 2) {
+      // the next rank the replay would apply: min rank >= floor over
+      // the CURRENT adjacencies (ranks below the floor already ran —
+      // rank order never revisits, even if a merge re-creates an
+      // earlier rank's pair)
+      var best = Int.MaxValue
+      var bestA: String = null
+      var bestB: String = null
+      var j = 0
+      while (j < cur.length - 1) {
+        val rks = rankOf.getOrElse((cur(j), cur(j + 1)), null)
+        if (rks != null) {
+          // smallest replay position >= floor for this pair (arrays are
+          // length 1 for learned tables; duplicates stay rank-ordered)
+          var i2 = 0
+          while (i2 < rks.length && rks(i2) < floor) i2 += 1
+          if (i2 < rks.length && rks(i2) < best) {
+            best = rks(i2)
+            bestA = cur(j)
+            bestB = cur(j + 1)
+          }
+        }
+        j += 1
+      }
+      if (best == Int.MaxValue) done = true
+      else {
+        // merge rank `best`: leftmost non-overlapping occurrences
+        val out = new scala.collection.mutable.ArrayBuffer[String](
+          cur.length)
+        j = 0
+        while (j < cur.length) {
+          if (j + 1 < cur.length && cur(j) == bestA
+              && cur(j + 1) == bestB) {
+            out += bestA + bestB
+            j += 2
+          } else {
+            out += cur(j)
+            j += 1
+          }
+        }
+        cur = out
+        floor = best + 1
+      }
+    }
+    cur.length.toLong + math.max(cps - BpeMaxWordLen, 0).toLong
+  }
+
+  /**
+   * The r8→r13 relational replay of a stored merge table — kept as the
+   * oracle-shaped AUDIT TWIN of [[bpeApplyCounts]] (the equivalence
+   * spec law runs both and asserts identical (word, cnt, n_syms)).
+   * One Spark stage chains per merge rank, so this form is for
+   * verification at shallow depth only — serving uses the one-pass
+   * kernel above.
+   */
+  private[graft] def bpeApplyCountsRelational(doc: DataFrame,
+      merges: DataFrame, nMerges: Int,
+      text: String = "text"): DataFrame = {
     var state = bpeInitState(doc, text)
-    // The merge table is nMerges rows BY CONSTRUCTION (the stored
-    // tokenizer artifact — broadcast-sized at any depth), so collect it
-    // ONCE to a driver-local list and drive the replay from that: one
-    // driver action total instead of one per-rank `isEmpty` job (r8
-    // verdict finding 2 — at 32k merges the per-rank form costs 32k
-    // scheduling round-trips). Ranks past the table's end (a table
-    // shorter than nMerges) simply don't appear — same no-op semantics
-    // as before, without ever applying an empty pair.
     val table = merges
       .filter(col("merge_rank") <= nMerges.toLong)
       .select(col("merge_rank"), col("left_sym"), col("right_sym"))

@@ -850,6 +850,17 @@ object StreamingPipeline {
     graft.agg.Windows.trendSlopesFromCounts(
       spark.read.parquet(outPath).drop("batch"))
 
+  /** Streaming twin of the median/MAD anomaly card (ext158): reads the
+    * SAME per-batch (entity, period, count) partials as
+    * [[trendSlopePartialsSink]] — one stored matrix serves both the
+    * direction (slope) and pointwise (anomaly) derivations; the rank
+    * statistics belong after the merge (a median is a snapshot
+    * property, not per-row decomposable). */
+  def anomalyDaysFromState(spark: SparkSession, outPath: String,
+      k: Long = 7L): DataFrame =
+    graft.agg.Windows.anomalyDaysFromCounts(
+      spark.read.parquet(outPath).drop("batch"), k)
+
   /** Streaming twin of the per-source Gopher pass rates (ext84). */
   def gopherPassPartialsSink(docs: DataFrame, strata: Seq[String],
       outPath: String): DataStreamWriter[org.apache.spark.sql.Row] =

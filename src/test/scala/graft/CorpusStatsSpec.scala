@@ -220,6 +220,65 @@ class CorpusStatsSpec extends TestBase {
     graft.ops.Reuse.freeAll(spark)
   }
 
+  test("bpe apply one-pass kernel == relational replay: adversarial " +
+      "overlap runs, multibyte, over-cap words, rank re-creation " +
+      "(r13 verdict: job-per-merge apply)") {
+    import spark.implicits._
+    // Learn a deep table on a corpus engineered so later merges can
+    // re-create earlier ranks' pairs (rank order must NOT revisit),
+    // overlap runs exercise run-parity == leftmost-greedy, a 40-char
+    // word exercises the BpeMaxWordLen cap, and é/😀 exercise
+    // code-point (not UTF-16 unit) segmentation on both sides.
+    val learn = Seq(
+      (1L, "aaaaaaa aaaa abab ababab"),
+      (2L, "ééé é😀é 😀😀😀😀"),
+      (3L, ("xy" * 20) + " xyxy")) // 40 code points > cap 32
+      .toDF("doc_id", "text")
+    val merges = TextOps.bpeMerges(learn, 8).localCheckpoint(true)
+    assert(merges.count() >= 4L, "fixture must learn a deep table")
+    // Apply to a DIFFERENT corpus (the stored-table seam) + the learn
+    // corpus itself; fast and relational must agree row-for-row.
+    val fresh = Seq(
+      (9L, "aaaab abba baaa é😀 " + ("a" * 40)),
+      (10L, "xyxyxy ab ba 😀é😀é"))
+      .toDF("doc_id", "text")
+    for (corpus <- Seq(learn, fresh); depth <- Seq(0, 3, 8)) {
+      val fast = TextOps.bpeApplyCounts(corpus, merges, depth)
+        .as[(String, Long, Long)].collect().toSet
+      val rel = TextOps.bpeApplyCountsRelational(corpus, merges, depth)
+        .as[(String, Long, Long)].collect().toSet
+      assert(fast == rel,
+        s"fast != relational at depth $depth: ${fast.diff(rel)} / " +
+          s"${rel.diff(fast)}")
+    }
+    // A stored table that REPEATS a pair: (a,bc) at rank 1 is a no-op
+    // until rank 2's (b,c) builds "bc" — the rank-3 duplicate then
+    // fires and word "abc" collapses to ONE symbol. Exact rank-order
+    // replay must apply it (a single-rank-per-pair map would drop the
+    // duplicate and leave [a, bc]).
+    val dupTable = Seq((1L, "a", "bc", 0L), (2L, "b", "c", 0L),
+      (3L, "a", "bc", 0L))
+      .toDF("merge_rank", "left_sym", "right_sym", "pair_count")
+      .localCheckpoint(true)
+    val abc = Seq((1L, "abc bc abcbc")).toDF("doc_id", "text")
+    val fastD = TextOps.bpeApplyCounts(abc, dupTable, 3)
+      .as[(String, Long, Long)].collect().toSet
+    val relD = TextOps.bpeApplyCountsRelational(abc, dupTable, 3)
+      .as[(String, Long, Long)].collect().toSet
+    assert(fastD == relD, s"duplicate-rank table diverged: $fastD vs $relD")
+    assert(fastD.contains(("abc", 1L, 1L)),
+      s"rank-3 duplicate pair must fire after rank 2 builds 'bc': $fastD")
+    // real corpus, learned depth 3 (the ext111 artifact shape)
+    val docs = graft.ingest.Tables.documents(spark, sf("sf0.001"))
+    val real = TextOps.bpeMerges(docs, 3).localCheckpoint(true)
+    val fastR = TextOps.bpeApplyCounts(docs, real, 3)
+      .as[(String, Long, Long)].collect().toSet
+    val relR = TextOps.bpeApplyCountsRelational(docs, real, 3)
+      .as[(String, Long, Long)].collect().toSet
+    assert(fastR == relR && fastR.nonEmpty)
+    graft.ops.Reuse.freeAll(spark)
+  }
+
   test("normalization dup card: case/punct/space variants collapse, " +
       "clean corpus reads zero gain (ext104)") {
     import spark.implicits._

@@ -1471,6 +1471,14 @@ class StreamingSpec extends TestBase {
     assert(trendStreamed.except(trendBatch).isEmpty &&
       trendBatch.except(trendStreamed).isEmpty && trendBatch.count() > 0,
       "streamed trend-slope fold differs from the batch operator")
+    // ext158 twin rides the SAME stored matrix — one partials sink
+    // serves both the slope and anomaly derivations
+    val anomStreamed =
+      StreamingPipeline.anomalyDaysFromState(spark, trendOut)
+    val anomBatch = graft.agg.Windows.anomalyDays(evs, col("event_type"))
+    assert(anomStreamed.except(anomBatch).isEmpty &&
+      anomBatch.except(anomStreamed).isEmpty && anomBatch.count() > 0,
+      "streamed anomaly-day fold differs from the batch operator")
     val psiOut = runSink((s, o) => StreamingPipeline.psiPartialsSink(
       s, col("doc_id") % 2 === 0, length(col("text")), o))
     val psiStreamed = StreamingPipeline.psiFromState(spark, psiOut)

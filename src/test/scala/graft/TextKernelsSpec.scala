@@ -148,6 +148,115 @@ class TextKernelsSpec extends TestBase {
     graft.ops.Reuse.freeAll(spark)
   }
 
+  test("ccnet buckets: hand-computed penalties, tercile cut and the " +
+      "unscored bucket (ext156)") {
+    import spark.implicits._
+    // en LM (minCount 2) keeps (p,q):5, (q,p):3; uni p/q 6, r 3, s 1,
+    // N 16. Penalties x1000/position:
+    //  d2 "p q"          -> -1            -> 1000   head (rk1)
+    //  d1 "p q p q p q"  -> 3(-1)+2(-2)   -> 1400   head (rk2)
+    //  d3 "q p"          -> -2            -> 2000   middle
+    //  d5 "p q r"        -> -1 + backoff(-4) -> 2500 middle
+    //  d4 "r r"          -> backoff -4    -> 4000   tail
+    //  d6 "s"            -> 0 bigrams     -> unscored
+    val docs = Seq(
+      (1L, "en", "p q p q p q"), (2L, "en", "p q"), (3L, "en", "q p"),
+      (4L, "en", "r r"), (5L, "en", "p q r"), (6L, "en", "s"))
+      .toDF("doc_id", "lang", "text")
+    val got = TextOps.ccnetBuckets(docs).orderBy("doc_id")
+      .as[(Long, String, Long, Long, String)].collect().toSeq
+    assert(got == Seq(
+      (1L, "en", 5L, 1400L, "head"),
+      (2L, "en", 1L, 1000L, "head"),
+      (3L, "en", 1L, 2000L, "middle"),
+      (4L, "en", 1L, 4000L, "tail"),
+      (5L, "en", 2L, 2500L, "middle"),
+      (6L, "en", 0L, 0L, "unscored")), s"got $got")
+    graft.ops.Reuse.freeAll(spark)
+  }
+
+  test("langid margin: best/runner-up arithmetic, tie reads margin 0, " +
+      "ppm threshold flags (ext157)") {
+    import spark.implicits._
+    // markers: en {the,a,value,row}, es {data,part,batch},
+    //          zh {window,merge,join}
+    val docs = Seq(
+      (1L, "the a value row"),            // en 4/0/0: margin 4, 1e6 ppm
+      (2L, "data the"),                   // 1/1/0 tie: margin 0
+      (3L, "window data the batch merge"),// 1/2/2: es by tie-break, m 0
+      (4L, "zzz"))                        // all 0
+      .toDF("doc_id", "text")
+    val got = TextOps.langidMargin(docs).orderBy("doc_id")
+      .as[(Long, String, Long, Long, Long, Long, Long, Long)]
+      .collect().toSeq
+    assert(got == Seq(
+      (1L, "en", 4L, 4L, 0L, 4L, 1000000L, 1L),
+      (2L, "en", 2L, 1L, 1L, 0L, 0L, 0L),
+      (3L, "es", 5L, 2L, 2L, 0L, 0L, 0L),
+      (4L, "en", 1L, 0L, 0L, 0L, 0L, 0L)), s"got $got")
+    graft.ops.Reuse.freeAll(spark)
+  }
+
+  test("moore-lewis contrastive selection: hand-computed octave gains, " +
+      "whole-corpus in-domain degenerates to zero gain (ext154)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // en: d1 "x y x y", d2 "x y"; zz: d3 "w v w v w v". minCount 2.
+    // Gen LM keeps (x,y):3, (w,v):3, (v,w):2; uni all 3, N=12.
+    // In  LM keeps (x,y):3;                   uni x/y 3, N=6.
+    // d1: gen -1,-4,-1 = -6 (1 backoff); in -1,-3,-1 = -5 → gain +1.
+    // d2: -1 both → gain 0, selected.
+    // d3: gen all kept = -5; in = 5 OOV-floor positions = -100 → -95.
+    val docs = Seq((1L, "en", "x y x y"), (2L, "en", "x y"),
+      (3L, "zz", "w v w v w v")).toDF("doc_id", "lang", "text")
+    val got = TextOps.mooreLewisScores(docs, col("lang") === "en")
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long)]
+      .collect().toSeq
+    assert(got == Seq(
+      (1L, 3L, 1L, -5L, 1L, -6L, 1L, 1L),
+      (2L, 1L, 0L, -1L, 0L, -1L, 0L, 1L),
+      (3L, 5L, 5L, -100L, 0L, -5L, -95L, 0L)), s"got $got")
+    // in-domain == everything → the two LMs coincide, every gain is 0
+    val degen = TextOps.mooreLewisScores(docs, lit(true))
+      .agg(sum(abs(col("gain_oct"))), sum("selected"))
+      .as[(Long, Long)].collect().head
+    assert(degen == ((0L, 3L)))
+    graft.ops.Reuse.freeAll(spark)
+  }
+
+  test("char entropy: hand-computed octave cards; empty docs read " +
+      "zero; spam floor vs mixed text orders correctly (ext155)") {
+    import spark.implicits._
+    // d1 aaaa: share 1e6 → surprise 1, ent 4, mean 1000
+    // d2 ab:   shares 500000 → surprise 2 each, ent 4, mean 2000
+    // d3 "":   zero row
+    // d4 "a b": three chars at 333333 → surprise 2, ent 6, mean 2000
+    // d5 éé:   multibyte single char, ent 2, mean 1000
+    val docs = Seq((1L, "aaaa"), (2L, "ab"), (3L, ""), (4L, "a b"),
+      (5L, "éé")).toDF("doc_id", "text")
+    val got = TextOps.charEntropy(docs).orderBy("doc_id")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (1L, 4L, 1L, 4L, 1000L),
+      (2L, 2L, 2L, 4L, 2000L),
+      (3L, 0L, 0L, 0L, 0L),
+      (4L, 3L, 3L, 6L, 2000L),
+      (5L, 2L, 1L, 2L, 1000L)), s"got $got")
+    // ordering law on the real corpus: a single-char flood scores below
+    // every real document's mean surprise
+    val real = graft.ingest.Tables.documents(spark, sf("sf0.001"))
+      .select(col("doc_id"), col("text"))
+      .union(Seq((-1L, "z" * 500)).toDF("doc_id", "text"))
+    val card = TextOps.charEntropy(real)
+    val flood = card.filter(col("doc_id") === -1L)
+      .select("mean_millioct").as[Long].collect().head
+    val minReal = card.filter(col("doc_id") >= 0L && col("n_chars_used")
+      > 0L).agg(min("mean_millioct")).as[Long].collect().head
+    assert(flood == 1000L && minReal > flood)
+    graft.ops.Reuse.freeAll(spark)
+  }
+
   test("stupid-backoff stored-LM seam: OOV tokens score the floor " +
       "penalty instead of silently dropping positions") {
     import spark.implicits._

@@ -149,6 +149,45 @@ class WindowsSpec extends TestBase {
     graft.ops.Reuse.freeAll(spark)
   }
 
+  test("anomaly days: lower-median/MAD hand-checked — spike flagged, " +
+      "constant series silent under the MAD floor, nonzero MAD scales " +
+      "the threshold, duplicate partials re-sum (ext158)") {
+    import spark.implicits._
+    val counts = (
+      (0 to 5).map(d => ("a", d.toLong, 5L)) ++ Seq(("a", 6L, 50L)) ++
+      (0 to 2).map(d => ("b", d.toLong, 3L)) ++
+      Seq(("c", 0L, 1L), ("c", 1L, 2L), ("c", 2L, 3L), ("c", 3L, 4L),
+        ("c", 4L, 100L)) ++
+      Seq(("d", 0L, 1L), ("d", 1L, 9L))
+    ).toDF("entity", "x", "y")
+    val got = graft.agg.Windows.anomalyDaysFromCounts(counts)
+      .orderBy("entity", "x")
+      .as[(String, Long, Long, Long, Long, Long, Long)]
+      .collect().toSeq
+    // a: med 5, mad 0 (floored 1): only the 50 (dev 45 > 7) flags
+    assert(got.filter(_._1 == "a").map(r => (r._4, r._5, r._7)) ==
+      Seq.fill(6)((5L, 0L, 0L)) :+ ((5L, 0L, 1L)))
+    // b: constant — med 3, mad 0, zero flags
+    assert(got.filter(_._1 == "b").forall(r =>
+      r._4 == 3L && r._5 == 0L && r._7 == 0L))
+    // c: med 3, devs [2,1,0,1,97], mad 1 — only 100 (dev 97 > 7) flags
+    assert(got.filter(_._1 == "c").map(r => (r._4, r._5, r._6, r._7)) ==
+      Seq((3L, 1L, 2L, 0L), (3L, 1L, 1L, 0L), (3L, 1L, 0L, 0L),
+        (3L, 1L, 1L, 0L), (3L, 1L, 97L, 1L)))
+    // d (even n): LOWER median 1, mad 0 floored — the 9 (dev 8 > 7)
+    // flags; the asymmetry of the lower median is the documented rule
+    assert(got.filter(_._1 == "d").map(r => (r._4, r._7)) ==
+      Seq((1L, 0L), (1L, 1L)))
+    // duplicate (entity, x) partials re-sum before ranking
+    val dup = Seq(("a", 0L, 2L), ("a", 0L, 3L), ("a", 1L, 5L))
+      .toDF("entity", "x", "y")
+    val d2 = graft.agg.Windows.anomalyDaysFromCounts(dup)
+      .orderBy("x").as[(String, Long, Long, Long, Long, Long, Long)]
+      .collect().toSeq
+    assert(d2.map(_._3) == Seq(5L, 5L) && d2.forall(_._7 == 0L))
+    graft.ops.Reuse.freeAll(spark)
+  }
+
   test("cohort retention: churn, late cohorts, rejoin and ppm cells " +
       "hand-checked (ext136)") {
     import spark.implicits._
