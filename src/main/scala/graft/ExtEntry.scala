@@ -2178,6 +2178,15 @@ object ExtEntry {
       Windows.anomalyDays(Tables.events(s, dir), col("event_type"))
         .orderBy("entity", "x")),
 
+    // Top principal direction by fixed-point power iteration over the
+    // quantized embedding corpus — (sum xx')v computed as sum x(x.v)
+    // per round (one scan, zero joins, 64 decimal rows move), driver
+    // normalizes in exact BigInt with a deterministic sign pin; the
+    // 3-round iterate is the DEFINED card (textrank's fixed-round
+    // discipline), pivot dim at exactly +-1e6.
+    "ext159_pca_power" -> ((s, dir) =>
+      Similarity.pcaPowerDirection(embs(s, dir)).orderBy("dim")),
+
     // TextRank keyword extraction: damped weighted power iteration
     // over the corpus word-adjacency graph, all fixed-point int64
     // (per-edge DIV truncation, damping blend DIV 100) — PageRank's
@@ -5718,6 +5727,52 @@ object ExtEntry {
          |                 END) >= 1000
          |            THEN 1 ELSE 0 END AS BIGINT) AS confident
          |FROM m ORDER BY doc_id""".stripMargin,
+
+    // PCA power iteration: three unrolled rounds over the ppm-quantized
+    // flat relation — per-vec dot vs the previous iterate (sign-managed
+    // // 1e6), HUGEINT per-dim accumulate, L-inf normalize with the
+    // min-dim sign pin; the same exact integers the driver computes.
+    "ext159_pca_power" -> {
+      val rounds = (1 to 3).map { r =>
+        val pv = s"v${r - 1}"
+        s"""d$r AS (
+           |  SELECT vec_id,
+           |         CASE WHEN dot < 0 THEN -((-dot) // 1000000)
+           |              ELSE dot // 1000000 END AS du
+           |  FROM (SELECT f.vec_id, SUM(f.qi * v.v) AS dot
+           |        FROM flat f JOIN $pv v USING (i) GROUP BY 1)),
+           |y$r AS (
+           |  SELECT f.i, SUM(CAST(f.qi AS HUGEINT) * d.du) AS y
+           |  FROM flat f JOIN d$r d USING (vec_id) GROUP BY 1),
+           |n$r AS (SELECT MAX(abs(y)) AS m FROM y$r),
+           |p$r AS (SELECT CASE WHEN (SELECT y FROM y$r, n$r
+           |                          WHERE abs(y) = m
+           |                          ORDER BY i LIMIT 1) < 0
+           |             THEN -1 ELSE 1 END AS s),
+           |v$r AS (
+           |  SELECT i, CAST(p$r.s
+           |         * (CASE WHEN y < 0 THEN -1
+           |                 WHEN y > 0 THEN 1 ELSE 0 END)
+           |         * ((abs(y) * 1000000) // greatest(n$r.m, 1))
+           |         AS BIGINT) AS v
+           |  FROM y$r, n$r, p$r)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH q AS (
+         |  SELECT vec_id,
+         |         list_transform(embedding, x ->
+         |           CAST(floor(CAST(x AS DOUBLE) * 1000000.0)
+         |             AS BIGINT)) AS qv
+         |  FROM embeddings),
+         |flat AS (
+         |  SELECT vec_id, unnest(qv) AS qi,
+         |         unnest(range(1, len(qv) + 1)) AS i
+         |  FROM q),
+         |v0 AS (SELECT CAST(i AS BIGINT) AS i,
+         |              CAST(1000000 AS BIGINT) AS v
+         |       FROM range(1, 65) t(i)),
+         |$rounds
+         |SELECT i AS dim, v AS v_ppm FROM v3 ORDER BY dim""".stripMargin
+    },
 
     // Anomaly days: lower-median + lower-MAD per entity over the daily
     // count matrix, flag = dev > 7 x greatest(mad, 1) — all int64 rank

@@ -490,6 +490,12 @@ object ScaleSmoke {
     // map-side-combined groupBy bounded by alphabet x docs (far under
     // token counts): expect linear, rows == docs.
     time("char_entropy") { graft.ops.TextOps.charEntropy(big) }
+    // r14: PCA power iteration — 3 corpus scans, zero joins, 64
+    // decimal rows per round; expect linear in vectors at constant
+    // round count (driver state: 64 longs).
+    time("pca_power") {
+      graft.ops.Similarity.pcaPowerDirection(bigEmb)
+    }
     if (only.forall(_.exists("textrank".startsWith))) {
       val pairs = graft.ops.TextOps.bigramRows(big.select("text"))
         .filter(col("t1") =!= col("t2"))

@@ -483,6 +483,74 @@ object Similarity {
    * WholeStageCodegen projection — no shuffle, no per-row hashing).
    * Exact integer arithmetic end to end ⇒ oracle-checkable.
    */
+  /**
+   * Top principal direction by fixed-point power iteration — PCA's
+   * workhorse step over the embedding corpus (the whitening / SemDeDup
+   * preprocessing primitive): the dominant eigendirection of the
+   * UNCENTERED second moment Σ xxᵀ (embedding pipelines L2-normalize,
+   * so the top singular direction is what consumers want; center
+   * upstream for classical PCA). Never materializes the d×d matrix:
+   * each round computes (Σ xxᵀ)·v as Σ_n x_n·(x_n·v) in ONE corpus
+   * scan — per vector the broadcast-literal dot, then a posexplode
+   * into a 64-key map-side-combined groupBy. All fixed-point integer
+   * (the textrank discipline, so the oracle replays every round
+   * bit-for-bit): vectors are the ext93 ppm quantization; the dot
+   * drops to units via sign-managed DIV 10⁶ (trunc == floor on the
+   * managed absolute value — the engine-portability rule for signed
+   * division); per-dim accumulators ride decimal(38,0)/HUGEINT (N·q·
+   * dot_unit leaves int64 at corpus scale — the ext152 lesson); the
+   * round's iterate L∞-normalizes on the DRIVER in exact BigInt (64
+   * values — a bounded artifact, the selectionQuantiles probe-row
+   * precedent), sign-pinned so the smallest dim attaining max |y| is
+   * positive (deterministic up to nothing). Output: the `iters`-round
+   * iterate (dim, v_ppm), pivot dim at exactly ±10⁶ — a DEFINED
+   * fixed-round card like textrank, not a convergence claim.
+   *
+   * Scale shape: `iters` corpus scans (flat Reuse.shared once), zero
+   * joins, zero corpus-sized shuffles — each round moves 64 decimal
+   * rows. Driver state: 64 longs.
+   */
+  def pcaPowerDirection(emb: DataFrame, iters: Int = 3,
+      vec: String = "embedding"): DataFrame = {
+    val spark = emb.sparkSession
+    val qv = graft.ops.Reuse.shared(
+      emb.select(quantize(col(vec)).as("qv")))
+    val dims = 64
+    var v: Array[Long] = Array.fill(dims)(1000000L)
+    for (_ <- 1 to iters) {
+      val vLit = array(v.map(lit(_)): _*)
+      val y = qv
+        .withColumn("dot", aggregate(
+          zip_with(col("qv"), vLit, (a, b) => a * b),
+          lit(0L), (s, x) => s + x))
+        .withColumn("du", expr(
+          "CASE WHEN dot < 0 THEN -((-dot) DIV 1000000) " +
+            "ELSE dot DIV 1000000 END"))
+        .select(col("du"), posexplode(col("qv")).as(Seq("i0", "qi")))
+        .groupBy("i0")
+        .agg(sum(expr("cast(qi as decimal(38,0)) * du")).as("y"))
+        .collect()
+        .map(r => (r.getInt(0), BigInt(r.getDecimal(1).toBigInteger)))
+        .sortBy(_._1)
+        .map(_._2)
+      // empty corpus: no y rows — the iterate stays at the seed (a
+      // defined card, the EmptyInputSpec convention)
+      if (y.nonEmpty) {
+        val m = y.map(_.abs).max
+        val pivot = y.indexWhere(_.abs == m)
+        val flip =
+          if (pivot >= 0 && y(pivot) < 0) BigInt(-1) else BigInt(1)
+        val mSafe = if (m > 0) m else BigInt(1)
+        v = y.map(yi =>
+          ((flip * yi.sign) * ((yi.abs * 1000000) / mSafe)).toLong)
+      }
+    }
+    import spark.implicits._
+    v.zipWithIndex
+      .map { case (vp, i0) => ((i0 + 1).toLong, vp) }.toSeq
+      .toDF("dim", "v_ppm")
+  }
+
   def randomProject(emb: DataFrame, outDims: Int = 16,
       id: String = "vec_id", vec: String = "embedding"): DataFrame = {
     val projs = (0 until outDims).map { j =>

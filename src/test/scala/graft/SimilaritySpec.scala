@@ -13,6 +13,63 @@ class SimilaritySpec extends TestBase {
   private lazy val emb = Tables.embeddings(spark, sf("sf0.001"))
   private lazy val queries = emb.filter(col("vec_id") < 10)
 
+  private def pcaReplay(rows: Seq[Array[Long]], iters: Int)
+      : Array[Long] = {
+    var v = Array.fill(64)(1000000L)
+    for (_ <- 1 to iters) {
+      val y = Array.fill(64)(BigInt(0))
+      rows.foreach { q =>
+        var dot = 0L
+        var i = 0
+        while (i < 64) { dot += q(i) * v(i); i += 1 }
+        val du =
+          if (dot < 0) -((-dot) / 1000000L) else dot / 1000000L
+        i = 0
+        while (i < 64) { y(i) += BigInt(q(i)) * du; i += 1 }
+      }
+      if (rows.nonEmpty) {
+        val m = y.map(_.abs).max
+        val pivot = y.indexWhere(_.abs == m)
+        val flip = if (y(pivot) < 0) BigInt(-1) else BigInt(1)
+        val mS = if (m > 0) m else BigInt(1)
+        v = y.map(yi =>
+          ((flip * yi.sign) * ((yi.abs * 1000000) / mS)).toLong)
+      }
+    }
+    v
+  }
+
+  test("pca power direction: exact BigInt driver replay, pivot pinned " +
+      "at +1e6, dominant axis wins on a constructed corpus (ext159)") {
+    import spark.implicits._
+    val vecs = Seq(
+      (1L, Array(0.5f, 0.05f) ++ Array.fill(62)(0.0f)),
+      (2L, Array(-0.52f, 0.04f) ++ Array.fill(62)(0.0f)),
+      (3L, Array(0.01f, 0.2f) ++ Array.fill(62)(0.0f)),
+      (4L, Array(0.49f, -0.03f) ++ Array.fill(62)(0.0f)))
+      .toDF("vec_id", "embedding")
+    def quantRows(df: org.apache.spark.sql.DataFrame): Seq[Array[Long]] =
+      df.select("embedding").collect().map(_.getSeq[Float](0).toArray
+        .map(x => math.floor(x.toDouble * 1000000.0).toLong)).toSeq
+    val got = Similarity.pcaPowerDirection(vecs).orderBy("dim")
+      .as[(Long, Long)].collect().toSeq
+    val want = pcaReplay(quantRows(vecs), 3).zipWithIndex
+      .map { case (vp, i0) => ((i0 + 1).toLong, vp) }.toSeq
+    assert(got == want, s"engine != driver replay: ${got.take(4)}")
+    // deterministic sign pin: the dominant axis (dim 1) is the pivot
+    // and reads exactly +1e6 (L-inf normalization)
+    assert(got.head == ((1L, 1000000L)), s"pivot row: ${got.head}")
+    assert(got.map(_._2.abs).max == 1000000L)
+    // real corpus: same law over the full embedding table
+    val emb = Tables.embeddings(spark, sf("sf0.001"))
+    val gotR = Similarity.pcaPowerDirection(emb).orderBy("dim")
+      .as[(Long, Long)].collect().toSeq
+    val wantR = pcaReplay(quantRows(emb.select("embedding")), 3)
+      .zipWithIndex.map { case (vp, i0) => ((i0 + 1).toLong, vp) }.toSeq
+    assert(gotR == wantR, "real-corpus engine != driver replay")
+    graft.ops.Reuse.freeAll(spark)
+  }
+
   test("ivf results are brute-force results filtered to the bucket") {
     import spark.implicits._
     val ivf = Similarity.ivfTopK(emb, queries, 3)
