@@ -2508,6 +2508,19 @@ object ExtEntry {
        |SELECT a_id, b_id, fwd_rank, cos, margin_ppm
        |FROM mkept ORDER BY a_id, b_id""".stripMargin
 
+  /** Force every CTE in an assembled oracle to DuckDB's MATERIALIZED
+    * evaluation — a pure evaluation-strategy hint (identical rows,
+    * spot-verified at sf0.001 AND sf0.01 against the uninlined form).
+    * The rebalance chain ([[rebalanceCtes]]) references its upstream
+    * kmeans CTEs enough times that DuckDB's default CTE inlining
+    * re-evaluates the whole Lloyd's chain per reference — measured
+    * 1250 s → 0.5 s at sf0.001 (the cost was plan blow-up, not data:
+    * sf0.01 read the SAME ~18 min before this). Matches only CTE
+    * definitions (`name AS (`) — subquery/table aliases never carry
+    * `AS (` in these oracles. */
+  private def materializeCtes(sql: String): String =
+    sql.replaceAll("([a-z_0-9]+ AS) \\(", "$1 MATERIALIZED (")
+
   /** The ext124 rebalanced-assignment CTE chain (kmeans argmin →
     * mean-size cap → within-bucket split → composite ids), shared by
     * the ext124 card and the ext147 recall audit; leaves
@@ -5355,17 +5368,16 @@ object ExtEntry {
     // replayed verbatim (rebalanceCtes), then TWO margin chains in one
     // WITH — x = exact, y = candidates restricted to same REBALANCED
     // bucket — and the kept-pair sets compared as exact int64 counts.
-    // flat/n2/reb are MATERIALIZED: this WITH references `flat` ~18
-    // times across the two chains plus the Lloyd's replay, and DuckDB's
-    // default CTE inlining multiplies the parquet scan instances past
-    // the fd limit ("Too many open files" at ulimit 20000); identical
-    // rows, just evaluated once.
-    "ext147_margin_recall" ->
-      s"""${QuantFlatSql
-            .replace("flat AS (", "flat AS MATERIALIZED (")
-            .replace("n2 AS (SELECT", "n2 AS MATERIALIZED (SELECT")},
-         |${rebalanceCtes
-            .replace("reb AS (SELECT", "reb AS MATERIALIZED (SELECT")},
+    // EVERY CTE is MATERIALIZED (materializeCtes, r14): this WITH
+    // references `flat` ~18 times across the two chains plus the
+    // Lloyd's replay, and DuckDB's default CTE inlining re-evaluates
+    // the upstream chains per reference — first hit as "Too many open
+    // files" (r13, fixed with flat/n2/reb alone), then as a 197 s
+    // replay where the fully-materialized form runs in seconds.
+    // Identical rows, just evaluated once (the ext124 verification).
+    "ext147_margin_recall" -> materializeCtes(
+      s"""$QuantFlatSql,
+         |$rebalanceCtes,
          |${marginCtes("x", "", "")},
          |${marginCtes("y",
             """JOIN reb ra ON ra.vec_id = a.vec_id
@@ -5382,7 +5394,7 @@ object ExtEntry {
          |       CASE WHEN xc.n_exact = 0 THEN 1000000
          |            ELSE (1000000 * cc.n_common) // xc.n_exact
          |       END AS recall_ppm
-         |FROM xc, yc, cc""".stripMargin,
+         |FROM xc, yc, cc""".stripMargin),
 
     // Stupid-backoff replay: pruned bigram LM (HAVING >= minCount),
     // unigram table, 1-row total; kept positions (1e6*cb)//cu(t1),
@@ -6303,7 +6315,7 @@ object ExtEntry {
     // within-bucket (bucketSplitCtes), children get composite ids
     // parent*2+rank, kept buckets parent*2; the card is both
     // histograms' extremes in exact int64.
-    "ext124_bucket_rebalance" ->
+    "ext124_bucket_rebalance" -> materializeCtes(
       s"""$QuantFlatSql,
          |$rebalanceCtes,
          |nb AS (SELECT bucket, count(*) AS cnt FROM reb GROUP BY 1),
@@ -6324,7 +6336,7 @@ object ExtEntry {
          |       bb.n_split, aa.n_buckets_after, aa.max_bucket_after,
          |       (aa.max_bucket_after * 1000000) // bb.n_vectors
          |         AS share_after_q
-         |FROM bb, aa""".stripMargin,
+         |FROM bb, aa""".stripMargin),
 
     // End-to-end curation pipeline: every stage's existing twin CTEs
     // chained over the previous stage's output relation — gopher

@@ -16,7 +16,7 @@ rows-only allowlist), every oracle has a query, every query's result dir
 was written, and every query name appears in COVERAGE.md — a drifted name
 would otherwise silently drop a query from the gate.
 """
-import json, math, os, subprocess, sys
+import json, math, os, subprocess, sys, time
 
 SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 OUT = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
@@ -85,6 +85,7 @@ if "--manifest" in sys.argv:
 fails = []
 per_query = {}
 for name, sql in sorted(oracle.items()):
+    t0 = time.time()
     try:
         want = con.execute(sql).fetchall()
         wcols = [d[0] for d in con.description]
@@ -101,8 +102,13 @@ for name, sql in sorted(oracle.items()):
         wrows = sorted(tuple(norm(r[i]) for i in widx) for r in want)
         grows = sorted(tuple(norm(r[i]) for i in gidx) for r in got)
         if wrows == grows:
-            print(f"PASS {name} ({len(grows)} rows)")
-            per_query[name] = f"pass ({len(grows)} rows)"
+            # per-oracle seconds in the record: a 1000-s CTE-inlining
+            # blow-up (the ext124 lesson) should be visible in
+            # last_check.json, not rediscovered by bisection
+            print(f"PASS {name} ({len(grows)} rows, "
+                  f"{time.time() - t0:.1f}s)")
+            per_query[name] = (f"pass ({len(grows)} rows, "
+                               f"{time.time() - t0:.1f}s)")
         else:
             print(f"FAIL {name}: {len(grows)} spark rows vs {len(wrows)} oracle rows")
             onlyg = [r for r in grows if r not in set(wrows)][:3]
