@@ -5550,13 +5550,13 @@ object ExtEntry {
     // Encode-side replay: the ext111/112 bpeCtes chain ends at the
     // post-merge state s3; the vocabulary card is one GROUP BY word
     // (+ over-cap chars as single symbols, the ext112 wc shape).
-    "ext153_bpe_encode" ->
+    "ext153_bpe_encode" -> materializeCtes(
       s"""$bpeCtes
          |SELECT word, CAST(MAX(cnt) AS BIGINT) AS cnt,
          |       CAST(count(*) + greatest(length(word)
          |         - ${TextOps.BpeMaxWordLen}, 0) AS BIGINT) AS n_syms
          |FROM s3 WHERE length(word) > 0
-         |GROUP BY word ORDER BY word""".stripMargin,
+         |GROUP BY word ORDER BY word""".stripMargin),
 
     // Moore-Lewis: the ext148 stupid-backoff chain TWICE — general LM
     // from all documents, in-domain LM from lang='en' — then the
@@ -5860,10 +5860,14 @@ object ExtEntry {
         .map(i =>
           s"SELECT CAST($i AS BIGINT) AS sel_rank, vec_id, dist2 FROM s$i")
         .mkString("\n      UNION ALL ")
-      s"""$QuantFlatSql,
+      // MATERIALIZED (r14): every s$r references m$(r-1) -> d$(r-1) ->
+      // flat and the whole prior selection chain — default inlining
+      // re-derives the Gonzalez rounds per reference (15 s -> 1.7 s,
+      // identical rows at both SFs).
+      materializeCtes(s"""$QuantFlatSql,
          |${blocks.toString.stripSuffix(",\n")}
          |SELECT * FROM ($rows)
-         |ORDER BY sel_rank""".stripMargin
+         |ORDER BY sel_rank""".stripMargin)
     },
 
     // The same min-ts step chain: each step joins the shrinking
@@ -5979,18 +5983,21 @@ object ExtEntry {
     // adjacencies count), (count DESC, a, b) argmax, run-parity greedy
     // merge via two windows, anti-join of absorbed positions, dense
     // renumber.
-    "ext111_bpe_merges" ->
+    // MATERIALIZED (r14): each round's p$r references s$(r-1) twice and
+    // s$r references p/mg/t chains again — default inlining re-derives
+    // the previous state ~2x per round (2^depth work).
+    "ext111_bpe_merges" -> materializeCtes(
       s"""$bpeCtes
          |${(1 to 3).map(r =>
             s"SELECT CAST($r AS BIGINT) AS merge_rank, a AS left_sym, " +
             s"b AS right_sym, pair_count FROM t$r")
           .mkString("\nUNION ALL\n")}
-         |ORDER BY merge_rank""".stripMargin,
+         |ORDER BY merge_rank""".stripMargin),
 
     // Estimator audit: per-word symbol counts off the post-merge state
     // s3 (+ over-cap chars as single symbols), joined to per-lang word
     // instance counts; the heuristic is (len+3) DIV 4 per word.
-    "ext112_bpe_estimate_audit" ->
+    "ext112_bpe_estimate_audit" -> materializeCtes(
       s"""$bpeCtes,
          |wc AS (
          |  SELECT word,
@@ -6014,7 +6021,7 @@ object ExtEntry {
          |            ELSE (abs(bpe_tokens_est - bpe_tokens_true)
          |                  * 1000000) // bpe_tokens_true END AS BIGINT)
          |         AS est_err_ppm
-         |FROM card ORDER BY lang""".stripMargin,
+         |FROM card ORDER BY lang""".stripMargin),
 
     // Containment: ext02's inter/sizes chain, integer ppm divisions.
     "ext113_containment_pairs" ->
@@ -6352,7 +6359,9 @@ object ExtEntry {
         (0 until Sketches.BloomK).map(j =>
           s"SELECT $cols, ${bp(j, "h")} AS bit FROM $src")
           .mkString("\n  |  UNION ALL\n  |  ")
-      s"""WITH c0 AS (SELECT doc_id, text, source FROM documents
+      // MATERIALIZED (r14): the stage chain re-reads each prior stage's
+      // output several times (16 s -> 0.2 s, identical rows, both SFs).
+      materializeCtes(s"""WITH c0 AS (SELECT doc_id, text, source FROM documents
          |        WHERE doc_id >= $NumQueryVecs),
          |gm AS (
          |  SELECT doc_id, text, source,
@@ -6495,7 +6504,7 @@ object ExtEntry {
          |  SELECT * FROM card
          |  UNION ALL SELECT * FROM mixrows
          |  UNION ALL SELECT * FROM packrow)
-         |ORDER BY stage_ord, stage""".stripMargin
+         |ORDER BY stage_ord, stage""".stripMargin)
     },
 
     // kNN density: same-bucket pair distances off a3, k nearest per
