@@ -297,6 +297,47 @@ class EmptyInputSpec extends TestBase {
     graft.ops.Reuse.freeAll(spark)
   }
 
+  test("r14 ops: empty inputs flow through, no NPE; the pca iterate " +
+      "stays the defined seed card") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val d = emptyDocs
+    val e = emptyEmb
+    val emptyEvents = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(
+        StructField("event_id", LongType),
+        StructField("ts", TimestampType),
+        StructField("user_id", LongType),
+        StructField("event_type", StringType))))
+    val emptyMerges = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(
+        StructField("merge_rank", LongType),
+        StructField("left_sym", StringType),
+        StructField("right_sym", StringType),
+        StructField("pair_count", LongType))))
+    val results = Seq(
+      countOf("bpeApplyCounts")(
+        graft.ops.TextOps.bpeApplyCounts(d, emptyMerges, 3)),
+      countOf("mooreLewisScores")(
+        graft.ops.TextOps.mooreLewisScores(d, col("lang") === "en")),
+      countOf("charEntropy")(graft.ops.TextOps.charEntropy(d)),
+      countOf("ccnetBuckets")(graft.ops.TextOps.ccnetBuckets(d)),
+      countOf("langidMargin")(graft.ops.TextOps.langidMargin(d)),
+      countOf("anomalyDays")(graft.agg.Windows.anomalyDays(
+        emptyEvents, col("event_type"))))
+    assert(results.forall(_._2 == 0L), s"non-empty: $results")
+    // pca on an empty corpus: the iterate never updates — the output
+    // is the DEFINED all-ones seed (64 rows), not an NPE in the
+    // driver normalize
+    val pca = graft.ops.Similarity.pcaPowerDirection(e)
+      .as[(Long, Long)].collect().toSeq
+    assert(pca.size == 64 && pca.forall(_._2 == 1000000L),
+      s"empty-corpus pca iterate drifted: ${pca.take(3)}")
+    graft.ops.Reuse.freeAll(spark)
+  }
+
   test("ext85 on a duplicate-free corpus: one zero-savings row, no NULLs " +
       "(r7 ADVICE degenerate-case parity)") {
     // With zero dup clusters the family relation is empty; the report
