@@ -944,10 +944,30 @@ object TextOps {
     val uniGen = uniRows.groupBy("t").agg(count(lit(1)).as("cu"))
     val uniIn = uniRows.filter(col("_in")).groupBy("t")
       .agg(count(lit(1)).as("cu"))
+    mooreLewisFrom(doc, biIn, uniIn, biGen, uniGen, minCount, id, text,
+      docBigrams = Some(docBg))
+  }
+
+  /**
+   * [[mooreLewisScores]]' scoring tail over PRE-AGGREGATED count
+   * relations — the stored-two-LM seam (the [[stupidBackoffScoresFrom]]
+   * contract twice): `biIn`/`uniIn` counted from the in-domain subset,
+   * `biGen`/`uniGen` from the full corpus, all pure-addition partials
+   * merged upstream (the streaming
+   * [[graft.stream.StreamingPipeline.mooreLewisPartialsSink]]
+   * accumulates exactly these, tagged by the in-domain flag); the
+   * `minCount` prune applies after the merge, where it must.
+   */
+  def mooreLewisFrom(doc: DataFrame, biIn: DataFrame, uniIn: DataFrame,
+      biGen: DataFrame, uniGen: DataFrame, minCount: Long = 2L,
+      id: String = "doc_id", text: String = "text",
+      docBigrams: Option[DataFrame] = None): DataFrame = {
+    val bg = docBigrams.getOrElse(
+      Reuse.shared(bigramRows(doc.select(col(id), col(text)), text)))
     val sIn = stupidBackoffScoresFrom(doc, biIn, uniIn, minCount, id,
-      text, docBigrams = Some(docBg))
+      text, docBigrams = Some(bg))
     val sGen = stupidBackoffScoresFrom(doc, biGen, uniGen, minCount, id,
-      text, docBigrams = Some(docBg))
+      text, docBigrams = Some(bg))
     sIn.select(col(id), col("n_bigrams"),
         col("n_backoff").as("n_backoff_in"),
         col("lm_log2q").as("lm_in"))

@@ -983,6 +983,49 @@ object StreamingPipeline {
       minCount)
   }
 
+  /** Streaming twin of the Moore-Lewis selector (ext154): the
+    * [[lmPartialsSink]] count shape TAGGED by the in-domain flag —
+    * per-batch (dom, t1, t2, c) bigram/unigram partials (t2 null marks
+    * unigrams), pure addition across batches; the in-domain LM reads
+    * dom = 1 rows, the general LM the dom-summed relation, so ONE
+    * stored table serves both models. */
+  def mooreLewisPartialsSink(docs: DataFrame, inDomain: Column,
+      outPath: String): DataStreamWriter[org.apache.spark.sql.Row] =
+    partialsSink(docs, b => {
+      val flagged = b.select(col("text"),
+        inDomain.cast("long").as("dom"))
+      val bi = graft.ops.TextOps.bigramRows(flagged, "text")
+        .groupBy("dom", "t1", "t2").agg(count(lit(1)).as("c"))
+      val uni = flagged.select(col("dom"), explode(
+          graft.ops.TextOps.tokens(col("text"))).as("t1"))
+        .groupBy("dom", "t1").agg(count(lit(1)).as("c"))
+        .select(col("dom"), col("t1"),
+          lit(null).cast("string").as("t2"), col("c"))
+      bi.unionByName(uni)
+    }, outPath)
+
+  /** The derivation/serving side of [[mooreLewisPartialsSink]]: merge
+    * the tagged partials by addition, split into the four count tables
+    * (in-domain = dom 1; general = dom-summed) and score `docs` via
+    * the batch operator's stored-two-LM seam — equal to batch
+    * `mooreLewisScores(corpus, inDomain)` at ANY batching once the
+    * stream has counted the whole corpus. */
+  def mooreLewisFromState(spark: SparkSession, outPath: String,
+      docs: DataFrame, minCount: Long = 2L): DataFrame = {
+    val merged = graft.ops.Reuse.shared(
+      spark.read.parquet(outPath).drop("batch")
+        .groupBy("dom", "t1", "t2").agg(sum("c").as("c")))
+    val gen = graft.ops.Reuse.shared(
+      merged.groupBy("t1", "t2").agg(sum("c").as("c")))
+    val ind = merged.filter(col("dom") === 1L)
+    def biOf(df: DataFrame) = df.filter(col("t2").isNotNull)
+      .select(col("t1"), col("t2"), col("c").as("cb"))
+    def uniOf(df: DataFrame) = df.filter(col("t2").isNull)
+      .select(col("t1").as("t"), col("c").as("cu"))
+    graft.ops.TextOps.mooreLewisFrom(docs,
+      biOf(ind), uniOf(ind), biOf(gen), uniOf(gen), minCount)
+  }
+
   def countMinPartialsSink(docs: DataFrame,
       outPath: String): DataStreamWriter[org.apache.spark.sql.Row] =
     partialsSink(docs, graft.ops.Sketches.countMinCounters(_), outPath)

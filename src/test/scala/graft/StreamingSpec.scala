@@ -2128,6 +2128,43 @@ class StreamingSpec extends TestBase {
     }
   }
 
+  test("streaming moore-lewis tagged count partials == batch gains at " +
+      "any batching (ext154 twin, one stored table serves both LMs)") {
+    import spark.implicits._
+    val docs = graft.ingest.Tables.documents(spark, sf("sf0.001"))
+      .select("doc_id", "lang", "text")
+    val batch = graft.ops.TextOps
+      .mooreLewisScores(docs, col("lang") === "en")
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long)]
+      .collect().toSet
+    graft.ops.Reuse.freeAll(spark)
+    assert(batch.nonEmpty && batch.exists(_._8 == 0L) &&
+      batch.exists(_._8 == 1L), "fixture must split selected/dropped")
+    for (filesPerTrigger <- Seq(1, 4)) {
+      val srcDir = Files.createTempDirectory("graft-ml-src")
+        .toString + "/d"
+      docs.withColumn("part", pmod(col("doc_id"), lit(4)))
+        .repartition(4, col("part")).drop("part")
+        .write.parquet(srcDir)
+      val out = Files.createTempDirectory("graft-ml-out").toString
+      val ckpt = Files.createTempDirectory("graft-ml-ckpt").toString
+      val q = StreamingPipeline.mooreLewisPartialsSink(
+        StreamingPipeline.parquetStream(spark, srcDir,
+          maxFilesPerTrigger = Some(filesPerTrigger)),
+        col("lang") === "en", out)
+        .option("checkpointLocation", ckpt).start()
+      q.processAllAvailable()
+      q.stop()
+      val streamed = StreamingPipeline
+        .mooreLewisFromState(spark, out, docs)
+        .as[(Long, Long, Long, Long, Long, Long, Long, Long)]
+        .collect().toSet
+      assert(streamed == batch,
+        s"streamed moore-lewis @$filesPerTrigger/trigger differs")
+      graft.ops.Reuse.freeAll(spark)
+    }
+  }
+
   test("streaming funnel state == batch funnel at any batching; " +
       "horizon eviction non-vacuous (ext139 twin)") {
     import spark.implicits._
