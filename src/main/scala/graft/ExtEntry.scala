@@ -2187,6 +2187,28 @@ object ExtEntry {
     "ext159_pca_power" -> ((s, dir) =>
       Similarity.pcaPowerDirection(embs(s, dir)).orderBy("dim")),
 
+    // PMI collocations: the symmetric above-chance association measure
+    // (ext41 ranks raw count / conditional prob) — decimal ratio_ppm,
+    // debiased bit-length octave, minCount-floored (hapax-pair
+    // degeneracy), top-k by the deterministic (ratio, t1, t2) order.
+    "ext160_pmi_collocations" -> ((s, dir) =>
+      TextOps.pmiCollocations(docs(s, dir), 100)
+        .orderBy(col("ratio_ppm").desc, col("t1"), col("t2"))),
+
+    // Length-bucketing card: dynamic-batching padding cost — log2
+    // buckets, per-bucket actual max, pad-to-bucket-max vs pad-to-
+    // global-max waste in exact tokens and ppm; <= ~40 rows at any
+    // corpus size.
+    "ext161_length_bucketing" -> ((s, dir) =>
+      Packing.lengthBucketing(docs(s, dir),
+        size(split(col("text"), " "))).orderBy("bucket")),
+
+    // Frequency-of-frequencies spectrum: N_r type classes for r<=10 +
+    // folded tail, token mass per class, Good-Turing adjusted count
+    // ppm — the Good-Turing/OOV-mass/vocab-planning relation.
+    "ext162_freq_spectrum" -> ((s, dir) =>
+      TextOps.freqSpectrum(docs(s, dir)).orderBy("r")),
+
     // TextRank keyword extraction: damped weighted power iteration
     // over the corpus word-adjacency graph, all fixed-point int64
     // (per-edge DIV truncation, damping blend DIV 100) — PageRank's
@@ -5785,6 +5807,80 @@ object ExtEntry {
          |$rounds
          |SELECT i AS dim, v AS v_ppm FROM v3 ORDER BY dim""".stripMargin
     },
+
+    // PMI: pair/unigram counts, HUGEINT ratio_ppm, debiased octave,
+    // deterministic top-k head.
+    "ext160_pmi_collocations" ->
+      s"""WITH uni AS (
+         |  SELECT t, CAST(count(*) AS BIGINT) AS cu FROM (
+         |    SELECT unnest(string_split(text, ' ')) AS t
+         |    FROM documents) GROUP BY 1),
+         |nu AS (SELECT CAST(SUM(cu) AS BIGINT) AS nu FROM uni),
+         |bg AS (
+         |  SELECT unnest(tk[1:len(tk)-1]) AS t1,
+         |         unnest(tk[2:len(tk)]) AS t2
+         |  FROM (SELECT string_split(text, ' ') AS tk FROM documents)),
+         |nb AS (SELECT CAST(count(*) AS BIGINT) AS nb FROM bg),
+         |pairs AS (SELECT t1, t2, CAST(count(*) AS BIGINT) AS c
+         |          FROM bg GROUP BY 1, 2 HAVING count(*) >= 5),
+         |scored AS (
+         |  SELECT t1, t2, c AS c_ab, ua.cu AS ca, ub.cu AS cb,
+         |         CAST((CAST(c AS HUGEINT) * nu.nu * nu.nu * 1000000)
+         |              // (CAST(nb.nb AS HUGEINT) * ua.cu * ub.cu)
+         |           AS BIGINT) AS ratio_ppm
+         |  FROM pairs JOIN uni ua ON ua.t = pairs.t1
+         |       JOIN uni ub ON ub.t = pairs.t2, nu, nb)
+         |SELECT t1, t2, c_ab, ca, cb, ratio_ppm,
+         |       CAST(length(bin(greatest(ratio_ppm, 1))) AS BIGINT)
+         |         - 20 AS pmi_oct
+         |FROM scored
+         |ORDER BY ratio_ppm DESC, t1, t2 LIMIT 100""".stripMargin,
+
+    // Length buckets: bitlen classes over whitespace token counts,
+    // per-bucket max, pad-to-bucket vs pad-to-global waste.
+    "ext161_length_bucketing" ->
+      """WITH d AS (
+        |  SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+        |  FROM documents),
+        |pb AS (
+        |  SELECT CAST(length(bin(greatest(n, 1))) AS BIGINT) AS bucket,
+        |         CAST(count(*) AS BIGINT) AS n_docs,
+        |         CAST(SUM(n) AS BIGINT) AS total_toks,
+        |         CAST(MAX(n) AS BIGINT) AS bucket_max
+        |  FROM d GROUP BY 1),
+        |g AS (SELECT CAST(MAX(bucket_max) AS BIGINT) AS global_max
+        |      FROM pb)
+        |SELECT bucket, n_docs, total_toks, bucket_max, g.global_max,
+        |       n_docs * bucket_max - total_toks AS pad_bucket,
+        |       n_docs * g.global_max - total_toks AS pad_global,
+        |       CAST(CASE WHEN n_docs * bucket_max > 0
+        |            THEN ((n_docs * bucket_max - total_toks) * 1000000)
+        |                 // (n_docs * bucket_max)
+        |            ELSE 0 END AS BIGINT) AS waste_bucket_ppm,
+        |       CAST(CASE WHEN n_docs * g.global_max > 0
+        |            THEN ((n_docs * g.global_max - total_toks) * 1000000)
+        |                 // (n_docs * g.global_max)
+        |            ELSE 0 END AS BIGINT) AS waste_global_ppm
+        |FROM pb, g ORDER BY bucket""".stripMargin,
+
+    // Frequency spectrum: count classes with folded tail, token mass,
+    // Good-Turing adjusted ppm via the r+1 self-join.
+    "ext162_freq_spectrum" ->
+      """WITH c AS (
+        |  SELECT t, CAST(count(*) AS BIGINT) AS c FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS t
+        |    FROM documents) GROUP BY 1),
+        |cls AS (
+        |  SELECT CASE WHEN c <= 10 THEN c ELSE -1 END AS r,
+        |         CAST(count(*) AS BIGINT) AS n_types,
+        |         CAST(SUM(c) AS BIGINT) AS token_mass
+        |  FROM c GROUP BY 1)
+        |SELECT a.r, a.n_types, a.token_mass,
+        |       CAST(CASE WHEN a.r > 0 AND b.n_types IS NOT NULL
+        |            THEN ((a.r + 1) * b.n_types * 1000000) // a.n_types
+        |            ELSE 0 END AS BIGINT) AS gt_rstar_ppm
+        |FROM cls a LEFT JOIN cls b ON b.r = a.r + 1
+        |ORDER BY a.r""".stripMargin,
 
     // Anomaly days: lower-median + lower-MAD per entity over the daily
     // count matrix, flag = dev > 7 x greatest(mad, 1) — all int64 rank

@@ -143,6 +143,57 @@ object Packing {
         sum(expr("(_toks + ctx - 1) DIV ctx")).as("chunks_padded"))
   }
 
+  /**
+   * Length-bucketing card — the DYNAMIC-BATCHING member of the packing
+   * family: [[packEfficiency]] prices padding to a FIXED context and
+   * concat-packing; this prices the middle strategy real trainers use
+   * (bucket sequences by length, pad each batch only to its bucket's
+   * max — tokenizer-servers, rerankers and encoder training all batch
+   * this way because concat-packing breaks example boundaries).
+   * Buckets are the ext56 integer log₂ classes (`bitlen(n_toks)`), so
+   * the card is ≤ ~40 rows at any corpus size. Per bucket: docs,
+   * token mass, the bucket's ACTUAL max length, padding paid when
+   * batches pad to bucket-max (`pad_bucket`) vs to the corpus-wide max
+   * (`pad_global` — the no-bucketing baseline), both as exact sums and
+   * waste ppm of the padded volume. All int64, all-non-negative DIVs.
+   *
+   * Scale shape: one map-side-combined groupBy on ≤ ~40 bucket keys —
+   * the corpus is touched once; the global max rides a broadcast 1-row
+   * envelope. Per-bucket sums are pure-addition partials (max merges
+   * as max), so the card streams with the packPartials discipline.
+   */
+  def lengthBucketing(df: DataFrame, tokens: Column): DataFrame = {
+    val base = df.select(
+      coalesce(tokens.cast("long"), lit(0L)).as("_toks"))
+    // shared: the global max reads the same ≤ ~40-row bucket relation —
+    // without it the corpus would be scanned once per consumer
+    val perBucket = graft.ops.Reuse.shared(base
+      .withColumn("bucket",
+        length(expr("bin(greatest(_toks, 1))")).cast("long"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("_toks").as("total_toks"),
+        max("_toks").as("bucket_max")))
+    val globalMax = perBucket.agg(max("bucket_max").as("global_max"))
+    perBucket.crossJoin(broadcast(globalMax))
+      .withColumn("pad_bucket",
+        expr("n_docs * bucket_max - total_toks"))
+      .withColumn("pad_global",
+        expr("n_docs * global_max - total_toks"))
+      .withColumn("waste_bucket_ppm",
+        when(expr("n_docs * bucket_max") > 0L,
+          expr("(pad_bucket * 1000000) DIV (n_docs * bucket_max)"))
+          .otherwise(lit(0L)))
+      .withColumn("waste_global_ppm",
+        when(expr("n_docs * global_max") > 0L,
+          expr("(pad_global * 1000000) DIV (n_docs * global_max)"))
+          .otherwise(lit(0L)))
+      .select(col("bucket"), col("n_docs"), col("total_toks"),
+        col("bucket_max"), col("global_max"), col("pad_bucket"),
+        col("pad_global"), col("waste_bucket_ppm"),
+        col("waste_global_ppm"))
+  }
+
   /** The derived columns over (ctx, n_docs, total_toks, chunks_padded)
     * partials; duplicate ctx keys across batches are summed first, so
     * the fold is exact at any batching. */

@@ -723,6 +723,91 @@ object TextOps {
   }
 
   /**
+   * PMI collocations — the SYMMETRIC association measure the bigram
+   * family lacks ([[bigramStats]] ranks by raw count and conditional
+   * probability, which surface "of the"; PMI surfaces the pairs that
+   * co-occur far above chance — the multiword-expression / named-entity
+   * prior corpus linguists and tokenizer curriculum builders rank by).
+   * pmi = log₂(p(ab) / (p(a)·p(b))) over unigram/bigram relative
+   * frequencies, integerized the repo way: `ratio_ppm = (c_ab · Nu² ·
+   * 10⁶) DIV (Nb · c_a · c_b)` with the numerator in decimal(38,0)/
+   * HUGEINT (c·Nu²·10⁶ passes int64 at ~10⁸ tokens — same ext152
+   * lesson), `pmi_oct = bitlen(max(ratio_ppm, 1)) − 20` (ratio 1 ↦ 0,
+   * the debiased octave). `minCount` floors c_ab (the collocation
+   * convention — PMI is degenerate on hapax pairs: c=1 pairs of c=1
+   * words maximize it by definition), and the card is the top-k head
+   * by (ratio_ppm DESC, t1, t2) — a deterministic total order.
+   *
+   * Scale shape: one doc-local bigram explode into two map-side-
+   * combined groupBys (pair + unigram counts, both vocab-bounded), two
+   * 1-row totals on broadcast envelopes, the unigram joins keyed on a
+   * vocab-bounded side, and a TakeOrdered head — k rows reach the
+   * driver.
+   */
+  def pmiCollocations(doc: DataFrame, k: Int = 100,
+      minCount: Long = 5L, text: String = "text"): DataFrame = {
+    val uni = Reuse.shared(doc
+      .select(explode(tokens(col(text))).as("t"))
+      .groupBy("t").agg(count(lit(1)).as("cu")))
+    val nu = uni.agg(sum("cu").as("nu"))
+    // one bigram explode total: Nb is the pre-prune count mass of the
+    // SAME vocab-bounded pair relation the scored pairs filter from
+    val pairsAll = Reuse.shared(bigramRows(doc.select(col(text)), text)
+      .groupBy("t1", "t2").agg(count(lit(1)).as("c")))
+    val nb = pairsAll.agg(sum("c").as("nb"))
+    val pairs = pairsAll.filter(col("c") >= minCount)
+    pairs
+      .join(uni.select(col("t").as("t1"), col("cu").as("ca")), Seq("t1"))
+      .join(uni.select(col("t").as("t2"), col("cu").as("cb")), Seq("t2"))
+      .crossJoin(broadcast(nu)).crossJoin(broadcast(nb))
+      .withColumn("ratio_ppm", expr(
+        "cast(c as decimal(38,0)) * nu * nu * 1000000" +
+          " div (cast(nb as decimal(38,0)) * ca * cb)"))
+      .withColumn("pmi_oct",
+        length(expr("bin(greatest(ratio_ppm, 1))")).cast("long") - 20L)
+      .select(col("t1"), col("t2"), col("c").as("c_ab"), col("ca"),
+        col("cb"), col("ratio_ppm"), col("pmi_oct"))
+      .orderBy(col("ratio_ppm").desc, col("t1").asc, col("t2").asc)
+      .limit(k)
+  }
+
+  /**
+   * Token frequency-of-frequencies spectrum — N_r = how many types
+   * occur exactly r times, for r ≤ `maxR`, plus one tail row (r = −1)
+   * folding everything above: the relation Good–Turing smoothing, OOV
+   * mass estimation (N₁/N is the leave-one-out unseen-mass estimate)
+   * and vocab-size planning read. Each row carries the exact type
+   * count, its token mass r·N_r, and the Good–Turing adjusted count
+   * `gt_rstar_ppm = ((r+1)·N_{r+1}·10⁶) DIV N_r` (0 where N_{r+1} is
+   * absent — heads of real spectra are dense so the zeros land in the
+   * tail, where GT isn't used anyway). All int64, all-non-negative.
+   *
+   * Scale shape: two map-side-combined groupBys (token → count, count
+   * → class) — the second over the vocab-bounded count table; the
+   * card is ≤ maxR+1 rows joined to itself on r+1. Streaming is
+   * EXCLUDED by design: type counts must be GLOBAL before classing
+   * (per-shard spectra are not addition partials — a type seen once
+   * in each of two batches is N₂ mass, not 2×N₁), so this is a
+   * per-corpus-snapshot audit, the ext68 boundary.
+   */
+  def freqSpectrum(doc: DataFrame, maxR: Long = 10L,
+      text: String = "text"): DataFrame = {
+    val counts = doc.select(explode(tokens(col(text))).as("t"))
+      .groupBy("t").agg(count(lit(1)).as("c"))
+    val classes = Reuse.shared(counts
+      .withColumn("r", when(col("c") <= maxR, col("c")).otherwise(-1L))
+      .groupBy("r").agg(count(lit(1)).as("n_types"),
+        sum("c").as("token_mass")))
+    classes
+      .join(classes.select((col("r") - 1).as("r"),
+        col("n_types").as("n_next")), Seq("r"), "left")
+      .select(col("r"), col("n_types"), col("token_mass"),
+        when(col("r") > 0L && col("n_next").isNotNull,
+          expr("((r + 1) * n_next * 1000000) DIV n_types"))
+          .otherwise(lit(0L)).as("gt_rstar_ppm"))
+  }
+
+  /**
    * Bigram-LM fluency scoring — the LM-based quality filter of a
    * pretraining pipeline (CCNet-shape), integerized for cross-engine
    * determinism: build the corpus bigram LM (`p_q = floor(1e6 *

@@ -939,6 +939,25 @@ class OpsSpec extends TestBase {
       (8L, 3L, 24L, 4L, 3L, 8L * 1000000L / 32L, 1000000L / 4L)))
   }
 
+  test("length bucketing: log2 buckets, per-bucket max, pad-to-bucket " +
+      "vs pad-to-global waste hand-checked (ext161)") {
+    import spark.implicits._
+    // token counts 1, 2, 3, 9: buckets bitlen -> 1:{1}, 2:{2,3}, 4:{9}
+    val docs = Seq(
+      (1L, "a"), (2L, "a b"), (3L, "a b c"),
+      (4L, "a b c d e f g h i")).toDF("doc_id", "text")
+    val got = graft.ops.Packing
+      .lengthBucketing(docs, size(split(col("text"), " ")))
+      .orderBy("bucket")
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long, Long)]
+      .collect().toSeq
+    assert(got == Seq(
+      (1L, 1L, 1L, 1L, 9L, 0L, 8L, 0L, 888888L),
+      (2L, 2L, 5L, 3L, 9L, 1L, 13L, 166666L, 722222L),
+      (4L, 1L, 9L, 9L, 9L, 0L, 0L, 0L, 0L)), s"got $got")
+    graft.ops.Reuse.freeAll(spark)
+  }
+
   test("pii: planted emails/ips/phones/ids counted per pattern on raw " +
       "text; ordered scrub leaves no residual matches and keeps clean " +
       "text byte-identical (ext92)") {

@@ -148,6 +148,38 @@ class TextKernelsSpec extends TestBase {
     graft.ops.Reuse.freeAll(spark)
   }
 
+  test("pmi collocations: hand-computed decimal ratio and octave; " +
+      "minCount floors hapax pairs (ext160)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // "x y" x5 in one doc: Nu=10, Nb=9, (x,y) c=5 (the only pair >= 5;
+    // (y,x) c=4 floored). ratio = 5*100*1e6 // (9*25) = 2222222;
+    // bitlen 22 -> oct 2.
+    val docs = Seq((1L, "x y x y x y x y x y")).toDF("doc_id", "text")
+    val got = TextOps.pmiCollocations(docs)
+      .as[(String, String, Long, Long, Long, Long, Long)]
+      .collect().toSeq
+    assert(got == Seq(("x", "y", 5L, 5L, 5L, 2222222L, 2L)), s"got $got")
+    graft.ops.Reuse.freeAll(spark)
+  }
+
+  test("freq spectrum: count classes, folded tail and Good-Turing " +
+      "adjusted ppm hand-checked (ext162)") {
+    import spark.implicits._
+    // counts: a:1 b:2 c:2 d:11 e:12 -> r=1 (1 type, GT uses N_2=2),
+    // r=2 (2 types, N_3 absent), tail r=-1 (2 types, mass 23)
+    val docs = Seq(
+      (1L, "a b c d e " + ("d " * 10).trim),
+      (2L, "b c " + ("e " * 11).trim)).toDF("doc_id", "text")
+    val got = TextOps.freqSpectrum(docs).orderBy("r")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (-1L, 2L, 23L, 0L),
+      (1L, 1L, 1L, 4000000L),
+      (2L, 2L, 4L, 0L)), s"got $got")
+    graft.ops.Reuse.freeAll(spark)
+  }
+
   test("ccnet buckets: hand-computed penalties, tercile cut and the " +
       "unscored bucket (ext156)") {
     import spark.implicits._
