@@ -496,6 +496,19 @@ object ScaleSmoke {
     time("pca_power") {
       graft.ops.Similarity.pcaPowerDirection(bigEmb)
     }
+    // r14 batch 3: PMI — one bigram + one unigram explode into vocab-
+    // bounded counts (dup mode: vocab flat, counts x mult), TakeOrdered
+    // head; length bucketing — one <= ~40-key groupBy; freq spectrum —
+    // vocab-bounded count table + <= 11-row class join. All linear,
+    // bounded outputs.
+    time("pmi_collocations") {
+      graft.ops.TextOps.pmiCollocations(big)
+    }
+    time("length_bucketing") {
+      graft.ops.Packing.lengthBucketing(big,
+        size(split(col("text"), " ")))
+    }
+    time("freq_spectrum") { graft.ops.TextOps.freqSpectrum(big) }
     if (only.forall(_.exists("textrank".startsWith))) {
       val pairs = graft.ops.TextOps.bigramRows(big.select("text"))
         .filter(col("t1") =!= col("t2"))
