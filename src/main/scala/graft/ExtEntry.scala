@@ -2209,6 +2209,14 @@ object ExtEntry {
     "ext162_freq_spectrum" -> ((s, dir) =>
       TextOps.freqSpectrum(docs(s, dir)).orderBy("r")),
 
+    // Majority-label propagation over the stored cluster map — the FIX
+    // side of ext74's cross-label audit: clustered docs adopt their
+    // family's (count DESC, label ASC) majority, singletons keep their
+    // own (cluster_id -1, relabeled 0).
+    "ext163_label_propagation" -> ((s, dir) =>
+      Dedup.labelPropagation(dupClusters(s, dir), docs(s, dir))
+        .orderBy("doc_id")),
+
     // TextRank keyword extraction: damped weighted power iteration
     // over the corpus word-adjacency graph, all fixed-point int64
     // (per-edge DIV truncation, damping blend DIV 100) — PageRank's
@@ -5862,6 +5870,33 @@ object ExtEntry {
         |                 // (n_docs * g.global_max)
         |            ELSE 0 END AS BIGINT) AS waste_global_ppm
         |FROM pb, g ORDER BY bucket""".stripMargin,
+
+    // Label propagation: the ext74 recursive cluster chain, per-cluster
+    // majority with the (n DESC, label ASC) window, singletons via the
+    // double LEFT join with the -1 sentinel.
+    "ext163_label_propagation" ->
+      s"""WITH RECURSIVE $clusterCtes,
+         |cl AS (SELECT id AS doc_id, min(label) AS cluster_id
+         |       FROM reach GROUP BY 1),
+         |lab AS (SELECT doc_id, lang AS label FROM documents),
+         |cnt AS (SELECT cl.cluster_id, lab.label,
+         |               CAST(count(*) AS BIGINT) AS n
+         |        FROM cl JOIN lab USING (doc_id) GROUP BY 1, 2),
+         |maj AS (SELECT cluster_id, label AS majority_label FROM (
+         |          SELECT cluster_id, label, row_number() OVER (
+         |            PARTITION BY cluster_id
+         |            ORDER BY n DESC, label) AS rk FROM cnt)
+         |        WHERE rk = 1)
+         |SELECT lab.doc_id, lab.label,
+         |       COALESCE(cl.cluster_id, -1) AS cluster_id,
+         |       COALESCE(maj.majority_label, lab.label)
+         |         AS majority_label,
+         |       CAST(CASE WHEN lab.label <>
+         |                 COALESCE(maj.majority_label, lab.label)
+         |            THEN 1 ELSE 0 END AS BIGINT) AS relabeled
+         |FROM lab LEFT JOIN cl USING (doc_id)
+         |     LEFT JOIN maj ON maj.cluster_id = cl.cluster_id
+         |ORDER BY lab.doc_id""".stripMargin,
 
     // Frequency spectrum: count classes with folded tail, token mass,
     // Good-Turing adjusted ppm via the r+1 self-join.

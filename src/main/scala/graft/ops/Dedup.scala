@@ -48,6 +48,47 @@ object Dedup {
         min(col(id)).as("keeper_id"))
       .filter(col("n_labels") > 1)
 
+  /**
+   * Majority-label propagation over the stored dup-cluster map — the
+   * FIX side of [[labelConflicts]] (which only DETECTS cross-label
+   * near-dup families): every clustered document adopts its family's
+   * majority label ((count DESC, label ASC) tie-break — the
+   * knnLabelAudit vote convention), singletons keep their own
+   * (cluster_id −1 sentinel, relabeled 0). This is how metadata
+   * cleanup actually ships at corpus scale: labels/quality tags
+   * propagate through near-dup families instead of leaving each copy's
+   * annotation to disagree silently — the curation move that turns
+   * ext74's audit rows into corrected rows.
+   *
+   * Scale shape: the cluster map is the build-once snapshot artifact
+   * (shared with ext27/47/51/64/74); the majority is one map-side-
+   * combined (cluster, label) count + a per-cluster rank over that
+   * compact relation (≤ families × labels rows); the corpus is touched
+   * once by each id-keyed join, nothing broadcast-hinted (the map side
+   * scales with corpus redundancy — the dedupWeights boundary).
+   */
+  def labelPropagation(clusterMap: DataFrame, doc: DataFrame,
+      label: String = "lang", id: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lab = doc.select(col(id), col(label).as("label"))
+    val counts = clusterMap.join(lab, id)
+      .groupBy("cluster_id", "label").agg(count(lit(1)).as("n"))
+    val maj = counts
+      .withColumn("rk", row_number().over(Window
+        .partitionBy("cluster_id")
+        .orderBy(col("n").desc, col("label").asc)))
+      .filter(col("rk") === 1)
+      .select(col("cluster_id"), col("label").as("majority_label"))
+    lab.join(clusterMap, Seq(id), "left")
+      .join(maj, Seq("cluster_id"), "left")
+      .select(col(id), col("label"),
+        coalesce(col("cluster_id"), lit(-1L)).as("cluster_id"),
+        coalesce(col("majority_label"), col("label"))
+          .as("majority_label"))
+      .withColumn("relabeled",
+        (col("label") =!= col("majority_label")).cast("long"))
+  }
+
   /** Per-document shingle cap: only the first MaxShinglesPerDoc shingles
     * participate in dedup — bounds the per-doc explode (a pathological
     * 10M-token doc would otherwise dominate its partition) and matches the

@@ -82,6 +82,25 @@ class CorpusStatsSpec extends TestBase {
     assert(got.toSeq == Seq((1L, 3L, 2L, 1L))) // cluster 10 is uniform
   }
 
+  test("label propagation: majority adoption, (n DESC, label ASC) tie, " +
+      "singleton passthrough with the -1 sentinel (ext163)") {
+    import spark.implicits._
+    val cm = Seq((1L, 100L), (2L, 100L), (3L, 100L),
+      (5L, 200L), (6L, 200L)).toDF("doc_id", "cluster_id")
+    val docs = Seq((1L, "en"), (2L, "en"), (3L, "zh"),
+      (4L, "de"), (5L, "es"), (6L, "fr")).toDF("doc_id", "lang")
+    val got = Dedup.labelPropagation(cm, docs).orderBy("doc_id")
+      .as[(Long, String, Long, String, Long)].collect().toSeq
+    assert(got == Seq(
+      (1L, "en", 100L, "en", 0L),
+      (2L, "en", 100L, "en", 0L),
+      (3L, "zh", 100L, "en", 1L),   // majority 2-vs-1 relabels
+      (4L, "de", -1L, "de", 0L),    // singleton passthrough
+      (5L, "es", 200L, "es", 0L),   // 1-1 tie -> label ASC = es
+      (6L, "fr", 200L, "es", 1L)), s"got $got")
+    graft.ops.Reuse.freeAll(spark)
+  }
+
   test("token fertility: exact quantized ratio per language (ext75)") {
     import spark.implicits._
     // en: 4 ws tokens, bpe = ceil(3/4)+ceil(11/4)+ceil(2/4)+ceil(8/4) = 1+3+1+2
