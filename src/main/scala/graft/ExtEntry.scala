@@ -2217,6 +2217,17 @@ object ExtEntry {
       Dedup.labelPropagation(dupClusters(s, dir), docs(s, dir))
         .orderBy("doc_id")),
 
+    // Perceptual near-dup over the multimodal binary column: 60-bit
+    // byte-blockhash (native codegen'd scan expression), pigeonhole-
+    // bucketed Hamming candidates (12x5-bit chunks — lossless at
+    // radius 11, the synthetic-bytes regime; decoded images use the
+    // 4x15 radius-3 form), exact bit_count verify. Never all-pairs.
+    "ext164_image_phash_dups" -> ((s, dir) =>
+      Multimodal.phashPairs(
+          Multimodal.assetsFromDocuments(docs(s, dir)),
+          maxHamming = 11, nChunks = 12)
+        .orderBy("id_a", "id_b")),
+
     // TextRank keyword extraction: damped weighted power iteration
     // over the corpus word-adjacency graph, all fixed-point int64
     // (per-edge DIV truncation, damping blend DIV 100) — PageRank's
@@ -5897,6 +5908,35 @@ object ExtEntry {
          |FROM lab LEFT JOIN cl USING (doc_id)
          |     LEFT JOIN maj ON maj.cluster_id = cl.cluster_id
          |ORDER BY lab.doc_id""".stripMargin,
+
+    // Image phash near-dups: the 60-bit byte-blockhash replayed per
+    // char (docs are ASCII, so ascii() == the utf-8 byte), bit = block
+    // mean > global mean via the exact cross-multiply, then all-pairs
+    // exact Hamming — equivalent to the engine's bucketed candidates
+    // BECAUSE pigeonhole chunking is lossless at radius 11 with 12
+    // chunks (the oracle doubles as the recall audit).
+    "ext164_image_phash_dups" ->
+      """WITH d AS (SELECT doc_id, text, len(text) AS n
+        |           FROM documents WHERE len(text) > 0),
+        |b AS (SELECT doc_id, (i*60)//n AS blk,
+        |             sum(ascii(substr(text, CAST(i+1 AS BIGINT), 1)))
+        |               AS s,
+        |             CAST(count(*) AS BIGINT) AS c
+        |      FROM d JOIN range(0, 100000) g(i) ON i < n
+        |      GROUP BY 1, 2),
+        |t AS (SELECT doc_id, sum(s) AS total, sum(c) AS n
+        |      FROM b GROUP BY 1),
+        |h AS (SELECT b.doc_id,
+        |             CAST(sum(CASE WHEN s * n > total * c
+        |                  THEN (1::BIGINT << CAST(blk AS INT))
+        |                  ELSE 0 END) AS BIGINT) AS phash
+        |      FROM b JOIN t USING (doc_id) GROUP BY 1)
+        |SELECT a.doc_id AS id_a, bb.doc_id AS id_b,
+        |       CAST(bit_count(xor(a.phash, bb.phash)) AS BIGINT)
+        |         AS hamming
+        |FROM h a JOIN h bb ON a.doc_id < bb.doc_id
+        |WHERE bit_count(xor(a.phash, bb.phash)) <= 11
+        |ORDER BY id_a, id_b""".stripMargin,
 
     // Frequency spectrum: count classes with folded tail, token mass,
     // Good-Turing adjusted ppm via the r+1 self-join.

@@ -1218,8 +1218,11 @@ object Dedup {
 
   /** Chunk-bucketed hamming candidate join over a (id, simhash)
     * relation: pigeonhole guarantees hamming ≤ (nChunks - 1) pairs share
-    * at least one equal chunk; exact bit_count(xor) verifies. */
-  private def chunkedHammingPairs(sh: DataFrame, id: String,
+    * at least one equal chunk; exact bit_count(xor) verifies.
+    * Shared with the multimodal perceptual-hash detector
+    * ([[Multimodal.phashPairs]]) — any (id, 60-bit signature) relation
+    * buckets the same way. */
+  private[ops] def chunkedHammingPairs(sh: DataFrame, id: String,
       nChunks: Int, chunkBits: Int, maxHamming: Int): DataFrame = {
     val mask = (1L << chunkBits) - 1
     val chunks = sh.select(col(id), col("simhash"),

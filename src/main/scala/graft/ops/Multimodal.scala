@@ -249,6 +249,121 @@ object Multimodal {
     })
   }
 
+  /**
+   * Perceptual hash of the asset bytes: the 60-bit 1-D blockhash
+   * ([[graft.functions.BlockHash60]] — per-block mean vs global mean,
+   * exact integer compare), the "average hash" of the perceptual-
+   * hashing literature applied to the byte signal. For DECODED images
+   * the classical form pools pixels instead of bytes — that is
+   * [[phashImages]]; this byte form is its deterministic, oracle-
+   * checkable fallback (the [[sampleFrames]] split), and what an
+   * undecodable container gets at 100 TB. One codegen'd scan
+   * expression, zero shuffles. Empty blobs are excluded — every
+   * zero-byte asset would otherwise hash to 0 and pair with every
+   * other one.
+   */
+  def phashBytes(assets: DataFrame): DataFrame =
+    assets.filter(length(col("bytes")) > 0)
+      .select(col("asset_id"),
+        graft.functions.BlockHash60(col("bytes")).as("phash"))
+
+  /**
+   * Perceptual near-dup pairs over the binary column: blockhash
+   * signatures bucketed by chunk equality (pigeonhole: hamming ≤
+   * nChunks − 1 ⇒ at least one equal chunk, so candidate generation is
+   * LOSSLESS whenever `maxHamming < nChunks` — required here, and the
+   * recall audit in OpsSpec asserts bucketed == exact all-pairs),
+   * verified with `bit_count(xor) ≤ maxHamming`. Never an all-pairs
+   * scan: the same [[Dedup.chunkedHammingPairs]] plan as simhashWide —
+   * candidates stream through a (chunk_id, chunk) equi-join.
+   *
+   * Radius prices fan-out — the multi-index-hashing law: radius m
+   * needs m+1 chunks of 60/(m+1) bits, so the bucket space is
+   * (m+1)·2^(60/(m+1)) — 4×32768 at the default image radius 3, but
+   * only 12×32 at radius 11 (the synthetic-bytes regime: random text
+   * has no positional structure, so near-dups sit at hamming ~8–12
+   * where DECODED near-identical images sit ≤ 3). Wide radii on a
+   * billion-asset corpus need the candidate mass priced first (each
+   * bucket holds ~n/2^chunkBits assets).
+   */
+  def phashPairs(assets: DataFrame, maxHamming: Int = 3,
+      nChunks: Int = 4): DataFrame = {
+    require(60 % nChunks == 0, s"nChunks must divide 60, got $nChunks")
+    require(maxHamming < nChunks,
+      s"pigeonhole losslessness needs maxHamming < nChunks " +
+        s"($maxHamming >= $nChunks)")
+    Dedup.chunkedHammingPairs(
+      Reuse.shared(phashBytes(assets)
+        .withColumnRenamed("phash", "simhash")),
+      "asset_id", nChunks = nChunks, chunkBits = 60 / nChunks,
+      maxHamming = maxHamming)
+  }
+
+  /** Classical average-hash over REAL pixels: luma pooled into a 6×10
+    * grid (60 cells = the shared signature width), bit = cell mean >
+    * global mean. Same O(width) scanline streaming as [[poolFeature]].
+    * Near-identical images (small perturbations, re-encodes) land
+    * within a few bits; unrelated images scatter — spec-asserted on
+    * synthesized PNGs (OpsSpec). */
+  private[ops] def ahashImage(im: java.awt.image.BufferedImage): Long = {
+    val w = im.getWidth
+    val h = im.getHeight
+    val sums = new Array[Double](60)
+    val cnts = new Array[Long](60)
+    var total = 0.0
+    val row = new Array[Int](w)
+    var y = 0
+    while (y < h) {
+      im.getRGB(0, y, w, 1, row, 0, w)
+      val gy = (y.toLong * 6 / h).toInt
+      var x = 0
+      while (x < w) {
+        val rgb = row(x)
+        val luma = 0.299 * ((rgb >> 16) & 0xff) +
+          0.587 * ((rgb >> 8) & 0xff) + 0.114 * (rgb & 0xff)
+        val cell = gy * 10 + (x.toLong * 10 / w).toInt
+        sums(cell) += luma
+        cnts(cell) += 1
+        total += luma
+        x += 1
+      }
+      y += 1
+    }
+    val n = w.toLong * h
+    var hash = 0L
+    var c = 0
+    while (c < 60) {
+      if (cnts(c) > 0 && sums(c) * n > total * cnts(c)) hash |= (1L << c)
+      c += 1
+    }
+    hash
+  }
+
+  /** Perceptual hash with REAL decode where the JDK has a reader and
+    * the byte-blockhash fallback where it does not (`decoded` flags
+    * which) — the same drop-free contract as [[sampleFramesDecoded]].
+    * Batched `mapPartitions` kernel; downstream Hamming bucketing is
+    * identical for both paths (both emit 60-bit signatures). */
+  def phashImages(assets: Dataset[MediaAsset])(
+      implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    assets.mapPartitions(_.flatMap { a =>
+      if (a.bytes.isEmpty) None
+      else {
+        val img =
+          try Option(javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(a.bytes)))
+          catch { case scala.util.control.NonFatal(_) => None }
+        img match {
+          case Some(im) => Some((a.asset_id, ahashImage(im), true))
+          case None =>
+            Some((a.asset_id,
+              graft.functions.BlockHashImpl.blockHash60(a.bytes), false))
+        }
+      }
+    }).toDF("asset_id", "phash", "decoded")
+  }
+
   /** Batched per-partition decode (the JVM analog of `mapInPandas`);
     * decoder defaults to the real [[ImageIoDecoder]]. */
   def decodeImages(assets: Dataset[MediaAsset],

@@ -517,6 +517,106 @@ class OpsSpec extends TestBase {
     assert(pf.length == 1 && pf.head.decoded && pf.head.width == 6)
   }
 
+  test("blockHash60 kernel: hand-computed bits, tie -> 0, empty -> 0, " +
+      "codegen path == kernel (ext164)") {
+    import graft.functions.{BlockHash60, BlockHashImpl}
+    // [1,2,3,4]: byte i lands in block i*60/4 = {0,15,30,45}; total 10,
+    // n 4 — bit set iff v*4 > 10, i.e. v=3 (blk 30) and v=4 (blk 45).
+    assert(BlockHashImpl.blockHash60(Array[Byte](1, 2, 3, 4)) ==
+      ((1L << 30) | (1L << 45)))
+    // every 2-byte block {0, 200}: block mean == global mean — the
+    // STRICT compare leaves every bit 0
+    val tie = Array.tabulate[Byte](120)(i =>
+      if (i % 2 == 0) 0 else 200.toByte)
+    assert(BlockHashImpl.blockHash60(tie) == 0L)
+    // first half 10s, second half 200s: exactly bits 30..59
+    val step = Array.tabulate[Byte](120)(i =>
+      if (i < 60) 10 else 200.toByte)
+    assert(BlockHashImpl.blockHash60(step) == (((1L << 30) - 1) << 30))
+    assert(BlockHashImpl.blockHash60(Array.empty[Byte]) == 0L)
+    // DataFrame/codegen path agrees with the direct kernel call
+    import spark.implicits._
+    val df = Seq((1L, Array[Byte](1, 2, 3, 4)), (2L, tie), (3L, step))
+      .toDF("asset_id", "bytes")
+    val got = df.select(col("asset_id"), BlockHash60(col("bytes")))
+      .as[(Long, Long)].collect().sortBy(_._1).map(_._2).toSeq
+    assert(got == Seq((1L << 30) | (1L << 45), 0L, ((1L << 30) - 1) << 30))
+  }
+
+  test("phash recall audit: pigeonhole-bucketed candidates == exact " +
+      "all-pairs Hamming, non-vacuous on the real corpus (ext164)") {
+    val assets = Multimodal.assetsFromDocuments(
+      Tables.documents(spark, sf("sf0.01")))
+    val h = Multimodal.phashBytes(assets)
+    def brute(maxHam: Int) = h.toDF("id_a", "ph_a")
+      .join(h.toDF("id_b", "ph_b"), col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("ph_a").bitwiseXOR(col("ph_b"))).cast("long")
+          .as("hamming"))
+      .filter(col("hamming") <= maxHam)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(x => (x._1, x._2)).toSeq
+    def bucketed(maxHam: Int, nChunks: Int) =
+      Multimodal.phashPairs(assets, maxHam, nChunks)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .sortBy(x => (x._1, x._2)).toSeq
+    // the synthetic-bytes radius (the ext164 query's configuration)
+    val wide = bucketed(11, 12)
+    assert(wide == brute(11), "12x5-bit bucketing lost a pair <= 11")
+    assert(wide.nonEmpty, "audit is vacuous — no near-dup pairs at all")
+    // the image-radius production form
+    assert(bucketed(3, 4) == brute(3))
+    // losslessness precondition is enforced, not assumed
+    intercept[IllegalArgumentException] {
+      Multimodal.phashPairs(assets, maxHamming = 4, nChunks = 4) }
+    intercept[IllegalArgumentException] {
+      Multimodal.phashPairs(assets, maxHamming = 3, nChunks = 7) }
+  }
+
+  test("phash over REAL pixels: near-identical PNGs land within a few " +
+      "bits, the inverted image scatters, undecodable bytes take the " +
+      "byte fallback (ext164)") {
+    import spark.implicits._
+    implicit val s = spark
+    def grayPng(w: Int, h: Int, mut: java.awt.image.BufferedImage => Unit)
+        : Array[Byte] = {
+      val im = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) {
+        val g = (x * 255) / (w - 1)
+        im.setRGB(x, y, (g << 16) | (g << 8) | g)
+      }
+      mut(im)
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(im, "png", out)
+      out.toByteArray
+    }
+    val base = grayPng(40, 24, _ => ())
+    val nearDup = grayPng(40, 24, im => { // 3 perturbed pixels
+      im.setRGB(0, 0, 0xffffff); im.setRGB(39, 23, 0)
+      im.setRGB(20, 12, 0x808080) })
+    val inverted = grayPng(40, 24, im =>
+      for (y <- 0 until 24; x <- 0 until 40)
+        im.setRGB(x, y, ~im.getRGB(x, y) & 0xffffff))
+    val assets = Seq(
+      MediaAsset(1L, "image", base, "image/png"),
+      MediaAsset(2L, "image", nearDup, "image/png"),
+      MediaAsset(3L, "image", inverted, "image/png"),
+      MediaAsset(4L, "audio", "just text bytes".getBytes("UTF-8"),
+        "application/octet-stream")).toDS()
+    val got = Multimodal.phashImages(assets).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(got(1L)._2 && got(2L)._2 && got(3L)._2 && !got(4L)._2)
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(got(1L)._1, got(2L)._1) <= 3,
+      s"near-identical images at hamming ${ham(got(1L)._1, got(2L)._1)}")
+    assert(ham(got(1L)._1, got(3L)._1) > 30,
+      s"inverted image only at hamming ${ham(got(1L)._1, got(3L)._1)}")
+    // the undecodable row's fallback IS the byte blockhash
+    assert(got(4L)._1 == graft.functions.BlockHashImpl.blockHash60(
+      "just text bytes".getBytes("UTF-8")))
+  }
+
   test("repetition metrics flag repeated text, pass diverse text (ext29)") {
     import spark.implicits._
     val docs = Seq(
