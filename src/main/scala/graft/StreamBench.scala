@@ -72,8 +72,26 @@ object StreamBench {
     // the unified 4-family store pipeline — the other novel stateful
     // shape worth a recorded number.
     val mode = sys.env.getOrElse("SPARK_GRAFT_STREAM_MODE", "unified")
-    val src = graft.stream.StreamingPipeline.tweetStream(spark,
+    // SPARK_GRAFT_ADJUST=global|sharded: run ingress under the Trill
+    // DisorderPolicy.Adjust clamp (OP-19) before the aggregation —
+    // `global` is the reference-faithful ONE-key clamp (every
+    // micro-batch serializes through one task: the suspected ceiling),
+    // `sharded` keys the clamp by tweet id % 8 (one Long of state per
+    // shard, the shardSequencerStream deployment shape) to measure how
+    // much of that ceiling the sharding knob lifts.
+    val adjust = sys.env.getOrElse("SPARK_GRAFT_ADJUST", "off")
+    val rawSrc = graft.stream.StreamingPipeline.tweetStream(spark,
       dir.toString, maxFilesPerTrigger = Some(1))
+    val src = adjust match {
+      case "global" =>
+        graft.stream.StreamingPipeline.adjustDisorderStream(rawSrc)
+      case "sharded" =>
+        graft.stream.StreamingPipeline.adjustDisorderStream(rawSrc,
+          key = org.apache.spark.sql.functions.pmod(
+            org.apache.spark.sql.functions.col("id"),
+            org.apache.spark.sql.functions.lit(8L)))
+      case _ => rawSrc
+    }
     val t0 = System.nanoTime()
     val q =
       if (mode == "chained")
@@ -100,7 +118,7 @@ object StreamBench {
         spark.read.parquet(s"$store/ranks").count()
       else
         graft.stream.AggregateStore.read(spark, s"$store/counts").count()
-    println(f"""{"metric":"stream_tweets_per_sec","value":${n / sec}%.0f,"tweets":$n,"seconds":$sec%.1f,"count_windows":$stored,"examples":$includeExamples,"mode":"$mode"}""")
+    println(f"""{"metric":"stream_tweets_per_sec","value":${n / sec}%.0f,"tweets":$n,"seconds":$sec%.1f,"count_windows":$stored,"examples":$includeExamples,"mode":"$mode","adjust":"$adjust"}""")
     spark.stop()
   }
 }

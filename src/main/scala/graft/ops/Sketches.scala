@@ -222,6 +222,55 @@ object Sketches {
       }.asJava, outSchema)
   }
 
+  /**
+   * Per-batch partials for the STREAMING selection-quantile twin
+   * (r13 verdict item 6): a (strata…, _v, cnt) value-count table.
+   * Value counts are pure ADDITION partials — micro-batches fold by
+   * summing, shards merge the same way — which is exactly what the
+   * bisection cannot be (its probe mids depend on the whole corpus,
+   * so its rounds don't decompose over batches). State is bounded by
+   * |strata| × |distinct values| (length-like domains: thousands),
+   * the vocab-bounded discipline of the LM/BPE/spectrum sinks — NOT
+   * by corpus size. NULLs are excluded here, matching
+   * [[selectionQuantiles]]' n.
+   */
+  def selectionValueCounts(df: DataFrame, strata: Seq[String],
+      value: Column): DataFrame =
+    df.select(strata.map(col) :+ value.cast("long").as("_v"): _*)
+      .where(col("_v").isNotNull)
+      .groupBy(strata.map(col) :+ col("_v"): _*)
+      .agg(count(lit(1)).as("cnt"))
+
+  /**
+   * Exact selection quantiles from a (possibly unfolded) value-count
+   * table — the serve side of the streaming twin. Duplicate (stratum,
+   * value) rows from different batches fold by summing; the quantile
+   * is then ONE cumulative-count rank pass over the compact table
+   * (per-stratum window over ≤ |distinct values| rows — no corpus
+   * rescans at all, where the batch bisection pays ~⌈log₂(hi−lo)⌉ of
+   * them). Ties resolve identically to [[selectionQuantiles]]: the
+   * smallest value whose cumulative count reaches k = ⌈q·n/100⌉
+   * (`100·cum ≥ q·n` is that inequality in overflow-safe int64 —
+   * values ≤ 2^53 and counts ≤ 2^46 keep the products exact).
+   */
+  def selectionQuantilesFromCounts(counts: DataFrame,
+      strata: Seq[String], qs: Seq[Int] = Seq(50, 90)): DataFrame = {
+    require(strata.nonEmpty, "selection quantiles need stratum keys")
+    require(qs.nonEmpty && qs.forall(q => q > 0 && q < 100),
+      "quantiles are integer percents in (0, 100)")
+    val folded = counts.groupBy(strata.map(col) :+ col("_v"): _*)
+      .agg(sum("cnt").as("cnt"))
+    val byStratum = Window.partitionBy(strata.map(col): _*)
+    val cum = folded
+      .withColumn("cum", sum("cnt").over(byStratum.orderBy(col("_v"))))
+      .withColumn("n", sum("cnt").over(byStratum))
+    cum
+      .withColumn("q", explode(array(qs.map(q => lit(q.toLong)): _*)))
+      .filter(col("cum") * 100 >= col("q") * col("n"))
+      .groupBy(strata.map(col) :+ col("q"): _*)
+      .agg(min(col("_v")).as("value"))
+  }
+
   /** Count-Min sketch geometry. Width × depth = 4096 counters — the
     * whole sketch is a broadcast-sized artifact at ANY corpus size;
     * depth-4 rows drive the union-explode and the per-token min. The

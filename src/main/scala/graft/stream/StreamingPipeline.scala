@@ -861,6 +861,26 @@ object StreamingPipeline {
     graft.agg.Windows.anomalyDaysFromCounts(
       spark.read.parquet(outPath).drop("batch"), k)
 
+  /** Streaming twin of the exact selection quantiles (ext151 — r13
+    * verdict item 6): the batch bisection's probe mids depend on the
+    * whole corpus (its rounds don't decompose over batches), but the
+    * per-stratum VALUE-COUNT table it bisects against is a pure
+    * addition partial — each micro-batch writes its own (strata…, _v,
+    * cnt) rows, bounded by |strata| × |distinct values| (the
+    * vocab-bounded sink discipline), and the exact quantile falls out
+    * of one cumulative-count rank over the fold, zero corpus
+    * rescans. */
+  def selectionQuantilePartialsSink(docs: DataFrame,
+      strata: Seq[String], value: Column, outPath: String)
+      : DataStreamWriter[org.apache.spark.sql.Row] =
+    partialsSink(docs,
+      graft.ops.Sketches.selectionValueCounts(_, strata, value), outPath)
+
+  def selectionQuantilesFromState(spark: SparkSession, outPath: String,
+      strata: Seq[String], qs: Seq[Int] = Seq(50, 90)): DataFrame =
+    graft.ops.Sketches.selectionQuantilesFromCounts(
+      spark.read.parquet(outPath).drop("batch"), strata, qs)
+
   /** Streaming twin of the per-source Gopher pass rates (ext84). */
   def gopherPassPartialsSink(docs: DataFrame, strata: Seq[String],
       outPath: String): DataStreamWriter[org.apache.spark.sql.Row] =
@@ -2000,6 +2020,15 @@ object AggregateStore {
     * copy+delete); on an object store use a manifest-based table format
     * instead. The filesystem is resolved FROM the store path, so a
     * qualified non-default path (hdfs://other-cluster/...) works. */
+  /** Spec-only probe seam (the GifFrameDecoder.decodeProbe discipline):
+    * invoked at the swap's two in-between states — "aside" (live dir
+    * renamed to `_precompact`, nothing at the store path yet) and
+    * "promoted" (compacted dir in place, `_precompact` not yet
+    * deleted) — so the reader-vs-compaction consistency contract is
+    * testable DETERMINISTICALLY instead of by racing threads.
+    * Production pays one volatile read per state. */
+  @volatile var compactProbe: Option[String => Unit] = None
+
   def compact(spark: SparkSession, path: String,
       filesPerPartition: Int = 1): Unit = {
     val base = path.stripSuffix("/")
@@ -2014,10 +2043,12 @@ object AggregateStore {
     fs.delete(old, true)
     if (!fs.rename(dst, old))
       throw new java.io.IOException(s"compact: cannot move $dst aside")
+    compactProbe.foreach(_("aside"))
     if (!fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)) {
       fs.rename(old, dst) // restore the original store
       throw new java.io.IOException(s"compact: cannot promote $tmp")
     }
+    compactProbe.foreach(_("promoted"))
     fs.delete(old, true)
   }
 }

@@ -870,6 +870,13 @@ class PipelineOpsSpec extends TestBase {
       .as[(String, Long, Long)].collect().toSeq.sorted
     assert(got == Seq(("a", 50L, 3L), ("a", 90L, 9L),
       ("b", 50L, 7L), ("b", 90L, 7L)), s"hand-check drifted: $got")
+    // the value-count rank form (the streaming twin's serve side) must
+    // reproduce the bisection exactly, ties and singletons included
+    val viaCounts = Sketches.selectionQuantilesFromCounts(
+        Sketches.selectionValueCounts(df, Seq("lang"), col("v")),
+        Seq("lang"))
+      .as[(String, Long, Long)].collect().toSeq.sorted
+    assert(viaCounts == got, s"count-rank form drifted: $viaCounts")
     graft.ops.Reuse.freeAll(spark)
     // the zero-shuffle search must agree with a driver sort replay of
     // the same k = ceil(q*n/100) definition on every real stratum

@@ -286,6 +286,82 @@ class StreamingSpec extends TestBase {
     assert(mixed.filter(col("batch") === 99).count() > 0)
   }
 
+  test("compaction vs concurrent readers: every read is a full snapshot " +
+      "or a loud failure, never silent partial data (r13 verdict item 4)") {
+    import spark.implicits._
+    val store = Files.createTempDirectory("graft-cmprace").toFile
+      .toString + "/hashtags"
+    // three micro-batches, one date partition each
+    def batchDf(day: Int) = Seq.tabulate(6)(i =>
+      (day * 86400L + (i + 1) * 3600L, s"e${i % 3}",
+        (10 * day + i).toLong)).toDF("window_end", "entity", "follower_sum")
+    (0 until 3).foreach(b =>
+      AggregateStore.writeRanked(batchDf(b), store, 10, b.toLong))
+    def snap() = AggregateStore.read(spark, store)
+      .select("window_end", "entity", "follower_sum")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .sortBy(x => (x._1, x._2)).toSeq
+    val expected = snap()
+    assert(expected.size == 18)
+
+    // a reader PLANNED before the compaction (its file listing resolved
+    // against the pre-compaction layout) but executed after
+    val planned = AggregateStore.readRange(spark, store, 0L, 4L * 86400L)
+      .select("window_end", "entity", "follower_sum")
+
+    // reads AT the two in-between swap states, deterministically via the
+    // probe seam (no thread racing)
+    var asideLoud = false
+    var promotedRows: Seq[(Long, String, Long)] = Nil
+    AggregateStore.compactProbe = Some {
+      case "aside" =>
+        // nothing at the store path: a new reader must fail LOUDLY
+        // (PATH_NOT_FOUND), not observe an empty store
+        asideLoud =
+          try { AggregateStore.read(spark, store).collect(); false }
+          catch {
+            case _: org.apache.spark.sql.AnalysisException => true }
+      case "promoted" => promotedRows = snap() // full snapshot already
+      case _ => ()
+    }
+    try AggregateStore.compact(spark, store)
+    finally AggregateStore.compactProbe = None
+    assert(asideLoud,
+      "read during the aside window returned data instead of failing")
+    assert(promotedRows == expected,
+      "read at the promoted state is not the full snapshot")
+
+    // the pre-planned reader: either the full snapshot (never partial,
+    // never duplicated) or a loud execution failure the serving client
+    // retries by re-planning — ignoreMissingFiles stays OFF (default)
+    // or this loud failure would become a silent partial read
+    assert(!spark.conf.get("spark.sql.files.ignoreMissingFiles").toBoolean)
+    val outcome =
+      try Right(planned.collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+        .sortBy(x => (x._1, x._2)).toSeq)
+      catch { case e: Throwable => Left(e) }
+    outcome match {
+      case Right(rows) => assert(rows == expected,
+        "pre-planned reader saw a partial/duplicated snapshot")
+      case Left(_) => () // loud is acceptable; silent partial is not
+    }
+
+    // post-compaction serving reads reproduce the pre-compaction
+    // results exactly: no loss, no dup
+    assert(snap() == expected)
+    val ranged = AggregateStore.readRange(spark, store, 86400L, 2 * 86400L)
+      .select("window_end", "entity", "follower_sum")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .sortBy(x => (x._1, x._2)).toSeq
+    assert(ranged == expected.filter(
+      x => x._1 >= 86400L && x._1 < 2 * 86400L))
+    val recent = AggregateStore.readRecent(spark, store, 5)
+      .collect().map(r => (r.getAs[Long]("window_end"),
+        r.getAs[String]("entity"), r.getAs[Long]("follower_sum"))).toSeq
+    assert(recent == expected.sortBy(x => (-x._1, x._2)).take(5))
+  }
+
   test("chained two-level stateful top-k == batch rank (OP-28, Spark>=3.4)") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-replay4").toFile
@@ -1496,6 +1572,21 @@ class StreamingSpec extends TestBase {
     assert(gopherStreamed.except(gopherBatch).isEmpty &&
       gopherBatch.except(gopherStreamed).isEmpty && gopherBatch.count() > 0,
       "streamed pass-rate fold differs from the batch operator")
+    // ext151 twin (r13 verdict item 6): the bisection's probe mids
+    // don't decompose over batches, but its value-count table does —
+    // the streamed fold's rank pass must equal the batch bisection
+    // EXACTLY (same k = ceil(q*n/100), same smallest-reaching-value
+    // ties rule)
+    val selOut = runSink((s, o) =>
+      StreamingPipeline.selectionQuantilePartialsSink(
+        s, Seq("lang"), length(col("text")), o))
+    val selStreamed = StreamingPipeline.selectionQuantilesFromState(
+      spark, selOut, Seq("lang"))
+    val selBatch = graft.ops.Sketches.selectionQuantiles(docs,
+      Seq("lang"), length(col("text")))
+    assert(selStreamed.except(selBatch).isEmpty &&
+      selBatch.except(selStreamed).isEmpty && selBatch.count() > 0,
+      "streamed selection-quantile fold differs from the batch bisection")
     graft.ops.Reuse.freeAll(spark)
   }
 
@@ -2311,6 +2402,68 @@ class StreamingSpec extends TestBase {
       s"drop-mode fixture drifted: $dropped")
     assert(adjusted(baseSec + 600L) != dropped(baseSec + 600L),
       "Adjust-vs-drop delta is vacuous on this fixture")
+  }
+
+  test("sharded Adjust clamp: each shard satisfies the per-shard Adjust " +
+      "law independently — and differs from the global clamp where the " +
+      "laws disagree (OP-19 scale knob)") {
+    import spark.implicits._
+    val base = 1704067200000000L
+    def at(s: Long) = base + s * 1000000L
+    // Per-shard Trill Adjust(5 s) hand-run (M tracked PER SHARD):
+    //  b0: A:e1@0:00       -> M_A = 0:00
+    //      B:e2@9:58       -> M_B = 9:58
+    //  b1: A:e3@20:00      -> M_A = 20:00
+    //      B:e4@10:00      -> fine for B (floor 9:53) — but the GLOBAL
+    //                         law (one M = 20:00 after this batch...
+    //                         prior M = 9:58, so here still fine)
+    //  b2: A:e5@5:00       -> A floor = 19:55 -> LIFTED to 19:55
+    //      B:e6@5:00       -> B floor =  9:55 -> LIFTED to  9:55
+    //                         (global law would lift e6 to 19:55 too —
+    //                         the divergence that makes this non-vacuous)
+    val incs = Seq(
+      Seq((1L, 0L, at(0)), (2L, 1L, at(598))),
+      Seq((3L, 0L, at(1200)), (4L, 1L, at(600))),
+      Seq((5L, 0L, at(300)), (6L, 1L, at(300))))
+    val srcDir = Files.createTempDirectory("graft-shadj-src").toFile
+    incs.zipWithIndex.foreach { case (rows, i) =>
+      val tmp = s"$srcDir/_stage$i"
+      rows.toDF("event_id", "shard", "us")
+        .select($"event_id", $"shard",
+          expr("timestamp_micros(us)").as("ts"))
+        .coalesce(1).write.parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dst = new java.io.File(srcDir, f"inc$i%02d.parquet")
+      Files.move(part.toPath, dst.toPath)
+      dst.setLastModified(1704067200000L + i * 60000L)
+      org.apache.commons.io.FileUtils.deleteDirectory(
+        new java.io.File(tmp))
+    }
+    def adjustedTs(key: org.apache.spark.sql.Column): Map[Long, Long] = {
+      val ckpt = Files.createTempDirectory("graft-shadj-ckpt").toString
+      val out = Files.createTempDirectory("graft-shadj-out").toString
+      val src = StreamingPipeline.parquetStream(spark, srcDir.toString,
+        maxFilesPerTrigger = Some(1))
+      val q = StreamingPipeline.adjustDisorderStream(src, key = key)
+        .select($"event_id", unix_micros($"ts").as("us"))
+        .writeStream.outputMode("append")
+        .format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt).start()
+      q.processAllAvailable()
+      q.stop()
+      spark.read.parquet(out).as[(Long, Long)].collect().toMap
+    }
+    val sharded = adjustedTs(col("shard"))
+    assert(sharded == Map(
+      1L -> at(0), 2L -> at(598), 3L -> at(1200), 4L -> at(600),
+      5L -> at(1195), 6L -> at(595)),
+      s"per-shard Adjust law violated: $sharded")
+    // the global single-key clamp lifts e6 against shard A's max —
+    // the two laws genuinely diverge on this fixture
+    val global = adjustedTs(lit(0L))
+    assert(global(6L) == at(1195) && sharded(6L) == at(595),
+      s"fixture no longer separates the laws: $global vs $sharded")
   }
 
   test("run(adjust = true): the full live pipeline LIFTS an " +
