@@ -2228,6 +2228,20 @@ object ExtEntry {
           maxHamming = 11, nChunks = 12)
         .orderBy("id_a", "id_b")),
 
+    // BM25 lexical top-k: integer Robertson ranking (odds-ratio idf in
+    // ppm, milli tf-normalization), the sparse leg of hybrid search —
+    // terms filtered before the shuffle, TakeOrdered head.
+    "ext165_bm25_topk" -> ((s, dir) =>
+      TextOps.bm25TopK(docs(s, dir), Seq("spark", "window", "join"))),
+
+    // Burstiness (Fano factor) per entity over the daily count matrix:
+    // dispersion texture next to ext152's direction and ext158's
+    // outliers — exact decimal integer, span-normalized (silent days
+    // are zeros), same single corpus shuffle.
+    "ext166_burstiness" -> ((s, dir) =>
+      graft.agg.Windows.burstiness(Tables.events(s, dir),
+        col("event_type")).orderBy("entity")),
+
     // TextRank keyword extraction: damped weighted power iteration
     // over the corpus word-adjacency graph, all fixed-point int64
     // (per-edge DIV truncation, damping blend DIV 100) — PageRank's
@@ -5937,6 +5951,62 @@ object ExtEntry {
         |FROM h a JOIN h bb ON a.doc_id < bb.doc_id
         |WHERE bit_count(xor(a.phash, bb.phash)) <= 11
         |ORDER BY id_a, id_b""".stripMargin,
+
+    // Burstiness: span-normalized Fano factor in ppm, HUGEINT cross
+    // terms, bursty flag at the Poisson baseline.
+    "ext166_burstiness" ->
+      """WITH c AS (
+        |  SELECT event_type AS entity,
+        |         epoch_us(ts) // 86400000000 AS x,
+        |         CAST(count(*) AS BIGINT) AS y
+        |  FROM events GROUP BY 1, 2),
+        |a AS (
+        |  SELECT entity,
+        |         CAST(max(x) - min(x) + 1 AS BIGINT) AS n_periods,
+        |         CAST(sum(y) AS BIGINT) AS total,
+        |         sum(CAST(y AS HUGEINT) * y) AS s2
+        |  FROM c GROUP BY 1),
+        |f AS (
+        |  SELECT entity, n_periods, total,
+        |         CAST((1000000 * (CAST(n_periods AS HUGEINT) * s2
+        |              - CAST(total AS HUGEINT) * total))
+        |              // (CAST(n_periods AS HUGEINT) * total)
+        |           AS BIGINT) AS fano_ppm
+        |  FROM a)
+        |SELECT entity, n_periods, total, fano_ppm,
+        |       CAST(CASE WHEN fano_ppm > 1000000 THEN 1 ELSE 0 END
+        |         AS BIGINT) AS bursty
+        |FROM f ORDER BY entity""".stripMargin,
+
+    // BM25: same integer pipeline — ppm odds-ratio idf, milli length
+    // normalization, HUGEINT product sum, // 1e6 at the end.
+    "ext165_bm25_topk" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS tk
+        |           FROM documents),
+        |st AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |              CAST(sum(len(tk)) * 1000 // count(*) AS BIGINT)
+        |                AS avgdl_milli FROM d),
+        |h AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS dl,
+        |             unnest(tk) AS t FROM d),
+        |hits AS (SELECT doc_id, dl, t, CAST(count(*) AS BIGINT) AS tf
+        |         FROM h WHERE t IN ('spark', 'window', 'join')
+        |         GROUP BY 1, 2, 3),
+        |dfr AS (SELECT t, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+        |        FROM hits GROUP BY 1),
+        |sc AS (SELECT doc_id,
+        |         CAST((2 * CAST(st.n AS HUGEINT) + 2) * 1000000
+        |              // (2 * df + 1) AS BIGINT) AS idf_ppm,
+        |         tf,
+        |         tf * 1000 + (1200 * (250 +
+        |           (750 * (dl * 1000000 // st.avgdl_milli)) // 1000))
+        |           // 1000 AS den_milli
+        |       FROM hits JOIN dfr USING (t), st)
+        |SELECT doc_id,
+        |       CAST(sum(CAST(idf_ppm AS HUGEINT) *
+        |                (tf * 2200000 // den_milli)) // 1000000
+        |         AS BIGINT) AS score
+        |FROM sc GROUP BY doc_id
+        |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
 
     // Frequency spectrum: count classes with folded tail, token mass,
     // Good-Turing adjusted ppm via the r+1 self-join.

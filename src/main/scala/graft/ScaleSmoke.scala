@@ -740,6 +740,41 @@ object ScaleSmoke {
           col("hashtags"))
       }
     }
+    // r14 batch-2: phash candidate mass at the WIDE radius (12x32
+    // buckets — the documented fan-out ceiling: each bucket holds
+    // ~n/32 assets, candidate pairs ~12n²/64 on the dup axis where
+    // copies share every chunk), bm25 (hits relation bounded by docs
+    // containing a query term — corpus-linear here since the synthetic
+    // vocab is shared), burstiness (matrix shuffle + 4-agg fold).
+    if (only.forall(_.exists(p =>
+        "r14b2".startsWith(p) || p.startsWith("r14b2")))) {
+      time("r14b2_phash_wide") {
+        graft.ops.Multimodal.phashPairs(
+          graft.ops.Multimodal.assetsFromDocuments(big), 11, 12)
+      }
+      time("r14b2_phash_img_radius") {
+        graft.ops.Multimodal.phashPairs(
+          graft.ops.Multimodal.assetsFromDocuments(big), 3, 4)
+      }
+      time("r14b2_bm25") {
+        graft.ops.TextOps.bm25TopK(big,
+          Seq("spark", "window", "join"))
+      }
+      val nE14 = mult.toLong * 100000L
+      val ev14 = spark.range(nE14).select(
+        col("id").as("event_id"),
+        expr("timestamp_millis(1704067200000 + (id * 7919) % 2592000000)")
+          .as("ts"),
+        (col("id") % 2000).as("user_id"),
+        element_at(array(lit("signup"), lit("view"), lit("click"),
+          lit("purchase"), lit("error")),
+          (col("id") % 5 + 1).cast("int")).as("event_type"))
+        .localCheckpoint(true)
+      time("r14b2_burstiness") {
+        graft.agg.Windows.burstiness(ev14, col("event_type"))
+      }
+      graft.ops.Reuse.freeAll(spark)
+    }
     // Composed streaming curation sink (r11 item 6): the mult-x corpus
     // through `curationSink` as MANY micro-batches. The sink's claim is
     // that per-batch localCheckpoint + free bounds the block-manager

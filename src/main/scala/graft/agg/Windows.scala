@@ -407,6 +407,53 @@ object Windows {
           .cast("long").as("flag"))
   }
 
+  /**
+   * Burstiness card (ext166) — the index of dispersion (Fano factor,
+   * variance/mean in ppm) per entity over the daily count matrix: the
+   * DISPERSION member of the temporal family (ext152 reads direction,
+   * ext158 pointwise outliers, ext150 distribution drift; this reads
+   * texture — fano ≈ 1e6 is Poisson-like arrival, ≫ 1e6 is bursty
+   * clumping, ≪ 1e6 is metronomic). Periods are the entity's OBSERVED
+   * SPAN (max − min + 1): silent days inside the span count as zeros —
+   * an entity active 3 days out of 100 reads bursty, which is the
+   * question the card answers; a single-period span reads 0 by
+   * definition. Zeros contribute nothing to Σy/Σy², so the span
+   * convention costs no extra rows.
+   *
+   * Exact integer: fano_ppm = 10⁶·(n·Σy² − (Σy)²) DIV (n·Σy), all in
+   * decimal(38,0)/HUGEINT (n·Σy² leaves int64 exactly like ext152's
+   * sxy — the count-weighted square is the overflow term; Cauchy–
+   * Schwarz keeps the numerator ≥ 0, so trunc DIV == floor). `bursty`
+   * flags fano > 10⁶. Same (entity, period, count) matrix as the
+   * slope/anomaly cards — one corpus shuffle, pure-addition partials,
+   * and the streaming twin reads the SAME trendSlopePartialsSink
+   * store.
+   */
+  def burstiness(events: DataFrame, entity: Column, ts: String = "ts",
+      periodUs: Long = 86400000000L): DataFrame =
+    burstinessFromCounts(
+      events.select(entity.as("entity"),
+          expr(s"unix_micros($ts) DIV $periodUs").as("x"))
+        .groupBy("entity", "x").agg(count(lit(1)).as("y")))
+
+  /** [[burstiness]] over a pre-counted (entity, x, y) matrix —
+    * duplicate (entity, x) keys re-sum first, so per-micro-batch
+    * partials fold exactly at any batching (the trendSlopes rule). */
+  def burstinessFromCounts(rawCounts: DataFrame): DataFrame = {
+    val per = rawCounts.groupBy("entity", "x").agg(sum("y").as("y"))
+    per.groupBy("entity").agg(
+        (max("x") - min("x") + 1).as("n_periods"),
+        sum("y").as("total"),
+        sum(expr("cast(y as decimal(38,0)) * y")).as("s2"))
+      .select(col("entity"), col("n_periods"), col("total"),
+        expr("CAST((1000000 * (cast(n_periods as decimal(38,0)) * s2" +
+          " - cast(total as decimal(38,0)) * total))" +
+          " DIV (cast(n_periods as decimal(38,0)) * total) AS BIGINT)")
+          .as("fano_ppm"))
+      .withColumn("bursty",
+        (col("fano_ppm") > 1000000L).cast("long"))
+  }
+
   def cohortRetention(events: DataFrame, user: Column, ts: String = "ts",
       periodUs: Long = 7L * 86400000000L): DataFrame = {
     val periods = events

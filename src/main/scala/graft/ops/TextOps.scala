@@ -808,6 +808,69 @@ object TextOps {
   }
 
   /**
+   * BM25 lexical retrieval (ext165) — the classical sparse ranker
+   * (Robertson/Okapi, k1 = 1.2, b = 0.75), integerized for
+   * cross-engine determinism, completing the retrieval family: the
+   * embedding queries (ext05/06/07) rank dense, ext143's RRF fuses
+   * rankings, THIS is the lexical leg hybrid search fuses against.
+   *
+   * Integer form, all non-negative (trunc DIV == floor):
+   *  - idf_ppm = ((2N+2)·10⁶) DIV (2·df+1) — the +1-smoothed Robertson
+   *    odds ratio (N−df+½)/(df+½)+1 = (N+1)/(df+½) itself, in ppm.
+   *    The classical idf takes its log; a log is a libm call whose
+   *    last ulp differs across engines (the ext41/ext148 boundary), so
+   *    the monotone ratio stands in — per-term ranking is unchanged,
+   *    multi-term mixing weights rare terms more sharply than log-idf
+   *    (documented variant, not an approximation error).
+   *  - tf part: rel_milli = dl·10⁶ DIV avgdl_milli;
+   *    den_milli = tf·1000 + (1200·(250 + (750·rel_milli) DIV 1000))
+   *    DIV 1000 — i.e. tf + k1·(1−b+b·dl/avgdl) in millis;
+   *    tfpart_ppm = tf·2200000 DIV den_milli — tf·(k1+1)/den in ppm.
+   *  - score = Σ_t idf_ppm·tfpart_ppm DIV 10⁶, accumulated in
+   *    decimal(38,0) (idf_ppm alone reaches 2·10⁶·N at df=1 — the
+   *    ext152 overflow lesson).
+   *
+   * Scale shape: the corpus explode filters to the query's terms
+   * BEFORE the shuffle (hits relation ~ docs containing a term), df is
+   * a count-distinct over that same relation, global (N, avgdl) is a
+   * broadcast one-row aggregate, and the head is TakeOrderedAndProject
+   * (no global sort). Ties rank by doc_id for determinism.
+   */
+  def bm25TopK(doc: DataFrame, queryTerms: Seq[String], k: Int = 10,
+      id: String = "doc_id", text: String = "text"): DataFrame = {
+    require(queryTerms.nonEmpty, "bm25 needs at least one query term")
+    val d = Reuse.shared(doc.select(col(id).cast("long").as("_id"),
+      tokens(col(text)).as("_toks")))
+    val stats = d
+      .agg(count(lit(1)).as("n"),
+        sum(size(col("_toks")).cast("long")).as("mass"))
+      .select(col("n"),
+        expr("CAST(mass * 1000 DIV n AS BIGINT)").as("avgdl_milli"))
+    val hits = Reuse.shared(d
+      .select(col("_id"), size(col("_toks")).cast("long").as("_dl"),
+        explode(col("_toks")).as("_t"))
+      .filter(col("_t").isin(queryTerms: _*))
+      .groupBy("_id", "_dl", "_t").agg(count(lit(1)).as("tf")))
+    val dfRel = hits.groupBy("_t")
+      .agg(countDistinct(col("_id")).as("df"))
+    hits.join(dfRel, Seq("_t"))
+      .crossJoin(broadcast(stats))
+      .withColumn("idf_ppm",
+        expr("CAST((2 * CAST(n AS DECIMAL(38,0)) + 2) * 1000000" +
+          " DIV (2 * df + 1) AS BIGINT)"))
+      .withColumn("rel_milli", expr("_dl * 1000000 DIV avgdl_milli"))
+      .withColumn("den_milli", expr(
+        "tf * 1000 + (1200 * (250 + (750 * rel_milli) DIV 1000)) DIV 1000"))
+      .withColumn("tfpart_ppm", expr("tf * 2200000 DIV den_milli"))
+      .groupBy("_id")
+      .agg(expr("CAST(sum(CAST(idf_ppm AS DECIMAL(38,0)) * tfpart_ppm)" +
+        " DIV 1000000 AS BIGINT)").as("score"))
+      .select(col("_id").as(id), col("score"))
+      .orderBy(col("score").desc, col(id))
+      .limit(k)
+  }
+
+  /**
    * Bigram-LM fluency scoring — the LM-based quality filter of a
    * pretraining pipeline (CCNet-shape), integerized for cross-engine
    * determinism: build the corpus bigram LM (`p_q = floor(1e6 *

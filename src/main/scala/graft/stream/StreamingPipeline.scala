@@ -861,6 +861,16 @@ object StreamingPipeline {
     graft.agg.Windows.anomalyDaysFromCounts(
       spark.read.parquet(outPath).drop("batch"), k)
 
+  /** Streaming twin of the burstiness card (ext166): reads the SAME
+    * per-batch (entity, period, count) partials as
+    * [[trendSlopePartialsSink]] — the one stored matrix now serves
+    * direction (slope), pointwise (anomaly) and texture (dispersion)
+    * derivations. */
+  def burstinessFromState(spark: SparkSession,
+      outPath: String): DataFrame =
+    graft.agg.Windows.burstinessFromCounts(
+      spark.read.parquet(outPath).drop("batch"))
+
   /** Streaming twin of the exact selection quantiles (ext151 — r13
     * verdict item 6): the batch bisection's probe mids depend on the
     * whole corpus (its rounds don't decompose over batches), but the

@@ -338,6 +338,37 @@ class EmptyInputSpec extends TestBase {
     graft.ops.Reuse.freeAll(spark)
   }
 
+  test("r14 batch-2 ops: empty inputs flow through, no NPE") {
+    import org.apache.spark.sql.types._
+    val d = emptyDocs
+    val emptyEvents = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(
+        StructField("event_id", LongType),
+        StructField("ts", TimestampType),
+        StructField("user_id", LongType),
+        StructField("event_type", StringType))))
+    val emptyCounts = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(
+        StructField("lang", StringType),
+        StructField("_v", LongType),
+        StructField("cnt", LongType))))
+    val assets = graft.ops.Multimodal.assetsFromDocuments(d)
+    val results = Seq(
+      countOf("phashPairs")(
+        graft.ops.Multimodal.phashPairs(assets, 11, 12)),
+      countOf("bm25TopK")(
+        graft.ops.TextOps.bm25TopK(d, Seq("a", "b"))),
+      countOf("burstiness")(graft.agg.Windows.burstiness(
+        emptyEvents, col("event_type"))),
+      countOf("selectionQuantilesFromCounts")(
+        graft.ops.Sketches.selectionQuantilesFromCounts(
+          emptyCounts, Seq("lang"))))
+    assert(results.forall(_._2 == 0L), s"non-empty: $results")
+    graft.ops.Reuse.freeAll(spark)
+  }
+
   test("ext85 on a duplicate-free corpus: one zero-savings row, no NULLs " +
       "(r7 ADVICE degenerate-case parity)") {
     // With zero dup clusters the family relation is empty; the report

@@ -1555,6 +1555,14 @@ class StreamingSpec extends TestBase {
     assert(anomStreamed.except(anomBatch).isEmpty &&
       anomBatch.except(anomStreamed).isEmpty && anomBatch.count() > 0,
       "streamed anomaly-day fold differs from the batch operator")
+    // ext166 twin rides the SAME matrix too: direction, pointwise and
+    // dispersion all derive from one stored partials sink
+    val fanoStreamed =
+      StreamingPipeline.burstinessFromState(spark, trendOut)
+    val fanoBatch = graft.agg.Windows.burstiness(evs, col("event_type"))
+    assert(fanoStreamed.except(fanoBatch).isEmpty &&
+      fanoBatch.except(fanoStreamed).isEmpty && fanoBatch.count() > 0,
+      "streamed burstiness fold differs from the batch operator")
     val psiOut = runSink((s, o) => StreamingPipeline.psiPartialsSink(
       s, col("doc_id") % 2 === 0, length(col("text")), o))
     val psiStreamed = StreamingPipeline.psiFromState(spark, psiOut)

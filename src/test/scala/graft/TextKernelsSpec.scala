@@ -312,4 +312,30 @@ class TextKernelsSpec extends TestBase {
       s"OOV positions must count AND pay the floor penalty: $got")
     graft.ops.Reuse.freeAll(spark)
   }
+
+  test("bm25: hand-computed integer pipeline (idf ppm, milli length " +
+      "norm, decimal product sum), deterministic ranking, k cut " +
+      "(ext165)") {
+    import spark.implicits._
+    // N=3, mass=9 -> avgdl_milli=3000; df(a)=df(b)=2 ->
+    // idf_ppm = 8e6 DIV 5 = 1_600_000 for both terms.
+    // d1 "a b a": rel=1000, norm=1000; a: den=3200, tfpart=1375;
+    //             b: den=2200, tfpart=1000 -> score 3800
+    // d2 "a c c c": rel=1333, norm=1249; a: den=2498, tfpart=880
+    //             -> score 1408
+    // d3 "b b":   rel=666, norm=749; b: den=2898, tfpart=1518
+    //             -> score 2428
+    val docs = Seq((1L, "a b a"), (2L, "a c c c"), (3L, "b b"))
+      .toDF("doc_id", "text")
+    val got = graft.ops.TextOps.bm25TopK(docs, Seq("a", "b"))
+      .as[(Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 3800L), (3L, 2428L), (2L, 1408L)),
+      s"hand-computed bm25 drifted: $got")
+    val top2 = graft.ops.TextOps.bm25TopK(docs, Seq("a", "b"), k = 2)
+      .as[(Long, Long)].collect().toSeq
+    assert(top2 == Seq((1L, 3800L), (3L, 2428L)))
+    intercept[IllegalArgumentException] {
+      graft.ops.TextOps.bm25TopK(docs, Seq.empty) }
+    graft.ops.Reuse.freeAll(spark)
+  }
 }

@@ -188,6 +188,38 @@ class WindowsSpec extends TestBase {
     graft.ops.Reuse.freeAll(spark)
   }
 
+  test("burstiness: hand-computed Fano ppm — regular reads 0, bursty " +
+      "clumps read > 1e6, silent in-span days count as zeros, " +
+      "single-period span reads 0, duplicate partials re-sum (ext166)") {
+    import spark.implicits._
+    // u: 1/day over 5 days -> var 0 -> fano 0 (metronomic)
+    // b: 4 on day0 + 4 on day4, span 5 (3 silent zeros):
+    //    n=5, s1=8, s2=32 -> (5*32-64)/(5*8) = 96/40 -> 2_400_000 ppm
+    // m: 1,2,1,2 -> n=4, s1=6, s2=10 -> (40-36)/24 -> 166_666 ppm
+    // p: single day -> n=1 -> (9-9)/3 = 0 by definition
+    val counts = (
+      (0 to 4).map(d => ("u", d.toLong, 1L)) ++
+      Seq(("b", 0L, 4L), ("b", 4L, 4L)) ++
+      (0 to 3).map(d => ("m", d.toLong, (1 + d % 2).toLong)) ++
+      Seq(("p", 3L, 3L))
+    ).toDF("entity", "x", "y")
+    val got = graft.agg.Windows.burstinessFromCounts(counts)
+      .orderBy("entity")
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      ("b", 5L, 8L, 2400000L, 1L), ("m", 4L, 6L, 166666L, 0L),
+      ("p", 1L, 3L, 0L, 0L), ("u", 5L, 5L, 0L, 0L)),
+      s"hand-computed fano drifted: $got")
+    // duplicate (entity, x) partials re-sum first (the batching law)
+    val dup = Seq(("b", 0L, 2L), ("b", 0L, 2L), ("b", 4L, 4L))
+      .toDF("entity", "x", "y")
+    val d2 = graft.agg.Windows.burstinessFromCounts(dup)
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    assert(d2 == Seq(("b", 5L, 8L, 2400000L, 1L)),
+      s"partials did not re-sum: $d2")
+    graft.ops.Reuse.freeAll(spark)
+  }
+
   test("cohort retention: churn, late cohorts, rejoin and ppm cells " +
       "hand-checked (ext136)") {
     import spark.implicits._
