@@ -2234,6 +2234,12 @@ object ExtEntry {
     "ext165_bm25_topk" -> ((s, dir) =>
       TextOps.bm25TopK(docs(s, dir), Seq("spark", "window", "join"))),
 
+    // Token-label association (shortcut/label-leakage audit): count-
+    // weighted presence PMI per (token, label) cell — decimal ratio,
+    // octave, minCount floor, deterministic top-k.
+    "ext167_label_assoc" -> ((s, dir) =>
+      TextOps.labelAssociation(docs(s, dir), col("lang"))),
+
     // Burstiness (Fano factor) per entity over the daily count matrix:
     // dispersion texture next to ext152's direction and ext158's
     // outliers — exact decimal integer, span-normalized (silent days
@@ -2241,6 +2247,17 @@ object ExtEntry {
     "ext166_burstiness" -> ((s, dir) =>
       graft.agg.Windows.burstiness(Tables.events(s, dir),
         col("event_type")).orderBy("entity")),
+
+    // Bloom semi-join reduction ledger: the dim side's keys folded
+    // into a 4 KiB literal bitset probed inside the fact scan (k
+    // codegen'd bit tests) — only survivors reach the exchange;
+    // false_neg is the structural-zero tripwire, fpr_ppm the priced
+    // shuffle waste.
+    "ext168_bloom_semijoin" -> ((s, dir) =>
+      Sketches.bloomSemiJoinLedger(
+        Tables.lineitem(s, dir),
+        Tables.orders(s, dir).filter(col("o_totalprice") > 400000),
+        col("l_orderkey"), col("o_orderkey"))),
 
     // TextRank keyword extraction: damped weighted power iteration
     // over the corpus word-adjacency graph, all fixed-point int64
@@ -5951,6 +5968,72 @@ object ExtEntry {
         |FROM h a JOIN h bb ON a.doc_id < bb.doc_id
         |WHERE bit_count(xor(a.phash, bb.phash)) <= 11
         |ORDER BY id_a, id_b""".stripMargin,
+
+    // Bloom semi-join: the same md5-based portable hash + (a*h+b)%p%m
+    // positions, pass = all 3 positions in the dim bit set, ledger
+    // aggregated over the fact scan.
+    "ext168_bloom_semijoin" -> {
+      def pos(j: Int) =
+        s"((h * ${Hashing.seedA(j)} + ${Hashing.seedB(j)})" +
+          s" % 2147483647) % 32768"
+      s"""WITH dk AS (SELECT DISTINCT o_orderkey AS kk FROM orders
+         |            WHERE o_totalprice > 400000),
+         |dh AS (SELECT kk,
+         |         ${hashSql("'bsj:' || CAST(kk AS VARCHAR)")} AS h
+         |       FROM dk),
+         |bits AS (SELECT DISTINCT b FROM (
+         |  SELECT unnest([${pos(0)}, ${pos(1)}, ${pos(2)}]) AS b
+         |  FROM dh)),
+         |f AS (SELECT l_orderkey AS k,
+         |        ${hashSql("'bsj:' || CAST(l_orderkey AS VARCHAR)")} AS h
+         |      FROM lineitem),
+         |fp AS (SELECT k,
+         |         CASE WHEN ${pos(0)} IN (SELECT b FROM bits)
+         |               AND ${pos(1)} IN (SELECT b FROM bits)
+         |               AND ${pos(2)} IN (SELECT b FROM bits)
+         |         THEN 1 ELSE 0 END AS pass,
+         |         CASE WHEN k IN (SELECT kk FROM dk)
+         |         THEN 1 ELSE 0 END AS m
+         |       FROM f)
+         |SELECT CAST(count(*) AS BIGINT) AS fact_rows,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM dk) AS dim_keys,
+         |  CAST(sum(m) AS BIGINT) AS matched,
+         |  CAST(sum(pass) AS BIGINT) AS passed,
+         |  CAST(sum(CASE WHEN pass = 1 AND m = 0 THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS false_passed,
+         |  CAST(sum(CASE WHEN pass = 0 AND m = 1 THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS false_neg,
+         |  CAST(sum(CASE WHEN pass = 1 AND m = 0 THEN 1 ELSE 0 END)
+         |    * 1000000 // greatest(count(*) - sum(m), 1) AS BIGINT)
+         |    AS fpr_ppm,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM bits) AS bits_set
+         |FROM fp""".stripMargin
+    },
+
+    // Label association: distinct presence explode, vocab x label cell
+    // table, HUGEINT ratio, bit-length octave, top-k.
+    "ext167_label_assoc" ->
+      """WITH pres AS (
+        |  SELECT DISTINCT doc_id, lang AS label,
+        |         unnest(string_split(text, ' ')) AS token
+        |  FROM documents),
+        |cells AS (SELECT token, label, CAST(count(*) AS BIGINT) AS a
+        |          FROM pres GROUP BY 1, 2 HAVING count(*) >= 5),
+        |tt AS (SELECT token, CAST(count(*) AS BIGINT) AS n_tok
+        |       FROM pres GROUP BY 1),
+        |lt AS (SELECT lang AS label, CAST(count(*) AS BIGINT) AS n_lab
+        |       FROM documents GROUP BY 1),
+        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents)
+        |SELECT token, label, a, n_tok, n_lab,
+        |       CAST(CAST(a AS HUGEINT) * n * 1000000
+        |            // (CAST(n_tok AS HUGEINT) * n_lab) AS BIGINT)
+        |         AS ratio_ppm,
+        |       CAST(length(bin(greatest(
+        |         CAST(CAST(a AS HUGEINT) * n * 1000000
+        |              // (CAST(n_tok AS HUGEINT) * n_lab) AS BIGINT),
+        |         1))) AS BIGINT) - 20 AS pmi_oct
+        |FROM cells JOIN tt USING (token) JOIN lt USING (label), nn
+        |ORDER BY ratio_ppm DESC, token, label LIMIT 50""".stripMargin,
 
     // Burstiness: span-normalized Fano factor in ppm, HUGEINT cross
     // terms, bursty flag at the Poisson baseline.

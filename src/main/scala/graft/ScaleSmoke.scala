@@ -775,6 +775,49 @@ object ScaleSmoke {
       }
       graft.ops.Reuse.freeAll(spark)
     }
+    // r14 batch-3: label association (one distinct presence explode,
+    // vocab x label cells) and the bloom semi-join CUT — plain shuffle
+    // join vs probe-then-join on a mult-x synthetic fact table with a
+    // 5% dim hit rate (the pattern's home turf: most fact rows must
+    // NOT survive to the exchange).
+    if (only.forall(_.exists(p =>
+        "r14b3".startsWith(p) || p.startsWith("r14b3")))) {
+      time("r14b3_label_assoc") {
+        graft.ops.TextOps.labelAssociation(big, col("lang"))
+      }
+      val nF = mult.toLong * 1000000L
+      val fact = spark.range(nF).select(
+        col("id").as("row_id"), (col("id") % 100000L).as("fk"))
+        .localCheckpoint(true)
+      val dim = spark.range(5000L).select((col("id") * 20L).as("dk"))
+        .localCheckpoint(true) // 5000 of the 100k key values match
+      time("r14b3_plain_join") {
+        fact.join(dim, col("fk") === col("dk"))
+      }
+      time("r14b3_bloom_join") {
+        graft.ops.Sketches.bloomSemiJoin(fact, dim, col("fk"),
+            col("dk"))
+          .join(dim, col("fk") === col("dk"))
+      }
+      // home turf: dim too big to broadcast (2M keys -> sort-merge
+      // join), 5% fact hit rate, bloom m scaled to the key count
+      // (2^25 bits, 4 MB literal) — the fact shuffle is what the
+      // probe now cuts
+      val bigDim = spark.range(2000000L).select(
+        (col("id") * 20L).as("dk")).localCheckpoint(true)
+      val fact2 = spark.range(nF).select(
+        col("id").as("row_id"), (col("id") % 40000000L).as("fk"))
+        .localCheckpoint(true)
+      time("r14b3_plain_join_smj") {
+        fact2.join(bigDim, col("fk") === col("dk"))
+      }
+      time("r14b3_bloom_join_smj") {
+        graft.ops.Sketches.bloomSemiJoin(fact2, bigDim, col("fk"),
+            col("dk"), m = 1L << 25)
+          .join(bigDim, col("fk") === col("dk"))
+      }
+      graft.ops.Reuse.freeAll(spark)
+    }
     // Composed streaming curation sink (r11 item 6): the mult-x corpus
     // through `curationSink` as MANY micro-batches. The sink's claim is
     // that per-batch localCheckpoint + free bounds the block-manager

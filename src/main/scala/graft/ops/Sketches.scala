@@ -417,6 +417,116 @@ object Sketches {
         sum(col("bloom_hit")).as("n_bloom"))
   }
 
+  /**
+   * Bloom semi-join reduction (ext168) — the shuffle-cutting join
+   * pattern: fold the dim side's join keys into an m-bit Bloom
+   * LITERAL (m/64 int64 words — 4 KiB here, megabytes in production:
+   * always broadcastable), probe every fact row INSIDE the scan with
+   * k codegen'd bit tests, and only survivors reach the exchange.
+   * This is what Spark's own runtime bloom-join rewrite does, made
+   * explicit and deterministic (portable hashes, so the DuckDB oracle
+   * replays the probe bit for bit). No false negatives is structural
+   * — member keys set their own bits — so the post-probe exact join
+   * equals the plain join (the parity law, spec-asserted); false
+   * positives only waste shuffle, priced here as fpr_ppm.
+   *
+   * [[bloomSemiJoin]] returns the pre-filtered fact for composition;
+   * the LEDGER prices the reduction: fact/dim cardinalities, rows
+   * passing the probe, true matches, false passes, the structural
+   * false_neg tripwire (always 0), per-non-member fpr, bits set.
+   *
+   * The driver folds the dim bit set once (a bounded artifact, the
+   * plan-time-literal discipline of the LSH hyperplanes); at 100 TB
+   * the dim scan is one pass and the fact side never shuffles a row
+   * the dim cannot match (minus fpr).
+   */
+  def bloomSemiJoin(fact: DataFrame, dim: DataFrame, factKey: Column,
+      dimKey: Column, m: Long = BloomM, k: Int = BloomK): DataFrame =
+    fact.filter(bloomProbeLit(dimBitWords(dim, dimKey, m, k)._1,
+      factKey, m, k))
+
+  /** The folded dim-side bit words + set-bit count — built
+    * DISTRIBUTED: each partition ORs its keys' bits into a local word
+    * array, arrays merge by bit-OR (`treeAggregate`, the same shape as
+    * Spark's own BloomFilterAggregate). The driver receives m/64-long
+    * arrays, never per-bit rows — at 2M keys this replaced a 5.2M-row
+    * collect that cost more than the join it was meant to save
+    * (measured in ScaleSmoke; the RDD aggregate is the one genuinely
+    * imperative per-partition kernel here). Position arithmetic is
+    * byte-identical to [[bloomPos]] — parity is spec-asserted against
+    * the relational [[bloomBits]]. */
+  private[graft] def dimBitWords(dim: DataFrame, dimKey: Column,
+      m: Long, k: Int): (Array[Long], Long) = {
+    require(m % 64 == 0, s"bloom bits must fill whole words, got $m")
+    val nw = (m / 64).toInt
+    val seeds = (0 until k).map(j => (Hashing.seedA(j), Hashing.seedB(j)))
+    val words = dim.select(bsjHash(dimKey).cast("long").as("h"))
+      .rdd.treeAggregate(new Array[Long](nw))(
+        (acc, row) => {
+          if (!row.isNullAt(0)) {
+            val h = row.getLong(0)
+            seeds.foreach { case (a, b) =>
+              val pos = ((h * a + b) % Hashing.Mersenne31) % m
+              acc((pos / 64).toInt) |= (1L << (pos % 64).toInt)
+            }
+          }
+          acc
+        },
+        (a, b) => {
+          var i = 0
+          while (i < nw) { a(i) |= b(i); i += 1 }
+          a
+        })
+    (words, words.map(java.lang.Long.bitCount(_).toLong).sum)
+  }
+
+  private def bsjHash(key: Column): Column =
+    Hashing.portableHash32(concat(lit("bsj:"), key.cast("string")))
+
+  /** The k-bit-test probe against the plan-time word array — ONE
+    * native codegen'd kernel ([[graft.functions.BloomProbe]]): the md5
+    * base hash evaluates once per row, the k positions and bit tests
+    * fuse (the composed element_at(lit(words), …) column form paid the
+    * hash ~6× per row through expression-tree duplication — measured
+    * slower than the join it was pruning). */
+  private def bloomProbeLit(words: Array[Long], key: Column, m: Long,
+      k: Int): Column =
+    graft.functions.BloomProbe(bsjHash(key).cast("long"), words, m,
+      (0 until k).map(Hashing.seedA).toArray,
+      (0 until k).map(Hashing.seedB).toArray)
+
+  def bloomSemiJoinLedger(fact: DataFrame, dim: DataFrame,
+      factKey: Column, dimKey: Column, m: Long = BloomM,
+      k: Int = BloomK): DataFrame = {
+    val dimKeys = Reuse.shared(
+      dim.select(dimKey.cast("long").as("_dk")).distinct())
+    val (words, bitsSet) = dimBitWords(dimKeys, col("_dk"), m, k)
+    val probed = fact
+      .select(factKey.cast("long").as("_k"))
+      .withColumn("_pass",
+        bloomProbeLit(words, col("_k"), m, k).cast("long"))
+      .join(broadcast(dimKeys.withColumn("_in", lit(1L))),
+        col("_k") === col("_dk"), "left")
+    val z = (c: Column, n: String) => coalesce(c, lit(0L)).as(n)
+    probed.agg(
+        count(lit(1)).as("fact_rows"),
+        z(sum(when(col("_in").isNotNull, 1L).otherwise(0L)), "matched"),
+        z(sum(col("_pass")), "passed"),
+        z(sum(when(col("_in").isNull && col("_pass") === 1L, 1L)
+          .otherwise(0L)), "false_passed"),
+        // structural zero: a member key failing its own bits would be
+        // a broken filter — a tripwire column, not a statistic
+        z(sum(when(col("_in").isNotNull && col("_pass") === 0L, 1L)
+          .otherwise(0L)), "false_neg"))
+      .crossJoin(broadcast(
+        dimKeys.agg(count(lit(1)).as("dim_keys"))))
+      .select(col("fact_rows"), col("dim_keys"), col("matched"),
+        col("passed"), col("false_passed"), col("false_neg"),
+        expr("(false_passed * 1000000)" +
+          " DIV greatest(fact_rows - matched, 1)").as("fpr_ppm"),
+        lit(bitsSet).as("bits_set"))
+  }
+
   def bloomContaminationAudit(corpus: DataFrame, bench: DataFrame,
       id: String = "doc_id", text: String = "text", n: Int = 3,
       threshold: Double = 0.8, m: Long = BloomM,

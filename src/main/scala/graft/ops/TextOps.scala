@@ -808,6 +808,61 @@ object TextOps {
   }
 
   /**
+   * Token↔label association audit (ext167) — count-weighted PMI
+   * between token PRESENCE and a label column: the shortcut/label-
+   * leakage detector (a token whose presence predicts a label too
+   * strongly is a classifier shortcut, a template artifact, or a
+   * straight-up leaked label string — the thing to find BEFORE
+   * training). ext160's machinery pointed at labels instead of
+   * neighboring tokens; per (token, label):
+   *   ratio_ppm = (a·N·10⁶) DIV (n_tok·n_lab)   — P(tok,lab)/(P·P)
+   *   pmi_oct   = bitlen(ratio_ppm) − 20         — the octave log
+   * with a = distinct docs containing the token under the label,
+   * n_tok/n_lab the marginal presence counts, N = corpus docs; a
+   * `minCount` floor kills hapax cells (PMI is degenerate there —
+   * the ext160 rule), top-k by the deterministic (ratio, token,
+   * label) order. decimal(38,0) keeps a·N·10⁶ exact to ~10¹² docs.
+   *
+   * Scale shape: ONE distinct (doc, token, label) explode (the
+   * per-doc presence relation — map-side combined), then every
+   * aggregate and join runs over the vocab×|labels|-bounded cell
+   * table; N is a broadcast scalar; the head is TakeOrdered.
+   */
+  def labelAssociation(doc: DataFrame, label: Column, k: Int = 50,
+      minCount: Long = 5L, id: String = "doc_id",
+      text: String = "text"): DataFrame = {
+    val pres = Reuse.shared(doc
+      .select(col(id).as("_id"), label.as("label"),
+        explode(tokens(col(text))).as("token"))
+      .distinct())
+    val cells = pres.groupBy("token", "label")
+      .agg(count(lit(1)).as("a"))
+      .filter(col("a") >= minCount)
+    // marginals are DOC counts: n_tok = docs containing the token (one
+    // pres row per (doc, token) — a doc has one label), n_lab = docs
+    // carrying the label (from the doc table, NOT the pres explode —
+    // counting pres rows would weight each doc by its distinct-token
+    // count and silently deflate every ratio)
+    val tokTot = pres.groupBy("token").agg(count(lit(1)).as("n_tok"))
+    val labTot = doc.groupBy(label.as("label"))
+      .agg(count(lit(1)).as("n_lab"))
+    val n = doc.agg(count(lit(1)).as("n"))
+    cells
+      .join(tokTot, Seq("token"))
+      .join(broadcast(labTot), Seq("label"))
+      .crossJoin(broadcast(n))
+      .withColumn("ratio_ppm", expr(
+        "CAST(cast(a as decimal(38,0)) * n * 1000000" +
+          " DIV (cast(n_tok as decimal(38,0)) * n_lab) AS BIGINT)"))
+      .withColumn("pmi_oct",
+        length(expr("bin(greatest(ratio_ppm, 1))")).cast("long") - 20L)
+      .select(col("token"), col("label"), col("a"), col("n_tok"),
+        col("n_lab"), col("ratio_ppm"), col("pmi_oct"))
+      .orderBy(col("ratio_ppm").desc, col("token"), col("label"))
+      .limit(k)
+  }
+
+  /**
    * BM25 lexical retrieval (ext165) — the classical sparse ranker
    * (Robertson/Okapi, k1 = 1.2, b = 0.75), integerized for
    * cross-engine determinism, completing the retrieval family: the

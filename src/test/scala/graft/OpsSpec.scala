@@ -517,6 +517,51 @@ class OpsSpec extends TestBase {
     assert(pf.length == 1 && pf.head.decoded && pf.head.width == 6)
   }
 
+  test("bloom semi-join: parity law (probe-filtered join == plain " +
+      "join, full row set), structural no-false-negatives, ledger " +
+      "consistency, empty dim rejects everything (ext168)") {
+    import graft.ops.Sketches
+    val li = Tables.lineitem(spark, sf("sf0.001"))
+    val dim = Tables.orders(spark, sf("sf0.001"))
+      .filter(col("o_totalprice") > 400000)
+    def joined(fact: org.apache.spark.sql.DataFrame) =
+      fact.join(dim, col("l_orderkey") === col("o_orderkey"))
+        .select("l_orderkey", "l_linenumber")
+    val plain = joined(li)
+    val pruned = joined(Sketches.bloomSemiJoin(li, dim,
+      col("l_orderkey"), col("o_orderkey")))
+    assert(plain.count() > 0, "fixture is vacuous")
+    assert(pruned.exceptAll(plain).isEmpty &&
+      plain.exceptAll(pruned).isEmpty,
+      "bloom-pruned join differs from the plain join")
+    val l = Sketches.bloomSemiJoinLedger(li, dim,
+      col("l_orderkey"), col("o_orderkey")).collect().head
+    val (factRows, dimKeys, matched, passed, falsePassed, falseNeg) =
+      (l.getLong(0), l.getLong(1), l.getLong(2), l.getLong(3),
+        l.getLong(4), l.getLong(5))
+    assert(falseNeg == 0L, "a member key failed its own bits")
+    assert(passed == matched + falsePassed && passed <= factRows)
+    assert(l.getAs[Long]("fpr_ppm") >= 0L &&
+      l.getAs[Long]("fpr_ppm") < 1000000L)
+    assert(l.getAs[Long]("bits_set") <= 3L * dimKeys)
+    // empty dim: all-zero bitset rejects every probe
+    assert(Sketches.bloomSemiJoin(li, dim.filter(lit(false)),
+      col("l_orderkey"), col("o_orderkey")).count() == 0L)
+    // the distributed bit-OR fold == the relational bit set, bit for bit
+    val (words, bitsSet) = Sketches.dimBitWords(dim,
+      col("o_orderkey"), 32768L, 3)
+    val relBits = Sketches.bloomBits(dim.select(
+        graft.ops.Hashing.portableHash32(
+          concat(lit("bsj:"), col("o_orderkey").cast("string"))).as("h")))
+      .collect().map(_.getLong(0)).toSet
+    assert(bitsSet == relBits.size.toLong)
+    assert((0L until 32768L).forall(b =>
+      (((words((b / 64).toInt) >> (b % 64).toInt) & 1L) == 1L)
+        == relBits.contains(b)),
+      "treeAggregate words differ from the relational bit set")
+    graft.ops.Reuse.freeAll(spark)
+  }
+
   test("blockHash60 kernel: hand-computed bits, tie -> 0, empty -> 0, " +
       "codegen path == kernel (ext164)") {
     import graft.functions.{BlockHash60, BlockHashImpl}

@@ -338,4 +338,31 @@ class TextKernelsSpec extends TestBase {
       graft.ops.TextOps.bm25TopK(docs, Seq.empty) }
     graft.ops.Reuse.freeAll(spark)
   }
+
+  test("label association: presence (not tf) PMI hand-computed, doc-" +
+      "count marginals, tie order, minCount floor (ext167)") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "cat dog", "en"), (2L, "cat cat fish", "en"),
+      (3L, "chat dog", "fr"), (4L, "chat chat", "fr"))
+      .toDF("doc_id", "text", "lang")
+    // N=4, n_lab(en)=n_lab(fr)=2; presence cells: cat/en a=2 (the
+    // doubled "cat cat" counts ONCE), fish/en 1, dog split 1+1,
+    // chat/fr 2. ratios: exclusive tokens 2e6 (oct 1), dog 1e6 (oct 0).
+    val got = graft.ops.TextOps.labelAssociation(docs, col("lang"),
+        minCount = 1L)
+      .as[(String, String, Long, Long, Long, Long, Long)]
+      .collect().toSeq
+    assert(got == Seq(
+      ("cat", "en", 2L, 2L, 2L, 2000000L, 1L),
+      ("chat", "fr", 2L, 2L, 2L, 2000000L, 1L),
+      ("fish", "en", 1L, 1L, 2L, 2000000L, 1L),
+      ("dog", "en", 1L, 2L, 2L, 1000000L, 0L),
+      ("dog", "fr", 1L, 2L, 2L, 1000000L, 0L)),
+      s"hand-computed association drifted: $got")
+    // the minCount floor kills every cell on this fixture
+    assert(graft.ops.TextOps.labelAssociation(docs, col("lang"),
+      minCount = 5L).count() == 0L)
+    graft.ops.Reuse.freeAll(spark)
+  }
 }
