@@ -2289,6 +2289,20 @@ object ExtEntry {
         .orderBy("q_id", "rank")
     }),
 
+    // HYBRID retrieval — the production search shape: the dense leg
+    // (quantized cosine top-10 over the shared-id embedding store)
+    // RRF-fused with the LEXICAL leg (per-query-document BM25 over
+    // the corpus text, ext165's integer pipeline) — rank positions
+    // fuse, so the two incomparable score scales need no calibration.
+    "ext169_hybrid_search" -> ((s, dir) => {
+      val e = embs(s, dir)
+      val dense = Similarity.bruteTopKMetric(e,
+        e.filter(col("vec_id") < NumQueryVecs), 10, "cosine")
+      val lex = TextOps.bm25PerQuery(docs(s, dir),
+        docs(s, dir).filter(col("doc_id") < NumQueryVecs), 10)
+      Similarity.rrfFuse(Seq(dense, lex), 5).orderBy("q_id", "rank")
+    }),
+
     // Z-order (Morton) layout audit: events bucketed by the
     // interleaved bits of (user_id, event day) vs a single-key sort at
     // the same file granularity — per-bucket row counts and BOTH
@@ -5257,6 +5271,69 @@ object ExtEntry {
          |ru AS (SELECT * FROM rrc WHERE rank <= 10
          |       UNION ALL SELECT * FROM rrd WHERE rank <= 10
          |       UNION ALL SELECT * FROM rrl WHERE rank <= 10),
+         |rs AS (SELECT q_id, t_id,
+         |         CAST(SUM(1000000 // ($k + rank)) AS BIGINT) AS rrf
+         |       FROM ru GROUP BY 1, 2),
+         |rf AS (SELECT *, row_number() OVER (
+         |         PARTITION BY q_id ORDER BY rrf DESC, t_id) AS rank
+         |       FROM rs)
+         |SELECT q_id, t_id, rrf, CAST(rank AS BIGINT) AS rank
+         |FROM rf WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
+    },
+
+    // Hybrid search: dense cosine ranking (QuantFlat chain) UNION the
+    // per-query-doc BM25 ranking (ext165's integer pipeline with a
+    // query-vocab join), fused by the same integer RRF.
+    "ext169_hybrid_search" -> {
+      val k = graft.ops.Similarity.RrfK
+      s"""$QuantFlatSql,
+         |fdots AS (
+         |  SELECT a.vec_id AS q_id, b.vec_id AS t_id,
+         |         CAST(SUM(a.qi * b.qi) AS BIGINT) AS dot
+         |  FROM flat a JOIN flat b ON a.i = b.i
+         |  WHERE a.vec_id < $NumQueryVecs AND a.vec_id <> b.vec_id
+         |  GROUP BY 1, 2),
+         |fsc AS (
+         |  SELECT q_id, t_id,
+         |         CAST(dot AS DOUBLE) /
+         |           sqrt(CAST(na.n2 AS DOUBLE) * CAST(nb.n2 AS DOUBLE))
+         |           AS cos
+         |  FROM fdots JOIN n2 na ON na.vec_id = q_id
+         |             JOIN n2 nb ON nb.vec_id = t_id),
+         |rden AS (SELECT q_id, t_id, row_number() OVER (
+         |           PARTITION BY q_id ORDER BY cos DESC, t_id) AS rank
+         |         FROM fsc),
+         |dd AS (SELECT doc_id, string_split(text, ' ') AS tk
+         |       FROM documents),
+         |st AS (SELECT CAST(count(*) AS BIGINT) AS n,
+         |              CAST(sum(len(tk)) * 1000 // count(*) AS BIGINT)
+         |                AS avgdl_milli FROM dd),
+         |qt AS (SELECT DISTINCT doc_id AS q_id, unnest(tk) AS t
+         |       FROM dd WHERE doc_id < $NumQueryVecs),
+         |hh AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS dl,
+         |              unnest(tk) AS t FROM dd),
+         |hits AS (SELECT doc_id, dl, t, CAST(count(*) AS BIGINT) AS tf
+         |         FROM hh WHERE t IN (SELECT t FROM qt)
+         |         GROUP BY 1, 2, 3),
+         |dfr AS (SELECT t, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+         |        FROM hits GROUP BY 1),
+         |lsc AS (SELECT qt.q_id, hits.doc_id AS t_id,
+         |          CAST(sum(
+         |            CAST(CAST((2 * CAST(st.n AS HUGEINT) + 2) * 1000000
+         |                 // (2 * df + 1) AS BIGINT) AS HUGEINT) *
+         |            (tf * 2200000 //
+         |             (tf * 1000 + (1200 * (250 +
+         |              (750 * (dl * 1000000 // st.avgdl_milli)) // 1000))
+         |              // 1000))) // 1000000 AS BIGINT) AS score
+         |        FROM hits JOIN dfr USING (t) JOIN qt USING (t), st
+         |        WHERE hits.doc_id <> qt.q_id
+         |        GROUP BY 1, 2),
+         |rlex AS (SELECT q_id, t_id, row_number() OVER (
+         |           PARTITION BY q_id ORDER BY score DESC, t_id) AS rank
+         |         FROM lsc),
+         |ru AS (SELECT q_id, t_id, rank FROM rden WHERE rank <= 10
+         |       UNION ALL
+         |       SELECT q_id, t_id, rank FROM rlex WHERE rank <= 10),
          |rs AS (SELECT q_id, t_id,
          |         CAST(SUM(1000000 // ($k + rank)) AS BIGINT) AS rrf
          |       FROM ru GROUP BY 1, 2),

@@ -926,6 +926,66 @@ object TextOps {
   }
 
   /**
+   * Per-query BM25 ("more-like-this", the lexical leg of hybrid
+   * search, ext169): each query DOCUMENT's distinct tokens are its
+   * query terms; every corpus doc containing any of them scores by
+   * the same integer pipeline as [[bm25TopK]], ranked top-k per
+   * query as (q_id, t_id, rank) — the relation [[Similarity.rrfFuse]]
+   * consumes, so lexical and dense rankings fuse without score
+   * calibration. Self-matches are excluded (the dense leg's
+   * convention).
+   *
+   * Scale shape: the corpus explode LEFT-SEMI joins the broadcast
+   * query vocabulary before the shuffle (hits ~ union of the queries'
+   * posting lists); the per-query fan-out joins the small qt relation
+   * onto the hits table, never the corpus; ranking is a window over
+   * per-query candidates with row_number ≤ k.
+   */
+  def bm25PerQuery(doc: DataFrame, queries: DataFrame, k: Int = 10,
+      id: String = "doc_id", text: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = Reuse.shared(doc.select(col(id).cast("long").as("_id"),
+      tokens(col(text)).as("_toks")))
+    val stats = d
+      .agg(count(lit(1)).as("n"),
+        sum(size(col("_toks")).cast("long")).as("mass"))
+      .select(col("n"),
+        expr("CAST(mass * 1000 DIV n AS BIGINT)").as("avgdl_milli"))
+    val qt = Reuse.shared(queries
+      .select(col(id).cast("long").as("q_id"),
+        explode(tokens(col(text))).as("_t"))
+      .distinct())
+    val hits = Reuse.shared(d
+      .select(col("_id"), size(col("_toks")).cast("long").as("_dl"),
+        explode(col("_toks")).as("_t"))
+      .join(broadcast(qt.select("_t").distinct()), Seq("_t"),
+        "left_semi")
+      .groupBy("_id", "_dl", "_t").agg(count(lit(1)).as("tf")))
+    val dfRel = hits.groupBy("_t")
+      .agg(countDistinct(col("_id")).as("df"))
+    val scored = hits.join(dfRel, Seq("_t"))
+      .join(broadcast(qt), Seq("_t"))
+      .filter(col("_id") =!= col("q_id"))
+      .crossJoin(broadcast(stats))
+      .withColumn("idf_ppm",
+        expr("CAST((2 * CAST(n AS DECIMAL(38,0)) + 2) * 1000000" +
+          " DIV (2 * df + 1) AS BIGINT)"))
+      .withColumn("rel_milli", expr("_dl * 1000000 DIV avgdl_milli"))
+      .withColumn("den_milli", expr(
+        "tf * 1000 + (1200 * (250 + (750 * rel_milli) DIV 1000)) DIV 1000"))
+      .withColumn("tfpart_ppm", expr("tf * 2200000 DIV den_milli"))
+      .groupBy("q_id", "_id")
+      .agg(expr("CAST(sum(CAST(idf_ppm AS DECIMAL(38,0)) * tfpart_ppm)" +
+        " DIV 1000000 AS BIGINT)").as("score"))
+    scored
+      .withColumn("rank", row_number().over(Window.partitionBy("q_id")
+        .orderBy(col("score").desc, col("_id").asc)))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("_id").as("t_id"),
+        col("rank").cast("long").as("rank"), col("score"))
+  }
+
+  /**
    * Bigram-LM fluency scoring — the LM-based quality filter of a
    * pretraining pipeline (CCNet-shape), integerized for cross-engine
    * determinism: build the corpus bigram LM (`p_q = floor(1e6 *

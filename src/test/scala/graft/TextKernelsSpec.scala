@@ -339,6 +339,27 @@ class TextKernelsSpec extends TestBase {
     graft.ops.Reuse.freeAll(spark)
   }
 
+  test("bm25 per query: hand-computed more-like-this rankings — union " +
+      "query vocab drives df, self excluded, no-hit queries emit " +
+      "nothing (ext169)") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b a"), (2L, "a c c c"), (3L, "b b"))
+      .toDF("doc_id", "text")
+    // union query vocab {a,b,c}; df: a=2, b=2, c=1; idf a,b=1_600_000,
+    // c=2_666_666; tfparts as the ext165 fixture (d1: a 1375, b 1000;
+    // d2: a 880, c 1467; d3: b 1518).
+    // q1{a,b}: d3 b -> 2428 (r1), d2 a -> 1408 (r2)
+    // q2{a,c}: d1 a -> 2200 (r1) — c hits only q2 itself
+    // q3{b}:   d1 b -> 1600 (r1) — d2 never matches b
+    val got = graft.ops.TextOps.bm25PerQuery(docs, docs)
+      .orderBy("q_id", "rank")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 3L, 1L, 2428L), (1L, 2L, 2L, 1408L),
+      (2L, 1L, 1L, 2200L), (3L, 1L, 1L, 1600L)),
+      s"hand-computed per-query bm25 drifted: $got")
+    graft.ops.Reuse.freeAll(spark)
+  }
+
   test("label association: presence (not tf) PMI hand-computed, doc-" +
       "count marginals, tie order, minCount floor (ext167)") {
     import spark.implicits._
