@@ -862,6 +862,58 @@ object TextOps {
       .limit(k)
   }
 
+  /** Per-batch partials for the [[labelAssociation]] streaming twin:
+    * ONE tagged relation (the mooreLewis one-table discipline) —
+    * `cell` rows are (token, label, c) presence counts, `doc` rows
+    * (token = '', label, c) carry the per-label doc counts. Every
+    * marginal the card needs folds from it by pure addition (docs
+    * arrive whole, so presence is batch-decomposable): n_tok =
+    * Σ_labels cell(token, ·), n_lab = doc(label), N = Σ doc rows. */
+  def labelAssocPartials(doc: DataFrame, label: Column,
+      id: String = "doc_id", text: String = "text"): DataFrame = {
+    val pres = doc
+      .select(col(id).as("_id"), label.as("label"),
+        explode(tokens(col(text))).as("token"))
+      .distinct()
+    pres.groupBy("token", "label").agg(count(lit(1)).as("c"))
+      .select(lit("cell").as("kind"), col("token"), col("label"),
+        col("c"))
+      .unionByName(doc.groupBy(label.as("label"))
+        .agg(count(lit(1)).as("c"))
+        .select(lit("doc").as("kind"), lit("").as("token"),
+          col("label"), col("c")))
+  }
+
+  /** [[labelAssociation]] from a (possibly unfolded) tagged partials
+    * relation — duplicate (kind, token, label) rows re-sum first (the
+    * batching law), then the identical ratio/octave/top-k pipeline. */
+  def labelAssociationFromCounts(counts: DataFrame, k: Int = 50,
+      minCount: Long = 5L): DataFrame = {
+    val folded = Reuse.shared(counts.groupBy("kind", "token", "label")
+      .agg(sum("c").as("c")))
+    val cellRows = folded.filter(col("kind") === "cell")
+    val cells = cellRows.select(col("token"), col("label"),
+        col("c").as("a"))
+      .filter(col("a") >= minCount)
+    val tokTot = cellRows.groupBy("token").agg(sum("c").as("n_tok"))
+    val labTot = folded.filter(col("kind") === "doc")
+      .select(col("label"), col("c").as("n_lab"))
+    val n = labTot.agg(sum("n_lab").as("n"))
+    cells
+      .join(tokTot, Seq("token"))
+      .join(broadcast(labTot), Seq("label"))
+      .crossJoin(broadcast(n))
+      .withColumn("ratio_ppm", expr(
+        "CAST(cast(a as decimal(38,0)) * n * 1000000" +
+          " DIV (cast(n_tok as decimal(38,0)) * n_lab) AS BIGINT)"))
+      .withColumn("pmi_oct",
+        length(expr("bin(greatest(ratio_ppm, 1))")).cast("long") - 20L)
+      .select(col("token"), col("label"), col("a"), col("n_tok"),
+        col("n_lab"), col("ratio_ppm"), col("pmi_oct"))
+      .orderBy(col("ratio_ppm").desc, col("token"), col("label"))
+      .limit(k)
+  }
+
   /**
    * BM25 lexical retrieval (ext165) — the classical sparse ranker
    * (Robertson/Okapi, k1 = 1.2, b = 0.75), integerized for

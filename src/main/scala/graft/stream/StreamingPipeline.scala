@@ -861,6 +861,20 @@ object StreamingPipeline {
     graft.agg.Windows.anomalyDaysFromCounts(
       spark.read.parquet(outPath).drop("batch"), k)
 
+  /** Streaming twin of the label-association audit (ext167): one
+    * tagged partials relation per micro-batch (presence cells + per-
+    * label doc counts — pure addition under whole-doc arrival), the
+    * card derived at read time from the fold. */
+  def labelAssocPartialsSink(docs: DataFrame, label: Column,
+      outPath: String): DataStreamWriter[org.apache.spark.sql.Row] =
+    partialsSink(docs,
+      graft.ops.TextOps.labelAssocPartials(_, label), outPath)
+
+  def labelAssociationFromState(spark: SparkSession, outPath: String,
+      k: Int = 50, minCount: Long = 5L): DataFrame =
+    graft.ops.TextOps.labelAssociationFromCounts(
+      spark.read.parquet(outPath).drop("batch"), k, minCount)
+
   /** Streaming twin of the burstiness card (ext166): reads the SAME
     * per-batch (entity, period, count) partials as
     * [[trendSlopePartialsSink]] — the one stored matrix now serves

@@ -1580,6 +1580,16 @@ class StreamingSpec extends TestBase {
     assert(gopherStreamed.except(gopherBatch).isEmpty &&
       gopherBatch.except(gopherStreamed).isEmpty && gopherBatch.count() > 0,
       "streamed pass-rate fold differs from the batch operator")
+    // ext167 twin: tagged presence/doc-count partials fold to the
+    // identical association card (whole-doc arrival contract)
+    val laOut = runSink((s, o) =>
+      StreamingPipeline.labelAssocPartialsSink(s, col("lang"), o))
+    val laStreamed = StreamingPipeline.labelAssociationFromState(
+      spark, laOut)
+    val laBatch = graft.ops.TextOps.labelAssociation(docs, col("lang"))
+    assert(laStreamed.except(laBatch).isEmpty &&
+      laBatch.except(laStreamed).isEmpty && laBatch.count() > 0,
+      "streamed label-association fold differs from the batch card")
     // ext151 twin (r13 verdict item 6): the bisection's probe mids
     // don't decompose over batches, but its value-count table does —
     // the streamed fold's rank pass must equal the batch bisection

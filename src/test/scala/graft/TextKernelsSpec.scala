@@ -384,6 +384,24 @@ class TextKernelsSpec extends TestBase {
     // the minCount floor kills every cell on this fixture
     assert(graft.ops.TextOps.labelAssociation(docs, col("lang"),
       minCount = 5L).count() == 0L)
+    // the tagged-partials fold reproduces the direct card exactly —
+    // including marginals derived FROM the fold (n_tok = row sum,
+    // N = doc-row sum), and duplicate partials re-sum
+    val parts = graft.ops.TextOps.labelAssocPartials(docs, col("lang"))
+    val viaCounts = graft.ops.TextOps.labelAssociationFromCounts(
+        parts.unionByName(parts.limit(0)), minCount = 1L)
+      .as[(String, String, Long, Long, Long, Long, Long)]
+      .collect().toSeq
+    assert(viaCounts == got, s"partials fold drifted: $viaCounts")
+    val halves = graft.ops.TextOps.labelAssocPartials(
+        docs.filter($"doc_id" <= 2), col("lang"))
+      .unionByName(graft.ops.TextOps.labelAssocPartials(
+        docs.filter($"doc_id" > 2), col("lang")))
+    val viaBatches = graft.ops.TextOps.labelAssociationFromCounts(
+        halves, minCount = 1L)
+      .as[(String, String, Long, Long, Long, Long, Long)]
+      .collect().toSeq
+    assert(viaBatches == got, s"two-batch fold drifted: $viaBatches")
     graft.ops.Reuse.freeAll(spark)
   }
 }
