@@ -52,6 +52,7 @@ object Bench {
     // floors — ~10 s of measurement waste), and the r5 single-query
     // untimed pre-run demonstrably did not absorb it. The min of two
     // passes measures the plan, not the process state it ran in.
+    val failed = scala.collection.mutable.LinkedHashSet.empty[String]
     def timedPass(): Map[String, Double] =
       SparkEntry.queries.toSeq.sortBy(_._1)
         .filter { case (name, _) =>
@@ -60,10 +61,14 @@ object Bench {
         case (name, fn) =>
           val t0 = System.nanoTime()
           // A failed query must not abort the bench, but must be visible
-          // in the log — a silent -1 reads as a fast success.
+          // in the MACHINE-READABLE output, not just a stderr line: the
+          // ext115 sf0.1 ANSI overflow hid for a round because its
+          // fail-fast time read as a fast success and poisoned a floor.
           try { fn(spark, sfDir).count() } catch {
             case t: Throwable =>
-              System.err.println(s"[bench] $name FAILED: $t"); -1L
+              System.err.println(s"[bench] $name FAILED: $t")
+              failed += name
+              -1L
           }
           val dt = (System.nanoTime() - t0) / 1e9
           // Queries may materialize shared sub-relations internally; drop
@@ -101,8 +106,10 @@ object Bench {
       .map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = fmt(if (results.nonEmpty) results.values.sum else 0.0)
+    val failedJson = failed.toSeq.sorted
+      .map("\"" + _ + "\"").mkString("[", ",", "]")
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
     // The complete single-record form is a FILE artifact; stdout gets the
     // per-query map as short lines of <=10 queries (a 77-entry single
     // line overflowed the driver's fixed-size log tail — BENCH_r05
@@ -121,7 +128,7 @@ object Bench {
         .mkString("{", ",", "}")
       println(s"""{"metric":"query_times","part":${i + 1},"queries":$part}""")
     }
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":{},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":{},"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

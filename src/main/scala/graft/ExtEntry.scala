@@ -6463,18 +6463,23 @@ object ExtEntry {
       val sums = names.map(n =>
         s"CAST(SUM($n) AS BIGINT) AS s_$n").mkString(",\n  |       ")
       val quads = names.map(n =>
-        s"CAST(SUM($n * $n) AS BIGINT) AS q_$n").mkString(",\n  |       ")
+        s"SUM(CAST($n AS HUGEINT) * $n) AS q_$n").mkString(",\n  |       ")
       val crosses = names.combinations(2).map { case Seq(a, b) =>
-        s"CAST(SUM($a * $b) AS BIGINT) AS x_${a}__$b"
+        s"SUM(CAST($a AS HUGEINT) * $b) AS x_${a}__$b"
       }.mkString(",\n  |       ")
       val rows = names.combinations(2).map { case Seq(a, b) =>
         s"""SELECT '$a' AS sig_a, '$b' AS sig_b, n,
-           |       CAST(CASE WHEN n * q_$a - s_$a * s_$a = 0
-           |                   OR n * q_$b - s_$b * s_$b = 0 THEN 0
+           |       CAST(CASE WHEN CAST(n AS HUGEINT) * q_$a
+           |                      - CAST(s_$a AS HUGEINT) * s_$a = 0
+           |                   OR CAST(n AS HUGEINT) * q_$b
+           |                      - CAST(s_$b AS HUGEINT) * s_$b = 0 THEN 0
            |            ELSE floor(1000000.0 *
-           |              (CAST(n * x_${a}__$b - s_$a * s_$b AS DOUBLE) /
-           |               sqrt(CAST(n * q_$a - s_$a * s_$a AS DOUBLE) *
-           |                    CAST(n * q_$b - s_$b * s_$b AS DOUBLE))))
+           |              (CAST(CAST(n AS HUGEINT) * x_${a}__$b
+           |                    - CAST(s_$a AS HUGEINT) * s_$b AS DOUBLE) /
+           |               sqrt(CAST(CAST(n AS HUGEINT) * q_$a
+           |                    - CAST(s_$a AS HUGEINT) * s_$a AS DOUBLE) *
+           |                    CAST(CAST(n AS HUGEINT) * q_$b
+           |                    - CAST(s_$b AS HUGEINT) * s_$b AS DOUBLE))))
            |            END AS BIGINT) AS corr_ppm
            |FROM m""".stripMargin
       }.mkString("\nUNION ALL\n")

@@ -251,12 +251,18 @@ object Reporting {
     val sel = df.select(signals.map { case (n, c) =>
       c.cast("long").as(n) }: _*)
     val names = signals.map(_._1)
+    // Square and cross moments accumulate in decimal(38,0): a
+    // ppm-scaled signal squares to ~10¹² per ROW, so the int64 sum
+    // wraps (or, under ANSI, aborts) around 10⁷ rows — the ext152
+    // overflow class, found live when ext115 started failing at sf0.1
+    // while the sf0.01 gate stayed green.
+    def dec(c: Column) = c.cast("decimal(38,0)")
     val moments =
       Seq(count(lit(1)).as("n")) ++
         names.map(n => sum(col(n)).as(s"s_$n")) ++
-        names.map(n => sum(col(n) * col(n)).as(s"q_$n")) ++
+        names.map(n => sum(dec(col(n)) * col(n)).as(s"q_$n")) ++
         names.combinations(2).map { case Seq(a, b) =>
-          sum(col(a) * col(b)).as(s"x_${a}__$b") }.toSeq
+          sum(dec(col(a)) * col(b)).as(s"x_${a}__$b") }.toSeq
     sel.agg(moments.head, moments.tail: _*)
   }
 
@@ -283,9 +289,16 @@ object Reporting {
         (parts(0), parts(1))
       }
     val pairRows = pairs.map { case (a, b) =>
-      val num = col("n") * col(s"x_${a}__$b") - col(s"s_$a") * col(s"s_$b")
-      val va = col("n") * col(s"q_$a") - col(s"s_$a") * col(s"s_$a")
-      val vb = col("n") * col(s"q_$b") - col(s"s_$b") * col(s"s_$b")
+      // finish arithmetic in decimal too: n·q reaches ~n²·sig² —
+      // 2.5·10¹⁹ already at 5000 ppm-scaled rows (the sf0.1 failure);
+      // decimal(38,0) holds to ~10¹² rows of ppm signals
+      def dec(c: Column) = c.cast("decimal(38,0)")
+      val num = dec(col("n")) * col(s"x_${a}__$b") -
+        dec(col(s"s_$a")) * col(s"s_$b")
+      val va = dec(col("n")) * col(s"q_$a") -
+        dec(col(s"s_$a")) * col(s"s_$a")
+      val vb = dec(col("n")) * col(s"q_$b") -
+        dec(col(s"s_$b")) * col(s"s_$b")
       struct(lit(a).as("sig_a"), lit(b).as("sig_b"), col("n"),
         when(va === 0L || vb === 0L, 0L).otherwise(
           floor(lit(1000000.0d) * (num.cast("double") /

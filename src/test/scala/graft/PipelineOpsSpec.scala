@@ -553,6 +553,24 @@ class PipelineOpsSpec extends TestBase {
       got(("z", "c")) == 0L)
   }
 
+  test("signal correlations survive ppm-scale moments past int64: " +
+      "5000 rows of ~1e6 values (n·q ≈ 2.5e19) compute exactly — the " +
+      "sf0.1 ANSI-overflow regression (ext115)") {
+    import spark.implicits._
+    // q = Σv² ≈ 5000·1e12 = 5e15; the finish's n·q ≈ 2.5e19 left int64
+    // and ANSI aborted the bench at sf0.1 while the sf0.01 gate stayed
+    // green. decimal(38,0) moments + finish must give the exact ±1e6.
+    val df = spark.range(5000).select(
+      (col("id") + 1000000L).as("v"),
+      (lit(3000000L) - col("id")).as("w"))
+    val got = graft.ops.Reporting.signalCorrelations(df, Seq(
+      "v" -> col("v"), "w" -> col("w")))
+      .as[(String, String, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r._4).toMap
+    assert(got(("v", "w")) == -1000000L,
+      s"perfectly anti-correlated ppm signals drifted: $got")
+  }
+
   test("signal correlations guards: '__' in a signal name is rejected; " +
       "empty input yields all C(k,2) pair rows at n=0 (r8 ADVICE)") {
     import spark.implicits._

@@ -85,7 +85,16 @@ for n in range(RUNS):
     if r.returncode != 0:
         raise SystemExit(f"run {n}: sbt exited {r.returncode}\n"
                          + r.stdout[-2000:] + r.stderr[-2000:])
-    qs = json.load(open("/root/repo/bench_last.json"))["queries"]
+    rec = json.load(open("/root/repo/bench_last.json"))
+    qs = rec["queries"]
+    # A failed query still takes wall time, so its dt is a plausible
+    # number — the old `v < 0` guard never fired (ext115's sf0.1 ANSI
+    # overflow recorded a fail-fast 0.36 s floor for a round). The
+    # bench now reports failures explicitly; refuse on any.
+    if rec.get("failed"):
+        raise SystemExit(
+            f"run {n}: bench reported FAILED queries — not recording: "
+            + ", ".join(rec["failed"]))
     for k, v in qs.items():
         if v < 0:
             raise SystemExit(f"run {n}: {k} FAILED (-1) — not recording")
