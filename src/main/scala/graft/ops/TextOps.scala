@@ -960,20 +960,71 @@ object TextOps {
       .groupBy("_id", "_dl", "_t").agg(count(lit(1)).as("tf")))
     val dfRel = hits.groupBy("_t")
       .agg(countDistinct(col("_id")).as("df"))
-    hits.join(dfRel, Seq("_t"))
-      .crossJoin(broadcast(stats))
-      .withColumn("idf_ppm",
-        expr("CAST((2 * CAST(n AS DECIMAL(38,0)) + 2) * 1000000" +
-          " DIV (2 * df + 1) AS BIGINT)"))
-      .withColumn("rel_milli", expr("_dl * 1000000 DIV avgdl_milli"))
-      .withColumn("den_milli", expr(
-        "tf * 1000 + (1200 * (250 + (750 * rel_milli) DIV 1000)) DIV 1000"))
-      .withColumn("tfpart_ppm", expr("tf * 2200000 DIV den_milli"))
+    bm25Scored(hits.join(dfRel, Seq("_t")).crossJoin(broadcast(stats)))
       .groupBy("_id")
-      .agg(expr("CAST(sum(CAST(idf_ppm AS DECIMAL(38,0)) * tfpart_ppm)" +
-        " DIV 1000000 AS BIGINT)").as("score"))
+      .agg(bm25ScoreSum.as("score"))
       .select(col("_id").as(id), col("score"))
       .orderBy(col("score").desc, col(id))
+      .limit(k)
+  }
+
+  /** The shared integer BM25 scoring columns — expects (tf, _dl, df,
+    * n, avgdl_milli) on the row; see [[bm25TopK]] for the algebra. */
+  private def bm25Scored(rows: DataFrame): DataFrame = rows
+    .withColumn("idf_ppm",
+      expr("CAST((2 * CAST(n AS DECIMAL(38,0)) + 2) * 1000000" +
+        " DIV (2 * df + 1) AS BIGINT)"))
+    .withColumn("rel_milli", expr("_dl * 1000000 DIV avgdl_milli"))
+    .withColumn("den_milli", expr(
+      "tf * 1000 + (1200 * (250 + (750 * rel_milli) DIV 1000)) DIV 1000"))
+    .withColumn("tfpart_ppm", expr("tf * 2200000 DIV den_milli"))
+
+  private val bm25ScoreSum =
+    expr("CAST(sum(CAST(idf_ppm AS DECIMAL(38,0)) * tfpart_ppm)" +
+      " DIV 1000000 AS BIGINT)")
+
+  /** The tf-bearing POSTING relation of a serving inverted index
+    * (term, doc_id, tf, dl) — ext40's index summarizes postings for
+    * review; this is the full relation BM25 serves from. Under
+    * whole-doc arrival each micro-batch's postings are disjoint rows
+    * (a pure append partial): the stored fold IS the incremental
+    * inverted index a continuously-crawled corpus maintains. */
+  def bm25IndexPartials(doc: DataFrame, id: String = "doc_id",
+      text: String = "text"): DataFrame =
+    doc.select(col(id).cast("long").as("doc_id"),
+        size(tokens(col(text))).cast("long").as("dl"),
+        explode(tokens(col(text))).as("term"))
+      .groupBy("term", "doc_id", "dl").agg(count(lit(1)).as("tf"))
+
+  /**
+   * Serve-time BM25 from the STORED index — the 100 TB shape: the
+   * corpus text is never rescanned; df/N/avgdl derive from the posting
+   * relation itself (df = postings per term, N/mass from the distinct
+   * (doc_id, dl) projection — every doc has ≥ 1 posting, `tokens` is
+   * total), and only the query terms' posting lists are read (a
+   * term-keyed filter a term-partitioned store turns into partition
+   * pruning). Law: identical to [[bm25TopK]] recomputed from text —
+   * spec-asserted, plus the streamed incremental-index twin.
+   */
+  def bm25FromIndex(index: DataFrame, queryTerms: Seq[String],
+      k: Int = 10): DataFrame = {
+    require(queryTerms.nonEmpty, "bm25 needs at least one query term")
+    val idx = Reuse.shared(index.select("term", "doc_id", "dl", "tf"))
+    val docStats = idx.select("doc_id", "dl").distinct()
+    val stats = docStats.agg(count(lit(1)).as("n"),
+        sum("dl").as("mass"))
+      .select(col("n"),
+        expr("CAST(mass * 1000 DIV n AS BIGINT)").as("avgdl_milli"))
+    val hits = Reuse.shared(
+      idx.filter(col("term").isin(queryTerms: _*))
+        .select(col("term").as("_t"), col("doc_id").as("_id"),
+          col("dl").as("_dl"), col("tf")))
+    val dfRel = hits.groupBy("_t").agg(count(lit(1)).as("df"))
+    bm25Scored(hits.join(dfRel, Seq("_t")).crossJoin(broadcast(stats)))
+      .groupBy("_id")
+      .agg(bm25ScoreSum.as("score"))
+      .select(col("_id").as("doc_id"), col("score"))
+      .orderBy(col("score").desc, col("doc_id"))
       .limit(k)
   }
 
@@ -1015,20 +1066,12 @@ object TextOps {
       .groupBy("_id", "_dl", "_t").agg(count(lit(1)).as("tf")))
     val dfRel = hits.groupBy("_t")
       .agg(countDistinct(col("_id")).as("df"))
-    val scored = hits.join(dfRel, Seq("_t"))
+    val scored = bm25Scored(hits.join(dfRel, Seq("_t"))
       .join(broadcast(qt), Seq("_t"))
       .filter(col("_id") =!= col("q_id"))
-      .crossJoin(broadcast(stats))
-      .withColumn("idf_ppm",
-        expr("CAST((2 * CAST(n AS DECIMAL(38,0)) + 2) * 1000000" +
-          " DIV (2 * df + 1) AS BIGINT)"))
-      .withColumn("rel_milli", expr("_dl * 1000000 DIV avgdl_milli"))
-      .withColumn("den_milli", expr(
-        "tf * 1000 + (1200 * (250 + (750 * rel_milli) DIV 1000)) DIV 1000"))
-      .withColumn("tfpart_ppm", expr("tf * 2200000 DIV den_milli"))
+      .crossJoin(broadcast(stats)))
       .groupBy("q_id", "_id")
-      .agg(expr("CAST(sum(CAST(idf_ppm AS DECIMAL(38,0)) * tfpart_ppm)" +
-        " DIV 1000000 AS BIGINT)").as("score"))
+      .agg(bm25ScoreSum.as("score"))
     scored
       .withColumn("rank", row_number().over(Window.partitionBy("q_id")
         .orderBy(col("score").desc, col("_id").asc)))

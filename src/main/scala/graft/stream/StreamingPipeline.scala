@@ -861,6 +861,20 @@ object StreamingPipeline {
     graft.agg.Windows.anomalyDaysFromCounts(
       spark.read.parquet(outPath).drop("batch"), k)
 
+  /** Incremental inverted index (ext165's serving store): each
+    * micro-batch appends its postings (disjoint rows under whole-doc
+    * arrival — an append partial, not even a sum); [[graft.ops.TextOps
+    * .bm25FromIndex]] serves top-k from the stored fold without ever
+    * rescanning text. */
+  def bm25IndexSink(docs: DataFrame,
+      outPath: String): DataStreamWriter[org.apache.spark.sql.Row] =
+    partialsSink(docs, graft.ops.TextOps.bm25IndexPartials(_), outPath)
+
+  def bm25FromState(spark: SparkSession, outPath: String,
+      queryTerms: Seq[String], k: Int = 10): DataFrame =
+    graft.ops.TextOps.bm25FromIndex(
+      spark.read.parquet(outPath).drop("batch"), queryTerms, k)
+
   /** Streaming twin of the label-association audit (ext167): one
     * tagged partials relation per micro-batch (presence cells + per-
     * label doc counts — pure addition under whole-doc arrival), the

@@ -1580,6 +1580,17 @@ class StreamingSpec extends TestBase {
     assert(gopherStreamed.except(gopherBatch).isEmpty &&
       gopherBatch.except(gopherStreamed).isEmpty && gopherBatch.count() > 0,
       "streamed pass-rate fold differs from the batch operator")
+    // ext165 serving twin: the incrementally-appended inverted index
+    // serves the identical BM25 top-k the batch text scan computes
+    val idxOut = runSink((s, o) =>
+      StreamingPipeline.bm25IndexSink(s, o))
+    val bmStreamed = StreamingPipeline.bm25FromState(spark, idxOut,
+      Seq("spark", "window", "join"))
+    val bmBatch = graft.ops.TextOps.bm25TopK(docs,
+      Seq("spark", "window", "join"))
+    assert(bmStreamed.collect().toSeq == bmBatch.collect().toSeq &&
+      bmBatch.count() > 0,
+      "index-served bm25 differs from the batch text scan")
     // ext167 twin: tagged presence/doc-count partials fold to the
     // identical association card (whole-doc arrival contract)
     val laOut = runSink((s, o) =>

@@ -336,6 +336,12 @@ class TextKernelsSpec extends TestBase {
     assert(top2 == Seq((1L, 3800L), (3L, 2428L)))
     intercept[IllegalArgumentException] {
       graft.ops.TextOps.bm25TopK(docs, Seq.empty) }
+    // the stored-index serve path reproduces the text-scan ranking
+    // exactly (df/N/avgdl derived FROM the posting relation)
+    val viaIndex = graft.ops.TextOps.bm25FromIndex(
+        graft.ops.TextOps.bm25IndexPartials(docs), Seq("a", "b"))
+      .as[(Long, Long)].collect().toSeq
+    assert(viaIndex == got, s"index serve path drifted: $viaIndex")
     graft.ops.Reuse.freeAll(spark)
   }
 
