@@ -478,6 +478,37 @@ object ScaleSmoke {
       time("bpe_apply_32") {
         graft.ops.TextOps.bpeApplyCounts(big, t32, 32)
       }
+      // production table depth (r13 verdict item 2's explicit ask): a
+      // 1000-rank table — the corpus can't LEARN 1000 real merges, so
+      // ranks past the learned table are never-occurring symbol pairs,
+      // which is exactly how a stored web-scale table looks to any one
+      // document (most ranks don't apply). Cost must stay ~flat: the
+      // replay's rank-map floor scan touches only ACHIEVABLE merges.
+      val t1000 = t32.unionByName(
+        spark.range(32, 1000).selectExpr(
+          "id AS merge_rank",
+          "concat(' pad', id) AS left_sym",
+          "concat(' pad', id) AS right_sym",
+          "CAST(1 AS BIGINT) AS pair_count")).localCheckpoint(true)
+      time("bpe_apply_1000") {
+        graft.ops.TextOps.bpeApplyCounts(big, t1000, 1000)
+      }
+      // bpeEncodeSink throughput (the serving stream): the mult-x
+      // corpus through the one-pass encode in 12 micro-batches.
+      val tmpE = java.nio.file.Files.createTempDirectory("graft-bpesink")
+      big.repartition(12).write.parquet(s"$tmpE/src")
+      val tE0 = System.nanoTime()
+      val qE = graft.stream.StreamingPipeline.bpeEncodeSink(
+          graft.stream.StreamingPipeline.parquetStream(spark,
+            s"$tmpE/src", maxFilesPerTrigger = Some(1)),
+          t1000, 1000, s"$tmpE/out")
+        .option("checkpointLocation", s"$tmpE/ckpt").start()
+      qE.processAllAvailable()
+      qE.stop()
+      val secE = (System.nanoTime() - tE0) / 1e9
+      println(f"[scale-smoke] bpe_encode_sink_1000  $secE%.1f s  " +
+        f"${n / secE}%.0f docs/s  (12 batches, depth-1000 table)")
+      graft.ops.Reuse.freeAll(spark)
     }
     // r14: Moore-Lewis — ONE corpus bigram explode (flag riding along)
     // feeds all four vocab-bounded count tables; scoring is two passes
