@@ -1047,17 +1047,23 @@ object TextOps {
   def bm25PerQuery(doc: DataFrame, queries: DataFrame, k: Int = 10,
       id: String = "doc_id", text: String = "text"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val d = Reuse.shared(doc.select(col(id).cast("long").as("_id"),
-      tokens(col(text)).as("_toks")))
+    // Only `hits` is worth materializing: d and qt are scan
+    // projections a recompute re-derives for less than a checkpoint
+    // costs (measured warm at sf0.1: one-shared ~3.4 s ≈ recompute
+    // 3.1 s — the dominant cost is the scoring fan-out, not
+    // materialization; Reuse.shared is for relations whose RECOMPUTE
+    // is the expensive thing, not every multi-consumer).
+    val d = doc.select(col(id).cast("long").as("_id"),
+      tokens(col(text)).as("_toks"))
     val stats = d
       .agg(count(lit(1)).as("n"),
         sum(size(col("_toks")).cast("long")).as("mass"))
       .select(col("n"),
         expr("CAST(mass * 1000 DIV n AS BIGINT)").as("avgdl_milli"))
-    val qt = Reuse.shared(queries
+    val qt = queries
       .select(col(id).cast("long").as("q_id"),
         explode(tokens(col(text))).as("_t"))
-      .distinct())
+      .distinct()
     val hits = Reuse.shared(d
       .select(col("_id"), size(col("_toks")).cast("long").as("_dl"),
         explode(col("_toks")).as("_t"))
