@@ -2248,6 +2248,13 @@ object ExtEntry {
       graft.agg.Windows.burstiness(Tables.events(s, dir),
         col("event_type")).orderBy("entity")),
 
+    // Temporal train/gap/test split: exact selection-quantile cutoff
+    // (the ext151 bisection — zero data shuffles), one-day horizon
+    // gap, per-segment row/user masses and the user-exposure audit.
+    "ext170_temporal_split" -> ((s, dir) =>
+      graft.ops.Splits.temporalSplit(Tables.events(s, dir),
+        col("user_id"))),
+
     // Bloom semi-join reduction ledger: the dim side's keys folded
     // into a 4 KiB literal bitset probed inside the fact scan (k
     // codegen'd bit tests) — only survivors reach the exchange;
@@ -6045,6 +6052,39 @@ object ExtEntry {
         |FROM h a JOIN h bb ON a.doc_id < bb.doc_id
         |WHERE bit_count(xor(a.phash, bb.phash)) <= 11
         |ORDER BY id_a, id_b""".stripMargin,
+
+    // Temporal split: cutoff = k-th order statistic via row_number
+    // (identical to the bisection's smallest-reaching-value rule,
+    // k = ceil(80*n/100)), then the per-user segment fold.
+    "ext170_temporal_split" ->
+      """WITH e AS (SELECT user_id AS u, epoch_us(ts) AS us FROM events),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM e),
+        |cut AS (SELECT us AS c FROM (
+        |          SELECT us, row_number() OVER (ORDER BY us) AS rn
+        |          FROM e), n
+        |        WHERE rn = (80 * n + 99) // 100),
+        |pu AS (SELECT u,
+        |         sum(CASE WHEN us <= c THEN 1 ELSE 0 END) AS tr,
+        |         sum(CASE WHEN us > c AND us <= c + 86400000000
+        |             THEN 1 ELSE 0 END) AS gp,
+        |         sum(CASE WHEN us > c + 86400000000
+        |             THEN 1 ELSE 0 END) AS te
+        |       FROM e, cut GROUP BY u)
+        |SELECT (SELECT c FROM cut) AS cutoff_us,
+        |  CAST(sum(tr) AS BIGINT) AS n_train,
+        |  CAST(sum(gp) AS BIGINT) AS n_gap,
+        |  CAST(sum(te) AS BIGINT) AS n_test,
+        |  CAST(sum(CASE WHEN tr > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS users_train,
+        |  CAST(sum(CASE WHEN te > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS users_test,
+        |  CAST(sum(CASE WHEN tr > 0 AND te > 0 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS users_both,
+        |  CAST((1000000 * sum(CASE WHEN tr > 0 AND te > 0
+        |       THEN 1 ELSE 0 END))
+        |    // greatest(sum(CASE WHEN tr > 0 THEN 1 ELSE 0 END), 1)
+        |    AS BIGINT) AS users_both_ppm
+        |FROM pu""".stripMargin,
 
     // Bloom semi-join: the same md5-based portable hash + (a*h+b)%p%m
     // positions, pass = all 3 positions in the dim bit set, ledger

@@ -174,4 +174,62 @@ object Splits {
       .agg(count(lit(1)).as("n_docs"),
         sum(Hashing.portableHash32(col(text))).as("checksum"))
   }
+
+  /**
+   * Temporal train/gap/test split card (ext170) — the OTHER axis of
+   * splitting: [[assign]]/[[assignLeakageSafe]] split by content hash
+   * (exchangeable rows), but forecasting / recsys / any
+   * label-at-t+h task must split by TIME, with a horizon GAP between
+   * train and test so no test label's feature window reaches back
+   * into train (the classic temporal-leakage mistake a hash split
+   * cannot prevent). Cutoff = the exact (100−testPct) selection
+   * quantile of event time — [[Sketches.selectionQuantiles]]' domain
+   * bisection (zero data shuffles, ~⌈log₂(span_µs)⌉ ≈ 45 counting
+   * rounds for a year of microseconds — the scale-exact path, where
+   * a count-rank over per-µs value counts would be corpus-sized);
+   * train = ts ≤ cutoff, gap = (cutoff, cutoff+gap], test = beyond.
+   *
+   * The card reports segment row/user masses plus `users_both` — how
+   * many users appear in train AND test. For temporal tasks that is
+   * EXPECTED (the same user's future is the test), so it is reported
+   * as exposure, not flagged as leakage; pair with
+   * [[assignLeakageSafe]] when the task needs user-disjoint splits.
+   * Empty input returns an empty card (no cutoff exists).
+   */
+  def temporalSplit(events: DataFrame, user: Column, ts: String = "ts",
+      testPct: Int = 20, gapUs: Long = 86400000000L): DataFrame = {
+    require(testPct > 0 && testPct < 100, "testPct in (0, 100)")
+    require(gapUs >= 0, "gap must be non-negative")
+    val e = Reuse.shared(events.select(user.as("_u"),
+      unix_micros(col(ts)).as("_us")))
+    val cutRows = Sketches.selectionQuantiles(
+      e.withColumn("_s", lit(0)), Seq("_s"), col("_us"),
+      Seq(100 - testPct)).collect()
+    if (cutRows.isEmpty)
+      return e.sparkSession.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](),
+        org.apache.spark.sql.types.StructType(
+          Seq("cutoff_us", "n_train", "n_gap", "n_test", "users_train",
+            "users_test", "users_both", "users_both_ppm").map(
+            org.apache.spark.sql.types.StructField(_,
+              org.apache.spark.sql.types.LongType))))
+    val cut = cutRows.head.getAs[Long]("value")
+    val perUser = e.groupBy("_u").agg(
+      sum(when(col("_us") <= cut, 1L).otherwise(0L)).as("tr"),
+      sum(when(col("_us") > cut && col("_us") <= cut + gapUs, 1L)
+        .otherwise(0L)).as("gp"),
+      sum(when(col("_us") > cut + gapUs, 1L).otherwise(0L)).as("te"))
+    perUser.agg(
+        sum("tr").as("n_train"), sum("gp").as("n_gap"),
+        sum("te").as("n_test"),
+        sum(when(col("tr") > 0, 1L).otherwise(0L)).as("users_train"),
+        sum(when(col("te") > 0, 1L).otherwise(0L)).as("users_test"),
+        sum(when(col("tr") > 0 && col("te") > 0, 1L).otherwise(0L))
+          .as("users_both"))
+      .select(lit(cut).as("cutoff_us"), col("n_train"), col("n_gap"),
+        col("n_test"), col("users_train"), col("users_test"),
+        col("users_both"),
+        expr("(1000000 * users_both) DIV greatest(users_train, 1)")
+          .as("users_both_ppm"))
+  }
 }

@@ -535,6 +535,37 @@ class PipelineOpsSpec extends TestBase {
     assert(again == got)
   }
 
+  test("temporal split: k-th order-statistic cutoff incl. tie " +
+      "inclusion, horizon gap drops, user exposure, empty card " +
+      "(ext170)") {
+    import spark.implicits._
+    // n=10, testPct=20 -> k = ceil(8.0) = 8 -> cutoff = 8th smallest
+    // = 8; BOTH us=8 rows land in train (<= cutoff — the ties rule);
+    // gap (8, 13] empty; only us=20 is test.
+    val ev = Seq(("u1", 1L), ("u1", 2L), ("u1", 3L), ("u1", 4L),
+      ("u1", 8L), ("u2", 5L), ("u2", 6L), ("u2", 7L), ("u2", 8L),
+      ("u2", 20L))
+      .toDF("u", "us")
+      .select($"u", expr("timestamp_micros(us)").as("ts"))
+    val got = graft.ops.Splits.temporalSplit(ev, col("u"),
+        testPct = 20, gapUs = 5L)
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long)]
+      .collect().toSeq
+    assert(got == Seq((8L, 9L, 0L, 1L, 2L, 1L, 1L, 500000L)),
+      s"hand-computed temporal split drifted: $got")
+    // a wider gap swallows the test row
+    val g2 = graft.ops.Splits.temporalSplit(ev, col("u"),
+        testPct = 20, gapUs = 100L)
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long)]
+      .collect().toSeq
+    assert(g2 == Seq((8L, 9L, 1L, 0L, 2L, 0L, 0L, 0L)),
+      s"gap handling drifted: $g2")
+    // empty input: no cutoff exists — empty card, not an NPE
+    assert(graft.ops.Splits.temporalSplit(ev.filter(lit(false)),
+      col("u")).count() == 0L)
+    graft.ops.Reuse.freeAll(spark)
+  }
+
   test("signal correlations: exact ±1 on constructed columns, 0 under " +
       "the zero-variance guard (ext115)") {
     import spark.implicits._
