@@ -816,6 +816,16 @@ object ScaleSmoke {
       time("r14b3_label_assoc") {
         graft.ops.TextOps.labelAssociation(big, col("lang"))
       }
+      val nEv = mult.toLong * 100000L
+      val evT = spark.range(nEv).select(
+        col("id").as("event_id"),
+        expr("timestamp_millis(1704067200000 + (id * 7919) % 2592000000)")
+          .as("ts"),
+        (col("id") % 2000).as("user_id"))
+        .localCheckpoint(true)
+      time("r14b3_temporal_split") {
+        graft.ops.Splits.temporalSplit(evT, col("user_id"))
+      }
       val nF = mult.toLong * 1000000L
       val fact = spark.range(nF).select(
         col("id").as("row_id"), (col("id") % 100000L).as("fk"))
