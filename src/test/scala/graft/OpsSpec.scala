@@ -562,6 +562,32 @@ class OpsSpec extends TestBase {
     graft.ops.Reuse.freeAll(spark)
   }
 
+  test("bm25 stored index: a term-partitioned store prunes to the " +
+      "query's posting lists and serves the identical ranking " +
+      "(ext165 serving claim)") {
+    import graft.ops.TextOps
+    val docs = Tables.documents(spark, sf("sf0.001"))
+    val store = java.nio.file.Files
+      .createTempDirectory("graft-bm25idx").toString + "/index"
+    TextOps.bm25IndexPartials(docs)
+      .write.partitionBy("term").parquet(store)
+    val terms = Seq("spark", "window", "join")
+    val served = TextOps.bm25FromIndex(
+      spark.read.parquet(store), terms)
+    val direct = TextOps.bm25TopK(docs, terms)
+    assert(served.collect().toSeq == direct.collect().toSeq &&
+      direct.count() > 0,
+      "partitioned-store serve differs from the text scan")
+    // the hits scan carries the term filter as a PARTITION filter —
+    // layout pruning, not a post-scan predicate
+    val plan = spark.read.parquet(store)
+      .filter(col("term").isin(terms: _*))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [term"),
+      s"term filter did not reach partition pruning:\n$plan")
+    graft.ops.Reuse.freeAll(spark)
+  }
+
   test("blockHash60 kernel: hand-computed bits, tie -> 0, empty -> 0, " +
       "codegen path == kernel (ext164)") {
     import graft.functions.{BlockHash60, BlockHashImpl}
