@@ -2228,6 +2228,15 @@ object ExtEntry {
           maxHamming = 11, nChunks = 12)
         .orderBy("id_a", "id_b")),
 
+    // Production-regime phash dedup (radius 3, 4x15-bit chunks — the
+    // configuration decoded images ship with) priced as ONE ledger
+    // row: candidate-join volume, bucket skew, distinct candidates,
+    // survivors — the 100x-safe form oracle-gated (ext164's wide
+    // radius stays a priced audit regime).
+    "ext171_phash_prod_ledger" -> ((s, dir) =>
+      Multimodal.phashCandidateLedger(
+        Multimodal.assetsFromDocuments(docs(s, dir)))),
+
     // BM25 lexical top-k: integer Robertson ranking (odds-ratio idf in
     // ppm, milli tf-normalization), the sparse leg of hybrid search —
     // terms filtered before the shuffle, TakeOrdered head.
@@ -6030,8 +6039,16 @@ object ExtEntry {
     // exact Hamming — equivalent to the engine's bucketed candidates
     // BECAUSE pigeonhole chunking is lossless at radius 11 with 12
     // chunks (the oracle doubles as the recall audit).
+    // range() takes only constant bounds in DuckDB, so the replay cap
+    // guards itself: any doc longer than the 100000-char bound turns
+    // the length column into error(...) — a LOUD oracle failure, not a
+    // silently truncated hash (r14 ADVICE).
     "ext164_image_phash_dups" ->
-      """WITH d AS (SELECT doc_id, text, len(text) AS n
+      """WITH d AS (SELECT doc_id, text,
+        |             CASE WHEN len(text) > 100000 THEN CAST(error(
+        |               'ext164 oracle: doc exceeds the 100000-char ' ||
+        |               'replay bound') AS BIGINT)
+        |             ELSE len(text) END AS n
         |           FROM documents WHERE len(text) > 0),
         |b AS (SELECT doc_id, (i*60)//n AS blk,
         |             sum(ascii(substr(text, CAST(i+1 AS BIGINT), 1)))
@@ -6052,6 +6069,50 @@ object ExtEntry {
         |FROM h a JOIN h bb ON a.doc_id < bb.doc_id
         |WHERE bit_count(xor(a.phash, bb.phash)) <= 11
         |ORDER BY id_a, id_b""".stripMargin,
+
+    // Production-regime phash ledger: the same blockhash replay, then
+    // 4x15-bit chunk buckets — join volume Σ C(c,2), bucket skew,
+    // distinct candidates, radius-3 survivors.
+    "ext171_phash_prod_ledger" ->
+      """WITH d AS (SELECT doc_id, text,
+        |             CASE WHEN len(text) > 100000 THEN CAST(error(
+        |               'ext171 oracle: doc exceeds the 100000-char ' ||
+        |               'replay bound') AS BIGINT)
+        |             ELSE len(text) END AS n
+        |           FROM documents WHERE len(text) > 0),
+        |b AS (SELECT doc_id, (i*60)//n AS blk,
+        |             sum(ascii(substr(text, CAST(i+1 AS BIGINT), 1)))
+        |               AS s,
+        |             CAST(count(*) AS BIGINT) AS c
+        |      FROM d JOIN range(0, 100000) g(i) ON i < n
+        |      GROUP BY 1, 2),
+        |t AS (SELECT doc_id, sum(s) AS total, sum(c) AS n
+        |      FROM b GROUP BY 1),
+        |h AS (SELECT b.doc_id,
+        |             CAST(sum(CASE WHEN s * n > total * c
+        |                  THEN (1::BIGINT << CAST(blk AS INT))
+        |                  ELSE 0 END) AS BIGINT) AS phash
+        |      FROM b JOIN t USING (doc_id) GROUP BY 1),
+        |ch AS (SELECT doc_id, phash, g.i AS chunk_id,
+        |              (phash >> CAST(g.i * 15 AS INT)) & 32767 AS chunk
+        |       FROM h CROSS JOIN range(0, 4) g(i)),
+        |bk AS (SELECT chunk_id, chunk, CAST(count(*) AS BIGINT) AS c
+        |       FROM ch GROUP BY 1, 2),
+        |cand AS (SELECT DISTINCT a.doc_id AS id_a, bb.doc_id AS id_b,
+        |                bit_count(xor(a.phash, bb.phash)) AS ham
+        |         FROM ch a JOIN ch bb USING (chunk_id, chunk)
+        |         WHERE a.doc_id < bb.doc_id)
+        |SELECT
+        |  (SELECT CAST(count(*) AS BIGINT) FROM h) AS n_assets,
+        |  (SELECT CAST(COALESCE(sum(c*(c-1)//2), 0) AS BIGINT)
+        |   FROM bk) AS join_rows,
+        |  (SELECT CAST(COALESCE(sum(CASE WHEN c >= 2 THEN 1 ELSE 0
+        |     END), 0) AS BIGINT) FROM bk) AS buckets_hit,
+        |  (SELECT CAST(COALESCE(max(c), 0) AS BIGINT) FROM bk)
+        |    AS max_bucket,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM cand) AS cand_pairs,
+        |  (SELECT CAST(COALESCE(sum(CASE WHEN ham <= 3 THEN 1 ELSE 0
+        |     END), 0) AS BIGINT) FROM cand) AS survivors""".stripMargin,
 
     // Temporal split: cutoff = k-th order statistic via row_number
     // (identical to the bisection's smallest-reaching-value rule,

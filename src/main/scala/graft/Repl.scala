@@ -169,6 +169,20 @@ object Repl {
     p
   }
 
+  /** One REPL command end to end under the serving retry contract:
+    * plan AND execute inside [[Serve.retryingServe]], so a command
+    * racing an offline [[AggregateStore.compact]] re-plans onto the
+    * post-compact snapshot instead of dying on the swap (r14 verdict
+    * item 4). Returns the written result path; None = unknown
+    * command. */
+  def serveLine(spark: SparkSession, storeRoot: String, outDir: String,
+      line: String, show: Boolean = false): Option[java.nio.file.Path] =
+    Serve.retryingServe()(
+      dispatch(spark, storeRoot, line).map { df =>
+        if (show) df.show(100, truncate = false)
+        writeResult(df, line.trim.split("\\s+").head, outDir)
+      })
+
   def main(args: Array[String]): Unit = {
     val storeRoot = args.headOption.getOrElse(
       sys.error("usage: Repl <storeRoot> [outDir]"))
@@ -187,12 +201,9 @@ object Repl {
       .takeWhile(l => l != null && l.trim != "exit")
       .foreach { line =>
         if (line.trim.nonEmpty)
-          try dispatch(spark, storeRoot, line) match {
-            case Some(df) =>
-              df.show(100, truncate = false)
-              val f = writeResult(df, line.trim.split("\\s+").head, outDir)
-              println(s"wrote $f")
-            case None     => println(s"unknown command: $line")
+          try serveLine(spark, storeRoot, outDir, line, show = true) match {
+            case Some(f) => println(s"wrote $f")
+            case None    => println(s"unknown command: $line")
           } catch {
             case e: Exception => println(s"error: ${e.getMessage}")
           }

@@ -1222,8 +1222,12 @@ object Dedup {
     * Shared with the multimodal perceptual-hash detector
     * ([[Multimodal.phashPairs]]) — any (id, 60-bit signature) relation
     * buckets the same way. */
-  private[ops] def chunkedHammingPairs(sh: DataFrame, id: String,
-      nChunks: Int, chunkBits: Int, maxHamming: Int): DataFrame = {
+  /** The DISTINCT candidate pairs of the chunk-bucket equi-join with
+    * their exact Hamming distance, unfiltered — [[chunkedHammingPairs]]
+    * applies the radius; the ext171 production-regime ledger prices
+    * the same candidate set (survivor + volume columns). */
+  private[ops] def chunkedCandidates(sh: DataFrame, id: String,
+      nChunks: Int, chunkBits: Int): DataFrame = {
     val mask = (1L << chunkBits) - 1
     val chunks = sh.select(col(id), col("simhash"),
         explode(sequence(lit(0), lit(nChunks - 1))).as("chunk_id"))
@@ -1239,8 +1243,12 @@ object Dedup {
         bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("long")
           .as("hamming"))
       .distinct()
-      .filter(col("hamming") <= maxHamming)
   }
+
+  private[ops] def chunkedHammingPairs(sh: DataFrame, id: String,
+      nChunks: Int, chunkBits: Int, maxHamming: Int): DataFrame =
+    chunkedCandidates(sh, id, nChunks, chunkBits)
+      .filter(col("hamming") <= maxHamming)
 
   /** 60-bit simhash from TWO salted token hashes (bits 0-29 from
     * 'w0:'+token, 30-59 from 'w1:'+token — portableHash32 gives 31

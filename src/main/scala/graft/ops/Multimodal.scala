@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Typed record for a multimodal asset: opaque bytes + typed metadata. */
@@ -297,6 +297,60 @@ object Multimodal {
         .withColumnRenamed("phash", "simhash")),
       "asset_id", nChunks = nChunks, chunkBits = 60 / nChunks,
       maxHamming = maxHamming)
+  }
+
+  /**
+   * Production-regime perceptual-dedup ledger (ext171) — the radius-3
+   * / 4×15-bit-chunk configuration [[phashPairs]] ships for decoded
+   * images, priced as ONE oracle-checkable row instead of a pair list
+   * (synthetic text bytes have no sub-radius pairs — min corpus
+   * Hamming is ~8 — so the pair relation is vacuous while the
+   * CANDIDATE machinery, the thing that must survive 100×, is not):
+   *   n_assets     hashed (non-empty) blobs
+   *   join_rows    Σ_buckets C(c,2) — the exchange volume of the
+   *                candidate equi-join (counts a pair once per
+   *                agreeing chunk; THE number that must stay ~linear
+   *                at scale, each bucket holding ~n/2^15 assets)
+   *   buckets_hit  (chunk_id, chunk) buckets with ≥ 2 assets
+   *   max_bucket   largest bucket (the skew ceiling of the join)
+   *   cand_pairs   distinct candidate pairs after the join
+   *   survivors    candidates with hamming ≤ maxHamming (= exactly
+   *                the [[phashPairs]] row count — pigeonhole lossless
+   *                below nChunks, the spec-asserted recall law)
+   */
+  def phashCandidateLedger(assets: DataFrame, maxHamming: Int = 3,
+      nChunks: Int = 4): DataFrame = {
+    require(60 % nChunks == 0, s"nChunks must divide 60, got $nChunks")
+    require(maxHamming < nChunks,
+      s"pigeonhole losslessness needs maxHamming < nChunks " +
+        s"($maxHamming >= $nChunks)")
+    val chunkBits = 60 / nChunks
+    val mask = (1L << chunkBits) - 1
+    val sh = Reuse.shared(phashBytes(assets)
+      .withColumnRenamed("phash", "simhash"))
+    val buckets = sh.select(
+        explode(sequence(lit(0), lit(nChunks - 1))).as("chunk_id"),
+        col("simhash"))
+      .withColumn("chunk",
+        expr(s"shiftright(simhash, CAST(chunk_id * $chunkBits AS INT)) " +
+          s"& $mask"))
+      .groupBy("chunk_id", "chunk").agg(count(lit(1)).as("c"))
+    // coalesce: every SUM/MAX is SQL NULL over an empty corpus — the
+    // ledger stays one well-defined all-zero row (EmptyInputSpec)
+    val z = (c: Column, n: String) => coalesce(c, lit(0L)).as(n)
+    val volume = buckets.agg(
+      z(sum(expr("c * (c - 1) DIV 2")), "join_rows"),
+      z(sum(when(col("c") >= 2L, 1L).otherwise(0L)), "buckets_hit"),
+      z(max("c"), "max_bucket"))
+    val pairAgg = Dedup.chunkedCandidates(sh, "asset_id", nChunks,
+        chunkBits)
+      .agg(count(lit(1)).as("cand_pairs"),
+        z(sum((col("hamming") <= maxHamming).cast("long")), "survivors"))
+    sh.agg(count(lit(1)).as("n_assets"))
+      .crossJoin(broadcast(volume))
+      .crossJoin(broadcast(pairAgg))
+      .select("n_assets", "join_rows", "buckets_hit", "max_bucket",
+        "cand_pairs", "survivors")
   }
 
   /** Classical average-hash over REAL pixels: luma pooled into a 6×10

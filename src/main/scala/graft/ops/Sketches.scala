@@ -441,9 +441,26 @@ object Sketches {
    * the dim cannot match (minus fpr).
    */
   def bloomSemiJoin(fact: DataFrame, dim: DataFrame, factKey: Column,
-      dimKey: Column, m: Long = BloomM, k: Int = BloomK): DataFrame =
+      dimKey: Column, m: Long = BloomM, k: Int = BloomK): DataFrame = {
+    requireMatchingKeyTypes(fact, dim, factKey, dimKey, "bloomSemiJoin")
     fact.filter(bloomProbeLit(dimBitWords(dim, dimKey, m, k)._1,
       factKey, m, k))
+  }
+
+  /** Both probe sides hash the key's STRING rendering, so the
+    * structural no-false-negatives law needs both renderings to agree:
+    * an int fact key vs a double dim key ("5" vs "5.0") would hash
+    * apart and silently drop true matches. Reject mismatched key
+    * types loudly; callers cast both sides to one type explicitly
+    * (r14 ADVICE). */
+  private def requireMatchingKeyTypes(fact: DataFrame, dim: DataFrame,
+      factKey: Column, dimKey: Column, who: String): Unit = {
+    val ft = fact.select(factKey).schema.head.dataType
+    val dt = dim.select(dimKey).schema.head.dataType
+    require(ft == dt, s"$who requires fact and dim keys of the SAME " +
+      s"data type (string renderings must agree for the no-false-" +
+      s"negative law); got $ft vs $dt — cast both sides explicitly")
+  }
 
   /** The folded dim-side bit words + set-bit count — built
     * DISTRIBUTED: each partition ORs its keys' bits into a local word
@@ -498,11 +515,18 @@ object Sketches {
   def bloomSemiJoinLedger(fact: DataFrame, dim: DataFrame,
       factKey: Column, dimKey: Column, m: Long = BloomM,
       k: Int = BloomK): DataFrame = {
+    // Same key expressions as [[bloomSemiJoin]] — no extra cast: a
+    // long-canonicalized ledger would measure a DIFFERENT filter than
+    // the one bloomSemiJoin runs (and null out non-numeric keys
+    // entirely), so its fpr/false_neg rows would describe a filter
+    // that was never applied (r14 ADVICE).
+    requireMatchingKeyTypes(fact, dim, factKey, dimKey,
+      "bloomSemiJoinLedger")
     val dimKeys = Reuse.shared(
-      dim.select(dimKey.cast("long").as("_dk")).distinct())
+      dim.select(dimKey.as("_dk")).distinct())
     val (words, bitsSet) = dimBitWords(dimKeys, col("_dk"), m, k)
     val probed = fact
-      .select(factKey.cast("long").as("_k"))
+      .select(factKey.as("_k"))
       .withColumn("_pass",
         bloomProbeLit(words, col("_k"), m, k).cast("long"))
       .join(broadcast(dimKeys.withColumn("_in", lit(1L))),

@@ -846,7 +846,20 @@ object TextOps {
     val tokTot = pres.groupBy("token").agg(count(lit(1)).as("n_tok"))
     val labTot = doc.groupBy(label.as("label"))
       .agg(count(lit(1)).as("n_lab"))
-    val n = doc.agg(count(lit(1)).as("n"))
+    // n_tok above counts (doc, label, token) presence rows, which
+    // equals docs-containing-token ONLY when each doc carries exactly
+    // one label — multi-label/dirty data would silently inflate n_tok
+    // and deflate every ratio (r14 ADVICE). Guard it inside the same
+    // one-row aggregate the card already pays for: raise loudly when
+    // any doc_id spans more than one label value.
+    val n = doc
+      .agg(count(lit(1)).as("n"), countDistinct(col(id)).as("_nd"),
+        countDistinct(col(id), label).as("_ndl"))
+      .select(when(col("_nd") === col("_ndl"), col("n"))
+        .otherwise(raise_error(concat(
+          lit("labelAssociation requires one label per doc; "),
+          (col("_ndl") - col("_nd")).cast("string"),
+          lit(" extra (doc,label) pairs found")))).as("n"))
     cells
       .join(tokTot, Seq("token"))
       .join(broadcast(labTot), Seq("label"))
@@ -1026,6 +1039,57 @@ object TextOps {
       .select(col("_id").as("doc_id"), col("score"))
       .orderBy(col("score").desc, col("doc_id"))
       .limit(k)
+  }
+
+  /**
+   * Per-query BM25 served ENTIRELY from the stored posting index —
+   * the serve-time twin of [[bm25PerQuery]] (r14 verdict item 2): the
+   * query documents are corpus members, so their query terms ARE
+   * their posting rows (distinct (term, doc_id) for the query ids —
+   * a keyed filter of the index, partition-pruned when the store is
+   * term-partitioned... the q_id filter prunes on doc_id, so a serve
+   * store keeps BOTH projections: this reads the same one relation),
+   * df/N/avgdl derive from the posting relation as in
+   * [[bm25FromIndex]], and corpus TEXT is never rescanned on this
+   * leg. Law: identical to [[bm25PerQuery]] on the text snapshot the
+   * index was built from — spec-asserted.
+   *
+   * Scale shape: unchanged from [[bm25PerQuery]] — hits = the query
+   * vocabulary's posting lists (LEFT-SEMI against the broadcast
+   * vocab before any shuffle), per-query fan-out joins the small qt
+   * relation onto hits, window rank ≤ k.
+   */
+  def bm25PerQueryFromIndex(index: DataFrame, qIds: Seq[Long],
+      k: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(qIds.nonEmpty, "bm25 needs at least one query doc")
+    val idx = Reuse.shared(index.select("term", "doc_id", "dl", "tf"))
+    val docStats = idx.select("doc_id", "dl").distinct()
+    val stats = docStats.agg(count(lit(1)).as("n"),
+        sum("dl").as("mass"))
+      .select(col("n"),
+        expr("CAST(mass * 1000 DIV n AS BIGINT)").as("avgdl_milli"))
+    val qt = idx.filter(col("doc_id").isin(qIds: _*))
+      .select(col("doc_id").as("q_id"), col("term").as("_t"))
+      .distinct()
+    val hits = Reuse.shared(idx
+      .select(col("term").as("_t"), col("doc_id").as("_id"),
+        col("dl").as("_dl"), col("tf"))
+      .join(broadcast(qt.select("_t").distinct()), Seq("_t"),
+        "left_semi"))
+    val dfRel = hits.groupBy("_t").agg(count(lit(1)).as("df"))
+    val scored = bm25Scored(hits.join(dfRel, Seq("_t"))
+      .join(broadcast(qt), Seq("_t"))
+      .filter(col("_id") =!= col("q_id"))
+      .crossJoin(broadcast(stats)))
+      .groupBy("q_id", "_id")
+      .agg(bm25ScoreSum.as("score"))
+    scored
+      .withColumn("rank", row_number().over(Window.partitionBy("q_id")
+        .orderBy(col("score").desc, col("_id").asc)))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("_id").as("t_id"),
+        col("rank").cast("long").as("rank"), col("score"))
   }
 
   /**

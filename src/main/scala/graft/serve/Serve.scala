@@ -59,6 +59,56 @@ object Serve {
   def entityFilter(ranged: DataFrame, entity: Option[String]): DataFrame =
     entity.fold(ranged)(e => ranged.filter(col("entity") === e))
 
+  /**
+   * Reader-side retry for serving reads racing an OFFLINE compaction
+   * ([[graft.stream.AggregateStore.compact]]) — the priced retry path
+   * the r14 race spec promised (r14 verdict item 4): the swap has two
+   * loud transient states — "aside" (nothing at the store path for the
+   * instant between the two renames → PATH_NOT_FOUND at plan time) and
+   * a pre-swap-planned scan whose files were replaced underneath it
+   * (FileNotFoundException at execute time). Both resolve to a
+   * CONSISTENT post-compact snapshot on re-plan (the race spec's law),
+   * so the serving client re-runs the WHOLE action — plan and execute;
+   * a retained DataFrame would pin the stale file listing, which is
+   * why the argument is a thunk, not a frame. Anything that is not one
+   * of the two compaction signatures rethrows immediately: a genuinely
+   * missing store must stay loud, not get three pointless retries.
+   */
+  def retryingServe[T](attempts: Int = 4, backoffMs: Long = 25)(
+      action: => T): T = {
+    require(attempts >= 1, "retryingServe needs at least one attempt")
+    var i = 0
+    while (true) {
+      try return action
+      catch {
+        case e: Throwable if i + 1 < attempts && compactionRace(e) =>
+          i += 1
+          Thread.sleep(backoffMs * i)
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  /** The two transient signatures of a read racing the compact swap
+    * (cause chain walked — Spark wraps the executor's
+    * FileNotFoundException several layers deep). */
+  private[graft] def compactionRace(e: Throwable): Boolean = {
+    var t: Throwable = e
+    var depth = 0
+    while (t != null && depth < 12) {
+      val msg = Option(t.getMessage).getOrElse("")
+      t match {
+        case _: java.io.FileNotFoundException => return true
+        case _ if msg.contains("PATH_NOT_FOUND") ||
+          msg.contains("Path does not exist") => return true
+        case _ => ()
+      }
+      t = if (t.getCause eq t) null else t.getCause
+      depth += 1
+    }
+    false
+  }
+
   /** OP-41 `getrecent*string N` (RocksDBStore.cs:174-196, SeekToLast+Prev):
     * newest N records. Spark plans this as TakeOrderedAndProject — a
     * per-partition top-N + driver merge, no global sort. The reference's

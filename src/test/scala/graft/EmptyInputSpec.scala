@@ -366,6 +366,12 @@ class EmptyInputSpec extends TestBase {
         graft.ops.Sketches.selectionQuantilesFromCounts(
           emptyCounts, Seq("lang"))))
     assert(results.forall(_._2 == 0L), s"non-empty: $results")
+    // ext171 ledger on an empty corpus: ONE all-zero row, no NULLs
+    val led = graft.ops.Multimodal.phashCandidateLedger(assets)
+      .collect()
+    assert(led.length == 1 && (0 until 6).forall(i =>
+      !led.head.isNullAt(i) && led.head.getLong(i) == 0L),
+      s"empty-corpus phash ledger drifted: ${led.toSeq}")
     graft.ops.Reuse.freeAll(spark)
   }
 

@@ -559,6 +559,31 @@ class OpsSpec extends TestBase {
       (((words((b / 64).toInt) >> (b % 64).toInt) & 1L) == 1L)
         == relBits.contains(b)),
       "treeAggregate words differ from the relational bit set")
+    // mismatched key types break the string-rendering hash parity the
+    // no-false-negative law rests on ("5" vs "5.0") — rejected loudly
+    // in BOTH entry points, and the ledger hashes the same raw keys
+    // as the filter it prices (r14 ADVICE)
+    val exJ = intercept[IllegalArgumentException] {
+      Sketches.bloomSemiJoin(li, dim, col("l_orderkey"),
+        col("o_orderkey").cast("double"))
+    }
+    assert(exJ.getMessage.contains("SAME data type"))
+    val exL = intercept[IllegalArgumentException] {
+      Sketches.bloomSemiJoinLedger(li, dim,
+        col("l_orderkey").cast("string"), col("o_orderkey"))
+    }
+    assert(exL.getMessage.contains("SAME data type"))
+    // string keys (previously nulled out by the ledger's long cast)
+    // now measure the real filter: parity ledger vs filter count
+    val lStr = Sketches.bloomSemiJoinLedger(li,
+      dim, col("l_orderkey").cast("string"),
+      col("o_orderkey").cast("string")).collect().head
+    val passStr = Sketches.bloomSemiJoin(li, dim,
+      col("l_orderkey").cast("string"),
+      col("o_orderkey").cast("string")).count()
+    assert(lStr.getAs[Long]("passed") == passStr,
+      s"ledger passed ${lStr.getAs[Long]("passed")} != filter $passStr")
+    assert(lStr.getAs[Long]("false_neg") == 0L)
     graft.ops.Reuse.freeAll(spark)
   }
 
@@ -585,6 +610,52 @@ class OpsSpec extends TestBase {
       .queryExecution.executedPlan.toString
     assert(plan.contains("PartitionFilters: [term"),
       s"term filter did not reach partition pruning:\n$plan")
+    graft.ops.Reuse.freeAll(spark)
+  }
+
+  test("hybrid retrieval from stores: BOTH legs served from persisted " +
+      "artifacts (IVF-PQ triple + posting index round-tripped through " +
+      "parquet) == the recompute form, and the lexical leg never " +
+      "touches corpus text (r14 verdict item 2)") {
+    val S = graft.ops.Similarity
+    import graft.ops.TextOps
+    val emb = Tables.embeddings(spark, sf("sf0.001"))
+    val docs = Tables.documents(spark, sf("sf0.001"))
+    val qIds = (0L until 8L).toSeq
+    // build-once artifacts, persisted the way a serving node stores them
+    val cents = S.kmeansCentroids(emb)
+    val cb = S.pqCodebooks(emb).localCheckpoint(true)
+    val coded = S.ivfPqCodedCorpus(emb, cb,
+      S.kmeansProbeBuckets(emb, probes = 1)
+        .filter(col("probe_rank") === 1).select("vec_id", "bucket"))
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-hybrid").toString
+    cents.write.parquet(s"$root/cents")
+    cb.write.parquet(s"$root/cb")
+    coded.write.parquet(s"$root/coded")
+    TextOps.bm25IndexPartials(docs).write.parquet(s"$root/index")
+    val served = S.hybridFromStores(qIds,
+      spark.read.parquet(s"$root/cents"),
+      spark.read.parquet(s"$root/cb"),
+      spark.read.parquet(s"$root/coded"),
+      emb, spark.read.parquet(s"$root/index"))
+    // the recompute form: same algorithm over the in-session artifacts
+    val queries = emb.filter(col("vec_id").isin(qIds: _*))
+    val expect = S.rrfFuse(Seq(
+      S.ivfPqSearch(queries, cents, cb, coded, emb, 10),
+      TextOps.bm25PerQuery(docs,
+        docs.filter(col("doc_id").isin(qIds: _*)), 10)), 5)
+    assert(expect.count() > 0, "fixture is vacuous")
+    assert(served.except(expect).isEmpty && expect.except(served).isEmpty,
+      "stored-artifact hybrid differs from the recompute form")
+    // serve-path claim: the lexical leg's plan reads ONLY the posting
+    // store — corpus text is never rescanned
+    graft.ops.Reuse.freeAll(spark)
+    val lexPlan = TextOps.bm25PerQueryFromIndex(
+        spark.read.parquet(s"$root/index"), qIds)
+      .queryExecution.executedPlan.toString
+    assert(!lexPlan.contains("documents"),
+      s"lexical serve leg rescans corpus text:\n$lexPlan")
     graft.ops.Reuse.freeAll(spark)
   }
 
@@ -642,6 +713,17 @@ class OpsSpec extends TestBase {
       Multimodal.phashPairs(assets, maxHamming = 4, nChunks = 4) }
     intercept[IllegalArgumentException] {
       Multimodal.phashPairs(assets, maxHamming = 3, nChunks = 7) }
+    // ext171 ledger consistency: survivors == the pair relation's
+    // count at the same regime, candidate volume bounds respected
+    val led = Multimodal.phashCandidateLedger(assets).collect().head
+    assert(led.getAs[Long]("survivors") == brute(3).size.toLong,
+      "ledger survivors != radius-3 pair count")
+    assert(led.getAs[Long]("cand_pairs") <= led.getAs[Long]("join_rows"),
+      "distinct candidates exceed join volume")
+    assert(led.getAs[Long]("cand_pairs") >= led.getAs[Long]("survivors"))
+    assert(led.getAs[Long]("n_assets") > 0 &&
+      led.getAs[Long]("max_bucket") <= led.getAs[Long]("n_assets"))
+    graft.ops.Reuse.freeAll(spark)
   }
 
   test("phash over REAL pixels: near-identical PNGs land within a few " +

@@ -13,19 +13,19 @@ class SimilaritySpec extends TestBase {
   private lazy val emb = Tables.embeddings(spark, sf("sf0.001"))
   private lazy val queries = emb.filter(col("vec_id") < 10)
 
-  private def pcaReplay(rows: Seq[Array[Long]], iters: Int)
-      : Array[Long] = {
-    var v = Array.fill(64)(1000000L)
+  private def pcaReplay(rows: Seq[Array[Long]], iters: Int,
+      dims: Int = 64): Array[Long] = {
+    var v = Array.fill(dims)(1000000L)
     for (_ <- 1 to iters) {
-      val y = Array.fill(64)(BigInt(0))
+      val y = Array.fill(dims)(BigInt(0))
       rows.foreach { q =>
         var dot = 0L
         var i = 0
-        while (i < 64) { dot += q(i) * v(i); i += 1 }
+        while (i < dims) { dot += q(i) * v(i); i += 1 }
         val du =
           if (dot < 0) -((-dot) / 1000000L) else dot / 1000000L
         i = 0
-        while (i < 64) { y(i) += BigInt(q(i)) * du; i += 1 }
+        while (i < dims) { y(i) += BigInt(q(i)) * du; i += 1 }
       }
       if (rows.nonEmpty) {
         val m = y.map(_.abs).max
@@ -67,6 +67,41 @@ class SimilaritySpec extends TestBase {
     val wantR = pcaReplay(quantRows(emb.select("embedding")), 3)
       .zipWithIndex.map { case (vp, i0) => ((i0 + 1).toLong, vp) }.toSeq
     assert(gotR == wantR, "real-corpus engine != driver replay")
+    graft.ops.Reuse.freeAll(spark)
+  }
+
+  test("pca power direction derives the dimension from the corpus: a " +
+      "non-64-dim corpus works (engine == replay), a ragged corpus " +
+      "fails with the typed message, not an NPE (r14 verdict #1)") {
+    import spark.implicits._
+    // 5-dim corpus: the r14 code would zip_with-pad to 64 and NPE in
+    // the driver map; now the iterate is honestly 5 rows.
+    val vecs5 = Seq(
+      (1L, Array(0.9f, 0.1f, 0.0f, -0.2f, 0.05f)),
+      (2L, Array(-0.8f, 0.0f, 0.1f, 0.25f, -0.1f)),
+      (3L, Array(0.7f, -0.05f, 0.2f, -0.15f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.pcaPowerDirection(vecs5).orderBy("dim")
+      .as[(Long, Long)].collect().toSeq
+    val rows5 = vecs5.select("embedding").collect()
+      .map(_.getSeq[Float](0).toArray
+        .map(x => math.floor(x.toDouble * 1000000.0).toLong)).toSeq
+    val want = pcaReplay(rows5, 3, dims = 5).zipWithIndex
+      .map { case (vp, i0) => ((i0 + 1).toLong, vp) }.toSeq
+    assert(got == want, s"5-dim engine != replay: $got")
+    assert(got.size == 5 && got.map(_._2.abs).max == 1000000L)
+    graft.ops.Reuse.freeAll(spark)
+    // ragged corpus: loud typed failure (hyperplaneSignature
+    // discipline), never a null-padded silent result
+    val ragged = Seq(
+      (1L, Array(0.5f, 0.1f)),
+      (2L, Array(0.5f, 0.1f, 0.3f)))
+      .toDF("vec_id", "embedding")
+    val ex = intercept[IllegalArgumentException] {
+      Similarity.pcaPowerDirection(ragged).collect()
+    }
+    assert(ex.getMessage.contains("fixed embedding dimension"),
+      s"wrong message: ${ex.getMessage}")
     graft.ops.Reuse.freeAll(spark)
   }
 

@@ -410,4 +410,23 @@ class TextKernelsSpec extends TestBase {
     assert(viaBatches == got, s"two-batch fold drifted: $viaBatches")
     graft.ops.Reuse.freeAll(spark)
   }
+
+  test("label association rejects multi-label docs loudly: the n_tok " +
+      "marginal assumes one label per doc, so dirty data must fail " +
+      "typed, not silently deflate every ratio (r14 ADVICE)") {
+    import spark.implicits._
+    // doc 1 appears under BOTH labels — the exact failure mode the
+    // marginal comment warns about
+    val dirty = Seq(
+      (1L, "cat dog", "en"), (1L, "cat dog", "fr"),
+      (2L, "cat fish", "en"))
+      .toDF("doc_id", "text", "lang")
+    val ex = intercept[Exception] {
+      graft.ops.TextOps.labelAssociation(dirty, col("lang"),
+        minCount = 1L).collect()
+    }
+    assert(ex.getMessage.contains("one label per doc"),
+      s"wrong failure: ${ex.getMessage}")
+    graft.ops.Reuse.freeAll(spark)
+  }
 }
