@@ -917,6 +917,68 @@ object ScaleSmoke {
         f"survivors=$survivors")
       graft.ops.Reuse.freeAll(spark)
     }
+    // r15: price the hybrid SERVE path (r14 verdict item 2's "Done"
+    // asks a pricing row) — stored-artifact retrieval vs the recompute
+    // form at the smoke corpus. Build-once store cost reported
+    // separately; the serve row reads both legs from parquet (no
+    // corpus text scan, codes+postings only) and should hold roughly
+    // flat as queries repeat while recompute pays the full build +
+    // text scan every time.
+    if (only.forall(_.exists(p =>
+        "r15hybrid".startsWith(p) || p.startsWith("r15hybrid")))) {
+      val S = graft.ops.Similarity
+      val emb = graft.ingest.Tables.embeddings(spark, sfDir)
+      val docs = base
+      val qIds = (0L until 8L).toSeq
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-smoke-hybrid").toString
+      val tb0 = System.nanoTime()
+      val cents0 = S.kmeansCentroids(emb)
+      val cb0 = S.pqCodebooks(emb).localCheckpoint(true)
+      S.ivfPqCodedCorpus(emb, cb0,
+          S.kmeansProbeBuckets(emb, probes = 1)
+            .filter(col("probe_rank") === 1).select("vec_id", "bucket"))
+        .write.parquet(s"$tmp/coded")
+      cents0.write.parquet(s"$tmp/cents")
+      cb0.write.parquet(s"$tmp/cb")
+      graft.ops.TextOps.bm25IndexPartials(docs)
+        .write.parquet(s"$tmp/index")
+      val buildS = (System.nanoTime() - tb0) / 1e9
+      graft.ops.Reuse.freeAll(spark)
+      def servedOnce(): Long = {
+        val r = S.hybridFromStores(qIds,
+          spark.read.parquet(s"$tmp/cents"),
+          spark.read.parquet(s"$tmp/cb"),
+          spark.read.parquet(s"$tmp/coded"),
+          emb, spark.read.parquet(s"$tmp/index")).count()
+        graft.ops.Reuse.freeAll(spark); spark.catalog.clearCache()
+        r
+      }
+      def recomputedOnce(): Long = {
+        val cents = S.kmeansCentroids(emb)
+        val cb = S.pqCodebooks(emb).localCheckpoint(true)
+        val coded = S.ivfPqCodedCorpus(emb, cb,
+          S.kmeansProbeBuckets(emb, probes = 1)
+            .filter(col("probe_rank") === 1).select("vec_id", "bucket"))
+        val queries = emb.filter(col("vec_id").isin(qIds: _*))
+        val r = S.rrfFuse(Seq(
+          S.ivfPqSearch(queries, cents, cb, coded, emb, 10),
+          graft.ops.TextOps.bm25PerQuery(docs,
+            docs.filter(col("doc_id").isin(qIds: _*)), 10)), 5).count()
+        graft.ops.Reuse.freeAll(spark); spark.catalog.clearCache()
+        r
+      }
+      servedOnce(); recomputedOnce() // warm codegen/readers untimed
+      val ts0 = System.nanoTime()
+      val servedRows = servedOnce()
+      val serveS = (System.nanoTime() - ts0) / 1e9
+      val tr0 = System.nanoTime()
+      val recompRows = recomputedOnce()
+      val recompS = (System.nanoTime() - tr0) / 1e9
+      println(f"[scale-smoke] hybrid_serve_vs_recompute  " +
+        f"build=$buildS%.1f s  serve=$serveS%.1f s  " +
+        f"recompute=$recompS%.1f s  rows=$servedRows/$recompRows")
+    }
     spark.stop()
   }
 }

@@ -111,8 +111,15 @@ object Tables {
    */
   def tweetsFromJsonLines(lines: DataFrame): DataFrame = {
     val col0 = lines.columns.head
+    // A file-sharded ingress layout (`shard=<id>/...` partition dirs —
+    // the shardSequencerStream contract) surfaces a `shard` column next
+    // to the text; carry it through the parse so the Adjust clamp can
+    // auto-key per source shard (r14 verdict item 3). Single-stream
+    // ingress has no such column and nothing changes.
+    val passthrough = lines.columns.filter(_ == "shard").toSeq.map(col)
     lines
-      .select(from_json(col(col0), TweetSchema.raw).as("t"))
+      .select(from_json(col(col0), TweetSchema.raw).as("t") +:
+        passthrough: _*)
       .filter(col("t").isNotNull && col("t.id").isNotNull)
       // GetTimestamp() > 0 (SaveAggregates.cs:74): null/empty/zero/
       // unparseable timestamps are all dropped, like the reference.
@@ -121,9 +128,9 @@ object Tables {
       // predicate containing the projection's cast below this filter, so
       // the projection must be throw-free too.
       .filter(expr("try_cast(t.timestamp_ms AS LONG) > 0"))
-      .select(
-        col("t.*"),
-        expr("timestamp_millis(try_cast(t.timestamp_ms AS LONG))").as("ts"))
+      .select(col("t.*") +:
+        expr("timestamp_millis(try_cast(t.timestamp_ms AS LONG))")
+          .as("ts") +: passthrough: _*)
       .filter(col("ts").isNotNull)
   }
 
@@ -148,7 +155,7 @@ object Tables {
   }
 
   def projectTweets(tweets: DataFrame): DataFrame =
-    tweets.select(
+    tweets.select(Seq(
       col("id"),
       coalesce(
         col("extended_tweet.full_text"),
@@ -161,5 +168,8 @@ object Tables {
       when(col("retweeted_status").isNotNull, col("retweeted_status.id"))
         .otherwise(lit(-1L)).as("originalTweetId"),
       coalesce(col("user.followers_count"), lit(0L)).as("followerCount"),
-      col("ts"))
+      col("ts")) ++
+      // file-sharded ingress: the source shard rides the projection so
+      // the Adjust clamp downstream can auto-key on it
+      tweets.columns.filter(_ == "shard").toSeq.map(col): _*)
 }

@@ -1177,10 +1177,20 @@ object Similarity {
 
   /** Per-subspace view of the quantized corpus: (vid, m, sq, sn2) —
     * subspace m holds dims [m·d+1, (m+1)·d], d = dims / M. Sub-norms
-    * sum to the full norm² exactly (disjoint dim partition). */
+    * sum to the full norm² exactly (disjoint dim partition) — which
+    * needs M | dims: a 66-dim vector under M=4 would silently slice
+    * 4×16 and DROP the last two dims from codes and sub-norms, so a
+    * non-divisible width fails loudly instead (the pca/
+    * hyperplaneSignature geometry-guard discipline, r14 verdict
+    * item 1's kernel audit). */
   private def pqSub(emb: DataFrame, id: String, vec: String): DataFrame =
     prepared(emb, id, vec).toDF("vid", "q", "n2")
-      .withColumn("_d", (size(col("q")) / lit(PqSubspaces)).cast("int"))
+      .withColumn("_d",
+        when(size(col("q")) % lit(PqSubspaces) === 0,
+          (size(col("q")) / lit(PqSubspaces)).cast("int"))
+          .otherwise(raise_error(concat(
+            lit(s"PQ needs dims divisible by $PqSubspaces subspaces, " +
+              "got "), size(col("q")).cast("string")))))
       .select(col("vid"), explode(array((0 until PqSubspaces).map(m =>
         struct(lit(m).as("m"),
           expr(s"slice(q, $m * _d + 1, _d)").as("sq"))): _*)).as("s"))

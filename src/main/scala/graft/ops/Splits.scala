@@ -232,4 +232,62 @@ object Splits {
         expr("(1000000 * users_both) DIV greatest(users_train, 1)")
           .as("users_both_ppm"))
   }
+
+  /** Per-(user, microsecond) event-count partial — the ONE stored
+    * relation the streaming [[temporalSplit]] twin folds (r14 verdict
+    * item 6): a pure addition partial (events arrive whole, counts
+    * sum), from which BOTH inputs of the batch card derive — the
+    * global value-count table (Σ over users) that fixes the cutoff,
+    * and the per-user segment masses. One sink, both cards: the
+    * trend-matrix discipline. */
+  def temporalEventCounts(events: DataFrame, user: Column,
+      ts: String = "ts"): DataFrame =
+    events.select(user.as("_u"), unix_micros(col(ts)).as("_us"))
+      .groupBy("_u", "_us").agg(count(lit(1)).as("cnt"))
+
+  /** [[temporalSplit]] from a (possibly unfolded) `(u, us, cnt)`
+    * partials relation: duplicates re-sum first (the batching law),
+    * the cutoff is the identical smallest-value-reaching-k selection
+    * rule over the summed value counts
+    * ([[Sketches.selectionQuantilesFromCounts]] — the same tie
+    * algebra the bisection implements), then the per-user fold is the
+    * batch card's, weighted by `cnt`. Zero event rescans: everything
+    * reads the compact counts relation. */
+  def temporalSplitFromCounts(counts: DataFrame, testPct: Int = 20,
+      gapUs: Long = 86400000000L): DataFrame = {
+    require(testPct > 0 && testPct < 100, "testPct in (0, 100)")
+    require(gapUs >= 0, "gap must be non-negative")
+    val folded = Reuse.shared(counts.groupBy("_u", "_us")
+      .agg(sum("cnt").as("cnt")))
+    val cutRows = Sketches.selectionQuantilesFromCounts(
+      folded.select(lit(0).as("_s"), col("_us").as("_v"), col("cnt")),
+      Seq("_s"), Seq((100 - testPct).toInt)).collect()
+    if (cutRows.isEmpty)
+      return folded.sparkSession.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](),
+        org.apache.spark.sql.types.StructType(
+          Seq("cutoff_us", "n_train", "n_gap", "n_test", "users_train",
+            "users_test", "users_both", "users_both_ppm").map(
+            org.apache.spark.sql.types.StructField(_,
+              org.apache.spark.sql.types.LongType))))
+    val cut = cutRows.head.getAs[Long]("value")
+    val perUser = folded.groupBy("_u").agg(
+      sum(when(col("_us") <= cut, col("cnt")).otherwise(0L)).as("tr"),
+      sum(when(col("_us") > cut && col("_us") <= cut + gapUs,
+        col("cnt")).otherwise(0L)).as("gp"),
+      sum(when(col("_us") > cut + gapUs, col("cnt")).otherwise(0L))
+        .as("te"))
+    perUser.agg(
+        sum("tr").as("n_train"), sum("gp").as("n_gap"),
+        sum("te").as("n_test"),
+        sum(when(col("tr") > 0, 1L).otherwise(0L)).as("users_train"),
+        sum(when(col("te") > 0, 1L).otherwise(0L)).as("users_test"),
+        sum(when(col("tr") > 0 && col("te") > 0, 1L).otherwise(0L))
+          .as("users_both"))
+      .select(lit(cut).as("cutoff_us"), col("n_train"), col("n_gap"),
+        col("n_test"), col("users_train"), col("users_test"),
+        col("users_both"),
+        expr("(1000000 * users_both) DIV greatest(users_train, 1)")
+          .as("users_both_ppm"))
+  }
 }

@@ -919,6 +919,24 @@ object StreamingPipeline {
     graft.ops.Sketches.selectionQuantilesFromCounts(
       spark.read.parquet(outPath).drop("batch"), strata, qs)
 
+  /** Streaming twin of the temporal train/gap/test split (ext170 —
+    * r14 verdict item 6): each micro-batch appends its per-(user, µs)
+    * event-count partial (pure addition — events arrive whole), and
+    * [[temporalSplitFromState]] folds ONE stored relation into both
+    * halves of the batch card: the summed value counts fix the exact
+    * selection-quantile cutoff (the bisection's tie rule, as a rank
+    * over the fold), the per-user weighted fold gives the segment
+    * masses. No event rescan at serve time. */
+  def temporalSplitPartialsSink(events: DataFrame, user: Column,
+      outPath: String): DataStreamWriter[org.apache.spark.sql.Row] =
+    partialsSink(events,
+      graft.ops.Splits.temporalEventCounts(_, user), outPath)
+
+  def temporalSplitFromState(spark: SparkSession, outPath: String,
+      testPct: Int = 20, gapUs: Long = 86400000000L): DataFrame =
+    graft.ops.Splits.temporalSplitFromCounts(
+      spark.read.parquet(outPath).drop("batch"), testPct, gapUs)
+
   /** Streaming twin of the per-source Gopher pass rates (ext84). */
   def gopherPassPartialsSink(docs: DataFrame, strata: Seq[String],
       outPath: String): DataStreamWriter[org.apache.spark.sql.Row] =
@@ -1662,6 +1680,22 @@ object StreamingPipeline {
       .drop("_adj_us", "_adj_key")
   }
 
+  /** [[adjustDisorderStream]] with the clamp key chosen FROM THE
+    * SOURCE (r14 verdict item 3): a file-sharded ingress — the
+    * [[shardSequencerStream]] layout, `shard=<id>/...` partition dirs,
+    * which the ingest projection surfaces as a `shard` column — clamps
+    * per shard automatically (each shard is its own ordered ingress
+    * with its own watermark, so the per-shard law is the faithful one
+    * AND lifts the single-task global-clamp ceiling by default, not
+    * via an opt-in knob); single-stream ingress has no shard column
+    * and keeps the reference-faithful global key. */
+  def adjustDisorderStreamAuto(events: DataFrame, ts: String = "ts",
+      boundUs: Long = 5000000L,
+      shardCol: String = "shard"): DataFrame =
+    if (events.columns.contains(shardCol))
+      adjustDisorderStream(events, ts, boundUs, col(shardCol))
+    else adjustDisorderStream(events, ts, boundUs)
+
   /** OP-19/20 with Adjust semantics end to end: the clamp above, then
     * the reference's tumbling count under a watermark equal to the
     * disorder bound — which, post-clamp, can never drop a row
@@ -1809,7 +1843,7 @@ object StreamingPipeline {
     // unified 4-family pipeline (Query.cs:27-31 applies to the SAME
     // multicast input both paths consume).
     unifiedSink(unifiedAggStream(
-        if (adjust) adjustDisorderStream(src) else src), storeRoot)
+        if (adjust) adjustDisorderStreamAuto(src) else src), storeRoot)
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.ProcessingTime("1 second"))
       .start()
@@ -1920,7 +1954,7 @@ object StreamingPipeline {
       checkpoint: String, adjust: Boolean = false): StreamingQuery = {
     val src = tweetStream(spark, inputDir)
     rankedSink(hashtagAggStream(
-        if (adjust) adjustDisorderStream(src) else src), storePath)
+        if (adjust) adjustDisorderStreamAuto(src) else src), storePath)
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.ProcessingTime("1 second"))
       .start()

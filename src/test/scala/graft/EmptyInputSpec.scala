@@ -372,6 +372,16 @@ class EmptyInputSpec extends TestBase {
     assert(led.length == 1 && (0 until 6).forall(i =>
       !led.head.isNullAt(i) && led.head.getLong(i) == 0L),
       s"empty-corpus phash ledger drifted: ${led.toSeq}")
+    // temporalSplitFromCounts on an empty partials relation: the same
+    // empty card as the batch operator (no cutoff exists)
+    val emptyTsCounts = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(
+        StructField("_u", LongType),
+        StructField("_us", LongType),
+        StructField("cnt", LongType))))
+    assert(graft.ops.Splits.temporalSplitFromCounts(emptyTsCounts)
+      .count() == 0L)
     graft.ops.Reuse.freeAll(spark)
   }
 

@@ -103,6 +103,24 @@ class SimilaritySpec extends TestBase {
     assert(ex.getMessage.contains("fixed embedding dimension"),
       s"wrong message: ${ex.getMessage}")
     graft.ops.Reuse.freeAll(spark)
+    // PQ divisibility guard (kernel audit): a 6-dim corpus under 4
+    // subspaces would silently slice 4x1 and drop 2 dims — loud now
+    val sixDim = Seq((1L, Array.fill(6)(0.5f)), (2L, Array.fill(6)(0.1f)))
+      .toDF("vec_id", "embedding")
+    val exPq = intercept[Exception] {
+      Similarity.pqCodebooks(sixDim).collect()
+    }
+    assert(exPq.getMessage != null &&
+      exPq.getMessage.contains("divisible"),
+      s"wrong pq failure: ${exPq.getMessage}")
+    // divisible non-64 widths flow through: 8-dim codebooks cover the
+    // full vector (sub-norms partition the norm)
+    val eightDim = Seq((1L, Array.fill(8)(0.5f)),
+      (2L, Array.tabulate(8)(i => 0.1f * i)))
+      .toDF("vec_id", "embedding")
+    assert(Similarity.pqCodes(eightDim,
+      Similarity.pqCodebooks(eightDim)).count() > 0)
+    graft.ops.Reuse.freeAll(spark)
   }
 
   test("ivf results are brute-force results filtered to the bucket") {

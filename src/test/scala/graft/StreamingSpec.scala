@@ -1698,6 +1698,40 @@ class StreamingSpec extends TestBase {
     graft.ops.Reuse.freeAll(spark)
   }
 
+  test("streaming temporal-split twin: the per-(user,us) count fold " +
+      "serves the EXACT batch card, cutoff included (ext170 twin, " +
+      "r14 verdict item 6)") {
+    val events = graft.ingest.Tables.events(spark, sf("sf0.001"))
+    val srcDir = Files.createTempDirectory("graft-tsp-src").toString + "/d"
+    events.write.parquet(srcDir)
+    val state = Files.createTempDirectory("graft-tsp-state").toString
+    val ckpt = Files.createTempDirectory("graft-tsp-ckpt").toString
+    val q = StreamingPipeline.temporalSplitPartialsSink(
+        StreamingPipeline.parquetStream(spark, srcDir,
+          maxFilesPerTrigger = Some(1)),
+        col("user_id"), state)
+      .option("checkpointLocation", ckpt).start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = StreamingPipeline.temporalSplitFromState(spark, state)
+    val batch = graft.ops.Splits.temporalSplit(events, col("user_id"))
+    assert(batch.count() == 1, "batch card fixture is vacuous")
+    assert(streamed.except(batch).isEmpty && batch.except(streamed).isEmpty,
+      "streamed temporal-split fold differs from the batch card " +
+        s"(${streamed.collect().toSeq} vs ${batch.collect().toSeq})")
+    // the ONE stored relation also serves the cutoff directly (the
+    // one-sink-many-cards discipline): its summed value counts rank to
+    // the same selection quantile the bisection found
+    val vcCut = graft.ops.Sketches.selectionQuantilesFromCounts(
+        spark.read.parquet(state).drop("batch")
+          .select(lit(0).as("_s"), col("_us").as("_v"), col("cnt")),
+        Seq("_s"), Seq(80))
+      .collect().head.getAs[Long]("value")
+    assert(vcCut == batch.collect().head.getAs[Long]("cutoff_us"),
+      "state-served cutoff differs from the batch bisection")
+    graft.ops.Reuse.freeAll(spark)
+  }
+
   test("streaming source-overlap state == batch keyOverlap (ext68 twin, " +
       "incremental pair state, cap applied at derivation)") {
     val docs = graft.ingest.Tables.documents(spark, sf("sf0.001"))
@@ -2548,12 +2582,13 @@ class StreamingSpec extends TestBase {
       org.apache.commons.io.FileUtils.deleteDirectory(
         new java.io.File(tmp))
     }
-    def adjustedTs(key: org.apache.spark.sql.Column): Map[Long, Long] = {
+    def adjustedTs(clamp: org.apache.spark.sql.DataFrame =>
+        org.apache.spark.sql.DataFrame): Map[Long, Long] = {
       val ckpt = Files.createTempDirectory("graft-shadj-ckpt").toString
       val out = Files.createTempDirectory("graft-shadj-out").toString
       val src = StreamingPipeline.parquetStream(spark, srcDir.toString,
         maxFilesPerTrigger = Some(1))
-      val q = StreamingPipeline.adjustDisorderStream(src, key = key)
+      val q = clamp(src)
         .select($"event_id", unix_micros($"ts").as("us"))
         .writeStream.outputMode("append")
         .format("parquet").option("path", out)
@@ -2562,16 +2597,73 @@ class StreamingSpec extends TestBase {
       q.stop()
       spark.read.parquet(out).as[(Long, Long)].collect().toMap
     }
-    val sharded = adjustedTs(col("shard"))
+    val sharded = adjustedTs(
+      StreamingPipeline.adjustDisorderStream(_, key = col("shard")))
     assert(sharded == Map(
       1L -> at(0), 2L -> at(598), 3L -> at(1200), 4L -> at(600),
       5L -> at(1195), 6L -> at(595)),
       s"per-shard Adjust law violated: $sharded")
     // the global single-key clamp lifts e6 against shard A's max —
     // the two laws genuinely diverge on this fixture
-    val global = adjustedTs(lit(0L))
+    val global = adjustedTs(
+      StreamingPipeline.adjustDisorderStream(_))
     assert(global(6L) == at(1195) && sharded(6L) == at(595),
       s"fixture no longer separates the laws: $global vs $sharded")
+    // AUTO keying (r14 verdict item 3): the source carries its shard
+    // column, so the auto clamp satisfies the per-shard law with NO
+    // opt-in key argument...
+    val auto = adjustedTs(
+      StreamingPipeline.adjustDisorderStreamAuto(_))
+    assert(auto == sharded,
+      s"auto-keyed clamp broke the per-shard law: $auto")
+    // ...and a shard-less source falls back to the global law
+    val autoGlobal = adjustedTs(df =>
+      StreamingPipeline.adjustDisorderStreamAuto(df.drop("shard")))
+    assert(autoGlobal == global,
+      s"auto clamp on single-stream ingress drifted: $autoGlobal")
+  }
+
+  test("file-sharded tweet ingress end to end: shard=N partition dirs " +
+      "surface through parse + projection, and the adjust pipeline " +
+      "clamps per shard BY DEFAULT (r14 verdict item 3)") {
+    import spark.implicits._
+    val base = 1704067200000L // ms
+    def us(s: Long) = (base + s * 1000L) * 1000L
+    def line(id: Long, sec: Long) =
+      s"""{"id":$id,"text":"t$id #x","timestamp_ms":"${base + sec * 1000L}","extended_tweet":null,"entities":{"hashtags":[{"text":"x"}],"user_mentions":[]},"user":{"followers_count":1,"screen_name":"u"},"retweeted_status":null}"""
+    // the divergence fixture of the sharded-clamp test, as a FILE
+    // LAYOUT: shard A (=0) and shard B (=1) each an ingress dir
+    val root = Files.createTempDirectory("graft-autoshard").toFile
+    val incs = Seq(
+      (0L, 1L, 0L), (1L, 2L, 598L), (0L, 3L, 1200L),
+      (1L, 4L, 600L), (0L, 5L, 300L), (1L, 6L, 300L))
+    incs.zipWithIndex.foreach { case ((shard, id, sec), i) =>
+      val d = new java.io.File(root, s"shard=$shard")
+      d.mkdirs()
+      val f = new java.io.File(d, f"inc$i%02d.jsonl")
+      Files.write(f.toPath, line(id, sec).getBytes)
+      f.setLastModified(base + i * 60000L)
+    }
+    val src = StreamingPipeline.tweetStream(spark, root.toString,
+      maxFilesPerTrigger = Some(1))
+    assert(src.columns.contains("shard"),
+      s"sharded layout lost its shard column: ${src.columns.toSeq}")
+    val ckpt = Files.createTempDirectory("graft-autoshard-ckpt").toString
+    val out = Files.createTempDirectory("graft-autoshard-out").toString
+    val q = StreamingPipeline.adjustDisorderStreamAuto(src)
+      .select($"id", unix_micros($"ts").as("us"))
+      .writeStream.outputMode("append")
+      .format("parquet").option("path", out)
+      .option("checkpointLocation", ckpt).start()
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.read.parquet(out).as[(Long, Long)].collect().toMap
+    // per-shard Adjust(5 s): e5 lifts against shard A's max (20:00),
+    // e6 against shard B's (10:00) — the global clamp would lift BOTH
+    // to 19:55
+    assert(got == Map(1L -> us(0), 2L -> us(598), 3L -> us(1200),
+      4L -> us(600), 5L -> us(1195), 6L -> us(595)),
+      s"auto-keyed sharded ingress violated the per-shard law: $got")
   }
 
   test("run(adjust = true): the full live pipeline LIFTS an " +
