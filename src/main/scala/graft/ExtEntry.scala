@@ -24,6 +24,12 @@ object ExtEntry {
   /** Query-vector subset for similarity search examples. */
   private val NumQueryVecs = 20
 
+  /** ext172's token budget — interpolated into the oracle, so both
+    * engines read the same constant. ~37% of the sf0.01 corpus mass:
+    * the selection is non-trivial in both directions (real docs
+    * admitted AND rejected, a partially-admitted boundary class). */
+  private val BudgetSelectTokens = 10000L
+
   /** ext126's packing context length — interpolated into the oracle so
     * a change here cannot silently diverge the two engines. */
   private val CurationCtx = 512L
@@ -2248,6 +2254,18 @@ object ExtEntry {
     // octave, minCount floor, deterministic top-k.
     "ext167_label_assoc" -> ((s, dir) =>
       TextOps.labelAssociation(docs(s, dir), col("lang"))),
+
+    // Token-budget curation cut: best-scored docs admitted in
+    // (score DESC, id ASC) order until the token budget — threshold
+    // and boundary found by zero-shuffle bisection (the ext151/ext170
+    // discipline), never a global sort. Integer ppm quality score
+    // (ext09's blend, integerized).
+    "ext172_budget_select" -> ((s, dir) =>
+      Sampling.budgetSelectCard(
+        TextOps.quality(docs(s, dir)).withColumn("score_ppm", expr(
+          "least(n_words * 10000, 1000000) DIV 2" +
+            " + (n_stop * 1000000 DIV n_words) DIV 2")),
+        col("score_ppm"), BudgetSelectTokens)),
 
     // Burstiness (Fano factor) per entity over the daily count matrix:
     // dispersion texture next to ext152's direction and ext158's
@@ -6113,6 +6131,66 @@ object ExtEntry {
         |  (SELECT CAST(count(*) AS BIGINT) FROM cand) AS cand_pairs,
         |  (SELECT CAST(COALESCE(sum(CASE WHEN ham <= 3 THEN 1 ELSE 0
         |     END), 0) AS BIGINT) FROM cand) AS survivors""".stripMargin,
+
+    // Budget select: the bisection's threshold/boundary definitions
+    // replayed declaratively — t = min score with above-mass <= B
+    // (whole-corpus-fits => smin-1), id* = last boundary-class doc
+    // before the running class total crosses B; selection predicate
+    // and card aggregates identical to the engine's.
+    "ext172_budget_select" -> {
+      val b = BudgetSelectTokens
+      s"""WITH d AS (SELECT doc_id,
+         |    CAST(len(string_split(text,' ')) AS BIGINT) AS n_toks,
+         |    CAST(len(list_filter(string_split(text,' '),
+         |      t -> t IN ($stopList))) AS BIGINT) AS n_stop
+         |  FROM documents),
+         |s AS (SELECT doc_id, n_toks,
+         |    CAST(least(n_toks*10000, 1000000)//2
+         |      + (n_stop*1000000//n_toks)//2 AS BIGINT) AS score
+         |  FROM d),
+         |tot AS (SELECT CAST(sum(n_toks) AS BIGINT) AS total,
+         |               CAST(count(*) AS BIGINT) AS n_docs,
+         |               min(score) AS smin, max(doc_id) AS imax
+         |        FROM s),
+         |cls AS (SELECT score, CAST(sum(n_toks) AS BIGINT) AS ct
+         |        FROM s GROUP BY score),
+         |ca AS (SELECT score, CAST(COALESCE(sum(ct) OVER (
+         |         ORDER BY score DESC ROWS BETWEEN UNBOUNDED PRECEDING
+         |         AND 1 PRECEDING), 0) AS BIGINT) AS above FROM cls),
+         |thr AS (SELECT CASE WHEN (SELECT total FROM tot) <= $b
+         |          THEN (SELECT smin FROM tot) - 1
+         |          ELSE (SELECT min(score) FROM ca WHERE above <= $b)
+         |          END AS t),
+         |base AS (SELECT CAST(COALESCE(sum(n_toks), 0) AS BIGINT) AS b
+         |         FROM s, thr WHERE score > t),
+         |ccum AS (SELECT doc_id,
+         |           CAST(sum(n_toks) OVER (ORDER BY doc_id
+         |             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cumt
+         |         FROM s, thr WHERE score = t),
+         |ctot AS (SELECT CAST(COALESCE(sum(n_toks),0) AS BIGINT) AS ct
+         |         FROM s, thr WHERE score = t),
+         |bid AS (SELECT CASE
+         |          WHEN (SELECT b FROM base) + (SELECT ct FROM ctot)
+         |            <= $b THEN (SELECT imax FROM tot)
+         |          ELSE (SELECT min(doc_id) FROM ccum
+         |                WHERE (SELECT b FROM base) + cumt > $b) - 1
+         |          END AS i),
+         |sel AS (SELECT s.*, CASE WHEN score > (SELECT t FROM thr)
+         |          OR (score = (SELECT t FROM thr)
+         |              AND doc_id <= (SELECT i FROM bid))
+         |          THEN 1 ELSE 0 END AS selected FROM s)
+         |SELECT (SELECT t FROM thr) AS threshold_score,
+         |  (SELECT i FROM bid) AS boundary_id,
+         |  CAST(sum(selected) AS BIGINT) AS n_selected,
+         |  CAST(COALESCE(sum(CASE WHEN selected=1 THEN n_toks END),0)
+         |    AS BIGINT) AS tokens_selected,
+         |  (SELECT n_docs FROM tot) AS n_docs,
+         |  (SELECT total FROM tot) AS tokens_total,
+         |  CAST($b AS BIGINT) AS budget_tokens,
+         |  CAST(COALESCE(sum(CASE WHEN selected=1 THEN n_toks END),0)
+         |    * 1000000 // $b AS BIGINT) AS fill_ppm
+         |FROM sel""".stripMargin
+    },
 
     // Temporal split: cutoff = k-th order statistic via row_number
     // (identical to the bisection's smallest-reaching-value rule,

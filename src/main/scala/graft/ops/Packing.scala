@@ -180,13 +180,17 @@ object Packing {
         expr("n_docs * bucket_max - total_toks"))
       .withColumn("pad_global",
         expr("n_docs * global_max - total_toks"))
+      // pad masses are token-scale: × 1e6 leaves int64 near 10¹³
+      // corpus tokens (ext152 rule — decimal intermediates)
       .withColumn("waste_bucket_ppm",
         when(expr("n_docs * bucket_max") > 0L,
-          expr("(pad_bucket * 1000000) DIV (n_docs * bucket_max)"))
+          expr("CAST(cast(pad_bucket AS DECIMAL(38,0)) * 1000000" +
+            " DIV (n_docs * bucket_max) AS BIGINT)"))
           .otherwise(lit(0L)))
       .withColumn("waste_global_ppm",
         when(expr("n_docs * global_max") > 0L,
-          expr("(pad_global * 1000000) DIV (n_docs * global_max)"))
+          expr("CAST(cast(pad_global AS DECIMAL(38,0)) * 1000000" +
+            " DIV (n_docs * global_max) AS BIGINT)"))
           .otherwise(lit(0L)))
       .select(col("bucket"), col("n_docs"), col("total_toks"),
         col("bucket_max"), col("global_max"), col("pad_bucket"),
@@ -206,10 +210,14 @@ object Packing {
         expr("(total_toks + ctx - 1) DIV ctx"))
       .withColumn("pad_waste_ppm",
         when(col("chunks_padded") > 0,
-          expr("((chunks_padded * ctx - total_toks) * 1000000)" +
-            " DIV (chunks_padded * ctx)")).otherwise(lit(0L)))
+          expr("CAST(cast(chunks_padded * ctx - total_toks" +
+            " AS DECIMAL(38,0)) * 1000000" +
+            " DIV (chunks_padded * ctx) AS BIGINT)"))
+          .otherwise(lit(0L)))
       .withColumn("pack_gain_ppm",
         when(col("chunks_padded") > 0,
-          expr("((chunks_padded - chunks_concat) * 1000000)" +
-            " DIV chunks_padded")).otherwise(lit(0L)))
+          expr("CAST(cast(chunks_padded - chunks_concat" +
+            " AS DECIMAL(38,0)) * 1000000" +
+            " DIV chunks_padded AS BIGINT)"))
+          .otherwise(lit(0L)))
 }

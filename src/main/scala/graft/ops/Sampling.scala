@@ -103,9 +103,12 @@ object Sampling {
     // every nonempty stratum appears on BOTH sides (cap ≥ 1 keeps ≥ 1)
     totals.join(kept, strata)
       .withColumn("docs_dropped", col("n_docs") - col("n_kept"))
+      // token-mass × 1e6 leaves int64 near 10¹³ corpus tokens — the
+      // ext152/ext115 overflow lesson applied before it bites
       .withColumn("tokens_dropped_ppm",
         when(col("tokens_total") === 0L, 0L).otherwise(
-          expr("((tokens_total - tokens_kept) * 1000000) DIV tokens_total")))
+          expr("CAST(cast(tokens_total - tokens_kept AS DECIMAL(38,0))" +
+            " * 1000000 DIV tokens_total AS BIGINT)")))
   }
 
   /**
@@ -203,11 +206,15 @@ object Sampling {
       .agg(count(lit(1)).as("n_docs"),
         sum(size(TextOps.tokens(col(text))).cast("long")).as("n_tokens"))
     withMixtureWeights(counts)
+      // budget × weight and planned × 1e6 both leave int64 at a
+      // ~10¹³-token budget — decimal(38,0) intermediates (ext152 rule)
       .withColumn("planned_tokens",
-        expr(s"(${totalTokenBudget}L * weight_q) DIV 1000000"))
+        expr(s"CAST(cast($totalTokenBudget AS DECIMAL(38,0))" +
+          " * weight_q DIV 1000000 AS BIGINT)"))
       .withColumn("epochs_q",
         when(col("n_tokens") > 0,
-          expr("(planned_tokens * 1000000) DIV n_tokens"))
+          expr("CAST(cast(planned_tokens AS DECIMAL(38,0))" +
+            " * 1000000 DIV n_tokens AS BIGINT)"))
           .otherwise(lit(0L)))
   }
 
@@ -253,16 +260,19 @@ object Sampling {
       .drop("nd_tot")
       .withColumn("phase", lit("bulk"))
       .withColumn("planned_tokens",
-        expr(s"(${bulkBudget}L * weight_q) DIV 1000000"))
+        expr(s"CAST(cast($bulkBudget AS DECIMAL(38,0))" +
+          " * weight_q DIV 1000000 AS BIGINT)"))
     val anneal = withMixtureWeights(counts)
       .drop("q_s")
       .withColumn("phase", lit("anneal"))
       .withColumn("planned_tokens",
-        expr(s"(${annealBudget}L * weight_q) DIV 1000000"))
+        expr(s"CAST(cast($annealBudget AS DECIMAL(38,0))" +
+          " * weight_q DIV 1000000 AS BIGINT)"))
     bulk.unionByName(anneal)
       .withColumn("epochs_q",
         when(col("n_tokens") > 0,
-          expr("(planned_tokens * 1000000) DIV n_tokens"))
+          expr("CAST(cast(planned_tokens AS DECIMAL(38,0))" +
+            " * 1000000 DIV n_tokens AS BIGINT)"))
           .otherwise(lit(0L)))
       .select((Seq(col("phase")) ++ strata.map(col) ++
         Seq(col("n_docs"), col("n_tokens"), col("weight_q"),
@@ -291,7 +301,8 @@ object Sampling {
     mixtureWeights(df, strata)
       .withColumn("rate_q",
         least(lit(1000000L),
-          expr(s"($targetDocs * weight_q) DIV n_docs")))
+          expr(s"CAST(cast($targetDocs AS DECIMAL(38,0))" +
+            " * weight_q DIV n_docs AS BIGINT)")))
       .select(strata.map(col) :+ col("rate_q"): _*)
 
   /** Keep iff `hash(id) mod 1e6 < rate_q` — the shared draw of the batch
@@ -388,5 +399,163 @@ object Sampling {
       "CAST(greatest(least(dsir_log2w, 31), -31) + 31 AS INT))")
     weightedTopK(doc.join(scoresOnly, "doc_id"), Seq.empty,
       col("doc_id"), w, k, salt)
+  }
+
+  /**
+   * Quality-ordered token-budget selection (ext172) — "take the best
+   * docs until the token budget", the doc-LEVEL curation cut the
+   * FineWeb/DCLM-style pipelines run after scoring (the per-STRATUM
+   * plan is [[tokenLedger]]/[[annealLedger]]; this executes the cut):
+   * docs in (score DESC, id ASC) order are admitted while the running
+   * token total stays ≤ budget; the first doc that would cross stops
+   * the prefix (prefix semantics, not knapsack back-fill — determinism
+   * and engine parity beat the marginal fill, and the skipped tail is
+   * visible in fill_ppm).
+   *
+   * Scale shape — NO GLOBAL SORT, zero data shuffles (the
+   * ext151/ext170 bisection discipline), because the running total in
+   * (score DESC, id ASC) order is monotone:
+   *  1. threshold: the smallest integer t with
+   *     tokens(score > t) ≤ budget (~⌈log₂ score-span⌉ counting
+   *     rounds, each ONE map-side-combined conditional sum over the
+   *     materialized (id, score, toks) projection);
+   *  2. boundary id INSIDE the t class: the largest id* with
+   *     tokens(score > t) + tokens(score = t, id ≤ id*) ≤ budget
+   *     (~⌈log₂ id-span⌉ more rounds — handles an arbitrarily large
+   *     tie class without ever ranking it).
+   * selected ⟺ score > t ∨ (score = t ∧ id ≤ id*) — a pure scan
+   * predicate ([[budgetSelectDocs]] returns the per-doc relation for
+   * composition); [[budgetSelectCard]] is the one-row audit card.
+   * Requires an integer score (the ppm-quantization house rule — a
+   * double score would make the bisection domain engine-unportable).
+   */
+  def budgetSelectCard(doc: DataFrame, score: Column, budgetTokens: Long,
+      id: String = "doc_id", text: String = "text"): DataFrame = {
+    val (e, t, idStar) = budgetBoundary(doc, score, budgetTokens, id, text)
+    if (e == null)
+      return doc.sparkSession.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](),
+        org.apache.spark.sql.types.StructType(
+          Seq("threshold_score", "boundary_id", "n_selected",
+            "tokens_selected", "n_docs", "tokens_total",
+            "budget_tokens", "fill_ppm").map(
+            org.apache.spark.sql.types.StructField(_,
+              org.apache.spark.sql.types.LongType))))
+    cardOf(e, t, idStar, budgetTokens)
+  }
+
+  private def cardOf(e: DataFrame, t: Long, idStar: Long,
+      budgetTokens: Long): DataFrame = {
+    val sel = col("_score") > t ||
+      (col("_score") === t && col("_id") <= idStar)
+    e.agg(count(lit(1)).as("n_docs"), sum("_toks").as("tokens_total"),
+        coalesce(sum(when(sel, 1L).otherwise(0L)), lit(0L))
+          .as("n_selected"),
+        coalesce(sum(when(sel, col("_toks")).otherwise(0L)), lit(0L))
+          .as("tokens_selected"))
+      .select(lit(t).as("threshold_score"),
+        lit(idStar).as("boundary_id"), col("n_selected"),
+        col("tokens_selected"), col("n_docs"), col("tokens_total"),
+        lit(budgetTokens).as("budget_tokens"),
+        expr(s"CAST(cast(tokens_selected AS DECIMAL(38,0))" +
+          s" * 1000000 DIV ${budgetTokens}L AS BIGINT)")
+          .as("fill_ppm"))
+  }
+
+  /** The per-doc relation of [[budgetSelectCard]]'s selection:
+    * (id, score, n_toks, selected). */
+  def budgetSelectDocs(doc: DataFrame, score: Column, budgetTokens: Long,
+      id: String = "doc_id", text: String = "text"): DataFrame = {
+    val (e, t, idStar) = budgetBoundary(doc, score, budgetTokens, id, text)
+    if (e == null)
+      return doc.sparkSession.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](),
+        org.apache.spark.sql.types.StructType(
+          Seq(id, "score", "n_toks", "selected").map(
+            org.apache.spark.sql.types.StructField(_,
+              org.apache.spark.sql.types.LongType))))
+    e.select(col("_id").as(id), col("_score").as("score"),
+      col("_toks").as("n_toks"),
+      (col("_score") > t || (col("_score") === t && col("_id") <= idStar))
+        .cast("long").as("selected"))
+  }
+
+  /** The per-doc (id, score, toks) projection — also the STORED
+    * partial of the streaming twin (docs arrive whole, so the
+    * relation is a pure append; identical rows from a replayed batch
+    * fold by distinct). */
+  def budgetSelectPartials(doc: DataFrame, score: Column,
+      id: String = "doc_id", text: String = "text"): DataFrame =
+    doc.select(col(id).cast("long").as("_id"),
+      score.cast("long").as("_score"),
+      size(TextOps.tokens(col(text))).cast("long").as("_toks"))
+
+  /** [[budgetSelectCard]] from a stored per-doc partials relation —
+    * the streaming serve path: identical bisections over the folded
+    * rows, zero text rescans. */
+  def budgetSelectCardFromCounts(counts: DataFrame,
+      budgetTokens: Long): DataFrame = {
+    val (e, t, idStar) = budgetBoundaryOf(
+      Reuse.shared(counts.select("_id", "_score", "_toks").distinct()),
+      budgetTokens)
+    if (e == null)
+      return counts.sparkSession.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](),
+        org.apache.spark.sql.types.StructType(
+          Seq("threshold_score", "boundary_id", "n_selected",
+            "tokens_selected", "n_docs", "tokens_total",
+            "budget_tokens", "fill_ppm").map(
+            org.apache.spark.sql.types.StructField(_,
+              org.apache.spark.sql.types.LongType))))
+    cardOf(e, t, idStar, budgetTokens)
+  }
+
+  /** The two bisections over the shared (id, score, toks) projection;
+    * returns (null, _, _) on an empty corpus (no boundary exists —
+    * the temporalSplit empty-card convention). */
+  private def budgetBoundary(doc: DataFrame, score: Column,
+      budgetTokens: Long, id: String, text: String)
+      : (DataFrame, Long, Long) = {
+    require(budgetTokens > 0, "token budget must be positive")
+    budgetBoundaryOf(
+      Reuse.shared(budgetSelectPartials(doc, score, id, text)),
+      budgetTokens)
+  }
+
+  private def budgetBoundaryOf(e: DataFrame, budgetTokens: Long)
+      : (DataFrame, Long, Long) = {
+    require(budgetTokens > 0, "token budget must be positive")
+    def toksWhere(cond: Column): Long =
+      e.agg(coalesce(sum(when(cond, col("_toks")).otherwise(0L)),
+        lit(0L))).first().getLong(0)
+    val dom = e.agg(min("_score"), max("_score"), min("_id"),
+      max("_id")).first()
+    if (dom.isNullAt(0)) return (null, 0L, 0L)
+    val (sLo, sHi) = (dom.getLong(0), dom.getLong(1))
+    val (iLo, iHi) = (dom.getLong(2), dom.getLong(3))
+    // threshold: min t in [sLo-1, sHi] with tokens(score > t) <= B
+    // (predicate monotone non-decreasing in t; t = sLo-1 means the
+    // whole corpus fits)
+    var lo = sLo - 1
+    var hi = sHi
+    while (lo < hi) {
+      val mid = lo + Math.floorDiv(hi - lo, 2)
+      if (toksWhere(col("_score") > mid) <= budgetTokens) hi = mid
+      else lo = mid + 1
+    }
+    val t = lo
+    val base = toksWhere(col("_score") > t)
+    // boundary: max id* in [iLo-1, iHi] with base + tokens(score = t,
+    // id <= id*) <= B (monotone; iLo-1 always satisfies — base <= B by
+    // t's construction)
+    var ilo = iLo - 1
+    var ihi = iHi
+    while (ilo < ihi) {
+      val mid = ilo + Math.floorDiv(ihi - ilo + 1, 2)
+      if (base + toksWhere(col("_score") === t && col("_id") <= mid)
+          <= budgetTokens) ilo = mid
+      else ihi = mid - 1
+    }
+    (e, t, ilo)
   }
 }

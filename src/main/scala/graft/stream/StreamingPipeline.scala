@@ -937,6 +937,24 @@ object StreamingPipeline {
     graft.ops.Splits.temporalSplitFromCounts(
       spark.read.parquet(outPath).drop("batch"), testPct, gapUs)
 
+  /** Streaming twin of the token-budget curation cut (ext172): each
+    * micro-batch appends its per-doc (id, score, toks) projection
+    * (docs arrive whole — a pure append; the score expression is
+    * stateless), and [[budgetSelectCardFromState]] runs the identical
+    * zero-shuffle bisections over the stored fold — text never
+    * rescanned at serve time, and the budget is a SERVE-time knob
+    * (one stored projection answers any budget). */
+  def budgetSelectPartialsSink(scoredDocs: DataFrame,
+      score: org.apache.spark.sql.Column, outPath: String)
+      : DataStreamWriter[org.apache.spark.sql.Row] =
+    partialsSink(scoredDocs,
+      graft.ops.Sampling.budgetSelectPartials(_, score), outPath)
+
+  def budgetSelectCardFromState(spark: SparkSession, outPath: String,
+      budgetTokens: Long): DataFrame =
+    graft.ops.Sampling.budgetSelectCardFromCounts(
+      spark.read.parquet(outPath).drop("batch"), budgetTokens)
+
   /** Streaming twin of the per-source Gopher pass rates (ext84). */
   def gopherPassPartialsSink(docs: DataFrame, strata: Seq[String],
       outPath: String): DataStreamWriter[org.apache.spark.sql.Row] =

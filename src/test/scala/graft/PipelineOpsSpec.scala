@@ -566,6 +566,45 @@ class PipelineOpsSpec extends TestBase {
     graft.ops.Reuse.freeAll(spark)
   }
 
+  test("budget select: full classes above the threshold, boundary " +
+      "class cut at the first overflow with ids ordered, whole-corpus " +
+      "fit, nothing-fits, empty card (ext172)") {
+    import spark.implicits._
+    import graft.ops.Sampling
+    // tokens = whitespace words; scores: {90: d1(5), d2(5)},
+    // {80: d3(4), d4(4), d5(4)}, {70: d6(10)}
+    def words(n: Int) = Seq.fill(n)("w").mkString(" ")
+    val docs = Seq(
+      (1L, words(5), 90L), (2L, words(5), 90L), (3L, words(4), 80L),
+      (4L, words(4), 80L), (5L, words(4), 80L), (6L, words(10), 70L))
+      .toDF("doc_id", "text", "q")
+    // budget 16: class 90 fits whole (10); boundary class 80 admits
+    // d3 (14) and stops at d4 (18 > 16) — prefix, no back-fill of d5
+    val got = Sampling.budgetSelectCard(docs, col("q"), 16L)
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq((80L, 3L, 3L, 14L, 6L, 32L, 16L, 875000L)),
+      s"hand-computed budget card drifted: $got")
+    val rel = Sampling.budgetSelectDocs(docs, col("q"), 16L)
+      .orderBy("doc_id").as[(Long, Long, Long, Long)].collect().toSeq
+    assert(rel.map(r => r._1 -> r._4) == Seq(1L -> 1L, 2L -> 1L,
+      3L -> 1L, 4L -> 0L, 5L -> 0L, 6L -> 0L),
+      s"selection relation drifted: $rel")
+    // whole corpus fits: threshold = min score - 1, boundary = max id
+    val all = Sampling.budgetSelectCard(docs, col("q"), 100L)
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(all == Seq((69L, 6L, 6L, 32L, 6L, 32L, 100L, 320000L)),
+      s"whole-fit card drifted: $all")
+    // budget below the best doc: nothing selected, loud-zero card
+    val none = Sampling.budgetSelectCard(docs, col("q"), 3L)
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(none.head._3 == 0L && none.head._4 == 0L,
+      s"nothing-fits selected rows: $none")
+    // empty corpus: empty card (no boundary exists), not an NPE
+    assert(Sampling.budgetSelectCard(docs.filter(lit(false)),
+      col("q"), 16L).count() == 0L)
+    graft.ops.Reuse.freeAll(spark)
+  }
+
   test("signal correlations: exact ±1 on constructed columns, 0 under " +
       "the zero-variance guard (ext115)") {
     import spark.implicits._

@@ -1732,6 +1732,41 @@ class StreamingSpec extends TestBase {
     graft.ops.Reuse.freeAll(spark)
   }
 
+  test("streaming budget-select twin: the stored per-doc projection " +
+      "serves the EXACT batch card — and the budget is a serve-time " +
+      "knob over one stored relation (ext172 twin)") {
+    val docs = graft.ingest.Tables.documents(spark, sf("sf0.001"))
+    def scored(d: org.apache.spark.sql.DataFrame) =
+      graft.ops.TextOps.quality(d).withColumn("score_ppm", expr(
+        "least(n_words * 10000, 1000000) DIV 2" +
+          " + (n_stop * 1000000 DIV n_words) DIV 2"))
+    val srcDir = Files.createTempDirectory("graft-bsel-src").toString + "/d"
+    docs.select("doc_id", "text").write.parquet(srcDir)
+    val state = Files.createTempDirectory("graft-bsel-state").toString
+    val ckpt = Files.createTempDirectory("graft-bsel-ckpt").toString
+    val q = StreamingPipeline.budgetSelectPartialsSink(
+        scored(StreamingPipeline.parquetStream(spark, srcDir,
+          maxFilesPerTrigger = Some(1))),
+        col("score_ppm"), state)
+      .option("checkpointLocation", ckpt).start()
+    q.processAllAvailable()
+    q.stop()
+    // one stored projection answers ANY budget — both must equal the
+    // batch card bit for bit (threshold, boundary, masses, fill)
+    Seq(10000L, 1000L).foreach { b =>
+      val streamed = StreamingPipeline
+        .budgetSelectCardFromState(spark, state, b)
+      val batch = graft.ops.Sampling.budgetSelectCard(
+        scored(docs), col("score_ppm"), b)
+      assert(batch.count() == 1)
+      assert(streamed.except(batch).isEmpty &&
+        batch.except(streamed).isEmpty,
+        s"budget $b: streamed card differs from batch " +
+          s"(${streamed.collect().toSeq} vs ${batch.collect().toSeq})")
+      graft.ops.Reuse.freeAll(spark)
+    }
+  }
+
   test("streaming source-overlap state == batch keyOverlap (ext68 twin, " +
       "incremental pair state, cap applied at derivation)") {
     val docs = graft.ingest.Tables.documents(spark, sf("sf0.001"))
