@@ -979,6 +979,23 @@ object ScaleSmoke {
         f"build=$buildS%.1f s  serve=$serveS%.1f s  " +
         f"recompute=$recompS%.1f s  rows=$servedRows/$recompRows")
     }
+    // r15: budget-select bisection — rounds are ~constant in corpus
+    // size (score domain ≤ 1e6 → ~20, id domain → ~log₂ span), each a
+    // map-side-combined conditional sum over the cached projection, so
+    // wall-clock should grow ~linearly with the corpus while the
+    // ROUND COUNT stays flat. Budget scales with mult so the cut stays
+    // at the same relative depth.
+    if (only.forall(_.exists(p =>
+        "r15budget".startsWith(p) || p.startsWith("r15budget")))) {
+      val scored = graft.ops.TextOps.quality(big)
+        .withColumn("score_ppm", expr(
+          "least(n_words * 10000, 1000000) DIV 2" +
+            " + (n_stop * 1000000 DIV n_words) DIV 2"))
+      time("r15budget_select") {
+        graft.ops.Sampling.budgetSelectCard(scored, col("score_ppm"),
+          10000L * mult)
+      }
+    }
     spark.stop()
   }
 }

@@ -522,12 +522,26 @@ object Sampling {
       budgetTokens)
   }
 
+  /** Probes per search round: each round is ONE aggregate job
+    * computing `BisectFanout − 1` conditional sums in a single scan,
+    * so the round count drops from log₂(span) to log₈(span) — the
+    * bracket-refinement the ext170 EXPLAINS note promised, realized.
+    * Job-scheduling overhead (not scan cost) dominates these
+    * searches, so fewer-but-wider rounds win at every scale. */
+  private val BisectFanout = 8
+
   private def budgetBoundaryOf(e: DataFrame, budgetTokens: Long)
       : (DataFrame, Long, Long) = {
     require(budgetTokens > 0, "token budget must be positive")
-    def toksWhere(cond: Column): Long =
-      e.agg(coalesce(sum(when(cond, col("_toks")).otherwise(0L)),
-        lit(0L))).first().getLong(0)
+    // one aggregate job evaluating a batch of conditional token sums
+    def toksWhere(conds: Seq[Column]): Seq[Long] = {
+      val aggs = conds.zipWithIndex.map { case (c, i) =>
+        coalesce(sum(when(c, col("_toks")).otherwise(0L)), lit(0L))
+          .as(s"_s$i")
+      }
+      val row = e.agg(aggs.head, aggs.tail: _*).first()
+      conds.indices.map(row.getLong)
+    }
     val dom = e.agg(min("_score"), max("_score"), min("_id"),
       max("_id")).first()
     if (dom.isNullAt(0)) return (null, 0L, 0L)
@@ -536,26 +550,63 @@ object Sampling {
     // threshold: min t in [sLo-1, sHi] with tokens(score > t) <= B
     // (predicate monotone non-decreasing in t; t = sLo-1 means the
     // whole corpus fits)
-    var lo = sLo - 1
-    var hi = sHi
-    while (lo < hi) {
-      val mid = lo + Math.floorDiv(hi - lo, 2)
-      if (toksWhere(col("_score") > mid) <= budgetTokens) hi = mid
-      else lo = mid + 1
-    }
-    val t = lo
-    val base = toksWhere(col("_score") > t)
+    val t = karyMinTrue(sLo - 1, sHi, ms =>
+      toksWhere(ms.map(m => col("_score") > m))
+        .map(_ <= budgetTokens))
+    val base = toksWhere(Seq(col("_score") > t)).head
     // boundary: max id* in [iLo-1, iHi] with base + tokens(score = t,
     // id <= id*) <= B (monotone; iLo-1 always satisfies — base <= B by
     // t's construction)
-    var ilo = iLo - 1
-    var ihi = iHi
-    while (ilo < ihi) {
-      val mid = ilo + Math.floorDiv(ihi - ilo + 1, 2)
-      if (base + toksWhere(col("_score") === t && col("_id") <= mid)
-          <= budgetTokens) ilo = mid
-      else ihi = mid - 1
+    val idStar = karyMaxTrue(iLo - 1, iHi, ms =>
+      toksWhere(ms.map(m => col("_score") === t && col("_id") <= m))
+        .map(base + _ <= budgetTokens))
+    (e, t, idStar)
+  }
+
+  /** Min t in [lo0, hi0] with monotone (false…false true…true)
+    * `preds`; the caller guarantees pred(hi0). Each round evaluates up
+    * to BisectFanout−1 evenly spaced probes in ONE batch call and
+    * narrows to the segment between the last-false and first-true
+    * probe. */
+  private def karyMinTrue(lo0: Long, hi0: Long,
+      preds: Seq[Long] => Seq[Boolean]): Long = {
+    var lo = lo0
+    var hi = hi0
+    while (lo < hi) {
+      val width = hi - lo
+      val k = math.min(BisectFanout.toLong, width)
+      val probes = (1L until k).map(i => lo + width * i / k)
+        .distinct.filter(p => p >= lo && p < hi)
+      val ps = if (probes.isEmpty) Seq(lo + width / 2) else probes
+      val vs = preds(ps)
+      val idx = vs.indexWhere(identity)
+      if (idx >= 0) {
+        hi = ps(idx)
+        if (idx > 0) lo = ps(idx - 1) + 1
+      } else lo = ps.last + 1
     }
-    (e, t, ilo)
+    lo
+  }
+
+  /** Max t in [lo0, hi0] with monotone (true…true false…false)
+    * `preds`; the caller guarantees pred(lo0). */
+  private def karyMaxTrue(lo0: Long, hi0: Long,
+      preds: Seq[Long] => Seq[Boolean]): Long = {
+    var lo = lo0
+    var hi = hi0
+    while (lo < hi) {
+      val width = hi - lo
+      val k = math.min(BisectFanout.toLong, width)
+      val probes = (1L until k).map(i => lo + width * i / k)
+        .distinct.filter(p => p > lo && p <= hi)
+      val ps = if (probes.isEmpty) Seq(lo + (width + 1) / 2) else probes
+      val vs = preds(ps)
+      val idx = vs.lastIndexWhere(identity)
+      if (idx >= 0) {
+        lo = ps(idx)
+        if (idx < ps.size - 1) hi = ps(idx + 1) - 1
+      } else hi = ps.head - 1
+    }
+    lo
   }
 }
