@@ -55,6 +55,17 @@ object Bench {
       ExtEntry.ensureBucketed(spark, sfDir)
       spark.catalog.clearCache()
     } catch { case _: Throwable => () }
+    // (The fingerprint pass CONSTRUCTS every query's DataFrame, which
+    // for the driver-loop queries — bisections, kmeans/PQ builds, pca
+    // rounds — executes their Spark jobs; a changed-mode run therefore
+    // costs roughly one construction pass plus the changed queries'
+    // two timed passes. Still well under the full bench (measured
+    // 3.3 min vs 5.8 min with nothing changed at sf0.01), and the
+    // fingerprints file is only REWRITTEN after the timed passes
+    // complete, so an interrupted run never marks its queries as
+    // already-benched.)
+    var currentFps: Seq[(String, String)] = Nil
+    val fpFile = new java.io.File("tools/bench_fingerprints.json")
     val changedFilter: Option[Set[String]] =
       if (!changedMode) None
       else {
@@ -77,7 +88,6 @@ object Bench {
           .replaceAll("plan_id=\\d+", "plan_id=~")
           .replaceAll("@[0-9a-fA-F]+", "@~")
           .replaceAll("\\s+", " ")
-        val fpFile = new java.io.File("tools/bench_fingerprints.json")
         val stored: Map[String, String] =
           if (!fpFile.isFile) Map.empty
           else """"([^"]+)"\s*:\s*"([^"]+)"""".r
@@ -95,13 +105,7 @@ object Bench {
             graft.ops.Reuse.freeAll(spark)
             name -> fp
         }
-        try {
-          val w = new java.io.PrintWriter(fpFile)
-          try w.println(current
-            .map { case (k, v) => s""""$k": "$v"""" }
-            .mkString("{\n", ",\n", "\n}"))
-          finally w.close()
-        } catch { case _: Throwable => () }
+        currentFps = current
         val changed = current
           .filter { case (n, fp) => !stored.get(n).contains(fp) }
           .map(_._1).toSet
@@ -150,6 +154,19 @@ object Bench {
       }.toMap
     val pass1 = timedPass()
     val pass2 = timedPass()
+    // changed-mode fingerprints commit only now — after both timed
+    // passes — so a crashed/interrupted run leaves the OLD baselines
+    // in place and its queries are re-benched next time, never
+    // silently skipped as already-recorded.
+    if (currentFps.nonEmpty) {
+      try {
+        val w = new java.io.PrintWriter(fpFile)
+        try w.println(currentFps
+          .map { case (k, v) => s""""$k": "$v"""" }
+          .mkString("{\n", ",\n", "\n}"))
+        finally w.close()
+      } catch { case _: Throwable => () }
+    }
     // What the session has accumulated in build-once artifacts
     // (Reuse.index) across both passes — measured from the block
     // manager, logged so index growth is a number, not an assumption.

@@ -1216,12 +1216,6 @@ object Dedup {
     chunkedHammingPairs(Reuse.shared(simhash(doc, id, text)), id,
       nChunks = 4, chunkBits = 8, maxHamming = maxHamming)
 
-  /** Chunk-bucketed hamming candidate join over a (id, simhash)
-    * relation: pigeonhole guarantees hamming ≤ (nChunks - 1) pairs share
-    * at least one equal chunk; exact bit_count(xor) verifies.
-    * Shared with the multimodal perceptual-hash detector
-    * ([[Multimodal.phashPairs]]) — any (id, 60-bit signature) relation
-    * buckets the same way. */
   /** The DISTINCT candidate pairs of the chunk-bucket equi-join with
     * their exact Hamming distance, unfiltered — [[chunkedHammingPairs]]
     * applies the radius; the ext171 production-regime ledger prices
@@ -1245,6 +1239,12 @@ object Dedup {
       .distinct()
   }
 
+  /** Chunk-bucketed hamming candidate join over a (id, simhash)
+    * relation: pigeonhole guarantees hamming ≤ (nChunks - 1) pairs share
+    * at least one equal chunk; exact bit_count(xor) verifies.
+    * Shared with the multimodal perceptual-hash detector
+    * ([[Multimodal.phashPairs]]) — any (id, 60-bit signature) relation
+    * buckets the same way. */
   private[ops] def chunkedHammingPairs(sh: DataFrame, id: String,
       nChunks: Int, chunkBits: Int, maxHamming: Int): DataFrame =
     chunkedCandidates(sh, id, nChunks, chunkBits)

@@ -432,17 +432,24 @@ object Sampling {
   def budgetSelectCard(doc: DataFrame, score: Column, budgetTokens: Long,
       id: String = "doc_id", text: String = "text"): DataFrame = {
     val (e, t, idStar) = budgetBoundary(doc, score, budgetTokens, id, text)
-    if (e == null)
-      return doc.sparkSession.createDataFrame(
-        new java.util.ArrayList[org.apache.spark.sql.Row](),
-        org.apache.spark.sql.types.StructType(
-          Seq("threshold_score", "boundary_id", "n_selected",
-            "tokens_selected", "n_docs", "tokens_total",
-            "budget_tokens", "fill_ppm").map(
-            org.apache.spark.sql.types.StructField(_,
-              org.apache.spark.sql.types.LongType))))
+    if (e == null) return emptyLongs(doc.sparkSession, CardCols)
     cardOf(e, t, idStar, budgetTokens)
   }
+
+  /** The card's column list — single source for [[cardOf]] and the
+    * empty-corpus schema (no boundary exists: the temporalSplit
+    * empty-card convention). */
+  private val CardCols = Seq("threshold_score", "boundary_id",
+    "n_selected", "tokens_selected", "n_docs", "tokens_total",
+    "budget_tokens", "fill_ppm")
+
+  private def emptyLongs(spark: org.apache.spark.sql.SparkSession,
+      cols: Seq[String]): DataFrame =
+    spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](),
+      org.apache.spark.sql.types.StructType(cols.map(
+        org.apache.spark.sql.types.StructField(_,
+          org.apache.spark.sql.types.LongType))))
 
   private def cardOf(e: DataFrame, t: Long, idStar: Long,
       budgetTokens: Long): DataFrame = {
@@ -468,12 +475,8 @@ object Sampling {
       id: String = "doc_id", text: String = "text"): DataFrame = {
     val (e, t, idStar) = budgetBoundary(doc, score, budgetTokens, id, text)
     if (e == null)
-      return doc.sparkSession.createDataFrame(
-        new java.util.ArrayList[org.apache.spark.sql.Row](),
-        org.apache.spark.sql.types.StructType(
-          Seq(id, "score", "n_toks", "selected").map(
-            org.apache.spark.sql.types.StructField(_,
-              org.apache.spark.sql.types.LongType))))
+      return emptyLongs(doc.sparkSession,
+        Seq(id, "score", "n_toks", "selected"))
     e.select(col("_id").as(id), col("_score").as("score"),
       col("_toks").as("n_toks"),
       (col("_score") > t || (col("_score") === t && col("_id") <= idStar))
@@ -498,15 +501,7 @@ object Sampling {
     val (e, t, idStar) = budgetBoundaryOf(
       Reuse.shared(counts.select("_id", "_score", "_toks").distinct()),
       budgetTokens)
-    if (e == null)
-      return counts.sparkSession.createDataFrame(
-        new java.util.ArrayList[org.apache.spark.sql.Row](),
-        org.apache.spark.sql.types.StructType(
-          Seq("threshold_score", "boundary_id", "n_selected",
-            "tokens_selected", "n_docs", "tokens_total",
-            "budget_tokens", "fill_ppm").map(
-            org.apache.spark.sql.types.StructField(_,
-              org.apache.spark.sql.types.LongType))))
+    if (e == null) return emptyLongs(counts.sparkSession, CardCols)
     cardOf(e, t, idStar, budgetTokens)
   }
 
@@ -547,6 +542,12 @@ object Sampling {
     if (dom.isNullAt(0)) return (null, 0L, 0L)
     val (sLo, sHi) = (dom.getLong(0), dom.getLong(1))
     val (iLo, iHi) = (dom.getLong(2), dom.getLong(3))
+    // the search domains extend one below the observed minimum ("none
+    // selected" must be representable), so Long.MinValue ids/scores
+    // would wrap — reject loudly (64-bit-hash ids are realistic;
+    // probe arithmetic itself is BigInt-safe for any other span)
+    require(sLo > Long.MinValue && iLo > Long.MinValue,
+      "budgetSelect needs score and id domains above Long.MinValue")
     // threshold: min t in [sLo-1, sHi] with tokens(score > t) <= B
     // (predicate monotone non-decreasing in t; t = sLo-1 means the
     // whole corpus fits)
@@ -573,11 +574,16 @@ object Sampling {
     var lo = lo0
     var hi = hi0
     while (lo < hi) {
-      val width = hi - lo
-      val k = math.min(BisectFanout.toLong, width)
-      val probes = (1L until k).map(i => lo + width * i / k)
+      // BigInt width/probe arithmetic: a full-Long id span (64-bit
+      // hash ids) overflows hi - lo, which would silently corrupt the
+      // probe ladder — the probes themselves always lie in [lo, hi]
+      val width = BigInt(hi) - BigInt(lo)
+      val k = width.min(BigInt(BisectFanout))
+      val probes = (BigInt(1) until k)
+        .map(i => (BigInt(lo) + width * i / k).toLong)
         .distinct.filter(p => p >= lo && p < hi)
-      val ps = if (probes.isEmpty) Seq(lo + width / 2) else probes
+      val ps = if (probes.isEmpty)
+        Seq((BigInt(lo) + width / 2).toLong) else probes
       val vs = preds(ps)
       val idx = vs.indexWhere(identity)
       if (idx >= 0) {
@@ -595,11 +601,13 @@ object Sampling {
     var lo = lo0
     var hi = hi0
     while (lo < hi) {
-      val width = hi - lo
-      val k = math.min(BisectFanout.toLong, width)
-      val probes = (1L until k).map(i => lo + width * i / k)
+      val width = BigInt(hi) - BigInt(lo)
+      val k = width.min(BigInt(BisectFanout))
+      val probes = (BigInt(1) until k)
+        .map(i => (BigInt(lo) + width * i / k).toLong)
         .distinct.filter(p => p > lo && p <= hi)
-      val ps = if (probes.isEmpty) Seq(lo + (width + 1) / 2) else probes
+      val ps = if (probes.isEmpty)
+        Seq((BigInt(lo) + (width + 1) / 2).toLong) else probes
       val vs = preds(ps)
       val idx = vs.lastIndexWhere(identity)
       if (idx >= 0) {

@@ -243,6 +243,12 @@ object Splits {
   def temporalEventCounts(events: DataFrame, user: Column,
       ts: String = "ts"): DataFrame =
     events.select(user.as("_u"), unix_micros(col(ts)).as("_us"))
+      // null timestamps are excluded EXACTLY as the batch path's
+      // selectionQuantiles excludes them — a null count row would
+      // inflate n and shift the k-th-value cutoff, breaking the
+      // spec-asserted twin parity (a null-ts event contributes to no
+      // segment on the batch side either)
+      .filter(col("_us").isNotNull)
       .groupBy("_u", "_us").agg(count(lit(1)).as("cnt"))
 
   /** [[temporalSplit]] from a (possibly unfolded) `(u, us, cnt)`

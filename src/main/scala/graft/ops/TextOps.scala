@@ -851,9 +851,13 @@ object TextOps {
     // one label — multi-label/dirty data would silently inflate n_tok
     // and deflate every ratio (r14 ADVICE). Guard it inside the same
     // one-row aggregate the card already pays for: raise loudly when
-    // any doc_id spans more than one label value.
+    // any doc_id spans more than one distinct NON-NULL label (both
+    // countDistincts skip null labels, so null-label docs keep their
+    // long-standing tolerated behavior instead of tripping the guard
+    // with a nonsensical negative count).
     val n = doc
-      .agg(count(lit(1)).as("n"), countDistinct(col(id)).as("_nd"),
+      .agg(count(lit(1)).as("n"),
+        countDistinct(when(label.isNotNull, col(id))).as("_nd"),
         countDistinct(col(id), label).as("_ndl"))
       .select(when(col("_nd") === col("_ndl"), col("n"))
         .otherwise(raise_error(concat(

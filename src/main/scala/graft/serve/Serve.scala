@@ -71,8 +71,11 @@ object Serve {
    * so the serving client re-runs the WHOLE action — plan and execute;
    * a retained DataFrame would pin the stale file listing, which is
    * why the argument is a thunk, not a frame. Anything that is not one
-   * of the two compaction signatures rethrows immediately: a genuinely
-   * missing store must stay loud, not get three pointless retries.
+   * of the two compaction signatures rethrows immediately. A
+   * GENUINELY missing store is indistinguishable from the mid-swap
+   * instant (both read as PATH_NOT_FOUND), so it pays the bounded
+   * backoff ladder — ~100 ms at the defaults — before the same loud
+   * failure surfaces.
    */
   def retryingServe[T](attempts: Int = 4, backoffMs: Long = 25)(
       action: => T): T = {

@@ -563,6 +563,19 @@ class PipelineOpsSpec extends TestBase {
     // empty input: no cutoff exists — empty card, not an NPE
     assert(graft.ops.Splits.temporalSplit(ev.filter(lit(false)),
       col("u")).count() == 0L)
+    // null timestamps: the counts-twin excludes them exactly as the
+    // batch bisection does — the cards stay identical (a null count
+    // row would inflate n and shift the cutoff)
+    val evNull = ev.unionByName(
+      Seq(("u3", null.asInstanceOf[java.sql.Timestamp]))
+        .toDF("u", "ts"))
+    val bNull = graft.ops.Splits.temporalSplit(evNull, col("u"),
+      testPct = 20, gapUs = 5L)
+    val cNull = graft.ops.Splits.temporalSplitFromCounts(
+      graft.ops.Splits.temporalEventCounts(evNull, col("u")),
+      testPct = 20, gapUs = 5L)
+    assert(bNull.except(cNull).isEmpty && cNull.except(bNull).isEmpty,
+      "null-ts events broke batch/counts-twin parity")
     graft.ops.Reuse.freeAll(spark)
   }
 

@@ -427,6 +427,16 @@ class TextKernelsSpec extends TestBase {
     }
     assert(ex.getMessage.contains("one label per doc"),
       s"wrong failure: ${ex.getMessage}")
+    // null labels keep their long-standing tolerated behavior — the
+    // guard watches MULTI-label docs, not missing labels (a null-
+    // label row must not trip it with a negative pair count)
+    val withNull = Seq(
+      (1L, "cat dog", "en"), (2L, "cat fish", null.asInstanceOf[String]),
+      (3L, "cat dog", "en"))
+      .toDF("doc_id", "text", "lang")
+    val ok = graft.ops.TextOps.labelAssociation(withNull, col("lang"),
+      minCount = 1L).collect()
+    assert(ok.nonEmpty, "null-label corpus produced no card")
     graft.ops.Reuse.freeAll(spark)
   }
 }
