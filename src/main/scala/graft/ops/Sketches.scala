@@ -187,29 +187,56 @@ object Sketches {
       qs.map(q => (s, q, (q.toLong * n + 99L) / 100L, lo, hi))
     }
     var done = Map.empty[(Row, Int), Long]
+    // K-ARY rounds (r15): each round carries SevenProbes evenly spaced
+    // probe COLUMNS per (stratum, q) — one conditional sum each, no
+    // row fan-out, still one job per round — so the round count drops
+    // log₂(span) → log₈(span) (~45 → ~15 for a year of microseconds).
+    // Probe arithmetic is BigInt: a full-Long value domain (64-bit
+    // hashes) overflows hi − lo. The converged value is unchanged:
+    // the smallest v with cumulative count ≥ k, any probe ladder.
+    val SevenProbes = 7
     val midsSchema = StructType(Seq(
-      StructField("_s", keyType), StructField("_q", IntegerType),
-      StructField("_mid", LongType)))
+      StructField("_s", keyType), StructField("_q", IntegerType)) ++
+      (1 to SevenProbes).map(i => StructField(s"_m$i", LongType)))
+    // strictly increasing distinct probes within [lo, hi)
+    def midsOf(lo: Long, hi: Long): Seq[Long] = {
+      val w = BigInt(hi) - BigInt(lo)
+      (1 to SevenProbes)
+        .map(i => (BigInt(lo) + w * i / (SevenProbes + 1)).toLong)
+        .distinct
+    }
     while (probes.nonEmpty) {
       val (fin, active) = probes.partition(p => p._4 >= p._5)
       done ++= fin.map(p => ((p._1: Row), p._2) -> p._4)
       if (active.nonEmpty) {
         val mids = spark.createDataFrame(
           active.map { case (s, q, _, lo, hi) =>
-            Row(s, q, lo + (hi - lo) / 2)
+            val ms = midsOf(lo, hi)
+            // pad the TAIL with the last probe so the row always has
+            // SevenProbes columns (duplicate counts are discarded by
+            // the take(ms.size) below)
+            Row.fromSeq(Seq(s, q) ++ ms.padTo(SevenProbes, ms.last))
           }.toSeq.asJava, midsSchema)
+        val aggs = (1 to SevenProbes).map(i =>
+          sum(when(col("_v") <= col(s"_m$i"), 1L).otherwise(0L))
+            .as(s"_c$i"))
         val cnts = base.join(broadcast(mids), "_s")
           .groupBy("_s", "_q")
-          .agg(sum(when(col("_v") <= col("_mid"), 1L).otherwise(0L))
-            .as("c"))
+          .agg(aggs.head, aggs.tail: _*)
           .collect()
-          .map(r =>
-            ((r.getStruct(0): Row), r.getInt(1)) -> r.getLong(2))
+          .map(r => ((r.getStruct(0): Row), r.getInt(1)) ->
+            (1 to SevenProbes).map(i => r.getLong(1 + i)))
           .toMap
         probes = active.map { case (s, q, k, lo, hi) =>
-          val mid = lo + (hi - lo) / 2
-          if (cnts((s, q)) >= k) (s, q, k, lo, mid)
-          else (s, q, k, mid + 1, hi)
+          val ms = midsOf(lo, hi)
+          val cs = cnts((s, q)).take(ms.size)
+          // counts are monotone in the probe value: the answer lies in
+          // the segment between the last probe below k and the first
+          // probe reaching it (invariant count(< lo') < k <= count(<= hi'))
+          val idx = cs.indexWhere(_ >= k)
+          if (idx >= 0)
+            (s, q, k, if (idx > 0) ms(idx - 1) + 1 else lo, ms(idx))
+          else (s, q, k, ms.last + 1, hi)
         }
       } else probes = Array.empty
     }
