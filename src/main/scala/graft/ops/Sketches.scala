@@ -110,6 +110,12 @@ object Sketches {
       value: Column, qs: Seq[Int] = Seq(50, 90, 99)): DataFrame = {
     require(qs.nonEmpty && qs.forall(q => q > 0 && q < 100),
       "quantiles are integer percents in (0, 100)")
+    // The cast's floor is INTENTIONAL here (r16 seam sweep): for any
+    // v >= 1, floor(v) stays inside v's octave (2^b <= floor(v) <= v
+    // when v < 2^(b+1)), so a fractional value lands in the same
+    // bucket either way; < 1 clamps to bucket 0. The selection-family
+    // casts ([[selectionQuantiles]], budgetSelect) are guarded
+    // instead, where a floor DOES move the answer.
     val bucket = (length(bin(greatest(value.cast("long"), lit(1L))))
       - lit(1)).cast("long")
     val hist = df
@@ -164,6 +170,10 @@ object Sketches {
     require(strata.nonEmpty, "selection quantiles need stratum keys")
     require(qs.nonEmpty && qs.forall(q => q > 0 && q < 100),
       "quantiles are integer percents in (0, 100)")
+    // A double value would be silently floored by the cast below,
+    // so the reported quantile would be of the FLOORED distribution
+    // — refused up front (the r16 cast('long') seam sweep).
+    Guards.requireIntegral(df, value, "selectionQuantiles", "value")
     val spark = df.sparkSession
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types.{IntegerType, LongType,
@@ -262,11 +272,16 @@ object Sketches {
    * [[selectionQuantiles]]' n.
    */
   def selectionValueCounts(df: DataFrame, strata: Seq[String],
-      value: Column): DataFrame =
+      value: Column): DataFrame = {
+    // Same integral contract as the batch bisection — a double value
+    // flooring HERE would silently diverge the streamed twin from a
+    // batch run over the same frame (r16 cast('long') seam sweep).
+    Guards.requireIntegral(df, value, "selectionValueCounts", "value")
     df.select(strata.map(col) :+ value.cast("long").as("_v"): _*)
       .where(col("_v").isNotNull)
       .groupBy(strata.map(col) :+ col("_v"): _*)
       .agg(count(lit(1)).as("cnt"))
+  }
 
   /**
    * Exact selection quantiles from a (possibly unfolded) value-count

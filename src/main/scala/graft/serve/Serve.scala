@@ -71,31 +71,66 @@ object Serve {
    * so the serving client re-runs the WHOLE action — plan and execute;
    * a retained DataFrame would pin the stale file listing, which is
    * why the argument is a thunk, not a frame. Anything that is not one
-   * of the two compaction signatures rethrows immediately. A
-   * GENUINELY missing store is indistinguishable from the mid-swap
-   * instant (both read as PATH_NOT_FOUND), so it pays the bounded
-   * backoff ladder — ~100 ms at the defaults — before the same loud
-   * failure surfaces.
+   * of the two compaction signatures rethrows immediately.
+   *
+   * `storePath` (when the caller knows it — the REPL always does)
+   * makes the plan-time signature PRECISE (r15 verdict item 3 +
+   * ADVICE): a PATH_NOT_FOUND only counts as a race when the store
+   * existed when this call STARTED and the failure message actually
+   * names that store — a typo'd store path (never existed) or an
+   * unrelated missing file fails on the FIRST attempt instead of
+   * silently paying the full backoff ladder. Execute-time
+   * FileNotFoundException always retries: the plan listed files that
+   * vanished underneath it, which IS the race, whatever path the
+   * part-file lived under. Without `storePath` the plan-time
+   * signature stays conservative (retry) — the caller gave nothing
+   * to distinguish by. Every retry logs to stderr (and `onRetry`,
+   * when given — the ScaleSmoke measurement hook), so repeated
+   * non-race FileNotFound failures are visible, never silent.
    */
-  def retryingServe[T](attempts: Int = 4, backoffMs: Long = 25)(
-      action: => T): T = {
+  def retryingServe[T](attempts: Int = 4, backoffMs: Long = 25,
+      storePath: String = null,
+      onRetry: (Int, Throwable) => Unit = null)(action: => T): T = {
     require(attempts >= 1, "retryingServe needs at least one attempt")
+    // Existence recorded at ENTRY: mid-swap the store path is absent
+    // for the instant between the two renames, but a caller holding a
+    // store handle entered BEFORE the swap — a path that was already
+    // absent when the caller started was never a store at all.
+    val existedAtEntry = storePath != null &&
+      new java.io.File(stripScheme(storePath)).exists()
     var i = 0
     while (true) {
       try return action
       catch {
-        case e: Throwable if i + 1 < attempts && compactionRace(e) =>
+        case e: Throwable if i + 1 < attempts &&
+            compactionRace(e, storePath, existedAtEntry) =>
           i += 1
+          val head = Option(e.getMessage).getOrElse(e.getClass.getName)
+            .linesIterator.take(1).mkString.take(160)
+          System.err.println(s"[serve] compact-race retry $i/" +
+            s"${attempts - 1} after ${e.getClass.getSimpleName}: " +
+            s"$head; backing off ${backoffMs * i} ms")
+          if (onRetry != null) onRetry(i, e)
           Thread.sleep(backoffMs * i)
       }
     }
     throw new IllegalStateException("unreachable")
   }
 
+  /** `file:/x` and `/x` are the same local store — strip the scheme
+    * so the entry-time existence probe sees what the FS sees. */
+  private def stripScheme(p: String): String =
+    if (p.startsWith("file:")) p.stripPrefix("file:") else p
+
   /** The two transient signatures of a read racing the compact swap
     * (cause chain walked — Spark wraps the executor's
-    * FileNotFoundException several layers deep). */
-  private[graft] def compactionRace(e: Throwable): Boolean = {
+    * FileNotFoundException several layers deep). Kept as the
+    * conservative no-path form for callers without a store handle. */
+  private[graft] def compactionRace(e: Throwable): Boolean =
+    compactionRace(e, null, existedAtEntry = false)
+
+  private[graft] def compactionRace(e: Throwable, storePath: String,
+      existedAtEntry: Boolean): Boolean = {
     var t: Throwable = e
     var depth = 0
     while (t != null && depth < 12) {
@@ -103,7 +138,12 @@ object Serve {
       t match {
         case _: java.io.FileNotFoundException => return true
         case _ if msg.contains("PATH_NOT_FOUND") ||
-          msg.contains("Path does not exist") => return true
+            msg.contains("Path does not exist") =>
+          // plan-time absence: with a store handle, a race requires
+          // the store to have existed at entry AND the message to
+          // name it — anything else is a user error, not a swap
+          return storePath == null ||
+            (existedAtEntry && msg.contains(stripScheme(storePath)))
         case _ => ()
       }
       t = if (t.getCause eq t) null else t.getCause

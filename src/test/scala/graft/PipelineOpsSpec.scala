@@ -615,6 +615,34 @@ class PipelineOpsSpec extends TestBase {
     // empty corpus: empty card (no boundary exists), not an NPE
     assert(Sampling.budgetSelectCard(docs.filter(lit(false)),
       col("q"), 16L).count() == 0L)
+    // integral-score contract (r15 verdict item 1): a double score is
+    // refused TYPED — cast('long') would floor it silently, changing
+    // the admission order vs the caller's intent
+    val exDbl = intercept[IllegalArgumentException] {
+      Sampling.budgetSelectCard(
+        docs.withColumn("qd", col("q") / lit(2.0)), col("qd"), 16L)
+    }
+    assert(exDbl.getMessage.contains("integral"),
+      s"double-score rejection message drifted: ${exDbl.getMessage}")
+    // null score/id raise LOUDLY in the scan (r15 ADVICE) — a null
+    // would silently leave the bisection domain while still counting
+    // in n_docs/tokens_total
+    def deepMsg(t: Throwable): String = {
+      var s = new StringBuilder; var e: Throwable = t; var d = 0
+      while (e != null && d < 12) {
+        s ++= Option(e.getMessage).getOrElse("")
+        e = if (e.getCause eq e) null else e.getCause; d += 1
+      }
+      s.toString
+    }
+    val exNull = intercept[Exception] {
+      Sampling.budgetSelectCard(
+        docs.withColumn("qn",
+          when(col("doc_id") === 3L, lit(null)).otherwise(col("q"))),
+        col("qn"), 16L).collect()
+    }
+    assert(deepMsg(exNull).contains("null score"),
+      s"null-score guard did not fire: ${deepMsg(exNull)}")
     graft.ops.Reuse.freeAll(spark)
   }
 
@@ -978,6 +1006,21 @@ class PipelineOpsSpec extends TestBase {
         Seq("lang"))
       .as[(String, Long, Long)].collect().toSeq.sorted
     assert(viaCounts == got, s"count-rank form drifted: $viaCounts")
+    // a double value is refused typed on BOTH twin sides (r16
+    // cast('long') seam sweep) — flooring would silently report the
+    // quantile of a different distribution
+    Seq(
+      () => Sketches.selectionQuantiles(
+        df.withColumn("vd", col("v") / lit(2.0)), Seq("lang"),
+        col("vd")),
+      () => Sketches.selectionValueCounts(
+        df.withColumn("vd", col("v") / lit(2.0)), Seq("lang"),
+        col("vd"))
+    ).foreach { f =>
+      val ex = intercept[IllegalArgumentException](f())
+      assert(ex.getMessage.contains("integral"),
+        s"double-value rejection message drifted: ${ex.getMessage}")
+    }
     graft.ops.Reuse.freeAll(spark)
     // the zero-shuffle search must agree with a driver sort replay of
     // the same k = ceil(q*n/100) definition on every real stratum

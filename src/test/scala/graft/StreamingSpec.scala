@@ -434,6 +434,48 @@ class StreamingSpec extends TestBase {
     }
     assert(calls == 1, s"non-race failure was retried $calls times")
 
+    // a NEVER-EXISTED store fails on the FIRST attempt (r15 verdict
+    // item 3): a typo'd path is a user error, not a swap — no ladder
+    var typoCalls = 0
+    intercept[Exception] {
+      Serve.retryingServe(backoffMs = 1, storePath = s"$root/typo") {
+        typoCalls += 1
+        spark.read.parquet(s"$root/typo").collect()
+      }
+    }
+    assert(typoCalls == 1,
+      s"never-existed store was retried $typoCalls times")
+    // an unrelated missing path fails fast even when the store
+    // exists: the plan-time race signature must NAME the store
+    var unrelatedCalls = 0
+    intercept[Exception] {
+      Serve.retryingServe(backoffMs = 1, storePath = store) {
+        unrelatedCalls += 1
+        spark.read.parquet(s"$root/unrelated-dir").collect()
+      }
+    }
+    assert(unrelatedCalls == 1,
+      s"unrelated missing path was retried $unrelatedCalls times")
+    // with the store handle the two swap signatures still retry:
+    // plan-time absence NAMING an existed-at-entry store, and the
+    // onRetry hook sees exactly the retries the log reports
+    var swapCalls = 0
+    var hookCalls = 0
+    val rows3 = Serve.retryingServe(backoffMs = 1, storePath = store,
+      onRetry = (_, _) => hookCalls += 1) {
+      swapCalls += 1
+      if (swapCalls == 1)
+        throw new RuntimeException(
+          s"[PATH_NOT_FOUND] Path does not exist: file:$store")
+      snap()
+    }
+    assert(swapCalls == 2 && hookCalls == 1 && rows3 == expected,
+      "store-naming plan-time race did not retry onto the snapshot")
+    // the REPL surfaces a typo'd store root as an immediate error
+    intercept[Exception] {
+      Repl.serveLine(spark, s"$root/nope", outDir, "getsummary")
+    }
+
     // and the post-compact REPL read (fresh plan, no race) is exact
     val after = Repl.serveLine(spark, root, outDir,
       "gettophashtagsstring 0 345600")
@@ -1765,6 +1807,37 @@ class StreamingSpec extends TestBase {
           s"(${streamed.collect().toSeq} vs ${batch.collect().toSeq})")
       graft.ops.Reuse.freeAll(spark)
     }
+    // An EXACT replay of a stored partial row (an at-least-once
+    // redelivery arriving in a LATER micro-batch — a fresh batch=N
+    // partition) folds away by distinct — the card is unchanged.
+    val one = spark.read.parquet(state).drop("batch").limit(1)
+    val stateSchema = one.schema
+    val oneRow = one.collect().toSeq
+    def rowFrame(rows: Seq[org.apache.spark.sql.Row]) =
+      spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](
+          scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
+        stateSchema)
+    rowFrame(oneRow).write.parquet(s"$state/batch=9998")
+    val afterReplay = StreamingPipeline
+      .budgetSelectCardFromState(spark, state, 10000L)
+    val batch10k = graft.ops.Sampling.budgetSelectCard(
+      scored(docs), col("score_ppm"), 10000L)
+    assert(afterReplay.except(batch10k).isEmpty &&
+      batch10k.except(afterReplay).isEmpty,
+      "exact-replay partial changed the served card")
+    graft.ops.Reuse.freeAll(spark)
+    // A RE-INGESTED doc (same _id, changed toks — a re-crawl) is NOT
+    // a replay: serving must refuse loudly instead of double-counting
+    // its tokens (r15 verdict item 2)
+    rowFrame(oneRow).withColumn("_toks", col("_toks") + 1L)
+      .write.parquet(s"$state/batch=9999")
+    val exDup = intercept[IllegalArgumentException] {
+      StreamingPipeline.budgetSelectCardFromState(spark, state, 10000L)
+    }
+    assert(exDup.getMessage.contains("re-crawled"),
+      s"re-crawl guard message drifted: ${exDup.getMessage}")
+    graft.ops.Reuse.freeAll(spark)
   }
 
   test("streaming source-overlap state == batch keyOverlap (ext68 twin, " +
