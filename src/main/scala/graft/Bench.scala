@@ -75,19 +75,40 @@ object Bench {
         // Strip the run-varying parts of a plan string (expression ids,
         // codegen stage ids, cached-plan ids, object identity hashes,
         // file paths/listing hashes) so the hash is stable across
-        // sessions for an unchanged plan. Measured residual: ~5 of 195
-        // queries (multi-distinct Expand plans, whose grouping-id
-        // assignment varies per session) always read as changed — the
-        // SAFE direction (a few seconds of spurious re-bench, never a
-        // silently skipped real change of plan STRUCTURE).
-        def normalize(s: String): String = s
-          .replaceAll("#\\d+", "#")
-          .replaceAll("\\(\\d+\\)", "()")
-          .replaceAll("file:[^\\s,)\\]]+", "file:~")
-          .replaceAll("\\[[0-9]+ paths\\]", "[~]")
-          .replaceAll("plan_id=\\d+", "plan_id=~")
-          .replaceAll("@[0-9a-fA-F]+", "@~")
-          .replaceAll("\\s+", " ")
+        // sessions for an unchanged plan. Each rule targets a KNOWN
+        // session-varying shape only — the r15 blanket `(\d+)` strip
+        // also swallowed genuine literal constants (a changed limit or
+        // interpolated budget could hash identical to the old plan:
+        // the UNSAFE direction — r15 ADVICE), so codegen stage ids
+        // are now matched by their `*(N)` / `WholeStageCodegen (N)`
+        // rendering specifically and numeric literals stay hashed.
+        // The one structural variance left after those rules is the
+        // multi-distinct Expand rewrite (r15's residual ~5): gid
+        // VALUES and distinct-group/key ORDER are assigned per
+        // session, a pure permutation of the same groups. Lines
+        // mentioning gid# are therefore canonicalized as a sorted
+        // token multiset (digits and list punctuation dropped): a
+        // permutation hashes equal, while an added/removed/renamed
+        // aggregate or column on those lines still reads as changed
+        // — measured: a no-change second run now re-benches 0 of 196
+        // (two fresh JVMs, all plans diffed).
+        def normalize(s: String): String = {
+          val base = s
+            .replaceAll("#\\d+", "#")
+            .replaceAll("\\*\\(\\d+\\)", "*()")
+            .replaceAll("WholeStageCodegen \\(\\d+\\)",
+              "WholeStageCodegen ()")
+            .replaceAll("file:[^\\s,)\\]]+", "file:~")
+            .replaceAll("\\[[0-9]+ paths\\]", "[~]")
+            .replaceAll("plan_id=\\d+", "plan_id=~")
+            .replaceAll("@[0-9a-fA-F]+", "@~")
+          base.linesIterator.map { ln =>
+            if (ln.contains("gid#"))
+              ln.replaceAll("[0-9\\[\\](),]", " ").trim
+                .split("\\s+").sorted.mkString(" ")
+            else ln
+          }.mkString("\n").replaceAll("\\s+", " ")
+        }
         val stored: Map[String, String] =
           if (!fpFile.isFile) Map.empty
           else """"([^"]+)"\s*:\s*"([^"]+)"""".r
