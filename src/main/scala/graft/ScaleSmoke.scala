@@ -996,6 +996,67 @@ object ScaleSmoke {
           10000L * mult)
       }
     }
+    // r16: price retryingServe under a REAL concurrent compaction
+    // loop (r15 verdict item 6) — the race specs prove recovery on
+    // injected/probe-driven signatures; this measures the serve path
+    // against a LIVE compact thread: reads completed, retries paid,
+    // exhaustions (should be 0), and the added latency per read vs an
+    // uncontended baseline over the same store. The contention is the
+    // SWAP FREQUENCY, not data volume (the race lives in file
+    // listings and the rename window), so the store is file-shaped
+    // like production — batch=N dirs × date partitions — at modest
+    // rows.
+    if (only.forall(_.exists(p =>
+        "r16serve".startsWith(p) || p.startsWith("r16serve")))) {
+      val AS = graft.stream.AggregateStore
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-smoke-serve").toString
+      val store = s"$tmp/hashtags"
+      def batchDf(b: Int) = spark.range(100000L).select(
+        (lit(b.toLong * 86400L) + (col("id") % 100L) * 600L)
+          .as("window_end"),
+        concat(lit("e"), col("id") % 1000L).as("entity"),
+        (col("id") % 97L).as("follower_sum"),
+        lit(1L).as("tweet_count"))
+      (0 until 16).foreach(b =>
+        AS.writeRanked(batchDf(b), store, 10, b.toLong))
+      val reads = 60
+      def readOnce(): Long = {
+        val r = AS.readRange(spark, store, 0L, 16L * 86400L).count()
+        spark.catalog.clearCache(); r
+      }
+      readOnce() // warm codegen/readers untimed
+      val tb = System.nanoTime()
+      (0 until reads).foreach(_ => readOnce())
+      val uncontendedS = (System.nanoTime() - tb) / 1e9
+      @volatile var stopCompacts = false
+      var compacts = 0
+      var compactErrs = 0
+      val compactor = new Thread(() => {
+        while (!stopCompacts) {
+          try { AS.compact(spark, store); compacts += 1 }
+          catch { case _: Throwable => compactErrs += 1 }
+        }
+      }, "smoke-compactor")
+      compactor.setDaemon(true)
+      compactor.start()
+      var retries = 0
+      var exhausted = 0
+      val tc = System.nanoTime()
+      (0 until reads).foreach { _ =>
+        try graft.serve.Serve.retryingServe(storePath = store,
+          onRetry = (_, _) => retries += 1)(readOnce())
+        catch { case _: Throwable => exhausted += 1 }
+      }
+      val contendedS = (System.nanoTime() - tc) / 1e9
+      stopCompacts = true
+      compactor.join(60000)
+      println(f"[scale-smoke] serve_under_compaction  reads=$reads  " +
+        f"uncontended=$uncontendedS%.1f s  contended=$contendedS%.1f s" +
+        f"  addedPerRead=${(contendedS - uncontendedS) * 1000 / reads}%.0f ms" +
+        f"  retries=$retries  exhausted=$exhausted  " +
+        f"compacts=$compacts  compactErrs=$compactErrs")
+    }
     spark.stop()
   }
 }
