@@ -30,6 +30,12 @@ object ExtEntry {
     * admitted AND rejected, a partially-admitted boundary class). */
   private val BudgetSelectTokens = 10000L
 
+  /** ext173's per-stratum token budget (interpolated into the oracle).
+    * sf0.01 per-lang masses run 3.5k–11.8k tokens, so 2500 keeps every
+    * lang's cut PARTIAL — docs admitted and rejected in each stratum,
+    * a non-trivially-cut boundary class per lang. */
+  private val StratumBudgetTokens = 2500L
+
   /** ext126's packing context length — interpolated into the oracle so
     * a change here cannot silently diverge the two engines. */
   private val CurationCtx = 512L
@@ -2272,6 +2278,20 @@ object ExtEntry {
           "least(n_words * 10000, 1000000) DIV 2" +
             " + (n_stop * 1000000 DIV n_words) DIV 2")),
         col("score_ppm"), BudgetSelectTokens)),
+
+    // Per-STRATUM budget cuts (r16): ext172's cut executed for every
+    // lang at once — the source-balancing step that EXECUTES what
+    // tokenLedger/annealLedger PLAN per stratum. One batched k-ary
+    // bisection job per round covers ALL strata (probes ride as
+    // broadcast columns, the selectionQuantiles discipline): same job
+    // count as ONE ext172 cut, zero data shuffles in the searches.
+    "ext173_budget_select_strata" -> ((s, dir) =>
+      Sampling.budgetSelectCardsByStratum(
+        TextOps.quality(docs(s, dir)).withColumn("score_ppm", expr(
+          "least(n_words * 10000, 1000000) DIV 2" +
+            " + (n_stop * 1000000 DIV n_words) DIV 2")),
+        "lang", col("score_ppm"), StratumBudgetTokens)
+        .orderBy("lang")),
 
     // Burstiness (Fano factor) per entity over the daily count matrix:
     // dispersion texture next to ext152's direction and ext158's
@@ -6198,6 +6218,83 @@ object ExtEntry {
          |  CAST(COALESCE(sum(CASE WHEN selected=1 THEN n_toks END),0)
          |    * 1000000 // $b AS BIGINT) AS fill_ppm
          |FROM sel""".stripMargin
+    },
+
+    // Stratified budget select: ext172's declarative replay grouped
+    // by lang — per-lang threshold (min score class with above-mass
+    // <= B, whole-fit => smin-1), per-lang boundary (first
+    // overflowing boundary-class doc minus 1, whole-class-fit =>
+    // imax), identical selection predicate and card aggregates.
+    // Validated equal to an independent per-lang prefix-rule replay
+    // before wiring (the ext172 convention).
+    "ext173_budget_select_strata" -> {
+      val b = StratumBudgetTokens
+      s"""WITH d AS (SELECT lang, doc_id,
+         |    CAST(len(string_split(text,' ')) AS BIGINT) AS n_toks,
+         |    CAST(len(list_filter(string_split(text,' '),
+         |      t -> t IN ($stopList))) AS BIGINT) AS n_stop
+         |  FROM documents),
+         |s AS (SELECT lang, doc_id, n_toks,
+         |    CAST(least(n_toks*10000, 1000000)//2
+         |      + (n_stop*1000000//n_toks)//2 AS BIGINT) AS score
+         |  FROM d),
+         |tot AS (SELECT lang, CAST(sum(n_toks) AS BIGINT) AS total,
+         |               CAST(count(*) AS BIGINT) AS n_docs,
+         |               min(score) AS smin, max(doc_id) AS imax
+         |        FROM s GROUP BY lang),
+         |cls AS (SELECT lang, score, CAST(sum(n_toks) AS BIGINT) AS ct
+         |        FROM s GROUP BY lang, score),
+         |ca AS (SELECT lang, score, CAST(COALESCE(sum(ct) OVER (
+         |         PARTITION BY lang ORDER BY score DESC
+         |         ROWS BETWEEN UNBOUNDED PRECEDING
+         |         AND 1 PRECEDING), 0) AS BIGINT) AS above FROM cls),
+         |thr AS (SELECT tot.lang, CASE WHEN tot.total <= $b
+         |          THEN tot.smin - 1
+         |          ELSE (SELECT min(score) FROM ca
+         |                WHERE ca.lang = tot.lang AND above <= $b)
+         |          END AS t
+         |        FROM tot),
+         |base AS (SELECT thr.lang,
+         |           CAST(COALESCE(sum(s.n_toks), 0) AS BIGINT) AS b
+         |         FROM thr LEFT JOIN s
+         |           ON s.lang = thr.lang AND s.score > thr.t
+         |         GROUP BY thr.lang),
+         |ccum AS (SELECT s.lang, s.doc_id,
+         |           CAST(sum(s.n_toks) OVER (PARTITION BY s.lang
+         |             ORDER BY s.doc_id ROWS UNBOUNDED PRECEDING)
+         |             AS BIGINT) AS cumt
+         |         FROM s JOIN thr
+         |           ON s.lang = thr.lang AND s.score = thr.t),
+         |ctot AS (SELECT thr.lang,
+         |           CAST(COALESCE(sum(s.n_toks), 0) AS BIGINT) AS ct
+         |         FROM thr LEFT JOIN s
+         |           ON s.lang = thr.lang AND s.score = thr.t
+         |         GROUP BY thr.lang),
+         |bid AS (SELECT thr.lang, CASE
+         |          WHEN base.b + ctot.ct <= $b THEN tot.imax
+         |          ELSE (SELECT min(cc.doc_id) FROM ccum cc
+         |                WHERE cc.lang = thr.lang
+         |                  AND base.b + cc.cumt > $b) - 1
+         |          END AS i
+         |        FROM thr JOIN base USING (lang)
+         |          JOIN ctot USING (lang) JOIN tot USING (lang)),
+         |sel AS (SELECT s.*, CASE WHEN s.score > thr.t
+         |          OR (s.score = thr.t AND s.doc_id <= bid.i)
+         |          THEN 1 ELSE 0 END AS selected
+         |        FROM s JOIN thr USING (lang) JOIN bid USING (lang))
+         |SELECT sel.lang, thr.t AS threshold_score,
+         |  bid.i AS boundary_id,
+         |  CAST(sum(selected) AS BIGINT) AS n_selected,
+         |  CAST(COALESCE(sum(CASE WHEN selected=1 THEN n_toks END),0)
+         |    AS BIGINT) AS tokens_selected,
+         |  tot.n_docs, tot.total AS tokens_total,
+         |  CAST($b AS BIGINT) AS budget_tokens,
+         |  CAST(COALESCE(sum(CASE WHEN selected=1 THEN n_toks END),0)
+         |    * 1000000 // $b AS BIGINT) AS fill_ppm
+         |FROM sel JOIN thr USING (lang) JOIN bid USING (lang)
+         |  JOIN tot USING (lang)
+         |GROUP BY sel.lang, thr.t, bid.i, tot.n_docs, tot.total
+         |ORDER BY sel.lang""".stripMargin
     },
 
     // Temporal split: cutoff = k-th order statistic via row_number

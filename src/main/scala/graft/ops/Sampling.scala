@@ -532,6 +532,238 @@ object Sampling {
     cardOf(e2, t, idStar, budgetTokens)
   }
 
+  /** The keep-latest fold the re-crawl guard above DEMANDS, shipped:
+    * [[budgetSelectCardFromCounts]] over versioned partials — each
+    * row carries an integral `_ver` (the streaming sink's batch id:
+    * the replay key IS the version, no new sink columns), and a doc
+    * re-ingested in a later version REPLACES its older row via one
+    * max_by-struct aggregate (ties on `_ver` — the same batch
+    * replayed — break by (score, toks) max, deterministic either
+    * way since a bit-identical replay carries identical values).
+    * One extra keyed aggregate on the serve path (which already
+    * pays the distinct's exchange); the bisections then run over
+    * exactly the latest snapshot, so the card equals the batch
+    * operator over "each doc's newest crawl". */
+  def budgetSelectCardFromVersioned(counts: DataFrame,
+      budgetTokens: Long): DataFrame = {
+    Guards.requireIntegral(counts, col("_ver"),
+      "budgetSelectCardFromVersioned", "version")
+    val latest = counts
+      .select(col("_id"), struct(col("_ver"), col("_score"),
+        col("_toks")).as("_vst"))
+      .groupBy("_id").agg(max(col("_vst")).as("_vst"))
+      .select(col("_id"), col("_vst._score").as("_score"),
+        col("_vst._toks").as("_toks"))
+    budgetSelectCardFromCounts(latest, budgetTokens)
+  }
+
+  /**
+   * Per-STRATUM token-budget cuts (ext173) — [[budgetSelectCard]]
+   * executed for every stratum at once: the source/lang-balancing
+   * step that EXECUTES what tokenLedger/annealLedger PLAN per
+   * stratum (each stratum admits its best docs in (score DESC,
+   * id ASC) order until ITS budget — per-stratum prefix semantics,
+   * so one over-represented source cannot eat another's allocation).
+   *
+   * Scale shape — the [[Sketches.selectionQuantiles]] multi-stratum
+   * discipline applied to budget-select: still NO global sort and
+   * zero data shuffles in the searches; every round evaluates ALL
+   * strata's k-ary probe ladders in ONE aggregate job (the corpus
+   * joins a broadcast ≤|strata|-row probe relation, probes ride as
+   * columns — no row fan-out), so the job count is the SAME as one
+   * ext172 cut (~log₈ score-span + log₈ id-span rounds), not
+   * |strata| of them. Driver state is one bracket per stratum —
+   * requires LOW-CARDINALITY strata (lang/source, the ext24
+   * assumption). `budgets` overrides the default budget per stratum
+   * (keyed by the stratum value's string rendering — the planned
+   * masses a tokenLedger emits); a stratum absent from the map gets
+   * `budgetTokens`. Null strata are rejected loudly (a null key
+   * would silently drop out of the probe join). Output: one
+   * [[budgetSelectCard]] row per stratum, stratum-labelled —
+   * spec-asserted equal to running budgetSelectCard on each stratum
+   * alone.
+   */
+  def budgetSelectCardsByStratum(doc: DataFrame, stratum: String,
+      score: Column, budgetTokens: Long,
+      budgets: Map[String, Long] = Map.empty, id: String = "doc_id",
+      text: String = "text"): DataFrame = {
+    Guards.requireIntegral(doc, score, "budgetSelectByStratum", "score")
+    cardsByStratumOf(
+      Reuse.shared(budgetSelectStratumPartials(doc, col(stratum),
+        score, id, text)),
+      stratum, doc.select(col(stratum)).schema.head.dataType,
+      budgetTokens, budgets)
+  }
+
+  /** The stratified per-doc (stratum, id, score, toks) projection —
+    * the ONE stored partial whose fold serves the per-stratum cards
+    * ([[budgetSelectCardsByStratumFromCounts]]) AND, with `_s`
+    * dropped, the global [[budgetSelectCardFromCounts]] at any
+    * budget: one sink, every card (the trend-matrix discipline).
+    * Same guards as [[budgetSelectPartials]]. */
+  def budgetSelectStratumPartials(doc: DataFrame, stratum: Column,
+      score: Column, id: String = "doc_id",
+      text: String = "text"): DataFrame = {
+    Guards.requireIntegral(doc, score, "budgetSelectByStratum", "score")
+    doc.select(stratum.as("_s"),
+      Guards.notNull(col(id).cast("long"), "budgetSelectByStratum",
+        "id").as("_id"),
+      Guards.notNull(score.cast("long"), "budgetSelectByStratum",
+        "score").as("_score"),
+      size(TextOps.tokens(col(text))).cast("long").as("_toks"))
+  }
+
+  /** [[budgetSelectCardsByStratum]] from a stored stratified partials
+    * relation — the streaming serve path: identical batched
+    * bisections over the folded rows, zero text rescans, and both
+    * the budget AND the per-stratum plan are serve-time knobs. The
+    * same re-crawl guard as the global serve path (whole-row
+    * distinct collapses exact replays; a re-ingested doc — same
+    * (_s, _id), changed score/toks — is rejected loudly). */
+  def budgetSelectCardsByStratumFromCounts(counts: DataFrame,
+      stratum: String, budgetTokens: Long,
+      budgets: Map[String, Long] = Map.empty): DataFrame = {
+    val e = Reuse.shared(
+      counts.select("_s", "_id", "_score", "_toks").distinct())
+    val chk = e.agg(count(lit(1)).as("_n"),
+      countDistinct(col("_s"), col("_id")).as("_nid")).first()
+    if (chk.getLong(0) != chk.getLong(1))
+      throw new IllegalArgumentException(
+        s"budgetSelectCardsByStratumFromCounts: " +
+          s"${chk.getLong(0) - chk.getLong(1)} conflicting partial " +
+          "rows share a (stratum, _id) (a re-crawled doc with " +
+          "changed score/toks) — apply a keep-latest rule to one " +
+          "row per doc before serving")
+    cardsByStratumOf(e, stratum, e.schema("_s").dataType,
+      budgetTokens, budgets)
+  }
+
+  /** The batched per-stratum searches over a prepared
+    * (_s, _id, _score, _toks) projection — shared by the direct and
+    * stored-fold paths. */
+  private def cardsByStratumOf(e: DataFrame, stratum: String,
+      sType: org.apache.spark.sql.types.DataType, budgetTokens: Long,
+      budgets: Map[String, Long]): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    import scala.jdk.CollectionConverters._
+    require(budgetTokens > 0, "token budget must be positive")
+    require(budgets.values.forall(_ > 0),
+      "every per-stratum budget must be positive")
+    val spark = e.sparkSession
+    val cardSchema = StructType(StructField(stratum, sType) +:
+      CardCols.map(StructField(_, LongType)))
+    val init = e.groupBy("_s").agg(min("_score"), max("_score"),
+      min("_id"), max("_id")).collect()
+    if (init.isEmpty)
+      return spark.createDataFrame(
+        new java.util.ArrayList[Row](), cardSchema)
+    def bOf(s: Any): Long =
+      budgets.getOrElse(String.valueOf(s), budgetTokens)
+    val doms = init.map { r =>
+      require(!r.isNullAt(0), "budgetSelectByStratum: null stratum " +
+        "value — a null key would silently drop out of the probe " +
+        "join; filter or bucket nulls explicitly")
+      val (sLo, iLo) = (r.getLong(1), r.getLong(3))
+      require(sLo > Long.MinValue && iLo > Long.MinValue,
+        "budgetSelect needs score and id domains above Long.MinValue")
+      (r.get(0), sLo, r.getLong(2), iLo, r.getLong(4))
+    }
+    val probeCols = BisectFanout - 1
+    // one aggregate job evaluating every active stratum's probe
+    // ladder: the corpus joins the broadcast (stratum, _t?, _m1..7)
+    // relation and each probe is one conditional token sum
+    def roundSums(rows: Seq[(Any, Seq[Long])], tOf: Map[Any, Long],
+        cond: (Column, Column) => Column): Map[Any, Seq[Long]] = {
+      val withT = tOf.nonEmpty
+      val schema = StructType(StructField("_s", sType) +:
+        (if (withT) Seq(StructField("_t", LongType)) else Nil) ++:
+        (1 to probeCols).map(i => StructField(s"_m$i", LongType)))
+      val mids = spark.createDataFrame(rows.map { case (s, ms) =>
+        Row.fromSeq(Seq(s) ++ (if (withT) Seq(tOf(s)) else Nil) ++
+          ms.padTo(probeCols, ms.last))
+      }.asJava, schema)
+      val aggs = (1 to probeCols).map(i =>
+        coalesce(sum(when(cond(col(s"_m$i"), col("_score")),
+          col("_toks")).otherwise(0L)), lit(0L)).as(s"_c$i"))
+      e.join(broadcast(mids), "_s")
+        .groupBy("_s").agg(aggs.head, aggs.tail: _*)
+        .collect()
+        .map(r => r.get(0) ->
+          (1 to probeCols).map(i => r.getLong(i)).toSeq)
+        .toMap
+    }
+    // threshold phase: per stratum, min t in [sLo-1, sHi] with
+    // tokens(score > t) <= B — all strata per round in one job
+    var minBr: Map[Any, (Long, Long)] =
+      doms.map(d => d._1 -> (d._2 - 1, d._3)).toMap
+    val tOf = scala.collection.mutable.Map.empty[Any, Long]
+    while (minBr.nonEmpty) {
+      val (fin, act) = minBr.partition { case (_, (lo, hi)) => lo >= hi }
+      tOf ++= fin.map { case (s, (lo, _)) => s -> lo }
+      if (act.isEmpty) minBr = Map.empty
+      else {
+        val rows = act.toSeq.map { case (s, (lo, hi)) =>
+          s -> minProbes(lo, hi) }
+        val sums = roundSums(rows, Map.empty, (m, sc) => sc > m)
+        minBr = rows.map { case (s, ps) =>
+          val (lo, hi) = act(s)
+          s -> minUpdate(lo, hi, ps,
+            sums(s).take(ps.size).map(_ <= bOf(s)))
+        }.toMap
+      }
+    }
+    // base: tokens strictly above each stratum's threshold (one job)
+    val base = roundSums(
+      doms.toSeq.map(d => (d._1, Seq(tOf(d._1)))), Map.empty,
+      (m, sc) => sc > m).map { case (s, v) => s -> v.head }
+    // boundary phase: per stratum, max id* in [iLo-1, iHi] with
+    // base + tokens(score = t, id <= id*) <= B
+    var maxBr: Map[Any, (Long, Long)] =
+      doms.map(d => d._1 -> (d._4 - 1, d._5)).toMap
+    val iOf = scala.collection.mutable.Map.empty[Any, Long]
+    val tMap = tOf.toMap
+    while (maxBr.nonEmpty) {
+      val (fin, act) = maxBr.partition { case (_, (lo, hi)) => lo >= hi }
+      iOf ++= fin.map { case (s, (lo, _)) => s -> lo }
+      if (act.isEmpty) maxBr = Map.empty
+      else {
+        val rows = act.toSeq.map { case (s, (lo, hi)) =>
+          s -> maxProbes(lo, hi) }
+        val sums = roundSums(rows, tMap,
+          (m, sc) => sc === col("_t") && col("_id") <= m)
+        maxBr = rows.map { case (s, ps) =>
+          val (lo, hi) = act(s)
+          s -> maxUpdate(lo, hi, ps,
+            sums(s).take(ps.size).map(base(s) + _ <= bOf(s)))
+        }.toMap
+      }
+    }
+    // one labelled card aggregate for all strata (broadcast the
+    // per-stratum (t, id*, B) envelope)
+    val envSchema = StructType(Seq(StructField("_s", sType),
+      StructField("_t", LongType), StructField("_i", LongType),
+      StructField("_b", LongType)))
+    val env = spark.createDataFrame(doms.toSeq.map(d =>
+      Row.fromSeq(Seq(d._1, tMap(d._1), iOf(d._1), bOf(d._1)))).asJava,
+      envSchema)
+    val sel = col("_score") > col("_t") ||
+      (col("_score") === col("_t") && col("_id") <= col("_i"))
+    e.join(broadcast(env), "_s")
+      .groupBy("_s", "_t", "_i", "_b")
+      .agg(count(lit(1)).as("n_docs"), sum("_toks").as("tokens_total"),
+        coalesce(sum(when(sel, 1L).otherwise(0L)), lit(0L))
+          .as("n_selected"),
+        coalesce(sum(when(sel, col("_toks")).otherwise(0L)), lit(0L))
+          .as("tokens_selected"))
+      .select(col("_s").as(stratum), col("_t").as("threshold_score"),
+        col("_i").as("boundary_id"), col("n_selected"),
+        col("tokens_selected"), col("n_docs"), col("tokens_total"),
+        col("_b").as("budget_tokens"),
+        expr("CAST(cast(tokens_selected AS DECIMAL(38,0))" +
+          " * 1000000 DIV _b AS BIGINT)").as("fill_ppm"))
+  }
+
   /** The two bisections over the shared (id, score, toks) projection;
     * returns (null, _, _) on an empty corpus (no boundary exists —
     * the temporalSplit empty-card convention). */
@@ -591,6 +823,50 @@ object Sampling {
     (e, t, idStar)
   }
 
+  /** Probe ladder for one min-true round: strictly increasing probes
+    * in [lo, hi). BigInt width/probe arithmetic: a full-Long id span
+    * (64-bit hash ids) overflows hi − lo, which would silently
+    * corrupt the ladder — the probes themselves always lie in
+    * [lo, hi]. Shared by the single-corpus searches and the
+    * per-stratum batched rounds (ext173). */
+  private def minProbes(lo: Long, hi: Long): Seq[Long] = {
+    val width = BigInt(hi) - BigInt(lo)
+    val k = width.min(BigInt(BisectFanout))
+    val probes = (BigInt(1) until k)
+      .map(i => (BigInt(lo) + width * i / k).toLong)
+      .distinct.filter(p => p >= lo && p < hi)
+    if (probes.isEmpty) Seq((BigInt(lo) + width / 2).toLong) else probes
+  }
+
+  /** Bracket update for one min-true round: narrow to the segment
+    * between the last-false and first-true probe. */
+  private def minUpdate(lo: Long, hi: Long, ps: Seq[Long],
+      vs: Seq[Boolean]): (Long, Long) = {
+    val idx = vs.indexWhere(identity)
+    if (idx >= 0) (if (idx > 0) ps(idx - 1) + 1 else lo, ps(idx))
+    else (ps.last + 1, hi)
+  }
+
+  /** Probe ladder for one max-true round: probes in (lo, hi]. */
+  private def maxProbes(lo: Long, hi: Long): Seq[Long] = {
+    val width = BigInt(hi) - BigInt(lo)
+    val k = width.min(BigInt(BisectFanout))
+    val probes = (BigInt(1) until k)
+      .map(i => (BigInt(lo) + width * i / k).toLong)
+      .distinct.filter(p => p > lo && p <= hi)
+    if (probes.isEmpty) Seq((BigInt(lo) + (width + 1) / 2).toLong)
+    else probes
+  }
+
+  /** Bracket update for one max-true round. */
+  private def maxUpdate(lo: Long, hi: Long, ps: Seq[Long],
+      vs: Seq[Boolean]): (Long, Long) = {
+    val idx = vs.lastIndexWhere(identity)
+    if (idx >= 0)
+      (ps(idx), if (idx < ps.size - 1) ps(idx + 1) - 1 else hi)
+    else (lo, ps.head - 1)
+  }
+
   /** Min t in [lo0, hi0] with monotone (false…false true…true)
     * `preds`; the caller guarantees pred(hi0). Each round evaluates up
     * to BisectFanout−1 evenly spaced probes in ONE batch call and
@@ -601,22 +877,9 @@ object Sampling {
     var lo = lo0
     var hi = hi0
     while (lo < hi) {
-      // BigInt width/probe arithmetic: a full-Long id span (64-bit
-      // hash ids) overflows hi - lo, which would silently corrupt the
-      // probe ladder — the probes themselves always lie in [lo, hi]
-      val width = BigInt(hi) - BigInt(lo)
-      val k = width.min(BigInt(BisectFanout))
-      val probes = (BigInt(1) until k)
-        .map(i => (BigInt(lo) + width * i / k).toLong)
-        .distinct.filter(p => p >= lo && p < hi)
-      val ps = if (probes.isEmpty)
-        Seq((BigInt(lo) + width / 2).toLong) else probes
-      val vs = preds(ps)
-      val idx = vs.indexWhere(identity)
-      if (idx >= 0) {
-        hi = ps(idx)
-        if (idx > 0) lo = ps(idx - 1) + 1
-      } else lo = ps.last + 1
+      val ps = minProbes(lo, hi)
+      val (l2, h2) = minUpdate(lo, hi, ps, preds(ps))
+      lo = l2; hi = h2
     }
     lo
   }
@@ -628,19 +891,9 @@ object Sampling {
     var lo = lo0
     var hi = hi0
     while (lo < hi) {
-      val width = BigInt(hi) - BigInt(lo)
-      val k = width.min(BigInt(BisectFanout))
-      val probes = (BigInt(1) until k)
-        .map(i => (BigInt(lo) + width * i / k).toLong)
-        .distinct.filter(p => p > lo && p <= hi)
-      val ps = if (probes.isEmpty)
-        Seq((BigInt(lo) + (width + 1) / 2).toLong) else probes
-      val vs = preds(ps)
-      val idx = vs.lastIndexWhere(identity)
-      if (idx >= 0) {
-        lo = ps(idx)
-        if (idx < ps.size - 1) hi = ps(idx + 1) - 1
-      } else hi = ps.head - 1
+      val ps = maxProbes(lo, hi)
+      val (l2, h2) = maxUpdate(lo, hi, ps, preds(ps))
+      lo = l2; hi = h2
     }
     lo
   }

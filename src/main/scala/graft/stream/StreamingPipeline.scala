@@ -955,6 +955,42 @@ object StreamingPipeline {
     graft.ops.Sampling.budgetSelectCardFromCounts(
       spark.read.parquet(outPath).drop("batch"), budgetTokens)
 
+  /** Streaming twin of the STRATIFIED budget cut (ext173): the sink
+    * appends the (stratum, id, score, toks) projection — ONE stored
+    * relation that serves the per-stratum cards at any budget/plan
+    * AND (with `_s` dropped) the global ext172 card: one sink, every
+    * card. */
+  def budgetSelectStratumPartialsSink(scoredDocs: DataFrame,
+      stratum: org.apache.spark.sql.Column,
+      score: org.apache.spark.sql.Column, outPath: String)
+      : DataStreamWriter[org.apache.spark.sql.Row] =
+    partialsSink(scoredDocs,
+      graft.ops.Sampling.budgetSelectStratumPartials(_, stratum, score),
+      outPath)
+
+  def budgetSelectCardsByStratumFromState(spark: SparkSession,
+      outPath: String, stratum: String, budgetTokens: Long,
+      budgets: Map[String, Long] = Map.empty): DataFrame =
+    graft.ops.Sampling.budgetSelectCardsByStratumFromCounts(
+      spark.read.parquet(outPath).drop("batch"), stratum,
+      budgetTokens, budgets)
+
+  /** Keep-latest serve of the ext172 twin — the policy the re-crawl
+    * guard demands, shipped with ZERO new sink columns: the
+    * `batch=N` replay key IS the version, so a doc re-ingested in a
+    * later micro-batch replaces its older projection row before the
+    * bisections run ([[graft.ops.Sampling.budgetSelectCardFromVersioned]]).
+    * Exact replays still fold away (identical rows under any
+    * arbitration); only a genuinely re-crawled doc changes the card
+    * — to the one the batch operator would compute over each doc's
+    * newest crawl. */
+  def budgetSelectCardFromStateKeepLatest(spark: SparkSession,
+      outPath: String, budgetTokens: Long): DataFrame =
+    graft.ops.Sampling.budgetSelectCardFromVersioned(
+      spark.read.parquet(outPath)
+        .withColumn("_ver", col("batch").cast("long")).drop("batch"),
+      budgetTokens)
+
   /** Streaming twin of the per-source Gopher pass rates (ext84). */
   def gopherPassPartialsSink(docs: DataFrame, strata: Seq[String],
       outPath: String): DataStreamWriter[org.apache.spark.sql.Row] =

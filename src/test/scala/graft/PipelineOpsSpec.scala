@@ -646,6 +646,81 @@ class PipelineOpsSpec extends TestBase {
     graft.ops.Reuse.freeAll(spark)
   }
 
+  test("stratified budget select: hand-computed mixed strata " +
+      "(partial / whole-fit / nothing-fits), per-stratum budgets " +
+      "map, null stratum rejected, == the single-stratum operator " +
+      "per stratum on the real corpus (ext173)") {
+    import spark.implicits._
+    import graft.ops.Sampling
+    def words(n: Int) = Seq.fill(n)("w").mkString(" ")
+    // stratum a = the ext172 spec corpus (boundary class cut at the
+    // first overflow); b fits whole; c's single 20-tok doc overflows
+    val docs = Seq(
+      (1L, words(5), 90L, "a"), (2L, words(5), 90L, "a"),
+      (3L, words(4), 80L, "a"), (4L, words(4), 80L, "a"),
+      (5L, words(4), 80L, "a"), (6L, words(10), 70L, "a"),
+      (7L, words(3), 50L, "b"), (8L, words(2), 40L, "b"),
+      (9L, words(20), 10L, "c"))
+      .toDF("doc_id", "text", "q", "lang")
+    val got = Sampling
+      .budgetSelectCardsByStratum(docs, "lang", col("q"), 16L)
+      .orderBy("lang")
+      .as[(String, Long, Long, Long, Long, Long, Long, Long, Long)]
+      .collect().toSeq
+    assert(got == Seq(
+      ("a", 80L, 3L, 3L, 14L, 6L, 32L, 16L, 875000L),
+      ("b", 39L, 8L, 2L, 5L, 2L, 5L, 16L, 312500L),
+      ("c", 10L, 8L, 0L, 0L, 1L, 20L, 16L, 0L)),
+      s"hand-computed stratified cards drifted: $got")
+    // per-stratum budget override (the tokenLedger-planned form):
+    // a's budget 100 makes it whole-fit, b/c keep the default
+    val planned = Sampling.budgetSelectCardsByStratum(docs, "lang",
+        col("q"), 16L, budgets = Map("a" -> 100L))
+      .orderBy("lang")
+      .as[(String, Long, Long, Long, Long, Long, Long, Long, Long)]
+      .collect().toSeq
+    assert(planned.head == ("a", 69L, 6L, 6L, 32L, 6L, 32L, 100L,
+      320000L) && planned.tail == got.tail,
+      s"planned-budget cards drifted: $planned")
+    // a null stratum would silently drop out of the probe join —
+    // rejected loudly instead
+    val exNullS = intercept[IllegalArgumentException] {
+      Sampling.budgetSelectCardsByStratum(
+        docs.withColumn("lang",
+          when(col("doc_id") === 9L, lit(null)).otherwise(col("lang"))),
+        "lang", col("q"), 16L)
+    }
+    assert(exNullS.getMessage.contains("null stratum"))
+    // empty corpus: empty card relation, not an NPE
+    assert(Sampling.budgetSelectCardsByStratum(
+      docs.filter(lit(false)), "lang", col("q"), 16L).count() == 0L)
+    graft.ops.Reuse.freeAll(spark)
+    // the strong law on the real corpus: every stratum's card equals
+    // running the SINGLE-stratum operator on that stratum alone
+    val real = graft.ingest.Tables.documents(spark, sf("sf0.001"))
+    def scored(d: org.apache.spark.sql.DataFrame) =
+      graft.ops.TextOps.quality(d).withColumn("score_ppm", expr(
+        "least(n_words * 10000, 1000000) DIV 2" +
+          " + (n_stop * 1000000 DIV n_words) DIV 2"))
+    val cards = Sampling.budgetSelectCardsByStratum(scored(real),
+        "lang", col("score_ppm"), 3000L)
+      .as[(String, Long, Long, Long, Long, Long, Long, Long, Long)]
+      .collect().toSeq.sortBy(_._1)
+    graft.ops.Reuse.freeAll(spark)
+    assert(cards.size > 1, "real corpus should carry several langs")
+    cards.foreach { c =>
+      val solo = Sampling.budgetSelectCard(
+          scored(real.filter(col("lang") === c._1)),
+          col("score_ppm"), 3000L)
+        .as[(Long, Long, Long, Long, Long, Long, Long, Long)]
+        .collect().head
+      graft.ops.Reuse.freeAll(spark)
+      assert((c._2, c._3, c._4, c._5, c._6, c._7, c._8, c._9) == solo,
+        s"stratified card for ${c._1} != single-stratum run: " +
+          s"$c vs $solo")
+    }
+  }
+
   test("signal correlations: exact ±1 on constructed columns, 0 under " +
       "the zero-variance guard (ext115)") {
     import spark.implicits._

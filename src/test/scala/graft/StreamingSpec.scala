@@ -1826,6 +1826,9 @@ class StreamingSpec extends TestBase {
     assert(afterReplay.except(batch10k).isEmpty &&
       batch10k.except(afterReplay).isEmpty,
       "exact-replay partial changed the served card")
+    // scalar captured BEFORE freeAll drops batch10k's checkpoint blocks
+    val batchTokensTotal =
+      batch10k.select("tokens_total").first().getLong(0)
     graft.ops.Reuse.freeAll(spark)
     // A RE-INGESTED doc (same _id, changed toks — a re-crawl) is NOT
     // a replay: serving must refuse loudly instead of double-counting
@@ -1837,6 +1840,85 @@ class StreamingSpec extends TestBase {
     }
     assert(exDup.getMessage.contains("re-crawled"),
       s"re-crawl guard message drifted: ${exDup.getMessage}")
+    graft.ops.Reuse.freeAll(spark)
+    // The keep-latest serve path SHIPS the policy the guard demands:
+    // batch=N is the version, the re-crawled doc arbitrates to its
+    // newest row, and the card equals budgetSelectCardFromCounts over
+    // an INDEPENDENT latest-row arbitration (row_number over a
+    // version-desc window — a different implementation of the rule).
+    val keepLatest = StreamingPipeline
+      .budgetSelectCardFromStateKeepLatest(spark, state, 10000L)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("_id").orderBy(col("batch").cast("long").desc,
+        col("_score").desc, col("_toks").desc)
+    val expectedLatest = spark.read.parquet(state)
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .select("_id", "_score", "_toks")
+    val expectedCard = graft.ops.Sampling
+      .budgetSelectCardFromCounts(expectedLatest, 10000L)
+    assert(keepLatest.except(expectedCard).isEmpty &&
+      expectedCard.except(keepLatest).isEmpty,
+      s"keep-latest card drifted from the independent arbitration " +
+        s"(${keepLatest.collect().toSeq} vs " +
+        s"${expectedCard.collect().toSeq})")
+    // and the re-crawl genuinely changed the card (the test is not
+    // vacuous): the bumped toks moved tokens_total
+    assert(keepLatest.select("tokens_total").first().getLong(0) !=
+      batchTokensTotal,
+      "re-crawled doc did not change the keep-latest card")
+    graft.ops.Reuse.freeAll(spark)
+  }
+
+  test("streaming stratified budget twin: ONE stored stratified " +
+      "projection serves the per-stratum cards, a serve-time budgets " +
+      "plan, AND the global ext172 card (ext173 twin)") {
+    val docs = graft.ingest.Tables.documents(spark, sf("sf0.001"))
+    def scored(d: org.apache.spark.sql.DataFrame) =
+      graft.ops.TextOps.quality(d).withColumn("score_ppm", expr(
+        "least(n_words * 10000, 1000000) DIV 2" +
+          " + (n_stop * 1000000 DIV n_words) DIV 2"))
+    val srcDir = Files.createTempDirectory("graft-bsels-src").toString + "/d"
+    docs.select("doc_id", "lang", "text").write.parquet(srcDir)
+    val state = Files.createTempDirectory("graft-bsels-state").toString
+    val ckpt = Files.createTempDirectory("graft-bsels-ckpt").toString
+    val q = StreamingPipeline.budgetSelectStratumPartialsSink(
+        scored(StreamingPipeline.parquetStream(spark, srcDir,
+          maxFilesPerTrigger = Some(1))),
+        col("lang"), col("score_ppm"), state)
+      .option("checkpointLocation", ckpt).start()
+    q.processAllAvailable()
+    q.stop()
+    // per-stratum cards from state == the batch operator
+    val streamed = StreamingPipeline.budgetSelectCardsByStratumFromState(
+      spark, state, "lang", 3000L)
+    val batch = graft.ops.Sampling.budgetSelectCardsByStratum(
+      scored(docs), "lang", col("score_ppm"), 3000L)
+    assert(batch.count() > 1)
+    assert(streamed.except(batch).isEmpty &&
+      batch.except(streamed).isEmpty,
+      s"streamed stratified cards differ from batch " +
+        s"(${streamed.collect().toSeq} vs ${batch.collect().toSeq})")
+    graft.ops.Reuse.freeAll(spark)
+    // the per-stratum PLAN is a serve-time knob over the same state
+    val plannedS = StreamingPipeline.budgetSelectCardsByStratumFromState(
+      spark, state, "lang", 3000L, budgets = Map("en" -> 500L))
+    val plannedB = graft.ops.Sampling.budgetSelectCardsByStratum(
+      scored(docs), "lang", col("score_ppm"), 3000L,
+      budgets = Map("en" -> 500L))
+    assert(plannedS.except(plannedB).isEmpty &&
+      plannedB.except(plannedS).isEmpty,
+      "serve-time budgets plan drifted from the batch operator")
+    graft.ops.Reuse.freeAll(spark)
+    // and the SAME stored relation serves the GLOBAL ext172 card —
+    // one sink, every card
+    val globalS = graft.ops.Sampling.budgetSelectCardFromCounts(
+      spark.read.parquet(state).drop("batch", "_s"), 3000L)
+    val globalB = graft.ops.Sampling.budgetSelectCard(
+      scored(docs), col("score_ppm"), 3000L)
+    assert(globalS.except(globalB).isEmpty &&
+      globalB.except(globalS).isEmpty,
+      "global card from the stratified state drifted from batch")
     graft.ops.Reuse.freeAll(spark)
   }
 
