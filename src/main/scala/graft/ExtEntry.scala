@@ -36,6 +36,12 @@ object ExtEntry {
     * a non-trivially-cut boundary class per lang. */
   private val StratumBudgetTokens = 2500L
 
+  /** ext174's budget ladder (interpolated into the oracle): spans the
+    * three regimes at sf0.01 — a tight cut (~9% of corpus mass),
+    * ext172's budget (the curves must agree with its card), and an
+    * oversized budget exercising the whole-fit branch. */
+  private val FillCurveBudgets = Seq(2500L, 10000L, 40000L)
+
   /** ext126's packing context length — interpolated into the oracle so
     * a change here cannot silently diverge the two engines. */
   private val CurationCtx = 512L
@@ -2292,6 +2298,20 @@ object ExtEntry {
             " + (n_stop * 1000000 DIV n_words) DIV 2")),
         "lang", col("score_ppm"), StratumBudgetTokens)
         .orderBy("lang")),
+
+    // Budget→fill planning curve (r16): ext172's card at K budgets
+    // for the cost of ONE cut — tokens(score > m) is budget-
+    // independent, so every threshold round evaluates the union of
+    // all budgets' probe ladders once and each budget's bracket
+    // advances off the shared sums (boundary rounds batch the
+    // per-budget class conditions as columns). The curve a curation
+    // plan is chosen FROM.
+    "ext174_budget_fill_curve" -> ((s, dir) =>
+      Sampling.budgetFillCurve(
+        TextOps.quality(docs(s, dir)).withColumn("score_ppm", expr(
+          "least(n_words * 10000, 1000000) DIV 2" +
+            " + (n_stop * 1000000 DIV n_words) DIV 2")),
+        col("score_ppm"), FillCurveBudgets)),
 
     // Burstiness (Fano factor) per entity over the daily count matrix:
     // dispersion texture next to ext152's direction and ext158's
@@ -6295,6 +6315,76 @@ object ExtEntry {
          |  JOIN tot USING (lang)
          |GROUP BY sel.lang, thr.t, bid.i, tot.n_docs, tot.total
          |ORDER BY sel.lang""".stripMargin
+    },
+
+    // Budget fill curve: ext172's declarative replay joined against
+    // the budget VALUES ladder — per-budget threshold/boundary/card,
+    // validated equal to an independent per-budget prefix replay
+    // before wiring.
+    "ext174_budget_fill_curve" -> {
+      val budgets = FillCurveBudgets.map(b => s"($b)").mkString(", ")
+      s"""WITH bs AS (SELECT CAST(b AS BIGINT) AS b
+         |          FROM (VALUES $budgets) v(b)),
+         |d AS (SELECT doc_id,
+         |    CAST(len(string_split(text,' ')) AS BIGINT) AS n_toks,
+         |    CAST(len(list_filter(string_split(text,' '),
+         |      t -> t IN ($stopList))) AS BIGINT) AS n_stop
+         |  FROM documents),
+         |s AS (SELECT doc_id, n_toks,
+         |    CAST(least(n_toks*10000, 1000000)//2
+         |      + (n_stop*1000000//n_toks)//2 AS BIGINT) AS score
+         |  FROM d),
+         |tot AS (SELECT CAST(sum(n_toks) AS BIGINT) AS total,
+         |               CAST(count(*) AS BIGINT) AS n_docs,
+         |               min(score) AS smin, max(doc_id) AS imax
+         |        FROM s),
+         |cls AS (SELECT score, CAST(sum(n_toks) AS BIGINT) AS ct
+         |        FROM s GROUP BY score),
+         |ca AS (SELECT score, CAST(COALESCE(sum(ct) OVER (
+         |         ORDER BY score DESC ROWS BETWEEN UNBOUNDED PRECEDING
+         |         AND 1 PRECEDING), 0) AS BIGINT) AS above FROM cls),
+         |thr AS (SELECT bs.b, CASE WHEN tot.total <= bs.b
+         |          THEN tot.smin - 1
+         |          ELSE (SELECT min(score) FROM ca WHERE above <= bs.b)
+         |          END AS t
+         |        FROM bs, tot),
+         |base AS (SELECT thr.b,
+         |           CAST(COALESCE(sum(s.n_toks), 0) AS BIGINT) AS m
+         |         FROM thr LEFT JOIN s ON s.score > thr.t
+         |         GROUP BY thr.b),
+         |ccum AS (SELECT thr.b, s.doc_id,
+         |           CAST(sum(s.n_toks) OVER (PARTITION BY thr.b
+         |             ORDER BY s.doc_id ROWS UNBOUNDED PRECEDING)
+         |             AS BIGINT) AS cumt
+         |         FROM s JOIN thr ON s.score = thr.t),
+         |ctot AS (SELECT thr.b,
+         |           CAST(COALESCE(sum(s.n_toks), 0) AS BIGINT) AS ct
+         |         FROM thr LEFT JOIN s ON s.score = thr.t
+         |         GROUP BY thr.b),
+         |bid AS (SELECT thr.b, CASE
+         |          WHEN base.m + ctot.ct <= thr.b THEN tot.imax
+         |          ELSE (SELECT min(cc.doc_id) FROM ccum cc
+         |                WHERE cc.b = thr.b
+         |                  AND base.m + cc.cumt > thr.b) - 1
+         |          END AS i
+         |        FROM thr JOIN base USING (b) JOIN ctot USING (b),
+         |          tot),
+         |sel AS (SELECT thr.b, thr.t, bid.i, s.n_toks,
+         |          CASE WHEN s.score > thr.t
+         |            OR (s.score = thr.t AND s.doc_id <= bid.i)
+         |          THEN 1 ELSE 0 END AS selected
+         |        FROM s, thr JOIN bid USING (b))
+         |SELECT sel.b AS budget_tokens, sel.t AS threshold_score,
+         |  sel.i AS boundary_id,
+         |  CAST(sum(selected) AS BIGINT) AS n_selected,
+         |  CAST(COALESCE(sum(CASE WHEN selected=1 THEN n_toks END),0)
+         |    AS BIGINT) AS tokens_selected,
+         |  tot.n_docs, tot.total AS tokens_total,
+         |  CAST(COALESCE(sum(CASE WHEN selected=1 THEN n_toks END),0)
+         |    * 1000000 // sel.b AS BIGINT) AS fill_ppm
+         |FROM sel, tot
+         |GROUP BY sel.b, sel.t, sel.i, tot.n_docs, tot.total
+         |ORDER BY budget_tokens""".stripMargin
     },
 
     // Temporal split: cutoff = k-th order statistic via row_number

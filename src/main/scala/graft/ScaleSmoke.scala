@@ -995,6 +995,25 @@ object ScaleSmoke {
         graft.ops.Sampling.budgetSelectCard(scored, col("score_ppm"),
           10000L * mult)
       }
+      // r16: the fill curve's "K budgets cost ONE cut" claim,
+      // measured — the 3-rung curve vs three single cards over the
+      // same corpus (probe sums shared across budgets vs repeated).
+      val rungs = Seq(2500L * mult, 10000L * mult, 40000L * mult)
+      val tc0 = System.nanoTime()
+      val curveRows = graft.ops.Sampling.budgetFillCurve(scored,
+        col("score_ppm"), rungs).count()
+      val curveS = (System.nanoTime() - tc0) / 1e9
+      graft.ops.Reuse.freeAll(spark)
+      val ts0 = System.nanoTime()
+      rungs.foreach { b =>
+        graft.ops.Sampling.budgetSelectCard(scored, col("score_ppm"),
+          b).count()
+        graft.ops.Reuse.freeAll(spark)
+      }
+      val soloS = (System.nanoTime() - ts0) / 1e9
+      println(f"[scale-smoke] r16budget_fill_curve  rungs=${rungs.size}" +
+        f"  curve=$curveS%.1f s  ${rungs.size}xsingle=$soloS%.1f s" +
+        f"  rows=$curveRows")
     }
     // r16: price retryingServe under a REAL concurrent compaction
     // loop (r15 verdict item 6) — the race specs prove recovery on

@@ -764,6 +764,128 @@ object Sampling {
           " * 1000000 DIV _b AS BIGINT)").as("fill_ppm"))
   }
 
+  /**
+   * Budget→fill planning curve (ext174): [[budgetSelectCard]] at K
+   * budgets — "how much budget buys how much of the corpus's best
+   * mass", the curve a curation plan is chosen FROM (the ext110/
+   * ext118 probe-curve idiom applied to the cut itself).
+   *
+   * Scale shape — K budgets cost ONE cut, not K: the probe sums
+   * tokens(score > m) are BUDGET-INDEPENDENT, so each threshold
+   * round evaluates the union of all budgets' probe ladders once
+   * (distinct probe columns in one aggregate job) and every budget's
+   * bracket advances off the shared sums; only the boundary rounds
+   * carry per-(budget, probe) conditions (each budget may cut a
+   * different score class), still batched as columns in one job per
+   * round. Zero data shuffles anywhere, same as ext172. Output: one
+   * card row per budget, spec-asserted equal to running
+   * [[budgetSelectCard]] per budget.
+   */
+  def budgetFillCurve(doc: DataFrame, score: Column,
+      budgets: Seq[Long], id: String = "doc_id",
+      text: String = "text"): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    import scala.jdk.CollectionConverters._
+    require(budgets.nonEmpty && budgets.forall(_ > 0),
+      "budgets must be non-empty and positive")
+    require(budgets.distinct.size == budgets.size,
+      "budgets must be distinct (each is one output row)")
+    val spark = doc.sparkSession
+    val curveSchema = StructType((Seq("budget_tokens") ++
+      CardCols.filterNot(_ == "budget_tokens"))
+      .map(StructField(_, LongType)))
+    val e = Reuse.shared(budgetSelectPartials(doc, score, id, text))
+    // one aggregate job evaluating a batch of conditional token sums
+    def sums(conds: Seq[Column]): Seq[Long] = {
+      val aggs = conds.zipWithIndex.map { case (c, i) =>
+        coalesce(sum(when(c, col("_toks")).otherwise(0L)), lit(0L))
+          .as(s"_s$i")
+      }
+      val row = e.agg(aggs.head, aggs.tail: _*).first()
+      conds.indices.map(row.getLong)
+    }
+    val dom = e.agg(min("_score"), max("_score"), min("_id"),
+      max("_id")).first()
+    if (dom.isNullAt(0))
+      return spark.createDataFrame(
+        new java.util.ArrayList[Row](), curveSchema)
+    val (sLo, sHi) = (dom.getLong(0), dom.getLong(1))
+    val (iLo, iHi) = (dom.getLong(2), dom.getLong(3))
+    require(sLo > Long.MinValue && iLo > Long.MinValue,
+      "budgetSelect needs score and id domains above Long.MinValue")
+    // threshold phase: every budget's bracket advances off the SAME
+    // per-probe sums (tokens(score > m) does not depend on B)
+    var minBr: Map[Long, (Long, Long)] =
+      budgets.map(b => b -> (sLo - 1, sHi)).toMap
+    val tOf = scala.collection.mutable.Map.empty[Long, Long]
+    while (minBr.nonEmpty) {
+      val (fin, act) = minBr.partition { case (_, (lo, hi)) => lo >= hi }
+      tOf ++= fin.map { case (b, (lo, _)) => b -> lo }
+      if (act.isEmpty) minBr = Map.empty
+      else {
+        val pb = act.toSeq.map { case (b, (lo, hi)) =>
+          b -> minProbes(lo, hi) }
+        val allPs = pb.flatMap(_._2).distinct.sorted
+        val vOf = allPs.zip(sums(allPs.map(m => col("_score") > m)))
+          .toMap
+        minBr = pb.map { case (b, ps) =>
+          val (lo, hi) = act(b)
+          b -> minUpdate(lo, hi, ps, ps.map(p => vOf(p) <= b))
+        }.toMap
+      }
+    }
+    // base mass per DISTINCT threshold (budgets often share one)
+    val ts = tOf.values.toSeq.distinct.sorted
+    val baseOf = ts.zip(sums(ts.map(t => col("_score") > t))).toMap
+    // boundary phase: per-budget class conditions (score = t_B),
+    // batched as columns per round
+    var maxBr: Map[Long, (Long, Long)] =
+      budgets.map(b => b -> (iLo - 1, iHi)).toMap
+    val iOf = scala.collection.mutable.Map.empty[Long, Long]
+    while (maxBr.nonEmpty) {
+      val (fin, act) = maxBr.partition { case (_, (lo, hi)) => lo >= hi }
+      iOf ++= fin.map { case (b, (lo, _)) => b -> lo }
+      if (act.isEmpty) maxBr = Map.empty
+      else {
+        val pb = act.toSeq.map { case (b, (lo, hi)) =>
+          b -> maxProbes(lo, hi) }
+        val keys = pb.flatMap { case (b, ps) =>
+          ps.map(p => (tOf(b), p)) }.distinct
+        val vOf = keys.zip(sums(keys.map { case (t, m) =>
+          col("_score") === t && col("_id") <= m })).toMap
+        maxBr = pb.map { case (b, ps) =>
+          val (lo, hi) = act(b)
+          b -> maxUpdate(lo, hi, ps,
+            ps.map(p => baseOf(tOf(b)) + vOf((tOf(b), p)) <= b))
+        }.toMap
+      }
+    }
+    // one final aggregate: shared totals + per-budget selection sums
+    val sel = budgets.map { b =>
+      col("_score") > tOf(b) ||
+        (col("_score") === tOf(b) && col("_id") <= iOf(b))
+    }
+    val aggs = Seq(count(lit(1)).as("_nd"),
+      sum("_toks").as("_tt")) ++
+      budgets.indices.flatMap { i =>
+        Seq(coalesce(sum(when(sel(i), 1L).otherwise(0L)), lit(0L))
+            .as(s"_n$i"),
+          coalesce(sum(when(sel(i), col("_toks")).otherwise(0L)),
+            lit(0L)).as(s"_t$i"))
+      }
+    val row = e.agg(aggs.head, aggs.tail: _*).first()
+    val (nDocs, tTot) = (row.getLong(0), row.getLong(1))
+    val out = budgets.sorted.map { b =>
+      val i = budgets.indexOf(b)
+      val tokSel = row.getLong(3 + 2 * i)
+      Row(b, tOf(b), iOf(b), row.getLong(2 + 2 * i), tokSel, nDocs,
+        tTot,
+        (BigInt(tokSel) * 1000000 / BigInt(b)).toLong)
+    }
+    spark.createDataFrame(out.asJava, curveSchema)
+  }
+
   /** The two bisections over the shared (id, score, toks) projection;
     * returns (null, _, _) on an empty corpus (no boundary exists —
     * the temporalSplit empty-card convention). */

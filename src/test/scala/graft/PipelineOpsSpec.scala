@@ -646,6 +646,67 @@ class PipelineOpsSpec extends TestBase {
     graft.ops.Reuse.freeAll(spark)
   }
 
+  test("budget fill curve: K budgets == K single cards (incl. " +
+      "nothing-fits, partial and whole-fit rows from ONE search " +
+      "pass), distinct-budgets contract, real-corpus law (ext174)") {
+    import spark.implicits._
+    import graft.ops.Sampling
+    def words(n: Int) = Seq.fill(n)("w").mkString(" ")
+    val docs = Seq(
+      (1L, words(5), 90L), (2L, words(5), 90L), (3L, words(4), 80L),
+      (4L, words(4), 80L), (5L, words(4), 80L), (6L, words(10), 70L))
+      .toDF("doc_id", "text", "q")
+    // budgets spanning all three regimes of the hand-computed corpus
+    val curve = Sampling.budgetFillCurve(docs, col("q"),
+        Seq(3L, 16L, 100L))
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long)]
+      .collect().toSeq
+    assert(curve.map(_._1) == Seq(3L, 16L, 100L),
+      s"curve rows not budget-ordered: $curve")
+    curve.foreach { r =>
+      val solo = Sampling.budgetSelectCard(docs, col("q"), r._1)
+        .as[(Long, Long, Long, Long, Long, Long, Long, Long)]
+        .collect().head
+      // card columns: (t, id*, n_sel, tok_sel, n_docs, tok_tot, B,
+      // fill); curve rows lead with B
+      assert((r._2, r._3, r._4, r._5, r._6, r._7, r._1, r._8) == solo,
+        s"curve row for budget ${r._1} != single card: $r vs $solo")
+      graft.ops.Reuse.freeAll(spark)
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.budgetFillCurve(docs, col("q"), Seq(16L, 16L))
+    }
+    assert(Sampling.budgetFillCurve(docs.filter(lit(false)), col("q"),
+      Seq(16L)).count() == 0L)
+    graft.ops.Reuse.freeAll(spark)
+    // real corpus: every curve row equals its single-budget card
+    val real = graft.ingest.Tables.documents(spark, sf("sf0.001"))
+    def scored(d: org.apache.spark.sql.DataFrame) =
+      graft.ops.TextOps.quality(d).withColumn("score_ppm", expr(
+        "least(n_words * 10000, 1000000) DIV 2" +
+          " + (n_stop * 1000000 DIV n_words) DIV 2"))
+    val realCurve = Sampling.budgetFillCurve(scored(real),
+        col("score_ppm"), Seq(500L, 1500L, 999999L))
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long)]
+      .collect().toSeq
+    graft.ops.Reuse.freeAll(spark)
+    // monotone law: fill mass never decreases with budget, and the
+    // oversized budget admits the whole corpus
+    assert(realCurve.map(_._5) == realCurve.map(_._5).sorted,
+      s"tokens_selected not monotone in budget: $realCurve")
+    assert(realCurve.last._5 == realCurve.last._7,
+      s"oversized budget did not admit the whole corpus: $realCurve")
+    realCurve.foreach { r =>
+      val solo = Sampling.budgetSelectCard(scored(real),
+          col("score_ppm"), r._1)
+        .as[(Long, Long, Long, Long, Long, Long, Long, Long)]
+        .collect().head
+      graft.ops.Reuse.freeAll(spark)
+      assert((r._2, r._3, r._4, r._5, r._6, r._7, r._1, r._8) == solo,
+        s"real-corpus curve row ${r._1} != single card")
+    }
+  }
+
   test("stratified budget select: hand-computed mixed strata " +
       "(partial / whole-fit / nothing-fits), per-stratum budgets " +
       "map, null stratum rejected, == the single-stratum operator " +
