@@ -995,9 +995,17 @@ object ScaleSmoke {
         graft.ops.Sampling.budgetSelectCard(scored, col("score_ppm"),
           10000L * mult)
       }
-      // r16: the fill curve's "K budgets cost ONE cut" claim,
-      // measured — the 3-rung curve vs three single cards over the
-      // same corpus (probe sums shared across budgets vs repeated).
+    }
+    // r16: the fill curve's "K budgets cost ONE cut" claim, measured
+    // — the 3-rung curve vs three single cards over the same corpus
+    // (probe sums shared across budgets vs repeated). Own gate name
+    // so SMOKE_ONLY selects it by what the output reports.
+    if (only.forall(_.exists(p =>
+        "r16curve".startsWith(p) || p.startsWith("r16curve")))) {
+      val scored = graft.ops.TextOps.quality(big)
+        .withColumn("score_ppm", expr(
+          "least(n_words * 10000, 1000000) DIV 2" +
+            " + (n_stop * 1000000 DIV n_words) DIV 2"))
       val rungs = Seq(2500L * mult, 10000L * mult, 40000L * mult)
       val tc0 = System.nanoTime()
       val curveRows = graft.ops.Sampling.budgetFillCurve(scored,
@@ -1011,7 +1019,7 @@ object ScaleSmoke {
         graft.ops.Reuse.freeAll(spark)
       }
       val soloS = (System.nanoTime() - ts0) / 1e9
-      println(f"[scale-smoke] r16budget_fill_curve  rungs=${rungs.size}" +
+      println(f"[scale-smoke] r16curve_fill  rungs=${rungs.size}" +
         f"  curve=$curveS%.1f s  ${rungs.size}xsingle=$soloS%.1f s" +
         f"  rows=$curveRows")
     }
@@ -1049,12 +1057,14 @@ object ScaleSmoke {
       (0 until reads).foreach(_ => readOnce())
       val uncontendedS = (System.nanoTime() - tb) / 1e9
       @volatile var stopCompacts = false
-      var compacts = 0
-      var compactErrs = 0
+      // atomics: read on the main thread after join — plain vars
+      // would have no happens-before edge from the compactor
+      val compacts = new java.util.concurrent.atomic.AtomicInteger
+      val compactErrs = new java.util.concurrent.atomic.AtomicInteger
       val compactor = new Thread(() => {
         while (!stopCompacts) {
-          try { AS.compact(spark, store); compacts += 1 }
-          catch { case _: Throwable => compactErrs += 1 }
+          try { AS.compact(spark, store); compacts.incrementAndGet() }
+          catch { case _: Throwable => compactErrs.incrementAndGet() }
         }
       }, "smoke-compactor")
       compactor.setDaemon(true)
@@ -1074,7 +1084,8 @@ object ScaleSmoke {
         f"uncontended=$uncontendedS%.1f s  contended=$contendedS%.1f s" +
         f"  addedPerRead=${(contendedS - uncontendedS) * 1000 / reads}%.0f ms" +
         f"  retries=$retries  exhausted=$exhausted  " +
-        f"compacts=$compacts  compactErrs=$compactErrs")
+        f"compacts=${compacts.get}  compactErrs=${compactErrs.get}" +
+        f"  compactorJoined=${!compactor.isAlive}")
     }
     spark.stop()
   }

@@ -495,6 +495,9 @@ object Sampling {
   def budgetSelectPartials(doc: DataFrame, score: Column,
       id: String = "doc_id", text: String = "text"): DataFrame = {
     Guards.requireIntegral(doc, score, "budgetSelect", "score")
+    // ids drive the boundary bisection and the tie order — a
+    // fractional id flooring would silently merge distinct docs
+    Guards.requireIntegral(doc, col(id), "budgetSelect", "id")
     doc.select(
       Guards.notNull(col(id).cast("long"), "budgetSelect", "id")
         .as("_id"),
@@ -537,18 +540,30 @@ object Sampling {
     * row carries an integral `_ver` (the streaming sink's batch id:
     * the replay key IS the version, no new sink columns), and a doc
     * re-ingested in a later version REPLACES its older row via one
-    * max_by-struct aggregate (ties on `_ver` — the same batch
-    * replayed — break by (score, toks) max, deterministic either
-    * way since a bit-identical replay carries identical values).
-    * One extra keyed aggregate on the serve path (which already
-    * pays the distinct's exchange); the bisections then run over
-    * exactly the latest snapshot, so the card equals the batch
-    * operator over "each doc's newest crawl". */
+    * max_by-struct aggregate. Versions can only arbitrate ACROSS
+    * versions: the same (_id, _ver) carrying two different payloads
+    * (an in-batch duplicate with changed text — a producer bug, not
+    * a replay) has no latest to keep, and silently picking the
+    * (score, toks)-max would diverge from the batch operator (which
+    * counts both rows) with no error — so it is rejected loudly,
+    * the same refusal class as the unversioned path. Exact replays
+    * still fold away by distinct before the check. */
   def budgetSelectCardFromVersioned(counts: DataFrame,
       budgetTokens: Long): DataFrame = {
     Guards.requireIntegral(counts, col("_ver"),
       "budgetSelectCardFromVersioned", "version")
-    val latest = counts
+    val d = Reuse.shared(
+      counts.select("_ver", "_id", "_score", "_toks").distinct())
+    val chk = d.agg(count(lit(1)).as("_n"),
+      countDistinct(col("_id"), col("_ver")).as("_nv")).first()
+    if (chk.getLong(0) != chk.getLong(1))
+      throw new IllegalArgumentException(
+        s"budgetSelectCardFromVersioned: " +
+          s"${chk.getLong(0) - chk.getLong(1)} conflicting rows " +
+          "share an (_id, _ver) — a within-version duplicate with " +
+          "changed score/toks has no latest to keep; fix the " +
+          "producing batch")
+    val latest = d
       .select(col("_id"), struct(col("_ver"), col("_score"),
         col("_toks")).as("_vst"))
       .groupBy("_id").agg(max(col("_vst")).as("_vst"))
@@ -605,6 +620,7 @@ object Sampling {
       score: Column, id: String = "doc_id",
       text: String = "text"): DataFrame = {
     Guards.requireIntegral(doc, score, "budgetSelectByStratum", "score")
+    Guards.requireIntegral(doc, col(id), "budgetSelectByStratum", "id")
     doc.select(stratum.as("_s"),
       Guards.notNull(col(id).cast("long"), "budgetSelectByStratum",
         "id").as("_id"),

@@ -92,18 +92,27 @@ object Serve {
       storePath: String = null,
       onRetry: (Int, Throwable) => Unit = null)(action: => T): T = {
     require(attempts >= 1, "retryingServe needs at least one attempt")
+    // The fail-fast gate only activates for stores java.io.File can
+    // actually probe — a qualified non-local scheme (hdfs:, s3a:)
+    // reads as never-existing locally, which would DISABLE the retry
+    // protection rather than tighten it; those keep the conservative
+    // legacy classification.
+    val canon = Option(storePath).map(canonicalStore).filter(_ =>
+      probeable(storePath)).orNull
     // Existence recorded at ENTRY: mid-swap the store path is absent
     // for the instant between the two renames, but a caller holding a
-    // store handle entered BEFORE the swap — a path that was already
-    // absent when the caller started was never a store at all.
-    val existedAtEntry = storePath != null &&
-      new java.io.File(stripScheme(storePath)).exists()
+    // store handle entered BEFORE the swap. A caller that ENTERS
+    // during that instant would read absent here too, so the
+    // classifier below also re-probes at failure time (post-promote
+    // the store is back) — only a path absent at BOTH instants fails
+    // fast as never-existed.
+    val existedAtEntry = canon != null && new java.io.File(canon).exists()
     var i = 0
     while (true) {
       try return action
       catch {
         case e: Throwable if i + 1 < attempts &&
-            compactionRace(e, storePath, existedAtEntry) =>
+            compactionRace(e, canon, existedAtEntry) =>
           i += 1
           val head = Option(e.getMessage).getOrElse(e.getClass.getName)
             .linesIterator.take(1).mkString.take(160)
@@ -117,10 +126,20 @@ object Serve {
     throw new IllegalStateException("unreachable")
   }
 
-  /** `file:/x` and `/x` are the same local store — strip the scheme
-    * so the entry-time existence probe sees what the FS sees. */
-  private def stripScheme(p: String): String =
-    if (p.startsWith("file:")) p.stripPrefix("file:") else p
+  /** `file:/x`, `/x` and `/x/` are the same local store — strip the
+    * scheme and trailing separators so the existence probes and the
+    * message-naming check see one canonical rendering (a trailing
+    * slash must not silently disable the retry protection). */
+  private def canonicalStore(p: String): String = {
+    val noScheme =
+      if (p.startsWith("file:")) p.stripPrefix("file:") else p
+    val trimmed = noScheme.replaceAll("/+$", "")
+    if (trimmed.isEmpty) "/" else trimmed
+  }
+
+  /** Only scheme-less and file: paths are locally probeable. */
+  private def probeable(p: String): Boolean =
+    p != null && (p.startsWith("file:") || !p.contains(":"))
 
   /** The two transient signatures of a read racing the compact swap
     * (cause chain walked — Spark wraps the executor's
@@ -129,27 +148,37 @@ object Serve {
   private[graft] def compactionRace(e: Throwable): Boolean =
     compactionRace(e, null, existedAtEntry = false)
 
-  private[graft] def compactionRace(e: Throwable, storePath: String,
+  /** Walks the WHOLE cause chain before deciding: an execute-time
+    * FileNotFoundException anywhere retries unconditionally (the plan
+    * listed files that vanished — definitionally the swap), even when
+    * an outer wrapper's PATH_NOT_FOUND names some other path. A
+    * plan-time PATH_NOT_FOUND retries only when it NAMES the store
+    * and the store existed at entry or exists now (the re-probe
+    * covers a caller that entered during the aside instant). */
+  private[graft] def compactionRace(e: Throwable, canonPath: String,
       existedAtEntry: Boolean): Boolean = {
     var t: Throwable = e
     var depth = 0
+    var fnf = false
+    var planMissNamed = false
     while (t != null && depth < 12) {
       val msg = Option(t.getMessage).getOrElse("")
       t match {
-        case _: java.io.FileNotFoundException => return true
+        case _: java.io.FileNotFoundException => fnf = true
         case _ if msg.contains("PATH_NOT_FOUND") ||
             msg.contains("Path does not exist") =>
-          // plan-time absence: with a store handle, a race requires
-          // the store to have existed at entry AND the message to
-          // name it — anything else is a user error, not a swap
-          return storePath == null ||
-            (existedAtEntry && msg.contains(stripScheme(storePath)))
+          if (canonPath == null || msg.contains(canonPath))
+            planMissNamed = true
         case _ => ()
       }
       t = if (t.getCause eq t) null else t.getCause
       depth += 1
     }
-    false
+    if (fnf) true
+    else if (planMissNamed)
+      canonPath == null || existedAtEntry ||
+        new java.io.File(canonPath).exists()
+    else false
   }
 
   /** OP-41 `getrecent*string N` (RocksDBStore.cs:174-196, SeekToLast+Prev):

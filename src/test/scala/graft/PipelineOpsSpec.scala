@@ -624,6 +624,15 @@ class PipelineOpsSpec extends TestBase {
     }
     assert(exDbl.getMessage.contains("integral"),
       s"double-score rejection message drifted: ${exDbl.getMessage}")
+    // ids get the same contract: a fractional id would silently merge
+    // distinct docs under the floor
+    val exDblId = intercept[IllegalArgumentException] {
+      Sampling.budgetSelectCard(
+        docs.withColumn("did", col("doc_id") / lit(2.0)), col("q"),
+        16L, id = "did")
+    }
+    assert(exDblId.getMessage.contains("integral id"),
+      s"double-id rejection message drifted: ${exDblId.getMessage}")
     // null score/id raise LOUDLY in the scan (r15 ADVICE) — a null
     // would silently leave the bisection domain while still counting
     // in n_docs/tokens_total

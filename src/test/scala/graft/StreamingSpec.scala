@@ -1868,6 +1868,18 @@ class StreamingSpec extends TestBase {
       batchTokensTotal,
       "re-crawled doc did not change the keep-latest card")
     graft.ops.Reuse.freeAll(spark)
+    // a WITHIN-version conflict (same _id, same batch, different
+    // payload — a producer bug, not a replay) has no latest to keep:
+    // keep-latest refuses loudly instead of silently arbitrating
+    rowFrame(oneRow).withColumn("_toks", col("_toks") + 5L)
+      .write.mode("append").parquet(s"$state/batch=9999")
+    val exVer = intercept[IllegalArgumentException] {
+      StreamingPipeline
+        .budgetSelectCardFromStateKeepLatest(spark, state, 10000L)
+    }
+    assert(exVer.getMessage.contains("(_id, _ver)"),
+      s"within-version conflict guard drifted: ${exVer.getMessage}")
+    graft.ops.Reuse.freeAll(spark)
   }
 
   test("streaming stratified budget twin: ONE stored stratified " +
