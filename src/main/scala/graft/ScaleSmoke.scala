@@ -1022,6 +1022,27 @@ object ScaleSmoke {
       println(f"[scale-smoke] r16curve_fill  rungs=${rungs.size}" +
         f"  curve=$curveS%.1f s  ${rungs.size}xsingle=$soloS%.1f s" +
         f"  rows=$curveRows")
+      // ext173's claim: N strata cost the same rounds as ONE cut —
+      // the batched stratified cards vs one single-stratum cut per
+      // lang over the same corpus.
+      val tst0 = System.nanoTime()
+      val strataRows = graft.ops.Sampling.budgetSelectCardsByStratum(
+        scored, "lang", col("score_ppm"), 2500L * mult).count()
+      val strataS = (System.nanoTime() - tst0) / 1e9
+      graft.ops.Reuse.freeAll(spark)
+      val langs = scored.select("lang").distinct()
+        .collect().map(_.getString(0)).sorted
+      val tso0 = System.nanoTime()
+      langs.foreach { l =>
+        graft.ops.Sampling.budgetSelectCard(
+          scored.filter(col("lang") === l), col("score_ppm"),
+          2500L * mult).count()
+        graft.ops.Reuse.freeAll(spark)
+      }
+      val soloStrataS = (System.nanoTime() - tso0) / 1e9
+      println(f"[scale-smoke] r16strata_cuts  strata=${langs.size}" +
+        f"  batched=$strataS%.1f s  ${langs.size}xsingle=" +
+        f"$soloStrataS%.1f s  rows=$strataRows")
     }
     // r16: price retryingServe under a REAL concurrent compaction
     // loop (r15 verdict item 6) — the race specs prove recovery on
