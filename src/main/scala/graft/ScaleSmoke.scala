@@ -1022,9 +1022,16 @@ object ScaleSmoke {
       println(f"[scale-smoke] r16curve_fill  rungs=${rungs.size}" +
         f"  curve=$curveS%.1f s  ${rungs.size}xsingle=$soloS%.1f s" +
         f"  rows=$curveRows")
-      // ext173's claim: N strata cost the same rounds as ONE cut —
-      // the batched stratified cards vs one single-stratum cut per
-      // lang over the same corpus.
+    }
+    // ext173's claim: N strata cost the same rounds as ONE cut — the
+    // batched stratified cards vs one single-stratum cut per lang
+    // over the same corpus. Own gate matching the printed name.
+    if (only.forall(_.exists(p =>
+        "r16strata".startsWith(p) || p.startsWith("r16strata")))) {
+      val scored = graft.ops.TextOps.quality(big)
+        .withColumn("score_ppm", expr(
+          "least(n_words * 10000, 1000000) DIV 2" +
+            " + (n_stop * 1000000 DIV n_words) DIV 2"))
       val tst0 = System.nanoTime()
       val strataRows = graft.ops.Sampling.budgetSelectCardsByStratum(
         scored, "lang", col("score_ppm"), 2500L * mult).count()

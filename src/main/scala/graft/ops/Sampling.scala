@@ -521,8 +521,17 @@ object Sampling {
       budgetTokens: Long): DataFrame = {
     val e = Reuse.shared(
       counts.select("_id", "_score", "_toks").distinct())
+    // countDistinct skips null keys while count(1) counts them, so a
+    // null _id from externally-produced partials would otherwise be
+    // misdiagnosed as a duplicate — name the real problem instead
     val chk = e.agg(count(lit(1)).as("_n"),
-      countDistinct(col("_id")).as("_nid")).first()
+      countDistinct(col("_id")).as("_nid"),
+      coalesce(sum(when(col("_id").isNull, 1L).otherwise(0L)), lit(0L))
+        .as("_nulls")).first()
+    if (chk.getLong(2) > 0)
+      throw new IllegalArgumentException(
+        s"budgetSelectCardFromCounts: ${chk.getLong(2)} partial rows" +
+          " carry a null _id — every stored partial must name its doc")
     if (chk.getLong(0) != chk.getLong(1))
       throw new IllegalArgumentException(
         s"budgetSelectCardFromCounts: ${chk.getLong(0) - chk.getLong(1)}" +
@@ -530,8 +539,18 @@ object Sampling {
           " with changed score/toks) — the fold would double-count" +
           " its tokens; apply a keep-latest rule to one row per doc" +
           " before serving")
+    cardFromFolded(e, budgetTokens)
+  }
+
+  /** The bisections + card over an already-guarded one-row-per-doc
+    * fold — shared by the checked serve path and the keep-latest
+    * path (whose groupBy makes ids unique BY CONSTRUCTION; re-running
+    * the distinct + conflict aggregate there would be two provably
+    * redundant jobs on the serve hot path). */
+  private def cardFromFolded(e: DataFrame,
+      budgetTokens: Long): DataFrame = {
     val (e2, t, idStar) = budgetBoundaryOf(e, budgetTokens)
-    if (e2 == null) return emptyLongs(counts.sparkSession, CardCols)
+    if (e2 == null) return emptyLongs(e.sparkSession, CardCols)
     cardOf(e2, t, idStar, budgetTokens)
   }
 
@@ -554,8 +573,18 @@ object Sampling {
       "budgetSelectCardFromVersioned", "version")
     val d = Reuse.shared(
       counts.select("_ver", "_id", "_score", "_toks").distinct())
+    // null-key and within-version-conflict diagnoses kept separate:
+    // countDistinct skips null keys, so a null _id/_ver would read as
+    // a phantom duplicate and send the operator hunting the wrong bug
     val chk = d.agg(count(lit(1)).as("_n"),
-      countDistinct(col("_id"), col("_ver")).as("_nv")).first()
+      countDistinct(col("_id"), col("_ver")).as("_nv"),
+      coalesce(sum(when(col("_id").isNull || col("_ver").isNull, 1L)
+        .otherwise(0L)), lit(0L)).as("_nulls")).first()
+    if (chk.getLong(2) > 0)
+      throw new IllegalArgumentException(
+        s"budgetSelectCardFromVersioned: ${chk.getLong(2)} partial " +
+          "rows carry a null _id or _ver — every versioned partial " +
+          "must name its doc and version")
     if (chk.getLong(0) != chk.getLong(1))
       throw new IllegalArgumentException(
         s"budgetSelectCardFromVersioned: " +
@@ -569,7 +598,9 @@ object Sampling {
       .groupBy("_id").agg(max(col("_vst")).as("_vst"))
       .select(col("_id"), col("_vst._score").as("_score"),
         col("_vst._toks").as("_toks"))
-    budgetSelectCardFromCounts(latest, budgetTokens)
+    // ids are unique by construction after the fold — go straight to
+    // the bisections, skipping the redundant distinct/conflict jobs
+    cardFromFolded(Reuse.shared(latest), budgetTokens)
   }
 
   /**
@@ -641,8 +672,17 @@ object Sampling {
       budgets: Map[String, Long] = Map.empty): DataFrame = {
     val e = Reuse.shared(
       counts.select("_s", "_id", "_score", "_toks").distinct())
+    // separate null-key diagnosis — countDistinct skips null keys, so
+    // a null stratum/_id would otherwise read as a phantom duplicate
     val chk = e.agg(count(lit(1)).as("_n"),
-      countDistinct(col("_s"), col("_id")).as("_nid")).first()
+      countDistinct(col("_s"), col("_id")).as("_nid"),
+      coalesce(sum(when(col("_s").isNull || col("_id").isNull, 1L)
+        .otherwise(0L)), lit(0L)).as("_nulls")).first()
+    if (chk.getLong(2) > 0)
+      throw new IllegalArgumentException(
+        s"budgetSelectCardsByStratumFromCounts: ${chk.getLong(2)} " +
+          "partial rows carry a null stratum or _id — every stored " +
+          "partial must name both")
     if (chk.getLong(0) != chk.getLong(1))
       throw new IllegalArgumentException(
         s"budgetSelectCardsByStratumFromCounts: " +

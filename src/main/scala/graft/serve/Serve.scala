@@ -126,14 +126,17 @@ object Serve {
     throw new IllegalStateException("unreachable")
   }
 
-  /** `file:/x`, `/x` and `/x/` are the same local store — strip the
-    * scheme and trailing separators so the existence probes and the
-    * message-naming check see one canonical rendering (a trailing
-    * slash must not silently disable the retry protection). */
+  /** `file:/x`, `file:///x`, `/x` and `/x/` are the same local
+    * store — strip the scheme, collapse the URI renderings' extra
+    * leading slashes, and drop trailing separators so the existence
+    * probes and the message-naming check see ONE canonical rendering
+    * (Hadoop renders single-slash `file:/x` in errors while
+    * java.nio.Path.toUri produces `file:///x` — a mismatch here
+    * would silently disable the retry protection). */
   private def canonicalStore(p: String): String = {
     val noScheme =
       if (p.startsWith("file:")) p.stripPrefix("file:") else p
-    val trimmed = noScheme.replaceAll("/+$", "")
+    val trimmed = noScheme.replaceAll("^/+", "/").replaceAll("/+$", "")
     if (trimmed.isEmpty) "/" else trimmed
   }
 
@@ -177,8 +180,21 @@ object Serve {
     if (fnf) true
     else if (planMissNamed)
       canonPath == null || existedAtEntry ||
-        new java.io.File(canonPath).exists()
+        existsTwice(canonPath)
     else false
+  }
+
+  /** Failure-time existence probe, taken TWICE a few ms apart: under
+    * a continuously looping compactor a single probe can itself land
+    * in a later swap's aside instant (absent for the microseconds
+    * between the two renames) and misread a live store as
+    * never-existed; two probes spanning several ms both landing in
+    * aside instants of different swaps is implausible, while a
+    * genuinely missing path stays missing at both. */
+  private def existsTwice(canonPath: String): Boolean = {
+    if (new java.io.File(canonPath).exists()) return true
+    Thread.sleep(5)
+    new java.io.File(canonPath).exists()
   }
 
   /** OP-41 `getrecent*string N` (RocksDBStore.cs:174-196, SeekToLast+Prev):

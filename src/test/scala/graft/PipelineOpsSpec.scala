@@ -652,6 +652,21 @@ class PipelineOpsSpec extends TestBase {
     }
     assert(deepMsg(exNull).contains("null score"),
       s"null-score guard did not fire: ${deepMsg(exNull)}")
+    // externally-produced stored partials with a null key are
+    // diagnosed AS null keys — countDistinct skips nulls, so without
+    // the separate check they would read as phantom duplicates
+    val ncSchema = org.apache.spark.sql.types.StructType(
+      Seq("_id", "_score", "_toks").map(
+        org.apache.spark.sql.types.StructField(_,
+          org.apache.spark.sql.types.LongType)))
+    val nullCounts = spark.createDataFrame(java.util.Arrays.asList(
+      org.apache.spark.sql.Row(1L, 10L, 5L),
+      org.apache.spark.sql.Row(null, 9L, 4L)), ncSchema)
+    val exNullId = intercept[IllegalArgumentException] {
+      Sampling.budgetSelectCardFromCounts(nullCounts, 16L)
+    }
+    assert(exNullId.getMessage.contains("null _id"),
+      s"null-key diagnosis drifted: ${exNullId.getMessage}")
     graft.ops.Reuse.freeAll(spark)
   }
 
