@@ -36,6 +36,12 @@ object ExtEntry {
     * a non-trivially-cut boundary class per lang. */
   private val StratumBudgetTokens = 2500L
 
+  /** ext175's global budget over the cap-stage survivors. The sf0.01
+    * caps (2500/lang, [[StratumBudgetTokens]]) leave 12426 surviving
+    * tokens, so 8000 cuts the survivor set again — both levels
+    * non-trivial. */
+  private val TwoLevelGlobalTokens = 8000L
+
   /** ext174's budget ladder (interpolated into the oracle): spans the
     * three regimes at sf0.01 — a tight cut (~9% of corpus mass),
     * ext172's budget (the curves must agree with its card), and an
@@ -2312,6 +2318,20 @@ object ExtEntry {
           "least(n_words * 10000, 1000000) DIV 2" +
             " + (n_stop * 1000000 DIV n_words) DIV 2")),
         col("score_ppm"), FillCurveBudgets)),
+
+    // Two-level allocation (r16): per-lang caps first (no source can
+    // eat the pool — ext173's rule), then ONE global budget over the
+    // best-scored survivors (ext172's rule). The card carries both
+    // levels' masses so the cap policy's cost is a number. Survivors
+    // are a scan predicate off the broadcast cap envelope — never
+    // driver-materialized; every search zero-data-shuffle.
+    "ext175_two_level_budget" -> ((s, dir) =>
+      Sampling.twoLevelBudgetCard(
+        TextOps.quality(docs(s, dir)).withColumn("score_ppm", expr(
+          "least(n_words * 10000, 1000000) DIV 2" +
+            " + (n_stop * 1000000 DIV n_words) DIV 2")),
+        "lang", col("score_ppm"), StratumBudgetTokens,
+        TwoLevelGlobalTokens)),
 
     // Burstiness (Fano factor) per entity over the daily count matrix:
     // dispersion texture next to ext152's direction and ext158's
@@ -6385,6 +6405,120 @@ object ExtEntry {
          |FROM sel, tot
          |GROUP BY sel.b, sel.t, sel.i, tot.n_docs, tot.total
          |ORDER BY budget_tokens""".stripMargin
+    },
+
+    // Two-level budget: stage 1 = ext173's per-lang replay at the
+    // cap; stage 2 = ext172's replay over the surviving rows; card
+    // carries both levels. Validated equal to an independent
+    // two-stage prefix replay (counts AND selection set) before
+    // wiring.
+    "ext175_two_level_budget" -> {
+      val cap = StratumBudgetTokens
+      val g = TwoLevelGlobalTokens
+      s"""WITH d AS (SELECT lang, doc_id,
+         |    CAST(len(string_split(text,' ')) AS BIGINT) AS n_toks,
+         |    CAST(len(list_filter(string_split(text,' '),
+         |      t -> t IN ($stopList))) AS BIGINT) AS n_stop
+         |  FROM documents),
+         |s AS (SELECT lang, doc_id, n_toks,
+         |    CAST(least(n_toks*10000, 1000000)//2
+         |      + (n_stop*1000000//n_toks)//2 AS BIGINT) AS score
+         |  FROM d),
+         |tot1 AS (SELECT lang, CAST(sum(n_toks) AS BIGINT) AS total,
+         |                min(score) AS smin, max(doc_id) AS imax
+         |         FROM s GROUP BY lang),
+         |cls1 AS (SELECT lang, score,
+         |           CAST(sum(n_toks) AS BIGINT) AS ct
+         |         FROM s GROUP BY lang, score),
+         |ca1 AS (SELECT lang, score, CAST(COALESCE(sum(ct) OVER (
+         |          PARTITION BY lang ORDER BY score DESC
+         |          ROWS BETWEEN UNBOUNDED PRECEDING
+         |          AND 1 PRECEDING), 0) AS BIGINT) AS above FROM cls1),
+         |thr1 AS (SELECT tot1.lang, CASE WHEN tot1.total <= $cap
+         |           THEN tot1.smin - 1
+         |           ELSE (SELECT min(score) FROM ca1
+         |                 WHERE ca1.lang = tot1.lang
+         |                   AND above <= $cap)
+         |           END AS t
+         |         FROM tot1),
+         |base1 AS (SELECT thr1.lang,
+         |            CAST(COALESCE(sum(s.n_toks), 0) AS BIGINT) AS m
+         |          FROM thr1 LEFT JOIN s
+         |            ON s.lang = thr1.lang AND s.score > thr1.t
+         |          GROUP BY thr1.lang),
+         |ccum1 AS (SELECT s.lang, s.doc_id,
+         |            CAST(sum(s.n_toks) OVER (PARTITION BY s.lang
+         |              ORDER BY s.doc_id ROWS UNBOUNDED PRECEDING)
+         |              AS BIGINT) AS cumt
+         |          FROM s JOIN thr1
+         |            ON s.lang = thr1.lang AND s.score = thr1.t),
+         |ctot1 AS (SELECT thr1.lang,
+         |            CAST(COALESCE(sum(s.n_toks), 0) AS BIGINT) AS ct
+         |          FROM thr1 LEFT JOIN s
+         |            ON s.lang = thr1.lang AND s.score = thr1.t
+         |          GROUP BY thr1.lang),
+         |bid1 AS (SELECT thr1.lang, CASE
+         |           WHEN base1.m + ctot1.ct <= $cap THEN tot1.imax
+         |           ELSE (SELECT min(cc.doc_id) FROM ccum1 cc
+         |                 WHERE cc.lang = thr1.lang
+         |                   AND base1.m + cc.cumt > $cap) - 1
+         |           END AS i
+         |         FROM thr1 JOIN base1 USING (lang)
+         |           JOIN ctot1 USING (lang) JOIN tot1 USING (lang)),
+         |surv AS (SELECT s.doc_id, s.n_toks, s.score
+         |         FROM s JOIN thr1 USING (lang) JOIN bid1 USING (lang)
+         |         WHERE s.score > thr1.t
+         |           OR (s.score = thr1.t AND s.doc_id <= bid1.i)),
+         |tot2 AS (SELECT CAST(sum(n_toks) AS BIGINT) AS total,
+         |                CAST(count(*) AS BIGINT) AS n_surv,
+         |                min(score) AS smin, max(doc_id) AS imax
+         |         FROM surv),
+         |cls2 AS (SELECT score, CAST(sum(n_toks) AS BIGINT) AS ct
+         |         FROM surv GROUP BY score),
+         |ca2 AS (SELECT score, CAST(COALESCE(sum(ct) OVER (
+         |          ORDER BY score DESC ROWS BETWEEN UNBOUNDED
+         |          PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS above
+         |        FROM cls2),
+         |thr2 AS (SELECT CASE WHEN (SELECT total FROM tot2) <= $g
+         |           THEN (SELECT smin FROM tot2) - 1
+         |           ELSE (SELECT min(score) FROM ca2 WHERE above <= $g)
+         |           END AS t),
+         |base2 AS (SELECT CAST(COALESCE(sum(n_toks), 0) AS BIGINT)
+         |            AS m
+         |          FROM surv, thr2 WHERE score > t),
+         |ccum2 AS (SELECT doc_id,
+         |            CAST(sum(n_toks) OVER (ORDER BY doc_id
+         |              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cumt
+         |          FROM surv, thr2 WHERE score = t),
+         |ctot2 AS (SELECT CAST(COALESCE(sum(n_toks), 0) AS BIGINT)
+         |            AS ct
+         |          FROM surv, thr2 WHERE score = t),
+         |bid2 AS (SELECT CASE
+         |           WHEN (SELECT m FROM base2) + (SELECT ct FROM ctot2)
+         |             <= $g THEN (SELECT imax FROM tot2)
+         |           ELSE (SELECT min(doc_id) FROM ccum2
+         |                 WHERE (SELECT m FROM base2) + cumt > $g) - 1
+         |           END AS i),
+         |sel2 AS (SELECT surv.*,
+         |           CASE WHEN score > (SELECT t FROM thr2)
+         |             OR (score = (SELECT t FROM thr2)
+         |                 AND doc_id <= (SELECT i FROM bid2))
+         |           THEN 1 ELSE 0 END AS selected FROM surv)
+         |SELECT (SELECT t FROM thr2) AS threshold_score,
+         |  (SELECT i FROM bid2) AS boundary_id,
+         |  CAST(sum(selected) AS BIGINT) AS n_selected,
+         |  CAST(COALESCE(sum(CASE WHEN selected=1 THEN n_toks END),0)
+         |    AS BIGINT) AS tokens_selected,
+         |  (SELECT n_surv FROM tot2) AS n_surv,
+         |  (SELECT total FROM tot2) AS tokens_surv,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM s) AS n_docs,
+         |  (SELECT CAST(sum(n_toks) AS BIGINT) FROM s)
+         |    AS tokens_total,
+         |  CAST($cap AS BIGINT) AS cap_tokens,
+         |  CAST($g AS BIGINT) AS budget_tokens,
+         |  CAST(COALESCE(sum(CASE WHEN selected=1 THEN n_toks END),0)
+         |    * 1000000 // $g AS BIGINT) AS fill_ppm
+         |FROM sel2""".stripMargin
     },
 
     // Temporal split: cutoff = k-th order statistic via row_number

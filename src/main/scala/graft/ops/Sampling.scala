@@ -702,18 +702,51 @@ object Sampling {
       budgets: Map[String, Long]): DataFrame = {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val spark = e.sparkSession
+    val cardSchema = StructType(StructField(stratum, sType) +:
+      CardCols.map(StructField(_, LongType)))
+    stratumEnvelope(e, sType, budgetTokens, budgets) match {
+      case None =>
+        spark.createDataFrame(
+          new java.util.ArrayList[Row](), cardSchema)
+      case Some(env) =>
+        val sel = col("_score") > col("_t") ||
+          (col("_score") === col("_t") && col("_id") <= col("_i"))
+        e.join(broadcast(env), "_s")
+          .groupBy("_s", "_t", "_i", "_b")
+          .agg(count(lit(1)).as("n_docs"),
+            sum("_toks").as("tokens_total"),
+            coalesce(sum(when(sel, 1L).otherwise(0L)), lit(0L))
+              .as("n_selected"),
+            coalesce(sum(when(sel, col("_toks")).otherwise(0L)),
+              lit(0L)).as("tokens_selected"))
+          .select(col("_s").as(stratum),
+            col("_t").as("threshold_score"),
+            col("_i").as("boundary_id"), col("n_selected"),
+            col("tokens_selected"), col("n_docs"),
+            col("tokens_total"), col("_b").as("budget_tokens"),
+            expr("CAST(cast(tokens_selected AS DECIMAL(38,0))" +
+              " * 1000000 DIV _b AS BIGINT)").as("fill_ppm"))
+    }
+  }
+
+  /** The per-stratum (t, id*, B) selection envelope — the batched
+    * bisections' result as a broadcastable ≤|strata|-row relation
+    * `(_s, _t, _i, _b)`; None on an empty corpus. The card, docs and
+    * two-level paths all project off this one envelope. */
+  private def stratumEnvelope(e: DataFrame,
+      sType: org.apache.spark.sql.types.DataType, budgetTokens: Long,
+      budgets: Map[String, Long]): Option[DataFrame] = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
     import scala.jdk.CollectionConverters._
     require(budgetTokens > 0, "token budget must be positive")
     require(budgets.values.forall(_ > 0),
       "every per-stratum budget must be positive")
     val spark = e.sparkSession
-    val cardSchema = StructType(StructField(stratum, sType) +:
-      CardCols.map(StructField(_, LongType)))
     val init = e.groupBy("_s").agg(min("_score"), max("_score"),
       min("_id"), max("_id")).collect()
-    if (init.isEmpty)
-      return spark.createDataFrame(
-        new java.util.ArrayList[Row](), cardSchema)
+    if (init.isEmpty) return None
     def bOf(s: Any): Long =
       budgets.getOrElse(String.valueOf(s), budgetTokens)
     val doms = init.map { r =>
@@ -795,29 +828,106 @@ object Sampling {
         }.toMap
       }
     }
-    // one labelled card aggregate for all strata (broadcast the
-    // per-stratum (t, id*, B) envelope)
+    // the per-stratum (t, id*, B) envelope as a broadcastable frame
     val envSchema = StructType(Seq(StructField("_s", sType),
       StructField("_t", LongType), StructField("_i", LongType),
       StructField("_b", LongType)))
-    val env = spark.createDataFrame(doms.toSeq.map(d =>
+    Some(spark.createDataFrame(doms.toSeq.map(d =>
       Row.fromSeq(Seq(d._1, tMap(d._1), iOf(d._1), bOf(d._1)))).asJava,
-      envSchema)
-    val sel = col("_score") > col("_t") ||
-      (col("_score") === col("_t") && col("_id") <= col("_i"))
-    e.join(broadcast(env), "_s")
-      .groupBy("_s", "_t", "_i", "_b")
-      .agg(count(lit(1)).as("n_docs"), sum("_toks").as("tokens_total"),
-        coalesce(sum(when(sel, 1L).otherwise(0L)), lit(0L))
-          .as("n_selected"),
-        coalesce(sum(when(sel, col("_toks")).otherwise(0L)), lit(0L))
-          .as("tokens_selected"))
-      .select(col("_s").as(stratum), col("_t").as("threshold_score"),
-        col("_i").as("boundary_id"), col("n_selected"),
-        col("tokens_selected"), col("n_docs"), col("tokens_total"),
-        col("_b").as("budget_tokens"),
-        expr("CAST(cast(tokens_selected AS DECIMAL(38,0))" +
-          " * 1000000 DIV _b AS BIGINT)").as("fill_ppm"))
+      envSchema))
+  }
+
+  /** Per-doc relation of [[budgetSelectCardsByStratum]]'s selection:
+    * (stratum, id, score, n_toks, selected) — the envelope projected
+    * back onto the docs, for composition (the [[budgetSelectDocs]]
+    * convention, stratified). */
+  def budgetSelectDocsByStratum(doc: DataFrame, stratum: String,
+      score: Column, budgetTokens: Long,
+      budgets: Map[String, Long] = Map.empty, id: String = "doc_id",
+      text: String = "text"): DataFrame = {
+    Guards.requireIntegral(doc, score, "budgetSelectByStratum", "score")
+    val sType = doc.select(col(stratum)).schema.head.dataType
+    val e = Reuse.shared(budgetSelectStratumPartials(doc, col(stratum),
+      score, id, text))
+    stratumEnvelope(e, sType, budgetTokens, budgets) match {
+      case None =>
+        import org.apache.spark.sql.types.{LongType, StructField,
+          StructType}
+        doc.sparkSession.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](),
+          StructType(StructField(stratum, sType) +:
+            Seq(id, "score", "n_toks", "selected")
+              .map(StructField(_, LongType))))
+      case Some(env) =>
+        e.join(broadcast(env), "_s")
+          .select(col("_s").as(stratum), col("_id").as(id),
+            col("_score").as("score"), col("_toks").as("n_toks"),
+            (col("_score") > col("_t") ||
+              (col("_score") === col("_t") && col("_id") <= col("_i")))
+              .cast("long").as("selected"))
+    }
+  }
+
+  /**
+   * Two-level allocation (ext175) — the FineWeb-style cut a real
+   * mixture runs: per-stratum CAPS first (no one source can eat the
+   * pool, [[budgetSelectCardsByStratum]]'s rule), then ONE global
+   * budget takes the best-scored survivors ([[budgetSelectCard]]'s
+   * rule over the capped set). The card reports both levels: the
+   * global threshold/boundary/selection plus the cap stage's
+   * surviving mass, so the cost of the cap policy (tokens the caps
+   * withheld from an under-filled global budget, or vice versa) is a
+   * number, not a guess.
+   *
+   * Scale shape: stage 1 is the batched stratified bisections (one
+   * job per round for ALL strata); the survivor relation is a scan
+   * predicate off the broadcast envelope (never materialized to the
+   * driver); stage 2 runs the global bisections over that filtered
+   * projection — zero data shuffles in every search, one labelled
+   * aggregate at the end.
+   */
+  def twoLevelBudgetCard(doc: DataFrame, stratum: String,
+      score: Column, stratumCap: Long, globalBudget: Long,
+      budgets: Map[String, Long] = Map.empty, id: String = "doc_id",
+      text: String = "text"): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, StructField,
+      StructType}
+    require(globalBudget > 0, "global budget must be positive")
+    Guards.requireIntegral(doc, score, "twoLevelBudget", "score")
+    val outCols = Seq("threshold_score", "boundary_id", "n_selected",
+      "tokens_selected", "n_surv", "tokens_surv", "n_docs",
+      "tokens_total", "cap_tokens", "budget_tokens", "fill_ppm")
+    val sType = doc.select(col(stratum)).schema.head.dataType
+    val e = Reuse.shared(budgetSelectStratumPartials(doc, col(stratum),
+      score, id, text))
+    stratumEnvelope(e, sType, stratumCap, budgets) match {
+      case None =>
+        doc.sparkSession.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](),
+          StructType(outCols.map(StructField(_, LongType))))
+      case Some(env) =>
+        val surv = Reuse.shared(e.join(broadcast(env), "_s")
+          .filter(col("_score") > col("_t") ||
+            (col("_score") === col("_t") && col("_id") <= col("_i")))
+          .select("_id", "_score", "_toks"))
+        // stage-1 exposure + corpus totals (one aggregate each over
+        // the shared projections)
+        val totRow = e.agg(count(lit(1)).as("_n"),
+          coalesce(sum("_toks"), lit(0L)).as("_t")).first()
+        val survRow = surv.agg(count(lit(1)).as("_n"),
+          coalesce(sum("_toks"), lit(0L)).as("_t")).first()
+        // stage 2: the global cut over the survivors (ids unique —
+        // one partial row per doc by construction)
+        cardFromFolded(surv, globalBudget)
+          .select(col("threshold_score"), col("boundary_id"),
+            col("n_selected"), col("tokens_selected"),
+            lit(survRow.getLong(0)).as("n_surv"),
+            lit(survRow.getLong(1)).as("tokens_surv"),
+            lit(totRow.getLong(0)).as("n_docs"),
+            lit(totRow.getLong(1)).as("tokens_total"),
+            lit(stratumCap).as("cap_tokens"),
+            col("budget_tokens"), col("fill_ppm"))
+    }
   }
 
   /**

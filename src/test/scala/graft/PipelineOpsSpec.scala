@@ -731,6 +731,81 @@ class PipelineOpsSpec extends TestBase {
     }
   }
 
+  test("two-level budget: per-stratum caps then a global cut — " +
+      "hand-computed whole-fit and partial-global cards, docs " +
+      "relation == per-stratum singles, composition law on the " +
+      "real corpus (ext175)") {
+    import spark.implicits._
+    import graft.ops.Sampling
+    def words(n: Int) = Seq.fill(n)("w").mkString(" ")
+    val docs = Seq(
+      (1L, words(5), 90L, "a"), (2L, words(5), 90L, "a"),
+      (3L, words(4), 80L, "a"), (4L, words(4), 80L, "a"),
+      (5L, words(4), 80L, "a"), (6L, words(10), 70L, "a"),
+      (7L, words(3), 50L, "b"), (8L, words(2), 40L, "b"),
+      (9L, words(20), 10L, "c"))
+      .toDF("doc_id", "text", "q", "lang")
+    // caps 16: survivors = a:{1,2,3} b:{7,8} c:{} (19 tokens).
+    // global 20 fits them whole (t = smin-1 = 39, boundary = max id)
+    val card20 = Sampling.twoLevelBudgetCard(docs, "lang", col("q"),
+        16L, 20L)
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long, Long,
+        Long, Long)].collect().head
+    assert(card20 == (39L, 8L, 5L, 19L, 5L, 19L, 9L, 57L, 16L, 20L,
+      950000L), s"whole-fit two-level card drifted: $card20")
+    graft.ops.Reuse.freeAll(spark)
+    // global 12 cuts the survivors again: t=80, base 10, doc 3 (4
+    // toks) overflows -> boundary 2, selection = the two 90s
+    val card12 = Sampling.twoLevelBudgetCard(docs, "lang", col("q"),
+        16L, 12L)
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long, Long,
+        Long, Long)].collect().head
+    assert(card12 == (80L, 2L, 2L, 10L, 5L, 19L, 9L, 57L, 16L, 12L,
+      833333L), s"partial-global two-level card drifted: $card12")
+    graft.ops.Reuse.freeAll(spark)
+    // the stratified docs relation == the single-stratum docs
+    // relation per stratum
+    Seq("a", "b", "c").foreach { s =>
+      val got = Sampling.budgetSelectDocsByStratum(docs, "lang",
+          col("q"), 16L)
+        .filter(col("lang") === s).drop("lang").orderBy("doc_id")
+        .as[(Long, Long, Long, Long)].collect().toSeq
+      val solo = Sampling.budgetSelectDocs(
+          docs.filter(col("lang") === s), col("q"), 16L)
+        .orderBy("doc_id").as[(Long, Long, Long, Long)]
+        .collect().toSeq
+      assert(got == solo, s"stratified docs relation for $s " +
+        s"drifted: $got vs $solo")
+      graft.ops.Reuse.freeAll(spark)
+    }
+    // composition law on the real corpus: the two-level card's global
+    // columns equal the single cut over the docs-relation survivors
+    val real = graft.ingest.Tables.documents(spark, sf("sf0.001"))
+    def scored(d: org.apache.spark.sql.DataFrame) =
+      graft.ops.TextOps.quality(d).withColumn("score_ppm", expr(
+        "least(n_words * 10000, 1000000) DIV 2" +
+          " + (n_stop * 1000000 DIV n_words) DIV 2"))
+    val two = Sampling.twoLevelBudgetCard(scored(real), "lang",
+        col("score_ppm"), 1500L, 4000L)
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long, Long,
+        Long, Long)].collect().head
+    graft.ops.Reuse.freeAll(spark)
+    val survIds = Sampling.budgetSelectDocsByStratum(scored(real),
+        "lang", col("score_ppm"), 1500L)
+      .filter(col("selected") === 1L).select("doc_id")
+    val solo = Sampling.budgetSelectCard(
+        scored(real).join(survIds, "doc_id"), col("score_ppm"), 4000L)
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long)]
+      .collect().head
+    graft.ops.Reuse.freeAll(spark)
+    assert((two._1, two._2, two._3, two._4) ==
+      (solo._1, solo._2, solo._3, solo._4) &&
+      two._5 == solo._5 && two._6 == solo._6 && two._11 == solo._8,
+      s"two-level != composed single cut: $two vs $solo")
+    assert(two._4 > 0 && two._4 < two._6,
+      s"real-corpus global cut should be non-trivial: $two")
+  }
+
   test("stratified budget select: hand-computed mixed strata " +
       "(partial / whole-fit / nothing-fits), per-stratum budgets " +
       "map, null stratum rejected, == the single-stratum operator " +
