@@ -6506,11 +6506,11 @@ object ExtEntry {
          |           THEN 1 ELSE 0 END AS selected FROM surv)
          |SELECT (SELECT t FROM thr2) AS threshold_score,
          |  (SELECT i FROM bid2) AS boundary_id,
-         |  CAST(sum(selected) AS BIGINT) AS n_selected,
+         |  CAST(COALESCE(sum(selected), 0) AS BIGINT) AS n_selected,
          |  CAST(COALESCE(sum(CASE WHEN selected=1 THEN n_toks END),0)
          |    AS BIGINT) AS tokens_selected,
-         |  (SELECT n_surv FROM tot2) AS n_surv,
-         |  (SELECT total FROM tot2) AS tokens_surv,
+         |  COALESCE((SELECT n_surv FROM tot2), 0) AS n_surv,
+         |  COALESCE((SELECT total FROM tot2), 0) AS tokens_surv,
          |  (SELECT CAST(count(*) AS BIGINT) FROM s) AS n_docs,
          |  (SELECT CAST(sum(n_toks) AS BIGINT) FROM s)
          |    AS tokens_total,

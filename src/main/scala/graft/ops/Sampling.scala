@@ -885,44 +885,73 @@ object Sampling {
    * driver); stage 2 runs the global bisections over that filtered
    * projection — zero data shuffles in every search, one labelled
    * aggregate at the end.
+   *
+   * Contracts: ids must be GLOBALLY unique — the global stage drops
+   * the stratum, so per-source doc numbering (stratum a doc 1 and
+   * stratum b doc 1) would silently double-step the boundary
+   * bisection; rejected loudly instead (the serve-path guard class).
+   * `cap_tokens` echoes the DEFAULT cap; strata overridden by
+   * `budgets` are audited per-stratum via
+   * [[budgetSelectCardsByStratum]] (a one-row card cannot carry the
+   * map). Caps so tight that NO doc survives still return one row —
+   * null threshold/boundary (no stage-2 boundary exists) with the
+   * cap-stage telemetry intact, exactly the shape the declarative
+   * oracle produces; only an EMPTY CORPUS returns an empty frame
+   * (the ext172 convention).
    */
   def twoLevelBudgetCard(doc: DataFrame, stratum: String,
       score: Column, stratumCap: Long, globalBudget: Long,
       budgets: Map[String, Long] = Map.empty, id: String = "doc_id",
       text: String = "text"): DataFrame = {
+    import org.apache.spark.sql.Row
     import org.apache.spark.sql.types.{LongType, StructField,
       StructType}
+    import scala.jdk.CollectionConverters._
     require(globalBudget > 0, "global budget must be positive")
     Guards.requireIntegral(doc, score, "twoLevelBudget", "score")
     val outCols = Seq("threshold_score", "boundary_id", "n_selected",
       "tokens_selected", "n_surv", "tokens_surv", "n_docs",
       "tokens_total", "cap_tokens", "budget_tokens", "fill_ppm")
+    val outSchema = StructType(outCols.map(StructField(_, LongType)))
     val sType = doc.select(col(stratum)).schema.head.dataType
     val e = Reuse.shared(budgetSelectStratumPartials(doc, col(stratum),
       score, id, text))
     stratumEnvelope(e, sType, stratumCap, budgets) match {
       case None =>
         doc.sparkSession.createDataFrame(
-          new java.util.ArrayList[org.apache.spark.sql.Row](),
-          StructType(outCols.map(StructField(_, LongType))))
+          new java.util.ArrayList[Row](), outSchema)
       case Some(env) =>
         val surv = Reuse.shared(e.join(broadcast(env), "_s")
           .filter(col("_score") > col("_t") ||
             (col("_score") === col("_t") && col("_id") <= col("_i")))
           .select("_id", "_score", "_toks"))
-        // stage-1 exposure + corpus totals (one aggregate each over
-        // the shared projections)
+        // corpus totals + the global-uniqueness guard ride ONE
+        // aggregate each; n_surv/tokens_surv come free from the
+        // stage-2 card (its n_docs/tokens_total ARE the survivor
+        // masses — no third job)
         val totRow = e.agg(count(lit(1)).as("_n"),
           coalesce(sum("_toks"), lit(0L)).as("_t")).first()
-        val survRow = surv.agg(count(lit(1)).as("_n"),
-          coalesce(sum("_toks"), lit(0L)).as("_t")).first()
-        // stage 2: the global cut over the survivors (ids unique —
-        // one partial row per doc by construction)
+        val survChk = surv.agg(count(lit(1)).as("_n"),
+          countDistinct(col("_id")).as("_nid")).first()
+        if (survChk.getLong(0) != survChk.getLong(1))
+          throw new IllegalArgumentException(
+            s"twoLevelBudget: ${survChk.getLong(0) - survChk.getLong(1)}" +
+              " surviving rows share an id across strata — the global" +
+              " stage needs GLOBALLY unique ids (per-source numbering" +
+              " would silently double-step the boundary); re-key ids")
+        if (survChk.getLong(0) == 0L)
+          // caps admitted nothing: no stage-2 boundary exists, but
+          // the cap-stage telemetry is the card's point — one row,
+          // null threshold/boundary (the oracle's shape)
+          return doc.sparkSession.createDataFrame(
+            java.util.Arrays.asList(Row(null, null, 0L, 0L, 0L, 0L,
+              totRow.getLong(0), totRow.getLong(1), stratumCap,
+              globalBudget, 0L)), outSchema)
         cardFromFolded(surv, globalBudget)
           .select(col("threshold_score"), col("boundary_id"),
             col("n_selected"), col("tokens_selected"),
-            lit(survRow.getLong(0)).as("n_surv"),
-            lit(survRow.getLong(1)).as("tokens_surv"),
+            col("n_docs").as("n_surv"),
+            col("tokens_total").as("tokens_surv"),
             lit(totRow.getLong(0)).as("n_docs"),
             lit(totRow.getLong(1)).as("tokens_total"),
             lit(stratumCap).as("cap_tokens"),

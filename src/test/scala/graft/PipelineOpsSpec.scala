@@ -763,6 +763,31 @@ class PipelineOpsSpec extends TestBase {
     assert(card12 == (80L, 2L, 2L, 10L, 5L, 19L, 9L, 57L, 16L, 12L,
       833333L), s"partial-global two-level card drifted: $card12")
     graft.ops.Reuse.freeAll(spark)
+    // caps so tight nothing survives: ONE row, null threshold and
+    // boundary (no stage-2 boundary exists), cap-stage telemetry
+    // intact — the declarative oracle's exact shape
+    val none = Sampling.twoLevelBudgetCard(docs, "lang", col("q"),
+      1L, 20L).collect()
+    assert(none.length == 1, s"nothing-survives card rows: $none")
+    val nr = none.head
+    assert(nr.isNullAt(0) && nr.isNullAt(1) && nr.getLong(2) == 0L &&
+      nr.getLong(3) == 0L && nr.getLong(4) == 0L &&
+      nr.getLong(5) == 0L && nr.getLong(6) == 9L &&
+      nr.getLong(7) == 57L && nr.getLong(8) == 1L &&
+      nr.getLong(9) == 20L && nr.getLong(10) == 0L,
+      s"nothing-survives card drifted: $nr")
+    graft.ops.Reuse.freeAll(spark)
+    // ids shared ACROSS strata would silently double-step the global
+    // boundary bisection — rejected loudly
+    val exShared = intercept[IllegalArgumentException] {
+      Sampling.twoLevelBudgetCard(
+        docs.withColumn("doc_id",
+          when(col("doc_id") === 7L, 1L).otherwise(col("doc_id"))),
+        "lang", col("q"), 16L, 20L)
+    }
+    assert(exShared.getMessage.contains("GLOBALLY unique"),
+      s"shared-id guard drifted: ${exShared.getMessage}")
+    graft.ops.Reuse.freeAll(spark)
     // the stratified docs relation == the single-stratum docs
     // relation per stratum
     Seq("a", "b", "c").foreach { s =>
