@@ -86,15 +86,41 @@ object Bench {
         // multi-distinct Expand rewrite (r15's residual ~5): gid
         // VALUES and distinct-group/key ORDER are assigned per
         // session, a pure permutation of the same groups. Lines
-        // mentioning gid# are therefore canonicalized as a sorted
-        // token multiset with list punctuation dropped but DIGITS
-        // KEPT as tokens (a permutation carries the same literal
-        // multiset either way, while a genuinely changed numeric
-        // literal or digit-bearing name on those lines still changes
-        // the multiset — the safe direction both ways). Measured: a
-        // no-change second run re-benches 0 queries (two fresh JVMs,
-        // all plans diffed), and a 100→200 literal probe reads as
-        // changed.
+        // mentioning gid# are canonicalized BRACKET-SCOPED (the r16
+        // whole-line token-multiset sort could hash a genuine
+        // structural change — a grouping column swapped ACROSS
+        // projections permutes the same line-wide tokens — as
+        // unchanged: the unsafe direction, r16 ADVICE): each
+        // innermost [...] group becomes its own sorted token set
+        // (digits kept, so a changed literal still changes it); in
+        // Expand projections the TRAILING integer is the group's
+        // session-assigned gid value and `gid# = N` comparisons
+        // carry the same index — both neutralized to ~ so a pure
+        // group permutation (which renumbers them) hashes equal;
+        // text outside brackets keeps its order and the group LIST
+        // is sorted as a multiset (group order is session-assigned).
+        // A cross-projection column swap changes some group's token
+        // set, so it now reads as changed. Measured: a no-change
+        // second run re-benches 0 queries (two fresh JVMs, all plans
+        // diffed), and a 100→200 literal probe reads as changed.
+        def canonGidLine(ln: String): String = {
+          val l0 = ln.replaceAll("gid#\\s*(=|<=>)\\s*\\d+",
+            "gid# $1 ~")
+          val isExpand = l0.contains("Expand")
+          val groups = scala.collection.mutable.ArrayBuffer
+            .empty[String]
+          val outside = "\\[[^\\[\\]]*\\]".r.replaceAllIn(l0, m => {
+            val toks = m.matched.substring(1, m.matched.length - 1)
+              .split("[,\\s]+").toSeq.filter(_.nonEmpty)
+            val t2 =
+              if (isExpand && toks.nonEmpty &&
+                  toks.last.matches("\\d+")) toks.init :+ "~"
+              else toks
+            groups += t2.sorted.mkString(" ")
+            "&"
+          })
+          outside + " | " + groups.sorted.mkString(" ; ")
+        }
         def normalize(s: String): String = {
           val base = s
             .replaceAll("#\\d+", "#")
@@ -106,9 +132,7 @@ object Bench {
             .replaceAll("plan_id=\\d+", "plan_id=~")
             .replaceAll("@[0-9a-fA-F]+", "@~")
           base.linesIterator.map { ln =>
-            if (ln.contains("gid#"))
-              ln.replaceAll("[\\[\\](),]", " ").trim
-                .split("\\s+").sorted.mkString(" ")
+            if (ln.contains("gid#")) canonGidLine(ln)
             else ln
           }.mkString("\n").replaceAll("\\s+", " ")
         }

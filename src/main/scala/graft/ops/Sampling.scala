@@ -503,7 +503,11 @@ object Sampling {
         .as("_id"),
       Guards.notNull(score.cast("long"), "budgetSelect", "score")
         .as("_score"),
-      size(TextOps.tokens(col(text))).cast("long").as("_toks"))
+      // a null text yields size(NULL) = NULL, which would count in
+      // n_docs yet vanish from every token sum — the same silent
+      // class as a null score (r17 ADVICE); raise in the scan
+      Guards.notNull(size(TextOps.tokens(col(text))).cast("long"),
+        "budgetSelect", "token count (null text)").as("_toks"))
   }
 
   /** [[budgetSelectCard]] from a stored per-doc partials relation —
@@ -523,15 +527,30 @@ object Sampling {
       counts.select("_id", "_score", "_toks").distinct())
     // countDistinct skips null keys while count(1) counts them, so a
     // null _id from externally-produced partials would otherwise be
-    // misdiagnosed as a duplicate — name the real problem instead
+    // misdiagnosed as a duplicate — name the real problem instead.
+    // Null _score/_toks are checked in the SAME aggregate (r17
+    // ADVICE): such a row counts in n_docs/tokens_total yet can never
+    // be selected — the silent-divergence class the projection guards
+    // close on the direct path, which externally-written partials
+    // bypass — and an all-null-score stratum would NPE the envelope's
+    // min/max read.
     val chk = e.agg(count(lit(1)).as("_n"),
       countDistinct(col("_id")).as("_nid"),
       coalesce(sum(when(col("_id").isNull, 1L).otherwise(0L)), lit(0L))
-        .as("_nulls")).first()
+        .as("_nulls"),
+      coalesce(sum(when(col("_score").isNull || col("_toks").isNull,
+        1L).otherwise(0L)), lit(0L)).as("_nullv")).first()
     if (chk.getLong(2) > 0)
       throw new IllegalArgumentException(
         s"budgetSelectCardFromCounts: ${chk.getLong(2)} partial rows" +
           " carry a null _id — every stored partial must name its doc")
+    if (chk.getLong(3) > 0)
+      throw new IllegalArgumentException(
+        s"budgetSelectCardFromCounts: ${chk.getLong(3)} partial rows" +
+          " carry a null _score or _toks — such rows would count in" +
+          " n_docs/tokens_total yet never be selectable; fix the" +
+          " producing projection (the library's own sink guards" +
+          " these at write time)")
     if (chk.getLong(0) != chk.getLong(1))
       throw new IllegalArgumentException(
         s"budgetSelectCardFromCounts: ${chk.getLong(0) - chk.getLong(1)}" +
@@ -579,12 +598,20 @@ object Sampling {
     val chk = d.agg(count(lit(1)).as("_n"),
       countDistinct(col("_id"), col("_ver")).as("_nv"),
       coalesce(sum(when(col("_id").isNull || col("_ver").isNull, 1L)
-        .otherwise(0L)), lit(0L)).as("_nulls")).first()
+        .otherwise(0L)), lit(0L)).as("_nulls"),
+      coalesce(sum(when(col("_score").isNull || col("_toks").isNull,
+        1L).otherwise(0L)), lit(0L)).as("_nullv")).first()
     if (chk.getLong(2) > 0)
       throw new IllegalArgumentException(
         s"budgetSelectCardFromVersioned: ${chk.getLong(2)} partial " +
           "rows carry a null _id or _ver — every versioned partial " +
           "must name its doc and version")
+    if (chk.getLong(3) > 0)
+      throw new IllegalArgumentException(
+        s"budgetSelectCardFromVersioned: ${chk.getLong(3)} partial " +
+          "rows carry a null _score or _toks — such rows would count " +
+          "in the totals yet never be selectable; fix the producing " +
+          "projection")
     if (chk.getLong(0) != chk.getLong(1))
       throw new IllegalArgumentException(
         s"budgetSelectCardFromVersioned: " +
@@ -657,7 +684,9 @@ object Sampling {
         "id").as("_id"),
       Guards.notNull(score.cast("long"), "budgetSelectByStratum",
         "score").as("_score"),
-      size(TextOps.tokens(col(text))).cast("long").as("_toks"))
+      Guards.notNull(size(TextOps.tokens(col(text))).cast("long"),
+        "budgetSelectByStratum", "token count (null text)")
+        .as("_toks"))
   }
 
   /** [[budgetSelectCardsByStratum]] from a stored stratified partials
@@ -670,28 +699,121 @@ object Sampling {
   def budgetSelectCardsByStratumFromCounts(counts: DataFrame,
       stratum: String, budgetTokens: Long,
       budgets: Map[String, Long] = Map.empty): DataFrame = {
+    val e = foldStratified(counts, "budgetSelectCardsByStratumFromCounts")
+    cardsByStratumOf(e, stratum, e.schema("_s").dataType,
+      budgetTokens, budgets)
+  }
+
+  /** The guarded whole-row-distinct fold of a stored stratified
+    * partials relation — shared by the per-stratum and two-level
+    * serve paths. Rejects, in diagnosis order: null keys, null
+    * score/toks values (r17 ADVICE — they'd count in the totals yet
+    * never be selectable), a re-crawled doc within one stratum
+    * (same (_s, _id), changed payload), and a doc re-ingested under
+    * a DIFFERENT stratum (r16 verdict item 1 — a langid re-run
+    * reclassification passes the (_s, _id) check yet would be
+    * counted, and potentially selected, in BOTH strata's cards; the
+    * global-id check rides the same single aggregate). */
+  private def foldStratified(counts: DataFrame,
+      who: String): DataFrame = {
     val e = Reuse.shared(
       counts.select("_s", "_id", "_score", "_toks").distinct())
     // separate null-key diagnosis — countDistinct skips null keys, so
     // a null stratum/_id would otherwise read as a phantom duplicate
     val chk = e.agg(count(lit(1)).as("_n"),
       countDistinct(col("_s"), col("_id")).as("_nid"),
+      countDistinct(col("_id")).as("_gid"),
       coalesce(sum(when(col("_s").isNull || col("_id").isNull, 1L)
-        .otherwise(0L)), lit(0L)).as("_nulls")).first()
-    if (chk.getLong(2) > 0)
+        .otherwise(0L)), lit(0L)).as("_nulls"),
+      coalesce(sum(when(col("_score").isNull || col("_toks").isNull,
+        1L).otherwise(0L)), lit(0L)).as("_nullv")).first()
+    if (chk.getLong(3) > 0)
       throw new IllegalArgumentException(
-        s"budgetSelectCardsByStratumFromCounts: ${chk.getLong(2)} " +
+        s"$who: ${chk.getLong(3)} " +
           "partial rows carry a null stratum or _id — every stored " +
           "partial must name both")
+    if (chk.getLong(4) > 0)
+      throw new IllegalArgumentException(
+        s"$who: ${chk.getLong(4)} " +
+          "partial rows carry a null _score or _toks — such rows " +
+          "would count in the totals yet never be selectable; fix " +
+          "the producing projection")
     if (chk.getLong(0) != chk.getLong(1))
       throw new IllegalArgumentException(
-        s"budgetSelectCardsByStratumFromCounts: " +
+        s"$who: " +
           s"${chk.getLong(0) - chk.getLong(1)} conflicting partial " +
           "rows share a (stratum, _id) (a re-crawled doc with " +
           "changed score/toks) — apply a keep-latest rule to one " +
           "row per doc before serving")
-    cardsByStratumOf(e, stratum, e.schema("_s").dataType,
+    if (chk.getLong(1) != chk.getLong(2))
+      throw new IllegalArgumentException(
+        s"$who: " +
+          s"${chk.getLong(1) - chk.getLong(2)} ids appear under " +
+          "more than one stratum (a re-ingested doc whose stratum " +
+          "CHANGED — a langid re-run reclassification) — the fold " +
+          "would count it in every stratum's card; apply a " +
+          "keep-latest rule (the FromVersioned serve path) before " +
+          "serving")
+    e
+  }
+
+  /** The keep-latest fold the stratified re-crawl guard demands,
+    * shipped (r16 verdict item 1): [[budgetSelectCardsByStratumFromCounts]]
+    * over versioned partials — each row carries an integral `_ver`
+    * (the streaming sink's batch id: the replay key IS the version),
+    * and a doc re-ingested in a later version replaces its older row
+    * INCLUDING ITS STRATUM via one max_by-struct aggregate — a
+    * reclassified doc counts only in its newest stratum's card,
+    * exactly what the batch operator computes over newest-crawl
+    * rows. The same (_id, _ver) under two payloads (or two strata —
+    * an in-batch reclassification has no latest to keep either) is
+    * rejected loudly, the [[budgetSelectCardFromVersioned]] refusal
+    * class. */
+  def budgetSelectCardsByStratumFromVersioned(counts: DataFrame,
+      stratum: String, budgetTokens: Long,
+      budgets: Map[String, Long] = Map.empty): DataFrame = {
+    val latest = foldStratifiedVersioned(counts,
+      "budgetSelectCardsByStratumFromVersioned")
+    cardsByStratumOf(latest, stratum, latest.schema("_s").dataType,
       budgetTokens, budgets)
+  }
+
+  /** The guarded keep-latest fold of a versioned stratified partials
+    * relation — one row per doc carrying its NEWEST (stratum, score,
+    * toks); ids are globally unique by construction after the fold.
+    * Shared by the per-stratum and two-level versioned serve paths. */
+  private def foldStratifiedVersioned(counts: DataFrame,
+      who: String): DataFrame = {
+    Guards.requireIntegral(counts, col("_ver"), who, "version")
+    val d = Reuse.shared(
+      counts.select("_ver", "_s", "_id", "_score", "_toks").distinct())
+    val chk = d.agg(count(lit(1)).as("_n"),
+      countDistinct(col("_id"), col("_ver")).as("_nv"),
+      coalesce(sum(when(col("_s").isNull || col("_id").isNull ||
+        col("_ver").isNull, 1L).otherwise(0L)), lit(0L)).as("_nulls"),
+      coalesce(sum(when(col("_score").isNull || col("_toks").isNull,
+        1L).otherwise(0L)), lit(0L)).as("_nullv")).first()
+    if (chk.getLong(2) > 0)
+      throw new IllegalArgumentException(
+        s"$who: ${chk.getLong(2)} partial rows carry a null stratum, " +
+          "_id or _ver — every versioned partial must name all three")
+    if (chk.getLong(3) > 0)
+      throw new IllegalArgumentException(
+        s"$who: ${chk.getLong(3)} partial rows carry a null _score " +
+          "or _toks — such rows would count in the totals yet never " +
+          "be selectable; fix the producing projection")
+    if (chk.getLong(0) != chk.getLong(1))
+      throw new IllegalArgumentException(
+        s"$who: ${chk.getLong(0) - chk.getLong(1)} conflicting rows " +
+          "share an (_id, _ver) — a within-version duplicate with " +
+          "changed stratum/score/toks has no latest to keep; fix " +
+          "the producing batch")
+    Reuse.shared(d
+      .select(col("_id"), struct(col("_ver"), col("_s"), col("_score"),
+        col("_toks")).as("_vst"))
+      .groupBy("_id").agg(max(col("_vst")).as("_vst"))
+      .select(col("_vst._s").as("_s"), col("_id"),
+        col("_vst._score").as("_score"), col("_vst._toks").as("_toks")))
   }
 
   /** The batched per-stratum searches over a prepared
@@ -747,6 +869,18 @@ object Sampling {
     val init = e.groupBy("_s").agg(min("_score"), max("_score"),
       min("_id"), max("_id")).collect()
     if (init.isEmpty) return None
+    // a `budgets` key matching no observed stratum would silently
+    // fall back to the default budget (r16 verdict item 3) — in a
+    // per-stratum PLAN a misspelled stratum ("en-US" vs "en") is
+    // almost certainly an error; reject it with the key named
+    // (driver-side set difference over the already-collected domains)
+    val observed = init.map(r => String.valueOf(r.get(0))).toSet
+    val unmatched = budgets.keySet.diff(observed)
+    require(unmatched.isEmpty,
+      s"budgetSelectByStratum: budgets/plan keys matching no " +
+        s"observed stratum: ${unmatched.toSeq.sorted.mkString(", ")}" +
+        s" — keys must equal a stratum value's string rendering " +
+        s"(observed: ${observed.toSeq.sorted.take(20).mkString(", ")})")
     def bOf(s: Any): Long =
       budgets.getOrElse(String.valueOf(s), budgetTokens)
     val doms = init.map { r =>
@@ -903,51 +1037,98 @@ object Sampling {
       score: Column, stratumCap: Long, globalBudget: Long,
       budgets: Map[String, Long] = Map.empty, id: String = "doc_id",
       text: String = "text"): DataFrame = {
+    Guards.requireIntegral(doc, score, "twoLevelBudget", "score")
+    twoLevelOf(
+      Reuse.shared(budgetSelectStratumPartials(doc, col(stratum),
+        score, id, text)),
+      doc.select(col(stratum)).schema.head.dataType,
+      stratumCap, globalBudget, budgets)
+  }
+
+  /** [[twoLevelBudgetCard]] from a stored stratified partials
+    * relation — the SAME sink that serves the per-stratum cards
+    * (ext173) and, with `_s` dropped, the global card: one sink,
+    * every card, now including the two-level plan with the cap,
+    * global budget AND per-stratum overrides all serve-time knobs.
+    * Same guarded fold as [[budgetSelectCardsByStratumFromCounts]]
+    * (null keys/values, within-stratum re-crawls, cross-stratum
+    * re-ingests all rejected loudly). */
+  def twoLevelBudgetCardFromCounts(counts: DataFrame,
+      stratumCap: Long, globalBudget: Long,
+      budgets: Map[String, Long] = Map.empty): DataFrame = {
+    val e = foldStratified(counts, "twoLevelBudgetCardFromCounts")
+    twoLevelOf(e, e.schema("_s").dataType, stratumCap, globalBudget,
+      budgets)
+  }
+
+  /** [[twoLevelBudgetCard]] from VERSIONED stored partials — the
+    * keep-latest rule the fold guard demands, shipped for the
+    * two-level path too (the [[budgetSelectCardsByStratumFromVersioned]]
+    * fold: a re-ingested doc counts only in its newest crawl's
+    * stratum, then the caps and the global cut run over the folded
+    * one-row-per-doc relation). */
+  def twoLevelBudgetCardFromVersioned(counts: DataFrame,
+      stratumCap: Long, globalBudget: Long,
+      budgets: Map[String, Long] = Map.empty): DataFrame = {
+    val latest = foldStratifiedVersioned(counts,
+      "twoLevelBudgetCardFromVersioned")
+    twoLevelOf(latest, latest.schema("_s").dataType, stratumCap,
+      globalBudget, budgets)
+  }
+
+  /** The two-level cut over a prepared (_s, _id, _score, _toks)
+    * projection — shared by the direct and stored-fold paths. The
+    * GLOBALLY-unique-ids contract is enforced over the FULL relation
+    * (riding the corpus-totals aggregate — zero extra jobs), not the
+    * cap survivors: a duplicate id whose extra copy is capped out
+    * must raise identically at any cap setting (r16 verdict item 2 —
+    * the survivor-scoped check fired cap-dependently). */
+  private def twoLevelOf(e: DataFrame,
+      sType: org.apache.spark.sql.types.DataType, stratumCap: Long,
+      globalBudget: Long, budgets: Map[String, Long]): DataFrame = {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types.{LongType, StructField,
       StructType}
-    import scala.jdk.CollectionConverters._
     require(globalBudget > 0, "global budget must be positive")
-    Guards.requireIntegral(doc, score, "twoLevelBudget", "score")
     val outCols = Seq("threshold_score", "boundary_id", "n_selected",
       "tokens_selected", "n_surv", "tokens_surv", "n_docs",
       "tokens_total", "cap_tokens", "budget_tokens", "fill_ppm")
     val outSchema = StructType(outCols.map(StructField(_, LongType)))
-    val sType = doc.select(col(stratum)).schema.head.dataType
-    val e = Reuse.shared(budgetSelectStratumPartials(doc, col(stratum),
-      score, id, text))
     stratumEnvelope(e, sType, stratumCap, budgets) match {
       case None =>
-        doc.sparkSession.createDataFrame(
+        e.sparkSession.createDataFrame(
           new java.util.ArrayList[Row](), outSchema)
       case Some(env) =>
+        // corpus totals + the cap-INDEPENDENT global-uniqueness guard
+        // ride ONE aggregate; n_surv/tokens_surv come free from the
+        // stage-2 card (its n_docs/tokens_total ARE the survivor
+        // masses), and survivor emptiness falls out of the stage-2
+        // domain probe — no survivor-scoped check job at all
+        val totRow = e.agg(count(lit(1)).as("_n"),
+          coalesce(sum("_toks"), lit(0L)).as("_t"),
+          countDistinct(col("_id")).as("_nid")).first()
+        if (totRow.getLong(0) != totRow.getLong(2))
+          throw new IllegalArgumentException(
+            s"twoLevelBudget: ${totRow.getLong(0) - totRow.getLong(2)}" +
+              " rows share an id (per-source numbering across strata," +
+              " or a duplicated doc within one) — the global stage" +
+              " needs GLOBALLY unique ids (a shared id would silently" +
+              " double-step the boundary bisection); re-key ids or" +
+              " apply a keep-latest rule (the FromVersioned path)")
         val surv = Reuse.shared(e.join(broadcast(env), "_s")
           .filter(col("_score") > col("_t") ||
             (col("_score") === col("_t") && col("_id") <= col("_i")))
           .select("_id", "_score", "_toks"))
-        // corpus totals + the global-uniqueness guard ride ONE
-        // aggregate each; n_surv/tokens_surv come free from the
-        // stage-2 card (its n_docs/tokens_total ARE the survivor
-        // masses — no third job)
-        val totRow = e.agg(count(lit(1)).as("_n"),
-          coalesce(sum("_toks"), lit(0L)).as("_t")).first()
-        val survChk = surv.agg(count(lit(1)).as("_n"),
-          countDistinct(col("_id")).as("_nid")).first()
-        if (survChk.getLong(0) != survChk.getLong(1))
-          throw new IllegalArgumentException(
-            s"twoLevelBudget: ${survChk.getLong(0) - survChk.getLong(1)}" +
-              " surviving rows share an id across strata — the global" +
-              " stage needs GLOBALLY unique ids (per-source numbering" +
-              " would silently double-step the boundary); re-key ids")
-        if (survChk.getLong(0) == 0L)
+        val (e2, t, idStar) = budgetBoundaryOf(surv, globalBudget)
+        if (e2 == null)
           // caps admitted nothing: no stage-2 boundary exists, but
           // the cap-stage telemetry is the card's point — one row,
           // null threshold/boundary (the oracle's shape)
-          return doc.sparkSession.createDataFrame(
+          return e.sparkSession.createDataFrame(
             java.util.Arrays.asList(Row(null, null, 0L, 0L, 0L, 0L,
               totRow.getLong(0), totRow.getLong(1), stratumCap,
               globalBudget, 0L)), outSchema)
-        cardFromFolded(surv, globalBudget)
+        cardOf(e2, t, idStar, globalBudget)
           .select(col("threshold_score"), col("boundary_id"),
             col("n_selected"), col("tokens_selected"),
             col("n_docs").as("n_surv"),

@@ -975,6 +975,43 @@ object StreamingPipeline {
       spark.read.parquet(outPath).drop("batch"), stratum,
       budgetTokens, budgets)
 
+  /** Keep-latest serve of the STRATIFIED twin — the rule the
+    * cross-stratum re-crawl guard demands (r16 verdict item 1),
+    * with zero new sink columns: the `batch=N` replay key is the
+    * version, so a doc re-ingested later — even under a DIFFERENT
+    * stratum, the langid-re-run case — counts only in its newest
+    * stratum's card, exactly the batch operator over newest-crawl
+    * rows. */
+  def budgetSelectCardsByStratumFromStateKeepLatest(
+      spark: SparkSession, outPath: String, stratum: String,
+      budgetTokens: Long,
+      budgets: Map[String, Long] = Map.empty): DataFrame =
+    graft.ops.Sampling.budgetSelectCardsByStratumFromVersioned(
+      spark.read.parquet(outPath)
+        .withColumn("_ver", col("batch").cast("long")).drop("batch"),
+      stratum, budgetTokens, budgets)
+
+  /** Two-level allocation served from the SAME stratified sink as
+    * the per-stratum cards (one sink, every card — r16 verdict
+    * item 4): the cap, global budget and per-stratum overrides are
+    * all serve-time knobs over one stored projection. */
+  def twoLevelBudgetCardFromState(spark: SparkSession,
+      outPath: String, stratumCap: Long, globalBudget: Long,
+      budgets: Map[String, Long] = Map.empty): DataFrame =
+    graft.ops.Sampling.twoLevelBudgetCardFromCounts(
+      spark.read.parquet(outPath).drop("batch"), stratumCap,
+      globalBudget, budgets)
+
+  /** Keep-latest two-level serve — the versioned fold under the
+    * two-level cut, for sinks that legitimately re-ingest docs. */
+  def twoLevelBudgetCardFromStateKeepLatest(spark: SparkSession,
+      outPath: String, stratumCap: Long, globalBudget: Long,
+      budgets: Map[String, Long] = Map.empty): DataFrame =
+    graft.ops.Sampling.twoLevelBudgetCardFromVersioned(
+      spark.read.parquet(outPath)
+        .withColumn("_ver", col("batch").cast("long")).drop("batch"),
+      stratumCap, globalBudget, budgets)
+
   /** Keep-latest serve of the ext172 twin — the policy the re-crawl
     * guard demands, shipped with ZERO new sink columns: the
     * `batch=N` replay key IS the version, so a doc re-ingested in a

@@ -906,6 +906,176 @@ class PipelineOpsSpec extends TestBase {
     }
   }
 
+  test("stratified serve guards (r17): cross-stratum re-ingest " +
+      "rejected, versioned keep-latest fold == batch over newest " +
+      "crawls, unmatched budgets keys rejected, null stored values " +
+      "rejected") {
+    import spark.implicits._
+    import graft.ops.Sampling
+    def words(n: Int) = Seq.fill(n)("w").mkString(" ")
+    val docs = Seq(
+      (1L, words(5), 90L, "a"), (2L, words(5), 90L, "a"),
+      (3L, words(4), 80L, "a"), (7L, words(3), 50L, "b"),
+      (8L, words(2), 40L, "b"))
+      .toDF("doc_id", "text", "q", "lang")
+    val parts = Sampling.budgetSelectStratumPartials(
+      docs, col("lang"), col("q"))
+    // a doc re-ingested under a DIFFERENT stratum (a langid re-run
+    // reclassification) passes the (_s, _id) uniqueness check yet
+    // would be counted — and potentially selected — in BOTH strata's
+    // cards (r16 verdict item 1): rejected loudly, class named
+    val reclass = parts.unionByName(
+      Seq(("b", 3L, 80L, 4L)).toDF("_s", "_id", "_score", "_toks"))
+    val exCross = intercept[IllegalArgumentException] {
+      Sampling.budgetSelectCardsByStratumFromCounts(reclass, "lang", 16L)
+    }
+    assert(exCross.getMessage.contains("more than one stratum"),
+      s"cross-stratum guard drifted: ${exCross.getMessage}")
+    graft.ops.Reuse.freeAll(spark)
+    // the keep-latest rule that guard demands, shipped: v1 re-crawls
+    // doc 3 from stratum a INTO stratum b (new score/toks); the
+    // versioned fold == the batch operator over each doc's newest
+    // crawl — the reclassified doc counts ONLY in its new stratum
+    val versioned = parts.withColumn("_ver", lit(0L)).unionByName(
+      Seq(("b", 3L, 45L, 6L)).toDF("_s", "_id", "_score", "_toks")
+        .withColumn("_ver", lit(1L)))
+    val served = Sampling.budgetSelectCardsByStratumFromVersioned(
+      versioned, "lang", 16L)
+    val newest = docs.filter(col("doc_id") =!= 3L).unionByName(
+      Seq((3L, words(6), 45L, "b")).toDF("doc_id", "text", "q", "lang"))
+    val batch = Sampling.budgetSelectCardsByStratum(newest, "lang",
+      col("q"), 16L)
+    assert(batch.count() == 2)
+    assert(served.except(batch).isEmpty && batch.except(served).isEmpty,
+      s"versioned stratified fold != batch over newest crawls " +
+        s"(${served.collect().toSeq} vs ${batch.collect().toSeq})")
+    graft.ops.Reuse.freeAll(spark)
+    // a `budgets` key matching no observed stratum is a misspelled
+    // plan entry, not a silent fall-back to the default (r16 verdict
+    // item 3) — rejected with the key named
+    val exKey = intercept[IllegalArgumentException] {
+      Sampling.budgetSelectCardsByStratum(docs, "lang", col("q"), 16L,
+        budgets = Map("a" -> 100L, "zz" -> 5L))
+    }
+    assert(exKey.getMessage.contains("zz"),
+      s"unmatched-budgets-key guard drifted: ${exKey.getMessage}")
+    // the two-level cap overrides ride the same envelope — same guard
+    val exKey2 = intercept[IllegalArgumentException] {
+      Sampling.twoLevelBudgetCard(docs, "lang", col("q"), 16L, 20L,
+        budgets = Map("en-US" -> 5L))
+    }
+    assert(exKey2.getMessage.contains("en-US"))
+    graft.ops.Reuse.freeAll(spark)
+    // externally stored partials with a null _score/_toks would count
+    // in the totals yet never be selectable (r17 ADVICE) — refused
+    // with the value class named, on every serve path
+    import org.apache.spark.sql.types.{LongType, StringType,
+      StructField, StructType}
+    val sSchema = StructType(Seq(StructField("_s", StringType),
+      StructField("_id", LongType), StructField("_score", LongType),
+      StructField("_toks", LongType)))
+    val nullVal = parts.unionByName(spark.createDataFrame(
+      java.util.Arrays.asList(
+        org.apache.spark.sql.Row("c", 99L, null, 7L)), sSchema))
+    val exNullV = intercept[IllegalArgumentException] {
+      Sampling.budgetSelectCardsByStratumFromCounts(nullVal, "lang", 16L)
+    }
+    assert(exNullV.getMessage.contains("null _score or _toks"),
+      s"stratified null-value guard drifted: ${exNullV.getMessage}")
+    graft.ops.Reuse.freeAll(spark)
+    val gSchema = StructType(Seq(StructField("_id", LongType),
+      StructField("_score", LongType), StructField("_toks", LongType)))
+    val exNullG = intercept[IllegalArgumentException] {
+      Sampling.budgetSelectCardFromCounts(spark.createDataFrame(
+        java.util.Arrays.asList(
+          org.apache.spark.sql.Row(1L, 10L, 5L),
+          org.apache.spark.sql.Row(2L, 9L, null)), gSchema), 16L)
+    }
+    assert(exNullG.getMessage.contains("null _score or _toks"),
+      s"global null-value guard drifted: ${exNullG.getMessage}")
+    val exNullVer = intercept[IllegalArgumentException] {
+      Sampling.budgetSelectCardFromVersioned(spark.createDataFrame(
+        java.util.Arrays.asList(
+          org.apache.spark.sql.Row(1L, 10L, 5L),
+          org.apache.spark.sql.Row(2L, null, 4L)), gSchema)
+        .withColumn("_ver", lit(0L)), 16L)
+    }
+    assert(exNullVer.getMessage.contains("null _score or _toks"),
+      s"versioned null-value guard drifted: ${exNullVer.getMessage}")
+    graft.ops.Reuse.freeAll(spark)
+  }
+
+  test("two-level serve (r17): duplicate ids rejected CAP-" +
+      "INDEPENDENTLY, FromCounts == the direct operator, versioned " +
+      "keep-latest two-level fold, caps-admit-nothing via the " +
+      "stored fold") {
+    import spark.implicits._
+    import graft.ops.Sampling
+    def words(n: Int) = Seq.fill(n)("w").mkString(" ")
+    val docs = Seq(
+      (1L, words(5), 90L, "a"), (2L, words(5), 90L, "a"),
+      (3L, words(4), 80L, "a"), (4L, words(4), 80L, "a"),
+      (5L, words(4), 80L, "a"), (6L, words(10), 70L, "a"),
+      (7L, words(3), 50L, "b"), (8L, words(2), 40L, "b"),
+      (9L, words(20), 10L, "c"))
+      .toDF("doc_id", "text", "q", "lang")
+    // a duplicate id whose SECOND copy is capped out: the r16
+    // survivor-scoped guard passed at tight caps and threw at loose
+    // ones (cap-DEPENDENT contract — r16 verdict item 2); the guard
+    // now rides the full-relation totals aggregate and raises
+    // identically at ANY cap setting
+    val dup = docs.unionByName(Seq((1L, words(2), 5L, "c"))
+      .toDF("doc_id", "text", "q", "lang"))
+    Seq(4L, 1000L).foreach { cap =>
+      val ex = intercept[IllegalArgumentException] {
+        Sampling.twoLevelBudgetCard(dup, "lang", col("q"), cap, 20L)
+      }
+      assert(ex.getMessage.contains("GLOBALLY unique"),
+        s"cap=$cap: duplicate-id guard drifted: ${ex.getMessage}")
+      graft.ops.Reuse.freeAll(spark)
+    }
+    // the stored-fold serve path == the direct operator over the
+    // SAME stratified partials that serve the ext173 cards — one
+    // sink, every card, two-level included (r16 verdict item 4)
+    val parts = Sampling.budgetSelectStratumPartials(
+      docs, col("lang"), col("q"))
+    Seq(20L, 12L).foreach { g =>
+      val stored = Sampling.twoLevelBudgetCardFromCounts(parts, 16L, g)
+      val direct = Sampling.twoLevelBudgetCard(docs, "lang", col("q"),
+        16L, g)
+      assert(stored.except(direct).isEmpty &&
+        direct.except(stored).isEmpty,
+        s"global=$g: stored-fold two-level card != direct " +
+          s"(${stored.collect().toSeq} vs ${direct.collect().toSeq})")
+      graft.ops.Reuse.freeAll(spark)
+    }
+    // versioned keep-latest under the two-level cut: doc 9 re-crawled
+    // from stratum c into b — the fold == the direct operator over
+    // newest-crawl docs
+    val versioned = parts.withColumn("_ver", lit(0L)).unionByName(
+      Seq(("b", 9L, 45L, 2L)).toDF("_s", "_id", "_score", "_toks")
+        .withColumn("_ver", lit(1L)))
+    val servedV = Sampling.twoLevelBudgetCardFromVersioned(
+      versioned, 16L, 12L)
+    val newest = docs.filter(col("doc_id") =!= 9L).unionByName(
+      Seq((9L, words(2), 45L, "b")).toDF("doc_id", "text", "q", "lang"))
+    val batchV = Sampling.twoLevelBudgetCard(newest, "lang", col("q"),
+      16L, 12L)
+    assert(servedV.except(batchV).isEmpty &&
+      batchV.except(servedV).isEmpty,
+      s"versioned two-level fold != batch over newest crawls " +
+        s"(${servedV.collect().toSeq} vs ${batchV.collect().toSeq})")
+    graft.ops.Reuse.freeAll(spark)
+    // caps-admit-nothing through the STORED fold keeps the direct
+    // path's shape: one row, null threshold/boundary, cap telemetry
+    val noneRows = Sampling.twoLevelBudgetCardFromCounts(parts, 1L, 20L)
+      .collect()
+    assert(noneRows.length == 1 && noneRows.head.isNullAt(0) &&
+      noneRows.head.getLong(6) == 9L && noneRows.head.getLong(7) == 57L,
+      s"stored-fold nothing-survives card drifted: ${noneRows.toSeq}")
+    graft.ops.Reuse.freeAll(spark)
+  }
+
   test("signal correlations: exact ±1 on constructed columns, 0 under " +
       "the zero-variance guard (ext115)") {
     import spark.implicits._

@@ -1932,6 +1932,75 @@ class StreamingSpec extends TestBase {
       globalB.except(globalS).isEmpty,
       "global card from the stratified state drifted from batch")
     graft.ops.Reuse.freeAll(spark)
+    // ... and the TWO-LEVEL plan too (r16 verdict item 4): the same
+    // stored projection serves the cap + global cut at serve-time
+    // knobs, equal to the direct batch operator
+    val twoS = StreamingPipeline.twoLevelBudgetCardFromState(
+      spark, state, 1500L, 4000L)
+    val twoB = graft.ops.Sampling.twoLevelBudgetCard(scored(docs),
+      "lang", col("score_ppm"), 1500L, 4000L)
+    assert(twoB.count() == 1)
+    assert(twoS.except(twoB).isEmpty && twoB.except(twoS).isEmpty,
+      s"stored-fold two-level card drifted from batch " +
+        s"(${twoS.collect().toSeq} vs ${twoB.collect().toSeq})")
+    graft.ops.Reuse.freeAll(spark)
+    // a doc RE-INGESTED UNDER A NEW STRATUM in a later micro-batch
+    // (a langid re-run reclassification) passes a (_s, _id) check
+    // but would double-count across strata (r16 verdict item 1):
+    // the unversioned serve refuses loudly, and the keep-latest
+    // serve counts it only in its newest stratum — equal to an
+    // INDEPENDENT latest-row arbitration (row_number over a
+    // version-desc window)
+    val one = spark.read.parquet(state).drop("batch").limit(1)
+    val oneRow = one.collect().head
+    val newLang = if (oneRow.getString(0) == "en") "de" else "en"
+    spark.createDataFrame(
+      java.util.Arrays.asList(org.apache.spark.sql.Row(
+        newLang, oneRow.getLong(1), oneRow.getLong(2) + 1L,
+        oneRow.getLong(3))), one.schema)
+      .write.parquet(s"$state/batch=9999")
+    val exCross = intercept[IllegalArgumentException] {
+      StreamingPipeline.budgetSelectCardsByStratumFromState(
+        spark, state, "lang", 3000L)
+    }
+    assert(exCross.getMessage.contains("more than one stratum"),
+      s"cross-stratum serve guard drifted: ${exCross.getMessage}")
+    graft.ops.Reuse.freeAll(spark)
+    val w9 = org.apache.spark.sql.expressions.Window
+      .partitionBy("_id").orderBy(col("batch").cast("long").desc)
+    val latestRows = spark.read.parquet(state)
+      .withColumn("_rn", org.apache.spark.sql.functions.row_number()
+        .over(w9))
+      .filter(col("_rn") === 1).select("_s", "_id", "_score", "_toks")
+    val keepS = StreamingPipeline
+      .budgetSelectCardsByStratumFromStateKeepLatest(
+        spark, state, "lang", 3000L)
+    val keepB = graft.ops.Sampling.budgetSelectCardsByStratumFromCounts(
+      latestRows, "lang", 3000L)
+    assert(keepS.except(keepB).isEmpty && keepB.except(keepS).isEmpty,
+      s"stratified keep-latest serve drifted from the independent " +
+        s"arbitration (${keepS.collect().toSeq} vs " +
+        s"${keepB.collect().toSeq})")
+    // the reclassification genuinely moved mass between strata (the
+    // twin is not vacuous): the keep-latest cards differ from the
+    // pre-append batch cards (recomputed fresh — the earlier `batch`
+    // plan references a freed shared checkpoint)
+    val preAppend = graft.ops.Sampling.budgetSelectCardsByStratum(
+      scored(docs), "lang", col("score_ppm"), 3000L)
+    assert(keepS.except(preAppend).count() > 0,
+      "cross-stratum re-ingest did not change any stratum's card")
+    graft.ops.Reuse.freeAll(spark)
+    // keep-latest under the two-level cut, same arbitration law
+    val keep2S = StreamingPipeline.twoLevelBudgetCardFromStateKeepLatest(
+      spark, state, 1500L, 4000L)
+    val keep2B = graft.ops.Sampling.twoLevelBudgetCardFromCounts(
+      latestRows, 1500L, 4000L)
+    assert(keep2S.except(keep2B).isEmpty &&
+      keep2B.except(keep2S).isEmpty,
+      s"two-level keep-latest serve drifted from the independent " +
+        s"arbitration (${keep2S.collect().toSeq} vs " +
+        s"${keep2B.collect().toSeq})")
+    graft.ops.Reuse.freeAll(spark)
   }
 
   test("streaming source-overlap state == batch keyOverlap (ext68 twin, " +
