@@ -1051,6 +1051,25 @@ object ScaleSmoke {
         f"  batched=$strataS%.1f s  ${langs.size}xsingle=" +
         f"$soloStrataS%.1f s  rows=$strataRows")
     }
+    // ext175's claim, priced (r16 verdict item 6): stage 1 is the
+    // batched stratified bisections, survivors are a SCAN PREDICATE
+    // off the broadcast cap envelope (never materialized to the
+    // driver), stage 2 bisects over that filtered projection — so
+    // the job count is corpus-size-independent and wall should grow
+    // ~linearly with heap flat (the shared projection is the only
+    // state). Caps/budget scale with mult to keep the cut at the
+    // same relative depth. time() prints wall + peak heap.
+    if (only.forall(_.exists(p =>
+        "r17twolevel".startsWith(p) || p.startsWith("r17twolevel")))) {
+      val scored = graft.ops.TextOps.quality(big)
+        .withColumn("score_ppm", expr(
+          "least(n_words * 10000, 1000000) DIV 2" +
+            " + (n_stop * 1000000 DIV n_words) DIV 2"))
+      time("r17twolevel_card") {
+        graft.ops.Sampling.twoLevelBudgetCard(scored, "lang",
+          col("score_ppm"), 2500L * mult, 6000L * mult)
+      }
+    }
     // r16: price retryingServe under a REAL concurrent compaction
     // loop (r15 verdict item 6) — the race specs prove recovery on
     // injected/probe-driven signatures; this measures the serve path
