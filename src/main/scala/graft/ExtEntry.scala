@@ -48,6 +48,13 @@ object ExtEntry {
     * oversized budget exercising the whole-fit branch. */
   private val FillCurveBudgets = Seq(2500L, 10000L, 40000L)
 
+  /** ext176's per-stratum budget ladder. sf0.01 per-lang masses run
+    * 3.5k–11.8k tokens, so the rungs span the three regimes INSIDE
+    * every lang: 800 = tight cut everywhere, [[StratumBudgetTokens]]
+    * = ext173's partial cut (those curve rows must agree with its
+    * cards), 20000 = whole-fit everywhere (threshold = smin−1). */
+  private val StratumFillBudgets = Seq(800L, StratumBudgetTokens, 20000L)
+
   /** ext126's packing context length — interpolated into the oracle so
     * a change here cannot silently diverge the two engines. */
   private val CurationCtx = 512L
@@ -2332,6 +2339,25 @@ object ExtEntry {
             " + (n_stop * 1000000 DIV n_words) DIV 2")),
         "lang", col("score_ppm"), StratumBudgetTokens,
         TwoLevelGlobalTokens)),
+
+    // Per-stratum budget→fill curves (r17): the planning TABLE a
+    // per-lang allocation is chosen FROM — ext174's curve for every
+    // stratum at once, completing the matrix (ext173 = strata × one
+    // budget, ext174 = one stratum × K budgets). |strata| × K cards
+    // cost the job count of ONE ext172 cut: threshold probe sums are
+    // budget-independent (per-stratum ladder unions ride as broadcast
+    // columns), boundary rounds batch (stratum, class, probe)
+    // condition pairs, the final cards are one labelled aggregate
+    // over a pivoted 1:1 envelope join. The 2500 rung must equal
+    // ext173's cards — a cross-query consistency check the oracle
+    // enforces for free.
+    "ext176_fill_curve_strata" -> ((s, dir) =>
+      Sampling.budgetFillCurveByStratum(
+        TextOps.quality(docs(s, dir)).withColumn("score_ppm", expr(
+          "least(n_words * 10000, 1000000) DIV 2" +
+            " + (n_stop * 1000000 DIV n_words) DIV 2")),
+        "lang", col("score_ppm"), StratumFillBudgets)
+        .orderBy("lang", "budget_tokens")),
 
     // Burstiness (Fano factor) per entity over the daily count matrix:
     // dispersion texture next to ext152's direction and ext158's
@@ -6405,6 +6431,86 @@ object ExtEntry {
          |FROM sel, tot
          |GROUP BY sel.b, sel.t, sel.i, tot.n_docs, tot.total
          |ORDER BY budget_tokens""".stripMargin
+    },
+
+    // Per-stratum fill curves: ext173's per-lang replay crossed with
+    // the budget VALUES ladder — per-(lang, budget) threshold
+    // (min score class with above-mass <= b, whole-fit => smin-1),
+    // boundary (first overflowing boundary-class doc minus 1,
+    // whole-class-fit => imax), identical selection predicate and
+    // card aggregates. Validated equal to an independent per-(lang,
+    // budget) prefix replay — masses AND exact selection sets —
+    // before wiring (the ext172/173/174 convention).
+    "ext176_fill_curve_strata" -> {
+      val budgets = StratumFillBudgets.map(b => s"($b)").mkString(", ")
+      s"""WITH bs AS (SELECT CAST(b AS BIGINT) AS b
+         |          FROM (VALUES $budgets) v(b)),
+         |d AS (SELECT lang, doc_id,
+         |    CAST(len(string_split(text,' ')) AS BIGINT) AS n_toks,
+         |    CAST(len(list_filter(string_split(text,' '),
+         |      t -> t IN ($stopList))) AS BIGINT) AS n_stop
+         |  FROM documents),
+         |s AS (SELECT lang, doc_id, n_toks,
+         |    CAST(least(n_toks*10000, 1000000)//2
+         |      + (n_stop*1000000//n_toks)//2 AS BIGINT) AS score
+         |  FROM d),
+         |tot AS (SELECT lang, CAST(sum(n_toks) AS BIGINT) AS total,
+         |               CAST(count(*) AS BIGINT) AS n_docs,
+         |               min(score) AS smin, max(doc_id) AS imax
+         |        FROM s GROUP BY lang),
+         |cls AS (SELECT lang, score, CAST(sum(n_toks) AS BIGINT) AS ct
+         |        FROM s GROUP BY lang, score),
+         |ca AS (SELECT lang, score, CAST(COALESCE(sum(ct) OVER (
+         |         PARTITION BY lang ORDER BY score DESC
+         |         ROWS BETWEEN UNBOUNDED PRECEDING
+         |         AND 1 PRECEDING), 0) AS BIGINT) AS above FROM cls),
+         |thr AS (SELECT tot.lang, bs.b, CASE WHEN tot.total <= bs.b
+         |          THEN tot.smin - 1
+         |          ELSE (SELECT min(score) FROM ca
+         |                WHERE ca.lang = tot.lang AND above <= bs.b)
+         |          END AS t
+         |        FROM tot, bs),
+         |base AS (SELECT thr.lang, thr.b,
+         |           CAST(COALESCE(sum(s.n_toks), 0) AS BIGINT) AS m
+         |         FROM thr LEFT JOIN s
+         |           ON s.lang = thr.lang AND s.score > thr.t
+         |         GROUP BY thr.lang, thr.b),
+         |ccum AS (SELECT thr.lang, thr.b, s.doc_id,
+         |           CAST(sum(s.n_toks) OVER (PARTITION BY thr.lang,
+         |             thr.b ORDER BY s.doc_id ROWS UNBOUNDED PRECEDING)
+         |             AS BIGINT) AS cumt
+         |         FROM s JOIN thr
+         |           ON s.lang = thr.lang AND s.score = thr.t),
+         |ctot AS (SELECT thr.lang, thr.b,
+         |           CAST(COALESCE(sum(s.n_toks), 0) AS BIGINT) AS ct
+         |         FROM thr LEFT JOIN s
+         |           ON s.lang = thr.lang AND s.score = thr.t
+         |         GROUP BY thr.lang, thr.b),
+         |bid AS (SELECT thr.lang, thr.b, CASE
+         |          WHEN base.m + ctot.ct <= thr.b THEN tot.imax
+         |          ELSE (SELECT min(cc.doc_id) FROM ccum cc
+         |                WHERE cc.lang = thr.lang AND cc.b = thr.b
+         |                  AND base.m + cc.cumt > thr.b) - 1
+         |          END AS i
+         |        FROM thr JOIN base USING (lang, b)
+         |          JOIN ctot USING (lang, b) JOIN tot USING (lang)),
+         |sel AS (SELECT thr.b, s.lang, s.n_toks, thr.t, bid.i,
+         |          CASE WHEN s.score > thr.t
+         |            OR (s.score = thr.t AND s.doc_id <= bid.i)
+         |          THEN 1 ELSE 0 END AS selected
+         |        FROM s JOIN thr USING (lang)
+         |          JOIN bid ON bid.lang = s.lang AND bid.b = thr.b)
+         |SELECT sel.lang, sel.b AS budget_tokens,
+         |  sel.t AS threshold_score, sel.i AS boundary_id,
+         |  CAST(sum(selected) AS BIGINT) AS n_selected,
+         |  CAST(COALESCE(sum(CASE WHEN selected=1 THEN n_toks END),0)
+         |    AS BIGINT) AS tokens_selected,
+         |  tot.n_docs, tot.total AS tokens_total,
+         |  CAST(COALESCE(sum(CASE WHEN selected=1 THEN n_toks END),0)
+         |    * 1000000 // sel.b AS BIGINT) AS fill_ppm
+         |FROM sel JOIN tot USING (lang)
+         |GROUP BY sel.lang, sel.b, sel.t, sel.i, tot.n_docs, tot.total
+         |ORDER BY sel.lang, budget_tokens""".stripMargin
     },
 
     // Two-level budget: stage 1 = ext173's per-lang replay at the

@@ -1262,6 +1262,218 @@ object Sampling {
     spark.createDataFrame(out.asJava, curveSchema)
   }
 
+  /**
+   * Per-stratum budget→fill curves (ext176) — [[budgetFillCurve]]
+   * executed for every stratum at once: the planning TABLE a
+   * per-source/lang allocation is chosen FROM (ext173 executes ONE
+   * plan; this prices K candidate budgets per stratum so the plan's
+   * masses can be read off a curve instead of re-run per guess).
+   * Completes the family matrix: ext173 = strata × one budget,
+   * ext174 = one stratum × K budgets, this = strata × K budgets.
+   *
+   * Scale shape — |strata| × K cards cost the SAME job count as ONE
+   * ext172 cut: threshold probe sums `tokens_s(score > m)` are
+   * budget-independent, so each round evaluates the per-stratum
+   * UNION of all budgets' k-ary probe ladders in one aggregate job
+   * (the corpus joins a broadcast ≤|strata|-row probe relation,
+   * probes ride as columns — no row fan-out); boundary rounds batch
+   * the per-(stratum, threshold-class, probe) conditions the same
+   * way. The final cards are one labelled aggregate over a pivoted
+   * 1:1 envelope join (2K columns per stratum, never K× the rows).
+   * Driver state: one bracket per (stratum, budget) — requires
+   * low-cardinality strata × a small budget ladder (the ext173/
+   * ext174 preconditions, multiplied).
+   */
+  def budgetFillCurveByStratum(doc: DataFrame, stratum: String,
+      score: Column, budgets: Seq[Long], id: String = "doc_id",
+      text: String = "text"): DataFrame = {
+    Guards.requireIntegral(doc, score, "budgetFillCurveByStratum",
+      "score")
+    val e = Reuse.shared(budgetSelectStratumPartials(doc, col(stratum),
+      score, id, text))
+    fillCurveByStratumOf(e, stratum,
+      doc.select(col(stratum)).schema.head.dataType, budgets)
+  }
+
+  /** [[budgetFillCurveByStratum]] from the SAME stored stratified
+    * partials that serve the ext173 cards, the global card and the
+    * two-level plan — one sink, every card, curves included (same
+    * guarded fold). */
+  def budgetFillCurveByStratumFromCounts(counts: DataFrame,
+      stratum: String, budgets: Seq[Long]): DataFrame = {
+    val e = foldStratified(counts, "budgetFillCurveByStratumFromCounts")
+    fillCurveByStratumOf(e, stratum, e.schema("_s").dataType, budgets)
+  }
+
+  /** The batched (stratum × budget) searches over a prepared
+    * (_s, _id, _score, _toks) projection — shared by the direct and
+    * stored-fold paths. */
+  private def fillCurveByStratumOf(e: DataFrame, stratum: String,
+      sType: org.apache.spark.sql.types.DataType,
+      budgets: Seq[Long]): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    import scala.jdk.CollectionConverters._
+    require(budgets.nonEmpty && budgets.forall(_ > 0),
+      "budgets must be non-empty and positive")
+    require(budgets.distinct.size == budgets.size,
+      "budgets must be distinct (each is one output row per stratum)")
+    val spark = e.sparkSession
+    val outSchema = StructType(StructField(stratum, sType) +:
+      (Seq("budget_tokens") ++ CardCols.filterNot(_ == "budget_tokens"))
+        .map(StructField(_, LongType)))
+    val init = e.groupBy("_s").agg(min("_score"), max("_score"),
+      min("_id"), max("_id")).collect()
+    if (init.isEmpty)
+      return spark.createDataFrame(
+        new java.util.ArrayList[Row](), outSchema)
+    val doms = init.map { r =>
+      require(!r.isNullAt(0), "budgetFillCurveByStratum: null " +
+        "stratum value — a null key would silently drop out of the " +
+        "probe join; filter or bucket nulls explicitly")
+      val (sLo, iLo) = (r.getLong(1), r.getLong(3))
+      require(sLo > Long.MinValue && iLo > Long.MinValue,
+        "budgetSelect needs score and id domains above Long.MinValue")
+      (r.get(0), sLo, r.getLong(2), iLo, r.getLong(4))
+    }
+    // one aggregate job per round evaluating every stratum's probe
+    // ladder (variable width — the per-stratum union of its active
+    // budgets' ladders, padded to the round's max)
+    def sumsAt(rows: Seq[(Any, Seq[Long])],
+        cond: (Column, Column) => Column): Map[Any, Seq[Long]] = {
+      val w = rows.map(_._2.size).max
+      val schema = StructType(StructField("_s", sType) +:
+        (1 to w).map(i => StructField(s"_m$i", LongType)))
+      val mids = spark.createDataFrame(rows.map { case (s, ms) =>
+        Row.fromSeq(s +: ms.padTo(w, ms.last))
+      }.asJava, schema)
+      val aggs = (1 to w).map(i =>
+        coalesce(sum(when(cond(col(s"_m$i"), col("_score")),
+          col("_toks")).otherwise(0L)), lit(0L)).as(s"_c$i"))
+      e.join(broadcast(mids), "_s")
+        .groupBy("_s").agg(aggs.head, aggs.tail: _*)
+        .collect()
+        .map(r => r.get(0) -> (1 to w).map(r.getLong).toSeq).toMap
+    }
+    // boundary-phase twin: each probe column carries its OWN
+    // threshold class (budgets in one stratum may cut different
+    // classes), so the condition pairs (t, m) ride as column pairs
+    def pairSumsAt(rows: Seq[(Any, Seq[(Long, Long)])])
+        : Map[Any, Seq[Long]] = {
+      val w = rows.map(_._2.size).max
+      val schema = StructType(StructField("_s", sType) +:
+        (1 to w).flatMap(i => Seq(StructField(s"_t$i", LongType),
+          StructField(s"_m$i", LongType))))
+      val mids = spark.createDataFrame(rows.map { case (s, ps) =>
+        Row.fromSeq(s +: ps.padTo(w, ps.last)
+          .flatMap { case (t, m) => Seq(t, m) })
+      }.asJava, schema)
+      val aggs = (1 to w).map(i =>
+        coalesce(sum(when(col("_score") === col(s"_t$i") &&
+          col("_id") <= col(s"_m$i"), col("_toks")).otherwise(0L)),
+          lit(0L)).as(s"_c$i"))
+      e.join(broadcast(mids), "_s")
+        .groupBy("_s").agg(aggs.head, aggs.tail: _*)
+        .collect()
+        .map(r => r.get(0) -> (1 to w).map(r.getLong).toSeq).toMap
+    }
+    // threshold phase: bracket per (stratum, budget); every budget's
+    // bracket advances off the SHARED per-stratum probe sums
+    var minBr: Map[(Any, Long), (Long, Long)] =
+      (for (d <- doms; b <- budgets)
+        yield (d._1, b) -> (d._2 - 1, d._3)).toMap
+    val tOf = scala.collection.mutable.Map.empty[(Any, Long), Long]
+    while (minBr.nonEmpty) {
+      val (fin, act) = minBr.partition { case (_, (lo, hi)) => lo >= hi }
+      tOf ++= fin.map { case (k, (lo, _)) => k -> lo }
+      if (act.isEmpty) minBr = Map.empty
+      else {
+        val ladders = act.toSeq.map { case (k, (lo, hi)) =>
+          k -> minProbes(lo, hi) }
+        val perS = ladders.groupBy(_._1._1).map { case (s, ls) =>
+          s -> ls.flatMap(_._2).distinct.sorted }
+        val sums = sumsAt(perS.toSeq, (m, sc) => sc > m)
+        val vOf = perS.map { case (s, ps) =>
+          s -> ps.zip(sums(s).take(ps.size)).toMap }
+        minBr = ladders.map { case (k @ (s, b), ps) =>
+          val (lo, hi) = act(k)
+          k -> minUpdate(lo, hi, ps, ps.map(p => vOf(s)(p) <= b))
+        }.toMap
+      }
+    }
+    // base mass per DISTINCT (stratum, threshold) — budgets in one
+    // stratum often share a class; one job
+    val tsPerS = tOf.toSeq.groupBy(_._1._1).map { case (s, kv) =>
+      s -> kv.map(_._2).distinct.sorted }.toSeq
+    val baseSums = sumsAt(tsPerS, (m, sc) => sc > m)
+    val baseOf: Map[(Any, Long), Long] = tsPerS.flatMap {
+      case (s, ts) => ts.zip(baseSums(s).take(ts.size))
+        .map { case (t, v) => (s, t) -> v } }.toMap
+    // boundary phase: bracket per (stratum, budget), probe pairs
+    // (threshold class, id) deduped per stratum and batched per round
+    var maxBr: Map[(Any, Long), (Long, Long)] =
+      (for (d <- doms; b <- budgets)
+        yield (d._1, b) -> (d._4 - 1, d._5)).toMap
+    val iOf = scala.collection.mutable.Map.empty[(Any, Long), Long]
+    while (maxBr.nonEmpty) {
+      val (fin, act) = maxBr.partition { case (_, (lo, hi)) => lo >= hi }
+      iOf ++= fin.map { case (k, (lo, _)) => k -> lo }
+      if (act.isEmpty) maxBr = Map.empty
+      else {
+        val ladders = act.toSeq.map { case (k, (lo, hi)) =>
+          k -> maxProbes(lo, hi) }
+        val perS = ladders.groupBy(_._1._1).map { case (s, ls) =>
+          s -> ls.flatMap { case ((_, b), ps) =>
+            ps.map(p => (tOf((s, b)), p)) }.distinct.sorted }
+        val sums = pairSumsAt(perS.toSeq)
+        val vOf = perS.map { case (s, ps) =>
+          s -> ps.zip(sums(s).take(ps.size)).toMap }
+        maxBr = ladders.map { case (k @ (s, b), ps) =>
+          val (lo, hi) = act(k)
+          val t = tOf(k)
+          k -> maxUpdate(lo, hi, ps,
+            ps.map(p => baseOf((s, t)) + vOf(s)((t, p)) <= b))
+        }.toMap
+      }
+    }
+    // final cards: the (t, id*) envelope PIVOTED to 2K columns per
+    // stratum (a 1:1 broadcast join — never K× the rows), one
+    // labelled aggregate, |strata| rows to the driver
+    val K = budgets.size
+    val envSchema = StructType(StructField("_s", sType) +:
+      (0 until K).flatMap(k => Seq(StructField(s"_t$k", LongType),
+        StructField(s"_i$k", LongType))))
+    val env = spark.createDataFrame(doms.toSeq.map { d =>
+      Row.fromSeq(d._1 +: budgets.flatMap(b =>
+        Seq(tOf((d._1, b)), iOf((d._1, b)))))
+    }.asJava, envSchema)
+    val selAggs = Seq(count(lit(1)).as("_nd"),
+      sum("_toks").as("_tt")) ++
+      (0 until K).flatMap { k =>
+        val selK = col("_score") > col(s"_t$k") ||
+          (col("_score") === col(s"_t$k") && col("_id") <= col(s"_i$k"))
+        Seq(coalesce(sum(when(selK, 1L).otherwise(0L)), lit(0L))
+            .as(s"_n$k"),
+          coalesce(sum(when(selK, col("_toks")).otherwise(0L)),
+            lit(0L)).as(s"_k$k"))
+      }
+    val perSRows = e.join(broadcast(env), "_s").groupBy("_s")
+      .agg(selAggs.head, selAggs.tail: _*).collect()
+    val out = perSRows.toSeq
+      .sortBy(r => String.valueOf(r.get(0))).flatMap { r =>
+        val s = r.get(0)
+        val (nd, tt) = (r.getLong(1), r.getLong(2))
+        budgets.sorted.map { b =>
+          val k = budgets.indexOf(b)
+          val tokSel = r.getLong(4 + 2 * k)
+          Row.fromSeq(Seq(s, b, tOf((s, b)), iOf((s, b)),
+            r.getLong(3 + 2 * k), tokSel, nd, tt,
+            (BigInt(tokSel) * 1000000 / BigInt(b)).toLong))
+        }
+      }
+    spark.createDataFrame(out.asJava, outSchema)
+  }
+
   /** The two bisections over the shared (id, score, toks) projection;
     * returns (null, _, _) on an empty corpus (no boundary exists —
     * the temporalSplit empty-card convention). */

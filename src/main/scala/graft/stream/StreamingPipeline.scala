@@ -1002,6 +1002,15 @@ object StreamingPipeline {
       spark.read.parquet(outPath).drop("batch"), stratumCap,
       globalBudget, budgets)
 
+  /** Per-stratum fill curves served from the SAME stratified sink —
+    * the budget LADDER is a serve-time knob too (ext176): one stored
+    * projection prices any candidate allocation plan. */
+  def budgetFillCurveByStratumFromState(spark: SparkSession,
+      outPath: String, stratum: String,
+      budgets: Seq[Long]): DataFrame =
+    graft.ops.Sampling.budgetFillCurveByStratumFromCounts(
+      spark.read.parquet(outPath).drop("batch"), stratum, budgets)
+
   /** Keep-latest two-level serve — the versioned fold under the
     * two-level cut, for sinks that legitimately re-ingest docs. */
   def twoLevelBudgetCardFromStateKeepLatest(spark: SparkSession,

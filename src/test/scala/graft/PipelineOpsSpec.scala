@@ -1076,6 +1076,94 @@ class PipelineOpsSpec extends TestBase {
     graft.ops.Reuse.freeAll(spark)
   }
 
+  test("stratified fill curves: every (stratum, budget) row == the " +
+      "single-stratum single-budget card (hand + real corpus), the " +
+      "shared-budget rung == the ext173 cards, FromCounts == direct, " +
+      "contracts (ext176)") {
+    import spark.implicits._
+    import graft.ops.Sampling
+    def words(n: Int) = Seq.fill(n)("w").mkString(" ")
+    val docs = Seq(
+      (1L, words(5), 90L, "a"), (2L, words(5), 90L, "a"),
+      (3L, words(4), 80L, "a"), (4L, words(4), 80L, "a"),
+      (5L, words(4), 80L, "a"), (6L, words(10), 70L, "a"),
+      (7L, words(3), 50L, "b"), (8L, words(2), 40L, "b"),
+      (9L, words(20), 10L, "c"))
+      .toDF("doc_id", "text", "q", "lang")
+    val rungs = Seq(3L, 16L, 100L)
+    val curve = Sampling.budgetFillCurveByStratum(docs, "lang",
+        col("q"), rungs)
+      .as[(String, Long, Long, Long, Long, Long, Long, Long, Long)]
+      .collect().toSeq
+    // 3 strata × 3 budgets, ordered (stratum, budget)
+    assert(curve.map(r => (r._1, r._2)) ==
+      (for (s <- Seq("a", "b", "c"); b <- rungs) yield (s, b)),
+      s"curve rows not (stratum, budget)-ordered: ${curve.map(r => (r._1, r._2))}")
+    graft.ops.Reuse.freeAll(spark)
+    // the strong law: every row == budgetSelectCard on that stratum
+    // alone at that budget (covers tight/partial/whole-fit per
+    // stratum)
+    curve.foreach { r =>
+      val solo = Sampling.budgetSelectCard(
+          docs.filter(col("lang") === r._1), col("q"), r._2)
+        .as[(Long, Long, Long, Long, Long, Long, Long, Long)]
+        .collect().head
+      graft.ops.Reuse.freeAll(spark)
+      assert((r._3, r._4, r._5, r._6, r._7, r._8, r._2, r._9) == solo,
+        s"curve row (${r._1}, ${r._2}) != single card: $r vs $solo")
+    }
+    // the stored-fold serve == direct over the same partials (the
+    // one-sink-every-card claim extends to the curves)
+    val parts = Sampling.budgetSelectStratumPartials(
+      docs, col("lang"), col("q"))
+    val stored = Sampling.budgetFillCurveByStratumFromCounts(
+      parts, "lang", rungs)
+    val direct = Sampling.budgetFillCurveByStratum(docs, "lang",
+      col("q"), rungs)
+    assert(stored.except(direct).isEmpty &&
+      direct.except(stored).isEmpty,
+      s"stored-fold curve != direct (${stored.collect().toSeq} vs " +
+        s"${direct.collect().toSeq})")
+    graft.ops.Reuse.freeAll(spark)
+    // contracts: distinct budgets, empty corpus => empty frame
+    intercept[IllegalArgumentException] {
+      Sampling.budgetFillCurveByStratum(docs, "lang", col("q"),
+        Seq(16L, 16L))
+    }
+    assert(Sampling.budgetFillCurveByStratum(docs.filter(lit(false)),
+      "lang", col("q"), Seq(16L)).count() == 0L)
+    graft.ops.Reuse.freeAll(spark)
+    // real corpus: the shared-budget rung must equal ext173's cards
+    // exactly (cross-operator consistency), and fill mass is monotone
+    // in budget within every stratum
+    val real = graft.ingest.Tables.documents(spark, sf("sf0.001"))
+    def scored(d: org.apache.spark.sql.DataFrame) =
+      graft.ops.TextOps.quality(d).withColumn("score_ppm", expr(
+        "least(n_words * 10000, 1000000) DIV 2" +
+          " + (n_stop * 1000000 DIV n_words) DIV 2"))
+    val rc = Sampling.budgetFillCurveByStratum(scored(real), "lang",
+        col("score_ppm"), Seq(800L, 3000L, 99999L))
+      .as[(String, Long, Long, Long, Long, Long, Long, Long, Long)]
+      .collect().toSeq
+    graft.ops.Reuse.freeAll(spark)
+    rc.groupBy(_._1).foreach { case (s, rows) =>
+      val byB = rows.sortBy(_._2)
+      assert(byB.map(_._6) == byB.map(_._6).sorted,
+        s"tokens_selected not monotone in budget for $s: $byB")
+      assert(byB.last._6 == byB.last._8,
+        s"oversized rung did not admit all of $s: ${byB.last}")
+    }
+    val rungAligned = rc.filter(_._2 == 3000L)
+      .map(r => (r._1, r._3, r._4, r._5, r._6, r._7, r._8, r._2, r._9))
+    val cards = Sampling.budgetSelectCardsByStratum(scored(real),
+        "lang", col("score_ppm"), 3000L)
+      .as[(String, Long, Long, Long, Long, Long, Long, Long, Long)]
+      .collect().toSeq
+    graft.ops.Reuse.freeAll(spark)
+    assert(rungAligned.sortBy(_._1) == cards.sortBy(_._1),
+      s"3000-token curve rung != ext173 cards: $rungAligned vs $cards")
+  }
+
   test("signal correlations: exact ±1 on constructed columns, 0 under " +
       "the zero-variance guard (ext115)") {
     import spark.implicits._

@@ -1944,6 +1944,17 @@ class StreamingSpec extends TestBase {
       s"stored-fold two-level card drifted from batch " +
         s"(${twoS.collect().toSeq} vs ${twoB.collect().toSeq})")
     graft.ops.Reuse.freeAll(spark)
+    // ... and the per-stratum fill CURVES (ext176): the budget ladder
+    // is a serve-time knob over the same stored projection
+    val curveS = StreamingPipeline.budgetFillCurveByStratumFromState(
+      spark, state, "lang", Seq(800L, 3000L))
+    val curveB = graft.ops.Sampling.budgetFillCurveByStratum(
+      scored(docs), "lang", col("score_ppm"), Seq(800L, 3000L))
+    assert(curveS.except(curveB).isEmpty &&
+      curveB.except(curveS).isEmpty,
+      s"stored-fold fill curves drifted from batch " +
+        s"(${curveS.collect().toSeq} vs ${curveB.collect().toSeq})")
+    graft.ops.Reuse.freeAll(spark)
     // a doc RE-INGESTED UNDER A NEW STRATUM in a later micro-batch
     // (a langid re-run reclassification) passes a (_s, _id) check
     // but would double-count across strata (r16 verdict item 1):
