@@ -2359,6 +2359,24 @@ object ExtEntry {
         "lang", col("score_ppm"), StratumFillBudgets)
         .orderBy("lang", "budget_tokens")),
 
+    // Two-level cap sweep (r17): ext175's card at K cap values
+    // against ONE global budget — the curve the CAP POLICY is chosen
+    // FROM (how tight can per-source caps be before the global
+    // budget under-fills; how loose before one source floods the
+    // survivor pool). Stage 1 = the ext176 batched (stratum × cap)
+    // searches; each cap's survivors are a predicate off ONE pivoted
+    // 1:1 envelope join; stage-2 domains, rounds and selection sums
+    // each batch all K caps as columns in one job. The 2500 rung
+    // must equal ext175's card — cross-query consistency the oracle
+    // enforces.
+    "ext177_cap_sweep" -> ((s, dir) =>
+      Sampling.twoLevelCapSweep(
+        TextOps.quality(docs(s, dir)).withColumn("score_ppm", expr(
+          "least(n_words * 10000, 1000000) DIV 2" +
+            " + (n_stop * 1000000 DIV n_words) DIV 2")),
+        "lang", col("score_ppm"), StratumFillBudgets,
+        TwoLevelGlobalTokens)),
+
     // Burstiness (Fano factor) per entity over the daily count matrix:
     // dispersion texture next to ext152's direction and ext158's
     // outliers — exact decimal integer, span-normalized (silent days
@@ -6511,6 +6529,145 @@ object ExtEntry {
          |FROM sel JOIN tot USING (lang)
          |GROUP BY sel.lang, sel.b, sel.t, sel.i, tot.n_docs, tot.total
          |ORDER BY sel.lang, budget_tokens""".stripMargin
+    },
+
+    // Two-level cap sweep: ext175's two-stage replay crossed with the
+    // caps VALUES ladder — per-cap stage-1 per-lang threshold/
+    // boundary, survivor set, stage-2 global threshold/boundary over
+    // each cap's survivors, one card row per cap (empty-survivor
+    // rungs LEFT-JOIN to null threshold/boundary with telemetry
+    // intact). Validated equal to an independent two-stage prefix
+    // replay — masses AND exact survivor sets — before wiring; the
+    // shared rung equals ext175's card.
+    "ext177_cap_sweep" -> {
+      val capsLadder = StratumFillBudgets.map(c => s"($c)").mkString(", ")
+      val g = TwoLevelGlobalTokens
+      s"""WITH cs AS (SELECT CAST(c AS BIGINT) AS c
+         |          FROM (VALUES $capsLadder) v(c)),
+         |d AS (SELECT lang, doc_id,
+         |    CAST(len(string_split(text,' ')) AS BIGINT) AS n_toks,
+         |    CAST(len(list_filter(string_split(text,' '),
+         |      t -> t IN ($stopList))) AS BIGINT) AS n_stop
+         |  FROM documents),
+         |s AS (SELECT lang, doc_id, n_toks,
+         |    CAST(least(n_toks*10000, 1000000)//2
+         |      + (n_stop*1000000//n_toks)//2 AS BIGINT) AS score
+         |  FROM d),
+         |tot1 AS (SELECT lang, CAST(sum(n_toks) AS BIGINT) AS total,
+         |                min(score) AS smin, max(doc_id) AS imax
+         |         FROM s GROUP BY lang),
+         |cls1 AS (SELECT lang, score,
+         |           CAST(sum(n_toks) AS BIGINT) AS ct
+         |         FROM s GROUP BY lang, score),
+         |ca1 AS (SELECT lang, score, CAST(COALESCE(sum(ct) OVER (
+         |          PARTITION BY lang ORDER BY score DESC
+         |          ROWS BETWEEN UNBOUNDED PRECEDING
+         |          AND 1 PRECEDING), 0) AS BIGINT) AS above FROM cls1),
+         |thr1 AS (SELECT tot1.lang, cs.c, CASE
+         |           WHEN tot1.total <= cs.c THEN tot1.smin - 1
+         |           ELSE (SELECT min(score) FROM ca1
+         |                 WHERE ca1.lang = tot1.lang AND above <= cs.c)
+         |           END AS t
+         |         FROM tot1, cs),
+         |base1 AS (SELECT thr1.lang, thr1.c,
+         |            CAST(COALESCE(sum(s.n_toks), 0) AS BIGINT) AS m
+         |          FROM thr1 LEFT JOIN s
+         |            ON s.lang = thr1.lang AND s.score > thr1.t
+         |          GROUP BY thr1.lang, thr1.c),
+         |ccum1 AS (SELECT thr1.c, s.lang, s.doc_id,
+         |            CAST(sum(s.n_toks) OVER (PARTITION BY thr1.c,
+         |              s.lang ORDER BY s.doc_id
+         |              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cumt
+         |          FROM s JOIN thr1
+         |            ON s.lang = thr1.lang AND s.score = thr1.t),
+         |ctot1 AS (SELECT thr1.lang, thr1.c,
+         |            CAST(COALESCE(sum(s.n_toks), 0) AS BIGINT) AS ct
+         |          FROM thr1 LEFT JOIN s
+         |            ON s.lang = thr1.lang AND s.score = thr1.t
+         |          GROUP BY thr1.lang, thr1.c),
+         |bid1 AS (SELECT thr1.lang, thr1.c, CASE
+         |           WHEN base1.m + ctot1.ct <= thr1.c THEN tot1.imax
+         |           ELSE (SELECT min(cc.doc_id) FROM ccum1 cc
+         |                 WHERE cc.lang = thr1.lang AND cc.c = thr1.c
+         |                   AND base1.m + cc.cumt > thr1.c) - 1
+         |           END AS i
+         |         FROM thr1 JOIN base1 USING (lang, c)
+         |           JOIN ctot1 USING (lang, c) JOIN tot1 USING (lang)),
+         |surv AS (SELECT thr1.c, s.doc_id, s.n_toks, s.score
+         |         FROM s JOIN thr1 USING (lang)
+         |           JOIN bid1 ON bid1.lang = s.lang AND bid1.c = thr1.c
+         |         WHERE s.score > thr1.t
+         |           OR (s.score = thr1.t AND s.doc_id <= bid1.i)),
+         |tot2 AS (SELECT c, CAST(sum(n_toks) AS BIGINT) AS total,
+         |                CAST(count(*) AS BIGINT) AS n_surv,
+         |                min(score) AS smin, max(doc_id) AS imax
+         |         FROM surv GROUP BY c),
+         |cls2 AS (SELECT c, score, CAST(sum(n_toks) AS BIGINT) AS ct
+         |         FROM surv GROUP BY c, score),
+         |ca2 AS (SELECT c, score, CAST(COALESCE(sum(ct) OVER (
+         |          PARTITION BY c ORDER BY score DESC
+         |          ROWS BETWEEN UNBOUNDED PRECEDING
+         |          AND 1 PRECEDING), 0) AS BIGINT) AS above FROM cls2),
+         |thr2 AS (SELECT tot2.c, CASE WHEN tot2.total <= $g
+         |           THEN tot2.smin - 1
+         |           ELSE (SELECT min(score) FROM ca2
+         |                 WHERE ca2.c = tot2.c AND above <= $g)
+         |           END AS t
+         |         FROM tot2),
+         |base2 AS (SELECT thr2.c,
+         |            CAST(COALESCE(sum(surv.n_toks), 0) AS BIGINT) AS m
+         |          FROM thr2 LEFT JOIN surv
+         |            ON surv.c = thr2.c AND surv.score > thr2.t
+         |          GROUP BY thr2.c),
+         |ccum2 AS (SELECT thr2.c, surv.doc_id,
+         |            CAST(sum(surv.n_toks) OVER (PARTITION BY thr2.c
+         |              ORDER BY surv.doc_id ROWS UNBOUNDED PRECEDING)
+         |              AS BIGINT) AS cumt
+         |          FROM surv JOIN thr2
+         |            ON surv.c = thr2.c AND surv.score = thr2.t),
+         |ctot2 AS (SELECT thr2.c,
+         |            CAST(COALESCE(sum(surv.n_toks), 0) AS BIGINT) AS ct
+         |          FROM thr2 LEFT JOIN surv
+         |            ON surv.c = thr2.c AND surv.score = thr2.t
+         |          GROUP BY thr2.c),
+         |bid2 AS (SELECT thr2.c, CASE
+         |           WHEN base2.m + ctot2.ct <= $g THEN tot2.imax
+         |           ELSE (SELECT min(cc.doc_id) FROM ccum2 cc
+         |                 WHERE cc.c = thr2.c
+         |                   AND base2.m + cc.cumt > $g) - 1
+         |           END AS i
+         |         FROM thr2 JOIN base2 USING (c) JOIN ctot2 USING (c)
+         |           JOIN tot2 USING (c)),
+         |selagg AS (SELECT surv.c,
+         |             CAST(COALESCE(sum(CASE WHEN surv.score > thr2.t
+         |               OR (surv.score = thr2.t
+         |                   AND surv.doc_id <= bid2.i)
+         |               THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_selected,
+         |             CAST(COALESCE(sum(CASE WHEN surv.score > thr2.t
+         |               OR (surv.score = thr2.t
+         |                   AND surv.doc_id <= bid2.i)
+         |               THEN surv.n_toks END), 0) AS BIGINT)
+         |               AS tokens_selected
+         |           FROM surv JOIN thr2 USING (c) JOIN bid2 USING (c)
+         |           GROUP BY surv.c),
+         |gtot AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         |                CAST(sum(n_toks) AS BIGINT) AS tokens_total
+         |         FROM s)
+         |SELECT cs.c AS cap_tokens, thr2.t AS threshold_score,
+         |  bid2.i AS boundary_id,
+         |  COALESCE(selagg.n_selected, 0) AS n_selected,
+         |  COALESCE(selagg.tokens_selected, 0) AS tokens_selected,
+         |  COALESCE(tot2.n_surv, 0) AS n_surv,
+         |  COALESCE(tot2.total, 0) AS tokens_surv,
+         |  gtot.n_docs, gtot.tokens_total,
+         |  CAST($g AS BIGINT) AS budget_tokens,
+         |  CAST(COALESCE(selagg.tokens_selected, 0) * 1000000 // $g
+         |    AS BIGINT) AS fill_ppm
+         |FROM cs LEFT JOIN tot2 ON tot2.c = cs.c
+         |  LEFT JOIN thr2 ON thr2.c = cs.c
+         |  LEFT JOIN bid2 ON bid2.c = cs.c
+         |  LEFT JOIN selagg ON selagg.c = cs.c, gtot
+         |ORDER BY cap_tokens""".stripMargin
     },
 
     // Two-level budget: stage 1 = ext173's per-lang replay at the

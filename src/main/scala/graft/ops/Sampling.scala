@@ -1305,30 +1305,40 @@ object Sampling {
     fillCurveByStratumOf(e, stratum, e.schema("_s").dataType, budgets)
   }
 
-  /** The batched (stratum × budget) searches over a prepared
-    * (_s, _id, _score, _toks) projection — shared by the direct and
-    * stored-fold paths. */
-  private def fillCurveByStratumOf(e: DataFrame, stratum: String,
-      sType: org.apache.spark.sql.types.DataType,
-      budgets: Seq[Long]): DataFrame = {
+  /** Result of the batched per-(stratum, budget) bisections: the
+    * observed per-stratum domains plus threshold/boundary maps keyed
+    * (stratum value, budget). */
+  private case class StratumBudgetEnvelopes(
+      doms: Seq[(Any, Long, Long, Long, Long)],
+      tOf: Map[(Any, Long), Long], iOf: Map[(Any, Long), Long])
+
+  /** The batched (stratum × budget) threshold/boundary searches over
+    * a prepared (_s, _id, _score, _toks) projection — the engine
+    * under BOTH the per-stratum fill curves (budgets ladder, ext176)
+    * and the two-level cap sweep's stage 1 (caps ladder, ext177).
+    * One bracket per (stratum, budget); every round evaluates the
+    * per-stratum UNION of its active budgets' k-ary probe ladders in
+    * ONE aggregate job (probes as broadcast columns, variable width,
+    * no row fan-out — threshold sums are budget-independent);
+    * boundary rounds batch (stratum, threshold-class, probe)
+    * condition PAIRS as column pairs. None on an empty corpus. */
+  private def stratumBudgetEnvelopes(e: DataFrame,
+      sType: org.apache.spark.sql.types.DataType, budgets: Seq[Long],
+      who: String): Option[StratumBudgetEnvelopes] = {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types.{LongType, StructField, StructType}
     import scala.jdk.CollectionConverters._
     require(budgets.nonEmpty && budgets.forall(_ > 0),
-      "budgets must be non-empty and positive")
+      s"$who: budgets must be non-empty and positive")
     require(budgets.distinct.size == budgets.size,
-      "budgets must be distinct (each is one output row per stratum)")
+      s"$who: budgets must be distinct (each is one output row per " +
+        "stratum)")
     val spark = e.sparkSession
-    val outSchema = StructType(StructField(stratum, sType) +:
-      (Seq("budget_tokens") ++ CardCols.filterNot(_ == "budget_tokens"))
-        .map(StructField(_, LongType)))
     val init = e.groupBy("_s").agg(min("_score"), max("_score"),
       min("_id"), max("_id")).collect()
-    if (init.isEmpty)
-      return spark.createDataFrame(
-        new java.util.ArrayList[Row](), outSchema)
-    val doms = init.map { r =>
-      require(!r.isNullAt(0), "budgetFillCurveByStratum: null " +
+    if (init.isEmpty) return None
+    val doms = init.toSeq.map { r =>
+      require(!r.isNullAt(0), s"$who: null " +
         "stratum value — a null key would silently drop out of the " +
         "probe join; filter or bucket nulls explicitly")
       val (sLo, iLo) = (r.getLong(1), r.getLong(3))
@@ -1436,6 +1446,27 @@ object Sampling {
         }.toMap
       }
     }
+    Some(StratumBudgetEnvelopes(doms, tOf.toMap, iOf.toMap))
+  }
+
+  /** The per-stratum fill-curve cards over a prepared projection —
+    * shared by the direct and stored-fold paths. */
+  private def fillCurveByStratumOf(e: DataFrame, stratum: String,
+      sType: org.apache.spark.sql.types.DataType,
+      budgets: Seq[Long]): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    import scala.jdk.CollectionConverters._
+    val spark = e.sparkSession
+    val outSchema = StructType(StructField(stratum, sType) +:
+      (Seq("budget_tokens") ++ CardCols.filterNot(_ == "budget_tokens"))
+        .map(StructField(_, LongType)))
+    val env0 = stratumBudgetEnvelopes(e, sType, budgets,
+      "budgetFillCurveByStratum")
+    if (env0.isEmpty)
+      return spark.createDataFrame(
+        new java.util.ArrayList[Row](), outSchema)
+    val StratumBudgetEnvelopes(doms, tOf, iOf) = env0.get
     // final cards: the (t, id*) envelope PIVOTED to 2K columns per
     // stratum (a 1:1 broadcast join — never K× the rows), one
     // labelled aggregate, |strata| rows to the driver
@@ -1471,6 +1502,212 @@ object Sampling {
             (BigInt(tokSel) * 1000000 / BigInt(b)).toLong))
         }
       }
+    spark.createDataFrame(out.asJava, outSchema)
+  }
+
+  /**
+   * Two-level cap sweep (ext177) — [[twoLevelBudgetCard]] at K cap
+   * values against ONE global budget: the curve the CAP POLICY is
+   * chosen FROM ("how tight can per-source caps be before the global
+   * budget under-fills, and how loose before one source floods the
+   * survivor pool"). One ext175 card row per cap rung, so the cost
+   * of each candidate policy is a number before any data moves.
+   *
+   * Scale shape: stage 1 is [[stratumBudgetEnvelopes]] with the CAPS
+   * as the budget ladder (|strata| × K searches for one cut's job
+   * count); each cap's survivor set is a scan predicate off ONE
+   * pivoted 1:1 envelope join (2K columns per stratum — never K× the
+   * rows); stage-2 domains, survivor masses, every bisection round
+   * and the final selection sums are each ONE aggregate batching all
+   * K caps as columns. Zero data shuffles in every search; the
+   * global-uniqueness guard rides the corpus-totals aggregate
+   * (cap-independent, the ext175 contract). Caps so tight a rung's
+   * survivors are empty produce that rung's row with null
+   * threshold/boundary and the cap-stage telemetry intact (the
+   * ext175 empty-survivor shape); only an empty corpus returns an
+   * empty frame.
+   */
+  def twoLevelCapSweep(doc: DataFrame, stratum: String, score: Column,
+      caps: Seq[Long], globalBudget: Long, id: String = "doc_id",
+      text: String = "text"): DataFrame = {
+    Guards.requireIntegral(doc, score, "twoLevelCapSweep", "score")
+    val e = Reuse.shared(budgetSelectStratumPartials(doc, col(stratum),
+      score, id, text))
+    capSweepOf(e, doc.select(col(stratum)).schema.head.dataType,
+      caps, globalBudget)
+  }
+
+  /** [[twoLevelCapSweep]] from the SAME stored stratified partials as
+    * the rest of the family (guarded fold) — the caps ladder and the
+    * global budget are serve-time knobs. */
+  def twoLevelCapSweepFromCounts(counts: DataFrame, caps: Seq[Long],
+      globalBudget: Long): DataFrame = {
+    val e = foldStratified(counts, "twoLevelCapSweepFromCounts")
+    capSweepOf(e, e.schema("_s").dataType, caps, globalBudget)
+  }
+
+  private def capSweepOf(e: DataFrame,
+      sType: org.apache.spark.sql.types.DataType, caps: Seq[Long],
+      globalBudget: Long): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    import scala.jdk.CollectionConverters._
+    require(globalBudget > 0, "global budget must be positive")
+    val spark = e.sparkSession
+    val outCols = Seq("cap_tokens", "threshold_score", "boundary_id",
+      "n_selected", "tokens_selected", "n_surv", "tokens_surv",
+      "n_docs", "tokens_total", "budget_tokens", "fill_ppm")
+    val outSchema = StructType(outCols.map(StructField(_, LongType)))
+    val env0 = stratumBudgetEnvelopes(e, sType, caps,
+      "twoLevelCapSweep")
+    if (env0.isEmpty)
+      return spark.createDataFrame(
+        new java.util.ArrayList[Row](), outSchema)
+    val StratumBudgetEnvelopes(doms, tOf, iOf) = env0.get
+    val K = caps.size
+    // corpus totals + the cap-INDEPENDENT global-uniqueness guard in
+    // one aggregate (the ext175 contract: a duplicate id raises at
+    // any cap setting, so the sweep cannot pass at one rung and
+    // throw at another)
+    val totRow = e.agg(count(lit(1)).as("_n"),
+      coalesce(sum("_toks"), lit(0L)).as("_t"),
+      countDistinct(col("_id")).as("_nid")).first()
+    if (totRow.getLong(0) != totRow.getLong(2))
+      throw new IllegalArgumentException(
+        s"twoLevelCapSweep: ${totRow.getLong(0) - totRow.getLong(2)}" +
+          " rows share an id (per-source numbering across strata, or" +
+          " a duplicated doc within one) — the global stage needs" +
+          " GLOBALLY unique ids; re-key ids or apply a keep-latest" +
+          " rule (the FromVersioned path)")
+    // ONE pivoted envelope join (1:1 on stratum) carries every cap's
+    // (t, id*) as columns; each cap's survivor set is the predicate
+    val envSchema = StructType(StructField("_s", sType) +:
+      (0 until K).flatMap(k => Seq(StructField(s"_ct$k", LongType),
+        StructField(s"_ci$k", LongType))))
+    val env = spark.createDataFrame(doms.map { d =>
+      Row.fromSeq(d._1 +: caps.flatMap(c =>
+        Seq(tOf((d._1, c)), iOf((d._1, c)))))
+    }.asJava, envSchema)
+    val ej = Reuse.shared(e.join(broadcast(env), "_s")
+      .select(col("_id") +: col("_score") +: col("_toks") +:
+        (0 until K).flatMap(k =>
+          Seq(col(s"_ct$k"), col(s"_ci$k"))): _*))
+    def surv(k: Int): Column =
+      col("_score") > col(s"_ct$k") ||
+        (col("_score") === col(s"_ct$k") && col("_id") <= col(s"_ci$k"))
+    // stage-2 domains + survivor masses for ALL caps in one job
+    val domAggs = (0 until K).flatMap { k =>
+      Seq(min(when(surv(k), col("_score"))).as(s"_slo$k"),
+        max(when(surv(k), col("_score"))).as(s"_shi$k"),
+        min(when(surv(k), col("_id"))).as(s"_ilo$k"),
+        max(when(surv(k), col("_id"))).as(s"_ihi$k"),
+        coalesce(sum(when(surv(k), 1L).otherwise(0L)), lit(0L))
+          .as(s"_ns$k"),
+        coalesce(sum(when(surv(k), col("_toks")).otherwise(0L)),
+          lit(0L)).as(s"_ts$k"))
+    }
+    val domRow = ej.agg(domAggs.head, domAggs.tail: _*).first()
+    val nSurv = (0 until K).map(k => domRow.getLong(6 * k + 4))
+    val tokSurv = (0 until K).map(k => domRow.getLong(6 * k + 5))
+    val active = (0 until K).filter(nSurv(_) > 0L)
+    // batched stage-2 sums: one aggregate per call, one conditional
+    // column per (cap, probe)
+    def sums2(conds: Seq[Column]): Seq[Long] = {
+      val aggs = conds.zipWithIndex.map { case (c, i) =>
+        coalesce(sum(when(c, col("_toks")).otherwise(0L)), lit(0L))
+          .as(s"_c$i")
+      }
+      val row = ej.agg(aggs.head, aggs.tail: _*).first()
+      conds.indices.map(row.getLong)
+    }
+    // stage-2 threshold phase: bracket per active cap, all caps'
+    // probes in one job per round
+    active.foreach { k =>
+      require(domRow.getLong(6 * k) > Long.MinValue &&
+        domRow.getLong(6 * k + 2) > Long.MinValue,
+        "budgetSelect needs score and id domains above Long.MinValue")
+    }
+    var minBr: Map[Int, (Long, Long)] = active.map(k =>
+      k -> (domRow.getLong(6 * k) - 1, domRow.getLong(6 * k + 1)))
+      .toMap
+    val t2 = scala.collection.mutable.Map.empty[Int, Long]
+    while (minBr.nonEmpty) {
+      val (fin, act) = minBr.partition { case (_, (lo, hi)) => lo >= hi }
+      t2 ++= fin.map { case (k, (lo, _)) => k -> lo }
+      if (act.isEmpty) minBr = Map.empty
+      else {
+        val ladders = act.toSeq.map { case (k, (lo, hi)) =>
+          k -> minProbes(lo, hi) }
+        val flat = ladders.flatMap { case (k, ps) =>
+          ps.map(p => (k, p)) }
+        val vs = sums2(flat.map { case (k, p) =>
+          surv(k) && col("_score") > p })
+        val vOf = flat.zip(vs).toMap
+        minBr = ladders.map { case (k, ps) =>
+          val (lo, hi) = act(k)
+          k -> minUpdate(lo, hi, ps,
+            ps.map(p => vOf((k, p)) <= globalBudget))
+        }.toMap
+      }
+    }
+    // base mass above each active cap's stage-2 threshold (one job)
+    val baseVs =
+      if (active.isEmpty) Seq.empty[Long]
+      else sums2(active.map(k => surv(k) && col("_score") > t2(k)))
+    val baseOf = active.zip(baseVs).toMap
+    // stage-2 boundary phase
+    var maxBr: Map[Int, (Long, Long)] = active.map(k =>
+      k -> (domRow.getLong(6 * k + 2) - 1, domRow.getLong(6 * k + 3)))
+      .toMap
+    val i2 = scala.collection.mutable.Map.empty[Int, Long]
+    while (maxBr.nonEmpty) {
+      val (fin, act) = maxBr.partition { case (_, (lo, hi)) => lo >= hi }
+      i2 ++= fin.map { case (k, (lo, _)) => k -> lo }
+      if (act.isEmpty) maxBr = Map.empty
+      else {
+        val ladders = act.toSeq.map { case (k, (lo, hi)) =>
+          k -> maxProbes(lo, hi) }
+        val flat = ladders.flatMap { case (k, ps) =>
+          ps.map(p => (k, p)) }
+        val vs = sums2(flat.map { case (k, p) =>
+          surv(k) && col("_score") === t2(k) && col("_id") <= p })
+        val vOf = flat.zip(vs).toMap
+        maxBr = ladders.map { case (k, ps) =>
+          val (lo, hi) = act(k)
+          k -> maxUpdate(lo, hi, ps,
+            ps.map(p => baseOf(k) + vOf((k, p)) <= globalBudget))
+        }.toMap
+      }
+    }
+    // final selection sums for all active caps in one aggregate
+    val selVs =
+      if (active.isEmpty) Seq.empty[Long]
+      else {
+        val aggs = active.flatMap { k =>
+          val sel = surv(k) && (col("_score") > t2(k) ||
+            (col("_score") === t2(k) && col("_id") <= i2(k)))
+          Seq(coalesce(sum(when(sel, 1L).otherwise(0L)), lit(0L))
+              .as(s"_n$k"),
+            coalesce(sum(when(sel, col("_toks")).otherwise(0L)),
+              lit(0L)).as(s"_t$k"))
+        }
+        val row = ej.agg(aggs.head, aggs.tail: _*).first()
+        aggs.indices.map(row.getLong)
+      }
+    val selOf = active.zipWithIndex.map { case (k, j) =>
+      k -> (selVs(2 * j), selVs(2 * j + 1)) }.toMap
+    val out = caps.sorted.map { c =>
+      val k = caps.indexOf(c)
+      if (nSurv(k) == 0L)
+        Row(c, null, null, 0L, 0L, 0L, 0L, totRow.getLong(0),
+          totRow.getLong(1), globalBudget, 0L)
+      else {
+        val (nSel, tokSel) = selOf(k)
+        Row(c, t2(k), i2(k), nSel, tokSel, nSurv(k), tokSurv(k),
+          totRow.getLong(0), totRow.getLong(1), globalBudget,
+          (BigInt(tokSel) * 1000000 / BigInt(globalBudget)).toLong)
+      }
+    }
     spark.createDataFrame(out.asJava, outSchema)
   }
 

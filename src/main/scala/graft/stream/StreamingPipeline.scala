@@ -1011,6 +1011,15 @@ object StreamingPipeline {
     graft.ops.Sampling.budgetFillCurveByStratumFromCounts(
       spark.read.parquet(outPath).drop("batch"), stratum, budgets)
 
+  /** Two-level cap sweep served from the same stratified sink — the
+    * caps ladder AND the global budget are serve-time knobs (ext177):
+    * the cap policy is priced off the stored projection before any
+    * enforcement pass moves data. */
+  def twoLevelCapSweepFromState(spark: SparkSession, outPath: String,
+      caps: Seq[Long], globalBudget: Long): DataFrame =
+    graft.ops.Sampling.twoLevelCapSweepFromCounts(
+      spark.read.parquet(outPath).drop("batch"), caps, globalBudget)
+
   /** Keep-latest two-level serve — the versioned fold under the
     * two-level cut, for sinks that legitimately re-ingest docs. */
   def twoLevelBudgetCardFromStateKeepLatest(spark: SparkSession,

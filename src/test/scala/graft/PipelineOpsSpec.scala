@@ -1164,6 +1164,96 @@ class PipelineOpsSpec extends TestBase {
       s"3000-token curve rung != ext173 cards: $rungAligned vs $cards")
   }
 
+  test("two-level cap sweep: every cap rung == the two-level card at " +
+      "that cap (hand + real corpus, incl. the empty-survivor rung), " +
+      "FromCounts == direct, contracts (ext177)") {
+    import graft.ops.Sampling
+    import spark.implicits._
+    def words(n: Int) = Seq.fill(n)("w").mkString(" ")
+    val docs = Seq(
+      (1L, words(5), 90L, "a"), (2L, words(5), 90L, "a"),
+      (3L, words(4), 80L, "a"), (4L, words(4), 80L, "a"),
+      (5L, words(4), 80L, "a"), (6L, words(10), 70L, "a"),
+      (7L, words(3), 50L, "b"), (8L, words(2), 40L, "b"),
+      (9L, words(20), 10L, "c"))
+      .toDF("doc_id", "text", "q", "lang")
+    // a sweep row is the ext175 card with cap_tokens LEADING — align
+    // by reordering the card's columns
+    def cardAsSweep(r: org.apache.spark.sql.Row): Seq[Any] =
+      Seq(r.get(8), r.get(0), r.get(1), r.get(2), r.get(3), r.get(4),
+        r.get(5), r.get(6), r.get(7), r.get(9), r.get(10))
+    def sweepRow(r: org.apache.spark.sql.Row): Seq[Any] =
+      (0 until 11).map(r.get)
+    // caps spanning nothing-survives (1), partial (16), everything-
+    // survives (100) against a global budget that still cuts
+    val caps = Seq(1L, 16L, 100L)
+    val sweep = Sampling.twoLevelCapSweep(docs, "lang", col("q"),
+      caps, 12L).collect().toSeq.map(sweepRow)
+    graft.ops.Reuse.freeAll(spark)
+    val solo = caps.sorted.map { c =>
+      val r = Sampling.twoLevelBudgetCard(docs, "lang", col("q"),
+        c, 12L).collect().head
+      graft.ops.Reuse.freeAll(spark)
+      cardAsSweep(r)
+    }
+    assert(sweep == solo,
+      s"sweep rungs != per-cap two-level cards: $sweep vs $solo")
+    // the stored-fold serve == direct (one sink, every card)
+    val parts = Sampling.budgetSelectStratumPartials(
+      docs, col("lang"), col("q"))
+    val stored = Sampling.twoLevelCapSweepFromCounts(parts, caps, 12L)
+      .collect().toSeq.map(sweepRow)
+    graft.ops.Reuse.freeAll(spark)
+    assert(stored == sweep,
+      s"stored-fold sweep != direct: $stored vs $sweep")
+    // contracts: distinct caps, positive budget, empty corpus
+    intercept[IllegalArgumentException] {
+      Sampling.twoLevelCapSweep(docs, "lang", col("q"),
+        Seq(16L, 16L), 12L)
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.twoLevelCapSweep(docs, "lang", col("q"), Seq(16L), 0L)
+    }
+    assert(Sampling.twoLevelCapSweep(docs.filter(lit(false)), "lang",
+      col("q"), Seq(16L), 12L).count() == 0L)
+    // duplicate ids raise cap-independently (the ext175 contract
+    // shared through the same totals-aggregate guard)
+    val exDup = intercept[IllegalArgumentException] {
+      Sampling.twoLevelCapSweep(
+        docs.unionByName(Seq((1L, words(2), 5L, "c"))
+          .toDF("doc_id", "text", "q", "lang")),
+        "lang", col("q"), Seq(4L, 1000L), 12L)
+    }
+    assert(exDup.getMessage.contains("GLOBALLY unique"))
+    graft.ops.Reuse.freeAll(spark)
+    // real corpus: every rung == the two-level card at that cap
+    val real = graft.ingest.Tables.documents(spark, sf("sf0.001"))
+    def scored(d: org.apache.spark.sql.DataFrame) =
+      graft.ops.TextOps.quality(d).withColumn("score_ppm", expr(
+        "least(n_words * 10000, 1000000) DIV 2" +
+          " + (n_stop * 1000000 DIV n_words) DIV 2"))
+    val realCaps = Seq(800L, 1500L, 20000L)
+    val realSweep = Sampling.twoLevelCapSweep(scored(real), "lang",
+      col("score_ppm"), realCaps, 4000L).collect().toSeq.map(sweepRow)
+    graft.ops.Reuse.freeAll(spark)
+    val realSolo = realCaps.sorted.map { c =>
+      val r = Sampling.twoLevelBudgetCard(scored(real), "lang",
+        col("score_ppm"), c, 4000L).collect().head
+      graft.ops.Reuse.freeAll(spark)
+      cardAsSweep(r)
+    }
+    assert(realSweep == realSolo,
+      s"real-corpus sweep != per-cap cards: $realSweep vs $realSolo")
+    // the sweep is non-trivial: survivor mass strictly grows with the
+    // cap and at least one rung's global cut rejects survivors
+    val survs = realSweep.map(_(6).asInstanceOf[Long])
+    assert(survs == survs.sorted && survs.distinct.size > 1,
+      s"survivor masses not increasing across caps: $survs")
+    assert(realSweep.exists(r => r(4).asInstanceOf[Long] <
+      r(6).asInstanceOf[Long]),
+      s"no rung shows the global budget cutting survivors: $realSweep")
+  }
+
   test("signal correlations: exact ±1 on constructed columns, 0 under " +
       "the zero-variance guard (ext115)") {
     import spark.implicits._

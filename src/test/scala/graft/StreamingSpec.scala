@@ -1955,6 +1955,17 @@ class StreamingSpec extends TestBase {
       s"stored-fold fill curves drifted from batch " +
         s"(${curveS.collect().toSeq} vs ${curveB.collect().toSeq})")
     graft.ops.Reuse.freeAll(spark)
+    // ... and the cap SWEEP (ext177): the caps ladder and global
+    // budget are serve-time knobs over the same stored projection
+    val sweepS = StreamingPipeline.twoLevelCapSweepFromState(
+      spark, state, Seq(800L, 1500L), 4000L)
+    val sweepB = graft.ops.Sampling.twoLevelCapSweep(scored(docs),
+      "lang", col("score_ppm"), Seq(800L, 1500L), 4000L)
+    assert(sweepS.except(sweepB).isEmpty &&
+      sweepB.except(sweepS).isEmpty,
+      s"stored-fold cap sweep drifted from batch " +
+        s"(${sweepS.collect().toSeq} vs ${sweepB.collect().toSeq})")
+    graft.ops.Reuse.freeAll(spark)
     // a doc RE-INGESTED UNDER A NEW STRATUM in a later micro-batch
     // (a langid re-run reclassification) passes a (_s, _id) check
     // but would double-count across strata (r16 verdict item 1):
