@@ -2377,6 +2377,29 @@ object ExtEntry {
         "lang", col("score_ppm"), StratumFillBudgets,
         TwoLevelGlobalTokens)),
 
+    // Corpus snapshot diff (r17): the lineage audit between two
+    // crawl/curation versions — per stratum: added / removed /
+    // changed / moved (the langid-re-run reclassification, counted
+    // out of the old stratum and into the new) / unchanged doc
+    // counts plus both sides' token masses. ONE data shuffle (the
+    // full-outer id join), ≤2 bounded contributions per doc, one
+    // map-side-combined aggregate. The "old" snapshot is derived
+    // deterministically from the table (drop %11 docs → added,
+    // re-stratify %17 → moved, append " legacy" to %7 texts →
+    // changed, shift %13 ids out of range → removed) so both
+    // engines diff identical snapshots.
+    "ext178_corpus_diff" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val oldSnap = d.filter(col("doc_id") % 11 =!= 0)
+        .withColumn("lang", when(col("doc_id") % 17 === 0, lit("xx"))
+          .otherwise(col("lang")))
+        .withColumn("text", when(col("doc_id") % 7 === 0,
+          concat(col("text"), lit(" legacy"))).otherwise(col("text")))
+        .unionByName(d.filter(col("doc_id") % 13 === 0)
+          .withColumn("doc_id", col("doc_id") + 1000000L))
+      Sampling.corpusDiff(oldSnap, d, "lang").orderBy("lang")
+    }),
+
     // Burstiness (Fano factor) per entity over the daily count matrix:
     // dispersion texture next to ext152's direction and ext158's
     // outliers — exact decimal integer, span-normalized (silent days
@@ -6669,6 +6692,60 @@ object ExtEntry {
          |  LEFT JOIN selagg ON selagg.c = cs.c, gtot
          |ORDER BY cap_tokens""".stripMargin
     },
+
+    // Corpus snapshot diff: both engines derive the identical "old"
+    // snapshot from the table, full-outer-join on id, classify
+    // (added / removed / moved-trumps-changed / changed / unchanged),
+    // attribute each doc to its NEW stratum and its OLD stratum
+    // (moved mass leaves one row and arrives in another), aggregate.
+    // Validated against an independent set-operation recount of
+    // every class before wiring.
+    "ext178_corpus_diff" ->
+      """WITH newd AS (SELECT doc_id, lang, text FROM documents),
+        |oldd AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 17 = 0 THEN 'xx' ELSE lang END AS lang,
+        |    CASE WHEN doc_id % 7 = 0 THEN text || ' legacy'
+        |      ELSE text END AS text
+        |  FROM documents WHERE doc_id % 11 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, lang, text FROM documents
+        |  WHERE doc_id % 13 = 0),
+        |j AS (SELECT n.doc_id AS nid, o.doc_id AS oid,
+        |        n.lang AS ns, o.lang AS os, n.text AS nt, o.text AS ot,
+        |        CAST(len(string_split(n.text,' ')) AS BIGINT) AS ntoks,
+        |        CAST(len(string_split(o.text,' ')) AS BIGINT) AS otoks
+        |      FROM newd n FULL OUTER JOIN oldd o
+        |        ON n.doc_id = o.doc_id),
+        |contrib AS (
+        |  SELECT ns AS s,
+        |    CASE WHEN oid IS NULL THEN 1 ELSE 0 END AS a, 0 AS r,
+        |    CASE WHEN oid IS NOT NULL AND ns IS NOT DISTINCT FROM os
+        |      AND nt IS DISTINCT FROM ot THEN 1 ELSE 0 END AS c,
+        |    CASE WHEN oid IS NOT NULL AND ns IS DISTINCT FROM os
+        |      THEN 1 ELSE 0 END AS mi,
+        |    0 AS mo,
+        |    CASE WHEN oid IS NOT NULL AND ns IS NOT DISTINCT FROM os
+        |      AND nt IS NOT DISTINCT FROM ot THEN 1 ELSE 0 END AS u,
+        |    ntoks AS tn, 0 AS tok_o
+        |  FROM j WHERE nid IS NOT NULL
+        |  UNION ALL
+        |  SELECT os, 0,
+        |    CASE WHEN nid IS NULL THEN 1 ELSE 0 END, 0, 0,
+        |    CASE WHEN nid IS NOT NULL AND ns IS DISTINCT FROM os
+        |      THEN 1 ELSE 0 END, 0, 0, otoks
+        |  FROM j WHERE oid IS NOT NULL)
+        |SELECT s AS lang,
+        |  CAST(sum(a) AS BIGINT) AS n_added,
+        |  CAST(sum(r) AS BIGINT) AS n_removed,
+        |  CAST(sum(c) AS BIGINT) AS n_changed,
+        |  CAST(sum(mi) AS BIGINT) AS n_moved_in,
+        |  CAST(sum(mo) AS BIGINT) AS n_moved_out,
+        |  CAST(sum(u) AS BIGINT) AS n_unchanged,
+        |  CAST(sum(tn) AS BIGINT) AS tokens_new,
+        |  CAST(sum(tok_o) AS BIGINT) AS tokens_old,
+        |  CAST(sum(tn) - sum(tok_o) AS BIGINT) AS token_delta
+        |FROM contrib GROUP BY s ORDER BY lang""".stripMargin,
 
     // Two-level budget: stage 1 = ext173's per-lang replay at the
     // cap; stage 2 = ext172's replay over the surviving rows; card

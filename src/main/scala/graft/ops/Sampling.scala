@@ -1711,6 +1711,93 @@ object Sampling {
     spark.createDataFrame(out.asJava, outSchema)
   }
 
+  /**
+   * Corpus snapshot diff (ext178) — the lineage audit a pipeline
+   * runs between two crawl/curation versions BEFORE retraining on
+   * the new one: per stratum, how many docs were added, removed,
+   * changed (same id + stratum, different text), moved (same id,
+   * different stratum — the langid-re-run class the serve guards
+   * refuse to arbitrate silently), unchanged, and the token masses
+   * on both sides (token_delta = tokens_new − tokens_old, attributed
+   * per SIDE so a moved doc's mass leaves its old stratum and
+   * arrives in its new one — no misattribution).
+   *
+   * Classification is per doc id: added (new only), removed (old
+   * only), moved (both, stratum differs — trumps changed: a moved
+   * doc's text diff is a property of the move), changed (both, same
+   * stratum, text differs), unchanged (rest). Each doc contributes
+   * to its NEW stratum's row (added/changed/moved_in/unchanged) and
+   * its OLD stratum's row (removed/moved_out) — ≤2 bounded
+   * contributions, never a fan-out.
+   *
+   * Scale shape: ONE data shuffle — the full-outer id join (under
+   * id-bucketed snapshot layouts, the ext26 discipline, it is a
+   * zero-exchange sort-merge) — then a map-side-combined aggregate
+   * keyed by |strata|. Duplicate ids WITHIN a snapshot would fan the
+   * join and double-count silently: rejected loudly per side (the
+   * serve-guard class).
+   */
+  def corpusDiff(oldDocs: DataFrame, newDocs: DataFrame,
+      stratum: String, id: String = "doc_id",
+      text: String = "text"): DataFrame = {
+    def proj(d: DataFrame, side: String): DataFrame = {
+      Guards.requireIntegral(d, col(id), "corpusDiff", s"$side id")
+      val p = Reuse.shared(d.select(
+        Guards.notNull(col(id).cast("long"), "corpusDiff",
+          s"$side id").as("_id"),
+        col(stratum).as("_s"), col(text).as("_t"),
+        coalesce(size(TextOps.tokens(col(text))).cast("long"),
+          lit(0L)).as("_toks")))
+      val chk = p.agg(count(lit(1)).as("_n"),
+        countDistinct(col("_id")).as("_nid")).first()
+      if (chk.getLong(0) != chk.getLong(1))
+        throw new IllegalArgumentException(
+          s"corpusDiff: ${chk.getLong(0) - chk.getLong(1)} duplicate " +
+            s"ids in the $side snapshot — the id join would fan out " +
+            "and double-count; one row per doc per snapshot")
+      p
+    }
+    val n = proj(newDocs, "new")
+    val o = proj(oldDocs, "old")
+    val j = n.as("n").join(o.as("o"),
+      col("n._id") === col("o._id"), "full_outer")
+    val bothPresent = col("n._id").isNotNull && col("o._id").isNotNull
+    val moved = bothPresent && !(col("n._s") <=> col("o._s"))
+    val sameStratum = bothPresent && (col("n._s") <=> col("o._s"))
+    val newContrib = struct(
+      col("n._id").isNotNull.as("_p"), col("n._s").as("_s"),
+      when(col("o._id").isNull, 1L).otherwise(0L).as("_a"),
+      lit(0L).as("_r"),
+      when(sameStratum && !(col("n._t") <=> col("o._t")), 1L)
+        .otherwise(0L).as("_c"),
+      when(moved, 1L).otherwise(0L).as("_mi"),
+      lit(0L).as("_mo"),
+      when(sameStratum && (col("n._t") <=> col("o._t")), 1L)
+        .otherwise(0L).as("_u"),
+      coalesce(col("n._toks"), lit(0L)).as("_tn"),
+      lit(0L).as("_to"))
+    val oldContrib = struct(
+      col("o._id").isNotNull.as("_p"), col("o._s").as("_s"),
+      lit(0L).as("_a"),
+      when(col("n._id").isNull, 1L).otherwise(0L).as("_r"),
+      lit(0L).as("_c"), lit(0L).as("_mi"),
+      when(moved, 1L).otherwise(0L).as("_mo"),
+      lit(0L).as("_u"), lit(0L).as("_tn"),
+      coalesce(col("o._toks"), lit(0L)).as("_to"))
+    j.select(explode(array(newContrib, oldContrib)).as("_x"))
+      .filter(col("_x._p"))
+      .groupBy(col("_x._s").as(stratum))
+      .agg(sum("_x._a").as("n_added"), sum("_x._r").as("n_removed"),
+        sum("_x._c").as("n_changed"),
+        sum("_x._mi").as("n_moved_in"),
+        sum("_x._mo").as("n_moved_out"),
+        sum("_x._u").as("n_unchanged"),
+        sum("_x._tn").as("tokens_new"),
+        sum("_x._to").as("tokens_old"))
+      .withColumn("token_delta",
+        col("tokens_new") - col("tokens_old"))
+  }
+
   /** The two bisections over the shared (id, score, toks) projection;
     * returns (null, _, _) on an empty corpus (no boundary exists —
     * the temporalSplit empty-card convention). */

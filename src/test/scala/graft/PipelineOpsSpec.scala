@@ -1254,6 +1254,63 @@ class PipelineOpsSpec extends TestBase {
       s"no rung shows the global budget cutting survivors: $realSweep")
   }
 
+  test("corpus diff: hand-computed add/remove/change/move/unchanged " +
+      "classes with side-attributed token masses, null texts fold to " +
+      "unchanged, duplicate ids rejected (ext178)") {
+    import spark.implicits._
+    import graft.ops.Sampling
+    val oldSnap = Seq(
+      (1L, "a b", "en"),          // unchanged
+      (2L, "c d e", "en"),        // changed (text differs in new)
+      (3L, "f", "en"),            // moved en -> de (same text)
+      (4L, "g h", "de"),          // removed
+      (6L, null.asInstanceOf[String], "en")) // null text both sides
+      .toDF("doc_id", "text", "lang")
+    val newSnap = Seq(
+      (1L, "a b", "en"),
+      (2L, "c d e x", "en"),
+      (3L, "f", "de"),
+      (5L, "i j k", "de"),        // added
+      (6L, null.asInstanceOf[String], "en"))
+      .toDF("doc_id", "text", "lang")
+    val got = Sampling.corpusDiff(oldSnap, newSnap, "lang")
+      .orderBy("lang")
+      .as[(String, Long, Long, Long, Long, Long, Long, Long, Long,
+        Long)].collect().toSeq
+    // en: changed=doc2, moved_out=doc3, unchanged=doc1+doc6(null==null,
+    // 0 tokens); tokens_new = 2+4+0, tokens_old = 2+3+1+0.
+    // de: added=doc5, removed=doc4, moved_in=doc3;
+    // tokens_new = 1+3, tokens_old = 2 — the moved doc's token LEFT
+    // en's ledger and ARRIVED in de's (side attribution, no
+    // misattribution)
+    assert(got == Seq(
+      ("de", 1L, 1L, 0L, 1L, 0L, 0L, 4L, 2L, 2L),
+      ("en", 0L, 0L, 1L, 0L, 1L, 2L, 6L, 6L, 0L)),
+      s"hand-computed diff card drifted: $got")
+    graft.ops.Reuse.freeAll(spark)
+    // duplicate ids within one snapshot would fan the id join and
+    // double-count silently — rejected loudly, side named
+    val exDup = intercept[IllegalArgumentException] {
+      Sampling.corpusDiff(oldSnap,
+        newSnap.unionByName(Seq((5L, "again", "de"))
+          .toDF("doc_id", "text", "lang")), "lang")
+    }
+    assert(exDup.getMessage.contains("duplicate ids") &&
+      exDup.getMessage.contains("new"),
+      s"duplicate-id diagnosis drifted: ${exDup.getMessage}")
+    graft.ops.Reuse.freeAll(spark)
+    // identical snapshots: everything unchanged, zero deltas
+    val same = Sampling.corpusDiff(newSnap, newSnap, "lang")
+      .orderBy("lang")
+      .as[(String, Long, Long, Long, Long, Long, Long, Long, Long,
+        Long)].collect().toSeq
+    assert(same.forall(r => r._2 == 0 && r._3 == 0 && r._4 == 0 &&
+      r._5 == 0 && r._6 == 0 && r._10 == 0) &&
+      same.map(_._7).sum == 5,
+      s"self-diff not all-unchanged: $same")
+    graft.ops.Reuse.freeAll(spark)
+  }
+
   test("signal correlations: exact ±1 on constructed columns, 0 under " +
       "the zero-variance guard (ext115)") {
     import spark.implicits._
