@@ -6712,7 +6712,8 @@ object ExtEntry {
         |  SELECT doc_id + 1000000, lang, text FROM documents
         |  WHERE doc_id % 13 = 0),
         |j AS (SELECT n.doc_id AS nid, o.doc_id AS oid,
-        |        n.lang AS ns, o.lang AS os, n.text AS nt, o.text AS ot,
+        |        n.lang AS ns, o.lang AS os,
+        |        md5(n.text) AS nt, md5(o.text) AS ot,
         |        CAST(len(string_split(n.text,' ')) AS BIGINT) AS ntoks,
         |        CAST(len(string_split(o.text,' ')) AS BIGINT) AS otoks
         |      FROM newd n FULL OUTER JOIN oldd o

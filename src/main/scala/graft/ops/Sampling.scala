@@ -665,7 +665,7 @@ object Sampling {
       Reuse.shared(budgetSelectStratumPartials(doc, col(stratum),
         score, id, text)),
       stratum, doc.select(col(stratum)).schema.head.dataType,
-      budgetTokens, budgets)
+      budgetTokens, budgets, "budgetSelectCardsByStratum")
   }
 
   /** The stratified per-doc (stratum, id, score, toks) projection —
@@ -701,7 +701,7 @@ object Sampling {
       budgets: Map[String, Long] = Map.empty): DataFrame = {
     val e = foldStratified(counts, "budgetSelectCardsByStratumFromCounts")
     cardsByStratumOf(e, stratum, e.schema("_s").dataType,
-      budgetTokens, budgets)
+      budgetTokens, budgets, "budgetSelectCardsByStratumFromCounts")
   }
 
   /** The guarded whole-row-distinct fold of a stored stratified
@@ -709,11 +709,17 @@ object Sampling {
     * serve paths. Rejects, in diagnosis order: null keys, null
     * score/toks values (r17 ADVICE — they'd count in the totals yet
     * never be selectable), a re-crawled doc within one stratum
-    * (same (_s, _id), changed payload), and a doc re-ingested under
-    * a DIFFERENT stratum (r16 verdict item 1 — a langid re-run
-    * reclassification passes the (_s, _id) check yet would be
-    * counted, and potentially selected, in BOTH strata's cards; the
-    * global-id check rides the same single aggregate). */
+    * (same (_s, _id), changed payload), and a doc id appearing
+    * under MORE THAN ONE stratum (r16 verdict item 1; the global-id
+    * check rides the same single aggregate). The last class is
+    * ambiguous from the partials alone — a re-ingested doc whose
+    * stratum changed (langid re-run: FromVersioned keep-latest is
+    * the fix) is indistinguishable from per-source id numbering
+    * where the same id names DIFFERENT docs (re-keying is the fix;
+    * keep-latest would silently collapse them) — so the stored-fold
+    * serve contract requires GLOBALLY unique ids and refuses rather
+    * than guess. The DIRECT batch operators carry no such ambiguity
+    * (one snapshot, one row per doc) and stay permissive. */
   private def foldStratified(counts: DataFrame,
       who: String): DataFrame = {
     val e = Reuse.shared(
@@ -749,11 +755,14 @@ object Sampling {
       throw new IllegalArgumentException(
         s"$who: " +
           s"${chk.getLong(1) - chk.getLong(2)} ids appear under " +
-          "more than one stratum (a re-ingested doc whose stratum " +
-          "CHANGED — a langid re-run reclassification) — the fold " +
-          "would count it in every stratum's card; apply a " +
-          "keep-latest rule (the FromVersioned serve path) before " +
-          "serving")
+          "more than one stratum — EITHER a re-ingested doc whose " +
+          "stratum changed (a langid re-run reclassification: " +
+          "serve via the FromVersioned keep-latest path) OR " +
+          "per-source id numbering where the same id names " +
+          "DIFFERENT docs in different strata (re-key to globally " +
+          "unique ids — keep-latest would silently collapse " +
+          "distinct docs). The fold cannot tell these apart, so it " +
+          "refuses rather than double-count or mis-fold")
     e
   }
 
@@ -775,13 +784,17 @@ object Sampling {
     val latest = foldStratifiedVersioned(counts,
       "budgetSelectCardsByStratumFromVersioned")
     cardsByStratumOf(latest, stratum, latest.schema("_s").dataType,
-      budgetTokens, budgets)
+      budgetTokens, budgets, "budgetSelectCardsByStratumFromVersioned")
   }
 
   /** The guarded keep-latest fold of a versioned stratified partials
     * relation — one row per doc carrying its NEWEST (stratum, score,
     * toks); ids are globally unique by construction after the fold.
-    * Shared by the per-stratum and two-level versioned serve paths. */
+    * Shared by the per-stratum and two-level versioned serve paths.
+    * CONTRACT: an id must name ONE doc globally — the fold groups by
+    * `_id`, so per-source numbering (the same id naming different
+    * docs in different strata) would be silently collapsed to the
+    * newest row; re-key such corpora before versioned serving. */
   private def foldStratifiedVersioned(counts: DataFrame,
       who: String): DataFrame = {
     Guards.requireIntegral(counts, col("_ver"), who, "version")
@@ -821,13 +834,13 @@ object Sampling {
     * stored-fold paths. */
   private def cardsByStratumOf(e: DataFrame, stratum: String,
       sType: org.apache.spark.sql.types.DataType, budgetTokens: Long,
-      budgets: Map[String, Long]): DataFrame = {
+      budgets: Map[String, Long], who: String): DataFrame = {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types.{LongType, StructField, StructType}
     val spark = e.sparkSession
     val cardSchema = StructType(StructField(stratum, sType) +:
       CardCols.map(StructField(_, LongType)))
-    stratumEnvelope(e, sType, budgetTokens, budgets) match {
+    stratumEnvelope(e, sType, budgetTokens, budgets, who) match {
       case None =>
         spark.createDataFrame(
           new java.util.ArrayList[Row](), cardSchema)
@@ -858,7 +871,7 @@ object Sampling {
     * two-level paths all project off this one envelope. */
   private def stratumEnvelope(e: DataFrame,
       sType: org.apache.spark.sql.types.DataType, budgetTokens: Long,
-      budgets: Map[String, Long]): Option[DataFrame] = {
+      budgets: Map[String, Long], who: String): Option[DataFrame] = {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types.{LongType, StructField, StructType}
     import scala.jdk.CollectionConverters._
@@ -877,14 +890,14 @@ object Sampling {
     val observed = init.map(r => String.valueOf(r.get(0))).toSet
     val unmatched = budgets.keySet.diff(observed)
     require(unmatched.isEmpty,
-      s"budgetSelectByStratum: budgets/plan keys matching no " +
+      s"$who: budgets/plan keys matching no " +
         s"observed stratum: ${unmatched.toSeq.sorted.mkString(", ")}" +
         s" — keys must equal a stratum value's string rendering " +
         s"(observed: ${observed.toSeq.sorted.take(20).mkString(", ")})")
     def bOf(s: Any): Long =
       budgets.getOrElse(String.valueOf(s), budgetTokens)
     val doms = init.map { r =>
-      require(!r.isNullAt(0), "budgetSelectByStratum: null stratum " +
+      require(!r.isNullAt(0), s"$who: null stratum " +
         "value — a null key would silently drop out of the probe " +
         "join; filter or bucket nulls explicitly")
       val (sLo, iLo) = (r.getLong(1), r.getLong(3))
@@ -918,50 +931,28 @@ object Sampling {
     }
     // threshold phase: per stratum, min t in [sLo-1, sHi] with
     // tokens(score > t) <= B — all strata per round in one job
-    var minBr: Map[Any, (Long, Long)] =
-      doms.map(d => d._1 -> (d._2 - 1, d._3)).toMap
-    val tOf = scala.collection.mutable.Map.empty[Any, Long]
-    while (minBr.nonEmpty) {
-      val (fin, act) = minBr.partition { case (_, (lo, hi)) => lo >= hi }
-      tOf ++= fin.map { case (s, (lo, _)) => s -> lo }
-      if (act.isEmpty) minBr = Map.empty
-      else {
-        val rows = act.toSeq.map { case (s, (lo, hi)) =>
-          s -> minProbes(lo, hi) }
+    val tMap = keyedSearch[Any](
+      doms.map(d => d._1 -> (d._2 - 1, d._3)).toMap,
+      minProbes, minUpdate, rows => {
         val sums = roundSums(rows, Map.empty, (m, sc) => sc > m)
-        minBr = rows.map { case (s, ps) =>
-          val (lo, hi) = act(s)
-          s -> minUpdate(lo, hi, ps,
-            sums(s).take(ps.size).map(_ <= bOf(s)))
-        }.toMap
-      }
-    }
+        rows.map { case (s, ps) =>
+          s -> ps.indices.map(i => sums(s)(i) <= bOf(s)) }.toMap
+      })
     // base: tokens strictly above each stratum's threshold (one job)
     val base = roundSums(
-      doms.toSeq.map(d => (d._1, Seq(tOf(d._1)))), Map.empty,
+      doms.toSeq.map(d => (d._1, Seq(tMap(d._1)))), Map.empty,
       (m, sc) => sc > m).map { case (s, v) => s -> v.head }
     // boundary phase: per stratum, max id* in [iLo-1, iHi] with
     // base + tokens(score = t, id <= id*) <= B
-    var maxBr: Map[Any, (Long, Long)] =
-      doms.map(d => d._1 -> (d._4 - 1, d._5)).toMap
-    val iOf = scala.collection.mutable.Map.empty[Any, Long]
-    val tMap = tOf.toMap
-    while (maxBr.nonEmpty) {
-      val (fin, act) = maxBr.partition { case (_, (lo, hi)) => lo >= hi }
-      iOf ++= fin.map { case (s, (lo, _)) => s -> lo }
-      if (act.isEmpty) maxBr = Map.empty
-      else {
-        val rows = act.toSeq.map { case (s, (lo, hi)) =>
-          s -> maxProbes(lo, hi) }
+    val iOf = keyedSearch[Any](
+      doms.map(d => d._1 -> (d._4 - 1, d._5)).toMap,
+      maxProbes, maxUpdate, rows => {
         val sums = roundSums(rows, tMap,
           (m, sc) => sc === col("_t") && col("_id") <= m)
-        maxBr = rows.map { case (s, ps) =>
-          val (lo, hi) = act(s)
-          s -> maxUpdate(lo, hi, ps,
-            sums(s).take(ps.size).map(base(s) + _ <= bOf(s)))
-        }.toMap
-      }
-    }
+        rows.map { case (s, ps) =>
+          s -> ps.indices.map(i => base(s) + sums(s)(i) <= bOf(s)) }
+          .toMap
+      })
     // the per-stratum (t, id*, B) envelope as a broadcastable frame
     val envSchema = StructType(Seq(StructField("_s", sType),
       StructField("_t", LongType), StructField("_i", LongType),
@@ -983,7 +974,8 @@ object Sampling {
     val sType = doc.select(col(stratum)).schema.head.dataType
     val e = Reuse.shared(budgetSelectStratumPartials(doc, col(stratum),
       score, id, text))
-    stratumEnvelope(e, sType, budgetTokens, budgets) match {
+    stratumEnvelope(e, sType, budgetTokens, budgets,
+        "budgetSelectDocsByStratum") match {
       case None =>
         import org.apache.spark.sql.types.{LongType, StructField,
           StructType}
@@ -1042,7 +1034,7 @@ object Sampling {
       Reuse.shared(budgetSelectStratumPartials(doc, col(stratum),
         score, id, text)),
       doc.select(col(stratum)).schema.head.dataType,
-      stratumCap, globalBudget, budgets)
+      stratumCap, globalBudget, budgets, "twoLevelBudget")
   }
 
   /** [[twoLevelBudgetCard]] from a stored stratified partials
@@ -1058,7 +1050,7 @@ object Sampling {
       budgets: Map[String, Long] = Map.empty): DataFrame = {
     val e = foldStratified(counts, "twoLevelBudgetCardFromCounts")
     twoLevelOf(e, e.schema("_s").dataType, stratumCap, globalBudget,
-      budgets)
+      budgets, "twoLevelBudgetCardFromCounts")
   }
 
   /** [[twoLevelBudgetCard]] from VERSIONED stored partials — the
@@ -1073,7 +1065,7 @@ object Sampling {
     val latest = foldStratifiedVersioned(counts,
       "twoLevelBudgetCardFromVersioned")
     twoLevelOf(latest, latest.schema("_s").dataType, stratumCap,
-      globalBudget, budgets)
+      globalBudget, budgets, "twoLevelBudgetCardFromVersioned")
   }
 
   /** The two-level cut over a prepared (_s, _id, _score, _toks)
@@ -1085,7 +1077,8 @@ object Sampling {
     * the survivor-scoped check fired cap-dependently). */
   private def twoLevelOf(e: DataFrame,
       sType: org.apache.spark.sql.types.DataType, stratumCap: Long,
-      globalBudget: Long, budgets: Map[String, Long]): DataFrame = {
+      globalBudget: Long, budgets: Map[String, Long],
+      who: String): DataFrame = {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types.{LongType, StructField,
       StructType}
@@ -1094,7 +1087,7 @@ object Sampling {
       "tokens_selected", "n_surv", "tokens_surv", "n_docs",
       "tokens_total", "cap_tokens", "budget_tokens", "fill_ppm")
     val outSchema = StructType(outCols.map(StructField(_, LongType)))
-    stratumEnvelope(e, sType, stratumCap, budgets) match {
+    stratumEnvelope(e, sType, stratumCap, budgets, who) match {
       case None =>
         e.sparkSession.createDataFrame(
           new java.util.ArrayList[Row](), outSchema)
@@ -1109,7 +1102,7 @@ object Sampling {
           countDistinct(col("_id")).as("_nid")).first()
         if (totRow.getLong(0) != totRow.getLong(2))
           throw new IllegalArgumentException(
-            s"twoLevelBudget: ${totRow.getLong(0) - totRow.getLong(2)}" +
+            s"$who: ${totRow.getLong(0) - totRow.getLong(2)}" +
               " rows share an id (per-source numbering across strata," +
               " or a duplicated doc within one) — the global stage" +
               " needs GLOBALLY unique ids (a shared id would silently" +
@@ -1389,28 +1382,18 @@ object Sampling {
     }
     // threshold phase: bracket per (stratum, budget); every budget's
     // bracket advances off the SHARED per-stratum probe sums
-    var minBr: Map[(Any, Long), (Long, Long)] =
+    val tOf = keyedSearch[(Any, Long)](
       (for (d <- doms; b <- budgets)
-        yield (d._1, b) -> (d._2 - 1, d._3)).toMap
-    val tOf = scala.collection.mutable.Map.empty[(Any, Long), Long]
-    while (minBr.nonEmpty) {
-      val (fin, act) = minBr.partition { case (_, (lo, hi)) => lo >= hi }
-      tOf ++= fin.map { case (k, (lo, _)) => k -> lo }
-      if (act.isEmpty) minBr = Map.empty
-      else {
-        val ladders = act.toSeq.map { case (k, (lo, hi)) =>
-          k -> minProbes(lo, hi) }
+        yield (d._1, b) -> (d._2 - 1, d._3)).toMap,
+      minProbes, minUpdate, ladders => {
         val perS = ladders.groupBy(_._1._1).map { case (s, ls) =>
           s -> ls.flatMap(_._2).distinct.sorted }
         val sums = sumsAt(perS.toSeq, (m, sc) => sc > m)
         val vOf = perS.map { case (s, ps) =>
           s -> ps.zip(sums(s).take(ps.size)).toMap }
-        minBr = ladders.map { case (k @ (s, b), ps) =>
-          val (lo, hi) = act(k)
-          k -> minUpdate(lo, hi, ps, ps.map(p => vOf(s)(p) <= b))
-        }.toMap
-      }
-    }
+        ladders.map { case (k @ (s, b), ps) =>
+          k -> ps.map(p => vOf(s)(p) <= b) }.toMap
+      })
     // base mass per DISTINCT (stratum, threshold) — budgets in one
     // stratum often share a class; one job
     val tsPerS = tOf.toSeq.groupBy(_._1._1).map { case (s, kv) =>
@@ -1421,32 +1404,22 @@ object Sampling {
         .map { case (t, v) => (s, t) -> v } }.toMap
     // boundary phase: bracket per (stratum, budget), probe pairs
     // (threshold class, id) deduped per stratum and batched per round
-    var maxBr: Map[(Any, Long), (Long, Long)] =
+    val iOf = keyedSearch[(Any, Long)](
       (for (d <- doms; b <- budgets)
-        yield (d._1, b) -> (d._4 - 1, d._5)).toMap
-    val iOf = scala.collection.mutable.Map.empty[(Any, Long), Long]
-    while (maxBr.nonEmpty) {
-      val (fin, act) = maxBr.partition { case (_, (lo, hi)) => lo >= hi }
-      iOf ++= fin.map { case (k, (lo, _)) => k -> lo }
-      if (act.isEmpty) maxBr = Map.empty
-      else {
-        val ladders = act.toSeq.map { case (k, (lo, hi)) =>
-          k -> maxProbes(lo, hi) }
+        yield (d._1, b) -> (d._4 - 1, d._5)).toMap,
+      maxProbes, maxUpdate, ladders => {
         val perS = ladders.groupBy(_._1._1).map { case (s, ls) =>
           s -> ls.flatMap { case ((_, b), ps) =>
             ps.map(p => (tOf((s, b)), p)) }.distinct.sorted }
         val sums = pairSumsAt(perS.toSeq)
         val vOf = perS.map { case (s, ps) =>
           s -> ps.zip(sums(s).take(ps.size)).toMap }
-        maxBr = ladders.map { case (k @ (s, b), ps) =>
-          val (lo, hi) = act(k)
+        ladders.map { case (k @ (s, b), ps) =>
           val t = tOf(k)
-          k -> maxUpdate(lo, hi, ps,
-            ps.map(p => baseOf((s, t)) + vOf(s)((t, p)) <= b))
-        }.toMap
-      }
-    }
-    Some(StratumBudgetEnvelopes(doms, tOf.toMap, iOf.toMap))
+          k -> ps.map(p => baseOf((s, t)) + vOf(s)((t, p)) <= b) }
+          .toMap
+      })
+    Some(StratumBudgetEnvelopes(doms, tOf, iOf))
   }
 
   /** The per-stratum fill-curve cards over a prepared projection —
@@ -1621,64 +1594,37 @@ object Sampling {
       conds.indices.map(row.getLong)
     }
     // stage-2 threshold phase: bracket per active cap, all caps'
-    // probes in one job per round
-    active.foreach { k =>
-      require(domRow.getLong(6 * k) > Long.MinValue &&
-        domRow.getLong(6 * k + 2) > Long.MinValue,
-        "budgetSelect needs score and id domains above Long.MinValue")
-    }
-    var minBr: Map[Int, (Long, Long)] = active.map(k =>
+    // probes in one job per round. (No Long.MinValue domain guard
+    // needed here: survivor domains are subsets of the per-stratum
+    // corpus domains stratumBudgetEnvelopes already rejected.)
+    val t2 = keyedSearch[Int](active.map(k =>
       k -> (domRow.getLong(6 * k) - 1, domRow.getLong(6 * k + 1)))
-      .toMap
-    val t2 = scala.collection.mutable.Map.empty[Int, Long]
-    while (minBr.nonEmpty) {
-      val (fin, act) = minBr.partition { case (_, (lo, hi)) => lo >= hi }
-      t2 ++= fin.map { case (k, (lo, _)) => k -> lo }
-      if (act.isEmpty) minBr = Map.empty
-      else {
-        val ladders = act.toSeq.map { case (k, (lo, hi)) =>
-          k -> minProbes(lo, hi) }
+      .toMap, minProbes, minUpdate, ladders => {
         val flat = ladders.flatMap { case (k, ps) =>
           ps.map(p => (k, p)) }
-        val vs = sums2(flat.map { case (k, p) =>
-          surv(k) && col("_score") > p })
-        val vOf = flat.zip(vs).toMap
-        minBr = ladders.map { case (k, ps) =>
-          val (lo, hi) = act(k)
-          k -> minUpdate(lo, hi, ps,
-            ps.map(p => vOf((k, p)) <= globalBudget))
-        }.toMap
-      }
-    }
+        val vOf = flat.zip(sums2(flat.map { case (k, p) =>
+          surv(k) && col("_score") > p })).toMap
+        ladders.map { case (k, ps) =>
+          k -> ps.map(p => vOf((k, p)) <= globalBudget) }.toMap
+      })
     // base mass above each active cap's stage-2 threshold (one job)
     val baseVs =
       if (active.isEmpty) Seq.empty[Long]
       else sums2(active.map(k => surv(k) && col("_score") > t2(k)))
     val baseOf = active.zip(baseVs).toMap
     // stage-2 boundary phase
-    var maxBr: Map[Int, (Long, Long)] = active.map(k =>
+    val i2 = keyedSearch[Int](active.map(k =>
       k -> (domRow.getLong(6 * k + 2) - 1, domRow.getLong(6 * k + 3)))
-      .toMap
-    val i2 = scala.collection.mutable.Map.empty[Int, Long]
-    while (maxBr.nonEmpty) {
-      val (fin, act) = maxBr.partition { case (_, (lo, hi)) => lo >= hi }
-      i2 ++= fin.map { case (k, (lo, _)) => k -> lo }
-      if (act.isEmpty) maxBr = Map.empty
-      else {
-        val ladders = act.toSeq.map { case (k, (lo, hi)) =>
-          k -> maxProbes(lo, hi) }
+      .toMap, maxProbes, maxUpdate, ladders => {
         val flat = ladders.flatMap { case (k, ps) =>
           ps.map(p => (k, p)) }
-        val vs = sums2(flat.map { case (k, p) =>
-          surv(k) && col("_score") === t2(k) && col("_id") <= p })
-        val vOf = flat.zip(vs).toMap
-        maxBr = ladders.map { case (k, ps) =>
-          val (lo, hi) = act(k)
-          k -> maxUpdate(lo, hi, ps,
-            ps.map(p => baseOf(k) + vOf((k, p)) <= globalBudget))
-        }.toMap
-      }
-    }
+        val vOf = flat.zip(sums2(flat.map { case (k, p) =>
+          surv(k) && col("_score") === t2(k) && col("_id") <= p }))
+          .toMap
+        ladders.map { case (k, ps) =>
+          k -> ps.map(p => baseOf(k) + vOf((k, p)) <= globalBudget) }
+          .toMap
+      })
     // final selection sums for all active caps in one aggregate
     val selVs =
       if (active.isEmpty) Seq.empty[Long]
@@ -1733,8 +1679,12 @@ object Sampling {
    * Scale shape: ONE data shuffle — the full-outer id join (under
    * id-bucketed snapshot layouts, the ext26 discipline, it is a
    * zero-exchange sort-merge) — then a map-side-combined aggregate
-   * keyed by |strata|. Duplicate ids WITHIN a snapshot would fan the
-   * join and double-count silently: rejected loudly per side (the
+   * keyed by |strata|. The join carries an md5 CONTENT FINGERPRINT,
+   * not the text (the [[Dedup.exact]] hash-compare discipline —
+   * r17 review), so the exchange is ~40 bytes/row instead of both
+   * snapshots' full text payloads; the oracle replays the identical
+   * md5 rule. Duplicate ids WITHIN a snapshot would fan the join
+   * and double-count silently: rejected loudly per side (the
    * serve-guard class).
    */
   def corpusDiff(oldDocs: DataFrame, newDocs: DataFrame,
@@ -1745,7 +1695,7 @@ object Sampling {
       val p = Reuse.shared(d.select(
         Guards.notNull(col(id).cast("long"), "corpusDiff",
           s"$side id").as("_id"),
-        col(stratum).as("_s"), col(text).as("_t"),
+        col(stratum).as("_s"), md5(col(text)).as("_h"),
         coalesce(size(TextOps.tokens(col(text))).cast("long"),
           lit(0L)).as("_toks")))
       val chk = p.agg(count(lit(1)).as("_n"),
@@ -1768,11 +1718,11 @@ object Sampling {
       col("n._id").isNotNull.as("_p"), col("n._s").as("_s"),
       when(col("o._id").isNull, 1L).otherwise(0L).as("_a"),
       lit(0L).as("_r"),
-      when(sameStratum && !(col("n._t") <=> col("o._t")), 1L)
+      when(sameStratum && !(col("n._h") <=> col("o._h")), 1L)
         .otherwise(0L).as("_c"),
       when(moved, 1L).otherwise(0L).as("_mi"),
       lit(0L).as("_mo"),
-      when(sameStratum && (col("n._t") <=> col("o._t")), 1L)
+      when(sameStratum && (col("n._h") <=> col("o._h")), 1L)
         .otherwise(0L).as("_u"),
       coalesce(col("n._toks"), lit(0L)).as("_tn"),
       lit(0L).as("_to"))
@@ -1857,6 +1807,39 @@ object Sampling {
     (e, t, idStar)
   }
 
+  /** Shared driver for a BATCH of simultaneous monotone bisections,
+    * one bracket per key (stratum, (stratum, budget), cap index, or
+    * Unit for the single search): each round finishes converged
+    * brackets, builds every active key's probe ladder, evaluates ALL
+    * ladders through the caller's `eval` (which owns the batching —
+    * one aggregate job per round), and narrows each bracket via
+    * [[minUpdate]]/[[maxUpdate]]. The bracket/ladder bookkeeping and
+    * its probe-alignment invariants live HERE, once, instead of in
+    * each operator's loop (r17 review). */
+  private def keyedSearch[K](init: Map[K, (Long, Long)],
+      probes: (Long, Long) => Seq[Long],
+      update: (Long, Long, Seq[Long], Seq[Boolean]) => (Long, Long),
+      eval: Seq[(K, Seq[Long])] => Map[K, Seq[Boolean]])
+      : Map[K, Long] = {
+    var br = init
+    val out = scala.collection.mutable.Map.empty[K, Long]
+    while (br.nonEmpty) {
+      val (fin, act) = br.partition { case (_, (lo, hi)) => lo >= hi }
+      out ++= fin.map { case (k, (lo, _)) => k -> lo }
+      if (act.isEmpty) br = Map.empty
+      else {
+        val ladders = act.toSeq.map { case (k, (lo, hi)) =>
+          k -> probes(lo, hi) }
+        val vs = eval(ladders)
+        br = ladders.map { case (k, ps) =>
+          val (lo, hi) = act(k)
+          k -> update(lo, hi, ps, vs(k))
+        }.toMap
+      }
+    }
+    out.toMap
+  }
+
   /** Probe ladder for one min-true round: strictly increasing probes
     * in [lo, hi). BigInt width/probe arithmetic: a full-Long id span
     * (64-bit hash ids) overflows hi − lo, which would silently
@@ -1905,30 +1888,16 @@ object Sampling {
     * `preds`; the caller guarantees pred(hi0). Each round evaluates up
     * to BisectFanout−1 evenly spaced probes in ONE batch call and
     * narrows to the segment between the last-false and first-true
-    * probe. */
+    * probe — the single-bracket form of [[keyedSearch]]. */
   private def karyMinTrue(lo0: Long, hi0: Long,
-      preds: Seq[Long] => Seq[Boolean]): Long = {
-    var lo = lo0
-    var hi = hi0
-    while (lo < hi) {
-      val ps = minProbes(lo, hi)
-      val (l2, h2) = minUpdate(lo, hi, ps, preds(ps))
-      lo = l2; hi = h2
-    }
-    lo
-  }
+      preds: Seq[Long] => Seq[Boolean]): Long =
+    keyedSearch[Unit](Map(() -> (lo0, hi0)), minProbes, minUpdate,
+      ladders => Map(() -> preds(ladders.head._2)))(())
 
   /** Max t in [lo0, hi0] with monotone (true…true false…false)
     * `preds`; the caller guarantees pred(lo0). */
   private def karyMaxTrue(lo0: Long, hi0: Long,
-      preds: Seq[Long] => Seq[Boolean]): Long = {
-    var lo = lo0
-    var hi = hi0
-    while (lo < hi) {
-      val ps = maxProbes(lo, hi)
-      val (l2, h2) = maxUpdate(lo, hi, ps, preds(ps))
-      lo = l2; hi = h2
-    }
-    lo
-  }
+      preds: Seq[Long] => Seq[Boolean]): Long =
+    keyedSearch[Unit](Map(() -> (lo0, hi0)), maxProbes, maxUpdate,
+      ladders => Map(() -> preds(ladders.head._2)))(())
 }
