@@ -1070,6 +1070,55 @@ object ScaleSmoke {
           col("score_ppm"), 2500L * mult, 6000L * mult)
       }
     }
+    // r17: the batched-matrix claims, priced — the per-stratum fill
+    // curve (|strata| × K cards) vs running |strata| × K single
+    // cards, and the cap sweep (K two-level cards) vs K direct
+    // two-level cards, over the same corpus.
+    if (only.forall(_.exists(p =>
+        "r17matrix".startsWith(p) || p.startsWith("r17matrix")))) {
+      val scored = graft.ops.TextOps.quality(big)
+        .withColumn("score_ppm", expr(
+          "least(n_words * 10000, 1000000) DIV 2" +
+            " + (n_stop * 1000000 DIV n_words) DIV 2"))
+      val rungs = Seq(800L * mult, 2500L * mult, 20000L * mult)
+      val tc0 = System.nanoTime()
+      val curveRows = graft.ops.Sampling.budgetFillCurveByStratum(
+        scored, "lang", col("score_ppm"), rungs).count()
+      val curveS = (System.nanoTime() - tc0) / 1e9
+      graft.ops.Reuse.freeAll(spark)
+      val langs = scored.select("lang").distinct()
+        .collect().map(_.getString(0)).sorted
+      val ts0 = System.nanoTime()
+      langs.foreach { l =>
+        rungs.foreach { b =>
+          graft.ops.Sampling.budgetSelectCard(
+            scored.filter(col("lang") === l), col("score_ppm"), b)
+            .count()
+          graft.ops.Reuse.freeAll(spark)
+        }
+      }
+      val soloS = (System.nanoTime() - ts0) / 1e9
+      println(f"[scale-smoke] r17matrix_curve  strata=${langs.size}" +
+        f" rungs=${rungs.size}  batched=$curveS%.1f s  " +
+        f"${langs.size * rungs.size}xsingle=$soloS%.1f s" +
+        f"  rows=$curveRows")
+      val g = 6000L * mult
+      val tw0 = System.nanoTime()
+      val sweepRows = graft.ops.Sampling.twoLevelCapSweep(scored,
+        "lang", col("score_ppm"), rungs, g).count()
+      val sweepS = (System.nanoTime() - tw0) / 1e9
+      graft.ops.Reuse.freeAll(spark)
+      val tv0 = System.nanoTime()
+      rungs.foreach { c =>
+        graft.ops.Sampling.twoLevelBudgetCard(scored, "lang",
+          col("score_ppm"), c, g).count()
+        graft.ops.Reuse.freeAll(spark)
+      }
+      val soloSweepS = (System.nanoTime() - tv0) / 1e9
+      println(f"[scale-smoke] r17matrix_sweep  caps=${rungs.size}" +
+        f"  batched=$sweepS%.1f s  ${rungs.size}xtwoLevel=" +
+        f"$soloSweepS%.1f s  rows=$sweepRows")
+    }
     // r16: price retryingServe under a REAL concurrent compaction
     // loop (r15 verdict item 6) — the race specs prove recovery on
     // injected/probe-driven signatures; this measures the serve path
