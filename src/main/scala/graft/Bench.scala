@@ -103,23 +103,65 @@ object Bench {
         // set, so it now reads as changed. Measured: a no-change
         // second run re-benches 0 queries (two fresh JVMs, all plans
         // diffed), and a 100→200 literal probe reads as changed.
+        // The distinct-key ORDER also permutes inside parenthesized
+        // arg lists (hashpartitioning(k1, k2, gid#, 32)) which the
+        // bracket pass never touches — sort those args (top-level
+        // commas only; a genuine key-set change still changes the
+        // multiset). gid-lines only.
+        def sortCallArgs(line: String, fn: String): String = {
+          val idx = line.indexOf(fn + "(")
+          if (idx < 0) return line
+          var i = idx + fn.length + 1
+          var depth = 1
+          while (i < line.length && depth > 0) {
+            val c = line.charAt(i)
+            if (c == '(') depth += 1 else if (c == ')') depth -= 1
+            i += 1
+          }
+          if (depth != 0) return line
+          val inner = line.substring(idx + fn.length + 1, i - 1)
+          val args = scala.collection.mutable.ArrayBuffer.empty[String]
+          var d = 0
+          val sb = new StringBuilder
+          inner.foreach { c =>
+            if (c == '(') d += 1
+            if (c == ')') d -= 1
+            if (c == ',' && d == 0) { args += sb.toString.trim; sb.clear() }
+            else sb += c
+          }
+          args += sb.toString.trim
+          line.substring(0, idx) + fn + "(" +
+            args.sorted.mkString(", ") + ")" +
+            sortCallArgs(line.substring(i), fn)
+        }
         def canonGidLine(ln: String): String = {
-          val l0 = ln.replaceAll("gid#\\s*(=|<=>)\\s*\\d+",
-            "gid# $1 ~")
+          val l0 = sortCallArgs(ln.replaceAll(
+            "gid#\\s*(=|<=>)\\s*\\d+", "gid# $1 ~"), "hashpartitioning")
           val isExpand = l0.contains("Expand")
           val groups = scala.collection.mutable.ArrayBuffer
             .empty[String]
-          val outside = "\\[[^\\[\\]]*\\]".r.replaceAllIn(l0, m => {
-            val toks = m.matched.substring(1, m.matched.length - 1)
-              .split("[,\\s]+").toSeq.filter(_.nonEmpty)
-            val t2 =
-              if (isExpand && toks.nonEmpty &&
-                  toks.last.matches("\\d+")) toks.init :+ "~"
-              else toks
-            groups += t2.sorted.mkString(" ")
-            "&"
-          })
-          outside + " | " + groups.sorted.mkString(" ; ")
+          // innermost-bracket replacement ITERATED TO FIXPOINT: a
+          // regex character class literal ('[^a-z0-9 ]') is itself an
+          // innermost bracket group, so the enclosing keys=[...] list
+          // only becomes innermost on a later pass (the r17 residual
+          // — 3 of 202 plans flipped per bench run until this)
+          var cur = l0
+          var changed = true
+          while (changed) {
+            val next = "\\[[^\\[\\]]*\\]".r.replaceAllIn(cur, m => {
+              val toks = m.matched.substring(1, m.matched.length - 1)
+                .split("[,\\s]+").toSeq.filter(_.nonEmpty)
+              val t2 =
+                if (isExpand && toks.nonEmpty &&
+                    toks.last.matches("\\d+")) toks.init :+ "~"
+                else toks
+              groups += t2.sorted.mkString(" ")
+              "&"
+            })
+            changed = next != cur
+            cur = next
+          }
+          cur + " | " + groups.sorted.mkString(" ; ")
         }
         def normalize(s: String): String = {
           val base = s
