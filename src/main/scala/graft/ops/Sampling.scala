@@ -1816,7 +1816,7 @@ object Sampling {
     * [[minUpdate]]/[[maxUpdate]]. The bracket/ladder bookkeeping and
     * its probe-alignment invariants live HERE, once, instead of in
     * each operator's loop (r17 review). */
-  private def keyedSearch[K](init: Map[K, (Long, Long)],
+  private[graft] def keyedSearch[K](init: Map[K, (Long, Long)],
       probes: (Long, Long) => Seq[Long],
       update: (Long, Long, Seq[Long], Seq[Boolean]) => (Long, Long),
       eval: Seq[(K, Seq[Long])] => Map[K, Seq[Boolean]])
@@ -1846,7 +1846,7 @@ object Sampling {
     * corrupt the ladder — the probes themselves always lie in
     * [lo, hi]. Shared by the single-corpus searches and the
     * per-stratum batched rounds (ext173). */
-  private def minProbes(lo: Long, hi: Long): Seq[Long] = {
+  private[graft] def minProbes(lo: Long, hi: Long): Seq[Long] = {
     val width = BigInt(hi) - BigInt(lo)
     val k = width.min(BigInt(BisectFanout))
     val probes = (BigInt(1) until k)
@@ -1857,7 +1857,7 @@ object Sampling {
 
   /** Bracket update for one min-true round: narrow to the segment
     * between the last-false and first-true probe. */
-  private def minUpdate(lo: Long, hi: Long, ps: Seq[Long],
+  private[graft] def minUpdate(lo: Long, hi: Long, ps: Seq[Long],
       vs: Seq[Boolean]): (Long, Long) = {
     val idx = vs.indexWhere(identity)
     if (idx >= 0) (if (idx > 0) ps(idx - 1) + 1 else lo, ps(idx))
@@ -1865,7 +1865,7 @@ object Sampling {
   }
 
   /** Probe ladder for one max-true round: probes in (lo, hi]. */
-  private def maxProbes(lo: Long, hi: Long): Seq[Long] = {
+  private[graft] def maxProbes(lo: Long, hi: Long): Seq[Long] = {
     val width = BigInt(hi) - BigInt(lo)
     val k = width.min(BigInt(BisectFanout))
     val probes = (BigInt(1) until k)
@@ -1876,7 +1876,7 @@ object Sampling {
   }
 
   /** Bracket update for one max-true round. */
-  private def maxUpdate(lo: Long, hi: Long, ps: Seq[Long],
+  private[graft] def maxUpdate(lo: Long, hi: Long, ps: Seq[Long],
       vs: Seq[Boolean]): (Long, Long) = {
     val idx = vs.lastIndexWhere(identity)
     if (idx >= 0)
@@ -1889,14 +1889,14 @@ object Sampling {
     * to BisectFanout−1 evenly spaced probes in ONE batch call and
     * narrows to the segment between the last-false and first-true
     * probe — the single-bracket form of [[keyedSearch]]. */
-  private def karyMinTrue(lo0: Long, hi0: Long,
+  private[graft] def karyMinTrue(lo0: Long, hi0: Long,
       preds: Seq[Long] => Seq[Boolean]): Long =
     keyedSearch[Unit](Map(() -> (lo0, hi0)), minProbes, minUpdate,
       ladders => Map(() -> preds(ladders.head._2)))(())
 
   /** Max t in [lo0, hi0] with monotone (true…true false…false)
     * `preds`; the caller guarantees pred(lo0). */
-  private def karyMaxTrue(lo0: Long, hi0: Long,
+  private[graft] def karyMaxTrue(lo0: Long, hi0: Long,
       preds: Seq[Long] => Seq[Boolean]): Long =
     keyedSearch[Unit](Map(() -> (lo0, hi0)), maxProbes, maxUpdate,
       ladders => Map(() -> preds(ladders.head._2)))(())
