@@ -69,115 +69,7 @@ object Bench {
     val changedFilter: Option[Set[String]] =
       if (!changedMode) None
       else {
-        def md5hex(s: String): String =
-          java.security.MessageDigest.getInstance("MD5")
-            .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
-        // Strip the run-varying parts of a plan string (expression ids,
-        // codegen stage ids, cached-plan ids, object identity hashes,
-        // file paths/listing hashes) so the hash is stable across
-        // sessions for an unchanged plan. Each rule targets a KNOWN
-        // session-varying shape only — the r15 blanket `(\d+)` strip
-        // also swallowed genuine literal constants (a changed limit or
-        // interpolated budget could hash identical to the old plan:
-        // the UNSAFE direction — r15 ADVICE), so codegen stage ids
-        // are now matched by their `*(N)` / `WholeStageCodegen (N)`
-        // rendering specifically and numeric literals stay hashed.
-        // The one structural variance left after those rules is the
-        // multi-distinct Expand rewrite (r15's residual ~5): gid
-        // VALUES and distinct-group/key ORDER are assigned per
-        // session, a pure permutation of the same groups. Lines
-        // mentioning gid# are canonicalized BRACKET-SCOPED (the r16
-        // whole-line token-multiset sort could hash a genuine
-        // structural change — a grouping column swapped ACROSS
-        // projections permutes the same line-wide tokens — as
-        // unchanged: the unsafe direction, r16 ADVICE): each
-        // innermost [...] group becomes its own sorted token set
-        // (digits kept, so a changed literal still changes it); in
-        // Expand projections the TRAILING integer is the group's
-        // session-assigned gid value and `gid# = N` comparisons
-        // carry the same index — both neutralized to ~ so a pure
-        // group permutation (which renumbers them) hashes equal;
-        // text outside brackets keeps its order and the group LIST
-        // is sorted as a multiset (group order is session-assigned).
-        // A cross-projection column swap changes some group's token
-        // set, so it now reads as changed. Measured: a no-change
-        // second run re-benches 0 queries (two fresh JVMs, all plans
-        // diffed), and a 100→200 literal probe reads as changed.
-        // The distinct-key ORDER also permutes inside parenthesized
-        // arg lists (hashpartitioning(k1, k2, gid#, 32)) which the
-        // bracket pass never touches — sort those args (top-level
-        // commas only; a genuine key-set change still changes the
-        // multiset). gid-lines only.
-        def sortCallArgs(line: String, fn: String): String = {
-          val idx = line.indexOf(fn + "(")
-          if (idx < 0) return line
-          var i = idx + fn.length + 1
-          var depth = 1
-          while (i < line.length && depth > 0) {
-            val c = line.charAt(i)
-            if (c == '(') depth += 1 else if (c == ')') depth -= 1
-            i += 1
-          }
-          if (depth != 0) return line
-          val inner = line.substring(idx + fn.length + 1, i - 1)
-          val args = scala.collection.mutable.ArrayBuffer.empty[String]
-          var d = 0
-          val sb = new StringBuilder
-          inner.foreach { c =>
-            if (c == '(') d += 1
-            if (c == ')') d -= 1
-            if (c == ',' && d == 0) { args += sb.toString.trim; sb.clear() }
-            else sb += c
-          }
-          args += sb.toString.trim
-          line.substring(0, idx) + fn + "(" +
-            args.sorted.mkString(", ") + ")" +
-            sortCallArgs(line.substring(i), fn)
-        }
-        def canonGidLine(ln: String): String = {
-          val l0 = sortCallArgs(ln.replaceAll(
-            "gid#\\s*(=|<=>)\\s*\\d+", "gid# $1 ~"), "hashpartitioning")
-          val isExpand = l0.contains("Expand")
-          val groups = scala.collection.mutable.ArrayBuffer
-            .empty[String]
-          // innermost-bracket replacement ITERATED TO FIXPOINT: a
-          // regex character class literal ('[^a-z0-9 ]') is itself an
-          // innermost bracket group, so the enclosing keys=[...] list
-          // only becomes innermost on a later pass (the r17 residual
-          // — 3 of 202 plans flipped per bench run until this)
-          var cur = l0
-          var changed = true
-          while (changed) {
-            val next = "\\[[^\\[\\]]*\\]".r.replaceAllIn(cur, m => {
-              val toks = m.matched.substring(1, m.matched.length - 1)
-                .split("[,\\s]+").toSeq.filter(_.nonEmpty)
-              val t2 =
-                if (isExpand && toks.nonEmpty &&
-                    toks.last.matches("\\d+")) toks.init :+ "~"
-                else toks
-              groups += t2.sorted.mkString(" ")
-              "&"
-            })
-            changed = next != cur
-            cur = next
-          }
-          cur + " | " + groups.sorted.mkString(" ; ")
-        }
-        def normalize(s: String): String = {
-          val base = s
-            .replaceAll("#\\d+", "#")
-            .replaceAll("\\*\\(\\d+\\)", "*()")
-            .replaceAll("WholeStageCodegen \\(\\d+\\)",
-              "WholeStageCodegen ()")
-            .replaceAll("file:[^\\s,)\\]]+", "file:~")
-            .replaceAll("\\[[0-9]+ paths\\]", "[~]")
-            .replaceAll("plan_id=\\d+", "plan_id=~")
-            .replaceAll("@[0-9a-fA-F]+", "@~")
-          base.linesIterator.map { ln =>
-            if (ln.contains("gid#")) canonGidLine(ln)
-            else ln
-          }.mkString("\n").replaceAll("\\s+", " ")
-        }
+        import PlanFingerprint.{md5hex, normalize}
         val stored: Map[String, String] =
           if (!fpFile.isFile) Map.empty
           else """"([^"]+)"\s*:\s*"([^"]+)"""".r
@@ -304,5 +196,136 @@ object Bench {
     }
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":{},"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
+  }
+}
+
+
+/** Plan-string canonicalization for the changed-only bench mode —
+  * extracted from Bench.main (r18) so the safe/unsafe-direction
+  * probes live in a ScalaTest spec (PlanFingerprintSpec) instead of
+  * ad-hoc two-JVM scripts; the two-JVM PlanDump diff remains the
+  * end-to-end check. */
+private[graft] object PlanFingerprint {
+  def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+  // Strip the run-varying parts of a plan string (expression ids,
+  // codegen stage ids, cached-plan ids, object identity hashes,
+  // file paths/listing hashes) so the hash is stable across
+  // sessions for an unchanged plan. Each rule targets a KNOWN
+  // session-varying shape only — the r15 blanket `(\d+)` strip
+  // also swallowed genuine literal constants (a changed limit or
+  // interpolated budget could hash identical to the old plan:
+  // the UNSAFE direction — r15 ADVICE), so codegen stage ids
+  // are now matched by their `*(N)` / `WholeStageCodegen (N)`
+  // rendering specifically and numeric literals stay hashed.
+  // The one structural variance left after those rules is the
+  // multi-distinct Expand rewrite (r15's residual ~5): gid
+  // VALUES and distinct-group/key ORDER are assigned per
+  // session, a pure permutation of the same groups. Lines
+  // mentioning gid# are canonicalized BRACKET-SCOPED (the r16
+  // whole-line token-multiset sort could hash a genuine
+  // structural change — a grouping column swapped ACROSS
+  // projections permutes the same line-wide tokens — as
+  // unchanged: the unsafe direction, r16 ADVICE): each
+  // innermost [...] group becomes its own sorted token set
+  // (digits kept, so a changed literal still changes it); in
+  // Expand projections the TRAILING integer is the group's
+  // session-assigned gid value and `gid# = N` comparisons
+  // carry the same index — both neutralized to ~ so a pure
+  // group permutation (which renumbers them) hashes equal;
+  // text outside brackets keeps its order and the group LIST
+  // is sorted as a multiset (group order is session-assigned).
+  // A cross-projection column swap changes some group's token
+  // set, so it now reads as changed. Measured: a no-change
+  // second run re-benches 0 queries (two fresh JVMs, all plans
+  // diffed), and a 100→200 literal probe reads as changed.
+  // The distinct-key ORDER also permutes inside parenthesized
+  // arg lists (hashpartitioning(k1, k2, gid#, 32)) which the
+  // bracket pass never touches — sort those args (top-level
+  // commas only; a genuine key-set change still changes the
+  // multiset). gid-lines only.
+  def sortCallArgs(line: String, fn: String): String = {
+    val idx = line.indexOf(fn + "(")
+    if (idx < 0) return line
+    var i = idx + fn.length + 1
+    var depth = 1
+    while (i < line.length && depth > 0) {
+      val c = line.charAt(i)
+      if (c == '(') depth += 1 else if (c == ')') depth -= 1
+      i += 1
+    }
+    if (depth != 0) return line
+    val inner = line.substring(idx + fn.length + 1, i - 1)
+    val args = scala.collection.mutable.ArrayBuffer.empty[String]
+    // comma split tracks BRACKET depth alongside parens (r17 ADVICE:
+    // an arg carrying a bracketed comma list — keys=[k1, k2] — was
+    // split mid-bracket and sorted across the boundary, the unsafe
+    // direction)
+    var d = 0
+    val sb = new StringBuilder
+    inner.foreach { c =>
+      if (c == '(' || c == '[') d += 1
+      if (c == ')' || c == ']') d -= 1
+      if (c == ',' && d == 0) { args += sb.toString.trim; sb.clear() }
+      else sb += c
+    }
+    args += sb.toString.trim
+    line.substring(0, idx) + fn + "(" +
+      args.sorted.mkString(", ") + ")" +
+      sortCallArgs(line.substring(i), fn)
+  }
+  def canonGidLine(ln: String): String = {
+    val l0 = sortCallArgs(ln.replaceAll(
+      "gid#\\s*(=|<=>)\\s*\\d+", "gid# $1 ~"), "hashpartitioning")
+    val isExpand = l0.contains("Expand")
+    val groups = scala.collection.mutable.ArrayBuffer
+      .empty[String]
+    // innermost-bracket replacement ITERATED TO FIXPOINT: a
+    // regex character class literal ('[^a-z0-9 ]') is itself an
+    // innermost bracket group, so the enclosing keys=[...] list
+    // only becomes innermost on a later pass (the r17 residual
+    // — 3 of 202 plans flipped per bench run until this). Each
+    // group is tagged with its fixpoint pass index (1 = innermost)
+    // before the multiset sort (r17 verdict nick 2: untagged, a
+    // token set MIGRATING between nesting depths — a key list
+    // moving from an inner functions=[...] into the outer
+    // keys=[...] — hashed unchanged; the pass index is exactly the
+    // group's distance from the innermost level, so a depth-only
+    // migration now changes its tag).
+    var cur = l0
+    var changed = true
+    var pass = 1
+    while (changed) {
+      val next = "\\[[^\\[\\]]*\\]".r.replaceAllIn(cur, m => {
+        val toks = m.matched.substring(1, m.matched.length - 1)
+          .split("[,\\s]+").toSeq.filter(_.nonEmpty)
+        val t2 =
+          if (isExpand && toks.nonEmpty &&
+              toks.last.matches("\\d+")) toks.init :+ "~"
+          else toks
+        groups += s"$pass:" + t2.sorted.mkString(" ")
+        "&"
+      })
+      changed = next != cur
+      cur = next
+      pass += 1
+    }
+    cur + " | " + groups.sorted.mkString(" ; ")
+  }
+  def normalize(s: String): String = {
+    val base = s
+      .replaceAll("#\\d+", "#")
+      .replaceAll("\\*\\(\\d+\\)", "*()")
+      .replaceAll("WholeStageCodegen \\(\\d+\\)",
+        "WholeStageCodegen ()")
+      .replaceAll("file:[^\\s,)\\]]+", "file:~")
+      .replaceAll("\\[[0-9]+ paths\\]", "[~]")
+      .replaceAll("plan_id=\\d+", "plan_id=~")
+      .replaceAll("@[0-9a-fA-F]+", "@~")
+    base.linesIterator.map { ln =>
+      if (ln.contains("gid#")) canonGidLine(ln)
+      else ln
+    }.mkString("\n").replaceAll("\\s+", " ")
   }
 }

@@ -2387,16 +2387,23 @@ object ExtEntry {
     // deterministically from the table (drop %11 docs → added,
     // re-stratify %17 → moved, append " legacy" to %7 texts →
     // changed, shift %13 ids out of range → removed) so both
-    // engines diff identical snapshots.
+    // engines diff identical snapshots. The "removed" ids are
+    // shifted by max(doc_id) + 1 — collision-free BY CONSTRUCTION at
+    // any scale factor (every shifted id exceeds every genuine id;
+    // the r17 1000000L literal collided once real ids reached 1e6
+    // and aborted on the duplicate-id guard) — the oracle computes
+    // the identical shift in a CTE.
     "ext178_corpus_diff" -> ((s, dir) => {
       val d = docs(s, dir)
+      val shift =
+        d.agg(max(col("doc_id"))).first().getLong(0) + 1L
       val oldSnap = d.filter(col("doc_id") % 11 =!= 0)
         .withColumn("lang", when(col("doc_id") % 17 === 0, lit("xx"))
           .otherwise(col("lang")))
         .withColumn("text", when(col("doc_id") % 7 === 0,
           concat(col("text"), lit(" legacy"))).otherwise(col("text")))
         .unionByName(d.filter(col("doc_id") % 13 === 0)
-          .withColumn("doc_id", col("doc_id") + 1000000L))
+          .withColumn("doc_id", col("doc_id") + lit(shift)))
       Sampling.corpusDiff(oldSnap, d, "lang").orderBy("lang")
     }),
 
@@ -6702,6 +6709,7 @@ object ExtEntry {
     // every class before wiring.
     "ext178_corpus_diff" ->
       """WITH newd AS (SELECT doc_id, lang, text FROM documents),
+        |mx AS (SELECT max(doc_id) + 1 AS sh FROM documents),
         |oldd AS (
         |  SELECT doc_id,
         |    CASE WHEN doc_id % 17 = 0 THEN 'xx' ELSE lang END AS lang,
@@ -6709,8 +6717,8 @@ object ExtEntry {
         |      ELSE text END AS text
         |  FROM documents WHERE doc_id % 11 <> 0
         |  UNION ALL
-        |  SELECT doc_id + 1000000, lang, text FROM documents
-        |  WHERE doc_id % 13 = 0),
+        |  SELECT doc_id + (SELECT sh FROM mx), lang, text
+        |  FROM documents WHERE doc_id % 13 = 0),
         |j AS (SELECT n.doc_id AS nid, o.doc_id AS oid,
         |        n.lang AS ns, o.lang AS os,
         |        md5(n.text) AS nt, md5(o.text) AS ot,

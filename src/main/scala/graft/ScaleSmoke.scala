@@ -1119,6 +1119,28 @@ object ScaleSmoke {
         f"  batched=$sweepS%.1f s  ${rungs.size}xtwoLevel=" +
         f"$soloSweepS%.1f s  rows=$sweepRows")
     }
+    // r18 (r17 verdict item 6): the batched-matrix operators' 100×
+    // wall+heap rows WITHOUT the per-cell comparison loops (those
+    // priced the batching at 10×; at 100× the solos alone would run
+    // ~30 min and prove nothing new). time() reports wall, rows and
+    // peak heap — the "job count independent of corpus size" claim
+    // as the same measured shape ext175's r17twolevel_card row got.
+    if (only.forall(_.exists(p =>
+        "r18matrix".startsWith(p) || p.startsWith("r18matrix")))) {
+      val scored = graft.ops.TextOps.quality(big)
+        .withColumn("score_ppm", expr(
+          "least(n_words * 10000, 1000000) DIV 2" +
+            " + (n_stop * 1000000 DIV n_words) DIV 2"))
+      val rungs = Seq(800L * mult, 2500L * mult, 20000L * mult)
+      time("r18matrix_curve") {
+        graft.ops.Sampling.budgetFillCurveByStratum(scored, "lang",
+          col("score_ppm"), rungs)
+      }
+      time("r18matrix_sweep") {
+        graft.ops.Sampling.twoLevelCapSweep(scored, "lang",
+          col("score_ppm"), rungs, 6000L * mult)
+      }
+    }
     // r16: price retryingServe under a REAL concurrent compaction
     // loop (r15 verdict item 6) — the race specs prove recovery on
     // injected/probe-driven signatures; this measures the serve path

@@ -1020,6 +1020,46 @@ object StreamingPipeline {
     graft.ops.Sampling.twoLevelCapSweepFromCounts(
       spark.read.parquet(outPath).drop("batch"), caps, globalBudget)
 
+  /** Keep-latest fill-curve serve (r17 verdict item 1) — the
+    * versioned fold under the per-stratum planning curves, for sinks
+    * that legitimately re-ingest docs: a reclassified doc prices
+    * only its newest stratum's curve, and the cross-stratum refusal
+    * of the unversioned serve now has a live remedy for THIS caller
+    * too (previously the diagnostic named a path that only existed
+    * for the card operators). */
+  def budgetFillCurveByStratumFromStateKeepLatest(spark: SparkSession,
+      outPath: String, stratum: String,
+      budgets: Seq[Long]): DataFrame =
+    graft.ops.Sampling.budgetFillCurveByStratumFromVersioned(
+      spark.read.parquet(outPath)
+        .withColumn("_ver", col("batch").cast("long")).drop("batch"),
+      stratum, budgets)
+
+  /** Keep-latest cap-sweep serve (r17 verdict item 1) — the
+    * versioned fold under the two-level cap sweep; the caps ladder
+    * and global budget stay serve-time knobs. */
+  def twoLevelCapSweepFromStateKeepLatest(spark: SparkSession,
+      outPath: String, caps: Seq[Long], globalBudget: Long): DataFrame =
+    graft.ops.Sampling.twoLevelCapSweepFromVersioned(
+      spark.read.parquet(outPath)
+        .withColumn("_ver", col("batch").cast("long")).drop("batch"),
+      caps, globalBudget)
+
+  /** Corpus lineage diff served from the SAME stratified sink
+    * (r17 verdict item 2): the `batch=N` replay key is the version,
+    * so any two ingest points name two keep-latest snapshots and
+    * [[graft.ops.Sampling.corpusDiffFromVersioned]] diffs them —
+    * added/removed/changed/moved/unchanged per stratum as a
+    * serve-time query, no snapshot materialization. "Changed" means
+    * the stored (score, toks) payload changed — the sink persists no
+    * text, by design. */
+  def corpusDiffFromState(spark: SparkSession, outPath: String,
+      verOld: Long, verNew: Long, stratum: String): DataFrame =
+    graft.ops.Sampling.corpusDiffFromVersioned(
+      spark.read.parquet(outPath)
+        .withColumn("_ver", col("batch").cast("long")).drop("batch"),
+      verOld, verNew, stratum)
+
   /** Keep-latest two-level serve — the versioned fold under the
     * two-level cut, for sinks that legitimately re-ingest docs. */
   def twoLevelBudgetCardFromStateKeepLatest(spark: SparkSession,

@@ -1311,6 +1311,112 @@ class PipelineOpsSpec extends TestBase {
     graft.ops.Reuse.freeAll(spark)
   }
 
+  test("versioned planning serves (r18): fill-curve and cap-sweep " +
+      "keep-latest folds == batch over newest crawls; versioned " +
+      "corpus diff == direct diff on materialized snapshots, " +
+      "backward diff is the exact transpose") {
+    import spark.implicits._
+    import graft.ops.Sampling
+    def words(n: Int) = Seq.fill(n)("w").mkString(" ")
+    val docs = Seq(
+      (1L, words(5), 90L, "a"), (2L, words(5), 90L, "a"),
+      (3L, words(4), 80L, "a"), (7L, words(3), 50L, "b"),
+      (8L, words(2), 40L, "b"))
+      .toDF("doc_id", "text", "q", "lang")
+    val parts = Sampling.budgetSelectStratumPartials(
+      docs, col("lang"), col("q"))
+    // v1 re-crawls doc 3 from stratum a INTO stratum b — the exact
+    // reclassification whose refusal on the unversioned planning
+    // serves used to point at a FromVersioned path that did not
+    // exist for these two callers (r17 verdict item 1)
+    val versioned = parts.withColumn("_ver", lit(0L)).unionByName(
+      Seq(("b", 3L, 45L, 6L)).toDF("_s", "_id", "_score", "_toks")
+        .withColumn("_ver", lit(1L)))
+    val exCurve = intercept[IllegalArgumentException] {
+      Sampling.budgetFillCurveByStratumFromCounts(
+        versioned.drop("_ver"), "lang", Seq(8L, 16L))
+    }
+    assert(exCurve.getMessage.contains("more than one stratum") &&
+      exCurve.getMessage.contains("budgetFillCurveByStratumFromCounts"),
+      s"curve refusal drifted: ${exCurve.getMessage}")
+    val newest = docs.filter(col("doc_id") =!= 3L).unionByName(
+      Seq((3L, words(6), 45L, "b")).toDF("doc_id", "text", "q", "lang"))
+    val curveV = Sampling.budgetFillCurveByStratumFromVersioned(
+      versioned, "lang", Seq(8L, 16L))
+    val curveB = Sampling.budgetFillCurveByStratum(newest, "lang",
+      col("q"), Seq(8L, 16L))
+    assert(curveB.count() == 4)
+    assert(curveV.except(curveB).isEmpty &&
+      curveB.except(curveV).isEmpty,
+      s"versioned fill curves != batch over newest crawls " +
+        s"(${curveV.collect().toSeq} vs ${curveB.collect().toSeq})")
+    graft.ops.Reuse.freeAll(spark)
+    // non-vacuous: the reclassification moved curve mass
+    val curve0 = Sampling.budgetFillCurveByStratum(docs, "lang",
+      col("q"), Seq(8L, 16L))
+    assert(Sampling.budgetFillCurveByStratumFromVersioned(versioned,
+      "lang", Seq(8L, 16L)).except(curve0).count() > 0,
+      "re-ingest under a new stratum did not change any curve row")
+    graft.ops.Reuse.freeAll(spark)
+    val sweepV = Sampling.twoLevelCapSweepFromVersioned(
+      versioned, Seq(8L, 12L), 20L)
+    val sweepB = Sampling.twoLevelCapSweep(newest, "lang", col("q"),
+      Seq(8L, 12L), 20L)
+    assert(sweepB.count() == 2)
+    assert(sweepV.except(sweepB).isEmpty &&
+      sweepB.except(sweepV).isEmpty,
+      s"versioned cap sweep != batch over newest crawls " +
+        s"(${sweepV.collect().toSeq} vs ${sweepB.collect().toSeq})")
+    graft.ops.Reuse.freeAll(spark)
+    // versioned corpus diff: v1 also changes doc 2 in place and adds
+    // doc 9, so the forward diff exercises added / changed / moved /
+    // unchanged; an append-only version log cannot REMOVE a doc, so
+    // `removed` is exercised through the BACKWARD diff (rollback
+    // audit), which must be the exact transpose
+    val versioned2 = versioned.unionByName(
+      Seq(("a", 2L, 91L, 5L), ("a", 9L, 70L, 7L))
+        .toDF("_s", "_id", "_score", "_toks")
+        .withColumn("_ver", lit(1L)))
+    val fwd = Sampling.corpusDiffFromVersioned(versioned2, 0L, 1L,
+      "lang").orderBy("lang")
+      .as[(String, Long, Long, Long, Long, Long, Long, Long, Long,
+        Long)].collect().toSeq
+    assert(fwd == Seq(
+      ("a", 1L, 0L, 1L, 0L, 1L, 1L, 17L, 14L, 3L),
+      ("b", 0L, 0L, 0L, 1L, 0L, 2L, 11L, 5L, 6L)),
+      s"forward versioned diff drifted: $fwd")
+    graft.ops.Reuse.freeAll(spark)
+    // == the direct operator over MATERIALIZED snapshots whose text
+    // encodes the same (score, toks) content fingerprint
+    def mat(rows: Seq[(String, Long, Long, Long)]) =
+      rows.map { case (s, id, sc, tk) =>
+        (id, s"s$sc " + words(tk.toInt - 1), s) }
+        .toDF("doc_id", "text", "lang")
+    val snapA = mat(Seq(("a", 1L, 90L, 5L), ("a", 2L, 90L, 5L),
+      ("a", 3L, 80L, 4L), ("b", 7L, 50L, 3L), ("b", 8L, 40L, 2L)))
+    val snapB = mat(Seq(("a", 1L, 90L, 5L), ("a", 2L, 91L, 5L),
+      ("b", 3L, 45L, 6L), ("b", 7L, 50L, 3L), ("b", 8L, 40L, 2L),
+      ("a", 9L, 70L, 7L)))
+    val direct = Sampling.corpusDiff(snapA, snapB, "lang")
+      .orderBy("lang")
+      .as[(String, Long, Long, Long, Long, Long, Long, Long, Long,
+        Long)].collect().toSeq
+    assert(direct == fwd,
+      s"versioned diff != direct diff on materialized snapshots: " +
+        s"$direct vs $fwd")
+    graft.ops.Reuse.freeAll(spark)
+    val bwd = Sampling.corpusDiffFromVersioned(versioned2, 1L, 0L,
+      "lang").orderBy("lang")
+      .as[(String, Long, Long, Long, Long, Long, Long, Long, Long,
+        Long)].collect().toSeq
+    val transposed = fwd.map(r => (r._1, r._3, r._2, r._4, r._6, r._5,
+      r._7, r._9, r._8, -r._10))
+    assert(bwd == transposed && bwd.exists(_._3 > 0),
+      s"backward versioned diff is not the transpose: $bwd vs " +
+        s"$transposed")
+    graft.ops.Reuse.freeAll(spark)
+  }
+
   test("signal correlations: exact ±1 on constructed columns, 0 under " +
       "the zero-variance guard (ext115)") {
     import spark.implicits._
