@@ -2407,6 +2407,41 @@ object ExtEntry {
       Sampling.corpusDiff(oldSnap, d, "lang").orderBy("lang")
     }),
 
+    // Versioned corpus diff (r18): the keep-latest lineage serve
+    // under the ORACLE gate — ext178 diffs two materialized
+    // snapshots; this serves the SAME audit from the family's
+    // versioned partials (batch=N is the version, the one-sink
+    // discipline), putting foldStratifiedVersioned's max_by-struct
+    // arbitration itself under DuckDB replay. Version 1 re-ingests
+    // %17 docs under stratum 'xx' (moved), bumps %7-not-%17 docs'
+    // score (changed — the sink's (score, toks) fingerprint, text
+    // is never stored), and ingests brand-new docs (%13, ids
+    // shifted by max+1) first seen at v1 (added). An append-only
+    // log cannot REMOVE, so n_removed = 0 structurally (the
+    // backward diff is the spec-held transpose).
+    "ext179_corpus_diff_versioned" -> ((s, dir) => {
+      val d = TextOps.quality(docs(s, dir))
+        .withColumn("score_ppm", expr(
+          "least(n_words * 10000, 1000000) DIV 2" +
+            " + (n_stop * 1000000 DIV n_words) DIV 2"))
+      val parts = Sampling.budgetSelectStratumPartials(
+        d, col("lang"), col("score_ppm"))
+      val shift =
+        d.agg(max(col("doc_id"))).first().getLong(0) + 1L
+      val v0 = parts.withColumn("_ver", lit(0L))
+      val v1 = parts
+        .filter(col("_id") % 17 === 0 || col("_id") % 7 === 0)
+        .withColumn("_s", when(col("_id") % 17 === 0, lit("xx"))
+          .otherwise(col("_s")))
+        .withColumn("_score", when(col("_id") % 17 =!= 0,
+          col("_score") + 1L).otherwise(col("_score")))
+        .unionByName(parts.filter(col("_id") % 13 === 0)
+          .withColumn("_id", col("_id") + lit(shift)))
+        .withColumn("_ver", lit(1L))
+      Sampling.corpusDiffFromVersioned(v0.unionByName(v1), 0L, 1L,
+        "lang").orderBy("lang")
+    }),
+
     // Burstiness (Fano factor) per entity over the daily count matrix:
     // dispersion texture next to ext152's direction and ext158's
     // outliers — exact decimal integer, span-normalized (silent days
@@ -6755,6 +6790,75 @@ object ExtEntry {
         |  CAST(sum(tok_o) AS BIGINT) AS tokens_old,
         |  CAST(sum(tn) - sum(tok_o) AS BIGINT) AS token_delta
         |FROM contrib GROUP BY s ORDER BY lang""".stripMargin,
+
+    // Versioned corpus diff: the oracle replays BOTH halves of the
+    // serve independently — the keep-latest fold (version-1 rows
+    // override version-0 rows per id; applied directly, since the
+    // mods are deterministic) and the (score, toks)-fingerprint
+    // classification. Validated in DuckDB against an independent
+    // set-operation recount of every class (39/0/67/30/30/403 at
+    // sf0.01) and token conservation (Σ token_delta == tokens of
+    // the added docs) before wiring.
+    "ext179_corpus_diff_versioned" ->
+      s"""WITH d AS (SELECT lang, doc_id,
+         |    CAST(len(string_split(text,' ')) AS BIGINT) AS n_toks,
+         |    CAST(len(list_filter(string_split(text,' '),
+         |      t -> t IN ($stopList))) AS BIGINT) AS n_stop
+         |  FROM documents),
+         |s AS (SELECT lang, doc_id, n_toks,
+         |    CAST(least(n_toks*10000, 1000000)//2
+         |      + (n_stop*1000000//n_toks)//2 AS BIGINT) AS score
+         |  FROM d),
+         |mx AS (SELECT max(doc_id) + 1 AS sh FROM documents),
+         |snap0 AS (SELECT lang, doc_id, score, n_toks FROM s),
+         |snap1 AS (
+         |  SELECT CASE WHEN doc_id % 17 = 0 THEN 'xx' ELSE lang END
+         |      AS lang,
+         |    doc_id,
+         |    CASE WHEN doc_id % 17 <> 0 AND doc_id % 7 = 0
+         |      THEN score + 1 ELSE score END AS score, n_toks
+         |  FROM s
+         |  UNION ALL
+         |  SELECT lang, doc_id + (SELECT sh FROM mx), score, n_toks
+         |  FROM s WHERE doc_id % 13 = 0),
+         |j AS (SELECT n.doc_id AS nid, o.doc_id AS oid, n.lang AS ns,
+         |        o.lang AS os, n.score AS nsc, o.score AS osc,
+         |        n.n_toks AS ntk, o.n_toks AS otk
+         |      FROM snap1 n FULL OUTER JOIN snap0 o
+         |        ON n.doc_id = o.doc_id),
+         |contrib AS (
+         |  SELECT ns AS s2,
+         |    CASE WHEN oid IS NULL THEN 1 ELSE 0 END AS a, 0 AS r,
+         |    CASE WHEN oid IS NOT NULL AND ns IS NOT DISTINCT FROM os
+         |      AND (nsc IS DISTINCT FROM osc
+         |        OR ntk IS DISTINCT FROM otk)
+         |      THEN 1 ELSE 0 END AS c,
+         |    CASE WHEN oid IS NOT NULL AND ns IS DISTINCT FROM os
+         |      THEN 1 ELSE 0 END AS mi,
+         |    0 AS mo,
+         |    CASE WHEN oid IS NOT NULL AND ns IS NOT DISTINCT FROM os
+         |      AND nsc IS NOT DISTINCT FROM osc
+         |      AND ntk IS NOT DISTINCT FROM otk
+         |      THEN 1 ELSE 0 END AS u,
+         |    ntk AS tn, 0 AS tok_o
+         |  FROM j WHERE nid IS NOT NULL
+         |  UNION ALL
+         |  SELECT os, 0, CASE WHEN nid IS NULL THEN 1 ELSE 0 END,
+         |    0, 0,
+         |    CASE WHEN nid IS NOT NULL AND ns IS DISTINCT FROM os
+         |      THEN 1 ELSE 0 END, 0, 0, otk
+         |  FROM j WHERE oid IS NOT NULL)
+         |SELECT s2 AS lang,
+         |  CAST(sum(a) AS BIGINT) AS n_added,
+         |  CAST(sum(r) AS BIGINT) AS n_removed,
+         |  CAST(sum(c) AS BIGINT) AS n_changed,
+         |  CAST(sum(mi) AS BIGINT) AS n_moved_in,
+         |  CAST(sum(mo) AS BIGINT) AS n_moved_out,
+         |  CAST(sum(u) AS BIGINT) AS n_unchanged,
+         |  CAST(sum(tn) AS BIGINT) AS tokens_new,
+         |  CAST(sum(tok_o) AS BIGINT) AS tokens_old,
+         |  CAST(sum(tn) - sum(tok_o) AS BIGINT) AS token_delta
+         |FROM contrib GROUP BY s2 ORDER BY lang""".stripMargin,
 
     // Two-level budget: stage 1 = ext173's per-lang replay at the
     // cap; stage 2 = ext172's replay over the surviving rows; card

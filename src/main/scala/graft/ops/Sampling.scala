@@ -1782,7 +1782,14 @@ object Sampling {
     * empty side (every doc reads added/removed) — version ids are
     * the sink's batch numbers. Ids are globally unique after each
     * fold by construction, so the duplicate-id refusal of the direct
-    * path is satisfied structurally here. An append-only version log
+    * path is satisfied structurally here. Null strata: this serve
+    * REFUSES them (the versioned fold's guard — the stratified
+    * sink's cut serves would reject the same rows, so the audit
+    * surfaces the producer bug too), unlike the direct
+    * [[corpusDiff]], which reports a null-keyed bucket: a
+    * free-standing snapshot owes the reader a complete description,
+    * a family sink owes its producer a contract. An append-only
+    * version log
     * never REMOVES a doc, so a forward diff (verOld < verNew) always
     * reports n_removed = 0; diff backward (verOld > verNew) to audit
     * a rollback — the result is the exact transpose (added↔removed,

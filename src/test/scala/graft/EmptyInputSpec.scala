@@ -124,7 +124,17 @@ class EmptyInputSpec extends TestBase {
       countOf("temperatureResample")(
         Sampling.temperatureResample(d, col("doc_id"), 100L, Seq("lang"))),
       countOf("concatChunks")(Packing.concatChunks(d, col("doc_id"),
-        col("n_chars"), 512L)))
+        col("n_chars"), 512L)),
+      countOf("corpusDiff")(Sampling.corpusDiff(d, d, "lang")),
+      countOf("corpusDiffFromVersioned") {
+        val vSchema = StructType(Seq(StructField("_ver", LongType),
+          StructField("_s", StringType), StructField("_id", LongType),
+          StructField("_score", LongType),
+          StructField("_toks", LongType)))
+        Sampling.corpusDiffFromVersioned(spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          vSchema), 0L, 1L, "lang")
+      })
     assert(results.forall(_._2 == 0L), results.toString)
   }
 

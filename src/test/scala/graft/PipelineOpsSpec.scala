@@ -1254,6 +1254,13 @@ class PipelineOpsSpec extends TestBase {
       s"no rung shows the global budget cutting survivors: $realSweep")
   }
 
+  // Null handling here exercises corpusDiff's DOCUMENTED audit
+  // contract (see the operator's scaladoc): null text folds to
+  // 0 tokens / null md5 (two null sides compare unchanged via <=>),
+  // and a null stratum is a reportable bucket — BY DESIGN the
+  // opposite of the budget-cut family, which refuses null text
+  // (a cut must not select what it cannot weigh) and null strata
+  // (their probe JOIN would silently drop the key).
   test("corpus diff: hand-computed add/remove/change/move/unchanged " +
       "classes with side-attributed token masses, null texts fold to " +
       "unchanged, duplicate ids rejected (ext178)") {
@@ -1308,6 +1315,22 @@ class PipelineOpsSpec extends TestBase {
       r._5 == 0 && r._6 == 0 && r._10 == 0) &&
       same.map(_._7).sum == 5,
       s"self-diff not all-unchanged: $same")
+    graft.ops.Reuse.freeAll(spark)
+    // a null STRATUM is a reportable audit bucket (documented
+    // contract): a doc moving null -> "en" counts moved_out of the
+    // null-keyed row and moved_in to en's
+    val oldNull = Seq((10L, "p q", null.asInstanceOf[String]))
+      .toDF("doc_id", "text", "lang")
+    val newNull = Seq((10L, "p q", "en"))
+      .toDF("doc_id", "text", "lang")
+    val nullDiff = Sampling.corpusDiff(oldNull, newNull, "lang")
+      .collect().map(r => Option(r.getString(0)) ->
+        (r.getLong(4), r.getLong(5), r.getLong(7), r.getLong(8)))
+      .toMap
+    assert(nullDiff == Map(
+      Some("en") -> ((1L, 0L, 2L, 0L)),
+      None -> ((0L, 1L, 0L, 2L))),
+      s"null-stratum bucket drifted: $nullDiff")
     graft.ops.Reuse.freeAll(spark)
   }
 
