@@ -77,16 +77,35 @@ object Bench {
               new String(java.nio.file.Files.readAllBytes(fpFile.toPath),
                 "UTF-8"))
             .map(m => m.group(1) -> m.group(2)).toMap
+        // Pre-checkpoint lineage rides the hash too (r18 review): a
+        // Reuse.shared/index materialization cuts the executedPlan at
+        // a checkpointed-RDD scan, so a plan edit ABOVE a shared()
+        // (ext178's changed shift literal) hashed identically and
+        // escaped re-benching — the unsafe direction for bench
+        // freshness. graft.reuse.planlog=1 makes Reuse record each
+        // materialization's pre-cut executed plan during
+        // construction; the query's fingerprint is the normalized
+        // main plan + drained sub-plans (construction order, which
+        // is deterministic). PlanDump writes the identical composite
+        // text, so PlanDiff/--write hashes stay bench-identical.
+        spark.conf.set("graft.reuse.planlog", "1")
         val current = SparkEntry.queries.toSeq.sortBy(_._1).map {
           case (name, fn) =>
             val fp =
-              try md5hex(normalize(
-                fn(spark, sfDir).queryExecution.executedPlan.toString))
+              try {
+                graft.ops.Reuse.drainPlans(spark)
+                val main =
+                  fn(spark, sfDir).queryExecution.executedPlan.toString
+                val subs = graft.ops.Reuse.drainPlans(spark)
+                md5hex(normalize(
+                  (main +: subs).mkString("\n=== reuse ===\n")))
+              }
               catch { case _: Throwable => s"ERR-${System.nanoTime()}" }
             spark.catalog.clearCache()
             graft.ops.Reuse.freeAll(spark)
             name -> fp
         }
+        spark.conf.set("graft.reuse.planlog", "0")
         currentFps = current
         val changed = current
           .filter { case (n, fp) => !stored.get(n).contains(fp) }
@@ -276,9 +295,44 @@ private[graft] object PlanFingerprint {
       sortCallArgs(line.substring(i), fn)
   }
   def canonGidLine(ln: String): String = {
-    val l0 = sortCallArgs(ln.replaceAll(
+    val l0raw = sortCallArgs(ln.replaceAll(
       "gid#\\s*(=|<=>)\\s*\\d+", "gid# $1 ~"), "hashpartitioning")
-    val isExpand = l0.contains("Expand")
+    val isExpand = l0raw.contains("Expand")
+    // POSITIONAL gid-value neutralization (r18): Expand renders
+    // `[[proj1], [proj2], ...], [outputCols]` and the session-
+    // assigned gid VALUE sits at the gid COLUMN's index in each
+    // projection — which is only the TRAILING element when gid is
+    // the last output column. ext66's pre-checkpoint sub-plan (made
+    // hashable by the r18 planlog) renders
+    // `[[null, null, 0, c#L, t#L], ...], [lang#, source#, gid#, c#L,
+    // t#L]` — gid mid-list — so the trailing-int rule missed it and
+    // the per-session distinct-group order flipped the hash (1 of
+    // 203 across two JVMs). Here: find gid's index in the LAST
+    // bracket group (the output list), neutralize the integer at
+    // that index in every projection group; genuine literals at
+    // other positions stay hashed. The trailing-int rule below
+    // remains as the fallback for renderings without an output list
+    // on the same line.
+    val l0 =
+      if (!isExpand) l0raw
+      else {
+        val inner = "\\[[^\\[\\]]*\\]".r.findAllIn(l0raw).toSeq
+        if (inner.size < 2) l0raw
+        else {
+          val outToks = inner.last.substring(1, inner.last.length - 1)
+            .split("[,\\s]+").filter(_.nonEmpty)
+          val gi = outToks.indexWhere(_.startsWith("gid#"))
+          if (gi < 0) l0raw
+          else inner.init.distinct.foldLeft(l0raw) { (s, g) =>
+            val toks = g.substring(1, g.length - 1)
+              .split("[,\\s]+").filter(_.nonEmpty)
+            if (gi < toks.length && toks(gi).matches("\\d+"))
+              s.replace(g, "[" + toks.updated(gi, "~")
+                .mkString(", ") + "]")
+            else s
+          }
+        }
+      }
     val groups = scala.collection.mutable.ArrayBuffer
       .empty[String]
     // innermost-bracket replacement ITERATED TO FIXPOINT: a

@@ -70,6 +70,17 @@ object ExtEntry {
     * maxProbes below and <= k=8). */
   private val ProbeCurve = Seq(1, 2, 4)
 
+  /** The one quality-score rule the whole budget-select family keys
+    * on (ext172-179 + the ScaleSmoke pricing gates): nine call sites
+    * must stay byte-identical for the cross-query consistency rungs
+    * (ext177's shared rung == ext175's card, etc.) to keep holding —
+    * one constant removes the drift surface (r18 review). The DuckDB
+    * oracle strings keep their literal copies by design (an oracle
+    * must not read the engine's definition).  */
+  private[graft] val ScorePpmExpr =
+    "least(n_words * 10000, 1000000) DIV 2" +
+      " + (n_stop * 1000000 DIV n_words) DIV 2"
+
   /** Total token budget the ext62 ledger plans against (SF-independent:
     * the ledger's shape, not the budget, is what's under test). */
   private val TokenBudget = 10000000L
@@ -2293,9 +2304,7 @@ object ExtEntry {
     // (ext09's blend, integerized).
     "ext172_budget_select" -> ((s, dir) =>
       Sampling.budgetSelectCard(
-        TextOps.quality(docs(s, dir)).withColumn("score_ppm", expr(
-          "least(n_words * 10000, 1000000) DIV 2" +
-            " + (n_stop * 1000000 DIV n_words) DIV 2")),
+        TextOps.quality(docs(s, dir)).withColumn("score_ppm", expr(ScorePpmExpr)),
         col("score_ppm"), BudgetSelectTokens)),
 
     // Per-STRATUM budget cuts (r16): ext172's cut executed for every
@@ -2306,9 +2315,7 @@ object ExtEntry {
     // count as ONE ext172 cut, zero data shuffles in the searches.
     "ext173_budget_select_strata" -> ((s, dir) =>
       Sampling.budgetSelectCardsByStratum(
-        TextOps.quality(docs(s, dir)).withColumn("score_ppm", expr(
-          "least(n_words * 10000, 1000000) DIV 2" +
-            " + (n_stop * 1000000 DIV n_words) DIV 2")),
+        TextOps.quality(docs(s, dir)).withColumn("score_ppm", expr(ScorePpmExpr)),
         "lang", col("score_ppm"), StratumBudgetTokens)
         .orderBy("lang")),
 
@@ -2321,9 +2328,7 @@ object ExtEntry {
     // plan is chosen FROM.
     "ext174_budget_fill_curve" -> ((s, dir) =>
       Sampling.budgetFillCurve(
-        TextOps.quality(docs(s, dir)).withColumn("score_ppm", expr(
-          "least(n_words * 10000, 1000000) DIV 2" +
-            " + (n_stop * 1000000 DIV n_words) DIV 2")),
+        TextOps.quality(docs(s, dir)).withColumn("score_ppm", expr(ScorePpmExpr)),
         col("score_ppm"), FillCurveBudgets)),
 
     // Two-level allocation (r16): per-lang caps first (no source can
@@ -2334,9 +2339,7 @@ object ExtEntry {
     // driver-materialized; every search zero-data-shuffle.
     "ext175_two_level_budget" -> ((s, dir) =>
       Sampling.twoLevelBudgetCard(
-        TextOps.quality(docs(s, dir)).withColumn("score_ppm", expr(
-          "least(n_words * 10000, 1000000) DIV 2" +
-            " + (n_stop * 1000000 DIV n_words) DIV 2")),
+        TextOps.quality(docs(s, dir)).withColumn("score_ppm", expr(ScorePpmExpr)),
         "lang", col("score_ppm"), StratumBudgetTokens,
         TwoLevelGlobalTokens)),
 
@@ -2353,9 +2356,7 @@ object ExtEntry {
     // enforces for free.
     "ext176_fill_curve_strata" -> ((s, dir) =>
       Sampling.budgetFillCurveByStratum(
-        TextOps.quality(docs(s, dir)).withColumn("score_ppm", expr(
-          "least(n_words * 10000, 1000000) DIV 2" +
-            " + (n_stop * 1000000 DIV n_words) DIV 2")),
+        TextOps.quality(docs(s, dir)).withColumn("score_ppm", expr(ScorePpmExpr)),
         "lang", col("score_ppm"), StratumFillBudgets)
         .orderBy("lang", "budget_tokens")),
 
@@ -2371,9 +2372,7 @@ object ExtEntry {
     // enforces.
     "ext177_cap_sweep" -> ((s, dir) =>
       Sampling.twoLevelCapSweep(
-        TextOps.quality(docs(s, dir)).withColumn("score_ppm", expr(
-          "least(n_words * 10000, 1000000) DIV 2" +
-            " + (n_stop * 1000000 DIV n_words) DIV 2")),
+        TextOps.quality(docs(s, dir)).withColumn("score_ppm", expr(ScorePpmExpr)),
         "lang", col("score_ppm"), StratumFillBudgets,
         TwoLevelGlobalTokens)),
 
@@ -2421,9 +2420,7 @@ object ExtEntry {
     // backward diff is the spec-held transpose).
     "ext179_corpus_diff_versioned" -> ((s, dir) => {
       val d = TextOps.quality(docs(s, dir))
-        .withColumn("score_ppm", expr(
-          "least(n_words * 10000, 1000000) DIV 2" +
-            " + (n_stop * 1000000 DIV n_words) DIV 2"))
+        .withColumn("score_ppm", expr(ScorePpmExpr))
       val parts = Sampling.budgetSelectStratumPartials(
         d, col("lang"), col("score_ppm"))
       val shift =

@@ -41,11 +41,22 @@ object PlanDump {
       } catch { case _: Throwable => () }
     }
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(out))
+    // Mirror Bench's fingerprint pass exactly: pre-checkpoint
+    // Reuse lineage is part of the fingerprint text (r18 — see
+    // Bench's changed-mode comment), so the dump carries the same
+    // composite main-plan + sub-plan text the bench hashes.
+    spark.conf.set("graft.reuse.planlog", "1")
     SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => names.isEmpty || names.contains(n) }
       .foreach { case (name, fn) =>
         val s =
-          try fn(spark, sfDir).queryExecution.executedPlan.toString
+          try {
+            graft.ops.Reuse.drainPlans(spark)
+            val main =
+              fn(spark, sfDir).queryExecution.executedPlan.toString
+            val subs = graft.ops.Reuse.drainPlans(spark)
+            (main +: subs).mkString("\n=== reuse ===\n")
+          }
           catch { case t: Throwable => s"ERR: $t" }
         java.nio.file.Files.write(
           java.nio.file.Paths.get(out, s"$name.txt"),

@@ -988,9 +988,7 @@ object ScaleSmoke {
     if (only.forall(_.exists(p =>
         "r15budget".startsWith(p) || p.startsWith("r15budget")))) {
       val scored = graft.ops.TextOps.quality(big)
-        .withColumn("score_ppm", expr(
-          "least(n_words * 10000, 1000000) DIV 2" +
-            " + (n_stop * 1000000 DIV n_words) DIV 2"))
+        .withColumn("score_ppm", expr(ExtEntry.ScorePpmExpr))
       time("r15budget_select") {
         graft.ops.Sampling.budgetSelectCard(scored, col("score_ppm"),
           10000L * mult)
@@ -1003,9 +1001,7 @@ object ScaleSmoke {
     if (only.forall(_.exists(p =>
         "r16curve".startsWith(p) || p.startsWith("r16curve")))) {
       val scored = graft.ops.TextOps.quality(big)
-        .withColumn("score_ppm", expr(
-          "least(n_words * 10000, 1000000) DIV 2" +
-            " + (n_stop * 1000000 DIV n_words) DIV 2"))
+        .withColumn("score_ppm", expr(ExtEntry.ScorePpmExpr))
       val rungs = Seq(2500L * mult, 10000L * mult, 40000L * mult)
       val tc0 = System.nanoTime()
       val curveRows = graft.ops.Sampling.budgetFillCurve(scored,
@@ -1029,9 +1025,7 @@ object ScaleSmoke {
     if (only.forall(_.exists(p =>
         "r16strata".startsWith(p) || p.startsWith("r16strata")))) {
       val scored = graft.ops.TextOps.quality(big)
-        .withColumn("score_ppm", expr(
-          "least(n_words * 10000, 1000000) DIV 2" +
-            " + (n_stop * 1000000 DIV n_words) DIV 2"))
+        .withColumn("score_ppm", expr(ExtEntry.ScorePpmExpr))
       val tst0 = System.nanoTime()
       val strataRows = graft.ops.Sampling.budgetSelectCardsByStratum(
         scored, "lang", col("score_ppm"), 2500L * mult).count()
@@ -1062,9 +1056,7 @@ object ScaleSmoke {
     if (only.forall(_.exists(p =>
         "r17twolevel".startsWith(p) || p.startsWith("r17twolevel")))) {
       val scored = graft.ops.TextOps.quality(big)
-        .withColumn("score_ppm", expr(
-          "least(n_words * 10000, 1000000) DIV 2" +
-            " + (n_stop * 1000000 DIV n_words) DIV 2"))
+        .withColumn("score_ppm", expr(ExtEntry.ScorePpmExpr))
       time("r17twolevel_card") {
         graft.ops.Sampling.twoLevelBudgetCard(scored, "lang",
           col("score_ppm"), 2500L * mult, 6000L * mult)
@@ -1077,9 +1069,7 @@ object ScaleSmoke {
     if (only.forall(_.exists(p =>
         "r17matrix".startsWith(p) || p.startsWith("r17matrix")))) {
       val scored = graft.ops.TextOps.quality(big)
-        .withColumn("score_ppm", expr(
-          "least(n_words * 10000, 1000000) DIV 2" +
-            " + (n_stop * 1000000 DIV n_words) DIV 2"))
+        .withColumn("score_ppm", expr(ExtEntry.ScorePpmExpr))
       val rungs = Seq(800L * mult, 2500L * mult, 20000L * mult)
       val tc0 = System.nanoTime()
       val curveRows = graft.ops.Sampling.budgetFillCurveByStratum(
@@ -1125,12 +1115,14 @@ object ScaleSmoke {
     // ~30 min and prove nothing new). time() reports wall, rows and
     // peak heap — the "job count independent of corpus size" claim
     // as the same measured shape ext175's r17twolevel_card row got.
-    if (only.forall(_.exists(p =>
+    // Opt-IN only (`exists`, not the other gates' `forall`): an
+    // unfiltered run already times these exact calls inside
+    // r17matrix — running both would repeat ~40 s of identical work
+    // (r18 review).
+    if (only.exists(_.exists(p =>
         "r18matrix".startsWith(p) || p.startsWith("r18matrix")))) {
       val scored = graft.ops.TextOps.quality(big)
-        .withColumn("score_ppm", expr(
-          "least(n_words * 10000, 1000000) DIV 2" +
-            " + (n_stop * 1000000 DIV n_words) DIV 2"))
+        .withColumn("score_ppm", expr(ExtEntry.ScorePpmExpr))
       val rungs = Seq(800L * mult, 2500L * mult, 20000L * mult)
       time("r18matrix_curve") {
         graft.ops.Sampling.budgetFillCurveByStratum(scored, "lang",

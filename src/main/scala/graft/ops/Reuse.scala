@@ -105,6 +105,50 @@ object Reuse {
     df
   }
 
+  /** Pre-checkpoint lineage capture for plan fingerprinting, OFF by
+    * default (`graft.reuse.planlog` = "1" to enable). A
+    * [[shared]]/[[index]] materialization cuts lineage, so the
+    * harness's changed-only bench — which hashes executedPlan
+    * strings — would read two queries whose plans differ only
+    * UPSTREAM of a checkpoint as identical, and a plan edit above a
+    * shared() would never trigger a re-bench (r18 review: ext178's
+    * changed shift literal hashed identically because the whole
+    * snapshot construction sits above the diff projections'
+    * checkpoints). When enabled, the pre-checkpoint child's executed
+    * plan is recorded here and [[drainPlans]] returns-and-clears the
+    * session's log so Bench/PlanDump can fold it into each query's
+    * fingerprint text. [[pin]] is NOT logged: its argument is
+    * already checkpointed by the caller (iterative ops), so there is
+    * no pre-cut lineage left to capture at pin time. */
+  private val ReusePlanLogKey = "graft.reuse.planlog"
+  private val planLog = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession,
+      java.util.concurrent.ConcurrentLinkedQueue[String]]())
+
+  private def logPlan(df: DataFrame): Unit =
+    try {
+      if (df.sparkSession.conf.get(ReusePlanLogKey, "0") == "1") {
+        val s = df.queryExecution.executedPlan.toString
+        planLog.synchronized {
+          planLog.computeIfAbsent(df.sparkSession,
+            _ => new java.util.concurrent.ConcurrentLinkedQueue[String]())
+        }.add(s)
+      }
+    } catch { case _: Throwable => () }
+
+  /** Return and clear the session's pre-checkpoint plan log (empty
+    * unless `graft.reuse.planlog` was enabled during construction). */
+  def drainPlans(spark: SparkSession): Seq[String] = {
+    val q = planLog.synchronized { planLog.remove(spark) }
+    if (q == null) Seq.empty
+    else {
+      val b = Seq.newBuilder[String]
+      var s = q.poll()
+      while (s != null) { b += s; s = q.poll() }
+      b.result()
+    }
+  }
+
   /** Track an externally-created `localCheckpoint` (e.g. Packing's frozen
     * partitioning, Components' edge list) so [[freeAll]] releases its
     * blocks with everything else. */
@@ -114,10 +158,13 @@ object Reuse {
     df.sparkSession.conf.get(ConfKey, "checkpoint") match {
       case "recompute" => df
       case "eager_persist" =>
+        logPlan(df)
         val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         p.count()
         trackCache(p)
-      case _ => trackCheckpoint(
+      case _ =>
+        logPlan(df)
+        trackCheckpoint(
         // The stats a checkpoint inherits explode as a power tower
         // across iterative rounds (BPE/components) — clamp them above
         // the no-planning-information line; see the bridge's scaladoc.
@@ -157,9 +204,12 @@ object Reuse {
       build: => DataFrame): DataFrame =
     indexes.computeIfAbsent(
       (org.apache.spark.sql.graftbridge.SqlBridge.sessionUUID(spark), key),
-      _ => new IndexHolder(() =>
+      _ => new IndexHolder(() => {
+        val b0 = build
+        logPlan(b0)
         org.apache.spark.sql.graftbridge.SqlBridge.clampCheckpointStats(
-          build.localCheckpoint(true)))).df
+          b0.localCheckpoint(true))
+      })).df
 
   /** Lazy index slot: materialization synchronizes on this holder (not
     * the registry map); `built` is observable without forcing a build. */

@@ -94,4 +94,26 @@ class PlanFingerprintSpec extends AnyFunSuite {
     val b = "Aggregate [v1 v2] [k1 k2] gid#3"
     assert(fp(a) == fp(b))
   }
+
+  test("safe: Expand with a MID-POSITION gid column — the ext66 " +
+      "sub-plan shape the r18 planlog made hashable — permutes " +
+      "distinct-group order per session and hashes equal") {
+    val a = "+- Expand [[null, null, 0, c#1L, t#2L], " +
+      "[lang#3, null, 1, null, null], [null, source#4, 2, null, " +
+      "null]], [lang#5, source#6, gid#7, c#8L, t#9L]"
+    val b = "+- Expand [[null, null, 0, c#1L, t#2L], " +
+      "[null, source#4, 1, null, null], [lang#3, null, 2, null, " +
+      "null]], [lang#5, source#6, gid#7, c#8L, t#9L]"
+    assert(fp(a) == fp(b))
+  }
+
+  test("unsafe: a genuine literal at a NON-gid position in an Expand " +
+      "projection still changes the hash (the positional rule " +
+      "neutralizes only the gid column's index)") {
+    val a = "+- Expand [[null, 0, 5, c#1L]], " +
+      "[lang#2, gid#3, lit#4, c#5L]"
+    val b = "+- Expand [[null, 0, 6, c#1L]], " +
+      "[lang#2, gid#3, lit#4, c#5L]"
+    assert(fp(a) != fp(b))
+  }
 }

@@ -30,6 +30,15 @@ if "--skip-verify" not in sys.argv:
     for line in (r.stdout + r.stderr).splitlines():
         if "[verify]" in line or "error" in line.lower():
             print(line)
+    # A failed sbt run must FAIL the gate, not fall through to a
+    # comparison of whatever stale dump sits in OUT (r18: a compile
+    # error after a partial git-checkout produced a green "203/203
+    # pass" against outputs from an earlier run).
+    if r.returncode != 0:
+        print("\n".join((r.stdout + r.stderr).splitlines()[-15:]))
+        print(f"FATAL: sbt runMain graft.Verify exited {r.returncode}"
+              " - refusing to compare a stale dump")
+        sys.exit(2)
 
 import duckdb
 con = duckdb.connect()
