@@ -909,50 +909,51 @@ object Sampling {
         "budgetSelect needs score and id domains above Long.MinValue")
       (r.get(0), sLo, r.getLong(2), iLo, r.getLong(4))
     }
-    val probeCols = BisectFanout - 1
-    // one aggregate job evaluating every active stratum's probe
-    // ladder: the corpus joins the broadcast (stratum, _t?, _m1..7)
-    // relation and each probe is one conditional token sum
-    def roundSums(rows: Seq[(Any, Seq[Long])], tOf: Map[Any, Long],
-        cond: (Column, Column) => Column): Map[Any, Seq[Long]] = {
-      val withT = tOf.nonEmpty
-      val schema = StructType(StructField("_s", sType) +:
-        (if (withT) Seq(StructField("_t", LongType)) else Nil) ++:
-        (1 to probeCols).map(i => StructField(s"_m$i", LongType)))
-      val mids = spark.createDataFrame(rows.map { case (s, ms) =>
-        Row.fromSeq(Seq(s) ++ (if (withT) Seq(tOf(s)) else Nil) ++
-          ms.padTo(probeCols, ms.last))
-      }.asJava, schema)
-      val aggs = (1 to probeCols).map(i =>
-        coalesce(sum(when(cond(col(s"_m$i"), col("_score")),
-          col("_toks")).otherwise(0L)), lit(0L)).as(s"_c$i"))
-      e.join(broadcast(mids), "_s")
-        .groupBy("_s").agg(aggs.head, aggs.tail: _*)
-        .collect()
-        .map(r => r.get(0) ->
-          (1 to probeCols).map(i => r.getLong(i)).toSeq)
-        .toMap
+    // one single-stage ProbeScan pass per round evaluating every
+    // active stratum's probe ladder (r18: replaces the per-round
+    // broadcast-join + groupBy aggregate — no per-round Catalyst
+    // work, no padding to a fixed column count)
+    val pscan = new ProbeScan(e, Seq("_s"))
+    pscan.setGroups(doms.map(d => Seq(d._1)))
+    val gOf: Map[Any, Int] =
+      doms.map(d => d._1 -> pscan.groupIndex(Seq(d._1))).toMap
+    def roundSums(rows: Seq[(Any, Seq[Long])], tOf: Map[Any, Long])
+        : Map[Any, Seq[Long]] = {
+      val specs = rows.flatMap { case (s, ms) =>
+        ms.map { m =>
+          if (tOf.isEmpty)
+            ProbeScan.Spec(ProbeScan.ScoreGt, 0L, m, -1, -1, gOf(s))
+          else ProbeScan.Spec(ProbeScan.ScoreEqIdLe, tOf(s), m, -1,
+            -1, gOf(s))
+        }
+      }
+      val vs = pscan.sums(specs)
+      var off = 0
+      rows.map { case (s, ms) =>
+        val slice = vs.slice(off, off + ms.size).toSeq
+        off += ms.size
+        s -> slice
+      }.toMap
     }
     // threshold phase: per stratum, min t in [sLo-1, sHi] with
     // tokens(score > t) <= B — all strata per round in one job
     val tMap = keyedSearch[Any](
       doms.map(d => d._1 -> (d._2 - 1, d._3)).toMap,
       minProbes, minUpdate, rows => {
-        val sums = roundSums(rows, Map.empty, (m, sc) => sc > m)
+        val sums = roundSums(rows, Map.empty)
         rows.map { case (s, ps) =>
           s -> ps.indices.map(i => sums(s)(i) <= bOf(s)) }.toMap
       })
     // base: tokens strictly above each stratum's threshold (one job)
     val base = roundSums(
-      doms.toSeq.map(d => (d._1, Seq(tMap(d._1)))), Map.empty,
-      (m, sc) => sc > m).map { case (s, v) => s -> v.head }
+      doms.toSeq.map(d => (d._1, Seq(tMap(d._1)))), Map.empty)
+      .map { case (s, v) => s -> v.head }
     // boundary phase: per stratum, max id* in [iLo-1, iHi] with
     // base + tokens(score = t, id <= id*) <= B
     val iOf = keyedSearch[Any](
       doms.map(d => d._1 -> (d._4 - 1, d._5)).toMap,
       maxProbes, maxUpdate, rows => {
-        val sums = roundSums(rows, tMap,
-          (m, sc) => sc === col("_t") && col("_id") <= m)
+        val sums = roundSums(rows, tMap)
         rows.map { case (s, ps) =>
           s -> ps.indices.map(i => base(s) + sums(s)(i) <= bOf(s)) }
           .toMap
@@ -1169,15 +1170,11 @@ object Sampling {
       CardCols.filterNot(_ == "budget_tokens"))
       .map(StructField(_, LongType)))
     val e = Reuse.shared(budgetSelectPartials(doc, score, id, text))
-    // one aggregate job evaluating a batch of conditional token sums
-    def sums(conds: Seq[Column]): Seq[Long] = {
-      val aggs = conds.zipWithIndex.map { case (c, i) =>
-        coalesce(sum(when(c, col("_toks")).otherwise(0L)), lit(0L))
-          .as(s"_s$i")
-      }
-      val row = e.agg(aggs.head, aggs.tail: _*).first()
-      conds.indices.map(row.getLong)
-    }
+    // one single-stage ProbeScan pass per round evaluating a batch of
+    // conditional token sums (r18: no per-round Catalyst work)
+    val pscan = new ProbeScan(e, Nil)
+    def sums(specs: Seq[ProbeScan.Spec]): Seq[Long] =
+      pscan.sums(specs).toSeq
     val dom = e.agg(min("_score"), max("_score"), min("_id"),
       max("_id")).first()
     if (dom.isNullAt(0))
@@ -1200,8 +1197,8 @@ object Sampling {
         val pb = act.toSeq.map { case (b, (lo, hi)) =>
           b -> minProbes(lo, hi) }
         val allPs = pb.flatMap(_._2).distinct.sorted
-        val vOf = allPs.zip(sums(allPs.map(m => col("_score") > m)))
-          .toMap
+        val vOf = allPs.zip(sums(allPs.map(m =>
+          ProbeScan.spec(ProbeScan.ScoreGt, m)))).toMap
         minBr = pb.map { case (b, ps) =>
           val (lo, hi) = act(b)
           b -> minUpdate(lo, hi, ps, ps.map(p => vOf(p) <= b))
@@ -1210,7 +1207,8 @@ object Sampling {
     }
     // base mass per DISTINCT threshold (budgets often share one)
     val ts = tOf.values.toSeq.distinct.sorted
-    val baseOf = ts.zip(sums(ts.map(t => col("_score") > t))).toMap
+    val baseOf = ts.zip(sums(ts.map(t =>
+      ProbeScan.spec(ProbeScan.ScoreGt, t)))).toMap
     // boundary phase: per-budget class conditions (score = t_B),
     // batched as columns per round
     var maxBr: Map[Long, (Long, Long)] =
@@ -1226,7 +1224,8 @@ object Sampling {
         val keys = pb.flatMap { case (b, ps) =>
           ps.map(p => (tOf(b), p)) }.distinct
         val vOf = keys.zip(sums(keys.map { case (t, m) =>
-          col("_score") === t && col("_id") <= m })).toMap
+          ProbeScan.Spec(ProbeScan.ScoreEqIdLe, t, m, -1, -1, -1)
+        })).toMap
         maxBr = pb.map { case (b, ps) =>
           val (lo, hi) = act(b)
           b -> maxUpdate(lo, hi, ps,
@@ -1360,47 +1359,35 @@ object Sampling {
         "budgetSelect needs score and id domains above Long.MinValue")
       (r.get(0), sLo, r.getLong(2), iLo, r.getLong(4))
     }
-    // one aggregate job per round evaluating every stratum's probe
-    // ladder (variable width — the per-stratum union of its active
-    // budgets' ladders, padded to the round's max)
-    def sumsAt(rows: Seq[(Any, Seq[Long])],
-        cond: (Column, Column) => Column): Map[Any, Seq[Long]] = {
-      val w = rows.map(_._2.size).max
-      val schema = StructType(StructField("_s", sType) +:
-        (1 to w).map(i => StructField(s"_m$i", LongType)))
-      val mids = spark.createDataFrame(rows.map { case (s, ms) =>
-        Row.fromSeq(s +: ms.padTo(w, ms.last))
-      }.asJava, schema)
-      val aggs = (1 to w).map(i =>
-        coalesce(sum(when(cond(col(s"_m$i"), col("_score")),
-          col("_toks")).otherwise(0L)), lit(0L)).as(s"_c$i"))
-      e.join(broadcast(mids), "_s")
-        .groupBy("_s").agg(aggs.head, aggs.tail: _*)
-        .collect()
-        .map(r => r.get(0) -> (1 to w).map(r.getLong).toSeq).toMap
+    // one single-stage ProbeScan pass per round evaluating every
+    // stratum's probe ladder (the per-stratum union of its active
+    // budgets' ladders — exact widths, no padding; r18: replaces the
+    // per-round broadcast-join + groupBy aggregate)
+    val pscan = new ProbeScan(e, Seq("_s"))
+    pscan.setGroups(doms.map(d => Seq(d._1)))
+    val gOf: Map[Any, Int] =
+      doms.map(d => d._1 -> pscan.groupIndex(Seq(d._1))).toMap
+    def scanSums[P](rows: Seq[(Any, Seq[P])],
+        toSpec: (Any, P) => ProbeScan.Spec): Map[Any, Seq[Long]] = {
+      val specs = rows.flatMap { case (s, ps) =>
+        ps.map(p => toSpec(s, p)) }
+      val vs = pscan.sums(specs)
+      var off = 0
+      rows.map { case (s, ps) =>
+        val slice = vs.slice(off, off + ps.size).toSeq
+        off += ps.size
+        s -> slice
+      }.toMap
     }
-    // boundary-phase twin: each probe column carries its OWN
-    // threshold class (budgets in one stratum may cut different
-    // classes), so the condition pairs (t, m) ride as column pairs
+    def sumsAt(rows: Seq[(Any, Seq[Long])]): Map[Any, Seq[Long]] =
+      scanSums[Long](rows, (s, m) =>
+        ProbeScan.Spec(ProbeScan.ScoreGt, 0L, m, -1, -1, gOf(s)))
+    // boundary-phase twin: each probe carries its OWN threshold class
+    // (budgets in one stratum may cut different classes)
     def pairSumsAt(rows: Seq[(Any, Seq[(Long, Long)])])
-        : Map[Any, Seq[Long]] = {
-      val w = rows.map(_._2.size).max
-      val schema = StructType(StructField("_s", sType) +:
-        (1 to w).flatMap(i => Seq(StructField(s"_t$i", LongType),
-          StructField(s"_m$i", LongType))))
-      val mids = spark.createDataFrame(rows.map { case (s, ps) =>
-        Row.fromSeq(s +: ps.padTo(w, ps.last)
-          .flatMap { case (t, m) => Seq(t, m) })
-      }.asJava, schema)
-      val aggs = (1 to w).map(i =>
-        coalesce(sum(when(col("_score") === col(s"_t$i") &&
-          col("_id") <= col(s"_m$i"), col("_toks")).otherwise(0L)),
-          lit(0L)).as(s"_c$i"))
-      e.join(broadcast(mids), "_s")
-        .groupBy("_s").agg(aggs.head, aggs.tail: _*)
-        .collect()
-        .map(r => r.get(0) -> (1 to w).map(r.getLong).toSeq).toMap
-    }
+        : Map[Any, Seq[Long]] =
+      scanSums[(Long, Long)](rows, { case (s, (t, m)) =>
+        ProbeScan.Spec(ProbeScan.ScoreEqIdLe, t, m, -1, -1, gOf(s)) })
     // threshold phase: bracket per (stratum, budget); every budget's
     // bracket advances off the SHARED per-stratum probe sums
     val tOf = keyedSearch[(Any, Long)](
@@ -1409,7 +1396,7 @@ object Sampling {
       minProbes, minUpdate, ladders => {
         val perS = ladders.groupBy(_._1._1).map { case (s, ls) =>
           s -> ls.flatMap(_._2).distinct.sorted }
-        val sums = sumsAt(perS.toSeq, (m, sc) => sc > m)
+        val sums = sumsAt(perS.toSeq)
         val vOf = perS.map { case (s, ps) =>
           s -> ps.zip(sums(s).take(ps.size)).toMap }
         ladders.map { case (k @ (s, b), ps) =>
@@ -1419,7 +1406,7 @@ object Sampling {
     // stratum often share a class; one job
     val tsPerS = tOf.toSeq.groupBy(_._1._1).map { case (s, kv) =>
       s -> kv.map(_._2).distinct.sorted }.toSeq
-    val baseSums = sumsAt(tsPerS, (m, sc) => sc > m)
+    val baseSums = sumsAt(tsPerS)
     val baseOf: Map[(Any, Long), Long] = tsPerS.flatMap {
       case (s, ts) => ts.zip(baseSums(s).take(ts.size))
         .map { case (t, v) => (s, t) -> v } }.toMap
@@ -1624,16 +1611,15 @@ object Sampling {
     val nSurv = (0 until K).map(k => domRow.getLong(6 * k + 4))
     val tokSurv = (0 until K).map(k => domRow.getLong(6 * k + 5))
     val active = (0 until K).filter(nSurv(_) > 0L)
-    // batched stage-2 sums: one aggregate per call, one conditional
-    // column per (cap, probe)
-    def sums2(conds: Seq[Column]): Seq[Long] = {
-      val aggs = conds.zipWithIndex.map { case (c, i) =>
-        coalesce(sum(when(c, col("_toks")).otherwise(0L)), lit(0L))
-          .as(s"_c$i")
-      }
-      val row = ej.agg(aggs.head, aggs.tail: _*).first()
-      conds.indices.map(row.getLong)
-    }
+    // batched stage-2 sums: one single-stage ProbeScan pass per
+    // round, one conditional sum per (cap, probe) — the survivor
+    // predicate reads each row's own pivoted (_ct k, _ci k) columns
+    // (r18: replaces the per-round wide aggregate)
+    val pscan2 = new ProbeScan(ej, Nil)
+    val ctOrd = (0 until K).map(k => ej.schema.fieldIndex(s"_ct$k"))
+    val ciOrd = (0 until K).map(k => ej.schema.fieldIndex(s"_ci$k"))
+    def sums2(specs: Seq[ProbeScan.Spec]): Seq[Long] =
+      pscan2.sums(specs).toSeq
     // stage-2 threshold phase: bracket per active cap, all caps'
     // probes in one job per round. (No Long.MinValue domain guard
     // needed here: survivor domains are subsets of the per-stratum
@@ -1644,14 +1630,17 @@ object Sampling {
         val flat = ladders.flatMap { case (k, ps) =>
           ps.map(p => (k, p)) }
         val vOf = flat.zip(sums2(flat.map { case (k, p) =>
-          surv(k) && col("_score") > p })).toMap
+          ProbeScan.Spec(ProbeScan.SurvScoreGt, 0L, p, ctOrd(k),
+            ciOrd(k), -1) })).toMap
         ladders.map { case (k, ps) =>
           k -> ps.map(p => vOf((k, p)) <= globalBudget) }.toMap
       })
     // base mass above each active cap's stage-2 threshold (one job)
     val baseVs =
       if (active.isEmpty) Seq.empty[Long]
-      else sums2(active.map(k => surv(k) && col("_score") > t2(k)))
+      else sums2(active.map(k =>
+        ProbeScan.Spec(ProbeScan.SurvScoreGt, 0L, t2(k), ctOrd(k),
+          ciOrd(k), -1)))
     val baseOf = active.zip(baseVs).toMap
     // stage-2 boundary phase
     val i2 = keyedSearch[Int](active.map(k =>
@@ -1660,8 +1649,8 @@ object Sampling {
         val flat = ladders.flatMap { case (k, ps) =>
           ps.map(p => (k, p)) }
         val vOf = flat.zip(sums2(flat.map { case (k, p) =>
-          surv(k) && col("_score") === t2(k) && col("_id") <= p }))
-          .toMap
+          ProbeScan.Spec(ProbeScan.SurvEqIdLe, t2(k), p, ctOrd(k),
+            ciOrd(k), -1) })).toMap
         ladders.map { case (k, ps) =>
           k -> ps.map(p => baseOf(k) + vOf((k, p)) <= globalBudget) }
           .toMap
@@ -1864,24 +1853,30 @@ object Sampling {
 
   /** Probes per search round: each round is ONE aggregate job
     * computing `BisectFanout − 1` conditional sums in a single scan,
-    * so the round count drops from log₂(span) to log₈(span) — the
+    * so the round count drops from log₂(span) to log_F(span) — the
     * bracket-refinement the ext170 EXPLAINS note promised, realized.
     * Job-scheduling overhead (not scan cost) dominates these
-    * searches, so fewer-but-wider rounds win at every scale. */
-  private val BisectFanout = 8
+    * searches locally, and at 100 TB each round is a full pass over
+    * the partials relation, so fewer-but-wider rounds win at every
+    * scale: the per-row cost of F−1 conditional sums is trivially
+    * codegen'd while the pass count falls as 1/log₂F. r18 measured
+    * (JobProfile, sf0.1 local[32]): fanout 8 → 32 cut the family's
+    * sequential job counts ~40% (ext177 86 → ~52 jobs) with the
+    * identical converged result — the searches are exact for ANY
+    * fanout ≥ 2, the ladder only changes how fast brackets narrow.
+    * Overridable for A/B measurement via -Dgraft.bisect.fanout. */
+  private[graft] def BisectFanout: Int =
+    sys.props.get("graft.bisect.fanout").map(_.toInt).getOrElse(32)
 
   private def budgetBoundaryOf(e: DataFrame, budgetTokens: Long)
       : (DataFrame, Long, Long) = {
     require(budgetTokens > 0, "token budget must be positive")
-    // one aggregate job evaluating a batch of conditional token sums
-    def toksWhere(conds: Seq[Column]): Seq[Long] = {
-      val aggs = conds.zipWithIndex.map { case (c, i) =>
-        coalesce(sum(when(c, col("_toks")).otherwise(0L)), lit(0L))
-          .as(s"_s$i")
-      }
-      val row = e.agg(aggs.head, aggs.tail: _*).first()
-      conds.indices.map(row.getLong)
-    }
+    // one single-stage pass per round evaluating a batch of
+    // conditional token sums over the pinned partials (ProbeScan —
+    // no per-round Catalyst work; r18 optimization)
+    val ps = new ProbeScan(e, Nil)
+    def toksWhere(specs: Seq[ProbeScan.Spec]): Seq[Long] =
+      ps.sums(specs).toSeq
     val dom = e.agg(min("_score"), max("_score"), min("_id"),
       max("_id")).first()
     if (dom.isNullAt(0)) return (null, 0L, 0L)
@@ -1897,14 +1892,15 @@ object Sampling {
     // (predicate monotone non-decreasing in t; t = sLo-1 means the
     // whole corpus fits)
     val t = karyMinTrue(sLo - 1, sHi, ms =>
-      toksWhere(ms.map(m => col("_score") > m))
+      toksWhere(ms.map(m => ProbeScan.spec(ProbeScan.ScoreGt, m)))
         .map(_ <= budgetTokens))
-    val base = toksWhere(Seq(col("_score") > t)).head
+    val base = toksWhere(Seq(ProbeScan.spec(ProbeScan.ScoreGt, t))).head
     // boundary: max id* in [iLo-1, iHi] with base + tokens(score = t,
     // id <= id*) <= B (monotone; iLo-1 always satisfies — base <= B by
     // t's construction)
     val idStar = karyMaxTrue(iLo - 1, iHi, ms =>
-      toksWhere(ms.map(m => col("_score") === t && col("_id") <= m))
+      toksWhere(ms.map(m =>
+        ProbeScan.Spec(ProbeScan.ScoreEqIdLe, t, m, -1, -1, -1)))
         .map(base + _ <= budgetTokens))
     (e, t, idStar)
   }

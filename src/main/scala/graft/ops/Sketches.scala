@@ -182,64 +182,75 @@ object Sketches {
     // NULL values must not count toward n: they'd inflate k past the
     // reachable cumulative count (no NULL ever satisfies _v <= _mid) and
     // the bisection would silently converge to the stratum max.
+    // Strata ride as FLAT columns (r18: the probe rounds read them
+    // through ProbeScan's internal-row group lookup, which keys on
+    // field values — no struct build needed).
+    val sNames = strata.indices.map(i => s"_s$i")
     val base = Reuse.shared(df.select(
-      struct(strata.map(col): _*).as("_s"),
-      value.cast("long").as("_v")).where(col("_v").isNotNull))
-    val keyType = base.schema("_s").dataType
-    val init = base.groupBy("_s")
+      strata.zipWithIndex.map { case (c, i) => col(c).as(s"_s$i") } :+
+        value.cast("long").as("_v"): _*).where(col("_v").isNotNull))
+    val init = base.groupBy(sNames.map(col): _*)
       .agg(count(lit(1)).as("n"), min("_v").as("lo"), max("_v").as("hi"))
       .collect()
-    // (stratum key row, q, k, lo, hi):
+    val nS = strata.size
+    // (stratum key values, q, k, lo, hi):
     // invariant count(< lo) < k <= count(<= hi)
     var probes = init.flatMap { r =>
-      val (s, n, lo, hi) =
-        (r.getStruct(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      val s = (0 until nS).map(r.get).toList
+      val (n, lo, hi) =
+        (r.getLong(nS), r.getLong(nS + 1), r.getLong(nS + 2))
       qs.map(q => (s, q, (q.toLong * n + 99L) / 100L, lo, hi))
     }
-    var done = Map.empty[(Row, Int), Long]
-    // K-ARY rounds (r15): each round carries SevenProbes evenly spaced
+    var done = Map.empty[(List[Any], Int), Long]
+    val pscan = new ProbeScan(base, sNames, countRows = true)
+    pscan.setGroups(init.map(r => (0 until nS).map(r.get)).toSeq)
+    val gOf: Map[List[Any], Int] = init.map { r =>
+      val s = (0 until nS).map(r.get).toList
+      s -> pscan.groupIndex(s)
+    }.toMap
+    // K-ARY rounds (r15): each round carries fanout−1 evenly spaced
     // probe COLUMNS per (stratum, q) — one conditional sum each, no
     // row fan-out, still one job per round — so the round count drops
-    // log₂(span) → log₈(span) (~45 → ~15 for a year of microseconds).
+    // log₂(span) → log_F(span) (~45 → ~9 at F=32 for a year of
+    // microseconds). Fanout shared with the budget-select bisections
+    // (Sampling.BisectFanout, r18: 8 → 32 — each extra probe is one
+    // more codegen'd conditional sum on the same pass, so wider
+    // rounds cut the sequential-pass count at every scale).
     // Probe arithmetic is BigInt: a full-Long value domain (64-bit
     // hashes) overflows hi − lo. The converged value is unchanged:
     // the smallest v with cumulative count ≥ k, any probe ladder.
-    val SevenProbes = 7
-    val midsSchema = StructType(Seq(
-      StructField("_s", keyType), StructField("_q", IntegerType)) ++
-      (1 to SevenProbes).map(i => StructField(s"_m$i", LongType)))
+    val ProbeCols = Sampling.BisectFanout - 1
     // strictly increasing distinct probes within [lo, hi)
     def midsOf(lo: Long, hi: Long): Seq[Long] = {
       val w = BigInt(hi) - BigInt(lo)
-      (1 to SevenProbes)
-        .map(i => (BigInt(lo) + w * i / (SevenProbes + 1)).toLong)
+      (1 to ProbeCols)
+        .map(i => (BigInt(lo) + w * i / (ProbeCols + 1)).toLong)
         .distinct
     }
     while (probes.nonEmpty) {
       val (fin, active) = probes.partition(p => p._4 >= p._5)
-      done ++= fin.map(p => ((p._1: Row), p._2) -> p._4)
+      done ++= fin.map(p => (p._1, p._2) -> p._4)
       if (active.nonEmpty) {
-        val mids = spark.createDataFrame(
-          active.map { case (s, q, _, lo, hi) =>
-            val ms = midsOf(lo, hi)
-            // pad the TAIL with the last probe so the row always has
-            // SevenProbes columns (duplicate counts are discarded by
-            // the take(ms.size) below)
-            Row.fromSeq(Seq(s, q) ++ ms.padTo(SevenProbes, ms.last))
-          }.toSeq.asJava, midsSchema)
-        val aggs = (1 to SevenProbes).map(i =>
-          sum(when(col("_v") <= col(s"_m$i"), 1L).otherwise(0L))
-            .as(s"_c$i"))
-        val cnts = base.join(broadcast(mids), "_s")
-          .groupBy("_s", "_q")
-          .agg(aggs.head, aggs.tail: _*)
-          .collect()
-          .map(r => ((r.getStruct(0): Row), r.getInt(1)) ->
-            (1 to SevenProbes).map(i => r.getLong(1 + i)))
-          .toMap
+        // every active (stratum, q) ladder rides ONE single-stage
+        // ProbeScan pass (r18: replaces the per-round broadcast-join
+        // + groupBy aggregate; exact ladder widths, no padding)
+        val ladders = active.map { case (s, q, _, lo, hi) =>
+          (s, q, midsOf(lo, hi)) }
+        val specs = ladders.flatMap { case (s, _, ms) =>
+          ms.map(m =>
+            graft.ops.ProbeScan.Spec(graft.ops.ProbeScan.ValueLe, 0L,
+              m, -1, -1, gOf(s)))
+        }
+        val vs = pscan.sums(specs.toSeq)
+        var off = 0
+        val cnts = ladders.map { case (s, q, ms) =>
+          val slice = vs.slice(off, off + ms.size).toSeq
+          off += ms.size
+          (s, q) -> slice
+        }.toMap
         probes = active.map { case (s, q, k, lo, hi) =>
           val ms = midsOf(lo, hi)
-          val cs = cnts((s, q)).take(ms.size)
+          val cs = cnts((s, q))
           // counts are monotone in the probe value: the answer lies in
           // the segment between the last probe below k and the first
           // probe reaching it (invariant count(< lo') < k <= count(<= hi'))
@@ -255,7 +266,7 @@ object Sketches {
         StructField("q", LongType), StructField("value", LongType)))
     spark.createDataFrame(
       done.toSeq.map { case ((s, q), v) =>
-        Row.fromSeq(s.toSeq ++ Seq(q.toLong, v))
+        Row.fromSeq(s ++ Seq(q.toLong, v))
       }.asJava, outSchema)
   }
 
