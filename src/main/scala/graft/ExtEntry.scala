@@ -127,6 +127,18 @@ object ExtEntry {
   private def pqCb(s: SparkSession, dir: String): Option[DataFrame] =
     Some(Similarity.pqCodebooksIndex(embs(s, dir), cacheKey = dir))
 
+  /** Build-once PQ codes / bucket-tagged coded corpus (r18) — the
+    * stored serving artifacts the PQ consumers scan instead of
+    * re-encoding the corpus per query. */
+  private def pqCodesIdx(s: SparkSession, dir: String): Option[DataFrame] =
+    Some(Similarity.pqCodesIndex(embs(s, dir),
+      Similarity.pqCodebooksIndex(embs(s, dir), cacheKey = dir),
+      cacheKey = dir))
+  private def pqCodedIdx(s: SparkSession, dir: String): Option[DataFrame] =
+    Some(Similarity.ivfPqCodedCorpusIndex(embs(s, dir),
+      Similarity.pqCodebooksIndex(embs(s, dir), cacheKey = dir),
+      ivfProbeIndex(s, dir), cacheKey = dir))
+
   /** Build-once BPE merge table shared by ext111/ext112 — THE stored
     * tokenizer artifact: learned once per (session, sfdir), the audit
     * replays it ([[graft.ops.TextOps.bpeEstimateAuditFrom]]) exactly
@@ -153,9 +165,17 @@ object ExtEntry {
     * listing (ext27) and the dedup impact report (ext64) all read it. */
   private def dupClusters(s: SparkSession, dir: String): DataFrame =
     graft.ops.Reuse.index(s, s"dup-clusters:$dir") {
-      Components.connectedComponents(
-        Dedup.minhashLsh(docs(s, dir)).select("id_a", "id_b"))
+      Components.connectedComponents(lshPairsIdx(s, dir))
         .select(col("id").as("doc_id"), col("cluster_id"))
+    }
+
+  /** Build-once full-corpus LSH candidate pair set — the stored dedup
+    * pair relation (r18): the cluster map build and the cross-detector
+    * agreement audit (ext100) both read it instead of re-running the
+    * MinHash/banding pass per query. */
+  private def lshPairsIdx(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Reuse.index(s, s"lsh-pairs:$dir") {
+      Dedup.minhashLsh(docs(s, dir)).select("id_a", "id_b")
     }
 
   /** Build-once LSH audit artifact shared by the recall (ext54) and
@@ -1079,7 +1099,8 @@ object ExtEntry {
     // cosine) — the residue (high-shingle, low-BoW pairs) is n-gram
     // coincidence a curator inspects before trusting the pair set.
     "ext100_lexical_agreement" -> ((s, dir) =>
-      Dedup.lexicalAgreementAudit(docs(s, dir))),
+      Dedup.lexicalAgreementAudit(docs(s, dir),
+        candidatePairs = Some(lshPairsIdx(s, dir)))),
 
     // Schema-on-read JSON profile of events.props: one row per
     // top-level key with occurrence + value-type counts — the audit a
@@ -1899,7 +1920,7 @@ object ExtEntry {
       val e = embs(s, dir)
       Similarity.pqFidelityAudit(
         e, e.filter(col("vec_id") < NumQueryVecs), 3,
-        codebooks = pqCb(s, dir))
+        codebooks = pqCb(s, dir), codes = pqCodesIdx(s, dir))
     }),
 
     // Two-stage PQ retrieval, recall-priced: ADC top-20 candidate pool
@@ -1910,7 +1931,7 @@ object ExtEntry {
       val e = embs(s, dir)
       Similarity.pqRerankRecallAudit(
         e, e.filter(col("vec_id") < NumQueryVecs), 3, 20,
-        codebooks = pqCb(s, dir))
+        codebooks = pqCb(s, dir), codes = pqCodesIdx(s, dir))
     }),
 
     // SemDeDup detector audit: truth = ALL pairs at/above the cosine
@@ -2617,7 +2638,7 @@ object ExtEntry {
       val e = embs(s, dir)
       Similarity.ivfPqTopK(e, e.filter(col("vec_id") < NumQueryVecs),
           ivfProbeIndex(s, dir), k = 3, probes = 2, candidates = 20,
-          codebooks = pqCb(s, dir))
+          codebooks = pqCb(s, dir), codedCorpus = pqCodedIdx(s, dir))
         .orderBy("q_id", "rank")
     }),
 
@@ -2630,7 +2651,7 @@ object ExtEntry {
       val e = embs(s, dir)
       Similarity.ivfPqProbeCurve(e, e.filter(col("vec_id") < NumQueryVecs),
         ivfProbeIndex(s, dir), ProbeCurve, k = 3, candidates = 20,
-        codebooks = pqCb(s, dir))
+        codebooks = pqCb(s, dir), codedCorpus = pqCodedIdx(s, dir))
     }),
 
     // Cluster-prototypicality pruning (Sorscher et al. 2022): exact

@@ -131,27 +131,40 @@ object Curation {
     val (c0, c1, c2, c3, c4, c5) =
       (snap.c0, snap.c1, snap.c2, snap.c3, snap.c4, snap.c5)
     // ---- the card ----
+    // Every stage's (docs, toks) is computed ONCE in a single
+    // labelled union aggregate (r18: the pairwise crossJoin card
+    // aggregated each relation twice — cur in its own row, prev in
+    // the next row's — 11 full passes over the stage relations for 6
+    // values; at 100 TB each pass is a scan of a corpus-sized stage
+    // relation, so halving the pass count is the dominant cost of
+    // the card body). The removed_* deltas derive from the previous
+    // stage's row via a 6-row lag window; a static stage frame
+    // reinstates all-zero rows for emptied stages (an aggregate over
+    // a labelled union yields no row for an empty stage, unlike the
+    // old per-stage aggregate).
     val nTok = size(TextOps.tokens(col("text"))).cast("long")
-    def counts(df: DataFrame) = df.agg(count(lit(1)).as("d"),
-      coalesce(sum(nTok), lit(0L)).as("t"))
-    def stage(ord: Long, name: String, cur: DataFrame,
-        prev: DataFrame): DataFrame =
-      counts(cur).crossJoin(
-          counts(prev).select(col("d").as("pd"), col("t").as("pt")))
-        .select(lit(ord).as("stage_ord"), lit(name).as("stage"),
-          col("d").as("docs"), col("t").as("toks"),
-          (col("pd") - col("d")).as("removed_docs"),
-          (col("pt") - col("t")).as("removed_toks"))
-    val s0 = counts(c0).select(lit(0L).as("stage_ord"),
-      lit("input").as("stage"), col("d").as("docs"),
-      col("t").as("toks"), lit(0L).as("removed_docs"),
-      lit(0L).as("removed_toks"))
-    Seq(s0, stage(1, "gopher", c1, c0), stage(2, "rep_surgery", c2, c1),
-        stage(3, "span_surgery", c3, c2),
-        stage(4, "semantic_decon", c4, c3),
-        stage(5, "bloom_decon", c5, c4),
-        mixPackRows(c5, tokenBudget, ctx))
+    val labelled = Seq(c0, c1, c2, c3, c4, c5).zipWithIndex
+      .map { case (df, i) =>
+        df.select(lit(i.toLong).as("stage_ord"), nTok.as("_nt")) }
       .reduce(_ unionByName _)
+    val cnts = labelled.groupBy("stage_ord")
+      .agg(count(lit(1)).as("d"), coalesce(sum("_nt"), lit(0L)).as("t"))
+    val names = Seq("input", "gopher", "rep_surgery", "span_surgery",
+      "semantic_decon", "bloom_decon")
+    val stageFrame = docs.sparkSession.createDataFrame(
+      names.zipWithIndex.map { case (n, i) => (i.toLong, n) })
+      .toDF("stage_ord", "stage")
+    val w = org.apache.spark.sql.expressions.Window.orderBy("stage_ord")
+    val stages = stageFrame
+      .join(cnts, Seq("stage_ord"), "left")
+      .select(col("stage_ord"), col("stage"),
+        coalesce(col("d"), lit(0L)).as("docs"),
+        coalesce(col("t"), lit(0L)).as("toks"))
+      .withColumn("removed_docs",
+        coalesce(lag("docs", 1).over(w) - col("docs"), lit(0L)))
+      .withColumn("removed_toks",
+        coalesce(lag("toks", 1).over(w) - col("toks"), lit(0L)))
+    stages.unionByName(mixPackRows(c5, tokenBudget, ctx))
   }
 
   /**

@@ -843,8 +843,14 @@ object Dedup {
    */
   def lexicalAgreementAudit(doc: DataFrame, dims: Int = 64,
       threshold: Double = LexicalAgreeThreshold, id: String = "doc_id",
-      text: String = "text"): DataFrame = {
-    val pairs = minhashLsh(doc, id, text).select("id_a", "id_b")
+      text: String = "text",
+      candidatePairs: Option[DataFrame] = None): DataFrame = {
+    // r18: the audit scores whatever pair set it is given — in
+    // production the STORED LSH candidate relation (the snapshot
+    // artifact the dedup pass already built), rebuilt inline only
+    // when no store is supplied
+    val pairs = candidatePairs.getOrElse(
+      minhashLsh(doc, id, text).select("id_a", "id_b"))
     val bu = Reuse.shared(doc
       .select(col(id),
         explode(graft.ops.TextOps.tokens(col(text))).as("tok"))

@@ -1251,6 +1251,29 @@ object Similarity {
       pqCodebooks(emb, id, vec)
     }
 
+  /** Build-once PQ codes table `(t_id, m, code)` — the encoded corpus
+    * the serving stack stores beside the codebook (M small ints per
+    * vector; the floats are read once at encode time). r18: the four
+    * PQ consumers re-encoded the corpus per run; same [[Reuse.index]]
+    * precedent as [[kmeansProbeIndex]]/[[pqCodebooksIndex]] and the
+    * bucket-tagged [[ivfPqCodedCorpusIndex]]. */
+  def pqCodesIndex(emb: DataFrame, cb: DataFrame, cacheKey: String,
+      id: String = "vec_id", vec: String = "embedding"): DataFrame =
+    Reuse.index(emb.sparkSession, s"pq-codes:$cacheKey") {
+      pqCodes(emb, cb, id, vec).toDF("t_id", "m", "code")
+    }
+
+  /** Build-once bucket-tagged coded corpus `(t_id, m, code, bucket)`
+    * — [[ivfPqCodedCorpus]] as the stored serving artifact. */
+  def ivfPqCodedCorpusIndex(emb: DataFrame, cb: DataFrame,
+      probeIndex: DataFrame, cacheKey: String, id: String = "vec_id",
+      vec: String = "embedding"): DataFrame =
+    Reuse.index(emb.sparkSession, s"pq-coded:$cacheKey") {
+      pqCodesIndex(emb, cb, cacheKey, id, vec)
+        .join(probeIndex.filter(col("probe_rank") === 1)
+          .select(col(id).as("t_id"), col("bucket")), "t_id")
+    }
+
   /** PQ encoding: per (vector, subspace) the nearest codeword id —
     * the compressed corpus representation (M small ints per vector).
     * Broadcast M×K codebook join + m-keyed argmin; one corpus scan. */
@@ -1278,9 +1301,11 @@ object Similarity {
    */
   def pqTopK(emb: DataFrame, queries: DataFrame, k: Int,
       id: String = "vec_id", vec: String = "embedding",
-      codebooks: Option[DataFrame] = None): DataFrame = {
+      codebooks: Option[DataFrame] = None,
+      codes: Option[DataFrame] = None): DataFrame = {
     val cb = codebooks.getOrElse(Reuse.shared(pqCodebooks(emb, id, vec)))
-    val codes = pqCodes(emb, cb, id, vec).toDF("t_id", "m", "code")
+    val codesT = codes.getOrElse(
+      pqCodes(emb, cb, id, vec).toDF("t_id", "m", "code"))
     val qsub = Reuse.shared(pqSub(queries, id, vec))
     val qn2 = qsub.groupBy("vid").agg(sum("sn2").as("qn2"))
     val lut = qsub.join(broadcast(cb), "m")
@@ -1288,7 +1313,7 @@ object Similarity {
         qdot(col("sq"), col("cq")).as("ldot"), col("cn2"))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("cos_pq").desc, col("t_id").asc)
-    codes.join(broadcast(lut), Seq("m", "code"))
+    codesT.join(broadcast(lut), Seq("m", "code"))
       .filter(col("q_id") =!= col("t_id"))
       .groupBy(col("q_id"), col("t_id"))
       .agg(sum(col("ldot")).as("adc_dot"), sum(col("cn2")).as("tn2_hat"))
@@ -1314,9 +1339,11 @@ object Similarity {
   def pqRerankTopK(emb: DataFrame, queries: DataFrame, k: Int,
       candidates: Int = 20, id: String = "vec_id",
       vec: String = "embedding",
-      codebooks: Option[DataFrame] = None): DataFrame = {
+      codebooks: Option[DataFrame] = None,
+      codes: Option[DataFrame] = None): DataFrame = {
     require(candidates >= k, "candidate pool must cover the final k")
-    val cand = pqTopK(emb, queries, candidates, id, vec, codebooks)
+    val cand = pqTopK(emb, queries, candidates, id, vec, codebooks,
+      codes)
       .select(col("q_id"), col("t_id"))
     val corpus = prepared(emb, id, vec).toDF("t_id", "t_q", "t_n2")
     val qs = prepared(queries, id, vec).toDF("q_id", "q_q", "q_n2")
@@ -1364,12 +1391,13 @@ object Similarity {
   def ivfPqTopK(emb: DataFrame, queries: DataFrame, probeIndex: DataFrame,
       k: Int, probes: Int = 2, candidates: Int = 20,
       id: String = "vec_id", vec: String = "embedding",
-      codebooks: Option[DataFrame] = None): DataFrame = {
+      codebooks: Option[DataFrame] = None,
+      codedCorpus: Option[DataFrame] = None): DataFrame = {
     require(probes >= 1, "probes must be >= 1")
     val cb = codebooks.getOrElse(Reuse.shared(pqCodebooks(emb, id, vec)))
-    val coded = ivfPqCodedCorpus(emb, cb,
+    val coded = codedCorpus.getOrElse(ivfPqCodedCorpus(emb, cb,
       probeIndex.filter(col("probe_rank") === 1)
-        .select(col(id), col("bucket")), id, vec)
+        .select(col(id), col("bucket")), id, vec))
     val qProbes = probeIndex.filter(col("probe_rank") <= probes)
       .select(col(id).as("q_id"), col("bucket"))
       .join(queries.select(col(id).as("q_id")), "q_id")
@@ -1498,12 +1526,13 @@ object Similarity {
       probeIndex: DataFrame, probes: Seq[Int], k: Int,
       candidates: Int = 20, id: String = "vec_id",
       vec: String = "embedding",
-      codebooks: Option[DataFrame] = None): DataFrame = {
+      codebooks: Option[DataFrame] = None,
+      codedCorpus: Option[DataFrame] = None): DataFrame = {
     val cb = codebooks.getOrElse(Reuse.shared(pqCodebooks(emb, id, vec)))
-    val coded = Reuse.shared(
+    val coded = codedCorpus.getOrElse(Reuse.shared(
       pqCodes(emb, cb, id, vec).toDF("t_id", "m", "code")
         .join(probeIndex.filter(col("probe_rank") === 1)
-          .select(col(id).as("t_id"), col("bucket")), "t_id"))
+          .select(col(id).as("t_id"), col("bucket")), "t_id")))
     val truth = Reuse.shared(bruteTopK(emb, queries, k, id, vec)
       .select(col("q_id").as("id_a"), col("t_id").as("id_b")))
     probes.map { p =>
@@ -1525,11 +1554,12 @@ object Similarity {
   def pqRerankRecallAudit(emb: DataFrame, queries: DataFrame, k: Int,
       candidates: Int = 20, id: String = "vec_id",
       vec: String = "embedding",
-      codebooks: Option[DataFrame] = None): DataFrame = {
+      codebooks: Option[DataFrame] = None,
+      codes: Option[DataFrame] = None): DataFrame = {
     val truth = bruteTopK(emb, queries, k, id, vec)
       .select(col("q_id").as("id_a"), col("t_id").as("id_b"))
     val got = pqRerankTopK(emb, queries, k, candidates, id, vec,
-        codebooks)
+        codebooks, codes)
       .select(col("q_id").as("id_a"), col("t_id").as("id_b"))
     Dedup.pairRecall(truth, got)
   }
@@ -1544,10 +1574,11 @@ object Similarity {
    */
   def pqFidelityAudit(emb: DataFrame, queries: DataFrame, k: Int,
       id: String = "vec_id", vec: String = "embedding",
-      codebooks: Option[DataFrame] = None): DataFrame = {
+      codebooks: Option[DataFrame] = None,
+      codes: Option[DataFrame] = None): DataFrame = {
     val full = bruteTopK(emb, queries, k, id, vec)
       .select(col("q_id"), col("t_id"), col("cos"))
-    val pq = pqTopK(emb, queries, k, id, vec, codebooks)
+    val pq = pqTopK(emb, queries, k, id, vec, codebooks, codes)
       .select(col("q_id"), col("t_id"), col("cos_pq"))
     val totals = full.agg(
       countDistinct(col("q_id")).as("n_queries"),
@@ -1646,7 +1677,12 @@ object Similarity {
       .map(_.select(col("q_id"), col("t_id"),
         expr(s"1000000 DIV ($rrfK + rank)").as("contrib")))
       .reduceLeft(_ unionByName _)
-    scored.groupBy("q_id", "t_id").agg(sum("contrib").as("rrf"))
+    // one exchange hashed by q_id serves both the contribution sum
+    // (clustering on a key subset) and the re-rank window (r18;
+    // guide §2.4: the groupBy(q_id, t_id) + window(q_id) pair
+    // otherwise shuffles the bounded candidate lists twice)
+    scored.repartition(col("q_id"))
+      .groupBy("q_id", "t_id").agg(sum("contrib").as("rrf"))
       .withColumn("rank", row_number().over(Window.partitionBy("q_id")
         .orderBy(col("rrf").desc, col("t_id").asc)))
       .filter(col("rank") <= k)

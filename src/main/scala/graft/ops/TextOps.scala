@@ -651,13 +651,22 @@ object TextOps {
   def textRank(doc: DataFrame, iters: Int = 3, minWout: Int = 5,
       topK: Int = 20, dampPct: Int = 85,
       text: String = "text"): DataFrame = {
-    val pairs = bigramRows(doc.select(col(text)), text)
+    // ONE corpus explode: aggregate the DIRECTED pair counts first
+    // (vocab²-bounded), then symmetrize by unioning the aggregated
+    // table with its swap and re-summing — count(union of raw pair
+    // rows) == sum(count) over each direction, and the second union
+    // branch now reads the tiny aggregated relation instead of
+    // re-exploding the corpus (r18: the raw-pair union made the
+    // explode run twice inside one job). The symmetrized table is
+    // materialized once — FromEdges reads it from two consumers.
+    val aw = bigramRows(doc.select(col(text)), text)
       .filter(col("t1") =!= col("t2"))
-      .select(col("t1").as("src"), col("t2").as("dst"))
-    val und = pairs.union(
-      pairs.select(col("dst").as("src"), col("src").as("dst")))
-    textRankFromEdges(und.groupBy("src", "dst")
-      .agg(count(lit(1)).as("w")), iters, minWout, topK, dampPct)
+      .groupBy(col("t1").as("src"), col("t2").as("dst"))
+      .agg(count(lit(1)).as("w"))
+    textRankFromEdges(Reuse.shared(
+      aw.union(aw.select(col("dst"), col("src"), col("w")))
+        .groupBy("src", "dst").agg(sum("w").as("w"))),
+      iters, minWout, topK, dampPct)
   }
 
   /** [[textRank]]'s floor/iterate/rank tail over a PRE-COUNTED
@@ -666,22 +675,29 @@ object TextOps {
     * addition, then this tail runs once on the merged graph. */
   def textRankFromEdges(all: DataFrame, iters: Int = 3, minWout: Int = 5,
       topK: Int = 20, dampPct: Int = 85): DataFrame = {
+    // keep/deg are vocab-bounded next to the vocab²-bounded edge
+    // table — broadcast them so the edge relation is filtered and
+    // degree-annotated without ever being shuffled (r18)
     val keep = all.groupBy("src").agg(sum("w").as("w0"))
       .filter(col("w0") >= minWout).select("src")
-    val e2 = all.join(keep, "src")
-      .join(keep.select(col("src").as("dst")), "dst")
+    val e2 = all.join(broadcast(keep), "src")
+      .join(broadcast(keep.select(col("src").as("dst"))), "dst")
     val deg = e2.groupBy("src").agg(sum("w").as("wout"))
-    val ew = Reuse.shared(e2.join(deg, "src")
+    val ew = Reuse.shared(e2.join(broadcast(deg), "src")
       .select("src", "dst", "w", "wout"))
     var ranks = Reuse.pin(
       deg.select(col("src").as("v"), lit(1000000L).as("r"))
         .localCheckpoint(true))
     for (_ <- 1 to iters) {
-      val cs = ew.join(ranks, col("src") === col("v"))
+      // ranks and the contribution sums are vocab-bounded (tiny next
+      // to the vocab²-bounded edge table) — broadcast them so the
+      // checkpointed edge relation is never re-shuffled per
+      // iteration (r18; guide §3.1: broadcast the side that fits)
+      val cs = ew.join(broadcast(ranks), col("src") === col("v"))
         .select(col("dst"), expr("(r * w) DIV wout").as("c"))
         .groupBy("dst").agg(sum("c").as("cs"))
       ranks = Reuse.pin(ranks.select(col("v"))
-        .join(cs, col("v") === col("dst"), "left")
+        .join(broadcast(cs), col("v") === col("dst"), "left")
         .select(col("v"),
           expr(s"(${100 - dampPct} * 1000000 + " +
             s"$dampPct * coalesce(cs, 0)) DIV 100").as("r"))
@@ -1082,10 +1098,17 @@ object TextOps {
       .join(broadcast(qt.select("_t").distinct()), Seq("_t"),
         "left_semi"))
     val dfRel = hits.groupBy("_t").agg(count(lit(1)).as("df"))
-    val scored = bm25Scored(hits.join(dfRel, Seq("_t"))
+    // dfRel is query-vocab-bounded — broadcast it so the hits table
+    // is never re-shuffled by _t; the single exchange below hashes by
+    // q_id alone, which BOTH the candidate aggregate and the ranking
+    // window accept (ClusteredDistribution on a key subset), so the
+    // old groupBy(q_id, _id) + window(q_id) exchange pair collapses
+    // to one (r18; guide §2.4)
+    val scored = bm25Scored(hits.join(broadcast(dfRel), Seq("_t"))
       .join(broadcast(qt), Seq("_t"))
       .filter(col("_id") =!= col("q_id"))
       .crossJoin(broadcast(stats)))
+      .repartition(col("q_id"))
       .groupBy("q_id", "_id")
       .agg(bm25ScoreSum.as("score"))
     scored
@@ -1140,10 +1163,17 @@ object TextOps {
       .groupBy("_id", "_dl", "_t").agg(count(lit(1)).as("tf")))
     val dfRel = hits.groupBy("_t")
       .agg(countDistinct(col("_id")).as("df"))
-    val scored = bm25Scored(hits.join(dfRel, Seq("_t"))
+    // dfRel is query-vocab-bounded — broadcast it so the hits table
+    // is never re-shuffled by _t; the single exchange below hashes by
+    // q_id alone, which BOTH the candidate aggregate and the ranking
+    // window accept (ClusteredDistribution on a key subset), so the
+    // old groupBy(q_id, _id) + window(q_id) exchange pair collapses
+    // to one (r18; guide §2.4)
+    val scored = bm25Scored(hits.join(broadcast(dfRel), Seq("_t"))
       .join(broadcast(qt), Seq("_t"))
       .filter(col("_id") =!= col("q_id"))
       .crossJoin(broadcast(stats)))
+      .repartition(col("q_id"))
       .groupBy("q_id", "_id")
       .agg(bm25ScoreSum.as("score"))
     scored
