@@ -1086,17 +1086,31 @@ object Dedup {
       .join(sizes.select(col(id).as("id_b"), col("n_sh").as("n_b")), "id_b")
       .select(expr("(1000000 * n_inter) DIV (n_a + n_b - n_inter)").as("s"))
       .filter(col("s") >= tauPpm))
-    (1 to NumHashes).filter(NumHashes % _ == 0).map { r =>
+    // every candidate plan's expected-recall sum rides ONE aggregate
+    // pass over the materialized truth (r18: one scan per plan before
+    // — same rows, same per-row chain arithmetic, one job)
+    val rs = (1 to NumHashes).filter(NumHashes % _ == 0)
+    val aggs = count(lit(1)).as("n_true_pairs") +: rs.map { r =>
       val b = NumHashes / r
-      val p = s"(1000000 - ${
-        fpPowChain(s"(1000000 - ${fpPowChain("s", r)})", b)})"
-      truth.agg(count(lit(1)).as("n_true_pairs"), sum(expr(p)).as("sp"))
-        .select(lit(r.toLong).as("rows_per_band"),
-          lit(b.toLong).as("bands"), col("n_true_pairs"),
-          when(col("n_true_pairs") === 0, 0L)
-            .otherwise(expr("sp DIV n_true_pairs")).as("exp_recall_ppm"),
-          lit(if (r == BandRows) 1L else 0L).as("in_use"))
-    }.reduce(_ unionByName _)
+      sum(expr(s"(1000000 - ${
+        fpPowChain(s"(1000000 - ${fpPowChain("s", r)})", b)})"))
+        .as(s"_sp$r")
+    }
+    val row = truth.agg(aggs.head, aggs.tail: _*).first()
+    val nTrue = row.getLong(0)
+    import scala.jdk.CollectionConverters._
+    doc.sparkSession.createDataFrame(
+      rs.zipWithIndex.map { case (r, i) =>
+        org.apache.spark.sql.Row(r.toLong, (NumHashes / r).toLong,
+          nTrue,
+          if (nTrue == 0) 0L else row.getLong(1 + i) / nTrue,
+          if (r == BandRows) 1L else 0L)
+      }.asJava,
+      org.apache.spark.sql.types.StructType(
+        Seq("rows_per_band", "bands", "n_true_pairs",
+          "exp_recall_ppm", "in_use")
+          .map(org.apache.spark.sql.types.StructField(_,
+            org.apache.spark.sql.types.LongType))))
   }
 
   /**

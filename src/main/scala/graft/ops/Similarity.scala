@@ -1313,8 +1313,11 @@ object Similarity {
         qdot(col("sq"), col("cq")).as("ldot"), col("cn2"))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("cos_pq").desc, col("t_id").asc)
+    // one exchange hashed by q_id serves both the ADC aggregate and
+    // the ranking window (r18; guide §2.4)
     codesT.join(broadcast(lut), Seq("m", "code"))
       .filter(col("q_id") =!= col("t_id"))
+      .repartition(col("q_id"))
       .groupBy(col("q_id"), col("t_id"))
       .agg(sum(col("ldot")).as("adc_dot"), sum(col("cn2")).as("tn2_hat"))
       .join(broadcast(qn2.withColumnRenamed("vid", "q_id")), "q_id")
@@ -1486,9 +1489,12 @@ object Similarity {
     val lutB = lut.join(qProbes, "q_id")
     val wc = Window.partitionBy(col("q_id"))
       .orderBy(col("cos_pq").desc, col("t_id").asc)
+    // one exchange hashed by q_id serves both the ADC aggregate and
+    // the candidate-ranking window (r18; guide §2.4)
     val cand = coded
       .join(broadcast(lutB), Seq("bucket", "m", "code"))
       .filter(col("q_id") =!= col("t_id"))
+      .repartition(col("q_id"))
       .groupBy(col("q_id"), col("t_id"))
       .agg(sum(col("ldot")).as("adc_dot"), sum(col("cn2")).as("tn2_hat"))
       .join(broadcast(qn2.withColumnRenamed("vid", "q_id")), "q_id")
