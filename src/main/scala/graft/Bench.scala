@@ -153,8 +153,34 @@ object Bench {
           graft.ops.Reuse.freeAll(spark)
           name -> dt
       }.toMap
-    val pass1 = timedPass()
-    val pass2 = timedPass()
+    // Explicit serving-artifact build pricing (r18 verdict item 3): the
+    // PQ corpus encode became a build-once artifact in r18, so its cost
+    // landed in whichever consumer ran first and min-of-two discarded
+    // it. Each timed pass now DROPS the two encode artifacts and times
+    // their cold rebuild as its own entry — the encode cost is back in
+    // the bench total, and the PQ consumers measure pure search in both
+    // passes (the ext03-prices-the-LSH-build discipline, applied to the
+    // PQ family). Skipped in changed-mode (no plan fingerprint exists
+    // for a non-query metric); BENCH_ONLY selects it by name prefix
+    // like any query.
+    val PqBuildName = "bench_pq_index_build"
+    def pqBuildPass(): Option[(String, Double)] =
+      if (changedMode ||
+          !benchOnly.forall(_.exists(PqBuildName.startsWith))) None
+      else {
+        val t0 = System.nanoTime()
+        try ExtEntry.rebuildPqEncodeIndexes(spark, sfDir) catch {
+          case t: Throwable =>
+            System.err.println(s"[bench] $PqBuildName FAILED: $t")
+            failed += PqBuildName
+        }
+        val dt = (System.nanoTime() - t0) / 1e9
+        spark.catalog.clearCache()
+        graft.ops.Reuse.freeAll(spark)
+        Some(PqBuildName -> dt)
+      }
+    val pass1 = pqBuildPass().toMap ++ timedPass()
+    val pass2 = pqBuildPass().toMap ++ timedPass()
     // changed-mode fingerprints commit only now — after both timed
     // passes — so a crashed/interrupted run leaves the OLD baselines
     // in place and its queries are re-benched next time, never
@@ -213,6 +239,19 @@ object Bench {
         .mkString("{", ",", "}")
       println(s"""{"metric":"query_times","part":${i + 1},"queries":$part}""")
     }
+    // One COMPACT all-queries record immediately before the total line
+    // (r18 verdict item 2): the driver keeps a fixed-size log tail, so
+    // on a 200-query registry the 10-query part lines scroll out and
+    // PERF's per_query came back empty. A 2-decimal single line is
+    // ~4 KB — whatever tail holds the total line now also holds the
+    // densest possible per-query record. The part lines above stay for
+    // humans and for full-resolution diffing of the captured region.
+    def fmt2(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
+    val qsAll = sorted
+      .map { case (k, v) => "\"" + k + "\":" + fmt2(v) }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"query_times_all","queries":$qsAll}""")
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":{},"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
   }

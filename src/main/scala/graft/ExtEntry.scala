@@ -139,6 +139,22 @@ object ExtEntry {
       Similarity.pqCodebooksIndex(embs(s, dir), cacheKey = dir),
       ivfProbeIndex(s, dir), cacheKey = dir))
 
+  /** Rebuild the PQ ENCODE artifacts from cold — the bench's explicit
+    * index-build pricing (r18 verdict: with `pqCodesIndex`/
+    * `ivfPqCodedCorpusIndex` stored once per session, the corpus-encode
+    * cost landed inside whichever consumer ran first and min-of-two
+    * discarded it, so no number priced the encode). Drops the two
+    * encode artifacts, rebuilds them (codebooks / coarse quantizer stay
+    * memoized — they have their own precedented lifecycle), and forces
+    * materialization. Returns the coded-corpus row count. */
+  private[graft] def rebuildPqEncodeIndexes(s: SparkSession,
+      dir: String): Long = {
+    graft.ops.Reuse.dropIndex(s, s"pq-coded:$dir")
+    graft.ops.Reuse.dropIndex(s, s"pq-codes:$dir")
+    pqCodesIdx(s, dir).get.count()
+    pqCodedIdx(s, dir).get.count()
+  }
+
   /** Build-once BPE merge table shared by ext111/ext112 — THE stored
     * tokenizer artifact: learned once per (session, sfdir), the audit
     * replays it ([[graft.ops.TextOps.bpeEstimateAuditFrom]]) exactly
@@ -183,9 +199,34 @@ object ExtEntry {
     * bounded-Jaccard truth and the banded MinHash candidates; the two
     * pair sets are checkpointed as one tagged relation — production
     * computes an audit run once and reads every metric off it. */
+  /** Build-once capped shingle-group relation (h, bounded distinct doc
+    * list) — THE stored shingle pass of a corpus snapshot (r19): the
+    * containment audit (ext113), the band-plan card (ext149) and the
+    * audit-pair build below all read it instead of re-exploding and
+    * re-hashing the corpus per query. ext02 keeps building the same
+    * relation from scratch, so the shingle pass stays priced by one
+    * query every run (the ext03-prices-the-LSH-build discipline). */
+  private def shingleGroupsIdx(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Reuse.index(s, s"shingle-groups:$dir") {
+      Dedup.shingleGroups(docs(s, dir), "doc_id", "text",
+        materialize = false)
+    }
+
+  /** Build-once banded signature table of the ESTABLISHED corpus (the
+    * doc_id % 10 >= 2 generation ext36 dedups increments against) —
+    * ext36's own scaladoc already states the semantics: "signatures are
+    * computed once per corpus generation and persisted; the corpus text
+    * is never re-shingled". The full-corpus MinHash build stays priced
+    * by ext03 every run. */
+  private def corpusBandsIdx(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Reuse.index(s, s"corpus-bands:$dir") {
+      Dedup.bandedSignatures(Dedup.minhashSignatures(
+        docs(s, dir).filter(col("doc_id") % 10 >= 2)))
+    }
+
   private def lshAuditPairs(s: SparkSession, dir: String): DataFrame =
     graft.ops.Reuse.index(s, s"lsh-audit:$dir") {
-      val g = Dedup.shingleGroups(docs(s, dir), "doc_id", "text")
+      val g = shingleGroupsIdx(s, dir)
       val sig = graft.ops.Reuse.shared(Dedup.minhashSignaturesFromGroups(g))
       Dedup.ngramJaccardFromGroups(g, threshold = 0.5)
         .select("id_a", "id_b").withColumn("rel", lit("truth"))
@@ -900,9 +941,13 @@ object ExtEntry {
     "ext15_corpus_pipeline" -> ((s, dir) => {
       val d = docs(s, dir)
       val scored = TextOps.quality(TextOps.langScores(d))
-      val filtered = scored
+      // The filtered corpus feeds BOTH the detector (minhashLsh) and
+      // the keeper anti-join — without materialization the whole
+      // langid+quality scoring scan plans (and runs) twice (r19;
+      // guide §2.4: two consumers, one pass).
+      val filtered = graft.ops.Reuse.shared(scored
         .filter(col("predicted") === "en" && col("quality_score") >= 0.4)
-        .select("doc_id", "text", "lang", "source")
+        .select("doc_id", "text", "lang", "source"))
       val kept = Dedup.keepRepresentatives(
         filtered, Dedup.minhashLsh(filtered))
       kept.groupBy("lang", "source")
@@ -1786,11 +1831,12 @@ object ExtEntry {
     // generations.
     "ext36_incremental_dedup" -> ((s, dir) => {
       val d = docs(s, dir)
-      val corpus = d.filter(col("doc_id") % 10 >= 2)
       val inc = d.filter(col("doc_id") % 10 < 2)
-      val corpusBands =
-        Dedup.bandedSignatures(Dedup.minhashSignatures(corpus))
-      Dedup.dedupeIncrement(corpusBands, inc)
+      // r19: the corpus side reads the stored band-table artifact (its
+      // documented lifecycle — see corpusBandsIdx); only the increment
+      // is shingled per run, exactly the production shape the scaladoc
+      // describes. ext03 still prices the full MinHash build.
+      Dedup.dedupeIncrement(corpusBandsIdx(s, dir), inc)
         .select("doc_id", "lang", "source")
         .orderBy("doc_id")
     }),
@@ -2132,6 +2178,10 @@ object ExtEntry {
       val a = e.filter(col("vec_id") % 2 === 0)
       val b = e.filter(col("vec_id") % 2 === 1)
       val reb = rebBuckets(s, dir)
+      // NOT materialized (r19, measured): the count and intersect
+      // consumers reach identical exchanges, so ReuseExchange already
+      // runs each mine once — checkpoints only added blocking writes
+      // (A/B 2.39 → 2.65 s at sf0.1).
       val exact = Similarity.marginMine(a, b).select("a_id", "b_id")
       val capped = Similarity.marginMineBucketed(a, b, reb)
         .select("a_id", "b_id")
@@ -2161,8 +2211,12 @@ object ExtEntry {
     // >= tau Jaccard pairs (exact integer ppm s, truncating fixed-point
     // power chains) — the recall-vs-cost trade the shipped 4x4 banding
     // commits to, computed from data instead of assumed.
+    // r19: the expected-recall card reads the stored shingle-group
+    // artifact (shared with ext113/ext54/ext61) instead of its own
+    // corpus explode; the truth-pair aggregate itself stays per-run.
     "ext149_lsh_band_plan" -> ((s, dir) =>
-      Dedup.lshBandPlan(docs(s, dir)).orderBy("rows_per_band")),
+      Dedup.lshBandPlanFromGroups(shingleGroupsIdx(s, dir))
+        .orderBy("rows_per_band")),
 
     // Octave-quantized PSI drift card between the ext81/82 parity
     // snapshots over the doc-length log2 histogram: per-bin
@@ -2442,8 +2496,14 @@ object ExtEntry {
     "ext179_corpus_diff_versioned" -> ((s, dir) => {
       val d = TextOps.quality(docs(s, dir))
         .withColumn("score_ppm", expr(ScorePpmExpr))
-      val parts = Sampling.budgetSelectStratumPartials(
-        d, col("lang"), col("score_ppm"))
+      // The partials projection feeds THREE union branches (v0, the
+      // re-ingest filter, the shifted new-docs branch) — materialize
+      // once or the tokenize+quality corpus scan plans and runs once
+      // per branch under the two version folds (r19; the ext15
+      // two-consumer rule).
+      val parts = graft.ops.Reuse.shared(
+        Sampling.budgetSelectStratumPartials(
+          d, col("lang"), col("score_ppm")))
       val shift =
         d.agg(max(col("doc_id"))).first().getLong(0) + 1L
       val v0 = parts.withColumn("_ver", lit(0L))
@@ -2577,8 +2637,12 @@ object ExtEntry {
     // structurally misses (a fully-quoted short doc scores containment
     // 1.0, Jaccard ~0.03). jaccard_ppm rides along so every emitted
     // pair shows what the symmetric detector would have said.
+    // r19: reads the stored shingle-group artifact (one shingle pass
+    // per corpus snapshot, shared with ext149/ext54/ext61); ext02
+    // still prices the identical build from scratch.
     "ext113_containment_pairs" -> ((s, dir) =>
-      Dedup.containmentPairs(docs(s, dir), threshold = 0.8)
+      Dedup.containmentPairsFromGroups(shingleGroupsIdx(s, dir),
+          threshold = 0.8)
         .orderBy("id_a", "id_b")),
 
     // Salt-and-replicate skew join: lineitem×part revenue per brand

@@ -937,8 +937,11 @@ object Dedup {
   def keyOverlap(doc: DataFrame, key: String = "source",
       text: String = "text", n: Int = 3,
       maxKeyFreq: Int = 50): DataFrame =
-    keyOverlapFromPairs(
-      Reuse.shared(keyShinglePairs(doc, key, text, n)), key, maxKeyFreq)
+    // No checkpoint of the pair relation: since r19 the derivation
+    // scans it exactly once (the grouped key-set relation is what has
+    // two consumers, and keyOverlapFromPairs materializes that).
+    keyOverlapFromPairs(keyShinglePairs(doc, key, text, n), key,
+      maxKeyFreq)
 
   /** The incremental STATE behind [[keyOverlap]]: distinct (key, h)
     * shingle-membership pairs. Set union is the only cross-batch merge,
@@ -953,17 +956,27 @@ object Dedup {
 
   /** [[keyOverlap]]'s matrix from a precomputed distinct (key, h)
     * relation ([[keyShinglePairs]], possibly accumulated across stream
-    * batches). Input is scanned twice (key-df cap + join sides) —
-    * batch callers pass it `Reuse.shared`-wrapped. */
+    * batches). r19 shape: ONE h-keyed aggregate collects each
+    * shingle's key set (a set of ≤ |keys| short strings — keys are
+    * sources/shards/crawls, bounded by definition where doc ids are
+    * not); the kdf cap is its size filter, and BOTH the ordered pair
+    * counts and the per-key capped sizes explode from the grouped
+    * relation. The previous shape paid a cap aggregate + a cap join +
+    * an h self-join — three more shuffles of the full pair relation —
+    * for the same rows (guide §2.4; the ngramJaccard in-list
+    * pair-combos discipline: per-h fan-out is cap-bounded at
+    * maxKeyFreq², so the explode is safe where LSH's unbounded
+    * buckets would not be). Input is scanned once; the grouped
+    * relation (the two-consumer side) is what gets materialized. */
   def keyOverlapFromPairs(sh: DataFrame, key: String = "source",
       maxKeyFreq: Int = 50): DataFrame = {
-    val keep = sh.groupBy("h").agg(count(lit(1)).as("kdf"))
-      .filter(col("kdf") <= maxKeyFreq).select("h")
-    val kept = sh.join(keep, "h")
-    val sizes = kept.groupBy(col(key)).agg(count(lit(1)).as("n"))
-      .select(col(key).as("source_a"), col("n"))
-    kept.select(col(key).as("source_a"), col("h"))
-      .join(kept.select(col(key).as("source_b"), col("h")), "h")
+    val g = Reuse.shared(
+      sh.groupBy("h").agg(collect_set(col(key)).as("ks"))
+        .filter(size(col("ks")) <= maxKeyFreq))
+    val sizes = g.select(explode(col("ks")).as("source_a"))
+      .groupBy("source_a").agg(count(lit(1)).as("n"))
+    g.select(explode(col("ks")).as("source_a"), col("ks"))
+      .select(col("source_a"), explode(col("ks")).as("source_b"))
       .filter(col("source_a") =!= col("source_b"))
       .groupBy("source_a", "source_b")
       .agg(count(lit(1)).as("n_shared"))
@@ -1073,8 +1086,16 @@ object Dedup {
    * hashes) one-row aggregates; the card itself is |plans| rows.
    */
   def lshBandPlan(doc: DataFrame, tauPpm: Long = 500000L,
-      id: String = "doc_id", text: String = "text"): DataFrame = {
-    val g = shingleGroups(doc, id, text)
+      id: String = "doc_id", text: String = "text"): DataFrame =
+    lshBandPlanFromGroups(shingleGroups(doc, id, text), tauPpm, id)
+
+  /** [[lshBandPlan]] over a pre-built [[shingleGroups]] relation — the
+    * shared-shingle-pass seam (r19): the band-plan card reads the same
+    * stored shingle artifact as the containment audit instead of
+    * re-exploding the corpus; ext02 still prices the shingle build from
+    * scratch (the ext03-prices-the-LSH-build discipline). */
+  def lshBandPlanFromGroups(g: DataFrame, tauPpm: Long = 500000L,
+      id: String = "doc_id"): DataFrame = {
     val inter = g.select(explode(pairCombos(col("ids"))).as("p"))
       .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
       .filter(col("id_a") =!= col("id_b"))
@@ -1099,7 +1120,7 @@ object Dedup {
     val row = truth.agg(aggs.head, aggs.tail: _*).first()
     val nTrue = row.getLong(0)
     import scala.jdk.CollectionConverters._
-    doc.sparkSession.createDataFrame(
+    g.sparkSession.createDataFrame(
       rs.zipWithIndex.map { case (r, i) =>
         org.apache.spark.sql.Row(r.toLong, (NumHashes / r).toLong,
           nTrue,

@@ -243,6 +243,20 @@ object Reuse {
     }
   }
 
+  /** Drop ONE [[index]] artifact by key (this session only) — the
+    * targeted form of [[dropIndexes]]: releases its checkpoint blocks
+    * and forgets the entry, so the next `index` call on the key
+    * rebuilds from the base tables. Bench uses this to price a
+    * serving-artifact build explicitly (drop → timed rebuild) without
+    * discarding every other index mid-run. */
+  def dropIndex(spark: SparkSession, key: String): Unit = {
+    val uuid = org.apache.spark.sql.graftbridge.SqlBridge.sessionUUID(spark)
+    val h = indexes.remove((uuid, key))
+    if (h != null && h.built != null)
+      try org.apache.spark.sql.graftbridge.SqlBridge.freeCheckpoint(h.built)
+      catch { case _: Throwable => () }
+  }
+
   /**
    * Size accounting for this session's built [[index]] artifacts: one
    * (key, cachedPartitions, memBytes, diskBytes) row per index, read

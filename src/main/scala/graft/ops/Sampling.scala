@@ -370,18 +370,28 @@ object Sampling {
       .select(col("doc_id"), col("is_target"),
         (Hashing.portableHash32(concat(lit("dsir:"), col("tok")))
           % buckets).as("b"))
-    val counts = toks.groupBy("b").agg(
-      sum(when(col("is_target"), 1L).otherwise(0L)).as("c_t"),
-      count(lit(1)).as("c_r"))
+    // ONE corpus explode (r19; guide §2.3 aggregate-before-shuffle):
+    // both consumers — the per-bucket LM counts and the per-doc score
+    // sum — fold exactly from the compacted (doc, is_target, bucket,
+    // n) matrix, so the explode+hash pass runs once and what
+    // materializes is token-count-compressed (≤ min(|tokens|,
+    // |docs|·buckets) rows of four ints), never the raw token stream.
+    val db = Reuse.shared(toks
+      .groupBy("doc_id", "is_target", "b")
+      .agg(count(lit(1)).as("n")))
+    val counts = db.groupBy("b").agg(
+      sum(when(col("is_target"), col("n")).otherwise(0L)).as("c_t"),
+      sum("n").as("c_r"))
     val totals = counts.agg(sum("c_t").as("n_t"), sum("c_r").as("n_r"))
     val lr = counts.crossJoin(broadcast(totals))
       .select(col("b"),
         (length(expr(s"bin(greatest((1000000 * (c_t + 1) * (n_r + $buckets))"
           + s" DIV ((c_r + 1) * (n_t + $buckets)), 1))")).cast("long")
           - 21L).as("lr_oct"))
-    val scored = toks.join(broadcast(lr), "b")
+    val scored = db.join(broadcast(lr), "b")
       .groupBy("doc_id")
-      .agg(sum("lr_oct").as("dsir_log2w"), count(lit(1)).as("n_toks"))
+      .agg(sum(col("lr_oct") * col("n")).as("dsir_log2w"),
+        sum("n").as("n_toks"))
     doc.select(col("doc_id")).join(scored, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("dsir_log2w"), lit(0L)).as("dsir_log2w"),

@@ -211,9 +211,9 @@ object Sketches {
     // K-ARY rounds (r15): each round carries fanout−1 evenly spaced
     // probe COLUMNS per (stratum, q) — one conditional sum each, no
     // row fan-out, still one job per round — so the round count drops
-    // log₂(span) → log_F(span) (~45 → ~9 at F=32 for a year of
+    // log₂(span) → log_F(span) (~45 → ~8 at F=64 for a year of
     // microseconds). Fanout shared with the budget-select bisections
-    // (Sampling.BisectFanout, r18: 8 → 32 — each extra probe is one
+    // (Sampling.BisectFanout, r18: 8 → 64 — each extra probe is one
     // more codegen'd conditional sum on the same pass, so wider
     // rounds cut the sequential-pass count at every scale).
     // Probe arithmetic is BigInt: a full-Long value domain (64-bit

@@ -476,6 +476,11 @@ object TextOps {
     val tf = Reuse.shared(
       doc.select(col(id), explode(tokens(col(text))).as("term"))
         .groupBy(col(id), col("term")).agg(count(lit(1)).as("tf")))
+    // Left as-is (r19, measured): a repartition(term) meant to collapse
+    // the df-aggregate and score-join exchanges ADDED a shuffle — the
+    // planner already broadcasts the checkpointed tf relation into the
+    // idf join (zero tf-side shuffles) and the df aggregate keeps its
+    // map-side partial combine (PlanBudget 5 → 6 shuffles, reverted).
     val dfTerm = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val nDocs = doc.agg(count(lit(1)).as("n_docs"))
     val idf = dfTerm.crossJoin(broadcast(nDocs))
@@ -669,35 +674,62 @@ object TextOps {
       iters, minWout, topK, dampPct)
   }
 
+  /** Vertex-count ceiling for textRank's broadcast iteration joins —
+    * above it the per-iteration relations (keep/deg/ranks/cs, all
+    * vocab-bounded) stop fitting driver/executor memory comfortably
+    * (~50 B/token row ⇒ the 4M default is ~200 MB framed, far under
+    * the 8 GB broadcast cap but already meaningful ×cores resident).
+    * Overridable via -Dgraft.textrank.bcastMaxVerts for A/B. */
+  private[graft] def TextRankBcastMaxVerts: Long =
+    sys.props.get("graft.textrank.bcastMaxVerts").map(_.toLong)
+      .getOrElse(4000000L)
+
   /** [[textRank]]'s floor/iterate/rank tail over a PRE-COUNTED
     * symmetrized edge relation (src, dst, w) — the seam the streaming
     * twin derives through: per-batch partial edge counts merge by
-    * addition, then this tail runs once on the merged graph. */
+    * addition, then this tail runs once on the merged graph.
+    *
+    * Scale contract (r19): the iteration joins broadcast the
+    * vocab-bounded sides (keep/deg/ranks/cs) ONLY while the kept
+    * vertex count — measured once off the materialized floor filter —
+    * is ≤ [[TextRankBcastMaxVerts]]; a 100 TB token vocabulary can
+    * exceed any broadcast budget, so above the ceiling the edge table
+    * is instead hash-partitioned by src ONCE at checkpoint time
+    * (checkpoints preserve partitioning) and every iteration shuffles
+    * only the vocab-bounded rank relation — the same zero-edge-
+    * reshuffle effect with no driver ceiling (guide §3.1 / §2.4). */
   def textRankFromEdges(all: DataFrame, iters: Int = 3, minWout: Int = 5,
       topK: Int = 20, dampPct: Int = 85): DataFrame = {
-    // keep/deg are vocab-bounded next to the vocab²-bounded edge
-    // table — broadcast them so the edge relation is filtered and
-    // degree-annotated without ever being shuffled (r18)
-    val keep = all.groupBy("src").agg(sum("w").as("w0"))
-      .filter(col("w0") >= minWout).select("src")
-    val e2 = all.join(broadcast(keep), "src")
-      .join(broadcast(keep.select(col("src").as("dst"))), "dst")
+    // keep is consumed by BOTH endpoint filters — materialized once;
+    // its count is the size signal the broadcast guard keys on (free
+    // off the checkpoint).
+    val keep = Reuse.shared(all.groupBy("src").agg(sum("w").as("w0"))
+      .filter(col("w0") >= minWout).select("src"))
+    val bcastOk = keep.count() <= TextRankBcastMaxVerts
+    def bc(df: DataFrame): DataFrame = if (bcastOk) broadcast(df) else df
+    val e2 = all.join(bc(keep), "src")
+      .join(bc(keep.select(col("src").as("dst"))), "dst")
     val deg = e2.groupBy("src").agg(sum("w").as("wout"))
-    val ew = Reuse.shared(e2.join(broadcast(deg), "src")
-      .select("src", "dst", "w", "wout"))
+    val ewBase = e2.join(bc(deg), "src")
+      .select("src", "dst", "w", "wout")
+    // Non-broadcast fallback: pin the src partitioning into the
+    // checkpoint so the per-iteration rank join re-shuffles ranks
+    // (vocab-bounded), never the vocab²-bounded edge relation.
+    val ew = Reuse.shared(
+      if (bcastOk) ewBase else ewBase.repartition(col("src")))
     var ranks = Reuse.pin(
       deg.select(col("src").as("v"), lit(1000000L).as("r"))
         .localCheckpoint(true))
     for (_ <- 1 to iters) {
       // ranks and the contribution sums are vocab-bounded (tiny next
-      // to the vocab²-bounded edge table) — broadcast them so the
-      // checkpointed edge relation is never re-shuffled per
-      // iteration (r18; guide §3.1: broadcast the side that fits)
-      val cs = ew.join(broadcast(ranks), col("src") === col("v"))
+      // to the vocab²-bounded edge table) — broadcast them while the
+      // guard holds so the checkpointed edge relation is never
+      // re-shuffled per iteration (r18; guide §3.1)
+      val cs = ew.join(bc(ranks), col("src") === col("v"))
         .select(col("dst"), expr("(r * w) DIV wout").as("c"))
         .groupBy("dst").agg(sum("c").as("cs"))
       ranks = Reuse.pin(ranks.select(col("v"))
-        .join(broadcast(cs), col("v") === col("dst"), "left")
+        .join(bc(cs), col("v") === col("dst"), "left")
         .select(col("v"),
           expr(s"(${100 - dampPct} * 1000000 + " +
             s"$dampPct * coalesce(cs, 0)) DIV 100").as("r"))
@@ -1345,6 +1377,10 @@ object TextOps {
       text: String = "text"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val scores = stupidBackoffScores(doc, minCount, id, text)
+    // NOT materialized (r19, measured): the two output branches'
+    // subtrees are identical up to here, so ReuseExchange already
+    // dedupes the scoring pipeline under the union — a checkpoint
+    // only added a blocking write (A/B 2.43 → 2.53 s at sf0.1).
     val withLang = doc.select(col(id), col(lang)).join(scores, Seq(id))
     val scored = withLang.filter(col("n_bigrams") > 0L)
       .withColumn("penalty_mppm",
