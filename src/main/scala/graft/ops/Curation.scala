@@ -143,9 +143,16 @@ object Curation {
     // a labelled union yields no row for an empty stage, unlike the
     // old per-stage aggregate).
     val nTok = size(TextOps.tokens(col("text"))).cast("long")
-    val labelled = Seq(c0, c1, c2, c3, c4, c5).zipWithIndex
+    // c5 feeds THREE token-weighted reports (its own card row, the
+    // mixture ledger, the pack row) — tokenize the survivors ONCE into
+    // a compact (source, n_toks) projection all three read (r19: the
+    // card paid three full text scans of the final corpus; at 100 TB
+    // each is a corpus pass).
+    val c5Toks = Reuse.shared(c5.select(col("source"), nTok.as("_nt")))
+    val labelled = (Seq(c0, c1, c2, c3, c4).zipWithIndex
       .map { case (df, i) =>
-        df.select(lit(i.toLong).as("stage_ord"), nTok.as("_nt")) }
+        df.select(lit(i.toLong).as("stage_ord"), nTok.as("_nt")) } :+
+      c5Toks.select(lit(5L).as("stage_ord"), col("_nt")))
       .reduce(_ unionByName _)
     val cnts = labelled.groupBy("stage_ord")
       .agg(count(lit(1)).as("d"), coalesce(sum("_nt"), lit(0L)).as("t"))
@@ -164,7 +171,7 @@ object Curation {
         coalesce(lag("docs", 1).over(w) - col("docs"), lit(0L)))
       .withColumn("removed_toks",
         coalesce(lag("toks", 1).over(w) - col("toks"), lit(0L)))
-    stages.unionByName(mixPackRows(c5, tokenBudget, ctx))
+    stages.unionByName(mixPackRowsFromToks(c5Toks, tokenBudget, ctx))
   }
 
   /**
@@ -179,14 +186,25 @@ object Curation {
    * batching — the partials-family contract).
    */
   def mixPackRows(c5: DataFrame, tokenBudget: Long,
+      ctx: Long = 512L): DataFrame =
+    mixPackRowsFromToks(
+      Reuse.shared(c5.select(col("source"),
+        size(TextOps.tokens(col("text"))).cast("long").as("_nt"))),
+      tokenBudget, ctx)
+
+  /** [[mixPackRows]] over a pre-tokenized (source, _nt) projection —
+    * both reports are token-count aggregates, so ONE tokenize pass of
+    * the survivor text serves the mixture ledger AND the pack row
+    * (and, via [[pipelineCard]], the c5 stage row too). */
+  def mixPackRowsFromToks(c5Toks: DataFrame, tokenBudget: Long,
       ctx: Long = 512L): DataFrame = {
-    val nTok = size(TextOps.tokens(col("text"))).cast("long")
-    val mix = Sampling.tokenLedger(c5, tokenBudget)
+    val mix = Sampling.tokenLedger(c5Toks, tokenBudget,
+        tokens = Some(col("_nt")))
       .select(lit(6L).as("stage_ord"),
         concat(lit("mix:"), col("source")).as("stage"),
         col("n_docs").as("docs"), col("planned_tokens").as("toks"),
         lit(0L).as("removed_docs"), lit(0L).as("removed_toks"))
-    val pack = Packing.packEfficiency(c5, nTok, Seq(ctx))
+    val pack = Packing.packEfficiency(c5Toks, col("_nt"), Seq(ctx))
       .select(lit(7L).as("stage_ord"), lit("pack").as("stage"),
         col("chunks_padded").as("docs"),
         col("total_toks").as("toks"), lit(0L).as("removed_docs"),

@@ -200,11 +200,17 @@ object Sampling {
    */
   def tokenLedger(df: DataFrame, totalTokenBudget: Long,
       strata: Seq[String] = Seq("source"),
-      text: String = "text"): DataFrame = {
+      text: String = "text",
+      tokens: Option[Column] = None): DataFrame = {
     require(totalTokenBudget > 0, "totalTokenBudget must be positive")
+    // `tokens`: a pre-computed per-row token count — callers that
+    // already tokenized the relation for another report pass it so the
+    // ledger never re-scans the text (r19; the ext126 card shares one
+    // tokenize pass across its three token-weighted rows).
+    val nt = tokens.getOrElse(size(TextOps.tokens(col(text))).cast("long"))
     val counts = df.groupBy(strata.map(col): _*)
       .agg(count(lit(1)).as("n_docs"),
-        sum(size(TextOps.tokens(col(text))).cast("long")).as("n_tokens"))
+        sum(nt).as("n_tokens"))
     withMixtureWeights(counts)
       // budget × weight and planned × 1e6 both leave int64 at a
       // ~10¹³-token budget — decimal(38,0) intermediates (ext152 rule)

@@ -372,4 +372,30 @@ class CorpusStatsSpec extends TestBase {
     assert(got.find(_._1 == "d").get._2 < got.head._2)
     graft.ops.Reuse.freeAll(spark)
   }
+
+  test("textrank broadcast guard (r19): the non-broadcast fallback " +
+      "path is bit-identical to the broadcast path") {
+    import spark.implicits._
+    val texts = Seq("a b a c", "b a b d", "c a", "d c a b e", "e a b")
+    def run() = graft.ops.TextOps.textRank(
+        texts.toDF("text"), iters = 3, minWout = 1, topK = 10)
+      .as[(String, Long)].collect().toSeq
+    val viaBroadcast = run()
+    graft.ops.Reuse.freeAll(spark)
+    // force the guard below any real vertex count: every iteration
+    // join must take the hash-partitioned edge-table path
+    val key = "graft.textrank.bcastMaxVerts"
+    val prev = sys.props.get(key)
+    sys.props(key) = "0"
+    try {
+      val viaShuffle = run()
+      assert(viaShuffle == viaBroadcast)
+    } finally {
+      prev match {
+        case Some(v) => sys.props(key) = v
+        case None => sys.props.remove(key)
+      }
+    }
+    graft.ops.Reuse.freeAll(spark)
+  }
 }
